@@ -1,13 +1,450 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import graft.pipeline.{Analytics, Models}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  * Every query here has a matching DuckDB oracle in [[oracleSql]]
+  * unless its arithmetic isn't portable (hash-based ops), in which
+  * case the driver records a rows-only check.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Analytics.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
+  // cutoff splitting the events log for CDC scenarios
+  private val CdcCutoff = "2024-01-20 00:00:00"
+
+  private def eventCols(df: DataFrame): DataFrame =
+    df.select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- analytics (§2.4) ----
+    "q1_pricing_summary" -> ((s, d) => Analytics.q1PricingSummary(s, d)),
+    "q3_shipping_priority" -> ((s, d) => Analytics.q3ShippingPriority(s, d)),
+    "q5_regional_revenue" -> ((s, d) => Analytics.q5RegionalRevenue(s, d)),
+    "top_orders_per_cust" -> ((s, d) => Analytics.topOrdersPerCust(s, d)),
+    "events_hourly" -> ((s, d) => Analytics.eventsHourly(s, d)),
+    "events_sessions" -> ((s, d) =>
+      Sessionize.byGap(Tables.events(s, d), "user_id", "ts", 1800L)
+        .orderBy(col("user_id"), col("session_seq"))),
+
+    // ---- CDC / ELT core (§2.1) ----
+    "cdc_incremental_filter" -> ((s, d) =>
+      Cdc.incrementalFilter(Tables.events(s, d), "ts",
+          lit(CdcCutoff).cast("timestamp"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))),
+    "cdc_last_loaded" -> ((s, d) =>
+      Cdc.lastLoadedValue(Tables.events(s, d), "ts")),
+    "cdc_dedup_latest" -> ((s, d) =>
+      Cdc.dedupLatestPerKey(eventCols(Tables.events(s, d)),
+          Seq("user_id"), "ts", Seq("event_id"))
+        .orderBy(col("user_id"))),
+    "cdc_upsert" -> ((s, d) => {
+      val ev = eventCols(Tables.events(s, d))
+      val target  = Cdc.dedupLatestPerKey(ev, Seq("user_id"), "ts", Seq("event_id"))
+      val updates = ev.filter(col("event_type") === "purchase")
+      Cdc.upsert(target, updates, Seq("user_id"), "ts", Seq("event_id"))
+        .orderBy(col("user_id"))
+    }),
+    "cdc_snapshot_load" -> ((s, d) =>
+      Cdc.withIngestionDate(Models.stgCustomer(s, d), "snapshot_date",
+          lit("2026-08-12"))
+        // parquet/pandas compare: date vs timestamp normalize differently
+        // across engines — emit timestamp for the oracle diff
+        .withColumn("snapshot_date", col("snapshot_date").cast("timestamp"))
+        .orderBy(col("customer_id"))),
+    "scd2_history" -> ((s, d) =>
+      Scd2.historyFromLog(eventCols(Tables.events(s, d)),
+          Seq("user_id"), "ts", Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("valid_from"), col("valid_to"))
+        .orderBy(col("user_id"), col("valid_from"), col("event_id"))),
+    "scd2_current" -> ((s, d) =>
+      Scd2.currentRows(
+          Scd2.historyFromLog(eventCols(Tables.events(s, d)),
+            Seq("user_id"), "ts", Seq("event_id")))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("valid_from"))
+        .orderBy(col("user_id"))),
+
+    // ---- staging / marts (§2.2) ----
+    "stg_customer" -> ((s, d) => Models.stgCustomer(s, d).orderBy(col("customer_id"))),
+    "dim_customer" -> ((s, d) => Models.dimCustomer(s, d).orderBy(col("customer_id"))),
+    "dim_order" -> ((s, d) => Models.dimOrder(s, d).orderBy(col("order_id"))),
+    "fact_lineitem" -> ((s, d) =>
+      Models.factLineitem(s, d).orderBy(col("order_id"), col("line_number"))),
+
+    // ---- data quality (§2.3) ----
+    "dq_checks" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val li     = Tables.lineitem(s, d)
+      val scalar = Quality.runChecks(orders, Seq(
+          Quality.NotNull("o_orderkey"),
+          Quality.Unique("o_orderkey"),
+          Quality.AcceptedValues("o_orderstatus", Seq("O", "F", "P"))))
+        .unionByName(Quality.runChecks(li, Seq(
+          Quality.NotNull("l_orderkey"),
+          Quality.AcceptedValues("l_returnflag", Seq("A", "N", "R")))))
+      val rel = Quality.relationshipViolations(li, "l_orderkey", orders, "o_orderkey")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("relationships_l_orderkey").as("check_name"), col("violations"))
+      scalar.unionByName(rel).orderBy(col("check_name"))
+    }),
+
+    // ---- text analysis (§2.5) ----
+    "doc_token_count" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          functions.Text.tokenCountWs(col("text")).as("n_tokens_ws"),
+          functions.Text.tokenCountBpe(col("text")).as("n_tokens_bpe"))
+        .orderBy(col("doc_id"))),
+    "doc_quality" -> ((s, d) => {
+      val t = col("text")
+      val nChars = length(t).cast("long")
+      val nWords = functions.Text.tokenCountWs(t)
+      val nPunct = length(regexp_replace(t, "[A-Za-z0-9\\s]", "")).cast("long")
+      val nDigit = length(regexp_replace(t, "[^0-9]", "")).cast("long")
+      val nAlnum = length(regexp_replace(t, "[^A-Za-z0-9]", "")).cast("long")
+      Tables.documents(s, d).select(col("doc_id"),
+          nChars.as("n_chars"), nWords.as("n_words"),
+          (nPunct.cast("double") / nullif(nChars, lit(0L)).cast("double")).as("punct_ratio"),
+          (nDigit.cast("double") / nullif(nChars, lit(0L)).cast("double")).as("digit_ratio"),
+          (nAlnum.cast("double") / nullif(nWords, lit(0L)).cast("double")).as("avg_word_len"),
+          (functions.Text.stopwordHits(t, functions.Text.StopwordsEn).cast("double") /
+            nullif(nWords, lit(0L)).cast("double")).as("stopword_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+    "doc_lang_id" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), functions.Text.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    // ---- dedup (§2.5) ----
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("content_hash"))),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minHashLsh(Tables.documents(s, d), "doc_id", "text",
+          n = 3, numHashes = 32, bands = 16, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simHash(Tables.documents(s, d), "doc_id", "text", n = 3, maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))),
+    "dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingCosine(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.45, exhaustive = true)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- similarity search (§2.5) ----
+    "ann_brute_topk" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val queries = embs.filter(col("vec_id") < 5)
+      Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", "vec_id", k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = {
+    // shared SQL fragments (DuckDB dialect)
+    val norm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+    val nWordsSql =
+      """CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END"""
+    def stopHits(words: String, list: Seq[String]): String =
+      s"CAST(len(list_filter($words, w -> w IN (${list.map(w => s"'$w'").mkString(",")}))) AS BIGINT)"
+
+    Map(
+      "q1_pricing_summary" ->
+        """SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+             count(*) AS count_order
+           FROM lineitem
+           WHERE l_shipdate <= TIMESTAMP '1999-01-01'
+           GROUP BY l_returnflag, l_linestatus
+           ORDER BY l_returnflag, l_linestatus""",
+
+      "q3_shipping_priority" ->
+        """SELECT l_orderkey, o_orderdate, o_orderpriority,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+           FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           WHERE c_mktsegment = 'BUILDING'
+             AND o_orderdate < TIMESTAMP '1998-01-01'
+             AND l_shipdate > TIMESTAMP '1998-01-01'
+           GROUP BY l_orderkey, o_orderdate, o_orderpriority
+           ORDER BY revenue DESC, o_orderdate, l_orderkey
+           LIMIT 10""",
+
+      "q5_regional_revenue" ->
+        """SELECT n_name,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+           FROM customer, orders, lineitem, supplier, nation, region
+           WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+             AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             AND r_name = 'ASIA'
+             AND o_orderdate >= TIMESTAMP '1995-01-01'
+             AND o_orderdate < TIMESTAMP '1997-01-01'
+           GROUP BY n_name
+           ORDER BY revenue DESC, n_name""",
+
+      "top_orders_per_cust" ->
+        """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+             FROM orders)
+           WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+      "events_hourly" ->
+        """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      "events_sessions" ->
+        """WITH flagged AS (
+             SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                 OR date_diff('second', lag(CAST(ts AS TIMESTAMP)) OVER w, CAST(ts AS TIMESTAMP)) > 1800
+               THEN 1 ELSE 0 END AS new_session
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+           ), numbered AS (
+             SELECT user_id, ts,
+               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+             FROM flagged)
+           SELECT user_id, session_seq,
+             min(ts) AS session_start, max(ts) AS session_end,
+             date_diff('second', min(ts), max(ts)) AS duration_sec,
+             count(*) AS n_events
+           FROM numbered GROUP BY user_id, session_seq
+           ORDER BY user_id, session_seq""",
+
+      "cdc_incremental_filter" ->
+        s"""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+           FROM events WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '$CdcCutoff'
+           ORDER BY event_id""",
+
+      "cdc_last_loaded" ->
+        "SELECT max(CAST(ts AS TIMESTAMP)) AS last_ts FROM events",
+
+      "cdc_dedup_latest" ->
+        """SELECT user_id, event_id, ts, event_type, value FROM (
+             SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events)
+           WHERE rn = 1 ORDER BY user_id""",
+
+      "cdc_upsert" ->
+        """WITH latest AS (
+             SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM (
+               SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+             WHERE rn = 1
+           ), latest_p AS (
+             SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM (
+               SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events WHERE event_type = 'purchase') t
+             WHERE rn = 1)
+           SELECT l.user_id AS user_id,
+             CASE WHEN p.user_id IS NOT NULL THEN p.event_id ELSE l.event_id END AS event_id,
+             CASE WHEN p.user_id IS NOT NULL THEN p.ts ELSE l.ts END AS ts,
+             CASE WHEN p.user_id IS NOT NULL THEN p.event_type ELSE l.event_type END AS event_type,
+             CASE WHEN p.user_id IS NOT NULL THEN p.value ELSE l.value END AS value
+           FROM latest l LEFT JOIN latest_p p ON l.user_id = p.user_id
+           ORDER BY user_id""",
+
+      "cdc_snapshot_load" ->
+        """SELECT c_custkey AS customer_id, c_name AS customer_name,
+             c_nationkey AS nation_id, c_acctbal AS account_balance,
+             c_mktsegment AS market_segment, TIMESTAMP '2026-08-12 00:00:00' AS snapshot_date
+           FROM customer ORDER BY customer_id""",
+
+      "scd2_history" ->
+        """SELECT user_id, event_id, event_type,
+             CAST(ts AS TIMESTAMP) AS valid_from,
+             CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS TIMESTAMP) AS valid_to
+           FROM events ORDER BY user_id, valid_from, event_id""",
+
+      "scd2_current" ->
+        """SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS valid_from
+           FROM (SELECT *, lead(ts) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS nxt FROM events)
+           WHERE nxt IS NULL ORDER BY user_id""",
+
+      "stg_customer" ->
+        """SELECT c_custkey AS customer_id, c_name AS customer_name,
+             c_nationkey AS nation_id, c_acctbal AS account_balance,
+             c_mktsegment AS market_segment
+           FROM customer ORDER BY customer_id""",
+
+      "dim_customer" ->
+        """SELECT c_custkey AS customer_id, c_name AS customer_name,
+             c_acctbal AS account_balance, c_mktsegment AS market_segment,
+             n_name AS nation_name, r_name AS region_name
+           FROM customer
+           LEFT JOIN nation ON c_nationkey = n_nationkey
+           LEFT JOIN region ON n_regionkey = r_regionkey
+           ORDER BY customer_id""",
+
+      "dim_order" ->
+        """SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+             o_orderstatus AS order_status, o_totalprice AS total_price,
+             o_orderdate AS order_date, o_orderpriority AS order_priority,
+             c_name AS customer_name, c_mktsegment AS market_segment,
+             n_name AS nation_name
+           FROM orders
+           LEFT JOIN customer ON o_custkey = c_custkey
+           LEFT JOIN nation ON c_nationkey = n_nationkey
+           ORDER BY order_id""",
+
+      "fact_lineitem" ->
+        """SELECT l_orderkey AS order_id, l_linenumber AS line_number,
+             l_partkey AS part_id, l_suppkey AS supplier_id,
+             l_quantity AS quantity, l_extendedprice AS extended_price,
+             l_discount AS discount, l_shipdate AS ship_date,
+             o_custkey AS customer_id, o_orderstatus AS order_status,
+             o_orderdate AS order_date,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+           FROM lineitem
+           LEFT JOIN orders ON l_orderkey = o_orderkey
+           ORDER BY order_id, line_number""",
+
+      "dq_checks" ->
+        """SELECT check_name, violations FROM (
+             SELECT 'not_null_o_orderkey' AS check_name,
+               count(*) FILTER (WHERE o_orderkey IS NULL) AS violations FROM orders
+             UNION ALL
+             SELECT 'unique_o_orderkey',
+               count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders
+             UNION ALL
+             SELECT 'accepted_values_o_orderstatus',
+               count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                 AND o_orderstatus NOT IN ('O','F','P')) FROM orders
+             UNION ALL
+             SELECT 'not_null_l_orderkey',
+               count(*) FILTER (WHERE l_orderkey IS NULL) FROM lineitem
+             UNION ALL
+             SELECT 'accepted_values_l_returnflag',
+               count(*) FILTER (WHERE l_returnflag IS NOT NULL
+                 AND l_returnflag NOT IN ('A','N','R')) FROM lineitem
+             UNION ALL
+             SELECT 'relationships_l_orderkey', count(*) FROM (
+               SELECT DISTINCT l_orderkey FROM lineitem
+               WHERE l_orderkey IS NOT NULL
+                 AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) v
+           ) ORDER BY check_name""",
+
+      "doc_token_count" ->
+        s"""SELECT doc_id,
+             $nWordsSql AS n_tokens_ws,
+             CAST(coalesce(list_sum(list_transform(
+                 regexp_extract_all(text, '[A-Za-z0-9]+'),
+                 w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
+               + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+               AS BIGINT) AS n_tokens_bpe
+           FROM documents ORDER BY doc_id""",
+
+      "doc_quality" ->
+        s"""SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             $nWordsSql AS n_words,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+               / nullif(CAST(length(text) AS BIGINT), 0) AS punct_ratio,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+               / nullif(CAST(length(text) AS BIGINT), 0) AS digit_ratio,
+             CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+               / nullif($nWordsSql, 0) AS avg_word_len,
+             CAST(${stopHits(s"string_split($norm, ' ')", functions.Text.StopwordsEn)} AS DOUBLE)
+               / nullif($nWordsSql, 0) AS stopword_ratio
+           FROM documents ORDER BY doc_id""",
+
+      "doc_lang_id" -> {
+        val scores = Seq(
+          "en" -> functions.Text.StopwordsEn, "fr" -> functions.Text.StopwordsFr,
+          "de" -> functions.Text.StopwordsDe, "es" -> functions.Text.StopwordsEs,
+          "zh" -> functions.Text.StopwordsZh)
+        val hitCols = scores.map { case (l, ws) =>
+          s"${stopHits("words", ws)} AS hits_$l" }.mkString(", ")
+        val bestExpr = scores.map { case (l, _) => s"hits_$l" }.mkString(", ")
+        val caseExpr = scores.map { case (l, _) =>
+          s"WHEN hits_$l > 0 AND hits_$l = best THEN '$l'" }.mkString(" ")
+        s"""SELECT doc_id, CASE $caseExpr ELSE 'und' END AS lang_pred FROM (
+              SELECT doc_id, $bestExpr, greatest($bestExpr) AS best FROM (
+                SELECT doc_id, $hitCols FROM (
+                  SELECT doc_id, string_split($norm, ' ') AS words FROM documents)))
+            ORDER BY doc_id"""
+      },
+
+      "dedup_exact" ->
+        s"""SELECT md5($norm) AS content_hash,
+             min(doc_id) AS keeper_id, count(*) AS n_copies
+           FROM documents GROUP BY 1 ORDER BY content_hash""",
+
+      "dedup_ngram_jaccard" ->
+        s"""WITH sh AS (
+             SELECT doc_id AS id, list_distinct(
+               CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+               ELSE list_transform(generate_series(1, len(words) - 2),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END) AS sh
+             FROM (SELECT doc_id, string_split($norm, ' ') AS words FROM documents)
+           ), ex AS (
+             SELECT id, CAST(len(sh) AS BIGINT) AS cnt, unnest(sh) AS gram FROM sh)
+           SELECT id_a, id_b, jaccard FROM (
+             SELECT a.id AS id_a, b.id AS id_b,
+               CAST(count(*) AS DOUBLE)
+                 / CAST(a.cnt + b.cnt - count(*) AS DOUBLE) AS jaccard
+             FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+             GROUP BY a.id, b.id, a.cnt, b.cnt)
+           WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+
+      "dedup_embedding" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+           SELECT id_a, id_b, cosine FROM (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_sum(list_transform(generate_series(1, len(a.v)),
+                 i -> a.v[i] * b.v[i]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cosine
+             FROM e a JOIN e b ON a.vec_id < b.vec_id)
+           WHERE cosine >= 0.45 ORDER BY id_a, id_b""",
+
+      "ann_brute_topk" ->
+        """WITH q AS (SELECT vec_id AS query_id,
+               CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+           c AS (SELECT vec_id AS neighbor_id,
+               CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+           scored AS (
+             SELECT query_id, neighbor_id,
+               list_sum(list_transform(generate_series(1, len(cv)),
+                 i -> cv[i] * qv[i]))
+               / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+                  * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS cosine
+             FROM c, q WHERE neighbor_id <> query_id)
+           SELECT query_id, neighbor_id, cosine, rn AS rank FROM (
+             SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rn
+             FROM scored)
+           WHERE rn <= 10 ORDER BY query_id, rank"""
+    )
+  }
 }

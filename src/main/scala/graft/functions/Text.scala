@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for an LLM training-data pipeline.
+  * All pure per-row `org.apache.spark.sql.functions` expressions —
+  * whole-stage-codegen'd, zero shuffle, so they stream through a
+  * 100 TB corpus at scan speed.
+  */
+object Text {
+  /** Lowercase, trim, collapse runs of whitespace — the normalizer
+    * every dedup/fingerprint op shares.
+    */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Whitespace tokens (empty string → 0, not 1). */
+  def tokenCountWs(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** BPE-ish token estimate: runs of alphanumerics count one per
+    * ~4 chars (ceil), every other non-space char counts 1. A cheap,
+    * deterministic proxy for subword tokenizers.
+    */
+  def tokenCountBpe(text: Column): Column = {
+    val words = regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0))
+    val wordTokens = aggregate(words, lit(0L),
+      (acc, w) => acc + ceil(length(w).cast("double") / 4.0).cast("long"))
+    val punct = length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("long")
+    wordTokens + punct
+  }
+
+  /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash.
+    * Built with array higher-order functions (codegen'd, no UDF).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(normalize(text), " ")
+    // short texts (< n words) collapse to a single whole-text shingle
+    val grams = when(size(words) < n, array(concat_ws(" ", words)))
+      .otherwise(transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+    array_distinct(grams)
+  }
+
+  /** Stopword-hit count for one language's list. */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column = {
+    val words = split(normalize(text), " ")
+    size(filter(words, w => w.isin(stopwords.map(lit(_).cast("string")): _*))).cast("long")
+  }
+
+  // Tiny per-language stopword lists (public common-word lists).
+  val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+  val StopwordsFr = Seq("le", "la", "de", "et", "les", "des", "un", "une", "que", "est")
+  val StopwordsDe = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "den")
+  val StopwordsEs = Seq("el", "la", "de", "que", "y", "los", "las", "un", "una", "es")
+  val StopwordsZh = Seq("的", "是", "了", "在", "和", "有", "我", "他", "这", "不")
+
+  /** Language-ID heuristic: argmax of stopword hits; "und"
+    * (undetermined) when nothing matches. Deterministic tie-break by
+    * fixed language order en > fr > de > es > zh.
+    */
+  def langId(text: Column): Column = {
+    val scores = Seq(
+      "en" -> stopwordHits(text, StopwordsEn),
+      "fr" -> stopwordHits(text, StopwordsFr),
+      "de" -> stopwordHits(text, StopwordsDe),
+      "es" -> stopwordHits(text, StopwordsEs),
+      "zh" -> stopwordHits(text, StopwordsZh))
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, s), elseCol) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  /** 64-bit content fingerprint: xxhash64 of the normalized text.
+    * Spark-native (codegen'd); used for exact dedup at scale where
+    * comparing 8-byte hashes beats comparing full texts.
+    */
+  def fingerprint(text: Column): Column = xxhash64(normalize(text))
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC / ELT primitives, re-expressing the reference's load tool
+  * (reference: dagster_code/clickhouse_load_tool/base_loader.py) as
+  * declarative Spark transforms.
+  *
+  * The reference implements these row-at-a-time through a ClickHouse
+  * temp table (base_loader.py:543 `_perform_incremental_load`: create
+  * temp table → DELETE target WHERE key IN temp → INSERT). Here each
+  * is a single shuffle-on-key plan: at 100 TB both sides
+  * hash-partition on the upsert key and no driver round-trips happen.
+  */
+object Cdc {
+
+  /** Incremental extract: only rows newer than the last load.
+    * Reference: postgres_loader.py `extract_data` builds
+    * `WHERE tracking_column > last_value`. As a Column predicate this
+    * reaches the parquet scan (`PushedFilters`), so a daily delta on a
+    * 100 TB table reads only row groups whose stats pass the filter.
+    */
+  def incrementalFilter(df: DataFrame, trackingCol: String, lastValue: Column): DataFrame =
+    df.filter(col(trackingCol) > lastValue)
+
+  /** Watermark read: max(tracking) — reference base_loader.py
+    * `get_last_loaded_value` (SELECT max(tracking_column)).
+    */
+  def lastLoadedValue(df: DataFrame, trackingCol: String): DataFrame =
+    df.agg(max(col(trackingCol)).as(s"last_$trackingCol"))
+
+  /** Delete+insert upsert, latest-wins. Reference base_loader.py
+    * `_perform_incremental_load`: DELETE keys present in the batch,
+    * INSERT the batch. Equivalent set semantics: rows of `target`
+    * whose key is NOT in `updates`, plus all of `updates` (the batch
+    * itself deduped latest-per-key, matching the post-insert dedup in
+    * `_perform_incremental_load_special`).
+    *
+    * Plan shape: one left-anti join (hash-partitioned on key) + union.
+    * No broadcast assumption — at scale both sides are large.
+    */
+  def upsert(target: DataFrame, updates: DataFrame, key: Seq[String],
+             trackingCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val cols  = target.columns.toSeq
+    val fresh = dedupLatestPerKey(updates.select(cols.map(col): _*), key, trackingCol, tieBreak)
+    val kept  = target.join(fresh.select(key.map(col): _*), key, "left_anti")
+    kept.unionByName(fresh)
+  }
+
+  /** Keep the newest row per key (highest trackingCol; `tieBreak`
+    * columns make the winner total-ordered and deterministic).
+    * Reference: base_loader.py `_perform_incremental_load_special`
+    * "POST-INSERT DEDUPLICATION ... keeping latest tracking_column per
+    * upsert_key", and ClickHouse ReplacingMergeTree(updated_at)
+    * semantics from setup/init-clickhouse.sql.
+    *
+    * row_number over (key, order desc) = one shuffle on key; AQE
+    * handles skewed keys. Never a driver-side loop.
+    */
+  def dedupLatestPerKey(df: DataFrame, key: Seq[String], trackingCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val ordering = (col(trackingCol).desc +: tieBreak.map(col(_).desc))
+    val w = Window.partitionBy(key.map(col): _*).orderBy(ordering: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Full (truncate+insert) load — reference base_loader.py
+    * `_perform_full_load` / README "Idempotency Strategy". In Spark:
+    * an idempotent overwrite of the target path.
+    */
+  def fullLoad(df: DataFrame, targetPath: String): Unit =
+    df.write.mode("overwrite").parquet(targetPath)
+
+  /** Snapshot load: enrich the batch with a derived ingestion-date
+    * column — reference base_loader.py `_perform_snapshot_load`
+    * (`today() as derived_column` for idempotent daily snapshots).
+    * The date is passed in (not now()) so replays are deterministic.
+    */
+  def withIngestionDate(df: DataFrame, dateCol: String, snapshotDate: Column): DataFrame =
+    df.withColumn(dateCol, snapshotDate.cast("date"))
+}

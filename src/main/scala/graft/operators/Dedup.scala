@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.functions.{Text, Vectors}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for LLM training-data pipelines.
+  *
+  * Scale design (the whole point): never materialize the n² pair
+  * space. Exact dedup is a hash group-by (map-side partial agg);
+  * near-dup methods generate *candidate* pairs through bucketing
+  * (LSH bands / simhash blocks / shared shingles) and only score
+  * candidates. At 100 TB each variant is shuffle-on-bucket-key,
+  * with per-bucket fan-out bounded by construction.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized content hash: one row per distinct
+    * content with the lowest id as the keeper.
+    * md5 (128-bit) makes collisions negligible at 100 TB; the
+    * group-by runs with map-side partial aggregation.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(md5(Text.normalize(col(textCol))).as("content_hash"), col(idCol))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Near-duplicate pairs by word-n-gram Jaccard similarity.
+    * Candidates = pairs sharing ≥1 shingle (explode + self-join on
+    * the shingle — a hash shuffle on shingle values, never a cross
+    * join); Jaccard = |∩| / (|A| + |B| - |∩|) computed from the
+    * per-pair match count and per-doc shingle counts.
+    */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+        Text.shingles(col(textCol), n).as("sh"))
+      .withColumn("sh_count", size(col("sh")).cast("long"))
+    val ex = sh.select(col("id"), col("sh_count"), explode(col("sh")).as("gram"))
+    val a = ex.select(col("id").as("id_a"), col("sh_count").as("cnt_a"), col("gram"))
+    val b = ex.select(col("id").as("id_b"), col("sh_count").as("cnt_b"), col("gram"))
+    a.join(b, Seq("gram"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("cnt_a"), col("cnt_b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("cnt_a") + col("cnt_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signature + banded LSH candidates, verified with true
+    * Jaccard. `numHashes` hash functions are xxhash64(shingle, seed i)
+    * minimized per doc; signatures are split into `bands` bands —
+    * docs colliding on any full band become candidates
+    * (standard MinHash-LSH banding; Broder '97 / MMDS ch.3).
+    * Only candidates get the exact-Jaccard rescoring join.
+    */
+  def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                 threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sh = docs.select(col(idCol).as("id"),
+      Text.shingles(col(textCol), n).as("sh"))
+    // signature[i] = min over shingles of xxhash64(gram, i)
+    val sig = sh.withColumn("sig",
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(col("sh"), g => xxhash64(g, i)))))
+    // band key = (band index, hash of that band's slice of the signature)
+    val banded = sig.select(col("id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          bnd => struct(bnd.as("band"),
+            xxhash64(slice(col("sig"), bnd * rows + 1, lit(rows)))
+              .as("bucket")))).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candidates = l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // verify candidates with exact Jaccard on the shingle sets
+    val sets = sh.select(col("id"), col("sh"))
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash (Charikar '02): sign-aggregate the per-shingle
+    * hash bits, weight +1/-1, then near-dups are pairs within
+    * `maxHamming` bits. Blocking: split the 64-bit key into
+    * (maxHamming+1) blocks — by pigeonhole, any pair within
+    * maxHamming matches exactly on at least one block, so candidate
+    * generation is an equi-join on (block index, block value).
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String,
+              n: Int = 3, maxHamming: Int = 3): DataFrame = {
+    val blocks = maxHamming + 1
+    val sh = docs.select(col(idCol).as("id"),
+      Text.shingles(col(textCol), n).as("sh"))
+    // per-bit vote: sum over shingles of (bit set ? +1 : -1)
+    val bitVotes = transform(sequence(lit(0), lit(63)), bit =>
+      aggregate(col("sh"), lit(0),
+        (acc, g) => acc +
+          when(call_function("getbit", xxhash64(g), bit) === 1, 1).otherwise(-1)))
+    val signed = sh.withColumn("simhash",
+      aggregate(zip_with(bitVotes, sequence(lit(0), lit(63)),
+          (v, bit) => when(v > 0,
+            call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc.bitwiseOR(x)))
+      .select(col("id"), col("simhash"))
+    // pigeonhole blocking on 64/blocks-bit blocks
+    val blockBits = 64 / blocks
+    val blocked = signed.select(col("id"), col("simhash"),
+      explode(transform(sequence(lit(0), lit(blocks - 1)), b =>
+        struct(b.as("blk"),
+          call_function("shiftright", col("simhash"), b * blockBits)
+            .bitwiseAND((1L << blockBits) - 1).as("blkval")))).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.blk"), col("bk.blkval"))
+    val l = blocked.select(col("blk"), col("blkval"), col("id").as("id_a"), col("simhash").as("h_a"))
+    val r = blocked.select(col("blk"), col("blkval"), col("id").as("id_b"), col("simhash").as("h_b"))
+    l.join(r, Seq("blk", "blkval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup: pairs with cosine ≥ threshold. Candidates
+    * come from random-hyperplane LSH buckets (same trick as
+    * Similarity.lshTopK) so the join is bucket-local, then exact
+    * cosine verifies. For bounded inputs (or as the correctness
+    * baseline) `exhaustive=true` scores all pairs.
+    */
+  def embeddingCosine(embs: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double = 0.95,
+                      exhaustive: Boolean = false,
+                      planes: Int = 12): DataFrame = {
+    val base = embs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val pairs =
+      if (exhaustive) {
+        val a = base.select(col("id").as("id_a"), col("vec").as("vec_a"))
+        val b = base.select(col("id").as("id_b"), col("vec").as("vec_b"))
+        a.join(b, col("id_a") < col("id_b"))
+      } else {
+        val bucketed = base.withColumn("bucket",
+          Similarity.hyperplaneBucket(col("vec"), planes))
+        val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+        val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+        a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+          .drop("bucket").distinct()
+      }
+    pairs
+      .withColumn("cosine", Vectors.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

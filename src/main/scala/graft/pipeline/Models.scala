@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's dbt model layers (staging → dim → fact),
+  * re-targeted at the driver's star schema.
+  *
+  * Reference models:
+  *  - stg_users.sql / stg_savings_plan.sql — projection + rename
+  *  - dim_users.sql — current rows + concat'd display name
+  *  - dim_savings_plan.sql — plan LEFT JOIN users for denormalized dim
+  *  - fact_savings_transaction.sql — txn LEFT JOIN plan dim
+  *
+  * Spark-first shape: dims are built with broadcast joins (nation /
+  * region are tiny at every scale factor; customer broadcasts at test
+  * SF and AQE falls back to shuffle join when it grows past the
+  * threshold at 100 TB). Facts join dims on their natural keys.
+  */
+object Models {
+
+  /** Staging model: rename/standardize raw columns
+    * (reference: models/staging/stg_users.sql — `_Uid as user_id`,
+    * `firstName as first_name`, ...).
+    */
+  def stgCustomer(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
+      col("c_custkey").as("customer_id"),
+      col("c_name").as("customer_name"),
+      col("c_nationkey").as("nation_id"),
+      col("c_acctbal").as("account_balance"),
+      col("c_mktsegment").as("market_segment"))
+
+  /** Denormalized customer dimension: customer ⋈ nation ⋈ region
+    * (reference: models/marts/dim_users.sql enriches with display
+    * columns; here geography is the snowflake to flatten).
+    * nation/region are broadcast — they are tiny at any SF.
+    */
+  def dimCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val c = stgCustomer(spark, dir)
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name").as("nation_name"),
+        col("n_regionkey"))
+    val r = Tables.region(spark, dir)
+      .select(col("r_regionkey"), col("r_name").as("region_name"))
+    c.join(broadcast(n), c("nation_id") === n("n_nationkey"), "left")
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
+      .select(c("customer_id"), c("customer_name"), c("account_balance"),
+        c("market_segment"), col("nation_name"), col("region_name"))
+  }
+
+  /** Order dimension enriched with its customer
+    * (reference: models/marts/dim_savings_plan.sql — plan LEFT JOIN
+    * dim_users on user_id, carrying customer_name/state into the dim).
+    */
+  def dimOrder(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("order_id"),
+      col("o_custkey").as("customer_id"),
+      col("o_orderstatus").as("order_status"),
+      col("o_totalprice").as("total_price"),
+      col("o_orderdate").as("order_date"),
+      col("o_orderpriority").as("order_priority"))
+    val c = dimCustomer(spark, dir)
+      .select(col("customer_id"), col("customer_name"),
+        col("market_segment"), col("nation_name"))
+    // customer is the smaller side at every SF (orders ~10x customer)
+    o.join(broadcast(c), Seq("customer_id"), "left")
+  }
+
+  /** Fact table: line items joined to their order dim
+    * (reference: models/marts/fact_savings_transaction.sql — txn LEFT
+    * JOIN dim_savings_plan on plan_id, carrying user_id/product_type
+    * into the fact). Derived revenue column mirrors the reference's
+    * pattern of computing metrics at fact build time.
+    */
+  def factLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select(
+      col("l_orderkey").as("order_id"),
+      col("l_linenumber").as("line_number"),
+      col("l_partkey").as("part_id"),
+      col("l_suppkey").as("supplier_id"),
+      col("l_quantity").as("quantity"),
+      col("l_extendedprice").as("extended_price"),
+      col("l_discount").as("discount"),
+      col("l_shipdate").as("ship_date"))
+    val o = dimOrder(spark, dir).select(
+      col("order_id"), col("customer_id"), col("order_status"),
+      col("order_date"))
+    // orders:lineitem ~ 1:4 — both large at 100 TB → shuffle hash /
+    // sort-merge on order_id (AQE decides); no broadcast of orders.
+    l.join(o, Seq("order_id"), "left")
+      // decimal-first so the cent rounding is exact (see Analytics.dec2)
+      .withColumn("revenue",
+        (col("extended_price").cast("decimal(12,2)")
+          * (lit(1) - col("discount").cast("decimal(12,2)"))).cast("double"))
+  }
+}
