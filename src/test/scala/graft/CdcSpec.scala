@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Cdc
+import org.apache.spark.sql.functions._
+
+class CdcSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("dedupLatestPerKey keeps the newest row per key, tie-broken deterministically") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "old"),
+      (1L, ts("2024-01-02 00:00:00"), "new"),
+      (2L, ts("2024-01-01 00:00:00"), "only"),
+      (3L, ts("2024-01-01 00:00:00"), "a"),
+      (3L, ts("2024-01-01 00:00:00"), "b") // same ts → tieBreak on payload
+    ).toDF("k", "updated_at", "payload")
+    val out = Cdc.dedupLatestPerKey(df, Seq("k"), "updated_at", Seq("payload"))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(2))).toSeq ===
+      Seq((1L, "new"), (2L, "only"), (3L, "b")))
+  }
+
+  test("upsert = delete+insert by key, latest-wins within the batch") {
+    val target = Seq((1L, ts("2024-01-01 00:00:00"), "t1"),
+      (2L, ts("2024-01-01 00:00:00"), "t2")).toDF("k", "updated_at", "v")
+    val updates = Seq(
+      (2L, ts("2024-01-02 00:00:00"), "u2-old"),
+      (2L, ts("2024-01-03 00:00:00"), "u2-new"), // latest wins
+      (3L, ts("2024-01-02 00:00:00"), "u3")).toDF("k", "updated_at", "v")
+    val out = Cdc.upsert(target, updates, Seq("k"), "updated_at")
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(2))).toSeq ===
+      Seq((1L, "t1"), (2L, "u2-new"), (3L, "u3")))
+  }
+
+  test("incrementalFilter + lastLoadedValue compose into a resumable load") {
+    val df = Seq((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-05 00:00:00")),
+      (3L, ts("2024-01-09 00:00:00"))).toDF("k", "updated_at")
+    val last = Cdc.lastLoadedValue(df.filter($"k" <= 2), "updated_at")
+      .collect()(0).getTimestamp(0)
+    val delta = Cdc.incrementalFilter(df, "updated_at", lit(last)).collect()
+    assert(delta.map(_.getLong(0)).toSeq === Seq(3L))
+  }
+
+  test("fullLoad overwrite is idempotent") {
+    val dir = tmpDir("fullload")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Cdc.fullLoad(df, s"$dir/t")
+    Cdc.fullLoad(df, s"$dir/t") // second run must not duplicate
+    assert(spark.read.parquet(s"$dir/t").count() === 2)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.Scd2
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class Scd2Spec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val emptyHistory = {
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("state", StringType),
+      StructField("occupation", StringType),
+      StructField("valid_from", TimestampType),
+      StructField("valid_to", TimestampType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  test("merge: day-1 snapshot opens every key; day-2 check-cols change closes + reopens") {
+    val day1 = Seq((1L, "Lagos", "eng"), (2L, "Abuja", "doc"))
+      .toDF("user_id", "state", "occupation")
+    val h1 = Scd2.merge(emptyHistory, day1, Seq("user_id"),
+      Seq("state", "occupation"), lit(ts("2024-01-01 00:00:00")))
+    assert(h1.count() === 2)
+    assert(Scd2.currentRows(h1).count() === 2)
+
+    // day 2: user 1 changed state, user 2 unchanged, user 3 new,
+    // (dbt check-strategy snapshot semantics: snapshots/users_snapshot.sql)
+    val day2 = Seq((1L, "Kano", "eng"), (2L, "Abuja", "doc"), (3L, "Oyo", "law"))
+      .toDF("user_id", "state", "occupation")
+    val h2 = Scd2.merge(h1, day2, Seq("user_id"),
+      Seq("state", "occupation"), lit(ts("2024-01-02 00:00:00")))
+
+    val rows = h2.orderBy("user_id", "valid_from")
+      .select("user_id", "state", "valid_from", "valid_to").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).toString, Option(r.getTimestamp(3)).map(_.toString)))
+    assert(rows.toSeq === Seq(
+      (1L, "Lagos", "2024-01-01 00:00:00.0", Some("2024-01-02 00:00:00.0")),
+      (1L, "Kano",  "2024-01-02 00:00:00.0", None),
+      (2L, "Abuja", "2024-01-01 00:00:00.0", None), // unchanged → untouched
+      (3L, "Oyo",   "2024-01-02 00:00:00.0", None)))
+    assert(Scd2.currentRows(h2).count() === 3)
+  }
+
+  test("merge: key missing from extract stays open (no hard deletes)") {
+    val day1 = Seq((1L, "Lagos", "eng")).toDF("user_id", "state", "occupation")
+    val h1 = Scd2.merge(emptyHistory, day1, Seq("user_id"),
+      Seq("state", "occupation"), lit(ts("2024-01-01 00:00:00")))
+    val day2 = Seq((2L, "Abuja", "doc")).toDF("user_id", "state", "occupation")
+    val h2 = Scd2.merge(h1, day2, Seq("user_id"),
+      Seq("state", "occupation"), lit(ts("2024-01-02 00:00:00")))
+    val u1 = h2.filter($"user_id" === 1).collect()
+    assert(u1.length === 1 && u1(0).getAs[java.sql.Timestamp]("valid_to") == null)
+  }
+
+  test("merge iterated over an update log converges to historyFromLog") {
+    // the same changes applied as two snapshot merges vs one log pass
+    val log = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "Lagos"),
+      (1L, ts("2024-01-02 00:00:00"), "Kano"),
+      (2L, ts("2024-01-01 00:00:00"), "Abuja"))
+      .toDF("user_id", "ts", "state")
+    val viaLog = Scd2.historyFromLog(log, Seq("user_id"), "ts")
+      .select("user_id", "state", "valid_from", "valid_to")
+
+    val h1 = Scd2.merge(emptyHistory.drop("occupation"),
+      Seq((1L, "Lagos"), (2L, "Abuja")).toDF("user_id", "state"),
+      Seq("user_id"), Seq("state"), lit(ts("2024-01-01 00:00:00")))
+    val h2 = Scd2.merge(h1,
+      Seq((1L, "Kano"), (2L, "Abuja")).toDF("user_id", "state"),
+      Seq("user_id"), Seq("state"), lit(ts("2024-01-02 00:00:00")))
+
+    val a = viaLog.orderBy("user_id", "valid_from").collect().map(_.toSeq)
+    val b = h2.select("user_id", "state", "valid_from", "valid_to")
+      .orderBy("user_id", "valid_from").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  // deterministic synthetic corpus: 8 clusters of 16 vectors in R^16
+  private lazy val corpus = {
+    val rows = for {
+      cluster <- 0 until 8
+      member <- 0 until 16
+    } yield {
+      val id = cluster * 16L + member
+      val v = Array.tabulate(16) { d =>
+        val base = if (d == cluster * 2) 1.0f else 0.0f
+        // small deterministic jitter per member
+        base + 0.05f * (((id * 31 + d * 7) % 11).toInt - 5)
+      }
+      (id, v)
+    }
+    rows.toDF("vec_id", "embedding").cache()
+  }
+
+  test("bruteForceTopK: neighbors are ranked by cosine, self excluded") {
+    val q = corpus.filter($"vec_id" === 0)
+    val out = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", "vec_id", k = 5)
+      .orderBy("rank").collect()
+    assert(out.length === 5)
+    assert(!out.map(_.getLong(1)).contains(0L))
+    val cosines = out.map(_.getDouble(2))
+    assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    // top neighbors come from the same cluster (ids 1..15)
+    assert(out.take(3).map(_.getLong(1)).forall(_ < 16L))
+  }
+
+  test("lshTopK recall vs brute force ≥ 0.6 with 4 tables × 8 planes") {
+    val queries = corpus.filter($"vec_id" % 16 === 0) // one per cluster
+    val k = 5
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", "vec_id", k))
+    val approx = pairs(Similarity.lshTopK(corpus, queries,
+      "vec_id", "embedding", "vec_id", k, planes = 8, tables = 4))
+    val recall = truth.intersect(approx).size.toDouble / truth.size
+    assert(recall >= 0.6, s"recall $recall too low")
+  }
+
+  test("hyperplaneBucket is deterministic across evaluations") {
+    val b1 = corpus.select(Similarity.hyperplaneBucket($"embedding", 8).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    val b2 = corpus.select(Similarity.hyperplaneBucket($"embedding", 8).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(b1 === b2)
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import graft.streaming.{Event, EventStream}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // the file-stream source lists files directly under the path (no
+  // recursion into subdirs) → land each batch as a single flat file
+  private def writeBatch(dir: String, name: String, events: Seq[Event]): Unit = {
+    val staging = tmpDir("stage")
+    events.toDS().toDF().coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(dir, s"$name.parquet"))
+  }
+
+  /** One long-lived query; land files between processAllAvailable()
+    * calls so each batch is its own microbatch (the watermark only
+    * advances at microbatch boundaries).
+    */
+  private def runIncremental(transform: DataFrame => DataFrame,
+                             mode: OutputMode,
+                             batches: Seq[Seq[Event]]): DataFrame = {
+    val src = tmpDir("stream-src")
+    val sinkName = s"sink_${System.nanoTime()}"
+    writeBatch(src, "b0", batches.head)
+    val q = transform(EventStream.read(spark, src))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(mode)
+      .option("checkpointLocation", tmpDir("stream-ckpt"))
+      .start()
+    q.processAllAvailable()
+    batches.tail.zipWithIndex.foreach { case (b, i) =>
+      writeBatch(src, s"b${i + 1}", b)
+      q.processAllAvailable()
+    }
+    q.stop()
+    spark.table(sinkName)
+  }
+
+  private val baseEvents = Seq(
+    Event(1L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
+    Event(2L, ts("2024-01-01 10:20:00"), 1L, "click", 2.0),
+    Event(3L, ts("2024-01-01 11:10:00"), 2L, "purchase", 5.0))
+
+  // far-future sentinel that pushes the watermark past every base event
+  private val sentinel = Seq(Event(99L, ts("2024-01-02 12:00:00"), 9L, "click", 0.0))
+
+  test("file source ingests only new files per microbatch") {
+    val out = runIncremental(identity, OutputMode.Append(),
+      Seq(baseEvents, sentinel))
+    assert(out.count() === 4) // no re-read of batch 0 when batch 1 lands
+  }
+
+  test("hourlyCounts finalizes windows once the watermark passes them") {
+    val out = runIncremental(EventStream.hourlyCounts(_, "30 minutes"),
+      OutputMode.Append(), Seq(baseEvents, sentinel))
+    val rows = out.orderBy("hour_ts").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    // sentinel's own window is still open → only the two base windows emit
+    assert(rows.toSeq === Seq(
+      ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 11:00:00.0", "purchase", 1L, 5.0)))
+  }
+
+  test("dedup drops repeated event_ids within the watermark") {
+    val dup = baseEvents :+ Event(1L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0)
+    val out = runIncremental(EventStream.dedup(_, "2 hours"),
+      OutputMode.Append(), Seq(dup))
+    assert(out.count() === 3)
+  }
+
+  test("sessions: in-batch gap closes a session; timeout closes the open one") {
+    val evs = Seq(
+      Event(1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      Event(2L, ts("2024-01-01 10:10:00"), 1L, "click", 1.0),
+      // 50-min gap > 30-min session gap → closes the first session
+      Event(3L, ts("2024-01-01 11:00:00"), 1L, "click", 1.0))
+    val out = runIncremental(
+      df => EventStream.sessions(df, gapSeconds = 1800, watermark = "10 minutes").toDF(),
+      OutputMode.Append(), Seq(evs, sentinel))
+    val sess = out.orderBy("session_start").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+    // session 1 closed by the in-batch gap; session 2 closed by the
+    // watermark timeout after the sentinel batch
+    assert(sess.toSeq === Seq(
+      (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2L),
+      (1L, "2024-01-01 11:00:00.0", "2024-01-01 11:00:00.0", 1L)))
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("text").select(c.as("v")).collect()(0).getAs[T]("v")
+
+  test("tokenCountWs: whitespace runs, empty string") {
+    assert(one[Long](Text.tokenCountWs(col("text")), "a  b\tc\nd") === 4L)
+    assert(one[Long](Text.tokenCountWs(col("text")), "") === 0L)
+    assert(one[Long](Text.tokenCountWs(col("text")), "   ") === 0L)
+  }
+
+  test("tokenCountBpe: ~4 chars per word-token plus punctuation") {
+    // "hello" → 2, "world" → 2, "," and "!" → 1 each
+    assert(one[Long](Text.tokenCountBpe(col("text")), "hello, world!") === 6L)
+    assert(one[Long](Text.tokenCountBpe(col("text")), "") === 0L)
+  }
+
+  test("langId picks the language with most stopword hits") {
+    assert(one[String](Text.langId(col("text")),
+      "the cat is in the house and it is warm") === "en")
+    assert(one[String](Text.langId(col("text")),
+      "le chat est dans la maison et la nuit") === "fr")
+    assert(one[String](Text.langId(col("text")), "xyzzy qwerty") === "und")
+  }
+
+  test("fingerprint is invariant to case and whitespace, distinct for different text") {
+    val f1 = one[Long](Text.fingerprint(col("text")), "Hello   World")
+    val f2 = one[Long](Text.fingerprint(col("text")), "hello world")
+    val f3 = one[Long](Text.fingerprint(col("text")), "hello worlds")
+    assert(f1 === f2)
+    assert(f1 !== f3)
+  }
+
+  test("shingles: n-grams distinct; short text collapses to whole-text shingle") {
+    val sh = one[collection.Seq[String]](Text.shingles(col("text"), 3), "a b c d")
+    assert(sh.toSet === Set("a b c", "b c d"))
+    val short = one[collection.Seq[String]](Text.shingles(col("text"), 3), "a b")
+    assert(short.toSeq === Seq("a b"))
+  }
+}
