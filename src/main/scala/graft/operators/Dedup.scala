@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Par
 import graft.functions.{Text, Vectors}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -13,6 +14,16 @@ import org.apache.spark.sql.functions._
   * (LSH bands / simhash blocks / shared shingles) and only score
   * candidates. At 100 TB each variant is shuffle-on-bucket-key,
   * with per-bucket fan-out bounded by construction.
+  *
+  * Cost discipline for the expensive parts (measured, not guessed):
+  *  - inputs are `Par.widen`ed — shingling/hashing after a
+  *    single-file scan otherwise runs on one core;
+  *  - each shingle is hashed ONCE (signatures derive from that hash,
+  *    never re-hash per bit/per band);
+  *  - intermediates referenced on both sides of a self-join are
+  *    `persist()`ed, else Spark recomputes the whole shingle pipeline
+  *    per branch (callers can `unpersist` via the returned plan's
+  *    sources, or let the app's session teardown drop them).
   */
 object Dedup {
 
@@ -35,10 +46,12 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
+    val sh = Par.widen(docs).select(col(idCol).as("id"),
         Text.shingles(col(textCol), n).as("sh"))
       .withColumn("sh_count", size(col("sh")).cast("long"))
+    // persisted: both sides of the gram self-join read this
     val ex = sh.select(col("id"), col("sh_count"), explode(col("sh")).as("gram"))
+      .persist()
     val a = ex.select(col("id").as("id_a"), col("sh_count").as("cnt_a"), col("gram"))
     val b = ex.select(col("id").as("id_b"), col("sh_count").as("cnt_b"), col("gram"))
     a.join(b, Seq("gram"))
@@ -64,19 +77,29 @@ object Dedup {
                  threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sh = docs.select(col(idCol).as("id"),
-      Text.shingles(col(textCol), n).as("sh"))
-    // signature[i] = min over shingles of xxhash64(gram, i)
-    val sig = sh.withColumn("sig",
+    // persisted: re-read for signatures AND for exact-jaccard verify
+    val sh = Par.widen(docs).select(col(idCol).as("id"),
+      Text.shingles(col(textCol), n).as("sh")).persist()
+    // Double hashing (Kirsch–Mitzenmacher): two real hashes per gram,
+    // signature_i = min over grams of (h1 + i*h2) — numHashes-way
+    // cheaper than re-hashing every gram per signature slot. Hashes
+    // are folded into [0, 2^56) so i*h2 can't overflow ANSI longs.
+    val m = lit(1L << 56)
+    val grams = sh.withColumn("gh",
+      transform(col("sh"), g => struct(
+        pmod(xxhash64(g), m).as("h1"), pmod(xxhash64(g, lit(1)), m).as("h2"))))
+    val sig = grams.withColumn("sig",
       transform(sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(col("sh"), g => xxhash64(g, i)))))
+        i => array_min(transform(col("gh"), p => p("h1") + i * p("h2")))))
     // band key = (band index, hash of that band's slice of the signature)
+    // persisted: both sides of the band self-join read this
     val banded = sig.select(col("id"), col("sig"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           bnd => struct(bnd.as("band"),
             xxhash64(slice(col("sig"), bnd * rows + 1, lit(rows)))
               .as("bucket")))).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
+      .persist()
     val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     val candidates = l.join(r, Seq("band", "bucket"))
@@ -104,19 +127,23 @@ object Dedup {
   def simHash(docs: DataFrame, idCol: String, textCol: String,
               n: Int = 3, maxHamming: Int = 3): DataFrame = {
     val blocks = maxHamming + 1
-    val sh = docs.select(col(idCol).as("id"),
+    val sh = Par.widen(docs).select(col(idCol).as("id"),
       Text.shingles(col(textCol), n).as("sh"))
-    // per-bit vote: sum over shingles of (bit set ? +1 : -1)
+    // hash each shingle ONCE; bits are then reads of that long
+    val hashed = sh.withColumn("gh", transform(col("sh"), g => xxhash64(g)))
+    // per-bit vote: sum over shingle hashes of (bit set ? +1 : -1)
     val bitVotes = transform(sequence(lit(0), lit(63)), bit =>
-      aggregate(col("sh"), lit(0),
-        (acc, g) => acc +
-          when(call_function("getbit", xxhash64(g), bit) === 1, 1).otherwise(-1)))
-    val signed = sh.withColumn("simhash",
+      aggregate(col("gh"), lit(0),
+        (acc, h) => acc +
+          when(call_function("getbit", h, bit) === 1, 1).otherwise(-1)))
+    // persisted: both sides of the block self-join read this
+    val signed = hashed.withColumn("simhash",
       aggregate(zip_with(bitVotes, sequence(lit(0), lit(63)),
           (v, bit) => when(v > 0,
             call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L))),
         lit(0L), (acc, x) => acc.bitwiseOR(x)))
       .select(col("id"), col("simhash"))
+      .persist()
     // pigeonhole blocking on 64/blocks-bit blocks
     val blockBits = 64 / blocks
     val blocked = signed.select(col("id"), col("simhash"),
@@ -145,22 +172,27 @@ object Dedup {
                       threshold: Double = 0.95,
                       exhaustive: Boolean = false,
                       planes: Int = 12): DataFrame = {
-    val base = embs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // normalize each vector ONCE (persisted: both join sides read it);
+    // pair scoring is then a dot product, not dot + two norms per pair
+    val base = Par.widen(embs)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", Vectors.norm(col("vec")))
+      .persist()
     val pairs =
       if (exhaustive) {
-        val a = base.select(col("id").as("id_a"), col("vec").as("vec_a"))
-        val b = base.select(col("id").as("id_b"), col("vec").as("vec_b"))
+        val a = base.select(col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+        val b = base.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
         a.join(b, col("id_a") < col("id_b"))
       } else {
         val bucketed = base.withColumn("bucket",
           Similarity.hyperplaneBucket(col("vec"), planes))
-        val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-        val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+        val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+        val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
         a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
           .drop("bucket").distinct()
       }
     pairs
-      .withColumn("cosine", Vectors.cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cosine", Vectors.dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

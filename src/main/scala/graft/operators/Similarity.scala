@@ -53,12 +53,16 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, queryIdCol: String,
                      k: Int, excludeSelf: Boolean = true): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    // norms computed once per side; the per-pair cost is one dot product
+    val c = graft.Par.widen(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", Vectors.norm(col("__cv")))
     val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", Vectors.norm(col("__qv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
-        Vectors.cosine(col("__cv"), col("__qv")).as("cosine"))
+        (Vectors.dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn"))).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -73,25 +77,26 @@ object Similarity {
               idCol: String, vecCol: String, queryIdCol: String,
               k: Int, planes: Int = 8, tables: Int = 4,
               excludeSelf: Boolean = true): DataFrame = {
-    def bucketed(df: DataFrame, id: String, out: String, vecOut: String) = {
+    def bucketed(df: DataFrame, id: String, out: String, vecOut: String, nrmOut: String) = {
       val withTables = (0 until tables).map { t =>
         df.select(lit(t).as("table"),
           hyperplaneBucket(col(vecCol), planes, t).as("bucket"),
-          col(id).as(out), col(vecCol).as(vecOut))
+          col(id).as(out), col(vecCol).as(vecOut),
+          Vectors.norm(col(vecCol)).as(nrmOut))
       }
       withTables.reduce(_ unionByName _)
     }
-    val c = bucketed(corpus, idCol, "neighbor_id", "__cv")
-    val q = bucketed(queries, queryIdCol, "query_id", "__qv")
+    val c = bucketed(graft.Par.widen(corpus), idCol, "neighbor_id", "__cv", "__cn")
+    val q = bucketed(queries, queryIdCol, "query_id", "__qv", "__qn")
     val candidates = c.join(q, Seq("table", "bucket"))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
-      .select(col("query_id"), col("neighbor_id"), col("__cv"), col("__qv"))
+      .select(col("query_id"), col("neighbor_id"), col("__cv"), col("__qv"), col("__cn"), col("__qn"))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     candidates
       .select(col("query_id"), col("neighbor_id"),
-        Vectors.cosine(col("__cv"), col("__qv")).as("cosine"))
+        (Vectors.dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn"))).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
