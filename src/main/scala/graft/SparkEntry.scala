@@ -34,11 +34,17 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_seq"))),
 
     // ---- CDC / ELT core (§2.1) ----
-    "cdc_incremental_filter" -> ((s, d) =>
-      Cdc.incrementalFilter(Tables.events(s, d), "ts",
-          lit(CdcCutoff).cast("timestamp"))
+    // filter in the STORED nanos domain so the cutoff reaches the
+    // parquet scan (PushedFilters: GreaterThan(ts, ...)) — filtering
+    // the converted timestamp column would scan the full table
+    "cdc_incremental_filter" -> ((s, d) => {
+      val cutoffNanos = java.time.LocalDateTime.parse(CdcCutoff.replace(' ', 'T'))
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+      Tables.convertEventTs(
+          Cdc.incrementalFilter(Tables.eventsRaw(s, d), "ts", lit(cutoffNanos)))
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-        .orderBy(col("event_id"))),
+        .orderBy(col("event_id"))
+    }),
     "cdc_last_loaded" -> ((s, d) =>
       Cdc.lastLoadedValue(Tables.events(s, d), "ts")),
     "cdc_dedup_latest" -> ((s, d) =>

@@ -23,16 +23,24 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame   = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
   /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which
-    * Spark's TimestampType (µs) does not accept directly. Read the
-    * raw int64 nanos (`nanosAsLong`) and convert with integer
-    * division — exact, since the generated values are µs-aligned.
+    * Spark's TimestampType (µs) does not accept directly. `eventsRaw`
+    * exposes the stored int64 nanos (`nanosAsLong`) — predicates on it
+    * push down to the parquet scan, which `events`'s converted column
+    * cannot (Catalyst won't push through `timestamp_micros`). Filter
+    * raw, then `convertEventTs`.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def eventsRaw(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
   }
+
+  /** int64-nanos `ts` → TimestampType, exact for µs-aligned values. */
+  def convertEventTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+      org.apache.spark.sql.functions.expr("ts DIV 1000")))
+
+  def events(s: SparkSession, d: String): DataFrame =
+    convertEventTs(eventsRaw(s, d))
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 }

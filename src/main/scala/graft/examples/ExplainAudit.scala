@@ -1,0 +1,32 @@
+package graft.examples
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Prints the formatted physical plan of selected queries so the
+  * scale properties are auditable: parquet `PushedFilters` /
+  * `ReadSchema` pruning, broadcast vs shuffle joins, and
+  * whole-stage-codegen spans.
+  *
+  * Run: `sbt "runMain graft.examples.ExplainAudit [queryName ...]"`
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
+        "fact_lineitem", "cdc_incremental_filter", "events_sessions", "dedup_minhash")
+    names.foreach { name =>
+      println(s"\n========== $name ==========")
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
