@@ -80,6 +80,23 @@ object SparkEntry {
 
     // ---- staging / marts (§2.2) ----
     "stg_customer" -> ((s, d) => Models.stgCustomer(s, d).orderBy(col("customer_id"))),
+    "stg_events" -> ((s, d) => {
+      val cutoffNanos = java.time.LocalDateTime.parse(CdcCutoff.replace(' ', 'T'))
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+      Models.stgEvents(s, d, cutoffNanos).orderBy(col("event_id"))
+    }),
+    "skew_salted_agg" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        col("value").cast("decimal(18,6)").as("value_dec"), col("user_id"))
+      Skew.saltedAgg(ev, Seq("event_type"),
+          Seq(Skew.SumOf("value_dec"), Skew.CountAll(),
+            Skew.MinOf("user_id"), Skew.MaxOf("user_id")))
+        .select(col("event_type"),
+          col("sum_value_dec").cast("double").as("sum_value"),
+          col("n_rows"), col("min_user_id").as("min_user"),
+          col("max_user_id").as("max_user"))
+        .orderBy(col("event_type"))
+    }),
     "dim_customer" -> ((s, d) => Models.dimCustomer(s, d).orderBy(col("customer_id"))),
     "dim_order" -> ((s, d) => Models.dimOrder(s, d).orderBy(col("order_id"))),
     "fact_lineitem" -> ((s, d) =>
@@ -302,6 +319,20 @@ object SparkEntry {
              c_nationkey AS nation_id, c_acctbal AS account_balance,
              c_mktsegment AS market_segment
            FROM customer ORDER BY customer_id""",
+
+      "stg_events" ->
+        s"""SELECT event_id, user_id, event_type, value,
+             CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS created_at
+           FROM events
+           WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '$CdcCutoff'
+           ORDER BY event_id""",
+
+      "skew_salted_agg" ->
+        """SELECT event_type,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+             count(*) AS n_rows,
+             min(user_id) AS min_user, max(user_id) AS max_user
+           FROM events GROUP BY event_type ORDER BY event_type""",
 
       "dim_customer" ->
         """SELECT c_custkey AS customer_id, c_name AS customer_name,

@@ -32,6 +32,25 @@ object Models {
       col("c_acctbal").as("account_balance"),
       col("c_mktsegment").as("market_segment"))
 
+  /** Staging model with timezone conversion + incremental filter —
+    * the exact shape of the reference's incremental staging model
+    * (reference: models/staging/stg_savings_transaction.sql —
+    * `toTimeZone(txn_timestamp, 'Africa/Lagos')`, rename, and the
+    * `is_incremental()` block `WHERE updated_at > max(updated_at)`).
+    * The cutoff filter runs on the STORED nanos column so it pushes
+    * to the parquet scan (see Tables.eventsRaw).
+    */
+  def stgEvents(spark: SparkSession, dir: String, sinceNanos: Long): DataFrame = {
+    val incr = graft.operators.Cdc.incrementalFilter(
+      Tables.eventsRaw(spark, dir), "ts", lit(sinceNanos))
+    Tables.convertEventTs(incr).select(
+      col("event_id"),
+      col("user_id"),
+      col("event_type"),
+      col("value"),
+      from_utc_timestamp(col("ts"), "Africa/Lagos").as("created_at"))
+  }
+
   /** Denormalized customer dimension: customer ⋈ nation ⋈ region
     * (reference: models/marts/dim_users.sql enriches with display
     * columns; here geography is the snowflake to flatten).
