@@ -14,11 +14,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // JMH-style warmup: run every query once untimed so the timed pass
+    // measures steady-state (codegen'd classes C2-compiled), not
+    // first-execution JIT noise — observed 2-15 s scatter on identical
+    // queries across fresh JVMs without this.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
+      ordered.foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+      }
+    }
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-28s $sec%8.2f s  ($n rows)")
+      // drop operator-internal persist()s so queries don't pay each
+      // other's memory pressure
+      spark.catalog.clearCache()
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Parallelism guard for compute-heavy per-row operators.
   *
@@ -11,10 +12,30 @@ import org.apache.spark.sql.DataFrame
   * cluster's default parallelism ONLY when the input has fewer
   * partitions than that; at 100 TB inputs already have thousands of
   * partitions and this is a no-op (no extra shuffle).
+  *
+  * Pass the operator's downstream key columns when it has any: a
+  * round-robin `repartition(n)` provides no distribution anything
+  * requires, so AQE's local-shuffle-read rewrites it into a map-local
+  * read and the pipeline collapses back to one task (measured: the
+  * 4-6 s single-task stage returns). A hash repartition on the
+  * grouping/join key is a distribution the planner must preserve —
+  * and the downstream aggregation reuses it, saving its own shuffle.
   */
 object Par {
-  def widen(df: DataFrame): DataFrame = {
+  def widen(df: DataFrame, keys: String*): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (df.rdd.getNumPartitions >= target) df
+    else {
+      val r =
+        if (keys.nonEmpty) df.repartition(target, keys.map(col): _*)
+        else df.repartition(target)
+      // persist() is the optimizer barrier that makes the widening
+      // stick: without it Catalyst pushes downstream projections below
+      // the exchange (to shrink shuffle payloads), so the expensive
+      // per-row compute lands back in the single-partition map stage
+      // (measured: 1-task, 3.6 s CPU). The cache only ever holds a
+      // narrow input (widen fires only when the scan is narrow).
+      r.persist()
+    }
   }
 }

@@ -157,8 +157,11 @@ object SparkEntry {
       Dedup.minHashLsh(Tables.documents(s, d), "doc_id", "text",
           n = 3, numHashes = 32, bands = 16, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
+    // hamming radius 3 on 64-bit simhash, the standard near-dup
+    // setting (Manku et al., WWW'07); wider radii shrink pigeonhole
+    // blocks and blow up the candidate space
     "dedup_simhash" -> ((s, d) =>
-      Dedup.simHash(Tables.documents(s, d), "doc_id", "text", n = 3, maxHamming = 8)
+      Dedup.simHash(Tables.documents(s, d), "doc_id", "text", n = 3, maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingCosine(Tables.embeddings(s, d), "vec_id", "embedding",

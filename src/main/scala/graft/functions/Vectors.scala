@@ -3,24 +3,26 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float>` embedding columns, built from
-  * codegen'd higher-order functions (`zip_with` / `aggregate`) — no
-  * UDFs in the hot path, so similarity scans stay inside
-  * whole-stage codegen.
+/** Vector math over `array<float>` embedding columns via a native
+  * Catalyst expression ([[DotProduct]]) with `doGenCode` — a tight
+  * primitive loop inside whole-stage codegen, no UDF, no per-row
+  * intermediate arrays.
   *
   * All arithmetic is done in double (arrays cast up front): summation
-  * order is the array order, so results are deterministic and
+  * order is ascending index, so results are deterministic and
   * reproducible across engines.
   */
 object Vectors {
   def toDouble(v: Column): Column = v.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(DotProduct(
+      GraftSqlBridge.expression(toDouble(a)),
+      GraftSqlBridge.expression(toDouble(b))))
+  }
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(toDouble(a), lit(0.0), (acc, x) => acc + x * x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))

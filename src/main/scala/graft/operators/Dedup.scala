@@ -46,7 +46,7 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = Par.widen(docs).select(col(idCol).as("id"),
+    val sh = Par.widen(docs, idCol).select(col(idCol).as("id"),
         Text.shingles(col(textCol), n).as("sh"))
       .withColumn("sh_count", size(col("sh")).cast("long"))
     // persisted: both sides of the gram self-join read this
@@ -78,26 +78,30 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // persisted: re-read for signatures AND for exact-jaccard verify
-    val sh = Par.widen(docs).select(col(idCol).as("id"),
+    val sh = Par.widen(docs, idCol).select(col(idCol).as("id"),
       Text.shingles(col(textCol), n).as("sh")).persist()
-    // Double hashing (Kirsch–Mitzenmacher): two real hashes per gram,
-    // signature_i = min over grams of (h1 + i*h2) — numHashes-way
-    // cheaper than re-hashing every gram per signature slot. Hashes
-    // are folded into [0, 2^56) so i*h2 can't overflow ANSI longs.
+    // Signatures via explode + grouped min aggregates: numHashes FLAT
+    // codegen'd min() columns. (A transform/aggregate lambda tree of
+    // width numHashes chokes the Catalyst optimizer — measured 10-30 s
+    // of plan time.) Double hashing (Kirsch–Mitzenmacher) derives slot
+    // i as h1 + i*h2 from two real hashes, folded into [0, 2^56) so
+    // the multiply can't overflow ANSI longs.
     val m = lit(1L << 56)
-    val grams = sh.withColumn("gh",
-      transform(col("sh"), g => struct(
-        pmod(xxhash64(g), m).as("h1"), pmod(xxhash64(g, lit(1)), m).as("h2"))))
-    val sig = grams.withColumn("sig",
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(col("gh"), p => p("h1") + i * p("h2")))))
-    // band key = (band index, hash of that band's slice of the signature)
+    val ex = sh.select(col("id"), explode(col("sh")).as("g"))
+      .select(col("id"),
+        pmod(xxhash64(col("g")), m).as("h1"),
+        pmod(xxhash64(col("g"), lit(1)), m).as("h2"))
+    val sigAggs = (0 until numHashes).map(i =>
+      min(col("h1") + col("h2") * lit(i.toLong)).as(s"s$i"))
+    val sig = ex.groupBy(col("id")).agg(sigAggs.head, sigAggs.tail: _*)
+    // band key = (band index, hash of that band's signature slots)
     // persisted: both sides of the band self-join read this
-    val banded = sig.select(col("id"), col("sig"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          bnd => struct(bnd.as("band"),
-            xxhash64(slice(col("sig"), bnd * rows + 1, lit(rows)))
-              .as("bucket")))).as("bk"))
+    val banded = sig.select(col("id"),
+        explode(array((0 until bands).map { bnd =>
+          struct(lit(bnd).as("band"),
+            xxhash64((bnd * rows until (bnd + 1) * rows).map(j => col(s"s$j")): _*)
+              .as("bucket"))
+        }: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bucket"))
       .persist()
     val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
@@ -127,23 +131,24 @@ object Dedup {
   def simHash(docs: DataFrame, idCol: String, textCol: String,
               n: Int = 3, maxHamming: Int = 3): DataFrame = {
     val blocks = maxHamming + 1
-    val sh = Par.widen(docs).select(col(idCol).as("id"),
+    val sh = Par.widen(docs, idCol).select(col(idCol).as("id"),
       Text.shingles(col(textCol), n).as("sh"))
-    // hash each shingle ONCE; bits are then reads of that long
-    val hashed = sh.withColumn("gh", transform(col("sh"), g => xxhash64(g)))
-    // per-bit vote: sum over shingle hashes of (bit set ? +1 : -1)
-    val bitVotes = transform(sequence(lit(0), lit(63)), bit =>
-      aggregate(col("gh"), lit(0),
-        (acc, h) => acc +
-          when(call_function("getbit", h, bit) === 1, 1).otherwise(-1)))
+    // Per-bit votes via explode + 64 FLAT codegen'd sum() aggregates
+    // (bit b of the simhash is set iff set-bits outnumber clear bits:
+    // 2*count_set > n). The equivalent nested-lambda formulation
+    // (transform over 64 aggregate()s) costs 10-30 s of Catalyst plan
+    // time. Each shingle is hashed ONCE; bits are reads of that long.
+    val ex = sh.select(col("id"), explode(col("sh")).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("h"))
+    val bitAggs = (0 until 64).map(b =>
+      sum(call_function("getbit", col("h"), lit(b)).cast("long")).as(s"c$b"))
+    val votes = ex.groupBy(col("id"))
+      .agg(bitAggs.head, (bitAggs.tail :+ count(lit(1)).as("n")): _*)
+    val simhashCol = (0 until 64).map(b =>
+        when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
     // persisted: both sides of the block self-join read this
-    val signed = hashed.withColumn("simhash",
-      aggregate(zip_with(bitVotes, sequence(lit(0), lit(63)),
-          (v, bit) => when(v > 0,
-            call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L))),
-        lit(0L), (acc, x) => acc.bitwiseOR(x)))
-      .select(col("id"), col("simhash"))
-      .persist()
+    val signed = votes.select(col("id"), simhashCol.as("simhash")).persist()
     // pigeonhole blocking on 64/blocks-bit blocks
     val blockBits = 64 / blocks
     val blocked = signed.select(col("id"), col("simhash"),
@@ -174,7 +179,7 @@ object Dedup {
                       planes: Int = 12): DataFrame = {
     // normalize each vector ONCE (persisted: both join sides read it);
     // pair scoring is then a dot product, not dot + two norms per pair
-    val base = Par.widen(embs)
+    val base = Par.widen(embs, idCol)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("nrm", Vectors.norm(col("vec")))
       .persist()

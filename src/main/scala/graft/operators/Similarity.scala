@@ -21,28 +21,36 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Deterministic pseudo-random hyperplane component for (table,
-    * plane, dim): a hash folded into [-1, 1]. No RNG state to ship —
-    * every executor regenerates the same planes from the literal
-    * expression (fixed public formula, stable across runs).
+  /** Deterministic pseudo-random hyperplane for (table, plane):
+    * components from the splitmix64 finalizer (public-domain PRNG
+    * mixing function) folded into [-1, 1]. Generated driver-side and
+    * shipped as array literals — the bucket computation is then a
+    * flat chain of codegen'd [[graft.functions.DotProduct]] calls,
+    * not a nested-lambda tree (which costs 10-30 s of Catalyst plan
+    * time at 8 planes × 64 dims).
     */
-  private def planeComponent(table: Int, plane: Column, dim: Column): Column =
-    (pmod(xxhash64(lit(table), plane, dim), lit(2000001L)) - 1000000L)
-      .cast("double") / 1000000.0
+  private[operators] def planeVec(table: Int, plane: Int, dims: Int): Seq[Double] =
+    Seq.tabulate(dims) { d =>
+      var z = table.toLong * 0x9E3779B97F4A7C15L +
+        plane.toLong * 0xC2B2AE3D27D4EB4FL +
+        d.toLong * 0x165667B19E3779F9L + 0x27D4EB2F165667C5L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      z.toDouble / Long.MaxValue.toDouble
+    }
 
-  /** Sign-bit bucket id of `vec` under `planes` hyperplanes (table 0). */
-  def hyperplaneBucket(vec: Column, planes: Int, table: Int = 0): Column = {
+  /** Sign-bit bucket id of `vec` under `planes` hyperplanes (table 0).
+    * `dims` caps the plane length; DotProduct stops at the shorter
+    * array, so vectors of any dimension ≤ dims bucket correctly.
+    */
+  def hyperplaneBucket(vec: Column, planes: Int, table: Int = 0,
+                       dims: Int = 512): Column = {
     val v = Vectors.toDouble(vec)
-    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
-      val dotp = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, d) => x * planeComponent(table, p, d)),
-        lit(0.0), (acc, x) => acc + x)
-      when(dotp >= 0, lit(1L)).otherwise(lit(0L))
-    })
-    aggregate(zip_with(bits, sequence(lit(0), lit(planes - 1)),
-        (bit, p) => call_function("shiftleft", bit, p)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    (0 until planes).map { p =>
+      val plane = typedLit(planeVec(table, p, dims))
+      when(Vectors.dot(v, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
   }
 
   /** Exact top-k neighbors for each query vector.
@@ -54,7 +62,7 @@ object Similarity {
                      idCol: String, vecCol: String, queryIdCol: String,
                      k: Int, excludeSelf: Boolean = true): DataFrame = {
     // norms computed once per side; the per-pair cost is one dot product
-    val c = graft.Par.widen(corpus)
+    val c = graft.Par.widen(corpus, idCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cn", Vectors.norm(col("__cv")))
     val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"))
@@ -86,7 +94,7 @@ object Similarity {
       }
       withTables.reduce(_ unionByName _)
     }
-    val c = bucketed(graft.Par.widen(corpus), idCol, "neighbor_id", "__cv", "__cn")
+    val c = bucketed(graft.Par.widen(corpus, idCol), idCol, "neighbor_id", "__cv", "__cn")
     val q = bucketed(queries, queryIdCol, "query_id", "__qv", "__qn")
     val candidates = c.join(q, Seq("table", "bucket"))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
