@@ -169,6 +169,15 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))),
 
     // ---- similarity search (§2.5) ----
+    // IVF path (KMeans quantizer not DuckDB-expressible → rows-only)
+    "ann_ivf_topk" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val queries = embs.filter(col("vec_id") < 5)
+      Similarity.ivfTopK(embs, queries, "vec_id", "embedding", "vec_id",
+          k = 10, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "ann_brute_topk" -> ((s, d) => {
       val embs = Tables.embeddings(s, d)
       val queries = embs.filter(col("vec_id") < 5)

@@ -77,6 +77,60 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer over the
+    * corpus; each query probes only the `nprobe` nearest centroid
+    * cells. The scale path for big corpora: candidate count is
+    * ~corpus × nprobe/nlist instead of the full scan, and the
+    * candidate join is an equi-join on the centroid id (hash shuffle,
+    * cell-local scoring). Centroids are tiny (nlist × dim) and
+    * broadcast. Deterministic via fixed seed.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, queryIdCol: String,
+              k: Int, nlist: Int = 16, nprobe: Int = 4,
+              excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val c = graft.Par.widen(corpus, idCol)
+      .select(col(idCol).as("neighbor_id"), Vectors.toDouble(col(vecCol)).as("__cv"))
+      .withColumn("__cn", Vectors.norm(col("__cv")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("__feat").setPredictionCol("__cell")
+      .fit(c.withColumn("__feat", array_to_vector(col("__cv"))))
+    // corpus rows assigned to their cell
+    val assigned = model.transform(c.withColumn("__feat", array_to_vector(col("__cv"))))
+      .select(col("__cell"), col("neighbor_id"), col("__cv"), col("__cn"))
+    // tiny centroid table, broadcast to rank cells per query
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq
+      .toDF("__cell", "__centroid")
+    val q = queries
+      .select(col(queryIdCol).as("query_id"), Vectors.toDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn", Vectors.norm(col("__qv")))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cdist").asc, col("__cell").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      // squared L2 to centroid: |q|² - 2q·c + |c|² ; monotone in q·c
+      // relative ranking only, so the dot-based form is enough
+      .withColumn("__cdist",
+        -Vectors.dot(col("__qv"), col("__centroid")) * 2 +
+          Vectors.dot(col("__centroid"), col("__centroid")))
+      .withColumn("__cr", row_number().over(wCell))
+      .filter(col("__cr") <= nprobe)
+      .select(col("__cell"), col("query_id"), col("__qv"), col("__qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    assigned.join(probes, Seq("__cell"))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        (Vectors.dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN: same output shape as bruteForceTopK but only
     * scores same-bucket candidates across `tables` hash tables.
     * Recall rises with tables and falls with planes (bucket width).

@@ -49,6 +49,24 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.6, s"recall $recall too low")
   }
 
+  test("ivfTopK recall vs brute force ≥ 0.8 probing half the cells") {
+    val queries = corpus.filter($"vec_id" % 16 === 0)
+    val k = 5
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", "vec_id", k))
+    val ivf = pairs(Similarity.ivfTopK(corpus, queries,
+      "vec_id", "embedding", "vec_id", k, nlist = 8, nprobe = 4))
+    val recall = truth.intersect(ivf).size.toDouble / truth.size
+    assert(recall >= 0.8, s"recall $recall too low")
+    // ivf is a subset of the exact ranking universe — sanity on shape
+    val out = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+      "vec_id", k, nlist = 8, nprobe = 4).collect()
+    assert(out.forall(_.getInt(3) <= k))
+  }
+
   test("hyperplaneBucket is deterministic across evaluations") {
     val b1 = corpus.select(Similarity.hyperplaneBucket($"embedding", 8).as("b"))
       .collect().map(_.getLong(0)).toSeq
