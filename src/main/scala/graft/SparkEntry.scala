@@ -29,6 +29,10 @@ object SparkEntry {
     "q5_regional_revenue" -> ((s, d) => Analytics.q5RegionalRevenue(s, d)),
     "top_orders_per_cust" -> ((s, d) => Analytics.topOrdersPerCust(s, d)),
     "events_hourly" -> ((s, d) => Analytics.eventsHourly(s, d)),
+    "q4_returned_priority" -> ((s, d) => Analytics.q4ReturnedByPriority(s, d)),
+    "q22_no_orders" -> ((s, d) => Analytics.q22NoOrders(s, d)),
+    "rollup_revenue" -> ((s, d) => Analytics.rollupRevenue(s, d)),
+    "segment_distincts" -> ((s, d) => Analytics.segmentDistincts(s, d)),
     "events_sessions" -> ((s, d) =>
       Sessionize.byGap(Tables.events(s, d), "user_id", "ts", 1800L)
         .orderBy(col("user_id"), col("session_seq"))),
@@ -103,6 +107,10 @@ object SparkEntry {
       Models.factLineitem(s, d).orderBy(col("order_id"), col("line_number"))),
 
     // ---- data quality (§2.3) ----
+    "dq_profile" -> ((s, d) =>
+      Quality.profile(Tables.orders(s, d),
+          Seq("o_orderstatus", "o_custkey", "o_totalprice"))
+        .orderBy(col("column_name"))),
     "dq_checks" -> ((s, d) => {
       val orders = Tables.orders(s, d)
       val li     = Tables.lineitem(s, d)
@@ -270,6 +278,59 @@ object SparkEntry {
              count(*) AS n_events
            FROM numbered GROUP BY user_id, session_seq
            ORDER BY user_id, session_seq""",
+
+      "q4_returned_priority" ->
+        """SELECT o_orderpriority, count(*) AS n_orders
+           FROM orders
+           WHERE EXISTS (SELECT 1 FROM lineitem
+             WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+           GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+      "q22_no_orders" ->
+        """SELECT c_mktsegment,
+             count(*) AS n_customers,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+           FROM customer
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+           GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+      "rollup_revenue" ->
+        """SELECT n_name, order_year,
+             CAST(sum(rev) AS DOUBLE) AS revenue
+           FROM (
+             SELECT n_name, year(o_orderdate) AS order_year,
+               CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS rev
+             FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey)
+           GROUP BY ROLLUP (n_name, order_year)
+           ORDER BY n_name NULLS FIRST, order_year NULLS FIRST""",
+
+      "segment_distincts" ->
+        """SELECT c_mktsegment,
+             count(DISTINCT c_nationkey) AS n_nations,
+             count(*) AS n_customers
+           FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+      "dq_profile" ->
+        """SELECT column_name, n_rows, n_null, n_distinct, min_value, max_value FROM (
+             SELECT 'o_orderstatus' AS column_name, count(*) AS n_rows,
+               count(*) FILTER (WHERE o_orderstatus IS NULL) AS n_null,
+               count(DISTINCT o_orderstatus) AS n_distinct,
+               CAST(min(o_orderstatus) AS VARCHAR) AS min_value,
+               CAST(max(o_orderstatus) AS VARCHAR) AS max_value FROM orders
+             UNION ALL
+             SELECT 'o_custkey', count(*),
+               count(*) FILTER (WHERE o_custkey IS NULL),
+               count(DISTINCT o_custkey),
+               CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders
+             UNION ALL
+             SELECT 'o_totalprice', count(*),
+               count(*) FILTER (WHERE o_totalprice IS NULL),
+               count(DISTINCT o_totalprice),
+               CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR) FROM orders
+           ) ORDER BY column_name""",
 
       "cdc_incremental_filter" ->
         s"""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value

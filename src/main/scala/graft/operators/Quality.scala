@@ -43,6 +43,29 @@ object Quality {
     wide.selectExpr(s"stack(${checks.size}, $stacked) as (check_name, violations)")
   }
 
+  /** One-pass table profile: per column null count, exact distinct
+    * count, and min/max (as strings so heterogeneous column types fit
+    * one output schema). All metrics for all columns come from a
+    * SINGLE aggregation over the table — N columns for the price of
+    * one scan, same principle as [[runChecks]].
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        countDistinct(col(c)).as(s"__dist_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    } :+ count(lit(1)).as("__rows")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      s"'$c', __rows, __null_$c, __dist_$c, __min_$c, __max_$c"
+    }.mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.size}, $stacked) as " +
+        "(column_name, n_rows, n_null, n_distinct, min_value, max_value)")
+  }
+
   /** dbt `relationships` test: child keys with no matching parent.
     * Single left-anti join (broadcast when the parent dim is small).
     */

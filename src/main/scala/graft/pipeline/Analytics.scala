@@ -110,6 +110,68 @@ object Analytics {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** TPC-H Q4 shape: EXISTS-style left-semi join — orders having at
+    * least one returned line item, counted per priority. The semi
+    * join shuffles on orderkey and short-circuits per key (no fanout,
+    * no dedup needed afterward).
+    */
+  def q4ReturnedByPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val returned = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    o.join(returned, o("o_orderkey") === returned("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q22 shape: anti join — customers with NO orders, per
+    * segment with average balance. One shuffle on custkey.
+    */
+  def q22NoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal").cast("decimal(12,2)").as("bal"))
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("bal")).cast("double").as("total_balance"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** ROLLUP aggregation: revenue by (nation, order year) with
+    * subtotals and a grand total — one shuffle; Spark computes all
+    * grouping sets in a single pass (Expand + partial agg).
+    */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("order_year"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), discPrice.as("rev"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .rollup(col("n_name"), col("order_year"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("n_name").asc_nulls_first, col("order_year").asc_nulls_first)
+  }
+
+  /** Distinct-count profile per segment (exact). Spark plans
+    * count(distinct) via Expand + two-phase agg — still one logical
+    * pass over the table.
+    */
+  def segmentDistincts(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("c_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
   /** Hourly event rollup — the batch twin of the streaming windowed
     * agg (streaming/EventStream.scala).
     */
