@@ -14,7 +14,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_ONLY=name1,name2 restricts the run (dev iteration)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // JMH-style warmup: run every query once untimed so the timed pass
     // measures steady-state (codegen'd classes C2-compiled), not
     // first-execution JIT noise — observed 2-15 s scatter on identical
@@ -22,7 +25,7 @@ object Bench {
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
       ordered.foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
-        spark.catalog.clearCache()
+        Par.release()
       }
     }
     val results = ordered.map { case (name, fn) =>
@@ -30,9 +33,9 @@ object Bench {
       val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-28s $sec%8.2f s  ($n rows)")
-      // drop operator-internal persist()s so queries don't pay each
-      // other's memory pressure
-      spark.catalog.clearCache()
+      // drop operator-internal persists (tracked — exactly the blocks
+      // graft cached) so queries don't pay each other's memory pressure
+      Par.release()
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

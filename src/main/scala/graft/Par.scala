@@ -20,11 +20,42 @@ import org.apache.spark.sql.functions.col
   * 4-6 s single-task stage returns). A hash repartition on the
   * grouping/join key is a distribution the planner must preserve —
   * and the downstream aggregation reuses it, saving its own shuffle.
+  *
+  * Cache lifecycle: every persist() issued by graft operators (here
+  * and in Dedup/Similarity self-join intermediates) is TRACKED.
+  * Long-running applications call [[release]] after consuming an
+  * operator's result to drop exactly the blocks graft cached —
+  * no unbounded cache growth, no need for the blunt
+  * `spark.catalog.clearCache()` (which would evict the caller's own
+  * caches too).
   */
 object Par {
+  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Persist `df` and register it for [[release]]. All graft-internal
+    * caching goes through here so callers own the lifecycle.
+    */
+  def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    tracked.add(p)
+    p
+  }
+
+  /** Unpersist every DataFrame graft operators cached since the last
+    * release (non-blocking). Call after the consuming action finishes.
+    */
+  def release(): Unit = {
+    var d = tracked.poll()
+    while (d != null) { d.unpersist(false); d = tracked.poll() }
+  }
+
   def widen(df: DataFrame, keys: String*): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
+    // toRdd (InternalRow RDD) probes the partition count without the
+    // extra deserializer stage df.rdd would add; the physical planning
+    // it forces is of THIS input only (typically a bare scan) and is
+    // cached on the QueryExecution.
+    if (df.queryExecution.toRdd.getNumPartitions >= target) df
     else {
       val r =
         if (keys.nonEmpty) df.repartition(target, keys.map(col): _*)
@@ -35,7 +66,7 @@ object Par {
       // per-row compute lands back in the single-partition map stage
       // (measured: 1-task, 3.6 s CPU). The cache only ever holds a
       // narrow input (widen fires only when the scan is narrow).
-      r.persist()
+      persistTracked(r)
     }
   }
 }

@@ -158,8 +158,12 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("content_hash"))),
+    // maxDocFreq bounds hot-shingle fan-out in candidate generation
+    // (scores are exact rescores, so output is unchanged wherever a
+    // pair shares ≥1 sub-cap shingle; 1000 ≫ any df at sf0.01)
     "dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text", n = 3, threshold = 0.5)
+      Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text", n = 3, threshold = 0.5,
+          maxDocFreq = 1000)
         .orderBy(col("id_a"), col("id_b"))),
     "dedup_minhash" -> ((s, d) =>
       Dedup.minHashLsh(Tables.documents(s, d), "doc_id", "text",
@@ -171,9 +175,21 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) =>
       Dedup.simHash(Tables.documents(s, d), "doc_id", "text", n = 3, maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
+    // exhaustive all-pairs path: the ORACLE BASELINE only (hash-green
+    // vs DuckDB); bounded inputs — never the 100 TB path
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingCosine(Tables.embeddings(s, d), "vec_id", "embedding",
           threshold = 0.45, exhaustive = true)
+        .orderBy(col("id_a"), col("id_b"))),
+    // the SCALE path: multi-table hyperplane-LSH bucketed candidates
+    // (bucket-local joins, no all-pairs). Rows-only oracle (bucket
+    // hash arithmetic not DuckDB-portable); DedupSpec asserts recall
+    // vs exhaustive. 4 planes × 12 tables ≈ 0.9 recall at the 0.45
+    // threshold this synthetic data needs (max pair cosine ≈ 0.51;
+    // real near-dup corpora use 0.9+ thresholds with more planes)
+    "dedup_embedding_lsh" -> ((s, d) =>
+      Dedup.embeddingCosine(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.45, exhaustive = false, planes = 4, tables = 12)
         .orderBy(col("id_a"), col("id_b"))),
 
     // ---- similarity search (§2.5) ----
@@ -409,6 +425,7 @@ object SparkEntry {
 
       "dim_customer" ->
         """SELECT c_custkey AS customer_id, c_name AS customer_name,
+             c_name || ' [' || c_mktsegment || ']' AS display_name,
              c_acctbal AS account_balance, c_mktsegment AS market_segment,
              n_name AS nation_name, r_name AS region_name
            FROM customer

@@ -30,8 +30,21 @@ object Tables {
     * raw, then `convertEventTs`.
     */
   def eventsRaw(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(s, d, "events")
+    // scope the legacy conf to this read (save/restore, mirroring
+    // Sink.overwritePartitions) so a shared session doesn't silently
+    // type every later nanos-timestamp parquet as long. The conf is
+    // consumed during schema inference inside read() and the inferred
+    // LongType is baked into the relation, so restoring immediately is
+    // safe — execution reads INT64 into the already-fixed long schema
+    // (verified: count + a second read both succeed after restore).
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try read(s, d, "events")
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
   }
 
   /** int64-nanos `ts` → TimestampType, exact for µs-aligned values. */

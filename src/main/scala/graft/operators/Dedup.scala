@@ -3,7 +3,6 @@ package graft.operators
 import graft.Par
 import graft.functions.{Text, Vectors}
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for LLM training-data pipelines.
@@ -13,7 +12,9 @@ import org.apache.spark.sql.functions._
   * near-dup methods generate *candidate* pairs through bucketing
   * (LSH bands / simhash blocks / shared shingles) and only score
   * candidates. At 100 TB each variant is shuffle-on-bucket-key,
-  * with per-bucket fan-out bounded by construction.
+  * with per-bucket fan-out bounded by construction — ngramJaccard's
+  * shared-shingle buckets are additionally capped by document
+  * frequency (`maxDocFreq`) so one hot shingle can't fan out d².
   *
   * Cost discipline for the expensive parts (measured, not guessed):
   *  - inputs are `Par.widen`ed — shingling/hashing after a
@@ -21,9 +22,9 @@ import org.apache.spark.sql.functions._
   *  - each shingle is hashed ONCE (signatures derive from that hash,
   *    never re-hash per bit/per band);
   *  - intermediates referenced on both sides of a self-join are
-  *    `persist()`ed, else Spark recomputes the whole shingle pipeline
-  *    per branch (callers can `unpersist` via the returned plan's
-  *    sources, or let the app's session teardown drop them).
+  *    persisted via `Par.persistTracked`, else Spark recomputes the
+  *    whole shingle pipeline per branch; callers drop the cached
+  *    blocks with `Par.release()` after their action completes.
   */
 object Dedup {
 
@@ -42,16 +43,42 @@ object Dedup {
     * Candidates = pairs sharing ≥1 shingle (explode + self-join on
     * the shingle — a hash shuffle on shingle values, never a cross
     * join); Jaccard = |∩| / (|A| + |B| - |∩|) computed from the
-    * per-pair match count and per-doc shingle counts.
+    * per-pair match count and per-doc shingle counts (count-based
+    * scoring rides the candidate join's aggregation — no second pass
+    * over the shingle arrays).
+    *
+    * `maxDocFreq > 0` removes shingles whose document frequency
+    * exceeds the cap from the VOCABULARY — both candidate generation
+    * and scoring (per-doc counts are recomputed over the surviving
+    * shingles, so numerator and denominator stay consistent). This is
+    * the standard hot-shingle bound: one boilerplate phrase shared by
+    * 10k docs would alone fan out 5·10⁷ candidate pairs; excluding it
+    * from the vocabulary both bounds the join AND stops boilerplate
+    * from counting as content similarity. With the cap above every
+    * actual df (e.g. at test SF), output is bit-identical to uncapped.
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.8): DataFrame = {
+                   n: Int = 3, threshold: Double = 0.8,
+                   maxDocFreq: Int = 0): DataFrame = {
     val sh = Par.widen(docs, idCol).select(col(idCol).as("id"),
         Text.shingles(col(textCol), n).as("sh"))
       .withColumn("sh_count", size(col("sh")).cast("long"))
+    val ex0 = sh.select(col("id"), col("sh_count"), explode(col("sh")).as("gram"))
     // persisted: both sides of the gram self-join read this
-    val ex = sh.select(col("id"), col("sh_count"), explode(col("sh")).as("gram"))
-      .persist()
+    val ex = Par.persistTracked(
+      if (maxDocFreq > 0) {
+        // shingles are distinct per doc, so count-over-gram = doc freq.
+        // Two in-place window passes (df filter on gram, then per-doc
+        // recount over the high-cardinality id) — cheaper than an
+        // aggregate + anti-join, which would shuffle the exploded
+        // stream a second time.
+        val wG = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+        val wI = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+        ex0.withColumn("__df", count(lit(1)).over(wG))
+          .filter(col("__df") <= maxDocFreq)
+          .withColumn("sh_count", count(lit(1)).over(wI))
+          .drop("__df")
+      } else ex0)
     val a = ex.select(col("id").as("id_a"), col("sh_count").as("cnt_a"), col("gram"))
     val b = ex.select(col("id").as("id_b"), col("sh_count").as("cnt_b"), col("gram"))
     a.join(b, Seq("gram"))
@@ -78,8 +105,9 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // persisted: re-read for signatures AND for exact-jaccard verify
-    val sh = Par.widen(docs, idCol).select(col(idCol).as("id"),
-      Text.shingles(col(textCol), n).as("sh")).persist()
+    val sh = Par.persistTracked(
+      Par.widen(docs, idCol).select(col(idCol).as("id"),
+        Text.shingles(col(textCol), n).as("sh")))
     // Signatures via explode + grouped min aggregates: numHashes FLAT
     // codegen'd min() columns. (A transform/aggregate lambda tree of
     // width numHashes chokes the Catalyst optimizer — measured 10-30 s
@@ -96,14 +124,13 @@ object Dedup {
     val sig = ex.groupBy(col("id")).agg(sigAggs.head, sigAggs.tail: _*)
     // band key = (band index, hash of that band's signature slots)
     // persisted: both sides of the band self-join read this
-    val banded = sig.select(col("id"),
+    val banded = Par.persistTracked(sig.select(col("id"),
         explode(array((0 until bands).map { bnd =>
           struct(lit(bnd).as("band"),
             xxhash64((bnd * rows until (bnd + 1) * rows).map(j => col(s"s$j")): _*)
               .as("bucket"))
         }: _*)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.bucket"))
-      .persist()
+      .select(col("id"), col("bk.band"), col("bk.bucket")))
     val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     val candidates = l.join(r, Seq("band", "bucket"))
@@ -127,28 +154,39 @@ object Dedup {
     * (maxHamming+1) blocks — by pigeonhole, any pair within
     * maxHamming matches exactly on at least one block, so candidate
     * generation is an equi-join on (block index, block value).
+    *
+    * The signature is computed PER ROW from the doc's shingle array
+    * with array higher-order functions — no explode, no 64-column
+    * aggregation (the previous 64-flat-sum formulation was measured
+    * at 9.8 s / 27% of the sf0.1 bench; this one avoids the wide
+    * hash-agg buffer entirely and keeps the work in one pass over
+    * the shingle array). Each shingle is hashed ONCE; per-bit votes
+    * accumulate in a 64-slot array folded over the hash array.
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String,
               n: Int = 3, maxHamming: Int = 3): DataFrame = {
     val blocks = maxHamming + 1
     val sh = Par.widen(docs, idCol).select(col(idCol).as("id"),
       Text.shingles(col(textCol), n).as("sh"))
-    // Per-bit votes via explode + 64 FLAT codegen'd sum() aggregates
-    // (bit b of the simhash is set iff set-bits outnumber clear bits:
-    // 2*count_set > n). The equivalent nested-lambda formulation
-    // (transform over 64 aggregate()s) costs 10-30 s of Catalyst plan
-    // time. Each shingle is hashed ONCE; bits are reads of that long.
-    val ex = sh.select(col("id"), explode(col("sh")).as("g"))
-      .select(col("id"), xxhash64(col("g")).as("h"))
-    val bitAggs = (0 until 64).map(b =>
-      sum(call_function("getbit", col("h"), lit(b)).cast("long")).as(s"c$b"))
-    val votes = ex.groupBy(col("id"))
-      .agg(bitAggs.head, (bitAggs.tail :+ count(lit(1)).as("n")): _*)
-    val simhashCol = (0 until 64).map(b =>
-        when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
+    // votes[b] = number of shingles whose hash has bit b set
+    val hashes = transform(col("sh"), g => xxhash64(g))
+    val bitsOf = (h: Column) =>
+      transform(sequence(lit(0), lit(63)),
+        b => call_function("getbit", h, b).cast("long"))
+    val votes = aggregate(hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, bitsOf(h), (a, v) => a + v))
+    // bit b of the simhash is set iff set-bits outnumber clear bits:
+    // 2*votes[b] > n_shingles
+    val nsh = size(col("sh")).cast("long")
+    val simhashCol = aggregate(
+      zip_with(votes, sequence(lit(0L), lit(63L)), (c, b) =>
+        when(c * lit(2L) > nsh,
+          call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
     // persisted: both sides of the block self-join read this
-    val signed = votes.select(col("id"), simhashCol.as("simhash")).persist()
+    val signed = Par.persistTracked(
+      sh.select(col("id"), simhashCol.as("simhash")))
     // pigeonhole blocking on 64/blocks-bit blocks
     val blockBits = 64 / blocks
     val blocked = signed.select(col("id"), col("simhash"),
@@ -168,33 +206,45 @@ object Dedup {
   }
 
   /** Embedding near-dup: pairs with cosine ≥ threshold. Candidates
-    * come from random-hyperplane LSH buckets (same trick as
-    * Similarity.lshTopK) so the join is bucket-local, then exact
-    * cosine verifies. For bounded inputs (or as the correctness
-    * baseline) `exhaustive=true` scores all pairs.
+    * come from multi-table random-hyperplane LSH buckets (Charikar
+    * '02; same planes as Similarity.lshTopK) so every join is
+    * bucket-local — never all-pairs — and candidates are verified
+    * with the exact cosine (no false positives; recall is the only
+    * approximation). Per-table collision probability for a pair at
+    * angle θ is (1-θ/π)^planes; `tables` independent tables lift
+    * recall to 1-(1-p)^tables. Tune planes UP for high thresholds
+    * (strong pruning: at 0.95 cosine, 12 planes keep p≈0.28/table)
+    * and DOWN with more tables for mid thresholds.
+    * `exhaustive=true` scores all pairs — the correctness baseline
+    * for bounded inputs, never the scale path.
     */
   def embeddingCosine(embs: DataFrame, idCol: String, vecCol: String,
                       threshold: Double = 0.95,
                       exhaustive: Boolean = false,
-                      planes: Int = 12): DataFrame = {
+                      planes: Int = 12, tables: Int = 4): DataFrame = {
     // normalize each vector ONCE (persisted: both join sides read it);
     // pair scoring is then a dot product, not dot + two norms per pair
-    val base = Par.widen(embs, idCol)
+    val base = Par.persistTracked(Par.widen(embs, idCol)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("nrm", Vectors.norm(col("vec")))
-      .persist()
+      .withColumn("nrm", Vectors.norm(col("vec"))))
     val pairs =
       if (exhaustive) {
         val a = base.select(col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
         val b = base.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
         a.join(b, col("id_a") < col("id_b"))
       } else {
-        val bucketed = base.withColumn("bucket",
-          Similarity.hyperplaneBucket(col("vec"), planes))
-        val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
-        val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
-        a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-          .drop("bucket").distinct()
+        val bucketed = (0 until tables).map { t =>
+          base.select(lit(t).as("table"),
+            Similarity.hyperplaneBucket(col("vec"), planes, t).as("bucket"),
+            col("id"), col("vec"), col("nrm"))
+        }.reduce(_ unionByName _)
+        val a = bucketed.select(col("table"), col("bucket"),
+          col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+        val b = bucketed.select(col("table"), col("bucket"),
+          col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
+        a.join(b, Seq("table", "bucket")).filter(col("id_a") < col("id_b"))
+          // key-only dedup — no array comparisons in the distinct
+          .dropDuplicates("id_a", "id_b")
       }
     pairs
       .withColumn("cosine", Vectors.dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))

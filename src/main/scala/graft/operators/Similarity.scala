@@ -1,23 +1,33 @@
 package graft.operators
 
 import graft.functions.Vectors
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
-  * Two paths:
+  * Three paths:
   *  - `bruteForceTopK`: exact. Queries are broadcast (a query set is
   *    always small relative to the corpus); ONE streaming pass over
-  *    the corpus computes all query×doc cosines, then a per-query
-  *    top-k window. At 100 TB this is corpus-scan bound — the right
-  *    baseline and the recall oracle.
+  *    the corpus computes all query×doc cosines. At 100 TB this is
+  *    corpus-scan bound — the right baseline and the recall oracle.
   *  - `lshTopK`: random-hyperplane LSH (Charikar '02). Sign-bit
   *    signature buckets both sides; only same-bucket pairs are
   *    scored. Multiple hash tables (`tables`) trade compute for
   *    recall. The shuffle key is (table, bucket) so the join never
   *    leaves its bucket.
+  *  - `ivfTopK`: k-means coarse quantizer; each query probes only
+  *    its `nprobe` nearest cells. The quantizer trains on a BOUNDED
+  *    sample and is reusable across calls ([[trainIvfQuantizer]]).
+  *
+  * All three rank with TWO-PHASE top-k ([[topKPerQuery]]): local
+  * per-partition top-k first, then a merge over ≤ k·P survivors —
+  * never a global window that funnels every scored candidate for a
+  * query through one reducer (with 5 queries and a 100 TB corpus
+  * that single-reducer window IS the job).
   */
 object Similarity {
 
@@ -53,6 +63,28 @@ object Similarity {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Two-phase top-k per query over (query_id, neighbor_id, cosine):
+    * phase 1 takes the top k within each (query, input-partition)
+    * slice — the shuffle key (query_id, partition) spreads a query's
+    * candidates over as many reducers as the input has partitions;
+    * phase 2 merges the ≤ k·P survivors per query (tiny) into the
+    * final ranking. Output is identical to a single global window
+    * (local top-k is a superset of the global top-k; both phases
+    * break ties by neighbor_id, so ranks are deterministic).
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val ord = Seq(col("cosine").desc, col("neighbor_id").asc)
+    val wLocal = Window.partitionBy(col("query_id"), col("__pid")).orderBy(ord: _*)
+    val wGlobal = Window.partitionBy(col("query_id")).orderBy(ord: _*)
+    scored
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lr", row_number().over(wLocal))
+      .filter(col("__lr") <= k)
+      .drop("__pid", "__lr")
+      .withColumn("rank", row_number().over(wGlobal))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact top-k neighbors for each query vector.
     * `queries`: (queryIdCol, vecCol) — broadcast. Output:
     * (query_id, neighbor_id, cosine, rank), rank 1..k, ties broken
@@ -71,10 +103,32 @@ object Similarity {
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
         (Vectors.dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn"))).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, k)
+  }
+
+  /** Train the IVF coarse quantizer on a bounded, seeded sample of
+    * the corpus — NEVER on the full corpus: k-means runs `maxIter`
+    * full passes over its input, and centroid quality saturates far
+    * below 1000 points per cell, so at 100 TB training input must be
+    * decoupled from corpus size. The model (nlist × dim centroids,
+    * a few KB) is reusable across [[ivfTopK]] calls — train once per
+    * corpus version, probe many times.
+    *
+    * `sampleCap ≤ 0` defaults to nlist·1000 rows. The count() used to
+    * size the sampling fraction is metadata-only on parquet scans.
+    */
+  def trainIvfQuantizer(corpus: DataFrame, vecCol: String, nlist: Int = 16,
+                        sampleCap: Long = 0L, seed: Long = 42L): KMeansModel = {
+    val cap = if (sampleCap > 0) sampleCap else nlist.toLong * 1000L
+    val n = corpus.count()
+    val fraction = math.min(1.0, cap.toDouble / math.max(1L, n).toDouble)
+    val train =
+      (if (fraction < 1.0) corpus.sample(withReplacement = false, fraction, seed)
+       else corpus)
+        .select(array_to_vector(Vectors.toDouble(col(vecCol))).as("__feat"))
+    new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("__feat").setPredictionCol("__cell")
+      .fit(train)
   }
 
   /** IVF (inverted-file) ANN: k-means coarse quantizer over the
@@ -83,33 +137,34 @@ object Similarity {
     * ~corpus × nprobe/nlist instead of the full scan, and the
     * candidate join is an equi-join on the centroid id (hash shuffle,
     * cell-local scoring). Centroids are tiny (nlist × dim) and
-    * broadcast. Deterministic via fixed seed.
+    * broadcast. Pass a pre-trained `model` to reuse the quantizer
+    * across calls; otherwise one is trained on a bounded sample.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, queryIdCol: String,
               k: Int, nlist: Int = 16, nprobe: Int = 4,
-              excludeSelf: Boolean = true): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+              excludeSelf: Boolean = true,
+              model: Option[KMeansModel] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
 
     val c = graft.Par.widen(corpus, idCol)
       .select(col(idCol).as("neighbor_id"), Vectors.toDouble(col(vecCol)).as("__cv"))
       .withColumn("__cn", Vectors.norm(col("__cv")))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("__feat").setPredictionCol("__cell")
-      .fit(c.withColumn("__feat", array_to_vector(col("__cv"))))
-    // corpus rows assigned to their cell
-    val assigned = model.transform(c.withColumn("__feat", array_to_vector(col("__cv"))))
+    val quantizer = model.getOrElse(
+      trainIvfQuantizer(c.select(col("__cv").as("v")), "v", nlist))
+    // corpus rows assigned to their cell (one map pass, no shuffle)
+    val assigned = quantizer.transform(c.withColumn("__feat", array_to_vector(col("__cv"))))
       .select(col("__cell"), col("neighbor_id"), col("__cv"), col("__cn"))
     // tiny centroid table, broadcast to rank cells per query
-    val cents = model.clusterCenters.zipWithIndex
+    val cents = quantizer.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray) }.toSeq
       .toDF("__cell", "__centroid")
     val q = queries
       .select(col(queryIdCol).as("query_id"), Vectors.toDouble(col(vecCol)).as("__qv"))
       .withColumn("__qn", Vectors.norm(col("__qv")))
+    // cell ranking per query: the window partition holds exactly nlist
+    // rows per query (bounded by construction — not a scale risk)
     val wCell = Window.partitionBy(col("query_id"))
       .orderBy(col("__cdist").asc, col("__cell").asc)
     val probes = q.crossJoin(broadcast(cents))
@@ -121,14 +176,11 @@ object Similarity {
       .withColumn("__cr", row_number().over(wCell))
       .filter(col("__cr") <= nprobe)
       .select(col("__cell"), col("query_id"), col("__qv"), col("__qn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    assigned.join(probes, Seq("__cell"))
+    val scored = assigned.join(probes, Seq("__cell"))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
         (Vectors.dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn"))).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** LSH-bucketed ANN: same output shape as bruteForceTopK but only
@@ -154,12 +206,9 @@ object Similarity {
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"), col("__cv"), col("__qv"), col("__cn"), col("__qn"))
       .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    candidates
+    val scored = candidates
       .select(col("query_id"), col("neighbor_id"),
         (Vectors.dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn"))).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 }

@@ -48,8 +48,9 @@ object Analytics {
 
   /** TPC-H Q3 shape: selective dim filter → join fact → topN.
     * customer side is filtered before the join (predicate pushdown to
-    * the scan) and broadcast at small SF; orders⋈lineitem shuffles on
-    * orderkey.
+    * the scan); no broadcast HINT — customer grows with the data, so
+    * AQE decides broadcast vs shuffle from the filtered size at
+    * runtime. orders⋈lineitem shuffles on orderkey.
     */
   def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val cutoff = lit("1998-01-01").cast("timestamp")
@@ -64,7 +65,7 @@ object Analytics {
       .filter(col("l_shipdate") > cutoff)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(discPrice).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
@@ -72,8 +73,10 @@ object Analytics {
   }
 
   /** TPC-H Q5 shape: snowflake join region→nation→(customer,supplier)
-    * →orders→lineitem. All dims broadcast; the only big shuffle is
-    * orders⋈lineitem on orderkey.
+    * →orders→lineitem. Only the FIXED-size dims (nation/region) carry
+    * broadcast hints; customer and supplier grow with the data, so
+    * AQE picks their join strategy (broadcast at test SF, shuffle at
+    * 100 TB). The big shuffle is orders⋈lineitem on orderkey.
     */
   def q5RegionalRevenue(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
@@ -87,8 +90,8 @@ object Analytics {
     val l = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(s),
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s,
         l("l_suppkey") === s("s_suppkey") && c("c_nationkey") === s("s_nationkey"))
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
@@ -154,7 +157,7 @@ object Analytics {
     val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
     val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .rollup(col("n_name"), col("order_year"))
       .agg(sum(col("rev")).cast("double").as("revenue"))

@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   *  - dim_savings_plan.sql — plan LEFT JOIN users for denormalized dim
   *  - fact_savings_transaction.sql — txn LEFT JOIN plan dim
   *
-  * Spark-first shape: dims are built with broadcast joins (nation /
-  * region are tiny at every scale factor; customer broadcasts at test
-  * SF and AQE falls back to shuffle join when it grows past the
-  * threshold at 100 TB). Facts join dims on their natural keys.
+  * Spark-first shape: only FIXED-cardinality dims (nation/region —
+  * bounded by geography, tiny at any SF) carry an explicit
+  * `broadcast()` hint. Data-proportional tables (customer, orders)
+  * are joined WITHOUT a hint: an explicit hint is honored regardless
+  * of size (it does NOT fall back), so at 100 TB it would OOM; with
+  * no hint AQE picks broadcast vs shuffle from runtime stats — small
+  * SFs still get the broadcast, big SFs degrade to a shuffle join.
+  * Facts join dims on their natural keys.
   */
 object Models {
 
@@ -53,7 +57,9 @@ object Models {
 
   /** Denormalized customer dimension: customer ⋈ nation ⋈ region
     * (reference: models/marts/dim_users.sql enriches with display
-    * columns; here geography is the snowflake to flatten).
+    * columns — `concat(first_name, ' ', last_name) as full_name`;
+    * here geography is the snowflake to flatten and the derived
+    * display column is the name + segment label).
     * nation/region are broadcast — they are tiny at any SF.
     */
   def dimCustomer(spark: SparkSession, dir: String): DataFrame = {
@@ -65,8 +71,11 @@ object Models {
       .select(col("r_regionkey"), col("r_name").as("region_name"))
     c.join(broadcast(n), c("nation_id") === n("n_nationkey"), "left")
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
-      .select(c("customer_id"), c("customer_name"), c("account_balance"),
-        c("market_segment"), col("nation_name"), col("region_name"))
+      .select(c("customer_id"), c("customer_name"),
+        concat(c("customer_name"), lit(" ["), c("market_segment"), lit("]"))
+          .as("display_name"),
+        c("account_balance"), c("market_segment"),
+        col("nation_name"), col("region_name"))
   }
 
   /** Order dimension enriched with its customer
@@ -84,8 +93,9 @@ object Models {
     val c = dimCustomer(spark, dir)
       .select(col("customer_id"), col("customer_name"),
         col("market_segment"), col("nation_name"))
-    // customer is the smaller side at every SF (orders ~10x customer)
-    o.join(broadcast(c), Seq("customer_id"), "left")
+    // customer grows with the data — no broadcast hint; AQE broadcasts
+    // it at small SF and shuffles on customer_id at 100 TB
+    o.join(c, Seq("customer_id"), "left")
   }
 
   /** Fact table: line items joined to their order dim

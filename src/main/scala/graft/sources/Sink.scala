@@ -56,15 +56,21 @@ object Sink {
              key: Seq[String], trackingCol: String, tieBreak: Seq[String] = Nil): Unit = {
     val target = spark.read.parquet(targetPath)
     val merged = graft.operators.Cdc.upsert(target, updates, key, trackingCol, tieBreak)
-    // parquet has no transactional rewrite: stage then swap via a
-    // temp path (a lakehouse table format would make this atomic)
-    val tmp = targetPath + "__staged"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(targetPath)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    // parquet has no transactional rewrite: stage, rename the live dir
+    // ASIDE (not delete — a crash between steps must never lose the
+    // table), swap staged into place, then drop the old copy. The
+    // FileSystem is resolved FROM the target path so non-default
+    // schemes (s3a://, hdfs://...) work.
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(targetPath)
+    val fs  = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(targetPath + "__staged")
+    val old = new Path(targetPath + "__old")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(old, true) // leftover from a previous crashed swap
+    fs.rename(dst, old)
+    fs.rename(tmp, dst)
+    fs.delete(old, true)
   }
 
   /** Save as a bucketed table: both fact and dim bucketed on the join

@@ -119,7 +119,14 @@ object EventStream {
         }
         open.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.endUs / 1000 + gapSeconds * 1000)
+          // flatMapGroupsWithState does NOT drop late rows, and Spark
+          // throws if the timeout is at/behind the current watermark —
+          // one event later than (watermark - gap) would crash the
+          // query. Clamp to just past the watermark: the session then
+          // closes on the next trigger instead of killing the stream.
+          val horizonMs = s.endUs / 1000 + gapSeconds * 1000
+          val wmMs = state.getCurrentWatermarkMs()
+          state.setTimeoutTimestamp(math.max(horizonMs, wmMs + 1))
         }
         closed.result().iterator
       }

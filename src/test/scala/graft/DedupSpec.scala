@@ -70,4 +70,43 @@ class DedupSpec extends SparkSuite {
       assert(ex.contains(pair) && math.abs(ex(pair) - c) < 1e-12)
     }
   }
+
+  test("embeddingCosine LSH recall vs exhaustive on real embeddings (graded settings)") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(exhaustive: Boolean) =
+      Dedup.embeddingCosine(embs, "vec_id", "embedding",
+        threshold = 0.45, exhaustive = exhaustive, planes = 4, tables = 12)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ex  = pairs(exhaustive = true)
+    val lsh = pairs(exhaustive = false)
+    assert(ex.nonEmpty, "exhaustive baseline found no pairs — test data changed?")
+    assert(lsh.subsetOf(ex)) // LSH scores are exact cosines → never false positives
+    val recall = lsh.size.toDouble / ex.size
+    assert(recall >= 0.5, s"LSH recall $recall < 0.5 (found ${lsh.size}/${ex.size})")
+  }
+
+  test("ngramJaccard df-cap drops boilerplate-only pairs, keeps content dups") {
+    val capDocs = Seq(
+      // 1,2: identical real content + the boilerplate tail
+      (1L, "alpha beta gamma delta epsilon please subscribe to our newsletter"),
+      (2L, "alpha beta gamma delta epsilon please subscribe to our newsletter"),
+      // 3,4: unrelated content, overlap ONLY via the boilerplate tail
+      (3L, "one two three four five six please subscribe to our newsletter"),
+      (4L, "seven eight nine ten eleven twelve please subscribe to our newsletter")
+    ).toDF("doc_id", "text")
+    // threshold low enough that boilerplate-only overlap passes uncapped
+    val uncapped = Dedup.ngramJaccard(capDocs, "doc_id", "text", n = 3,
+      threshold = 0.05, maxDocFreq = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((3L, 4L))) // boilerplate alone pairs them
+    assert(uncapped.contains((1L, 2L)))
+    // "please subscribe to", "subscribe to our", "to our newsletter"
+    // have df=4 > cap=3 → out of the vocabulary: the boilerplate-only
+    // pair disappears; the true dup keeps jaccard 1.0 over what's left
+    val capped = Dedup.ngramJaccard(capDocs, "doc_id", "text", n = 3,
+      threshold = 0.05, maxDocFreq = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(!capped.contains((3L, 4L)))
+    assert(capped((1L, 2L)) === 1.0)
+  }
 }
