@@ -2,6 +2,7 @@ package graft
 
 import graft.operators._
 import graft.pipeline.{Analytics, Models}
+import graft.sources.SchemaEvolution
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -82,6 +83,52 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("event_type"), col("valid_from"))
         .orderBy(col("user_id"))),
 
+    // ---- soft delete (§2.1) ----
+    // staging model CARRIES the soft-delete marker (reference
+    // stg_savings_transaction.sql:21 selects deleted_at through)...
+    "stg_event_log" -> ((s, d) => Models.stgEventLog(s, d).orderBy(col("event_id"))),
+    // ...and downstream models read only live rows (deleted_at IS NULL)
+    "stg_soft_delete" -> ((s, d) => Models.stgEventLogActive(s, d).orderBy(col("event_id"))),
+
+    // ---- SCD2 snapshot merge (§2.1; reference users_snapshot.sql) ----
+    // two synthetic snapshots of customer: t1 changes market_segment
+    // for custkey%10==0 and omits custkey%7==0 (those stay open —
+    // dbt's invalidate_hard_deletes=false default)
+    "scd2_merge" -> ((s, d) => {
+      val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
+      val t1 = lit("2026-02-01 00:00:00").cast("timestamp")
+      val s1 = Models.stgCustomer(s, d).select(col("customer_id"),
+        col("customer_name"), col("account_balance"), col("market_segment"))
+      val history0 = s1.withColumn(Scd2.ValidFrom, t0)
+        .withColumn(Scd2.ValidTo, lit(null).cast("timestamp"))
+      val s2 = s1.filter(col("customer_id") % 7 =!= 0)
+        .withColumn("market_segment",
+          when(col("customer_id") % 10 === 0, lit("CHANGED"))
+            .otherwise(col("market_segment")))
+      Scd2.merge(history0, s2, Seq("customer_id"),
+          Seq("customer_name", "account_balance", "market_segment"), t1)
+        .orderBy(col("customer_id"), col("valid_from"))
+    }),
+
+    // ---- nested-document flatten (mongo_loader.py analog) ----
+    // struct column + JSON-string column → flat parent_child columns
+    "flatten_props" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        struct(col("event_type"), col("value")).as("attrs"), col("props"))
+      Flatten.flattenJson(ev, "props", "k INT").orderBy(col("event_id"))
+    }),
+
+    // ---- schema evolution (base_loader DDL-reconcile analog) ----
+    // batch 1 predates the `value` column; batch 2 adds it — the
+    // union null-fills history, exactly like an added source field
+    "schema_evolution" -> ((s, d) => {
+      val ev = eventCols(Tables.events(s, d))
+      val cutoff = lit(CdcCutoff).cast("timestamp")
+      val v1 = ev.filter(col("ts") <= cutoff).drop("value")
+      val v2 = ev.filter(col("ts") > cutoff)
+      SchemaEvolution.unionEvolved(Seq(v1, v2)).orderBy(col("event_id"))
+    }),
+
     // ---- staging / marts (§2.2) ----
     "stg_customer" -> ((s, d) => Models.stgCustomer(s, d).orderBy(col("customer_id"))),
     "stg_events" -> ((s, d) => {
@@ -109,6 +156,12 @@ object SparkEntry {
     // ---- data quality (§2.3) ----
     "dq_profile" -> ((s, d) =>
       Quality.profile(Tables.orders(s, d),
+          Seq("o_orderstatus", "o_custkey", "o_totalprice"))
+        .orderBy(col("column_name"))),
+    // HLL one-pass variant — the 100 TB profile (sketch counts are
+    // engine-specific → rows-only oracle)
+    "dq_profile_approx" -> ((s, d) =>
+      Quality.profileApprox(Tables.orders(s, d),
           Seq("o_orderstatus", "o_custkey", "o_totalprice"))
         .orderBy(col("column_name"))),
     "dq_checks" -> ((s, d) => {
@@ -408,6 +461,56 @@ object SparkEntry {
              c_nationkey AS nation_id, c_acctbal AS account_balance,
              c_mktsegment AS market_segment
            FROM customer ORDER BY customer_id""",
+
+      "stg_event_log" ->
+        """SELECT event_id, user_id, event_type, value,
+             CAST(ts AS TIMESTAMP) AS created_at,
+             CASE WHEN event_type = 'error' THEN CAST(ts AS TIMESTAMP) END AS deleted_at
+           FROM events ORDER BY event_id""",
+
+      "stg_soft_delete" ->
+        """SELECT event_id, user_id, event_type, value,
+             CAST(ts AS TIMESTAMP) AS created_at,
+             CAST(NULL AS TIMESTAMP) AS deleted_at
+           FROM events WHERE event_type <> 'error' ORDER BY event_id""",
+
+      "scd2_merge" ->
+        """WITH s1 AS (
+             SELECT c_custkey AS customer_id, c_name AS customer_name,
+                    c_acctbal AS account_balance, c_mktsegment AS market_segment
+             FROM customer),
+           s2 AS (
+             SELECT customer_id, customer_name, account_balance,
+                    CASE WHEN customer_id % 10 = 0 THEN 'CHANGED'
+                         ELSE market_segment END AS market_segment
+             FROM s1 WHERE customer_id % 7 <> 0),
+           changed AS (
+             SELECT s1.customer_id FROM s1 JOIN s2 USING (customer_id)
+             WHERE s1.market_segment <> s2.market_segment
+                OR s1.account_balance <> s2.account_balance
+                OR s1.customer_name <> s2.customer_name)
+           SELECT customer_id, customer_name, account_balance, market_segment,
+                  TIMESTAMP '2026-01-01 00:00:00' AS valid_from,
+                  CASE WHEN customer_id IN (SELECT customer_id FROM changed)
+                       THEN TIMESTAMP '2026-02-01 00:00:00' END AS valid_to
+           FROM s1
+           UNION ALL
+           SELECT customer_id, customer_name, account_balance, market_segment,
+                  TIMESTAMP '2026-02-01 00:00:00', NULL
+           FROM s2 WHERE customer_id IN (SELECT customer_id FROM changed)
+           ORDER BY customer_id, valid_from""",
+
+      "flatten_props" ->
+        """SELECT event_id, user_id,
+             event_type AS attrs_event_type, value AS attrs_value,
+             CAST(json_extract(props, '$.k') AS INT) AS props_k
+           FROM events ORDER BY event_id""",
+
+      "schema_evolution" ->
+        s"""SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+             CASE WHEN CAST(ts AS TIMESTAMP) > TIMESTAMP '$CdcCutoff'
+                  THEN value END AS value
+           FROM events ORDER BY event_id""",
 
       "stg_events" ->
         s"""SELECT event_id, user_id, event_type, value,

@@ -81,4 +81,13 @@ object Cdc {
     */
   def withIngestionDate(df: DataFrame, dateCol: String, snapshotDate: Column): DataFrame =
     df.withColumn(dateCol, snapshotDate.cast("date"))
+
+  /** Soft-delete filter: keep rows whose delete marker is unset —
+    * reference stg_savings_transaction.sql:21 carries `deleted_at`
+    * through staging (schema.yml documents it as the soft-delete
+    * marker) and downstream models read only live rows. A pure
+    * predicate: pushes to the parquet scan as IsNull.
+    */
+  def softDeleteFilter(df: DataFrame, deletedAtCol: String): DataFrame =
+    df.filter(col(deletedAtCol).isNull)
 }

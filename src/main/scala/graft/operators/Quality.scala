@@ -43,23 +43,54 @@ object Quality {
     wide.selectExpr(s"stack(${checks.size}, $stacked) as (check_name, violations)")
   }
 
-  /** One-pass table profile: per column null count, exact distinct
+  /** Exact table profile: per column null count, exact distinct
     * count, and min/max (as strings so heterogeneous column types fit
-    * one output schema). All metrics for all columns come from a
-    * SINGLE aggregation over the table — N columns for the price of
-    * one scan, same principle as [[runChecks]].
+    * one output schema).
+    *
+    * Shape: one two-phase aggregation PER COLUMN (groupBy the value,
+    * then fold the groups), unioned. N exact countDistincts in a
+    * single agg would instead plan an Expand that multiplies every
+    * scanned row (N+1)-fold and shuffles every column's full distinct
+    * set — measured 2.85 s at sf0.1 for 3 columns, and the full-row
+    * Expand is a scale-killer. Per-column passes read one pruned
+    * parquet column each and shuffle only per-column partial groups
+    * (map-side combine). For a single-pass 100 TB profile where
+    * exactness isn't required, use [[profileApprox]].
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val parts = cols.map { c =>
+      df.select(col(c))
+        .groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
+        .agg(
+          coalesce(sum(when(col(c).isNull, col("__cnt")).otherwise(0L)), lit(0L)).as("n_null"),
+          count(when(col(c).isNotNull, lit(1))).as("n_distinct"),
+          min(col(c)).cast("string").as("min_value"),
+          max(col(c)).cast("string").as("max_value"),
+          coalesce(sum(col("__cnt")), lit(0L)).as("n_rows"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_value"), col("max_value"))
+    }
+    parts.reduce(_ unionByName _)
+  }
+
+  /** Approximate profile: the 100 TB path. ALL columns in ONE
+    * aggregation pass — `approx_count_distinct` (HyperLogLog++)
+    * keeps fixed-size sketch buffers, so unlike exact countDistinct
+    * there is no Expand and no distinct-set shuffle; the whole
+    * profile is a map-side partial agg + one tiny exchange.
+    * `rsd` is the HLL relative standard deviation (default 5%).
+    */
+  def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
-        countDistinct(col(c)).as(s"__dist_$c"),
+        approx_count_distinct(col(c), rsd).as(s"__dist_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
     } :+ count(lit(1)).as("__rows")
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val stacked = cols.map { c =>
-      s"'$c', __rows, __null_$c, __dist_$c, __min_$c, __max_$c"
+      s"'$c', __rows, coalesce(__null_$c, 0L), __dist_$c, __min_$c, __max_$c"
     }.mkString(", ")
     wide.selectExpr(
       s"stack(${cols.size}, $stacked) as " +

@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import scala.collection.mutable
+
+/** Batch job-graph execution — the reference's orchestration spine
+  * (reference: dagster_code/nomba_pipeline/definitions.py:45 wires
+  * extract assets → dbt assets on a 15-minute schedule; Dagster runs
+  * them in dependency order and skips downstream of failures).
+  *
+  * This is DRIVER-side control flow only: each node typically kicks
+  * off a Spark action (write/collect), so the graph's size is "number
+  * of models", never data-sized. Deterministic topological order
+  * (stable by name within a level), bounded retries per node, and
+  * failure propagation: a failed node marks every transitive
+  * dependent Skipped — the Dagster behavior the reference relies on.
+  * The streaming twin (continuous instead of scheduled) is
+  * streaming/EventStream.
+  */
+object Dag {
+
+  final case class Node(name: String, deps: Seq[String] = Nil, run: () => Unit)
+
+  sealed trait Status
+  case object Succeeded extends Status
+  final case class Failed(error: Throwable, attempts: Int) extends Status
+  final case class Skipped(becauseOf: String) extends Status
+
+  /** Deterministic topological order: Kahn's algorithm, ready set
+    * kept sorted by name. Throws on unknown deps or cycles.
+    */
+  def topoOrder(nodes: Seq[Node]): Seq[Node] = {
+    val byName = nodes.map(n => n.name -> n).toMap
+    require(byName.size == nodes.size, "duplicate node names")
+    nodes.foreach(n => n.deps.foreach(d =>
+      require(byName.contains(d), s"node ${n.name} depends on unknown $d")))
+    val remainingDeps = mutable.Map(nodes.map(n => n.name -> n.deps.toSet): _*)
+    val ready = mutable.SortedSet(nodes.filter(_.deps.isEmpty).map(_.name): _*)
+    val out = mutable.ArrayBuffer.empty[Node]
+    while (ready.nonEmpty) {
+      val name = ready.head
+      ready.remove(name)
+      out += byName(name)
+      remainingDeps.remove(name)
+      remainingDeps.foreach { case (n, deps) =>
+        if (deps.contains(name)) {
+          val left = deps - name
+          remainingDeps(n) = left
+          if (left.isEmpty) ready.add(n)
+        }
+      }
+    }
+    require(out.size == nodes.size,
+      s"dependency cycle among: ${remainingDeps.keys.toSeq.sorted.mkString(", ")}")
+    out.toSeq
+  }
+
+  /** Run the graph in topological order. Each node gets up to
+    * `1 + maxRetries` attempts; when a node exhausts them, every
+    * transitive dependent is Skipped (recorded with the root cause's
+    * name) and independent branches keep running.
+    */
+  def run(nodes: Seq[Node], maxRetries: Int = 0): Map[String, Status] = {
+    val status = mutable.Map.empty[String, Status]
+    topoOrder(nodes).foreach { n =>
+      val badDep = n.deps.find(d => status(d) match {
+        case Succeeded => false
+        case _         => true
+      })
+      status(n.name) = badDep match {
+        case Some(d) =>
+          val root = status(d) match {
+            case Skipped(because) => because
+            case _                => d
+          }
+          Skipped(root)
+        case None =>
+          var attempt = 0
+          var result: Status = Succeeded
+          var done = false
+          while (!done) {
+            attempt += 1
+            try { n.run(); result = Succeeded; done = true }
+            catch {
+              case e: Throwable =>
+                if (attempt > maxRetries) { result = Failed(e, attempt); done = true }
+            }
+          }
+          result
+      }
+    }
+    status.toMap
+  }
+}

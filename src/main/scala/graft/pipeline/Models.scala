@@ -55,6 +55,29 @@ object Models {
       from_utc_timestamp(col("ts"), "Africa/Lagos").as("created_at"))
   }
 
+  /** Staging model that CARRIES a soft-delete marker — the exact
+    * shape of the reference's stg_savings_transaction.sql:21, which
+    * selects `deleted_at` through staging (schema.yml: "timestamp
+    * when the record was soft deleted") so marts can filter live
+    * rows. The synthetic events source has no deleted_at column, so
+    * the marker is derived deterministically: 'error' rows are the
+    * tombstones (deleted_at = their event time), all others live.
+    */
+  def stgEventLog(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      col("user_id"),
+      col("event_type"),
+      col("value"),
+      col("ts").as("created_at"),
+      when(col("event_type") === "error", col("ts")).as("deleted_at"))
+
+  /** Live rows of [[stgEventLog]] — the downstream-model view
+    * (reference marts read staging WHERE deleted_at IS NULL).
+    */
+  def stgEventLogActive(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Cdc.softDeleteFilter(stgEventLog(spark, dir), "deleted_at")
+
   /** Denormalized customer dimension: customer ⋈ nation ⋈ region
     * (reference: models/marts/dim_users.sql enriches with display
     * columns — `concat(first_name, ' ', last_name) as full_name`;
