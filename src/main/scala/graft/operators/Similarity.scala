@@ -151,8 +151,10 @@ object Similarity {
     val c = graft.Par.widen(corpus, idCol)
       .select(col(idCol).as("neighbor_id"), Vectors.toDouble(col(vecCol)).as("__cv"))
       .withColumn("__cn", Vectors.norm(col("__cv")))
-    val quantizer = model.getOrElse(
-      trainIvfQuantizer(c.select(col("__cv").as("v")), "v", nlist))
+    // train on the RAW corpus column: its count() is a metadata-only
+    // parquet pass, where counting the projected/converted view above
+    // would force a full decode pass just to size the sample
+    val quantizer = model.getOrElse(trainIvfQuantizer(corpus, vecCol, nlist))
     // corpus rows assigned to their cell (one map pass, no shuffle)
     val assigned = quantizer.transform(c.withColumn("__feat", array_to_vector(col("__cv"))))
       .select(col("__cell"), col("neighbor_id"), col("__cv"), col("__cn"))
