@@ -119,11 +119,13 @@ object EventStream {
         }
         open.foreach { s =>
           state.update(s)
-          // flatMapGroupsWithState does NOT drop late rows, and Spark
-          // throws if the timeout is at/behind the current watermark —
-          // one event later than (watermark - gap) would crash the
-          // query. Clamp to just past the watermark: the session then
-          // closes on the next trigger instead of killing the stream.
+          // Spark throws if this timeout is at/behind the current
+          // watermark. On Spark 4, FlatMapGroupsWithStateExec drops
+          // rows older than the watermark under EventTimeTimeout
+          // (pinned by StreamingSpec), so surviving rows normally
+          // yield horizons ahead of it — the clamp guards any
+          // residual path (e.g. stale restored state) from producing
+          // an old horizon and killing the whole query.
           val horizonMs = s.endUs / 1000 + gapSeconds * 1000
           val wmMs = state.getCurrentWatermarkMs()
           state.setTimeoutTimestamp(math.max(horizonMs, wmMs + 1))

@@ -93,4 +93,27 @@ class StreamingSpec extends SparkSuite {
       (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2L),
       (1L, "2024-01-01 11:00:00.0", "2024-01-01 11:00:00.0", 1L)))
   }
+
+  test("sessions survive an event older than (watermark - gap)") {
+    // sentinel first → watermark ≈ 2024-01-02 11:50; then an event a
+    // full day older arrives. Its natural timeout (end + gap) would be
+    // far behind the watermark. Verified semantics on Spark 4:
+    // FlatMapGroupsWithStateExec DROPS rows older than the watermark
+    // when EventTimeTimeout is set, so the late row never reaches the
+    // session function (no session for user 5) and the query keeps
+    // running — this test pins that down. sessions() additionally
+    // clamps its timeout past the watermark as defense for any path
+    // where stale state would produce an old horizon.
+    val late = Seq(Event(50L, ts("2024-01-01 09:00:00"), 5L, "click", 1.0))
+    // different user, far enough ahead that the sentinel session's
+    // horizon (12:00 + gap) is behind the new watermark (13:50)
+    val tick = Seq(Event(98L, ts("2024-01-02 14:00:00"), 8L, "click", 0.0))
+    val out = runIncremental(
+      df => EventStream.sessions(df, gapSeconds = 1800, watermark = "10 minutes").toDF(),
+      OutputMode.Append(), Seq(sentinel, late, tick))
+    // the query survived all three batches; the late row was dropped,
+    // and the sentinel user's session closed by timeout as normal
+    assert(out.filter("user_id = 5").count() === 0)
+    assert(out.filter("user_id = 9").count() === 1)
+  }
 }
