@@ -227,28 +227,31 @@ object Dedup {
     val base = Par.persistTracked(Par.widen(embs, idCol)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("nrm", Vectors.norm(col("vec"))))
-    val pairs =
-      if (exhaustive) {
-        val a = base.select(col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
-        val b = base.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
-        a.join(b, col("id_a") < col("id_b"))
-      } else {
-        val bucketed = (0 until tables).map { t =>
-          base.select(lit(t).as("table"),
-            Similarity.hyperplaneBucket(col("vec"), planes, t).as("bucket"),
-            col("id"), col("vec"), col("nrm"))
-        }.reduce(_ unionByName _)
-        val a = bucketed.select(col("table"), col("bucket"),
-          col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
-        val b = bucketed.select(col("table"), col("bucket"),
-          col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
-        a.join(b, Seq("table", "bucket")).filter(col("id_a") < col("id_b"))
-          // key-only dedup — no array comparisons in the distinct
-          .dropDuplicates("id_a", "id_b")
-      }
-    pairs
+    def score(pairs: DataFrame): DataFrame = pairs
       .withColumn("cosine", Vectors.dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+    if (exhaustive) {
+      val a = base.select(col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+      val b = base.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
+      score(a.join(b, col("id_a") < col("id_b")))
+    } else {
+      val bucketed = (0 until tables).map { t =>
+        base.select(lit(t).as("table"),
+          Similarity.hyperplaneBucket(col("vec"), planes, t).as("bucket"),
+          col("id"), col("vec"), col("nrm"))
+      }.reduce(_ unionByName _)
+      val a = bucketed.select(col("table"), col("bucket"),
+        col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+      val b = bucketed.select(col("table"), col("bucket"),
+        col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
+      // score INSIDE the bucket join (cheap codegen'd dot per
+      // occurrence), THEN dedup the surviving (id_a, id_b, cosine)
+      // triples — the multi-table dedup shuffle moves ~24-byte rows,
+      // never the embedding vectors (measured: carrying two 64-dim
+      // vectors through dropDuplicates shuffled ~1 KB/row)
+      score(a.join(b, Seq("table", "bucket")).filter(col("id_a") < col("id_b")))
+        .dropDuplicates("id_a", "id_b")
+    }
   }
 }

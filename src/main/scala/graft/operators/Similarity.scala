@@ -204,13 +204,14 @@ object Similarity {
     }
     val c = bucketed(graft.Par.widen(corpus, idCol), idCol, "neighbor_id", "__cv", "__cn")
     val q = bucketed(queries, queryIdCol, "query_id", "__qv", "__qn")
-    val candidates = c.join(q, Seq("table", "bucket"))
+    // score inside the bucket join, then dedup the (query, neighbor,
+    // cosine) triples — the cross-table dedup shuffle never carries
+    // the embedding vectors (same trick as Dedup.embeddingCosine)
+    val scored = c.join(q, Seq("table", "bucket"))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
-      .select(col("query_id"), col("neighbor_id"), col("__cv"), col("__qv"), col("__cn"), col("__qn"))
-      .dropDuplicates("query_id", "neighbor_id")
-    val scored = candidates
       .select(col("query_id"), col("neighbor_id"),
         (Vectors.dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn"))).as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
     topKPerQuery(scored, k)
   }
 }
