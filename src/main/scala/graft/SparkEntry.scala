@@ -245,6 +245,24 @@ object SparkEntry {
           threshold = 0.45, exhaustive = false, planes = 4, tables = 12)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ---- multimodal (§2.5) ----
+    // document text as an opaque binary asset through the REAL
+    // multimodal batch path (mapPartitions feature extraction);
+    // n_bytes + byte entropy are codec-free and oracle-comparable
+    // (rounded: the two engines sum -p·log2(p) in different orders)
+    "multimodal_features" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(
+          col("doc_id").as("media_id"), lit("text").as("media_type"),
+          col("text").cast("binary").as("content"),
+          lit(0).as("width"), lit(0).as("height"), lit(0L).as("duration_ms"))
+        .as[graft.multimodal.MediaRow]
+      graft.multimodal.Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("n_bytes"),
+          round(col("byte_entropy"), 6).as("byte_entropy"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- similarity search (§2.5) ----
     // IVF path (KMeans quantizer not DuckDB-expressible → rows-only)
     "ann_ivf_topk" -> ((s, d) => {
@@ -624,6 +642,20 @@ object SparkEntry {
                   SELECT doc_id, string_split($norm, ' ') AS words FROM documents)))
             ORDER BY doc_id"""
       },
+
+      "multimodal_features" ->
+        """WITH idx AS (
+             SELECT doc_id, hex(encode(text)) AS hx,
+                    unnest(generate_series(1, octet_length(encode(text)))) AS i
+             FROM documents),
+           ent AS (
+             SELECT doc_id, round(entropy(substring(hx, 2*i - 1, 2)), 6) AS byte_entropy
+             FROM idx GROUP BY doc_id)
+           SELECT d.doc_id AS media_id,
+                  CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+                  coalesce(e.byte_entropy, 0.0) AS byte_entropy
+           FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
+           ORDER BY media_id""",
 
       "dedup_exact" ->
         s"""SELECT md5($norm) AS content_hash,

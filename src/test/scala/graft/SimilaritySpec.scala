@@ -65,6 +65,13 @@ class SimilaritySpec extends SparkSuite {
     val out = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
       "vec_id", k, nlist = 8, nprobe = 4).collect()
     assert(out.forall(_.getInt(3) <= k))
+    // a pre-trained quantizer is reusable across calls (train once per
+    // corpus version, probe many times) and reproduces the same result
+    val model = Similarity.trainIvfQuantizer(corpus, "embedding", nlist = 8)
+    val reused = pairs(Similarity.ivfTopK(corpus, queries,
+      "vec_id", "embedding", "vec_id", k, nlist = 8, nprobe = 4,
+      model = Some(model)))
+    assert(reused === ivf)
   }
 
   test("hyperplaneBucket is deterministic across evaluations") {
