@@ -67,17 +67,23 @@ object Dedup {
     // persisted: both sides of the gram self-join read this
     val ex = Par.persistTracked(
       if (maxDocFreq > 0) {
-        // shingles are distinct per doc, so count-over-gram = doc freq.
-        // Two in-place window passes (df filter on gram, then per-doc
-        // recount over the high-cardinality id) — cheaper than an
-        // aggregate + anti-join, which would shuffle the exploded
-        // stream a second time.
-        val wG = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
-        val wI = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-        ex0.withColumn("__df", count(lit(1)).over(wG))
-          .filter(col("__df") <= maxDocFreq)
-          .withColumn("sh_count", count(lit(1)).over(wI))
-          .drop("__df")
+        // shingles are distinct per doc, so count-per-gram = doc freq.
+        // The df MUST come from a groupBy (map-side partial agg): a
+        // window over gram would funnel every occurrence of a hot
+        // gram through one reducer — windows aren't AQE-split, so
+        // that re-creates the very hotspot the cap bounds. The hot
+        // set is tiny in real corpora (≤ total_shingles / cap), so
+        // AQE broadcasts the anti-join; the per-doc recount windows
+        // over the high-cardinality doc id (bounded by max doc size).
+        val base = Par.persistTracked(ex0)
+        val hot = base.groupBy(col("gram"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDocFreq)
+          .select(col("gram"))
+        base.join(hot, Seq("gram"), "left_anti")
+          .withColumn("sh_count",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("id"))))
       } else ex0)
     val a = ex.select(col("id").as("id_a"), col("sh_count").as("cnt_a"), col("gram"))
     val b = ex.select(col("id").as("id_b"), col("sh_count").as("cnt_b"), col("gram"))
