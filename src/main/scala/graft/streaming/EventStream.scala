@@ -82,6 +82,18 @@ object EventStream {
     ensureWatermark(events, watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: join the event stream to a batch
+    * dimension — the reference's fact build (fact_savings_transaction
+    * LEFT JOIN dim_savings_plan), run continuously. Stream-static
+    * joins keep NO state: every microbatch equi-joins against the
+    * static side (broadcast when small, shuffle otherwise — same
+    * AQE-decided policy as the batch models), and the static plan is
+    * re-resolved per batch, so a refreshed dim parquet is picked up
+    * without restarting the query.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: Seq[String]): DataFrame =
+    events.join(dim, key, "left")
+
   /** Stateful gap sessionization via flatMapGroupsWithState — the
     * streaming twin of `Sessionize.byGap`. State per user holds the
     * open session; a session closes (and is emitted) when a new event

@@ -94,6 +94,16 @@ class StreamingSpec extends SparkSuite {
       (1L, "2024-01-01 11:00:00.0", "2024-01-01 11:00:00.0", 1L)))
   }
 
+  test("enrich joins each microbatch against a static dimension") {
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val out = runIncremental(EventStream.enrich(_, dim, Seq("user_id")),
+      OutputMode.Append(), Seq(baseEvents, sentinel))
+    val tiers = out.collect().map(r => r.getAs[Long]("user_id") ->
+      Option(r.getAs[String]("tier"))).toSet
+    // both batches enriched; unmatched keys survive the left join
+    assert(tiers === Set(1L -> Some("gold"), 2L -> Some("silver"), 9L -> None))
+  }
+
   test("sessions survive an event older than (watermark - gap)") {
     // sentinel first → watermark ≈ 2024-01-02 11:50; then an event a
     // full day older arrives. Its natural timeout (end + gap) would be
