@@ -206,6 +206,12 @@ object SparkEntry {
       Tables.documents(s, d)
         .select(col("doc_id"), functions.Text.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
+    // rolling 64-bit content fingerprint (xxhash64 arithmetic is not
+    // DuckDB-portable → rows-only; TextSpec pins the semantics)
+    "doc_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), functions.Text.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))),
 
     // ---- dedup (§2.5) ----
     "dedup_exact" -> ((s, d) =>
@@ -277,6 +283,16 @@ object SparkEntry {
       val embs = Tables.embeddings(s, d)
       val queries = embs.filter(col("vec_id") < 5)
       Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", "vec_id", k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // hyperplane-LSH ANN path (bucket hashes not DuckDB-portable →
+    // rows-only; SimilaritySpec asserts recall ≥0.6 vs brute force)
+    "ann_lsh_topk" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val queries = embs.filter(col("vec_id") < 5)
+      Similarity.lshTopK(embs, queries, "vec_id", "embedding", "vec_id",
+          k = 10, planes = 8, tables = 4)
         .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     })
