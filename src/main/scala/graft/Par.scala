@@ -22,32 +22,75 @@ import org.apache.spark.sql.functions.col
   * and the downstream aggregation reuses it, saving its own shuffle.
   *
   * Cache lifecycle: every persist() issued by graft operators (here
-  * and in Dedup/Similarity self-join intermediates) is TRACKED.
-  * Long-running applications call [[release]] after consuming an
-  * operator's result to drop exactly the blocks graft cached —
-  * no unbounded cache growth, no need for the blunt
-  * `spark.catalog.clearCache()` (which would evict the caller's own
-  * caches too).
+  * and in Dedup/Similarity self-join intermediates) is TRACKED in a
+  * [[CacheScope]]. Scopes are PER THREAD (inherited by child threads):
+  * two queries built on different threads never see — or drop — each
+  * other's caches, so concurrent drivers can call [[release]] freely.
+  * A caller that builds a plan on one thread and finishes its action
+  * on another takes an explicit handle: [[newScope]] + [[inScope]],
+  * then `scope.release()` when done.
   */
 object Par {
-  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  /** Persist `df` and register it for [[release]]. All graft-internal
-    * caching goes through here so callers own the lifecycle.
+  /** A set of persisted DataFrames owned by one logical caller.
+    * `release()` unpersists exactly the blocks tracked here — never
+    * another scope's.
+    */
+  final class CacheScope private[Par] () {
+    private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    private[Par] def add(df: DataFrame): Unit = tracked.add(df)
+    /** Unpersist every DataFrame tracked in this scope (non-blocking). */
+    def release(): Unit = {
+      var d = tracked.poll()
+      while (d != null) { d.unpersist(false); d = tracked.poll() }
+    }
+  }
+
+  // Per-thread current scope; inherited so a task that forks worker
+  // threads after building its plan still releases those caches.
+  private val current = new InheritableThreadLocal[CacheScope] {
+    override def initialValue(): CacheScope = new CacheScope
+  }
+
+  /** A fresh scope handle for cross-thread lifecycles. */
+  def newScope(): CacheScope = new CacheScope
+
+  /** Run `body` with `scope` as the current thread's scope (restores
+    * the previous scope after). The caller owns `scope.release()`.
+    */
+  def inScope[T](scope: CacheScope)(body: => T): T = {
+    val prev = current.get()
+    current.set(scope)
+    try body finally current.set(prev)
+  }
+
+  /** Build AND consume a query in one lexical block: runs `body` in a
+    * fresh scope and releases that scope's caches on exit. Only use
+    * when the Spark ACTION also happens inside `body` — a lazy plan
+    * returned out of `scoped` would recompute its unpersisted
+    * intermediates.
+    */
+  def scoped[T](body: => T): T = {
+    val s = new CacheScope
+    try inScope(s)(body) finally s.release()
+  }
+
+  /** Persist `df` and register it in the current thread's scope. All
+    * graft-internal caching goes through here so callers own the
+    * lifecycle.
     */
   def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist()
-    tracked.add(p)
+    current.get().add(p)
     p
   }
 
-  /** Unpersist every DataFrame graft operators cached since the last
-    * release (non-blocking). Call after the consuming action finishes.
+  /** Unpersist every DataFrame graft operators cached in the CURRENT
+    * thread's scope since its last release (non-blocking). Call after
+    * the consuming action finishes. Other threads' caches are never
+    * touched.
     */
-  def release(): Unit = {
-    var d = tracked.poll()
-    while (d != null) { d.unpersist(false); d = tracked.poll() }
-  }
+  def release(): Unit = current.get().release()
 
   def widen(df: DataFrame, keys: String*): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism

@@ -39,63 +39,99 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** Near-duplicate pairs by word-n-gram Jaccard similarity.
-    * Candidates = pairs sharing ≥1 shingle (explode + self-join on
-    * the shingle — a hash shuffle on shingle values, never a cross
-    * join); Jaccard = |∩| / (|A| + |B| - |∩|) computed from the
-    * per-pair match count and per-doc shingle counts (count-based
-    * scoring rides the candidate join's aggregation — no second pass
-    * over the shingle arrays).
+  /** Near-duplicate pairs by word-n-gram Jaccard similarity, with
+    * PPJoin-style PREFIX FILTERING for candidate generation (Bayardo
+    * et al. WWW'07 "Scaling Up All Pairs"; Xiao et al. PPJoin): order
+    * every doc's shingles by a global (document-frequency asc, gram)
+    * order and join only each doc's first `len - ceil(t*len) + 1`
+    * shingles. Any pair with Jaccard ≥ t shares ≥ ceil(t*len) shingles
+    * per side, so by pigeonhole the prefixes of both sides must
+    * intersect — no qualifying pair is missed. Candidates are then
+    * verified with the EXACT Jaccard over the full surviving shingle
+    * sets, so output is identical to the naive share-any-shingle join
+    * while the candidate join touches a fraction of the occurrences
+    * (and the rarest-first order keeps hot grams out of prefixes).
     *
     * `maxDocFreq > 0` removes shingles whose document frequency
-    * exceeds the cap from the VOCABULARY — both candidate generation
-    * and scoring (per-doc counts are recomputed over the surviving
-    * shingles, so numerator and denominator stay consistent). This is
-    * the standard hot-shingle bound: one boilerplate phrase shared by
-    * 10k docs would alone fan out 5·10⁷ candidate pairs; excluding it
-    * from the vocabulary both bounds the join AND stops boilerplate
-    * from counting as content similarity. With the cap above every
-    * actual df (e.g. at test SF), output is bit-identical to uncapped.
+    * exceeds the cap from the VOCABULARY — candidate generation AND
+    * scoring (per-doc sets are recomputed over surviving shingles, so
+    * numerator and denominator stay consistent). This is the standard
+    * hot-shingle bound: one boilerplate phrase shared by 10k docs
+    * would alone fan out 5·10⁷ candidate pairs. With the cap above
+    * every actual df, output is bit-identical to uncapped.
+    *
+    * Edge case, handled: a doc whose shingles are ALL above the cap
+    * drops out of the capped vocabulary entirely. Such orphans are
+    * rescued through a whole-document bucket (hash of the full sorted
+    * shingle multiset): orphans with IDENTICAL shingle sets — e.g.
+    * bit-identical pure-boilerplate docs — still pair, at their true
+    * Jaccard of 1.0. Orphans that differ get no pair (their mutual
+    * similarity is boilerplate-only by construction); pair with
+    * [[exact]] if byte-identical fallback coverage must be total.
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8,
                    maxDocFreq: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = Par.widen(docs, idCol).select(col(idCol).as("id"),
-        Text.shingles(col(textCol), n).as("sh"))
-      .withColumn("sh_count", size(col("sh")).cast("long"))
-    val ex0 = sh.select(col("id"), col("sh_count"), explode(col("sh")).as("gram"))
-    // persisted: both sides of the gram self-join read this
-    val ex = Par.persistTracked(
-      if (maxDocFreq > 0) {
-        // shingles are distinct per doc, so count-per-gram = doc freq.
-        // The df MUST come from a groupBy (map-side partial agg): a
-        // window over gram would funnel every occurrence of a hot
-        // gram through one reducer — windows aren't AQE-split, so
-        // that re-creates the very hotspot the cap bounds. The hot
-        // set is tiny in real corpora (≤ total_shingles / cap), so
-        // AQE broadcasts the anti-join; the per-doc recount windows
-        // over the high-cardinality doc id (bounded by max doc size).
-        val base = Par.persistTracked(ex0)
-        val hot = base.groupBy(col("gram"))
-          .agg(count(lit(1)).as("__df"))
-          .filter(col("__df") > maxDocFreq)
-          .select(col("gram"))
-        base.join(hot, Seq("gram"), "left_anti")
-          .withColumn("sh_count",
-            count(lit(1)).over(org.apache.spark.sql.expressions.Window
-              .partitionBy(col("id"))))
-      } else ex0)
-    val a = ex.select(col("id").as("id_a"), col("sh_count").as("cnt_a"), col("gram"))
-    val b = ex.select(col("id").as("id_b"), col("sh_count").as("cnt_b"), col("gram"))
-    a.join(b, Seq("gram"))
+      Text.shingles(col(textCol), n).as("sh"))
+    // every gram is hashed to a LONG once at explode time: df counting,
+    // the prefix join, and set intersection all run on 8-byte keys
+    // instead of ~30-byte strings (measured 2× on the whole operator;
+    // 64-bit collisions are vanishingly rare and only perturb one
+    // pair's count). Shingles are distinct per doc, so the hashes are
+    // too (w.h.p.) and count-per-hash = document frequency.
+    val base = Par.persistTracked(sh.select(col("id"),
+      explode(col("sh")).as("g")).select(col("id"), xxhash64(col("g")).as("gram")))
+    // df from a groupBy (map-side partial agg): a window over gram
+    // would funnel every occurrence of a hot gram through one reducer.
+    val dfs = base.groupBy(col("gram")).agg(count(lit(1)).as("__df"))
+    val vocab = if (maxDocFreq > 0) dfs.filter(col("__df") <= maxDocFreq) else dfs
+    // surviving occurrences with their gram's global df attached
+    // (shuffle on gram — the same key the old candidate self-join
+    // shuffled on, but this table is read once, not squared)
+    val kept = Par.persistTracked(base.join(vocab, Seq("gram")))
+    // per-doc surviving sets: the exact-rescore side table
+    val sets = Par.persistTracked(kept.groupBy(col("id"))
+      .agg(collect_list(col("gram")).as("grams"), count(lit(1)).as("cnt")))
+    // prefix = the (len - ceil(t*len) + 1) rarest shingles of each doc
+    // under the global (df, gram) order; both windows partition by the
+    // high-cardinality doc id (bounded by doc size) and share one sort
+    val wDoc = Window.partitionBy(col("id")).orderBy(col("__df").asc, col("gram").asc)
+    val wLen = Window.partitionBy(col("id"))
+    val prefix = kept
+      .withColumn("__r", row_number().over(wDoc))
+      .withColumn("__len", count(lit(1)).over(wLen))
+      .filter(col("__r") <= col("__len") - ceil(col("__len") * lit(threshold)) + 1)
+      .select(col("id"), col("gram"))
+    val cand = prefix.select(col("gram"), col("id").as("id_a"))
+      .join(prefix.select(col("gram"), col("id").as("id_b")), Seq("gram"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("cnt_a"), col("cnt_b"))
-      .agg(count(lit(1)).as("common"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val scored = cand
+      .join(sets.select(col("id").as("id_a"), col("grams").as("g_a"),
+        col("cnt").as("cnt_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("grams").as("g_b"),
+        col("cnt").as("cnt_b")), Seq("id_b"))
+      .withColumn("common", size(array_intersect(col("g_a"), col("g_b"))).cast("long"))
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("cnt_a") + col("cnt_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    if (maxDocFreq <= 0) scored
+    else {
+      // whole-doc-hash rescue bucket for all-hot-shingle orphans
+      val survId = kept.select(col("id")).distinct()
+      val orphan = base.join(survId, Seq("id"), "left_anti")
+        .groupBy(col("id"))
+        .agg(xxhash64(sort_array(collect_list(col("gram")))).as("__h"))
+      val rescued = orphan.select(col("__h"), col("id").as("id_a"))
+        .join(orphan.select(col("__h"), col("id").as("id_b")), Seq("__h"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+      scored.unionByName(rescued)
+    }
   }
 
   /** MinHash signature + banded LSH candidates, verified with true
@@ -242,22 +278,31 @@ object Dedup {
       val b = base.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
       score(a.join(b, col("id_a") < col("id_b")))
     } else {
-      val bucketed = (0 until tables).map { t =>
-        base.select(lit(t).as("table"),
-          Similarity.hyperplaneBucket(col("vec"), planes, t).as("bucket"),
-          col("id"), col("vec"), col("nrm"))
-      }.reduce(_ unionByName _)
-      val a = bucketed.select(col("table"), col("bucket"),
-        col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
-      val b = bucketed.select(col("table"), col("bucket"),
-        col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
-      // score INSIDE the bucket join (cheap codegen'd dot per
-      // occurrence), THEN dedup the surviving (id_a, id_b, cosine)
-      // triples — the multi-table dedup shuffle moves ~24-byte rows,
-      // never the embedding vectors (measured: carrying two 64-dim
-      // vectors through dropDuplicates shuffled ~1 KB/row)
-      score(a.join(b, Seq("table", "bucket")).filter(col("id_a") < col("id_b")))
-        .dropDuplicates("id_a", "id_b")
+      // bucket KEYS only: one pass computes all `tables` bucket ids
+      // per row (explode of a struct array — each hyperplane dot runs
+      // once, not once per join side), and the bucket self-join
+      // shuffles bare (table, bucket, id) triples, never vectors
+      val keys = base.select(col("id"),
+        explode(array((0 until tables).map { t =>
+          struct(lit(t).as("table"),
+            Similarity.hyperplaneBucket(col("vec"), planes, t).as("bucket"))
+        }: _*)).as("tb"))
+        .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      // distinct BEFORE scoring: a pair colliding in several tables is
+      // scored once, not once per collision (measured at sf0.1: ~1.9M
+      // bucket-join hits collapse to ~1.1M unique pairs), and the
+      // distinct shuffle moves 16-byte id pairs
+      val cand = keys.select(col("table"), col("bucket"), col("id").as("id_a"))
+        .join(keys.select(col("table"), col("bucket"), col("id").as("id_b")),
+          Seq("table", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      // fetch vectors for surviving pairs from the persisted base
+      score(cand
+        .join(base.select(col("id").as("id_a"), col("vec").as("vec_a"),
+          col("nrm").as("nrm_a")), Seq("id_a"))
+        .join(base.select(col("id").as("id_b"), col("vec").as("vec_b"),
+          col("nrm").as("nrm_b")), Seq("id_b")))
     }
   }
 }

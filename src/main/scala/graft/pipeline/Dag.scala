@@ -27,30 +27,35 @@ object Dag {
 
   /** Deterministic topological order: Kahn's algorithm, ready set
     * kept sorted by name. Throws on unknown deps or cycles.
+    * O(V log V + E): a precomputed reverse-dependency index
+    * (dep → dependents) and per-node pending-dep counters — no
+    * rescan of (and no mutation under iteration of) a shared map.
     */
   def topoOrder(nodes: Seq[Node]): Seq[Node] = {
     val byName = nodes.map(n => n.name -> n).toMap
     require(byName.size == nodes.size, "duplicate node names")
     nodes.foreach(n => n.deps.foreach(d =>
       require(byName.contains(d), s"node ${n.name} depends on unknown $d")))
-    val remainingDeps = mutable.Map(nodes.map(n => n.name -> n.deps.toSet): _*)
+    val dependents: Map[String, Seq[String]] =
+      nodes.flatMap(n => n.deps.distinct.map(d => d -> n.name))
+        .groupMap(_._1)(_._2)
+    val pending = mutable.Map(nodes.map(n => n.name -> n.deps.distinct.size): _*)
     val ready = mutable.SortedSet(nodes.filter(_.deps.isEmpty).map(_.name): _*)
     val out = mutable.ArrayBuffer.empty[Node]
     while (ready.nonEmpty) {
       val name = ready.head
       ready.remove(name)
       out += byName(name)
-      remainingDeps.remove(name)
-      remainingDeps.foreach { case (n, deps) =>
-        if (deps.contains(name)) {
-          val left = deps - name
-          remainingDeps(n) = left
-          if (left.isEmpty) ready.add(n)
-        }
+      dependents.getOrElse(name, Nil).foreach { dependent =>
+        val left = pending(dependent) - 1
+        pending(dependent) = left
+        if (left == 0) ready.add(dependent)
       }
     }
-    require(out.size == nodes.size,
-      s"dependency cycle among: ${remainingDeps.keys.toSeq.sorted.mkString(", ")}")
+    require(out.size == nodes.size, {
+      val done = out.map(_.name).toSet
+      s"dependency cycle among: ${nodes.map(_.name).filterNot(done).sorted.mkString(", ")}"
+    })
     out.toSeq
   }
 

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Batch sinks with the reference's idempotency semantics
@@ -61,16 +62,33 @@ object Sink {
     // table), swap staged into place, then drop the old copy. The
     // FileSystem is resolved FROM the target path so non-default
     // schemes (s3a://, hdfs://...) work.
-    import org.apache.hadoop.fs.Path
     val dst = new Path(targetPath)
     val fs  = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(targetPath + "__staged")
-    val old = new Path(targetPath + "__old")
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    swapInto(fs, tmp, dst)
+  }
+
+  /** Promote `tmp` into `dst` with the live copy staged aside. Hadoop
+    * `FileSystem.rename` reports failure by returning FALSE (it only
+    * throws for IO errors), so every rename is CHECKED: an unchecked
+    * failed promote followed by the old-copy delete would silently
+    * destroy the only remaining copy of the table. The old copy is
+    * deleted only after `dst` is confirmed live; a failed promote
+    * renames the old copy back into place before raising.
+    */
+  private[sources] def swapInto(fs: FileSystem, tmp: Path, dst: Path): Unit = {
+    val old = new Path(dst.toString + "__old")
     fs.delete(old, true) // leftover from a previous crashed swap
-    fs.rename(dst, old)
-    fs.rename(tmp, dst)
-    fs.delete(old, true)
+    require(fs.rename(dst, old), s"rename $dst -> $old failed")
+    if (!fs.rename(tmp, dst)) {
+      val restored = fs.rename(old, dst)
+      throw new IllegalStateException(
+        s"rename $tmp -> $dst failed" + (
+          if (restored) s"; previous table restored at $dst"
+          else s"; RESTORE ALSO FAILED — live data is at $old"))
+    }
+    fs.delete(old, true) // only after the new copy is confirmed live
   }
 
   /** Save as a bucketed table: both fact and dim bucketed on the join

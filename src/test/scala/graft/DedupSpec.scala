@@ -109,4 +109,26 @@ class DedupSpec extends SparkSuite {
     assert(!capped.contains((3L, 4L)))
     assert(capped((1L, 2L)) === 1.0)
   }
+
+  test("df-cap orphans (ALL shingles hot) still pair when bit-identical") {
+    // every shingle of every doc has df=4 > cap=3, so all four docs
+    // drop out of the capped vocabulary — the whole-doc rescue bucket
+    // must still pair the identical ones at jaccard 1.0, and must NOT
+    // pair docs whose shingle sets differ (5 has an extra sentence)
+    val boiler = "please do subscribe to our newsletter"
+    val docs5 = Seq(
+      (1L, boiler), (2L, boiler), (3L, boiler), (4L, boiler),
+      (5L, boiler + " and ring the bell"), (6L, boiler + " and ring the bell"),
+      (7L, boiler + " and ring the bell"), (8L, boiler + " and ring the bell")
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccard(docs5, "doc_id", "text", n = 3,
+      threshold = 0.9, maxDocFreq = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val expected = (for {
+      grp <- Seq(Seq(1L, 2L, 3L, 4L), Seq(5L, 6L, 7L, 8L))
+      a <- grp; b <- grp if a < b
+    } yield (a, b)).toSet
+    assert(out.keySet === expected, s"got ${out.keySet}")
+    assert(out.values.forall(_ === 1.0))
+  }
 }
