@@ -104,10 +104,19 @@ object Dedup {
       .withColumn("__len", count(lit(1)).over(wLen))
       .filter(col("__r") <= col("__len") - ceil(col("__len") * lit(threshold)) + 1)
       .select(col("id"), col("gram"))
+    // explicit keyed repartition before the pair-distinct: the
+    // candidate join's INPUT is small, so AQE would otherwise coalesce
+    // the pair-space (join output) down to one task; a user
+    // repartition pins the width and distinct + the rescore joins
+    // reuse the partitioning
+    val width = docs.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
+      .map(_.toInt).getOrElse(docs.sparkSession.sparkContext.defaultParallelism)
     val cand = prefix.select(col("gram"), col("id").as("id_a"))
       .join(prefix.select(col("gram"), col("id").as("id_b")), Seq("gram"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+      .select(col("id_a"), col("id_b"))
+      .repartition(width, col("id_a"), col("id_b"))
+      .distinct()
     val scored = cand
       .join(sets.select(col("id").as("id_a"), col("grams").as("g_a"),
         col("cnt").as("cnt_a")), Seq("id_a"))
@@ -278,6 +287,7 @@ object Dedup {
       val b = base.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
       score(a.join(b, col("id_a") < col("id_b")))
     } else {
+      val spark = embs.sparkSession
       // bucket KEYS only: one pass computes all `tables` bucket ids
       // per row (explode of a struct array — each hyperplane dot runs
       // once, not once per join side), and the bucket self-join
@@ -288,16 +298,35 @@ object Dedup {
             Similarity.hyperplaneBucket(col("vec"), planes, t).as("bucket"))
         }: _*)).as("tb"))
         .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      // SALT the join key: (table, bucket) has only tables·2^planes
+      // distinct values, so an unsalted join hands entire buckets to
+      // single reducers — and AQE, seeing tiny INPUT bytes, coalesces
+      // the pair-GENERATING join down to one task (measured at sf0.1:
+      // the whole candidate pipeline ran single-threaded, 16 s). Side
+      // a keeps one salt derived from its id; side b is replicated
+      // across all salts, so each pair still matches exactly once.
+      val salts = math.max(1, math.min(64, spark.sparkContext.defaultParallelism))
+      val a = keys.withColumn("salt", pmod(xxhash64(col("id")), lit(salts.toLong)))
+        .select(col("table"), col("bucket"), col("salt"), col("id").as("id_a"))
+      val b = keys.select(col("table"), col("bucket"), col("id").as("id_b"))
+        .withColumn("salt", explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
       // distinct BEFORE scoring: a pair colliding in several tables is
-      // scored once, not once per collision (measured at sf0.1: ~1.9M
+      // scored once, not once per collision (measured at sf0.1: ~1.6M
       // bucket-join hits collapse to ~1.1M unique pairs), and the
-      // distinct shuffle moves 16-byte id pairs
-      val cand = keys.select(col("table"), col("bucket"), col("id").as("id_a"))
-        .join(keys.select(col("table"), col("bucket"), col("id").as("id_b")),
-          Seq("table", "bucket"))
+      // distinct shuffle moves 16-byte id pairs. The explicit keyed
+      // repartition pins the pair-space parallelism (AQE honors a
+      // user repartition) — distinct and scoring reuse it, no extra
+      // shuffle.
+      val width = spark.conf.getOption("spark.sql.shuffle.partitions")
+        .map(_.toInt).getOrElse(spark.sparkContext.defaultParallelism)
+      val cand = a.join(b, Seq("table", "bucket", "salt"))
         .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
+        .select(col("id_a"), col("id_b"))
+        .repartition(width, col("id_a"), col("id_b"))
+        .distinct()
       // fetch vectors for surviving pairs from the persisted base
+      // (small at test SF → AQE broadcasts; at scale it degrades to a
+      // hash join on id, never all-pairs)
       score(cand
         .join(base.select(col("id").as("id_a"), col("vec").as("vec_a"),
           col("nrm").as("nrm_a")), Seq("id_a"))
