@@ -37,6 +37,63 @@ object SparkEntry {
     "events_sessions" -> ((s, d) =>
       Sessionize.byGap(Tables.events(s, d), "user_id", "ts", 1800L)
         .orderBy(col("user_id"), col("session_seq"))),
+    "q18_large_orders" -> ((s, d) => Analytics.q18LargeOrders(s, d)),
+    "events_rolling" -> ((s, d) => Analytics.eventsRolling(s, d)),
+
+    // ---- temporal joins (§2.4b) ----
+    // as-of BACKWARD: each purchase gets the user's latest view
+    // at-or-before it (single shuffle on user_id — never a range join)
+    "asof_last_view" -> ((s, d) => {
+      val ev = eventCols(Tables.events(s, d))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      AsOf.backward(purchases, views, Seq("user_id"), "ts", "ts",
+          Seq("event_id", "ts"), "view_")
+        .orderBy(col("event_id"))
+    }),
+    // as-of FORWARD: each purchase gets the user's next error after it
+    "asof_next_error" -> ((s, d) => {
+      val ev = eventCols(Tables.events(s, d))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      AsOf.forward(purchases, errors, Seq("user_id"), "ts", "ts",
+          Seq("event_id", "ts"), "err_")
+        .orderBy(col("event_id"))
+    }),
+    // bucketed interval join: events → containing session, counted per
+    // session (equi-join on (user, time-bucket) + exact containment)
+    "range_join_sessions" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val sessions = Sessionize.byGap(Tables.events(s, d), "user_id", "ts", 1800L)
+        .select(col("user_id"), col("session_seq"),
+          col("session_start"), col("session_end"))
+      RangeJoin.pointInInterval(ev, sessions, Seq("user_id"), "ts",
+          "session_start", "session_end", bucketSeconds = 1800L)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_in_session"))
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+    // banded dim join: orders priced into fixed tiers (broadcast
+    // non-equi join against a FIXED-cardinality band table)
+    "band_join_price" -> ((s, d) => {
+      import s.implicits._
+      val bands = Seq(
+        ("tier_0_100k", 0.0, 100000.0),
+        ("tier_100_200k", 100000.0, 200000.0),
+        ("tier_200_300k", 200000.0, 300000.0),
+        ("tier_300k_plus", 300000.0, 1e15)).toDF("price_tier", "lo", "hi")
+      RangeJoin.bandJoin(
+          Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+          bands, "o_totalprice", "lo", "hi")
+        .groupBy(col("price_tier"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total_price"))
+        .orderBy(col("price_tier"))
+    }),
 
     // ---- CDC / ELT core (§2.1) ----
     // filter in the STORED nanos domain so the cutoff reaches the
@@ -381,6 +438,80 @@ object SparkEntry {
              count(*) AS n_events
            FROM numbered GROUP BY user_id, session_seq
            ORDER BY user_id, session_seq""",
+
+      "q18_large_orders" ->
+        """SELECT c_name, o_custkey AS customer_id, o_orderkey AS order_id,
+             o_orderdate AS order_date, o_totalprice AS total_price,
+             CAST(total_qty AS DOUBLE) AS total_qty
+           FROM orders
+           JOIN (SELECT l_orderkey,
+                   sum(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+                 FROM lineitem GROUP BY 1 HAVING total_qty > 250) big
+             ON o_orderkey = big.l_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           ORDER BY order_id""",
+
+      "events_rolling" ->
+        """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_value
+           FROM events ORDER BY user_id, ts, event_id""",
+
+      "asof_last_view" ->
+        """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+             v.event_id AS view_event_id, CAST(v.ts AS TIMESTAMP) AS view_ts
+           FROM (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'purchase') p
+           ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'view') v
+             ON p.user_id = v.user_id AND p.ts >= v.ts
+           ORDER BY p.event_id""",
+
+      "asof_next_error" ->
+        """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+             e.event_id AS err_event_id, CAST(e.ts AS TIMESTAMP) AS err_ts
+           FROM (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'purchase') p
+           ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'error') e
+             ON p.user_id = e.user_id AND p.ts <= e.ts
+           ORDER BY p.event_id""",
+
+      "range_join_sessions" ->
+        """WITH flagged AS (
+             SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                 OR date_diff('second', lag(CAST(ts AS TIMESTAMP)) OVER w, CAST(ts AS TIMESTAMP)) > 1800
+               THEN 1 ELSE 0 END AS new_session
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+           ), numbered AS (
+             SELECT user_id, ts,
+               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+             FROM flagged
+           ), sessions AS (
+             SELECT user_id, session_seq,
+               min(ts) AS session_start, max(ts) AS session_end
+             FROM numbered GROUP BY user_id, session_seq)
+           SELECT e.user_id, s.session_seq, count(*) AS n_in_session
+           FROM events e JOIN sessions s
+             ON e.user_id = s.user_id
+            AND CAST(e.ts AS TIMESTAMP) BETWEEN s.session_start AND s.session_end
+           GROUP BY e.user_id, s.session_seq
+           ORDER BY e.user_id, s.session_seq""",
+
+      "band_join_price" ->
+        """SELECT price_tier, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+           FROM orders
+           JOIN (VALUES ('tier_0_100k', 0, 100000),
+                        ('tier_100_200k', 100000, 200000),
+                        ('tier_200_300k', 200000, 300000),
+                        ('tier_300k_plus', 300000, 1000000000000000)) b(price_tier, lo, hi)
+             ON o_totalprice >= lo AND o_totalprice < hi
+           GROUP BY price_tier ORDER BY price_tier""",
 
       "q4_returned_priority" ->
         """SELECT o_orderpriority, count(*) AS n_orders

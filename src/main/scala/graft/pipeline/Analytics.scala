@@ -175,6 +175,46 @@ object Analytics {
         count(lit(1)).as("n_customers"))
       .orderBy(col("c_mktsegment"))
 
+  /** TPC-H Q18 shape: groupBy-HAVING subquery (orders whose line
+    * quantity total exceeds a threshold) joined back to orders and
+    * customer. The HAVING agg and the join shuffle on the SAME key
+    * (orderkey), so the exchange is reused; customer join is left to
+    * AQE (data-proportional side).
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec2(col("l_quantity"))).as("total_qty"))
+      .filter(col("total_qty") > 250)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    o.join(big, o("o_orderkey") === big("l_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_name"), col("o_custkey").as("customer_id"),
+        col("o_orderkey").as("order_id"), col("o_orderdate").as("order_date"),
+        col("o_totalprice").as("total_price"),
+        col("total_qty").cast("double").as("total_qty"))
+      .orderBy(col("order_id"))
+  }
+
+  /** Rolling per-user feature: sum of the current + 3 previous event
+    * values (ROWS frame) — windowed feature engineering. One shuffle
+    * on user_id; the frame is O(1) per row (running sum, not a
+    * re-scan). Decimal per-row cast keeps partial sums exact.
+    */
+  def eventsRolling(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .withColumn("rolling_value", sum(col("v")).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("rolling_value"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
   /** Hourly event rollup — the batch twin of the streaming windowed
     * agg (streaming/EventStream.scala).
     */
