@@ -91,6 +91,45 @@ object Sink {
     fs.delete(old, true) // only after the new copy is confirmed live
   }
 
+  /** Small-file compaction — the maintenance pass every streaming /
+    * upsert sink eventually needs: a file-source microbatch or a keyed
+    * upsert leaves many small parquet files, and a small file scans as
+    * ONE partition, serializing downstream compute (the straggler
+    * documented on [[graft.Par.widen]]). Rewrites `path` into
+    * ~`targetBytes` files via `coalesce` (narrow — no shuffle, each
+    * output task just concatenates input splits) and swaps the
+    * compacted copy in through the same checked-rename dance as
+    * [[upsert]]. No-op when the layout is already at-or-below the
+    * target file count. Returns the resulting data-file count.
+    */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val dst = new Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: Path): Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
+      val it = fs.listFiles(p, true)
+      val buf = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
+          buf += f
+      }
+      buf.result()
+    }
+    val before = dataFiles(dst)
+    val nOut = math.max(1,
+      math.ceil(before.map(_.getLen).sum.toDouble / targetBytes).toInt)
+    if (before.size > nOut) {
+      val tmp = new Path(path + "__staged")
+      spark.read.parquet(path).coalesce(nOut)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      swapInto(fs, tmp, dst)
+    }
+    dataFiles(dst).size
+  }
+
   /** Save as a bucketed table: both fact and dim bucketed on the join
     * key → joins between them are exchange-free (each bucket pair
     * joins locally). The bucketing survives restarts via the catalog.

@@ -53,11 +53,12 @@ object EventStream {
     * lets the stateful operators below compose (dedup → sessions)
     * without tripping "Redefining watermark is disallowed".
     */
-  private def ensureWatermark(df: DataFrame, wm: String): DataFrame = {
+  private def ensureWatermark(df: DataFrame, wm: String,
+                              tsCol: String = "ts"): DataFrame = {
     val has = df.queryExecution.logical.collectFirst {
       case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => e
     }.isDefined
-    if (has) df else df.withWatermark("ts", wm)
+    if (has) df else df.withWatermark(tsCol, wm)
   }
 
   /** Watermark + tumbling-window hourly rollup — the streaming twin
@@ -93,6 +94,35 @@ object EventStream {
     */
   def enrich(events: DataFrame, dim: DataFrame, key: Seq[String]): DataFrame =
     events.join(dim, key, "left")
+
+  /** Stream-STREAM interval join: correlate two live event streams on
+    * a key within a bounded event-time lookback — e.g. each purchase
+    * with the views that preceded it by ≤ `withinSeconds` (the
+    * attribution join; the streaming twin of [[graft.operators.AsOf]]
+    * restricted to a horizon). Both sides are watermarked and the
+    * join condition bounds `rightTs` in BOTH directions relative to
+    * `leftTs` — exactly what lets Spark EXPIRE buffered rows: each
+    * side's state holds only (watermark + within) of history, keyed
+    * by the join key across executors, never unbounded.
+    *
+    * `leftTs`/`rightTs` must be differently named columns (rename one
+    * side before calling, which also disambiguates the output).
+    */
+  def correlate(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                leftTs: String, rightTs: String, withinSeconds: Long,
+                watermark: String = "1 hour"): DataFrame = {
+    require(leftTs != rightTs, "rename one side's ts column before correlating")
+    val l = ensureWatermark(left, watermark, leftTs).alias("__l")
+    val r = ensureWatermark(right, watermark, rightTs).alias("__r")
+    // the time bounds live IN the join condition (not a post-join
+    // filter) so the streaming planner derives state watermarks for
+    // both buffers from the optimized-independent form
+    val keyCond = keyCols.map(k => col(s"__l.$k") === col(s"__r.$k")).reduce(_ && _)
+    val range = col(rightTs) >= col(leftTs) - expr(s"INTERVAL $withinSeconds SECONDS") &&
+      col(rightTs) <= col(leftTs)
+    val joined = l.join(r, keyCond && range, "inner")
+    keyCols.foldLeft(joined)((df, k) => df.drop(col(s"__r.$k")))
+  }
 
   /** Stateful gap sessionization via flatMapGroupsWithState — the
     * streaming twin of `Sessionize.byGap`. State per user holds the

@@ -52,6 +52,22 @@ class SourcesSpec extends SparkSuite {
     assert(out.toSeq === Seq((1L, "new"), (2L, "keep"), (3L, "ins")))
   }
 
+  test("compact rewrites a many-small-file table to the target count, same data") {
+    val dir = tmpDir("cmp") + "/t"
+    val df = (1L to 1000L).map(i => (i, s"row$i")).toDF("id", "v")
+    df.repartition(20).write.parquet(dir)
+    def files() = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(files() === 20)
+    // huge target size → everything fits one file
+    val n = Sink.compact(spark, dir, targetBytes = 1L << 30)
+    assert(n === 1 && files() === 1)
+    val out = spark.read.parquet(dir)
+    assert(out.count() === 1000 && out.agg(sum("id")).head.getLong(0) === 500500L)
+    // already compact → no-op
+    assert(Sink.compact(spark, dir, targetBytes = 1L << 30) === 1)
+  }
+
   test("bucketed tables join with NO shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS fact_b")
     spark.sql("DROP TABLE IF EXISTS dim_b")

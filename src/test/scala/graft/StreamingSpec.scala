@@ -2,6 +2,7 @@ package graft
 
 import graft.streaming.{Event, EventStream}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 
 class StreamingSpec extends SparkSuite {
@@ -102,6 +103,35 @@ class StreamingSpec extends SparkSuite {
       Option(r.getAs[String]("tier"))).toSet
     // both batches enriched; unmatched keys survive the left join
     assert(tiers === Set(1L -> Some("gold"), 2L -> Some("silver"), 9L -> None))
+  }
+
+  test("correlate joins two live streams within the time bound only") {
+    val srcP = tmpDir("corr-p")
+    val srcV = tmpDir("corr-v")
+    writeBatch(srcP, "b0", Seq(
+      Event(1L, ts("2024-01-01 10:40:00"), 1L, "purchase", 9.0),
+      Event(2L, ts("2024-01-01 11:00:00"), 2L, "purchase", 3.0))) // no views
+    writeBatch(srcV, "b0", Seq(
+      Event(100L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0), // > 30 min before
+      Event(101L, ts("2024-01-01 10:30:00"), 1L, "view", 0.0), // within 30 min
+      Event(102L, ts("2024-01-01 10:45:00"), 1L, "view", 0.0))) // AFTER purchase
+    val purchases = EventStream.read(spark, srcP)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = EventStream.read(spark, srcV)
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+    val sinkName = s"sink_${System.nanoTime()}"
+    val q = EventStream.correlate(purchases, views, Seq("user_id"),
+        "ts", "view_ts", withinSeconds = 1800L, watermark = "10 minutes")
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmpDir("corr-ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table(sinkName).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("view_id")))
+    // only the in-window prior view matches; purchase 2 has no views
+    assert(out.toSeq === Seq((1L, 101L)))
   }
 
   test("sessions survive an event older than (watermark - gap)") {
