@@ -24,7 +24,9 @@ class PlansSpec extends SparkSuite {
       "dim_customer", "dim_order", "fact_lineitem",
       "q3_shipping_priority", "q5_regional_revenue", "rollup_revenue",
       "q4_returned_priority", "q22_no_orders", "top_orders_per_cust",
-      "scd2_merge", "stg_soft_delete", "schema_evolution", "flatten_props")
+      "scd2_merge", "stg_soft_delete", "schema_evolution", "flatten_props",
+      "q18_large_orders", "events_rolling", "asof_last_view",
+      "asof_next_error", "range_join_sessions")
     // a relation leaf prints its columns — n_/r_ prefixes identify the
     // fixed-size geography dims
     audited.foreach { name =>
@@ -39,6 +41,35 @@ class PlansSpec extends SparkSuite {
     val leaves = hintedLeaves(pipeline.Models.dimCustomer(spark, dir))
     assert(leaves.exists(_.contains("n_name")))
     assert(leaves.exists(_.contains("r_regionkey")))
+  }
+
+  test("no graded query plans a cartesian or unintended nested-loop join") {
+    // justified nested-loop plans, each a bounded side by construction:
+    // the DECLARED exhaustive oracle baseline (dedup_embedding), ANN
+    // rankers broadcasting a tiny query set / nlist centroids, and the
+    // fixed-cardinality band table's non-equi broadcast. Every other
+    // query must stay equi-join shaped at every SF — a cartesian that
+    // sneaks into a refactor is the #1 silent 100 TB killer.
+    val nestedLoopOk = Set("dedup_embedding", "ann_brute_topk", "ann_ivf_topk",
+      "ann_lsh_topk", "band_join_price")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      if (!nestedLoopOk(name)) {
+        assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin")
+      }
+    }
+  }
+
+  test("band_join_price broadcasts ONLY the fixed-cardinality band table") {
+    hintedLeaves(SparkEntry.queries("band_join_price")(spark, dir)).foreach { leaf =>
+      // the band table is a driver-local literal relation (its toDF
+      // renames sit above the leaf) — tiny by construction; any
+      // parquet relation leaf here would be a data-sized broadcast
+      assert(leaf.contains("price_tier") || leaf.startsWith("LocalRelation"),
+        s"band_join_price hints a non-band table: $leaf")
+    }
   }
 
   test("incremental cutoff is pushed to the events parquet scan") {
