@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g: at 8g the 50-query bench run GC-thrashes once tens of
+  // queries' shuffle/broadcast artifacts have churned the heap —
+  // measured 2x slowdown on the two heaviest dedup queries and +40%
+  // on the total (the host has 128 GiB; local[32] wants headroom)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
