@@ -308,6 +308,47 @@ object SparkEntry {
           threshold = 0.45, exhaustive = false, planes = 4, tables = 12)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ---- sampling / splitting (§2.5b) ----
+    // modulo split: the bit-portable oracle for the assignment chain
+    "sample_split" -> ((s, d) =>
+      Sampling.modSplit(Tables.documents(s, d), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))),
+    // hash split: the production path (xxhash64 not DuckDB-portable →
+    // rows-only; SamplingSpec pins determinism + fraction tolerance)
+    "sample_split_hash" -> ((s, d) =>
+      Sampling.hashSplit(Tables.documents(s, d), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("split"))),
+
+    // ---- corpus vocabulary stats (§2.5) ----
+    "corpus_top_terms" -> ((s, d) =>
+      functions.Text.topTerms(Tables.documents(s, d), "doc_id", "text", k = 100)),
+
+    // ---- sequence packing (§2.5b) ----
+    // bin ids depend on partition layout → rows-only (one row per doc;
+    // PackSpec pins the packing invariants)
+    "doc_pack" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        functions.Text.tokenCountBpe(col("text")).as("n_tokens"))
+      Pack.firstFit(docs, "doc_id", "n_tokens", binTokens = 2048L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- numeric distribution profile (§2.3) ----
+    // exact percentiles: the oracle baseline (buffers the column —
+    // bounded inputs only; the approx variant is the 100 TB path)
+    "dq_numeric_profile" -> ((s, d) =>
+      Quality.profileNumeric(Tables.orders(s, d),
+          Seq("o_custkey", "o_totalprice"))
+        .orderBy(col("column_name"))),
+    "dq_numeric_profile_approx" -> ((s, d) =>
+      Quality.profileNumericApprox(Tables.orders(s, d),
+          Seq("o_custkey", "o_totalprice"))
+        .orderBy(col("column_name"))),
+
     // ---- multimodal (§2.5) ----
     // document text as an opaque binary asset through the REAL
     // multimodal batch path (mapPartitions feature extraction);
@@ -803,6 +844,40 @@ object SparkEntry {
                   coalesce(e.byte_entropy, 0.0) AS byte_entropy
            FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
            ORDER BY media_id""",
+
+      "sample_split" ->
+        """SELECT doc_id,
+             CASE WHEN doc_id % 100 < 80 THEN 'train'
+                  WHEN doc_id % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM documents ORDER BY doc_id""",
+
+      "corpus_top_terms" ->
+        s"""WITH words AS (
+             SELECT doc_id, unnest(string_split($norm, ' ')) AS term
+             FROM documents)
+           SELECT term, tf, doc_freq FROM (
+             SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS doc_freq
+             FROM words WHERE length(term) > 0 GROUP BY term)
+           ORDER BY tf DESC, term LIMIT 100""",
+
+      "dq_numeric_profile" ->
+        """SELECT column_name, n_rows, n_null, min_value, max_value, p50, p90 FROM (
+             SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+               count(*) FILTER (WHERE o_custkey IS NULL) AS n_null,
+               CAST(min(o_custkey) AS DOUBLE) AS min_value,
+               CAST(max(o_custkey) AS DOUBLE) AS max_value,
+               quantile_cont(CAST(o_custkey AS DOUBLE), 0.5) AS p50,
+               quantile_cont(CAST(o_custkey AS DOUBLE), 0.9) AS p90
+             FROM orders
+             UNION ALL
+             SELECT 'o_totalprice', count(*),
+               count(*) FILTER (WHERE o_totalprice IS NULL),
+               CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE),
+               quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5),
+               quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9)
+             FROM orders
+           ) ORDER BY column_name""",
 
       "dedup_exact" ->
         s"""SELECT md5($norm) AS content_hash,

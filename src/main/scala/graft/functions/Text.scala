@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for an LLM training-data pipeline.
@@ -79,4 +79,26 @@ object Text {
     * comparing 8-byte hashes beats comparing full texts.
     */
   def fingerprint(text: Column): Column = xxhash64(normalize(text))
+
+  /** Corpus vocabulary statistics: the top-`k` normalized words by
+    * total frequency, with document frequency — the raw counts behind
+    * stopword lists, TF-IDF weights, and the df-caps the dedup ops
+    * take. Term frequency and document frequency are computed as TWO
+    * separate map-side-combined aggregations joined on the term —
+    * `count(*)` beside `count(DISTINCT doc)` in ONE agg would plan an
+    * Expand that doubles the exploded word stream before the shuffle.
+    * The final top-k is a sort of the (tiny) per-term aggregate.
+    */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String,
+               k: Int): DataFrame = {
+    val words = docs.select(col(idCol).as("__id"),
+        explode(split(normalize(col(textCol)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = words.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = words.distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    tf.join(docFreq, Seq("term"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(k)
+  }
 }

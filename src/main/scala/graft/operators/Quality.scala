@@ -97,6 +97,56 @@ object Quality {
         "(column_name, n_rows, n_null, n_distinct, min_value, max_value)")
   }
 
+  /** Numeric column profile with EXACT percentiles — the oracle
+    * baseline for distribution checks. Spark's exact `percentile`
+    * buffers every value of the column per aggregation, so this
+    * variant is for BOUNDED inputs (samples, test SFs, single
+    * partitions of a date-partitioned table); the 100 TB path is
+    * [[profileNumericApprox]]. One pass per column (pruned scan).
+    */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val parts = cols.map { c =>
+      df.select(col(c).cast("double").as("__v"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_null"),
+          min(col("__v")).as("min_value"),
+          max(col("__v")).as("max_value"),
+          expr("percentile(__v, 0.5)").as("p50"),
+          expr("percentile(__v, 0.9)").as("p90"))
+        .select(lit(c).as("column_name"), col("n_rows"),
+          coalesce(col("n_null"), lit(0L)).as("n_null"),
+          col("min_value"), col("max_value"), col("p50"), col("p90"))
+    }
+    parts.reduce(_ unionByName _)
+  }
+
+  /** Numeric profile, 100 TB path: `approx_percentile` keeps a
+    * fixed-size quantile sketch (Greenwald-Khanna) per aggregation
+    * buffer instead of buffering all values — ALL columns in one
+    * map-side-combined pass, like [[profileApprox]]. `accuracy` is
+    * the GK inverse-epsilon (10000 ≈ 0.01% rank error).
+    */
+  def profileNumericApprox(df: DataFrame, cols: Seq[String],
+                           accuracy: Int = 10000): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      val v = col(c).cast("double")
+      Seq(
+        sum(when(v.isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        min(v).as(s"__min_$c"),
+        max(v).as(s"__max_$c"),
+        percentile_approx(v, lit(0.5), lit(accuracy)).as(s"__p50_$c"),
+        percentile_approx(v, lit(0.9), lit(accuracy)).as(s"__p90_$c"))
+    } :+ count(lit(1)).as("__rows")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      s"'$c', __rows, coalesce(__null_$c, 0L), __min_$c, __max_$c, __p50_$c, __p90_$c"
+    }.mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.size}, $stacked) as " +
+        "(column_name, n_rows, n_null, min_value, max_value, p50, p90)")
+  }
+
   /** dbt `relationships` test: child keys with no matching parent.
     * Single left-anti join (broadcast when the parent dim is small).
     */
