@@ -167,6 +167,29 @@ object SparkEntry {
         .orderBy(col("customer_id"), col("valid_from"))
     }),
 
+    // ---- snapshot diff (CDC for tracking-column-less sources, the
+    // reference's Mongo users case) ----
+    "cdc_snapshot_diff" -> ((s, d) => {
+      val s1 = Models.stgCustomer(s, d).select(col("customer_id"),
+        col("customer_name"), col("account_balance"), col("market_segment"))
+      val s2 = s1.filter(col("customer_id") % 7 =!= 0)
+        .withColumn("market_segment",
+          when(col("customer_id") % 10 === 0, lit("CHANGED"))
+            .otherwise(col("market_segment")))
+      Cdc.snapshotDiff(s1, s2, Seq("customer_id"),
+          Seq("customer_name", "account_balance", "market_segment"))
+        .orderBy(col("customer_id"))
+    }),
+
+    // ---- pivot rollup (wide per-entity feature table) ----
+    "events_pivot" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))),
+
     // ---- nested-document flatten (mongo_loader.py analog) ----
     // struct column + JSON-string column → flat parent_child columns
     "flatten_props" -> ((s, d) => {
@@ -705,6 +728,44 @@ object SparkEntry {
                   TIMESTAMP '2026-02-01 00:00:00', NULL
            FROM s2 WHERE customer_id IN (SELECT customer_id FROM changed)
            ORDER BY customer_id, valid_from""",
+
+      "cdc_snapshot_diff" ->
+        """WITH s1 AS (
+             SELECT c_custkey AS customer_id, c_name AS customer_name,
+                    c_acctbal AS account_balance, c_mktsegment AS market_segment
+             FROM customer),
+           s2 AS (
+             SELECT customer_id, customer_name, account_balance,
+                    CASE WHEN customer_id % 10 = 0 THEN 'CHANGED'
+                         ELSE market_segment END AS market_segment
+             FROM s1 WHERE customer_id % 7 <> 0)
+           SELECT customer_id, customer_name, account_balance, market_segment,
+                  change_type FROM (
+             SELECT coalesce(n.customer_id, o.customer_id) AS customer_id,
+               CASE WHEN n.customer_id IS NOT NULL THEN n.customer_name
+                    ELSE o.customer_name END AS customer_name,
+               CASE WHEN n.customer_id IS NOT NULL THEN n.account_balance
+                    ELSE o.account_balance END AS account_balance,
+               CASE WHEN n.customer_id IS NOT NULL THEN n.market_segment
+                    ELSE o.market_segment END AS market_segment,
+               CASE WHEN o.customer_id IS NULL THEN 'insert'
+                    WHEN n.customer_id IS NULL THEN 'delete'
+                    WHEN o.customer_name IS DISTINCT FROM n.customer_name
+                      OR o.account_balance IS DISTINCT FROM n.account_balance
+                      OR o.market_segment IS DISTINCT FROM n.market_segment
+                    THEN 'update' END AS change_type
+             FROM s1 o FULL OUTER JOIN s2 n ON o.customer_id = n.customer_id)
+           WHERE change_type IS NOT NULL
+           ORDER BY customer_id""",
+
+      "events_pivot" ->
+        """SELECT user_id,
+             count(*) FILTER (WHERE event_type = 'click') AS click,
+             count(*) FILTER (WHERE event_type = 'view') AS view,
+             count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             count(*) FILTER (WHERE event_type = 'signup') AS signup,
+             count(*) FILTER (WHERE event_type = 'error') AS error
+           FROM events GROUP BY user_id ORDER BY user_id""",
 
       "flatten_props" ->
         """SELECT event_id, user_id,

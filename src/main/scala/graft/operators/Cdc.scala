@@ -82,6 +82,38 @@ object Cdc {
   def withIngestionDate(df: DataFrame, dateCol: String, snapshotDate: Column): DataFrame =
     df.withColumn(dateCol, snapshotDate.cast("date"))
 
+  /** Snapshot diff — derive a change feed from two full snapshots:
+    * the CDC primitive for sources with NO tracking column (the
+    * reference's Mongo `users` table is exactly this case — it full-
+    * loads and snapshots because nothing marks updates). One
+    * full-outer join hash-partitioned on the key; `compareCols`
+    * decide update-vs-unchanged. Output: new-side values (old values
+    * for deletes) + `change_type` ∈ insert/update/delete; unchanged
+    * rows are dropped. null-safe equality (`<=>`) so a null→value
+    * change counts as an update.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, key: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    val valueCols = oldSnap.columns.filterNot(key.contains).toSeq
+    val o = oldSnap.select((key ++ valueCols).map(c => col(c).as(s"__o_$c")): _*)
+    val n = newSnap.select((key ++ valueCols).map(c => col(c).as(s"__n_$c")): _*)
+    val keyCond = key.map(k => col(s"__o_$k") === col(s"__n_$k")).reduce(_ && _)
+    val joined = o.join(n, keyCond, "full_outer")
+    val inOld = key.map(k => col(s"__o_$k").isNotNull).reduce(_ && _)
+    val inNew = key.map(k => col(s"__n_$k").isNotNull).reduce(_ && _)
+    val changed = compareCols.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduce(_ || _)
+    val changeType = when(!inOld, lit("insert"))
+      .when(!inNew, lit("delete"))
+      .when(changed, lit("update"))
+    val outCols =
+      key.map(k => coalesce(col(s"__n_$k"), col(s"__o_$k")).as(k)) ++
+        valueCols.map(c =>
+          when(inNew, col(s"__n_$c")).otherwise(col(s"__o_$c")).as(c))
+    joined.filter(changeType.isNotNull)
+      .select(outCols :+ changeType.as("change_type"): _*)
+  }
+
   /** Soft-delete filter: keep rows whose delete marker is unset —
     * reference stg_savings_transaction.sql:21 carries `deleted_at`
     * through staging (schema.yml documents it as the soft-delete

@@ -44,6 +44,25 @@ class CdcSpec extends SparkSuite {
     assert(delta.map(_.getLong(0)).toSeq === Seq(3L))
   }
 
+  test("snapshotDiff classifies insert/update/delete, drops unchanged, null-safe") {
+    val old_ = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
+      (3L, None: Option[String], 30.0), (4L, Some("d"), 40.0))
+      .toDF("k", "name", "bal")
+    val new_ = Seq((1L, Some("a"), 10.0),      // unchanged → dropped
+      (2L, Some("B"), 20.0),                   // update (value change)
+      (3L, Some("c"), 30.0),                   // update (null → value)
+      (5L, Some("e"), 50.0))                   // insert; 4 deleted
+      .toDF("k", "name", "bal")
+    val out = Cdc.snapshotDiff(old_, new_, Seq("k"), Seq("name", "bal"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (2L, Some("B"), "update"),
+      (3L, Some("c"), "update"),
+      (4L, Some("d"), "delete"), // old values carried for deletes
+      (5L, Some("e"), "insert")))
+  }
+
   test("fullLoad overwrite is idempotent") {
     val dir = tmpDir("fullload")
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
