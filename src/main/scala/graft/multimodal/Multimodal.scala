@@ -26,11 +26,15 @@ case class MediaFeatures(media_id: Long, media_type: String,
   *  - output schema is fixed `(id, type, stats, array<float>)` so the
   *    result feeds Similarity/Dedup unchanged.
   *
-  * STUB: a real deployment plugs an image/audio codec into
-  * [[decodeStub]]. No codec library ships in this container, so
-  * decode is a clearly-marked deterministic fake (byte histogram as
-  * "pixels") — the schema, batching, and partition flow around it are
-  * exactly what the real codec would see.
+  * IMAGE decode and resize are REAL: the JDK's built-in
+  * `javax.imageio` (PNG/JPEG/GIF/BMP) needs no external codec —
+  * [[decodeImage]] produces per-channel means + a luminance
+  * histogram, [[resize]] rescales and re-encodes. Audio/video remain
+  * clearly-marked deterministic stubs ([[decodeStub]]) — no
+  * audio/video codec ships in the JDK or this container; a real
+  * build replaces only that function body (ffmpeg etc.), the schema,
+  * batching and partition flow around it are exactly what the real
+  * codec sees.
   */
 object Multimodal {
 
@@ -73,6 +77,57 @@ object Multimodal {
     bins.map(_ / total)
   }
 
+  /** REAL image decode via the JDK's `javax.imageio` (PNG, JPEG,
+    * GIF, BMP — no external dependency): (width, height, features)
+    * where features = [meanR, meanG, meanB] (0..1) ++ a 16-bin
+    * luminance histogram normalized to unit L1. None when the bytes
+    * aren't a decodable image — callers fall back to the opaque-byte
+    * path, so a corrupt asset degrades instead of failing the task.
+    */
+  def decodeImage(content: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var r = 0.0; var g = 0.0; var b = 0.0
+        val hist = new Array[Float](16)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val pr = (p >> 16) & 0xff; val pg = (p >> 8) & 0xff; val pb = p & 0xff
+            r += pr; g += pg; b += pb
+            hist(((pr * 299 + pg * 587 + pb * 114) / 1000) >> 4) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = math.max(1, w * h).toFloat
+        Some((w, h,
+          Array((r / n).toFloat / 255f, (g / n).toFloat / 255f, (b / n).toFloat / 255f) ++
+            hist.map(_ / n)))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decodeAndRescale(content: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g2 = out.createGraphics()
+        g2.drawImage(img, 0, 0, w, h, null)
+        g2.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Shannon entropy of the byte distribution — a content-opacity
     * metric (compressed/encrypted media ≈ 8 bits) that needs no codec.
     */
@@ -87,29 +142,40 @@ object Multimodal {
   }
 
   /** Batch feature extraction: one decode pass per partition (codec
-    * init happens once per task here, before the row loop).
+    * init happens once per task here, before the row loop). Image
+    * rows get REAL decoded features when the bytes parse as an image;
+    * everything else (and undecodable images) keeps the deterministic
+    * byte-histogram fallback.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // real codecs initialize here (once per partition, not per row)
       rows.map { r =>
+        val feats =
+          if (r.media_type == "image")
+            decodeImage(r.content).map(_._3).getOrElse(decodeStub(r.content))
+          else decodeStub(r.content)
         MediaFeatures(r.media_id, r.media_type, r.content.length.toLong,
-          byteEntropy(r.content), decodeStub(r.content))
+          byteEntropy(r.content), feats)
       }
     }
   }
 
-  /** "Resize" an image asset — STUB: real impl decodes, scales,
-    * re-encodes; the fake keeps a deterministic byte slice so the
-    * plumbing (binary in → binary out, metadata updated) is testable.
+  /** Resize image assets — REAL for decodable images (ImageIO decode
+    * → Graphics2D rescale → PNG re-encode); undecodable "image" bytes
+    * keep the deterministic slice fallback so synthetic/corrupt rows
+    * still flow. Non-image rows pass through untouched.
     */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { r =>
       if (r.media_type != "image") r
-      else r.copy(content = r.content.take(math.max(1, w * h / 16)),
-        width = w, height = h)
+      else decodeAndRescale(r.content, w, h) match {
+        case Some(bytes) => r.copy(content = bytes, width = w, height = h)
+        case None => r.copy(content = r.content.take(math.max(1, w * h / 16)),
+          width = w, height = h)
+      }
     }
   }
 

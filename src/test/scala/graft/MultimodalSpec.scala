@@ -31,6 +31,48 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("REAL image path: PNG bytes decode to channel means + luminance histogram") {
+    import graft.multimodal.MediaRow
+    import spark.implicits._
+    // an 8x4 pure-red PNG built with the same JDK codec users would feed
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val red = MediaRow(1L, "image", png(8, 4, 0xff0000), 8, 4, 0L)
+    val feats = Multimodal.extractFeatures(Seq(red).toDS()).collect()(0)
+    assert(feats.features.length === 19) // 3 channel means + 16 lum bins
+    assert(math.abs(feats.features(0) - 1.0f) < 1e-3) // mean R
+    assert(feats.features(1) === 0.0f && feats.features(2) === 0.0f)
+    // luminance of pure red = 76 → bin 4 (index 3 + 1 + 4 - 1 = 7)
+    assert(feats.features(3 + 4) === 1.0f)
+    // direct decode agrees on dimensions
+    assert(Multimodal.decodeImage(red.content).map(d => (d._1, d._2)) === Some((8, 4)))
+  }
+
+  test("REAL image path: resize re-encodes to the target dimensions") {
+    import graft.multimodal.MediaRow
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        img.setRGB(x, y, if ((x + y) % 2 == 0) 0xffffff else 0)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val in = Seq(MediaRow(1L, "image", png(16, 16), 16, 16, 0L)).toDS()
+    val out = Multimodal.resize(in, 4, 8).collect()(0)
+    assert(out.width === 4 && out.height === 8)
+    // the resized CONTENT is a real PNG of the new size, not a stub slice
+    assert(Multimodal.decodeImage(out.content).map(d => (d._1, d._2)) === Some((4, 8)))
+  }
+
   test("frameSample emits one row per sampled frame of video assets only") {
     val media = Multimodal.synth(spark, 12) // ids ≡ 2 (mod 3) are video
     val frames = Multimodal.frameSample(media, everyMs = 500)
