@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 
 /** A landed event row (what the CDC file source delivers). */
@@ -123,6 +123,36 @@ object EventStream {
     val joined = l.join(r, keyCond && range, "inner")
     keyCols.foldLeft(joined)((df, k) => df.drop(col(s"__r.$k")))
   }
+
+  /** Continuous CDC apply: land every microbatch into a keyed parquet
+    * target with delete+insert latest-wins semantics — the
+    * reference's scheduled load loop (base_loader.py incremental load
+    * every 15 minutes) as a `foreachBatch` stream against a plain
+    * parquet table. Convergent under at-least-once redelivery: the
+    * upsert keeps the newest row per key by `trackingCol`, so
+    * replaying a microbatch after a restart rewrites the same target
+    * state. The first batch bootstraps the table.
+    */
+  def applyUpserts(events: DataFrame, targetPath: String, checkpoint: String,
+                   key: Seq[String], trackingCol: String,
+                   tieBreak: Seq[String] = Nil): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val dst = new org.apache.hadoop.fs.Path(targetPath)
+          val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(dst))
+            graft.operators.Cdc.dedupLatestPerKey(batch, key, trackingCol, tieBreak)
+              .write.parquet(targetPath)
+          else
+            graft.sources.Sink.upsert(spark, targetPath, batch, key,
+              trackingCol, tieBreak)
+        }
+      }
+      .start()
 
   /** Stateful gap sessionization via flatMapGroupsWithState — the
     * streaming twin of `Sessionize.byGap`. State per user holds the

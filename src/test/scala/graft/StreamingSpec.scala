@@ -134,6 +134,28 @@ class StreamingSpec extends SparkSuite {
     assert(out.toSeq === Seq((1L, 101L)))
   }
 
+  test("applyUpserts converges a parquet target to latest-per-key across microbatches") {
+    val src = tmpDir("ups-src")
+    val target = tmpDir("ups-dst") + "/t"
+    writeBatch(src, "b0", Seq(
+      Event(10L, ts("2024-01-01 10:00:00"), 1L, "signup", 1.0),
+      Event(11L, ts("2024-01-01 10:00:00"), 2L, "signup", 2.0)))
+    val q = EventStream.applyUpserts(EventStream.read(spark, src),
+      target, tmpDir("ups-ckpt"), Seq("user_id"), "ts", Seq("event_id"))
+    q.processAllAvailable()
+    // batch 2: user 1 updated (newer ts), user 3 inserted
+    writeBatch(src, "b1", Seq(
+      Event(12L, ts("2024-01-01 11:00:00"), 1L, "purchase", 9.0),
+      Event(13L, ts("2024-01-01 10:30:00"), 3L, "signup", 3.0)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(target).orderBy("user_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type")))
+    assert(out.toSeq === Seq((1L, 12L, "purchase"), (2L, 11L, "signup"),
+      (3L, 13L, "signup")))
+  }
+
   test("sessions survive an event older than (watermark - gap)") {
     // sentinel first → watermark ≈ 2024-01-02 11:50; then an event a
     // full day older arrives. Its natural timeout (end + gap) would be
