@@ -260,6 +260,17 @@ object SparkEntry {
       scalar.unionByName(rel).orderBy(col("check_name"))
     }),
 
+    // dbt-style severity: 'P' deliberately outside accepted_values so
+    // thresholds classify (pass / warn / error) on real violation counts
+    "dq_checks_status" -> ((s, d) =>
+      Quality.withStatus(
+          Quality.runChecks(Tables.orders(s, d), Seq(
+            Quality.NotNull("o_orderkey"),
+            Quality.Unique("o_orderkey"),
+            Quality.AcceptedValues("o_orderstatus", Seq("O", "F")))),
+          warnIf = 0L, errorIf = 100L)
+        .orderBy(col("check_name"))),
+
     // ---- text analysis (§2.5) ----
     "doc_token_count" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -849,6 +860,23 @@ object SparkEntry {
                SELECT DISTINCT l_orderkey FROM lineitem
                WHERE l_orderkey IS NOT NULL
                  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) v
+           ) ORDER BY check_name""",
+
+      "dq_checks_status" ->
+        """SELECT check_name, violations,
+             CASE WHEN violations > 100 THEN 'error'
+                  WHEN violations > 0 THEN 'warn'
+                  ELSE 'pass' END AS status
+           FROM (
+             SELECT 'not_null_o_orderkey' AS check_name,
+               count(*) FILTER (WHERE o_orderkey IS NULL) AS violations FROM orders
+             UNION ALL
+             SELECT 'unique_o_orderkey',
+               count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders
+             UNION ALL
+             SELECT 'accepted_values_o_orderstatus',
+               count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                 AND o_orderstatus NOT IN ('O','F')) FROM orders
            ) ORDER BY check_name""",
 
       "doc_token_count" ->

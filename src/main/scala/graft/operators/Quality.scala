@@ -97,6 +97,19 @@ object Quality {
         "(column_name, n_rows, n_null, n_distinct, min_value, max_value)")
   }
 
+  /** dbt-style severity evaluation over [[runChecks]] output
+    * (dbt: `severity: warn` / `warn_if` / `error_if` thresholds in
+    * schema.yml). Pure column arithmetic on the tiny check-result
+    * frame: status = error when violations > errorIf, else warn when
+    * > warnIf, else pass. Thresholds default to dbt's `>0`.
+    */
+  def withStatus(checkResults: DataFrame, warnIf: Long = 0L,
+                 errorIf: Long = 0L): DataFrame =
+    checkResults.withColumn("status",
+      when(col("violations") > errorIf, lit("error"))
+        .when(col("violations") > warnIf, lit("warn"))
+        .otherwise(lit("pass")))
+
   /** Numeric column profile with EXACT percentiles — the oracle
     * baseline for distribution checks. Spark's exact `percentile`
     * buffers every value of the column per aggregation, so this

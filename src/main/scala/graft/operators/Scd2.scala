@@ -59,6 +59,19 @@ object Scd2 {
     closed.unionByName(keptOrClosed).unionByName(opened)
   }
 
+  /** Fold a SEQUENCE of dated snapshots into one history — N
+    * scheduled dbt-snapshot runs (the reference's daily job) replayed
+    * as N [[merge]] steps. Each step is one full-outer join on the
+    * key; the fold is driver-side control flow only (the data never
+    * collects). For a backfill where EVERY change is known to be in a
+    * log, prefer the single-pass [[historyFromLog]].
+    */
+  def mergeAll(initial: DataFrame, snapshots: Seq[(DataFrame, Column)],
+               key: Seq[String], checkCols: Seq[String]): DataFrame =
+    snapshots.foldLeft(initial) { case (hist, (extract, asOf)) =>
+      merge(hist, extract, key, checkCols, asOf)
+    }
+
   /** Build the full SCD2 history from an update log in one pass:
     * valid_from = the update's timestamp, valid_to = the next update's
     * timestamp for the same key (null for the current row). This is

@@ -56,6 +56,23 @@ class Scd2Spec extends SparkSuite {
     assert(u1.length === 1 && u1(0).getAs[java.sql.Timestamp]("valid_to") == null)
   }
 
+  test("mergeAll folds N dated snapshots into the same history as step-by-step merges") {
+    def snap(rows: (Long, String)*) = rows.toSeq.toDF("user_id", "state")
+    val days = Seq(
+      snap(1L -> "Lagos", 2L -> "Abuja") -> lit(ts("2024-01-01 00:00:00")),
+      snap(1L -> "Kano", 2L -> "Abuja") -> lit(ts("2024-01-02 00:00:00")),
+      snap(1L -> "Kano", 2L -> "Jos", 3L -> "Oyo") -> lit(ts("2024-01-03 00:00:00")))
+    val folded = Scd2.mergeAll(emptyHistory.drop("occupation"), days,
+      Seq("user_id"), Seq("state"))
+    val stepped = days.foldLeft(emptyHistory.drop("occupation")) {
+      case (h, (ex, t)) => Scd2.merge(h, ex, Seq("user_id"), Seq("state"), t)
+    }
+    val a = folded.orderBy("user_id", "valid_from").collect().map(_.toSeq)
+    assert(a.toSeq === stepped.orderBy("user_id", "valid_from").collect().map(_.toSeq).toSeq)
+    assert(Scd2.currentRows(folded).count() === 3)
+    assert(folded.count() === 5) // 3 current + 2 closed versions
+  }
+
   test("merge iterated over an update log converges to historyFromLog") {
     // the same changes applied as two snapshot merges vs one log pass
     val log = Seq(
