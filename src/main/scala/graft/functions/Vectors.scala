@@ -26,4 +26,15 @@ object Vectors {
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** Merge-walk |a ∩ b| over two SORTED duplicate-free `array<bigint>`
+    * columns ([[SortedIntersectCount]]): allocation-free codegen'd
+    * alternative to `size(array_intersect(...))` for the dedup
+    * rescore hot path.
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(SortedIntersectCount(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  }
 }

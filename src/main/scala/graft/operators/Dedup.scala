@@ -91,9 +91,12 @@ object Dedup {
     // (shuffle on gram — the same key the old candidate self-join
     // shuffled on, but this table is read once, not squared)
     val kept = Par.persistTracked(base.join(vocab, Seq("gram")))
-    // per-doc surviving sets: the exact-rescore side table
+    // per-doc surviving sets: the exact-rescore side table. Sorted at
+    // collect time so the rescore can merge-walk the intersection
+    // (codegen'd SortedIntersectCount — no per-pair hash set)
     val sets = Par.persistTracked(kept.groupBy(col("id"))
-      .agg(collect_list(col("gram")).as("grams"), count(lit(1)).as("cnt")))
+      .agg(sort_array(collect_list(col("gram"))).as("grams"),
+        count(lit(1)).as("cnt")))
     // prefix = the (len - ceil(t*len) + 1) rarest shingles of each doc
     // under the global (df, gram) order; both windows partition by the
     // high-cardinality doc id (bounded by doc size) and share one sort
@@ -122,7 +125,8 @@ object Dedup {
         col("cnt").as("cnt_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("grams").as("g_b"),
         col("cnt").as("cnt_b")), Seq("id_b"))
-      .withColumn("common", size(array_intersect(col("g_a"), col("g_b"))).cast("long"))
+      .withColumn("common",
+        graft.functions.Vectors.sortedIntersectCount(col("g_a"), col("g_b")))
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("cnt_a") + col("cnt_b") - col("common")).cast("double"))
@@ -155,21 +159,26 @@ object Dedup {
                  threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // persisted: re-read for signatures AND for exact-jaccard verify
+    // each shingle hashed ONCE to a long, kept as a SORTED per-doc
+    // array; persisted — re-read for signatures AND for the
+    // exact-jaccard verify (where the sorted form lets the codegen'd
+    // merge-walk SortedIntersectCount replace per-pair hash sets)
     val sh = Par.persistTracked(
       Par.widen(docs, idCol).select(col(idCol).as("id"),
-        Text.shingles(col(textCol), n).as("sh")))
+        sort_array(transform(Text.shingles(col(textCol), n),
+          g => xxhash64(g))).as("hs")))
     // Signatures via explode + grouped min aggregates: numHashes FLAT
     // codegen'd min() columns. (A transform/aggregate lambda tree of
     // width numHashes chokes the Catalyst optimizer — measured 10-30 s
     // of plan time.) Double hashing (Kirsch–Mitzenmacher) derives slot
-    // i as h1 + i*h2 from two real hashes, folded into [0, 2^56) so
-    // the multiply can't overflow ANSI longs.
+    // i as h1 + i*h2 from two real hashes (the shingle hash and its
+    // re-hash), folded into [0, 2^56) so the multiply can't overflow
+    // ANSI longs.
     val m = lit(1L << 56)
-    val ex = sh.select(col("id"), explode(col("sh")).as("g"))
+    val ex = sh.select(col("id"), explode(col("hs")).as("h"))
       .select(col("id"),
-        pmod(xxhash64(col("g")), m).as("h1"),
-        pmod(xxhash64(col("g"), lit(1)), m).as("h2"))
+        pmod(col("h"), m).as("h1"),
+        pmod(xxhash64(col("h")), m).as("h2"))
     val sigAggs = (0 until numHashes).map(i =>
       min(col("h1") + col("h2") * lit(i.toLong)).as(s"s$i"))
     val sig = ex.groupBy(col("id")).agg(sigAggs.head, sigAggs.tail: _*)
@@ -187,14 +196,16 @@ object Dedup {
     val candidates = l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    // verify candidates with exact Jaccard on the shingle sets
-    val sets = sh.select(col("id"), col("sh"))
+    // verify candidates with exact Jaccard on the hashed shingle sets
+    // (merge-walk intersection; |A ∪ B| = |A| + |B| - |A ∩ B|)
     candidates
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(sh.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .withColumn("common",
+        graft.functions.Vectors.sortedIntersectCount(col("hs_a"), col("hs_b")))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("common").cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
