@@ -38,6 +38,7 @@ object SparkEntry {
       Sessionize.byGap(Tables.events(s, d), "user_id", "ts", 1800L)
         .orderBy(col("user_id"), col("session_seq"))),
     "q18_large_orders" -> ((s, d) => Analytics.q18LargeOrders(s, d)),
+    "q13_custdist" -> ((s, d) => Analytics.q13CustDist(s, d)),
     "events_rolling" -> ((s, d) => Analytics.eventsRolling(s, d)),
 
     // ---- temporal joins (§2.4b) ----
@@ -525,6 +526,16 @@ object SparkEntry {
              ON o_orderkey = big.l_orderkey
            JOIN customer ON o_custkey = c_custkey
            ORDER BY order_id""",
+
+      "q13_custdist" ->
+        """SELECT c_count, count(*) AS custdist FROM (
+             SELECT c_custkey, count(o_orderkey) AS c_count
+             FROM customer
+             LEFT JOIN orders ON c_custkey = o_custkey
+               AND o_orderpriority NOT LIKE '1%'
+             GROUP BY c_custkey)
+           GROUP BY c_count
+           ORDER BY custdist DESC, c_count DESC""",
 
       "events_rolling" ->
         """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

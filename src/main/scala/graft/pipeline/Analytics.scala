@@ -198,6 +198,25 @@ object Analytics {
       .orderBy(col("order_id"))
   }
 
+  /** TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    * join (customers with zero orders must appear) then a DOUBLE
+    * aggregation: count per customer, then a histogram of those
+    * counts. Both aggs shuffle on their own key (custkey, then the
+    * tiny count domain); the outer join preserves the zero bucket.
+    */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(!col("o_orderpriority").startsWith("1"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   /** Rolling per-user feature: sum of the current + 3 previous event
     * values (ROWS frame) — windowed feature engineering. One shuffle
     * on user_id; the frame is O(1) per row (running sum, not a
