@@ -384,6 +384,30 @@ object SparkEntry {
           Seq("o_custkey", "o_totalprice"))
         .orderBy(col("column_name"))),
 
+    // ---- end-to-end curation pipeline (§2.5b) ----
+    // the whole training-set story composed: quality gate → exact
+    // dedup (keep lowest id) → near-dup removal (drop the higher id of
+    // every ngram-Jaccard pair) → deterministic split. Each stage is a
+    // graded operator; this entry proves they COMPOSE, oracle-checked
+    // end to end.
+    "curation_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val quality = docs.filter(
+        functions.Text.tokenCountWs(col("text")) >= 5 &&
+          functions.Text.stopwordHits(col("text"), functions.Text.StopwordsEn) > 0)
+      val keepers = Dedup.exact(quality, "doc_id", "text")
+        .select(col("keeper_id").as("doc_id"))
+      val survivors = quality.join(keepers, Seq("doc_id"), "left_semi")
+      val nearDupLosers = Dedup.ngramJaccard(survivors, "doc_id", "text",
+          n = 3, threshold = 0.5, maxDocFreq = 1000)
+        .select(col("id_b").as("doc_id")).distinct()
+      val curated = survivors.join(nearDupLosers, Seq("doc_id"), "left_anti")
+      Sampling.modSplit(curated, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- multimodal (§2.5) ----
     // document text as an opaque binary asset through the REAL
     // multimodal batch path (mapPartitions feature extraction);
@@ -978,6 +1002,41 @@ object SparkEntry {
                quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9)
              FROM orders
            ) ORDER BY column_name""",
+
+      "curation_pipeline" ->
+        s"""WITH quality AS (
+             SELECT doc_id, text FROM documents
+             WHERE $nWordsSql >= 5
+               AND ${stopHits(s"string_split($norm, ' ')", functions.Text.StopwordsEn)} > 0
+           ), keepers AS (
+             SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5($norm)
+           ), survivors AS (
+             SELECT q.doc_id, q.text FROM quality q
+             JOIN keepers k ON q.doc_id = k.doc_id
+           ), sh AS (
+             SELECT doc_id AS id, list_distinct(
+               CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+               ELSE list_transform(generate_series(1, len(words) - 2),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END) AS sh
+             FROM (SELECT doc_id, string_split($norm, ' ') AS words FROM survivors)
+           ), ex AS (
+             SELECT id, CAST(len(sh) AS BIGINT) AS cnt, unnest(sh) AS gram FROM sh
+           ), losers AS (
+             SELECT DISTINCT id_b AS doc_id FROM (
+               SELECT a.id AS id_a, b.id AS id_b,
+                 CAST(count(*) AS DOUBLE)
+                   / CAST(a.cnt + b.cnt - count(*) AS DOUBLE) AS jaccard
+               FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+               GROUP BY a.id, b.id, a.cnt, b.cnt)
+             WHERE jaccard >= 0.5
+           )
+           SELECT s.doc_id,
+             CASE WHEN s.doc_id % 100 < 80 THEN 'train'
+                  WHEN s.doc_id % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM survivors s
+           WHERE s.doc_id NOT IN (SELECT doc_id FROM losers)
+           ORDER BY s.doc_id""",
 
       "dedup_exact" ->
         s"""SELECT md5($norm) AS content_hash,
