@@ -31,6 +31,12 @@ object Sources {
   def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC — Spark-native columnar alternative; same pushdown/pruning
+    * behavior as parquet, schema enforced.
+    */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Incremental extract from any source: rows with tracking column
     * beyond the watermark (reference postgres_loader.py builds
     * `WHERE tracking_column > last_value`). The predicate reaches the

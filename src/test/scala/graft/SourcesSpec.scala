@@ -24,6 +24,11 @@ class SourcesSpec extends SparkSuite {
     val j = Sources.jsonl(spark, s"$dir/j", schema)
     assert(j.schema === schema)
     assert(j.collect()(0).getLong(0) === 3L)
+
+    Seq((4L, "d", 4.5)).toDF("id", "name", "v").write.orc(s"$dir/o")
+    val o = Sources.orc(spark, s"$dir/o", schema)
+    assert(o.schema === schema)
+    assert(o.collect()(0).getLong(0) === 4L)
   }
 
   test("overwritePartitions replaces only the batch's partitions") {
