@@ -140,6 +140,20 @@ object SparkEntry {
             Seq("user_id"), "ts", Seq("event_id")))
         .select(col("user_id"), col("event_id"), col("event_type"), col("valid_from"))
         .orderBy(col("user_id"))),
+    // point-in-time view: each user's row version valid AT the cutoff
+    "scd2_asof" -> ((s, d) =>
+      Scd2.asOf(
+          Scd2.historyFromLog(eventCols(Tables.events(s, d)),
+            Seq("user_id"), "ts", Seq("event_id")),
+          lit(CdcCutoff).cast("timestamp"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("valid_from"), col("valid_to"))
+        .orderBy(col("user_id"))),
+    // dbt source-freshness: lag of newest event vs a fixed as-of
+    "dq_freshness" -> ((s, d) =>
+      Quality.freshness(Tables.events(s, d), "ts",
+        lit("2024-04-01 00:00:00").cast("timestamp"),
+        warnAfterSec = 3600L, errorAfterSec = 30L * 86400L)),
 
     // ---- soft delete (§2.1) ----
     // staging model CARRIES the soft-delete marker (reference
@@ -730,6 +744,28 @@ object SparkEntry {
            FROM (SELECT *, lead(ts) OVER (PARTITION BY user_id
              ORDER BY ts, event_id) AS nxt FROM events)
            WHERE nxt IS NULL ORDER BY user_id""",
+
+      "scd2_asof" ->
+        s"""SELECT user_id, event_id, event_type, valid_from, valid_to FROM (
+             SELECT user_id, event_id, event_type,
+               CAST(ts AS TIMESTAMP) AS valid_from,
+               CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS TIMESTAMP) AS valid_to
+             FROM events)
+           WHERE valid_from <= TIMESTAMP '$CdcCutoff'
+             AND (valid_to IS NULL OR valid_to > TIMESTAMP '$CdcCutoff')
+           ORDER BY user_id""",
+
+      "dq_freshness" ->
+        """SELECT max_loaded_at, lag_sec,
+             CASE WHEN lag_sec IS NULL OR lag_sec > 2592000 THEN 'error'
+                  WHEN lag_sec > 3600 THEN 'warn'
+                  ELSE 'pass' END AS status
+           FROM (
+             SELECT max(CAST(ts AS TIMESTAMP)) AS max_loaded_at,
+               CAST(epoch(TIMESTAMP '2024-04-01 00:00:00') AS BIGINT)
+                 - CAST(epoch(max(CAST(ts AS TIMESTAMP))) AS BIGINT) AS lag_sec
+             FROM events)""",
 
       "stg_customer" ->
         """SELECT c_custkey AS customer_id, c_name AS customer_name,

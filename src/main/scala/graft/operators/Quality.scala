@@ -160,6 +160,21 @@ object Quality {
         "(column_name, n_rows, n_null, min_value, max_value, p50, p90)")
   }
 
+  /** dbt `source freshness` check: lag between the newest row and
+    * `asOf` (passed in, not now(), so replays are deterministic),
+    * classified against warn/error horizons. One max() aggregation —
+    * metadata-cheap on sorted/partitioned tables.
+    */
+  def freshness(df: DataFrame, tsCol: String, asOf: Column,
+                warnAfterSec: Long, errorAfterSec: Long): DataFrame =
+    df.agg(max(col(tsCol)).as("max_loaded_at"))
+      .select(col("max_loaded_at"),
+        (asOf.cast("long") - col("max_loaded_at").cast("long")).as("lag_sec"))
+      .withColumn("status",
+        when(col("lag_sec").isNull || col("lag_sec") > errorAfterSec, lit("error"))
+          .when(col("lag_sec") > warnAfterSec, lit("warn"))
+          .otherwise(lit("pass")))
+
   /** dbt `relationships` test: child keys with no matching parent.
     * Single left-anti join (broadcast when the parent dim is small).
     */

@@ -91,4 +91,14 @@ object Scd2 {
     */
   def currentRows(history: DataFrame): DataFrame =
     history.filter(col(ValidTo).isNull)
+
+  /** Point-in-time view: the row version valid AT `t` per key —
+    * `valid_from <= t < valid_to` (open rows have null valid_to).
+    * The read path that makes SCD2 history useful for training-data
+    * reproducibility ("the dimension as the model saw it"); pure
+    * predicates, pushed to the scan.
+    */
+  def asOf(history: DataFrame, t: Column): DataFrame =
+    history.filter(col(ValidFrom) <= t &&
+      (col(ValidTo).isNull || col(ValidTo) > t))
 }
