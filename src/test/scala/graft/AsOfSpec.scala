@@ -51,6 +51,35 @@ class AsOfSpec extends SparkSuite {
     assert(out.columns.toSeq === Seq("obs_id", "user", "ts", "asof_state_id"))
   }
 
+  test("backward agrees with a naive greatest-ts-at-or-before join on real events") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val fast = AsOf.backward(purchases, views, Seq("user_id"), "ts", "ts",
+        Seq("event_id"), "view_")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    // naive: join all prior views, keep max ts, join back for its id
+    val pv = purchases.select(col("event_id").as("p_id"),
+        col("user_id"), col("ts").as("p_ts"))
+      .join(views.select(col("user_id"), col("ts").as("v_ts"),
+        col("event_id").as("v_id")), Seq("user_id"), "left")
+    val best = pv.filter(col("v_ts") <= col("p_ts"))
+      .groupBy(col("p_id")).agg(max(col("v_ts")).as("best_ts"))
+    val naive = purchases.select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .join(best, Seq("p_id"), "left")
+      .join(views.select(col("user_id"), col("ts").as("best_ts"),
+        col("event_id").as("v_id")), Seq("user_id", "best_ts"), "left")
+      .select(col("p_id"), col("v_id"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(fast.keySet === naive.keySet)
+    assert(fast === naive)
+    assert(fast.values.exists(_.isDefined), "test premise: some purchase has a prior view")
+  }
+
   test("plan is one shuffle on the key — no nested-loop or cartesian join") {
     val plan = AsOf.backward(left, right, Seq("user"), "ts", "ts", Seq("state_id"))
       .queryExecution.executedPlan.toString

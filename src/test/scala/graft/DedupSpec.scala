@@ -110,6 +110,44 @@ class DedupSpec extends SparkSuite {
     assert(capped((1L, 2L)) === 1.0)
   }
 
+  test("prefix-filtered candidates lose NO qualifying pair vs the naive all-grams join") {
+    // random docs over a tiny vocabulary → heavy shingle sharing, so
+    // the prefix filter actually prunes; the naive share-any-gram
+    // reference must agree exactly (prefix-filter completeness is the
+    // trickiest proof in the codebase — pin it empirically)
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val randomDocs = (1L to 60L).map { i =>
+      val len = 5 + rnd.nextInt(12)
+      (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val threshold = 0.4
+    val fast = Dedup.ngramJaccard(randomDocs, "doc_id", "text",
+        n = 3, threshold = threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // naive reference: every pair sharing >= 1 shingle, exact Jaccard
+    import org.apache.spark.sql.functions._
+    val sh = randomDocs.select(col("doc_id").as("id"),
+      graft.functions.Text.shingles(col("text"), 3).as("sh"))
+    val ex = sh.select(col("id"), explode(col("sh")).as("g"))
+    val naive = ex.select(col("id").as("id_a"), col("g"))
+      .join(ex.select(col("id").as("id_b"), col("g")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(naive.nonEmpty, "test premise: random docs should produce pairs")
+    assert(fast.keySet === naive.keySet,
+      s"missing=${naive.keySet -- fast.keySet} extra=${fast.keySet -- naive.keySet}")
+    fast.foreach { case (p, j) => assert(math.abs(j - naive(p)) < 1e-12) }
+  }
+
   test("df-cap orphans (ALL shingles hot) still pair when bit-identical") {
     // every shingle of every doc has df=4 > cap=3, so all four docs
     // drop out of the capped vocabulary — the whole-doc rescue bucket

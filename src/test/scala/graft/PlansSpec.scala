@@ -26,7 +26,9 @@ class PlansSpec extends SparkSuite {
       "q4_returned_priority", "q22_no_orders", "top_orders_per_cust",
       "scd2_merge", "stg_soft_delete", "schema_evolution", "flatten_props",
       "q18_large_orders", "events_rolling", "asof_last_view",
-      "asof_next_error", "range_join_sessions")
+      "asof_next_error", "range_join_sessions", "q13_custdist",
+      "cdc_snapshot_diff", "events_pivot", "curation_pipeline",
+      "scd2_asof", "sample_split", "corpus_top_terms")
     // a relation leaf prints its columns — n_/r_ prefixes identify the
     // fixed-size geography dims
     audited.foreach { name =>
