@@ -93,9 +93,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     pair.map { case (lower, upper) =>
       // cast timestamp → long gives epoch seconds (floor); both sides
       // of a 1-second-resolution truncation land in the same
-      // integer-second bucket, so containment survives quantization
+      // integer-second bucket, so containment survives quantization.
+      // The timezone is set EXPLICITLY: optimizer rules run after the
+      // analyzer's ResolveTimeZone pass, so a TimeZoneAwareExpression
+      // (Cast, Sequence) left with timeZoneId=None stays unresolved
+      // and fails plan validation.
+      val tz = Some(conf.sessionLocalTimeZone)
       def bucketOf(e: Expression): Expression =
-        IntegralDivide(Cast(e, LongType), Literal(width))
+        IntegralDivide(Cast(e, LongType, tz), Literal(width))
       val (pts, ivs) =
         if (lower.ptOnLeft) (left, right) else (right, left)
       val ptBucket = Alias(bucketOf(lower.pt), "__graft_bucket")()
@@ -105,7 +110,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val bLo = bucketOf(lower.bound)
       val bHi = bucketOf(upper.bound)
       val seqExpr = If(LessThanOrEqual(bLo, bHi),
-        Sequence(bLo, bHi, Some(Literal(1L)), None),
+        Sequence(bLo, bHi, Some(Literal(1L)), tz),
         Literal.create(Seq.empty[Long], ArrayType(LongType, containsNull = false)))
       val bucketAttr = AttributeReference("__graft_bucket_i", LongType, nullable = false)()
       val gen = Generate(Explode(seqExpr), unrequiredChildIndex = Nil,
