@@ -43,6 +43,19 @@ class RangeJoinRewriteSpec extends SparkSuite {
     assert(a.map(r => (r.head, r(2))) === Set((1L, 10L), (2L, 10L), (3L, 11L)))
   }
 
+  test("output plan stays RESOLVED when applied after the real optimizer") {
+    // optimizer rules run after ResolveTimeZone: a TimeZoneAware
+    // expression built without an explicit timeZoneId would be
+    // unresolved here and fail Spark's plan validation (regression
+    // caught by the withExtensions demo; ofRows-based tests re-analyze
+    // and mask it)
+    val optimized = spark.sessionState.optimizer
+      .execute(naive.queryExecution.analyzed)
+    val rewritten = RangeJoinRewrite(optimized)
+    assert(!rewritten.fastEquals(optimized), "rule should fire on the optimized plan")
+    assert(rewritten.resolved, s"rewrite left unresolved nodes:\n$rewritten")
+  }
+
   test("leaves joins with an equi conjunct alone") {
     val keyedPoints = points.withColumn("k", col("p_id") % 2)
     val keyedIvs = intervals.withColumn("k", col("iv_id") % 2)
