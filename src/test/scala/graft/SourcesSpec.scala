@@ -57,6 +57,26 @@ class SourcesSpec extends SparkSuite {
     assert(out.toSeq === Seq((1L, "new"), (2L, "keep"), (3L, "ins")))
   }
 
+  test("partitioned reads prune to the filtered partition directories") {
+    val dir = tmpDir("prune") + "/t"
+    Sink.partitioned(
+      Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-03"))
+        .toDF("id", "dt"), dir, Seq("dt"))
+    val pruned = spark.read.parquet(dir).filter(col("dt") === "2024-01-02")
+    assert(pruned.collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // the dt predicate must be a PARTITION filter (directory pruning),
+    // and the executed scan must have read exactly one file — the
+    // mechanism that turns a daily delta on a 100 TB table into a
+    // single-directory read. (inputFiles reports the pre-pruning
+    // relation, so check the scan node itself.)
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(scan.partitionFilters.exists(_.toString.contains("2024-01-02")),
+      scan.partitionFilters.mkString(", "))
+    assert(scan.metrics("numFiles").value === 1L)
+  }
+
   test("compact rewrites a many-small-file table to the target count, same data") {
     val dir = tmpDir("cmp") + "/t"
     val df = (1L to 1000L).map(i => (i, s"row$i")).toDF("id", "v")
