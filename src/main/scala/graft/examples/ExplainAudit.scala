@@ -22,7 +22,9 @@ object ExplainAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
-        "fact_lineitem", "cdc_incremental_filter", "events_sessions", "dedup_minhash")
+        "fact_lineitem", "cdc_incremental_filter", "events_sessions", "dedup_minhash",
+        "asof_last_view", "range_join_sessions", "dedup_embedding_lsh",
+        "curation_pipeline")
     names.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
