@@ -318,6 +318,14 @@ object SparkEntry {
       Tables.documents(s, d)
         .select(col("doc_id"), functions.Text.fingerprint(col("text")).as("fingerprint"))
         .orderBy(col("doc_id"))),
+    // winnowing fingerprint set (MOSS): hash arithmetic not portable →
+    // rows-only; TextSpec pins the shared-run guarantee
+    "doc_winnow" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          functions.Text.winnow(col("text")).as("winnow_fp"),
+          size(functions.Text.winnow(col("text"))).as("n_selected"))
+        .orderBy(col("doc_id"))),
 
     // ---- dedup (§2.5) ----
     "dedup_exact" -> ((s, d) =>

@@ -80,6 +80,36 @@ object Text {
     */
   def fingerprint(text: Column): Column = xxhash64(normalize(text))
 
+  /** Winnowing document fingerprint (Schleimer, Wilkerson, Aiken —
+    * SIGMOD '03, the MOSS algorithm): hash every word k-gram, slide a
+    * window of `w` hashes, keep each window's minimum — the selected
+    * set is a position-robust fingerprint with the guarantee that any
+    * shared run of ≥ k+w-1 words between two docs contributes at
+    * least one COMMON selected hash. Pure array higher-order
+    * functions over the shingle hashes (no explode, no shuffle);
+    * output is the sorted distinct selection, ready for the same
+    * overlap joins the dedup ops use.
+    */
+  def winnow(text: Column, k: Int = 5, w: Int = 4): Column = {
+    val hashes = transform(shinglesWithDuplicates(text, k), g => xxhash64(g))
+    val n = size(hashes)
+    val windowMins = when(n <= w, array(array_min(hashes)))
+      .otherwise(transform(sequence(lit(1), n - w + 1),
+        i => array_min(slice(hashes, i, lit(w)))))
+    sort_array(array_distinct(windowMins))
+  }
+
+  /** Word n-gram shingles in POSITION ORDER, duplicates kept — the
+    * sequence form winnowing needs (dedup ops use the distinct
+    * [[shingles]]).
+    */
+  private def shinglesWithDuplicates(text: Column, n: Int): Column = {
+    val words = split(normalize(text), " ")
+    when(size(words) < n, array(concat_ws(" ", words)))
+      .otherwise(transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+  }
+
   /** Corpus vocabulary statistics: the top-`k` normalized words by
     * total frequency, with document frequency — the raw counts behind
     * stopword lists, TF-IDF weights, and the df-caps the dedup ops

@@ -43,4 +43,22 @@ class TextSpec extends SparkSuite {
     val short = one[collection.Seq[String]](Text.shingles(col("text"), 3), "a b")
     assert(short.toSeq === Seq("a b"))
   }
+
+  test("winnow: sorted distinct selection; shared run of k+w-1 words ⇒ common hash") {
+    def fp(t: String) =
+      one[collection.Seq[Long]](Text.winnow(col("text"), k = 3, w = 3), t).toSeq
+    val a = fp("the quick brown fox jumps over the lazy dog tonight")
+    assert(a === a.sorted && a.distinct === a, "selection must be sorted distinct")
+    // winnowing guarantee (Schleimer et al. §3): two docs sharing a
+    // run of ≥ k+w-1 = 5 words select at least one common hash, no
+    // matter what surrounds the run
+    val shared = "quick brown fox jumps over"
+    val b = fp(s"completely different prefix $shared and another ending here")
+    assert(a.toSet.intersect(b.toSet).nonEmpty, "shared run must yield a common hash")
+    // disjoint vocabularies share nothing
+    val c = fp("uno dos tres cuatro cinco seis siete ocho nueve diez")
+    assert(a.toSet.intersect(c.toSet).isEmpty)
+    // short text (< k words) degrades to the whole-text shingle hash
+    assert(fp("a b").length === 1)
+  }
 }
