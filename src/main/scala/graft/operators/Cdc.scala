@@ -94,6 +94,10 @@ object Cdc {
     */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, key: Seq[String],
                    compareCols: Seq[String]): DataFrame = {
+    require(oldSnap.columns.toSet == newSnap.columns.toSet,
+      s"snapshot schemas differ: ${oldSnap.columns.toSet.diff(newSnap.columns.toSet)} " +
+        s"vs ${newSnap.columns.toSet.diff(oldSnap.columns.toSet)} — align with " +
+        "SchemaEvolution.unionEvolved first")
     val valueCols = oldSnap.columns.filterNot(key.contains).toSeq
     val o = oldSnap.select((key ++ valueCols).map(c => col(c).as(s"__o_$c")): _*)
     val n = newSnap.select((key ++ valueCols).map(c => col(c).as(s"__n_$c")): _*)

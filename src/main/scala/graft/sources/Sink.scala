@@ -107,6 +107,13 @@ object Sink {
     require(targetBytes > 0, "targetBytes must be positive")
     val dst = new Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // partitioned layout (dt=.../ dirs): compact each leaf partition
+    // in place — a whole-table read would flatten the partition
+    // columns into the data files and destroy pruning
+    val partDirs = fs.listStatus(dst)
+      .filter(e => e.isDirectory && e.getPath.getName.contains("="))
+    if (partDirs.nonEmpty)
+      return partDirs.map(d => compact(spark, d.getPath.toString, targetBytes)).sum
     def dataFiles(p: Path): Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
       val it = fs.listFiles(p, true)
       val buf = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]

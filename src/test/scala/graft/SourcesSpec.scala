@@ -93,6 +93,22 @@ class SourcesSpec extends SparkSuite {
     assert(Sink.compact(spark, dir, targetBytes = 1L << 30) === 1)
   }
 
+  test("compact preserves a partitioned layout (per-leaf compaction)") {
+    val dir = tmpDir("cmpp") + "/t"
+    val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "2024-01-01" else "2024-01-02"))
+      .toDF("id", "dt").repartition(10)
+    df.write.partitionBy("dt").parquet(dir)
+    val n = Sink.compact(spark, dir, targetBytes = 1L << 30)
+    assert(n === 2) // one file per partition leaf
+    // layout survives: pruning still hits a single directory
+    val pruned = spark.read.parquet(dir).filter(col("dt") === "2024-01-01")
+    assert(pruned.collect().length === 100)
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.metrics("numFiles").value === 1L)
+  }
+
   test("bucketed tables join with NO shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS fact_b")
     spark.sql("DROP TABLE IF EXISTS dim_b")
