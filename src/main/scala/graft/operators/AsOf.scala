@@ -36,57 +36,52 @@ object AsOf {
     */
   def backward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTs: String, rightTs: String,
-               payload: Seq[String], prefix: String = "asof_"): DataFrame = {
+               payload: Seq[String], prefix: String = "asof_"): DataFrame =
+    pointInTime(left, right, keyCols, leftTs, rightTs, payload, prefix,
+      lookForward = false)
+
+  /** Forward variant: EARLIEST right row with `rightTs >= leftTs`
+    * (e.g. "the next error after this deploy"). Same single-shuffle
+    * window shape, reversed scan direction; among right rows sharing
+    * (key, ts) the smallest payload struct wins.
+    */
+  def forward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+              leftTs: String, rightTs: String,
+              payload: Seq[String], prefix: String = "asof_"): DataFrame =
+    pointInTime(left, right, keyCols, leftTs, rightTs, payload, prefix,
+      lookForward = true)
+
+  private def pointInTime(left: DataFrame, right: DataFrame,
+                          keyCols: Seq[String], leftTs: String, rightTs: String,
+                          payload: Seq[String], prefix: String,
+                          lookForward: Boolean): DataFrame = {
     require(payload.nonEmpty, "payload columns required")
     val pStruct = struct(payload.map(col): _*)
     val pType = right.select(pStruct.as("__p")).schema("__p").dataType
     // left keeps ALL its columns; right contributes only key, ts and
-    // the payload struct (unionByName null-fills the rest)
+    // the payload struct (unionByName null-fills the rest). Right rows
+    // order BEFORE a left row at the same ts for backward (side 0 < 1)
+    // and AFTER it for forward (side 2 > 1), so <= / >= ties match;
+    // __p last in the ordering makes equal-ts right rows deterministic.
+    val rightSide = if (lookForward) 2 else 0
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
       .withColumn("__p", lit(null).cast(pType))
     val r = right.select(
-      keyCols.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
-        pStruct.as("__p")): _*)
-    // right rows order BEFORE a left row at the same ts (side 0 < 1)
-    // so <= semantics hold; __p last makes equal-ts right rows
-    // deterministic
+      keyCols.map(col) ++ Seq(col(rightTs).as("__ts"),
+        lit(rightSide).as("__side"), pStruct.as("__p")): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc, col("__p").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val (frame, pick) =
+      if (lookForward)
+        (w.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col("__p"), ignoreNulls = true))
+      else
+        (w.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col("__p"), ignoreNulls = true))
     val matched = l.unionByName(r, allowMissingColumns = true)
-      .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-    val attached = payload.map(f => col(s"__match.$f").as(prefix + f))
-    matched.select(left.columns.map(col) ++ attached: _*)
-  }
-
-  /** Forward variant: EARLIEST right row with `rightTs >= leftTs`
-    * (e.g. "the next error after this deploy"). Same single-shuffle
-    * window shape, reversed scan direction.
-    */
-  def forward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-              leftTs: String, rightTs: String,
-              payload: Seq[String], prefix: String = "asof_"): DataFrame = {
-    require(payload.nonEmpty, "payload columns required")
-    val pStruct = struct(payload.map(col): _*)
-    val pType = right.select(pStruct.as("__p")).schema("__p").dataType
-    val l = left
-      .withColumn("__ts", col(leftTs))
-      .withColumn("__side", lit(1))
-      .withColumn("__p", lit(null).cast(pType))
-    val r = right.select(
-      keyCols.map(col) ++ Seq(col(rightTs).as("__ts"), lit(2).as("__side"),
-        pStruct.as("__p")): _*)
-    // right rows order AFTER a left row at the same ts (side 2 > 1) so
-    // >= semantics hold; the frame looks forward and first() picks the
-    // earliest
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc, col("__p").asc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val matched = l.unionByName(r, allowMissingColumns = true)
-      .withColumn("__match", first(col("__p"), ignoreNulls = true).over(w))
+      .withColumn("__match", pick.over(frame))
       .filter(col("__side") === 1)
     val attached = payload.map(f => col(s"__match.$f").as(prefix + f))
     matched.select(left.columns.map(col) ++ attached: _*)
