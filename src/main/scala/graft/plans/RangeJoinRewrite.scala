@@ -67,11 +67,15 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     if (hasEqui) return None
 
     final case class Bound(pt: Expression, bound: Expression, ptOnLeft: Boolean)
+    // deterministic only: the rewrite re-evaluates pt/bounds in the
+    // bucket projection, which would double-evaluate a
+    // non-deterministic expression
     def mk(pt: Expression, bound: Expression): Option[Bound] =
       for {
         ps <- sideOf(pt)
         bs <- sideOf(bound)
         if ps != bs && pt.dataType == TimestampType && bound.dataType == TimestampType
+        if pt.deterministic && bound.deterministic
       } yield Bound(pt, bound, ps)
     def asLower(c: Expression): Option[Bound] = c match {
       case GreaterThanOrEqual(a, b) => mk(a, b) // pt >= lo
