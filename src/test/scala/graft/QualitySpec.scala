@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.Quality
+import org.apache.spark.sql.functions._
+
+/** Pins the semantics of the rows-only profile variants: the sketch
+  * paths must track their exact twins within published error bounds.
+  */
+class QualitySpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val orders = Tables.orders(spark, "/root/testdata/sf0.01")
+
+  test("profileApprox tracks the exact profile (HLL within rsd, min/max/null exact)") {
+    val cols = Seq("o_orderstatus", "o_custkey", "o_totalprice")
+    def byCol(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    val exact = byCol(Quality.profile(orders, cols))
+    val approx = byCol(Quality.profileApprox(orders, cols, rsd = 0.05))
+    cols.foreach { c =>
+      val (nRows, nNull, nDist, mn, mx) = exact(c)
+      val (aRows, aNull, aDist, amn, amx) = approx(c)
+      assert(aRows === nRows && aNull === nNull && amn === mn && amx === mx)
+      // HLL++ at 5% rsd: allow 3 sigma
+      assert(math.abs(aDist - nDist).toDouble <= math.max(1.0, 0.15 * nDist),
+        s"$c: approx distinct $aDist vs exact $nDist")
+    }
+  }
+
+  test("profileNumericApprox percentiles land within GK rank error of exact") {
+    val cols = Seq("o_custkey", "o_totalprice")
+    def byCol(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getDouble(5), r.getDouble(6))).toMap
+    val exact = byCol(Quality.profileNumeric(orders, cols))
+    val approx = byCol(Quality.profileNumericApprox(orders, cols, accuracy = 10000))
+    // rank error 1/accuracy = 0.01% → value error bounded by the local
+    // quantile density; assert within 1% of the exact VALUE, far looser
+    cols.foreach { c =>
+      val (p50, p90) = exact(c)
+      val (a50, a90) = approx(c)
+      assert(math.abs(a50 - p50) <= 0.01 * math.abs(p50), s"$c p50: $a50 vs $p50")
+      assert(math.abs(a90 - p90) <= 0.01 * math.abs(p90), s"$c p90: $a90 vs $p90")
+    }
+  }
+
+  test("withStatus classifies by thresholds") {
+    val results = Seq(("a", 0L), ("b", 5L), ("c", 500L)).toDF("check_name", "violations")
+    val out = Quality.withStatus(results, warnIf = 0L, errorIf = 100L)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out === Map("a" -> "pass", "b" -> "warn", "c" -> "error"))
+  }
+
+  test("freshness: pass/warn/error and the empty-table edge") {
+    val asOf = lit("2024-01-01 01:00:00").cast("timestamp")
+    def status(ts: String*) = {
+      val df = ts.map(java.sql.Timestamp.valueOf).toDF("ts")
+      Quality.freshness(df, "ts", asOf, warnAfterSec = 600L, errorAfterSec = 3600L)
+        .collect()(0).getString(2)
+    }
+    assert(status("2024-01-01 00:55:00") === "pass")
+    assert(status("2024-01-01 00:30:00") === "warn")
+    assert(status("2023-12-31 00:00:00") === "error")
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType))))
+    assert(Quality.freshness(empty, "ts", asOf, 600L, 3600L)
+      .collect()(0).getString(2) === "error")
+  }
+}
