@@ -406,6 +406,18 @@ object SparkEntry {
           Seq("o_custkey", "o_totalprice"))
         .orderBy(col("column_name"))),
 
+    // ---- eval-set decontamination (§2.5b) ----
+    // eval = every 10th doc; flag eval docs sharing ≥3 shingles with
+    // any training doc, reporting the worst-overlapping train doc
+    "decontamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contamination(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 3, minCommon = 3, maxDocFreq = 1000)
+        .orderBy(col("eval_id"))
+    }),
+
     // ---- end-to-end curation pipeline (§2.5b) ----
     // the whole training-set story composed: quality gate → exact
     // dedup (keep lowest id) → near-dup removal (drop the higher id of
@@ -1046,6 +1058,31 @@ object SparkEntry {
                quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9)
              FROM orders
            ) ORDER BY column_name""",
+
+      "decontamination" ->
+        s"""WITH sh AS (
+             SELECT doc_id, list_distinct(
+               CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+               ELSE list_transform(generate_series(1, len(words) - 2),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END) AS sh
+             FROM (SELECT doc_id, string_split($norm, ' ') AS words FROM documents)
+           ), sh_t AS (
+             SELECT doc_id AS train_id, unnest(sh) AS gram FROM sh
+             WHERE doc_id % 10 <> 0
+           ), sh_e AS (
+             SELECT doc_id AS eval_id, unnest(sh) AS gram FROM sh
+             WHERE doc_id % 10 = 0
+           ), pairs AS (
+             SELECT eval_id, train_id, count(*) AS n_common
+             FROM sh_e JOIN sh_t USING (gram)
+             GROUP BY eval_id, train_id
+             HAVING count(*) >= 3)
+           SELECT eval_id, worst_train_id, n_common FROM (
+             SELECT eval_id, train_id AS worst_train_id, n_common,
+               row_number() OVER (PARTITION BY eval_id
+                 ORDER BY n_common DESC, train_id DESC) AS rn
+             FROM pairs)
+           WHERE rn = 1 ORDER BY eval_id""",
 
       "curation_pipeline" ->
         s"""WITH quality AS (

@@ -267,6 +267,51 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Eval-set decontamination: flag eval documents whose n-gram
+    * overlap with ANY training document reaches `minCommon` shingles —
+    * the standard benchmark-contamination test run before training.
+    * Same bucketed shape as [[ngramJaccard]] (hashed shingles,
+    * equi-join on the gram, never a cross join), but ASYMMETRIC: the
+    * output is per EVAL doc (worst overlapping train doc), so the
+    * aggregation state is eval-sized, not train-sized — at 100 TB of
+    * train data the join shuffles train-side occurrences but
+    * aggregates only (eval, train) candidate pairs that share grams.
+    * `maxDocFreq` caps ubiquitous-gram fan-out exactly as in
+    * ngramJaccard (df computed over BOTH sides).
+    */
+  def contamination(train: DataFrame, eval: DataFrame,
+                    idCol: String, textCol: String,
+                    n: Int = 8, minCommon: Int = 1,
+                    maxDocFreq: Int = 0): DataFrame = {
+    def exploded(df: DataFrame): DataFrame =
+      Par.widen(df, idCol).select(col(idCol).as("id"),
+          explode(Text.shingles(col(textCol), n)).as("g"))
+        .select(col("id"), xxhash64(col("g")).as("gram"))
+    val tr = Par.persistTracked(exploded(train))
+    val ev = Par.persistTracked(exploded(eval))
+    val joined =
+      if (maxDocFreq > 0) {
+        val hot = tr.select(col("gram")).unionByName(ev.select(col("gram")))
+          .groupBy(col("gram")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDocFreq).select(col("gram"))
+        ev.join(hot, Seq("gram"), "left_anti")
+          .join(tr.join(hot, Seq("gram"), "left_anti")
+            .select(col("gram"), col("id").as("train_id")), Seq("gram"))
+      } else {
+        ev.join(tr.select(col("gram"), col("id").as("train_id")), Seq("gram"))
+      }
+    joined.select(col("id").as("eval_id"), col("train_id"))
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+      // worst offender per eval doc: lexicographic max = highest
+      // n_common, ties to the highest train id (deterministic)
+      .groupBy(col("eval_id"))
+      .agg(max(struct(col("n_common"), col("train_id"))).as("__worst"))
+      .select(col("eval_id"), col("__worst.train_id").as("worst_train_id"),
+        col("__worst.n_common").as("n_common"))
+  }
+
   /** Embedding near-dup: pairs with cosine ≥ threshold. Candidates
     * come from multi-table random-hyperplane LSH buckets (Charikar
     * '02; same planes as Similarity.lshTopK) so every join is

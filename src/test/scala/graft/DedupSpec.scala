@@ -148,6 +148,23 @@ class DedupSpec extends SparkSuite {
     fast.foreach { case (p, j) => assert(math.abs(j - naive(p)) < 1e-12) }
   }
 
+  test("contamination flags eval docs overlapping train, reports the worst offender") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog every single day"),
+      (3L, "completely unrelated training material here")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // contaminated, worst=2 on ties? (doc 2 shares 7, doc 1 shares 7)
+      (101L, "totally novel evaluation prompt nothing shared")).toDF("doc_id", "text")
+    val out = Dedup.contamination(train, eval_, "doc_id", "text",
+        n = 3, minCommon = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet === Set(100L)) // only the overlapping eval doc
+    // doc 100 shares all 7 of its shingles with BOTH 1 and 2 →
+    // deterministic tie-break to the higher train id
+    assert(out(100L) === (2L, 7L))
+  }
+
   test("df-cap orphans (ALL shingles hot) still pair when bit-identical") {
     // every shingle of every doc has df=4 > cap=3, so all four docs
     // drop out of the capped vocabulary — the whole-doc rescue bucket
