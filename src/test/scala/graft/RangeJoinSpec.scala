@@ -44,6 +44,49 @@ class RangeJoinSpec extends SparkSuite {
     assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty)
   }
 
+  test("pointInInterval: inverted intervals emit NO buckets (no junk fan-out)") {
+    val points = Seq(("k1", 1L, ts("2024-01-01 10:00:00"))).toDF("k", "pt_id", "pt")
+    // end before start: matches nothing — and must not explode junk
+    // buckets for the recheck to discard (sequence() DESCENDS on a>b)
+    val inverted = Seq(
+      ("k1", 10L, ts("2024-01-05 00:00:00"), ts("2024-01-01 00:00:00")))
+      .toDF("k", "iv_id", "start_ts", "end_ts")
+    val joined = RangeJoin.pointInInterval(points, inverted, Seq("k"),
+      "pt", "start_ts", "end_ts", bucketSeconds = 1800L)
+    assert(joined.count() === 0)
+    // the exploded side generates zero rows, not 192 descending junk
+    // buckets per interval
+    val exploded = inverted.withColumn("__b", explode(
+      when(floor(unix_timestamp(col("start_ts")) / 1800L)
+             > floor(unix_timestamp(col("end_ts")) / 1800L),
+           array().cast("array<long>"))
+        .otherwise(sequence(
+          floor(unix_timestamp(col("start_ts")) / 1800L).cast("long"),
+          floor(unix_timestamp(col("end_ts")) / 1800L).cast("long")))))
+    assert(exploded.count() === 0)
+  }
+
+  test("pointInInterval: a pathologically long interval raises instead of silently exploding") {
+    val points = Seq(("k1", 1L, ts("2024-06-01 10:00:00"))).toDF("k", "pt_id", "pt")
+    // a year-long interval at 1800 s buckets is ~17.5k rows of fan-out
+    val yearLong = Seq(
+      ("k1", 10L, ts("2024-01-01 00:00:00"), ts("2024-12-31 00:00:00")))
+      .toDF("k", "iv_id", "start_ts", "end_ts")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, yearLong, Seq("k"),
+        "pt", "start_ts", "end_ts", bucketSeconds = 1800L,
+        maxBucketsPerInterval = 4096L).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("maxBucketsPerInterval")), e.toString)
+    // same interval with a wide-enough cap (or coarser buckets) is fine
+    val ok = RangeJoin.pointInInterval(points, yearLong, Seq("k"),
+      "pt", "start_ts", "end_ts", bucketSeconds = 1800L,
+      maxBucketsPerInterval = 20000L)
+    assert(ok.count() === 1)
+  }
+
   test("bandJoin assigns each row its single band; out-of-band rows keep null") {
     val facts = Seq((1L, 5.0), (2L, 10.0), (3L, 25.0), (4L, -1.0)).toDF("id", "v")
     val bands = Seq(("low", 0.0, 10.0), ("high", 10.0, 30.0)).toDF("band", "lo", "hi")

@@ -73,6 +73,58 @@ class Scd2Spec extends SparkSuite {
     assert(folded.count() === 5) // 3 current + 2 closed versions
   }
 
+  test("merge with invalidateHardDeletes closes rows whose key left the extract") {
+    val day1 = Seq((1L, "Lagos", "eng"), (2L, "Abuja", "doc"))
+      .toDF("user_id", "state", "occupation")
+    val h1 = Scd2.merge(emptyHistory, day1, Seq("user_id"),
+      Seq("state", "occupation"), lit(ts("2024-01-01 00:00:00")))
+    // day 2: user 2 vanished from the FULL extract — a hard delete
+    val day2 = Seq((1L, "Lagos", "eng")).toDF("user_id", "state", "occupation")
+    val h2 = Scd2.merge(h1, day2, Seq("user_id"),
+      Seq("state", "occupation"), lit(ts("2024-01-02 00:00:00")),
+      invalidateHardDeletes = true)
+    val u2 = h2.filter($"user_id" === 2).collect()
+    assert(u2.length === 1 &&
+      u2(0).getAs[java.sql.Timestamp]("valid_to") == ts("2024-01-02 00:00:00"))
+    assert(Scd2.currentRows(h2).count() === 1)
+    // day 3: the key REAPPEARS → closed row stays, a fresh row opens
+    val day3 = Seq((1L, "Lagos", "eng"), (2L, "Abuja", "doc"))
+      .toDF("user_id", "state", "occupation")
+    val h3 = Scd2.merge(h2, day3, Seq("user_id"),
+      Seq("state", "occupation"), lit(ts("2024-01-03 00:00:00")),
+      invalidateHardDeletes = true)
+    val u2v = h3.filter($"user_id" === 2).orderBy("valid_from").collect()
+      .map(r => Option(r.getAs[java.sql.Timestamp]("valid_to")).map(_.toString))
+    assert(u2v.toSeq === Seq(Some("2024-01-02 00:00:00.0"), None))
+  }
+
+  test("mergeAll: 50-snapshot backfill keeps the plan bounded and converges to the log history") {
+    val t0 = ts("2024-01-01 00:00:00").getTime
+    def day(i: Int) = new java.sql.Timestamp(t0 + i.toLong * 86400000L)
+    // one user whose state changes every day → 50 history versions
+    val snaps = (0 until 50).map { i =>
+      Seq((1L, s"state_$i")).toDF("user_id", "state") -> lit(day(i))
+    }
+    val folded = Scd2.mergeAll(emptyHistory.drop("occupation"), snaps,
+      Seq("user_id"), Seq("state"))
+    // lineage defense: un-truncated, the plan DOUBLES per fold (the
+    // history is referenced by both the closed branch and the join) —
+    // 2^50 nodes; with the default checkpoint cadence at most
+    // 2^checkpointEvery − 1 joins remain regardless of snapshot count
+    val joins = folded.queryExecution.analyzed.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size <= 15, s"plan grew to ${joins.size} joins — lineage not truncated")
+    val log = (0 until 50).map(i => (1L, day(i), s"state_$i"))
+      .toDF("user_id", "ts", "state")
+    val viaLog = Scd2.historyFromLog(log, Seq("user_id"), "ts")
+      .select("user_id", "state", "valid_from", "valid_to")
+    val a = folded.select("user_id", "state", "valid_from", "valid_to")
+      .orderBy("valid_from").collect().map(_.toSeq)
+    assert(a.toSeq === viaLog.orderBy("valid_from").collect().map(_.toSeq).toSeq)
+    assert(folded.count() === 50 && Scd2.currentRows(folded).count() === 1)
+  }
+
   test("merge iterated over an update log converges to historyFromLog") {
     // the same changes applied as two snapshot merges vs one log pass
     val log = Seq(

@@ -49,6 +49,44 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.6, s"recall $recall too low")
   }
 
+  test("lshTopK candidate generation never shuffles embedding vectors") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.ArrayType
+    val queries = corpus.filter($"vec_id" % 16 === 0)
+    val df = Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
+      "vec_id", k = 5, planes = 8, tables = 4)
+    df.collect() // finalize the AQE plan
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // materialized AQE shuffles hide inside QueryStageExec LEAVES —
+    // plain collect() never descends into them
+    def allShuffles(p: SparkPlan): Seq[ShuffleExchangeLike] = p match {
+      case q: QueryStageExec => allShuffles(q.plan)
+      case e: ShuffleExchangeLike => e +: e.children.flatMap(allShuffles)
+      case other => other.children.flatMap(allShuffles)
+    }
+    val shuffles = allShuffles(plan)
+    assert(shuffles.nonEmpty, "expected at least one shuffle in the plan")
+    // an array column may only ever move keyed by the id (the ONE
+    // survivor vector fetch); the (table, bucket) candidate join and
+    // the pair distinct shuffle bare scalars only
+    shuffles.foreach { s =>
+      val arrayCols = s.output.filter(_.dataType.isInstanceOf[ArrayType])
+      val keyNames: Seq[String] = s.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.flatMap(_.references.map(_.name).toSeq)
+        case _ => Seq.empty
+      }
+      assert(arrayCols.isEmpty || keyNames.forall(Set("neighbor_id", "query_id")),
+        s"bucket/pair shuffle carries array columns ${arrayCols.map(_.name)} " +
+          s"keyed by $keyNames")
+    }
+  }
+
   test("ivfTopK recall vs brute force ≥ 0.8 probing half the cells") {
     val queries = corpus.filter($"vec_id" % 16 === 0)
     val k = 5

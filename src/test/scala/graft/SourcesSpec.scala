@@ -109,6 +109,45 @@ class SourcesSpec extends SparkSuite {
     assert(scan.metrics("numFiles").value === 1L)
   }
 
+  test("jdbc partitioned read stripes the table; incremental predicate pushes down") {
+    // embedded Derby (ships with Spark) stands in for the reference's
+    // Postgres source; in-memory db is shared across connections in
+    // this JVM, so the 4 stripe readers all see it
+    val url = s"jdbc:derby:memory:graft${System.nanoTime()};create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE tx (id BIGINT, tracking BIGINT, v VARCHAR(20))")
+      val ins = conn.prepareStatement("INSERT INTO tx VALUES (?, ?, ?)")
+      (1L to 100L).foreach { i =>
+        ins.setLong(1, i); ins.setLong(2, i); ins.setString(3, s"row$i")
+        ins.addBatch()
+      }
+      ins.executeBatch()
+    } finally conn.close()
+
+    // full read: numPartitions CONCURRENT stripes over [lower, upper)
+    val full = Sources.jdbc(spark, url, "tx", "tracking", 1L, 101L, 4, props)
+    assert(full.count() === 100)
+    assert(full.rdd.getNumPartitions === 4)
+    // bounds split stripes but never filter: rows outside land in the
+    // edge stripes
+    val narrow = Sources.jdbc(spark, url, "tx", "tracking", 40L, 60L, 4, props)
+    assert(narrow.count() === 100)
+
+    // incremental extract: only post-watermark rows, predicate pushed
+    // into the remote query (the reference's WHERE tracking > last)
+    val inc = Sources.jdbcIncremental(spark, url, "tx", "tracking", lit(60L),
+      "tracking", 60L, 101L, 4, props)
+    assert(inc.count() === 40)
+    assert(inc.agg(min(col("tracking"))).head.getLong(0) === 61L)
+    val planStr = inc.queryExecution.executedPlan.toString
+    assert(planStr.toLowerCase.contains("pushedfilters")
+      && planStr.toLowerCase.contains("tracking"),
+      s"watermark predicate not pushed to the JDBC scan:\n$planStr")
+  }
+
   test("bucketed tables join with NO shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS fact_b")
     spark.sql("DROP TABLE IF EXISTS dim_b")

@@ -18,6 +18,9 @@ object SparkSuite {
     .appName("graft-tests")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // graded sessions (Verify/Bench) register the graft optimizer
+    // rules the same way — tests must see the plans the driver grades
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
