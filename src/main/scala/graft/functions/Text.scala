@@ -92,11 +92,23 @@ object Text {
     */
   def winnow(text: Column, k: Int = 5, w: Int = 4): Column = {
     val hashes = transform(shinglesWithDuplicates(text, k), g => xxhash64(g))
-    val n = size(hashes)
-    val windowMins = when(n <= w, array(array_min(hashes)))
-      .otherwise(transform(sequence(lit(1), n - w + 1),
-        i => array_min(slice(hashes, i, lit(w)))))
-    sort_array(array_distinct(windowMins))
+    // Bind the hash array ONCE as a lambda variable: composing Columns
+    // inlines expression TREES, so referencing `hashes` directly from
+    // the sliding-window lambda would re-shingle and re-hash the WHOLE
+    // document at every window position — O(n²·k) per doc (measured
+    // ~5 ms/doc, 260 s for the sf0.1 corpus once a query actually
+    // evaluated the column). Wrapped in a one-element array transform,
+    // `hs` is evaluated once per row and every window reads it by
+    // reference: O(n·w).
+    element_at(transform(array(hashes), hs => {
+      val n = size(hs)
+      // per-window min as an unrolled least() over element_at — no
+      // per-window slice allocation (w is a compile-time constant)
+      val mins = when(n <= w, array(array_min(hs)))
+        .otherwise(transform(sequence(lit(1), n - w + 1),
+          i => least((0 until w).map(j => element_at(hs, i + lit(j))): _*)))
+      sort_array(array_distinct(mins))
+    }), 1)
   }
 
   /** Word n-gram shingles in POSITION ORDER, duplicates kept — the
