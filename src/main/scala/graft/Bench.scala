@@ -1,10 +1,20 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR
   * and prints ONE JSON line for the driver. Per-query progress goes to
   * stderr so a stall is attributable.
   */
 object Bench {
+
+  /** Run `df` to completion EVALUATING every projected column.
+    * A plain `df.count()` lets Catalyst prune unevaluated columns and
+    * eliminate final sorts — a per-row feature query would "time" only
+    * its scan (discovered when doc_winnow jumped 0.14 s → 4 s the
+    * moment a query shape actually forced the column). `toRdd` fixes
+    * the physical plan first, so the count drives every column and
+    * ordering a downstream consumer would actually pay for.
+    */
+  private def force(df: DataFrame): Long = df.queryExecution.toRdd.count()
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -25,7 +35,7 @@ object Bench {
     // queries across fresh JVMs without this.
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
       ordered.foreach { case (_, fn) =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        try force(fn(spark, sfDir)) catch { case _: Throwable => () }
         Par.release()
       }
     }
@@ -40,7 +50,7 @@ object Bench {
       var rows = -1L
       (1 to passes).foreach { _ =>
         val t0 = System.nanoTime()
-        val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        val n = try force(fn(spark, sfDir)) catch { case _: Throwable => -1L }
         val sec = (System.nanoTime() - t0) / 1e9
         // drop operator-internal persists (tracked — exactly the blocks
         // graft cached) so queries don't pay each other's memory pressure

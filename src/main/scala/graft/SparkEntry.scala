@@ -431,6 +431,15 @@ object SparkEntry {
           threshold = 0.45, exhaustive = false, planes = 4, tables = 12)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // near-dup pairs → transitive CLUSTERS: every id labeled with its
+    // component's minimum id (keep-one-per-cluster even when
+    // duplicates chain; pair-drop keeps locally-minimal extras)
+    "dedup_components" -> ((s, d) =>
+      Dedup.connectedComponents(
+          Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
+            n = 3, threshold = 0.5, maxDocFreq = 1000))
+        .orderBy(col("id"))),
+
     // ---- sampling / splitting (§2.5b) ----
     // modulo split: the bit-portable oracle for the assignment chain
     "sample_split" -> ((s, d) =>
@@ -1252,6 +1261,33 @@ object SparkEntry {
              FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
              GROUP BY a.id, b.id, a.cnt, b.cnt)
            WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+
+      "dedup_components" ->
+        s"""WITH RECURSIVE sh AS (
+             SELECT doc_id AS id, list_distinct(
+               CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+               ELSE list_transform(generate_series(1, len(words) - 2),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END) AS sh
+             FROM (SELECT doc_id, string_split($norm, ' ') AS words FROM documents)
+           ), ex AS (
+             SELECT id, CAST(len(sh) AS BIGINT) AS cnt, unnest(sh) AS gram FROM sh
+           ), pairs AS (
+             SELECT id_a, id_b FROM (
+               SELECT a.id AS id_a, b.id AS id_b,
+                 CAST(count(*) AS DOUBLE)
+                   / CAST(a.cnt + b.cnt - count(*) AS DOUBLE) AS jaccard
+               FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+               GROUP BY a.id, b.id, a.cnt, b.cnt)
+             WHERE jaccard >= 0.5
+           ), edges AS (
+             SELECT id_a AS src, id_b AS dst FROM pairs
+             UNION SELECT id_b, id_a FROM pairs
+           ), reach(id, r) AS (
+             SELECT src, src FROM edges
+             UNION
+             SELECT e.src, rch.r FROM edges e JOIN reach rch ON e.dst = rch.id
+           )
+           SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id""",
 
       "dedup_embedding" ->
         """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

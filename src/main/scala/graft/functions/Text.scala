@@ -36,12 +36,18 @@ object Text {
     * Built with array higher-order functions (codegen'd, no UDF).
     */
   def shingles(text: Column, n: Int): Column = {
+    // bind the split-word array ONCE as a lambda variable — the
+    // per-position lambda referencing `words` by Column would inline
+    // (and re-run) the whole normalize+split tree for every shingle
+    // position: O(len²) per doc (the Text.winnow lesson)
     val words = split(normalize(text), " ")
-    // short texts (< n words) collapse to a single whole-text shingle
-    val grams = when(size(words) < n, array(concat_ws(" ", words)))
-      .otherwise(transform(sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
-    array_distinct(grams)
+    element_at(transform(array(words), ws => {
+      // short texts (< n words) collapse to a single whole-text shingle
+      val grams = when(size(ws) < n, array(concat_ws(" ", ws)))
+        .otherwise(transform(sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+      array_distinct(grams)
+    }), 1)
   }
 
   /** Stopword-hit count for one language's list. */
@@ -62,16 +68,26 @@ object Text {
     * fixed language order en > fr > de > es > zh.
     */
   def langId(text: Column): Column = {
-    val scores = Seq(
-      "en" -> stopwordHits(text, StopwordsEn),
-      "fr" -> stopwordHits(text, StopwordsFr),
-      "de" -> stopwordHits(text, StopwordsDe),
-      "es" -> stopwordHits(text, StopwordsEs),
-      "zh" -> stopwordHits(text, StopwordsZh))
-    val best = greatest(scores.map(_._2): _*)
-    scores.foldRight(lit("und")) { case ((lang, s), elseCol) =>
-      when(s > 0 && s === best, lit(lang)).otherwise(elseCol)
-    }
+    val langs = Seq("en" -> StopwordsEn, "fr" -> StopwordsFr,
+      "de" -> StopwordsDe, "es" -> StopwordsEs, "zh" -> StopwordsZh)
+    // two-level lambda binding: the word array is split once, the five
+    // hit counts are computed once into an array, and the argmax chain
+    // reads them by element_at — the naive greatest()+when chain
+    // referenced each stopwordHits TREE ~3×, re-normalizing and
+    // re-splitting the text ~15× per row
+    val words = split(normalize(text), " ")
+    element_at(transform(array(words), ws => {
+      val hitsArr = array(langs.map { case (_, sw) =>
+        size(filter(ws, w => w.isin(sw.map(lit(_).cast("string")): _*))).cast("long")
+      }: _*)
+      element_at(transform(array(hitsArr), hs => {
+        val best = array_max(hs)
+        langs.zipWithIndex.foldRight(lit("und")) { case (((lang, _), i), elseCol) =>
+          val s = element_at(hs, lit(i + 1))
+          when(s > 0 && s === best, lit(lang)).otherwise(elseCol)
+        }
+      }), 1)
+    }), 1)
   }
 
   /** 64-bit content fingerprint: xxhash64 of the normalized text.
@@ -116,10 +132,13 @@ object Text {
     * [[shingles]]).
     */
   private def shinglesWithDuplicates(text: Column, n: Int): Column = {
+    // same lambda-binding as [[shingles]]: evaluate the word array
+    // once, not once per shingle position
     val words = split(normalize(text), " ")
-    when(size(words) < n, array(concat_ws(" ", words)))
-      .otherwise(transform(sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+    element_at(transform(array(words), ws =>
+      when(size(ws) < n, array(concat_ws(" ", ws)))
+        .otherwise(transform(sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", slice(ws, i + 1, lit(n)))))), 1)
   }
 
   /** Corpus vocabulary statistics: the top-`k` normalized words by

@@ -390,4 +390,59 @@ object Dedup {
           col("nrm").as("nrm_b")), Seq("id_b")))
     }
   }
+
+  /** Connected components over a near-dup PAIR graph: label every id
+    * that appears in a pair with the MINIMUM id of its transitive
+    * cluster. This is the correct "keep one per cluster" semantics
+    * when duplicates CHAIN (a~b, b~c, a̸~c): dropping the higher id
+    * of each pair keeps every locally-minimal doc — in the component
+    * {1,5,3} with edges (1,5),(3,5) it keeps BOTH 1 and 3 — while the
+    * component label keeps exactly one (the output of any of the pair
+    * generators above feeds straight in).
+    *
+    * Algorithm: iterative min-label propagation — each round every
+    * node takes the min of its own label and its neighbors' labels
+    * (one hash join edges⋈labels + one min-aggregate per round, both
+    * shuffles on id — no all-pairs anything). Rounds needed = graph
+    * diameter, which for near-dup clusters is tiny (duplicate families
+    * are dense); `maxIter` caps pathological chains. Each round ends
+    * in an EAGER localCheckpoint: the loop is driver-side control
+    * flow, and without truncation the iteration plan doubles per round
+    * (the [[Scd2.mergeAll]] lesson). Convergence is detected by the
+    * strictly-decreasing label sum — one cheap aggregate per round,
+    * no extra join.
+    *
+    * Output: (id, comp) for every id in `pairs`; docs with no dup
+    * pair never enter the graph (their "component" is themselves).
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = Par.persistTracked(
+      pairs.select(col(idA).as("src"), col(idB).as("dst"))
+        .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+        .distinct())
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var lastSum = BigDecimal(labels.agg(sum(col("comp").cast("decimal(38,0)")))
+      .head.getDecimal(0))
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val fromNeighbors = edges
+        .join(labels.select(col("id").as("dst"), col("comp")), "dst")
+        .select(col("src").as("id"), col("comp"))
+      labels = labels.unionByName(fromNeighbors)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      val s = BigDecimal(labels.agg(sum(col("comp").cast("decimal(38,0)")))
+        .head.getDecimal(0))
+      converged = s == lastSum // labels only ever decrease
+      lastSum = s
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds " +
+      "— pathological chain-shaped duplicate graph; raise maxIter")
+    labels
+  }
 }

@@ -186,4 +186,21 @@ class DedupSpec extends SparkSuite {
     assert(out.keySet === expected, s"got ${out.keySet}")
     assert(out.values.forall(_ === 1.0))
   }
+
+  test("connectedComponents labels transitive clusters by their minimum id") {
+    // component {1,5,3} via (1,5),(3,5): pair-drop would keep both 1
+    // and 3; the component label keeps exactly one. Plus a chain
+    // 10~11~12~13 (diameter 3) and an isolated pair (20,21).
+    val pairs = Seq(
+      (1L, 5L), (3L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 13L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val out = operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(
+      1L -> 1L, 3L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+    Par.release()
+  }
 }
