@@ -459,6 +459,31 @@ object SparkEntry {
     "corpus_top_terms" -> ((s, d) =>
       functions.Text.topTerms(Tables.documents(s, d), "doc_id", "text", k = 100)),
 
+    // word-level repetition signals (Gopher A1.1-style): type-token
+    // ratio + top-word fraction per doc
+    "doc_repetition" -> ((s, d) =>
+      functions.Text.wordRepetition(Tables.documents(s, d), "doc_id", "text")
+        .withColumn("distinct_ratio", round(col("distinct_ratio"), 6))
+        .withColumn("top_word_frac", round(col("top_word_frac"), 6))
+        .orderBy(col("doc_id"))),
+
+    // rule filter over those signals: keep + FIRST failing rule
+    // (thresholds chosen to split this corpus: median distinct_ratio
+    // ≈ 0.46, median top_word_frac ≈ 0.09)
+    "doc_quality_filter" -> ((s, d) =>
+      functions.Text.qualityFilter(Tables.documents(s, d), "doc_id", "text",
+          minWords = 20L, maxWords = 1000L,
+          minDistinctRatio = 0.4, maxTopWordFrac = 0.12)
+        .orderBy(col("doc_id"))),
+
+    // per-(doc, term) TF-IDF; nDocs from the raw scan (metadata-only)
+    "doc_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      functions.Text.tfIdf(docs, "doc_id", "text", docs.count())
+        .withColumn("tfidf", round(col("tfidf"), 6))
+        .orderBy(col("doc_id"), col("term"))
+    }),
+
     // ---- sequence packing (§2.5b) ----
     // bin ids depend on partition layout → rows-only (one row per doc;
     // PackSpec pins the packing invariants)
@@ -1161,6 +1186,57 @@ object SparkEntry {
              SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS doc_freq
              FROM words WHERE length(term) > 0 GROUP BY term)
            ORDER BY tf DESC, term LIMIT 100""",
+
+      "doc_repetition" ->
+        s"""WITH w AS (
+             SELECT doc_id, unnest(string_split($norm, ' ')) AS w FROM documents
+           ), f AS (
+             SELECT doc_id, w, count(*) AS c FROM w
+             WHERE length(w) > 0 GROUP BY doc_id, w)
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+             count(*) AS n_distinct_words,
+             round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS distinct_ratio,
+             round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_word_frac
+           FROM f GROUP BY doc_id ORDER BY doc_id""",
+
+      "doc_quality_filter" ->
+        s"""WITH w AS (
+             SELECT doc_id, unnest(string_split($norm, ' ')) AS w FROM documents
+           ), f AS (
+             SELECT doc_id, w, count(*) AS c FROM w
+             WHERE length(w) > 0 GROUP BY doc_id, w
+           ), m AS (
+             SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+               count(*) / CAST(sum(c) AS DOUBLE) AS distinct_ratio,
+               max(c) / CAST(sum(c) AS DOUBLE) AS top_word_frac
+             FROM f GROUP BY doc_id)
+           SELECT doc_id, n_words,
+             CASE WHEN n_words < 20 THEN 'too_short'
+                  WHEN n_words > 1000 THEN 'too_long'
+                  WHEN distinct_ratio < 0.4 THEN 'low_diversity'
+                  WHEN top_word_frac > 0.12 THEN 'repetitive'
+                  ELSE 'keep' END AS reason,
+             (CASE WHEN n_words < 20 THEN 'too_short'
+                  WHEN n_words > 1000 THEN 'too_long'
+                  WHEN distinct_ratio < 0.4 THEN 'low_diversity'
+                  WHEN top_word_frac > 0.12 THEN 'repetitive'
+                  ELSE 'keep' END) = 'keep' AS keep
+           FROM m ORDER BY doc_id""",
+
+      "doc_tfidf" ->
+        s"""WITH w AS (
+             SELECT doc_id, unnest(string_split($norm, ' ')) AS term FROM documents
+           ), wf AS (
+             SELECT doc_id, term FROM w WHERE length(term) > 0
+           ), tf AS (
+             SELECT doc_id, term, count(*) AS tf FROM wf GROUP BY doc_id, term
+           ), df AS (
+             SELECT term, count(DISTINCT doc_id) AS doc_freq FROM wf GROUP BY term)
+           SELECT doc_id, term, tf, doc_freq,
+             round(tf * ln((SELECT count(*) FROM documents)
+               / CAST(doc_freq AS DOUBLE)), 6) AS tfidf
+           FROM tf JOIN df USING (term)
+           ORDER BY doc_id, term""",
 
       "dq_numeric_profile" ->
         """SELECT column_name, n_rows, n_null, min_value, max_value, p50, p90 FROM (

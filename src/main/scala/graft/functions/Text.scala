@@ -162,4 +162,95 @@ object Text {
       .orderBy(col("tf").desc, col("term"))
       .limit(k)
   }
+
+  /** Per-document word-repetition quality signals — the word-level
+    * repetition filters of large-corpus curation recipes (Rae et al.
+    * "Gopher" appendix A1.1; C4's boilerplate rules): type-token
+    * ratio (`distinct_ratio`) and the fraction of the document spent
+    * on its single most-repeated word (`top_word_frac`). ONE explode
+    * + two aggregations: (doc, word) counts shuffle on the
+    * high-cardinality composite key, then roll up per doc — no
+    * Expand, no per-doc window, scales like any word-count job.
+    */
+  def wordRepetition(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        explode(split(normalize(col(textCol)), " ")).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(
+        sum(col("__c")).as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max(col("__c")).as("__top"))
+      .select(col(idCol),
+        col("n_words").cast("long").as("n_words"),
+        col("n_distinct_words"),
+        (col("n_distinct_words").cast("double") / col("n_words").cast("double"))
+          .as("distinct_ratio"),
+        (col("__top").cast("double") / col("n_words").cast("double"))
+          .as("top_word_frac"))
+
+  /** Gopher-style rule verdict composed from [[wordRepetition]]:
+    * keep/drop plus the FIRST failing rule as a diagnostic (curation
+    * pipelines report drop reasons, not just a boolean). Rule order:
+    * length bounds, then vocabulary diversity, then repetition.
+    */
+  def qualityFilter(docs: DataFrame, idCol: String, textCol: String,
+                    minWords: Long = 50L, maxWords: Long = 100000L,
+                    minDistinctRatio: Double = 0.3,
+                    maxTopWordFrac: Double = 0.2): DataFrame =
+    wordRepetition(docs, idCol, textCol)
+      .select(col(idCol), col("n_words"),
+        when(col("n_words") < minWords, lit("too_short"))
+          .when(col("n_words") > maxWords, lit("too_long"))
+          .when(col("distinct_ratio") < minDistinctRatio, lit("low_diversity"))
+          .when(col("top_word_frac") > maxTopWordFrac, lit("repetitive"))
+          .otherwise(lit("keep")).as("reason"))
+      .withColumn("keep", col("reason") === "keep")
+
+  /** Per-(doc, term) TF-IDF over the corpus: textbook
+    * `tf · ln(N / df)` (no smoothing — df ≥ 1 for every emitted
+    * term). `nDocs` is passed in: on the raw parquet scan the count
+    * is metadata-only, and callers scoring several queries against
+    * one corpus version reuse it. Two aggregations joined on the
+    * term (the [[topTerms]] shape — no Expand); the per-term df side
+    * is vocabulary-sized, so the join broadcasts at any corpus scale.
+    */
+  def tfIdf(docs: DataFrame, idCol: String, textCol: String,
+            nDocs: Long): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+        explode(split(normalize(col(textCol)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = words.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = words.distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    tf.join(docFreq, Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"), col("doc_freq"),
+        (col("tf").cast("double") *
+          log(lit(nDocs.toDouble) / col("doc_freq").cast("double"))).as("tfidf"))
+  }
+
+  // PII patterns chosen to parse identically in Java regex and
+  // RE2-class engines (simple character classes, no lookaround).
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern   = "https?://[^\\s]+"
+  val Ipv4Pattern  = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Redact emails, URLs, then IPv4 literals to typed placeholder
+    * tokens — the pre-training scrub pass. Email runs FIRST (a URL
+    * userinfo part would otherwise swallow it), then whole URLs, then
+    * bare IPs; heuristic by design — a deterministic, codegen'd
+    * regexp_replace chain, zero shuffle.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        UrlPattern, "<URL>"),
+      Ipv4Pattern, "<IP>")
+
+  /** Per-row PII hit counts (pre-redaction), for scrub audits. */
+  def piiCounts(text: Column): Column = struct(
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long").as("n_emails"),
+    size(regexp_extract_all(text, lit(UrlPattern), lit(0))).cast("long").as("n_urls"),
+    size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))).cast("long").as("n_ips"))
 }

@@ -61,4 +61,41 @@ class TextSpec extends SparkSuite {
     // short text (< k words) degrades to the whole-text shingle hash
     assert(fp("a b").length === 1)
   }
+
+  test("redactPii scrubs emails, urls, ips; counts match; clean text untouched") {
+    import graft.functions.Text
+    val rows = Seq(
+      (1L, "contact bob@example.com or visit https://example.com/a?x=1 now"),
+      (2L, "server at 192.168.1.10 and 10.0.0.1 replied"),
+      (3L, "nothing sensitive here at all")).toDF("id", "text")
+    val out = rows.select(col("id"), Text.redactPii(col("text")).as("clean"),
+        Text.piiCounts(col("text")).as("c"))
+      .select(col("id"), col("clean"), col("c.n_emails"), col("c.n_urls"), col("c.n_ips"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) === "contact <EMAIL> or visit <URL> now")
+    assert((out(0).getLong(2), out(0).getLong(3), out(0).getLong(4)) === ((1L, 1L, 0L)))
+    assert(out(1).getString(1) === "server at <IP> and <IP> replied")
+    assert((out(1).getLong(2), out(1).getLong(3), out(1).getLong(4)) === ((0L, 0L, 2L)))
+    assert(out(2).getString(1) === "nothing sensitive here at all")
+  }
+
+  test("wordRepetition + qualityFilter: signals and first-failing-rule verdicts") {
+    import graft.functions.Text
+    val rows = Seq(
+      (1L, Seq.fill(30)("spam").mkString(" ")),                       // repetitive + low diversity
+      (2L, "short text"),                                             // too_short
+      (3L, (1 to 30).map(i => s"w$i").mkString(" "))).toDF("id", "text") // clean
+    val rep = Text.wordRepetition(rows, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rep(1L) === ((30L, 1L, 1.0 / 30.0, 1.0)))
+    assert(rep(3L) === ((30L, 30L, 1.0, 1.0 / 30.0)))
+    val verdicts = Text.qualityFilter(rows, "id", "text",
+        minWords = 5L, maxWords = 1000L, minDistinctRatio = 0.4, maxTopWordFrac = 0.2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(3)))).toMap
+    assert(verdicts === Map(
+      1L -> (("low_diversity", false)), // diversity rule fires before repetition
+      2L -> (("too_short", false)),
+      3L -> (("keep", true))))
+  }
 }
