@@ -54,6 +54,19 @@ object SparkEntry {
           Seq("event_id", "ts"), "view_")
         .orderBy(col("event_id"))
     }),
+    // same as-of lookup with a 1-hour staleness bound: a last view
+    // older than the tolerance is nulled out, the purchase row is kept
+    // (merge_asof `tolerance` semantics)
+    "asof_last_view_tol" -> ((s, d) => {
+      val ev = eventCols(Tables.events(s, d))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      AsOf.backward(purchases, views, Seq("user_id"), "ts", "ts",
+          Seq("event_id", "ts"), "view_", toleranceSec = Some(3600L))
+        .orderBy(col("event_id"))
+    }),
     // as-of FORWARD: each purchase gets the user's next error after it
     "asof_next_error" -> ((s, d) => {
       val ev = eventCols(Tables.events(s, d))
@@ -711,6 +724,22 @@ object SparkEntry {
                  WHERE event_type = 'view') v
              ON p.user_id = v.user_id AND p.ts >= v.ts
            ORDER BY p.event_id""",
+
+      "asof_last_view_tol" ->
+        """SELECT event_id, user_id, ts,
+             CASE WHEN ts - view_ts <= INTERVAL 1 HOUR THEN view_event_id END
+               AS view_event_id,
+             CASE WHEN ts - view_ts <= INTERVAL 1 HOUR THEN view_ts END
+               AS view_ts
+           FROM (
+             SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+               v.event_id AS view_event_id, CAST(v.ts AS TIMESTAMP) AS view_ts
+             FROM (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase') p
+             ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'view') v
+               ON p.user_id = v.user_id AND p.ts >= v.ts)
+           ORDER BY event_id""",
 
       "asof_next_error" ->
         """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,

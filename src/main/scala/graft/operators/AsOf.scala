@@ -36,9 +36,10 @@ object AsOf {
     */
   def backward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTs: String, rightTs: String,
-               payload: Seq[String], prefix: String = "asof_"): DataFrame =
+               payload: Seq[String], prefix: String = "asof_",
+               toleranceSec: Option[Long] = None): DataFrame =
     pointInTime(left, right, keyCols, leftTs, rightTs, payload, prefix,
-      lookForward = false)
+      lookForward = false, toleranceSec)
 
   /** Forward variant: EARLIEST right row with `rightTs >= leftTs`
     * (e.g. "the next error after this deploy"). Same single-shuffle
@@ -47,16 +48,25 @@ object AsOf {
     */
   def forward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
               leftTs: String, rightTs: String,
-              payload: Seq[String], prefix: String = "asof_"): DataFrame =
+              payload: Seq[String], prefix: String = "asof_",
+              toleranceSec: Option[Long] = None): DataFrame =
     pointInTime(left, right, keyCols, leftTs, rightTs, payload, prefix,
-      lookForward = true)
+      lookForward = true, toleranceSec)
 
   private def pointInTime(left: DataFrame, right: DataFrame,
                           keyCols: Seq[String], leftTs: String, rightTs: String,
                           payload: Seq[String], prefix: String,
-                          lookForward: Boolean): DataFrame = {
+                          lookForward: Boolean,
+                          toleranceSec: Option[Long] = None): DataFrame = {
     require(payload.nonEmpty, "payload columns required")
-    val pStruct = struct(payload.map(col): _*)
+    require(toleranceSec.forall(_ >= 0), "toleranceSec must be non-negative")
+    // the carried struct leads with the right row's ts so a
+    // tolerance can be checked against the MATCHED row after the
+    // carry-forward; same-ts rows still tie-break on the payload
+    // (the prepended ts is equal within a tie), so ordering semantics
+    // are unchanged
+    val pStruct = struct(col(rightTs).cast("timestamp").as("__mts") +:
+      payload.map(col): _*)
     val pType = right.select(pStruct.as("__p")).schema("__p").dataType
     // left keeps ALL its columns; right contributes only key, ts and
     // the payload struct (unionByName null-fills the rest). Right rows
@@ -80,9 +90,22 @@ object AsOf {
       else
         (w.rowsBetween(Window.unboundedPreceding, Window.currentRow),
           last(col("__p"), ignoreNulls = true))
-    val matched = l.unionByName(r, allowMissingColumns = true)
+    val carried = l.unionByName(r, allowMissingColumns = true)
       .withColumn("__match", pick.over(frame))
       .filter(col("__side") === 1)
+    // bounded staleness: a match farther than the tolerance from the
+    // left ts is nulled out (the row is KEPT, like a left join miss) —
+    // merge_asof-style `tolerance` semantics
+    val matched = toleranceSec match {
+      case None => carried
+      case Some(tol) =>
+        val gap =
+          if (lookForward)
+            col("__match.__mts").cast("double") - col("__ts").cast("double")
+          else col("__ts").cast("double") - col("__match.__mts").cast("double")
+        carried.withColumn("__match",
+          when(gap <= tol.toDouble, col("__match")))
+    }
     val attached = payload.map(f => col(s"__match.$f").as(prefix + f))
     matched.select(left.columns.map(col) ++ attached: _*)
   }

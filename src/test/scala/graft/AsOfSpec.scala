@@ -45,6 +45,27 @@ class AsOfSpec extends SparkSuite {
     assert(out(4L) === None)
   }
 
+  test("tolerance nulls matches older than the bound but keeps the left row") {
+    // obs 1 at 10:00 matches state 100 at 09:30 (30 min gap);
+    // a 10-minute tolerance rejects it, an hour accepts it
+    val tight = AsOf.backward(left, right, Seq("user"), "ts", "ts",
+        Seq("state_id"), "st_", toleranceSec = Some(600L))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(tight(1L) === None)          // 30 min > 10 min tolerance
+    assert(tight(2L) === Some(101L))    // exact-ts match, gap 0
+    assert(tight.keySet === Set(1L, 2L, 3L, 4L)) // every left row kept
+    val loose = AsOf.backward(left, right, Seq("user"), "ts", "ts",
+        Seq("state_id"), "st_", toleranceSec = Some(3600L))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(loose(1L) === Some(100L))
+    // forward: obs 2 at 12:00 → state 101 at 12:00 (gap 0) within any
+    // tolerance; obs 3 at 09:00 → state 103 at 11:00 (2 h) rejected at 1 h
+    val fwd = AsOf.forward(left, right, Seq("user"), "ts", "ts",
+        Seq("state_id"), "st_", toleranceSec = Some(3600L))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(fwd(2L) === Some(101L) && fwd(3L) === None)
+  }
+
   test("backward keeps every left row exactly once and all left columns") {
     val out = AsOf.backward(left, right, Seq("user"), "ts", "ts", Seq("state_id"))
     assert(out.count() === left.count())
