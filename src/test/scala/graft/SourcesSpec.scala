@@ -176,4 +176,75 @@ class SourcesSpec extends SparkSuite {
     }
     assert(shuffles.isEmpty, s"expected exchange-free bucketed join, got ${shuffles.size} shuffles")
   }
+
+  test("jdbcUpsert: staged temp-table delete+insert equals Cdc.upsert, idempotent") {
+    val url = s"jdbc:derby:memory:graftup${System.nanoTime()};create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val jprops = { val p = new java.util.Properties()
+      props.foreach { case (k, v) => p.setProperty(k, v) }; p }
+    def readT() = spark.read.jdbc(url, "wh_orders", jprops)
+
+    val target = Seq((1L, 1L, "old"), (2L, 1L, "keep")).toDF("k", "ver", "v")
+    // first call creates the table from the batch (fresh load)
+    assert(Sink.jdbcUpsert(target, url, "wh_orders", Seq("k"), "ver",
+      connProps = props) === 2L)
+    assert(readT().count() === 2)
+
+    // batch with an intra-batch duplicate: latest-per-key must win
+    // BEFORE the warehouse sees anything
+    val updates = Seq((1L, 2L, "new"), (1L, 3L, "newest"), (3L, 1L, "ins"))
+      .toDF("k", "ver", "v")
+    val n = Sink.jdbcUpsert(updates, url, "wh_orders", Seq("k"), "ver",
+      connProps = props)
+    assert(n === 2L) // k=1 deduped to ver=3, plus k=3
+
+    def rows() = readT().orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val expected = graft.operators.Cdc
+      .upsert(target, updates, Seq("k"), "ver")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(rows() === expected)
+    assert(rows() === Seq((1L, 3L, "newest"), (2L, 1L, "keep"), (3L, 1L, "ins")))
+
+    // idempotency: replaying the same batch changes nothing
+    assert(Sink.jdbcUpsert(updates, url, "wh_orders", Seq("k"), "ver",
+      connProps = props) === 2L)
+    assert(rows() === expected)
+
+    // the staging table is dropped even on the happy path
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val names = Iterator.continually(rs)
+        .takeWhile(_.next()).map(_.getString("TABLE_NAME")).toList
+      assert(!names.exists(_.toUpperCase.contains("_STG_")),
+        s"staging table leaked: $names")
+    } finally conn.close()
+  }
+
+  test("jdbcUpsert: composite key and empty batch") {
+    val url = s"jdbc:derby:memory:graftup2${System.nanoTime()};create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val jprops = { val p = new java.util.Properties()
+      props.foreach { case (k, v) => p.setProperty(k, v) }; p }
+    val target = Seq((1L, "a", 1L, 10.0), (1L, "b", 1L, 20.0), (2L, "a", 1L, 30.0))
+      .toDF("k1", "k2", "ver", "amt")
+    Sink.jdbcUpsert(target, url, "wh_comp", Seq("k1", "k2"), "ver",
+      connProps = props)
+    val updates = Seq((1L, "b", 2L, 25.0), (2L, "b", 1L, 40.0))
+      .toDF("k1", "k2", "ver", "amt")
+    assert(Sink.jdbcUpsert(updates, url, "wh_comp", Seq("k1", "k2"), "ver",
+      connProps = props) === 2L)
+    val out = spark.read.jdbc(url, "wh_comp", jprops)
+      .orderBy("k1", "k2").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3))).toSeq
+    assert(out === Seq((1L, "a", 10.0), (1L, "b", 25.0), (2L, "a", 30.0), (2L, "b", 40.0)))
+
+    // empty delta is a no-op that still cleans up its staging table
+    val empty = updates.filter(col("ver") < 0)
+    assert(Sink.jdbcUpsert(empty, url, "wh_comp", Seq("k1", "k2"), "ver",
+      connProps = props) === 0L)
+    assert(spark.read.jdbc(url, "wh_comp", jprops).count() === 4)
+  }
 }
