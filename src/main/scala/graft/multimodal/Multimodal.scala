@@ -29,12 +29,14 @@ case class MediaFeatures(media_id: Long, media_type: String,
   * IMAGE decode and resize are REAL: the JDK's built-in
   * `javax.imageio` (PNG/JPEG/GIF/BMP) needs no external codec —
   * [[decodeImage]] produces per-channel means + a luminance
-  * histogram, [[resize]] rescales and re-encodes. Audio/video remain
-  * clearly-marked deterministic stubs ([[decodeStub]]) — no
-  * audio/video codec ships in the JDK or this container; a real
-  * build replaces only that function body (ffmpeg etc.), the schema,
-  * batching and partition flow around it are exactly what the real
-  * codec sees.
+  * histogram, [[resize]] rescales and re-encodes. AUDIO decode is
+  * REAL for WAV/AIFF PCM via the JDK's `javax.sound.sampled`
+  * ([[decodeAudio]]: duration, sample rate, channels, RMS, peak,
+  * amplitude histogram). Only VIDEO remains a clearly-marked
+  * deterministic stub ([[decodeStub]]) — no video codec ships in the
+  * JDK or this container; a real build replaces only that function
+  * body (ffmpeg etc.), the schema, batching and partition flow
+  * around it are exactly what the real codec sees.
   */
 object Multimodal {
 
@@ -112,6 +114,68 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** REAL audio decode via the JDK's `javax.sound.sampled` — WAV and
+    * AIFF containers with 8/16-bit PCM need no external codec.
+    * Returns (sampleRate, channels, durationMs, features) where
+    * features = [durationSec, sampleRate, channels, rms, peak] ++ a
+    * 16-bin absolute-amplitude histogram normalized to unit L1 (all
+    * amplitudes in [-1, 1]). None when the bytes aren't decodable
+    * PCM audio — callers fall back to the opaque-byte path, so a
+    * corrupt or exotic-codec asset degrades instead of failing the
+    * task (same contract as [[decodeImage]]).
+    */
+  def decodeAudio(content: Array[Byte]): Option[(Float, Int, Long, Array[Float])] =
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
+        if ((!signed && !unsigned) || (bits != 8 && bits != 16)) None
+        else {
+          val bytes = in.readAllBytes()
+          val step = bits / 8
+          val nSamples = bytes.length / step
+          if (nSamples == 0) None
+          else {
+            val big = fmt.isBigEndian
+            var sumSq = 0.0
+            var peak = 0.0
+            val hist = new Array[Float](16)
+            var i = 0
+            while (i + step <= bytes.length) {
+              val s =
+                if (bits == 8) {
+                  val raw = bytes(i) & 0xff
+                  (if (signed) bytes(i).toInt else raw - 128) / 128.0
+                } else {
+                  val hi = bytes(if (big) i else i + 1) & 0xff
+                  val lo = bytes(if (big) i + 1 else i) & 0xff
+                  val raw = (hi << 8) | lo
+                  (if (signed) raw.toShort.toInt else raw - 32768) / 32768.0
+                }
+              sumSq += s * s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              hist(math.min(15, (a * 16).toInt)) += 1f
+              i += step
+            }
+            val rms = math.sqrt(sumSq / nSamples)
+            val frames = bytes.length / fmt.getFrameSize
+            val durMs = math.round(frames * 1000.0 / fmt.getFrameRate)
+            Some((fmt.getSampleRate, fmt.getChannels, durMs,
+              Array((durMs / 1000.0).toFloat, fmt.getSampleRate,
+                fmt.getChannels.toFloat, rms.toFloat, peak.toFloat) ++
+                hist.map(_ / nSamples)))
+          }
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   private def decodeAndRescale(content: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
@@ -143,9 +207,10 @@ object Multimodal {
 
   /** Batch feature extraction: one decode pass per partition (codec
     * init happens once per task here, before the row loop). Image
-    * rows get REAL decoded features when the bytes parse as an image;
-    * everything else (and undecodable images) keeps the deterministic
-    * byte-histogram fallback.
+    * rows get REAL decoded features when the bytes parse as an
+    * image; audio rows get REAL PCM features when the bytes parse as
+    * WAV/AIFF; everything else (and undecodable bytes) keeps the
+    * deterministic byte-histogram fallback.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -155,6 +220,8 @@ object Multimodal {
         val feats =
           if (r.media_type == "image")
             decodeImage(r.content).map(_._3).getOrElse(decodeStub(r.content))
+          else if (r.media_type == "audio")
+            decodeAudio(r.content).map(_._4).getOrElse(decodeStub(r.content))
           else decodeStub(r.content)
         MediaFeatures(r.media_id, r.media_type, r.content.length.toLong,
           byteEntropy(r.content), feats)

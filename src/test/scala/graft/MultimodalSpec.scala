@@ -83,4 +83,56 @@ class MultimodalSpec extends SparkSuite {
       assert(byId(v.media_id).length === math.max(1L, v.duration_ms / 500).toInt)
     }
   }
+
+  /** 16-bit signed little-endian mono PCM WAV: a sine at amplitude
+    * `amp`, built with the same JDK codec (`AudioSystem.write`) users
+    * would feed in.
+    */
+  private def sineWav(sampleRate: Float, seconds: Double, amp: Double,
+                      freqHz: Double = 440.0): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = (sampleRate * seconds).toInt
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val v = (amp * math.sin(2 * math.Pi * freqHz * i / sampleRate) * 32767).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("REAL audio path: PCM WAV decodes to rate/channels/duration and known RMS") {
+    val wav = sineWav(16000f, 0.5, amp = 0.5)
+    val (rate, channels, durMs, feats) =
+      Multimodal.decodeAudio(wav).getOrElse(fail("WAV did not decode"))
+    assert(rate === 16000f && channels === 1)
+    assert(math.abs(durMs - 500L) <= 1L)
+    // features = [durSec, rate, channels, rms, peak] ++ 16-bin amp hist
+    assert(feats.length === 5 + 16)
+    // sine RMS = amp/sqrt(2)
+    assert(math.abs(feats(3) - 0.5 / math.sqrt(2)) < 1e-3, s"rms=${feats(3)}")
+    assert(math.abs(feats(4) - 0.5) < 1e-3, s"peak=${feats(4)}")
+    assert(math.abs(feats.drop(5).sum - 1.0f) < 1e-4) // unit-L1 histogram
+    // amplitude never exceeds 0.5 → upper half of the histogram empty
+    assert(feats.drop(5).drop(8).forall(_ === 0f))
+
+    // garbage bytes degrade to None, not an exception
+    assert(Multimodal.decodeAudio(Array.tabulate(64)(_.toByte)).isEmpty)
+
+    // extractFeatures routes audio rows through the real decoder
+    import graft.multimodal.MediaRow
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      MediaRow(1L, "audio", wav, 0, 0, 500L),
+      MediaRow(2L, "audio", Array.tabulate(64)(_.toByte), 0, 0, 100L)))
+    val out = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(out(0).features.length === 21) // real decode
+    assert(math.abs(out(0).features(3) - 0.5 / math.sqrt(2)) < 1e-3)
+    assert(out(1).features.length === 16) // stub fallback
+  }
 }
