@@ -412,18 +412,28 @@ object Dedup {
     * strictly-decreasing label sum — one cheap aggregate per round,
     * no extra join.
     *
+    * `localCheckpoint` pins blocks to their executors — on a cluster
+    * with dynamic allocation / spot nodes one lost executor kills a
+    * long run. There, set a fault-tolerant
+    * `sparkContext.setCheckpointDir` and pass `reliable=true` to use
+    * `checkpoint()` instead (same truncation, HDFS-backed blocks) —
+    * mirrors [[Scd2.mergeAll]]'s flag.
+    *
     * Output: (id, comp) for every id in `pairs`; docs with no dup
     * pair never enter the graph (their "component" is themselves).
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+                          idB: String = "id_b", maxIter: Int = 20,
+                          reliable: Boolean = false): DataFrame = {
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
     val edges = Par.persistTracked(
       pairs.select(col(idA).as("src"), col(idB).as("dst"))
         .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
         .distinct())
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+    var labels = truncate(edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")))
     var lastSum = BigDecimal(labels.agg(sum(col("comp").cast("decimal(38,0)")))
       .head.getDecimal(0))
     var it = 0
@@ -432,9 +442,8 @@ object Dedup {
       val fromNeighbors = edges
         .join(labels.select(col("id").as("dst"), col("comp")), "dst")
         .select(col("src").as("id"), col("comp"))
-      labels = labels.unionByName(fromNeighbors)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint(true)
+      labels = truncate(labels.unionByName(fromNeighbors)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp")))
       val s = BigDecimal(labels.agg(sum(col("comp").cast("decimal(38,0)")))
         .head.getDecimal(0))
       converged = s == lastSum // labels only ever decrease

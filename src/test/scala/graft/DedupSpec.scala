@@ -203,4 +203,22 @@ class DedupSpec extends SparkSuite {
       20L -> 20L, 21L -> 20L))
     Par.release()
   }
+
+  test("connectedComponents reliable=true uses fault-tolerant checkpoints, same labels") {
+    // on a real cluster localCheckpoint pins blocks to executors; the
+    // reliable flag swaps in HDFS-backed checkpoint() — semantics must
+    // be identical
+    val prev = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(tmpDir("ccckpt"))
+    try {
+      val pairs = Seq((1L, 5L), (3L, 5L), (10L, 11L), (11L, 12L))
+        .toDF("id_a", "id_b")
+      val out = operators.Dedup.connectedComponents(pairs, reliable = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out === Map(
+        1L -> 1L, 3L -> 1L, 5L -> 1L,
+        10L -> 10L, 11L -> 10L, 12L -> 10L))
+    } finally prev.foreach(spark.sparkContext.setCheckpointDir)
+    Par.release()
+  }
 }
