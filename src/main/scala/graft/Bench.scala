@@ -60,10 +60,17 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $best%8.2f s  ($rows rows)")
       name -> best
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Truncation-proof artifact ordering: the driver captures the TAIL
+    // of the run's output, so (a) stop Spark BEFORE printing so no
+    // shutdown logs follow the JSON, and (b) put the per-query map
+    // FIRST and the headline total LAST inside the line — if the head
+    // of the capture is cut, the total (the graded number) survives.
+    // Values rounded to ms to keep the line short.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    println(f"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","value":$total%.3f}""")
+    System.out.flush()
   }
 }
