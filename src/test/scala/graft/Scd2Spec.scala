@@ -147,4 +147,63 @@ class Scd2Spec extends SparkSuite {
       .orderBy("user_id", "valid_from").collect().map(_.toSeq)
     assert(a.toSeq === b.toSeq)
   }
+
+  test("schema evolution composes with merge: extract that ADDED a column widens history") {
+    import graft.sources.SchemaEvolution
+    // day 1: source has (user_id, state); history built without 'region'
+    val day1 = Seq((1L, "Lagos"), (2L, "Abuja")).toDF("user_id", "state")
+    val h0 = {
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("state", StringType),
+        StructField("valid_from", TimestampType),
+        StructField("valid_to", TimestampType)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    val h1 = Scd2.merge(h0, day1, Seq("user_id"), Seq("state"),
+      lit(ts("2024-01-01 00:00:00")))
+
+    // day 2: the source ADDED 'region' (base_loader.py:867's
+    // DDL-reconcile event composed with the snapshot path): widen the
+    // history schema, null-fill old rows, then merge normally with the
+    // new column under check
+    val day2 = Seq((1L, "Lagos", "SW"), (2L, "Kano", "NW"), (3L, "Oyo", "SW"))
+      .toDF("user_id", "state", "region")
+    val widened = SchemaEvolution.evolve(h1.schema, day2.schema)
+    val h1w = SchemaEvolution.align(h1, widened)
+    assert(h1w.schema.fieldNames.toSeq ===
+      Seq("user_id", "state", "valid_from", "valid_to", "region"))
+    val h2 = Scd2.merge(h1w, day2, Seq("user_id"), Seq("state", "region"),
+      lit(ts("2024-01-02 00:00:00")))
+
+    val rows = h2.orderBy("user_id", "valid_from")
+      .select("user_id", "state", "region", "valid_from", "valid_to").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)),
+        r.getTimestamp(3).toString, Option(r.getTimestamp(4)).map(_.toString)))
+    // every user changed under the widened check (null region ≠ new
+    // region), so day-1 rows close and day-2 rows open; old rows keep
+    // a null region (never back-filled — the warehouse-absorbs-columns
+    // property of the reference's additive DDL reconcile)
+    assert(rows.toSeq === Seq(
+      (1L, "Lagos", None,       "2024-01-01 00:00:00.0", Some("2024-01-02 00:00:00.0")),
+      (1L, "Lagos", Some("SW"), "2024-01-02 00:00:00.0", None),
+      (2L, "Abuja", None,       "2024-01-01 00:00:00.0", Some("2024-01-02 00:00:00.0")),
+      (2L, "Kano",  Some("NW"), "2024-01-02 00:00:00.0", None),
+      (3L, "Oyo",   Some("SW"), "2024-01-02 00:00:00.0", None)))
+
+    // merge stays oracle-equivalent on the SHARED columns: the same
+    // two days merged without the added column agree on
+    // (user_id, state, valid_from, valid_to)
+    val h2flat = Scd2.merge(h1, day2.drop("region"), Seq("user_id"),
+      Seq("state"), lit(ts("2024-01-02 00:00:00")))
+    // region-only changes (user 1) split rows in the widened history;
+    // collapse to the distinct shared-column timeline for comparison
+    val shared = h2.select("user_id", "state", "valid_from")
+      .orderBy("user_id", "valid_from").collect().map(_.toSeq)
+    val flat = h2flat.select("user_id", "state", "valid_from")
+      .orderBy("user_id", "valid_from").collect().map(_.toSeq)
+    // user 1: unchanged state in flat merge → one open row; widened
+    // merge closes/reopens on region — timelines differ only there
+    assert(flat.toSeq === shared.toSeq.filterNot(
+      r => r == Seq(1L, "Lagos", ts("2024-01-02 00:00:00"))))
+  }
 }
