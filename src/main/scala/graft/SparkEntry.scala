@@ -134,6 +134,70 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ---- watermarked windowed agg, graded batch-side (§2.6) ----
+    // the REAL hourlyCounts stream (watermark + tumbling window,
+    // append mode, parquet sink) on static input. Append mode only
+    // emits a window once the watermark passes its end, so two
+    // sentinel microbatches beyond max(ts)+watermark flush every real
+    // window; the sentinels' own windows stay in state (never emitted)
+    // and the query is stopped. Final sink vs the events_hourly oracle.
+    "stream_hourly_counts" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_hr").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = eventCols(Tables.events(s, d))
+      ev.write.parquet(inDir)
+      val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+      def sentinel(offsetMs: Long) = {
+        import s.implicits._
+        Seq((-1L, -1L, new java.sql.Timestamp(maxTs.getTime + offsetMs),
+          "__sentinel", 0.0)).toDF("user_id", "event_id", "ts", "event_type", "value")
+      }
+      val q = graft.streaming.EventStream
+        .hourlyCounts(graft.streaming.EventStream.read(s, inDir))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try {
+        q.processAllAvailable() // batch 1: all real events, wm = 0
+        sentinel(4L * 3600 * 1000).write.mode("append").parquet(inDir)
+        q.processAllAvailable() // batch 2: wm = maxTs - 2h
+        sentinel(4L * 3600 * 1000 + 60000).write.mode("append").parquet(inDir)
+        q.processAllAvailable() // batch 3: wm = maxTs + 2h → all real windows out
+      } finally q.stop()
+      s.read.parquet(outDir)
+        .filter(col("event_type") =!= "__sentinel")
+        .orderBy(col("hour_ts"), col("event_type"))
+    }),
+
+    // ---- streaming dedup, graded batch-side (§2.6) ----
+    // the REAL dropDuplicatesWithinWatermark stream on static input
+    // with injected at-least-once redelivery: batch 1 carries every
+    // event plus bit-identical duplicates of every 10th user's events
+    // (same-batch dupes), batch 2 redelivers the last hour of events
+    // (cross-batch dupes, inside the watermark horizon). The sink must
+    // equal the events table exactly once per event_id.
+    "stream_dedup" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_dd").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = eventCols(Tables.events(s, d))
+      ev.write.parquet(inDir)
+      ev.filter(col("user_id") % 10 === 0).write.mode("append").parquet(inDir)
+      val q = graft.streaming.EventStream
+        .dedup(graft.streaming.EventStream.read(s, inDir))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try {
+        q.processAllAvailable() // batch 1: originals + same-batch dupes
+        val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+        ev.filter(col("ts") > lit(new java.sql.Timestamp(maxTs.getTime - 3600 * 1000)))
+          .write.mode("append").parquet(inDir)
+        q.processAllAvailable() // batch 2: cross-batch redelivery
+      } finally q.stop()
+      s.read.parquet(outDir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // banded dim join: orders priced into fixed tiers (broadcast
     // non-equi join against a FIXED-cardinality band table)
     "band_join_price" -> ((s, d) => {
@@ -495,6 +559,27 @@ object SparkEntry {
       functions.Text.tfIdf(docs, "doc_id", "text", docs.count())
         .withColumn("tfidf", round(col("tfidf"), 6))
         .orderBy(col("doc_id"), col("term"))
+    }),
+
+    // ---- PII redaction (§2.5) ----
+    // deterministic synthetic PII seeded INSIDE the query (the raw
+    // corpus carries none), so redaction + audit counts grade against
+    // a DuckDB regexp oracle — patterns are RE2-compatible by design
+    // (functions/Text.scala), so both engines match identically
+    "doc_pii_redact" -> ((s, d) => {
+      val seeded = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+          lit(" see https://ex.org/p/"), col("doc_id").cast("string"),
+          lit(" from 10.1.2.3")).as("text"))
+      seeded.select(col("doc_id"),
+          functions.Text.redactPii(col("text")).as("redacted"),
+          functions.Text.piiCounts(col("text")).as("pii"))
+        .select(col("doc_id"), col("redacted"),
+          col("pii.n_emails").as("n_emails"),
+          col("pii.n_urls").as("n_urls"),
+          col("pii.n_ips").as("n_ips"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- sequence packing (§2.5b) ----
@@ -1006,6 +1091,18 @@ object SparkEntry {
              FROM events)
            WHERE rn = 1 ORDER BY user_id""",
 
+      // the streaming window agg must converge to the batch rollup
+      "stream_hourly_counts" ->
+        """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      // redelivered input deduped back to exactly-once = the raw table
+      "stream_dedup" ->
+        """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+           FROM events ORDER BY event_id""",
+
       "cdc_snapshot_diff" ->
         """WITH s1 AS (
              SELECT c_custkey AS customer_id, c_name AS customer_name,
@@ -1266,6 +1363,28 @@ object SparkEntry {
                / CAST(doc_freq AS DOUBLE)), 6) AS tfidf
            FROM tf JOIN df USING (term)
            ORDER BY doc_id, term""",
+
+      // same seeded text, same RE2-compatible patterns, 'g' = replace
+      // all (Spark's regexp_replace default)
+      "doc_pii_redact" ->
+        """WITH seeded AS (
+             SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com see https://ex.org/p/'
+                    || CAST(doc_id AS VARCHAR) || ' from 10.1.2.3' AS text
+             FROM documents)
+           SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^\s]+', '<URL>', 'g'),
+               '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS redacted,
+             CAST(length(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             CAST(length(regexp_extract_all(text,
+               'https?://[^\s]+')) AS BIGINT) AS n_urls,
+             CAST(length(regexp_extract_all(text,
+               '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips
+           FROM seeded ORDER BY doc_id""",
 
       "dq_numeric_profile" ->
         """SELECT column_name, n_rows, n_null, min_value, max_value, p50, p90 FROM (
