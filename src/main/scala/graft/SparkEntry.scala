@@ -469,6 +469,24 @@ object SparkEntry {
         .select(col("doc_id"),
           explode(functions.Text.winnow(col("text"))).as("fingerprint"))
         .orderBy(col("doc_id"), col("fingerprint"))),
+    // substring-run pair detection over winnow fingerprints (hash
+    // arithmetic → rows-only; DedupSpec pins the run/boilerplate
+    // semantics)
+    "doc_shared_runs" -> ((s, d) =>
+      Dedup.sharedRuns(Tables.documents(s, d), "doc_id", "text",
+          k = 5, w = 4, minShared = 1, maxDocFreq = 200)
+        .orderBy(col("id_a"), col("id_b"))),
+    // domain-temperature resampling, graded through the bit-portable
+    // modulo twin (same role modSplit plays for hashSplit); domains =
+    // coarse length buckets so the group sizes are data-driven
+    "sample_temperature" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        floor(length(col("text")) / lit(400)).cast("long").as("len_bucket"))
+      Sampling.temperatureModSample(docs, "doc_id", "len_bucket",
+          alpha = 0.5, targetRows = 200L, buckets = 100L)
+        .select(col("doc_id"), col("len_bucket"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- dedup (§2.5) ----
     "dedup_exact" -> ((s, d) =>
@@ -1363,6 +1381,24 @@ object SparkEntry {
                / CAST(doc_freq AS DOUBLE)), 6) AS tfidf
            FROM tf JOIN df USING (term)
            ORDER BY doc_id, term""",
+
+      // the modulo twin replicates the whole threshold arithmetic in
+      // SQL: w=power(n,alpha), thresh=round(min(1,T*w/tw/n)*buckets),
+      // keep iff doc_id % buckets < thresh
+      "sample_temperature" ->
+        """WITH d AS (
+             SELECT doc_id, CAST(floor(length(text) / 400) AS BIGINT) AS len_bucket
+             FROM documents
+           ), s AS (
+             SELECT len_bucket, count(*) AS n, power(count(*), 0.5) AS w
+             FROM d GROUP BY len_bucket
+           ), t AS (SELECT sum(w) AS tw FROM s),
+           p AS (
+             SELECT len_bucket,
+               CAST(round(least(1.0, 200.0 * w / tw / n) * 100) AS BIGINT) AS thresh
+             FROM s, t)
+           SELECT doc_id, len_bucket FROM d JOIN p USING (len_bucket)
+           WHERE doc_id % 100 < thresh ORDER BY doc_id""",
 
       // same seeded text, same RE2-compatible patterns, 'g' = replace
       // all (Spark's regexp_replace default)

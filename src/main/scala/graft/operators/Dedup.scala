@@ -312,6 +312,44 @@ object Dedup {
         col("__worst.n_common").as("n_common"))
   }
 
+  /** Cross-document exact-substring-run pairs via winnowing
+    * fingerprints — the distributed stand-in for suffix-array
+    * substring dedup (Lee et al. '22 "Deduplicating Training Data
+    * Makes Language Models Better" motivates removing long verbatim
+    * runs; a cluster-wide suffix array is impractical, winnowing
+    * buckets are not). The winnowing invariant (Text.winnow: any
+    * shared run of ≥ k+w-1 words contributes ≥1 common selected
+    * hash) makes fingerprint buckets a NO-FALSE-NEGATIVE candidate
+    * generator for runs of that length; `minShared` fingerprints
+    * filters incidental single-hash collisions, `maxDocFreq` drops
+    * boilerplate fingerprints from pairing exactly as in
+    * [[ngramJaccard]] (one hot license header must not fan out d²).
+    *
+    * Output: (id_a, id_b, n_shared) — pairs ranked by how many
+    * distinct selected hashes they share. The keyed `repartition`
+    * before the pair aggregation pins the pair-space width (the AQE
+    * input-sized-coalescing trap, §5 round 3).
+    */
+  def sharedRuns(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int = 5, w: Int = 4, minShared: Int = 2,
+                 maxDocFreq: Int = 1000): DataFrame = {
+    val fp = Par.persistTracked(
+      Par.widen(docs, idCol).select(col(idCol).as("id"),
+        explode(Text.winnow(col(textCol), k, w)).as("fp")))
+    val dfs = fp.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+    val kept = fp.join(dfs.filter(col("__df") <= maxDocFreq).select(col("fp")),
+      Seq("fp"))
+    val width = docs.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
+      .map(_.toInt).getOrElse(docs.sparkSession.sparkContext.defaultParallelism)
+    kept.select(col("fp"), col("id").as("id_a"))
+      .join(kept.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .repartition(width, col("id_a"), col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Embedding near-dup: pairs with cosine ≥ threshold. Candidates
     * come from multi-table random-hyperplane LSH buckets (Charikar
     * '02; same planes as Similarity.lshTopK) so every join is

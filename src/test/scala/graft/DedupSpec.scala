@@ -204,6 +204,41 @@ class DedupSpec extends SparkSuite {
     Par.release()
   }
 
+  test("sharedRuns pairs docs sharing a long verbatim run; boilerplate fingerprints excluded") {
+    // k=5, w=4 → any shared run of ≥ 8 words guarantees ≥1 common
+    // fingerprint (the winnowing invariant); a 20-word verbatim run
+    // shares several
+    val run = (1 to 20).map(i => s"verbatim$i").mkString(" ")
+    val filler = (1 to 25).map(i => s"boiler$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $run delta epsilon"),
+      (2L, s"one two three four five six $run seven"),
+      (3L, "totally unrelated content with nothing repeated here at all " +
+        "more unique words beyond the window size for safety"),
+      // docs 4,5 share ONLY the filler text, which docs 1-5 ALL
+      // contain via doc 6/7 too — make filler appear in >maxDocFreq
+      // docs so its fingerprints are dropped from pairing
+      (4L, s"$filler distinct tail words for four"),
+      (5L, s"$filler other ending entirely for five"),
+      (6L, s"$filler yet another unique closing six"),
+      (7L, s"$filler final variation of the ending seven")
+    ).toDF("doc_id", "text")
+    val pairs = operators.Dedup.sharedRuns(docs, "doc_id", "text",
+        k = 5, w = 4, minShared = 1, maxDocFreq = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the verbatim-run pair is found
+    assert(pairs.contains((1L, 2L)), pairs.toString)
+    assert(pairs((1L, 2L)) >= 1L)
+    // unrelated doc pairs with nothing
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L), pairs.toString)
+    // filler appears in 4 docs > maxDocFreq=3 → its fingerprints are
+    // boilerplate and generate no pairs among docs 4-7
+    val fillerIds = Set(4L, 5L, 6L, 7L)
+    assert(!pairs.keySet.exists(p => fillerIds(p._1) && fillerIds(p._2)),
+      pairs.toString)
+    Par.release()
+  }
+
   test("connectedComponents reliable=true uses fault-tolerant checkpoints, same labels") {
     // on a real cluster localCheckpoint pins blocks to executors; the
     // reliable flag swaps in HDFS-backed checkpoint() — semantics must

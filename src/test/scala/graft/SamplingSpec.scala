@@ -53,4 +53,49 @@ class SamplingSpec extends SparkSuite {
       Map("s0" -> 0.5, "s1" -> 0.1))
     assert(out.select("id").exceptAll(again.select("id")).isEmpty)
   }
+
+  // skewed domains: 5000 / 800 / 50 rows
+  private lazy val domains = ((1L to 5000L).map(i => (i, "big")) ++
+    (10001L to 10800L).map(i => (i, "mid")) ++
+    (20001L to 20050L).map(i => (i, "small"))).toDF("id", "domain")
+
+  test("temperatureSample: alpha=1 is proportional, alpha=0 equalizes, deterministic subset") {
+    def counts(alpha: Double, target: Long) =
+      Sampling.temperatureSample(domains, "id", "domain", alpha, target)
+        .groupBy("domain").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha=1: natural proportions — keep prob is uniform target/N
+    val c1 = counts(1.0, 1000L)
+    assert(math.abs(c1("big") - 5000.0 * 1000 / 5850) < 100, c1.toString)
+    assert(math.abs(c1("mid") - 800.0 * 1000 / 5850) < 60, c1.toString)
+    // alpha=0: equal weight per domain → target/3 each, clamped by N
+    val c0 = counts(0.0, 600L)
+    assert(c0("small") === 50) // 200 wanted, only 50 exist → all kept
+    assert(math.abs(c0("big") - 200.0) < 60, c0.toString)
+    assert(math.abs(c0("mid") - 200.0) < 60, c0.toString)
+    // alpha between: small domains keep a HIGHER fraction than big ones
+    val ch = counts(0.5, 1000L)
+    assert(ch("small").toDouble / 50 > ch("big").toDouble / 5000, ch.toString)
+    // deterministic subset: survives repartition, never invents rows
+    val out = Sampling.temperatureSample(domains, "id", "domain", 0.5, 1000L)
+    val again = Sampling.temperatureSample(domains.repartition(17), "id", "domain", 0.5, 1000L)
+    assert(out.select("id").exceptAll(again.select("id")).isEmpty)
+    assert(out.select("id").exceptAll(domains.select("id")).isEmpty)
+  }
+
+  test("temperatureModSample assigns by residue exactly (the portable oracle twin)") {
+    val out = Sampling.temperatureModSample(domains, "id", "domain",
+      alpha = 0.5, targetRows = 1000L, buckets = 100L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // replicate the arithmetic directly: w_g = sqrt(N_g), thresh_g =
+    // round(min(1, T·w/Σw/N)·buckets); keep iff id % buckets < thresh
+    val ns = Map("big" -> 5000L, "mid" -> 800L, "small" -> 50L)
+    val tw = ns.values.map(n => math.pow(n.toDouble, 0.5)).sum
+    def thresh(n: Long) =
+      math.round(math.min(1.0, 1000.0 * math.pow(n.toDouble, 0.5) / tw / n) * 100L)
+    val expected = ((1L to 5000L).filter(_ % 100 < thresh(5000L)) ++
+      (10001L to 10800L).filter(_ % 100 < thresh(800L)) ++
+      (20001L to 20050L).filter(_ % 100 < thresh(50L))).toSet
+    assert(out === expected)
+  }
 }

@@ -247,4 +247,33 @@ class SourcesSpec extends SparkSuite {
       connProps = props) === 0L)
     assert(spark.read.jdbc(url, "wh_comp", jprops).count() === 4)
   }
+
+  test("jdbcUpsert: failed merge rolls back and drops the staging table") {
+    val url = s"jdbc:derby:memory:graftup3${System.nanoTime()};create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val jprops = { val p = new java.util.Properties()
+      props.foreach { case (k, v) => p.setProperty(k, v) }; p }
+    val target = Seq((1L, 1L, "a")).toDF("k", "ver", "v")
+    Sink.jdbcUpsert(target, url, "wh_fail", Seq("k"), "ver", connProps = props)
+    // a batch with an EXTRA column stages fine (its own table) but the
+    // insert-select into the narrower target must fail mid-merge
+    val bad = Seq((1L, 2L, "b", "boom")).toDF("k", "ver", "v", "extra")
+    intercept[java.sql.SQLException] {
+      Sink.jdbcUpsert(bad, url, "wh_fail", Seq("k"), "ver", connProps = props)
+    }
+    // target unchanged (transaction rolled back — the delete must not
+    // have stuck without its insert)
+    val rows = spark.read.jdbc(url, "wh_fail", jprops).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(rows === Seq((1L, 1L, "a")))
+    // staging table dropped despite the failure
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val names = Iterator.continually(rs)
+        .takeWhile(_.next()).map(_.getString("TABLE_NAME")).toList
+      assert(!names.exists(_.toUpperCase.contains("_STG_")),
+        s"staging table leaked: $names")
+    } finally conn.close()
+  }
 }
