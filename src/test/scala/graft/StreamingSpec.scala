@@ -156,6 +156,39 @@ class StreamingSpec extends SparkSuite {
       (3L, 13L, "signup")))
   }
 
+  test("applyUpserts restarts from its checkpoint: no reprocessing, no lost state") {
+    // the operational property behind the reference's 15-min loop: a
+    // crashed/redeployed job resumes from the checkpoint and the sink
+    // converges exactly as if it had never stopped
+    val src = tmpDir("rec-src")
+    val target = tmpDir("rec-dst") + "/t"
+    val ckpt = tmpDir("rec-ckpt")
+    writeBatch(src, "b0", Seq(
+      Event(10L, ts("2024-01-01 10:00:00"), 1L, "signup", 1.0),
+      Event(11L, ts("2024-01-01 10:00:00"), 2L, "signup", 2.0)))
+    val q1 = EventStream.applyUpserts(EventStream.read(spark, src),
+      target, ckpt, Seq("user_id"), "ts", Seq("event_id"))
+    q1.processAllAvailable()
+    q1.stop() // "crash" between batches
+
+    // while down: user 1 gets a newer event, user 3 appears
+    writeBatch(src, "b1", Seq(
+      Event(12L, ts("2024-01-01 11:00:00"), 1L, "purchase", 9.0),
+      Event(13L, ts("2024-01-01 10:30:00"), 3L, "signup", 3.0)))
+    // a NEW query instance over the SAME checkpoint picks up only the
+    // unprocessed file
+    val q2 = EventStream.applyUpserts(EventStream.read(spark, src),
+      target, ckpt, Seq("user_id"), "ts", Seq("event_id"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val out = spark.read.parquet(target).orderBy("user_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type")))
+    assert(out.toSeq === Seq((1L, 12L, "purchase"), (2L, 11L, "signup"),
+      (3L, 13L, "signup")))
+  }
+
   test("sessions survive an event older than (watermark - gap)") {
     // sentinel first → watermark ≈ 2024-01-02 11:50; then an event a
     // full day older arrives. Its natural timeout (end + gap) would be
