@@ -476,6 +476,18 @@ object SparkEntry {
       Dedup.sharedRuns(Tables.documents(s, d), "doc_id", "text",
           k = 5, w = 4, minShared = 1, maxDocFreq = 200)
         .orderBy(col("id_a"), col("id_b"))),
+    // weighted cross-corpus mixing: per-source draws are hash-based →
+    // rows-only (SamplingSpec pins quotas/clamping/schema reconcile);
+    // the three "corpora" are residue slices of documents
+    "sample_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def slice(r: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === r)
+      Sampling.mixWeighted(Seq(
+          ("web", slice(0), 0.6), ("code", slice(1), 0.3), ("books", slice(2), 0.1)),
+          "doc_id", targetRows = 300L)
+        .groupBy(col("mix_source")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("mix_source"))
+    }),
     // domain-temperature resampling, graded through the bit-portable
     // modulo twin (same role modSplit plays for hashSplit); domains =
     // coarse length buckets so the group sizes are data-driven

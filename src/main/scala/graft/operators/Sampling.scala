@@ -103,6 +103,38 @@ object Sampling {
     temperatureImpl(df, groupCol, alpha, targetRows, buckets,
       pmod(col(idCol).cast("long"), lit(buckets)))
 
+  /** Weighted mixing of SEPARATE corpora into one training set — the
+    * cross-source companion to [[temperatureSample]]'s within-corpus
+    * domains: each source `(df, weight)` contributes ~`targetRows·wᵢ/Σw`
+    * rows, drawn by the same deterministic hash threshold
+    * (downsample-only: a source smaller than its quota contributes
+    * everything it has — the standard under-weighted-source caveat,
+    * surfaced rather than silently re-normalized). Schemas are
+    * reconciled additively ([[graft.sources.SchemaEvolution
+    * .unionEvolved]]) and every row is tagged with its source name,
+    * so mix proportions stay auditable downstream.
+    *
+    * Each source's keep-filter is planned on ITS OWN scan (no
+    * union-then-group shuffle): at 100 TB the mix is N parallel
+    * filtered scans concatenated — zero shuffle total.
+    */
+  def mixWeighted(sources: Seq[(String, DataFrame, Double)], idCol: String,
+                  targetRows: Long, seed: Long = 42L): DataFrame = {
+    require(sources.nonEmpty, "at least one source required")
+    require(sources.forall(_._3 > 0), "weights must be positive")
+    require(targetRows > 0, "targetRows must be positive")
+    val totalW = sources.map(_._3).sum
+    val sampled = sources.map { case (name, df, weight) =>
+      // one count per source: metadata-scale work, sizes the quota
+      val n = df.count()
+      val quota = targetRows.toDouble * weight / totalW
+      val thresh = math.round(math.min(1.0, if (n == 0) 0.0 else quota / n) * Buckets)
+      df.filter(pmod(xxhash64(col(idCol), lit(seed)), lit(Buckets)) < lit(thresh))
+        .withColumn("mix_source", lit(name))
+    }
+    graft.sources.SchemaEvolution.unionEvolved(sampled)
+  }
+
   private def temperatureImpl(df: DataFrame, groupCol: String, alpha: Double,
                               targetRows: Long, buckets: Long,
                               bucket: Column): DataFrame = {

@@ -83,6 +83,31 @@ class SamplingSpec extends SparkSuite {
     assert(out.select("id").exceptAll(domains.select("id")).isEmpty)
   }
 
+  test("mixWeighted draws each source near its quota, clamps small sources, reconciles schemas") {
+    val web = (1L to 8000L).map(i => (i, s"w$i")).toDF("id", "text")
+    val code = (100001L to 102000L).map(i => (i, s"c$i")).toDF("id", "text")
+    // books: has an EXTRA column and is smaller than its quota
+    val books = (200001L to 200100L).map(i => (i, s"b$i", "fiction"))
+      .toDF("id", "text", "genre")
+    val mixed = Sampling.mixWeighted(Seq(
+      ("web", web, 0.5), ("code", code, 0.3), ("books", books, 0.2)),
+      "id", targetRows = 2000L)
+    val counts = mixed.groupBy("mix_source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("web") - 1000.0) < 120, counts.toString)  // 0.5·2000
+    assert(math.abs(counts("code") - 600.0) < 100, counts.toString)  // 0.3·2000
+    assert(counts("books") === 100) // quota 400 > 100 rows → all kept
+    // schema reconciled additively: web/code rows carry null genre
+    assert(mixed.columns.toSeq === Seq("id", "text", "mix_source", "genre"))
+    assert(mixed.filter($"mix_source" === "web" && $"genre".isNotNull).count() === 0)
+    assert(mixed.filter($"mix_source" === "books" && $"genre".isNull).count() === 0)
+    // deterministic
+    val again = Sampling.mixWeighted(Seq(
+      ("web", web.repartition(7), 0.5), ("code", code, 0.3), ("books", books, 0.2)),
+      "id", targetRows = 2000L)
+    assert(mixed.select("id").exceptAll(again.select("id")).isEmpty)
+  }
+
   test("temperatureModSample assigns by residue exactly (the portable oracle twin)") {
     val out = Sampling.temperatureModSample(domains, "id", "domain",
       alpha = 0.5, targetRows = 1000L, buckets = 100L)
