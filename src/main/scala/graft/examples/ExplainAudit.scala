@@ -24,7 +24,8 @@ object ExplainAudit {
       else Seq("q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
         "fact_lineitem", "cdc_incremental_filter", "events_sessions", "dedup_minhash",
         "asof_last_view", "range_join_sessions", "dedup_embedding_lsh",
-        "curation_pipeline")
+        "curation_pipeline", "dedup_ngram_jaccard", "doc_tfidf",
+        "doc_shared_runs", "sample_temperature", "doc_pii_redact")
     names.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

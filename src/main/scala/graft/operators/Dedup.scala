@@ -73,8 +73,8 @@ object Dedup {
                    n: Int = 3, threshold: Double = 0.8,
                    maxDocFreq: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = Par.widen(docs, idCol).select(col(idCol).as("id"),
-      Text.shingles(col(textCol), n).as("sh"))
+    val sh = Par.widen(docs.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol).as("id"), Text.shingles(col(textCol), n).as("sh"))
     // every gram is hashed to a LONG once at explode time: df counting,
     // the prefix join, and set intersection all run on 8-byte keys
     // instead of ~30-byte strings (measured 2× on the whole operator;
@@ -164,9 +164,10 @@ object Dedup {
     // exact-jaccard verify (where the sorted form lets the codegen'd
     // merge-walk SortedIntersectCount replace per-pair hash sets)
     val sh = Par.persistTracked(
-      Par.widen(docs, idCol).select(col(idCol).as("id"),
-        sort_array(transform(Text.shingles(col(textCol), n),
-          g => xxhash64(g))).as("hs")))
+      Par.widen(docs.select(col(idCol), col(textCol)), idCol)
+        .select(col(idCol).as("id"),
+          sort_array(transform(Text.shingles(col(textCol), n),
+            g => xxhash64(g))).as("hs")))
     // Signatures via explode + grouped min aggregates: numHashes FLAT
     // codegen'd min() columns. (A transform/aggregate lambda tree of
     // width numHashes chokes the Catalyst optimizer — measured 10-30 s
@@ -228,8 +229,8 @@ object Dedup {
   def simHash(docs: DataFrame, idCol: String, textCol: String,
               n: Int = 3, maxHamming: Int = 3): DataFrame = {
     val blocks = maxHamming + 1
-    val sh = Par.widen(docs, idCol).select(col(idCol).as("id"),
-      Text.shingles(col(textCol), n).as("sh"))
+    val sh = Par.widen(docs.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol).as("id"), Text.shingles(col(textCol), n).as("sh"))
     // votes[b] = number of shingles whose hash has bit b set
     val hashes = transform(col("sh"), g => xxhash64(g))
     val bitsOf = (h: Column) =>
@@ -284,7 +285,8 @@ object Dedup {
                     n: Int = 8, minCommon: Int = 1,
                     maxDocFreq: Int = 0): DataFrame = {
     def exploded(df: DataFrame): DataFrame =
-      Par.widen(df, idCol).select(col(idCol).as("id"),
+      Par.widen(df.select(col(idCol), col(textCol)), idCol)
+        .select(col(idCol).as("id"),
           explode(Text.shingles(col(textCol), n)).as("g"))
         .select(col("id"), xxhash64(col("g")).as("gram"))
     val tr = Par.persistTracked(exploded(train))
@@ -334,8 +336,9 @@ object Dedup {
                  k: Int = 5, w: Int = 4, minShared: Int = 2,
                  maxDocFreq: Int = 1000): DataFrame = {
     val fp = Par.persistTracked(
-      Par.widen(docs, idCol).select(col(idCol).as("id"),
-        explode(Text.winnow(col(textCol), k, w)).as("fp")))
+      Par.widen(docs.select(col(idCol), col(textCol)), idCol)
+        .select(col(idCol).as("id"),
+          explode(Text.winnow(col(textCol), k, w)).as("fp")))
     val dfs = fp.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
     val kept = fp.join(dfs.filter(col("__df") <= maxDocFreq).select(col("fp")),
       Seq("fp"))
@@ -369,8 +372,9 @@ object Dedup {
                       planes: Int = 12, tables: Int = 4): DataFrame = {
     // normalize each vector ONCE (persisted: both join sides read it);
     // pair scoring is then a dot product, not dot + two norms per pair
-    val base = Par.persistTracked(Par.widen(embs, idCol)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val base = Par.persistTracked(
+      Par.widen(embs.select(col(idCol), col(vecCol)), idCol)
+        .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("nrm", Vectors.norm(col("vec"))))
     def score(pairs: DataFrame): DataFrame = pairs
       .withColumn("cosine", Vectors.dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))

@@ -33,7 +33,8 @@ object Pack {
     require(maxOpenBins > 0, "maxOpenBins must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    (if (widenInput) graft.Par.widen(docs, idCol) else docs)
+    (if (widenInput) graft.Par.widen(docs.select(col(idCol), col(tokensCol)), idCol)
+     else docs)
       .select(col(idCol).cast("long"), col(tokensCol).cast("long"))
       .sortWithinPartitions(col(tokensCol).desc, col(idCol))
       .as[(Long, Long)]

@@ -94,7 +94,7 @@ object Similarity {
                      idCol: String, vecCol: String, queryIdCol: String,
                      k: Int, excludeSelf: Boolean = true): DataFrame = {
     // norms computed once per side; the per-pair cost is one dot product
-    val c = graft.Par.widen(corpus, idCol)
+    val c = graft.Par.widen(corpus.select(col(idCol), col(vecCol)), idCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cn", Vectors.norm(col("__cv")))
     val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"))
@@ -148,7 +148,7 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    val c = graft.Par.widen(corpus, idCol)
+    val c = graft.Par.widen(corpus.select(col(idCol), col(vecCol)), idCol)
       .select(col(idCol).as("neighbor_id"), Vectors.toDouble(col(vecCol)).as("__cv"))
       .withColumn("__cn", Vectors.norm(col("__cv")))
     // train on the RAW corpus column: its count() is a metadata-only
@@ -208,8 +208,9 @@ object Similarity {
     val spark = corpus.sparkSession
     // normalize each side ONCE; persisted — read for bucket keys and
     // again for the survivor vector fetch
-    val c = graft.Par.persistTracked(graft.Par.widen(corpus, idCol)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val c = graft.Par.persistTracked(
+      graft.Par.widen(corpus.select(col(idCol), col(vecCol)), idCol)
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cn", Vectors.norm(col("__cv"))))
     val q = graft.Par.persistTracked(queries
       .select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"))
