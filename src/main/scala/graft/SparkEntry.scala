@@ -504,6 +504,16 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("content_hash"))),
+    // daily-delta composition: the second half of the corpus deduped
+    // against the index built from the first half
+    "dedup_exact_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cut = lit(250L)
+      val index = Dedup.exact(docs.filter(col("doc_id") < cut), "doc_id", "text")
+      Dedup.exactIncremental(index, docs.filter(col("doc_id") >= cut),
+          "doc_id", "text")
+        .orderBy(col("content_hash"))
+    }),
     // maxDocFreq bounds hot-shingle fan-out in candidate generation
     // (scores are exact rescores, so output is unchanged wherever a
     // pair shares ≥1 sub-cap shingle; 1000 ≫ any df at sf0.01)
@@ -1516,6 +1526,17 @@ object SparkEntry {
         s"""SELECT md5($norm) AS content_hash,
              min(doc_id) AS keeper_id, count(*) AS n_copies
            FROM documents GROUP BY 1 ORDER BY content_hash""",
+
+      "dedup_exact_incremental" ->
+        s"""WITH ex AS (
+             SELECT DISTINCT md5($norm) AS content_hash
+             FROM documents WHERE doc_id < 250
+           ), nb AS (
+             SELECT md5($norm) AS content_hash, doc_id
+             FROM documents WHERE doc_id >= 250)
+           SELECT content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+           FROM nb WHERE content_hash NOT IN (SELECT content_hash FROM ex)
+           GROUP BY 1 ORDER BY content_hash""",
 
       "dedup_ngram_jaccard" ->
         s"""WITH sh AS (

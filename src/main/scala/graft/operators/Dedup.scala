@@ -39,6 +39,26 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup — the daily-delta form of [[exact]]: a
+    * 100 TB corpus is never re-deduped from scratch; each new batch
+    * is deduped against the existing keeper INDEX (content_hash →
+    * keeper), and only genuinely new content enters. Returns the
+    * batch's new index entries: hashes unseen in `index`, keeper =
+    * lowest batch id, copies counted within the batch. One left-anti
+    * join on the 128-bit hash + one batch-local group-by — every
+    * shuffle is DELTA-sized; the index side is probe-only (the
+    * composition of [[exact]] with the Cdc incremental-load
+    * discipline, reference base_loader.py `_perform_incremental_load`
+    * applied to content identity instead of business keys).
+    */
+  def exactIncremental(index: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String): DataFrame =
+    batch
+      .select(md5(Text.normalize(col(textCol))).as("content_hash"), col(idCol))
+      .join(index.select(col("content_hash")), Seq("content_hash"), "left_anti")
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
   /** Near-duplicate pairs by word-n-gram Jaccard similarity, with
     * PPJoin-style PREFIX FILTERING for candidate generation (Bayardo
     * et al. WWW'07 "Scaling Up All Pairs"; Xiao et al. PPJoin): order

@@ -204,6 +204,20 @@ class DedupSpec extends SparkSuite {
     Par.release()
   }
 
+  test("exactIncremental admits only content unseen in the index, deduped within the batch") {
+    val existing = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val index = operators.Dedup.exact(existing, "doc_id", "text")
+    val batch = Seq(
+      (10L, "Alpha  beta"),   // normalizes to an indexed hash → dropped
+      (11L, "epsilon zeta"),  // new
+      (12L, "epsilon zeta"),  // batch-internal dup of 11
+      (13L, "eta theta")      // new
+    ).toDF("doc_id", "text")
+    val out = operators.Dedup.exactIncremental(index, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out === Map(11L -> 2L, 13L -> 1L))
+  }
+
   test("sharedRuns pairs docs sharing a long verbatim run; boilerplate fingerprints excluded") {
     // k=5, w=4 → any shared run of ≥ 8 words guarantees ≥1 common
     // fingerprint (the winnowing invariant); a 20-word verbatim run
