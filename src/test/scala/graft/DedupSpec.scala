@@ -253,6 +253,37 @@ class DedupSpec extends SparkSuite {
     Par.release()
   }
 
+  test("sharedRuns equals brute-force fingerprint intersection on random docs") {
+    // the distributed pair generation (explode → df-join → self-join →
+    // count) must reproduce exactly what a driver-side pairwise
+    // intersection of the SAME winnow sets computes — isolates the
+    // join/agg logic from winnow itself (TextSpec pins winnow)
+    val rnd = new scala.util.Random(7)
+    val planted = (1 to 12).map(i => s"planted$i").mkString(" ")
+    val docs = ((1 to 30).map { i =>
+      val words = Seq.fill(25 + rnd.nextInt(30))("w" + rnd.nextInt(300))
+      (i.toLong, words.mkString(" "))
+    } ++ Seq(
+      (41L, s"prefix words here $planted and a tail"),
+      (42L, s"$planted with an entirely different ending zone")
+    )).toDF("doc_id", "text")
+    val out = operators.Dedup.sharedRuns(docs, "doc_id", "text",
+        k = 5, w = 4, minShared = 1, maxDocFreq = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val fps = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.Text.winnow(
+          org.apache.spark.sql.functions.col("text"), 5, 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val ids = fps.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      common = (fps(a) & fps(b)).size if common >= 1
+    } yield (a, b) -> common.toLong).toMap
+    assert(out === expected)
+    assert(out.contains((41L, 42L))) // the planted 12-word run is found
+    Par.release()
+  }
+
   test("connectedComponents reliable=true uses fault-tolerant checkpoints, same labels") {
     // on a real cluster localCheckpoint pins blocks to executors; the
     // reliable flag swaps in HDFS-backed checkpoint() — semantics must

@@ -148,6 +148,50 @@ class Scd2Spec extends SparkSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("random snapshot fold: disjoint intervals, one open row per live key, latest attrs") {
+    // structural invariants any SCD2 history must satisfy, checked on
+    // a randomized 8-day replay with appearing/vanishing keys and
+    // hard-delete invalidation on (the full-snapshot Mongo-users case)
+    val rnd = new scala.util.Random(11)
+    val keys = 1L to 6L
+    val days = (1 to 8).map(d => f"2024-01-$d%02d 00:00:00")
+    val snapshots = days.map { day =>
+      val present = keys.filter(_ => rnd.nextDouble() < 0.7)
+      (present.map(k => (k, s"state${rnd.nextInt(3)}", s"occ${rnd.nextInt(2)}")),
+        day)
+    }
+    val hist = snapshots.foldLeft(emptyHistory) { case (h, (rows, day)) =>
+      Scd2.merge(h, rows.toDF("user_id", "state", "occupation"),
+        Seq("user_id"), Seq("state", "occupation"), lit(ts(day)),
+        invalidateHardDeletes = true)
+    }
+    val byKey = hist.orderBy("user_id", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4))))
+      .groupBy(_._1)
+
+    val lastPresent = snapshots.last._1.map(r => r._1 -> (r._2, r._3)).toMap
+    keys.foreach { k =>
+      val rows = byKey.getOrElse(k, Array.empty).sortBy(_._4.getTime)
+      // intervals never overlap: each row closes before the next opens
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.isDefined, s"key $k has a non-final open row")
+          assert(!a._5.get.after(b._4), s"key $k intervals overlap")
+        case _ => ()
+      }
+      // exactly one open row iff the key is in the final snapshot
+      val open = rows.filter(_._5.isEmpty)
+      if (lastPresent.contains(k)) {
+        assert(open.length === 1, s"key $k: ${open.length} open rows")
+        assert((open.head._2, open.head._3) === lastPresent(k),
+          s"key $k open row attrs stale")
+      } else assert(open.isEmpty, s"key $k vanished but still open")
+      // a key that ever appeared has at least one row
+      if (snapshots.exists(_._1.exists(_._1 == k))) assert(rows.nonEmpty)
+    }
+  }
+
   test("schema evolution composes with merge: extract that ADDED a column widens history") {
     import graft.sources.SchemaEvolution
     // day 1: source has (user_id, state); history built without 'region'
