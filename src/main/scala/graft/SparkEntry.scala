@@ -601,6 +601,14 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("term"))
     }),
 
+    // corpus-unigram surprisal: the distribution-outlier curation
+    // signal; round(4) keeps the cross-engine double-sum comparison
+    // far from rounding boundaries
+    "doc_surprisal" -> ((s, d) =>
+      functions.Text.unigramSurprisal(Tables.documents(s, d), "doc_id", "text")
+        .withColumn("avg_logprob", round(col("avg_logprob"), 4))
+        .orderBy(col("doc_id"))),
+
     // ---- PII redaction (§2.5) ----
     // deterministic synthetic PII seeded INSIDE the query (the raw
     // corpus carries none), so redaction + audit counts grade against
@@ -1403,6 +1411,21 @@ object SparkEntry {
                / CAST(doc_freq AS DOUBLE)), 6) AS tfidf
            FROM tf JOIN df USING (term)
            ORDER BY doc_id, term""",
+
+      "doc_surprisal" ->
+        s"""WITH w AS (
+             SELECT doc_id, unnest(string_split($norm, ' ')) AS term FROM documents
+           ), wf AS (
+             SELECT doc_id, term FROM w WHERE length(term) > 0
+           ), tf AS (
+             SELECT doc_id, term, count(*) AS tf FROM wf GROUP BY 1, 2
+           ), ct AS (
+             SELECT term, count(*) AS c_t FROM wf GROUP BY term
+           ), tot AS (SELECT sum(c_t) AS c_total FROM ct)
+           SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
+             round(sum(tf * ln(c_t / c_total)) / sum(tf), 4) AS avg_logprob
+           FROM tf JOIN ct USING (term), tot
+           GROUP BY doc_id ORDER BY doc_id""",
 
       // the modulo twin replicates the whole threshold arithmetic in
       // SQL: w=power(n,alpha), thresh=round(min(1,T*w/tw/n)*buckets),

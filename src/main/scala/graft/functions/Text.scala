@@ -229,6 +229,40 @@ object Text {
           log(lit(nDocs.toDouble) / col("doc_freq").cast("double"))).as("tfidf"))
   }
 
+  /** Per-doc surprisal under the CORPUS unigram model — the
+    * KenLM-style "does this read like the rest of the corpus" signal
+    * without an external LM: avg_logprob = (1/n_d)·Σ ln(c_t / C) over
+    * the doc's tokens, where c_t is the token's corpus count and C
+    * the corpus token total. Typical text scores high (less
+    * negative); rare-token-heavy gibberish, boilerplate code in a
+    * prose corpus, and wrong-language docs score very negative — the
+    * standard distribution-outlier curation cut.
+    *
+    * Fully distributed and oracle-portable (pure ln arithmetic, the
+    * [[tfIdf]] discipline): one explode → per-(doc,term) counts →
+    * join to the vocabulary-sized term-count side (broadcasts at any
+    * corpus scale; C rides along as a window-free aggregate on that
+    * tiny frame) → one per-doc average.
+    */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+        explode(split(normalize(col(textCol)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = words.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val W = org.apache.spark.sql.expressions.Window
+    val wAll = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    // corpus counts: vocabulary-sized; the total C is a window sum
+    // over that same tiny frame (no extra scan, no 1-row cross join)
+    val counts = words.groupBy(col("term")).agg(count(lit(1)).as("c_t"))
+      .withColumn("c_total", sum(col("c_t")).over(wAll))
+    tf.join(counts, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_words"),
+        (sum(col("tf").cast("double") *
+          log(col("c_t").cast("double") / col("c_total").cast("double"))) /
+          sum(col("tf")).cast("double")).as("avg_logprob"))
+  }
+
   // PII patterns chosen to parse identically in Java regex and
   // RE2-class engines (simple character classes, no lookaround).
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -98,4 +98,24 @@ class TextSpec extends SparkSuite {
       2L -> (("too_short", false)),
       3L -> (("keep", true))))
   }
+
+  test("unigramSurprisal: hand-computed corpus cross-entropy per doc") {
+    // corpus counts: a=2, b=2, c=1, C=5
+    // doc1 "a a b": (2·ln(2/5) + 1·ln(2/5)) / 3 = ln(0.4)
+    // doc2 "b c":   (ln(2/5) + ln(1/5)) / 2
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("id", "text")
+    val out = Text.unigramSurprisal(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 === 3L)
+    assert(math.abs(out(1L)._2 - math.log(0.4)) < 1e-12)
+    assert(out(2L)._1 === 2L)
+    assert(math.abs(out(2L)._2 - (math.log(0.4) + math.log(0.2)) / 2) < 1e-12)
+    // the gibberish doc scores strictly below the typical docs
+    val mixed = Seq((1L, "the quick fox the lazy dog the end"),
+      (2L, "the quick dog the lazy fox the start"),
+      (3L, "zxqj vvkpt qqrmz lwwfy")).toDF("id", "text")
+    val scores = Text.unigramSurprisal(mixed, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(3L) < scores(1L) && scores(3L) < scores(2L))
+  }
 }
