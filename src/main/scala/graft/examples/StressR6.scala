@@ -88,6 +88,25 @@ object StressR6 {
         explode(graft.functions.Text.winnow(col("text"))).as("fingerprint"))
     }
 
+    // --- winnow substring-run pairs (r6 op; pair output grows ~
+    // family², the adversarial direction) ---
+    val (sr1, srn1) = timed("doc_shared_runs 1x") {
+      Dedup.sharedRuns(docs0, "doc_id", "text", k = 5, w = 4,
+        minShared = 1, maxDocFreq = 1000)
+    }
+    val (sr10, srn10) = timed("doc_shared_runs 10x") {
+      Dedup.sharedRuns(docs10, "doc_id", "text", k = 5, w = 4,
+        minShared = 1, maxDocFreq = 1000)
+    }
+
+    // --- corpus-unigram surprisal (r6 op) ---
+    val (su1, _) = timed("doc_surprisal 1x") {
+      graft.functions.Text.unigramSurprisal(docs0, "doc_id", "text")
+    }
+    val (su10, _) = timed("doc_surprisal 10x") {
+      graft.functions.Text.unigramSurprisal(docs10, "doc_id", "text")
+    }
+
     // --- streaming CDC apply (applyUpserts on static input) ---
     // replicas shift BOTH event_id and user_id: 10× rows AND 10× keys,
     // so the keyed upsert state scales with the data instead of
@@ -119,6 +138,8 @@ object StressR6 {
 
     println(f"[stress] ratios: components ${cc10 / cc1}%.1fx (labels $ccn1 -> $ccn10), " +
       f"tfidf ${tf10 / tf1}%.1fx, winnow ${wn10 / wn1}%.1fx, " +
+      f"shared_runs ${sr10 / sr1}%.1fx (pairs $srn1 -> $srn10), " +
+      f"surprisal ${su10 / su1}%.1fx, " +
       f"stream_cdc ${sc10 / sc1}%.1fx (rows $scn1 -> $scn10)")
     spark.stop()
   }
