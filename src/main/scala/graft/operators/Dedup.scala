@@ -360,8 +360,14 @@ object Dedup {
         .select(col(idCol).as("id"),
           explode(Text.winnow(col(textCol), k, w)).as("fp")))
     val dfs = fp.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
-    val kept = fp.join(dfs.filter(col("__df") <= maxDocFreq).select(col("fp")),
-      Seq("fp"))
+    // persisted: `kept` feeds BOTH sides of the pair self-join below,
+    // and Spark has no cross-branch CSE (§5 round 1) — without this
+    // the fingerprint-df join+filter recomputes once per side (at
+    // 100 TB that is the fingerprint-df shuffle twice). Same
+    // discipline as ngramJaccard's prefix frame.
+    val kept = Par.persistTracked(
+      fp.join(dfs.filter(col("__df") <= maxDocFreq).select(col("fp")),
+        Seq("fp")))
     val width = docs.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
       .map(_.toInt).getOrElse(docs.sparkSession.sparkContext.defaultParallelism)
     kept.select(col("fp"), col("id").as("id_a"))

@@ -119,18 +119,39 @@ object Sampling {
     * filtered scans concatenated — zero shuffle total.
     */
   def mixWeighted(sources: Seq[(String, DataFrame, Double)], idCol: String,
-                  targetRows: Long, seed: Long = 42L): DataFrame = {
+                  targetRows: Long, seed: Long = 42L,
+                  tagCol: String = "mix_source"): DataFrame = {
     require(sources.nonEmpty, "at least one source required")
     require(sources.forall(_._3 > 0), "weights must be positive")
     require(targetRows > 0, "targetRows must be positive")
+    require(sources.map(_._1).distinct.size == sources.size,
+      "source names must be unique")
+    // the tag column is the audit trail — silently overwriting a
+    // pre-existing one (e.g. re-mixing an already-mixed corpus) would
+    // corrupt it; re-mixers must pick a fresh tag name
+    sources.foreach { case (name, df, _) =>
+      require(!df.columns.contains(tagCol),
+        s"source '$name' already has a '$tagCol' column; pass a different tagCol")
+    }
     val totalW = sources.map(_._3).sum
+    // quota sizing needs every source's cardinality: ONE job counts
+    // them all (a union of name-tagged empty projections → tiny
+    // groupBy), so the sources are scanned concurrently instead of N
+    // sequential df.count() actions. On a raw parquet scan each leg is
+    // metadata-priced (empty read schema); on a filtered/derived view
+    // it is necessarily a full pass — persist such inputs upstream if
+    // they are also the mix inputs, or the filter runs twice.
+    val counts: Map[String, Long] = sources
+      .map { case (name, df, _) => df.select(lit(name).as("__src")) }
+      .reduce(_ union _)
+      .groupBy(col("__src")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val sampled = sources.map { case (name, df, weight) =>
-      // one count per source: metadata-scale work, sizes the quota
-      val n = df.count()
+      val n = counts.getOrElse(name, 0L)
       val quota = targetRows.toDouble * weight / totalW
       val thresh = math.round(math.min(1.0, if (n == 0) 0.0 else quota / n) * Buckets)
       df.filter(pmod(xxhash64(col(idCol), lit(seed)), lit(Buckets)) < lit(thresh))
-        .withColumn("mix_source", lit(name))
+        .withColumn(tagCol, lit(name))
     }
     graft.sources.SchemaEvolution.unionEvolved(sampled)
   }
@@ -152,12 +173,17 @@ object Sampling {
     val w = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     val probs = sizes
       .withColumn("__tw", sum(col("__w")).over(w))
-      .select(col(groupCol),
+      .select(col(groupCol).as("__grp"),
         round(least(lit(1.0),
           lit(targetRows.toDouble) * col("__w") / col("__tw") / col("__n"))
           * lit(buckets)).cast("long").as("__thresh"))
-    df.join(broadcast(probs), Seq(groupCol))
+    // null-SAFE join: groupBy counts a NULL group like any other, so
+    // the threshold lookup must match it too — a plain equi-join would
+    // silently drop every null-group row from the sample even though
+    // they contributed to the weight total (alpha=1 "natural
+    // proportions" quietly excluding the null domain)
+    df.join(broadcast(probs), col(groupCol) <=> col("__grp"))
       .filter(bucket < col("__thresh"))
-      .drop("__thresh")
+      .drop("__grp", "__thresh")
   }
 }

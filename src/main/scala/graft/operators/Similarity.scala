@@ -39,7 +39,7 @@ object Similarity {
     * not a nested-lambda tree (which costs 10-30 s of Catalyst plan
     * time at 8 planes × 64 dims).
     */
-  private[operators] def planeVec(table: Int, plane: Int, dims: Int): Seq[Double] =
+  private[graft] def planeVec(table: Int, plane: Int, dims: Int): Seq[Double] =
     Seq.tabulate(dims) { d =>
       var z = table.toLong * 0x9E3779B97F4A7C15L +
         plane.toLong * 0xC2B2AE3D27D4EB4FL +
@@ -145,23 +145,60 @@ object Similarity {
               k: Int, nlist: Int = 16, nprobe: Int = 4,
               excludeSelf: Boolean = true,
               model: Option[KMeansModel] = None): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-
-    val c = graft.Par.widen(corpus.select(col(idCol), col(vecCol)), idCol)
-      .select(col(idCol).as("neighbor_id"), Vectors.toDouble(col(vecCol)).as("__cv"))
-      .withColumn("__cn", Vectors.norm(col("__cv")))
     // train on the RAW corpus column: its count() is a metadata-only
     // parquet pass, where counting the projected/converted view above
     // would force a full decode pass just to size the sample
     val quantizer = model.getOrElse(trainIvfQuantizer(corpus, vecCol, nlist))
-    // corpus rows assigned to their cell (one map pass, no shuffle)
-    val assigned = quantizer.transform(c.withColumn("__feat", array_to_vector(col("__cv"))))
-      .select(col("__cell"), col("neighbor_id"), col("__cv"), col("__cn"))
-    // tiny centroid table, broadcast to rank cells per query
     val cents = quantizer.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray) }.toSeq
-      .toDF("__cell", "__centroid")
+      .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq
+    ivfTopKWith(corpus, queries, idCol, vecCol, queryIdCol, k, cents,
+      nprobe, excludeSelf)
+  }
+
+  /** IVF serving against EXPLICIT centroids `(cell, vector)` — the
+    * quantizer-agnostic core behind [[ivfTopK]]. Centroids are
+    * driver-side by construction (a quantizer is nlist × dim — a few
+    * KB however the cells were chosen: trained KMeans, a loaded model
+    * ([[graft.sources.Sink]] persistence), or any deterministic pick
+    * such as "the nlist lexicographically-first corpus vectors", which
+    * makes the whole path SQL-replicable for an external oracle).
+    *
+    * Cell ASSIGNMENT is a single codegen'd expression chain — the
+    * argmin over nlist squared-L2 distances, each one
+    * [[graft.functions.DotProduct]] against a literal centroid, ties
+    * to the lower cell id — so the corpus pass is map-only: no
+    * shuffle, no model UDF, nothing leaves whole-stage codegen.
+    * (The distance uses |v-c|² = |v|² - 2v·c + |c|² minus the
+    * candidate-invariant |v|²: only the ranking matters.)
+    */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, queryIdCol: String,
+                  k: Int, centroids: Seq[(Int, Seq[Double])],
+                  nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    require(centroids.nonEmpty, "ivfTopKWith needs at least one centroid")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = graft.Par.widen(corpus.select(col(idCol), col(vecCol)), idCol)
+      .select(col(idCol).as("neighbor_id"), Vectors.toDouble(col(vecCol)).as("__cv"))
+      .withColumn("__cn", Vectors.norm(col("__cv")))
+    // |c|² precomputed driver-side with the same sequential sum
+    // DotProduct generates, so literal and expression arithmetic agree
+    // bit-for-bit
+    def selfDot(v: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      s
+    }
+    def distTo(vec: Column, cent: Seq[Double]): Column =
+      -Vectors.dot(vec, typedLit(cent)) * 2 + lit(selfDot(cent))
+    // argmin as a least() over (dist, cell) structs: lexicographic
+    // struct ordering = dist asc, ties to the lower cell id
+    def nearestCell(vec: Column): Column =
+      least(centroids.map { case (cell, cv) =>
+        struct(distTo(vec, cv).as("d"), lit(cell).as("c"))
+      }: _*).getField("c")
+    val assigned = c.withColumn("__cell", nearestCell(col("__cv")))
+    val cents = centroids.toDF("__cell", "__centroid")
     val q = queries
       .select(col(queryIdCol).as("query_id"), Vectors.toDouble(col(vecCol)).as("__qv"))
       .withColumn("__qn", Vectors.norm(col("__qv")))
@@ -170,8 +207,9 @@ object Similarity {
     val wCell = Window.partitionBy(col("query_id"))
       .orderBy(col("__cdist").asc, col("__cell").asc)
     val probes = q.crossJoin(broadcast(cents))
-      // squared L2 to centroid: |q|² - 2q·c + |c|² ; monotone in q·c
-      // relative ranking only, so the dot-based form is enough
+      // same squared-L2 ranking as assignment, against the broadcast
+      // centroid COLUMN (dot(c,c) evaluates to the same sequential sum
+      // as the literal-side selfDot)
       .withColumn("__cdist",
         -Vectors.dot(col("__qv"), col("__centroid")) * 2 +
           Vectors.dot(col("__centroid"), col("__centroid")))

@@ -108,6 +108,34 @@ class SamplingSpec extends SparkSuite {
     assert(mixed.select("id").exceptAll(again.select("id")).isEmpty)
   }
 
+  test("temperatureSample keeps NULL-group rows (null-safe threshold join)") {
+    // 200 rows with a NULL domain alongside the skewed domains: they
+    // form a group of their own and must be sampled like any other —
+    // a plain equi-join would silently drop all of them
+    val withNull = domains.union(
+      (30001L to 30200L).map(i => (i, null: String)).toDF("id", "domain"))
+    val out = Sampling.temperatureSample(withNull, "id", "domain",
+      alpha = 0.0, targetRows = 800L)
+    val nullKept = out.filter($"domain".isNull).count()
+    // alpha=0 wants 800/4 = 200 per group; the null group has exactly
+    // 200 rows, so most of them survive the hash threshold
+    assert(nullKept > 100, s"only $nullKept null-group rows kept")
+    // and no row was invented or duplicated
+    assert(out.count() === out.select("id").distinct().count())
+  }
+
+  test("mixWeighted refuses a source that already carries the tag column") {
+    val pre = (1L to 10L).map(i => (i, "x")).toDF("id", "mix_source")
+    val err = intercept[IllegalArgumentException] {
+      Sampling.mixWeighted(Seq(("a", pre, 1.0)), "id", targetRows = 5L)
+    }
+    assert(err.getMessage.contains("mix_source"))
+    // a different tagCol resolves it
+    val ok = Sampling.mixWeighted(Seq(("a", pre, 1.0)), "id",
+      targetRows = 5L, tagCol = "mix2")
+    assert(ok.columns.contains("mix2"))
+  }
+
   test("temperatureModSample assigns by residue exactly (the portable oracle twin)") {
     val out = Sampling.temperatureModSample(domains, "id", "domain",
       alpha = 0.5, targetRows = 1000L, buckets = 100L)
