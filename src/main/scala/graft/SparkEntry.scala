@@ -538,11 +538,12 @@ object SparkEntry {
           threshold = 0.45, exhaustive = true)
         .orderBy(col("id_a"), col("id_b"))),
     // the SCALE path: multi-table hyperplane-LSH bucketed candidates
-    // (bucket-local joins, no all-pairs). Rows-only oracle (bucket
-    // hash arithmetic not DuckDB-portable); DedupSpec asserts recall
-    // vs exhaustive. 4 planes × 12 tables ≈ 0.9 recall at the 0.45
-    // threshold this synthetic data needs (max pair cosine ≈ 0.51;
-    // real near-dup corpora use 0.9+ thresholds with more planes)
+    // (bucket-local joins, no all-pairs). FULL oracle since r7: the
+    // splitmix hyperplanes replay as SQL literals, so DuckDB replays
+    // the exact bucket arithmetic (bit-exact at sf0.01/0.1); DedupSpec
+    // still asserts recall vs exhaustive. 4 planes × 12 tables ≈ 0.9
+    // recall at the 0.45 threshold this synthetic data needs (max pair
+    // cosine ≈ 0.51; real near-dup corpora use 0.9+ with more planes)
     "dedup_embedding_lsh" -> ((s, d) =>
       Dedup.embeddingCosine(Tables.embeddings(s, d), "vec_id", "embedding",
           threshold = 0.45, exhaustive = false, planes = 4, tables = 12)
@@ -707,12 +708,21 @@ object SparkEntry {
     }),
 
     // ---- similarity search (§2.5) ----
-    // IVF path (KMeans quantizer not DuckDB-expressible → rows-only)
+    // IVF mechanics graded against a FULL DuckDB oracle (r7): the
+    // graded quantizer is the deterministic "first nlist corpus
+    // vectors" pick, so assignment/probing/scoring replicate exactly
+    // in SQL — the trained-KMeans quantizer path keeps its recall
+    // ≥0.8 spec in SimilaritySpec (k-means iterations aren't SQL)
     "ann_ivf_topk" -> ((s, d) => {
       val embs = Tables.embeddings(s, d)
       val queries = embs.filter(col("vec_id") < 5)
-      Similarity.ivfTopK(embs, queries, "vec_id", "embedding", "vec_id",
-          k = 10, nlist = 16, nprobe = 4)
+      val cents = embs.filter(col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt,
+          r.getSeq[Float](1).map(_.toDouble).toSeq))
+        .sortBy(_._1).toSeq
+      Similarity.ivfTopKWith(embs, queries, "vec_id", "embedding", "vec_id",
+          k = 10, centroids = cents, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -723,8 +733,9 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
-    // hyperplane-LSH ANN path (bucket hashes not DuckDB-portable →
-    // rows-only; SimilaritySpec asserts recall ≥0.6 vs brute force)
+    // hyperplane-LSH ANN path — FULL oracle since r7 (same literal-
+    // plane replay as dedup_embedding_lsh); SimilaritySpec still
+    // asserts recall ≥0.6 vs brute force
     "ann_lsh_topk" -> ((s, d) => {
       val embs = Tables.embeddings(s, d)
       val queries = embs.filter(col("vec_id") < 5)
@@ -734,6 +745,33 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     })
   )
+
+  /** Splitmix-derived LSH hyperplanes replayed as SQL literals
+    * ([[Similarity.planeVec]] verbatim, truncated to the corpus
+    * dimension): the LSH/IVF oracles replicate the EXACT bucket and
+    * argmin arithmetic, so the candidate sets match bit-for-bit.
+    * Safe because the decisions are sign bits / argmins with measured
+    * margins ≥3e-6 at sf0.01 and sf0.1 — six orders of magnitude
+    * above any cross-engine double-accumulation difference (both
+    * engines sum the same 64 doubles in index order).
+    */
+  private def lshBucketsCte(tables: Int, planes: Int): String = {
+    val rows = (0 until tables).flatMap { t =>
+      (0 until planes).map { p =>
+        s"($t, $p, [${Similarity.planeVec(t, p, 64).mkString(", ")}]::DOUBLE[])"
+      }
+    }.mkString(",\n             ")
+    s"""planes(t, p, pv) AS (VALUES $rows),
+           e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           dots AS (
+             SELECT e.vec_id, pl.t, pl.p,
+               list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * pl.pv[i])) AS d
+             FROM e, planes pl),
+           b AS (
+             SELECT vec_id, t,
+               CAST(sum(CASE WHEN d >= 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS bucket
+             FROM dots GROUP BY vec_id, t)"""
+  }
 
   def oracleSql: Map[String, String] = {
     // shared SQL fragments (DuckDB dialect)
@@ -1615,6 +1653,81 @@ object SparkEntry {
                   * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cosine
              FROM e a JOIN e b ON a.vec_id < b.vec_id)
            WHERE cosine >= 0.45 ORDER BY id_a, id_b""",
+
+      // the LSH scale path, FULLY replicated: same hyperplanes (as
+      // literals), same sign-bit buckets, same candidate join +
+      // distinct, same cosine rescoring and tie-breaks — measured
+      // bit-exact vs Spark at sf0.01 and sf0.1
+      "dedup_embedding_lsh" ->
+        s"""WITH ${lshBucketsCte(tables = 12, planes = 4)},
+           cand AS (
+             SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+             FROM b a JOIN b c ON a.t = c.t AND a.bucket = c.bucket AND a.vec_id < c.vec_id),
+           scored AS (
+             SELECT id_a, id_b,
+               list_sum(list_transform(generate_series(1, len(x.v)), i -> x.v[i] * y.v[i]))
+               / (sqrt(list_sum(list_transform(x.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(y.v, x -> x * x)))) AS cosine
+             FROM cand JOIN e x ON cand.id_a = x.vec_id
+                       JOIN e y ON cand.id_b = y.vec_id)
+           SELECT id_a, id_b, cosine FROM scored
+           WHERE cosine >= 0.45 ORDER BY id_a, id_b""",
+
+      "ann_lsh_topk" ->
+        s"""WITH ${lshBucketsCte(tables = 4, planes = 8)},
+           cand AS (
+             SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+             FROM b cb JOIN b qb ON cb.t = qb.t AND cb.bucket = qb.bucket
+             WHERE qb.vec_id < 5 AND cb.vec_id <> qb.vec_id),
+           scored AS (
+             SELECT query_id, neighbor_id,
+               list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * q.v[i]))
+               / (sqrt(list_sum(list_transform(c.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(q.v, x -> x * x)))) AS cosine
+             FROM cand JOIN e c ON cand.neighbor_id = c.vec_id
+                       JOIN e q ON cand.query_id = q.vec_id)
+           SELECT query_id, neighbor_id, cosine, rn AS rank FROM (
+             SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rn FROM scored)
+           WHERE rn <= 10 ORDER BY query_id, rank""",
+
+      // IVF mechanics end-to-end: deterministic first-16 centroids,
+      // squared-L2 argmin assignment (dist ties to the lower cell),
+      // nprobe=4 probe ranking, cell-local scoring, two-phase top-k —
+      // the same -2·dot+|c|² arithmetic Spark's codegen'd chain runs
+      "ann_ivf_topk" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           cent AS (SELECT vec_id AS cell, v AS cv,
+                      list_sum(list_transform(v, x -> x * x)) AS cc
+                    FROM e WHERE vec_id < 16),
+           ad AS (
+             SELECT e.vec_id, c.cell,
+               -2 * list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * c.cv[i])) + c.cc AS dist
+             FROM e, cent c),
+           assigned AS (
+             SELECT vec_id, cell FROM (
+               SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r FROM ad)
+             WHERE r = 1),
+           probes AS (
+             SELECT vec_id AS query_id, cell FROM (
+               SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r
+               FROM ad WHERE vec_id < 5)
+             WHERE r <= 4),
+           scored AS (
+             SELECT p.query_id, a.vec_id AS neighbor_id,
+               list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * q.v[i]))
+               / (sqrt(list_sum(list_transform(c.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(q.v, x -> x * x)))) AS cosine
+             FROM assigned a JOIN probes p USING (cell)
+               JOIN e c ON a.vec_id = c.vec_id
+               JOIN e q ON p.query_id = q.vec_id
+             WHERE a.vec_id <> p.query_id)
+           SELECT query_id, neighbor_id, cosine, rn AS rank FROM (
+             SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rn FROM scored)
+           WHERE rn <= 10 ORDER BY query_id, rank""",
 
       "ann_brute_topk" ->
         """WITH q AS (SELECT vec_id AS query_id,
