@@ -488,6 +488,18 @@ object SparkEntry {
         .groupBy(col("mix_source")).agg(count(lit(1)).as("n_docs"))
         .orderBy(col("mix_source"))
     }),
+    // the bit-portable modulo twin of the mix (r7): full rows graded —
+    // the quota arithmetic (one-job counts → round(min(1,q/n)·B)
+    // thresholds → residue draw) replicates exactly in DuckDB
+    "sample_mix_mod" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def slice(r: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === r)
+      Sampling.mixWeightedMod(Seq(
+          ("web", slice(0), 0.6), ("code", slice(1), 0.3), ("books", slice(2), 0.1)),
+          "doc_id", targetRows = 300L, buckets = 100L)
+        .select(col("doc_id"), col("mix_source"))
+        .orderBy(col("doc_id"))
+    }),
     // domain-temperature resampling, graded through the bit-portable
     // modulo twin (same role modSplit plays for hashSplit); domains =
     // coarse length buckets so the group sizes are data-driven
@@ -1464,6 +1476,26 @@ object SparkEntry {
              round(sum(tf * ln(c_t / c_total)) / sum(tf), 4) AS avg_logprob
            FROM tf JOIN ct USING (term), tot
            GROUP BY doc_id ORDER BY doc_id""",
+
+      // the mix twin replicates the whole quota arithmetic in SQL:
+      // quota=T·w/Σw, thresh=round(min(1,quota/n)·buckets), keep iff
+      // doc_id % buckets < thresh (weights cast to DOUBLE so the SQL
+      // arithmetic is the same IEEE sequence Spark runs)
+      "sample_mix_mod" ->
+        """WITH d AS (SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS r FROM documents),
+           w(r, mix_source, wt) AS (VALUES
+             (0, 'web', 0.6), (1, 'code', 0.3), (2, 'books', 0.1)),
+           n AS (SELECT r, count(*) AS n FROM d GROUP BY r),
+           -- Σw summed left-to-right in DOUBLE, exactly as Scala's
+           -- Seq.sum folds it (0.6+0.3+0.1 is NOT 1.0 in IEEE doubles)
+           tw AS (SELECT CAST(0.6 AS DOUBLE) + CAST(0.3 AS DOUBLE)
+                         + CAST(0.1 AS DOUBLE) AS tw),
+           p AS (SELECT w.r, w.mix_source,
+                   CAST(round(least(1.0,
+                     300.0 * CAST(wt AS DOUBLE) / tw / n) * 100) AS BIGINT) AS thresh
+                 FROM w JOIN n USING (r), tw)
+           SELECT doc_id, mix_source FROM d JOIN p USING (r)
+           WHERE doc_id % 100 < thresh ORDER BY doc_id""",
 
       // the modulo twin replicates the whole threshold arithmetic in
       // SQL: w=power(n,alpha), thresh=round(min(1,T*w/tw/n)*buckets),

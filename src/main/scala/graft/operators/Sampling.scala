@@ -120,7 +120,25 @@ object Sampling {
     */
   def mixWeighted(sources: Seq[(String, DataFrame, Double)], idCol: String,
                   targetRows: Long, seed: Long = 42L,
-                  tagCol: String = "mix_source"): DataFrame = {
+                  tagCol: String = "mix_source"): DataFrame =
+    mixImpl(sources, targetRows, Buckets, tagCol,
+      pmod(xxhash64(col(idCol), lit(seed)), lit(Buckets)))
+
+  /** Modulo-bucket twin of [[mixWeighted]] on a NUMERIC key — the
+    * bit-portable correctness oracle for the quota arithmetic (the
+    * role [[modSplit]] / [[temperatureModSample]] play for their hash
+    * siblings). `buckets` must be ≪ the smallest source size or the
+    * residues stop approximating a uniform draw.
+    */
+  def mixWeightedMod(sources: Seq[(String, DataFrame, Double)], idCol: String,
+                     targetRows: Long, buckets: Long = 100L,
+                     tagCol: String = "mix_source"): DataFrame =
+    mixImpl(sources, targetRows, buckets, tagCol,
+      pmod(col(idCol).cast("long"), lit(buckets)))
+
+  private def mixImpl(sources: Seq[(String, DataFrame, Double)],
+                      targetRows: Long, buckets: Long, tagCol: String,
+                      bucket: Column): DataFrame = {
     require(sources.nonEmpty, "at least one source required")
     require(sources.forall(_._3 > 0), "weights must be positive")
     require(targetRows > 0, "targetRows must be positive")
@@ -149,9 +167,8 @@ object Sampling {
     val sampled = sources.map { case (name, df, weight) =>
       val n = counts.getOrElse(name, 0L)
       val quota = targetRows.toDouble * weight / totalW
-      val thresh = math.round(math.min(1.0, if (n == 0) 0.0 else quota / n) * Buckets)
-      df.filter(pmod(xxhash64(col(idCol), lit(seed)), lit(Buckets)) < lit(thresh))
-        .withColumn(tagCol, lit(name))
+      val thresh = math.round(math.min(1.0, if (n == 0) 0.0 else quota / n) * buckets)
+      df.filter(bucket < lit(thresh)).withColumn(tagCol, lit(name))
     }
     graft.sources.SchemaEvolution.unionEvolved(sampled)
   }

@@ -136,6 +136,22 @@ class SamplingSpec extends SparkSuite {
     assert(ok.columns.contains("mix2"))
   }
 
+  test("mixWeightedMod assigns by residue exactly (the portable oracle twin)") {
+    val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("id", "text")
+    val b = (2001L to 2200L).map(i => (i, s"b$i")).toDF("id", "text")
+    val out = Sampling.mixWeightedMod(Seq(("a", a, 0.7), ("b", b, 0.3)),
+      "id", targetRows = 400L, buckets = 100L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // replicate the arithmetic: quota_s = T·w/Σw, thresh = round(
+    // min(1, quota/n)·buckets); keep iff id % buckets < thresh
+    val tw = 0.7 + 0.3
+    def thresh(w: Double, n: Long) =
+      math.round(math.min(1.0, 400.0 * w / tw / n) * 100L)
+    val expected = ((1L to 1000L).filter(_ % 100 < thresh(0.7, 1000L)) ++
+      (2001L to 2200L).filter(_ % 100 < thresh(0.3, 200L))).toSet
+    assert(out === expected)
+  }
+
   test("temperatureModSample assigns by residue exactly (the portable oracle twin)") {
     val out = Sampling.temperatureModSample(domains, "id", "domain",
       alpha = 0.5, targetRows = 1000L, buckets = 100L)
