@@ -172,12 +172,23 @@ object Sink {
     *  - the staging write is executor-parallel (`df.write.jdbc`, one
     *    connection per partition) — the wire transfer is delta-sized
     *    and cluster-wide, never a driver loop;
-    *  - the merge itself is two SET-BASED statements executed inside
-    *    the warehouse (correlated-EXISTS delete + insert-select),
-    *    in one transaction where the driver supports it. Work done
-    *    remotely is O(delta) probes into the target's key index,
-    *    independent of target size — the shape that holds when the
-    *    target is 100 TB and the batch is one day's delta.
+    *  - the merge itself is SET-BASED statements executed inside
+    *    the warehouse, generated by a [[JdbcMergeDialect]] (keyed
+    *    IN-subquery delete for ANSI engines, correlated-EXISTS with
+    *    comparability casts for Derby, a synchronous `ALTER TABLE ...
+    *    DELETE` mutation for ClickHouse — the reference's actual
+    *    warehouse), in one transaction where the dialect + driver
+    *    support it. Work done remotely is O(delta) probes into the
+    *    target's key index, independent of target size — the shape
+    *    that holds when the target is 100 TB and the batch is one
+    *    day's delta.
+    *
+    * '''Non-transactional dialects (ClickHouse)''': a failure between
+    * the delete and the insert loses the batch's target rows until
+    * the merge is re-run — see [[JdbcMergeDialect]] for the full
+    * data-loss-window statement and the insert-then-dedup
+    * alternative. The staging table is dropped only after the merge
+    * block, so a failed merge leaves the batch staged for repair.
     *
     * First load: if the target doesn't exist it is created from the
     * batch (reference `_create_table_from_file`).
@@ -187,10 +198,15 @@ object Sink {
   def jdbcUpsert(updates: DataFrame, url: String, table: String,
                  key: Seq[String], trackingCol: String,
                  tieBreak: Seq[String] = Nil,
-                 connProps: Map[String, String] = Map.empty): Long = {
+                 connProps: Map[String, String] = Map.empty,
+                 dialect: Option[JdbcMergeDialect] = None): Long = {
     require(key.nonEmpty, "jdbcUpsert needs at least one upsert key column")
+    val merge = dialect.getOrElse(JdbcMergeDialect.forUrl(url))
     val props = javaProps(connProps)
     val fresh = graft.operators.Cdc.dedupLatestPerKey(updates, key, trackingCol, tieBreak)
+    val stringKeys = fresh.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(_.name).toSet.intersect(key.toSet)
     connProps.get("driver").foreach(Class.forName)
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
@@ -206,25 +222,28 @@ object Sink {
       try {
         val n = scalarLong(conn, s"SELECT COUNT(*) FROM $tmp")
         if (n == 0L) return 0L
-        val canTx =
+        // Derby's comparability cast TRUNCATES beyond VARCHAR(32672) —
+        // two long keys sharing a prefix would silently collide in the
+        // delete match. Reject instead (one delta-sized agg).
+        merge match {
+          case JdbcMergeDialect.Derby if stringKeys.nonEmpty =>
+            import org.apache.spark.sql.functions.{col, length => sqlLength, greatest, lit, max => sqlMax}
+            val longest = fresh
+              .select(sqlMax(greatest(lit(0) +: stringKeys.toSeq.map(k => sqlLength(col(k))): _*)))
+              .head().getInt(0)
+            require(longest <= JdbcMergeDialect.Derby.maxStringKeyLength,
+              s"string upsert key exceeds Derby's comparable VARCHAR(" +
+                s"${JdbcMergeDialect.Derby.maxStringKeyLength}); longer keys " +
+                "would truncate-collide in the merge")
+          case _ => ()
+        }
+        val canTx = merge.transactional && {
           try { conn.setAutoCommit(false); true }
-          catch { case _: java.sql.SQLException => false } // e.g. ClickHouse
+          catch { case _: java.sql.SQLException => false }
+        }
         try {
-          val q = "\""
-          // string keys: some dialects (Derby) map StringType to CLOB,
-          // which is not directly comparable — force a comparable cast
-          val stringKeys = fresh.schema.fields
-            .filter(_.dataType == org.apache.spark.sql.types.StringType)
-            .map(_.name).toSet
-          def ref(t: String, k: String) =
-            if (stringKeys(k)) s"CAST($t.$q$k$q AS VARCHAR(32672))"
-            else s"$t.$q$k$q"
-          val keyMatch = key
-            .map(k => s"${ref(tmp, k)} = ${ref(table, k)}").mkString(" AND ")
-          val cols = fresh.columns.map(c => s"$q$c$q").mkString(", ")
-          exec(conn, s"DELETE FROM $table WHERE EXISTS " +
-            s"(SELECT 1 FROM $tmp WHERE $keyMatch)")
-          exec(conn, s"INSERT INTO $table ($cols) SELECT $cols FROM $tmp")
+          merge.mergeStatements(table, tmp, key, fresh.columns.toSeq, stringKeys)
+            .foreach(exec(conn, _))
           if (canTx) conn.commit()
         } catch {
           case e: Throwable =>

@@ -276,4 +276,68 @@ class SourcesSpec extends SparkSuite {
         s"staging table leaked: $names")
     } finally conn.close()
   }
+
+  test("JdbcMergeDialect: URL inference and per-dialect merge SQL") {
+    import graft.sources.JdbcMergeDialect
+    import graft.sources.JdbcMergeDialect.{Ansi, ClickHouse, Derby}
+    assert(JdbcMergeDialect.forUrl("jdbc:derby:memory:x;create=true") === Derby)
+    assert(JdbcMergeDialect.forUrl("jdbc:clickhouse://wh:8123/raw") === ClickHouse)
+    assert(JdbcMergeDialect.forUrl("jdbc:ch://wh:8123/raw") === ClickHouse)
+    assert(JdbcMergeDialect.forUrl("jdbc:postgresql://db/x") === Ansi)
+
+    // ANSI: keyed IN-subquery delete (tuple-IN for composite keys),
+    // transactional
+    assert(Ansi.transactional)
+    assert(Ansi.mergeStatements("t", "t_stg", Seq("k"), Seq("k", "v"), Set.empty) === Seq(
+      """DELETE FROM t WHERE "k" IN (SELECT "k" FROM t_stg)""",
+      """INSERT INTO t ("k", "v") SELECT "k", "v" FROM t_stg"""))
+    assert(Ansi.mergeStatements("t", "t_stg", Seq("k1", "k2"), Seq("k1", "k2", "v"),
+      Set.empty).head ===
+      """DELETE FROM t WHERE ("k1", "k2") IN (SELECT "k1", "k2" FROM t_stg)""")
+
+    // ClickHouse: the reference's mutation protocol (base_loader.py:419)
+    // — ALTER TABLE DELETE, synchronous so the following insert can't
+    // race the mutation, backtick identifiers, NO transaction
+    assert(!ClickHouse.transactional)
+    assert(ClickHouse.mergeStatements("raw.orders", "raw.orders_stg", Seq("order_id"),
+      Seq("order_id", "amount"), Set.empty) === Seq(
+      "ALTER TABLE raw.orders DELETE WHERE `order_id` IN " +
+        "(SELECT `order_id` FROM raw.orders_stg) SETTINGS mutations_sync = 1",
+      "INSERT INTO raw.orders (`order_id`, `amount`) " +
+        "SELECT `order_id`, `amount` FROM raw.orders_stg"))
+    assert(ClickHouse.mergeStatements("t", "t_stg", Seq("a", "b"),
+      Seq("a", "b"), Set.empty).head ===
+      "ALTER TABLE t DELETE WHERE (`a`, `b`) IN " +
+        "(SELECT `a`, `b` FROM t_stg) SETTINGS mutations_sync = 1")
+
+    // Derby: correlated EXISTS + the CLOB-comparability cast on STRING
+    // keys only (Derby-specific syntax lives only in this dialect)
+    assert(Derby.transactional)
+    val derbySql = Derby.mergeStatements("t", "t_stg", Seq("k", "name"),
+      Seq("k", "name", "v"), stringKeys = Set("name"))
+    assert(derbySql.head ===
+      """DELETE FROM t WHERE EXISTS (SELECT 1 FROM t_stg WHERE """ +
+        """t_stg."k" = t."k" AND CAST(t_stg."name" AS VARCHAR(32672)) = """ +
+        """CAST(t."name" AS VARCHAR(32672)))""")
+  }
+
+  test("jdbcUpsert: explicit ANSI dialect runs the IN-subquery merge on a live engine") {
+    // Derby happens to also accept the single-key ANSI form (numeric
+    // keys), so the pluggable seam is exercised end-to-end: same
+    // upsert semantics through a DIFFERENT generated merge
+    val url = s"jdbc:derby:memory:graftup4${System.nanoTime()};create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val jprops = { val p = new java.util.Properties()
+      props.foreach { case (k, v) => p.setProperty(k, v) }; p }
+    val target = Seq((1L, 1L, 10.0), (2L, 1L, 20.0)).toDF("k", "ver", "amt")
+    Sink.jdbcUpsert(target, url, "wh_ansi", Seq("k"), "ver", connProps = props,
+      dialect = Some(graft.sources.JdbcMergeDialect.Ansi))
+    val updates = Seq((2L, 2L, 25.0), (3L, 1L, 30.0)).toDF("k", "ver", "amt")
+    assert(Sink.jdbcUpsert(updates, url, "wh_ansi", Seq("k"), "ver",
+      connProps = props,
+      dialect = Some(graft.sources.JdbcMergeDialect.Ansi)) === 2L)
+    val rows = spark.read.jdbc(url, "wh_ansi", jprops).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows === Seq((1L, 1L, 10.0), (2L, 2L, 25.0), (3L, 1L, 30.0)))
+  }
 }
