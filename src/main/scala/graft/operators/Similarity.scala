@@ -131,6 +131,22 @@ object Similarity {
       .fit(train)
   }
 
+  /** Persist a trained IVF quantizer. "Train once per corpus
+    * version, probe many times" must survive a JVM restart — the
+    * alternative is retraining (10 k-means passes over the sample)
+    * on every serving job. Spark ML's writer stores the centroids +
+    * params as parquet/JSON under `path`, readable by any cluster.
+    */
+  def saveIvfQuantizer(model: KMeansModel, path: String): Unit =
+    model.write.overwrite().save(path)
+
+  /** Load a quantizer persisted by [[saveIvfQuantizer]]; bucket
+    * assignments are identical to the in-memory original (same
+    * centroids, same argmin).
+    */
+  def loadIvfQuantizer(path: String): KMeansModel =
+    KMeansModel.load(path)
+
   /** IVF (inverted-file) ANN: k-means coarse quantizer over the
     * corpus; each query probes only the `nprobe` nearest centroid
     * cells. The scale path for big corpora: candidate count is

@@ -112,6 +112,23 @@ class SimilaritySpec extends SparkSuite {
     assert(reused === ivf)
   }
 
+  test("IVF quantizer survives save/load with identical bucket assignments") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_q").toString
+    val model = Similarity.trainIvfQuantizer(corpus, "embedding", nlist = 8)
+    Similarity.saveIvfQuantizer(model, s"$dir/quantizer")
+    val loaded = Similarity.loadIvfQuantizer(s"$dir/quantizer")
+    // centroids identical bit-for-bit
+    assert(loaded.clusterCenters.map(_.toArray.toSeq).toSeq ===
+      model.clusterCenters.map(_.toArray.toSeq).toSeq)
+    // and the whole serving path reproduces the same ranking
+    val queries = corpus.filter($"vec_id" % 16 === 0)
+    def res(m: org.apache.spark.ml.clustering.KMeansModel) =
+      Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", "vec_id",
+          k = 5, nlist = 8, nprobe = 4, model = Some(m))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(res(loaded) === res(model))
+  }
+
   test("hyperplaneBucket is deterministic across evaluations") {
     val b1 = corpus.select(Similarity.hyperplaneBucket($"embedding", 8).as("b"))
       .collect().map(_.getLong(0)).toSeq
