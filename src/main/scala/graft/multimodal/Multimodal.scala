@@ -13,6 +13,14 @@ case class MediaFeatures(media_id: Long, media_type: String,
                          n_bytes: Long, byte_entropy: Double,
                          features: Array[Float])
 
+/** Container-level video metadata parsed from MP4/ISO-BMFF boxes
+  * (no codec needed): presentation duration, the video track's
+  * resolution, its sample-entry codec tag (e.g. "avc1", "hev1"),
+  * and the file-type major brand (e.g. "isom", "mp42").
+  */
+case class VideoMeta(duration_ms: Long, width: Int, height: Int,
+                     codec: String, brand: String)
+
 /** Multimodal columns for a training-data pipeline: image/audio/video
   * as opaque `binary` columns with typed metadata, processed in
   * batches per partition.
@@ -32,11 +40,14 @@ case class MediaFeatures(media_id: Long, media_type: String,
   * histogram, [[resize]] rescales and re-encodes. AUDIO decode is
   * REAL for WAV/AIFF PCM via the JDK's `javax.sound.sampled`
   * ([[decodeAudio]]: duration, sample rate, channels, RMS, peak,
-  * amplitude histogram). Only VIDEO remains a clearly-marked
+  * amplitude histogram). VIDEO frame decode remains a clearly-marked
   * deterministic stub ([[decodeStub]]) — no video codec ships in the
   * JDK or this container; a real build replaces only that function
   * body (ffmpeg etc.), the schema, batching and partition flow
-  * around it are exactly what the real codec sees.
+  * around it are exactly what the real codec sees. Video METADATA is
+  * real, though: [[parseVideoMeta]] walks the MP4/ISO-BMFF container
+  * boxes (ISO/IEC 14496-12 — pure byte arithmetic, no codec) for
+  * duration, resolution, codec tag and brand.
   */
 object Multimodal {
 
@@ -222,6 +233,15 @@ object Multimodal {
             decodeImage(r.content).map(_._3).getOrElse(decodeStub(r.content))
           else if (r.media_type == "audio")
             decodeAudio(r.content).map(_._4).getOrElse(decodeStub(r.content))
+          else if (r.media_type == "video")
+            // container metadata is parseable without a codec: real
+            // [durationSec, width, height] prefix + the byte-histogram
+            // stand-in for frame content
+            parseVideoMeta(r.content) match {
+              case Some(m) => Array(m.duration_ms / 1000f, m.width.toFloat,
+                m.height.toFloat) ++ decodeStub(r.content)
+              case None => decodeStub(r.content)
+            }
           else decodeStub(r.content)
         MediaFeatures(r.media_id, r.media_type, r.content.length.toLong,
           byteEntropy(r.content), feats)
@@ -244,6 +264,123 @@ object Multimodal {
           width = w, height = h)
       }
     }
+  }
+
+  // ---- MP4 / ISO-BMFF container metadata (ISO/IEC 14496-12) ----
+
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+  private def fourCc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** REAL video-container metadata via a pure-JDK MP4 box walk — the
+    * ISO-BMFF layout is a public standard and needs only byte
+    * arithmetic: `ftyp` → brand, `moov/mvhd` → timescale + duration,
+    * `moov/trak/tkhd` → the video track's 16.16-fixed resolution,
+    * `.../stbl/stsd` → the sample-entry codec tag. Frame DECODE still
+    * needs a codec ([[decodeStub]] stands in); metadata does not.
+    * None when the bytes aren't ISO-BMFF (no `moov/mvhd`) — same
+    * degrade-don't-fail contract as [[decodeImage]]/[[decodeAudio]].
+    */
+  def parseVideoMeta(content: Array[Byte]): Option[VideoMeta] =
+    try {
+      var brand = ""
+      var timescale = 0L
+      var duration = 0L
+      var width = 0
+      var height = 0
+      var codec = ""
+      // iterate the sibling boxes in [start, end); size 1 → 64-bit
+      // largesize follows the type, size 0 → box runs to `end`
+      def boxes(start: Int, end: Int)(f: (String, Int, Int) => Unit): Unit = {
+        var off = start
+        var ok = true
+        while (ok && off + 8 <= end) {
+          val size0 = be32(content, off)
+          val typ = fourCc(content, off + 4)
+          val hdr = if (size0 == 1L) 16 else 8
+          val size =
+            if (size0 == 1L && off + 16 <= end) be64(content, off + 8)
+            else if (size0 == 0L) (end - off).toLong
+            else size0
+          if (size < hdr || off + size > end) ok = false
+          else {
+            f(typ, off + hdr, off + size.toInt)
+            off += size.toInt
+          }
+        }
+      }
+      def walkTrak(start: Int, end: Int): Unit = {
+        var tw = 0; var th = 0; var fmt = ""
+        def inner(s0: Int, e0: Int): Unit = boxes(s0, e0) { (typ, s, e) =>
+          typ match {
+            case "mdia" | "minf" | "stbl" => inner(s, e)
+            case "tkhd" if e - s >= 4 =>
+              val v = content(s) & 0xff
+              // version/flags(4) + times/id/duration (v0 20, v1 32) +
+              // reserved(8) + layer/group/volume/reserved(8) + matrix(36)
+              val o = s + 4 + (if (v == 1) 32 else 20) + 8 + 8 + 36
+              if (o + 8 <= e) {
+                tw = (be32(content, o) >> 16).toInt      // 16.16 fixed
+                th = (be32(content, o + 4) >> 16).toInt
+              }
+            case "stsd" if e - s >= 16 =>
+              // version/flags(4) entry_count(4) then the first sample
+              // entry: size(4) format-4cc
+              if (fmt.isEmpty) fmt = fourCc(content, s + 12).trim
+            case _ => ()
+          }
+        }
+        inner(start, end)
+        // the VIDEO track is the one with a nonzero visual size
+        // (audio tkhd carries width = height = 0)
+        if (tw > 0 && th > 0) { width = tw; height = th; codec = fmt }
+      }
+      def walk(start: Int, end: Int): Unit = boxes(start, end) { (typ, s, e) =>
+        typ match {
+          case "ftyp" if e - s >= 4 => brand = fourCc(content, s).trim
+          case "moov" => walk(s, e)
+          case "trak" => walkTrak(s, e)
+          case "mvhd" if e - s >= 4 =>
+            val v = content(s) & 0xff
+            if (v == 1 && e - s >= 32) {
+              timescale = be32(content, s + 20)
+              duration = be64(content, s + 24)
+            } else if (e - s >= 20) {
+              timescale = be32(content, s + 12)
+              duration = be32(content, s + 16)
+            }
+          case _ => ()
+        }
+      }
+      walk(0, content.length)
+      if (timescale > 0)
+        Some(VideoMeta(duration * 1000L / timescale, width, height, codec, brand))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Container metadata for every video asset: parsed MP4 fields
+    * where the bytes are ISO-BMFF, the row's declared metadata as
+    * fallback (`parsed` says which). Pure map pass — scan-speed at
+    * any corpus size.
+    */
+  def videoMetadata(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.media_type == "video")
+      .map { r =>
+        parseVideoMeta(r.content) match {
+          case Some(m) =>
+            (r.media_id, m.duration_ms, m.width, m.height, m.codec, m.brand, true)
+          case None =>
+            (r.media_id, r.duration_ms, r.width, r.height, "", "", false)
+        }
+      }
+      .toDF("media_id", "duration_ms", "width", "height", "codec", "brand", "parsed")
   }
 
   /** Sample every `everyMs` frames from video assets — STUB decode;

@@ -135,4 +135,90 @@ class MultimodalSpec extends SparkSuite {
     assert(math.abs(out(0).features(3) - 0.5 / math.sqrt(2)) < 1e-3)
     assert(out(1).features.length === 16) // stub fallback
   }
+
+  // minimal ISO-BMFF builders: size(4) + type(4) + payload
+  private def bmffBox(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+    bb.putInt(8 + payload.length)
+    bb.put(typ.getBytes("ISO-8859-1")).put(payload)
+    bb.array()
+  }
+
+  private def synthMp4(timescale: Int, duration: Long, w: Int, h: Int,
+                       codec: String, mvhdV1: Boolean = false): Array[Byte] = {
+    def beInt(vals: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vals.length)
+      vals.foreach(bb.putInt); bb.array()
+    }
+    val mvhd =
+      if (mvhdV1) {
+        val bb = java.nio.ByteBuffer.allocate(4 + 8 + 8 + 4 + 8)
+        bb.putInt(0x01000000)              // version 1, flags 0
+        bb.putLong(0L).putLong(0L)         // creation, modification
+        bb.putInt(timescale).putLong(duration)
+        bmffBox("mvhd", bb.array())
+      } else
+        bmffBox("mvhd", beInt(0, 0, 0, timescale, duration.toInt))
+    def tkhd(width: Int, height: Int) = {
+      val bb = java.nio.ByteBuffer.allocate(84)
+      // v0: version/flags, creation, modification, track_ID, reserved,
+      // duration (24 bytes) — then reserved(8), layer/group/volume/
+      // reserved(8), matrix(36), width, height
+      bb.put(beInt(0, 0, 0, 7, 0, 100))
+      bb.put(new Array[Byte](8 + 8 + 36))
+      bb.putInt(width << 16).putInt(height << 16) // 16.16 fixed
+      bmffBox("tkhd", bb.array())
+    }
+    def stsd(fmt: String) = bmffBox("stsd",
+      beInt(0, 1) ++ beInt(16) ++ fmt.getBytes("ISO-8859-1") ++ new Array[Byte](8))
+    def trak(width: Int, height: Int, fmt: String) =
+      bmffBox("trak", tkhd(width, height) ++
+        bmffBox("mdia", bmffBox("minf", bmffBox("stbl", stsd(fmt)))))
+    val ftyp = bmffBox("ftyp", "isom".getBytes("ISO-8859-1") ++ beInt(0x200) ++
+      "iso2".getBytes("ISO-8859-1"))
+    val moov = bmffBox("moov",
+      mvhd ++ trak(w, h, codec) ++ trak(0, 0, "mp4a")) // video + audio trak
+    ftyp ++ moov ++ bmffBox("mdat", Array.tabulate(64)(_.toByte))
+  }
+
+  test("parseVideoMeta walks MP4 boxes: duration, video-track resolution, codec, brand") {
+    val mp4 = synthMp4(timescale = 1000, duration = 5400L, w = 640, h = 360,
+      codec = "avc1")
+    val meta = Multimodal.parseVideoMeta(mp4)
+    assert(meta === Some(graft.multimodal.VideoMeta(5400L, 640, 360, "avc1", "isom")))
+    // the audio trak (zero visual size, mp4a entry) must not win
+
+    // 64-bit mvhd (version 1) parses too, with ms conversion
+    val v1 = synthMp4(timescale = 90000, duration = 90000L * 7 + 45000L,
+      w = 1920, h = 1080, codec = "hev1", mvhdV1 = true)
+    assert(Multimodal.parseVideoMeta(v1) ===
+      Some(graft.multimodal.VideoMeta(7500L, 1920, 1080, "hev1", "isom")))
+
+    // non-BMFF bytes degrade to None, never throw
+    assert(Multimodal.parseVideoMeta(Array.tabulate(256)(_.toByte)).isEmpty)
+    assert(Multimodal.parseVideoMeta(Array.emptyByteArray).isEmpty)
+    // truncated header: size field pointing past the buffer
+    assert(Multimodal.parseVideoMeta(mp4.take(10)).isEmpty)
+  }
+
+  test("videoMetadata: parsed MP4 fields for real containers, declared fallback otherwise") {
+    import graft.multimodal.MediaRow
+    import spark.implicits._
+    val mp4 = synthMp4(1000, 2500L, 320, 240, "avc1")
+    val media = spark.createDataset(Seq(
+      MediaRow(1L, "video", mp4, 0, 0, 0L),
+      MediaRow(2L, "video", Array.tabulate(64)(_.toByte), 100, 50, 4000L),
+      MediaRow(3L, "image", mp4, 10, 10, 0L))) // not a video row → excluded
+    val out = Multimodal.videoMetadata(media).collect().sortBy(_.getLong(0))
+    assert(out.length === 2)
+    assert(out(0).toSeq === Seq(1L, 2500L, 320, 240, "avc1", "isom", true))
+    assert(out(1).toSeq === Seq(2L, 4000L, 100, 50, "", "", false))
+
+    // extractFeatures prefixes real [durSec, w, h] for parseable video
+    val feats = Multimodal.extractFeatures(media.filter(_.media_type == "video"))
+      .collect().sortBy(_.media_id)
+    assert(feats(0).features.length === 19)
+    assert(feats(0).features.take(3).toSeq === Seq(2.5f, 320f, 240f))
+    assert(feats(1).features.length === 16) // junk bytes → stub only
+  }
 }
