@@ -577,13 +577,15 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split"))
         .orderBy(col("doc_id"))),
-    // hash split: the production path (xxhash64 not DuckDB-portable →
-    // rows-only; SamplingSpec pins determinism + fraction tolerance)
+    // hash split: the production path, graded with FULL rows since r7 —
+    // the oracle replays Spark's xxHash64-of-long itself (HUGEINT
+    // modular arithmetic in DuckDB), so the real hash assignment is
+    // checked, not a twin
     "sample_split_hash" -> ((s, d) =>
       Sampling.hashSplit(Tables.documents(s, d), "doc_id",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
-        .orderBy(col("split"))),
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))),
 
     // ---- corpus vocabulary stats (§2.5) ----
     "corpus_top_terms" -> ((s, d) =>
@@ -783,6 +785,52 @@ object SparkEntry {
              SELECT vec_id, t,
                CAST(sum(CASE WHEN d >= 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS bucket
              FROM dots GROUP BY vec_id, t)"""
+  }
+
+  /** Spark's `xxhash64(idCol, lit(seed))` on a LONG key, replayed in
+    * DuckDB: `hashLong(seedLit, hashLong(id, 42))` (the xxhash64
+    * FUNCTION seeds at 42 and left-folds each argument through
+    * XXH64.hashLong). All arithmetic is mod-2^64 over HUGEINT —
+    * 64×64-bit products are split into 32-bit halves so partials stay
+    * under INT128 — with xor via UBIGINT. Emitted as a step-per-column
+    * subquery chain producing `(idCol..., h)`; verified bit-exact
+    * against Spark for the graded key domain.
+    */
+  private def xxhash64LongSql(base: String, idCol: String, seedLit: Long): String = {
+    val M = "18446744073709551616::HUGEINT"
+    def mulmod(x: String, p: String) =
+      s"((($x) % 4294967296::HUGEINT) * $p " +
+        s"+ (((($x) // 4294967296::HUGEINT) * $p) % 4294967296::HUGEINT) " +
+        s"* 4294967296::HUGEINT) % $M"
+    def rotl(x: String, r: Int) =
+      s"((($x) * ${1L << r}::HUGEINT) % $M + (($x) // ${1L << (64 - r)}::HUGEINT))"
+    def xor(a: String, b: String) = s"xor(($a)::UBIGINT, ($b)::UBIGINT)::HUGEINT"
+    val (p1, p2, p3, p4, p5) = (
+      "11400714785074694791::HUGEINT", "14029467366897019727::HUGEINT",
+      "1609587929392839161::HUGEINT", "9650029242287828579::HUGEINT",
+      "2870177450012600261::HUGEINT")
+    def hashLong(inp: String, seed: String, x: String) = Seq(
+      s"${x}_h0" -> s"(($seed) + $p5 + 8::HUGEINT) % $M",
+      s"${x}_k1" -> mulmod(inp, p2),
+      s"${x}_k1r" -> rotl(s"${x}_k1", 31),
+      s"${x}_k1p" -> mulmod(s"${x}_k1r", p1),
+      s"${x}_h1" -> xor(s"${x}_h0", s"${x}_k1p"),
+      s"${x}_h2" -> s"(${mulmod(rotl(s"${x}_h1", 27), p1)} + $p4) % $M",
+      s"${x}_f1" -> xor(s"${x}_h2", s"${x}_h2 // 8589934592::HUGEINT"),
+      s"${x}_f2" -> mulmod(s"${x}_f1", p2),
+      s"${x}_f3" -> xor(s"${x}_f2", s"${x}_f2 // 536870912::HUGEINT"),
+      s"${x}_f4" -> mulmod(s"${x}_f3", p3),
+      s"${x}_out" -> xor(s"${x}_f4", s"${x}_f4 // 4294967296::HUGEINT"))
+    // negative keys reinterpret as their unsigned 64-bit pattern
+    val uid = s"(CASE WHEN $idCol < 0 THEN $idCol::HUGEINT + $M ELSE $idCol::HUGEINT END)"
+    val steps = hashLong(uid, "42::HUGEINT", "a") ++
+      hashLong(s"$seedLit::HUGEINT", "a_out", "b")
+    val chained = steps.foldLeft(base) { case (sql, (n, e)) =>
+      s"SELECT *, $e AS $n FROM ($sql)"
+    }
+    s"""SELECT $idCol, CASE WHEN b_out >= 9223372036854775808::HUGEINT
+          THEN (b_out - $M)::BIGINT ELSE b_out::BIGINT END AS h
+        FROM ($chained)"""
   }
 
   def oracleSql: Map[String, String] = {
@@ -1401,6 +1449,16 @@ object SparkEntry {
                   WHEN doc_id % 100 < 90 THEN 'val'
                   ELSE 'test' END AS split
            FROM documents ORDER BY doc_id""",
+
+      // the REAL hash path: xxHash64 itself replayed in SQL, then the
+      // same pmod-bucket label chain (thresholds round(f·1e6))
+      "sample_split_hash" ->
+        s"""SELECT doc_id,
+             CASE WHEN ((h % 1000000) + 1000000) % 1000000 < 800000 THEN 'train'
+                  WHEN ((h % 1000000) + 1000000) % 1000000 < 900000 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM (${xxhash64LongSql("SELECT doc_id FROM documents", "doc_id", 42L)})
+           ORDER BY doc_id""",
 
       "corpus_top_terms" ->
         s"""WITH words AS (
