@@ -476,17 +476,28 @@ object SparkEntry {
       Dedup.sharedRuns(Tables.documents(s, d), "doc_id", "text",
           k = 5, w = 4, minShared = 1, maxDocFreq = 200)
         .orderBy(col("id_a"), col("id_b"))),
-    // weighted cross-corpus mixing: per-source draws are hash-based →
-    // rows-only (SamplingSpec pins quotas/clamping/schema reconcile);
-    // the three "corpora" are residue slices of documents
+    // weighted cross-corpus mixing over residue slices of documents.
+    // FULL-ROW oracle since r7: the per-source hash draw is Spark's
+    // xxhash64 replayed in SQL (xxhash64LongSql) against quota
+    // thresholds computed from the same counts
     "sample_mix" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       def slice(r: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === r)
       Sampling.mixWeighted(Seq(
           ("web", slice(0), 0.6), ("code", slice(1), 0.3), ("books", slice(2), 0.1)),
           "doc_id", targetRows = 300L)
-        .groupBy(col("mix_source")).agg(count(lit(1)).as("n_docs"))
-        .orderBy(col("mix_source"))
+        .select(col("doc_id"), col("mix_source"))
+        .orderBy(col("doc_id"))
+    }),
+    // the HASH-path temperature resample graded directly (r7): the
+    // oracle replays both the threshold arithmetic AND xxHash64
+    "sample_temperature_hash" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        floor(length(col("text")) / lit(400)).cast("long").as("len_bucket"))
+      Sampling.temperatureSample(docs, "doc_id", "len_bucket",
+          alpha = 0.5, targetRows = 200L)
+        .select(col("doc_id"), col("len_bucket"))
+        .orderBy(col("doc_id"))
     }),
     // the bit-portable modulo twin of the mix (r7): full rows graded —
     // the quota arithmetic (one-job counts → round(min(1,q/n)·B)
@@ -796,7 +807,8 @@ object SparkEntry {
     * subquery chain producing `(idCol..., h)`; verified bit-exact
     * against Spark for the graded key domain.
     */
-  private def xxhash64LongSql(base: String, idCol: String, seedLit: Long): String = {
+  private def xxhash64LongSql(base: String, idCol: String, seedLit: Long,
+                              keep: Seq[String] = Nil): String = {
     val M = "18446744073709551616::HUGEINT"
     def mulmod(x: String, p: String) =
       s"((($x) % 4294967296::HUGEINT) * $p " +
@@ -828,7 +840,8 @@ object SparkEntry {
     val chained = steps.foldLeft(base) { case (sql, (n, e)) =>
       s"SELECT *, $e AS $n FROM ($sql)"
     }
-    s"""SELECT $idCol, CASE WHEN b_out >= 9223372036854775808::HUGEINT
+    s"""SELECT ${(idCol +: keep).mkString(", ")},
+          CASE WHEN b_out >= 9223372036854775808::HUGEINT
           THEN (b_out - $M)::BIGINT ELSE b_out::BIGINT END AS h
         FROM ($chained)"""
   }
@@ -1534,6 +1547,49 @@ object SparkEntry {
              round(sum(tf * ln(c_t / c_total)) / sum(tf), 4) AS avg_logprob
            FROM tf JOIN ct USING (term), tot
            GROUP BY doc_id ORDER BY doc_id""",
+
+      // the REAL hash mix: quota thresholds (round(min(1,q/n)·1e6))
+      // against the replayed-xxHash64 bucket — full rows
+      "sample_mix" ->
+        s"""WITH d AS (SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS r FROM documents),
+           w(r, mix_source, wt) AS (VALUES
+             (0, 'web', 0.6), (1, 'code', 0.3), (2, 'books', 0.1)),
+           n AS (SELECT r, count(*) AS n FROM d GROUP BY r),
+           tw AS (SELECT CAST(0.6 AS DOUBLE) + CAST(0.3 AS DOUBLE)
+                         + CAST(0.1 AS DOUBLE) AS tw),
+           p AS (SELECT w.r, w.mix_source,
+                   CAST(round(least(1.0,
+                     300.0 * CAST(wt AS DOUBLE) / tw / n) * 1000000) AS BIGINT) AS thresh
+                 FROM w JOIN n USING (r), tw),
+           hx AS (${xxhash64LongSql(
+                     "SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS r FROM documents",
+                     "doc_id", 42L, keep = Seq("r"))})
+           SELECT doc_id, mix_source FROM hx JOIN p USING (r)
+           WHERE ((h % 1000000) + 1000000) % 1000000 < thresh
+           ORDER BY doc_id""",
+
+      // the hash-path temperature resample: w=power(n,0.5) thresholds
+      // (the sample_temperature arithmetic at buckets=1e6) against the
+      // replayed-xxHash64 bucket
+      "sample_temperature_hash" ->
+        s"""WITH d AS (
+             SELECT doc_id, CAST(floor(length(text) / 400) AS BIGINT) AS len_bucket
+             FROM documents
+           ), s AS (
+             SELECT len_bucket, count(*) AS n, power(count(*), 0.5) AS w
+             FROM d GROUP BY len_bucket
+           ), t AS (SELECT sum(w) AS tw FROM s),
+           p AS (
+             SELECT len_bucket,
+               CAST(round(least(1.0, 200.0 * w / tw / n) * 1000000) AS BIGINT) AS thresh
+             FROM s, t),
+           hx AS (${xxhash64LongSql(
+                     """SELECT doc_id, CAST(floor(length(text) / 400) AS BIGINT) AS len_bucket
+                        FROM documents""",
+                     "doc_id", 42L, keep = Seq("len_bucket"))})
+           SELECT doc_id, len_bucket FROM hx JOIN p USING (len_bucket)
+           WHERE ((h % 1000000) + 1000000) % 1000000 < thresh
+           ORDER BY doc_id""",
 
       // the mix twin replicates the whole quota arithmetic in SQL:
       // quota=T·w/Σw, thresh=round(min(1,quota/n)·buckets), keep iff
