@@ -459,6 +459,13 @@ object SparkEntry {
       Tables.documents(s, d)
         .select(col("doc_id"), functions.Text.fingerprint(col("text")).as("fingerprint"))
         .orderBy(col("doc_id"))),
+    // portable-hash twin (r7): the same fingerprint with the md5-slice
+    // hash, which both engines compute bit-identically → hash-green
+    "doc_fingerprint_md5" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          functions.Text.fingerprintPortable(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))),
     // winnowing fingerprint set (MOSS): hash arithmetic not portable →
     // rows-only; TextSpec pins the shared-run guarantee. Exploded to
     // one (doc_id, fingerprint) row per selected hash: scalar cells
@@ -469,12 +476,28 @@ object SparkEntry {
         .select(col("doc_id"),
           explode(functions.Text.winnow(col("text"))).as("fingerprint"))
         .orderBy(col("doc_id"), col("fingerprint"))),
+    // portable-hash twin (r7): identical winnowing arithmetic (k-gram
+    // sequence → w-window min → distinct sort) over the md5-slice
+    // hash, fully replayed in the DuckDB oracle → hash-green
+    "doc_winnow_md5" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(functions.Text.winnow(col("text"), 5, 4,
+            functions.Text.portableHash60)).as("fingerprint"))
+        .orderBy(col("doc_id"), col("fingerprint"))),
     // substring-run pair detection over winnow fingerprints (hash
     // arithmetic → rows-only; DedupSpec pins the run/boilerplate
     // semantics)
     "doc_shared_runs" -> ((s, d) =>
       Dedup.sharedRuns(Tables.documents(s, d), "doc_id", "text",
           k = 5, w = 4, minShared = 1, maxDocFreq = 200)
+        .orderBy(col("id_a"), col("id_b"))),
+    // portable-hash twin (r7): the whole pair pipeline — winnow sets,
+    // df-cap, pair counts — replayed in SQL over the md5-slice hash
+    "doc_shared_runs_md5" -> ((s, d) =>
+      Dedup.sharedRuns(Tables.documents(s, d), "doc_id", "text",
+          k = 5, w = 4, minShared = 1, maxDocFreq = 200,
+          hashFn = functions.Text.portableHash60)
         .orderBy(col("id_a"), col("id_b"))),
     // weighted cross-corpus mixing over residue slices of documents.
     // FULL-ROW oracle since r7: the per-source hash draw is Spark's
@@ -548,11 +571,29 @@ object SparkEntry {
       Dedup.minHashLsh(Tables.documents(s, d), "doc_id", "text",
           n = 3, numHashes = 32, bands = 16, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
+    // portable-hash twin (r7): ONLY the shingle hash swaps to the
+    // md5-slice; the Kirsch–Mitzenmacher double hashing (h2 is still
+    // Spark's xxhash64 on the shingle hash, replayed via the xxHash64
+    // SQL chain), min-signatures, banding, and exact-Jaccard verify
+    // are the REAL production arithmetic, graded bit-exact in DuckDB
+    "dedup_minhash_md5" -> ((s, d) =>
+      Dedup.minHashLsh(Tables.documents(s, d), "doc_id", "text",
+          n = 3, numHashes = 32, bands = 16, threshold = 0.5,
+          shingleHash = functions.Text.portableHash60)
+        .orderBy(col("id_a"), col("id_b"))),
     // hamming radius 3 on 64-bit simhash, the standard near-dup
     // setting (Manku et al., WWW'07); wider radii shrink pigeonhole
     // blocks and blow up the candidate space
     "dedup_simhash" -> ((s, d) =>
       Dedup.simHash(Tables.documents(s, d), "doc_id", "text", n = 3, maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+    // portable-hash twin (r7): per-bit votes, majority signature,
+    // pigeonhole blocks, and the hamming verify all replay in DuckDB
+    // over the md5-slice shingle hash → hash-green
+    "dedup_simhash_md5" -> ((s, d) =>
+      Dedup.simHash(Tables.documents(s, d), "doc_id", "text",
+          n = 3, maxHamming = 3,
+          shingleHash = functions.Text.portableHash60)
         .orderBy(col("id_a"), col("id_b"))),
     // exhaustive all-pairs path: the ORACLE BASELINE only (hash-green
     // vs DuckDB); bounded inputs — never the 100 TB path
@@ -807,8 +848,8 @@ object SparkEntry {
     * subquery chain producing `(idCol..., h)`; verified bit-exact
     * against Spark for the graded key domain.
     */
-  private def xxhash64LongSql(base: String, idCol: String, seedLit: Long,
-                              keep: Seq[String] = Nil): String = {
+  private def xxhash64ChainSql(base: String, hashInputs: Seq[String],
+                               outCols: Seq[String]): String = {
     val M = "18446744073709551616::HUGEINT"
     def mulmod(x: String, p: String) =
       s"((($x) % 4294967296::HUGEINT) * $p " +
@@ -834,17 +875,68 @@ object SparkEntry {
       s"${x}_f4" -> mulmod(s"${x}_f3", p3),
       s"${x}_out" -> xor(s"${x}_f4", s"${x}_f4 // 4294967296::HUGEINT"))
     // negative keys reinterpret as their unsigned 64-bit pattern
-    val uid = s"(CASE WHEN $idCol < 0 THEN $idCol::HUGEINT + $M ELSE $idCol::HUGEINT END)"
-    val steps = hashLong(uid, "42::HUGEINT", "a") ++
-      hashLong(s"$seedLit::HUGEINT", "a_out", "b")
+    def uid(e: String) =
+      s"(CASE WHEN ($e) < 0 THEN ($e)::HUGEINT + $M ELSE ($e)::HUGEINT END)"
+    // fold left-to-right, each value's hash seeding the next — the
+    // XXH64.hashLong chain Spark's multi-arg xxhash64(...) runs
+    val steps = hashInputs.zipWithIndex.flatMap { case (e, i) =>
+      hashLong(uid(e), if (i == 0) "42::HUGEINT" else s"x${i - 1}_out", s"x$i")
+    }
+    val last = s"x${hashInputs.size - 1}_out"
     val chained = steps.foldLeft(base) { case (sql, (n, e)) =>
       s"SELECT *, $e AS $n FROM ($sql)"
     }
-    s"""SELECT ${(idCol +: keep).mkString(", ")},
-          CASE WHEN b_out >= 9223372036854775808::HUGEINT
-          THEN (b_out - $M)::BIGINT ELSE b_out::BIGINT END AS h
+    s"""SELECT ${outCols.mkString(", ")},
+          CASE WHEN $last >= 9223372036854775808::HUGEINT
+          THEN ($last - $M)::BIGINT ELSE $last::BIGINT END AS h
         FROM ($chained)"""
   }
+
+  private def xxhash64LongSql(base: String, idCol: String, seedLit: Long,
+                              keep: Seq[String] = Nil): String =
+    xxhash64ChainSql(base, Seq(idCol, seedLit.toString), idCol +: keep)
+
+  /** Single-argument `xxhash64(col)` replay (seed 42, one fold step). */
+  private def xxhash64Long1Sql(base: String, idCol: String,
+                               keep: Seq[String] = Nil): String =
+    xxhash64ChainSql(base, Seq(idCol), idCol +: keep)
+
+  /** `Text.portableHash60` replayed in DuckDB: both engines md5 the
+    * same UTF-8 bytes, and the 15-hex-digit slice parses identically.
+    */
+  private def md5Hash60Sql(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** `Text.shingles` (distinct=true) / `shinglesWithDuplicates`
+    * (distinct=false) replayed in DuckDB: normalized text → space
+    * split → word n-grams (short texts collapse to one whole-text
+    * gram, exactly as the Spark side). Emits `(doc_id, grams)`.
+    */
+  private def gramsSql(n: Int, distinct: Boolean): String = {
+    val grams =
+      s"""CASE WHEN len(ws) < $n THEN [array_to_string(ws, ' ')]
+          ELSE [array_to_string(ws[i+1:i+$n], ' ')
+                for i in range(0, len(ws) - $n + 1)] END"""
+    val sel = if (distinct) s"list_distinct($grams)" else grams
+    s"""SELECT doc_id, $sel AS grams FROM (
+          SELECT doc_id,
+            string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+          FROM documents)"""
+  }
+
+  /** `Text.winnow(k, w, portableHash60)` replayed in DuckDB: hash the
+    * k-gram sequence, slide the w-window min, distinct-sort. Emits
+    * `(doc_id, sel LIST<BIGINT>)`.
+    */
+  private def winnowSql(k: Int, w: Int): String =
+    s"""SELECT doc_id,
+          list_sort(list_distinct(
+            CASE WHEN len(hs) <= $w THEN [list_min(hs)]
+            ELSE [list_min(hs[i:i+${w - 1}])
+                  for i in range(1, len(hs) - $w + 2)] END)) AS sel
+        FROM (
+          SELECT doc_id, [${md5Hash60Sql("x")} for x in grams] AS hs
+          FROM (${gramsSql(k, distinct = false)}))"""
 
   def oracleSql: Map[String, String] = {
     // shared SQL fragments (DuckDB dialect)
@@ -1729,6 +1821,34 @@ object SparkEntry {
            WHERE s.doc_id NOT IN (SELECT doc_id FROM losers)
            ORDER BY s.doc_id""",
 
+      // md5-slice of the normalized text — both engines hash the same
+      // UTF-8 bytes, so the full-row fingerprint grades bit-exact
+      "doc_fingerprint_md5" ->
+        s"""SELECT doc_id,
+             ${md5Hash60Sql(norm)} AS fingerprint
+           FROM documents ORDER BY doc_id""",
+
+      // winnowing replayed end-to-end: k=5 gram sequence (duplicates
+      // kept, position order), w=4 window minima, distinct sort
+      "doc_winnow_md5" ->
+        s"""SELECT doc_id, unnest(sel) AS fingerprint
+           FROM (${winnowSql(5, 4)})
+           ORDER BY doc_id, fingerprint""",
+
+      // sharedRuns replayed: winnow fingerprint sets → document
+      // frequency cap (df ≤ 200) → pair shared-fingerprint counts
+      "doc_shared_runs_md5" ->
+        s"""WITH fp AS (
+             SELECT doc_id, unnest(sel) AS fp FROM (${winnowSql(5, 4)})
+           ), kept AS (
+             SELECT * FROM fp WHERE fp IN (
+               SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 200))
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) AS n_shared
+           FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 1
+           ORDER BY id_a, id_b""",
+
       "dedup_exact" ->
         s"""SELECT md5($norm) AS content_hash,
              min(doc_id) AS keeper_id, count(*) AS n_copies
@@ -1761,6 +1881,83 @@ object SparkEntry {
              FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
              GROUP BY a.id, b.id, a.cnt, b.cnt)
            WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+
+      // the full MinHash-LSH pipeline replayed: md5-slice shingle
+      // hash, Kirsch–Mitzenmacher h1/h2 (h2 = xxhash64(h1') replayed
+      // via the xxHash64 chain), 32 min-signature slots, 16 2-row
+      // bands (tuple equality ≡ Spark's band-bucket hash equality),
+      // exact-Jaccard rescore on the distinct shingle sets
+      "dedup_minhash_md5" ->
+        s"""WITH gd AS (
+             SELECT doc_id, unnest(grams) AS gram
+             FROM (${gramsSql(3, distinct = true)})
+           ), h0 AS (
+             SELECT doc_id, ${md5Hash60Sql("gram")} AS hv FROM gd
+           ), hx AS (${xxhash64Long1Sql("SELECT doc_id, hv FROM h0", "hv",
+                                        keep = Seq("doc_id"))}
+           ), km AS (
+             SELECT doc_id, hv % 72057594037927936 AS h1,
+               ((h % 72057594037927936) + 72057594037927936)
+                 % 72057594037927936 AS h2
+             FROM hx
+           ), sig AS (
+             SELECT doc_id, i, min(h1 + h2 * i) AS s
+             FROM km CROSS JOIN range(32) t(i) GROUP BY doc_id, i
+           ), sigl AS (
+             SELECT doc_id, list(s ORDER BY i) AS sg FROM sig GROUP BY doc_id
+           ), banded AS (
+             SELECT doc_id, b, sg[2*b+1] AS s0, sg[2*b+2] AS s1
+             FROM sigl CROSS JOIN range(16) t(b)
+           ), cand AS (
+             SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+             FROM banded a JOIN banded c
+               ON a.b = c.b AND a.s0 = c.s0 AND a.s1 = c.s1
+                  AND a.doc_id < c.doc_id
+           ), sizes AS (
+             SELECT doc_id, count(*) AS nsh FROM gd GROUP BY doc_id
+           ), cmn AS (
+             SELECT p.id_a, p.id_b, count(*) AS common
+             FROM cand p
+               JOIN gd ga ON ga.doc_id = p.id_a
+               JOIN gd gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
+             GROUP BY p.id_a, p.id_b)
+           SELECT id_a, id_b, jaccard FROM (
+             SELECT c.id_a, c.id_b,
+               CAST(c.common AS DOUBLE)
+                 / CAST(sa.nsh + sb.nsh - c.common AS DOUBLE) AS jaccard
+             FROM cmn c JOIN sizes sa ON sa.doc_id = c.id_a
+                        JOIN sizes sb ON sb.doc_id = c.id_b)
+           WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+
+      // SimHash replayed: per-bit votes over the md5-slice shingle
+      // hashes, majority signature, 4×16-bit pigeonhole blocks,
+      // hamming ≤ 3 verify via bit_count(xor)
+      "dedup_simhash_md5" ->
+        s"""WITH gd AS (
+             SELECT doc_id, unnest(grams) AS gram
+             FROM (${gramsSql(3, distinct = true)})
+           ), h0 AS (
+             SELECT doc_id, ${md5Hash60Sql("gram")} AS hv FROM gd
+           ), n AS (
+             SELECT doc_id, count(*) AS nsh FROM gd GROUP BY doc_id
+           ), v AS (
+             SELECT doc_id, b, CAST(sum((hv >> b) & 1) AS BIGINT) AS votes
+             FROM h0 CROSS JOIN range(60) t(b) GROUP BY doc_id, b
+           ), sig AS (
+             SELECT v.doc_id,
+               CAST(sum(CASE WHEN 2 * votes > nsh
+                 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+             FROM v JOIN n ON n.doc_id = v.doc_id GROUP BY v.doc_id
+           ), blocked AS (
+             SELECT doc_id, simhash, blk,
+               (simhash >> (blk * 16)) & 65535 AS blkval
+             FROM sig CROSS JOIN range(4) t(blk))
+           SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             bit_count(xor(a.simhash, c.simhash)) AS hamming
+           FROM blocked a JOIN blocked c
+             ON a.blk = c.blk AND a.blkval = c.blkval AND a.doc_id < c.doc_id
+           WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
+           ORDER BY id_a, id_b""",
 
       "dedup_components" ->
         s"""WITH RECURSIVE sh AS (

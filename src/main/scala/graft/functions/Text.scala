@@ -96,6 +96,23 @@ object Text {
     */
   def fingerprint(text: Column): Column = xxhash64(normalize(text))
 
+  /** Engine-portable 60-bit string hash: the first 15 hex digits of
+    * md5, parsed base-16 — `conv(substr(md5(s),1,15),16,10)` here,
+    * `CAST('0x'||substr(md5(s),1,15) AS BIGINT)` in ANSI warehouses.
+    * md5 over UTF-8 bytes is bit-identical everywhere, so any
+    * operator parameterized on its string hash (winnow / minhash /
+    * simhash) becomes replayable SQL-for-SQL in an external engine —
+    * the cross-checkable twin of the xxhash64 production path (which
+    * stays the default: one fused codegen'd hash vs md5's digest +
+    * hex parse). Always in [0, 2^60): sign-free by construction.
+    */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Portable-hash twin of [[fingerprint]]. */
+  def fingerprintPortable(text: Column): Column =
+    portableHash60(normalize(text))
+
   /** Winnowing document fingerprint (Schleimer, Wilkerson, Aiken —
     * SIGMOD '03, the MOSS algorithm): hash every word k-gram, slide a
     * window of `w` hashes, keep each window's minimum — the selected
@@ -106,8 +123,9 @@ object Text {
     * output is the sorted distinct selection, ready for the same
     * overlap joins the dedup ops use.
     */
-  def winnow(text: Column, k: Int = 5, w: Int = 4): Column = {
-    val hashes = transform(shinglesWithDuplicates(text, k), g => xxhash64(g))
+  def winnow(text: Column, k: Int = 5, w: Int = 4,
+             hashFn: Column => Column = xxhash64(_)): Column = {
+    val hashes = transform(shinglesWithDuplicates(text, k), g => hashFn(g))
     // Bind the hash array ONCE as a lambda variable: composing Columns
     // inlines expression TREES, so referencing `hashes` directly from
     // the sliding-window lambda would re-shingle and re-hash the WHOLE

@@ -176,7 +176,8 @@ object Dedup {
     */
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                 threshold: Double = 0.8): DataFrame = {
+                 threshold: Double = 0.8,
+                 shingleHash: Column => Column = xxhash64(_)): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // each shingle hashed ONCE to a long, kept as a SORTED per-doc
@@ -187,7 +188,7 @@ object Dedup {
       Par.widen(docs.select(col(idCol), col(textCol)), idCol)
         .select(col(idCol).as("id"),
           sort_array(transform(Text.shingles(col(textCol), n),
-            g => xxhash64(g))).as("hs")))
+            g => shingleHash(g))).as("hs")))
     // Signatures via explode + grouped min aggregates: numHashes FLAT
     // codegen'd min() columns. (A transform/aggregate lambda tree of
     // width numHashes chokes the Catalyst optimizer — measured 10-30 s
@@ -247,12 +248,13 @@ object Dedup {
     * accumulate in a 64-slot array folded over the hash array.
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String,
-              n: Int = 3, maxHamming: Int = 3): DataFrame = {
+              n: Int = 3, maxHamming: Int = 3,
+              shingleHash: Column => Column = xxhash64(_)): DataFrame = {
     val blocks = maxHamming + 1
     val sh = Par.widen(docs.select(col(idCol), col(textCol)), idCol)
       .select(col(idCol).as("id"), Text.shingles(col(textCol), n).as("sh"))
     // votes[b] = number of shingles whose hash has bit b set
-    val hashes = transform(col("sh"), g => xxhash64(g))
+    val hashes = transform(col("sh"), g => shingleHash(g))
     val bitsOf = (h: Column) =>
       transform(sequence(lit(0), lit(63)),
         b => call_function("getbit", h, b).cast("long"))
@@ -354,11 +356,12 @@ object Dedup {
     */
   def sharedRuns(docs: DataFrame, idCol: String, textCol: String,
                  k: Int = 5, w: Int = 4, minShared: Int = 2,
-                 maxDocFreq: Int = 1000): DataFrame = {
+                 maxDocFreq: Int = 1000,
+                 hashFn: Column => Column = xxhash64(_)): DataFrame = {
     val fp = Par.persistTracked(
       Par.widen(docs.select(col(idCol), col(textCol)), idCol)
         .select(col(idCol).as("id"),
-          explode(Text.winnow(col(textCol), k, w)).as("fp")))
+          explode(Text.winnow(col(textCol), k, w, hashFn)).as("fp")))
     val dfs = fp.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
     // persisted: `kept` feeds BOTH sides of the pair self-join below,
     // and Spark has no cross-branch CSE (§5 round 1) — without this

@@ -37,6 +37,26 @@ class TextSpec extends SparkSuite {
     assert(f1 !== f3)
   }
 
+  test("portableHash60: pinned md5-slice value, sign-free range") {
+    // 'hello world' → md5 5eb63bbbe01eeed0... → first 15 hex digits
+    // 0x5eb63bbbe01eeed = 426544247714475757 (the value any engine
+    // computing CAST('0x'||substr(md5(s),1,15) AS BIGINT) must agree on)
+    assert(one[Long](Text.portableHash60(col("text")), "hello world")
+      === 426544247714475757L)
+    // non-ASCII goes through UTF-8 bytes identically everywhere
+    val h = one[Long](Text.portableHash60(col("text")), "héllo wörld 中文")
+    assert(h >= 0L && h < (1L << 60))
+  }
+
+  test("winnow with portableHash60 keeps the shared-run guarantee") {
+    def fp(t: String) = one[collection.Seq[Long]](
+      Text.winnow(col("text"), k = 3, w = 3, Text.portableHash60), t).toSeq
+    val a = fp("the quick brown fox jumps over the lazy dog tonight")
+    assert(a === a.sorted && a.distinct === a)
+    val b = fp("completely different prefix quick brown fox jumps over and more")
+    assert(a.toSet.intersect(b.toSet).nonEmpty)
+  }
+
   test("shingles: n-grams distinct; short text collapses to whole-text shingle") {
     val sh = one[collection.Seq[String]](Text.shingles(col("text"), 3), "a b c d")
     assert(sh.toSet === Set("a b c", "b c d"))
