@@ -59,6 +59,29 @@ sealed trait JdbcMergeDialect {
                       cols: Seq[String],
                       stringKeys: Set[String]): Seq[String]
 
+  /** DDL run against the freshly-staged table BEFORE the merge: an
+    * index on the key columns. Without it the delete's key match
+    * degenerates on nested-loop engines — Derby plans the
+    * correlated-EXISTS delete as scan-target × scan-staging,
+    * O(target·delta) row comparisons (measured: a 150k-row merge ran
+    * 15+ minutes of pure lock-and-scan CPU; with the index it is
+    * O(target) probes). Engines whose delete is already a keyed scan
+    * (ClickHouse mutations) return no statements.
+    */
+  def stagingPrepStatements(staging: String, key: Seq[String],
+                            stringKeys: Set[String]): Seq[String] = {
+    val idxCols = indexableKeys(key, stringKeys)
+    if (idxCols.isEmpty) Nil
+    else Seq(s"CREATE INDEX ${staging}_kix ON $staging " +
+      s"(${idxCols.map(quote).mkString(", ")})")
+  }
+
+  /** Which key columns the staging index may cover (dialects with
+    * non-indexable string mappings restrict this).
+    */
+  protected def indexableKeys(key: Seq[String],
+                              stringKeys: Set[String]): Seq[String] = key
+
   protected def insertSelect(target: String, staging: String,
                              cols: Seq[String]): String = {
     val colList = cols.map(quote).mkString(", ")
@@ -99,6 +122,14 @@ object JdbcMergeDialect {
       * so the caller rejects keys that can exceed it.
       */
     val maxStringKeyLength = 32672
+    /** Spark's JDBC writer maps StringType to Derby CLOB, which is not
+      * indexable — the staging index covers the non-string keys only
+      * (string-only-key merges stay correct but fall back to the
+      * scan probe; bound the delta size there).
+      */
+    override protected def indexableKeys(key: Seq[String],
+                                         stringKeys: Set[String]): Seq[String] =
+      key.filterNot(stringKeys)
     def mergeStatements(target: String, staging: String, key: Seq[String],
                         cols: Seq[String], stringKeys: Set[String]): Seq[String] = {
       def ref(t: String, k: String) =
@@ -120,6 +151,12 @@ object JdbcMergeDialect {
   case object ClickHouse extends JdbcMergeDialect {
     def quote(ident: String): String = "`" + ident + "`"
     val transactional = false
+    /** ClickHouse has no CREATE INDEX; the mutation delete hashes the
+      * IN-subquery against its own sparse primary index — no staging
+      * prep needed or possible.
+      */
+    override def stagingPrepStatements(staging: String, key: Seq[String],
+                                       stringKeys: Set[String]): Seq[String] = Nil
     def mergeStatements(target: String, staging: String, key: Seq[String],
                         cols: Seq[String], stringKeys: Set[String]): Seq[String] =
       Seq(

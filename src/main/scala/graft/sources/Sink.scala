@@ -222,6 +222,11 @@ object Sink {
       try {
         val n = scalarLong(conn, s"SELECT COUNT(*) FROM $tmp")
         if (n == 0L) return 0L
+        // key index on the staged batch BEFORE the merge: Derby plans
+        // the correlated-EXISTS delete as a nested loop, and without
+        // this probe index the merge is O(target·delta) comparisons
+        // (measured 15+ min on a 150k-row merge; seconds with it)
+        merge.stagingPrepStatements(tmp, key, stringKeys).foreach(exec(conn, _))
         // Derby's comparability cast TRUNCATES beyond VARCHAR(32672) —
         // two long keys sharing a prefix would silently collide in the
         // delete match. Reject instead (one delta-sized agg).

@@ -319,6 +319,16 @@ class SourcesSpec extends SparkSuite {
       """DELETE FROM t WHERE EXISTS (SELECT 1 FROM t_stg WHERE """ +
         """t_stg."k" = t."k" AND CAST(t_stg."name" AS VARCHAR(32672)) = """ +
         """CAST(t."name" AS VARCHAR(32672)))""")
+
+    // staging prep: key index before the merge (the nested-loop
+    // killer); Derby skips CLOB (string) keys, ClickHouse has no
+    // index DDL at all
+    assert(Ansi.stagingPrepStatements("t_stg", Seq("k1", "k2"), Set.empty) ===
+      Seq("""CREATE INDEX t_stg_kix ON t_stg ("k1", "k2")"""))
+    assert(Derby.stagingPrepStatements("t_stg", Seq("k", "name"), Set("name")) ===
+      Seq("""CREATE INDEX t_stg_kix ON t_stg ("k")"""))
+    assert(Derby.stagingPrepStatements("t_stg", Seq("name"), Set("name")) === Nil)
+    assert(ClickHouse.stagingPrepStatements("t_stg", Seq("k"), Set.empty) === Nil)
   }
 
   test("jdbcUpsert: explicit ANSI dialect runs the IN-subquery merge on a live engine") {
