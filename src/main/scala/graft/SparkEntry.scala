@@ -706,6 +706,13 @@ object SparkEntry {
       Pack.firstFit(docs, "doc_id", "n_tokens", binTokens = 2048L)
         .orderBy(col("doc_id"))
     }),
+    // fixed-window chunking with stride overlap (r7): window 32,
+    // stride 24 → consecutive chunks share 8 tokens; full oracle
+    // (the start/length arithmetic replays exactly in SQL)
+    "doc_chunk" -> ((s, d) =>
+      Pack.chunkTokens(Tables.documents(s, d), "doc_id", "text",
+          window = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_id"))),
 
     // ---- numeric distribution profile (§2.3) ----
     // exact percentiles: the oracle baseline (buffers the column —
@@ -1820,6 +1827,28 @@ object SparkEntry {
            FROM survivors s
            WHERE s.doc_id NOT IN (SELECT doc_id FROM losers)
            ORDER BY s.doc_id""",
+
+      // chunking replayed: same last-start ceil arithmetic, same
+      // 1-based inclusive slice bounds, same min(window, n-start)
+      // chunk length
+      "doc_chunk" ->
+        """WITH w AS (
+             SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+             FROM documents
+           ), n AS (
+             SELECT doc_id, ts, len(ts) AS n FROM w
+           ), c AS (
+             SELECT doc_id, ts, n, unnest(range(0,
+               CASE WHEN n <= 32 THEN 1
+                    ELSE CAST(ceil(CAST(n - 32 AS DOUBLE) / 24) AS INT) + 1
+               END)) AS chunk_id
+             FROM n)
+           SELECT doc_id, chunk_id,
+             array_to_string(
+               ts[chunk_id*24 + 1 : chunk_id*24 + least(32, n - chunk_id*24)],
+               ' ') AS chunk_text,
+             least(32, n - chunk_id*24) AS n_tokens
+           FROM c ORDER BY doc_id, chunk_id""",
 
       // md5-slice of the normalized text — both engines hash the same
       // UTF-8 bytes, so the full-row fingerprint grades bit-exact

@@ -60,4 +60,43 @@ object Pack {
       }
       .toDF("bin_id", idCol, tokensCol, "slot")
   }
+
+  /** Fixed-window document chunking with stride overlap — the step
+    * between curation and packing: long documents become context-
+    * window-sized pieces, consecutive chunks overlapping by
+    * `window - stride` tokens so no boundary context is lost. Chunk
+    * starts sit at multiples of `stride`; the final start is the
+    * first whose window reaches the document end, so every token
+    * lands in at least one chunk and every chunk holds at least
+    * `window - stride + 1` tokens (never empty). Tokens are
+    * whitespace runs (the `Text.tokenCountWs` unit).
+    *
+    * Pure per-row array expressions + one explode — codegen'd, zero
+    * shuffle: chunking a 100 TB corpus runs at scan speed, and the
+    * explode's fan-out is bounded by ~n/stride chunks per doc.
+    *
+    * Output: (idCol, chunk_id, chunk_text, n_tokens).
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  window: Int, stride: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(stride >= 1 && stride <= window,
+      "stride must be in [1, window] (stride > window would drop tokens)")
+    val toks = split(trim(col(textCol)), "\\s+")
+    // last chunk start index (in stride units): 0 when the doc fits
+    // one window, else ceil((n-window)/stride) — ints are exact in
+    // double well past any document length
+    val lastStart = when(size(col("__ts")) <= window, lit(0))
+      .otherwise(ceil((size(col("__ts")) - lit(window)).cast("double") / stride)
+        .cast("int"))
+    val start = col("chunk_id") * stride
+    val chunkLen = least(lit(window), size(col("__ts")) - start)
+    docs
+      .select(col(idCol), toks.as("__ts"))
+      .select(col(idCol), col("__ts"),
+        explode(sequence(lit(0), lastStart)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ", slice(col("__ts"), start + 1, chunkLen)).as("chunk_text"),
+        chunkLen.as("n_tokens"))
+  }
 }

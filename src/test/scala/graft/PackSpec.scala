@@ -31,6 +31,44 @@ class PackSpec extends SparkSuite {
     assert(overfull.isEmpty)
   }
 
+  test("chunkTokens: overlap, coverage, and bounds") {
+    // 10 tokens, window 4, stride 3 → starts 0,3,6 (ceil((10-4)/3)=2)
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val out = Pack.chunkTokens(docs, "doc_id", "text", window = 4, stride = 3)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(out.toSeq === Seq(
+      (0, "t0 t1 t2 t3", 4),
+      (1, "t3 t4 t5 t6", 4),
+      (2, "t6 t7 t8 t9", 4)))
+
+    // short doc → one whole-doc chunk
+    val short = Pack.chunkTokens(Seq((1L, "a b")).toDF("doc_id", "text"),
+      "doc_id", "text", window = 4, stride = 3).collect()
+    assert(short.length === 1 && short(0).getString(2) === "a b"
+      && short(0).getInt(3) === 2)
+
+    // property: every token covered, consecutive chunks overlap by
+    // window-stride, every chunk within [window-stride+1, window]
+    val real = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+    val ch = Pack.chunkTokens(real, "doc_id", "text", window = 32, stride = 24)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(ch.forall { case (_, _, t, n) =>
+      n >= 1 && n <= 32 && t.split("\\s+").length == n })
+    val toks = real.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq).toMap
+    ch.groupBy(_._1).foreach { case (id, chunks) =>
+      val ordered = chunks.sortBy(_._2)
+      // reconstruct: first chunk + per-chunk suffix beyond the overlap
+      val rebuilt = ordered.head._3.split("\\s+").toSeq ++
+        ordered.tail.zip(ordered).flatMap { case (c, p) =>
+          val prevEnd = p._2 * 24 + p._4
+          c._3.split("\\s+").toSeq.drop(prevEnd - c._2 * 24)
+        }
+      assert(rebuilt === toks(id), s"doc $id not covered")
+    }
+  }
+
   test("an oversized doc gets its own bin rather than being dropped") {
     val docs = Seq((1L, 5000L), (2L, 10L)).toDF("doc_id", "n_tokens").coalesce(1)
     val out = Pack.firstFit(docs, "doc_id", "n_tokens", binTokens = 100L,
