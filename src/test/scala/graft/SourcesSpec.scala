@@ -93,6 +93,35 @@ class SourcesSpec extends SparkSuite {
     assert(Sink.compact(spark, dir, targetBytes = 1L << 30) === 1)
   }
 
+  test("clusteredWrite: disjoint per-file key ranges, sorted rows, same data") {
+    val dir = tmpDir("clw") + "/t"
+    // write shuffled keys so clustering has real work to do
+    val df = scala.util.Random.shuffle((1L to 5000L).toList)
+      .map(i => (i, s"v$i")).toDF("k", "v")
+    val n = Sink.clusteredWrite(df, dir, Seq("k"), numFiles = 8)
+    assert(n === 8)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 5000 && back.agg(sum("k")).head.getLong(0) === 12502500L)
+    // every data file owns a disjoint key range (the property parquet
+    // footer/row-group pruning needs): sorted by min, no interleaving
+    val ranges = back
+      .groupBy(input_file_name().as("f"))
+      .agg(min("k").as("lo"), max("k").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(ranges.length === 8)
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(lo2 > hi1, s"file ranges interleave: hi=$hi1 lo=$lo2")
+    }
+    // rows inside each file are sorted (tight row-group stats)
+    val unsorted = back
+      .withColumn("f", input_file_name())
+      .withColumn("prev", lag("k", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("f").orderBy(monotonically_increasing_id())))
+    // read order within a parquet file is write order
+    assert(unsorted.filter(col("prev") > col("k")).isEmpty)
+  }
+
   test("compact preserves a partitioned layout (per-leaf compaction)") {
     val dir = tmpDir("cmpp") + "/t"
     val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "2024-01-01" else "2024-01-02"))
