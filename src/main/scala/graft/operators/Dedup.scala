@@ -45,11 +45,19 @@ object Dedup {
     * keeper), and only genuinely new content enters. Returns the
     * batch's new index entries: hashes unseen in `index`, keeper =
     * lowest batch id, copies counted within the batch. One left-anti
-    * join on the 128-bit hash + one batch-local group-by — every
-    * shuffle is DELTA-sized; the index side is probe-only (the
+    * join on the 128-bit hash + one batch-local group-by (the
     * composition of [[exact]] with the Cdc incremental-load
     * discipline, reference base_loader.py `_perform_incremental_load`
     * applied to content identity instead of business keys).
+    *
+    * '''Index-side shuffle — the 100 TB contract''': a plain anti
+    * join hash-shuffles BOTH sides, and the index side is
+    * corpus-sized. Store the keeper index BUCKETED on `content_hash`
+    * ([[graft.sources.Sink.bucketedTable]]) and pass
+    * `spark.table(...)`: the bucketed scan satisfies the join's
+    * distribution, so the only exchange left is the delta (DedupSpec
+    * asserts exactly one). Spark's runtime bloom filter (the delta
+    * side is small) further prunes the index scan before the join.
     */
   def exactIncremental(index: DataFrame, batch: DataFrame,
                        idCol: String, textCol: String): DataFrame =

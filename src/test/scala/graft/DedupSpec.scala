@@ -85,6 +85,42 @@ class DedupSpec extends SparkSuite {
     assert(recall >= 0.5, s"LSH recall $recall < 0.5 (found ${lsh.size}/${ex.size})")
   }
 
+  test("exactIncremental: bucketed keeper index keeps the index side exchange-free") {
+    // the 100 TB contract: the corpus-sized index must never shuffle
+    // for a daily delta — bucketed storage satisfies the anti-join's
+    // distribution, leaving ONLY the delta-side exchange
+    val conf = spark.conf
+    val prevB = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ shape
+    conf.set("spark.sql.adaptive.enabled", "false")        // plan tree inspectable
+    try {
+      val docs = (1L to 500L).map(i => (i, s"content item ${i % 300}"))
+        .toDF("doc_id", "text")
+      graft.sources.Sink.bucketedTable(Dedup.exact(docs, "doc_id", "text"),
+        "keeper_idx_b", "content_hash", 8)
+      val batch = (501L to 800L).map(i => (i, s"content item ${i % 450}"))
+        .toDF("doc_id", "text")
+      val bucketed = Dedup.exactIncremental(spark.table("keeper_idx_b"),
+        batch, "doc_id", "text")
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      val shuffles = bucketed.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeLike => s
+      }
+      assert(shuffles.size === 1,
+        s"expected ONLY the delta-side exchange, got ${shuffles.size}:\n" +
+          bucketed.queryExecution.executedPlan)
+      // identical answer to the plain-index path
+      val plain = Dedup.exactIncremental(Dedup.exact(docs, "doc_id", "text"),
+        batch, "doc_id", "text")
+      assert(bucketed.orderBy("content_hash").collect().toSeq ===
+        plain.orderBy("content_hash").collect().toSeq)
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("ngramJaccard df-cap drops boilerplate-only pairs, keeps content dups") {
     val capDocs = Seq(
       // 1,2: identical real content + the boilerplate tail
