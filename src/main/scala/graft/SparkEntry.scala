@@ -675,6 +675,12 @@ object SparkEntry {
       functions.Text.unigramSurprisal(Tables.documents(s, d), "doc_id", "text")
         .withColumn("avg_logprob", round(col("avg_logprob"), 4))
         .orderBy(col("doc_id"))),
+    // conditional (bigram) surprisal — word-ORDER-sensitive quality
+    // signal (r7); same round(4) cross-engine double-sum guard
+    "doc_bigram_surprisal" -> ((s, d) =>
+      functions.Text.bigramSurprisal(Tables.documents(s, d), "doc_id", "text")
+        .withColumn("avg_logprob", round(col("avg_logprob"), 4))
+        .orderBy(col("doc_id"))),
 
     // ---- PII redaction (§2.5) ----
     // deterministic synthetic PII seeded INSIDE the query (the raw
@@ -1645,6 +1651,30 @@ object SparkEntry {
            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
              round(sum(tf * ln(c_t / c_total)) / sum(tf), 4) AS avg_logprob
            FROM tf JOIN ct USING (term), tot
+           GROUP BY doc_id ORDER BY doc_id""",
+
+      // bigram conditional surprisal: p(b|a) = C(a,b)/C(a,·) over
+      // bigram-start counts, avg ln p per doc, round(4)
+      "doc_bigram_surprisal" ->
+        s"""WITH w AS (
+             SELECT doc_id, string_split($norm, ' ') AS ws FROM documents
+           ), b0 AS (
+             SELECT doc_id,
+               unnest([struct_pack(a := ws[i+1], b := ws[i+2])
+                       for i in range(0, len(ws) - 1)]) AS bg
+             FROM w WHERE len(ws) >= 2
+           ), bi AS (
+             SELECT doc_id, bg.a AS a, bg.b AS b FROM b0
+           ), tf AS (
+             SELECT doc_id, a, b, count(*) AS tf FROM bi GROUP BY 1, 2, 3
+           ), cab AS (
+             SELECT a, b, count(*) AS c_ab FROM bi GROUP BY 1, 2
+           ), ca AS (
+             SELECT a, count(*) AS c_a FROM bi GROUP BY 1)
+           SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+             round(sum(tf * ln(CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE)))
+               / CAST(sum(tf) AS DOUBLE), 4) AS avg_logprob
+           FROM tf JOIN cab USING (a, b) JOIN ca USING (a)
            GROUP BY doc_id ORDER BY doc_id""",
 
       // the REAL hash mix: quota thresholds (round(min(1,q/n)·1e6))

@@ -281,6 +281,42 @@ object Text {
           sum(col("tf")).cast("double")).as("avg_logprob"))
   }
 
+  /** Conditional (bigram) surprisal — the perplexity-filter
+    * primitive (CCNet, Wenzek et al. '20, ranks corpora by LM
+    * perplexity; an in-corpus bigram MLE is its self-contained
+    * analog): per doc, the average of ln p(w_i | w_{i-1}) over the
+    * doc's bigrams, with p(b|a) = C(a,b) / C(a,·) from the corpus's
+    * own bigram-start counts (every scored bigram exists in the
+    * corpus, so the MLE is never zero). Unusually low avg_logprob =
+    * improbable word-to-word transitions = gibberish/boilerplate
+    * candidates — [[unigramSurprisal]] made sensitive to word ORDER.
+    *
+    * Same scale shape as the unigram form: two bigram-vocab-sized
+    * count frames, one join of per-doc bigram counts against them,
+    * per-doc aggregation. Docs with < 2 words have no bigrams and
+    * drop out (left-join the corpus if they must be kept).
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = split(normalize(col(textCol)), " ")
+    // bind the word array once; sequence() needs the size>=2 guard
+    // (sequence(0, -1) would count DOWN, not produce empty)
+    val bigrams = element_at(transform(array(words), ws =>
+      when(size(ws) < 2, array().cast("array<struct<a:string,b:string>>"))
+        .otherwise(transform(sequence(lit(0), size(ws) - 2), i =>
+          struct(element_at(ws, i + 1).as("a"), element_at(ws, i + 2).as("b"))))), 1)
+    val bi = docs.select(col(idCol).as("doc_id"), explode(bigrams).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val tf = bi.groupBy(col("doc_id"), col("a"), col("b")).agg(count(lit(1)).as("tf"))
+    val cab = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val ca = bi.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+    tf.join(cab, Seq("a", "b")).join(ca, Seq("a"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        (sum(col("tf").cast("double") *
+            log(col("c_ab").cast("double") / col("c_a").cast("double"))) /
+          sum(col("tf")).cast("double")).as("avg_logprob"))
+  }
+
   // PII patterns chosen to parse identically in Java regex and
   // RE2-class engines (simple character classes, no lookaround).
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

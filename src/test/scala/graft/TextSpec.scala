@@ -138,4 +138,30 @@ class TextSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(scores(3L) < scores(1L) && scores(3L) < scores(2L))
   }
+
+  test("bigramSurprisal: hand-computed conditional logprobs; order sensitivity") {
+    // corpus bigrams: d1 "a b a b" → (a,b),(b,a),(a,b); d2 "a b c" →
+    // (a,b),(b,c). C(a,b)=3 C(b,a)=1 C(b,c)=1; C(a,·)=3 C(b,·)=2
+    // d1: (2·ln(3/3) + 1·ln(1/2)) / 3;  d2: (ln(3/3) + ln(1/2)) / 2
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("id", "text")
+    val out = Text.bigramSurprisal(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 === 3L)
+    assert(math.abs(out(1L)._2 - math.log(0.5) / 3) < 1e-12)
+    assert(out(2L)._1 === 2L)
+    assert(math.abs(out(2L)._2 - math.log(0.5) / 2) < 1e-12)
+    // word ORDER matters: scrambled doc scores below its source even
+    // though unigram surprisal cannot tell them apart
+    val mixed = Seq(
+      (1L, "the quick fox jumps over the lazy dog and the quick dog rests"),
+      (2L, "the quick fox jumps over the lazy dog and the quick dog rests"),
+      (3L, "dog the over quick rests fox the jumps lazy and dog the quick")
+    ).toDF("id", "text")
+    val s = Text.bigramSurprisal(mixed, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(3L) < s(1L))
+    // docs with < 2 words produce no row
+    assert(Text.bigramSurprisal(Seq((9L, "solo")).toDF("id", "text"),
+      "id", "text").isEmpty)
+  }
 }
