@@ -40,6 +40,12 @@ object SparkEntry {
     "q18_large_orders" -> ((s, d) => Analytics.q18LargeOrders(s, d)),
     "q13_custdist" -> ((s, d) => Analytics.q13CustDist(s, d)),
     "events_rolling" -> ((s, d) => Analytics.eventsRolling(s, d)),
+    // ordered-step conversion funnel (r7): one shuffle + per-user
+    // sorted fold; oracle replays the min-join recurrence
+    "events_funnel" -> ((s, d) =>
+      Analytics.funnel(Tables.events(s, d), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))),
 
     // ---- temporal joins (§2.4b) ----
     // as-of BACKWARD: each purchase gets the user's latest view
@@ -651,6 +657,15 @@ object SparkEntry {
         .withColumn("top_word_frac", round(col("top_word_frac"), 6))
         .orderBy(col("doc_id"))),
 
+    // n-gram repetition signals (r7; Gopher A1.1 duplicate/top
+    // n-gram filters) — catches looped/templated text whose
+    // word-level ratios look normal
+    "doc_ngram_repetition" -> ((s, d) =>
+      functions.Text.ngramRepetition(Tables.documents(s, d), "doc_id", "text", n = 3)
+        .withColumn("top_ngram_frac", round(col("top_ngram_frac"), 6))
+        .withColumn("dup_ngram_frac", round(col("dup_ngram_frac"), 6))
+        .orderBy(col("doc_id"))),
+
     // rule filter over those signals: keep + FIRST failing rule
     // (thresholds chosen to split this corpus: median distinct_ratio
     // ≈ 0.46, median top_word_frac ≈ 0.09)
@@ -1014,6 +1029,31 @@ object SparkEntry {
              count(*) AS n_events,
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      // the funnel fold ≡ the earliest-completion recurrence
+      // tᵢ = min{ts of step i | ts > tᵢ₋₁}, expressed as k min-joins
+      "events_funnel" ->
+        """WITH f AS (
+             SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+             FROM events WHERE event_type IN ('view', 'click', 'purchase')
+           ), s1 AS (
+             SELECT user_id, min(ts) AS t1 FROM f
+             WHERE event_type = 'view' GROUP BY user_id
+           ), s2 AS (
+             SELECT f.user_id, min(ts) AS t2 FROM f JOIN s1 USING (user_id)
+             WHERE event_type = 'click' AND ts > t1 GROUP BY f.user_id
+           ), s3 AS (
+             SELECT f.user_id, min(ts) AS t3 FROM f JOIN s2 USING (user_id)
+             WHERE event_type = 'purchase' AND ts > t2 GROUP BY f.user_id
+           ), u AS (SELECT DISTINCT user_id FROM f)
+           SELECT u.user_id,
+             CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                  WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage,
+             t1 AS t_first,
+             coalesce(t3, t2, t1) AS t_last
+           FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+                  LEFT JOIN s3 USING (user_id)
+           ORDER BY u.user_id""",
 
       "events_sessions" ->
         """WITH flagged AS (
@@ -1652,6 +1692,20 @@ object SparkEntry {
              round(sum(tf * ln(c_t / c_total)) / sum(tf), 4) AS avg_logprob
            FROM tf JOIN ct USING (term), tot
            GROUP BY doc_id ORDER BY doc_id""",
+
+      // n-gram repetition: occurrence-share of the top gram and of
+      // all grams occurring ≥2× (position-order grams, dupes kept)
+      "doc_ngram_repetition" ->
+        s"""WITH ex AS (
+             SELECT doc_id, unnest(grams) AS g
+             FROM (${gramsSql(3, distinct = false)})
+           ), c AS (
+             SELECT doc_id, g, count(*) AS c FROM ex GROUP BY 1, 2)
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+             round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_ngram_frac,
+             round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)
+               / CAST(sum(c) AS DOUBLE), 6) AS dup_ngram_frac
+           FROM c GROUP BY doc_id ORDER BY doc_id""",
 
       // bigram conditional surprisal: p(b|a) = C(a,b)/C(a,·) over
       // bigram-start counts, avg ln p per doc, round(4)

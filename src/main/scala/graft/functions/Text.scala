@@ -207,6 +207,33 @@ object Text {
         (col("__top").cast("double") / col("n_words").cast("double"))
           .as("top_word_frac"))
 
+  /** Gopher-style n-gram repetition signals (Rae et al. '21 appendix
+    * A1.1's duplicate/top n-gram filters, word-occurrence form):
+    * over the doc's n-gram occurrences (position order, duplicates
+    * kept), `top_ngram_frac` is the share taken by the single most
+    * frequent n-gram and `dup_ngram_frac` the share of occurrences
+    * whose n-gram appears more than once — the signals that catch
+    * looped/templated text whose word-level ratios look normal.
+    * Same one-explode shape as [[wordRepetition]], keyed by the
+    * (doc, gram) composite — no window, no Expand, word-count-job
+    * scaling.
+    */
+  def ngramRepetition(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame =
+    docs.select(col(idCol),
+        explode(shinglesWithDuplicates(col(textCol), n)).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(
+        sum(col("__c")).as("n_ngrams"),
+        max(col("__c")).as("__top"),
+        sum(when(col("__c") >= 2, col("__c")).otherwise(lit(0L))).as("__dup"))
+      .select(col(idCol),
+        col("n_ngrams").cast("long").as("n_ngrams"),
+        (col("__top").cast("double") / col("n_ngrams").cast("double"))
+          .as("top_ngram_frac"),
+        (col("__dup").cast("double") / col("n_ngrams").cast("double"))
+          .as("dup_ngram_frac"))
+
   /** Gopher-style rule verdict composed from [[wordRepetition]]:
     * keep/drop plus the FIRST failing rule as a diagnostic (curation
     * pipelines report drop reasons, not just a boolean). Rule order:

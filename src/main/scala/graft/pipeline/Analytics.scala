@@ -243,4 +243,53 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .orderBy(col("hour_ts"), col("event_type"))
+
+  /** Ordered-step funnel: per user, the earliest strictly-increasing
+    * completion chain through `steps` — t₁ = min ts of step 1,
+    * tᵢ = min{ts of step i | ts > tᵢ₋₁} — reported as the deepest
+    * stage reached plus the chain's first/last timestamps (the
+    * conversion-analysis primitive every event warehouse ends up
+    * needing).
+    *
+    * ONE shuffle: funnel-relevant events (filtered BEFORE the
+    * shuffle — pushdown keeps the scan narrow) group per user into a
+    * ts-sorted struct array, and a codegen'd `aggregate` fold walks
+    * the chain in a single pass. Equivalent to the k-fold
+    * min-join recurrence but without k joins over the event table;
+    * per-user state is bounded by that user's funnel-event count
+    * (the sessionization memory contract). Users with relevant
+    * events but no step-1 completion still report stage 0.
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val tsType = events.schema(events.schema.fieldIndex(tsCol)).dataType
+    val stepIdx = steps.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
+      when(col(typeCol) === s, lit(i + 1)).otherwise(acc)
+    }
+    val ev = events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol),
+        struct(col(tsCol).as("ts"), stepIdx.as("step")).as("e"))
+    val walked = aggregate(sort_array(collect_list(col("e"))),
+      struct(lit(0).as("stage"),
+        lit(null).cast(tsType).as("t_first"),
+        lit(null).cast(tsType).as("t_last")),
+      (acc, e) => {
+        // advance on the FIRST step-(stage+1) event strictly after the
+        // chain's current tip; sorted order makes "first" = "min ts"
+        val advance = e.getField("step") === acc.getField("stage") + 1 &&
+          (acc.getField("stage") === 0 || e.getField("ts") > acc.getField("t_last"))
+        when(advance, struct(
+          (acc.getField("stage") + 1).as("stage"),
+          when(acc.getField("stage") === 0, e.getField("ts"))
+            .otherwise(acc.getField("t_first")).as("t_first"),
+          e.getField("ts").as("t_last"))).otherwise(acc)
+      })
+    ev.groupBy(col(userCol))
+      .agg(walked.as("__f"))
+      .select(col(userCol), col("__f.stage").as("stage"),
+        col("__f.t_first").as("t_first"), col("__f.t_last").as("t_last"))
+  }
 }

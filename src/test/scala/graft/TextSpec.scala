@@ -139,6 +139,20 @@ class TextSpec extends SparkSuite {
     assert(scores(3L) < scores(1L) && scores(3L) < scores(2L))
   }
 
+  test("ngramRepetition: looped text maxes out, all-distinct text zeroes dup") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"),    // 3 identical trigrams
+      (2L, "one two three four five six")  // 4 distinct trigrams
+    ).toDF("id", "text")
+    val out = Text.ngramRepetition(docs, "id", "text", 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) === ((3L, 1.0, 1.0)))
+    assert(out(2L)._1 === 4L && out(2L)._3 === 0.0)
+    assert(math.abs(out(2L)._2 - 0.25) < 1e-12)
+  }
+
   test("bigramSurprisal: hand-computed conditional logprobs; order sensitivity") {
     // corpus bigrams: d1 "a b a b" → (a,b),(b,a),(a,b); d2 "a b c" →
     // (a,b),(b,c). C(a,b)=3 C(b,a)=1 C(b,c)=1; C(a,·)=3 C(b,·)=2
