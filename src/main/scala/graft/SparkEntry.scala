@@ -46,6 +46,10 @@ object SparkEntry {
       Analytics.funnel(Tables.events(s, d), "user_id", "event_type", "ts",
           Seq("view", "click", "purchase"))
         .orderBy(col("user_id"))),
+    // weekly cohort retention matrix (r7)
+    "events_retention" -> ((s, d) =>
+      Analytics.retention(Tables.events(s, d), "user_id", "ts")
+        .orderBy(col("cohort_ts"), col("period_n"))),
 
     // ---- temporal joins (§2.4b) ----
     // as-of BACKWARD: each purchase gets the user's latest view
@@ -1029,6 +1033,22 @@ object SparkEntry {
              count(*) AS n_events,
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      // cohort week = week of first event; period = whole weeks since
+      // (Monday-aligned in both engines, so days/7 is exact)
+      "events_retention" ->
+        """WITH first AS (
+             SELECT user_id, date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS cohort_ts
+             FROM events GROUP BY user_id
+           ), act AS (
+             SELECT DISTINCT f.cohort_ts,
+               CAST(date_diff('day', CAST(f.cohort_ts AS DATE),
+                 CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS DATE)) / 7 AS INT)
+                 AS period_n,
+               e.user_id
+             FROM events e JOIN first f USING (user_id))
+           SELECT cohort_ts, period_n, count(*) AS n_active
+           FROM act GROUP BY 1, 2 ORDER BY 1, 2""",
 
       // the funnel fold ≡ the earliest-completion recurrence
       // tᵢ = min{ts of step i | ts > tᵢ₋₁}, expressed as k min-joins

@@ -260,6 +260,28 @@ object Analytics {
     * (the sessionization memory contract). Users with relevant
     * events but no step-1 completion still report stage 0.
     */
+  /** Weekly cohort retention — the companion conversion view to
+    * [[funnel]]: users cohort by the week they were first seen, and
+    * each (cohort, weeks-since-cohort) cell counts the cohort's users
+    * active that week. Three keyed shuffles, all standard: first-seen
+    * per user, the user-keyed join back (broadcastable while the user
+    * dimension fits), and the distinct+count — nothing holds more
+    * than (cohort × week × user) distinct rows, which is bounded by
+    * user-weeks, not events.
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val first = events.groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).as("cohort_ts"))
+    events.select(col(userCol), date_trunc("week", col(tsCol)).as("__w"))
+      .join(first, Seq(userCol))
+      .select(col("cohort_ts"),
+        (datediff(col("__w"), col("cohort_ts")) / 7).cast("int").as("period_n"),
+        col(userCol))
+      .distinct()
+      .groupBy(col("cohort_ts"), col("period_n"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   def funnel(events: DataFrame, userCol: String, typeCol: String,
              tsCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
