@@ -63,6 +63,37 @@ object Similarity {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Multi-probe bucket set (Lv et al. VLDB'07, adapted to sign LSH):
+    * the vector's own bucket plus the buckets reached by flipping the
+    * `nprobe - 1` LOWEST-MARGIN sign bits — the planes the vector
+    * sits closest to, where a true neighbor most plausibly landed on
+    * the other side. Probing multiplies recall per table without
+    * touching the corpus side: only the (tiny) query key set fans
+    * out. Each plane's dot runs ONCE (bound as a lambda variable);
+    * ties in |margin| break by bit index, so the probe set is
+    * deterministic. `nprobe = 1` degenerates to [[hyperplaneBucket]].
+    */
+  def hyperplaneProbeBuckets(vec: Column, planes: Int, table: Int,
+                             nprobe: Int, dims: Int = 512): Column = {
+    require(nprobe >= 1 && nprobe <= planes + 1,
+      s"nprobe must be in [1, planes + 1 = ${planes + 1}]")
+    val v = Vectors.toDouble(vec)
+    val ds = array((0 until planes).map { p =>
+      struct(Vectors.dot(v, typedLit(planeVec(table, p, dims))).as("d"),
+        lit(1L << p).as("bit"))
+    }: _*)
+    element_at(transform(array(ds), items => {
+      val base = aggregate(items, lit(0L), (acc, it) =>
+        acc.bitwiseOR(when(it.getField("d") >= 0, it.getField("bit"))
+          .otherwise(lit(0L))))
+      val byMargin = sort_array(transform(items, it =>
+        struct(abs(it.getField("d")).as("m"), it.getField("bit").as("bit"))))
+      concat(array(base),
+        transform(slice(byMargin, 1, nprobe - 1),
+          s => base.bitwiseXOR(s.getField("bit"))))
+    }), 1)
+  }
+
   /** Two-phase top-k per query over (query_id, neighbor_id, cosine):
     * phase 1 takes the top k within each (query, input-partition)
     * slice — the shuffle key (query_id, partition) spreads a query's
@@ -258,7 +289,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, queryIdCol: String,
               k: Int, planes: Int = 8, tables: Int = 4,
-              excludeSelf: Boolean = true): DataFrame = {
+              excludeSelf: Boolean = true, nprobe: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
     // normalize each side ONCE; persisted — read for bucket keys and
     // again for the survivor vector fetch
@@ -279,9 +310,18 @@ object Similarity {
       .select(col(id), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
     // query keys are query-set-sized → broadcast; candidate generation
     // is a map-side hash join streaming over the corpus keys, so
-    // NOTHING shuffles until the bare-pair distinct
+    // NOTHING shuffles until the bare-pair distinct. Multi-probe
+    // expands ONLY this side: tables × nprobe keys per query (the
+    // corpus keeps one bucket per table).
+    val qKeys = q
+      .select(col("query_id"), explode(array((0 until tables).map { t =>
+        struct(lit(t).as("table"),
+          hyperplaneProbeBuckets(col("__qv"), planes, t, nprobe).as("buckets"))
+      }: _*)).as("tb"))
+      .select(col("query_id"), col("tb.table").as("table"),
+        explode(col("tb.buckets")).as("bucket"))
     val cand = keysOf(c, "neighbor_id", "__cv")
-      .join(broadcast(keysOf(q, "query_id", "__qv")), Seq("table", "bucket"))
+      .join(broadcast(qKeys), Seq("table", "bucket"))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"))
     // distinct BEFORE scoring: a pair colliding in several tables is

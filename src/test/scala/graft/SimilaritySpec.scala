@@ -47,6 +47,35 @@ class SimilaritySpec extends SparkSuite {
       "vec_id", "embedding", "vec_id", k, planes = 8, tables = 4))
     val recall = truth.intersect(approx).size.toDouble / truth.size
     assert(recall >= 0.6, s"recall $recall too low")
+
+    // multi-probe (flip the lowest-margin sign bits of the QUERY
+    // buckets): candidate set is a superset per construction, so
+    // recall can only rise — and the extra keys exist only on the
+    // broadcast query side
+    val probed = pairs(Similarity.lshTopK(corpus, queries,
+      "vec_id", "embedding", "vec_id", k, planes = 8, tables = 4, nprobe = 4))
+    val recallP = truth.intersect(probed).size.toDouble / truth.size
+    assert(recallP >= recall,
+      s"multi-probe recall $recallP fell below single-probe $recall")
+    assert(recallP >= 0.8, s"multi-probe recall $recallP below 0.8")
+  }
+
+  test("hyperplaneProbeBuckets: base first, single-bit flips, nprobe=1 degenerates") {
+    val one = corpus.limit(1)
+    def buckets(np: Int): Seq[Long] = one.select(
+      Similarity.hyperplaneProbeBuckets($"embedding", planes = 8, table = 0,
+        nprobe = np).as("b"))
+      .collect()(0).getAs[collection.Seq[Long]]("b").toSeq
+    val base = one.select(
+      Similarity.hyperplaneBucket($"embedding", planes = 8, table = 0).as("b"))
+      .collect()(0).getLong(0)
+    assert(buckets(1) === Seq(base))
+    val b4 = buckets(4)
+    assert(b4.length === 4 && b4.head === base && b4.distinct === b4)
+    // every probe differs from the base in exactly one bit
+    b4.tail.foreach { p =>
+      assert(java.lang.Long.bitCount(p ^ base) === 1, s"probe $p vs base $base")
+    }
   }
 
   test("lshTopK candidate generation never shuffles embedding vectors") {
