@@ -661,6 +661,15 @@ object SparkEntry {
         .withColumn("top_word_frac", round(col("top_word_frac"), 6))
         .orderBy(col("doc_id"))),
 
+    // Misra–Gries heavy-hitter terms (r7): the bounded-memory top-k
+    // whose shuffle is partitions×capacity rows regardless of vocab.
+    // count_min depends on the partition layout → rows-only by
+    // design; TextSpec pins the presence + bracketing guarantees
+    "corpus_top_terms_approx" -> ((s, d) =>
+      functions.Text.topTermsApprox(Tables.documents(s, d), "doc_id", "text",
+          k = 20, capacity = 256)
+        .orderBy(col("count_min").desc, col("term"))),
+
     // n-gram repetition signals (r7; Gopher A1.1 duplicate/top
     // n-gram filters) — catches looped/templated text whose
     // word-level ratios look normal

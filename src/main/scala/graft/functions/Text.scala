@@ -181,6 +181,70 @@ object Text {
       .limit(k)
   }
 
+  /** Approximate top-k terms via per-partition Misra–Gries summaries
+    * (Misra & Gries '82; mergeability per Agarwal et al. "Mergeable
+    * Summaries"): each task keeps at most `capacity` counters over
+    * its word stream — when a new word finds the table full, every
+    * counter decrements once (one "round"; zeros evicted). Each round
+    * destroys capacity+1 units of mass, so rounds ≤ nₚ/(capacity+1):
+    * amortized O(1) per word, memory O(capacity) REGARDLESS of
+    * vocabulary size. Partition summaries then merge with one tiny
+    * (P×capacity-row) aggregation.
+    *
+    * Why it exists next to the exact [[topTerms]]: the exact path
+    * shuffles one partial per DISTINCT term — at 100 TB a web corpus
+    * carries billions of singleton terms (URLs, typos, hashes) and
+    * that vocab-sized shuffle dominates. The sketch's shuffle is
+    * P×capacity rows, independent of vocabulary.
+    *
+    * Guarantees (standard MG): `count_min ≤ true ≤ count_max`, and
+    * every term with true frequency > N/(capacity+1) is PRESENT.
+    * `count_max - count_min` = Σ per-partition rounds — the certified
+    * error, reported per row. Output: top `k` by count_min
+    * (deterministic term tie-break), columns (term, count_min,
+    * count_max).
+    */
+  def topTermsApprox(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int, capacity: Int = 1024): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(capacity >= k, "capacity must be >= k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(split(normalize(col(textCol)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .as[String]
+    val partial = words.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      var rounds = 0L
+      it.foreach { w =>
+        val cur = counts.getOrElse(w, 0L)
+        if (cur > 0L || counts.size < capacity) counts(w) = cur + 1L
+        else {
+          rounds += 1L
+          val dead = List.newBuilder[String]
+          counts.foreach { case (t, c) =>
+            if (c == 1L) dead += t else counts(t) = c - 1L
+          }
+          dead.result().foreach(counts.remove)
+        }
+      }
+      counts.iterator.map { case (t, c) => (pid, t, c, rounds) }
+    }.toDF("pid", "term", "cnt", "rounds")
+    // cache: read twice (per-term sums + the per-partition error sum);
+    // P×capacity rows — trivially memory-safe
+    val p = graft.Par.persistTracked(partial)
+    val err = p.groupBy(col("pid")).agg(max(col("rounds")).as("r"))
+      .agg(sum(col("r")).as("err"))
+    p.groupBy(col("term")).agg(sum(col("cnt")).as("count_min"))
+      .orderBy(col("count_min").desc, col("term"))
+      .limit(k)
+      .crossJoin(broadcast(err)) // one row
+      .select(col("term"), col("count_min"),
+        (col("count_min") + col("err")).as("count_max"))
+  }
+
   /** Per-document word-repetition quality signals — the word-level
     * repetition filters of large-corpus curation recipes (Rae et al.
     * "Gopher" appendix A1.1; C4's boilerplate rules): type-token

@@ -139,6 +139,26 @@ class TextSpec extends SparkSuite {
     assert(scores(3L) < scores(1L) && scores(3L) < scores(2L))
   }
 
+  test("topTermsApprox: heavy hitters present, bounds bracket the exact counts") {
+    // skewed corpus: 'hot' ≈ 1334 occurrences over a ~1700-term vocab
+    // far beyond capacity, long tail of near-singletons
+    val docs = (1 to 2000).map { i =>
+      val tail = s"t${i % 700} u${i % 311} v$i"
+      (i.toLong, if (i % 3 == 0) s"hot hot $tail" else tail)
+    }.toDF("id", "text")
+    val approx = Text.topTermsApprox(docs, "id", "text", k = 5, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exact = Text.topTerms(docs, "id", "text", 5000).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the true heavy hitter leads (its frequency dwarfs N/capacity),
+    // and every reported [count_min, count_max] brackets the truth
+    assert(approx.head._1 === "hot")
+    approx.foreach { case (t, lo, hi) =>
+      val truth = exact(t)
+      assert(lo <= truth && truth <= hi, s"$t: [$lo,$hi] vs $truth")
+    }
+  }
+
   test("ngramRepetition: looped text maxes out, all-distinct text zeroes dup") {
     val docs = Seq(
       (1L, "spam spam spam spam spam"),    // 3 identical trigrams
