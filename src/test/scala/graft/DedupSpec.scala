@@ -95,6 +95,19 @@ class DedupSpec extends SparkSuite {
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ shape
     conf.set("spark.sql.adaptive.enabled", "false")        // plan tree inspectable
     try {
+      // the in-memory catalog forgets tables across JVMs but their
+      // warehouse dirs survive → clear or CTAS refuses the location
+      spark.sql("DROP TABLE IF EXISTS keeper_idx_b")
+      val whDir = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        "keeper_idx_b")
+      if (whDir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(whDir)
+      }
       val docs = (1L to 500L).map(i => (i, s"content item ${i % 300}"))
         .toDF("doc_id", "text")
       graft.sources.Sink.bucketedTable(Dedup.exact(docs, "doc_id", "text"),
