@@ -1,7 +1,9 @@
 package graft.examples
 
 import graft.{Par, Tables}
-import graft.operators.{Dedup, Sampling}
+import graft.functions.Text
+import graft.operators.{Dedup, Pack, Sampling}
+import graft.pipeline.Analytics
 import graft.sources.Sink
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -96,10 +98,45 @@ object StressR7 {
     val (up1, upn1) = timed("jdbc_upsert 1x")(jdbcUp(ev0, "a"))
     val (up10, upn10) = timed("jdbc_upsert 10x")(jdbcUp(evRep(ev0), "b"))
 
+    // --- late-r7 batch operators: replicas carry DISTINCT users/ids
+    // so per-user state and output both grow 10× ---
+    val evRaw = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    def evRawRep(d: DataFrame) = d
+      .withColumn("rep", explode(reps))
+      .select((col("event_id") + col("rep").cast("long") * lit(1000000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("rep").cast("long") * lit(10000000L)).as("user_id"),
+        col("event_type"))
+    val evRaw10 = evRawRep(evRaw)
+    def fun(d: DataFrame) = Analytics.funnel(d, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+    def ret(d: DataFrame) = Analytics.retention(d, "user_id", "ts")
+    val (fu1, fun1) = timed("events_funnel 1x")(force(fun(evRaw)))
+    val (fu10, fun10) = timed("events_funnel 10x")(force(fun(evRaw10)))
+    val (re1, ren1) = timed("events_retention 1x")(force(ret(evRaw)))
+    val (re10, ren10) = timed("events_retention 10x")(force(ret(evRaw10)))
+    val (ch1, chn1) = timed("doc_chunk 1x")(
+      force(Pack.chunkTokens(docs0, "doc_id", "text", 32, 24)))
+    val (ch10, chn10) = timed("doc_chunk 10x")(
+      force(Pack.chunkTokens(docs10, "doc_id", "text", 32, 24)))
+    val (ng1, ngn1) = timed("doc_ngram_repetition 1x")(
+      force(Text.ngramRepetition(docs0, "doc_id", "text", 3)))
+    val (ng10, ngn10) = timed("doc_ngram_repetition 10x")(
+      force(Text.ngramRepetition(docs10, "doc_id", "text", 3)))
+    val (tt1, ttn1) = timed("corpus_top_terms_approx 1x")(
+      force(Text.topTermsApprox(docs0, "doc_id", "text", 20, 256)))
+    val (tt10, ttn10) = timed("corpus_top_terms_approx 10x")(
+      force(Text.topTermsApprox(docs10, "doc_id", "text", 20, 256)))
+
     println(f"[stress] ratios: exact_incremental ${in10 / in1}%.1fx " +
       f"(survivors $inn1 -> $inn10), mix ${mx10 / mx1}%.1fx " +
       f"(rows $mxn1 -> $mxn10), jdbc_upsert ${up10 / up1}%.1fx " +
-      f"(delta $upn1 -> $upn10)")
+      f"(delta $upn1 -> $upn10), funnel ${fu10 / fu1}%.1fx " +
+      f"(users $fun1 -> $fun10), retention ${re10 / re1}%.1fx " +
+      f"(cells $ren1 -> $ren10), chunk ${ch10 / ch1}%.1fx " +
+      f"(chunks $chn1 -> $chn10), ngram_rep ${ng10 / ng1}%.1fx, " +
+      f"mg_topk ${tt10 / tt1}%.1fx")
     spark.stop()
   }
 }
