@@ -1,0 +1,70 @@
+package graft
+
+import graft.sources.Versioned
+import org.apache.spark.sql.functions._
+
+class VersionedSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("commit/read: replace swaps atomically, append accumulates, reads pin") {
+    val dir = tmpDir("ver") + "/t"
+    val v1 = Versioned.commit((1L to 100L).toDF("id"), dir, replace = true)
+    assert(v1 === 1)
+    assert(Versioned.read(spark, dir).count() === 100)
+
+    val v2 = Versioned.commit((101L to 150L).toDF("id"), dir) // append
+    assert(v2 === 2)
+    assert(Versioned.read(spark, dir).count() === 150)
+    // time travel: v1 still reads exactly its own data
+    assert(Versioned.read(spark, dir, Some(1)).count() === 100)
+
+    val v3 = Versioned.commit((1L to 10L).toDF("id"), dir, replace = true)
+    assert(v3 === 3)
+    assert(Versioned.read(spark, dir).count() === 10)
+    assert(Versioned.read(spark, dir, Some(2)).agg(sum("id")).head.getLong(0)
+      === (1L to 150L).sum)
+  }
+
+  test("a crashed write (segment without manifest) is invisible") {
+    val dir = tmpDir("verc") + "/t"
+    Versioned.commit((1L to 50L).toDF("id"), dir, replace = true)
+    // simulate a writer dying after its data write, before commit
+    (999L to 1000L).toDF("id").write
+      .parquet(dir + "/d-crashed-0000")
+    assert(Versioned.read(spark, dir).count() === 50)
+    // the next commit is unaffected and still doesn't see the orphan
+    Versioned.commit((51L to 60L).toDF("id"), dir)
+    assert(Versioned.read(spark, dir).count() === 60)
+    // vacuum reclaims the orphan
+    assert(Versioned.vacuum(spark, dir, keepVersions = 2) >= 1)
+    assert(Versioned.read(spark, dir).count() === 60)
+  }
+
+  test("losing the version CAS retries onto the next head") {
+    val dir = tmpDir("verr") + "/t"
+    Versioned.commit((1L to 20L).toDF("id"), dir, replace = true)
+    // occupy v2 by hand — as a racing committer would
+    val vdir = new java.io.File(dir.stripPrefix("file:"), "_versions")
+    val squatter = new java.io.File(vdir, "v00000002.json")
+    val w = new java.io.FileWriter(squatter)
+    w.write("""{"version":2,"segments":[]}"""); w.close()
+    val v = Versioned.commit((21L to 30L).toDF("id"), dir)
+    assert(v === 3, "commit must retry past the occupied version")
+    // the head (v3) appended onto the state the RETRY saw — v2's
+    // segment list (empty here), plus the new segment
+    assert(Versioned.read(spark, dir).count() === 10)
+    assert(Versioned.read(spark, dir, Some(1)).count() === 20)
+  }
+
+  test("vacuum keeps referenced segments, drops superseded versions") {
+    val dir = tmpDir("verv") + "/t"
+    Versioned.commit((1L to 30L).toDF("id"), dir, replace = true)   // v1
+    Versioned.commit((31L to 40L).toDF("id"), dir)                  // v2 = v1+delta
+    Versioned.commit((1L to 5L).toDF("id"), dir, replace = true)    // v3 fresh
+    val removed = Versioned.vacuum(spark, dir, keepVersions = 1)
+    assert(removed === 2, s"expected v1's and v2's dead segments, got $removed")
+    assert(Versioned.read(spark, dir).count() === 5)
+    // superseded manifests are gone → time travel to them now fails
+    intercept[Exception](Versioned.read(spark, dir, Some(1)).count())
+  }
+}
