@@ -123,6 +123,31 @@ object Versioned {
     spark.read.parquet(segs.map(s => new Path(path, s).toString): _*)
   }
 
+  /** Keyed upsert as a version commit: merge `updates` into the head
+    * (latest-wins per key via [[graft.operators.Cdc.upsert]]) and
+    * commit the merged state as the next version — the atomic,
+    * time-travelable form of the parquet upsert: readers mid-scan
+    * keep their pinned version, a crash before the manifest CAS
+    * leaves the head untouched, and yesterday's table stays
+    * queryable until vacuumed. First commit bootstraps from the
+    * batch. Returns the committed version.
+    *
+    * This rewrites the merged state (one segment) — the right trade
+    * while a snapshot fits a commit; at copy-on-write pain, switch
+    * the merge to [[Sink.jdbcUpsert]]-style delta segments + a
+    * compaction pass.
+    */
+  def upsert(updates: DataFrame, path: String, key: Seq[String],
+             trackingCol: String, tieBreak: Seq[String] = Nil): Int = {
+    val spark = updates.sparkSession
+    val merged =
+      if (currentVersion(spark, path) == 0)
+        graft.operators.Cdc.dedupLatestPerKey(updates, key, trackingCol, tieBreak)
+      else graft.operators.Cdc.upsert(read(spark, path), updates, key,
+        trackingCol, tieBreak)
+    commit(merged, path, replace = true)
+  }
+
   /** Delete segments referenced by NO manifest newer than
     * `head - keepVersions + 1`, and the superseded manifests — the
     * storage-reclaim pass. Orphan segments from crashed writes go too.

@@ -154,6 +154,32 @@ object EventStream {
       }
       .start()
 
+  /** [[applyUpserts]] against a VERSIONED table (r7): every
+    * microbatch's merge commits as one new version through the
+    * manifest CAS, so downstream batch readers get atomic,
+    * repeatable snapshots of a continuously-updated table — no
+    * reader ever sees a half-applied microbatch, and any past
+    * version stays time-travelable until vacuumed. Convergence under
+    * at-least-once redelivery is inherited from the latest-wins
+    * merge; replaying a microbatch commits a version with identical
+    * content.
+    */
+  def applyUpsertsVersioned(events: DataFrame, targetPath: String,
+                            checkpoint: String, key: Seq[String],
+                            trackingCol: String,
+                            tieBreak: Seq[String] = Nil): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.Versioned.upsert(batch, targetPath, key,
+            trackingCol, tieBreak)
+          ()
+        }
+      }
+      .start()
+
   /** Stateful gap sessionization via flatMapGroupsWithState — the
     * streaming twin of `Sessionize.byGap`. State per user holds the
     * open session; a session closes (and is emitted) when a new event

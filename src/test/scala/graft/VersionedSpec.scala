@@ -56,6 +56,25 @@ class VersionedSpec extends SparkSuite {
     assert(Versioned.read(spark, dir, Some(1)).count() === 20)
   }
 
+  test("upsert commits merged state; history stays queryable") {
+    val dir = tmpDir("veru") + "/t"
+    def batch(rows: (Long, String, Long)*) =
+      rows.toSeq.toDF("k", "v", "ver")
+    assert(Versioned.upsert(batch((1L, "a", 1L), (2L, "b", 1L)),
+      dir, Seq("k"), "ver") === 1)
+    // update key 2, insert key 3 — latest-wins within the batch too
+    assert(Versioned.upsert(
+      batch((2L, "b2", 2L), (2L, "b1", 1L), (3L, "c", 2L)),
+      dir, Seq("k"), "ver") === 2)
+    val head = Versioned.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(head === Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    // time travel to the pre-upsert table
+    val v1 = Versioned.read(spark, dir, Some(1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v1 === Map(1L -> "a", 2L -> "b"))
+  }
+
   test("vacuum keeps referenced segments, drops superseded versions") {
     val dir = tmpDir("verv") + "/t"
     Versioned.commit((1L to 30L).toDF("id"), dir, replace = true)   // v1
