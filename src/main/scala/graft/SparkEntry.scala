@@ -591,6 +591,25 @@ object SparkEntry {
           n = 3, numHashes = 32, bands = 16, threshold = 0.5,
           shingleHash = functions.Text.portableHash60)
         .orderBy(col("id_a"), col("id_b"))),
+    // daily-delta near-dup (r7): the second half of the corpus checked
+    // against the index built from the first half — REAL incremental
+    // code path, graded bit-exact (the oracle is the full pipeline
+    // restricted to batch-touching pairs, which the equivalence spec
+    // proves is the same thing)
+    "dedup_minhash_incr_md5" -> ((s, d) => {
+      val corpus = Tables.documents(s, d)
+      val cut = lit(250L)
+      val (ish, ibd) = Dedup.minHashIndexFrames(
+        corpus.filter(col("doc_id") < cut), "doc_id", "text",
+        n = 3, numHashes = 32, bands = 16,
+        shingleHash = functions.Text.portableHash60)
+      Dedup.minHashLshIncremental(ish, ibd,
+          corpus.filter(col("doc_id") >= cut), "doc_id", "text",
+          n = 3, numHashes = 32, bands = 16, threshold = 0.5,
+          includeIntraBatch = true,
+          shingleHash = functions.Text.portableHash60)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // hamming radius 3 on 64-bit simhash, the standard near-dup
     // setting (Manku et al., WWW'07); wider radii shrink pigeonhole
     // blocks and blow up the candidate space
@@ -947,6 +966,52 @@ object SparkEntry {
     */
   private def md5Hash60Sql(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** The md5-twin MinHash-LSH pipeline as DuckDB SQL (n=3, 32 hashes,
+    * 16 bands, threshold 0.5). `pairWhere` narrows the candidate join
+    * (the incremental twin restricts to batch-touching pairs).
+    */
+  private def minhashMd5Sql(pairWhere: String): String =
+    s"""WITH gd AS (
+         SELECT doc_id, unnest(grams) AS gram
+         FROM (${gramsSql(3, distinct = true)})
+       ), h0 AS (
+         SELECT doc_id, ${md5Hash60Sql("gram")} AS hv FROM gd
+       ), hx AS (${xxhash64Long1Sql("SELECT doc_id, hv FROM h0", "hv",
+                                    keep = Seq("doc_id"))}
+       ), km AS (
+         SELECT doc_id, hv % 72057594037927936 AS h1,
+           ((h % 72057594037927936) + 72057594037927936)
+             % 72057594037927936 AS h2
+         FROM hx
+       ), sig AS (
+         SELECT doc_id, i, min(h1 + h2 * i) AS s
+         FROM km CROSS JOIN range(32) t(i) GROUP BY doc_id, i
+       ), sigl AS (
+         SELECT doc_id, list(s ORDER BY i) AS sg FROM sig GROUP BY doc_id
+       ), banded AS (
+         SELECT doc_id, b, sg[2*b+1] AS s0, sg[2*b+2] AS s1
+         FROM sigl CROSS JOIN range(16) t(b)
+       ), cand AS (
+         SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+         FROM banded a JOIN banded c
+           ON a.b = c.b AND a.s0 = c.s0 AND a.s1 = c.s1
+              AND a.doc_id < c.doc_id $pairWhere
+       ), sizes AS (
+         SELECT doc_id, count(*) AS nsh FROM gd GROUP BY doc_id
+       ), cmn AS (
+         SELECT p.id_a, p.id_b, count(*) AS common
+         FROM cand p
+           JOIN gd ga ON ga.doc_id = p.id_a
+           JOIN gd gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
+         GROUP BY p.id_a, p.id_b)
+       SELECT id_a, id_b, jaccard FROM (
+         SELECT c.id_a, c.id_b,
+           CAST(c.common AS DOUBLE)
+             / CAST(sa.nsh + sb.nsh - c.common AS DOUBLE) AS jaccard
+         FROM cmn c JOIN sizes sa ON sa.doc_id = c.id_a
+                    JOIN sizes sb ON sb.doc_id = c.id_b)
+       WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""
 
   /** `Text.shingles` (distinct=true) / `shinglesWithDuplicates`
     * (distinct=false) replayed in DuckDB: normalized text → space
@@ -2029,47 +2094,14 @@ object SparkEntry {
       // via the xxHash64 chain), 32 min-signature slots, 16 2-row
       // bands (tuple equality ≡ Spark's band-bucket hash equality),
       // exact-Jaccard rescore on the distinct shingle sets
-      "dedup_minhash_md5" ->
-        s"""WITH gd AS (
-             SELECT doc_id, unnest(grams) AS gram
-             FROM (${gramsSql(3, distinct = true)})
-           ), h0 AS (
-             SELECT doc_id, ${md5Hash60Sql("gram")} AS hv FROM gd
-           ), hx AS (${xxhash64Long1Sql("SELECT doc_id, hv FROM h0", "hv",
-                                        keep = Seq("doc_id"))}
-           ), km AS (
-             SELECT doc_id, hv % 72057594037927936 AS h1,
-               ((h % 72057594037927936) + 72057594037927936)
-                 % 72057594037927936 AS h2
-             FROM hx
-           ), sig AS (
-             SELECT doc_id, i, min(h1 + h2 * i) AS s
-             FROM km CROSS JOIN range(32) t(i) GROUP BY doc_id, i
-           ), sigl AS (
-             SELECT doc_id, list(s ORDER BY i) AS sg FROM sig GROUP BY doc_id
-           ), banded AS (
-             SELECT doc_id, b, sg[2*b+1] AS s0, sg[2*b+2] AS s1
-             FROM sigl CROSS JOIN range(16) t(b)
-           ), cand AS (
-             SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-             FROM banded a JOIN banded c
-               ON a.b = c.b AND a.s0 = c.s0 AND a.s1 = c.s1
-                  AND a.doc_id < c.doc_id
-           ), sizes AS (
-             SELECT doc_id, count(*) AS nsh FROM gd GROUP BY doc_id
-           ), cmn AS (
-             SELECT p.id_a, p.id_b, count(*) AS common
-             FROM cand p
-               JOIN gd ga ON ga.doc_id = p.id_a
-               JOIN gd gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
-             GROUP BY p.id_a, p.id_b)
-           SELECT id_a, id_b, jaccard FROM (
-             SELECT c.id_a, c.id_b,
-               CAST(c.common AS DOUBLE)
-                 / CAST(sa.nsh + sb.nsh - c.common AS DOUBLE) AS jaccard
-             FROM cmn c JOIN sizes sa ON sa.doc_id = c.id_a
-                        JOIN sizes sb ON sb.doc_id = c.id_b)
-           WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+      "dedup_minhash_md5" -> minhashMd5Sql(pairWhere = ""),
+
+      // the incremental twin: identical hashes + banding ⇒ the delta
+      // path's output is EXACTLY the full run's pairs that touch the
+      // batch (id_b ≥ cut) — so the oracle is the same pipeline with
+      // that one restriction
+      "dedup_minhash_incr_md5" ->
+        minhashMd5Sql(pairWhere = "AND c.doc_id >= 250"),
 
       // SimHash replayed: per-bit votes over the md5-slice shingle
       // hashes, majority signature, 4×16-bit pigeonhole blocks,

@@ -182,10 +182,14 @@ object Dedup {
     * (standard MinHash-LSH banding; Broder '97 / MMDS ch.3).
     * Only candidates get the exact-Jaccard rescoring join.
     */
-  def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
-                 n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                 threshold: Double = 0.8,
-                 shingleHash: Column => Column = xxhash64(_)): DataFrame = {
+  /** Shared MinHash machinery: per-doc sorted shingle-hash arrays
+    * (`sh`: id, hs) and banded signature keys (`banded`: id, band,
+    * bucket), both persisted — the reusable INDEX frames of the
+    * near-dup family.
+    */
+  private def minHashFrames(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int, numHashes: Int, bands: Int,
+                            shingleHash: Column => Column): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // each shingle hashed ONCE to a long, kept as a SORTED per-doc
@@ -221,16 +225,18 @@ object Dedup {
               .as("bucket"))
         }: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bucket")))
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val candidates = l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    // verify candidates with exact Jaccard on the hashed shingle sets
-    // (merge-walk intersection; |A ∪ B| = |A| + |B| - |A ∩ B|)
+    (sh, banded)
+  }
+
+  /** Exact-Jaccard verify over candidate id pairs (merge-walk
+    * intersection; |A ∪ B| = |A| + |B| − |A ∩ B|). `shA`/`shB` supply
+    * each side's sorted hashed-shingle arrays.
+    */
+  private def jaccardVerify(candidates: DataFrame, shA: DataFrame,
+                            shB: DataFrame, threshold: Double): DataFrame =
     candidates
-      .join(sh.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .join(shA.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(shB.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
       .withColumn("common",
         graft.functions.Vectors.sortedIntersectCount(col("hs_a"), col("hs_b")))
       .withColumn("jaccard",
@@ -238,6 +244,71 @@ object Dedup {
           (size(col("hs_a")) + size(col("hs_b")) - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                 threshold: Double = 0.8,
+                 shingleHash: Column => Column = xxhash64(_)): DataFrame = {
+    val (sh, banded) = minHashFrames(docs, idCol, textCol, n, numHashes,
+      bands, shingleHash)
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candidates = l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    jaccardVerify(candidates, sh, sh, threshold)
+  }
+
+  /** Persistent MinHash index frames for [[minHashLshIncremental]]:
+    * `(shingles: (id, hs), banded: (id, band, bucket))`. Write
+    * `banded` BUCKETED on `bucket` ([[graft.sources.Sink.bucketedTable]])
+    * and the daily candidate join never shuffles the index — the same
+    * contract as [[exactIncremental]]'s keeper index.
+    */
+  def minHashIndexFrames(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                         shingleHash: Column => Column = xxhash64(_))
+      : (DataFrame, DataFrame) =
+    minHashFrames(docs, idCol, textCol, n, numHashes, bands, shingleHash)
+
+  /** Incremental near-dup — the daily-delta form of [[minHashLsh]]:
+    * a new batch is checked against the EXISTING corpus index (the
+    * frames of [[minHashIndexFrames]], same n/numHashes/bands/hash)
+    * without recomputing anything corpus-sized. Returns
+    * (id_a = index doc, id_b = batch doc, jaccard ≥ threshold) pairs;
+    * `includeIntraBatch = true` adds batch-internal pairs (both ids
+    * new) so a batch with its own dups doesn't slip through.
+    *
+    * Identical answers to running [[minHashLsh]] over index ∪ batch
+    * and keeping the cross pairs — same hashes, same banding — at
+    * delta cost: only the batch is shingled/signed, the candidate
+    * join touches index rows only through their (band, bucket) keys,
+    * and the verify fetches index shingle arrays for candidates only.
+    */
+  def minHashLshIncremental(indexShingles: DataFrame, indexBanded: DataFrame,
+                            batch: DataFrame, idCol: String, textCol: String,
+                            n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                            threshold: Double = 0.8,
+                            includeIntraBatch: Boolean = false,
+                            shingleHash: Column => Column = xxhash64(_)): DataFrame = {
+    val (bsh, bbanded) = minHashFrames(batch, idCol, textCol, n, numHashes,
+      bands, shingleHash)
+    val cross = indexBanded
+      .select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(bbanded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val crossPairs = jaccardVerify(cross, indexShingles, bsh, threshold)
+    if (!includeIntraBatch) crossPairs
+    else {
+      val l = bbanded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      val r = bbanded.select(col("band"), col("bucket"), col("id").as("id_b"))
+      val intra = l.join(r, Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      crossPairs.unionByName(jaccardVerify(intra, bsh, bsh, threshold))
+    }
   }
 
   /** 64-bit SimHash (Charikar '02): sign-aggregate the per-shingle

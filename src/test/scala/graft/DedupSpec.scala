@@ -85,6 +85,28 @@ class DedupSpec extends SparkSuite {
     assert(recall >= 0.5, s"LSH recall $recall < 0.5 (found ${lsh.size}/${ex.size})")
   }
 
+  test("minHashLshIncremental equals the full run's batch-touching pairs") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val cut = 250L
+    val (ish, ibd) = Dedup.minHashIndexFrames(
+      corpus.filter(col("doc_id") < cut), "doc_id", "text",
+      n = 3, numHashes = 32, bands = 16)
+    val inc = Dedup.minHashLshIncremental(ish, ibd,
+        corpus.filter(col("doc_id") >= cut), "doc_id", "text",
+        n = 3, numHashes = 32, bands = 16, threshold = 0.5,
+        includeIntraBatch = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minHashLsh(corpus, "doc_id", "text",
+        n = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same hashes + same banding ⇒ the delta path reproduces exactly
+    // the full run's pairs that touch the batch (id_b ≥ cut; index-
+    // internal pairs are yesterday's output and correctly absent)
+    assert(inc === full.filter(_._2 >= cut))
+    assert(inc.nonEmpty, "test corpus produced no cross/intra pairs")
+  }
+
   test("exactIncremental: bucketed keeper index keeps the index side exchange-free") {
     // the 100 TB contract: the corpus-sized index must never shuffle
     // for a daily delta — bucketed storage satisfies the anti-join's
