@@ -25,7 +25,10 @@ object ExplainAudit {
         "fact_lineitem", "cdc_incremental_filter", "events_sessions", "dedup_minhash",
         "asof_last_view", "range_join_sessions", "dedup_embedding_lsh",
         "curation_pipeline", "dedup_ngram_jaccard", "doc_tfidf",
-        "doc_shared_runs", "sample_temperature", "doc_pii_redact")
+        "doc_shared_runs", "sample_temperature", "doc_pii_redact",
+        "events_funnel", "events_retention", "doc_chunk",
+        "doc_bigram_surprisal", "dedup_minhash_incr_md5",
+        "corpus_top_terms_approx")
     names.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -354,9 +354,12 @@ object Text {
     * tiny frame) → one per-doc average.
     */
   def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = docs.select(col(idCol).as("doc_id"),
-        explode(split(normalize(col(textCol)), " ")).as("term"))
-      .filter(length(col("term")) > 0)
+    // persisted: the per-doc tf and the corpus counts both fold this
+    // exploded stream — one scan + explode instead of two
+    val words = graft.Par.persistTracked(
+      docs.select(col(idCol).as("doc_id"),
+          explode(split(normalize(col(textCol)), " ")).as("term"))
+        .filter(length(col("term")) > 0))
     val tf = words.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val W = org.apache.spark.sql.expressions.Window
     val wAll = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
@@ -395,8 +398,12 @@ object Text {
       when(size(ws) < 2, array().cast("array<struct<a:string,b:string>>"))
         .otherwise(transform(sequence(lit(0), size(ws) - 2), i =>
           struct(element_at(ws, i + 1).as("a"), element_at(ws, i + 2).as("b"))))), 1)
-    val bi = docs.select(col(idCol).as("doc_id"), explode(bigrams).as("bg"))
-      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    // persisted: tf, C(a,b) and C(a,·) all fold the SAME exploded
+    // stream — without this the corpus is re-shingled three times
+    // (Spark has no cross-branch CSE; the sharedRuns lesson)
+    val bi = graft.Par.persistTracked(
+      docs.select(col(idCol).as("doc_id"), explode(bigrams).as("bg"))
+        .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b")))
     val tf = bi.groupBy(col("doc_id"), col("a"), col("b")).agg(count(lit(1)).as("tf"))
     val cab = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
     val ca = bi.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
