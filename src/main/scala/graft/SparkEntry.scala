@@ -624,6 +624,20 @@ object SparkEntry {
           n = 3, maxHamming = 3,
           shingleHash = functions.Text.portableHash60)
         .orderBy(col("id_a"), col("id_b"))),
+    // daily-delta SimHash (r7): second half vs the first-half index —
+    // REAL incremental code path, graded bit-exact through the md5
+    // twin (oracle = full pipeline restricted to batch-touching pairs)
+    "dedup_simhash_incr_md5" -> ((s, d) => {
+      val corpus = Tables.documents(s, d)
+      val cut = lit(250L)
+      val idx = Dedup.simHashIndexFrame(corpus.filter(col("doc_id") < cut),
+        "doc_id", "text", n = 3, maxHamming = 3,
+        shingleHash = functions.Text.portableHash60)
+      Dedup.simHashIncremental(idx, corpus.filter(col("doc_id") >= cut),
+          "doc_id", "text", n = 3, maxHamming = 3, includeIntraBatch = true,
+          shingleHash = functions.Text.portableHash60)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // exhaustive all-pairs path: the ORACLE BASELINE only (hash-green
     // vs DuckDB); bounded inputs — never the 100 TB path
     "dedup_embedding" -> ((s, d) =>
@@ -966,6 +980,37 @@ object SparkEntry {
     */
   private def md5Hash60Sql(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** The md5-twin SimHash pipeline as DuckDB SQL (n=3, hamming ≤ 3,
+    * 4×16-bit blocks). `pairWhere` narrows the candidate join.
+    */
+  private def simhashMd5Sql(pairWhere: String): String =
+    s"""WITH gd AS (
+         SELECT doc_id, unnest(grams) AS gram
+         FROM (${gramsSql(3, distinct = true)})
+       ), h0 AS (
+         SELECT doc_id, ${md5Hash60Sql("gram")} AS hv FROM gd
+       ), n AS (
+         SELECT doc_id, count(*) AS nsh FROM gd GROUP BY doc_id
+       ), v AS (
+         SELECT doc_id, b, CAST(sum((hv >> b) & 1) AS BIGINT) AS votes
+         FROM h0 CROSS JOIN range(60) t(b) GROUP BY doc_id, b
+       ), sig AS (
+         SELECT v.doc_id,
+           CAST(sum(CASE WHEN 2 * votes > nsh
+             THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+         FROM v JOIN n ON n.doc_id = v.doc_id GROUP BY v.doc_id
+       ), blocked AS (
+         SELECT doc_id, simhash, blk,
+           (simhash >> (blk * 16)) & 65535 AS blkval
+         FROM sig CROSS JOIN range(4) t(blk))
+       SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         bit_count(xor(a.simhash, c.simhash)) AS hamming
+       FROM blocked a JOIN blocked c
+         ON a.blk = c.blk AND a.blkval = c.blkval AND a.doc_id < c.doc_id
+            $pairWhere
+       WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
+       ORDER BY id_a, id_b"""
 
   /** The md5-twin MinHash-LSH pipeline as DuckDB SQL (n=3, 32 hashes,
     * 16 bands, threshold 0.5). `pairWhere` narrows the candidate join
@@ -2106,32 +2151,12 @@ object SparkEntry {
       // SimHash replayed: per-bit votes over the md5-slice shingle
       // hashes, majority signature, 4×16-bit pigeonhole blocks,
       // hamming ≤ 3 verify via bit_count(xor)
-      "dedup_simhash_md5" ->
-        s"""WITH gd AS (
-             SELECT doc_id, unnest(grams) AS gram
-             FROM (${gramsSql(3, distinct = true)})
-           ), h0 AS (
-             SELECT doc_id, ${md5Hash60Sql("gram")} AS hv FROM gd
-           ), n AS (
-             SELECT doc_id, count(*) AS nsh FROM gd GROUP BY doc_id
-           ), v AS (
-             SELECT doc_id, b, CAST(sum((hv >> b) & 1) AS BIGINT) AS votes
-             FROM h0 CROSS JOIN range(60) t(b) GROUP BY doc_id, b
-           ), sig AS (
-             SELECT v.doc_id,
-               CAST(sum(CASE WHEN 2 * votes > nsh
-                 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
-             FROM v JOIN n ON n.doc_id = v.doc_id GROUP BY v.doc_id
-           ), blocked AS (
-             SELECT doc_id, simhash, blk,
-               (simhash >> (blk * 16)) & 65535 AS blkval
-             FROM sig CROSS JOIN range(4) t(blk))
-           SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
-             bit_count(xor(a.simhash, c.simhash)) AS hamming
-           FROM blocked a JOIN blocked c
-             ON a.blk = c.blk AND a.blkval = c.blkval AND a.doc_id < c.doc_id
-           WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
-           ORDER BY id_a, id_b""",
+      "dedup_simhash_md5" -> simhashMd5Sql(pairWhere = ""),
+
+      // the incremental twin: same signatures + same blocks ⇒ the
+      // delta path equals the full run restricted to id_b ≥ cut
+      "dedup_simhash_incr_md5" ->
+        simhashMd5Sql(pairWhere = "AND c.doc_id >= 250"),
 
       "dedup_components" ->
         s"""WITH RECURSIVE sh AS (

@@ -326,10 +326,13 @@ object Dedup {
     * the shingle array). Each shingle is hashed ONCE; per-bit votes
     * accumulate in a 64-slot array folded over the hash array.
     */
-  def simHash(docs: DataFrame, idCol: String, textCol: String,
-              n: Int = 3, maxHamming: Int = 3,
-              shingleHash: Column => Column = xxhash64(_)): DataFrame = {
-    val blocks = maxHamming + 1
+  /** Shared SimHash machinery: the persisted blocked frame
+    * (id, simhash, blk, blkval) — one row per pigeonhole block.
+    * The reusable INDEX frame of [[simHashIncremental]].
+    */
+  private def simHashBlocked(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int, blocks: Int,
+                             shingleHash: Column => Column): DataFrame = {
     val sh = Par.widen(docs.select(col(idCol), col(textCol)), idCol)
       .select(col(idCol).as("id"), Text.shingles(col(textCol), n).as("sh"))
     // votes[b] = number of shingles whose hash has bit b set
@@ -348,25 +351,80 @@ object Dedup {
         when(c * lit(2L) > nsh,
           call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
-    // persisted: both sides of the block self-join read this
-    val signed = Par.persistTracked(
-      sh.select(col("id"), simhashCol.as("simhash")))
-    // pigeonhole blocking on 64/blocks-bit blocks
+    val signed = sh.select(col("id"), simhashCol.as("simhash"))
+    // pigeonhole blocking on 64/blocks-bit blocks; persisted — both
+    // sides of the block self-join (or the index) read this
     val blockBits = 64 / blocks
-    val blocked = signed.select(col("id"), col("simhash"),
+    Par.persistTracked(signed.select(col("id"), col("simhash"),
       explode(transform(sequence(lit(0), lit(blocks - 1)), b =>
         struct(b.as("blk"),
           call_function("shiftright", col("simhash"), b * blockBits)
             .bitwiseAND((1L << blockBits) - 1).as("blkval")))).as("bk"))
-      .select(col("id"), col("simhash"), col("bk.blk"), col("bk.blkval"))
-    val l = blocked.select(col("blk"), col("blkval"), col("id").as("id_a"), col("simhash").as("h_a"))
-    val r = blocked.select(col("blk"), col("blkval"), col("id").as("id_b"), col("simhash").as("h_b"))
-    l.join(r, Seq("blk", "blkval"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+      .select(col("id"), col("simhash"), col("bk.blk"), col("bk.blkval")))
+  }
+
+  /** Hamming verify over block-collision candidates carrying both
+    * signatures as (id_a, h_a, id_b, h_b).
+    */
+  private def hammingVerify(cand: DataFrame, maxHamming: Int): DataFrame =
+    cand.select(col("id_a"), col("id_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+
+  def simHash(docs: DataFrame, idCol: String, textCol: String,
+              n: Int = 3, maxHamming: Int = 3,
+              shingleHash: Column => Column = xxhash64(_)): DataFrame = {
+    val blocked = simHashBlocked(docs, idCol, textCol, n, maxHamming + 1,
+      shingleHash)
+    val l = blocked.select(col("blk"), col("blkval"), col("id").as("id_a"), col("simhash").as("h_a"))
+    val r = blocked.select(col("blk"), col("blkval"), col("id").as("id_b"), col("simhash").as("h_b"))
+    hammingVerify(
+      l.join(r, Seq("blk", "blkval")).filter(col("id_a") < col("id_b")),
+      maxHamming)
+  }
+
+  /** Persistent SimHash index frame for [[simHashIncremental]]:
+    * (id, simhash, blk, blkval) — write it BUCKETED on `blkval` and
+    * the daily candidate join never shuffles the index (the
+    * [[exactIncremental]] contract).
+    */
+  def simHashIndexFrame(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, maxHamming: Int = 3,
+                        shingleHash: Column => Column = xxhash64(_)): DataFrame =
+    simHashBlocked(docs, idCol, textCol, n, maxHamming + 1, shingleHash)
+
+  /** Incremental SimHash near-dup — the daily-delta form of
+    * [[simHash]]: a new batch's signatures check against the existing
+    * corpus index frame at delta cost (only the batch is shingled and
+    * signed; index rows join by (blk, blkval) carrying their stored
+    * signature — no index recompute). Returns (id_a = index doc,
+    * id_b = batch doc, hamming ≤ maxHamming); `includeIntraBatch`
+    * adds batch-internal pairs. Same signatures + same pigeonhole
+    * blocks ⇒ identical to the full run's batch-touching pairs.
+    */
+  def simHashIncremental(indexBlocked: DataFrame, batch: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 3, maxHamming: Int = 3,
+                         includeIntraBatch: Boolean = false,
+                         shingleHash: Column => Column = xxhash64(_)): DataFrame = {
+    val bblocked = simHashBlocked(batch, idCol, textCol, n, maxHamming + 1,
+      shingleHash)
+    val idx = indexBlocked.select(col("blk"), col("blkval"),
+      col("id").as("id_a"), col("simhash").as("h_a"))
+    val bat = bblocked.select(col("blk"), col("blkval"),
+      col("id").as("id_b"), col("simhash").as("h_b"))
+    val cross = hammingVerify(
+      idx.join(bat, Seq("blk", "blkval")).filter(col("id_a") =!= col("id_b")),
+      maxHamming)
+    if (!includeIntraBatch) cross
+    else {
+      val l = bblocked.select(col("blk"), col("blkval"), col("id").as("id_a"), col("simhash").as("h_a"))
+      val intra = hammingVerify(
+        l.join(bat, Seq("blk", "blkval")).filter(col("id_a") < col("id_b")),
+        maxHamming)
+      cross.unionByName(intra)
+    }
   }
 
   /** Eval-set decontamination: flag eval documents whose n-gram

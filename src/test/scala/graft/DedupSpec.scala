@@ -107,6 +107,22 @@ class DedupSpec extends SparkSuite {
     assert(inc.nonEmpty, "test corpus produced no cross/intra pairs")
   }
 
+  test("simHashIncremental equals the full run's batch-touching pairs") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val cut = 250L
+    val idx = Dedup.simHashIndexFrame(corpus.filter(col("doc_id") < cut),
+      "doc_id", "text", n = 3, maxHamming = 3)
+    val inc = Dedup.simHashIncremental(idx,
+        corpus.filter(col("doc_id") >= cut), "doc_id", "text",
+        n = 3, maxHamming = 3, includeIntraBatch = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.simHash(corpus, "doc_id", "text", n = 3, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc === full.filter(_._2 >= cut))
+    assert(inc.nonEmpty, "test corpus produced no cross/intra pairs")
+  }
+
   test("exactIncremental: bucketed keeper index keeps the index side exchange-free") {
     // the 100 TB contract: the corpus-sized index must never shuffle
     // for a daily delta — bucketed storage satisfies the anti-join's
