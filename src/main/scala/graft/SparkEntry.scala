@@ -284,6 +284,11 @@ object SparkEntry {
       Quality.freshness(Tables.events(s, d), "ts",
         lit("2024-04-01 00:00:00").cast("timestamp"),
         warnAfterSec = 3600L, errorAfterSec = 30L * 86400L)),
+    // per-day volume z-scores from exact integer moments (r7): the
+    // "did yesterday's load look normal" monitor
+    "dq_volume_anomaly" -> ((s, d) =>
+      Quality.volumeAnomaly(Tables.events(s, d), "ts", zThreshold = 3.0)
+        .orderBy(col("bucket_ts"))),
 
     // ---- soft delete (§2.1) ----
     // staging model CARRIES the soft-delete marker (reference
@@ -1443,6 +1448,32 @@ object SparkEntry {
                CAST(epoch(TIMESTAMP '2024-04-01 00:00:00') AS BIGINT)
                  - CAST(epoch(max(CAST(ts AS TIMESTAMP))) AS BIGINT) AS lag_sec
              FROM events)""",
+
+      // variance from exact integer sums (Σn, Σn²) — the one double
+      // sequence both engines replay identically; z null under 2 days
+      "dq_volume_anomaly" ->
+        """WITH c AS (
+             SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS bucket_ts,
+               count(*) AS n_rows
+             FROM events GROUP BY 1
+           ), m AS (
+             SELECT bucket_ts, n_rows,
+               count(*) OVER () AS nn,
+               CAST(sum(n_rows) OVER () AS DOUBLE) AS s1,
+               CAST(sum(n_rows * n_rows) OVER () AS DOUBLE) AS s2
+             FROM c
+           ), z AS (
+             SELECT bucket_ts, n_rows,
+               CASE WHEN nn < 2
+                      OR (s2 - s1 * s1 / CAST(nn AS DOUBLE))
+                         / CAST(greatest(nn - 1, 1) AS DOUBLE) <= 0.0 THEN NULL
+                 ELSE round((CAST(n_rows AS DOUBLE) - s1 / CAST(nn AS DOUBLE))
+                   / sqrt((s2 - s1 * s1 / CAST(nn AS DOUBLE))
+                          / CAST(greatest(nn - 1, 1) AS DOUBLE)), 6) END AS z_score
+             FROM m)
+           SELECT bucket_ts, n_rows, z_score,
+             coalesce(abs(z_score) > 3.0, false) AS is_anomaly
+           FROM z ORDER BY bucket_ts""",
 
       "stg_customer" ->
         """SELECT c_custkey AS customer_id, c_name AS customer_name,

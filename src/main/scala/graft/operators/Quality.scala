@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** dbt-style data-quality tests (reference:
@@ -174,6 +175,44 @@ object Quality {
         when(col("lag_sec").isNull || col("lag_sec") > errorAfterSec, lit("error"))
           .when(col("lag_sec") > warnAfterSec, lit("warn"))
           .otherwise(lit("pass")))
+
+  /** Volume-anomaly check (the dbt-ish "did yesterday's load look
+    * like every other day" monitor): rows are bucketed per day and
+    * each day's count is z-scored against all days. Variance comes
+    * from EXACT integer sums (Σn, Σn² over long counts) rather than
+    * a streaming stddev — Welford-merge floating point is
+    * partition-order-dependent and engine-specific, the closed form
+    * is one deterministic double sequence any engine reproduces.
+    * One count aggregation; the moments are windows over the
+    * DAYS-sized frame (tiny). z is null while fewer than 2 days or
+    * zero variance (no anomaly call on no evidence).
+    */
+  def volumeAnomaly(df: DataFrame, tsCol: String,
+                    zThreshold: Double = 3.0): DataFrame = {
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val counts = df
+      .groupBy(date_trunc("day", col(tsCol)).as("bucket_ts"))
+      .agg(count(lit(1)).as("n_rows"))
+    counts
+      .withColumn("__N", count(lit(1)).over(wAll))
+      .withColumn("__s1", sum(col("n_rows")).over(wAll).cast("double"))
+      .withColumn("__s2",
+        sum(col("n_rows") * col("n_rows")).over(wAll).cast("double"))
+      .withColumn("__mean", col("__s1") / col("__N").cast("double"))
+      .withColumn("__var",
+        // divisor clamped to 1 so the N=1 frame doesn't trip ANSI
+        // divide-by-zero — that case is z-null'd below anyway
+        (col("__s2") - col("__s1") * col("__s1") / col("__N").cast("double")) /
+          greatest(col("__N") - lit(1), lit(1)).cast("double"))
+      .withColumn("z_score",
+        when(col("__N") < 2 || col("__var") <= 0.0, lit(null).cast("double"))
+          .otherwise(round((col("n_rows").cast("double") - col("__mean")) /
+            sqrt(col("__var")), 6)))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z_score")) > zThreshold, lit(false)))
+      .select(col("bucket_ts"), col("n_rows"), col("z_score"), col("is_anomaly"))
+  }
 
   /** dbt `relationships` test: child keys with no matching parent.
     * Single left-anti join (broadcast when the parent dim is small).

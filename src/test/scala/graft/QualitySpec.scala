@@ -69,4 +69,28 @@ class QualitySpec extends SparkSuite {
     assert(Quality.freshness(empty, "ts", asOf, 600L, 3600L)
       .collect()(0).getString(2) === "error")
   }
+
+  test("volumeAnomaly: spiked day flagged, normal days not, degenerate cases null") {
+    // 20 days × 100 rows + one day × 1000 → spike z ≈ 4.36
+    val rows = (1 to 21).flatMap { day =>
+      val n = if (day == 21) 1000 else 100
+      (1 to n).map(i => java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:${i % 60}%02d"))
+    }
+    val out = Quality.volumeAnomaly(rows.toDF("ts"), "ts")
+      .collect().map(r => (r.getTimestamp(0).toString.take(10),
+        r.getLong(1), Option(r.get(2)).map(_ => r.getDouble(2)), r.getBoolean(3)))
+    assert(out.count(_._4) === 1)
+    val spike = out.find(_._1 == "2024-01-21").get
+    assert(spike._2 === 1000L && spike._4 && spike._3.get > 3.0)
+    assert(out.filter(_._1 != "2024-01-21").forall(d => !d._4 && math.abs(d._3.get) < 1))
+    // one day / identical days → z null, never flagged
+    val one = Quality.volumeAnomaly(
+      Seq(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")).toDF("ts"), "ts")
+      .collect()(0)
+    assert(one.isNullAt(2) && !one.getBoolean(3))
+    val flat = Quality.volumeAnomaly((1 to 4).flatMap(d =>
+        Seq.fill(50)(java.sql.Timestamp.valueOf(f"2024-01-0$d 09:00:00")))
+      .toDF("ts"), "ts").collect()
+    assert(flat.forall(r => r.isNullAt(2) && !r.getBoolean(3)))
+  }
 }
