@@ -50,6 +50,13 @@ object SparkEntry {
     "events_retention" -> ((s, d) =>
       Analytics.retention(Tables.events(s, d), "user_id", "ts")
         .orderBy(col("cohort_ts"), col("period_n"))),
+    // windowed funnel (r7): conversion within 1 h of the step-1
+    // start, every start evaluated; oracle replays the per-start
+    // min-join recurrence + deepest/earliest tie-break
+    "events_funnel_windowed" -> ((s, d) =>
+      Analytics.funnelWindowed(Tables.events(s, d), "user_id", "event_type",
+          "ts", Seq("view", "click", "purchase"), windowSeconds = 3600L)
+        .orderBy(col("user_id"))),
 
     // ---- temporal joins (§2.4b) ----
     // as-of BACKWARD: each purchase gets the user's latest view
@@ -1173,6 +1180,49 @@ object SparkEntry {
              FROM events e JOIN first f USING (user_id))
            SELECT cohort_ts, period_n, count(*) AS n_active
            FROM act GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      // per-start chains: for every step-1 start t0, the windowed
+      // recurrence tᵢ = min{ts of step i | tᵢ₋₁ < ts ≤ t0 + W};
+      // the user keeps the deepest stage, earliest start on ties
+      "events_funnel_windowed" ->
+        """WITH f AS (
+             SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+             FROM events WHERE event_type IN ('view', 'click', 'purchase')
+           ), s0 AS (
+             SELECT user_id, ts AS t0,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+             FROM f WHERE event_type = 'view'
+           ), s0k AS (SELECT user_id, t0 FROM s0 WHERE rn <= 64
+           ), c2 AS (
+             SELECT s.user_id, s.t0, min(f.ts) AS t2
+             FROM s0k s JOIN f ON f.user_id = s.user_id
+             WHERE f.event_type = 'click' AND f.ts > s.t0
+               AND f.ts <= s.t0 + INTERVAL 3600 SECONDS
+             GROUP BY s.user_id, s.t0
+           ), c3 AS (
+             SELECT c.user_id, c.t0, min(f.ts) AS t3
+             FROM c2 c JOIN f ON f.user_id = c.user_id
+             WHERE f.event_type = 'purchase' AND f.ts > c.t2
+               AND f.ts <= c.t0 + INTERVAL 3600 SECONDS
+             GROUP BY c.user_id, c.t0, c.t2
+           ), st AS (
+             SELECT s.user_id, s.t0,
+               CASE WHEN c3.t3 IS NOT NULL THEN 3
+                    WHEN c2.t2 IS NOT NULL THEN 2 ELSE 1 END AS stage,
+               coalesce(c3.t3, c2.t2, s.t0) AS t_end
+             FROM s0k s
+               LEFT JOIN c2 ON c2.user_id = s.user_id AND c2.t0 = s.t0
+               LEFT JOIN c3 ON c3.user_id = s.user_id AND c3.t0 = s.t0
+           ), best AS (
+             SELECT user_id, stage, t0 AS t_first, t_end AS t_last,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY stage DESC, t0 ASC) AS rk
+             FROM st
+           ), u AS (SELECT DISTINCT user_id FROM f)
+           SELECT u.user_id, coalesce(b.stage, 0) AS stage,
+             b.t_first, b.t_last
+           FROM u LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (user_id)
+           ORDER BY u.user_id""",
 
       // the funnel fold ≡ the earliest-completion recurrence
       // tᵢ = min{ts of step i | ts > tᵢ₋₁}, expressed as k min-joins

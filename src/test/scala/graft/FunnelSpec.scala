@@ -23,6 +23,37 @@ class FunnelSpec extends SparkSuite {
     assert(out === Map(1L -> 3, 2L -> 1, 3L -> 1, 5L -> 1))
   }
 
+  test("funnelWindowed: a dead-ended early start loses to a later converting one") {
+    val events = ev(
+      // start@0 dead-ends (no click within 10s); start@12 converts
+      (1L, "view", 0L), (1L, "view", 12L), (1L, "click", 15L),
+      (1L, "purchase", 18L),
+      // window cuts the chain after stage 2
+      (2L, "view", 0L), (2L, "click", 5L), (2L, "purchase", 20L))
+    val out = Analytics.funnelWindowed(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), windowSeconds = 10L)
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getInt(1), r.getTimestamp(2).getTime / 1000,
+          r.getTimestamp(3).getTime / 1000))
+      }.toMap
+    assert(out(1L) === ((3, 12L, 18L)))
+    assert(out(2L) === ((2, 0L, 5L)))
+  }
+
+  test("funnelWindowed with an unbounded window equals the plain funnel") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1),
+        Option(r.getTimestamp(2)), Option(r.getTimestamp(3)))).toSet
+    val plain = rows(Analytics.funnel(events, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase")))
+    // greedy-from-earliest dominates when nothing expires (exchange
+    // argument), so the per-start sweep collapses to the single chain
+    val wide = rows(Analytics.funnelWindowed(events, "user_id", "event_type",
+      "ts", Seq("view", "click", "purchase"), windowSeconds = 10L * 365 * 86400))
+    assert(wide === plain)
+  }
+
   test("funnel: chain timestamps are the recurrence minima; stage-0 users kept") {
     val events = ev(
       // two candidate chains; the EARLIEST strictly-increasing one wins:
