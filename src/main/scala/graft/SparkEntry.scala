@@ -39,6 +39,11 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_seq"))),
     "q18_large_orders" -> ((s, d) => Analytics.q18LargeOrders(s, d)),
     "q13_custdist" -> ((s, d) => Analytics.q13CustDist(s, d)),
+    // co-purchase part pairs (r7): order-keyed self-join, per-order
+    // fan-out bounded by line count
+    "basket_pairs" -> ((s, d) =>
+      Analytics.basketPairs(Tables.lineitem(s, d), minCount = 2L)
+        .orderBy(col("part_a"), col("part_b"))),
     "events_rolling" -> ((s, d) => Analytics.eventsRolling(s, d)),
     // ordered-step conversion funnel (r7): one shuffle + per-user
     // sorted fold; oracle replays the min-join recurrence
@@ -1180,6 +1185,16 @@ object SparkEntry {
              FROM events e JOIN first f USING (user_id))
            SELECT cohort_ts, period_n, count(*) AS n_active
            FROM act GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      "basket_pairs" ->
+        """WITH items AS (
+             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+           SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_orders
+           FROM items a JOIN items b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2
+           ORDER BY part_a, part_b""",
 
       // per-start chains: for every step-1 start t0, the windowed
       // recurrence tᵢ = min{ts of step i | tᵢ₋₁ < ts ≤ t0 + W};

@@ -260,6 +260,25 @@ object Analytics {
     * (the sessionization memory contract). Users with relevant
     * events but no step-1 completion still report stage 0.
     */
+  /** Market-basket affinity: part pairs co-occurring in the same
+    * order, counted across orders — the classic co-purchase signal.
+    * The self-join key is the ORDER, so fan-out per order is
+    * items² — bounded by the schema's per-order line count (TPC-H:
+    * ≤ 7), never corpus-quadratic; the pair aggregation shuffles on
+    * the (part, part) composite. `minCount` prunes the long tail
+    * before the final sort.
+    */
+  def basketPairs(lineitem: DataFrame, minCount: Long = 2L): DataFrame = {
+    val items = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= minCount)
+  }
+
   /** Windowed funnel — [[funnel]] with a conversion deadline: the
     * chain must complete within `windowSeconds` of its step-1 start.
     * A single greedy chain is NOT enough here (an early start can
