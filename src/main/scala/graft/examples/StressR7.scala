@@ -128,6 +128,10 @@ object StressR7 {
       force(Text.topTermsApprox(docs0, "doc_id", "text", 20, 256)))
     val (tt10, ttn10) = timed("corpus_top_terms_approx 10x")(
       force(Text.topTermsApprox(docs10, "doc_id", "text", 20, 256)))
+    def funW(d: DataFrame) = Analytics.funnelWindowed(d, "user_id",
+      "event_type", "ts", Seq("view", "click", "purchase"), 3600L)
+    val (fw1, fwn1) = timed("events_funnel_windowed 1x")(force(funW(evRaw)))
+    val (fw10, fwn10) = timed("events_funnel_windowed 10x")(force(funW(evRaw10)))
 
     println(f"[stress] ratios: exact_incremental ${in10 / in1}%.1fx " +
       f"(survivors $inn1 -> $inn10), mix ${mx10 / mx1}%.1fx " +
@@ -136,7 +140,8 @@ object StressR7 {
       f"(users $fun1 -> $fun10), retention ${re10 / re1}%.1fx " +
       f"(cells $ren1 -> $ren10), chunk ${ch10 / ch1}%.1fx " +
       f"(chunks $chn1 -> $chn10), ngram_rep ${ng10 / ng1}%.1fx, " +
-      f"mg_topk ${tt10 / tt1}%.1fx")
+      f"mg_topk ${tt10 / tt1}%.1fx, funnel_windowed ${fw10 / fw1}%.1fx " +
+      f"(users $fwn1 -> $fwn10)")
     spark.stop()
   }
 }
