@@ -672,6 +672,20 @@ object SparkEntry {
       Dedup.embeddingCosine(Tables.embeddings(s, d), "vec_id", "embedding",
           threshold = 0.45, exhaustive = false, planes = 4, tables = 12)
         .orderBy(col("id_a"), col("id_b"))),
+    // daily-delta embedding near-dup (r7): second half of the vectors
+    // vs the first-half index — same literal planes, so the FULL
+    // oracle replays it (restricted to batch-touching pairs)
+    "dedup_embedding_incr" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val cut = lit(250L)
+      val (ivecs, ikeys) = Dedup.embeddingIndexFrames(
+        embs.filter(col("vec_id") < cut), "vec_id", "embedding",
+        planes = 4, tables = 12)
+      Dedup.embeddingCosineIncremental(ivecs, ikeys,
+          embs.filter(col("vec_id") >= cut), "vec_id", "embedding",
+          threshold = 0.45, planes = 4, tables = 12, includeIntraBatch = true)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     // near-dup pairs → transitive CLUSTERS: every id labeled with its
     // component's minimum id (keep-one-per-cluster even when
@@ -2301,6 +2315,24 @@ object SparkEntry {
            cand AS (
              SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
              FROM b a JOIN b c ON a.t = c.t AND a.bucket = c.bucket AND a.vec_id < c.vec_id),
+           scored AS (
+             SELECT id_a, id_b,
+               list_sum(list_transform(generate_series(1, len(x.v)), i -> x.v[i] * y.v[i]))
+               / (sqrt(list_sum(list_transform(x.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(y.v, x -> x * x)))) AS cosine
+             FROM cand JOIN e x ON cand.id_a = x.vec_id
+                       JOIN e y ON cand.id_b = y.vec_id)
+           SELECT id_a, id_b, cosine FROM scored
+           WHERE cosine >= 0.45 ORDER BY id_a, id_b""",
+
+      // the incremental twin: same planes + buckets ⇒ the delta path
+      // equals the full run restricted to id_b ≥ cut
+      "dedup_embedding_incr" ->
+        s"""WITH ${lshBucketsCte(tables = 12, planes = 4)},
+           cand AS (
+             SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+             FROM b a JOIN b c ON a.t = c.t AND a.bucket = c.bucket
+               AND a.vec_id < c.vec_id AND c.vec_id >= 250),
            scored AS (
              SELECT id_a, id_b,
                list_sum(list_transform(generate_series(1, len(x.v)), i -> x.v[i] * y.v[i]))

@@ -532,16 +532,36 @@ object Dedup {
     * `exhaustive=true` scores all pairs — the correctness baseline
     * for bounded inputs, never the scale path.
     */
+  /** Shared embedding-LSH machinery: the persisted normalized-vector
+    * frame (id, vec, nrm) and the bucket KEY frame (id, table,
+    * bucket) — the reusable INDEX frames of
+    * [[embeddingCosineIncremental]].
+    */
+  private def embeddingFrames(embs: DataFrame, idCol: String, vecCol: String,
+                              planes: Int, tables: Int): (DataFrame, DataFrame) = {
+    val base = Par.persistTracked(
+      Par.widen(embs.select(col(idCol), col(vecCol)), idCol)
+        .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", Vectors.norm(col("vec"))))
+    // bucket KEYS only: one pass computes all `tables` bucket ids per
+    // row (each hyperplane dot runs once); derived from the persisted
+    // base so re-evaluation costs the dots, never the scan
+    val keys = base.select(col("id"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("table"),
+          Similarity.hyperplaneBucket(col("vec"), planes, t).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    (base, keys)
+  }
+
   def embeddingCosine(embs: DataFrame, idCol: String, vecCol: String,
                       threshold: Double = 0.95,
                       exhaustive: Boolean = false,
                       planes: Int = 12, tables: Int = 4): DataFrame = {
     // normalize each vector ONCE (persisted: both join sides read it);
     // pair scoring is then a dot product, not dot + two norms per pair
-    val base = Par.persistTracked(
-      Par.widen(embs.select(col(idCol), col(vecCol)), idCol)
-        .select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("nrm", Vectors.norm(col("vec"))))
+    val (base, lshKeys) = embeddingFrames(embs, idCol, vecCol, planes, tables)
     def score(pairs: DataFrame): DataFrame = pairs
       .withColumn("cosine", Vectors.dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cosine") >= threshold)
@@ -552,16 +572,9 @@ object Dedup {
       score(a.join(b, col("id_a") < col("id_b")))
     } else {
       val spark = embs.sparkSession
-      // bucket KEYS only: one pass computes all `tables` bucket ids
-      // per row (explode of a struct array — each hyperplane dot runs
-      // once, not once per join side), and the bucket self-join
-      // shuffles bare (table, bucket, id) triples, never vectors
-      val keys = base.select(col("id"),
-        explode(array((0 until tables).map { t =>
-          struct(lit(t).as("table"),
-            Similarity.hyperplaneBucket(col("vec"), planes, t).as("bucket"))
-        }: _*)).as("tb"))
-        .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      // the bucket self-join shuffles bare (table, bucket, id)
+      // triples, never vectors
+      val keys = lshKeys
       // SALT the join key: (table, bucket) has only tables·2^planes
       // distinct values, so an unsalted join hands entire buckets to
       // single reducers — and AQE, seeing tiny INPUT bytes, coalesces
@@ -597,6 +610,68 @@ object Dedup {
         .join(base.select(col("id").as("id_b"), col("vec").as("vec_b"),
           col("nrm").as("nrm_b")), Seq("id_b")))
     }
+  }
+
+  /** Persistent embedding-LSH index frames for
+    * [[embeddingCosineIncremental]]: `(vecs: (id, vec, nrm), keys:
+    * (id, table, bucket))`. Store `keys` BUCKETED on `bucket` and
+    * `vecs` on `id` and the daily run neither re-hashes nor shuffles
+    * the corpus (the [[exactIncremental]] contract).
+    */
+  def embeddingIndexFrames(embs: DataFrame, idCol: String, vecCol: String,
+                           planes: Int = 12, tables: Int = 4)
+      : (DataFrame, DataFrame) =
+    embeddingFrames(embs, idCol, vecCol, planes, tables)
+
+  /** Incremental embedding near-dup — the daily-delta form of the
+    * [[embeddingCosine]] LSH path, completing the incremental family
+    * (exact / MinHash / SimHash / embedding): a new batch of vectors
+    * checks against the stored corpus index at delta cost — only the
+    * batch is normalized and bucket-hashed, index rows enter the
+    * candidate join by (table, bucket) key, and vectors are fetched
+    * for surviving candidate ids only. Batch ids must be disjoint
+    * from index ids. Pairs come out (id_a, id_b) = (min, max) with
+    * exact cosine ≥ threshold — identical to the full run on
+    * index ∪ batch restricted to batch-touching pairs (same planes,
+    * same buckets). The index side of the candidate join is SALTED
+    * exactly as the full path (the AQE tiny-input one-task trap);
+    * the batch side replicates across salts (delta-sized × salts).
+    */
+  def embeddingCosineIncremental(indexVecs: DataFrame, indexKeys: DataFrame,
+                                 batch: DataFrame, idCol: String, vecCol: String,
+                                 threshold: Double = 0.95,
+                                 planes: Int = 12, tables: Int = 4,
+                                 includeIntraBatch: Boolean = false): DataFrame = {
+    val spark = batch.sparkSession
+    val (bbase, bkeys) = embeddingFrames(batch, idCol, vecCol, planes, tables)
+    val salts = math.max(1, math.min(64, spark.sparkContext.defaultParallelism))
+    val ik = indexKeys
+      .withColumn("salt", pmod(xxhash64(col("id")), lit(salts.toLong)))
+      .select(col("table"), col("bucket"), col("salt"), col("id").as("id_i"))
+    val bk = bkeys.select(col("table"), col("bucket"), col("id").as("id_n"))
+      .withColumn("salt", explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+    val width = spark.conf.getOption("spark.sql.shuffle.partitions")
+      .map(_.toInt).getOrElse(spark.sparkContext.defaultParallelism)
+    val cross = ik.join(bk, Seq("table", "bucket", "salt"))
+      .filter(col("id_i") =!= col("id_n"))
+      .select(least(col("id_i"), col("id_n")).as("id_a"),
+        greatest(col("id_i"), col("id_n")).as("id_b"))
+      .repartition(width, col("id_a"), col("id_b"))
+      .distinct()
+    val vecs = indexVecs.unionByName(bbase)
+    val scored = cross
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a"),
+        col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b"),
+        col("nrm").as("nrm_b")), Seq("id_b"))
+      .withColumn("cosine",
+        Vectors.dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+    if (!includeIntraBatch) scored
+    else scored.unionByName(
+      embeddingCosine(batch, idCol, vecCol, threshold,
+        exhaustive = false, planes = planes, tables = tables))
   }
 
   /** Connected components over a near-dup PAIR graph: label every id

@@ -123,6 +123,24 @@ class DedupSpec extends SparkSuite {
     assert(inc.nonEmpty, "test corpus produced no cross/intra pairs")
   }
 
+  test("embeddingCosineIncremental equals the full LSH run's batch-touching pairs") {
+    import org.apache.spark.sql.functions.col
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cut = 250L
+    val (ivecs, ikeys) = Dedup.embeddingIndexFrames(
+      embs.filter(col("vec_id") < cut), "vec_id", "embedding",
+      planes = 4, tables = 12)
+    val inc = Dedup.embeddingCosineIncremental(ivecs, ikeys,
+        embs.filter(col("vec_id") >= cut), "vec_id", "embedding",
+        threshold = 0.45, planes = 4, tables = 12, includeIntraBatch = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.embeddingCosine(embs, "vec_id", "embedding",
+        threshold = 0.45, exhaustive = false, planes = 4, tables = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc === full.filter(_._2 >= cut))
+    assert(inc.nonEmpty, "test embeddings produced no cross/intra pairs")
+  }
+
   test("exactIncremental: bucketed keeper index keeps the index side exchange-free") {
     // the 100 TB contract: the corpus-sized index must never shuffle
     // for a daily delta — bucketed storage satisfies the anti-join's
