@@ -133,6 +133,25 @@ object StressR7 {
     val (fw1, fwn1) = timed("events_funnel_windowed 1x")(force(funW(evRaw)))
     val (fw10, fwn10) = timed("events_funnel_windowed 10x")(force(funW(evRaw10)))
 
+    // --- incremental near-dup family: index = even docs, batch = odd
+    // (both sides 10× in the replicated run) ---
+    def mhInc(d: DataFrame): Long = {
+      val (ish, ibd) = Dedup.minHashIndexFrames(
+        d.filter(col("doc_id") % 2 === 0), "doc_id", "text", 3, 32, 16)
+      force(Dedup.minHashLshIncremental(ish, ibd,
+        d.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", 3, 32, 16, 0.5))
+    }
+    def shInc(d: DataFrame): Long = {
+      val idx = Dedup.simHashIndexFrame(
+        d.filter(col("doc_id") % 2 === 0), "doc_id", "text", 3, 3)
+      force(Dedup.simHashIncremental(idx,
+        d.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", 3, 3))
+    }
+    val (mi1, min1) = timed("minhash_incremental 1x")(mhInc(docs0))
+    val (mi10, min10) = timed("minhash_incremental 10x")(mhInc(docs10))
+    val (si1, sin1) = timed("simhash_incremental 1x")(shInc(docs0))
+    val (si10, sin10) = timed("simhash_incremental 10x")(shInc(docs10))
+
     println(f"[stress] ratios: exact_incremental ${in10 / in1}%.1fx " +
       f"(survivors $inn1 -> $inn10), mix ${mx10 / mx1}%.1fx " +
       f"(rows $mxn1 -> $mxn10), jdbc_upsert ${up10 / up1}%.1fx " +
@@ -141,7 +160,9 @@ object StressR7 {
       f"(cells $ren1 -> $ren10), chunk ${ch10 / ch1}%.1fx " +
       f"(chunks $chn1 -> $chn10), ngram_rep ${ng10 / ng1}%.1fx, " +
       f"mg_topk ${tt10 / tt1}%.1fx, funnel_windowed ${fw10 / fw1}%.1fx " +
-      f"(users $fwn1 -> $fwn10)")
+      f"(users $fwn1 -> $fwn10), minhash_inc ${mi10 / mi1}%.1fx " +
+      f"(pairs $min1 -> $min10), simhash_inc ${si10 / si1}%.1fx " +
+      f"(pairs $sin1 -> $sin10)")
     spark.stop()
   }
 }

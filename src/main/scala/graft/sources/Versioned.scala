@@ -148,6 +148,15 @@ object Versioned {
     commit(merged, path, replace = true)
   }
 
+  /** Rewrite the head's (possibly many) append segments as ONE
+    * segment committed as the next version — the maintenance pass a
+    * long-lived append table needs (every commit added a segment;
+    * readers of the compacted head scan one). Old versions stay
+    * time-travelable until [[vacuum]]. Returns the new version.
+    */
+  def compact(spark: SparkSession, path: String): Int =
+    commit(read(spark, path), path, replace = true)
+
   /** Delete segments referenced by NO manifest newer than
     * `head - keepVersions + 1`, and the superseded manifests — the
     * storage-reclaim pass. Orphan segments from crashed writes go too.

@@ -75,6 +75,24 @@ class VersionedSpec extends SparkSuite {
     assert(v1 === Map(1L -> "a", 2L -> "b"))
   }
 
+  test("compact folds append segments into one; history intact until vacuum") {
+    val dir = tmpDir("vercp") + "/t"
+    Versioned.commit((1L to 10L).toDF("id"), dir, replace = true)
+    Versioned.commit((11L to 20L).toDF("id"), dir)
+    Versioned.commit((21L to 30L).toDF("id"), dir)
+    val v = Versioned.compact(spark, dir)
+    assert(v === 4)
+    val segs = new java.io.File(dir.stripPrefix("file:")).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("d-"))
+    assert(segs === 4, "pre-compaction segments remain until vacuum")
+    assert(Versioned.read(spark, dir).count() === 30)
+    assert(Versioned.read(spark, dir, Some(2)).count() === 20) // time travel intact
+    Versioned.vacuum(spark, dir, keepVersions = 1)
+    val after = new java.io.File(dir.stripPrefix("file:")).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("d-"))
+    assert(after === 1 && Versioned.read(spark, dir).count() === 30)
+  }
+
   test("vacuum keeps referenced segments, drops superseded versions") {
     val dir = tmpDir("verv") + "/t"
     Versioned.commit((1L to 30L).toDF("id"), dir, replace = true)   // v1
