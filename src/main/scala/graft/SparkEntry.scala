@@ -695,6 +695,20 @@ object SparkEntry {
           Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
             n = 3, threshold = 0.5, maxDocFreq = 1000))
         .orderBy(col("id"))),
+    // cluster-maintenance twin (r7): the same pair stream split into
+    // "yesterday" (both ids < cut → labeled) and "today" (the rest,
+    // folded via the star-edge incremental) — provably identical to
+    // the full replay, so the SAME recursive oracle grades it
+    "dedup_components_incr" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = 1000)
+      val cut = lit(250L)
+      val day1 = pairs.filter(col("id_a") < cut && col("id_b") < cut)
+      val day2 = pairs.filter(!(col("id_a") < cut && col("id_b") < cut))
+      Dedup.connectedComponentsIncremental(
+          Dedup.connectedComponents(day1), day2)
+        .orderBy(col("id"))
+    }),
 
     // ---- sampling / splitting (§2.5b) ----
     // modulo split: the bit-portable oracle for the assignment chain
@@ -1129,7 +1143,7 @@ object SparkEntry {
     def stopHits(words: String, list: Seq[String]): String =
       s"CAST(len(list_filter($words, w -> w IN (${list.map(w => s"'$w'").mkString(",")}))) AS BIGINT)"
 
-    Map(
+    val base = Map(
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
              CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -2417,5 +2431,9 @@ object SparkEntry {
              FROM scored)
            WHERE rn <= 10 ORDER BY query_id, rank"""
     )
+    // the incremental CC twin is PROVABLY the same labeling as the
+    // full replay (star-edge folding, DedupSpec), so it shares the
+    // recursive-reachability oracle verbatim
+    base + ("dedup_components_incr" -> base("dedup_components"))
   }
 }

@@ -737,4 +737,27 @@ object Dedup {
       "— pathological chain-shaped duplicate graph; raise maxIter")
     labels
   }
+
+  /** Incremental connected components — fold a day's NEW near-dup
+    * pairs into yesterday's (id, comp) labeling without replaying the
+    * full edge history: existing labels re-enter as (id → comp)
+    * edges — each old component collapses to a STAR, so its whole
+    * history contributes one hop regardless of how many edges built
+    * it — and propagation runs over star edges + the new pairs only.
+    * Convergence is bounded by the NEW pairs' diameter, not the
+    * accumulated graph's. Output has the same shape as
+    * [[connectedComponents]] and the same invariant (comp = min id of
+    * the transitive cluster over ALL pairs ever seen), proven
+    * equal-to-full-replay in DedupSpec.
+    */
+  def connectedComponentsIncremental(labels: DataFrame, newPairs: DataFrame,
+                                     idA: String = "id_a", idB: String = "id_b",
+                                     maxIter: Int = 20,
+                                     reliable: Boolean = false): DataFrame = {
+    val starEdges = labels.filter(col("id") =!= col("comp"))
+      .select(col("id").as(idA), col("comp").as(idB))
+    connectedComponents(
+      starEdges.unionByName(newPairs.select(col(idA), col(idB))),
+      idA, idB, maxIter, reliable)
+  }
 }

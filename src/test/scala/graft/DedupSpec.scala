@@ -123,6 +123,25 @@ class DedupSpec extends SparkSuite {
     assert(inc.nonEmpty, "test corpus produced no cross/intra pairs")
   }
 
+  test("connectedComponentsIncremental equals full replay; bridges merge old clusters") {
+    val day1 = Seq((1L, 5L), (5L, 9L), (20L, 21L)).toDF("id_a", "id_b")
+    val labels1 = Dedup.connectedComponents(day1)
+    // day 2 bridges the two old components and starts a new one
+    val day2 = Seq((9L, 20L), (30L, 31L), (31L, 32L)).toDF("id_a", "id_b")
+    val inc = Dedup.connectedComponentsIncremental(labels1, day2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponents(day1.unionByName(day2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === full)
+    assert(inc(21L) === 1L, "bridged component must take the global min label")
+    assert(inc(32L) === 30L)
+    // a quiet old component keeps its labeling untouched
+    val quiet = Dedup.connectedComponentsIncremental(labels1,
+        Seq((30L, 31L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(quiet(5L) === 1L && quiet(9L) === 1L && quiet(21L) === 20L)
+  }
+
   test("embeddingCosineIncremental equals the full LSH run's batch-touching pairs") {
     import org.apache.spark.sql.functions.col
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
