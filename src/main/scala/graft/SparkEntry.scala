@@ -594,6 +594,20 @@ object SparkEntry {
       Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text", n = 3, threshold = 0.5,
           maxDocFreq = 1000)
         .orderBy(col("id_a"), col("id_b"))),
+    // daily-delta n-gram Jaccard (r7): second half vs the first-half
+    // index under EXACT merged-df semantics — equal to the full run
+    // restricted to batch-touching pairs, so the full oracle grades
+    // it with that one restriction
+    "dedup_ngram_jaccard_incr" -> ((s, d) => {
+      val corpus = Tables.documents(s, d)
+      val cut = lit(250L)
+      val frames = Dedup.ngramIndexFrames(corpus.filter(col("doc_id") < cut),
+        "doc_id", "text", n = 3, maxDocFreq = 1000)
+      Dedup.ngramJaccardIncremental(frames, corpus.filter(col("doc_id") >= cut),
+          "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 1000,
+          includeIntraBatch = true)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "dedup_minhash" -> ((s, d) =>
       Dedup.minHashLsh(Tables.documents(s, d), "doc_id", "text",
           n = 3, numHashes = 32, bands = 16, threshold = 0.5)
@@ -2255,6 +2269,26 @@ object SparkEntry {
                CAST(count(*) AS DOUBLE)
                  / CAST(a.cnt + b.cnt - count(*) AS DOUBLE) AS jaccard
              FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+             GROUP BY a.id, b.id, a.cnt, b.cnt)
+           WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+
+      // the incremental twin: exact merged-df semantics ⇒ the delta
+      // path equals the full pipeline restricted to id_b ≥ cut
+      "dedup_ngram_jaccard_incr" ->
+        s"""WITH sh AS (
+             SELECT doc_id AS id, list_distinct(
+               CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+               ELSE list_transform(generate_series(1, len(words) - 2),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END) AS sh
+             FROM (SELECT doc_id, string_split($norm, ' ') AS words FROM documents)
+           ), ex AS (
+             SELECT id, CAST(len(sh) AS BIGINT) AS cnt, unnest(sh) AS gram FROM sh)
+           SELECT id_a, id_b, jaccard FROM (
+             SELECT a.id AS id_a, b.id AS id_b,
+               CAST(count(*) AS DOUBLE)
+                 / CAST(a.cnt + b.cnt - count(*) AS DOUBLE) AS jaccard
+             FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+               AND b.id >= 250
              GROUP BY a.id, b.id, a.cnt, b.cnt)
            WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
 

@@ -175,6 +175,162 @@ object Dedup {
     }
   }
 
+  /** Persistent n-gram Jaccard index frames (see
+    * [[ngramJaccardIncremental]]): `occ` = per-doc distinct hashed
+    * gram occurrences (store bucketed on BOTH gram and id copies for
+    * probe-only joins), `dfs` = per-gram document frequency, `meta` =
+    * per-doc whole-set hash + orphan flag under the index's own cap.
+    */
+  final case class NgramIndex(occ: DataFrame, dfs: DataFrame, meta: DataFrame)
+
+  /** Build [[NgramIndex]] frames for a corpus (same shingling +
+    * hashing as [[ngramJaccard]]).
+    */
+  def ngramIndexFrames(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, maxDocFreq: Int = 0): NgramIndex = {
+    val base = Par.persistTracked(
+      Par.widen(docs.select(col(idCol), col(textCol)), idCol)
+        .select(col(idCol).as("id"),
+          explode(Text.shingles(col(textCol), n)).as("g"))
+        .select(col("id"), xxhash64(col("g")).as("gram")))
+    val dfs = base.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val whole = base.groupBy(col("id"))
+      .agg(xxhash64(sort_array(collect_list(col("gram")))).as("wh"))
+    val meta =
+      if (maxDocFreq <= 0) whole.withColumn("orphan", lit(false))
+      else {
+        val surv = base
+          .join(dfs.filter(col("df") <= maxDocFreq).select(col("gram")), Seq("gram"))
+          .select(col("id")).distinct()
+        whole.join(surv.withColumn("__s", lit(1)), Seq("id"), "left_outer")
+          .select(col("id"), col("wh"), col("__s").isNull.as("orphan"))
+      }
+    NgramIndex(base, dfs, meta)
+  }
+
+  /** Incremental n-gram Jaccard — the daily-delta form of
+    * [[ngramJaccard]], with EXACT merged-corpus semantics: document
+    * frequencies are `index df + batch df`, so the cap, the surviving
+    * vocabularies, and every Jaccard score are computed as if the
+    * full run had seen index ∪ batch — including the two subtle
+    * consequences of a growing corpus:
+    *  - a gram can CROSS the cap when the batch arrives (crossing
+    *    grams are necessarily present in the batch, so detecting them
+    *    and the index docs they affect is batch-driven work);
+    *  - a previously-indexed doc can become an ORPHAN (all grams
+    *    over-cap) — such docs are re-checked only when one of their
+    *    grams crossed, and rescued through the stored whole-set hash.
+    *
+    * Output = the full run on index ∪ batch RESTRICTED to pairs that
+    * touch the batch (DedupSpec proves the equality on data where the
+    * cap actually bites). Previously emitted index-index pairs are by
+    * design not revisited — the standard incremental-dedup contract.
+    * All joins are delta-driven: the candidate join probes index
+    * occurrences by the batch's surviving grams, set rescoring
+    * fetches candidate index docs only, and the df merge is
+    * vocabulary-sized. Batch ids must be disjoint from index ids.
+    */
+  def ngramJaccardIncremental(index: NgramIndex, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int = 3, threshold: Double = 0.8,
+                              maxDocFreq: Int = 0,
+                              includeIntraBatch: Boolean = false): DataFrame = {
+    val spark = batch.sparkSession
+    val width = spark.conf.getOption("spark.sql.shuffle.partitions")
+      .map(_.toInt).getOrElse(spark.sparkContext.defaultParallelism)
+    val bbase = Par.persistTracked(
+      Par.widen(batch.select(col(idCol), col(textCol)), idCol)
+        .select(col(idCol).as("id"),
+          explode(Text.shingles(col(textCol), n)).as("g"))
+        .select(col("id"), xxhash64(col("g")).as("gram")))
+    val bdfs = bbase.groupBy(col("gram")).agg(count(lit(1)).as("bdf"))
+    val merged = Par.persistTracked(
+      index.dfs.join(bdfs, Seq("gram"), "full_outer")
+        .select(col("gram"),
+          (coalesce(col("df"), lit(0L)) + coalesce(col("bdf"), lit(0L))).as("df")))
+    val vocab =
+      if (maxDocFreq > 0) merged.filter(col("df") <= maxDocFreq) else merged
+    // batch surviving occurrences under the MERGED vocabulary
+    val survB = Par.persistTracked(bbase.join(vocab.select(col("gram")), Seq("gram")))
+    val bsets = Par.persistTracked(survB.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("gram"))).as("grams"),
+        count(lit(1)).as("cnt")))
+    // cross candidates: index postings probed by the batch's surviving
+    // grams (sub-cap is a GLOBAL property, so the gram survives for
+    // the index doc too)
+    val cand = survB.select(col("gram"), col("id").as("id_n"))
+      .join(index.occ.select(col("gram"), col("id").as("id_i")), Seq("gram"))
+      .select(col("id_i"), col("id_n"))
+      .repartition(width, col("id_i"), col("id_n"))
+      .distinct()
+    // surviving sets for CANDIDATE index docs only, under merged vocab
+    val isets = index.occ
+      .join(cand.select(col("id_i").as("id")).distinct(), Seq("id"))
+      .join(vocab.select(col("gram")), Seq("gram"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("gram"))).as("grams"),
+        count(lit(1)).as("cnt"))
+    def score(pairs: DataFrame, setsA: DataFrame, setsB: DataFrame): DataFrame =
+      pairs
+        .join(setsA.select(col("id").as("__pa"), col("grams").as("g_a"),
+          col("cnt").as("cnt_a")), col("__pa") === col("id_i"))
+        .join(setsB.select(col("id").as("__pb"), col("grams").as("g_b"),
+          col("cnt").as("cnt_b")), col("__pb") === col("id_n"))
+        .withColumn("common",
+          graft.functions.Vectors.sortedIntersectCount(col("g_a"), col("g_b")))
+        .withColumn("jaccard",
+          col("common").cast("double") /
+            (col("cnt_a") + col("cnt_b") - col("common")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(least(col("id_i"), col("id_n")).as("id_a"),
+          greatest(col("id_i"), col("id_n")).as("id_b"), col("jaccard"))
+    val crossScored = score(cand, isets, bsets)
+    val intraScored =
+      if (!includeIntraBatch) crossScored.limit(0)
+      else {
+        val intra = survB.select(col("gram"), col("id").as("id_i"))
+          .join(survB.select(col("gram"), col("id").as("id_n")), Seq("gram"))
+          .filter(col("id_i") < col("id_n"))
+          .select(col("id_i"), col("id_n"))
+          .repartition(width, col("id_i"), col("id_n"))
+          .distinct()
+        score(intra, bsets, bsets)
+      }
+    val scored = crossScored.unionByName(intraScored)
+    if (maxDocFreq <= 0) scored
+    else {
+      // --- orphan rescue under the merged cap ---
+      val bwhole = bbase.groupBy(col("id"))
+        .agg(xxhash64(sort_array(collect_list(col("gram")))).as("wh"))
+      val bOrphan = Par.persistTracked(
+        bwhole.join(bsets.select(col("id")), Seq("id"), "left_anti"))
+      // grams that CROSSED the cap with this batch (⊆ batch grams)
+      val crossing = index.dfs.filter(col("df") <= maxDocFreq).select(col("gram"))
+        .join(merged.filter(col("df") > maxDocFreq).select(col("gram")), Seq("gram"))
+      // previously non-orphan index docs touched by a crossing gram...
+      val affected = index.occ.join(crossing, Seq("gram")).select(col("id")).distinct()
+        .join(index.meta.filter(!col("orphan")).select(col("id")), Seq("id"))
+      // ...that now have ZERO surviving grams
+      val stillAlive = index.occ.join(affected, Seq("id"))
+        .join(vocab.select(col("gram")), Seq("gram"))
+        .select(col("id")).distinct()
+      val newOrphans = affected.join(stillAlive, Seq("id"), "left_anti")
+      val iOrphan = index.meta.filter(col("orphan")).select(col("id"), col("wh"))
+        .unionByName(newOrphans.join(index.meta.select(col("id"), col("wh")), Seq("id")))
+      val rescueCross = iOrphan.select(col("wh"), col("id").as("id_i"))
+        .join(bOrphan.select(col("wh"), col("id").as("id_n")), Seq("wh"))
+        .select(least(col("id_i"), col("id_n")).as("id_a"),
+          greatest(col("id_i"), col("id_n")).as("id_b"), lit(1.0).as("jaccard"))
+      val rescueIntra =
+        if (!includeIntraBatch) rescueCross.limit(0)
+        else bOrphan.select(col("wh"), col("id").as("id_a"))
+          .join(bOrphan.select(col("wh"), col("id").as("id_b")), Seq("wh"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+      scored.unionByName(rescueCross).unionByName(rescueIntra)
+    }
+  }
+
   /** MinHash signature + banded LSH candidates, verified with true
     * Jaccard. `numHashes` hash functions are xxhash64(shingle, seed i)
     * minimized per doc; signatures are split into `bands` bands —

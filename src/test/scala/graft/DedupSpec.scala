@@ -123,6 +123,51 @@ class DedupSpec extends SparkSuite {
     assert(inc.nonEmpty, "test corpus produced no cross/intra pairs")
   }
 
+  test("ngramJaccardIncremental: merged-df cap, crossing grams, new orphans ≡ full run") {
+    // cap 3: content grams end at merged df 3 (still scored); the
+    // boilerplate grams sit at df 1 in the index and CROSS to 4 when
+    // three more boilerplate docs arrive — index doc 3 must become a
+    // new orphan and be rescued against the batch's orphans
+    val idx = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "please subscribe now today")).toDF("doc_id", "text")
+    val bat = Seq(
+      (15L, "alpha beta gamma delta epsilon zeta"),
+      (13L, "please subscribe now today"),
+      (14L, "please subscribe now today"),
+      (16L, "please subscribe now today")).toDF("doc_id", "text")
+    val frames = Dedup.ngramIndexFrames(idx, "doc_id", "text", n = 3, maxDocFreq = 3)
+    val inc = Dedup.ngramJaccardIncremental(frames, bat, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = 3, includeIntraBatch = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.ngramJaccard(idx.unionByName(bat), "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchIds = Set(13L, 14L, 15L, 16L)
+    assert(inc === full.filter(p => batchIds(p._1) || batchIds(p._2)))
+    assert(inc.contains((3L, 13L)) && inc.contains((13L, 14L)),
+      "crossing-gram orphans must be rescued")
+    assert(inc.contains((1L, 15L)) && !inc.contains((1L, 2L)))
+  }
+
+  test("ngramJaccardIncremental equals the full run's batch-touching pairs (real corpus)") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val cut = 250L
+    val frames = Dedup.ngramIndexFrames(corpus.filter(col("doc_id") < cut),
+      "doc_id", "text", n = 3, maxDocFreq = 1000)
+    val inc = Dedup.ngramJaccardIncremental(frames,
+        corpus.filter(col("doc_id") >= cut), "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = 1000, includeIntraBatch = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.ngramJaccard(corpus, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc === full.filter(_._2 >= cut))
+    assert(inc.nonEmpty)
+  }
+
   test("connectedComponentsIncremental equals full replay; bridges merge old clusters") {
     val day1 = Seq((1L, 5L), (5L, 9L), (20L, 21L)).toDF("id_a", "id_b")
     val labels1 = Dedup.connectedComponents(day1)
