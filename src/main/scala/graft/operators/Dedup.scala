@@ -871,10 +871,16 @@ object Dedup {
       pairs.select(col(idA).as("src"), col(idB).as("dst"))
         .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
         .distinct())
+    // exact decimal sum; NULL on an empty frame (a pair generator can
+    // legitimately emit zero pairs — e.g. a quiet daily delta) maps
+    // to 0 so the loop converges immediately instead of NPE-ing
+    def labelSum(df: DataFrame): BigDecimal = {
+      val d = df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (d == null) BigDecimal(0) else BigDecimal(d)
+    }
     var labels = truncate(edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")))
-    var lastSum = BigDecimal(labels.agg(sum(col("comp").cast("decimal(38,0)")))
-      .head.getDecimal(0))
+    var lastSum = labelSum(labels)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -883,8 +889,7 @@ object Dedup {
         .select(col("src").as("id"), col("comp"))
       labels = truncate(labels.unionByName(fromNeighbors)
         .groupBy(col("id")).agg(min(col("comp")).as("comp")))
-      val s = BigDecimal(labels.agg(sum(col("comp").cast("decimal(38,0)")))
-        .head.getDecimal(0))
+      val s = labelSum(labels)
       converged = s == lastSum // labels only ever decrease
       lastSum = s
       it += 1

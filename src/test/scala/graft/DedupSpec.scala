@@ -168,6 +168,15 @@ class DedupSpec extends SparkSuite {
     assert(inc.nonEmpty)
   }
 
+  test("connectedComponents: empty pair set → empty labels; quiet delta passes through") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).isEmpty)
+    val labels = Dedup.connectedComponents(Seq((1L, 2L)).toDF("id_a", "id_b"))
+    val out = Dedup.connectedComponentsIncremental(labels, empty)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("connectedComponentsIncremental equals full replay; bridges merge old clusters") {
     val day1 = Seq((1L, 5L), (5L, 9L), (20L, 21L)).toDF("id_a", "id_b")
     val labels1 = Dedup.connectedComponents(day1)
