@@ -714,8 +714,10 @@ object SparkEntry {
     // folded via the star-edge incremental) — provably identical to
     // the full replay, so the SAME recursive oracle grades it
     "dedup_components_incr" -> ((s, d) => {
-      val pairs = Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
-        n = 3, threshold = 0.5, maxDocFreq = 1000)
+      // persisted: the day-1/day-2 filters both read this pair stream
+      val pairs = graft.Par.persistTracked(
+        Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.5, maxDocFreq = 1000))
       val cut = lit(250L)
       val day1 = pairs.filter(col("id_a") < cut && col("id_b") < cut)
       val day2 = pairs.filter(!(col("id_a") < cut && col("id_b") < cut))
