@@ -80,9 +80,18 @@ object Bench {
     val streamingNames = results.map(_._1).filter(_.startsWith("stream_")).toSet
     val streamingSec = results.filter(r => streamingNames(r._1)).map(_._2).sum
     spark.stop()
-    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec",""" +
+    val line = s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec",""" +
       s""""batch_sec":${fmt(total - streamingSec)},"streaming_sec":${fmt(streamingSec)},""" +
-      s""""value":${fmt(total)}}""")
+      s""""value":${fmt(total)}}"""
+    println(line)
     System.out.flush()
+    // the driver keeps only a 2000-char TAIL of stdout, which truncates
+    // the per-query map for 100+ queries — also land the full JSON as a
+    // committed artifact so every query stays round-over-round diffable
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: $e") }
   }
 }
