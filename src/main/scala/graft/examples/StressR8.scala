@@ -1,0 +1,139 @@
+package graft.examples
+
+import graft.Par
+import graft.pipeline.Analytics
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8 stress legs (SURVEY §5 methodology, warm-JVM protocol).
+  *
+  * Leg 1 — HOT-USER windowed funnel A/B: the round-7 verdict flagged
+  * `funnelWindowed`'s per-user (starts × events) nested fold; round 8
+  * replaced it with the single-pass deadline-pruned walk
+  * ([[graft.functions.FunnelWalk]]). The legacy fold is REPRODUCED
+  * HERE (harness-only, not in the library) so the speedup is measured
+  * against the real thing on the adversarial shape: users whose event
+  * streams are long AND carry the full `maxStarts` complement of
+  * candidate starts. Correctness: both implementations must agree
+  * row-for-row on a smaller replica of the same shape.
+  *
+  * Run: `sbt "runMain graft.examples.StressR8"`
+  */
+object StressR8 {
+
+  private def force(df: DataFrame): Long = df.queryExecution.toRdd.count()
+
+  private def timed(name: String)(body: => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val n = body
+    val sec = (System.nanoTime() - t0) / 1e9
+    Par.release()
+    println(f"[stress] $name%-34s $sec%8.2f s  ($n rows)")
+    (sec, n)
+  }
+
+  /** The pre-r8 implementation, verbatim semantics: every candidate
+    * start re-folds the whole sorted event array.
+    */
+  private def legacyFunnelWindowed(events: DataFrame, userCol: String,
+                                   typeCol: String, tsCol: String,
+                                   steps: Seq[String], windowSeconds: Long,
+                                   maxStarts: Int = 64): DataFrame = {
+    val tsType = events.schema(events.schema.fieldIndex(tsCol)).dataType
+    val stepIdx = steps.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
+      when(col(typeCol) === s, lit(i + 1)).otherwise(acc)
+    }
+    val ev = events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol),
+        struct(col(tsCol).as("ts"), stepIdx.as("step")).as("e"))
+    val deadline = expr(s"INTERVAL $windowSeconds SECONDS")
+    val nullTs = lit(null).cast(tsType)
+    val walked = {
+      val evs = sort_array(collect_list(col("e")))
+      val starts = slice(filter(evs, e => e.getField("step") === 1), 1, maxStarts)
+      aggregate(starts,
+        struct(lit(0).as("stage"), nullTs.as("t_first"), nullTs.as("t_last")),
+        (best: Column, s0: Column) => {
+          val chain = aggregate(evs,
+            struct(lit(1).as("stage"), s0.getField("ts").as("t_last")),
+            (acc: Column, e: Column) => {
+              val advance = e.getField("step") === acc.getField("stage") + 1 &&
+                e.getField("ts") > acc.getField("t_last") &&
+                e.getField("ts") <= s0.getField("ts") + deadline
+              when(advance, struct(
+                (acc.getField("stage") + 1).as("stage"),
+                e.getField("ts").as("t_last"))).otherwise(acc)
+            })
+          when(chain.getField("stage") > best.getField("stage"), struct(
+            chain.getField("stage").as("stage"),
+            s0.getField("ts").as("t_first"),
+            chain.getField("t_last").as("t_last"))).otherwise(best)
+        })
+    }
+    ev.groupBy(col(userCol))
+      .agg(walked.as("__f"))
+      .select(col(userCol), col("__f.stage").as("stage"),
+        col("__f.t_first").as("t_first"), col("__f.t_last").as("t_last"))
+  }
+
+  /** `users` hot users, `n` events each: pseudo-random step types and
+    * timestamps over ~40 days, so every user carries far more than
+    * `maxStarts` step-1 events and chains at every depth.
+    */
+  private def hotUsers(spark: SparkSession, users: Int, n: Int): DataFrame =
+    spark.range(users).select(col("id").as("user_id"))
+      .withColumn("seq", explode(sequence(lit(0), lit(n - 1))))
+      .select(col("user_id"),
+        element_at(
+          array(lit("view"), lit("click"), lit("purchase"), lit("noise")),
+          (pmod(hash(col("user_id"), col("seq")), lit(4)) + 1).cast("int"))
+          .as("event_type"),
+        (to_timestamp(lit("2026-01-01 00:00:00")) +
+          make_dt_interval(days = lit(0), hours = lit(0), mins = lit(0),
+            secs = pmod(hash(col("seq"), col("user_id"), lit(7)),
+              lit(86400 * 40)).cast("double"))).as("ts"))
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val steps = Seq("view", "click", "purchase")
+
+    // --- correctness twin: both engines, row-for-row, smaller shape
+    val small = hotUsers(spark, users = 8, n = 20000)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    small.count()
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2), r.getTimestamp(3)))
+      .toSet
+    val newRows = rows(Analytics.funnelWindowed(small, "user_id",
+      "event_type", "ts", steps, 3600L))
+    val oldRows = rows(legacyFunnelWindowed(small, "user_id",
+      "event_type", "ts", steps, 3600L))
+    require(newRows == oldRows,
+      s"funnel A/B mismatch: ${newRows.diff(oldRows)} vs ${oldRows.diff(newRows)}")
+    println(s"[stress] funnel A/B agrees on ${newRows.size} hot users")
+    small.unpersist()
+
+    // --- timing: 32 users x 100k events, warm pass then timed pass
+    val hot = hotUsers(spark, users = 32, n = 100000)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    hot.count()
+    def runNew() = force(Analytics.funnelWindowed(hot, "user_id",
+      "event_type", "ts", steps, 3600L))
+    def runOld() = force(legacyFunnelWindowed(hot, "user_id",
+      "event_type", "ts", steps, 3600L))
+    runNew(); runOld() // warm both code paths (JIT, codegen cache)
+    val (tNew, _) = timed("funnel_windowed hot NEW (walk)")(runNew())
+    val (tOld, _) = timed("funnel_windowed hot OLD (fold)")(runOld())
+    println(f"[stress] funnel hot-user speedup: ${tOld / tNew}%.1fx")
+    hot.unpersist()
+    spark.stop()
+  }
+}

@@ -283,16 +283,18 @@ object Analytics {
     * chain must complete within `windowSeconds` of its step-1 start.
     * A single greedy chain is NOT enough here (an early start can
     * dead-end inside its window while a later start converts), so
-    * every step-1 occurrence is evaluated as a candidate start — the
-    * chain from start t₀ is the same earliest-strictly-increasing
-    * recurrence bounded by t₀ + window — and the user reports the
-    * DEEPEST stage over starts, tie-broken to the earliest start.
+    * every step-1 occurrence is a candidate start — the chain from
+    * start t₀ is the same earliest-strictly-increasing recurrence
+    * bounded by t₀ + window — and the user reports the DEEPEST stage
+    * over starts, tie-broken to the earliest start.
     *
-    * Still ONE shuffle: the per-user fold now nests (starts ×
-    * events), so per-user cost is |starts|·|events| — bounded by
-    * `maxStarts` (earliest-first; raise it for pathological users,
-    * the slice is part of the contract and of the oracle). Users
-    * with funnel events but no step-1 report stage 0.
+    * Still ONE shuffle, and since r8 ONE deadline-pruned pass over
+    * the sorted array ([[graft.functions.FunnelWalk]]): live starts
+    * collapse into per-stage shared-tip groups that advance or expire
+    * together, so per-user cost is O(|events| + |starts|·|steps|),
+    * not |starts|·|events|. `maxStarts` caps candidate starts
+    * (earliest-first; the slice is part of the contract and of the
+    * oracle). Users with funnel events but no step-1 report stage 0.
     */
   def funnelWindowed(events: DataFrame, userCol: String, typeCol: String,
                      tsCol: String, steps: Seq[String], windowSeconds: Long,
@@ -302,6 +304,15 @@ object Analytics {
     require(windowSeconds > 0, "windowSeconds must be positive")
     require(maxStarts >= 1, "maxStarts must be >= 1")
     val tsType = events.schema(events.schema.fieldIndex(tsCol)).dataType
+    // the walk compares physical longs; the window must be in the ts
+    // column's own units (timestamps are micros-backed)
+    val windowUnits = tsType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => windowSeconds * 1000000L
+      case org.apache.spark.sql.types.LongType => windowSeconds
+      case other => throw new IllegalArgumentException(
+        s"funnelWindowed needs a timestamp or bigint ts column, got $other")
+    }
     val stepIdx = steps.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
       when(col(typeCol) === s, lit(i + 1)).otherwise(acc)
     }
@@ -309,33 +320,10 @@ object Analytics {
       .filter(col(typeCol).isin(steps: _*))
       .select(col(userCol),
         struct(col(tsCol).as("ts"), stepIdx.as("step")).as("e"))
-    val deadline = expr(s"INTERVAL $windowSeconds SECONDS")
-    val nullTs = lit(null).cast(tsType)
-    val walked = {
-      val evs = sort_array(collect_list(col("e")))
-      // starts: the first maxStarts step-1 events, earliest first
-      val starts = slice(filter(evs, e => e.getField("step") === 1), 1, maxStarts)
-      aggregate(starts,
-        struct(lit(0).as("stage"), nullTs.as("t_first"), nullTs.as("t_last")),
-        (best, s0) => {
-          val chain = aggregate(evs,
-            struct(lit(1).as("stage"), s0.getField("ts").as("t_last")),
-            (acc, e) => {
-              val advance = e.getField("step") === acc.getField("stage") + 1 &&
-                e.getField("ts") > acc.getField("t_last") &&
-                e.getField("ts") <= s0.getField("ts") + deadline
-              when(advance, struct(
-                (acc.getField("stage") + 1).as("stage"),
-                e.getField("ts").as("t_last"))).otherwise(acc)
-            })
-          // deeper wins; ties keep the EARLIEST start (starts are
-          // walked earliest-first, so strict > preserves the first)
-          when(chain.getField("stage") > best.getField("stage"), struct(
-            chain.getField("stage").as("stage"),
-            s0.getField("ts").as("t_first"),
-            chain.getField("t_last").as("t_last"))).otherwise(best)
-        })
-    }
+    import org.apache.spark.sql.GraftSqlBridge
+    val walked = GraftSqlBridge.column(graft.functions.FunnelWalk(
+      GraftSqlBridge.expression(sort_array(collect_list(col("e")))),
+      windowUnits, maxStarts, steps.size))
     ev.groupBy(col(userCol))
       .agg(walked.as("__f"))
       .select(col(userCol), col("__f.stage").as("stage"),
