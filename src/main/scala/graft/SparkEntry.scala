@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators._
-import graft.pipeline.{Analytics, Models}
+import graft.pipeline.{Analytics, Dag, Models}
 import graft.sources.SchemaEvolution
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -415,6 +415,23 @@ object SparkEntry {
     "dim_order" -> ((s, d) => Models.dimOrder(s, d).orderBy(col("order_id"))),
     "fact_lineitem" -> ((s, d) =>
       Models.factLineitem(s, d).orderBy(col("order_id"), col("line_number"))),
+
+    // ---- asset lineage (§2.1 orchestration; dbt_translator.py
+    // analog): the reference pipeline's model graph run through Dag,
+    // exported as a queryable table — topology is static, so the
+    // oracle replays it as literals
+    "pipeline_lineage" -> ((s, _) => {
+      val nodes = Seq(
+        Dag.Node("extract_raw", Nil, () => (), group = "sources"),
+        Dag.Node("stg_customer", Seq("extract_raw"), () => (), group = "staging"),
+        Dag.Node("stg_events", Seq("extract_raw"), () => (), group = "staging"),
+        Dag.Node("dim_customer", Seq("stg_customer"), () => (), group = "marts"),
+        Dag.Node("dim_order", Seq("dim_customer"), () => (), group = "marts"),
+        Dag.Node("fact_lineitem", Seq("dim_customer", "dim_order"), () => (),
+          group = "marts"),
+        Dag.Node("dq_checks", Seq("fact_lineitem"), () => (), group = "quality"))
+      Dag.lineage(s, nodes, Dag.run(nodes)).orderBy(col("node_name"))
+    }),
 
     // ---- data quality (§2.3) ----
     "dq_profile" -> ((s, d) =>
@@ -1783,6 +1800,28 @@ object SparkEntry {
            FROM lineitem
            LEFT JOIN orders ON l_orderkey = o_orderkey
            ORDER BY order_id, line_number""",
+
+      // lineage of the static model graph: topology + all-succeeded
+      // run replayed as literals
+      "pipeline_lineage" ->
+        """SELECT * FROM (VALUES
+             ('dim_customer', 'marts', 2, 'stg_customer',
+              'dim_order,fact_lineitem', 'succeeded', CAST(NULL AS VARCHAR)),
+             ('dim_order', 'marts', 3, 'dim_customer',
+              'fact_lineitem', 'succeeded', CAST(NULL AS VARCHAR)),
+             ('dq_checks', 'quality', 5, 'fact_lineitem',
+              '', 'succeeded', CAST(NULL AS VARCHAR)),
+             ('extract_raw', 'sources', 0, '',
+              'stg_customer,stg_events', 'succeeded', CAST(NULL AS VARCHAR)),
+             ('fact_lineitem', 'marts', 4, 'dim_customer,dim_order',
+              'dq_checks', 'succeeded', CAST(NULL AS VARCHAR)),
+             ('stg_customer', 'staging', 1, 'extract_raw',
+              'dim_customer', 'succeeded', CAST(NULL AS VARCHAR)),
+             ('stg_events', 'staging', 1, 'extract_raw',
+              '', 'succeeded', CAST(NULL AS VARCHAR))
+           ) AS t(node_name, group_name, level, deps, dependents,
+                  status, root_cause)
+           ORDER BY node_name""",
 
       "dq_checks" ->
         """SELECT check_name, violations FROM (

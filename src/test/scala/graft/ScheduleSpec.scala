@@ -84,4 +84,31 @@ class ScheduleSpec extends SparkSuite {
     assert(Schedule.due(Seq(hourly), utc("2024-03-11T00:00:00Z"),
       utc("2024-03-11T06:00:00Z")) === Seq("tx"))
   }
+
+  test("lineage exports levels, edges, and per-run outcomes") {
+    val boom = new RuntimeException("boom")
+    val nodes = Seq(
+      Dag.Node("extract", Nil, () => (), group = "sources"),
+      Dag.Node("stg_a", Seq("extract"), () => throw boom, group = "staging"),
+      Dag.Node("stg_b", Seq("extract"), () => (), group = "staging"),
+      Dag.Node("mart", Seq("stg_a", "stg_b"), () => (), group = "marts"))
+    val status = Dag.run(nodes)
+    val rows = Dag.lineage(spark, nodes, status).collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), r.getInt(2), r.getString(3), r.getString(4),
+          r.getString(5), Option(r.getString(6))))).toMap
+    // levels: longest dep path; dependents are the reverse edges
+    assert(rows("extract") === (("sources", 0, "", "stg_a,stg_b",
+      "succeeded", None)))
+    assert(rows("stg_a") === (("staging", 1, "extract", "mart",
+      "failed", Some("RuntimeException"))))
+    assert(rows("stg_b") === (("staging", 1, "extract", "mart",
+      "succeeded", None)))
+    // the skip records the ROOT failure, and the level is the long path
+    assert(rows("mart") === (("marts", 2, "stg_a,stg_b", "",
+      "skipped", Some("stg_a"))))
+    // without a status map, nodes report not_run
+    val cold = Dag.lineage(spark, nodes).collect().map(_.getString(5)).toSet
+    assert(cold === Set("not_run"))
+  }
 }
