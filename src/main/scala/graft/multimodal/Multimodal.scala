@@ -40,12 +40,15 @@ case class VideoMeta(duration_ms: Long, width: Int, height: Int,
   * histogram, [[resize]] rescales and re-encodes. AUDIO decode is
   * REAL for WAV/AIFF PCM via the JDK's `javax.sound.sampled`
   * ([[decodeAudio]]: duration, sample rate, channels, RMS, peak,
-  * amplitude histogram). VIDEO frame decode remains a clearly-marked
-  * deterministic stub ([[decodeStub]]) — no video codec ships in the
-  * JDK or this container; a real build replaces only that function
-  * body (ffmpeg etc.), the schema, batching and partition flow
-  * around it are exactly what the real codec sees. Video METADATA is
-  * real, though: [[parseVideoMeta]] walks the MP4/ISO-BMFF container
+  * amplitude histogram). VIDEO frame decode is REAL for MJPEG-in-AVI
+  * ([[parseAviMjpegFrames]]: a RIFF walk yields per-frame payloads
+  * that are plain baseline JPEGs, decoded by `javax.imageio`); other
+  * codecs (H.264 etc.) keep the clearly-marked deterministic stub
+  * ([[decodeStub]]) — no inter-frame codec ships in the JDK or this
+  * container, and a real build replaces only that function body
+  * (ffmpeg etc.), the schema, batching and partition flow around it
+  * are exactly what the real codec sees. Video METADATA is real
+  * either way: [[parseVideoMeta]] walks the MP4/ISO-BMFF container
   * boxes (ISO/IEC 14496-12 — pure byte arithmetic, no codec) for
   * duration, resolution, codec tag and brand.
   */
@@ -234,13 +237,21 @@ object Multimodal {
           else if (r.media_type == "audio")
             decodeAudio(r.content).map(_._4).getOrElse(decodeStub(r.content))
           else if (r.media_type == "video")
-            // container metadata is parseable without a codec: real
-            // [durationSec, width, height] prefix + the byte-histogram
-            // stand-in for frame content
+            // MP4: container metadata is parseable without a codec —
+            // real [durationSec, width, height] prefix + the
+            // byte-histogram stand-in for frame content. MJPEG-AVI:
+            // frames ARE JPEGs, so frame content is REAL —
+            // [nFrames, fps, w, h] ++ first-frame image features
             parseVideoMeta(r.content) match {
               case Some(m) => Array(m.duration_ms / 1000f, m.width.toFloat,
                 m.height.toFloat) ++ decodeStub(r.content)
-              case None => decodeStub(r.content)
+              case None => parseAviMjpegFrames(r.content).flatMap {
+                case (usPerFrame, fs) => decodeImage(fs.head).map {
+                  case (w, h, imgFeats) =>
+                    Array(fs.length.toFloat, (1e6 / usPerFrame).toFloat,
+                      w.toFloat, h.toFloat) ++ imgFeats
+                }
+              }.getOrElse(decodeStub(r.content))
             }
           else decodeStub(r.content)
         MediaFeatures(r.media_id, r.media_type, r.content.length.toLong,
@@ -383,21 +394,96 @@ object Multimodal {
       .toDF("media_id", "duration_ms", "width", "height", "codec", "brand", "parsed")
   }
 
-  /** Sample every `everyMs` frames from video assets — STUB decode;
-    * real frame extraction replaces the inner loop. One output row per
-    * sampled frame, schema (media_id, frame_no, frame binary).
+  /** Sample frames every `everyMs` from video assets. REAL for
+    * MJPEG-in-AVI ([[parseAviMjpegFrames]] + the JDK JPEG codec):
+    * emitted `frame` bytes are the actual JPEG frames, `frame_no` the
+    * source frame index at the sampled cadence. Other containers/
+    * codecs keep the deterministic slice stub (no codec in the JDK).
+    * One output row per sampled frame, schema
+    * (media_id, frame_no, frame binary).
     */
   def frameSample(media: Dataset[MediaRow], everyMs: Long): DataFrame = {
     import media.sparkSession.implicits._
     media.filter(_.media_type == "video")
       .flatMap { r =>
-        val n = math.max(1L, r.duration_ms / everyMs)
-        (0L until n).map { f =>
-          // stub frame bytes: deterministic slice keyed by frame number
-          val off = ((f * 17) % math.max(1, r.content.length)).toInt
-          (r.media_id, f, r.content.drop(off).take(32))
+        parseAviMjpegFrames(r.content) match {
+          case Some((usPerFrame, frames)) if frames.nonEmpty =>
+            val frameMs = math.max(1L, usPerFrame / 1000L)
+            val step = math.max(1L, everyMs / frameMs)
+            (0L until frames.length.toLong by step).map { f =>
+              (r.media_id, f, frames(f.toInt))
+            }
+          case _ =>
+            val n = math.max(1L, r.duration_ms / everyMs)
+            (0L until n).map { f =>
+              // stub frame bytes: deterministic slice keyed by frame number
+              val off = ((f * 17) % math.max(1, r.content.length)).toInt
+              (r.media_id, f, r.content.drop(off).take(32))
+            }
         }
       }
       .toDF("media_id", "frame_no", "frame")
   }
+
+  // ---- AVI / RIFF MJPEG frames (pure JDK: RIFF is byte arithmetic,
+  // MJPEG frames are plain JPEGs for javax.imageio) ----
+
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  /** REAL video-frame extraction for MJPEG-in-AVI: walks the RIFF
+    * chunk tree (`RIFF/AVI ` → `LIST hdrl`/`avih` for the frame
+    * cadence, `LIST movi` for the stream) and returns
+    * (microSecPerFrame, frames) where each frame is the raw JPEG
+    * bytes of a `##db`/`##dc` chunk (MJPEG's per-frame payload IS a
+    * baseline JPEG — decodable by `javax.imageio` with no external
+    * codec). `rec ` sub-lists are walked too. None when the bytes
+    * aren't RIFF-AVI or no JPEG-bearing chunk exists — the same
+    * degrade-don't-fail contract as the other decoders; non-MJPEG
+    * AVIs fall out naturally (their frame chunks don't start with the
+    * JPEG SOI marker).
+    */
+  def parseAviMjpegFrames(content: Array[Byte]): Option[(Long, Vector[Array[Byte]])] =
+    try {
+      if (content.length < 12 || fourCc(content, 0) != "RIFF" ||
+          fourCc(content, 8) != "AVI ") return None
+      var usPerFrame = 0L
+      val frames = Vector.newBuilder[Array[Byte]]
+      // iterate RIFF chunks in [start, end): 4cc id, le32 size, data,
+      // odd sizes padded to even
+      def chunks(start: Int, end: Int)(f: (String, Int, Int) => Unit): Unit = {
+        var off = start
+        var ok = true
+        while (ok && off + 8 <= end) {
+          val id = fourCc(content, off)
+          val size = le32(content, off + 4)
+          val dataEnd = off + 8 + size
+          if (size < 0 || dataEnd > end) ok = false
+          else {
+            f(id, off + 8, dataEnd.toInt)
+            off = (dataEnd + (size & 1L)).toInt
+          }
+        }
+      }
+      def isJpegFrame(id: String, s: Int, e: Int): Boolean =
+        (id.endsWith("db") || id.endsWith("dc")) && e - s >= 2 &&
+          (content(s) & 0xff) == 0xff && (content(s + 1) & 0xff) == 0xd8
+      def walk(start: Int, end: Int): Unit = chunks(start, end) { (id, s, e) =>
+        id match {
+          case "LIST" if e - s >= 4 =>
+            val listType = fourCc(content, s)
+            if (listType == "hdrl" || listType == "movi" ||
+                listType == "rec " || listType == "strl") walk(s + 4, e)
+          case "avih" if e - s >= 4 => usPerFrame = le32(content, s)
+          case _ if isJpegFrame(id, s, e) =>
+            frames += java.util.Arrays.copyOfRange(content, s, e)
+          case _ => ()
+        }
+      }
+      walk(12, content.length)
+      val fs = frames.result()
+      if (fs.isEmpty) None
+      else Some((if (usPerFrame > 0) usPerFrame else 40000L, fs))
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -84,6 +84,66 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  /** Minimal MJPEG-in-AVI: RIFF/AVI with an `hdrl` (avih: 25 fps) and
+    * a `movi` list of `00dc` chunks whose payloads are real JPEGs —
+    * the shape any MJPEG encoder writes.
+    */
+  private def mjpegAvi(frames: Seq[Array[Byte]], usPerFrame: Long = 40000L): Array[Byte] = {
+    def le32(v: Long) = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]) =
+      id.getBytes("ISO-8859-1") ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def list(typ: String, inner: Array[Byte]) =
+      chunk("LIST", typ.getBytes("ISO-8859-1") ++ inner)
+    val avih = chunk("avih", le32(usPerFrame) ++ new Array[Byte](52))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("ISO-8859-1") ++ list("hdrl", avih) ++ movi
+    "RIFF".getBytes("ISO-8859-1") ++ le32(body.length) ++ body
+  }
+
+  private def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("REAL video path: MJPEG-AVI frames parse, decode, and drive features") {
+    import graft.multimodal.MediaRow
+    import spark.implicits._
+    val avi = mjpegAvi(Seq(jpeg(16, 8, 0xff0000), jpeg(16, 8, 0x0000ff)))
+    // the RIFF walk finds both JPEG payloads and the 25 fps cadence
+    val Some((us, fs)) = Multimodal.parseAviMjpegFrames(avi)
+    assert(us === 40000L && fs.length === 2)
+    fs.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      assert(img.getWidth === 16 && img.getHeight === 8)
+    }
+    val row = MediaRow(7L, "video", avi, 16, 8, 80L)
+    // everyMs = frame cadence → every frame; 2x cadence → every other
+    val all = Multimodal.frameSample(Seq(row).toDS(), everyMs = 40)
+      .collect().map(r => (r.getLong(1), r.getAs[Array[Byte]](2)))
+    assert(all.map(_._1).toSeq === Seq(0L, 1L))
+    assert(all.forall { case (_, bytes) =>
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)) != null })
+    assert(Multimodal.frameSample(Seq(row).toDS(), everyMs = 80)
+      .collect().map(_.getLong(1)).toSeq === Seq(0L))
+    // features: [nFrames, fps, w, h] ++ first-frame (red) image features
+    val feats = Multimodal.extractFeatures(Seq(row).toDS()).collect()(0).features
+    assert(feats.length === 4 + 19)
+    assert(feats(0) === 2.0f && math.abs(feats(1) - 25.0f) < 1e-3)
+    assert(feats(2) === 16.0f && feats(3) === 8.0f)
+    assert(feats(4) > 0.9f && feats(6) < 0.1f) // meanR dominates meanB
+    // a non-AVI video row still takes the stub path (unchanged schema)
+    val stub = MediaRow(8L, "video", Array.tabulate(64)(_.toByte), 0, 0, 80L)
+    assert(Multimodal.extractFeatures(Seq(stub).toDS()).collect()(0)
+      .features.length === 16)
+  }
+
   /** 16-bit signed little-endian mono PCM WAV: a sine at amplitude
     * `amp`, built with the same JDK codec (`AudioSystem.write`) users
     * would feed in.
