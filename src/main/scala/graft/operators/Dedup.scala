@@ -181,7 +181,19 @@ object Dedup {
     * probe-only joins), `dfs` = per-gram document frequency, `meta` =
     * per-doc whole-set hash + orphan flag under the index's own cap.
     */
-  final case class NgramIndex(occ: DataFrame, dfs: DataFrame, meta: DataFrame)
+  /** Persistent n-gram index frames. `occ` (id, gram) is probed BY
+    * GRAM in the incremental candidate join — store it bucketed on
+    * `gram`. The incremental path also FETCHES candidate docs' full
+    * posting sets BY ID; `occById` is the same rows stored bucketed
+    * on `id` for that access path (the classic dual-copy posting
+    * layout: each copy is exchange-free for its own join). When
+    * absent, `occ` serves both (correct, but the id-keyed fetch then
+    * reshuffles corpus-sized postings daily). `dfs` (gram, df) is
+    * vocabulary-sized; `meta` carries per-doc whole-set hashes +
+    * orphan flags for cap-rescue.
+    */
+  final case class NgramIndex(occ: DataFrame, dfs: DataFrame, meta: DataFrame,
+                              occById: Option[DataFrame] = None)
 
   /** Build [[NgramIndex]] frames for a corpus (same shingling +
     * hashing as [[ngramJaccard]]).
@@ -263,8 +275,10 @@ object Dedup {
       .select(col("id_i"), col("id_n"))
       .repartition(width, col("id_i"), col("id_n"))
       .distinct()
-    // surviving sets for CANDIDATE index docs only, under merged vocab
-    val isets = index.occ
+    // surviving sets for CANDIDATE index docs only, under merged
+    // vocab — an id-keyed fetch, so it reads the id-bucketed copy
+    val occById = index.occById.getOrElse(index.occ)
+    val isets = occById
       .join(cand.select(col("id_i").as("id")).distinct(), Seq("id"))
       .join(vocab.select(col("gram")), Seq("gram"))
       .groupBy(col("id"))
@@ -310,8 +324,8 @@ object Dedup {
       // previously non-orphan index docs touched by a crossing gram...
       val affected = index.occ.join(crossing, Seq("gram")).select(col("id")).distinct()
         .join(index.meta.filter(!col("orphan")).select(col("id")), Seq("id"))
-      // ...that now have ZERO surviving grams
-      val stillAlive = index.occ.join(affected, Seq("id"))
+      // ...that now have ZERO surviving grams (id-keyed fetch again)
+      val stillAlive = occById.join(affected, Seq("id"))
         .join(vocab.select(col("gram")), Seq("gram"))
         .select(col("id")).distinct()
       val newOrphans = affected.join(stillAlive, Seq("id"), "left_anti")
@@ -417,9 +431,10 @@ object Dedup {
 
   /** Persistent MinHash index frames for [[minHashLshIncremental]]:
     * `(shingles: (id, hs), banded: (id, band, bucket))`. Write
-    * `banded` BUCKETED on `bucket` ([[graft.sources.Sink.bucketedTable]])
-    * and the daily candidate join never shuffles the index — the same
-    * contract as [[exactIncremental]]'s keeper index.
+    * `banded` BUCKETED on `(band, bucket)` and `shingles` on `id`
+    * ([[graft.sources.Sink.bucketedTableBy]]) and neither the daily
+    * candidate join nor the verify fetch ever shuffles the index —
+    * the [[exactIncremental]] contract, plan-asserted in DedupSpec.
     */
   def minHashIndexFrames(docs: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, numHashes: Int = 32, bands: Int = 8,
@@ -541,9 +556,10 @@ object Dedup {
   }
 
   /** Persistent SimHash index frame for [[simHashIncremental]]:
-    * (id, simhash, blk, blkval) — write it BUCKETED on `blkval` and
-    * the daily candidate join never shuffles the index (the
-    * [[exactIncremental]] contract).
+    * (id, simhash, blk, blkval) — write it BUCKETED on
+    * `(blk, blkval)` ([[graft.sources.Sink.bucketedTableBy]]) and the
+    * daily candidate join never shuffles the index (the
+    * [[exactIncremental]] contract, plan-asserted in DedupSpec).
     */
   def simHashIndexFrame(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, maxHamming: Int = 3,

@@ -321,9 +321,22 @@ object Sink {
     * joins locally). The bucketing survives restarts via the catalog.
     */
   def bucketedTable(df: DataFrame, table: String, bucketCol: String,
-                    buckets: Int, sortCol: Option[String] = None): Unit = {
+                    buckets: Int, sortCol: Option[String] = None): Unit =
+    bucketedTableBy(df, table, Seq(bucketCol), buckets, sortCol)
+
+  /** Multi-column bucketing — for joins on COMPOSITE keys (e.g. the
+    * LSH (band, bucket) or SimHash (blk, blkval) candidate joins): a
+    * scan bucketed on exactly the join's key set satisfies the join's
+    * required distribution outright, so the stored side never
+    * re-shuffles (a subset-bucketed scan can also satisfy it, but
+    * exact-match keeps both sides' partitionings trivially
+    * compatible).
+    */
+  def bucketedTableBy(df: DataFrame, table: String, bucketCols: Seq[String],
+                      buckets: Int, sortCol: Option[String] = None): Unit = {
+    require(bucketCols.nonEmpty, "need at least one bucket column")
     val w = df.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, bucketCol)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
     sortCol.fold(w)(c => w.sortBy(c)).format("parquet").saveAsTable(table)
   }
 }

@@ -479,4 +479,133 @@ class DedupSpec extends SparkSuite {
     } finally prev.foreach(spark.sparkContext.setCheckpointDir)
     Par.release()
   }
+
+  // ---- bucketed-index no-shuffle proofs for the incremental family
+  // (the 100 TB contract: a daily delta must never re-shuffle the
+  // corpus-sized index frames; bucketed storage satisfies each join's
+  // required distribution at the scan) ----
+
+  /** Every scan of `table` must reach its first join with NO shuffle
+    * in between — the index side re-shuffling before its probe/fetch
+    * join is exactly the corpus-sized exchange the bucketing exists
+    * to eliminate. (Exchanges ABOVE the join are the delta-driven
+    * ones and stay legal.)
+    */
+  private def assertScanJoinsExchangeFree(
+      plan: org.apache.spark.sql.execution.SparkPlan, table: String): Unit = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def paths(p: SparkPlan): Seq[List[SparkPlan]] = p match {
+      case f: FileSourceScanExec if f.tableIdentifier.exists(_.table == table) =>
+        Seq(List(p))
+      case _ => p.children.flatMap(paths).map(p :: _)
+    }
+    val found = paths(plan)
+    assert(found.nonEmpty, s"no scan of $table in plan:\n$plan")
+    found.foreach { rootToScan =>
+      val ancestors = rootToScan.reverse.drop(1) // nearest-first
+      val belowJoin = ancestors.takeWhile(n =>
+        !n.nodeName.toLowerCase.contains("join"))
+      assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        s"$table re-shuffled before its join:\n" +
+          rootToScan.map(_.nodeName).mkString(" -> "))
+    }
+  }
+
+  private def resetTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val whDir = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (whDir.exists()) rm(whDir)
+  }
+
+  private def withInspectablePlans(body: => Unit): Unit = {
+    val conf = spark.conf
+    val prevB = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
+  test("minHashLshIncremental: bucketed frames keep the index exchange-free") {
+    withInspectablePlans {
+      import org.apache.spark.sql.functions.col
+      val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      val cut = 250L
+      val (ish, ibanded) = Dedup.minHashIndexFrames(
+        corpus.filter(col("doc_id") < cut), "doc_id", "text")
+      Seq("mh_sh_b", "mh_band_b").foreach(resetTable)
+      // each frame bucketed on ITS join's exact key set
+      graft.sources.Sink.bucketedTableBy(ish, "mh_sh_b", Seq("id"), 8)
+      graft.sources.Sink.bucketedTableBy(ibanded, "mh_band_b",
+        Seq("band", "bucket"), 8)
+      val batch = corpus.filter(col("doc_id") >= cut)
+      val bucketed = Dedup.minHashLshIncremental(spark.table("mh_sh_b"),
+        spark.table("mh_band_b"), batch, "doc_id", "text", threshold = 0.5)
+      assertScanJoinsExchangeFree(bucketed.queryExecution.executedPlan, "mh_band_b")
+      assertScanJoinsExchangeFree(bucketed.queryExecution.executedPlan, "mh_sh_b")
+      // identical answer to the in-memory-frames path
+      val plain = Dedup.minHashLshIncremental(ish, ibanded, batch,
+        "doc_id", "text", threshold = 0.5)
+      assert(bucketed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        plain.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      Par.release()
+    }
+  }
+
+  test("simHashIncremental: bucketed block frame keeps the index exchange-free") {
+    withInspectablePlans {
+      import org.apache.spark.sql.functions.col
+      val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      val cut = 250L
+      val iblocked = Dedup.simHashIndexFrame(
+        corpus.filter(col("doc_id") < cut), "doc_id", "text")
+      resetTable("sh_blk_b")
+      graft.sources.Sink.bucketedTableBy(iblocked, "sh_blk_b",
+        Seq("blk", "blkval"), 8)
+      val batch = corpus.filter(col("doc_id") >= cut)
+      val bucketed = Dedup.simHashIncremental(spark.table("sh_blk_b"),
+        batch, "doc_id", "text", maxHamming = 3)
+      assertScanJoinsExchangeFree(bucketed.queryExecution.executedPlan, "sh_blk_b")
+      val plain = Dedup.simHashIncremental(iblocked, batch, "doc_id", "text",
+        maxHamming = 3)
+      assert(bucketed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        plain.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      Par.release()
+    }
+  }
+
+  test("ngramJaccardIncremental: dual-bucketed postings keep the index exchange-free") {
+    withInspectablePlans {
+      import org.apache.spark.sql.functions.col
+      val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      val cut = 250L
+      val frames = Dedup.ngramIndexFrames(corpus.filter(col("doc_id") < cut),
+        "doc_id", "text", n = 3, maxDocFreq = 1000)
+      Seq("ng_occ_g", "ng_occ_id").foreach(resetTable)
+      // the classic dual posting layout: one copy per access path
+      graft.sources.Sink.bucketedTableBy(frames.occ, "ng_occ_g", Seq("gram"), 8)
+      graft.sources.Sink.bucketedTableBy(frames.occ, "ng_occ_id", Seq("id"), 8)
+      val stored = Dedup.NgramIndex(spark.table("ng_occ_g"), frames.dfs,
+        frames.meta, Some(spark.table("ng_occ_id")))
+      val batch = corpus.filter(col("doc_id") >= cut)
+      val bucketed = Dedup.ngramJaccardIncremental(stored, batch,
+        "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 1000)
+      assertScanJoinsExchangeFree(bucketed.queryExecution.executedPlan, "ng_occ_g")
+      assertScanJoinsExchangeFree(bucketed.queryExecution.executedPlan, "ng_occ_id")
+      val plain = Dedup.ngramJaccardIncremental(frames, batch,
+        "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 1000)
+      assert(bucketed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        plain.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      Par.release()
+    }
+  }
 }
