@@ -658,6 +658,38 @@ object SparkEntry {
           shingleHash = functions.Text.portableHash60)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // TWO-day daily-delta maintenance through the ATOMIC group store
+    // (r8, sources/VersionedGroup): day-0 frames group-committed,
+    // day-1 batch checked against the STORE then its frames appended
+    // as one group version, day-2 batch checked against the
+    // maintained store. Reads are version-pinned at plan build, so
+    // day 1 stays correct even though maintenance moves the head
+    // before it evaluates. Output (both days' pairs) = the full run
+    // restricted to id_b ≥ the first cut — every pair lands on the
+    // day its LATER doc arrives.
+    "dedup_minhash_vg_md5" -> ((s, d) => {
+      import graft.sources.VersionedGroup
+      val corpus = Tables.documents(s, d)
+      val (c1, c2) = (lit(200L), lit(350L))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_vg_").toString + "/mh"
+      def frames(df: DataFrame) = Dedup.minHashIndexFrames(df, "doc_id",
+        "text", n = 3, numHashes = 32, bands = 16,
+        shingleHash = functions.Text.portableHash60)
+      def inc(batch: DataFrame) = Dedup.minHashLshIncremental(
+        VersionedGroup.read(s, root, "sh"), VersionedGroup.read(s, root, "bd"),
+        batch, "doc_id", "text", n = 3, numHashes = 32, bands = 16,
+        threshold = 0.5, includeIntraBatch = true,
+        shingleHash = functions.Text.portableHash60)
+      val (sh0, bd0) = frames(corpus.filter(col("doc_id") < c1))
+      VersionedGroup.commit(root, Map("sh" -> sh0, "bd" -> bd0), replace = true)
+      val b1 = corpus.filter(col("doc_id") >= c1 && col("doc_id") < c2)
+      val day1 = inc(b1)
+      val (sh1, bd1) = frames(b1)
+      VersionedGroup.commit(root, Map("sh" -> sh1, "bd" -> bd1))
+      val day2 = inc(corpus.filter(col("doc_id") >= c2))
+      day1.unionByName(day2).orderBy(col("id_a"), col("id_b"))
+    }),
     // hamming radius 3 on 64-bit simhash, the standard near-dup
     // setting (Manku et al., WWW'07); wider radii shrink pigeonhole
     // blocks and blow up the candidate space
@@ -2347,6 +2379,12 @@ object SparkEntry {
       // that one restriction
       "dedup_minhash_incr_md5" ->
         minhashMd5Sql(pairWhere = "AND c.doc_id >= 250"),
+
+      // the two-day group-store run: day 1 emits pairs whose later
+      // doc is in [200,350), day 2 those ≥ 350 — together exactly
+      // the full run's pairs with id_b ≥ 200
+      "dedup_minhash_vg_md5" ->
+        minhashMd5Sql(pairWhere = "AND c.doc_id >= 200"),
 
       // SimHash replayed: per-bit votes over the md5-slice shingle
       // hashes, majority signature, 4×16-bit pigeonhole blocks,

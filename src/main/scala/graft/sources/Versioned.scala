@@ -229,3 +229,117 @@ object Versioned {
     removed
   }
 }
+
+/** Atomic MULTI-TABLE commits over [[Versioned]] tables — the
+  * maintenance contract a multi-frame index needs: a near-dup index
+  * is several frames (minhash: shingles + banded; ngram: occ + dfs +
+  * meta), and a daily batch must update ALL of them or NONE, or a
+  * crashed job leaves an index whose candidate and verify frames
+  * disagree.
+  *
+  * Layout: `root/<table>/` is a plain [[Versioned]] table per frame;
+  * `root/_group/g<N>.json` pins `{table → version}` for group
+  * version N. A group commit first commits every frame (their new
+  * versions are INVISIBLE to group readers until referenced), then
+  * CASes the next group manifest — the same rename-if-absent commit
+  * point as [[Versioned]], so a crash anywhere before the group CAS
+  * leaves readers on the previous consistent frame set, and the
+  * orphaned frame versions are garbage, not corruption. Tables
+  * absent from an update keep their previously pinned versions.
+  *
+  * Vacuum note: [[Versioned.vacuum]] on a member table must keep at
+  * least as many versions as the group history you intend to keep —
+  * a group manifest pointing at a vacuumed frame version is a broken
+  * pin.
+  */
+object VersionedGroup {
+
+  private val GroupDir = "_group"
+  private def groupName(v: Int) = f"g$v%08d.json"
+
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Latest committed group version, 0 if none. */
+  def currentVersion(spark: SparkSession, root: String): Int = {
+    val dir = new Path(root, GroupDir)
+    val f = fs(spark, root)
+    if (!f.exists(dir)) 0
+    else f.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("g") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("g").stripSuffix(".json").toInt)
+      .foldLeft(0)(math.max)
+  }
+
+  /** The {table → pinned version} map of a group version. */
+  def tableVersions(spark: SparkSession, root: String,
+                    version: Option[Int] = None): Map[String, Int] = {
+    val v = version.getOrElse(currentVersion(spark, root))
+    require(v >= 1, s"no committed group version at $root")
+    val f = fs(spark, root)
+    val in = f.open(new Path(new Path(root, GroupDir), groupName(v)))
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    "\"([A-Za-z0-9_.-]+)\":(\\d+)".r.findAllMatchIn(body)
+      .filter(_.group(1) != "version")
+      .map(m => m.group(1) -> m.group(2).toInt).toMap
+  }
+
+  private def writeGroupCas(spark: SparkSession, root: String, v: Int,
+                            tables: Map[String, Int]): Boolean = {
+    val f = fs(spark, root)
+    val dir = new Path(root, GroupDir)
+    f.mkdirs(dir)
+    val target = new Path(dir, groupName(v))
+    if (f.exists(target)) return false
+    val body = tables.toSeq.sortBy(_._1)
+      .map { case (t, tv) => "\"" + t + "\":" + tv }.mkString(",")
+    val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(s"""{"version":$v,"tables":{$body}}""".getBytes("UTF-8"))
+    finally out.close()
+    val won = !f.exists(target) && f.rename(tmp, target)
+    if (!won) f.delete(tmp, false)
+    won
+  }
+
+  /** Commit `updates` (table → new content) as ONE group version:
+    * every frame lands or none does. `replace = false` appends each
+    * frame's rows as a new segment (O(delta) for daily maintenance);
+    * `replace = true` swaps each updated frame's content. Unmentioned
+    * tables keep their pins from the current group head. Returns the
+    * group version.
+    */
+  def commit(root: String, updates: Map[String, DataFrame],
+             replace: Boolean = false, maxRetries: Int = 10): Int = {
+    require(updates.nonEmpty, "group commit needs at least one table")
+    updates.keys.foreach(t => require(t.matches("[A-Za-z0-9_.-]+"),
+      s"table name $t must be [A-Za-z0-9_.-]+"))
+    val spark = updates.head._2.sparkSession
+    // phase 1: frame commits — invisible until the group CAS below
+    val committed = updates.map { case (t, df) =>
+      t -> Versioned.commit(df, new Path(root, t).toString, replace)
+    }
+    // phase 2: pin them (plus the head's pins for untouched tables)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = currentVersion(spark, root)
+      val base = if (head == 0) Map.empty[String, Int]
+                 else tableVersions(spark, root, Some(head))
+      if (writeGroupCas(spark, root, head + 1, base ++ committed)) return head + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"group commit lost the version race $maxRetries times at $root")
+  }
+
+  /** Read one table at a pinned group version (default: head). */
+  def read(spark: SparkSession, root: String, table: String,
+           groupVersion: Option[Int] = None): DataFrame = {
+    val pins = tableVersions(spark, root, groupVersion)
+    val v = pins.getOrElse(table,
+      throw new IllegalArgumentException(
+        s"table $table not pinned by group at $root (has: ${pins.keys.toSeq.sorted})"))
+    Versioned.read(spark, new Path(root, table).toString, Some(v))
+  }
+}

@@ -119,6 +119,85 @@ class VersionedSpec extends SparkSuite {
     assert(after === 1 && Versioned.read(spark, dir).count() === 30)
   }
 
+  test("group commit: all frames land together; crash window leaves old pins") {
+    import graft.sources.VersionedGroup
+    val root = tmpDir("vg") + "/idx"
+    def df(xs: Long*) = xs.toDF("id")
+    // day 0: two frames as ONE group version
+    assert(VersionedGroup.commit(root,
+      Map("occ" -> df(1, 2), "dfs" -> df(10)), replace = true) === 1)
+    assert(VersionedGroup.read(spark, root, "occ").count() === 2)
+    assert(VersionedGroup.read(spark, root, "dfs").count() === 1)
+
+    // CRASHED maintenance: one frame's Versioned commit landed but the
+    // job died before the group CAS — group readers must still see the
+    // old consistent pair
+    Versioned.commit(df(3, 4, 5), root + "/occ")
+    assert(VersionedGroup.read(spark, root, "occ").count() === 2,
+      "un-grouped frame version must stay invisible")
+
+    // day 1 replay: BOTH frames appended atomically; the group now
+    // pins occ's LATEST version (the append sees 1+2+orphan? no —
+    // Versioned.commit appends onto the head, which includes the
+    // crashed segment; the group pin makes exactly the re-run visible)
+    val g2 = VersionedGroup.commit(root,
+      Map("occ" -> df(6), "dfs" -> df(20)))
+    assert(g2 === 2)
+    assert(VersionedGroup.read(spark, root, "dfs").collect()
+      .map(_.getLong(0)).toSet === Set(10L, 20L))
+    // time travel: group v1 still reads day-0 frames
+    assert(VersionedGroup.read(spark, root, "occ", Some(1)).count() === 2)
+
+    // partial update pins: touching only dfs keeps occ's pin
+    val occBefore = VersionedGroup.read(spark, root, "occ").count()
+    VersionedGroup.commit(root, Map("dfs" -> df(30)))
+    assert(VersionedGroup.read(spark, root, "occ").count() === occBefore)
+    assert(VersionedGroup.read(spark, root, "dfs").collect()
+      .map(_.getLong(0)).toSet === Set(10L, 20L, 30L))
+    // unknown table → clear error
+    intercept[IllegalArgumentException](
+      VersionedGroup.read(spark, root, "nope"))
+  }
+
+  test("two-day index maintenance through the group store equals in-memory frames") {
+    import graft.sources.VersionedGroup
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val root = tmpDir("vgmh") + "/mh"
+    val (c1, c2) = (200L, 350L)
+    // day 0: index frames from the seed corpus, one atomic group
+    val (sh0, bd0) = Dedup.minHashIndexFrames(
+      corpus.filter(col("doc_id") < c1), "doc_id", "text")
+    VersionedGroup.commit(root, Map("sh" -> sh0, "bd" -> bd0), replace = true)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // day 1: batch vs STORED index, then append the batch's frames
+    val b1 = corpus.filter(col("doc_id") >= c1 && col("doc_id") < c2)
+    val day1 = pairs(Dedup.minHashLshIncremental(
+      VersionedGroup.read(spark, root, "sh"),
+      VersionedGroup.read(spark, root, "bd"),
+      b1, "doc_id", "text", threshold = 0.5, includeIntraBatch = true))
+    val (sh1, bd1) = Dedup.minHashIndexFrames(b1, "doc_id", "text")
+    VersionedGroup.commit(root, Map("sh" -> sh1, "bd" -> bd1))
+    // day 2: next batch vs the maintained index
+    val b2 = corpus.filter(col("doc_id") >= c2)
+    val day2 = pairs(Dedup.minHashLshIncremental(
+      VersionedGroup.read(spark, root, "sh"),
+      VersionedGroup.read(spark, root, "bd"),
+      b2, "doc_id", "text", threshold = 0.5, includeIntraBatch = true))
+    // reference: the same two days on in-memory frames
+    val (shRef, bdRef) = Dedup.minHashIndexFrames(
+      corpus.filter(col("doc_id") < c2), "doc_id", "text")
+    val day2Ref = pairs(Dedup.minHashLshIncremental(shRef, bdRef, b2,
+      "doc_id", "text", threshold = 0.5, includeIntraBatch = true))
+    val day1Ref = pairs(Dedup.minHashLshIncremental(sh0, bd0, b1,
+      "doc_id", "text", threshold = 0.5, includeIntraBatch = true))
+    assert(day1 === day1Ref && day2 === day2Ref)
+    assert((day1 ++ day2).nonEmpty)
+    Par.release()
+  }
+
   test("vacuum keeps referenced segments, drops superseded versions") {
     val dir = tmpDir("verv") + "/t"
     Versioned.commit((1L to 30L).toDF("id"), dir, replace = true)   // v1
