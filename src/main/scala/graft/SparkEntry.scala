@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators._
-import graft.pipeline.{Analytics, Dag, Models}
+import graft.pipeline.{Analytics, Dag, DayReplay, Models}
 import graft.sources.SchemaEvolution
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -432,6 +432,16 @@ object SparkEntry {
         Dag.Node("dq_checks", Seq("fact_lineitem"), () => (), group = "quality"))
       Dag.lineage(s, nodes, Dag.run(nodes)).orderBy(col("node_name"))
     }),
+
+    // ---- end-to-end reference-day replay (r8 flagship) ----
+    // two scheduled days of the WHOLE pipeline: Derby OLTP seed →
+    // partitioned JDBC extract → atomic staging manifests →
+    // watermark-incremental event loads → Versioned warehouse →
+    // SCD2 snapshot merge w/ hard deletes → blocking DQ gate →
+    // geography/fact/event-enriched mart, driven through
+    // Dag + Schedule at the reference's 01:40 Lagos cadence.
+    // Oracle replays both days in SQL (pipeline/DayReplay.scala).
+    "pipeline_day_replay" -> ((s, d) => DayReplay.run(s, d)),
 
     // ---- data quality (§2.3) ----
     "dq_profile" -> ((s, d) =>
@@ -1704,6 +1714,64 @@ object SparkEntry {
                   TIMESTAMP '2026-02-01 00:00:00', NULL
            FROM s2 WHERE customer_id IN (SELECT customer_id FROM changed)
            ORDER BY customer_id, valid_from""",
+
+      // the two-day pipeline replay: the day-2 snapshot is the day-1
+      // source after a segment UPDATE (%10) and hard DELETEs (%7) —
+      // deterministic id arithmetic, so the SCD2 fold replays as SQL;
+      // the Derby extract round trip is value-preserving; the two
+      // staged event loads are provably the whole events table
+      // (watermark = max loaded ts), so n_events is a plain rollup
+      "pipeline_day_replay" ->
+        """WITH s1 AS (
+             SELECT c_custkey AS customer_id, c_name AS customer_name,
+                    c_nationkey AS nation_id, c_acctbal AS account_balance,
+                    c_mktsegment AS market_segment
+             FROM customer),
+           s2 AS (
+             SELECT customer_id, customer_name, nation_id, account_balance,
+                    CASE WHEN customer_id % 10 = 0 THEN 'CHANGED'
+                         ELSE market_segment END AS market_segment
+             FROM s1 WHERE customer_id % 7 <> 0),
+           changed AS (
+             SELECT s1.customer_id FROM s1 JOIN s2 USING (customer_id)
+             WHERE s1.market_segment <> s2.market_segment
+                OR s1.account_balance <> s2.account_balance
+                OR s1.customer_name <> s2.customer_name),
+           hist AS (
+             SELECT customer_id, customer_name, nation_id, account_balance,
+                    market_segment,
+                    TIMESTAMP '2026-01-01 00:00:00' AS valid_from,
+                    CASE WHEN customer_id IN (SELECT customer_id FROM changed)
+                           OR customer_id % 7 = 0
+                         THEN TIMESTAMP '2026-02-01 00:00:00' END AS valid_to
+             FROM s1
+             UNION ALL
+             SELECT customer_id, customer_name, nation_id, account_balance,
+                    market_segment,
+                    TIMESTAMP '2026-02-01 00:00:00', NULL
+             FROM s2 WHERE customer_id IN (SELECT customer_id FROM changed)),
+           fct AS (
+             SELECT o_custkey AS customer_id,
+                    count(DISTINCT o_orderkey) AS n_orders,
+                    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+                      AS revenue
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             GROUP BY o_custkey),
+           ev AS (
+             SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+           SELECT h.customer_id, h.customer_name, h.account_balance,
+                  h.market_segment, n.n_name AS nation_name,
+                  r.r_name AS region_name, h.valid_from, h.valid_to,
+                  coalesce(f.n_orders, 0) AS n_orders,
+                  coalesce(f.revenue, 0.0) AS revenue,
+                  coalesce(e.n_events, 0) AS n_events
+           FROM hist h
+           LEFT JOIN nation n ON h.nation_id = n.n_nationkey
+           LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+           LEFT JOIN fct f ON h.customer_id = f.customer_id
+           LEFT JOIN ev e ON h.customer_id = e.user_id
+           ORDER BY h.customer_id, h.valid_from""",
 
       "range_join_rewrite" ->
         """WITH days AS (
