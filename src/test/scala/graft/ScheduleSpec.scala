@@ -111,4 +111,20 @@ class ScheduleSpec extends SparkSuite {
     val cold = Dag.lineage(spark, nodes).collect().map(_.getString(5)).toSet
     assert(cold === Set("not_run"))
   }
+
+  test("catalog exports per-model column schemas; orchestration nodes omitted") {
+    import spark.implicits._
+    val nodes = Seq(
+      Dag.Node("extract", Nil, () => (), group = "sources"),
+      Dag.Node("stg", Seq("extract"), () => (), group = "staging"))
+    val model = Seq((1L, "a", 2.5)).toDF("id", "name", "score")
+    val rows = Dag.catalog(spark, nodes, Map("stg" -> model)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getString(4), r.getString(5), r.getBoolean(6)))
+    // extract has no frame → no rows; stg's columns in schema order
+    assert(rows.toSeq === Seq(
+      ("stg", "staging", 1, 0, "id", "bigint", false),
+      ("stg", "staging", 1, 1, "name", "string", true),
+      ("stg", "staging", 1, 2, "score", "double", false)))
+  }
 }
