@@ -134,6 +134,44 @@ object StressR8 {
     val (tOld, _) = timed("funnel_windowed hot OLD (fold)")(runOld())
     println(f"[stress] funnel hot-user speedup: ${tOld / tNew}%.1fx")
     hot.unpersist()
+
+    // --- Leg 2: VersionedGroup daily maintenance at 1x vs 10x batch.
+    // The group commit adds only O(frames) manifest work on top of the
+    // frame writes, so maintenance time must scale with the BATCH
+    // (the appended segments), never with the accumulated store.
+    import graft.operators.Dedup
+    import graft.sources.VersionedGroup
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val docs0 = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val reps10 = array((0 until 10).map(lit): _*)
+    val docs10x = docs0.withColumn("rep", explode(reps10))
+      .select((col("doc_id") + col("rep").cast("long") * lit(10000000L))
+        .as("doc_id"),
+        when(col("rep") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" replica "),
+            col("rep").cast("string"))).as("text"))
+    def maintain(label: String, batch: org.apache.spark.sql.DataFrame): Double = {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_vgstress_").toString + "/mh"
+      val (sh0, bd0) = Dedup.minHashIndexFrames(docs0, "doc_id", "text")
+      VersionedGroup.commit(root, Map("sh" -> sh0, "bd" -> bd0), replace = true)
+      val t0 = System.nanoTime()
+      val (sh1, bd1) = Dedup.minHashIndexFrames(batch, "doc_id", "text")
+      VersionedGroup.commit(root, Map("sh" -> sh1, "bd" -> bd1))
+      val sec = (System.nanoTime() - t0) / 1e9
+      Par.release()
+      val n = VersionedGroup.read(spark, root, "bd").count()
+      println(f"[stress] $label%-34s $sec%8.2f s  ($n banded rows)")
+      sec
+    }
+    maintain("vg_maintenance warmup (untimed)",       // JIT/codegen warm
+      docs10x.filter(col("doc_id") >= 10000000L && col("doc_id") < 20000000L))
+    val m1 = maintain("vg_maintenance 1x batch",
+      docs10x.filter(col("doc_id") >= 10000000L && col("doc_id") < 20000000L))
+    val m10 = maintain("vg_maintenance 10x batch",
+      docs10x.filter(col("doc_id") >= 10000000L))
+    println(f"[stress] vg maintenance 10x/1x time ratio: ${m10 / m1}%.1fx (batch grew 9x)")
     spark.stop()
   }
 }
