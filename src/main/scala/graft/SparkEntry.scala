@@ -786,6 +786,19 @@ object SparkEntry {
           Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
             n = 3, threshold = 0.5, maxDocFreq = 1000))
         .orderBy(col("id"))),
+    // keep-BEST-per-cluster (r8): the curation form — the longest doc
+    // of each near-dup cluster survives (ties to the lowest id),
+    // unclustered docs survive as their own cluster
+    "dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = docs.select(col("doc_id"),
+        functions.Text.tokenCountWs(col("text")).as("n_words"))
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = 1000)
+      Dedup.keepBestPerCluster(scored, "doc_id", pairs, "n_words")
+        .select(col("comp"), col("doc_id").as("keeper_id"), col("n_words"))
+        .orderBy(col("comp"))
+    }),
     // cluster-maintenance twin (r7): the same pair stream split into
     // "yesterday" (both ids < cut → labeled) and "today" (the rest,
     // folded via the star-edge incremental) — provably identical to
@@ -819,6 +832,18 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split"))
         .orderBy(col("doc_id"))),
+    // leakage-safe split (r8): near-dup clusters never straddle
+    // train/val — split key = transitive-cluster label over the
+    // graded ngram-Jaccard pair graph, own id for unclustered docs
+    "sample_split_leakage_safe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = 1000)
+      Sampling.leakageSafeSplit(docs.select(col("doc_id")), "doc_id", pairs,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- corpus vocabulary stats (§2.5) ----
     "corpus_top_terms" -> ((s, d) =>
@@ -2548,6 +2573,84 @@ object SparkEntry {
              SELECT e.src, rch.r FROM edges e JOIN reach rch ON e.dst = rch.id
            )
            SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id""",
+
+      // leakage-safe split: same cluster ⇒ same split; the recursive
+      // components CTE is the dedup_components oracle re-used as the
+      // split key (coalesced to the doc's own id)
+      "sample_split_leakage_safe" ->
+        s"""WITH RECURSIVE sh AS (
+             SELECT doc_id AS id, list_distinct(
+               CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+               ELSE list_transform(generate_series(1, len(words) - 2),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END) AS sh
+             FROM (SELECT doc_id, string_split($norm, ' ') AS words FROM documents)
+           ), ex AS (
+             SELECT id, CAST(len(sh) AS BIGINT) AS cnt, unnest(sh) AS gram FROM sh
+           ), pairs AS (
+             SELECT id_a, id_b FROM (
+               SELECT a.id AS id_a, b.id AS id_b,
+                 CAST(count(*) AS DOUBLE)
+                   / CAST(a.cnt + b.cnt - count(*) AS DOUBLE) AS jaccard
+               FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+               GROUP BY a.id, b.id, a.cnt, b.cnt)
+             WHERE jaccard >= 0.5
+           ), edges AS (
+             SELECT id_a AS src, id_b AS dst FROM pairs
+             UNION SELECT id_b, id_a FROM pairs
+           ), reach(id, r) AS (
+             SELECT src, src FROM edges
+             UNION
+             SELECT e.src, rch.r FROM edges e JOIN reach rch ON e.dst = rch.id
+           ), comps AS (
+             SELECT id, min(r) AS comp FROM reach GROUP BY id
+           )
+           SELECT d.doc_id,
+             CASE WHEN gk % 100 < 80 THEN 'train'
+                  WHEN gk % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM (SELECT doc_id, coalesce(c.comp, doc_id) AS gk
+                 FROM documents LEFT JOIN comps c ON doc_id = c.id) d
+           ORDER BY d.doc_id""",
+
+      // keep-best-per-cluster: longest doc wins, lowest id on ties;
+      // same components CTE
+      "dedup_keep_best" ->
+        s"""WITH RECURSIVE sh AS (
+             SELECT doc_id AS id, list_distinct(
+               CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+               ELSE list_transform(generate_series(1, len(words) - 2),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END) AS sh
+             FROM (SELECT doc_id, string_split($norm, ' ') AS words FROM documents)
+           ), ex AS (
+             SELECT id, CAST(len(sh) AS BIGINT) AS cnt, unnest(sh) AS gram FROM sh
+           ), pairs AS (
+             SELECT id_a, id_b FROM (
+               SELECT a.id AS id_a, b.id AS id_b,
+                 CAST(count(*) AS DOUBLE)
+                   / CAST(a.cnt + b.cnt - count(*) AS DOUBLE) AS jaccard
+               FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+               GROUP BY a.id, b.id, a.cnt, b.cnt)
+             WHERE jaccard >= 0.5
+           ), edges AS (
+             SELECT id_a AS src, id_b AS dst FROM pairs
+             UNION SELECT id_b, id_a FROM pairs
+           ), reach(id, r) AS (
+             SELECT src, src FROM edges
+             UNION
+             SELECT e.src, rch.r FROM edges e JOIN reach rch ON e.dst = rch.id
+           ), comps AS (
+             SELECT id, min(r) AS comp FROM reach GROUP BY id
+           ), withc AS (
+             SELECT doc_id, $nWordsSql AS n_words,
+                    coalesce(c.comp, doc_id) AS comp
+             FROM documents LEFT JOIN comps c ON doc_id = c.id
+           )
+           SELECT comp, doc_id AS keeper_id, n_words FROM (
+             SELECT comp, doc_id, n_words,
+               row_number() OVER (PARTITION BY comp
+                 ORDER BY n_words DESC, doc_id) AS rn
+             FROM withc)
+           WHERE rn = 1 ORDER BY comp""",
 
       "dedup_embedding" ->
         """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -915,6 +915,31 @@ object Dedup {
     labels
   }
 
+  /** Keep the BEST document of each near-dup cluster — the curation
+    * form of "keep one per cluster": min-id keeps an arbitrary
+    * member, but training-set recipes keep the highest-QUALITY member
+    * (longest, best quality score, newest). Clusters come from
+    * [[connectedComponents]] over the supplied pairs; unclustered
+    * docs are their own cluster and always survive. Winner per
+    * cluster = max `scoreCol`, ties to the LOWEST id (deterministic).
+    * One window over cluster-sized groups — no shuffle beyond the
+    * pair graph and one partition of docs by cluster label.
+    * Output: the surviving rows of `docs` plus their `comp` label.
+    */
+  def keepBestPerCluster(docs: DataFrame, idCol: String, pairs: DataFrame,
+                         scoreCol: String, idA: String = "id_a",
+                         idB: String = "id_b"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = connectedComponents(pairs, idA, idB)
+      .select(col("id").as(idCol), col("comp"))
+    val withComp = docs.join(comps, Seq(idCol), "left")
+      .withColumn("comp", coalesce(col("comp"), col(idCol)))
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    withComp.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Incremental connected components — fold a day's NEW near-dup
     * pairs into yesterday's (id, comp) labeling without replaying the
     * full edge history: existing labels re-enter as (id → comp)

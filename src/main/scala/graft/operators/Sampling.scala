@@ -52,6 +52,29 @@ object Sampling {
     df.withColumn("split",
       labelChain(pmod(col(idCol).cast("long"), lit(buckets)), fractions, buckets))
 
+  /** Leakage-safe split: near-dup CLUSTERS never straddle splits. A
+    * per-document split after deduplication still leaks when near-dup
+    * SURVIVOR pairs land on opposite sides of train/val (Lee et al.
+    * '22 measure exactly this inflation), so the split key here is
+    * the document's transitive-cluster label
+    * ([[Dedup.connectedComponents]] over the supplied near-dup
+    * pairs — min id of the cluster), falling back to the row's own id
+    * for unclustered docs. Same modulo assignment chain as
+    * [[modSplit]] (bit-portable); swap in the hash chain for
+    * production skew-resistance. One left join + the components
+    * rounds — nothing beyond the pair graph is shuffled.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       fractions: Seq[(String, Double)],
+                       idA: String = "id_a", idB: String = "id_b",
+                       buckets: Long = 100L): DataFrame = {
+    val comps = Dedup.connectedComponents(pairs, idA, idB)
+      .select(col("id").as(idCol), col("comp"))
+    val keyed = df.join(comps, Seq(idCol), "left")
+      .withColumn("__gk", coalesce(col("comp"), col(idCol)))
+    modSplit(keyed, "__gk", fractions, buckets).drop("__gk", "comp")
+  }
+
   /** Deterministic per-stratum subsampling: keep each row iff its
     * key-hash bucket falls below its stratum's fraction. The
     * hash-threshold form keeps EXACTLY the same rows under any

@@ -480,6 +480,18 @@ class DedupSpec extends SparkSuite {
     Par.release()
   }
 
+  test("keepBestPerCluster: highest score survives, lowest id on ties, singletons kept") {
+    val scored = Seq((1L, 3L), (5L, 7L), (9L, 7L), (7L, 1L))
+      .toDF("doc_id", "n_words")
+    val pairs = Seq((1L, 5L), (5L, 9L)).toDF("id_a", "id_b")
+    val out = operators.Dedup.keepBestPerCluster(scored, "doc_id", pairs, "n_words")
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1))).toSet
+    // cluster {1,5,9} (comp 1): 5 and 9 tie at 7 words → 5 wins;
+    // unclustered 7 survives as its own cluster
+    assert(out === Set((1L, 5L, 7L), (7L, 7L, 1L)))
+    Par.release()
+  }
+
   // ---- bucketed-index no-shuffle proofs for the incremental family
   // (the 100 TB contract: a daily delta must never re-shuffle the
   // corpus-sized index frames; bucketed storage satisfies each join's

@@ -167,4 +167,27 @@ class SamplingSpec extends SparkSuite {
       (20001L to 20050L).filter(_ % 100 < thresh(50L))).toSet
     assert(out === expected)
   }
+
+  test("leakageSafeSplit: a near-dup cluster never straddles splits") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 10L).toDF("doc_id")
+    // chained cluster {1,5,9} (1~5, 5~9 — 1 and 9 only transitively)
+    val pairs = Seq((1L, 5L), (5L, 9L)).toDF("id_a", "id_b")
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", pairs,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the whole cluster takes the COMPONENT key's split (comp = 1)
+    assert(out(1L) === out(5L) && out(5L) === out(9L))
+    // unclustered docs split by their own id — ids 1..10 all < 80
+    assert(out.values.toSet === Set("train"))
+    // and with a key pushed into the val bucket, the cluster follows
+    val shifted = (80L to 90L).toDF("doc_id")
+    val p2 = Seq((85L, 89L)).toDF("id_a", "id_b")
+    val out2 = Sampling.leakageSafeSplit(shifted, "doc_id", p2,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2(85L) === "val" && out2(89L) === "val") // comp=85 → bucket 85
+    assert(out2(90L) === "test" && out2(80L) === "val")
+    Par.release()
+  }
 }
