@@ -180,6 +180,68 @@ object EventStream {
       }
       .start()
 
+  /** Streaming INGEST-TIME near-dup gate (r8) — curation at the
+    * door: every microbatch of documents is checked against the
+    * persistent MinHash index ([[graft.operators.Dedup
+    * .minHashLshIncremental]] — delta cost, the corpus index is
+    * joined by its (band,bucket) keys, never recomputed), near-dups
+    * of already-indexed docs AND intra-batch near-dups (higher id
+    * loses) are dropped, and the survivors land in the corpus table
+    * and BOTH index frames as ONE [[graft.sources.VersionedGroup]]
+    * commit — a crash between microbatch writes can never leave the
+    * corpus and its dedup index disagreeing, and downstream batch
+    * readers always see an internally-consistent pinned version.
+    *
+    * At-least-once redelivery converges: a replayed doc id is already
+    * in the index's shingle frame and is filtered before scoring, so
+    * a replayed microbatch commits nothing (no version churn). The
+    * first non-empty batch bootstraps the store (intra-batch dedup
+    * only).
+    */
+  def nearDupGate(docs: DataFrame, root: String, checkpoint: String,
+                  idCol: String, textCol: String,
+                  n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                  threshold: Double = 0.8): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import graft.operators.Dedup
+          import graft.sources.VersionedGroup
+          val hasIndex = VersionedGroup.currentVersion(spark, root) >= 1
+          val cached = graft.Par.persistTracked(
+            batch.select(col(idCol), col(textCol)))
+          val fresh =
+            if (!hasIndex) cached
+            else cached.join(VersionedGroup.read(spark, root, "sh")
+              .select(col("id").as(idCol)), Seq(idCol), "left_anti")
+          val pairs =
+            if (hasIndex)
+              Dedup.minHashLshIncremental(
+                VersionedGroup.read(spark, root, "sh"),
+                VersionedGroup.read(spark, root, "bd"),
+                fresh, idCol, textCol, n, numHashes, bands, threshold,
+                includeIntraBatch = true)
+            else
+              Dedup.minHashLsh(fresh, idCol, textCol, n, numHashes,
+                bands, threshold)
+          val losers = pairs.select(col("id_b").as(idCol)).distinct()
+          val survivors = fresh.join(losers, Seq(idCol), "left_anti")
+          if (!survivors.isEmpty) {
+            val (sh, bd) = Dedup.minHashIndexFrames(survivors, idCol,
+              textCol, n, numHashes, bands)
+            VersionedGroup.commit(root,
+              Map("docs" -> survivors, "sh" -> sh, "bd" -> bd),
+              replace = !hasIndex)
+            ()
+          }
+          graft.Par.release()
+        }
+      }
+      .start()
+
   /** Stateful gap sessionization via flatMapGroupsWithState — the
     * streaming twin of `Sessionize.byGap`. State per user holds the
     * open session; a session closes (and is emitted) when a new event

@@ -236,4 +236,50 @@ class StreamingSpec extends SparkSuite {
     assert(out.filter("user_id = 5").count() === 0)
     assert(out.filter("user_id = 9").count() === 1)
   }
+
+  test("nearDupGate: ingest-time dedup, atomic corpus+index commits, replay no-op") {
+    import graft.sources.VersionedGroup
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val src = tmpDir("gate-src")
+    val root = tmpDir("gate-root") + "/idx"
+    def land(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = tmpDir("gate-stage")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(src, s"$name.parquet"))
+    }
+    val (tA, tB, tC) = ("alpha beta gamma delta epsilon zeta",
+      "one two three four five six", "seven eight nine ten eleven twelve")
+    land("b0", Seq((1L, tA), (2L, tB), (3L, tA))) // 3 is an intra dup of 1
+    val stream = spark.readStream.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .parquet(src)
+    val q = EventStream.nearDupGate(stream, root, tmpDir("gate-ckpt"),
+      "doc_id", "text", threshold = 0.5)
+    q.processAllAvailable()
+    def docIds = VersionedGroup.read(spark, root, "docs")
+      .collect().map(_.getLong(0)).toSet
+    assert(docIds === Set(1L, 2L), "intra-batch dup must be gated out")
+    assert(VersionedGroup.currentVersion(spark, root) === 1)
+
+    // 4 is a near-dup of indexed 1 → dropped; 5 is new → survives
+    land("b1", Seq((4L, tA), (5L, tC)))
+    q.processAllAvailable()
+    assert(docIds === Set(1L, 2L, 5L))
+    assert(VersionedGroup.currentVersion(spark, root) === 2)
+    // index frames moved WITH the corpus (one atomic group version)
+    assert(VersionedGroup.read(spark, root, "sh")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 5L))
+
+    // redelivery of 5: already indexed → no commit, no version churn
+    land("b2", Seq((5L, tC)))
+    q.processAllAvailable()
+    assert(docIds === Set(1L, 2L, 5L))
+    assert(VersionedGroup.currentVersion(spark, root) === 2)
+    q.stop()
+    Par.release()
+  }
 }
