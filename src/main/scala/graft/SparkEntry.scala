@@ -462,6 +462,17 @@ object SparkEntry {
     "pipeline_day_replay" -> ((s, d) => DayReplay.run(s, d)),
 
     // ---- data quality (§2.3) ----
+    // store_failures analog (r8): the OFFENDING rows per check —
+    // the R-flagged lineitems fail the accepted set, every
+    // multi-line order's items land in the unique audit, not_null
+    // contributes nothing on clean keys
+    "dq_failing_rows" -> ((s, d) =>
+      Quality.failingRows(Tables.lineitem(s, d), Seq(
+          Quality.NotNull("l_orderkey"),
+          Quality.Unique("l_orderkey"),
+          Quality.AcceptedValues("l_returnflag", Seq("A", "N"))),
+          keyCols = Seq("l_orderkey", "l_linenumber"))
+        .orderBy(col("check_name"), col("l_orderkey"), col("l_linenumber"))),
     "dq_profile" -> ((s, d) =>
       Quality.profile(Tables.orders(s, d),
           Seq("o_orderstatus", "o_custkey", "o_totalprice"))
@@ -2030,6 +2041,23 @@ object SparkEntry {
                WHERE l_orderkey IS NOT NULL
                  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) v
            ) ORDER BY check_name""",
+
+      "dq_failing_rows" ->
+        """SELECT * FROM (
+             SELECT 'accepted_values_l_returnflag' AS check_name,
+                    l_orderkey, l_linenumber
+             FROM lineitem
+             WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N')
+             UNION ALL
+             SELECT 'not_null_l_orderkey', l_orderkey, l_linenumber
+             FROM lineitem WHERE l_orderkey IS NULL
+             UNION ALL
+             SELECT 'unique_l_orderkey', l.l_orderkey, l.l_linenumber
+             FROM lineitem l JOIN (
+               SELECT l_orderkey FROM lineitem
+               WHERE l_orderkey IS NOT NULL
+               GROUP BY 1 HAVING count(*) > 1) d USING (l_orderkey)
+           ) ORDER BY check_name, l_orderkey, l_linenumber""",
 
       "dq_checks_status" ->
         """SELECT check_name, violations,

@@ -44,6 +44,36 @@ object Quality {
     wide.selectExpr(s"stack(${checks.size}, $stacked) as (check_name, violations)")
   }
 
+  /** dbt `store_failures` analog: the OFFENDING ROWS per check, not
+    * just the counts — the audit-table feed a DQ investigation needs
+    * (dbt persists each failing test's rows; [[runChecks]] gives the
+    * one-pass counts for gating, this gives the evidence). Output:
+    * (check_name, keyCols…), one row per (check, failing row).
+    * not_null/accepted_values are pure filters (one scan each,
+    * pushed to the source); unique joins the table against its own
+    * duplicated keys (dup-keyed shuffle — the duplicate groups, not
+    * the table, dominate the exchange).
+    */
+  def failingRows(df: DataFrame, checks: Seq[Check],
+                  keyCols: Seq[String]): DataFrame = {
+    require(checks.nonEmpty, "need at least one check")
+    require(keyCols.nonEmpty, "need key columns to identify failing rows")
+    def tag(rows: DataFrame, name: String): DataFrame =
+      rows.select(lit(name).as("check_name") +: keyCols.map(col): _*)
+    checks.map {
+      case c @ NotNull(column) =>
+        tag(df.filter(col(column).isNull), c.name)
+      case c @ AcceptedValues(column, allowed) =>
+        tag(df.filter(col(column).isNotNull &&
+          !col(column).isin(allowed: _*)), c.name)
+      case c @ Unique(column) =>
+        val dups = df.filter(col(column).isNotNull)
+          .groupBy(col(column)).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > 1).select(col(column))
+        tag(df.join(dups, Seq(column)), c.name)
+    }.reduce(_ unionByName _)
+  }
+
   /** Exact table profile: per column null count, exact distinct
     * count, and min/max (as strings so heterogeneous column types fit
     * one output schema).

@@ -93,4 +93,26 @@ class QualitySpec extends SparkSuite {
       .toDF("ts"), "ts").collect()
     assert(flat.forall(r => r.isNullAt(2) && !r.getBoolean(3)))
   }
+
+  test("failingRows surfaces the offending rows per check (store_failures)") {
+    val t = Seq(
+      (1L, Some("A"), "x"), (2L, Some("Z"), "x"),  // 2 fails accepted
+      (3L, None, "y"), (3L, Some("A"), "y"),       // null status; dup key 3
+      (4L, Some("N"), "z")
+    ).toDF("k", "status", "grp")
+    val out = Quality.failingRows(t, Seq(
+        Quality.NotNull("status"), Quality.Unique("k"),
+        Quality.AcceptedValues("status", Seq("A", "N"))), keyCols = Seq("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out === Set(
+      ("not_null_status", 3L),
+      ("unique_k", 3L), ("unique_k", 3L), // both dup rows (set dedups)
+      ("accepted_values_status", 2L)))
+    // counts agree with the one-pass gate
+    val counts = Quality.runChecks(t, Seq(Quality.NotNull("status"),
+        Quality.Unique("k"), Quality.AcceptedValues("status", Seq("A", "N"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("not_null_status") === 1L &&
+      counts("accepted_values_status") === 1L)
+  }
 }
