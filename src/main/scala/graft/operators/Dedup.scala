@@ -962,4 +962,54 @@ object Dedup {
       starEdges.unionByName(newPairs.select(col(idA), col(idB))),
       idA, idB, maxIter, reliable)
   }
+
+  /** Incremental [[keepBestPerCluster]] — curation-view maintenance
+    * at delta cost: fold a day's new docs + new near-dup pairs into
+    * yesterday's keeper state WITHOUT rescoring the corpus. Because
+    * clusters only ever MERGE (pairs accumulate) and "best" is a max,
+    * a merged cluster's winner is the max over its constituent
+    * clusters' stored winners plus the day's new docs — so the only
+    * inputs are the keeper STATE (one row per cluster), the new
+    * docs, and the relabeled graph ([[connectedComponentsIncremental]]:
+    * convergence bounded by the NEW pairs' diameter). Old non-winning
+    * members never need revisiting: a merged cluster's best is ≥
+    * each old cluster's best, which already dominated them. Winner
+    * per cluster = max score, ties to the LOWEST id (same contract as
+    * the full operator); the winner aggregation is a partial-agg
+    * groupBy (map-side combine), not a window.
+    *
+    * State frames: `keepers` (comp, idCol, scoreCol) — one row per
+    * cluster including singletons (comp = own id); `priorLabels` the
+    * pair-graph labeling that produced it. Returns the updated
+    * (keepers, labels) pair; DedupSpec proves two-day folding equals
+    * the full run over the merged corpus.
+    */
+  def keepBestPerClusterIncremental(
+      keepers: DataFrame, priorLabels: DataFrame,
+      newDocs: DataFrame, newPairs: DataFrame,
+      idCol: String, scoreCol: String,
+      idA: String = "id_a", idB: String = "id_b",
+      maxIter: Int = 20,
+      reliable: Boolean = false): (DataFrame, DataFrame) = {
+    val labels2 = Par.persistTracked(connectedComponentsIncremental(
+      priorLabels, newPairs, idA, idB, maxIter, reliable))
+    // re-key by the row's own id: clustered rows take the (possibly
+    // merged) label, never-clustered rows stay their own cluster
+    def relabel(df: DataFrame): DataFrame = df
+      .join(labels2.select(col("id").as(idCol), col("comp").as("__c")),
+        Seq(idCol), "left")
+      .withColumn("comp", coalesce(col("__c"), col(idCol)))
+      .drop("__c")
+    val cand = relabel(keepers.drop("comp"))
+      .unionByName(relabel(newDocs.select(col(idCol), col(scoreCol))))
+    // argmax via struct max: score desc, then LOWEST id (negated so
+    // the lexicographic max breaks ties downward) — associative, so
+    // partial aggregation applies
+    val keepers2 = cand.groupBy(col("comp"))
+      .agg(max(struct(col(scoreCol).as("s"), (-col(idCol)).as("negid")))
+        .as("__w"))
+      .select(col("comp"), (-col("__w.negid")).as(idCol),
+        col("__w.s").as(scoreCol))
+    (keepers2, labels2)
+  }
 }

@@ -492,6 +492,74 @@ class DedupSpec extends SparkSuite {
     Par.release()
   }
 
+  test("keepBestPerClusterIncremental: merges fold algebraically, ties break low") {
+    import operators.Dedup
+    import org.apache.spark.sql.functions.col
+    // day 0: clusters {1,5} (5 wins, 7>3) and {2,6} (2 wins on tie)
+    val docs0 = Seq((1L, 3L), (5L, 7L), (2L, 4L), (6L, 4L), (8L, 9L))
+      .toDF("doc_id", "n_words")
+    val pairs0 = Seq((1L, 5L), (2L, 6L)).toDF("id_a", "id_b")
+    val keepers0 = Dedup.keepBestPerCluster(docs0, "doc_id", pairs0, "n_words")
+      .select(col("comp"), col("doc_id"), col("n_words"))
+    val labels0 = Dedup.connectedComponents(pairs0)
+    // day 1: doc 9 bridges the two clusters; new doc 10 ties keeper 5
+    val docs1 = Seq((9L, 5L), (10L, 7L)).toDF("doc_id", "n_words")
+    val pairs1 = Seq((5L, 9L), (9L, 2L), (9L, 10L)).toDF("id_a", "id_b")
+    val (keepers1, labels1) = Dedup.keepBestPerClusterIncremental(
+      keepers0, labels0, docs1, pairs1, "doc_id", "n_words")
+    val got = keepers1.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // merged cluster {1,5,2,6,9,10} (comp 1): 5 and 10 tie at 7 → 5;
+    // untouched singleton 8 carries through
+    assert(got === Set((1L, 5L, 7L), (8L, 8L, 9L)))
+    // equivalence with the full operator over the merged inputs
+    val full = Dedup.keepBestPerCluster(docs0.unionByName(docs1), "doc_id",
+        pairs0.unionByName(pairs1), "n_words")
+      .select(col("comp"), col("doc_id"), col("n_words"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === full)
+    // labels state matches a full replay too
+    assert(labels1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Dedup.connectedComponents(pairs0.unionByName(pairs1))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    Par.release()
+  }
+
+  test("keepBestPerClusterIncremental equals the full run on the real corpus") {
+    import org.apache.spark.sql.functions.col
+    import operators.Dedup
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        graft.functions.Text.tokenCountWs(col("text")).as("n_words"),
+        col("text"))
+    val cut = 250L
+    val d0 = corpus.filter(col("doc_id") < cut)
+    val d1 = corpus.filter(col("doc_id") >= cut)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.ngramJaccard(df, "doc_id", "text", n = 3, threshold = 0.5)
+    val p0 = pairsOf(d0)
+    // day-1 delta pairs: everything the merged graph adds over day 0
+    val pAll = pairsOf(corpus)
+    val p1 = pAll.exceptAll(p0.select(col("id_a"), col("id_b"),
+      col("jaccard"))).select(col("id_a"), col("id_b"))
+    val keepers0 = Dedup.keepBestPerCluster(
+        d0.select(col("doc_id"), col("n_words")), "doc_id", p0, "n_words")
+      .select(col("comp"), col("doc_id"), col("n_words"))
+    val labels0 = Dedup.connectedComponents(p0)
+    val (keepers1, _) = Dedup.keepBestPerClusterIncremental(
+      keepers0, labels0, d1.select(col("doc_id"), col("n_words")), p1,
+      "doc_id", "n_words")
+    val full = Dedup.keepBestPerCluster(
+        corpus.select(col("doc_id"), col("n_words")), "doc_id",
+        pAll, "n_words")
+      .select(col("comp"), col("doc_id"), col("n_words"))
+    val a = keepers1.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = full.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+    Par.release()
+  }
+
   // ---- bucketed-index no-shuffle proofs for the incremental family
   // (the 100 TB contract: a daily delta must never re-shuffle the
   // corpus-sized index frames; bucketed storage satisfies each join's
