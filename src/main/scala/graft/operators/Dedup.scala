@@ -855,17 +855,28 @@ object Dedup {
     * component label keeps exactly one (the output of any of the pair
     * generators above feeds straight in).
     *
-    * Algorithm: iterative min-label propagation — each round every
-    * node takes the min of its own label and its neighbors' labels
-    * (one hash join edges⋈labels + one min-aggregate per round, both
-    * shuffles on id — no all-pairs anything). Rounds needed = graph
-    * diameter, which for near-dup clusters is tiny (duplicate families
-    * are dense); `maxIter` caps pathological chains. Each round ends
-    * in an EAGER localCheckpoint: the loop is driver-side control
-    * flow, and without truncation the iteration plan doubles per round
-    * (the [[Scd2.mergeAll]] lesson). Convergence is detected by the
-    * strictly-decreasing label sum — one cheap aggregate per round,
-    * no extra join.
+    * Algorithm: FRONTIER (delta) min-label propagation — each round
+    * only the nodes whose label CHANGED last round push their label to
+    * their neighbors (round 1: every node). A node whose label is
+    * stable has already delivered that label to its neighbors, so
+    * re-sending it is a no-op — the classic delta-iteration invariant
+    * (Ewen et al., VLDB'12 "Spinning Fast Iterative Data Flows").
+    * Per round: one hash join edges⋈frontier (frontier shrinks every
+    * round — at scale most clusters settle in round 1 and later
+    * rounds touch a sliver of the edge set), one map-side-combined
+    * min-aggregate of the contributions, and one LEFT join onto the
+    * full label table keyed on id — the label table is checkpointed
+    * hash-partitioned on id, so that join moves only the (small)
+    * contribution side. Rounds needed = graph diameter, which for
+    * near-dup clusters is tiny (duplicate families are dense);
+    * `maxIter` caps pathological chains. Each round ends in an EAGER
+    * localCheckpoint: the loop is driver-side control flow, and
+    * without truncation the iteration plan doubles per round (the
+    * [[Scd2.mergeAll]] lesson). Convergence = zero changed labels,
+    * collected via an [[org.apache.spark.sql.Observation]] metric ON
+    * the checkpoint action itself — no separate convergence-check job
+    * per round (the old label-sum pass is folded into the
+    * materialization for free).
     *
     * `localCheckpoint` pins blocks to their executors — on a cluster
     * with dynamic allocation / spot nodes one lost executor kills a
@@ -887,27 +898,41 @@ object Dedup {
       pairs.select(col(idA).as("src"), col(idB).as("dst"))
         .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
         .distinct())
-    // exact decimal sum; NULL on an empty frame (a pair generator can
-    // legitimately emit zero pairs — e.g. a quiet daily delta) maps
-    // to 0 so the loop converges immediately instead of NPE-ing
-    def labelSum(df: DataFrame): BigDecimal = {
-      val d = df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
-      if (d == null) BigDecimal(0) else BigDecimal(d)
-    }
     var labels = truncate(edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")))
-    var lastSum = labelSum(labels)
+    // round 1: every node propagates (its initial label is "new")
+    var frontier = labels
     var it = 0
-    var converged = false
+    // a pair generator can legitimately emit zero pairs (e.g. a quiet
+    // daily delta): an empty graph is converged by definition
+    var converged = labels.isEmpty
     while (!converged && it < maxIter) {
-      val fromNeighbors = edges
-        .join(labels.select(col("id").as("dst"), col("comp")), "dst")
-        .select(col("src").as("id"), col("comp"))
-      labels = truncate(labels.unionByName(fromNeighbors)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp")))
-      val s = labelSum(labels)
-      converged = s == lastSum // labels only ever decrease
-      lastSum = s
+      // contributions from CHANGED nodes only, min-combined per target
+      // (map-side partial agg; shuffle size = frontier's edge fan-out)
+      val contrib = edges
+        .join(frontier.select(col("id").as("dst"), col("comp")), "dst")
+        .groupBy(col("src")).agg(min(col("comp")).as("__newc"))
+      // fold into the full label table: labels is checkpointed
+      // hash-partitioned on id, so only `contrib` shuffles here. The
+      // changed-count rides the SAME materialization as an observed
+      // metric — zero extra jobs per round.
+      val obs = org.apache.spark.sql.Observation()
+      val next = truncate(
+        labels.join(contrib.select(col("src").as("id"), col("__newc")),
+            Seq("id"), "left")
+          .select(col("id"),
+            least(coalesce(col("__newc"), col("comp")), col("comp")).as("comp"),
+            (coalesce(col("__newc"), col("comp")) < col("comp")).as("__chg"))
+          .observe(obs, sum(when(col("__chg"), 1L).otherwise(0L)).as("changed")))
+      val changed = obs.get("changed") match {
+        case null => 0L
+        case n: Number => n.longValue()
+      }
+      // the frontier re-reads the checkpointed blocks — a filter over
+      // pinned partitions, not a recomputation
+      frontier = next.filter(col("__chg")).select(col("id"), col("comp"))
+      labels = next.drop("__chg")
+      converged = changed == 0L
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds " +
