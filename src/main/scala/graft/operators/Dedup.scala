@@ -100,7 +100,6 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8,
                    maxDocFreq: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh = Par.widen(docs.select(col(idCol), col(textCol)), idCol)
       .select(col(idCol).as("id"), Text.shingles(col(textCol), n).as("sh"))
     // every gram is hashed to a LONG once at explode time: df counting,
@@ -119,22 +118,24 @@ object Dedup {
     // (shuffle on gram — the same key the old candidate self-join
     // shuffled on, but this table is read once, not squared)
     val kept = Par.persistTracked(base.join(vocab, Seq("gram")))
-    // per-doc surviving sets: the exact-rescore side table. Sorted at
-    // collect time so the rescore can merge-walk the intersection
-    // (codegen'd SortedIntersectCount — no per-pair hash set)
+    // ONE per-doc aggregation produces BOTH sides: `grams` sorted by
+    // value for the merge-walk rescore (codegen'd SortedIntersectCount
+    // — no per-pair hash set) AND the PPJoin prefix — (df, gram)
+    // structs array_sorted rarest-first in-group, sliced to the first
+    // (len - ceil(t*len) + 1) entries. The former window-function
+    // prefix pass re-shuffled and re-sorted the whole occurrence
+    // table; folding it here rides the shuffle the set build already
+    // pays, and the in-group array_sort is bounded by doc size.
     val sets = Par.persistTracked(kept.groupBy(col("id"))
       .agg(sort_array(collect_list(col("gram"))).as("grams"),
-        count(lit(1)).as("cnt")))
-    // prefix = the (len - ceil(t*len) + 1) rarest shingles of each doc
-    // under the global (df, gram) order; both windows partition by the
-    // high-cardinality doc id (bounded by doc size) and share one sort
-    val wDoc = Window.partitionBy(col("id")).orderBy(col("__df").asc, col("gram").asc)
-    val wLen = Window.partitionBy(col("id"))
-    val prefix = kept
-      .withColumn("__r", row_number().over(wDoc))
-      .withColumn("__len", count(lit(1)).over(wLen))
-      .filter(col("__r") <= col("__len") - ceil(col("__len") * lit(threshold)) + 1)
-      .select(col("id"), col("gram"))
+        count(lit(1)).as("cnt"),
+        sort_array(collect_list(struct(col("__df"), col("gram")))).as("__dg"))
+      .withColumn("__plen",
+        (col("cnt") - ceil(col("cnt") * lit(threshold)) + 1).cast("int"))
+      .withColumn("prefix",
+        transform(slice(col("__dg"), lit(1), col("__plen")), _.getField("gram")))
+      .drop("__dg", "__plen"))
+    val prefix = sets.select(col("id"), explode(col("prefix")).as("gram"))
     // explicit keyed repartition before the pair-distinct: the
     // candidate join's INPUT is small, so AQE would otherwise coalesce
     // the pair-space (join output) down to one task; a user
