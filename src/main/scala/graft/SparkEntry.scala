@@ -643,6 +643,11 @@ object SparkEntry {
           "doc_id", "text")
         .orderBy(col("content_hash"))
     }),
+    // per-source duplication health report (r8): the summary a
+    // curation run publishes — docs / distinct contents / dup rate
+    "dedup_rate_report" -> ((s, d) =>
+      Dedup.rateReport(Tables.documents(s, d), "text", "source")
+        .orderBy(col("source"))),
     // maxDocFreq bounds hot-shingle fan-out in candidate generation
     // (scores are exact rescores, so output is unchanged wherever a
     // pair shares ≥1 sub-cap shingle; 1000 ≫ any df at sf0.01)
@@ -855,6 +860,14 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
         .orderBy(col("doc_id"))
     }),
+    // exact-n-per-stratum sample (r8): each language contributes its
+    // 100 lowest-hash docs — the two-phase bounded-heap top-n; the
+    // oracle replays the xxHash64 ranking over the FULL stratum, so
+    // the phase-1 candidate pruning is proven lossless on real data
+    "sample_stratified_n" -> ((s, d) =>
+      Sampling.stratifiedTopN(Tables.documents(s, d), "doc_id", "lang", n = 100)
+        .select(col("doc_id"), col("lang"), col("rank"))
+        .orderBy(col("lang"), col("rank"))),
 
     // ---- corpus vocabulary stats (§2.5) ----
     "corpus_top_terms" -> ((s, d) =>
@@ -2148,6 +2161,16 @@ object SparkEntry {
            FROM (${xxhash64LongSql("SELECT doc_id FROM documents", "doc_id", 42L)})
            ORDER BY doc_id""",
 
+      // ranks the FULL stratum by the replayed xxHash64, so the
+      // two-phase candidate pruning is graded against the naive form
+      "sample_stratified_n" ->
+        s"""SELECT doc_id, lang, rank FROM (
+             SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rank
+             FROM (${xxhash64LongSql("SELECT doc_id, lang FROM documents",
+                      "doc_id", 42L, Seq("lang"))}))
+           WHERE rank <= 100 ORDER BY lang, rank""",
+
       "corpus_top_terms" ->
         s"""WITH words AS (
              SELECT doc_id, unnest(string_split($norm, ' ')) AS term
@@ -2507,6 +2530,15 @@ object SparkEntry {
            SELECT content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
            FROM nb WHERE content_hash NOT IN (SELECT content_hash FROM ex)
            GROUP BY 1 ORDER BY content_hash""",
+
+      "dedup_rate_report" ->
+        s"""SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+             count(*) AS n_distinct,
+             CAST(sum(c) - count(*) AS BIGINT) AS dup_docs,
+             round((sum(c) - count(*)) / CAST(sum(c) AS DOUBLE), 6) AS dup_rate
+           FROM (SELECT source, md5($norm) AS h, count(*) AS c
+                 FROM documents GROUP BY 1, 2)
+           GROUP BY source ORDER BY source""",
 
       "dedup_ngram_jaccard" ->
         s"""WITH sh AS (

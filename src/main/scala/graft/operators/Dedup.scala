@@ -67,6 +67,25 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Per-group exact-duplication report — the corpus-health summary a
+    * curation run publishes ("how much of each source is byte-dup"):
+    * per `groupCol` value, total docs, distinct normalized contents,
+    * duplicate docs (total − distinct), and the dup rate. Two
+    * partial-agged groupBys — (group, content-hash) then group — no
+    * joins, no windows: scan-bound at 100 TB, and the second
+    * aggregate's input is already one row per distinct content.
+    */
+  def rateReport(docs: DataFrame, textCol: String,
+                 groupCol: String): DataFrame =
+    docs.groupBy(col(groupCol), md5(Text.normalize(col(textCol))).as("__h"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        (sum(col("__c")) - count(lit(1))).as("dup_docs"))
+      .withColumn("dup_rate",
+        round(col("dup_docs").cast("double") / col("n_docs").cast("double"), 6))
+
   /** Near-duplicate pairs by word-n-gram Jaccard similarity, with
     * PPJoin-style PREFIX FILTERING for candidate generation (Bayardo
     * et al. WWW'07 "Scaling Up All Pairs"; Xiao et al. PPJoin): order

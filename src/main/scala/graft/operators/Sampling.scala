@@ -92,6 +92,69 @@ object Sampling {
     df.filter(bucket < thresholds)
   }
 
+  /** EXACTLY min(n, |stratum|) rows per stratum, deterministically —
+    * the fixed-BUDGET companion to [[stratifiedSample]]'s fractions
+    * ("take 10k docs per language"): each stratum keeps its n
+    * lowest-`xxhash64(id, seed)` rows, so the draw is uniform,
+    * reproducible under reruns / repartitioning / cluster size, and
+    * STABLE under corpus growth (a new row displaces at most the
+    * stratum's current cutoff row).
+    *
+    * Skew-safe and shuffle-free where it counts: a single
+    * `row_number` window per stratum would funnel a whole stratum
+    * through ONE reducer (a 40-billion-row language on one task at
+    * 100 TB). Phase 1 instead scans each input partition once with a
+    * bounded max-heap per stratum (memory n·strata, the
+    * [[graft.functions.Text.topTermsApprox]] pattern) — candidates
+    * leaving the scan number ≤ n per (stratum × partition). Phase 2
+    * ranks those candidates with the window — its input is
+    * n·partitions rows per stratum, not the stratum. No qualifying
+    * row is lost (a global top-n row is top-n in its own partition),
+    * and a survivor's candidate rank equals its global rank (every
+    * row ordered before it also survives) — proven against the naive
+    * single-window form in SamplingSpec. The sampled ids then
+    * broadcast back onto the input scan to recover all columns
+    * (sample budgets are broadcast-sized by definition).
+    *
+    * `idCol` must be numeric (cast to long for the heap); ties on the
+    * hash break by id, so the output is a function of the data alone.
+    * Output: the input columns + `rank` (1-based within stratum).
+    */
+  def stratifiedTopN(df: DataFrame, idCol: String, stratumCol: String,
+                     n: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, "n must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    implicit val ord: Ordering[(Long, Long)] = Ordering.Tuple2[Long, Long]
+    val cand = df
+      .select(col(stratumCol).cast("string").as("s"),
+        xxhash64(col(idCol), lit(seed)).as("h"),
+        col(idCol).cast("long").as("id"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.Map
+          .empty[String, scala.collection.mutable.PriorityQueue[(Long, Long)]]
+        it.foreach { case (s, h, id) =>
+          val heap = heaps.getOrElseUpdate(s,
+            scala.collection.mutable.PriorityQueue.empty[(Long, Long)])
+          if (heap.size < n) heap.enqueue((h, id))
+          else if (ord.lt((h, id), heap.head)) { heap.dequeue(); heap.enqueue((h, id)) }
+        }
+        heaps.iterator.flatMap { case (s, heap) =>
+          heap.iterator.map { case (h, id) => (s, h, id) }
+        }
+      }
+      .toDF("s", "h", "id")
+    val ranked = cand
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("s")).orderBy(col("h").asc, col("id").asc)))
+      .filter(col("rank") <= n)
+      .select(col("id").as("__sid"), col("rank"))
+    df.join(broadcast(ranked), col(idCol).cast("long") === col("__sid"))
+      .drop("__sid")
+  }
+
   /** Domain-temperature resampling — the standard training-mix
     * primitive (multilingual / multi-source corpora): sampling
     * weights per group g are `w_g ∝ N_g^alpha`, so `alpha=1` keeps

@@ -396,6 +396,19 @@ class DedupSpec extends SparkSuite {
     assert(out === Map(11L -> 2L, 13L -> 1L))
   }
 
+  test("rateReport: per-group doc/distinct/dup-rate over normalized content") {
+    val docs = Seq(
+      (1L, "alpha beta", "web"), (2L, "Alpha  BETA", "web"), // dups (normalized)
+      (3L, "gamma", "web"),
+      (4L, "delta", "books"), (5L, "epsilon", "books")       // no dups
+    ).toDF("doc_id", "text", "source")
+    val out = operators.Dedup.rateReport(docs, "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("web") === ((3L, 2L, 1L, 0.333333)))
+    assert(out("books") === ((2L, 2L, 0L, 0.0)))
+  }
+
   test("sharedRuns pairs docs sharing a long verbatim run; boilerplate fingerprints excluded") {
     // k=5, w=4 → any shared run of ≥ 8 words guarantees ≥1 common
     // fingerprint (the winnowing invariant); a 20-word verbatim run

@@ -190,4 +190,28 @@ class SamplingSpec extends SparkSuite {
     assert(out2(90L) === "test" && out2(80L) === "val")
     Par.release()
   }
+
+  test("stratifiedTopN: exactly min(n, |stratum|) rows, equals the naive window form") {
+    import org.apache.spark.sql.expressions.Window
+    // 3 big strata + one smaller than the budget
+    val df = rows.unionByName((20001L to 20005L).map(i => (i, "tiny"))
+      .toDF("id", "stratum"))
+    val out = Sampling.stratifiedTopN(df, "id", "stratum", n = 50)
+    val counts = out.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("s0" -> 50L, "s1" -> 50L, "s2" -> 50L, "tiny" -> 5L))
+    // the two-phase candidate pruning reproduces the naive global rank
+    val naive = df
+      .withColumn("rank", row_number().over(Window.partitionBy(col("stratum"))
+        .orderBy(xxhash64(col("id"), lit(42L)).asc, col("id").asc)))
+      .filter(col("rank") <= 50)
+    assert(out.select("id", "stratum", "rank").except(
+      naive.select("id", "stratum", "rank")).isEmpty)
+    assert(naive.select("id", "stratum", "rank").except(
+      out.select("id", "stratum", "rank")).isEmpty)
+    // deterministic under repartitioning (phase-1 cells change, output doesn't)
+    val again = Sampling.stratifiedTopN(df.repartition(17), "id", "stratum", n = 50)
+    assert(out.select("id", "rank").except(again.select("id", "rank")).isEmpty)
+    Par.release()
+  }
 }
