@@ -282,15 +282,31 @@ object Dedup {
           (coalesce(col("df"), lit(0L)) + coalesce(col("bdf"), lit(0L))).as("df")))
     val vocab =
       if (maxDocFreq > 0) merged.filter(col("df") <= maxDocFreq) else merged
-    // batch surviving occurrences under the MERGED vocabulary
-    val survB = Par.persistTracked(bbase.join(vocab.select(col("gram")), Seq("gram")))
+    // batch surviving occurrences under the MERGED vocabulary, with
+    // the merged df kept for the prefix order
+    val survB = Par.persistTracked(bbase.join(vocab, Seq("gram")))
+    // per-batch-doc sets + SINGLE-SIDED PPJoin prefix: a pair with
+    // J ≥ t has |a∩b| ≥ ⌈t·|a|⌉ for the BATCH doc a alone, so if b
+    // misses all of a's first |a|−⌈t·|a|⌉+1 rarest grams the overlap
+    // fits in a's suffix of size ⌈t·|a|⌉−1 — contradiction. Probing
+    // the index with batch PREFIXES only is therefore lossless, and
+    // needs no stored index-side prefixes (the global df order moves
+    // as the corpus grows; batch prefixes use the merged df computed
+    // this run). Same fused-aggregation shape as [[ngramJaccard]].
     val bsets = Par.persistTracked(survB.groupBy(col("id"))
       .agg(sort_array(collect_list(col("gram"))).as("grams"),
-        count(lit(1)).as("cnt")))
-    // cross candidates: index postings probed by the batch's surviving
+        count(lit(1)).as("cnt"),
+        sort_array(collect_list(struct(col("df"), col("gram")))).as("__dg"))
+      .withColumn("__plen",
+        (col("cnt") - ceil(col("cnt") * lit(threshold)) + 1).cast("int"))
+      .withColumn("prefix",
+        transform(slice(col("__dg"), lit(1), col("__plen")), _.getField("gram")))
+      .drop("__dg", "__plen"))
+    val bprefix = bsets.select(col("id"), explode(col("prefix")).as("gram"))
+    // cross candidates: index postings probed by the batch's prefix
     // grams (sub-cap is a GLOBAL property, so the gram survives for
     // the index doc too)
-    val cand = survB.select(col("gram"), col("id").as("id_n"))
+    val cand = bprefix.select(col("gram"), col("id").as("id_n"))
       .join(index.occ.select(col("gram"), col("id").as("id_i")), Seq("gram"))
       .select(col("id_i"), col("id_n"))
       .repartition(width, col("id_i"), col("id_n"))
@@ -322,8 +338,9 @@ object Dedup {
     val intraScored =
       if (!includeIntraBatch) crossScored.limit(0)
       else {
-        val intra = survB.select(col("gram"), col("id").as("id_i"))
-          .join(survB.select(col("gram"), col("id").as("id_n")), Seq("gram"))
+        // both-sides prefix filter, exactly the full operator's shape
+        val intra = bprefix.select(col("gram"), col("id").as("id_i"))
+          .join(bprefix.select(col("gram"), col("id").as("id_n")), Seq("gram"))
           .filter(col("id_i") < col("id_n"))
           .select(col("id_i"), col("id_n"))
           .repartition(width, col("id_i"), col("id_n"))
