@@ -220,6 +220,35 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ---- streaming stratified sampler, graded batch-side (§2.6) ----
+    // two days land as microbatches, then an at-least-once replay of
+    // early docs (must bump no version); the current view (max version
+    // per stratum) is graded against the SAME full-corpus xxHash64
+    // ranking oracle as the batch sampler — streaming state ≡ batch
+    // operator over everything seen
+    "stream_stratified_sample" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_ss").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      docs.filter(col("doc_id") < 250).write.parquet(inDir)
+      val stream = s.readStream.schema(docs.schema).parquet(inDir)
+      val q = graft.streaming.EventStream.sampleTopN(stream, "doc_id", "lang", n = 100)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try {
+        q.processAllAvailable() // day 1
+        docs.filter(col("doc_id") >= 250).write.mode("append").parquet(inDir)
+        q.processAllAvailable() // day 2
+        docs.filter(col("doc_id") < 50).write.mode("append").parquet(inDir)
+        q.processAllAvailable() // redelivery: idempotent no-op
+      } finally q.stop()
+      val out = s.read.parquet(outDir)
+      val mx = out.groupBy(col("stratum")).agg(max(col("version")).as("version"))
+      out.join(mx, Seq("stratum", "version"))
+        .select(col("id").as("doc_id"), col("stratum").as("lang"), col("rank"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // banded dim join: orders priced into fixed tiers (broadcast
     // non-equi join against a FIXED-cardinality band table)
     "band_join_price" -> ((s, d) => {
@@ -868,6 +897,19 @@ object SparkEntry {
       Sampling.stratifiedTopN(Tables.documents(s, d), "doc_id", "lang", n = 100)
         .select(col("doc_id"), col("lang"), col("rank"))
         .orderBy(col("lang"), col("rank"))),
+    // sample-maintenance twin: day 1's sample folded with day 2's
+    // batch — provably identical to the full run (top-n by hash is an
+    // associative idempotent reduction), so the SAME oracle grades it
+    "sample_stratified_n_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cut = lit(250L)
+      val day1 = Sampling.stratifiedTopN(docs.filter(col("doc_id") < cut),
+        "doc_id", "lang", n = 100)
+      Sampling.stratifiedTopNIncremental(day1,
+          docs.filter(col("doc_id") >= cut), "doc_id", "lang", n = 100)
+        .select(col("doc_id"), col("lang"), col("rank"))
+        .orderBy(col("lang"), col("rank"))
+    }),
 
     // ---- corpus vocabulary stats (§2.5) ----
     "corpus_top_terms" -> ((s, d) =>
@@ -2164,6 +2206,26 @@ object SparkEntry {
       // ranks the FULL stratum by the replayed xxHash64, so the
       // two-phase candidate pruning is graded against the naive form
       "sample_stratified_n" ->
+        s"""SELECT doc_id, lang, rank FROM (
+             SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rank
+             FROM (${xxhash64LongSql("SELECT doc_id, lang FROM documents",
+                      "doc_id", 42L, Seq("lang"))}))
+           WHERE rank <= 100 ORDER BY lang, rank""",
+
+      // streaming state ≡ batch operator over everything seen: the
+      // same full-corpus ranking replay grades the stream's final view
+      "stream_stratified_sample" ->
+        s"""SELECT doc_id, lang, rank FROM (
+             SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rank
+             FROM (${xxhash64LongSql("SELECT doc_id, lang FROM documents",
+                      "doc_id", 42L, Seq("lang"))}))
+           WHERE rank <= 100 ORDER BY lang, rank""",
+
+      // fold ≡ full: the incremental form is graded by the same
+      // full-corpus ranking replay
+      "sample_stratified_n_incr" ->
         s"""SELECT doc_id, lang, rank FROM (
              SELECT doc_id, lang,
                row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rank

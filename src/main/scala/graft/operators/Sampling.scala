@@ -155,6 +155,38 @@ object Sampling {
       .drop("__sid")
   }
 
+  /** Incremental [[stratifiedTopN]] — sample maintenance at delta
+    * cost: fold a new batch into yesterday's per-stratum sample
+    * WITHOUT rescanning the corpus. "The n lowest-hash rows" is an
+    * associative, idempotent reduction, so the updated sample is
+    * top-n over (stored sample ∪ batch top-n candidates); and because
+    * the ranking hash is a function of the id, the state is just the
+    * sampled ROWS — nothing extra to store or invalidate. Inputs are
+    * the keeper state (≤ n rows per stratum) and the batch alone; the
+    * batch pass is [[stratifiedTopN]]'s zero-shuffle scan, and the
+    * merge window sees ≤ 2n rows per stratum. SamplingSpec proves the
+    * two-day fold equals the full run over the merged corpus —
+    * including displacement (a new low-hash row evicting yesterday's
+    * cutoff row) and brand-new strata.
+    *
+    * `sample` must carry the same columns as `batch` (the `rank`
+    * column from a previous fold is ignored and recomputed).
+    */
+  def stratifiedTopNIncremental(sample: DataFrame, batch: DataFrame,
+                                idCol: String, stratumCol: String,
+                                n: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = stratifiedTopN(batch, idCol, stratumCol, n, seed).drop("rank")
+    val prev = if (sample.columns.contains("rank")) sample.drop("rank") else sample
+    prev.unionByName(cand)
+      .withColumn("__h", xxhash64(col(idCol), lit(seed)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(stratumCol))
+          .orderBy(col("__h").asc, col(idCol).asc)))
+      .filter(col("rank") <= n)
+      .drop("__h")
+  }
+
   /** Domain-temperature resampling — the standard training-mix
     * primitive (multilingual / multi-source corpora): sampling
     * weights per group g are `w_g ∝ N_g^alpha`, so `alpha=1` keeps

