@@ -23,6 +23,24 @@ object SparkEntry {
   private def eventCols(df: DataFrame): DataFrame =
     df.select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
 
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned to `n`,
+    * restoring the session value after. The streaming graded queries
+    * use this: a stateful streaming op instantiates one STATE STORE
+    * per shuffle partition per microbatch, so the session's
+    * batch-sized width (32 here) pays ~32 store open/commit cycles
+    * per stateful op per batch for state that is tiny — a fixed
+    * overhead the watermark logic never amortizes. The stream picks
+    * its width from the conf at CHECKPOINT CREATION (each graded run
+    * uses a fresh temp checkpoint, so the pin applies); on a real
+    * deployment this is the `spark.sql.shuffle.partitions` you set
+    * for the streaming job, sized to state volume, not batch width.
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- analytics (§2.4) ----
     "q1_pricing_summary" -> ((s, d) => Analytics.q1PricingSummary(s, d)),
@@ -142,14 +160,16 @@ object SparkEntry {
       val ev = eventCols(Tables.events(s, d))
       val cutoff = lit(CdcCutoff).cast("timestamp")
       ev.filter(col("ts") <= cutoff).write.parquet(inDir)
-      val q = graft.streaming.EventStream.applyUpserts(
-        graft.streaming.EventStream.read(s, inDir),
-        target, ckpt, Seq("user_id"), "ts", Seq("event_id"))
-      try {
-        q.processAllAvailable() // microbatch 1: bootstrap load
-        ev.filter(col("ts") > cutoff).write.mode("append").parquet(inDir)
-        q.processAllAvailable() // microbatch 2: upsert the delta
-      } finally q.stop()
+      withShufflePartitions(s, 4) {
+        val q = graft.streaming.EventStream.applyUpserts(
+          graft.streaming.EventStream.read(s, inDir),
+          target, ckpt, Seq("user_id"), "ts", Seq("event_id"))
+        try {
+          q.processAllAvailable() // microbatch 1: bootstrap load
+          ev.filter(col("ts") > cutoff).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // microbatch 2: upsert the delta
+        } finally q.stop()
+      }
       s.read.parquet(target)
         .select(col("user_id"), col("event_id"), col("ts"),
           col("event_type"), col("value"))
@@ -174,17 +194,19 @@ object SparkEntry {
         Seq((-1L, -1L, new java.sql.Timestamp(maxTs.getTime + offsetMs),
           "__sentinel", 0.0)).toDF("user_id", "event_id", "ts", "event_type", "value")
       }
-      val q = graft.streaming.EventStream
-        .hourlyCounts(graft.streaming.EventStream.read(s, inDir))
-        .writeStream.format("parquet").option("path", outDir)
-        .option("checkpointLocation", ckpt).outputMode("append").start()
-      try {
-        q.processAllAvailable() // batch 1: all real events, wm = 0
-        sentinel(4L * 3600 * 1000).write.mode("append").parquet(inDir)
-        q.processAllAvailable() // batch 2: wm = maxTs - 2h
-        sentinel(4L * 3600 * 1000 + 60000).write.mode("append").parquet(inDir)
-        q.processAllAvailable() // batch 3: wm = maxTs + 2h → all real windows out
-      } finally q.stop()
+      withShufflePartitions(s, 4) {
+        val q = graft.streaming.EventStream
+          .hourlyCounts(graft.streaming.EventStream.read(s, inDir))
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+        try {
+          q.processAllAvailable() // batch 1: all real events, wm = 0
+          sentinel(4L * 3600 * 1000).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // batch 2: wm = maxTs - 2h
+          sentinel(4L * 3600 * 1000 + 60000).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // batch 3: wm = maxTs + 2h → all real windows out
+        } finally q.stop()
+      }
       s.read.parquet(outDir)
         .filter(col("event_type") =!= "__sentinel")
         .orderBy(col("hour_ts"), col("event_type"))
@@ -203,17 +225,19 @@ object SparkEntry {
       val ev = eventCols(Tables.events(s, d))
       ev.write.parquet(inDir)
       ev.filter(col("user_id") % 10 === 0).write.mode("append").parquet(inDir)
-      val q = graft.streaming.EventStream
-        .dedup(graft.streaming.EventStream.read(s, inDir))
-        .writeStream.format("parquet").option("path", outDir)
-        .option("checkpointLocation", ckpt).outputMode("append").start()
-      try {
-        q.processAllAvailable() // batch 1: originals + same-batch dupes
-        val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
-        ev.filter(col("ts") > lit(new java.sql.Timestamp(maxTs.getTime - 3600 * 1000)))
-          .write.mode("append").parquet(inDir)
-        q.processAllAvailable() // batch 2: cross-batch redelivery
-      } finally q.stop()
+      withShufflePartitions(s, 4) {
+        val q = graft.streaming.EventStream
+          .dedup(graft.streaming.EventStream.read(s, inDir))
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+        try {
+          q.processAllAvailable() // batch 1: originals + same-batch dupes
+          val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+          ev.filter(col("ts") > lit(new java.sql.Timestamp(maxTs.getTime - 3600 * 1000)))
+            .write.mode("append").parquet(inDir)
+          q.processAllAvailable() // batch 2: cross-batch redelivery
+        } finally q.stop()
+      }
       s.read.parquet(outDir)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
@@ -231,17 +255,19 @@ object SparkEntry {
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
       val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
       docs.filter(col("doc_id") < 250).write.parquet(inDir)
-      val stream = s.readStream.schema(docs.schema).parquet(inDir)
-      val q = graft.streaming.EventStream.sampleTopN(stream, "doc_id", "lang", n = 100)
-        .writeStream.format("parquet").option("path", outDir)
-        .option("checkpointLocation", ckpt).outputMode("append").start()
-      try {
-        q.processAllAvailable() // day 1
-        docs.filter(col("doc_id") >= 250).write.mode("append").parquet(inDir)
-        q.processAllAvailable() // day 2
-        docs.filter(col("doc_id") < 50).write.mode("append").parquet(inDir)
-        q.processAllAvailable() // redelivery: idempotent no-op
-      } finally q.stop()
+      withShufflePartitions(s, 4) {
+        val stream = s.readStream.schema(docs.schema).parquet(inDir)
+        val q = graft.streaming.EventStream.sampleTopN(stream, "doc_id", "lang", n = 100)
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+        try {
+          q.processAllAvailable() // day 1
+          docs.filter(col("doc_id") >= 250).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // day 2
+          docs.filter(col("doc_id") < 50).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // redelivery: idempotent no-op
+        } finally q.stop()
+      }
       val out = s.read.parquet(outDir)
       val mx = out.groupBy(col("stratum")).agg(max(col("version")).as("version"))
       out.join(mx, Seq("stratum", "version"))
