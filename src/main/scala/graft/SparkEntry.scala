@@ -976,6 +976,23 @@ object SparkEntry {
           minDistinctRatio = 0.4, maxTopWordFrac = 0.12)
         .orderBy(col("doc_id"))),
 
+    // greedy token-budget assembly (r8): the maximal prefix of the
+    // corpus ordered most-natural-text-first (stopword ratio desc)
+    // whose token sum fits the budget; the operator runs the bucketed
+    // scale path, the oracle the naive global running-sum window
+    "corpus_select_budget" -> ((s, d) => {
+      val t = col("text")
+      val nWords = functions.Text.tokenCountWs(t)
+      val score = functions.Text.stopwordHits(t, functions.Text.StopwordsEn)
+        .cast("double") / nullif(nWords, lit(0L)).cast("double")
+      val scored = Tables.documents(s, d).select(col("doc_id"),
+        nWords.as("n_words"), coalesce(score, lit(0.0)).as("score"))
+      Sampling.selectBudget(scored, "doc_id", "n_words", "score",
+          budget = 15000L)
+        .select(col("doc_id"), col("n_words"))
+        .orderBy(col("doc_id"))
+    }),
+
     // per-(doc, term) TF-IDF; nDocs from the raw scan (metadata-only)
     "doc_tfidf" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -2180,6 +2197,24 @@ object SparkEntry {
              CAST(${stopHits(s"string_split($norm, ' ')", functions.Text.StopwordsEn)} AS DOUBLE)
                / nullif($nWordsSql, 0) AS stopword_ratio
            FROM documents ORDER BY doc_id""",
+
+      // the operator's bucketed scale path vs the naive global
+      // running-sum window (monotone cum ⟹ WHERE cum <= budget IS the
+      // maximal prefix)
+      "corpus_select_budget" ->
+        s"""WITH q AS (
+             SELECT doc_id, $nWordsSql AS n_words,
+               coalesce(CAST(${stopHits(s"string_split($norm, ' ')",
+                  functions.Text.StopwordsEn)} AS DOUBLE)
+                 / nullif($nWordsSql, 0), 0.0) AS score
+             FROM documents),
+           c AS (
+             SELECT doc_id, n_words,
+               sum(n_words) OVER (ORDER BY score DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM q)
+           SELECT doc_id, n_words FROM c WHERE cum <= 15000
+           ORDER BY doc_id""",
 
       "doc_lang_id" -> {
         val scores = Seq(

