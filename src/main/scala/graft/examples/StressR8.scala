@@ -94,6 +94,42 @@ object StressR8 {
             secs = pmod(hash(col("seq"), col("user_id"), lit(7)),
               lit(86400 * 40)).cast("double"))).as("ts"))
 
+  /** The pre-r8 connectedComponents loop, verbatim semantics: every
+    * round re-joins ALL edges with ALL labels, re-aggregates the full
+    * label table, and runs a separate label-sum job for convergence.
+    * Harness-only — the A/B baseline for Leg 3.
+    */
+  private def legacyConnectedComponents(pairs: DataFrame,
+                                        maxIter: Int): DataFrame = {
+    val edges = Par.persistTracked(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct())
+    def labelSum(df: DataFrame): BigDecimal = {
+      val d = df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (d == null) BigDecimal(0) else BigDecimal(d)
+    }
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint(true)
+    var lastSum = labelSum(labels)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val fromNeighbors = edges
+        .join(labels.select(col("id").as("dst"), col("comp")), "dst")
+        .select(col("src").as("id"), col("comp"))
+      labels = labels.unionByName(fromNeighbors)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      val s = labelSum(labels)
+      converged = s == lastSum
+      lastSum = s
+      it += 1
+    }
+    require(converged, "legacy CC did not converge")
+    labels
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -172,6 +208,63 @@ object StressR8 {
     val m10 = maintain("vg_maintenance 10x batch",
       docs10x.filter(col("doc_id") >= 10000000L))
     println(f"[stress] vg maintenance 10x/1x time ratio: ${m10 / m1}%.1fx (batch grew 9x)")
+
+    // --- Leg 3: frontier connected components vs legacy full
+    // re-propagation. Shape: 100k dense star clusters (converge in ~2
+    // rounds) PLUS one buried 30-node chain that forces ~15 more
+    // rounds. The legacy loop re-joins EVERY edge with every label
+    // each round, so it pays the full graph ~17 times; the frontier
+    // loop pays it twice and then touches only the chain's wave front.
+    import spark.implicits._
+    val dense = spark.range(100000L)
+      .filter(col("id") % 10 =!= 0)
+      .select(col("id").as("id_a"), (col("id") - col("id") % 10).as("id_b"))
+    val chainIds = (0 until 30).map(i => 20000000L + i * 7L)
+    val chain = chainIds.zip(chainIds.tail).toDF("id_a", "id_b")
+    val graph = dense.unionByName(chain)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    graph.count()
+    // correctness twin on a small replica
+    val smallGraph = graph.filter(col("id_a") < 1000L || col("id_a") >= 20000000L)
+    val newLabels = Dedup.connectedComponents(smallGraph, maxIter = 40)
+    val oldLabels = legacyConnectedComponents(smallGraph, maxIter = 40)
+    require(newLabels.except(oldLabels).isEmpty && oldLabels.except(newLabels).isEmpty,
+      "CC A/B label mismatch")
+    println("[stress] cc A/B agrees on the small replica")
+    def runCcNew() = force(Dedup.connectedComponents(graph, maxIter = 40))
+    def runCcOld() = force(legacyConnectedComponents(graph, maxIter = 40))
+    runCcNew(); runCcOld() // warm
+    val (tCcNew, _) = timed("cc frontier (dense + chain)")(runCcNew())
+    val (tCcOld, _) = timed("cc legacy full re-propagation")(runCcOld())
+    println(f"[stress] cc frontier speedup: ${tCcOld / tCcNew}%.1fx")
+    graph.unpersist()
+
+    // --- Leg 4: selectBudget bucketed scale path vs the naive global
+    // running-sum window at 5M rows (the naive form funnels the whole
+    // corpus through ONE reducer; the bucketed form pays a window only
+    // inside the boundary bucket — 1/1000th of the rows here).
+    import graft.operators.Sampling
+    val corpus = spark.range(5000000L)
+      .select(col("id"), (col("id") % 50 + 1).as("tok"),
+        ((col("id") * 37) % 1000).cast("double").divide(1000.0).as("score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    corpus.count()
+    val budget = 60000000L // ~47% of ~127.5M total tokens → boundary bites
+    def runSbNew() = force(
+      Sampling.selectBudget(corpus, "id", "tok", "score", budget))
+    def runSbOld() = force {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("score").desc, col("id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      corpus.withColumn("cum", sum(col("tok")).over(w))
+        .filter(col("cum") <= budget).drop("cum")
+    }
+    runSbNew(); runSbOld() // warm
+    val (tSbNew, nSbNew) = timed("select_budget bucketed 5M")(runSbNew())
+    val (tSbOld, nSbOld) = timed("select_budget naive window 5M")(runSbOld())
+    require(nSbNew == nSbOld, s"selectBudget A/B row mismatch: $nSbNew vs $nSbOld")
+    println(f"[stress] select_budget speedup: ${tSbOld / tSbNew}%.1fx")
+    corpus.unpersist()
     spark.stop()
   }
 }
