@@ -976,6 +976,21 @@ object SparkEntry {
           minDistinctRatio = 0.4, maxTopWordFrac = 0.12)
         .orderBy(col("doc_id"))),
 
+    // per-domain fractional quality cut (r8): keep the best 30% of
+    // every source by the stopword-ratio score — the operator runs the
+    // bucketed per-group scale path, the oracle the naive rank window
+    "doc_quality_top_frac" -> ((s, d) => {
+      val t = col("text")
+      val nWords = functions.Text.tokenCountWs(t)
+      val score = functions.Text.stopwordHits(t, functions.Text.StopwordsEn)
+        .cast("double") / nullif(nWords, lit(0L)).cast("double")
+      val scored = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        coalesce(score, lit(0.0)).as("score"))
+      Sampling.topFracPerGroup(scored, "doc_id", "source", "score", frac = 0.3)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // greedy token-budget assembly (r8): the maximal prefix of the
     // corpus ordered most-natural-text-first (stopword ratio desc)
     // whose token sum fits the budget; the operator runs the bucketed
@@ -2197,6 +2212,24 @@ object SparkEntry {
              CAST(${stopHits(s"string_split($norm, ' ')", functions.Text.StopwordsEn)} AS DOUBLE)
                / nullif($nWordsSql, 0) AS stopword_ratio
            FROM documents ORDER BY doc_id""",
+
+      // the operator's bucketed per-group scale path vs the naive
+      // per-group rank window
+      "doc_quality_top_frac" ->
+        s"""WITH q AS (
+             SELECT doc_id, source,
+               coalesce(CAST(${stopHits(s"string_split($norm, ' ')",
+                  functions.Text.StopwordsEn)} AS DOUBLE)
+                 / nullif($nWordsSql, 0), 0.0) AS score
+             FROM documents),
+           r AS (
+             SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY score DESC, doc_id) AS rnk,
+               count(*) OVER (PARTITION BY source) AS n
+             FROM q)
+           SELECT doc_id, source FROM r
+           WHERE rnk <= CAST(ceil(0.3 * n) AS BIGINT) ORDER BY doc_id""",
 
       // the operator's bucketed scale path vs the naive global
       // running-sum window (monotone cum ⟹ WHERE cum <= budget IS the

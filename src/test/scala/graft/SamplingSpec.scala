@@ -255,4 +255,29 @@ class SamplingSpec extends SparkSuite {
     assert(Sampling.selectBudget(df, "id", "tok", "score", 0L).count() === 0)
     Par.release()
   }
+
+  test("topFracPerGroup: bucketed path equals the naive per-group rank window") {
+    import org.apache.spark.sql.expressions.Window
+    // uneven groups incl. a NULL group; ties within buckets
+    val df = (1L to 3000L)
+      .map(i => (i, if (i % 7 == 0) null else s"g${i % 3}",
+        ((i * 37) % 100) / 100.0))
+      .toDF("id", "grp", "score")
+    val w = Window.partitionBy(col("grp")).orderBy(col("score").desc, col("id").asc)
+    Seq(0.0, 0.31, 1.0).foreach { frac =>
+      val out = Sampling.topFracPerGroup(df, "id", "grp", "score", frac)
+      val naive = df
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+        .filter(col("rnk") <= ceil(lit(frac) * col("n")).cast("long"))
+        .drop("rnk", "n")
+      assert(out.except(naive).isEmpty && naive.except(out).isEmpty,
+        s"frac $frac diverged from the naive window")
+    }
+    // the NULL group is kept and cut like any other
+    val nulls = Sampling.topFracPerGroup(df, "id", "grp", "score", 0.5)
+      .filter(col("grp").isNull).count()
+    assert(nulls === math.ceil(df.filter(col("grp").isNull).count() * 0.5).toLong)
+    Par.release()
+  }
 }
