@@ -935,14 +935,27 @@ object Dedup {
       pairs.select(col(idA).as("src"), col(idB).as("dst"))
         .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
         .distinct())
-    var labels = truncate(edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")))
-    // round 1: every node propagates (its initial label is "new")
-    var frontier = labels
+    // seed with ROUND 1 fused into initialization: label₀(x) =
+    // min(x, min over x's neighbors) is exactly what one propagation
+    // round over self-labels produces, and it's a single map-side-
+    // combined aggregation over the edge list — one full
+    // join+checkpoint round saved. The frontier starts as the nodes
+    // round 1 changed; an empty graph observes 0 changes and is
+    // converged by definition (a pair generator can legitimately emit
+    // zero pairs — e.g. a quiet daily delta).
+    val obs0 = org.apache.spark.sql.Observation()
+    var labels = truncate(edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("__m"))
+      .select(col("id"), least(col("id"), col("__m")).as("comp"),
+        (least(col("id"), col("__m")) < col("id")).as("__chg"))
+      .observe(obs0, sum(when(col("__chg"), 1L).otherwise(0L)).as("changed")))
+    var frontier = labels.filter(col("__chg")).select(col("id"), col("comp"))
+    labels = labels.drop("__chg")
     var it = 0
-    // a pair generator can legitimately emit zero pairs (e.g. a quiet
-    // daily delta): an empty graph is converged by definition
-    var converged = labels.isEmpty
+    var converged = (obs0.get("changed") match {
+      case null => 0L
+      case n: Number => n.longValue()
+    }) == 0L
     while (!converged && it < maxIter) {
       // contributions from CHANGED nodes only, min-combined per target
       // (map-side partial agg; shuffle size = frontier's edge fan-out)
