@@ -97,4 +97,47 @@ class PlansSpec extends SparkSuite {
     assert(scan.contains("PushedFilters") && scan.contains("GreaterThan(ts"),
       "cutoff predicate did not reach the parquet scan")
   }
+
+  test("r8 sampler scale paths keep their plan shape") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // through parquet: a LocalRelation input lets the optimizer fold
+    // filters into the scan and the shapes under test disappear
+    val pq = tmpDir("plans-sampler")
+    (1L to 5000L)
+      .map(i => (i, s"g${i % 3}", ((i * 37) % 100) / 100.0, (i % 50) + 1))
+      .toDF("id", "grp", "score", "tok").write.mode("overwrite").parquet(pq)
+    val df = spark.read.parquet(pq)
+    // stratifiedTopN: the sampled ids come back onto the corpus via a
+    // BROADCAST join — a sort-merge join here would shuffle the corpus
+    // to fetch a bounded sample
+    val p1 = Sampling.stratifiedTopN(df, "id", "grp", n = 20)
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("BroadcastHashJoin"),
+      "stratifiedTopN join-back is not broadcast")
+    assert(!p1.contains("SortMergeJoin"),
+      "stratifiedTopN shuffles the corpus for the join-back")
+    // selectBudget: the single global-order window must be gated by
+    // the boundary-bucket equality, and the full-accept branch is a
+    // pure scan filter — the projection collapses __b to
+    // FLOOR(score·10^scale) pushed onto the scan, so assert on that
+    val p2 = Sampling.selectBudget(df, "id", "tok", "score", budget = 60000L)
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("Window"), "selectBudget boundary window missing")
+    assert("FLOOR\\([^\n]*\\) = \\d+".r.findFirstIn(p2).isDefined,
+      "selectBudget's window is not gated by the boundary-bucket filter")
+    assert("FLOOR\\([^\n]*\\) > \\d+".r.findFirstIn(p2).isDefined,
+      "selectBudget's full-accept branch lost its scan-level bucket filter")
+    // topFracPerGroup: bucket metadata joins broadcast, and the rank
+    // window's input is the (__b = __bb, group) equi-join — boundary
+    // rows only, never whole groups
+    val p3 = Sampling.topFracPerGroup(df, "id", "grp", "score", frac = 0.3)
+      .queryExecution.executedPlan.toString
+    assert(p3.contains("BroadcastHashJoin"),
+      "topFracPerGroup bucket-threshold joins are not broadcast")
+    assert(!p3.contains("SortMergeJoin"),
+      "topFracPerGroup shuffles the corpus against bucket metadata")
+    assert(p3.contains("__bb#"),
+      "topFracPerGroup's rank window is not gated to the boundary bucket")
+  }
 }
