@@ -135,8 +135,10 @@ object Dedup {
     val vocab = if (maxDocFreq > 0) dfs.filter(col("__df") <= maxDocFreq) else dfs
     // surviving occurrences with their gram's global df attached
     // (shuffle on gram — the same key the old candidate self-join
-    // shuffled on, but this table is read once, not squared)
-    val kept = Par.persistTracked(base.join(vocab, Seq("gram")))
+    // shuffled on, but this table is read once, not squared). NOT
+    // persisted: `sets` is its only consumer — the orphan path reads
+    // surviving IDS from `sets` (one row per doc already).
+    val kept = base.join(vocab, Seq("gram"))
     // ONE per-doc aggregation produces BOTH sides: `grams` sorted by
     // value for the merge-walk rescore (codegen'd SortedIntersectCount
     // — no per-pair hash set) AND the PPJoin prefix — (df, gram)
@@ -182,8 +184,9 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
     if (maxDocFreq <= 0) scored
     else {
-      // whole-doc-hash rescue bucket for all-hot-shingle orphans
-      val survId = kept.select(col("id")).distinct()
+      // whole-doc-hash rescue bucket for all-hot-shingle orphans;
+      // surviving ids read from the persisted `sets` (one row per doc)
+      val survId = sets.select(col("id"))
       val orphan = base.join(survId, Seq("id"), "left_anti")
         .groupBy(col("id"))
         .agg(xxhash64(sort_array(collect_list(col("gram")))).as("__h"))
