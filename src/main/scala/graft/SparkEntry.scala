@@ -275,6 +275,22 @@ object SparkEntry {
         .orderBy(col("lang"), col("rank"))
     }),
 
+    // salted skew JOIN (r8): the fact-to-dim join where some users own
+    // a huge share of events — hot keys spread over 16 salted
+    // reducers, cold keys untouched; must equal the plain join
+    "skew_salted_join" -> ((s, d) => {
+      val ev = eventCols(Tables.events(s, d))
+        .select(col("event_id"), col("user_id"), col("value"))
+      val cust = Tables.customer(s, d).select(
+        col("c_custkey").as("user_id"),
+        col("c_name").as("customer_name"),
+        col("c_mktsegment").as("market_segment"))
+      operators.Skew.saltedJoin(ev, cust, Seq("user_id"), hotThreshold = 50L)
+        .select(col("event_id"), col("user_id"), col("customer_name"),
+          col("market_segment"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // banded dim join: orders priced into fixed tiers (broadcast
     // non-equi join against a FIXED-cardinality band table)
     "band_join_price" -> ((s, d) => {
@@ -1965,6 +1981,13 @@ object SparkEntry {
              count(*) AS n_events,
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      // the salted machinery must be invisible: plain inner join
+      "skew_salted_join" ->
+        """SELECT e.event_id, e.user_id, c.c_name AS customer_name,
+             c.c_mktsegment AS market_segment, e.value
+           FROM events e JOIN customer c ON e.user_id = c.c_custkey
+           ORDER BY e.event_id""",
 
       // redelivered input deduped back to exactly-once = the raw table
       "stream_dedup" ->

@@ -56,4 +56,50 @@ object Skew {
     }
     partial.groupBy(keys.map(col): _*).agg(finalCols.head, finalCols.tail: _*)
   }
+
+  /** Salted INNER equi-join for heavy-hitter join keys — the join
+    * companion to [[saltedAgg]]: hot keys (left-side count >
+    * `hotThreshold`) take the replicate-right path — the hot LEFT row
+    * gets a deterministic row-hash salt in [0, salts), the hot RIGHT
+    * rows are replicated once per salt, and the join key becomes
+    * (keys, salt), so a key that owns 30% of the fact table spreads
+    * over `salts` reducers instead of one. Cold keys join on the
+    * plain keys, untouched. Row-for-row equal to `left.join(right,
+    * keys)` (SkewSpec): every (hot left row, matching right row) pair
+    * meets on exactly one salt.
+    *
+    * Use when AQE's skew-join split can't see the skew (it acts on
+    * PARTITION byte sizes post-shuffle — a single giant KEY inside an
+    * otherwise-balanced partition, compressed hot rows, or a
+    * non-sort-merge plan slip through) or when the job runs with AQE
+    * off. The hot-key table is one partial-agged aggregate and is
+    * heavy-hitter-small by definition (≤ |left| / hotThreshold keys)
+    * — it broadcasts to tag both sides; the right side is NOT assumed
+    * broadcastable, only its per-key row groups are replicated
+    * `salts`×.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 hotThreshold: Long, salts: Int = 16): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val hot = left.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > hotThreshold)
+      .select(keys.map(col): _*)
+      .withColumn("__hot", lit(1))
+    def tag(df: DataFrame): DataFrame =
+      df.join(broadcast(hot), keys, "left")
+        .withColumn("__hot", coalesce(col("__hot"), lit(0)))
+    // deterministic salt from the whole row (retry-safe); cold rows
+    // pin salt 0 on both sides so they meet exactly once
+    val l = tag(left).withColumn("__salt",
+      when(col("__hot") === 1,
+        pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)))
+        .otherwise(lit(0L)))
+      .drop("__hot")
+    val r = tag(right).withColumn("__salt",
+      explode(when(col("__hot") === 1,
+        array((0 until salts).map(s => lit(s.toLong)): _*))
+        .otherwise(array(lit(0L)))))
+      .drop("__hot")
+    l.join(r, keys :+ "__salt").drop("__salt")
+  }
 }

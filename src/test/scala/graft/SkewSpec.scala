@@ -31,4 +31,24 @@ class SkewSpec extends SparkSuite {
       .select("__salt").distinct().count()
     assert(salts === 8L)
   }
+
+  test("saltedJoin equals the plain inner join, incl. multi-match right rows") {
+    // "hot" owns 90% of the left; right has TWO rows for hot (each
+    // left row must match both, exactly once each) and one for others
+    val left = ((1 to 900).map(i => ("hot", i.toLong)) ++
+      (1 to 50).map(i => ("warm", i.toLong)) ++
+      Seq(("cold", 7L))).toDF("k", "v")
+    val right = Seq(("hot", "h1"), ("hot", "h2"), ("warm", "w"), ("cold", "c"),
+      ("unmatched", "x")).toDF("k", "tag")
+    val salted = Skew.saltedJoin(left, right, Seq("k"),
+      hotThreshold = 100L, salts = 8)
+    val plain = left.join(right, Seq("k"))
+    assert(salted.count() === 1851L) // 900*2 + 50 + 1
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+    // degenerate thresholds: nothing hot / everything hot — same rows
+    Seq(100000L, 0L).foreach { th =>
+      val s2 = Skew.saltedJoin(left, right, Seq("k"), th, salts = 8)
+      assert(s2.except(plain).isEmpty && plain.except(s2).isEmpty, s"th=$th")
+    }
+  }
 }
