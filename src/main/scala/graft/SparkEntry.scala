@@ -46,6 +46,8 @@ object SparkEntry {
     "q1_pricing_summary" -> ((s, d) => Analytics.q1PricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Analytics.q3ShippingPriority(s, d)),
     "q5_regional_revenue" -> ((s, d) => Analytics.q5RegionalRevenue(s, d)),
+    "q10_returned_revenue" -> ((s, d) => Analytics.q10ReturnedRevenue(s, d)),
+    "q14_promo_share" -> ((s, d) => Analytics.q14PromoShare(s, d)),
     "top_orders_per_cust" -> ((s, d) => Analytics.topOrdersPerCust(s, d)),
     "events_hourly" -> ((s, d) => Analytics.eventsHourly(s, d)),
     "q4_returned_priority" -> ((s, d) => Analytics.q4ReturnedByPriority(s, d)),
@@ -1441,6 +1443,29 @@ object SparkEntry {
              AND o_orderdate < TIMESTAMP '1997-01-01'
            GROUP BY n_name
            ORDER BY revenue DESC, n_name""",
+
+      "q10_returned_revenue" ->
+        """SELECT c_custkey, c_name, c_acctbal, n_name,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+           FROM lineitem, orders, customer, nation
+           WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+             AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+             AND o_orderdate >= TIMESTAMP '1995-10-01'
+             AND o_orderdate < TIMESTAMP '1996-01-01'
+           GROUP BY c_custkey, c_name, c_acctbal, n_name
+           ORDER BY revenue DESC, c_custkey LIMIT 20""",
+
+      "q14_promo_share" ->
+        """SELECT round(100.0 *
+             CAST(sum(CASE WHEN p_type = 'PROMO'
+               THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+               ELSE 0 END) AS DOUBLE) /
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE),
+             6) AS promo_share
+           FROM lineitem, part
+           WHERE l_partkey = p_partkey
+             AND l_shipdate >= TIMESTAMP '1995-09-01'
+             AND l_shipdate < TIMESTAMP '1995-10-01'""",
 
       "top_orders_per_cust" ->
         """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

@@ -130,6 +130,53 @@ object Analytics {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** TPC-H Q10 shape: top-20 customers by revenue LOST to returns in
+    * a quarter — fact filtered on both sides before the join chain
+    * (returnflag on lineitem, the date window on orders), geography
+    * broadcast, one grouped aggregation, top-k with a deterministic
+    * tiebreak. (reference analog: the marts' customer-revenue
+    * rollups under models/marts/)
+    */
+  def q10ReturnedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"),
+        col("c_acctbal"), col("c_nationkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q14 shape: promo revenue share for one ship month — a
+    * single scalar from a conditional aggregate over the part join;
+    * decimal-exact sums, one rounded double out.
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-10-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .agg(round(
+        lit(100.0) *
+          sum(when(col("p_type") === "PROMO", discPrice)
+            .otherwise(lit(0).cast("decimal(12,2)"))).cast("double") /
+          sum(discPrice).cast("double"), 6).as("promo_share"))
+  }
+
   /** TPC-H Q22 shape: anti join — customers with NO orders, per
     * segment with average balance. One shuffle on custkey.
     */
