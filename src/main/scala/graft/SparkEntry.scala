@@ -994,6 +994,21 @@ object SparkEntry {
           minDistinctRatio = 0.4, maxTopWordFrac = 0.12)
         .orderBy(col("doc_id"))),
 
+    // per-domain score calibration (r8): z + min-max normalization of
+    // the quality score within source — scores comparable across
+    // domains before any global threshold
+    "doc_quality_normalized" -> ((s, d) => {
+      val t = col("text")
+      val nWords = functions.Text.tokenCountWs(t)
+      val score = functions.Text.stopwordHits(t, functions.Text.StopwordsEn)
+        .cast("double") / nullif(nWords, lit(0L)).cast("double")
+      val scored = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        coalesce(score, lit(0.0)).as("score"))
+      Quality.normalizeScores(scored, "source", "score")
+        .select(col("doc_id"), col("source"), col("score_z"), col("score_minmax"))
+        .orderBy(col("doc_id"))
+    }),
+
     // per-domain fractional quality cut (r8): keep the best 30% of
     // every source by the stopword-ratio score — the operator runs the
     // bucketed per-group scale path, the oracle the naive rank window
@@ -2260,6 +2275,27 @@ object SparkEntry {
              CAST(${stopHits(s"string_split($norm, ' ')", functions.Text.StopwordsEn)} AS DOUBLE)
                / nullif($nWordsSql, 0) AS stopword_ratio
            FROM documents ORDER BY doc_id""",
+
+      // moment-sum variance replay (the volumeAnomaly portability
+      // argument); round(6) guards the cross-engine double sums
+      "doc_quality_normalized" ->
+        s"""WITH q AS (
+             SELECT doc_id, source,
+               coalesce(CAST(${stopHits(s"string_split($norm, ' ')",
+                  functions.Text.StopwordsEn)} AS DOUBLE)
+                 / nullif($nWordsSql, 0), 0.0) AS score
+             FROM documents),
+           st AS (
+             SELECT source, count(*) AS n, sum(score) AS s1,
+               sum(score * score) AS s2, min(score) AS mn, max(score) AS mx
+             FROM q GROUP BY source)
+           SELECT doc_id, q.source,
+             CASE WHEN n < 2 OR (s2/n - (s1/n)*(s1/n)) <= 0 THEN NULL
+               ELSE round((score - s1/n) / sqrt(s2/n - (s1/n)*(s1/n)), 6)
+             END AS score_z,
+             CASE WHEN mx = mn THEN NULL
+               ELSE round((score - mn) / (mx - mn), 6) END AS score_minmax
+           FROM q JOIN st ON q.source = st.source ORDER BY doc_id""",
 
       // the operator's bucketed per-group scale path vs the naive
       // per-group rank window

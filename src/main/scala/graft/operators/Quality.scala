@@ -257,4 +257,38 @@ object Quality {
       .filter(col(childKey).isNotNull)
       .distinct()
       .join(parent.select(col(parentKey).as(childKey)), Seq(childKey), "left_anti")
+
+  /** Per-group score CALIBRATION — quality-classifier scores are not
+    * comparable across domains (web prose and code score on different
+    * scales), so curation recipes normalize within group before any
+    * global threshold. Adds `<scoreCol>_z` (population z-score, NULL
+    * when the group's variance is 0 or it has one row) and
+    * `<scoreCol>_minmax` ((s−min)/(max−min), NULL when max=min), both
+    * rounded to 6 so the doubles replay cross-engine. One map-side-
+    * combined stats aggregate — cardinality = #groups, broadcast back
+    * onto the scan; no window, no second shuffle: scan-bound at
+    * 100 TB. Variance from the Σs/Σs² closed form (the
+    * [[volumeAnomaly]] portability argument: engine-specific Welford
+    * merges don't replay; moment sums do).
+    */
+  def normalizeScores(df: DataFrame, groupCol: String,
+                      scoreCol: String): DataFrame = {
+    val s = col(scoreCol).cast("double")
+    val stats = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), sum(s).as("__s1"),
+        sum(s * s).as("__s2"), min(s).as("__mn"), max(s).as("__mx"))
+      .withColumn("__mean", col("__s1") / col("__n").cast("double"))
+      .withColumn("__var",
+        col("__s2") / col("__n").cast("double") - col("__mean") * col("__mean"))
+      .select(col(groupCol), col("__n"), col("__mean"), col("__var"),
+        col("__mn"), col("__mx"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .withColumn(s"${scoreCol}_z",
+        when(col("__n") < 2 || col("__var") <= 0.0, lit(null).cast("double"))
+          .otherwise(round((s - col("__mean")) / sqrt(col("__var")), 6)))
+      .withColumn(s"${scoreCol}_minmax",
+        when(col("__mx") === col("__mn"), lit(null).cast("double"))
+          .otherwise(round((s - col("__mn")) / (col("__mx") - col("__mn")), 6)))
+      .drop("__n", "__mean", "__var", "__mn", "__mx")
+  }
 }

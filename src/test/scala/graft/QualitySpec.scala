@@ -115,4 +115,24 @@ class QualitySpec extends SparkSuite {
     assert(counts("not_null_status") === 1L &&
       counts("accepted_values_status") === 1L)
   }
+
+  test("normalizeScores: per-group z and min-max, degenerate groups go NULL") {
+    val df = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), ("a", 4L, 6.0),
+      ("b", 5L, 5.0), ("b", 6L, 5.0), // zero variance → both NULL
+      ("c", 7L, 9.0)                  // single row → both NULL
+    ).toDF("g", "id", "score")
+    val out = Quality.normalizeScores(df, "g", "score")
+      .collect().map(r => r.getLong(1) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    // group a: mean 3, var = (1+4+9+36)/4 - 9 = 3.5
+    val sd = math.sqrt(3.5)
+    assert(out(1L)._1.get === math.rint((1.0 - 3.0) / sd * 1e6) / 1e6)
+    assert(out(4L)._1.get === math.rint((6.0 - 3.0) / sd * 1e6) / 1e6)
+    assert(out(1L)._2.get === 0.0 && out(4L)._2.get === 1.0)
+    assert(out(2L)._2.get === 0.2) // (2-1)/5
+    assert(out(5L) === ((None, None)) && out(6L) === ((None, None)))
+    assert(out(7L) === ((None, None)))
+  }
 }
