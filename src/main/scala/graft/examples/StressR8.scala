@@ -265,6 +265,39 @@ object StressR8 {
     require(nSbNew == nSbOld, s"selectBudget A/B row mismatch: $nSbNew vs $nSbOld")
     println(f"[stress] select_budget speedup: ${tSbOld / tSbNew}%.1fx")
     corpus.unpersist()
+
+    // --- Leg 5: saltedJoin vs plain join on a 90%-hot key, 4M left
+    // rows. Broadcast is disabled for the leg: saltedJoin's use case
+    // is a right side too big to broadcast (with a broadcastable dim
+    // there is no shuffle and nothing to salt — measured: the plain
+    // broadcast join wins outright at 0.05 s). The plain sort-merge
+    // join hands the hot key's 3.6M rows to ONE reducer; the salted
+    // form spreads them over 16. Run with AQE on (its partition-byte
+    // skew split may fire) and off (the documented use case).
+    import graft.operators.Skew
+    val hotLeft = spark.range(4000000L)
+      .select(when(col("id") % 10 < 9, lit(0L)).otherwise(col("id") % 1000L)
+        .as("k"), col("id").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    hotLeft.count()
+    val dim = spark.range(1000L).select(col("id").as("k"),
+      concat(lit("tag"), col("id")).as("tag"))
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def runJPlain() = force(hotLeft.join(dim, Seq("k")))
+    def runJSalted() = force(Skew.saltedJoin(hotLeft, dim, Seq("k"),
+      hotThreshold = 10000L, salts = 16))
+    Seq("true", "false").foreach { aqe =>
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      runJPlain(); runJSalted() // warm
+      val (tP, nP) = timed(s"hot-key join plain (aqe=$aqe)")(runJPlain())
+      val (tS, nS) = timed(s"hot-key join salted (aqe=$aqe)")(runJSalted())
+      require(nP == nS, s"saltedJoin A/B row mismatch: $nP vs $nS")
+      println(f"[stress] salted-join speedup (aqe=$aqe): ${tP / tS}%.1fx")
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    hotLeft.unpersist()
     spark.stop()
   }
 }

@@ -98,6 +98,23 @@ class PlansSpec extends SparkSuite {
       "cutoff predicate did not reach the parquet scan")
   }
 
+  test("oracle keys match queries; rows-only grading is the documented set") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    // a typo'd oracle key silently grades NOTHING — it must name a query
+    assert((o -- q).isEmpty, s"dangling oracle keys: ${(o -- q).mkString(", ")}")
+    // and a query LOSING its oracle silently downgrades to rows-only —
+    // pin the exact documented rows-only set (hash arithmetic that is
+    // not SQL-portable, each pinned in ScalaTest instead)
+    val documentedRowsOnly = Set(
+      "corpus_top_terms_approx", "dedup_minhash", "dedup_simhash",
+      "doc_fingerprint", "doc_pack", "doc_shared_runs", "doc_winnow",
+      "dq_numeric_profile_approx", "dq_profile_approx")
+    assert((q -- o) === documentedRowsOnly,
+      s"rows-only drift: ${((q -- o) -- documentedRowsOnly).mkString(", ")} lost oracles; " +
+        s"${(documentedRowsOnly -- (q -- o)).mkString(", ")} unexpectedly gained one (update the set)")
+  }
+
   test("r8 sampler scale paths keep their plan shape") {
     import spark.implicits._
     import graft.operators.Sampling
