@@ -277,6 +277,34 @@ object SparkEntry {
         .orderBy(col("lang"), col("rank"))
     }),
 
+    // PERMISSIVE quarantine split (r8): bad records neither kill the
+    // load nor vanish — schema-true rows parse, failures keep their
+    // raw text for replay; graded via a VALUES-literal oracle over a
+    // deterministic crafted file
+    "source_quarantine" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val dir = java.nio.file.Files.createTempDirectory("graft_quar").toString
+      val lines = Seq(
+        """{"id": 1, "name": "alpha", "qty": 10}""",
+        """{"id": 2, "name": "beta", "qty": 20}""",
+        """this is not json""",
+        """{"id": "x", "name": "gamma", "qty": 3}""",
+        """{"id": 4, "qty": 40}""")
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "batch.jsonl"),
+        String.join("\n", lines: _*).getBytes("UTF-8"))
+      val schema = StructType(Seq(StructField("id", LongType),
+        StructField("name", StringType), StructField("qty", LongType)))
+      val (good, quarantine) = graft.sources.Sources.readQuarantined(
+        s, dir, schema, format = "json")
+      good.select(lit("good").as("kind"), col("id"), col("name"), col("qty"),
+          lit(null).cast("string").as("raw_record"))
+        .unionByName(quarantine.select(lit("quarantine").as("kind"),
+          lit(null).cast("long").as("id"), lit(null).cast("string").as("name"),
+          lit(null).cast("long").as("qty"), col("raw_record")))
+        .orderBy(col("kind"), coalesce(col("raw_record"), lit("")),
+          coalesce(col("id"), lit(-1L)))
+    }),
+
     // salted skew JOIN (r8): the fact-to-dim join where some users own
     // a huge share of events — hot keys spread over 16 salted
     // reducers, cold keys untouched; must equal the plain join
@@ -2021,6 +2049,18 @@ object SparkEntry {
              count(*) AS n_events,
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      // VALUES-literal oracle (zero data): the crafted file's
+      // deterministic split — good rows parse, bad rows keep raw text
+      "source_quarantine" ->
+        """SELECT * FROM (VALUES
+             ('good', CAST(1 AS BIGINT), CAST('alpha' AS VARCHAR), CAST(10 AS BIGINT), CAST(NULL AS VARCHAR)),
+             ('good', CAST(2 AS BIGINT), CAST('beta' AS VARCHAR), CAST(20 AS BIGINT), CAST(NULL AS VARCHAR)),
+             ('good', CAST(4 AS BIGINT), CAST(NULL AS VARCHAR), CAST(40 AS BIGINT), CAST(NULL AS VARCHAR)),
+             ('quarantine', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST('{"id": "x", "name": "gamma", "qty": 3}' AS VARCHAR)),
+             ('quarantine', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST('this is not json' AS VARCHAR)))
+             AS t(kind, id, name, qty, raw_record)
+           ORDER BY kind, coalesce(raw_record, ''), coalesce(id, -1)""",
 
       // the salted machinery must be invisible: plain inner join
       "skew_salted_join" ->

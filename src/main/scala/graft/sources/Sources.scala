@@ -37,6 +37,40 @@ object Sources {
   def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
 
+  /** PERMISSIVE read with a QUARANTINE split — the ELT "bad records
+    * don't kill the load, and don't silently vanish either" contract:
+    * rows failing the declared schema land in a quarantine frame
+    * carrying the RAW record text (for replay after a fix); the clean
+    * frame carries only schema-true rows. One scan: the raw capture
+    * is Spark's built-in PERMISSIVE corrupt-record column (codegen'd
+    * parse, no UDF), and the split is two filters over it. The parsed
+    * frame is persisted (tracked) before splitting — Spark refuses
+    * queries whose only referenced column is the internal corrupt
+    * record (SPARK-21610), and the persist also keeps the scan single
+    * when both halves are consumed. `format` ∈ {json, csv}.
+    */
+  def readQuarantined(spark: SparkSession, path: String, schema: StructType,
+                      format: String = "json",
+                      csvHeader: Boolean = true): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    require(format == "json" || format == "csv",
+      s"quarantine capture needs a text format (json/csv), got $format")
+    val corrupt = "__raw_record"
+    val reader = spark.read
+      .schema(StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField(corrupt,
+          org.apache.spark.sql.types.StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+    val df = graft.Par.persistTracked(
+      if (format == "json") reader.json(path)
+      else reader.option("header", csvHeader.toString).csv(path))
+    val good = df.filter(col(corrupt).isNull).drop(corrupt)
+    val quarantine = df.filter(col(corrupt).isNotNull)
+      .select(col(corrupt).as("raw_record"))
+    (good, quarantine)
+  }
+
   /** Incremental extract from any source: rows with tracking column
     * beyond the watermark (reference postgres_loader.py builds
     * `WHERE tracking_column > last_value`). The predicate reaches the

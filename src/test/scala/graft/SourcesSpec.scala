@@ -379,4 +379,27 @@ class SourcesSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(rows === Seq((1L, 1L, 10.0), (2L, 2L, 25.0), (3L, 1L, 30.0)))
   }
+
+  test("readQuarantined splits schema-true rows from raw-preserved failures (json + csv)") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    val jdir = tmpDir("quar-json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(jdir, "b.jsonl"),
+      Seq("""{"id": 1, "name": "a"}""", "broken", """{"id": "no", "name": "b"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val (jGood, jBad) = Sources.readQuarantined(spark, jdir, schema, "json")
+    assert(jGood.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((1L, "a")))
+    assert(jBad.collect().map(_.getString(0)).toSet
+      === Set("broken", """{"id": "no", "name": "b"}"""))
+    val cdir = tmpDir("quar-csv")
+    java.nio.file.Files.write(java.nio.file.Paths.get(cdir, "b.csv"),
+      Seq("id,name", "1,a", "oops,b", "2,c").mkString("\n").getBytes("UTF-8"))
+    val (cGood, cBad) = Sources.readQuarantined(spark, cdir, schema, "csv")
+    assert(cGood.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((1L, "a"), (2L, "c")))
+    assert(cBad.collect().map(_.getString(0)).toSet === Set("oops,b"))
+    Par.release()
+  }
 }
