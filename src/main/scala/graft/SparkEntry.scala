@@ -246,6 +246,36 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ---- streaming as-of enrichment, graded batch-side (§2.6) ----
+    // the real stream-static validity-window join on static input,
+    // two microbatches (the second re-plans the dim side); every
+    // event must pick the SCD2 version true at ITS timestamp
+    "stream_enrich_asof" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_ao").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = eventCols(Tables.events(s, d))
+      val cutoff = lit(CdcCutoff).cast("timestamp")
+      ev.filter(col("ts") <= cutoff).write.parquet(inDir)
+      val hist = Scd2.historyFromLog(ev, Seq("user_id"), "ts", Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("valid_from"), col("valid_to"))
+      withShufflePartitions(s, 4) {
+        val q = graft.streaming.EventStream.enrichAsOf(
+            graft.streaming.EventStream.read(s, inDir), hist, Seq("user_id"), "ts")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("dim_event_id").as("version_id"),
+            col("dim_event_type").as("state_at_event"))
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+        try {
+          q.processAllAvailable() // batch 1
+          ev.filter(col("ts") > cutoff).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // batch 2: dim side re-planned
+        } finally q.stop()
+      }
+      s.read.parquet(outDir).orderBy(col("event_id"))
+    }),
+
     // ---- streaming stratified sampler, graded batch-side (§2.6) ----
     // two days land as microbatches, then an at-least-once replay of
     // early docs (must bump no version); the current view (max version
@@ -2430,6 +2460,21 @@ object SparkEntry {
              FROM (${xxhash64LongSql("SELECT doc_id, lang FROM documents",
                       "doc_id", 42L, Seq("lang"))}))
            WHERE rank <= 100 ORDER BY lang, rank""",
+
+      // every event picks the SCD2 interval covering its OWN ts
+      // (half-open, zero-width same-ts intervals match neither side)
+      "stream_enrich_asof" ->
+        """WITH h AS (
+             SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS vf,
+               CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS TIMESTAMP) AS vt
+             FROM events)
+           SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+             h.event_id AS version_id, h.event_type AS state_at_event
+           FROM events e LEFT JOIN h ON e.user_id = h.user_id
+             AND h.vf <= CAST(e.ts AS TIMESTAMP)
+             AND (h.vt IS NULL OR CAST(e.ts AS TIMESTAMP) < h.vt)
+           ORDER BY e.event_id""",
 
       // streaming state ≡ batch operator over everything seen: the
       // same full-corpus ranking replay grades the stream's final view

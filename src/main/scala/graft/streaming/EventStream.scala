@@ -106,6 +106,29 @@ object EventStream {
   def enrich(events: DataFrame, dim: DataFrame, key: Seq[String]): DataFrame =
     events.join(dim, key, "left")
 
+  /** Stream-static AS-OF enrichment — each event joins the dimension
+    * version VALID AT ITS EVENT TIME (`hist` carries half-open
+    * [validFrom, validTo) rows, e.g. [[graft.operators.Scd2]]
+    * history), which is what current-row [[enrich]] gets wrong for
+    * late events: a row arriving after the dimension changed must
+    * still see the version that was true when it HAPPENED. The
+    * equality key keeps the join hash-based (the validity range is a
+    * post-join predicate, never a nested loop — the [[graft.operators
+    * .AsOf]] argument), and the static side re-plans per microbatch,
+    * so an SCD2 merge landing between batches is picked up without
+    * restarting the stream. Hist columns come back `dim_`-prefixed.
+    */
+  def enrichAsOf(events: DataFrame, hist: DataFrame, key: Seq[String],
+                 tsCol: String, validFrom: String = "valid_from",
+                 validTo: String = "valid_to"): DataFrame = {
+    val h = hist.columns.foldLeft(hist)((d, c) =>
+      d.withColumnRenamed(c, s"dim_$c"))
+    val cond = key.map(k => events(k) === h(s"dim_$k")).reduce(_ && _) &&
+      h(s"dim_$validFrom") <= events(tsCol) &&
+      (h(s"dim_$validTo").isNull || events(tsCol) < h(s"dim_$validTo"))
+    events.join(h, cond, "left")
+  }
+
   /** Stream-STREAM interval join: correlate two live event streams on
     * a key within a bounded event-time lookback — e.g. each purchase
     * with the views that preceded it by ≤ `withinSeconds` (the

@@ -283,6 +283,38 @@ class StreamingSpec extends SparkSuite {
     Par.release()
   }
 
+  test("enrichAsOf: a late event gets the dimension version true at ITS time") {
+    import org.apache.spark.sql.functions.lit
+    val src = tmpDir("asof-src")
+    // dim history: user 1 was "bronze" until 10:00, "gold" after
+    val hist = Seq(
+      (1L, "bronze", ts("2024-01-01 00:00:00"), Some(ts("2024-01-01 10:00:00"))),
+      (1L, "gold", ts("2024-01-01 10:00:00"), None)
+    ).toDF("user_id", "tier", "valid_from", "valid_to")
+    def land(name: String, events: Seq[Event]): Unit = writeBatch(src, name, events)
+    land("b0", Seq(Event(100L, ts("2024-01-01 09:00:00"), 1L, "click", 1.0)))
+    val out = tmpDir("asof-out") + "/out"
+    val q = EventStream.enrichAsOf(EventStream.read(spark, src), hist,
+        Seq("user_id"), "ts")
+      .select(col("event_id"), col("dim_tier"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", tmpDir("asof-ckpt"))
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a LATE event with a pre-change timestamp arrives
+      // after the dimension already changed — must still see bronze —
+      // plus an on-time post-change event that must see gold
+      land("b1", Seq(Event(101L, ts("2024-01-01 09:30:00"), 1L, "click", 1.0),
+        Event(102L, ts("2024-01-01 11:00:00"), 1L, "click", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows === Map(100L -> "bronze", 101L -> "bronze", 102L -> "gold"))
+    Par.release()
+  }
+
   test("sampleTopN: state equals the batch sampler after every prefix; replay emits nothing") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import org.apache.spark.sql.functions.max
