@@ -30,7 +30,10 @@ object ExplainAudit {
         "doc_bigram_surprisal", "dedup_minhash_incr_md5",
         "corpus_top_terms_approx", "events_funnel_windowed",
         "dedup_ngram_jaccard_incr", "dedup_minhash_vg_md5",
-        "pipeline_day_replay")
+        "pipeline_day_replay",
+        // r8-cont additions: sampler scale paths, salted join, Q10
+        "sample_stratified_n", "corpus_select_budget",
+        "doc_quality_top_frac", "skew_salted_join", "q10_returned_revenue")
     names.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
