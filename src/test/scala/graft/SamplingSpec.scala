@@ -253,6 +253,16 @@ class SamplingSpec extends SparkSuite {
     }
     assert(Sampling.selectBudget(df, "id", "tok", "score", 10000000L).count() === 2000)
     assert(Sampling.selectBudget(df, "id", "tok", "score", 0L).count() === 0)
+    // NEGATIVE scores: floor-bucketing must stay order-preserving
+    // below zero (floor, not truncation toward zero)
+    val neg = (1L to 2000L)
+      .map(i => (i, (i % 50) + 1, (((i * 37) % 100) - 50) / 100.0))
+      .toDF("id", "tok", "score")
+    val outN = Sampling.selectBudget(neg, "id", "tok", "score", 9973L)
+    val naiveN = neg.withColumn("cum", sum(col("tok")).over(w))
+      .filter(col("cum") <= 9973L).drop("cum")
+    assert(outN.except(naiveN).isEmpty && naiveN.except(outN).isEmpty,
+      "negative-score bucketing diverged from the naive prefix")
     Par.release()
   }
 
@@ -278,6 +288,15 @@ class SamplingSpec extends SparkSuite {
     val nulls = Sampling.topFracPerGroup(df, "id", "grp", "score", 0.5)
       .filter(col("grp").isNull).count()
     assert(nulls === math.ceil(df.filter(col("grp").isNull).count() * 0.5).toLong)
+    // negative scores: same equality through the floor-bucketed path
+    val neg = df.withColumn("score", col("score") - 0.5)
+    val outN = Sampling.topFracPerGroup(neg, "id", "grp", "score", 0.31)
+    val naiveN = neg
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+      .filter(col("rnk") <= ceil(lit(0.31) * col("n")).cast("long"))
+      .drop("rnk", "n")
+    assert(outN.except(naiveN).isEmpty && naiveN.except(outN).isEmpty)
     Par.release()
   }
 }

@@ -50,5 +50,12 @@ class SkewSpec extends SparkSuite {
       val s2 = Skew.saltedJoin(left, right, Seq("k"), th, salts = 8)
       assert(s2.except(plain).isEmpty && plain.except(s2).isEmpty, s"th=$th")
     }
+    // NULL join keys drop on both paths, exactly like the plain join
+    val leftN = left.unionByName(Seq((null.asInstanceOf[String], 99L)).toDF("k", "v"))
+    val rightN = right.unionByName(Seq((null.asInstanceOf[String], "nn")).toDF("k", "tag"))
+    val sN = Skew.saltedJoin(leftN, rightN, Seq("k"), hotThreshold = 100L, salts = 8)
+    val pN = leftN.join(rightN, Seq("k"))
+    assert(sN.count() === pN.count() &&
+      sN.except(pN).isEmpty && pN.except(sN).isEmpty)
   }
 }
