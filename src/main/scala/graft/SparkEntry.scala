@@ -1012,10 +1012,45 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("rank"))
         .orderBy(col("lang"), col("rank"))
     }),
+    // proportional low-discrepancy interleave (r8-cont): every prefix
+    // of the output order carries each source within ±1 of its exact
+    // proportional share; pos = (r−0.5)/n is bit-identical IEEE
+    // arithmetic in both engines, so the FULL ordering is graded (the
+    // operator runs the 256-bucket scale path, the oracle the naive
+    // per-group rank window; seq added here — the operator itself
+    // ends at the distributed range sort, never a global row_number)
+    "corpus_interleave" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("pos").asc, col("source").asc, col("doc_id").asc)
+      Sampling.interleaveByGroup(Tables.documents(s, d), "doc_id", "source")
+        .select(col("doc_id"), col("group_key").as("source"), col("pos"))
+        .withColumn("seq", row_number().over(w))
+        .orderBy(col("seq"))
+    }),
+    // training-shard writer manifest (r8-cont): the graded result IS
+    // the manifest the REAL writer returns — the query routes the
+    // corpus through Sink.writeShards into a fresh temp dir (files +
+    // _manifest written as a side effect), and the oracle replays the
+    // pmod(xxhash64) shard assignment per shard
+    "corpus_shards" -> ((s, d) => {
+      val out = s"/tmp/graft-shards-${java.util.UUID.randomUUID()}"
+      graft.sources.Sink.writeShards(Tables.documents(s, d), "doc_id",
+          nShards = 8, path = out)
+        .orderBy(col("shard"))
+    }),
 
     // ---- corpus vocabulary stats (§2.5) ----
     "corpus_top_terms" -> ((s, d) =>
       functions.Text.topTerms(Tables.documents(s, d), "doc_id", "text", k = 100)),
+
+    // BM25 top-k retrieval (r8-cont): Lucene-IDF BM25 over the corpus
+    // for a fixed query — ranking on the ROUNDED score (ties to the
+    // lower doc id) so the cross-engine order is stable; the oracle
+    // replays the identical left-to-right IEEE arithmetic
+    "corpus_bm25_topk" -> ((s, d) =>
+      functions.Text.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+          queryTerms = Seq("spark", "hash", "join"), k = 50)
+        .orderBy(col("rank"))),
 
     // word-level repetition signals (Gopher A1.1-style): type-token
     // ratio + top-word fraction per doc
@@ -2496,6 +2531,34 @@ object SparkEntry {
                       "doc_id", 42L, Seq("lang"))}))
            WHERE rank <= 100 ORDER BY lang, rank""",
 
+      // naive per-group rank-window replay of the 256-bucket scale
+      // path; pos = (r−0.5)/n is one exact subtraction + one
+      // correctly-rounded division → bit-identical doubles
+      "corpus_interleave" ->
+        s"""WITH r AS (
+             SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS r,
+               count(*) OVER (PARTITION BY source) AS n
+             FROM (${xxhash64LongSql("SELECT doc_id, source FROM documents",
+                      "doc_id", 42L, Seq("source"))})
+           ), p AS (
+             SELECT doc_id, source,
+               (CAST(r AS DOUBLE) - 0.5) / CAST(n AS DOUBLE) AS pos FROM r)
+           SELECT doc_id, source, pos,
+             row_number() OVER (ORDER BY pos, source, doc_id) AS seq
+           FROM p ORDER BY seq""",
+
+      // the writer's manifest replayed: pmod(xxhash64(id, 42), 8)
+      // shard assignment, per-shard counts and hash ranges
+      "corpus_shards" ->
+        s"""SELECT CAST(shard AS INTEGER) AS shard,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             min(h) AS min_hash, max(h) AS max_hash
+           FROM (SELECT ((h % 8) + 8) % 8 AS shard, h
+                 FROM (${xxhash64LongSql("SELECT doc_id FROM documents",
+                          "doc_id", 42L)}))
+           GROUP BY shard ORDER BY shard""",
+
       "corpus_top_terms" ->
         s"""WITH words AS (
              SELECT doc_id, unnest(string_split($norm, ' ')) AS term
@@ -2555,6 +2618,44 @@ object SparkEntry {
                / CAST(doc_freq AS DOUBLE)), 6) AS tfidf
            FROM tf JOIN df USING (term)
            ORDER BY doc_id, term""",
+
+      // BM25 replay: the same left-to-right IEEE arithmetic as the
+      // Spark scorer (exact-integer sums, correctly-rounded divisions,
+      // fixed term order), ranked on the ROUNDED score
+      "corpus_bm25_topk" ->
+        s"""WITH w AS (
+             SELECT doc_id, unnest(string_split($norm, ' ')) AS term FROM documents
+           ), f AS (
+             SELECT doc_id, term FROM w WHERE length(term) > 0
+           ), d AS (
+             SELECT doc_id, count(*) AS len,
+               CAST(sum(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS BIGINT) AS tf_0,
+               CAST(sum(CASE WHEN term = 'hash'  THEN 1 ELSE 0 END) AS BIGINT) AS tf_1,
+               CAST(sum(CASE WHEN term = 'join'  THEN 1 ELSE 0 END) AS BIGINT) AS tf_2
+             FROM f GROUP BY doc_id
+           ), g AS (
+             SELECT CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+               CAST(count(*) AS DOUBLE) AS nd,
+               CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+               CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
+               CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
+             FROM d
+           ), s AS (
+             SELECT doc_id, round(
+               (CASE WHEN tf_0 > 0 THEN ln((nd - df_0 + 0.5) / (df_0 + 0.5) + 1.0)
+                 * (tf_0 * 2.2) / (tf_0 + 1.2 * (0.25 + 0.75 * len / avgdl))
+                 ELSE 0.0 END)
+               + (CASE WHEN tf_1 > 0 THEN ln((nd - df_1 + 0.5) / (df_1 + 0.5) + 1.0)
+                 * (tf_1 * 2.2) / (tf_1 + 1.2 * (0.25 + 0.75 * len / avgdl))
+                 ELSE 0.0 END)
+               + (CASE WHEN tf_2 > 0 THEN ln((nd - df_2 + 0.5) / (df_2 + 0.5) + 1.0)
+                 * (tf_2 * 2.2) / (tf_2 + 1.2 * (0.25 + 0.75 * len / avgdl))
+                 ELSE 0.0 END), 6) AS score
+             FROM d, g WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0)
+           SELECT doc_id, score, rank FROM (
+             SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM s)
+           WHERE rank <= 50 ORDER BY rank""",
 
       "doc_surprisal" ->
         s"""WITH w AS (

@@ -422,6 +422,70 @@ object Text {
           sum(col("tf")).cast("double")).as("avg_logprob"))
   }
 
+  /** BM25 top-k retrieval — the lexical-retrieval staple next to
+    * [[tfIdf]] (used for RAG candidate pools, decontamination probes,
+    * and "find training docs about X" curation queries). Lucene's
+    * non-negative IDF variant: for each query term t,
+    * `idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)`, and the doc score
+    * is `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))`
+    * with N / avgdl over docs having ≥ 1 token.
+    *
+    * Scale shape (the query-term list is tiny and FIXED, which makes
+    * this cheaper than a general inverted-index probe): ONE scan +
+    * explode → ONE per-doc aggregation computing the doc length and
+    * each query term's tf as conditional sums (no per-term join, no
+    * pivot Expand) → a 1-row corpus-stats aggregate (N, avgdl, per-
+    * term dfs) broadcast back as a cross join → a codegen'd scoring
+    * projection → global top-k via sort+limit, which Spark executes
+    * as TakeOrderedAndProject (per-partition heaps, driver merge of
+    * k·partitions rows — never a global sort). Ranking uses the
+    * ROUNDED score (ties to the lower doc id) so the order is stable
+    * across engines and summation noise; the row_number window runs
+    * AFTER the limit, over k rows.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               roundTo: Int = 6): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct == queryTerms, "queryTerms must be distinct")
+    require(k > 0, "k must be positive")
+    val words = docs.select(col(idCol).as("doc_id"),
+        explode(split(normalize(col(textCol)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tfCols = queryTerms.indices.map(i =>
+      sum(when(col("term") === queryTerms(i), lit(1L)).otherwise(lit(0L)))
+        .as(s"tf_$i"))
+    val perDoc = words.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("len"), tfCols: _*)
+    // 1-row corpus stats; exact-integer sums, single correctly-rounded
+    // divisions — bit-identical across engines
+    val dfCols = queryTerms.indices.map(i =>
+      sum(when(col(s"tf_$i") > 0, lit(1L)).otherwise(lit(0L))).as(s"df_$i"))
+    val stats = perDoc.agg(
+      (sum(col("len")).cast("double") / count(lit(1)).cast("double")).as("avgdl"),
+      (count(lit(1)).cast("double").as("nd") +: dfCols): _*)
+    // per-term contributions summed in FIXED index order (left fold)
+    // so the double accumulation order matches the oracle exactly
+    val contrib = queryTerms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val idf = log((col("nd") - col(s"df_$i").cast("double") + lit(0.5)) /
+        (col(s"df_$i").cast("double") + lit(0.5)) + lit(1.0))
+      when(col(s"tf_$i") > 0,
+        idf * (tf * lit(k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("len").cast("double") / col("avgdl"))))
+        .otherwise(lit(0.0))
+    }
+    val score = contrib.reduceLeft(_ + _)
+    val matched = perDoc.crossJoin(broadcast(stats))
+      .filter(queryTerms.indices.map(i => col(s"tf_$i") > 0).reduceLeft(_ || _))
+      .select(col("doc_id"), round(score, roundTo).as("score"))
+    val topK = matched.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    topK.withColumn("rank", row_number().over(w))
+  }
+
   // PII patterns chosen to parse identically in Java regex and
   // RE2-class engines (simple character classes, no lookaround).
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -308,6 +308,63 @@ object Sampling {
     acceptedFull.unionByName(boundaryPart).drop("__g", "__b")
   }
 
+  /** Proportional low-discrepancy interleave — "shuffle the corpus so
+    * the source mixture is LOCALLY uniform": training runs that stream
+    * a corpus in order want every window of the stream to carry each
+    * domain at its global proportion (a plain global hash-shuffle only
+    * achieves this in expectation; a sorted-by-source corpus fails it
+    * catastrophically). Each row gets the deterministic position key
+    * `pos = (r_g − 0.5) / n_g` where `r_g` is the row's 1-based rank
+    * within its group ordered by `(xxhash64(id, seed), id)` and `n_g`
+    * the group size — the classic stride sequence: any prefix covering
+    * `pos < x` contains `floor(x·n_g + 0.5)` rows of group g, i.e.
+    * within ±0.5 rows of the exact proportional share, for EVERY
+    * prefix. Within a group the hash order is a deterministic shuffle.
+    * `pos` is one exact-integer subtraction and one correctly-rounded
+    * IEEE division, so it is bit-identical in any engine — ties across
+    * groups break by (group, id).
+    *
+    * Scale shape: the naive per-group rank window puts a whole domain
+    * on ONE reducer. Instead the hash space is cut into 256 order-
+    * preserving range buckets (`h >> 56`), per-(group, bucket) counts
+    * aggregate map-side into a tiny frame (groups × ≤256 rows) whose
+    * windows compute each bucket's rank offset and the group sizes,
+    * and the rank window runs per (group, bucket) — 256-way parallel
+    * per group, each slice ~1/256 of the group. The result is SORTED
+    * by (pos, group, id) via Spark's range-partitioned sort (no global
+    * row_number — consumers that need a dense global index add it at
+    * write time per shard). SamplingSpec proves bucketed ≡ naive and
+    * the ±1 prefix-proportionality bound.
+    */
+  def interleaveByGroup(df: DataFrame, idCol: String, groupCol: String,
+                        seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nullKey = "" + Character.MIN_VALUE + "null"
+    val keyed = df
+      .withColumn("__g", coalesce(col(groupCol).cast("string"), lit(nullKey)))
+      .withColumn("__h", xxhash64(col(idCol), lit(seed)))
+      .withColumn("__b", shiftright(col("__h"), 56))
+    val counts = keyed.groupBy(col("__g"), col("__b")).agg(count(lit(1)).as("__c"))
+    val wOff = Window.partitionBy(col("__g")).orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wN = Window.partitionBy(col("__g"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val plan = counts
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wN))
+      .select(col("__g"), col("__b"), col("__off"), col("__n"))
+    val wRank = Window.partitionBy(col("__g"), col("__b"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    keyed.join(broadcast(plan), Seq("__g", "__b"))
+      .withColumn("__r", col("__off") + row_number().over(wRank).cast("long"))
+      .withColumn("pos",
+        (col("__r").cast("double") - lit(0.5)) / col("__n").cast("double"))
+      .orderBy(col("pos").asc, col("__g").asc, col(idCol).asc)
+      .drop("__h", "__b", "__off", "__r")
+      .withColumnRenamed("__g", "group_key")
+      .withColumnRenamed("__n", "group_size")
+  }
+
   /** Domain-temperature resampling — the standard training-mix
     * primitive (multilingual / multi-source corpora): sampling
     * weights per group g are `w_g ∝ N_g^alpha`, so `alpha=1` keeps

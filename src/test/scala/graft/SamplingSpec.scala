@@ -299,4 +299,61 @@ class SamplingSpec extends SparkSuite {
     assert(outN.except(naiveN).isEmpty && naiveN.except(outN).isEmpty)
     Par.release()
   }
+
+  test("interleaveByGroup: bucketed ≡ naive, ±1 prefix proportionality, " +
+       "null groups, repartition-stable") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 900L).map(i => (i, if (i % 11 == 0) null else s"s${i % 4}"))
+      .toDF("id", "src")
+    val out = Sampling.interleaveByGroup(df, "id", "src")
+    // the 256-bucket scale path equals the naive per-group rank window
+    val nullKey = "" + Character.MIN_VALUE + "null"
+    val keyed = df
+      .withColumn("group_key", coalesce(col("src"), lit(nullKey)))
+      .withColumn("h", xxhash64(col("id"), lit(42L)))
+    val naive = keyed
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("group_key")).orderBy(col("h"), col("id"))).cast("long"))
+      .withColumn("group_size", count(lit(1)).over(
+        Window.partitionBy(col("group_key"))))
+      .withColumn("pos",
+        (col("r").cast("double") - lit(0.5)) / col("group_size").cast("double"))
+      .select("id", "group_key", "group_size", "pos")
+    val outSel = out.select("id", "group_key", "group_size", "pos")
+    assert(outSel.except(naive).isEmpty && naive.except(outSel).isEmpty)
+    // low-discrepancy guarantee: a prefix ending at position threshold
+    // t holds floor(t·n_g + 0.5) rows of group g — within 0.5 of the
+    // threshold share — so vs the PREFIX-LENGTH share m·n_g/N the
+    // deviation is ≤ 0.5 + (G/2)·(n_g/N) ≈ 1.2 here (G = 5 groups);
+    // assert the certified 1.5 envelope for every prefix
+    val ordered = out.select("group_key").collect().map(_.getString(0))
+    val total = ordered.length
+    assert(total === 900)
+    val sizes = ordered.groupBy(identity).view.mapValues(_.length).toMap
+    val running = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    var worst = 0.0
+    ordered.zipWithIndex.foreach { case (g, i) =>
+      running(g) += 1
+      val m = i + 1
+      sizes.foreach { case (grp, ng) =>
+        val share = m.toDouble * ng / total
+        val dev = math.abs(running(grp) - share)
+        if (dev > worst) worst = dev
+        assert(dev <= 1.5,
+          s"prefix $m: group $grp has ${running(grp)}, share $share")
+      }
+    }
+    // sanity that the order is actually interleaved, not grouped: a
+    // grouped order would hit deviations ~n_g/2, orders of magnitude
+    // above the envelope
+    assert(worst < 1.5 && worst > 0.0)
+    // null group rows all present under the sentinel key
+    assert(out.filter(col("group_key") === nullKey).count() ===
+      df.filter(col("src").isNull).count())
+    // partitioning-independent: same order after a repartition
+    val out2 = Sampling.interleaveByGroup(df.repartition(7), "id", "src")
+      .select("id").collect().map(_.getLong(0))
+    assert(out2.toSeq === out.select("id").collect().map(_.getLong(0)).toSeq)
+    Par.release()
+  }
 }

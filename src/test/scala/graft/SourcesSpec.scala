@@ -122,6 +122,45 @@ class SourcesSpec extends SparkSuite {
     assert(unsorted.filter(col("prev") > col("k")).isEmpty)
   }
 
+  test("writeShards: one file per shard, hash membership, intra-file order, manifest") {
+    val dir = tmpDir("shards") + "/t"
+    val df = (1L to 500L).map(i => (i, s"doc$i")).toDF("id", "payload")
+    val manifest = Sink.writeShards(df, "id", nShards = 8, path = dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    // exactly one data file per shard directory
+    val shardFiles = (0 until 8).map { k =>
+      val fs = new java.io.File(s"$dir/shard=$k").listFiles
+        .filter(f => f.getName.endsWith(".parquet"))
+      assert(fs.length === 1, s"shard $k has ${fs.length} data files")
+      k -> fs.head
+    }.toMap
+    // read-back: membership = pmod(xxhash64(id, 42), 8), nothing lost
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 500)
+    assert(back.filter(
+      pmod(xxhash64(col("id"), lit(42L)), lit(8L)).cast("int") =!= col("shard"))
+      .isEmpty, "a row landed in the wrong shard")
+    // the _manifest dir is invisible to the plain parquet read
+    assert(back.columns.sorted.toSeq === Seq("id", "payload", "shard"))
+    // manifest counts match the files
+    val actual = back.groupBy("shard").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(manifest === actual)
+    // intra-file order is (xxhash64(id, seed), id) — the deterministic
+    // shuffle a trainer streams; file read order is write order
+    val fileIds = spark.read.parquet(shardFiles(3).getPath)
+      .select("id").as[Long].collect()
+    val expected = back.filter(col("shard") === 3)
+      .select(col("id"), xxhash64(col("id"), lit(42L)).as("h"))
+      .orderBy(col("h"), col("id")).select("id").as[Long].collect()
+    assert(fileIds.toSeq === expected.toSeq)
+    // rerun into a second dir: byte-stable membership (deterministic)
+    val dir2 = tmpDir("shards2") + "/t"
+    Sink.writeShards(df.repartition(7), "id", nShards = 8, path = dir2)
+    val back2 = spark.read.parquet(dir2).select("id", "shard")
+    assert(back2.except(back.select("id", "shard")).isEmpty)
+  }
+
   test("compact preserves a partitioned layout (per-leaf compaction)") {
     val dir = tmpDir("cmpp") + "/t"
     val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "2024-01-01" else "2024-01-02"))

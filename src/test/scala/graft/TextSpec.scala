@@ -220,4 +220,42 @@ class TextSpec extends SparkSuite {
     assert(Text.bigramSurprisal(Seq((9L, "solo")).toDF("id", "text"),
       "id", "text").isEmpty)
   }
+
+  test("bm25TopK: closed-form scores, rank order, non-matching docs excluded") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "cherry cherry banana"),
+      (4L, "plum plum plum")).toDF("doc_id", "text")
+    val out = Text.bm25TopK(docs, "doc_id", "text",
+        queryTerms = Seq("apple", "banana"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    // the same formula evaluated directly: N=4, avgdl=(3+2+3+3)/4,
+    // df(apple)=2, df(banana)=2
+    val (k1, b) = (1.2, 0.75)
+    val (nd, avgdl) = (4.0, 11.0 / 4.0)
+    def idf(df: Double) = math.log((nd - df + 0.5) / (df + 0.5) + 1.0)
+    def term(tf: Double, df: Double, len: Double) =
+      if (tf == 0) 0.0
+      else idf(df) * (tf * (k1 + 1.0)) /
+        (tf + k1 * (1.0 - b + b * len / avgdl))
+    def score(tfA: Double, tfB: Double, len: Double) = BigDecimal(
+      term(tfA, 2.0, len) + term(tfB, 2.0, len))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = Seq(
+      1L -> score(2, 1, 3), 2L -> score(1, 0, 2), 3L -> score(0, 1, 3))
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, s), i) => (id, s, i + 1) }
+    assert(out.toSeq === expect)
+    assert(!out.exists(_._1 == 4L)) // no query term → excluded
+    // doc 1 carries both terms, one twice → must outrank the others
+    assert(out.head._1 === 1L)
+    // guards
+    intercept[IllegalArgumentException] {
+      Text.bm25TopK(docs, "doc_id", "text", Seq.empty, k = 5) }
+    intercept[IllegalArgumentException] {
+      Text.bm25TopK(docs, "doc_id", "text", Seq("a", "a"), k = 5) }
+    intercept[IllegalArgumentException] {
+      Text.bm25TopK(docs, "doc_id", "text", Seq("a"), k = 0) }
+  }
 }
