@@ -1296,6 +1296,18 @@ object SparkEntry {
           k = 10, planes = 8, tables = 4)
         .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+    // int8 scalar-quantized ANN (r8-cont): phase-1 candidate ranking
+    // by the EXACT integer code dot product (fully deterministic —
+    // the oracle replays quantization, candidate cut, and rerank),
+    // phase-2 exact-cosine rerank of 4k survivors
+    "ann_sq8_topk" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val queries = embs.filter(col("vec_id") < 5)
+      Similarity.sqTopK(embs, queries, "vec_id", "embedding", "vec_id",
+          k = 10, rerankMult = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -3258,6 +3270,60 @@ object SparkEntry {
              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rn
              FROM scored)
+           WHERE rn <= 10 ORDER BY query_id, rank""",
+
+      // int8 SQ replay: per-dim min/max → the identical clamp/round
+      // code arithmetic (exact integer-valued doubles throughout) →
+      // integer-dot candidate cut at 40 → exact-cosine rerank. The
+      // corpus dimension (64) is fixed in the testdata, as the LSH
+      // plane replay already assumes
+      "ann_sq8_topk" ->
+        """WITH nrmv AS (
+             SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS nv
+             FROM (SELECT vec_id, embedding,
+                     sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> x * x))) AS nrm FROM embeddings)
+           ), mm AS (
+             SELECT i, min(nv[i]) AS lo, max(nv[i]) AS hi
+             FROM nrmv, generate_series(1, 64) t(i) GROUP BY i
+           ), arrs AS (
+             SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his FROM mm
+           ), codes AS (
+             SELECT vec_id, list_transform(generate_series(1, 64),
+               i -> CASE WHEN his[i] = los[i] THEN -128
+                    ELSE CAST(least(255, greatest(0,
+                      round((nv[i] - los[i])
+                        / (his[i] - los[i]) * 255))) AS BIGINT) - 128 END) AS code
+             FROM nrmv, arrs
+           ), qc AS (
+             SELECT vec_id AS query_id, code AS qcode FROM codes WHERE vec_id < 5
+           ), scored AS (
+             SELECT query_id, c.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(qcode[i] * code[i] AS DOUBLE))) AS BIGINT) AS qdot
+             FROM codes c, qc WHERE c.vec_id <> query_id
+           ), cand AS (
+             SELECT query_id, neighbor_id FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY qdot DESC, neighbor_id) AS rn FROM scored)
+             WHERE rn <= 40
+           ), q2 AS (
+             SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id < 5
+           ), c2 AS (
+             SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+             FROM embeddings
+           ), rer AS (
+             SELECT cand.query_id, cand.neighbor_id,
+               list_sum(list_transform(generate_series(1, len(cv)),
+                 i -> cv[i] * qv[i]))
+               / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+                  * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS cosine
+             FROM cand JOIN c2 USING (neighbor_id) JOIN q2 USING (query_id))
+           SELECT query_id, neighbor_id, cosine, rn AS rank FROM (
+             SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rn FROM rer)
            WHERE rn <= 10 ORDER BY query_id, rank"""
     )
     // the incremental CC twin is PROVABLY the same labeling as the

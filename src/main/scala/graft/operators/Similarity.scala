@@ -103,8 +103,9 @@ object Similarity {
     * (local top-k is a superset of the global top-k; both phases
     * break ties by neighbor_id, so ranks are deterministic).
     */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    val ord = Seq(col("cosine").desc, col("neighbor_id").asc)
+  private def topKPerQuery(scored: DataFrame, k: Int,
+                           ordCol: String = "cosine"): DataFrame = {
+    val ord = Seq(col(ordCol).desc, col("neighbor_id").asc)
     val wLocal = Window.partitionBy(col("query_id"), col("__pid")).orderBy(ord: _*)
     val wGlobal = Window.partitionBy(col("query_id")).orderBy(ord: _*)
     scored
@@ -337,5 +338,96 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         (Vectors.dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn"))).as("cosine"))
     topKPerQuery(scored, k)
+  }
+
+  /** Per-dimension (min, max) training stats for [[sqTopK]]'s int8
+    * scalar quantizer: one posexplode pass + a dims-sized aggregate.
+    * The collected result is dims pairs — a bootstrap scalar exactly
+    * like the IVF centroids, trained once per corpus version and
+    * reusable across query batches.
+    */
+  def trainSq(corpus: DataFrame, vecCol: String): Array[(Double, Double)] =
+    corpus.select(posexplode(Vectors.toDouble(col(vecCol))).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .orderBy(col("pos"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+
+  /** Int8 code array for `vec` under per-dim (lo, hi) ranges:
+    * `round((x − lo)/(hi − lo)·255)` clamped to [0, 255], shifted by
+    * −128 into tinyint range (4× smaller than the float corpus — the
+    * difference between an in-memory candidate index and one that
+    * spills). Degenerate dims (hi = lo) encode −128. Every step is a
+    * correctly-rounded IEEE operation on exact inputs, so codes are
+    * bit-identical across engines — the oracle replays them exactly.
+    */
+  def sqEncode(vec: Column, stats: Seq[(Double, Double)]): Column = {
+    val los = lit(stats.map(_._1).toArray)
+    val his = lit(stats.map(_._2).toArray)
+    transform(Vectors.toDouble(vec), (x, i) => {
+      val l = element_at(los, (i + lit(1)).cast("int"))
+      val h = element_at(his, (i + lit(1)).cast("int"))
+      when(h === l, lit(-128L))
+        .otherwise(least(lit(255.0), greatest(lit(0.0),
+          round((x - l) / (h - l) * lit(255.0), 0))).cast("long") - lit(128L))
+        .cast("byte")
+    })
+  }
+
+  /** Unit-normalized copy of `vec` (zero vectors stay zero): cosine
+    * search quantizes NORMALIZED vectors, so the integer code dot
+    * approximates the cosine itself — quantizing raw vectors would
+    * rank candidates by dot product and lose cosine neighbors with
+    * small norms (observed: recall 0.75 → 1.0 on the spec corpus).
+    * One sqrt + one division per element, each correctly rounded, so
+    * normalized values are bit-identical across engines too.
+    */
+  def unitNorm(vec: Column): Column = {
+    val n = Vectors.norm(vec)
+    transform(Vectors.toDouble(vec),
+      x => when(n === 0.0, lit(0.0)).otherwise(x / n))
+  }
+
+  /** Scalar-quantized ANN (the FAISS `SQ8` layout on Spark): corpus
+    * and queries unit-normalize ([[unitNorm]]) and encode to int8
+    * codes ([[sqEncode]]), phase 1 ranks candidates by the EXACT
+    * integer code dot product (small-int products summed in doubles
+    * stay exact — no rounding anywhere, so even the candidate RANKING
+    * is deterministic and oracle-replayable, unlike float-score ANN
+    * phases), phase 2 re-scores the `rerankMult·k` survivors with the
+    * exact float cosine and keeps the final top-k. The quantized pass
+    * streams 1/4 the bytes of the raw corpus; vectors are fetched
+    * only for candidates (keys-only discipline, as [[lshTopK]]).
+    */
+  def sqTopK(corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, queryIdCol: String,
+             k: Int, rerankMult: Int = 4,
+             excludeSelf: Boolean = true,
+             stats: Option[Array[(Double, Double)]] = None): DataFrame = {
+    require(k > 0 && rerankMult > 0, "k and rerankMult must be positive")
+    val c = graft.Par.widen(corpus.select(col(idCol), col(vecCol)), idCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = queries
+      .select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"))
+    val cNorm = c.select(col("neighbor_id"), unitNorm(col("__cv")).as("__nv"))
+    val sq = stats.getOrElse(trainSq(cNorm, "__nv"))
+    val cCodes = cNorm.select(col("neighbor_id"),
+      sqEncode(col("__nv"), sq.toSeq).as("__cc"))
+    val qCodes = q.select(col("query_id"),
+      sqEncode(unitNorm(col("__qv")), sq.toSeq).as("__qc"))
+    // phase 1: exact-integer quantized scores, two-phase top-(mult·k)
+    val scored = cCodes.crossJoin(broadcast(qCodes))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.dot(col("__cc"), col("__qc")).cast("long").as("qdot"))
+    val cand = topKPerQuery(scored, k * rerankMult, ordCol = "qdot")
+      .select(col("query_id"), col("neighbor_id"))
+    // phase 2: fetch raw vectors for candidates only, exact rerank
+    val rer = c.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (Vectors.dot(col("__cv"), col("__qv")) /
+          (Vectors.norm(col("__cv")) * Vectors.norm(col("__qv")))).as("cosine"))
+    topKPerQuery(rer, k)
   }
 }

@@ -165,4 +165,53 @@ class SimilaritySpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(b1 === b2)
   }
+
+  test("sqTopK: int8 codes in range, degenerate dims, high recall, exact rerank") {
+    val stats = Similarity.trainSq(corpus, "embedding")
+    assert(stats.length === 16)
+    // every code in tinyint range; clamp arithmetic exact
+    val codes = corpus.select(
+      Similarity.sqEncode($"embedding", stats.toSeq).as("c"))
+      .select(explode($"c").as("v")).agg(min("v"), max("v")).head
+    assert(codes.getByte(0) >= -128 && codes.getByte(1) <= 127)
+    // a constant dimension encodes -128 everywhere (degenerate branch)
+    val withConst = corpus.select($"vec_id",
+      concat($"embedding", array(lit(3.5f))).as("embedding"))
+    val constStats = Similarity.trainSq(withConst, "embedding")
+    assert(constStats(16) === ((3.5, 3.5)))
+    val lastCode = withConst.select(
+      Similarity.sqEncode($"embedding", constStats.toSeq).as("c"))
+      .select(element_at($"c", 17).as("v")).distinct().collect()
+    assert(lastCode.map(_.getByte(0)).toSeq === Seq(-128.toByte))
+    // recall vs brute force: int8 on this corpus with 4x rerank
+    // should be near-exact
+    val queries = corpus.filter($"vec_id" % 16 === 0)
+    val k = 5
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", "vec_id", k))
+    val sq = Similarity.sqTopK(corpus, queries,
+      "vec_id", "embedding", "vec_id", k, rerankMult = 4)
+    val recall = truth.intersect(pairs(sq)).size.toDouble / truth.size
+    assert(recall >= 0.9, s"sq8 recall $recall below 0.9")
+    // rerank scores are the EXACT cosine: every surviving pair's score
+    // equals the brute-force cosine for that pair
+    val brute = Similarity.bruteForceTopK(corpus, queries,
+        "vec_id", "embedding", "vec_id", k)
+      .select($"query_id", $"neighbor_id", $"cosine".as("bc"))
+    val joined = sq.join(brute, Seq("query_id", "neighbor_id"))
+      .filter($"cosine" =!= $"bc").count()
+    assert(joined === 0L, "rerank cosine diverged from brute force")
+    // pre-trained stats reuse gives the identical result (stats are
+    // trained over the NORMALIZED vectors, as sqTopK quantizes them)
+    val normStats = Similarity.trainSq(
+      corpus.select(Similarity.unitNorm($"embedding").as("nv")), "nv")
+    val again = Similarity.sqTopK(corpus, queries,
+      "vec_id", "embedding", "vec_id", k, rerankMult = 4,
+      stats = Some(normStats))
+    assert(pairs(again) === pairs(sq))
+    Par.release()
+  }
 }
