@@ -774,6 +774,31 @@ object SparkEntry {
           "doc_id", "text")
         .orderBy(col("content_hash"))
     }),
+    // edit-distance fuzzy self-join (r8-cont): PassJoin segment
+    // blocking + banded levenshtein verify. The corpus carries no
+    // natural typos, so the query seeds them deterministically (the
+    // doc_pii_redact discipline): 12-hex-char md5-derived keys with a
+    // planted substitution / deletion / insertion for every 7th key;
+    // the custkey cap keeps the ORACLE's quadratic levenshtein join
+    // bounded at any SF (the operator itself never goes quadratic)
+    "dedup_edit_distance" -> ((s, d) => {
+      val cust = Tables.customer(s, d).filter(col("c_custkey") <= 2000L)
+      val baseKeys = cust.select(col("c_custkey").as("id"),
+        substring(md5(col("c_custkey").cast("string")), 1, 12).as("s"))
+      val pos = (col("c_custkey") % 11 + 1).cast("int")
+      val b = substring(md5(col("c_custkey").cast("string")), 1, 12)
+      val mutated = cust.filter(col("c_custkey") % 7 === 0)
+        .select((col("c_custkey") + 10000000L).as("id"),
+          when(col("c_custkey") % 3 === 0,
+            concat(b.substr(lit(1), pos - 1), lit("z"), b.substr(pos + 1, lit(12))))
+          .when(col("c_custkey") % 3 === 1,
+            concat(b.substr(lit(1), pos - 1), b.substr(pos + 1, lit(12))))
+          .otherwise(
+            concat(b.substr(lit(1), pos), lit("z"), b.substr(pos + 1, lit(12))))
+          .as("s"))
+      Dedup.editDistance(baseKeys.unionByName(mutated), "id", "s", maxDist = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // per-source duplication health report (r8): the summary a
     // curation run publishes — docs / distinct contents / dup rate
     "dedup_rate_report" -> ((s, d) =>
@@ -2968,6 +2993,30 @@ object SparkEntry {
            SELECT content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
            FROM nb WHERE content_hash NOT IN (SELECT content_hash FROM ex)
            GROUP BY 1 ORDER BY content_hash""",
+
+      // the oracle is the definition: a quadratic levenshtein join
+      // over the same seeded corpus (the custkey cap in the query
+      // bounds it); length-band prefilter only cuts oracle runtime
+      "dedup_edit_distance" ->
+        """WITH seeds AS (
+             SELECT c_custkey, substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS b,
+               CAST(c_custkey % 11 + 1 AS INTEGER) AS pos
+             FROM customer WHERE c_custkey <= 2000
+           ), corpus AS (
+             SELECT c_custkey AS id, b AS s FROM seeds
+             UNION ALL
+             SELECT c_custkey + 10000000,
+               CASE CAST(c_custkey % 3 AS INTEGER)
+                 WHEN 0 THEN substr(b, 1, pos - 1) || 'z' || substr(b, pos + 1, 12)
+                 WHEN 1 THEN substr(b, 1, pos - 1) || substr(b, pos + 1, 12)
+                 ELSE substr(b, 1, pos) || 'z' || substr(b, pos + 1, 12) END
+             FROM seeds WHERE c_custkey % 7 = 0)
+           SELECT a.id AS id_a, c.id AS id_b,
+             CAST(levenshtein(a.s, c.s) AS INTEGER) AS dist
+           FROM corpus a JOIN corpus c
+             ON a.id < c.id AND abs(length(a.s) - length(c.s)) <= 2
+           WHERE levenshtein(a.s, c.s) <= 2
+           ORDER BY id_a, id_b""",
 
       "dedup_rate_report" ->
         s"""SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,

@@ -1090,4 +1090,111 @@ object Dedup {
         col("__w.s").as(scoreCol))
     (keepers2, labels2)
   }
+
+  /** Edit-distance similarity self-join: all unordered pairs with
+    * `levenshtein(a, b) <= maxDist` — the typo-level fuzzy-match
+    * modality (entity names, titles, OCR output) that the token-set
+    * methods above cannot express (Jaccard on shingles is blind to
+    * single-character edits in short strings).
+    *
+    * Scale path is PASS-JOIN-style segment filtering (Li, Deng,
+    * Feng & Li, VLDB 2012): each indexed string splits into
+    * `maxDist+1` disjoint segments; by pigeonhole, `d` edits leave at
+    * least one segment untouched, and an untouched segment appears in
+    * the partner verbatim, shifted by at most `d` positions (the net
+    * indel balance before it). So candidates = an EQUI-join of index
+    * segments against probe substrings on `(length-class, segment-idx,
+    * text)` — never the n² pair space. Per-row fan-out is bounded by
+    * construction: ≤ `d+1` index segments, ≤ `(d+1)²·(2d+1)` probe
+    * substrings; each probes only length classes ≤ its own (the pair
+    * is still found once from the longer side). Survivors are
+    * verified with the banded O(d·len) threshold levenshtein.
+    * Strings shorter than `d+1` chars can't host non-empty segments;
+    * they pair through a broadcast length-band join (a corpus keeps
+    * few near-empty strings — documented assumption).
+    *
+    * Degenerate corpora where one segment value is universal (a
+    * constant prefix spanning a whole segment) make every pair a
+    * candidate — inherent to any no-false-negative segment filter;
+    * strip known-constant prefixes before joining. The candidate
+    * shuffle keys on (length, segment, text) with an explicit keyed
+    * repartition pinning the pair-space width (the AQE small-input
+    * trap, as [[ngramJaccard]]).
+    *
+    * @return (id_a, id_b, dist) with id_a < id_b, dist <= maxDist
+    */
+  def editDistance(docs: DataFrame, idCol: String, strCol: String,
+                   maxDist: Int): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val d = maxDist
+    val k = d + 1
+    val base = Par.persistTracked(
+      Par.widen(docs.select(col(idCol), col(strCol)), idCol)
+        .select(col(idCol).as("id"), col(strCol).as("s"))
+        .withColumn("len", length(col("s"))))
+    val long = base.filter(col("len") >= k)
+    // segment geometry of a length-l string: k segments, the first
+    // (l % k) one char longer — start/width derive from (l, i) alone,
+    // so index build and probe generation share one convention
+    def geom(l: Column, i: Column): (Column, Column) = {
+      val b = ((l - (l % k)) / k).cast("int")
+      val r = (l % k).cast("int")
+      val st = (i * b + least(i, r)).cast("int")
+      val w = (b + when(i < r, 1).otherwise(0)).cast("int")
+      (st, w)
+    }
+    val segs = long.select(col("id"), col("len").cast("int").as("l"),
+        posexplode(transform(sequence(lit(0), lit(d)), i => {
+          val (st, w) = geom(col("len"), i)
+          col("s").substr(st + 1, w)
+        })).as(Seq("i", "sub")))
+      .select(col("l"), col("i").cast("int").as("i"), col("sub"),
+        col("id").as("id_x"))
+    // probe substrings for every indexed length class l ∈
+    // [max(k, len−d), len] (longer classes are covered when the
+    // longer partner probes this row's class), every segment idx, and
+    // every start within the ±d shift window. qHi ≥ qLo always:
+    // st ≤ l−w ≤ len−w bounds the left end, len−w ≥ 0 the right —
+    // no descending-sequence guard needed (and a stray extra
+    // candidate would only reach the verify step anyway).
+    val probes = long.select(col("id").as("id_y"),
+        explode(flatten(transform(
+          sequence(greatest(lit(k), col("len").cast("int") - d),
+            col("len").cast("int")),
+          l => flatten(transform(sequence(lit(0), lit(d)), i => {
+            val (st, w) = geom(l, i)
+            val qLo = greatest(lit(0), st - d)
+            val qHi = least(col("len").cast("int") - w, st + d)
+            transform(sequence(qLo, qHi), q =>
+              struct(l.as("l"), i.as("i"),
+                col("s").substr(q + 1, w).as("sub")))
+          }))))).as("p"))
+      .select(col("id_y"), col("p.l").as("l"), col("p.i").as("i"),
+        col("p.sub").as("sub"))
+    val candLong = segs.join(probes, Seq("l", "i", "sub"))
+      .filter(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+    // strings too short to segment: broadcast length-band join (ed ≤ d
+    // forces |len diff| ≤ d, so partners have len ≤ 2d)
+    val shorts = base.filter(col("len") < k)
+    val candShort = broadcast(
+        shorts.select(col("id").as("id_x"), col("len").as("len_x")))
+      .join(base.select(col("id").as("id_y"), col("len").as("len_y")),
+        col("len_y") <= col("len_x") + d && col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+    val width = docs.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
+      .map(_.toInt).getOrElse(docs.sparkSession.sparkContext.defaultParallelism)
+    val cand = candLong.unionByName(candShort)
+      .repartition(width, col("id_a"), col("id_b"))
+      .distinct()
+    val strs = base.select(col("id"), col("s"))
+    cand
+      .join(strs.select(col("id").as("id_a"), col("s").as("__sa")), Seq("id_a"))
+      .join(strs.select(col("id").as("id_b"), col("s").as("__sb")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), d))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

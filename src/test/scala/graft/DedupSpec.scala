@@ -701,4 +701,77 @@ class DedupSpec extends SparkSuite {
       Par.release()
     }
   }
+
+  test("editDistance: planted edits found, far pairs dropped, shorts handled") {
+    val corpus = Seq(
+      (1L, "warehouse"),
+      (2L, "warehoues"),   // transposition = 2 edits from 1
+      (3L, "warehouse"),   // exact dup of 1 (dist 0)
+      (4L, "warhouse"),    // deletion, dist 1 from 1
+      (5L, "dwarehouse"),  // insertion, dist 1 from 1
+      (6L, "clickstream"), // unrelated
+      (7L, "ab"),          // short (< maxDist+1 chars)
+      (8L, "ac"),          // dist 1 from 7
+      (9L, ""),            // empty: dist 2 from 7/8
+      (10L, "abzz")        // dist 2 from 7
+    ).toDF("doc_id", "text")
+    val out = Dedup.editDistance(corpus, "doc_id", "text", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out((1L, 3L)) === 0)
+    assert(out((1L, 4L)) === 1 && out((1L, 5L)) === 1)
+    assert(out((1L, 2L)) === 2)
+    assert(out((7L, 8L)) === 1)
+    assert(out((7L, 9L)) === 2 && out((8L, 9L)) === 2)
+    assert(out((7L, 10L)) === 2)
+    assert(!out.keySet.exists(p => p._1 == 6L || p._2 == 6L))
+    Par.release()
+  }
+
+  test("editDistance ≡ brute-force levenshtein join on a mixed corpus") {
+    // deterministic corpus: hex-ish strings with planted edits at
+    // varied positions, plus same-length substitution chains
+    val strs = (1L to 120L).map { i =>
+      val b = f"${i * 2654435761L % 100000000L}%08d"
+      val s = i % 5 match {
+        case 0 => b.substring(1)                 // deletion
+        case 1 => "x" + b                        // insertion
+        case 2 => b.updated(3, 'z')              // substitution
+        case 3 => b.updated(1, 'q').updated(6, 'q')
+        case _ => b
+      }
+      (i, s)
+    }
+    val corpus = strs.toDF("doc_id", "text")
+    for (d <- Seq(1, 2)) {
+      val fast = Dedup.editDistance(corpus, "doc_id", "text", d)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val brute = strs.flatMap { case (ia, sa) =>
+        strs.collect { case (ib, sb) if ia < ib => ((ia, ib), (sa, sb)) }
+      }.map { case (p, (sa, sb)) => p -> lev(sa, sb) }
+        .filter(_._2 <= d).toMap
+      assert(fast === brute, s"maxDist=$d mismatch")
+      Par.release()
+    }
+  }
+
+  test("editDistance is deterministic under repartitioning") {
+    val corpus = (1L to 60L).map(i => (i, f"item${i % 20}%03d")).toDF("doc_id", "text")
+    val a = Dedup.editDistance(corpus, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b = Dedup.editDistance(corpus.repartition(7), "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a === b)
+    Par.release()
+  }
+
+  /** Textbook Levenshtein for the brute-force oracle. */
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
 }
