@@ -51,6 +51,7 @@ object SparkEntry {
     "top_orders_per_cust" -> ((s, d) => Analytics.topOrdersPerCust(s, d)),
     "events_hourly" -> ((s, d) => Analytics.eventsHourly(s, d)),
     "q4_returned_priority" -> ((s, d) => Analytics.q4ReturnedByPriority(s, d)),
+    "q21_waiting_supplier" -> ((s, d) => Analytics.q21WaitingSupplier(s, d)),
     "q22_no_orders" -> ((s, d) => Analytics.q22NoOrders(s, d)),
     "rollup_revenue" -> ((s, d) => Analytics.rollupRevenue(s, d)),
     "segment_distincts" -> ((s, d) => Analytics.segmentDistincts(s, d)),
@@ -1846,6 +1847,24 @@ object SparkEntry {
            WHERE EXISTS (SELECT 1 FROM lineitem
              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
            GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+      // definitional EXISTS/NOT-EXISTS form — the gate proves the
+      // Spark side's single-aggregate rewrite (Analytics.scala)
+      "q21_waiting_supplier" ->
+        """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+           FROM supplier, lineitem l1, orders
+           WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+             AND o_orderstatus = 'F'
+             AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+             AND EXISTS (SELECT 1 FROM lineitem l2
+               WHERE l2.l_orderkey = l1.l_orderkey
+                 AND l2.l_suppkey <> l1.l_suppkey)
+             AND NOT EXISTS (SELECT 1 FROM lineitem l3
+               JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+               WHERE l3.l_orderkey = l1.l_orderkey
+                 AND l3.l_suppkey <> l1.l_suppkey
+                 AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+           GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""",
 
       "q22_no_orders" ->
         """SELECT c_mktsegment,

@@ -177,6 +177,50 @@ object Analytics {
           sum(discPrice).cast("double"), 6).as("promo_share"))
   }
 
+  /** TPC-H Q21 shape: suppliers who were the SOLE late shipper in a
+    * multi-supplier finalized order, ranked by their late-line count
+    * ("late" adapted to this schema: shipped > 60 days after the
+    * order date — the testdata carries no commit/receipt dates).
+    *
+    * The definitional form is a correlated EXISTS (another supplier
+    * shipped in the order) AND NOT EXISTS (another supplier shipped
+    * late) — i.e. a semi-join and an anti-join against the SAME fact.
+    * Planned that way, lineitem is scanned three times and shuffled
+    * twice. Both subqueries collapse into ONE per-order aggregate:
+    * distinct-supplier count, distinct-LATE-supplier count, the sole
+    * late supplier (max over a one-element set) and its late-line
+    * count — a single orderkey shuffle with map-side partials, then a
+    * supplier-keyed count. The DuckDB oracle states the EXISTS /
+    * NOT-EXISTS form verbatim, so the gate proves the rewrite.
+    */
+  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val late = col("l_shipdate") >
+      col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    val per = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), late.as("__late"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("__ns"),
+        countDistinct(when(col("__late"), col("l_suppkey"))).as("__nl"),
+        max(when(col("__late"), col("l_suppkey"))).as("__ls"),
+        count(when(col("__late"), lit(1))).as("__nll"))
+      .filter(col("__ns") > 1 && col("__nl") === 1)
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_name"))
+    // no broadcast hint: supplier scales with SF (AQE broadcasts it
+    // while it fits; at 100 TB both sides are agg-shrunk and shuffle)
+    per.join(s, per("__ls") === s("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(sum(col("__nll")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   /** TPC-H Q22 shape: anti join — customers with NO orders, per
     * segment with average balance. One shuffle on custkey.
     */
