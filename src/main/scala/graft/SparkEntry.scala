@@ -1323,6 +1323,32 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // product-quantized ANN (r8-cont): deterministic codebooks — the
+    // 16 lowest-id vectors' normalized subvectors (m=4 × 16 dims),
+    // the ivf first-16 discipline — so assignment, ADC scoring, the
+    // candidate cut at 40, and the exact-cosine rerank all replay in
+    // SQL. Driver-side normalization matches unitNorm bit-for-bit
+    // (sequential square sum, one sqrt, one division per element)
+    "ann_pq_topk" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val queries = embs.filter(col("vec_id") < 5)
+      val first = embs.filter(col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding")).collect()
+        .sortBy(_.getLong(0))
+        .map { r =>
+          val v = r.getSeq[Float](1).map(_.toDouble)
+          var ss = 0.0
+          v.foreach(x => ss += x * x)
+          val n = math.sqrt(ss)
+          if (n == 0) v.map(_ => 0.0) else v.map(_ / n)
+        }
+      val books = (0 until 4).map(j =>
+        first.map(_.slice(j * 16, j * 16 + 16).toSeq).toSeq)
+      Similarity.pqTopKWith(embs, queries, "vec_id", "embedding", "vec_id",
+          k = 10, codebooks = books, rerankMult = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // int8 scalar-quantized ANN (r8-cont): phase-1 candidate ranking
     // by the EXACT integer code dot product (fully deterministic —
     // the oracle replays quantization, candidate cut, and rerank),
@@ -3338,6 +3364,68 @@ object SparkEntry {
              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rn
              FROM scored)
+           WHERE rn <= 10 ORDER BY query_id, rank""",
+
+      // PQ replay: normalize → per-subspace argmin code assignment
+      // against the first-16 codebooks → ADC table lookups summed in
+      // j-order (list(val ORDER BY j) then list_sum ≡ Spark's
+      // sequential fold) → candidate cut at 40 → exact-cosine rerank
+      "ann_pq_topk" ->
+        """WITH nrmv AS (
+             SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS nv
+             FROM (SELECT vec_id, embedding,
+                     sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> x * x))) AS nrm FROM embeddings)
+           ), cb AS (
+             SELECT vec_id AS c, j, list_transform(generate_series(1, 16),
+               i -> nv[j * 16 + i]) AS cv
+             FROM nrmv CROSS JOIN generate_series(0, 3) t(j) WHERE vec_id < 16
+           ), cbs AS (
+             SELECT c, j, cv,
+               list_sum(list_transform(cv, x -> x * x)) AS cc FROM cb
+           ), ad AS (
+             SELECT n.vec_id, b.j, b.c,
+               -2 * list_sum(list_transform(generate_series(1, 16),
+                 i -> n.nv[b.j * 16 + i] * b.cv[i])) + b.cc AS dist
+             FROM nrmv n CROSS JOIN cbs b
+           ), codes AS (
+             SELECT vec_id, j, c FROM (
+               SELECT vec_id, j, c, row_number() OVER (
+                 PARTITION BY vec_id, j ORDER BY dist, c) AS r FROM ad)
+             WHERE r = 1
+           ), pairv AS (
+             SELECT q.vec_id AS query_id, k.vec_id AS neighbor_id, k.j,
+               list_sum(list_transform(generate_series(1, 16),
+                 i -> q.nv[k.j * 16 + i] * b.cv[i])) AS val
+             FROM codes k JOIN cbs b ON k.j = b.j AND k.c = b.c
+             CROSS JOIN (SELECT vec_id, nv FROM nrmv WHERE vec_id < 5) q
+             WHERE k.vec_id <> q.vec_id
+           ), scored AS (
+             SELECT query_id, neighbor_id,
+               list_sum(list(val ORDER BY j)) AS qscore
+             FROM pairv GROUP BY query_id, neighbor_id
+           ), cand AS (
+             SELECT query_id, neighbor_id FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY qscore DESC, neighbor_id) AS rn FROM scored)
+             WHERE rn <= 40
+           ), q2 AS (
+             SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id < 5
+           ), c2 AS (
+             SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+             FROM embeddings
+           ), rer AS (
+             SELECT cand.query_id, cand.neighbor_id,
+               list_sum(list_transform(generate_series(1, len(cv)),
+                 i -> cv[i] * qv[i]))
+               / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+                  * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS cosine
+             FROM cand JOIN c2 USING (neighbor_id) JOIN q2 USING (query_id))
+           SELECT query_id, neighbor_id, cosine, rn AS rank FROM (
+             SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rn FROM rer)
            WHERE rn <= 10 ORDER BY query_id, rank""",
 
       // int8 SQ replay: per-dim min/max → the identical clamp/round

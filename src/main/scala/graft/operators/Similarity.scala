@@ -430,4 +430,126 @@ object Similarity {
           (Vectors.norm(col("__cv")) * Vectors.norm(col("__qv")))).as("cosine"))
     topKPerQuery(rer, k)
   }
+
+  /** Train per-subspace PQ codebooks on a bounded, seeded sample
+    * (same training discipline as [[trainIvfQuantizer]]: k-means
+    * never sees the full corpus). Vectors are unit-normalized before
+    * slicing — [[pqTopKWith]] quantizes normalized vectors, so the
+    * codebooks must live in the same space. Returns m × ncodes ×
+    * (dims/m) centroids, a few KB however large the corpus.
+    */
+  def trainPq(corpus: DataFrame, vecCol: String, dims: Int,
+              m: Int = 4, ncodes: Int = 16,
+              sampleCap: Long = 0L, seed: Long = 42L): Seq[Seq[Seq[Double]]] = {
+    require(m > 0 && dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    val sub = dims / m
+    val cap = if (sampleCap > 0) sampleCap else ncodes.toLong * 1000L
+    val n = corpus.count()
+    val fraction = math.min(1.0, cap.toDouble / math.max(1L, n).toDouble)
+    val sampled = graft.Par.persistTracked(
+      (if (fraction < 1.0) corpus.sample(withReplacement = false, fraction, seed)
+       else corpus)
+        .select(unitNorm(col(vecCol)).as("__nv")))
+    val books = (0 until m).map { j =>
+      val train = sampled.select(
+        array_to_vector(slice(col("__nv"), j * sub + 1, sub)).as("__feat"))
+      new KMeans().setK(ncodes).setSeed(seed + j).setMaxIter(10)
+        .setFeaturesCol("__feat").setPredictionCol("__code")
+        .fit(train)
+        .clusterCenters.map(_.toArray.toSeq).toSeq
+    }
+    graft.Par.release()
+    books
+  }
+
+  /** Product-quantized ANN (Jégou, Douze & Schmid, "Product
+    * quantization for nearest neighbor search", TPAMI 2011) against
+    * EXPLICIT codebooks — the quantizer-agnostic core, like
+    * [[ivfTopKWith]]: pass [[trainPq]] output, or any deterministic
+    * pick (e.g. the subvectors of the ncodes lowest-id corpus
+    * vectors), which makes the whole path SQL-replicable.
+    *
+    * Corpus and queries unit-normalize; each corpus vector encodes to
+    * m codes (per-subspace squared-L2 argmin — the same codegen'd
+    * least()-over-structs chain as IVF assignment, ties to the lower
+    * code). A corpus vector is then m bytes instead of dims floats —
+    * 64× smaller at dims=64/m=4: the candidate pass streams codes,
+    * never vectors. Each query precomputes its ADC table (asymmetric
+    * distance: m·ncodes inner products against the literal codebooks)
+    * once; candidate scores are m table lookups summed in j-order by
+    * a sequential `aggregate` fold, so scores — and therefore the
+    * candidate RANKING (ties to neighbor_id) — are deterministic and
+    * oracle-replayable. Phase 2 fetches raw vectors for the
+    * `rerankMult·k` survivors only and reranks by exact cosine.
+    */
+  def pqTopKWith(corpus: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, queryIdCol: String,
+                 k: Int, codebooks: Seq[Seq[Seq[Double]]],
+                 rerankMult: Int = 4,
+                 excludeSelf: Boolean = true): DataFrame = {
+    require(k > 0 && rerankMult > 0, "k and rerankMult must be positive")
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "codebooks must be m non-empty code lists")
+    val m = codebooks.length
+    val ncodes = codebooks.head.length
+    val sub = codebooks.head.head.length
+    def selfDot(v: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      s
+    }
+    val c = graft.Par.widen(corpus.select(col(idCol), col(vecCol)), idCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = queries
+      .select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"))
+    // per-subspace argmin against literal centroids: |s−c|² minus the
+    // candidate-invariant |s|² — map-only, fully codegen'd
+    def nearestCode(nv: Column, j: Int): Column =
+      least(codebooks(j).zipWithIndex.map { case (cb, code) =>
+        struct(
+          (-Vectors.dot(slice(nv, j * sub + 1, sub), typedLit(cb)) * 2 +
+            lit(selfDot(cb))).as("d"),
+          lit(code).as("c"))
+      }: _*).getField("c")
+    val cCodes = c.select(col("neighbor_id"),
+      array((0 until m).map(j => nearestCode(unitNorm(col("__cv")), j)): _*)
+        .as("__codes"))
+    // ADC table per query: tab[j·ncodes + c] = <q_j, cb_{j,c}>, built
+    // once per query row against the literal codebooks
+    val qTab = q.select(col("query_id"),
+      array((for (j <- 0 until m; code <- 0 until ncodes) yield
+        Vectors.dot(slice(unitNorm(col("__qv")), j * sub + 1, sub),
+          typedLit(codebooks(j)(code)))): _*).as("__tab"))
+    // phase 1: code stream × broadcast query tables; the score is a
+    // j-ordered sequential fold of m lookups (bit-deterministic)
+    val scored = cCodes.crossJoin(broadcast(qTab))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+          acc + element_at(col("__tab"),
+            (j * ncodes + element_at(col("__codes"), j + 1) + 1).cast("int")))
+          .as("qscore"))
+    val cand = topKPerQuery(scored, k * rerankMult, ordCol = "qscore")
+      .select(col("query_id"), col("neighbor_id"))
+    // phase 2: fetch raw vectors for candidates only, exact rerank
+    val rer = c.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (Vectors.dot(col("__cv"), col("__qv")) /
+          (Vectors.norm(col("__cv")) * Vectors.norm(col("__qv")))).as("cosine"))
+    topKPerQuery(rer, k)
+  }
+
+  /** PQ ANN with codebooks trained by [[trainPq]] — the full
+    * operator; see [[pqTopKWith]] for the serving path.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, queryIdCol: String,
+             k: Int, dims: Int, m: Int = 4, ncodes: Int = 16,
+             rerankMult: Int = 4, excludeSelf: Boolean = true,
+             codebooks: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    val books = codebooks.getOrElse(trainPq(corpus, vecCol, dims, m, ncodes))
+    pqTopKWith(corpus, queries, idCol, vecCol, queryIdCol, k, books,
+      rerankMult, excludeSelf)
+  }
 }
