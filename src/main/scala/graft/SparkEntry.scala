@@ -308,6 +308,25 @@ object SparkEntry {
         .orderBy(col("lang"), col("rank"))
     }),
 
+    // clustered write → per-file stats manifest → driver-side
+    // file-pruned read (r8-cont): the graded query drives the whole
+    // data-skipping path end to end — prunedRead ≡ the plain filtered
+    // read, so the oracle is ordinary SQL over the same rows. Fresh
+    // temp dir per invocation (idempotent re-runs)
+    "clustered_prune_read" -> ((s, d) => {
+      val dir = s"/tmp/graft_prune_${java.util.UUID.randomUUID()}"
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      graft.sources.Sink.clusteredWrite(o, dir, Seq("o_totalprice"), numFiles = 16)
+      graft.sources.Sink.writeFileStats(s, dir, Seq("o_totalprice"))
+      graft.sources.Sink.prunedRead(s, dir, "o_totalprice", 50000.0, 100000.0)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // PERMISSIVE quarantine split (r8): bad records neither kill the
     // load nor vanish — schema-true rows parse, failures keep their
     // raw text for replay; graded via a VALUES-literal oracle over a
@@ -2196,6 +2215,15 @@ object SparkEntry {
              count(*) AS n_events,
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      // prunedRead ≡ the plain filtered read — ordinary SQL grades
+      // the whole clustered-write → stats → file-skip path
+      "clustered_prune_read" ->
+        """SELECT o_orderpriority, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           FROM orders
+           WHERE o_totalprice BETWEEN 50000.0 AND 100000.0
+           GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
       // VALUES-literal oracle (zero data): the crafted file's
       // deterministic split — good rows parse, bad rows keep raw text

@@ -166,6 +166,65 @@ object Sink {
     }
   }
 
+  /** Per-file min/max stats manifest for [[prunedRead]] — the
+    * data-skipping half of [[clusteredWrite]] (Delta/Iceberg keep the
+    * same per-file stats in their commit logs; this is the
+    * table-format-free version). One column-pruned scan over the
+    * written files aggregates (min, max, row count) per file for the
+    * given columns — at 100 TB the pass reads ONLY the stats columns,
+    * and the manifest itself is one row per data file, trivially
+    * broadcastable. Written under `path/_graft_stats`; the leading
+    * underscore keeps every parquet reader from treating it as data.
+    * Returns the number of files profiled.
+    */
+  def writeFileStats(spark: SparkSession, path: String,
+                     cols: Seq[String]): Int = {
+    require(cols.nonEmpty, "writeFileStats needs at least one column")
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    val stats = spark.read.parquet(path)
+      .select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
+      .groupBy(col("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    stats.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/_graft_stats")
+    spark.read.parquet(s"$path/_graft_stats").count().toInt
+  }
+
+  /** Range-pruned read: `prunedRead(s, p, c, lo, hi)` ≡
+    * `read(p).filter(c BETWEEN lo AND hi)`, but files whose
+    * [min_c, max_c] range provably misses [lo, hi] are dropped
+    * DRIVER-SIDE from the manifest before the scan is planned — the
+    * scan never opens them, never even lists their row groups. On a
+    * [[clusteredWrite]] layout ranges are disjoint, so a narrow
+    * predicate reads one file out of thousands; on an unclustered
+    * layout every file may overlap the range and pruning degrades to
+    * the plain read (correct, just not faster). Files with null
+    * stats (all-null column) are kept — the residual filter drops
+    * their rows, never the pruning. The residual BETWEEN stays in
+    * the plan and reaches the parquet scan as a pushed filter, so
+    * row-group/page pruning still applies within surviving files.
+    */
+  def prunedRead(spark: SparkSession, path: String, pruneCol: String,
+                 lo: Any, hi: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val stats = spark.read.parquet(s"$path/_graft_stats")
+    // comparison via Spark expressions, so literal/column casts match
+    // exactly what the residual filter will do
+    val kept = stats.filter(
+        col(s"max_$pruneCol").isNull || col(s"min_$pruneCol").isNull ||
+        !(col(s"max_$pruneCol") < lit(lo) || col(s"min_$pruneCol") > lit(hi)))
+      .select(col("file")).collect().map(_.getString(0))
+    val base =
+      if (kept.isEmpty)
+        spark.read.parquet(path).filter(lit(false))
+      else
+        spark.read.schema(spark.read.parquet(path).schema).parquet(kept: _*)
+    base.filter(col(pruneCol).between(lit(lo), lit(hi)))
+  }
+
   /** Deterministic shard assignment: `pmod(xxhash64(id, seed), n)` —
     * the per-row expression [[writeShards]] routes by, exposed so
     * graded queries and readers can recompute membership without the

@@ -122,6 +122,44 @@ class SourcesSpec extends SparkSuite {
     assert(unsorted.filter(col("prev") > col("k")).isEmpty)
   }
 
+  test("writeFileStats + prunedRead: driver-side file skipping, plain-read equivalence") {
+    val dir = tmpDir("prune") + "/t"
+    val df = scala.util.Random.shuffle((1L to 5000L).toList)
+      .map(i => (i, i % 97, s"v$i")).toDF("k", "grp", "v")
+    assert(Sink.clusteredWrite(df, dir, Seq("k"), numFiles = 8) === 8)
+    assert(Sink.writeFileStats(spark, dir, Seq("k")) === 8)
+    // one file's own [lo, hi] (from the manifest) hits exactly that
+    // file — ranges are disjoint, so no other file can overlap
+    val st = spark.read.parquet(s"$dir/_graft_stats")
+      .select("min_k", "max_k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val (flo, fhi) = st(3)
+    val pruned = Sink.prunedRead(spark, dir, "k", flo, fhi)
+    assert(pruned.inputFiles.length === 1,
+      s"expected 1 file scanned, got ${pruned.inputFiles.length}")
+    val full = spark.read.parquet(dir).filter(col("k").between(flo, fhi))
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq ===
+      full.collect().map(_.getLong(0)).sorted.toSeq)
+    // a range straddling a file boundary keeps exactly both sides
+    val straddle = Sink.prunedRead(spark, dir, "k", st(3)._2, st(4)._1)
+    assert(straddle.inputFiles.length === 2 && straddle.count() === 2L)
+    // a range beyond all stats prunes everything but stays queryable
+    val none = Sink.prunedRead(spark, dir, "k", 99999L, 100000L)
+    assert(none.count() === 0L)
+    // unclustered layout: pruning degrades to the plain read, results equal
+    val dir2 = tmpDir("prune2") + "/t"
+    df.repartition(6).write.parquet(dir2)
+    Sink.writeFileStats(spark, dir2, Seq("k"))
+    val p2 = Sink.prunedRead(spark, dir2, "k", 1200L, 1300L)
+    assert(p2.count() === 101L)
+    // null stats keep the file; residual filter still drops null rows
+    val dir3 = tmpDir("prune3") + "/t"
+    Seq[(java.lang.Long, String)]((null, "a"), (null, "b"))
+      .toDF("k", "v").write.parquet(dir3)
+    Sink.writeFileStats(spark, dir3, Seq("k"))
+    assert(Sink.prunedRead(spark, dir3, "k", 0L, 10L).count() === 0L)
+  }
+
   test("writeShards: one file per shard, hash membership, intra-file order, manifest") {
     val dir = tmpDir("shards") + "/t"
     val df = (1L to 500L).map(i => (i, s"doc$i")).toDF("id", "payload")
