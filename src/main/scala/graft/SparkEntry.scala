@@ -1044,6 +1044,15 @@ object SparkEntry {
       Sampling.stratifiedTopN(Tables.documents(s, d), "doc_id", "lang", n = 100)
         .select(col("doc_id"), col("lang"), col("rank"))
         .orderBy(col("lang"), col("rank"))),
+    // sequential Poisson PPS sample (r8-cont): ξ = uniform(h)/weight,
+    // n smallest — every step cross-engine exact (53-bit logical
+    // shift, power-of-two scale, one IEEE division), so the oracle
+    // replays the full ranking
+    "sample_weighted_n" -> ((s, d) =>
+      Sampling.weightedSampleN(Tables.documents(s, d), "doc_id", "n_chars",
+          n = 200)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("rank"))
+        .orderBy(col("rank"))),
     // sample-maintenance twin: day 1's sample folded with day 2's
     // batch — provably identical to the full run (top-n by hash is an
     // associative idempotent reduction), so the SAME oracle grades it
@@ -2605,6 +2614,22 @@ object SparkEntry {
              FROM (${xxhash64LongSql("SELECT doc_id, lang FROM documents",
                       "doc_id", 42L, Seq("lang"))}))
            WHERE rank <= 100 ORDER BY lang, rank""",
+
+      // ξ replay: (h >> 11) & (2^53−1) is the 53-bit logical shift on
+      // the signed hash; ·2⁻⁵³ exact; /w correctly rounded — the
+      // ranking matches Spark bit-for-bit
+      "sample_weighted_n" ->
+        s"""SELECT doc_id, lang, n_chars, rank FROM (
+             SELECT doc_id, lang, n_chars,
+               CAST(row_number() OVER (ORDER BY xi, doc_id) AS INTEGER) AS rank
+             FROM (SELECT doc_id, lang, n_chars,
+                     CAST((h >> 11) & 9007199254740991 AS DOUBLE)
+                       * (1.0 / 9007199254740992.0)
+                       / CAST(n_chars AS DOUBLE) AS xi
+                   FROM (${xxhash64LongSql(
+                     "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 0",
+                     "doc_id", 42L, Seq("lang", "n_chars"))})))
+           WHERE rank <= 200 ORDER BY rank""",
 
       // every event picks the SCD2 interval covering its OWN ts
       // (half-open, zero-width same-ts intervals match neither side)

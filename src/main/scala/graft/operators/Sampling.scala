@@ -120,6 +120,59 @@ object Sampling {
     * hash break by id, so the output is a function of the data alone.
     * Output: the input columns + `rank` (1-based within stratum).
     */
+  /** Weighted sample of exactly n rows, inclusion probability
+    * approximately proportional to `weightCol` — sequential Poisson
+    * sampling (Ohlsson, "Sequential Poisson sampling", J. Official
+    * Statistics 1998): each row gets rank variable ξ = u/w with u a
+    * deterministic uniform derived from `xxhash64(id, seed)`, and the
+    * sample is the n SMALLEST ξ. The PPS primitive for curation
+    * ("sample documents proportional to quality/length") with the
+    * stability contract of every sampler here: ξ is a pure function
+    * of (id, seed, weight), so membership survives repartitioning,
+    * reruns, and cluster changes.
+    *
+    * Every arithmetic step is cross-engine exact: u = (h >>> 11) ·
+    * 2⁻⁵³ (the 53-bit logical shift is `(h >> 11) & (2⁵³−1)` on
+    * signed SQL integers; the scale is a power of two, so the
+    * multiply is exact), and ξ = u/w is one correctly-rounded IEEE
+    * division — so an external engine replays the full RANKING, not
+    * just membership. Scale shape = [[stratifiedTopN]]: zero-shuffle
+    * bounded-heap partition scan (≤ n candidates per partition), then
+    * one ≤ n·P-row ranking, sampled ids broadcast back. Rows with
+    * null or non-positive weight are never sampled.
+    */
+  def weightedSampleN(df: DataFrame, idCol: String, weightCol: String,
+                      n: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, "n must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    implicit val ord: Ordering[(Double, Long)] = Ordering.Tuple2[Double, Long]
+    val xi = shiftrightunsigned(xxhash64(col(idCol), lit(seed)), 11)
+      .cast("double") * lit(1.0 / 9007199254740992.0) /
+      col(weightCol).cast("double")
+    val cand = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(xi.as("xi"), col(idCol).cast("long").as("id"))
+      .as[(Double, Long)]
+      .mapPartitions { it =>
+        val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)]
+        it.foreach { t =>
+          if (heap.size < n) heap.enqueue(t)
+          else if (ord.lt(t, heap.head)) { heap.dequeue(); heap.enqueue(t) }
+        }
+        heap.iterator
+      }
+      .toDF("xi", "id")
+    val ranked = cand
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(lit(0)).orderBy(col("xi").asc, col("id").asc)))
+      .filter(col("rank") <= n)
+      .select(col("id").as("__sid"), col("rank"))
+    df.join(broadcast(ranked), col(idCol).cast("long") === col("__sid"))
+      .drop("__sid")
+  }
+
   def stratifiedTopN(df: DataFrame, idCol: String, stratumCol: String,
                      n: Int, seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.expressions.Window

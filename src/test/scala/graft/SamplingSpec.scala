@@ -356,4 +356,36 @@ class SamplingSpec extends SparkSuite {
     assert(out2.toSeq === out.select("id").collect().map(_.getLong(0)).toSeq)
     Par.release()
   }
+
+  test("weightedSampleN: PPS bias, naive equivalence, weight guards, determinism") {
+    val df = (1L to 1000L).map { i =>
+      val w: java.lang.Long =
+        if (i <= 100) 10000L else if (i <= 110) null
+        else if (i <= 120) -5L else 1L
+      (i, w)
+    }.toDF("id", "w")
+    val out = Sampling.weightedSampleN(df, "id", "w", n = 50)
+    val ids = out.collect().map(_.getLong(0)).toSet
+    assert(ids.size === 50)
+    // heavy rows (w=10000) dominate a PPS sample
+    assert(ids.count(_ <= 100L) >= 45, s"only ${ids.count(_ <= 100L)} heavy rows")
+    // null / non-positive weights never sampled
+    assert(!ids.exists(i => i > 100L && i <= 120L))
+    // ≡ the naive global sort by ξ (exercises the heap pruning)
+    val naive = df.filter(col("w").isNotNull && col("w") > 0)
+      .withColumn("xi",
+        shiftrightunsigned(xxhash64(col("id"), lit(42L)), 11).cast("double")
+          * lit(1.0 / 9007199254740992.0) / col("w").cast("double"))
+      .orderBy(col("xi"), col("id")).limit(50)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === naive)
+    // ranks are 1..n and deterministic under repartitioning
+    val again = Sampling.weightedSampleN(df.repartition(7), "id", "w", n = 50)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(again === out.collect().map(r => (r.getLong(0), r.getInt(2))).toSet)
+    assert(out.collect().map(_.getInt(2)).sorted.toSeq === (1 to 50).toSeq)
+    // n beyond the eligible population returns every eligible row
+    assert(Sampling.weightedSampleN(df, "id", "w", n = 5000).count() === 980L)
+    Par.release()
+  }
 }
