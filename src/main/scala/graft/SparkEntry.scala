@@ -819,6 +819,31 @@ object SparkEntry {
       Dedup.editDistance(baseKeys.unionByName(mutated), "id", "s", maxDist = 2)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // daily-delta edit distance (r8-cont): the typo'd batch checks
+    // against the stored segment index at delta cost — only the batch
+    // generates probe substrings (single-sided filtering is lossless:
+    // the pigeonhole partitions the INDEX string). Same seeded corpus
+    // as dedup_edit_distance; oracle = the full quadratic join
+    // restricted to batch-touching pairs
+    "dedup_edit_distance_incr" -> ((s, d) => {
+      val cust = Tables.customer(s, d).filter(col("c_custkey") <= 2000L)
+      val baseKeys = cust.select(col("c_custkey").as("id"),
+        substring(md5(col("c_custkey").cast("string")), 1, 12).as("s"))
+      val pos = (col("c_custkey") % 11 + 1).cast("int")
+      val b = substring(md5(col("c_custkey").cast("string")), 1, 12)
+      val mutated = cust.filter(col("c_custkey") % 7 === 0)
+        .select((col("c_custkey") + 10000000L).as("id"),
+          when(col("c_custkey") % 3 === 0,
+            concat(b.substr(lit(1), pos - 1), lit("z"), b.substr(pos + 1, lit(12))))
+          .when(col("c_custkey") % 3 === 1,
+            concat(b.substr(lit(1), pos - 1), b.substr(pos + 1, lit(12))))
+          .otherwise(
+            concat(b.substr(lit(1), pos), lit("z"), b.substr(pos + 1, lit(12))))
+          .as("s"))
+      val idx = Dedup.editIndexFrames(baseKeys, "id", "s", maxDist = 2)
+      Dedup.editDistanceIncremental(idx, mutated, "id", "s", maxDist = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // per-source duplication health report (r8): the summary a
     // curation run publishes — docs / distinct contents / dup rate
     "dedup_rate_report" -> ((s, d) =>
@@ -3114,6 +3139,30 @@ object SparkEntry {
            FROM corpus a JOIN corpus c
              ON a.id < c.id AND abs(length(a.s) - length(c.s)) <= 2
            WHERE levenshtein(a.s, c.s) <= 2
+           ORDER BY id_a, id_b""",
+
+      // the full quadratic join restricted to batch-touching pairs
+      // (batch = the mutated ids ≥ 10M) — the delta path must equal it
+      "dedup_edit_distance_incr" ->
+        """WITH seeds AS (
+             SELECT c_custkey, substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS b,
+               CAST(c_custkey % 11 + 1 AS INTEGER) AS pos
+             FROM customer WHERE c_custkey <= 2000
+           ), corpus AS (
+             SELECT c_custkey AS id, b AS s FROM seeds
+             UNION ALL
+             SELECT c_custkey + 10000000,
+               CASE CAST(c_custkey % 3 AS INTEGER)
+                 WHEN 0 THEN substr(b, 1, pos - 1) || 'z' || substr(b, pos + 1, 12)
+                 WHEN 1 THEN substr(b, 1, pos - 1) || substr(b, pos + 1, 12)
+                 ELSE substr(b, 1, pos) || 'z' || substr(b, pos + 1, 12) END
+             FROM seeds WHERE c_custkey % 7 = 0)
+           SELECT a.id AS id_a, c.id AS id_b,
+             CAST(levenshtein(a.s, c.s) AS INTEGER) AS dist
+           FROM corpus a JOIN corpus c
+             ON a.id < c.id AND abs(length(a.s) - length(c.s)) <= 2
+           WHERE levenshtein(a.s, c.s) <= 2
+             AND (a.id >= 10000000 OR c.id >= 10000000)
            ORDER BY id_a, id_b""",
 
       "dedup_rate_report" ->

@@ -1133,45 +1133,11 @@ object Dedup {
         .select(col(idCol).as("id"), col(strCol).as("s"))
         .withColumn("len", length(col("s"))))
     val long = base.filter(col("len") >= k)
-    // segment geometry of a length-l string: k segments, the first
-    // (l % k) one char longer — start/width derive from (l, i) alone,
-    // so index build and probe generation share one convention
-    def geom(l: Column, i: Column): (Column, Column) = {
-      val b = ((l - (l % k)) / k).cast("int")
-      val r = (l % k).cast("int")
-      val st = (i * b + least(i, r)).cast("int")
-      val w = (b + when(i < r, 1).otherwise(0)).cast("int")
-      (st, w)
-    }
-    val segs = long.select(col("id"), col("len").cast("int").as("l"),
-        posexplode(transform(sequence(lit(0), lit(d)), i => {
-          val (st, w) = geom(col("len"), i)
-          col("s").substr(st + 1, w)
-        })).as(Seq("i", "sub")))
-      .select(col("l"), col("i").cast("int").as("i"), col("sub"),
-        col("id").as("id_x"))
-    // probe substrings for every indexed length class l ∈
-    // [max(k, len−d), len] (longer classes are covered when the
-    // longer partner probes this row's class), every segment idx, and
-    // every start within the ±d shift window. qHi ≥ qLo always:
-    // st ≤ l−w ≤ len−w bounds the left end, len−w ≥ 0 the right —
-    // no descending-sequence guard needed (and a stray extra
-    // candidate would only reach the verify step anyway).
-    val probes = long.select(col("id").as("id_y"),
-        explode(flatten(transform(
-          sequence(greatest(lit(k), col("len").cast("int") - d),
-            col("len").cast("int")),
-          l => flatten(transform(sequence(lit(0), lit(d)), i => {
-            val (st, w) = geom(l, i)
-            val qLo = greatest(lit(0), st - d)
-            val qHi = least(col("len").cast("int") - w, st + d)
-            transform(sequence(qLo, qHi), q =>
-              struct(l.as("l"), i.as("i"),
-                col("s").substr(q + 1, w).as("sub")))
-          }))))).as("p"))
-      .select(col("id_y"), col("p.l").as("l"), col("p.i").as("i"),
-        col("p.sub").as("sub"))
-    val candLong = segs.join(probes, Seq("l", "i", "sub"))
+    // self-join probes only length classes ≤ the prober's own (the
+    // pair is still found once: the longer partner probes this row's
+    // class), so longerClasses = false
+    val candLong = edSegments(long, d)
+      .join(edProbes(long, d, longerClasses = false), Seq("l", "i", "sub"))
       .filter(col("id_x") =!= col("id_y"))
       .select(least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"))
@@ -1190,11 +1156,159 @@ object Dedup {
       .repartition(width, col("id_a"), col("id_b"))
       .distinct()
     val strs = base.select(col("id"), col("s"))
+    edRescore(cand,
+      strs.select(col("id").as("id_a"), col("s").as("__sa")),
+      strs.select(col("id").as("id_b"), col("s").as("__sb")), d)
+  }
+
+  /** Segment geometry of a length-l string under k = d+1 segments:
+    * the first (l % k) segments are one char longer — start/width
+    * derive from (l, i) alone, so index build and probe generation
+    * share one convention.
+    */
+  private def edGeom(k: Int, l: Column, i: Column): (Column, Column) = {
+    val b = ((l - (l % k)) / k).cast("int")
+    val r = (l % k).cast("int")
+    val st = (i * b + least(i, r)).cast("int")
+    val w = (b + when(i < r, 1).otherwise(0)).cast("int")
+    (st, w)
+  }
+
+  /** Index side of the segment filter: one row per (string, segment)
+    * → (l, i, sub, id_x). Input must carry (id, s, len) with
+    * len ≥ d+1.
+    */
+  private def edSegments(long: DataFrame, d: Int): DataFrame = {
+    val k = d + 1
+    long.select(col("id"), col("len").cast("int").as("l"),
+        posexplode(transform(sequence(lit(0), lit(d)), i => {
+          val (st, w) = edGeom(k, col("len"), i)
+          col("s").substr(st + 1, w)
+        })).as(Seq("i", "sub")))
+      .select(col("l"), col("i").cast("int").as("i"), col("sub"),
+        col("id").as("id_x"))
+  }
+
+  /** Probe side: candidate substrings of each string for every
+    * indexed length class l ∈ [max(k, len−d), len] (self-join) or
+    * [max(k, len−d), len+d] (`longerClasses` — probing a one-sided
+    * index that will not probe back), every segment idx, and every
+    * start within the ±d shift window. For l ≤ len the window is
+    * provably non-empty (st ≤ l−w ≤ len−w, len−w ≥ 0); for the
+    * longer classes it can be empty, and Spark's `sequence` DESCENDS
+    * on an inverted range (junk rows — the RangeJoin lesson), so the
+    * guard returns a typed empty array instead.
+    */
+  private def edProbes(long: DataFrame, d: Int,
+                       longerClasses: Boolean): DataFrame = {
+    val k = d + 1
+    val hi = if (longerClasses) col("len").cast("int") + d
+             else col("len").cast("int")
+    long.select(col("id").as("id_y"),
+        explode(flatten(transform(
+          sequence(greatest(lit(k), col("len").cast("int") - d), hi),
+          l => flatten(transform(sequence(lit(0), lit(d)), i => {
+            val (st, w) = edGeom(k, l, i)
+            val qLo = greatest(lit(0), st - d)
+            val qHi = least(col("len").cast("int") - w, st + d)
+            when(qHi >= qLo,
+              transform(sequence(qLo, qHi), q =>
+                struct(l.as("l"), i.as("i"),
+                  col("s").substr(q + 1, w).as("sub"))))
+              .otherwise(array().cast("array<struct<l:int,i:int,sub:string>>"))
+          }))))).as("p"))
+      .select(col("id_y"), col("p.l").as("l"), col("p.i").as("i"),
+        col("p.sub").as("sub"))
+  }
+
+  /** Banded-levenshtein verify of candidate pairs: `strsA`/`strsB`
+    * supply (id_a, __sa) / (id_b, __sb).
+    */
+  private def edRescore(cand: DataFrame, strsA: DataFrame,
+                        strsB: DataFrame, d: Int): DataFrame =
     cand
-      .join(strs.select(col("id").as("id_a"), col("s").as("__sa")), Seq("id_a"))
-      .join(strs.select(col("id").as("id_b"), col("s").as("__sb")), Seq("id_b"))
+      .join(strsA, Seq("id_a"))
+      .join(strsB, Seq("id_b"))
       .withColumn("dist", levenshtein(col("__sa"), col("__sb"), d))
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
+
+  /** Persistent edit-distance index frames: `segs` (l, i, sub, id) is
+    * probed by (l, i, sub) in the incremental candidate join — store
+    * it bucketed on those keys; `strs` (id, s, len) feeds the verify
+    * fetch BY ID — store it bucketed on id (the dual-copy posting
+    * discipline of [[NgramIndex]], one copy per access path).
+    */
+  final case class EditIndex(segs: DataFrame, strs: DataFrame)
+
+  /** Build [[EditIndex]] frames (same segmentation as
+    * [[editDistance]] at the same `maxDist`).
+    */
+  def editIndexFrames(docs: DataFrame, idCol: String, strCol: String,
+                      maxDist: Int): EditIndex = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val base = Par.widen(docs.select(col(idCol), col(strCol)), idCol)
+      .select(col(idCol).as("id"), col(strCol).as("s"))
+      .withColumn("len", length(col("s")))
+    EditIndex(edSegments(base.filter(col("len") >= maxDist + 1), maxDist),
+      base)
+  }
+
+  /** Incremental edit-distance join (the daily-delta form, completing
+    * the incremental family: exact / MinHash / SimHash / n-gram /
+    * embedding / edit-distance): all pairs with levenshtein ≤ maxDist
+    * where at least one side is in `batch` — new-vs-index pairs plus
+    * (optionally) batch-internal pairs — WITHOUT re-segmenting or
+    * re-shuffling the corpus. Only the batch generates probe
+    * substrings; the stored index contributes its segments as-is.
+    * Single-sided filtering is lossless here for the same pigeonhole
+    * reason as the PPJoin prefix probe: partitioning the INDEX string
+    * into d+1 segments leaves one untouched, and that segment appears
+    * verbatim in the batch string — so batch probes must cover length
+    * classes on BOTH sides of their own length (`longerClasses`),
+    * since the index never probes back. Cross pairs where either side
+    * is shorter than d+1 chars have both lengths ≤ 2d (length-band
+    * broadcast of the delta); batch-internal pairs run the plain
+    * [[editDistance]] on the delta alone. Assumes batch ids are new
+    * (disjoint from index ids), as the other incremental forms do.
+    */
+  def editDistanceIncremental(index: EditIndex, batch: DataFrame,
+                              idCol: String, strCol: String,
+                              maxDist: Int,
+                              includeBatchPairs: Boolean = true): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val d = maxDist
+    val k = d + 1
+    val b = Par.persistTracked(
+      Par.widen(batch.select(col(idCol), col(strCol)), idCol)
+        .select(col(idCol).as("id"), col(strCol).as("s"))
+        .withColumn("len", length(col("s"))))
+    val candCross = index.segs
+      .join(edProbes(b.filter(col("len") >= k), d, longerClasses = true),
+        Seq("l", "i", "sub"))
+      .select(col("id_x").as("id_a"), col("id_y").as("id_b"))
+    // pairs with a sub-segment-length member: both sides ≤ 2d chars
+    val candShort = broadcast(
+        b.filter(col("len") <= 2 * d)
+          .select(col("id").as("id_b"), col("len").as("len_b")))
+      .join(index.strs.filter(col("len") <= 2 * d)
+          .select(col("id").as("id_a"), col("len").as("len_a")),
+        abs(col("len_a") - col("len_b")) <= d &&
+          (col("len_a") < k || col("len_b") < k))
+      .select(col("id_a"), col("id_b"))
+    val width = batch.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
+      .map(_.toInt).getOrElse(batch.sparkSession.sparkContext.defaultParallelism)
+    val cand = candCross.unionByName(candShort)
+      .repartition(width, col("id_a"), col("id_b"))
+      .distinct()
+    // rescore with sides as (index, batch), then canonicalize to the
+    // id_a < id_b contract of [[editDistance]]
+    val cross = edRescore(cand,
+      index.strs.select(col("id").as("id_a"), col("s").as("__sa")),
+      b.select(col("id").as("id_b"), col("s").as("__sb")), d)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
+    if (!includeBatchPairs) cross
+    else cross.unionByName(editDistance(b, "id", "s", d))
   }
 }

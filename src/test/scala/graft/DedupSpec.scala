@@ -754,6 +754,71 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("editDistanceIncremental ≡ full run restricted to batch-touching pairs") {
+    // base strings + planted edits, split so edits cross the cut:
+    // some typo'd twins land in the batch while their source is in
+    // the index, plus batch-internal dup pairs and short strings
+    val strs = (1L to 150L).map { i =>
+      val b = f"${i * 2654435761L % 100000000L}%08d"
+      val s = i % 5 match {
+        case 0 => b.substring(1)
+        case 1 => "x" + b
+        case 2 => b.updated(3, 'z')
+        case 3 => if (i % 2 == 0) "ab" else b   // shorts on both sides
+        case _ => b
+      }
+      (i, s)
+    }
+    val cut = 100L
+    val corpus = strs.toDF("doc_id", "text")
+    val indexDocs = corpus.filter($"doc_id" < cut)
+    val batch = corpus.filter($"doc_id" >= cut)
+    for (d <- Seq(1, 2)) {
+      val idx = Dedup.editIndexFrames(indexDocs, "doc_id", "text", d)
+      val incr = Dedup.editDistanceIncremental(idx, batch, "doc_id", "text", d)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val full = Dedup.editDistance(corpus, "doc_id", "text", d)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+        .filter { case ((a, b), _) => a >= cut || b >= cut }
+      assert(incr === full, s"maxDist=$d delta != full-run restriction")
+      assert(incr.nonEmpty, s"maxDist=$d spec corpus produced no cross pairs")
+      // index-only maintenance view: cross pairs alone
+      val crossOnly = Dedup.editDistanceIncremental(idx, batch, "doc_id",
+        "text", d, includeBatchPairs = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(crossOnly === full.keySet.filter { case (a, b) => a < cut && b >= cut })
+      Par.release()
+    }
+  }
+
+  test("editDistanceIncremental: bucketed frames keep the index exchange-free") {
+    withInspectablePlans {
+      import org.apache.spark.sql.functions.col
+      val corpus = (1L to 200L).map(i =>
+          (i, f"${i * 2654435761L % 100000000L}%08d"))
+        .toDF("doc_id", "text")
+      val cut = 150L
+      val idx = Dedup.editIndexFrames(corpus.filter(col("doc_id") < cut),
+        "doc_id", "text", 2)
+      Seq("ed_segs_b", "ed_strs_b").foreach(resetTable)
+      graft.sources.Sink.bucketedTableBy(idx.segs, "ed_segs_b",
+        Seq("l", "i", "sub"), 8)
+      graft.sources.Sink.bucketedTableBy(idx.strs, "ed_strs_b", Seq("id"), 8)
+      val stored = Dedup.EditIndex(spark.table("ed_segs_b"),
+        spark.table("ed_strs_b"))
+      val batch = corpus.filter(col("doc_id") >= cut)
+      val bucketed = Dedup.editDistanceIncremental(stored, batch,
+        "doc_id", "text", 2, includeBatchPairs = false)
+      assertScanJoinsExchangeFree(bucketed.queryExecution.executedPlan, "ed_segs_b")
+      assertScanJoinsExchangeFree(bucketed.queryExecution.executedPlan, "ed_strs_b")
+      val plain = Dedup.editDistanceIncremental(idx, batch,
+        "doc_id", "text", 2, includeBatchPairs = false)
+      assert(bucketed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        plain.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      Par.release()
+    }
+  }
+
   test("editDistance is deterministic under repartitioning") {
     val corpus = (1L to 60L).map(i => (i, f"item${i % 20}%03d")).toDF("doc_id", "text")
     val a = Dedup.editDistance(corpus, "doc_id", "text", 2)
