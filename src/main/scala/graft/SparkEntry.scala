@@ -1078,6 +1078,19 @@ object SparkEntry {
           n = 200)
         .select(col("doc_id"), col("lang"), col("n_chars"), col("rank"))
         .orderBy(col("rank"))),
+    // PPS-maintenance twin: day 1's sample folded with day 2's batch —
+    // the n-smallest-ξ reduction is associative and idempotent, so the
+    // SAME full-corpus ranking oracle grades the fold
+    "sample_weighted_n_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cut = lit(250L)
+      val day1 = Sampling.weightedSampleN(docs.filter(col("doc_id") < cut),
+        "doc_id", "n_chars", n = 200)
+      Sampling.weightedSampleNIncremental(day1,
+          docs.filter(col("doc_id") >= cut), "doc_id", "n_chars", n = 200)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("rank"))
+        .orderBy(col("rank"))
+    }),
     // sample-maintenance twin: day 1's sample folded with day 2's
     // batch — provably identical to the full run (top-n by hash is an
     // associative idempotent reduction), so the SAME oracle grades it
@@ -2644,6 +2657,21 @@ object SparkEntry {
       // the signed hash; ·2⁻⁵³ exact; /w correctly rounded — the
       // ranking matches Spark bit-for-bit
       "sample_weighted_n" ->
+        s"""SELECT doc_id, lang, n_chars, rank FROM (
+             SELECT doc_id, lang, n_chars,
+               CAST(row_number() OVER (ORDER BY xi, doc_id) AS INTEGER) AS rank
+             FROM (SELECT doc_id, lang, n_chars,
+                     CAST((h >> 11) & 9007199254740991 AS DOUBLE)
+                       * (1.0 / 9007199254740992.0)
+                       / CAST(n_chars AS DOUBLE) AS xi
+                   FROM (${xxhash64LongSql(
+                     "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 0",
+                     "doc_id", 42L, Seq("lang", "n_chars"))})))
+           WHERE rank <= 200 ORDER BY rank""",
+
+      // fold ≡ full run (associative idempotent reduction) — same
+      // oracle as sample_weighted_n
+      "sample_weighted_n_incr" ->
         s"""SELECT doc_id, lang, n_chars, rank FROM (
              SELECT doc_id, lang, n_chars,
                CAST(row_number() OVER (ORDER BY xi, doc_id) AS INTEGER) AS rank

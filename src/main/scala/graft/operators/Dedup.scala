@@ -1141,13 +1141,18 @@ object Dedup {
       .filter(col("id_x") =!= col("id_y"))
       .select(least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"))
-    // strings too short to segment: broadcast length-band join (ed ≤ d
-    // forces |len diff| ≤ d, so partners have len ≤ 2d)
+    // strings too short to segment: ed ≤ d forces |len diff| ≤ d, so
+    // the (tiny by construction) short side explodes over its ≤ 2d+1
+    // candidate partner lengths and EQUI-joins on length — a hash
+    // join, never a nested loop over the corpus
     val shorts = base.filter(col("len") < k)
-    val candShort = broadcast(
-        shorts.select(col("id").as("id_x"), col("len").as("len_x")))
-      .join(base.select(col("id").as("id_y"), col("len").as("len_y")),
-        col("len_y") <= col("len_x") + d && col("id_x") =!= col("id_y"))
+    val shortProbe = shorts.select(col("id").as("id_x"),
+        explode(sequence(greatest(lit(0), col("len").cast("int") - d),
+          col("len").cast("int") + d)).as("len"))
+    val candShort = broadcast(shortProbe)
+      .join(base.select(col("id").as("id_y"), col("len").cast("int").as("len")),
+        Seq("len"))
+      .filter(col("id_x") =!= col("id_y"))
       .select(least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"))
     val width = docs.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
@@ -1287,14 +1292,18 @@ object Dedup {
       .join(edProbes(b.filter(col("len") >= k), d, longerClasses = true),
         Seq("l", "i", "sub"))
       .select(col("id_x").as("id_a"), col("id_y").as("id_b"))
-    // pairs with a sub-segment-length member: both sides ≤ 2d chars
+    // pairs with a sub-segment-length member: both sides ≤ 2d chars;
+    // the delta side explodes over its ≤ 2d+1 candidate partner
+    // lengths and equi-joins on length (hash join, no nested loop)
     val candShort = broadcast(
         b.filter(col("len") <= 2 * d)
-          .select(col("id").as("id_b"), col("len").as("len_b")))
+          .select(col("id").as("id_b"), col("len").cast("int").as("len_b"),
+            explode(sequence(greatest(lit(0), col("len").cast("int") - d),
+              col("len").cast("int") + d)).as("len_a")))
       .join(index.strs.filter(col("len") <= 2 * d)
-          .select(col("id").as("id_a"), col("len").as("len_a")),
-        abs(col("len_a") - col("len_b")) <= d &&
-          (col("len_a") < k || col("len_b") < k))
+          .select(col("id").as("id_a"), col("len").cast("int").as("len_a")),
+        Seq("len_a"))
+      .filter(col("len_a") < k || col("len_b") < k)
       .select(col("id_a"), col("id_b"))
     val width = batch.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
       .map(_.toInt).getOrElse(batch.sparkSession.sparkContext.defaultParallelism)

@@ -92,34 +92,6 @@ object Sampling {
     df.filter(bucket < thresholds)
   }
 
-  /** EXACTLY min(n, |stratum|) rows per stratum, deterministically —
-    * the fixed-BUDGET companion to [[stratifiedSample]]'s fractions
-    * ("take 10k docs per language"): each stratum keeps its n
-    * lowest-`xxhash64(id, seed)` rows, so the draw is uniform,
-    * reproducible under reruns / repartitioning / cluster size, and
-    * STABLE under corpus growth (a new row displaces at most the
-    * stratum's current cutoff row).
-    *
-    * Skew-safe and shuffle-free where it counts: a single
-    * `row_number` window per stratum would funnel a whole stratum
-    * through ONE reducer (a 40-billion-row language on one task at
-    * 100 TB). Phase 1 instead scans each input partition once with a
-    * bounded max-heap per stratum (memory n·strata, the
-    * [[graft.functions.Text.topTermsApprox]] pattern) — candidates
-    * leaving the scan number ≤ n per (stratum × partition). Phase 2
-    * ranks those candidates with the window — its input is
-    * n·partitions rows per stratum, not the stratum. No qualifying
-    * row is lost (a global top-n row is top-n in its own partition),
-    * and a survivor's candidate rank equals its global rank (every
-    * row ordered before it also survives) — proven against the naive
-    * single-window form in SamplingSpec. The sampled ids then
-    * broadcast back onto the input scan to recover all columns
-    * (sample budgets are broadcast-sized by definition).
-    *
-    * `idCol` must be numeric (cast to long for the heap); ties on the
-    * hash break by id, so the output is a function of the data alone.
-    * Output: the input columns + `rank` (1-based within stratum).
-    */
   /** Weighted sample of exactly n rows, inclusion probability
     * approximately proportional to `weightCol` — sequential Poisson
     * sampling (Ohlsson, "Sequential Poisson sampling", J. Official
@@ -148,12 +120,10 @@ object Sampling {
     val spark = df.sparkSession
     import spark.implicits._
     implicit val ord: Ordering[(Double, Long)] = Ordering.Tuple2[Double, Long]
-    val xi = shiftrightunsigned(xxhash64(col(idCol), lit(seed)), 11)
-      .cast("double") * lit(1.0 / 9007199254740992.0) /
-      col(weightCol).cast("double")
     val cand = df
       .filter(col(weightCol).isNotNull && col(weightCol) > 0)
-      .select(xi.as("xi"), col(idCol).cast("long").as("id"))
+      .select(sPoissonXi(idCol, weightCol, seed).as("xi"),
+        col(idCol).cast("long").as("id"))
       .as[(Double, Long)]
       .mapPartitions { it =>
         val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)]
@@ -173,6 +143,82 @@ object Sampling {
       .drop("__sid")
   }
 
+  /** Incremental [[weightedSampleN]] — PPS sample maintenance at
+    * delta cost: "the n smallest ξ" is an associative, idempotent
+    * reduction and ξ recomputes from (id, weight) — both carried by
+    * the sampled rows — so the updated sample is the n smallest over
+    * (stored sample ∪ batch), with the batch pass the zero-shuffle
+    * bounded-heap scan and the merge ranking ≤ 2n rows. The fold
+    * equals the full run over the merged corpus (SamplingSpec),
+    * giving a drifting corpus a standing PPS sample without rescans.
+    * `sample` must carry the same columns as `batch` (a previous
+    * fold's `rank` is ignored and recomputed).
+    */
+  def weightedSampleNIncremental(sample: DataFrame, batch: DataFrame,
+                                 idCol: String, weightCol: String,
+                                 n: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = weightedSampleN(batch, idCol, weightCol, n, seed).drop("rank")
+    val prev = if (sample.columns.contains("rank")) sample.drop("rank") else sample
+    // the merge input is ≤ 2n rows, so the final ranking is ONE plain
+    // window — recursing into the full sampler here would compose
+    // three same-shape sampler plans in one query, which trips
+    // Spark's relation deduplication when the inputs constant-fold to
+    // local relations (observed under AQE: batch rows duplicated);
+    // localCheckpoint cuts the lineage so the ranking query contains
+    // no sampler subplan at all, and stops re-running both samplers
+    // on every downstream action besides
+    // dropDuplicates on the id: a row present in BOTH the stored
+    // sample and the batch (at-least-once redelivery, a replayed day)
+    // must count once — rows with one id are identical by the sampler
+    // contract, so any copy survives; this is what makes the fold
+    // idempotent, not just associative
+    val merged = prev.unionByName(cand).dropDuplicates(Seq(idCol))
+      .localCheckpoint()
+    merged
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(lit(0)).orderBy(
+          sPoissonXi(idCol, weightCol, seed).asc, col(idCol).cast("long").asc)))
+      .filter(col("rank") <= n)
+  }
+
+  /** The sequential-Poisson rank variable ξ = u/w (see
+    * [[weightedSampleN]] for the bit-portability argument).
+    */
+  private def sPoissonXi(idCol: String, weightCol: String,
+                         seed: Long): Column =
+    shiftrightunsigned(xxhash64(col(idCol), lit(seed)), 11)
+      .cast("double") * lit(1.0 / 9007199254740992.0) /
+      col(weightCol).cast("double")
+
+  /** EXACTLY min(n, |stratum|) rows per stratum, deterministically —
+    * the fixed-BUDGET companion to [[stratifiedSample]]'s fractions
+    * ("take 10k docs per language"): each stratum keeps its n
+    * lowest-`xxhash64(id, seed)` rows, so the draw is uniform,
+    * reproducible under reruns / repartitioning / cluster size, and
+    * STABLE under corpus growth (a new row displaces at most the
+    * stratum's current cutoff row).
+    *
+    * Skew-safe and shuffle-free where it counts: a single
+    * `row_number` window per stratum would funnel a whole stratum
+    * through ONE reducer (a 40-billion-row language on one task at
+    * 100 TB). Phase 1 instead scans each input partition once with a
+    * bounded max-heap per stratum (memory n·strata, the
+    * [[graft.functions.Text.topTermsApprox]] pattern) — candidates
+    * leaving the scan number ≤ n per (stratum × partition). Phase 2
+    * ranks those candidates with the window — its input is
+    * n·partitions rows per stratum, not the stratum. No qualifying
+    * row is lost (a global top-n row is top-n in its own partition),
+    * and a survivor's candidate rank equals its global rank (every
+    * row ordered before it also survives) — proven against the naive
+    * single-window form in SamplingSpec. The sampled ids then
+    * broadcast back onto the input scan to recover all columns
+    * (sample budgets are broadcast-sized by definition).
+    *
+    * `idCol` must be numeric (cast to long for the heap); ties on the
+    * hash break by id, so the output is a function of the data alone.
+    * Output: the input columns + `rank` (1-based within stratum).
+    */
   def stratifiedTopN(df: DataFrame, idCol: String, stratumCol: String,
                      n: Int, seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -55,8 +55,14 @@ class PlansSpec extends SparkSuite {
     // corpus_top_terms_approx attaches its certified-error scalar (a
     // ONE-row agg-without-grouping frame) to the top-k via broadcast —
     // the one legitimate nested-loop shape left: a scalar join
+    // ann_sq8/ann_pq: the quantized-candidate pass is the same
+    // broadcast-queries-over-corpus stream as ann_brute (codes stream
+    // instead of vectors); the rerank joins are equi-joins
+    // corpus_bm25_topk broadcasts its ONE-row corpus-stats frame
+    // (avgdl, N, dfs) the same way — a scalar join, not a pair space
     val nestedLoopOk = Set("dedup_embedding", "ann_brute_topk", "ann_ivf_topk",
-      "ann_lsh_topk", "band_join_price", "corpus_top_terms_approx")
+      "ann_lsh_topk", "ann_sq8_topk", "ann_pq_topk", "band_join_price",
+      "corpus_top_terms_approx", "corpus_bm25_topk")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       if (!nestedLoopOk(name)) {
