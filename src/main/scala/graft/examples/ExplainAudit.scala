@@ -33,7 +33,12 @@ object ExplainAudit {
         "pipeline_day_replay",
         // r8-cont additions: sampler scale paths, salted join, Q10
         "sample_stratified_n", "corpus_select_budget",
-        "doc_quality_top_frac", "skew_salted_join", "q10_returned_revenue")
+        "doc_quality_top_frac", "skew_salted_join", "q10_returned_revenue",
+        // r8-cont wave 2: edit distance, Q21 agg rewrite, SQ8/PQ ANN,
+        // data-skipping read, PPS sampler
+        "dedup_edit_distance", "dedup_edit_distance_incr",
+        "q21_waiting_supplier", "ann_sq8_topk", "ann_pq_topk",
+        "clustered_prune_read", "sample_weighted_n")
     names.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
