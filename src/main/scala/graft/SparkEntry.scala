@@ -1078,6 +1078,14 @@ object SparkEntry {
           n = 200)
         .select(col("doc_id"), col("lang"), col("n_chars"), col("rank"))
         .orderBy(col("rank"))),
+    // per-stratum PPS (r8-cont): each language keeps its n smallest
+    // ξ — same bit-portable rank variable, ranking replayed per
+    // stratum
+    "sample_weighted_n_stratum" -> ((s, d) =>
+      Sampling.weightedSampleNPerStratum(Tables.documents(s, d), "doc_id",
+          "lang", "n_chars", n = 50)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("rank"))
+        .orderBy(col("lang"), col("rank"))),
     // PPS-maintenance twin: day 1's sample folded with day 2's batch —
     // the n-smallest-ξ reduction is associative and idempotent, so the
     // SAME full-corpus ranking oracle grades the fold
@@ -2668,6 +2676,21 @@ object SparkEntry {
                      "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 0",
                      "doc_id", 42L, Seq("lang", "n_chars"))})))
            WHERE rank <= 200 ORDER BY rank""",
+
+      // per-stratum ξ ranking replay
+      "sample_weighted_n_stratum" ->
+        s"""SELECT doc_id, lang, n_chars, rank FROM (
+             SELECT doc_id, lang, n_chars,
+               CAST(row_number() OVER (PARTITION BY lang
+                 ORDER BY xi, doc_id) AS INTEGER) AS rank
+             FROM (SELECT doc_id, lang, n_chars,
+                     CAST((h >> 11) & 9007199254740991 AS DOUBLE)
+                       * (1.0 / 9007199254740992.0)
+                       / CAST(n_chars AS DOUBLE) AS xi
+                   FROM (${xxhash64LongSql(
+                     "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 0",
+                     "doc_id", 42L, Seq("lang", "n_chars"))})))
+           WHERE rank <= 50 ORDER BY lang, rank""",
 
       // fold ≡ full run (associative idempotent reduction) — same
       // oracle as sample_weighted_n

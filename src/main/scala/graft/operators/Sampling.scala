@@ -191,6 +191,57 @@ object Sampling {
       .cast("double") * lit(1.0 / 9007199254740992.0) /
       col(weightCol).cast("double")
 
+  /** Per-stratum [[weightedSampleN]] — "the best-weighted n docs per
+    * language, PPS": each stratum keeps its n smallest ξ = u/w,
+    * completing the sampler matrix (exact-n × uniform/weighted ×
+    * global/stratified). Same skew-safe shape as [[stratifiedTopN]]:
+    * one zero-shuffle bounded-heap scan (≤ n candidates per
+    * stratum × partition — a plain per-stratum window would put a
+    * whole language on one reducer), a candidates-only ranking, the
+    * sampled ids broadcast back. Same bit-portable ξ as the global
+    * form, so an external engine replays the per-stratum ranking
+    * exactly. Rows with null or non-positive weight are never
+    * sampled.
+    */
+  def weightedSampleNPerStratum(df: DataFrame, idCol: String,
+                                stratumCol: String, weightCol: String,
+                                n: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, "n must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    implicit val ord: Ordering[(Double, Long)] = Ordering.Tuple2[Double, Long]
+    val cand = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(stratumCol).cast("string").as("s"),
+        sPoissonXi(idCol, weightCol, seed).as("xi"),
+        col(idCol).cast("long").as("id"))
+      .as[(String, Double, Long)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.Map
+          .empty[String, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        it.foreach { case (s, xi, id) =>
+          val heap = heaps.getOrElseUpdate(s,
+            scala.collection.mutable.PriorityQueue.empty[(Double, Long)])
+          if (heap.size < n) heap.enqueue((xi, id))
+          else if (ord.lt((xi, id), heap.head)) {
+            heap.dequeue(); heap.enqueue((xi, id))
+          }
+        }
+        heaps.iterator.flatMap { case (s, heap) =>
+          heap.iterator.map { case (xi, id) => (s, xi, id) }
+        }
+      }
+      .toDF("s", "xi", "id")
+    val ranked = cand
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("s")).orderBy(col("xi").asc, col("id").asc)))
+      .filter(col("rank") <= n)
+      .select(col("id").as("__sid"), col("rank"))
+    df.join(broadcast(ranked), col(idCol).cast("long") === col("__sid"))
+      .drop("__sid")
+  }
+
   /** EXACTLY min(n, |stratum|) rows per stratum, deterministically —
     * the fixed-BUDGET companion to [[stratifiedSample]]'s fractions
     * ("take 10k docs per language"): each stratum keeps its n

@@ -389,6 +389,39 @@ class SamplingSpec extends SparkSuite {
     Par.release()
   }
 
+  test("weightedSampleNPerStratum: per-group exact-n, ≡ naive per-stratum sort") {
+    val df = (1L to 900L).map { i =>
+      val g = s"g${i % 3}"
+      val w = if (g == "g0") 1000L else (i % 50) + 1
+      (i, g, w)
+    }.toDF("id", "g", "w")
+    val out = Sampling.weightedSampleNPerStratum(df, "id", "g", "w", n = 20)
+    val byG = out.collect().map(r => (r.getString(1), r.getLong(0), r.getInt(3)))
+      .groupBy(_._1)
+    assert(byG.keySet === Set("g0", "g1", "g2"))
+    byG.foreach { case (g, rows) =>
+      assert(rows.length === 20, s"$g has ${rows.length}")
+      assert(rows.map(_._3).sorted.toSeq === (1 to 20).toSeq)
+    }
+    // ≡ the naive per-stratum window over ξ
+    val naive = df
+      .withColumn("xi",
+        shiftrightunsigned(xxhash64(col("id"), lit(42L)), 11).cast("double")
+          * lit(1.0 / 9007199254740992.0) / col("w").cast("double"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")
+          .orderBy(col("xi"), col("id"))))
+      .filter(col("rank") <= 20)
+      .collect().map(r => (r.getLong(0), r.getInt(4))).toSet
+    assert(out.collect().map(r => (r.getLong(0), r.getInt(3))).toSet === naive)
+    // determinism under repartitioning
+    val again = Sampling.weightedSampleNPerStratum(df.repartition(7),
+      "id", "g", "w", n = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toSet
+    assert(again === naive)
+    Par.release()
+  }
+
   test("weightedSampleNIncremental: two-day fold ≡ full run, displacement works") {
     // day-2 rows get 100× weights, so they MUST displace day-1 keepers
     val df = (1L to 600L).map(i => (i, if (i >= 300L) 100L else 1L))
