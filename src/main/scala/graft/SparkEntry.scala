@@ -308,6 +308,37 @@ object SparkEntry {
         .orderBy(col("lang"), col("rank"))
     }),
 
+    // streaming WEIGHTED sampler (r8-cont): same two-day + redelivery
+    // runner as stream_stratified_sample; streaming state ≡ the batch
+    // per-stratum PPS operator over everything seen, so the oracle is
+    // the SAME per-stratum ξ ranking replay
+    "stream_weighted_sample" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_ws").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.filter(col("doc_id") < 250).write.parquet(inDir)
+      withShufflePartitions(s, 4) {
+        val stream = s.readStream.schema(docs.schema).parquet(inDir)
+        val q = graft.streaming.EventStream.sampleWeightedTopN(stream,
+            "doc_id", "lang", "n_chars", n = 50)
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+        try {
+          q.processAllAvailable() // day 1
+          docs.filter(col("doc_id") >= 250).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // day 2
+          docs.filter(col("doc_id") < 50).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // redelivery: idempotent no-op
+        } finally q.stop()
+      }
+      val out = s.read.parquet(outDir)
+      val mx = out.groupBy(col("stratum")).agg(max(col("version")).as("version"))
+      out.join(mx, Seq("stratum", "version"))
+        .select(col("id").as("doc_id"), col("stratum").as("lang"), col("rank"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // clustered write → per-file stats manifest → driver-side
     // file-pruned read (r8-cont): the graded query drives the whole
     // data-skipping path end to end — prunedRead ≡ the plain filtered
@@ -2684,6 +2715,23 @@ object SparkEntry {
                CAST(row_number() OVER (PARTITION BY lang
                  ORDER BY xi, doc_id) AS INTEGER) AS rank
              FROM (SELECT doc_id, lang, n_chars,
+                     CAST((h >> 11) & 9007199254740991 AS DOUBLE)
+                       * (1.0 / 9007199254740992.0)
+                       / CAST(n_chars AS DOUBLE) AS xi
+                   FROM (${xxhash64LongSql(
+                     "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 0",
+                     "doc_id", 42L, Seq("lang", "n_chars"))})))
+           WHERE rank <= 50 ORDER BY lang, rank""",
+
+      // streaming state ≡ the batch per-stratum PPS operator over
+      // everything seen — same ranking replay, no n_chars column in
+      // the streamed output
+      "stream_weighted_sample" ->
+        s"""SELECT doc_id, lang, rank FROM (
+             SELECT doc_id, lang,
+               CAST(row_number() OVER (PARTITION BY lang
+                 ORDER BY xi, doc_id) AS INTEGER) AS rank
+             FROM (SELECT doc_id, lang,
                      CAST((h >> 11) & 9007199254740991 AS DOUBLE)
                        * (1.0 / 9007199254740992.0)
                        / CAST(n_chars AS DOUBLE) AS xi

@@ -29,6 +29,14 @@ case class TopNState(version: Long, hs: List[Long], ids: List[Long])
 /** A sample row emitted when a stratum's sample changes. */
 case class SampleOut(stratum: String, id: Long, rank: Int, version: Long)
 
+/** One keyed row entering the streaming WEIGHTED sampler. */
+case class SampleInW(stratum: String, id: Long, xi: Double)
+
+/** Per-stratum weighted-sampler state: the current sample as parallel
+  * (ξ, id) lists sorted ascending, plus a change-count version.
+  */
+case class TopNStateW(version: Long, xis: List[Double], ids: List[Long])
+
 /** Structured-Streaming re-expression of the reference's scheduled
   * CDC loop (reference: dagster_code/nomba_pipeline/definitions.py —
   * a 15-minute cron re-running the incremental load). Instead of
@@ -331,6 +339,63 @@ object EventStream {
         col(idCol).cast("long").as("id"),
         xxhash64(col(idCol), lit(seed)).as("h"))
       .as[SampleIn]
+      .groupByKey(_.stratum)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+  }
+
+  /** Streaming per-stratum WEIGHTED (PPS) sampler — the continuous
+    * twin of [[graft.operators.Sampling.weightedSampleNPerStratum]],
+    * with the same contract as [[sampleTopN]]: state per stratum is
+    * the n smallest (ξ, id) pairs seen so far where ξ = u/w is the
+    * sequential-Poisson rank variable (Ohlsson '98; bit-portable —
+    * see the batch operator), so after any stream prefix the state
+    * equals the batch operator over the rows seen. Associative,
+    * commutative, idempotent; bounded state; changed strata emit
+    * their full refreshed sample with a bumped version. Rows with
+    * null or non-positive weight are filtered before keying and never
+    * enter state.
+    */
+  def sampleWeightedTopN(docs: DataFrame, idCol: String, stratumCol: String,
+                         weightCol: String, n: Int,
+                         seed: Long = 42L): Dataset[SampleOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(n > 0, "n must be positive")
+    val fn = (stratum: String, it: Iterator[SampleInW],
+              state: GroupState[TopNStateW]) => {
+      val prev = state.getOption.getOrElse(TopNStateW(0L, Nil, Nil))
+      implicit val ord: Ordering[(Double, Long)] = Ordering.Tuple2[Double, Long]
+      val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)]
+      val inHeap = scala.collection.mutable.Set.empty[Long]
+      def offer(xi: Double, id: Long): Unit =
+        if (!inHeap.contains(id)) {
+          if (heap.size < n) { heap.enqueue((xi, id)); inHeap += id }
+          else if (ord.lt((xi, id), heap.head)) {
+            inHeap -= heap.dequeue()._2; heap.enqueue((xi, id)); inHeap += id
+          }
+        }
+      prev.xis.zip(prev.ids).foreach { case (xi, id) => offer(xi, id) }
+      it.foreach(r => offer(r.xi, r.id))
+      val sorted = heap.dequeueAll.reverse // ascending (ξ, id)
+      val xis = sorted.map(_._1).toList
+      val ids = sorted.map(_._2).toList
+      if (xis == prev.xis && ids == prev.ids) Iterator.empty
+      else {
+        val v = prev.version + 1
+        state.update(TopNStateW(v, xis, ids))
+        ids.zipWithIndex.iterator.map { case (id, i) =>
+          SampleOut(stratum, id, i + 1, v)
+        }
+      }
+    }
+    docs
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(stratumCol).cast("string").as("stratum"),
+        col(idCol).cast("long").as("id"),
+        (shiftrightunsigned(xxhash64(col(idCol), lit(seed)), 11)
+          .cast("double") * lit(1.0 / 9007199254740992.0) /
+          col(weightCol).cast("double")).as("xi"))
+      .as[SampleInW]
       .groupByKey(_.stratum)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
   }

@@ -366,4 +366,61 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
     Par.release()
   }
+
+  test("sampleWeightedTopN: state equals the batch PPS sampler per prefix; replay silent") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.functions.max
+    val src = tmpDir("ws-src")
+    val outDir = tmpDir("ws-out") + "/out"
+    def land(name: String, rows: Seq[(Long, String, Long)]): Unit = {
+      val staging = tmpDir("ws-stage")
+      rows.toDF("doc_id", "lang", "w").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(src, s"$name.parquet"))
+    }
+    // weights vary per row; day 2 brings heavy rows that must displace
+    // day-1 keepers, plus a null/negative-weight row that must vanish
+    val day1 = (1L to 200L).map(i => (i, s"l${i % 2}", (i % 20) + 1))
+    val day2 = (201L to 400L).map(i => (i, s"l${i % 2}", 5000L)) ++
+      Seq((401L, "l0", -3L))
+    land("b0", day1)
+    val stream = spark.readStream.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("w", LongType))))
+      .parquet(src)
+    val q = EventStream.sampleWeightedTopN(stream, "doc_id", "lang", "w", n = 20)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", tmpDir("ws-ckpt"))
+      .outputMode("append").start()
+    def current = {
+      val out = spark.read.parquet(outDir)
+      val mx = out.groupBy("stratum").agg(max(col("version")).as("version"))
+      out.join(mx, Seq("stratum", "version"))
+        .select(col("id"), col("stratum"), col("rank"))
+    }
+    def batchOn(rows: Seq[(Long, String, Long)]) =
+      operators.Sampling.weightedSampleNPerStratum(
+          rows.toDF("doc_id", "lang", "w"), "doc_id", "lang", "w", n = 20)
+        .select(col("doc_id").as("id"), col("lang").as("stratum"), col("rank"))
+    try {
+      q.processAllAvailable()
+      val b1 = batchOn(day1)
+      assert(current.except(b1).isEmpty && b1.except(current).isEmpty)
+      land("b1", day2)
+      q.processAllAvailable()
+      val full = batchOn(day1 ++ day2)
+      assert(current.except(full).isEmpty && full.except(current).isEmpty)
+      // heavy day-2 rows must have displaced day-1 keepers
+      assert(current.filter(col("id") > 200L).count() >= 30L)
+      val before = spark.read.parquet(outDir).count()
+      land("b2", day1.take(50))
+      q.processAllAvailable()
+      assert(spark.read.parquet(outDir).count() === before,
+        "replayed rows must not bump any stratum version")
+    } finally q.stop()
+    Par.release()
+  }
 }
