@@ -850,6 +850,29 @@ object SparkEntry {
       Dedup.editDistance(baseKeys.unionByName(mutated), "id", "s", maxDist = 2)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // fuzzy pairs → transitive clusters (r8-cont): the edit-distance
+    // modality feeds the same connectedComponents machinery as every
+    // other pair source — typo chains (base→sub→sub²…) collapse into
+    // one cluster labeled by its min id
+    "dedup_edit_clusters" -> ((s, d) => {
+      val cust = Tables.customer(s, d).filter(col("c_custkey") <= 2000L)
+      val baseKeys = cust.select(col("c_custkey").as("id"),
+        substring(md5(col("c_custkey").cast("string")), 1, 12).as("s"))
+      val pos = (col("c_custkey") % 11 + 1).cast("int")
+      val b = substring(md5(col("c_custkey").cast("string")), 1, 12)
+      val mutated = cust.filter(col("c_custkey") % 7 === 0)
+        .select((col("c_custkey") + 10000000L).as("id"),
+          when(col("c_custkey") % 3 === 0,
+            concat(b.substr(lit(1), pos - 1), lit("z"), b.substr(pos + 1, lit(12))))
+          .when(col("c_custkey") % 3 === 1,
+            concat(b.substr(lit(1), pos - 1), b.substr(pos + 1, lit(12))))
+          .otherwise(
+            concat(b.substr(lit(1), pos), lit("z"), b.substr(pos + 1, lit(12))))
+          .as("s"))
+      val pairs = Dedup.editDistance(baseKeys.unionByName(mutated), "id", "s",
+        maxDist = 2)
+      Dedup.connectedComponents(pairs).orderBy(col("id"))
+    }),
     // daily-delta edit distance (r8-cont): the typo'd batch checks
     // against the stored segment index at delta cost — only the batch
     // generates probe substrings (single-sided filtering is lossless:
@@ -3239,6 +3262,36 @@ object SparkEntry {
              ON a.id < c.id AND abs(length(a.s) - length(c.s)) <= 2
            WHERE levenshtein(a.s, c.s) <= 2
            ORDER BY id_a, id_b""",
+
+      // recursive closure over the definitional levenshtein pair join
+      "dedup_edit_clusters" ->
+        """WITH RECURSIVE seeds AS (
+             SELECT c_custkey, substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS b,
+               CAST(c_custkey % 11 + 1 AS INTEGER) AS pos
+             FROM customer WHERE c_custkey <= 2000
+           ), corpus AS (
+             SELECT c_custkey AS id, b AS s FROM seeds
+             UNION ALL
+             SELECT c_custkey + 10000000,
+               CASE CAST(c_custkey % 3 AS INTEGER)
+                 WHEN 0 THEN substr(b, 1, pos - 1) || 'z' || substr(b, pos + 1, 12)
+                 WHEN 1 THEN substr(b, 1, pos - 1) || substr(b, pos + 1, 12)
+                 ELSE substr(b, 1, pos) || 'z' || substr(b, pos + 1, 12) END
+             FROM seeds WHERE c_custkey % 7 = 0
+           ), pairs AS (
+             SELECT a.id AS id_a, c.id AS id_b
+             FROM corpus a JOIN corpus c
+               ON a.id < c.id AND abs(length(a.s) - length(c.s)) <= 2
+             WHERE levenshtein(a.s, c.s) <= 2
+           ), edges AS (
+             SELECT id_a AS src, id_b AS dst FROM pairs
+             UNION SELECT id_b, id_a FROM pairs
+           ), reach(id, r) AS (
+             SELECT src, src FROM edges
+             UNION
+             SELECT e.src, rch.r FROM edges e JOIN reach rch ON e.dst = rch.id
+           )
+           SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id""",
 
       // the full quadratic join restricted to batch-touching pairs
       // (batch = the mutated ids ≥ 10M) — the delta path must equal it
