@@ -1331,6 +1331,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // trigram-indexed substring search (r8-cont, the pg_trgm
+    // pattern): candidates from posting-list intersection over the
+    // pattern's trigrams, exact contains verify on candidates only —
+    // the oracle is the definitional scan
+    "doc_substring_search" -> ((s, d) => {
+      val docsDf = Tables.documents(s, d)
+      val idx = Search.trigramFrame(docsDf, "doc_id", "text")
+      Search.substringSearch(idx, docsDf, "doc_id", "text", "data group")
+        .select(col("id").as("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- sequence packing (§2.5b) ----
     // bin ids depend on partition layout → rows-only (one row per doc;
     // PackSpec pins the packing invariants)
@@ -2324,6 +2336,12 @@ object SparkEntry {
              count(*) AS n_events,
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      // the definitional scan grades the whole index → intersect →
+      // verify path (≡ by the no-false-negative trigram pigeonhole)
+      "doc_substring_search" ->
+        """SELECT doc_id FROM documents
+           WHERE contains(text, 'data group') ORDER BY doc_id""",
 
       // prunedRead ≡ the plain filtered read — ordinary SQL grades
       // the whole clustered-write → stats → file-skip path

@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.Search
+import org.apache.spark.sql.functions._
+
+class SearchSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox"),
+    (2L, "quick silver linings"),          // shares "quick" with 1
+    (3L, "THE QUICK BROWN FOX"),           // case differs — must NOT match "quick"
+    (4L, "slow red fox"),
+    (5L, "qu"),                            // shorter than any trigram
+    (6L, "abcabcabc"),                     // repeated trigrams
+    (7L, "ends with qui"),                 // prefix of the pattern only
+    (8L, "")
+  ).toDF("doc_id", "text")
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.collect().map(_.getLong(0)).toSet
+
+  test("substringSearch ≡ scan for hits, case sensitivity, and misses") {
+    val idx = Search.trigramFrame(docs, "doc_id", "text")
+    for (pat <- Seq("quick", "fox", "QUICK", "abcabc", "zzz", "ck s",
+                    "the quick brown fox")) {
+      val fast = ids(Search.substringSearch(idx, docs, "doc_id", "text", pat))
+      val scan = ids(Search.substringScan(docs, "doc_id", "text", pat))
+      assert(fast === scan, s"pattern '$pat'")
+    }
+    // sanity on the fixture: matches exist and case is respected
+    assert(ids(Search.substringSearch(idx, docs, "doc_id", "text", "quick"))
+      === Set(1L, 2L))
+    assert(ids(Search.substringSearch(idx, docs, "doc_id", "text", "QUICK"))
+      === Set(3L))
+    Par.release()
+  }
+
+  test("sub-trigram patterns fall back to the scan; candidates are verified") {
+    val idx = Search.trigramFrame(docs, "doc_id", "text")
+    // 2-char pattern: trigram index can't serve it — scan fallback
+    assert(ids(Search.substringSearch(idx, docs, "doc_id", "text", "qu"))
+      === Set(1L, 2L, 5L, 7L))
+    // doc 7 has all trigrams of "qui" but not of "quick" — shows the
+    // all-grams intersection pruning; "quic" needs the "uic"+"qui"
+    // grams and doc 7 has both ONLY for qui → pruned or verified away
+    assert(!ids(Search.substringSearch(idx, docs, "doc_id", "text", "quick"))
+      .contains(7L))
+    // scattered grams: doc with "abc" grams must not match "cba"
+    assert(ids(Search.substringSearch(idx, docs, "doc_id", "text", "cba"))
+      === Set.empty[Long])
+    Par.release()
+  }
+
+  test("bucketed posting frame keeps the probe exchange-free") {
+    val conf = spark.conf
+    val prevB = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      val idx = Search.trigramFrame(corpus, "doc_id", "text")
+      spark.sql("DROP TABLE IF EXISTS trgm_b")
+      val whDir = new java.io.File(
+        conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "trgm_b")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (whDir.exists()) rm(whDir)
+      graft.sources.Sink.bucketedTableBy(idx, "trgm_b", Seq("gram"), 8)
+      val out = Search.substringSearch(spark.table("trgm_b"), corpus,
+        "doc_id", "text", "data group")
+      // the gram IN-list reaches the index scan as a pushed filter and
+      // the aggregation rides the bucket partitioning — no exchange
+      // between the index scan and the first aggregate
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      def paths(p: SparkPlan): Seq[List[SparkPlan]] = p match {
+        case f: FileSourceScanExec if f.tableIdentifier.exists(_.table == "trgm_b") =>
+          Seq(List(p))
+        case _ => p.children.flatMap(paths).map(p :: _)
+      }
+      val plan = out.queryExecution.executedPlan
+      val found = paths(plan)
+      assert(found.nonEmpty, s"no trgm_b scan in:\n$plan")
+      found.foreach { rootToScan =>
+        val below = rootToScan.reverse.drop(1)
+          .takeWhile(n => !n.nodeName.toLowerCase.contains("aggregate"))
+        assert(!below.exists(_.isInstanceOf[ShuffleExchangeLike]),
+          "index re-shuffled before the posting intersection:\n" +
+            rootToScan.map(_.nodeName).mkString(" -> "))
+      }
+      // and the result equals the scan
+      assert(ids(out) === ids(Search.substringScan(corpus, "doc_id", "text",
+        "data group")))
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+    Par.release()
+  }
+}
