@@ -1343,6 +1343,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // batch multi-pattern search (r8-cont): N phrases probe the
+    // posting index in ONE pass; oracle = the per-pattern scans
+    "doc_multi_search" -> ((s, d) => {
+      val docsDf = Tables.documents(s, d)
+      val idx = Search.trigramFrame(docsDf, "doc_id", "text")
+      Search.multiSearch(idx, docsDf, "doc_id", "text",
+          Seq("data group", "window dup", "sort merge part", "spark group"))
+        .select(col("pattern"), col("id").as("doc_id"))
+        .orderBy(col("pattern"), col("doc_id"))
+    }),
+
     // ---- sequence packing (§2.5b) ----
     // bin ids depend on partition layout → rows-only (one row per doc;
     // PackSpec pins the packing invariants)
@@ -2342,6 +2353,15 @@ object SparkEntry {
       "doc_substring_search" ->
         """SELECT doc_id FROM documents
            WHERE contains(text, 'data group') ORDER BY doc_id""",
+
+      // per-pattern scan union grades the one-pass batch probe
+      "doc_multi_search" ->
+        """SELECT p.pattern, d.doc_id
+           FROM documents d CROSS JOIN (VALUES
+             ('data group'), ('window dup'), ('sort merge part'),
+             ('spark group')) p(pattern)
+           WHERE contains(d.text, p.pattern)
+           ORDER BY p.pattern, d.doc_id""",
 
       // prunedRead ≡ the plain filtered read — ordinary SQL grades
       // the whole clustered-write → stats → file-skip path

@@ -84,4 +84,43 @@ object Search {
         .select(col("id"))
     }
   }
+
+  /** Batch multi-pattern search — the realistic shape ("flag every
+    * document containing any of these N banned phrases"): ALL
+    * patterns probe the posting index in ONE pass. The probe side is
+    * the exploded (pattern, gram) set — N·|p| rows, broadcast-sized
+    * by definition — so the index is read once however many patterns
+    * there are, where N separate [[substringSearch]] calls would scan
+    * it N times. Per-(pattern, doc) posting intersection, then one
+    * exact `contains` verify per candidate pair. Patterns shorter
+    * than 3 chars are rejected (no trigram to index them by — route
+    * them through [[substringScan]]).
+    *
+    * @return (pattern, id) — every document containing each pattern
+    */
+  def multiSearch(index: DataFrame, docs: DataFrame,
+                  idCol: String, textCol: String,
+                  patterns: Seq[String]): DataFrame = {
+    require(patterns.nonEmpty, "multiSearch needs at least one pattern")
+    require(patterns.forall(_.length >= 3),
+      "patterns must be at least 3 chars (use substringScan below that)")
+    require(patterns.distinct == patterns, "patterns must be distinct")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val probe = patterns.flatMap(p =>
+        p.sliding(3).toSeq.distinct.map(g => (p, g)))
+      .toDF("pat", "g")
+      .select(col("pat"), xxhash64(col("g")).as("gram"))
+    val need = probe.groupBy(col("pat")).agg(count(lit(1)).as("__k"))
+    val cand = index.join(broadcast(probe), Seq("gram"))
+      .groupBy(col("pat"), col("id"))
+      .agg(count(lit(1)).as("__hits"))
+      .join(broadcast(need), Seq("pat"))
+      .filter(col("__hits") === col("__k"))
+      .select(col("pat"), col("id"))
+    docs.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .join(cand, Seq("id"))
+      .filter(col("__t").contains(col("pat")))
+      .select(col("pat").as("pattern"), col("id"))
+  }
 }

@@ -52,6 +52,22 @@ class SearchSpec extends SparkSuite {
     Par.release()
   }
 
+  test("multiSearch ≡ per-pattern scans in one index pass") {
+    val idx = Search.trigramFrame(docs, "doc_id", "text")
+    val pats = Seq("quick", "fox", "abcabc", "zzz", "BROWN")
+    val out = Search.multiSearch(idx, docs, "doc_id", "text", pats)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val expected = pats.flatMap(p =>
+      ids(Search.substringScan(docs, "doc_id", "text", p)).map(p -> _)).toSet
+    assert(out === expected)
+    assert(out.contains(("fox", 1L)) && out.contains(("BROWN", 3L)))
+    assert(!out.exists(_._1 == "zzz"))
+    intercept[IllegalArgumentException] {
+      Search.multiSearch(idx, docs, "doc_id", "text", Seq("ab"))
+    }
+    Par.release()
+  }
+
   test("bucketed posting frame keeps the probe exchange-free") {
     val conf = spark.conf
     val prevB = conf.get("spark.sql.autoBroadcastJoinThreshold")
