@@ -38,7 +38,9 @@ object ExplainAudit {
         // data-skipping read, PPS sampler
         "dedup_edit_distance", "dedup_edit_distance_incr",
         "q21_waiting_supplier", "ann_sq8_topk", "ann_pq_topk",
-        "clustered_prune_read", "sample_weighted_n")
+        "clustered_prune_read", "sample_weighted_n",
+        "sample_weighted_n_stratum", "dedup_edit_clusters",
+        "doc_substring_search", "doc_multi_search")
     names.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
