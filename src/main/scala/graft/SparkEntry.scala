@@ -1331,6 +1331,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // salted pseudonymization (r8-cont): both sides tokenize their
+    // key under one salt and the JOIN RUNS ON TOKENS — the graded
+    // aggregate (incl. a sample token value) proves referential
+    // integrity survives tokenization and the md5-slice tokens are
+    // engine-portable
+    "pii_pseudonymized_join" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(
+        functions.Text.pseudonymize(col("c_custkey"), "tenant-a").as("token"),
+        col("c_mktsegment"))
+      val o = Tables.orders(s, d).select(
+        functions.Text.pseudonymize(col("o_custkey"), "tenant-a").as("token"))
+      c.join(o, Seq("token"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("token")).as("n_customers"),
+          min(col("token")).as("sample_token"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // trigram-indexed substring search (r8-cont, the pg_trgm
     // pattern): candidates from posting-list intersection over the
     // pattern's trigrams, exact contains verify on candidates only —
@@ -2347,6 +2366,20 @@ object SparkEntry {
              count(*) AS n_events,
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      // token arithmetic replayed: substr(md5(salt||key),1,16)
+      "pii_pseudonymized_join" ->
+        """WITH ct AS (
+             SELECT substr(md5('tenant-a' || CAST(c_custkey AS VARCHAR)), 1, 16)
+               AS token, c_mktsegment FROM customer
+           ), ot AS (
+             SELECT substr(md5('tenant-a' || CAST(o_custkey AS VARCHAR)), 1, 16)
+               AS token FROM orders)
+           SELECT c_mktsegment, count(*) AS n_orders,
+             count(DISTINCT token) AS n_customers,
+             min(token) AS sample_token
+           FROM ct JOIN ot USING (token)
+           GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
       // the definitional scan grades the whole index → intersect →
       // verify path (≡ by the no-false-negative trigram pigeonhole)

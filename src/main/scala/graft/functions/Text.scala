@@ -113,6 +113,25 @@ object Text {
   def fingerprintPortable(text: Column): Column =
     portableHash60(normalize(text))
 
+  /** Deterministic salted pseudonym for a PII key — the GDPR-style
+    * tokenization that [[redactPii]]'s destructive placeholders can't
+    * provide: equal values map to equal tokens UNDER ONE SALT, so
+    * joins, group-bys, and distinct-counts over pseudonymized tables
+    * still line up (referential integrity survives tokenization),
+    * while a different salt yields unlinkable tokens (per-tenant /
+    * per-export isolation). The token is the first 16 hex chars of
+    * md5(salt ‖ value) — one codegen'd expression, zero shuffle,
+    * engine-portable (the md5-slice discipline of
+    * [[portableHash60]]); 64 bits keep collisions negligible at
+    * 100 TB key cardinalities. NULL stays NULL (a null key is absent,
+    * not a secret). Irreversible without the salt; rotate the salt to
+    * break linkage to past exports.
+    */
+  def pseudonymize(c: Column, salt: String): Column =
+    when(c.isNull, lit(null).cast("string"))
+      .otherwise(substring(md5(concat(lit(salt), c.cast("string"))
+        .cast("binary")), 1, 16))
+
   /** Winnowing document fingerprint (Schleimer, Wilkerson, Aiken —
     * SIGMOD '03, the MOSS algorithm): hash every word k-gram, slide a
     * window of `w` hashes, keep each window's minimum — the selected

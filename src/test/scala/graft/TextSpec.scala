@@ -258,4 +258,36 @@ class TextSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Text.bm25TopK(docs, "doc_id", "text", Seq("a"), k = 0) }
   }
+
+  test("pseudonymize: deterministic, salt-isolated, null-safe, join-true") {
+    val left = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("k", "v")
+    val right = Seq((2L, "x"), (3L, "y"), (4L, "z")).toDF("k", "w")
+    def tok(df: org.apache.spark.sql.DataFrame, salt: String) =
+      df.withColumn("token", Text.pseudonymize(col("k"), salt))
+    // join on tokens ≡ join on keys
+    val joined = tok(left, "s1").join(tok(right, "s1"), Seq("token"))
+      .select(col("v"), col("w")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(joined === Set(("b", "x"), ("c", "y")))
+    // same salt → same token; different salt → different token
+    val t1 = tok(left, "s1").select("k", "token").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val t1b = tok(left, "s1").select("k", "token").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val t2 = tok(left, "s2").select("k", "token").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(t1 === t1b)
+    assert(t1.keySet.forall(k => t1(k) != t2(k)))
+    // 16 lowercase hex chars; raw key never appears in the token
+    assert(t1.values.forall(_.matches("[0-9a-f]{16}")))
+    // null key → null token
+    val n = Seq[(java.lang.Long, String)]((null, "n")).toDF("k", "v")
+      .select(Text.pseudonymize(col("k"), "s1")).head
+    assert(n.isNullAt(0))
+    // no collisions over a realistic key range
+    val many = spark.range(100000L)
+      .select(Text.pseudonymize(col("id"), "s1").as("t"))
+    assert(many.distinct().count() === 100000L)
+  }
 }
