@@ -59,6 +59,21 @@ object SparkEntry {
       Sessionize.byGap(Tables.events(s, d), "user_id", "ts", 1800L)
         .orderBy(col("user_id"), col("session_seq"))),
     "q18_large_orders" -> ((s, d) => Analytics.q18LargeOrders(s, d)),
+    // interval-OVERLAP join (r8-cont): concurrent sessions across
+    // users — each overlapping pair accepted only in its
+    // overlap-left-edge bucket, so the bucketed join needs no dedup
+    "sessions_overlap" -> ((s, d) => {
+      val sess = Sessionize.byGap(Tables.events(s, d), "user_id", "ts", 1800L)
+        .select(col("user_id"), col("session_seq"),
+          col("session_start"), col("session_end"))
+      RangeJoin.intervalOverlap(sess, sess, Seq.empty,
+          "session_start", "session_end", bucketSeconds = 3600L)
+        .filter(col("a_user_id") < col("b_user_id"))
+        .select(col("a_user_id"), col("a_session_seq"),
+          col("b_user_id"), col("b_session_seq"))
+        .orderBy(col("a_user_id"), col("a_session_seq"),
+          col("b_user_id"), col("b_session_seq"))
+    }),
     "q13_custdist" -> ((s, d) => Analytics.q13CustDist(s, d)),
     // co-purchase part pairs (r7): order-keyed self-join, per-order
     // fan-out bounded by line count
@@ -1936,6 +1951,30 @@ object SparkEntry {
              count(*) AS n_events
            FROM numbered GROUP BY user_id, session_seq
            ORDER BY user_id, session_seq""",
+
+      // definitional inequality overlap join over the same
+      // session-building SQL as events_sessions (DuckDB IEJoin)
+      "sessions_overlap" ->
+        """WITH flagged AS (
+             SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                 OR date_diff('second', lag(CAST(ts AS TIMESTAMP)) OVER w, CAST(ts AS TIMESTAMP)) > 1800
+               THEN 1 ELSE 0 END AS new_session
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+           ), numbered AS (
+             SELECT user_id, ts,
+               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+             FROM flagged
+           ), sess AS (
+             SELECT user_id, session_seq, min(ts) AS lo, max(ts) AS hi
+             FROM numbered GROUP BY user_id, session_seq)
+           SELECT a.user_id AS a_user_id, a.session_seq AS a_session_seq,
+             b.user_id AS b_user_id, b.session_seq AS b_session_seq
+           FROM sess a JOIN sess b
+             ON a.user_id < b.user_id AND a.lo <= b.hi AND b.lo <= a.hi
+           ORDER BY 1, 2, 3, 4""",
 
       "q18_large_orders" ->
         """SELECT c_name, o_custkey AS customer_id, o_orderkey AS order_id,

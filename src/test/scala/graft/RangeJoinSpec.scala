@@ -96,4 +96,52 @@ class RangeJoinSpec extends SparkSuite {
     assert(out === Map(1L -> Some("low"), 2L -> Some("high"),
       3L -> Some("high"), 4L -> None))
   }
+
+  test("intervalOverlap ≡ brute force; multi-bucket pairs emit exactly once") {
+    def ts(m: Long) = new java.sql.Timestamp(m * 60000L)
+    // minutes-scale intervals with 600s buckets: nested, touching at
+    // an edge (inclusive), disjoint, inverted, and a LONG pair that
+    // shares many buckets (the dedup-free trick's stress case)
+    val ivs = Seq(
+      (1L, ts(0), ts(30)),
+      (2L, ts(10), ts(20)),    // nested in 1
+      (3L, ts(30), ts(40)),    // touches 1 at minute 30 (inclusive)
+      (4L, ts(50), ts(60)),    // disjoint from 1-3
+      (5L, ts(45), ts(40)),    // inverted: matches nothing
+      (6L, ts(0), ts(200)),    // long: shares ~20 buckets with 7
+      (7L, ts(5), ts(190))
+    ).toDF("id", "lo", "hi")
+    val out = RangeJoin.intervalOverlap(ivs, ivs, Seq.empty, "lo", "hi",
+        bucketSeconds = 600L)
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // no duplicates although pairs share many buckets
+    assert(out.length === out.distinct.length, s"duplicate pairs: ${out.toSeq}")
+    val raw = ivs.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+    val brute = (for {
+      (ia, la, ha) <- raw; (ib, lb, hb) <- raw
+      if ia < ib && !la.after(ha) && !lb.after(hb) // drop inverted
+      if !la.after(hb) && !lb.after(ha)
+    } yield (ia, ib)).toSet
+    assert(out.toSet === brute)
+    assert(brute.contains((1L, 3L)) && brute.contains((6L, 7L)))
+    assert(!brute.exists(p => p._1 == 5L || p._2 == 5L))
+    // keyed variant: overlaps only within the same key
+    val keyed = ivs.withColumn("grp", (col("id") % 2).cast("long"))
+    val kOut = RangeJoin.intervalOverlap(keyed, keyed, Seq("grp"), "lo", "hi",
+        bucketSeconds = 600L)
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kOut === brute.filter { case (x, y) => x % 2 == y % 2 })
+    // the fan-out cap still raises
+    val err = intercept[Throwable] {
+      RangeJoin.intervalOverlap(ivs, ivs, Seq.empty, "lo", "hi",
+        bucketSeconds = 600L, maxBucketsPerInterval = 4L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("maxBucketsPerInterval")))
+  }
 }
