@@ -52,6 +52,43 @@ object SparkEntry {
     "events_hourly" -> ((s, d) => Analytics.eventsHourly(s, d)),
     "q4_returned_priority" -> ((s, d) => Analytics.q4ReturnedByPriority(s, d)),
     "q21_waiting_supplier" -> ((s, d) => Analytics.q21WaitingSupplier(s, d)),
+    // r8 wave 3: the remaining TPC-H shapes (adapted where the schema
+    // lacks partsupp/commitdate — each adaptation is stated in the
+    // operator's doc and replayed verbatim by its oracle)
+    "q6_forecast_revenue" -> ((s, d) => Analytics.q6ForecastRevenue(s, d)),
+    "q7_volume_shipping" -> ((s, d) => Analytics.q7VolumeShipping(s, d)),
+    "q8_market_share" -> ((s, d) => Analytics.q8MarketShare(s, d)),
+    "q9_product_profit" -> ((s, d) => Analytics.q9ProductProfit(s, d)),
+    "q11_important_parts" -> ((s, d) => Analytics.q11ImportantParts(s, d)),
+    "q12_late_priority" -> ((s, d) => Analytics.q12LateByPriority(s, d)),
+    "q15_top_supplier" -> ((s, d) => Analytics.q15TopSupplier(s, d)),
+    "q16_supplier_counts" -> ((s, d) => Analytics.q16SupplierCounts(s, d)),
+    "q17_small_qty_revenue" -> ((s, d) => Analytics.q17SmallQtyRevenue(s, d)),
+    "q19_banded_revenue" -> ((s, d) => Analytics.q19BandedRevenue(s, d)),
+    "q20_excess_shippers" -> ((s, d) => Analytics.q20ExcessShippers(s, d)),
+    "q2_min_cost_supplier" -> ((s, d) => Analytics.q2MinCostSupplier(s, d)),
+    // bloom semi-join reduction (r8 wave 3): the fact is pruned at
+    // the scan side of the shuffle by a broadcast 1-row sketch of the
+    // filtered dim keys; the oracle is the PLAIN join — the bloom is
+    // semantically transparent (no false negatives)
+    "bloom_reduced_join" -> ((s, d) => {
+      val rev = col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1) - col("l_discount").cast("decimal(12,2)"))
+      val r = Tables.region(s, d).filter(col("r_name") === "EUROPE")
+      val n = Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+      val eu = Tables.supplier(s, d)
+        .join(broadcast(n), col("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      BloomJoin.reducedJoin(
+          Tables.lineitem(s, d).select(col("l_suppkey"), rev.as("rev")),
+          "l_suppkey", eu, "s_suppkey")
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("n_name"))
+    }),
     "q22_no_orders" -> ((s, d) => Analytics.q22NoOrders(s, d)),
     "rollup_revenue" -> ((s, d) => Analytics.rollupRevenue(s, d)),
     "segment_distincts" -> ((s, d) => Analytics.segmentDistincts(s, d)),
@@ -230,6 +267,39 @@ object SparkEntry {
         .orderBy(col("hour_ts"), col("event_type"))
     }),
 
+    // native session_window sessions, graded through the REAL stream
+    // (r8 wave 3): sentinel events advance the watermark so every
+    // real session finalizes; oracle = lag-islands in SQL with the
+    // same strict-gap break and end-padding
+    "stream_session_windows" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_sw").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = eventCols(Tables.events(s, d))
+      ev.write.parquet(inDir)
+      val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+      def sentinel(offsetMs: Long) = {
+        import s.implicits._
+        Seq((-1L, -1L, new java.sql.Timestamp(maxTs.getTime + offsetMs),
+          "__sentinel", 0.0)).toDF("user_id", "event_id", "ts", "event_type", "value")
+      }
+      withShufflePartitions(s, 4) {
+        val q = graft.streaming.EventStream
+          .sessionCounts(graft.streaming.EventStream.read(s, inDir))
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+        try {
+          q.processAllAvailable() // batch 1: all real events, wm = 0
+          sentinel(4L * 3600 * 1000).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // batch 2: wm = maxTs - 2h
+          sentinel(4L * 3600 * 1000 + 60000).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // batch 3: wm > all session ends
+        } finally q.stop()
+      }
+      s.read.parquet(outDir)
+        .filter(col("user_id") =!= -1L)
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // ---- streaming dedup, graded batch-side (§2.6) ----
     // the REAL dropDuplicatesWithinWatermark stream on static input
     // with injected at-least-once redelivery: batch 1 carries every
@@ -373,6 +443,24 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // z-order 2D data skipping (r8 wave 3): the SAME table answers a
+    // two-column box query through the interleaved-bit layout +
+    // per-file stats; oracle = the plain filtered scan (layout is
+    // invisible in results)
+    "zorder_prune_read" -> ((s, d) => {
+      val dir = s"/tmp/graft_zorder_${java.util.UUID.randomUUID()}"
+      val l = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      graft.sources.Sink.zorderWrite(l, dir, Seq("l_partkey", "l_suppkey"),
+        numFiles = 16)
+      graft.sources.Sink.writeFileStats(s, dir, Seq("l_partkey", "l_suppkey"))
+      graft.sources.Sink.prunedReadMulti(s, dir,
+          Seq(("l_partkey", 100L, 400L), ("l_suppkey", 10L, 40L)))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+            .as("sum_qty"))
+    }),
+
     // PERMISSIVE quarantine split (r8): bad records neither kill the
     // load nor vanish — schema-true rows parse, failures keep their
     // raw text for replay; graded via a VALUES-literal oracle over a
@@ -442,8 +530,9 @@ object SparkEntry {
     "cdc_incremental_filter" -> ((s, d) => {
       val cutoffNanos = java.time.LocalDateTime.parse(CdcCutoff.replace(' ', 'T'))
         .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+      val raw = Tables.eventsRaw(s, d)
       Tables.convertEventTs(
-          Cdc.incrementalFilter(Tables.eventsRaw(s, d), "ts", lit(cutoffNanos)))
+          Cdc.incrementalFilter(raw, "ts", Tables.eventCutoffNanos(raw, cutoffNanos)))
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
         .orderBy(col("event_id"))
     }),
@@ -2101,6 +2190,180 @@ object SparkEntry {
                  AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
            GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""",
 
+      "q6_forecast_revenue" ->
+        """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'
+             AND CAST(l_discount AS DECIMAL(12,2)) BETWEEN 0.05 AND 0.07
+             AND l_quantity < 24""",
+
+      "q7_volume_shipping" ->
+        """SELECT supp_nation, cust_nation, l_year, CAST(sum(rev) AS DOUBLE) AS revenue
+           FROM (
+             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS rev
+             FROM supplier, lineitem, orders, customer, nation n1, nation n2
+             WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+               AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+               AND c_nationkey = n2.n_nationkey
+               AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+               AND l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l_shipdate < TIMESTAMP '1998-01-01')
+           GROUP BY supp_nation, cust_nation, l_year
+           ORDER BY supp_nation, cust_nation, l_year""",
+
+      "q8_market_share" ->
+        """SELECT o_year, round(
+             CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
+               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) /
+             CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
+           FROM (
+             SELECT year(o_orderdate) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS rev,
+               n2.n_name AS supp_nation
+             FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+             WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+               AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+               AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+               AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+               AND o_orderdate >= TIMESTAMP '1995-01-01'
+               AND o_orderdate < TIMESTAMP '1997-01-01'
+               AND p_type = 'STANDARD')
+           GROUP BY o_year ORDER BY o_year""",
+
+      // adapted cost = 0.5 * retail per unit (no partsupp in the
+      // schema) — stated in the operator doc, replayed here
+      "q9_product_profit" ->
+        """SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+           FROM (
+             SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                 - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * 0.5 AS amount
+             FROM part, supplier, lineitem, orders, nation
+             WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+               AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+               AND p_name LIKE '%red%')
+           GROUP BY nation, o_year ORDER BY nation, o_year DESC""",
+
+      // multiplicative fraction test (value*1000 > total): no engine
+      // divides, so the threshold boundary is exact on both sides
+      "q11_important_parts" ->
+        """SELECT l_partkey, CAST(value_d AS DOUBLE) AS value FROM (
+             SELECT l_partkey,
+               sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS value_d
+             FROM lineitem, supplier, nation, region
+             WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+               AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+             GROUP BY l_partkey
+             HAVING sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) * 1000 > (
+               SELECT sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))))
+               FROM lineitem, supplier, nation, region
+               WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+                 AND n_regionkey = r_regionkey AND r_name = 'EUROPE'))
+           ORDER BY value DESC, l_partkey""",
+
+      "q12_late_priority" ->
+        """SELECT l_linestatus,
+             CAST(count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS BIGINT) AS high_line_count,
+             CAST(count(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS BIGINT) AS low_line_count
+           FROM orders, lineitem
+           WHERE o_orderkey = l_orderkey
+             AND l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'
+             AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+           GROUP BY l_linestatus ORDER BY l_linestatus""",
+
+      // scalar-max subquery; revenue stays decimal through the
+      // equality so ties match exactly
+      "q15_top_supplier" ->
+        """WITH rev AS (
+             SELECT l_suppkey,
+               sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS total_d
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l_shipdate < TIMESTAMP '1996-04-01'
+             GROUP BY l_suppkey)
+           SELECT s_suppkey, s_name, CAST(total_d AS DOUBLE) AS total_revenue
+           FROM supplier, rev
+           WHERE s_suppkey = l_suppkey AND total_d = (SELECT max(total_d) FROM rev)
+           ORDER BY s_suppkey""",
+
+      "q16_supplier_counts" ->
+        """SELECT p_brand, p_type, p_size,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+           FROM lineitem, part
+           WHERE l_partkey = p_partkey
+             AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+             AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+           GROUP BY p_brand, p_type, p_size
+           ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+
+      // correlated form stated verbatim, multiplicatively (2*qty*cnt
+      // < sum ⟺ qty < 0.5*avg) — the gate proves the decorrelation
+      "q17_small_qty_revenue" ->
+        """SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+           FROM lineitem l, part
+           WHERE p_partkey = l.l_partkey
+             AND p_brand = 'Brand#2' AND p_type = 'ECONOMY'
+             AND CAST(l.l_quantity AS DECIMAL(12,2)) * 2 *
+                 (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+               < (SELECT sum(CAST(l3.l_quantity AS DECIMAL(12,2)))
+                  FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)""",
+
+      "q19_banded_revenue" ->
+        """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+           FROM lineitem, part
+           WHERE p_partkey = l_partkey AND (
+             (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20) OR
+             (p_brand = 'Brand#15' AND p_size BETWEEN 11 AND 25 AND l_quantity BETWEEN 10 AND 30) OR
+             (p_brand = 'Brand#25' AND p_size BETWEEN 26 AND 50 AND l_quantity BETWEEN 20 AND 40))""",
+
+      // nested-IN form stated verbatim
+      "q20_excess_shippers" ->
+        """SELECT s_name, s_acctbal FROM supplier, nation, region
+           WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             AND r_name = 'EUROPE'
+             AND s_suppkey IN (
+               SELECT l_suppkey FROM lineitem
+               WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+                 AND l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l_shipdate < TIMESTAMP '1997-01-01'
+               GROUP BY l_partkey, l_suppkey
+               HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 60)
+           ORDER BY s_name""",
+
+      // correlated-min form stated verbatim; "offer" = the supplier's
+      // min line price for the part (no partsupp in the schema)
+      "q2_min_cost_supplier" ->
+        """WITH offers AS (
+             SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
+               min(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost_d
+             FROM lineitem, part, supplier, nation, region
+             WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+               AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+               AND r_name = 'EUROPE' AND p_type = 'LARGE'
+               AND p_size BETWEEN 10 AND 15
+             GROUP BY l_partkey, s_suppkey, s_name, s_acctbal, n_name)
+           SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey,
+             CAST(cost_d AS DOUBLE) AS cost
+           FROM offers o
+           WHERE cost_d = (SELECT min(cost_d) FROM offers o2
+                           WHERE o2.l_partkey = o.l_partkey)
+           ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""",
+
+      // the PLAIN join — bloom pruning must be invisible in the result
+      "bloom_reduced_join" ->
+        """SELECT n_name,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+             CAST(count(*) AS BIGINT) AS n_lines
+           FROM lineitem, supplier, nation, region
+           WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+             AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+           GROUP BY n_name ORDER BY n_name""",
+
       "q22_no_orders" ->
         """SELECT c_mktsegment,
              count(*) AS n_customers,
@@ -2406,6 +2669,30 @@ object SparkEntry {
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
+      // lag-islands replay of session_window: break at gap >= 30 min
+      // (Spark merges only strictly-overlapping windows), session end
+      // = last event + gap
+      "stream_session_windows" ->
+        """WITH e AS (
+             SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+           ), m AS (
+             SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS brk
+             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+           ), sess AS (
+             SELECT user_id, ts, value,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+             FROM m)
+           SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           FROM sess GROUP BY user_id, sid
+           ORDER BY user_id, session_start""",
+
       // token arithmetic replayed: substr(md5(salt||key),1,16)
       "pii_pseudonymized_join" ->
         """WITH ct AS (
@@ -2443,6 +2730,13 @@ object SparkEntry {
            FROM orders
            WHERE o_totalprice BETWEEN 50000.0 AND 100000.0
            GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+      "zorder_prune_read" ->
+        """SELECT count(*) AS n_lines,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+           FROM lineitem
+           WHERE l_partkey BETWEEN 100 AND 400
+             AND l_suppkey BETWEEN 10 AND 40""",
 
       // VALUES-literal oracle (zero data): the crafted file's
       // deterministic split — good rows parse, bad rows keep raw text

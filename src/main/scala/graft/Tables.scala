@@ -22,35 +22,77 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
-  /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which
-    * Spark's TimestampType (µs) does not accept directly. `eventsRaw`
-    * exposes the stored int64 nanos (`nanosAsLong`) — predicates on it
-    * push down to the parquet scan, which `events`'s converted column
-    * cannot (Catalyst won't push through `timestamp_micros`). Filter
-    * raw, then `convertEventTs`.
+  /** events.parquet's `ts` arrives in one of two physical encodings
+    * depending on the generator vintage: parquet TIMESTAMP(NANOS)
+    * (readable only as int64 via the legacy `nanosAsLong` conf — no
+    * Spark timestamp type holds nanos) or TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (Spark-native TimestampNTZType).
+    * `eventsRaw` returns the STORED column unconverted in either
+    * case — build cutoff predicates with [[eventCutoffNanos]] /
+    * [[eventWatermark]] against it so they push down to the parquet
+    * scan (filtering the CONVERTED column would scan the full table:
+    * Catalyst won't push through `timestamp_micros`), then
+    * [[convertEventTs]].
     */
-  def eventsRaw(s: SparkSession, d: String): DataFrame = {
-    // scope the legacy conf to this read (save/restore, mirroring
-    // Sink.overwritePartitions) so a shared session doesn't silently
-    // type every later nanos-timestamp parquet as long. The conf is
-    // consumed during schema inference inside read() and the inferred
-    // LongType is baked into the relation, so restoring immediately is
-    // safe — execution reads INT64 into the already-fixed long schema
-    // (verified: count + a second read both succeed after restore).
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "true")
+  def eventsRaw(s: SparkSession, d: String): DataFrame =
     try read(s, d, "events")
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None    => s.conf.unset(key)
+    catch { case _: Exception =>
+      // legacy TIMESTAMP(NANOS) files: schema inference rejects the
+      // type without the conf, so retry scoped (save/restore — the
+      // inferred LongType is baked into the relation at read() time,
+      // so restoring immediately is safe for later execution)
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try read(s, d, "events")
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    }
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+  /** A literal for comparing against the STORED events `ts` column
+    * (UTC-nanos semantics), typed to the column's physical encoding
+    * so the predicate remains scan-pushable: int64 nanos for legacy
+    * files, a TIMESTAMP_NTZ literal for µs-NTZ files.
+    */
+  def eventCutoffNanos(df: DataFrame, nanos: Long): Column = {
+    val ldt = java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(nanos, 1000000000L),
+      Math.floorMod(nanos, 1000000000L).toInt, java.time.ZoneOffset.UTC)
+    df.schema("ts").dataType match {
+      case LongType         => lit(nanos)
+      case TimestampNTZType => lit(ldt)
+      case _ => lit(java.sql.Timestamp.valueOf(ldt))
     }
   }
 
-  /** int64-nanos `ts` → TimestampType, exact for µs-aligned values. */
-  def convertEventTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-      org.apache.spark.sql.functions.expr("ts DIV 1000")))
+  /** A staged-extract watermark string (Staging stores `max(ts)` via
+    * `toString`) back to a comparable literal in the stored domain:
+    * digits → int64 nanos, otherwise an ISO LocalDateTime → NTZ.
+    */
+  def eventWatermark(df: DataFrame, wm: String): Column =
+    df.schema("ts").dataType match {
+      case LongType         => lit(wm.toLong)
+      case TimestampNTZType => lit(java.time.LocalDateTime.parse(wm))
+      case _ => lit(java.sql.Timestamp.valueOf(java.time.LocalDateTime.parse(wm)))
+    }
+
+  /** Stored `ts` → session TimestampType, exact for µs-aligned
+    * values: int64 nanos divide to µs; NTZ casts in the UTC session
+    * (same instant — the stored wall clock IS UTC).
+    */
+  def convertEventTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType =>
+      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => df
+  }
 
   def events(s: SparkSession, d: String): DataFrame =
     convertEventTs(eventsRaw(s, d))

@@ -30,8 +30,11 @@ object BatchPipelineDemo {
     spark.sparkContext.setLogLevel("ERROR")
     val out = java.nio.file.Files.createTempDirectory("batch-demo").toString
 
-    def delta = Tables.convertEventTs(
-        Tables.eventsRaw(spark, sfDir).filter(col("ts") > lit(0L)))
+    def delta = {
+      val raw = Tables.eventsRaw(spark, sfDir)
+      Tables.convertEventTs(
+        raw.filter(col("ts") > Tables.eventCutoffNanos(raw, 0L)))
+    }
       .withColumn("dt", to_date(col("ts")))
 
     // The daily job graph. Nodes only read what upstream nodes wrote,

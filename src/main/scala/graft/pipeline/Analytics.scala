@@ -443,6 +443,356 @@ object Analytics {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** TPC-H Q6 shape: single-table forecast-revenue scan — every
+    * predicate (date range, discount band, quantity cap) is
+    * scan-pushable, so the plan is a parquet scan with PushedFilters
+    * feeding one partial-agg: the cheapest possible 100 TB query
+    * when the layout clusters on shipdate. The discount band compares
+    * in decimal (the raw column is clean 2-decimal) so the boundary
+    * rows match any engine bit-exactly.
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        dec2(col("l_discount")) >= lit(BigDecimal("0.05")) &&
+        dec2(col("l_discount")) <= lit(BigDecimal("0.07")) &&
+        col("l_quantity") < 24)
+      .agg(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount")))
+        .cast("double").as("revenue"))
+
+  /** TPC-H Q7 shape: bilateral trade volume between two nations by
+    * ship year. Both nation dims are filtered to the two names BEFORE
+    * their joins (broadcast of 2-row dims); the pair constraint
+    * (either direction, never domestic) is a residual filter after
+    * the supplier/customer joins. The only big shuffles are
+    * lineitem⋈orders on orderkey and the custkey join — the group key
+    * (nation, nation, year) is tiny so the final agg is map-side
+    * collapsed.
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String,
+                       nationA: String = "NATION_1",
+                       nationB: String = "NATION_2"): DataFrame = {
+    val pair = Seq(nationA, nationB)
+    val ns = Tables.nation(spark, dir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation"))
+    val nc = Tables.nation(spark, dir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("cust_nk"), col("n_name").as("cust_nation"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"), discPrice.as("rev"))
+    l.join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(ns), s("s_nationkey") === ns("supp_nk"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(nc), c("c_nationkey") === nc("cust_nk"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 shape: one nation's market share inside a region's
+    * market for one product type, by order year. The share divides
+    * two conditional decimal sums of the SAME grouped aggregation —
+    * one pass, one shuffle on the (year) group key after the join
+    * chain; the division happens once per output row in double,
+    * rounded, so it replays on any engine. Geography dims broadcast;
+    * part is filtered to the type before its join.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String,
+                    region: String = "ASIA", partType: String = "STANDARD",
+                    nation: String = "NATION_3"): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === region)
+    val ncust = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("cn_nk"), col("n_regionkey"))
+    val nsupp = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_nk"), col("n_name").as("supp_nation"))
+    val p = Tables.part(spark, dir).filter(col("p_type") === partType)
+      .select(col("p_partkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("o_year"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        discPrice.as("rev"))
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(ncust), c("c_nationkey") === ncust("cn_nk"))
+      .join(broadcast(r), ncust("n_regionkey") === r("r_regionkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(nsupp), s("s_nationkey") === nsupp("sn_nk"))
+      .groupBy(col("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === nation, col("rev"))
+          .otherwise(lit(0).cast("decimal(12,2)"))).cast("double") /
+          sum(col("rev")).cast("double"), 6).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q9 shape: product-line profit by supplier nation and order
+    * year. The schema carries no partsupp/supplycost, so cost is
+    * defined as 50% of retail per unit (an exact decimal constant —
+    * the adapted definition is part of the contract and of the
+    * oracle): amount = disc price − 0.5·retail·qty, all decimal.
+    * The part filter (name contains the color) prunes before the
+    * join; profit aggregates once on the tiny (nation, year) key.
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String,
+                      color: String = "red"): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").contains(color))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name").as("nation"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    val amount = discPrice -
+      dec2(col("p_retailprice")) * dec2(col("l_quantity")) *
+        lit(BigDecimal("0.5"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 shape: parts whose revenue (through suppliers of one
+    * region) exceeds a fraction of the total — the global-scalar
+    * HAVING. The per-part aggregation and the grand total come from
+    * the SAME filtered join (computed once, persisted by Catalyst's
+    * reused exchange); the 1-row total then BROADCASTS into the
+    * per-part frame — at 100 TB the threshold comparison costs one
+    * map-side filter, never a second scan. The fraction test is
+    * stated multiplicatively in decimal (value·1000 > total) so no
+    * engine divides.
+    */
+  def q11ImportantParts(spark: SparkSession, dir: String,
+                        region: String = "EUROPE"): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === region)
+    val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_regionkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), discPrice.as("v"))
+    val base = l.join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("l_partkey"), col("v"))
+    val per = base.groupBy(col("l_partkey")).agg(sum(col("v")).as("value_d"))
+    val tot = base.agg(sum(col("v")).as("total_d"))
+    per.crossJoin(broadcast(tot))
+      .filter(col("value_d") * lit(1000) > col("total_d"))
+      .select(col("l_partkey"), col("value_d").cast("double").as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q12 shape: late-shipment counts by line status split into
+    * high/low order-priority classes ("late" = shipped > 30 days
+    * after ordering; the schema has no commit/receipt dates). One
+    * orderkey shuffle for the join; both class counts come from one
+    * conditional aggregation over the tiny linestatus key.
+    */
+  def q12LateByPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+    val high = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(count(when(high, lit(1))).as("high_line_count"),
+        count(when(!high, lit(1))).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** TPC-H Q15 shape: the top supplier(s) by quarterly revenue — a
+    * scalar-max subquery. Per-supplier revenue aggregates once
+    * (suppkey shuffle); the 1-row max BROADCASTS back into the same
+    * frame and matches on EXACT decimal equality (revenue never
+    * leaves decimal until output), so ties surface exactly as the
+    * definitional form requires and no 100 TB re-scan happens.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(discPrice).as("total_d"))
+    val top = rev.agg(max(col("total_d")).as("max_d"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("total_d") === col("max_d"))
+      .join(s, col("l_suppkey") === s("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_d").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q16 shape: how many distinct suppliers serve each
+    * (brand, type, size) bucket — supplier-part relationships derived
+    * from shipped lines (the schema's partsupp stand-in), excluding
+    * one brand and the PROMO type. The distinct (part, supplier)
+    * projection shrinks the fact FIRST (partkey shuffle); the
+    * count-distinct then shuffles only the surviving pairs on the
+    * small composite key.
+    */
+  def q16SupplierCounts(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = Seq(3, 9, 14, 19, 23, 36, 45, 49)
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(sizes: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val rel = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    rel.join(p, rel("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q17 shape: revenue that would vanish without
+    * small-quantity orders — the correlated per-part average. The
+    * correlated `qty < 0.5·avg(qty over the part's lines)` is
+    * decorrelated into ONE per-part aggregate (sum, count) joined
+    * back (the same partkey shuffle the filter needs anyway), and the
+    * predicate is stated MULTIPLICATIVELY — 2·qty·cnt < sum — in
+    * decimal, so no engine ever divides and boundary rows can't flip
+    * cross-engine. The oracle states the correlated subquery form
+    * verbatim (also multiplicatively), so the gate proves the
+    * decorrelation.
+    */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String,
+                         brand: String = "Brand#2",
+                         partType: String = "ECONOMY"): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") === brand && col("p_type") === partType)
+      .select(col("p_partkey"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val perPart = l.groupBy(col("l_partkey").as("pp_key"))
+      .agg(sum(dec2(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("cnt_qty"))
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .join(perPart, l("l_partkey") === perPart("pp_key"))
+      .filter(dec2(col("l_quantity")) * lit(2) * col("cnt_qty") < col("sum_qty"))
+      .agg(round(sum(dec2(col("l_extendedprice"))).cast("double") / 7.0, 6)
+        .as("avg_yearly"))
+  }
+
+  /** TPC-H Q19 shape: disjunctive-predicate revenue — three
+    * brand/size/quantity bands OR-ed together. The equi key
+    * (partkey) is common to every branch, so the plan must stay an
+    * equi-join with the OR as a residual — never a nested-loop — and
+    * the per-side conjuncts (brand∨brand∨brand, qty bounds) push to
+    * the scans. Written with the OR inside the join condition to
+    * prove Catalyst extracts the equi conjunct.
+    */
+  def q19BandedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+    val b1 = col("p_brand") === "Brand#5" && col("p_size").between(1, 10) &&
+      col("l_quantity").between(1, 20)
+    val b2 = col("p_brand") === "Brand#15" && col("p_size").between(11, 25) &&
+      col("l_quantity").between(10, 30)
+    val b3 = col("p_brand") === "Brand#25" && col("p_size").between(26, 50) &&
+      col("l_quantity").between(20, 40)
+    l.join(p, l("l_partkey") === p("p_partkey") && (b1 || b2 || b3))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q20 shape: suppliers in one region who shipped an excess
+    * volume (> `minQty` units in a year) of some color-named part —
+    * the nested semi-join chain. Each stage SHRINKS before the next
+    * join: part prunes by name, the (part, supplier) aggregate runs
+    * on the date-filtered fact, the HAVING keeps heavy pairs, and
+    * supplier is reached by a left-semi on the tiny surviving keyset.
+    * The oracle states the nested-IN form verbatim.
+    */
+  def q20ExcessShippers(spark: SparkSession, dir: String,
+                        color: String = "red", region: String = "EUROPE",
+                        minQty: Int = 60): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_name").contains(color)).select(col("p_partkey"))
+    val heavy = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(parts, col("l_partkey") === parts("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec2(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > minQty)
+      .select(col("l_suppkey")).distinct()
+    val r = Tables.region(spark, dir).filter(col("r_name") === region)
+    val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_regionkey"))
+    Tables.supplier(spark, dir)
+      .join(broadcast(n), col("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .join(heavy, col("s_suppkey") === heavy("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
+  /** TPC-H Q2 shape: the cheapest source per part — a correlated MIN
+    * subquery. "Offer" adapts to this schema as a supplier's minimum
+    * line price for the part (no partsupp table); the correlated
+    * min-over-region decorrelates into a per-part aggregate joined
+    * back on EXACT decimal equality — the same two-level
+    * groupBy+join-back rewrite every warehouse planner performs, and
+    * the partkey shuffle is shared between the two levels. Geography
+    * broadcasts; part prunes on (type, size band) before the fact
+    * join. The oracle states the correlated form verbatim.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String,
+                        partType: String = "LARGE", sizeLo: Int = 10,
+                        sizeHi: Int = 15, region: String = "EUROPE"): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === region)
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(n), col("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") === partType && col("p_size").between(sizeLo, sizeHi))
+      .select(col("p_partkey"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), dec2(col("l_extendedprice")).as("price"))
+    val offers = l.join(p, l("l_partkey") === p("p_partkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
+      .groupBy(col("l_partkey"), col("s_suppkey"), col("s_name"),
+        col("s_acctbal"), col("n_name"))
+      .agg(min(col("price")).as("cost_d"))
+    val minPer = offers.groupBy(col("l_partkey").as("mp_key"))
+      .agg(min(col("cost_d")).as("min_d"))
+    offers.join(minPer,
+        offers("l_partkey") === minPer("mp_key") && col("cost_d") === col("min_d"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), col("cost_d").cast("double").as("cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+  }
+
   def funnel(events: DataFrame, userCol: String, typeCol: String,
              tsCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")

@@ -112,12 +112,13 @@ object DayReplay {
         Dag.Node(s"extract_events", Nil, () => {
           val raw = Tables.eventsRaw(spark, sfDir)
           val delta =
-            if (day == 1) raw.filter(col("ts") <= lit(cutoffNanos))
+            if (day == 1)
+              raw.filter(col("ts") <= Tables.eventCutoffNanos(raw, cutoffNanos))
             else {
               // the is_incremental() loop: last manifest's watermark
               val wm = Staging.readManifest(spark, stagingEv, "events_d1")
-                .watermark.get.toLong
-              Sources.incremental(raw, "ts", lit(wm))
+                .watermark.get
+              Sources.incremental(raw, "ts", Tables.eventWatermark(raw, wm))
             }
           Staging.stage(delta, stagingEv, f"events_d$day", trackingCol = Some("ts"))
           ()

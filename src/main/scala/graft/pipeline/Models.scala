@@ -45,8 +45,9 @@ object Models {
     * to the parquet scan (see Tables.eventsRaw).
     */
   def stgEvents(spark: SparkSession, dir: String, sinceNanos: Long): DataFrame = {
+    val raw = Tables.eventsRaw(spark, dir)
     val incr = graft.operators.Cdc.incrementalFilter(
-      Tables.eventsRaw(spark, dir), "ts", lit(sinceNanos))
+      raw, "ts", Tables.eventCutoffNanos(raw, sinceNanos))
     Tables.convertEventTs(incr).select(
       col("event_id"),
       col("user_id"),

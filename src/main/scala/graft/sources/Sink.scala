@@ -225,6 +225,95 @@ object Sink {
     base.filter(col(pruneCol).between(lit(lo), lit(hi)))
   }
 
+  /** Multi-predicate file pruning over the [[writeFileStats]]
+    * manifest: every `(col, lo, hi)` band must overlap a file's
+    * [min, max] for the file to survive — the 2D+ data-skipping read
+    * for [[zorderWrite]] layouts (on a 1D [[clusteredWrite]] layout
+    * only the leading column prunes; that asymmetry is the reason
+    * z-ordering exists). Semantics: ≡ the plain read filtered by ALL
+    * bands — residual filters stay in the plan and push to the scan.
+    */
+  def prunedReadMulti(spark: SparkSession, path: String,
+                      preds: Seq[(String, Any, Any)]): DataFrame = {
+    require(preds.nonEmpty, "prunedReadMulti needs at least one band")
+    import org.apache.spark.sql.functions.{col, lit}
+    val stats = spark.read.parquet(s"$path/_graft_stats")
+    val keep = preds.map { case (c, lo, hi) =>
+      col(s"max_$c").isNull || col(s"min_$c").isNull ||
+        !(col(s"max_$c") < lit(lo) || col(s"min_$c") > lit(hi))
+    }.reduce(_ && _)
+    val kept = stats.filter(keep).select(col("file")).collect().map(_.getString(0))
+    val base =
+      if (kept.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.schema(spark.read.parquet(path).schema).parquet(kept: _*)
+    preds.foldLeft(base) { case (df, (c, lo, hi)) =>
+      df.filter(col(c).between(lit(lo), lit(hi)))
+    }
+  }
+
+  /** Z-order (Morton-curve) clustered write — the multi-column
+    * companion to [[clusteredWrite]]: rows are laid out along an
+    * interleaved-bit curve over the cluster columns, so EVERY
+    * cluster column's per-file min/max range is narrow (width
+    * ~range/2^(bits/dims per file level)), and a query banding any
+    * subset of the columns prunes files. A 1D range layout gives
+    * perfect pruning on the leading column and NONE on the others —
+    * at 100 TB, z-order is how a (customer, date) or (lat, lon)
+    * workload avoids choosing which half of its queries scan
+    * everything (Delta OSS `OPTIMIZE ZORDER BY` is this exact move).
+    *
+    * Each column is linearly scaled to `bitsPerDim` bits over its
+    * observed [min, max] (ONE column-pruned stats pass, N driver
+    * scalars — the scaling only shapes the LAYOUT; correctness of
+    * reads never depends on it, so skew costs pruning ratio, not
+    * results), bits interleave column-major into a single long, and
+    * the frame range-partitions + sorts on that key. The write path
+    * is [[clusteredWrite]]'s: one sampling pass, one shuffle, sorted
+    * files with tight footer stats. Returns the data-file count.
+    */
+  def zorderWrite(df: DataFrame, path: String, clusterCols: Seq[String],
+                  numFiles: Int, bitsPerDim: Int = 16): Int = {
+    require(clusterCols.size >= 2, "zorderWrite needs >= 2 cluster columns " +
+      "(use clusteredWrite for one)")
+    require(numFiles > 0, "numFiles must be positive")
+    require(bitsPerDim >= 1 && bitsPerDim * clusterCols.size <= 60,
+      s"bitsPerDim * dims must fit a long, got $bitsPerDim*${clusterCols.size}")
+    import org.apache.spark.sql.functions.{col, lit, max, min, shiftleft}
+    val aggs = clusterCols.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"mn_$c"),
+        max(col(c).cast("double")).as(s"mx_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val dims = clusterCols.size
+    val cells = (1L << bitsPerDim) - 1
+    val zParts = clusterCols.zipWithIndex.map { case (c, d) =>
+      val mn = row.getAs[Double](s"mn_$c")
+      val mx = row.getAs[Double](s"mx_$c")
+      val span = if (mx > mn) mx - mn else 1.0
+      // scaled cell index in [0, 2^bits) — doubles are fine: layout only
+      val cell = org.apache.spark.sql.functions.least(lit(cells),
+        org.apache.spark.sql.functions.floor(
+          (col(c).cast("double") - lit(mn)) / lit(span) * lit(cells + 1)))
+        .cast("long")
+      // spread bit i of this dim to position i*dims + d
+      (0 until bitsPerDim).map { i =>
+        shiftleft(org.apache.spark.sql.functions.shiftright(cell, i)
+          .bitwiseAND(lit(1L)), i * dims + d)
+      }.reduce(_.bitwiseOR(_))
+    }
+    val z = zParts.reduce(_.bitwiseOR(_))
+    df.withColumn("__graft_z", z)
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    val dst = new Path(path)
+    val fs = dst.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.listStatus(dst).count { f =>
+      val n = f.getPath.getName
+      f.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
   /** Deterministic shard assignment: `pmod(xxhash64(id, seed), n)` —
     * the per-row expression [[writeShards]] routes by, exposed so
     * graded queries and readers can recompute membership without the

@@ -137,6 +137,28 @@ object EventStream {
     events.join(h, cond, "left")
   }
 
+  /** Watermarked SESSION-window aggregation — Spark's native
+    * `session_window` (dynamic-gap windows that MERGE while events
+    * arrive within `gap` of the running window), the built-in twin of
+    * the custom `flatMapGroupsWithState` sessionizer in [[sessions]]:
+    * state is managed by the engine's window-merging store, sharded
+    * by (user, window), finalized and emitted exactly once when the
+    * watermark passes a session's end. Session end = last event +
+    * gap (two events `gap` or more apart break — merge requires
+    * strict overlap), matching the batch islands computation in
+    * [[graft.operators.Sessionize.byGap]] up to the end-padding.
+    * At 100 TB/day the watermark bounds live-session state to the
+    * lateness horizon × active users, same contract as [[dedup]].
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    ensureWatermark(events, watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
   /** Stream-STREAM interval join: correlate two live event streams on
     * a key within a bounded event-time lookback — e.g. each purchase
     * with the views that preceded it by ≤ `withinSeconds` (the

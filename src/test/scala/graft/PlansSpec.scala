@@ -60,9 +60,16 @@ class PlansSpec extends SparkSuite {
     // instead of vectors); the rerank joins are equi-joins
     // corpus_bm25_topk broadcasts its ONE-row corpus-stats frame
     // (avgdl, N, dfs) the same way — a scalar join, not a pair space
+    // q11/q15 attach a ONE-row global aggregate (total revenue / max
+    // revenue) to a grouped frame the same way — scalar joins whose
+    // broadcast side is 1 row by construction at any SF
     val nestedLoopOk = Set("dedup_embedding", "ann_brute_topk", "ann_ivf_topk",
       "ann_lsh_topk", "ann_sq8_topk", "ann_pq_topk", "band_join_price",
-      "corpus_top_terms_approx", "corpus_bm25_topk")
+      "corpus_top_terms_approx", "corpus_bm25_topk",
+      "q11_important_parts", "q15_top_supplier",
+      // bloom_reduced_join broadcasts a ONE-row bloom sketch of the
+      // filtered dim keys — the same scalar-join shape
+      "bloom_reduced_join")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       if (!nestedLoopOk(name)) {
