@@ -71,6 +71,29 @@ object SparkEntry {
     // the scan side of the shuffle by a broadcast 1-row sketch of the
     // filtered dim keys; the oracle is the PLAIN join — the bloom is
     // semantically transparent (no false negatives)
+    // r8 wave 3: grouping-sets/time-series/segment analytics staples
+    "cube_revenue" -> ((s, d) => Analytics.cubeRevenue(s, d)),
+    "events_gapfill" -> ((s, d) => Analytics.eventsGapfill(s, d)),
+    "audience_overlap" -> ((s, d) =>
+      Analytics.audienceOverlap(Tables.events(s, d), "event_type", "user_id")
+        .orderBy(col("type_a"), col("type_b"))),
+    "events_value_histogram" -> ((s, d) =>
+      Analytics.valueHistogram(Tables.events(s, d), "event_type", "value")
+        .orderBy(col("event_type"), col("bin"))),
+    // melt (unpivot) round trip of the wide per-user pivot — the
+    // long form carries explicit zero cells, same as the pivot
+    "events_pivot_melt" -> ((s, d) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .unpivot(Array(col("user_id")), types.map(col).toArray,
+          "event_type", "n_events")
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     "bloom_reduced_join" -> ((s, d) => {
       val rev = col("l_extendedprice").cast("decimal(12,2)") *
         (lit(1) - col("l_discount").cast("decimal(12,2)"))
@@ -2353,6 +2376,78 @@ object SparkEntry {
            WHERE cost_d = (SELECT min(cost_d) FROM offers o2
                            WHERE o2.l_partkey = o.l_partkey)
            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""",
+
+      "cube_revenue" ->
+        """SELECT n_name, order_year,
+             CAST(GROUPING(n_name, order_year) AS BIGINT) AS gid,
+             CAST(sum(rev) AS DOUBLE) AS revenue
+           FROM (
+             SELECT n_name, year(o_orderdate) AS order_year,
+               CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS rev
+             FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey)
+           GROUP BY CUBE (n_name, order_year)
+           ORDER BY gid, n_name NULLS FIRST, order_year NULLS FIRST""",
+
+      // spine = per-type generate_series over observed hour bounds;
+      // forward fill = last_value IGNORE NULLS — states the Spark
+      // computation verbatim
+      "events_gapfill" ->
+        """WITH h AS (
+             SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+               count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS sv
+             FROM events GROUP BY 1, 2
+           ), spine AS (
+             SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour_ts
+             FROM (SELECT event_type, min(hour_ts) AS mn, max(hour_ts) AS mx
+                   FROM h GROUP BY event_type)
+           ), j AS (
+             SELECT s.event_type, s.hour_ts, h.n, h.sv
+             FROM spine s LEFT JOIN h
+               ON s.event_type = h.event_type AND s.hour_ts = h.hour_ts)
+           SELECT event_type, hour_ts,
+             coalesce(n, 0) AS n_events,
+             CAST(last_value(sv IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS filled_value
+           FROM j ORDER BY event_type, hour_ts""",
+
+      "audience_overlap" ->
+        """SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_users
+           FROM (SELECT DISTINCT event_type, user_id FROM events) a
+           JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+             ON a.user_id = b.user_id
+           WHERE a.event_type < b.event_type
+           GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      // bin arithmetic stated verbatim (pure IEEE double: sub, div,
+      // mul, floor — bit-identical cross-engine)
+      "events_value_histogram" ->
+        """WITH s AS (
+             SELECT event_type, min(value) AS mn, max(value) AS mx
+             FROM events GROUP BY 1)
+           SELECT e.event_type,
+             CASE WHEN s.mx > s.mn
+               THEN CAST(least(19, floor((e.value - s.mn) / (s.mx - s.mn) * 20)) AS BIGINT)
+               ELSE 0 END AS bin,
+             count(*) AS n
+           FROM events e JOIN s ON e.event_type = s.event_type
+           GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      // wide pivot melted back to long: every (user, type) cell
+      // explicit, zeros included
+      "events_pivot_melt" ->
+        """SELECT user_id, t.event_type,
+             CAST(count(*) FILTER (WHERE e.event_type = t.event_type) AS BIGINT) AS n_events
+           FROM events e
+           CROSS JOIN (VALUES ('click'), ('view'), ('purchase'),
+             ('signup'), ('error')) AS t(event_type)
+           GROUP BY user_id, t.event_type
+           ORDER BY user_id, t.event_type""",
 
       // the PLAIN join — bloom pruning must be invisible in the result
       "bloom_reduced_join" ->

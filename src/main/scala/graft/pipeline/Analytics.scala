@@ -793,6 +793,100 @@ object Analytics {
       .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
   }
 
+  /** CUBE aggregation — all four grouping sets of (nation, year) in
+    * one pass (Expand + partial agg, one shuffle), with
+    * `grouping_id` disambiguating a real NULL group member from a
+    * subtotal row — the companion to [[rollupRevenue]] covering the
+    * full grouping-sets surface.
+    */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("order_year"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), discPrice.as("rev"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .cube(col("n_name"), col("order_year"))
+      .agg(grouping_id().as("gid"),
+        sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("gid"), col("n_name").asc_nulls_first,
+        col("order_year").asc_nulls_first)
+  }
+
+  /** Gap-filled, forward-filled hourly series — the time-series
+    * regularization every monitoring/feature pipeline needs: missing
+    * hours are MATERIALIZED (count 0) and the last observed sum
+    * carries forward. The spine comes from a per-group
+    * `sequence(min_hour, max_hour)` explode — no driver-side loop, no
+    * cross join: each group's spine is generated next to its own
+    * aggregate, so one shuffle keyed by group covers aggregate,
+    * spine, and the forward-fill window. Spine width is bounded by
+    * the time span, not the data volume — at 100 TB the hourly frame
+    * is already aggregate-shrunk before the fill.
+    */
+  def eventsGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("sv"))
+    val spine = hourly.groupBy(col("event_type"))
+      .agg(min(col("hour_ts")).as("mn"), max(col("hour_ts")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 HOUR")))
+          .as("hour_ts"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "hour_ts"), "left")
+      .select(col("event_type"), col("hour_ts"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("sv"), ignoreNulls = true).over(w).cast("double")
+          .as("filled_value"))
+      .orderBy(col("event_type"), col("hour_ts"))
+  }
+
+  /** Pairwise audience overlap — distinct users active in BOTH of
+    * each event-type pair (the segment-intersection matrix). The
+    * (type, user) projection dedups FIRST (user-keyed shuffle), so
+    * the self-join fans out at most types² rows per user — bounded by
+    * the type-domain size squared, never by event volume — and the
+    * count per pair needs no further distinct.
+    */
+  def audienceOverlap(events: DataFrame, typeCol: String,
+                      userCol: String): DataFrame = {
+    val tu = events.select(col(typeCol), col(userCol)).distinct()
+    tu.select(col(typeCol).as("type_a"), col(userCol))
+      .join(tu.select(col(typeCol).as("type_b"), col(userCol)), Seq(userCol))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Per-group equal-width histogram: `nbins` bins over each group's
+    * own [min, max]. The bounds come from the SAME grouped aggregate
+    * the binning joins back to (one groupBy + one broadcastable
+    * join-back — the decorrelated form of the correlated min/max
+    * subquery), and the bin arithmetic is pure IEEE-double
+    * (sub/div/mul/floor), bit-identical on any engine, so the oracle
+    * restates it verbatim.
+    */
+  def valueHistogram(events: DataFrame, typeCol: String, valCol: String,
+                     nbins: Int = 20): DataFrame = {
+    require(nbins >= 2, "need at least 2 bins")
+    val bounds = events.groupBy(col(typeCol).as("__t"))
+      .agg(min(col(valCol)).as("mn"), max(col(valCol)).as("mx"))
+    events.join(bounds, col(typeCol) === col("__t"))
+      .select(col(typeCol),
+        when(col("mx") > col("mn"),
+          least(lit(nbins - 1),
+            floor((col(valCol) - col("mn")) / (col("mx") - col("mn")) * nbins)))
+          .otherwise(lit(0L)).as("bin"))
+      .groupBy(col(typeCol), col("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def funnel(events: DataFrame, userCol: String, typeCol: String,
              tsCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
