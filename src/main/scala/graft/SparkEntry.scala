@@ -94,6 +94,37 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // per-file bloom index point lookup (r8 wave 3): the layout is
+    // clustered by PRICE, so orderkey min/max can't prune — the
+    // bloom sketches do; oracle = the plain equality filter
+    "bloom_point_read" -> ((s, d) => {
+      val dir = s"/tmp/graft_bloompt_${java.util.UUID.randomUUID()}"
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.sources.Sink.clusteredWrite(o, dir, Seq("o_totalprice"), numFiles = 16)
+      graft.sources.Sink.writeFileBloom(s, dir, "o_orderkey",
+        expectedItemsPerFile = 100000L)
+      graft.sources.Sink.bloomPointRead(s, dir, "o_orderkey", 1234L)
+    }),
+
+    "events_winsorized" -> ((s, d) =>
+      Analytics.winsorize(eventCols(Tables.events(s, d))
+          .select(col("event_id"), col("event_type"), col("value")),
+          "event_type", "value")
+        .select(col("event_id"), col("event_type"), col("value"), col("clipped"))
+        .orderBy(col("event_id"))),
+    "events_transitions" -> ((s, d) =>
+      Analytics.transitionMatrix(Tables.events(s, d), "user_id", "event_type",
+          "ts", "event_id")
+        .orderBy(col("from_type"), col("to_type"))),
+    "events_rolling_range" -> ((s, d) =>
+      Analytics.eventsRollingRange(s, d)
+        .orderBy(col("user_id"), col("event_id"))),
+    "events_value_deciles" -> ((s, d) =>
+      Analytics.valueDeciles(Tables.events(s, d), "event_type", "value",
+          "event_id")
+        .orderBy(col("event_type"), col("decile"))),
+
     "bloom_reduced_join" -> ((s, d) => {
       val rev = col("l_extendedprice").cast("decimal(12,2)") *
         (lit(1) - col("l_discount").cast("decimal(12,2)"))
@@ -2448,6 +2479,54 @@ object SparkEntry {
              ('signup'), ('error')) AS t(event_type)
            GROUP BY user_id, t.event_type
            ORDER BY user_id, t.event_type""",
+
+      "bloom_point_read" ->
+        """SELECT o_orderkey, o_custkey, o_totalprice
+           FROM orders WHERE o_orderkey = 1234""",
+
+      // exact interpolated percentiles (the dq_numeric_profile
+      // machinery) + per-row clamp
+      "events_winsorized" ->
+        """WITH b AS (
+             SELECT event_type, quantile_cont(value, 0.01) AS lo,
+               quantile_cont(value, 0.99) AS hi
+             FROM events GROUP BY 1)
+           SELECT event_id, e.event_type, value,
+             least(greatest(value, lo), hi) AS clipped
+           FROM events e JOIN b ON e.event_type = b.event_type
+           ORDER BY event_id""",
+
+      "events_transitions" ->
+        """WITH o AS (
+             SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS next_type
+             FROM events)
+           SELECT event_type AS from_type, next_type AS to_type,
+             count(*) AS n
+           FROM o WHERE next_type IS NOT NULL
+           GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      // integral trailing-hour RANGE frame (date_diff = floor'd epoch
+      // seconds, matching Spark's unix_timestamp truncation)
+      "events_rolling_range" ->
+        """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY user_id
+               ORDER BY date_diff('second', TIMESTAMP '1970-01-01', CAST(ts AS TIMESTAMP))
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS trailing_value
+           FROM events ORDER BY user_id, event_id""",
+
+      "events_value_deciles" ->
+        """WITH d AS (
+             SELECT event_type, value,
+               ntile(10) OVER (PARTITION BY event_type
+                 ORDER BY value, event_id) AS decile
+             FROM events)
+           SELECT event_type, decile, count(*) AS n_rows,
+             min(value) AS lo, max(value) AS hi
+           FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
 
       // the PLAIN join — bloom pruning must be invisible in the result
       "bloom_reduced_join" ->

@@ -887,6 +887,81 @@ object Analytics {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Per-group winsorization — outlier clipping at [pLo, pHi], the
+    * training-data normalization staple: values clamp to their
+    * group's exact interpolated percentiles. Percentiles come from
+    * ONE grouped pass (the same exact-`percentile` machinery
+    * [dq_numeric_profile] grades hash-green — both engines
+    * interpolate (1−f)·a[k] + f·a[k+1] in double on the sorted
+    * group) joined back broadcastable; clipping is per-row codegen.
+    * At 100 TB exact per-group percentiles cost one sort-based agg
+    * over each group — the GK-sketch profile is the approximate twin
+    * when groups are huge.
+    */
+  def winsorize(events: DataFrame, groupCol: String, valCol: String,
+                pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val b = events.groupBy(col(groupCol).as("__g"))
+      .agg(expr(s"percentile($valCol, $pLo)").as("lo"),
+        expr(s"percentile($valCol, $pHi)").as("hi"))
+    events.join(b, col(groupCol) === col("__g"))
+      .select(events.columns.map(col) :+
+        least(greatest(col(valCol), col("lo")), col("hi")).as("clipped"): _*)
+  }
+
+  /** Event-transition matrix (first-order Markov counts): how often
+    * each event type is immediately followed by each other type
+    * within a user's timeline. ONE user-keyed shuffle for the lead()
+    * window; the count aggregates on the tiny type×type key. The
+    * (ts, event_id) ordering makes the successor deterministic under
+    * same-timestamp events.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events.select(col(userCol), col(typeCol), col(tsCol), col(idCol))
+      .withColumn("next_type", lead(col(typeCol), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-user trailing time-RANGE sum — the companion to the
+    * ROWS-frame [[eventsRolling]]: the frame is "everything in the
+    * last hour", so its width follows event DENSITY, not a fixed row
+    * count (the feature-engineering distinction that matters for
+    * bursty traffic). rangeBetween over unix seconds keeps the frame
+    * arithmetic integral; one user-keyed shuffle.
+    */
+  def eventsRollingRange(spark: SparkSession, dir: String,
+                         windowSec: Long = 3600L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"))
+      .rangeBetween(-windowSec, 0)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_timestamp(col("ts")).as("sec"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .withColumn("trailing_value", sum(col("v")).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("trailing_value"))
+  }
+
+  /** Equal-DEPTH deciles per group (`ntile`) — the companion to the
+    * equal-width [[valueHistogram]]: every bucket holds the same row
+    * count, bucket EDGES follow the distribution. Deterministic
+    * under ties via the (value, id) ordering; one group-keyed
+    * shuffle.
+    */
+  def valueDeciles(events: DataFrame, groupCol: String, valCol: String,
+                   idCol: String, n: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valCol), col(idCol))
+    events.select(col(groupCol), col(valCol), col(idCol))
+      .withColumn("decile", ntile(n).over(w))
+      .groupBy(col(groupCol), col("decile"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valCol)).as("lo"), max(col(valCol)).as("hi"))
+  }
+
   def funnel(events: DataFrame, userCol: String, typeCol: String,
              tsCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")

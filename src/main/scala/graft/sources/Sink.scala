@@ -251,6 +251,61 @@ object Sink {
     }
   }
 
+  /** Per-file BLOOM index for POINT lookups on a long column the
+    * layout is NOT clustered by — the third data-skipping modality:
+    * min/max stats ([[writeFileStats]]) prune ranges on SORTED
+    * columns, but on an unsorted high-cardinality column every file
+    * spans the whole domain and min/max skip nothing. One scan
+    * groups rows by `_metadata.file_path` and aggregates a native
+    * `BloomFilterAggregate` sketch of `xxhash64(col)` per file into
+    * `path/_graft_bloom_<col>` (one row per data file — Iceberg/
+    * Parquet keep the same sketches at file/row-group level).
+    * Returns the file count indexed.
+    */
+  def writeFileBloom(spark: SparkSession, path: String, column: String,
+                     expectedItemsPerFile: Long = 1000000L): Int = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.XxHash64
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.functions.col
+    val hashed = new XxHash64(Seq(GraftSqlBridge.expression(col(column))))
+    val agg = new BloomFilterAggregate(hashed, expectedItemsPerFile)
+      .toAggregateExpression()
+    spark.read.parquet(path)
+      .select(col("_metadata.file_path").as("file"), col(column))
+      .groupBy(col("file"))
+      .agg(GraftSqlBridge.column(agg).as("bloom"))
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/_graft_bloom_$column")
+    spark.read.parquet(s"$path/_graft_bloom_$column").count().toInt
+  }
+
+  /** Point-lookup read through the per-file bloom index:
+    * ≡ `read(path).filter(col = value)`, but files whose sketch says
+    * "definitely absent" are dropped DRIVER-SIDE before the scan is
+    * planned (the index is one manifest-sized row per file; probing
+    * it is `mightContainLong(xxhash64(value))` — the exact hash the
+    * sketch was built from). No false negatives → never loses a row;
+    * false positives only open extra files, bounded by the sketch
+    * sizing. The residual equality stays in the plan and reaches the
+    * surviving scans as a pushed filter.
+    */
+  def bloomPointRead(spark: SparkSession, path: String, column: String,
+                     value: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val hash = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashLong(value, 42L) // XxHash64's default seed
+    val kept = spark.read.parquet(s"$path/_graft_bloom_$column")
+      .collect().filter { r =>
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(r.getAs[Array[Byte]]("bloom")).mightContainLong(hash)
+      }.map(_.getAs[String]("file"))
+    val base =
+      if (kept.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.schema(spark.read.parquet(path).schema).parquet(kept: _*)
+    base.filter(col(column) === lit(value))
+  }
+
   /** Z-order (Morton-curve) clustered write — the multi-column
     * companion to [[clusteredWrite]]: rows are laid out along an
     * interleaved-bit curve over the cluster columns, so EVERY

@@ -72,6 +72,27 @@ class ZOrderSpec extends SparkSuite {
       s"z-order y-band scanned ${zRead.inputFiles.length} of 16 files")
   }
 
+  test("per-file bloom index prunes point lookups min/max stats cannot") {
+    val dir = tmpDir("bloomidx") + "/t"
+    // clustered by v — k is uniform across every file, so k's min/max
+    // stats span the domain in all files (zero skipping potential)
+    val df = scala.util.Random.shuffle((1L to 8000L).toList)
+      .map(i => (i, (i * 7919L) % 8000L)).toDF("k", "v")
+    Sink.clusteredWrite(df, dir, Seq("v"), numFiles = 16)
+    assert(Sink.writeFileBloom(spark, dir, "k",
+      expectedItemsPerFile = 10000L) === 16)
+    val hit = Sink.bloomPointRead(spark, dir, "k", 4321L)
+    assert(hit.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((4321L, (4321L * 7919L) % 8000L)))
+    // the whole point: the lookup opens ~1 file (fp-bounded), not 16
+    assert(hit.inputFiles.length <= 3,
+      s"bloom index opened ${hit.inputFiles.length} of 16 files")
+    // an absent key prunes everything (no false negatives needed) —
+    // a rare fp may keep a file; the residual filter yields 0 rows
+    val miss = Sink.bloomPointRead(spark, dir, "k", 999999L)
+    assert(miss.count() === 0L)
+  }
+
   test("skewed/degenerate columns still round-trip (layout-only scaling)") {
     val dir = tmpDir("zskew") + "/t"
     // y constant (zero span) — scaling must not divide by zero
