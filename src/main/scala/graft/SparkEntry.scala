@@ -669,6 +669,46 @@ object SparkEntry {
         .orderBy(col("customer_id"), col("valid_from"))
     }),
 
+    // hash-diff SCD2 (r8 wave 3): change detection via ONE stored md5
+    // row fingerprint instead of the column-list compare — merges on
+    // `row_hash` must equal the check-strategy merge; the oracle
+    // recomputes the md5 chain in DuckDB
+    "scd2_merge_hashdiff" -> ((s, d) => {
+      val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
+      val t1 = lit("2026-02-01 00:00:00").cast("timestamp")
+      val s1 = Models.stgCustomer(s, d).select(col("customer_id"),
+        col("customer_name"), col("account_balance"), col("market_segment"))
+      val h = Scd2.rowHash(Seq(col("customer_name"),
+        col("account_balance").cast("decimal(12,2)"), col("market_segment")))
+      val history0 = s1.withColumn("row_hash", h)
+        .withColumn(Scd2.ValidFrom, t0)
+        .withColumn(Scd2.ValidTo, lit(null).cast("timestamp"))
+      val s2 = s1.filter(col("customer_id") % 7 =!= 0)
+        .withColumn("market_segment",
+          when(col("customer_id") % 10 === 0, lit("CHANGED"))
+            .otherwise(col("market_segment")))
+        .withColumn("row_hash", h)
+      Scd2.merge(history0, s2, Seq("customer_id"), Seq("row_hash"), t1)
+        .orderBy(col("customer_id"), col("valid_from"))
+    }),
+
+    // source↔target reconciliation audit (r8 wave 3): row-level
+    // verdicts over a full-outer key join against a target with
+    // injected drift (changed segments, dropped keys, orphan keys)
+    "reconcile_diff" -> ((s, d) => {
+      val src = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val tgt = src.filter(col("c_custkey") % 13 =!= 0)
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 10 === 0, lit("DRIFTED"))
+            .otherwise(col("c_mktsegment")))
+        .unionByName(src.filter(col("c_custkey") % 17 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L))
+      Reconcile.diff(src, tgt, Seq("c_custkey"),
+          Seq("c_mktsegment", "c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // same merge with dbt's invalidate_hard_deletes=true: the keys
     // missing from the second (FULL) snapshot — custkey%7==0, the
     // reference's Mongo-users hard-delete case — get their open rows
@@ -2731,6 +2771,69 @@ object SparkEntry {
                   TIMESTAMP '2026-02-01 00:00:00', NULL
            FROM s2 WHERE customer_id IN (SELECT customer_id FROM changed)
            ORDER BY customer_id, valid_from""",
+
+      // md5 row fingerprints recomputed in SQL; change = hash diff
+      "scd2_merge_hashdiff" ->
+        """WITH s1 AS (
+             SELECT c_custkey AS customer_id, c_name AS customer_name,
+                    c_acctbal AS account_balance, c_mktsegment AS market_segment,
+                    md5(concat_ws(chr(1),
+                      coalesce(c_name, chr(0)),
+                      coalesce(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR), chr(0)),
+                      coalesce(c_mktsegment, chr(0)))) AS row_hash
+             FROM customer),
+           s2 AS (
+             SELECT customer_id, customer_name, account_balance,
+                    CASE WHEN customer_id % 10 = 0 THEN 'CHANGED'
+                         ELSE market_segment END AS market_segment,
+                    md5(concat_ws(chr(1),
+                      coalesce(customer_name, chr(0)),
+                      coalesce(CAST(CAST(account_balance AS DECIMAL(12,2)) AS VARCHAR), chr(0)),
+                      coalesce(CASE WHEN customer_id % 10 = 0 THEN 'CHANGED'
+                         ELSE market_segment END, chr(0)))) AS row_hash
+             FROM s1 WHERE customer_id % 7 <> 0),
+           changed AS (
+             SELECT s1.customer_id FROM s1 JOIN s2 USING (customer_id)
+             WHERE s1.row_hash <> s2.row_hash)
+           SELECT customer_id, customer_name, account_balance, market_segment,
+                  row_hash,
+                  TIMESTAMP '2026-01-01 00:00:00' AS valid_from,
+                  CASE WHEN customer_id IN (SELECT customer_id FROM changed)
+                       THEN TIMESTAMP '2026-02-01 00:00:00' END AS valid_to
+           FROM s1
+           UNION ALL
+           SELECT customer_id, customer_name, account_balance, market_segment,
+                  row_hash,
+                  TIMESTAMP '2026-02-01 00:00:00', NULL
+           FROM s2 WHERE customer_id IN (SELECT customer_id FROM changed)
+           ORDER BY customer_id, valid_from""",
+
+      "reconcile_diff" ->
+        """WITH src AS (
+             SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+           tgt AS (
+             SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 0 THEN 'DRIFTED'
+                    ELSE c_mktsegment END AS c_mktsegment,
+               c_acctbal
+             FROM customer WHERE c_custkey % 13 <> 0
+             UNION ALL
+             SELECT c_custkey + 1000000, c_mktsegment, c_acctbal
+             FROM customer WHERE c_custkey % 17 = 0)
+           SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+             CASE WHEN s.c_custkey IS NULL THEN 'target_only'
+                  WHEN t.c_custkey IS NULL THEN 'source_only'
+                  WHEN s.c_mktsegment IS DISTINCT FROM t.c_mktsegment
+                    OR s.c_acctbal IS DISTINCT FROM t.c_acctbal THEN 'mismatch'
+                  ELSE 'match' END AS verdict,
+             CASE WHEN s.c_custkey IS NULL OR t.c_custkey IS NULL THEN NULL
+                  ELSE s.c_mktsegment IS DISTINCT FROM t.c_mktsegment END
+               AS c_mktsegment_differs,
+             CASE WHEN s.c_custkey IS NULL OR t.c_custkey IS NULL THEN NULL
+                  ELSE s.c_acctbal IS DISTINCT FROM t.c_acctbal END
+               AS c_acctbal_differs
+           FROM src s FULL OUTER JOIN tgt t ON s.c_custkey = t.c_custkey
+           ORDER BY c_custkey""",
 
       "scd2_merge_harddelete" ->
         """WITH s1 AS (

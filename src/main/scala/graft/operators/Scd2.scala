@@ -14,6 +14,21 @@ object Scd2 {
   val ValidFrom = "valid_from"
   val ValidTo   = "valid_to"
 
+  /** Portable row fingerprint for HASH-DIFF SCD2 (dbt's
+    * `check_cols='all'` realized as one stored hash — the Kimball
+    * hash-diff pattern): md5 over unit-separated (\\u0001),
+    * null-sentineled (\\u0000) string casts. One comparison per row
+    * regardless of attribute count, and the stored hash means the
+    * next merge never re-reads old attribute values. md5 rather than
+    * xxhash64 so any warehouse can recompute it (the portable-hash
+    * argument from `Text.portableHash60`). Callers should cast
+    * floating-point money to decimal FIRST — double→string
+    * formatting is engine-specific, decimal→string is not.
+    */
+  def rowHash(cols: Seq[Column]): Column =
+    md5(concat_ws("\u0001",
+      cols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*))
+
   /** One snapshot-merge step: fold today's full extract into the
     * existing history. Matches dbt snapshot `check` strategy:
     *  - new key                  → insert (valid_to = null)
