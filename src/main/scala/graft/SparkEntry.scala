@@ -1728,6 +1728,128 @@ object SparkEntry {
           k = 10, rerankMult = 4)
         .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- r8 wave 4 ----
+    // distributed dense surrogate keys: two-phase range-partitioned
+    // numbering ≡ row_number() OVER (ORDER BY o_orderdate, o_orderkey)
+    // with no SinglePartition exchange (SurrogateKeySpec asserts)
+    "surrogate_keys" -> ((s, d) =>
+      SurrogateKey.assign(
+          Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          Seq("o_orderdate", "o_orderkey"), "sk")
+        .orderBy(col("sk"))),
+    // incremental materialized aggregate: state over event_id < 8000
+    // folded with the ≥ 8000 delta must equal the full recompute the
+    // oracle runs (the id split stands in for the daily watermark —
+    // same pushed-down predicate shape)
+    "mv_incremental" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"), col("event_id"))
+      val keys = Seq("user_id", "event_type")
+      val cut = lit(8000L)
+      val state = IncrementalAgg.init(ev.filter(col("event_id") < cut), keys, "value")
+      IncrementalAgg.finalize(
+          IncrementalAgg.maintain(state, ev.filter(col("event_id") >= cut), keys, "value"))
+        .select(col("user_id"), col("event_type"), col("n_rows"),
+          col("sum_value"), col("min_value"), col("max_value"), col("avg_value"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+    // derived CDC between two committed versions of a Versioned table
+    // (inserts + deletes + null-safe updates; unchanged keys silent)
+    "versioned_change_feed" -> ((s, d) => {
+      import graft.sources.Versioned
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_vcf_").toString + "/t"
+      val c = Tables.customer(s, d)
+      val v1 = c.filter(col("c_custkey") % 10 =!= 3)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val v2 = c.filter(col("c_custkey") % 10 =!= 7)
+        .select(col("c_custkey"), col("c_name"),
+          when(col("c_custkey") % 5 === 0, col("c_acctbal") + lit(100.0))
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+      Versioned.commit(v1, root, replace = true)
+      Versioned.commit(v2, root, replace = true)
+      Versioned.changes(s, root, 1, 2, Seq("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }),
+    // robust per-group outlier counts: MAD flags with round(6)-guarded
+    // threshold compare (same cross-engine percentile discipline as
+    // the dq profiles)
+    "events_mad_outliers" -> ((s, d) =>
+      Analytics.madOutliers(
+          Tables.events(s, d).select(col("event_type"), col("value")),
+          "event_type", "value", k = 3.0)
+        .orderBy(col("event_type"))),
+    // last-touch attribution: purchases credited to the latest
+    // click/view at-or-before them within a 7-day lookback — one
+    // sorted pass, no conversion×touch join
+    "events_attribution" -> ((s, d) =>
+      Analytics.attributionLastTouch(
+          Tables.events(s, d)
+            .select(col("user_id"), col("event_id"), col("ts"), col("event_type")),
+          touchTypes = Seq("click", "view"), convType = "purchase")
+        .orderBy(col("conv_id"))),
+    // exponentially-decayed activity feature: α=0.5 depth-16 lag
+    // chain — power-of-two scaling + pinned add order make the doubles
+    // bit-exact cross-engine (no rounding in the output)
+    "events_decay" -> ((s, d) =>
+      Analytics.decayedFeature(
+          Tables.events(s, d)
+            .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+          alpha = 0.5, depth = 16)
+        .orderBy(col("user_id"), col("ts"), col("event_id"))),
+    // PSI drift monitor: reference = events below the id watermark,
+    // current = the rest; equal-depth reference bins, Laplace-smoothed
+    // fractions, Σ(q−p)·ln(q/p)
+    "dq_drift_psi" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+      Quality.psiDrift(
+          ev.filter(col("event_id") < lit(8000L)).select(col("value")),
+          ev.filter(col("event_id") >= lit(8000L)).select(col("value")),
+          "value", bins = 10)
+        .orderBy(col("bin"))
+    }),
+    // streaming last-touch attribution graded batch-side (§2.6): two
+    // microbatches split at the CDC cutoff; the final sink must equal
+    // the BATCH attribution oracle (state carries the latest touch
+    // across the batch boundary)
+    "stream_attribution" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_at").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = eventCols(Tables.events(s, d))
+      val cutoff = lit(CdcCutoff).cast("timestamp")
+      ev.filter(col("ts") <= cutoff).write.parquet(inDir)
+      withShufflePartitions(s, 4) {
+        val q = graft.streaming.EventStream.attribution(
+            graft.streaming.EventStream.read(s, inDir),
+            touchTypes = Seq("click", "view"), convType = "purchase")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .format("parquet").option("path", outDir).start()
+        try {
+          q.processAllAvailable() // microbatch 1: ≤ cutoff
+          ev.filter(col("ts") > cutoff).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // microbatch 2: the rest
+        } finally q.stop()
+      }
+      s.read.parquet(outDir)
+        .select(col("user_id"), col("conv_id"), col("conv_ts"),
+          col("touch_id"), col("touch_ts"))
+        .orderBy(col("conv_id"))
+    }),
+    // SemDeDup-style semantic near-dup pairs: IVF cells (the graded
+    // deterministic first-16 quantizer) + within-cell cosine — the
+    // cluster-blocked modality beside the LSH one
+    "dedup_semantic" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val cents = embs.filter(col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt,
+          r.getSeq[Float](1).map(_.toDouble).toSeq))
+        .sortBy(_._1).toSeq
+      Dedup.semanticDedup(embs, "vec_id", "embedding", cents, threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -4415,11 +4537,195 @@ object SparkEntry {
            SELECT query_id, neighbor_id, cosine, rn AS rank FROM (
              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rn FROM rer)
-           WHERE rn <= 10 ORDER BY query_id, rank"""
+           WHERE rn <= 10 ORDER BY query_id, rank""",
+
+      // ---- r8 wave 4 ----
+      // the distributed two-phase numbering must equal the
+      // single-window definitional form verbatim
+      "surrogate_keys" ->
+        """SELECT o_orderkey, o_orderdate,
+             row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS sk
+           FROM orders ORDER BY sk""",
+
+      // full recompute over ALL events — the incremental fold must be
+      // indistinguishable from it (decimal sums make the partial-merge
+      // arithmetic exact; avg = one double division, round(6))
+      "mv_incremental" ->
+        """SELECT user_id, event_type, count(*) AS n_rows,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+             min(value) AS min_value, max(value) AS max_value,
+             round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) AS avg_value
+           FROM events GROUP BY user_id, event_type
+           ORDER BY user_id, event_type""",
+
+      // both versions' contents replayed from the same base table,
+      // then the keyed null-safe diff (IS DISTINCT FROM ≡ Spark <=>)
+      "versioned_change_feed" ->
+        """WITH v1 AS (
+             SELECT c_custkey, c_name, c_acctbal FROM customer
+             WHERE c_custkey % 10 <> 3
+           ), v2 AS (
+             SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+                    ELSE c_acctbal END AS c_acctbal
+             FROM customer WHERE c_custkey % 10 <> 7
+           ), d AS (
+             SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey,
+               CASE WHEN a.c_custkey IS NULL THEN 'insert'
+                    WHEN b.c_custkey IS NULL THEN 'delete'
+                    WHEN (a.c_name IS DISTINCT FROM b.c_name)
+                      OR (a.c_acctbal IS DISTINCT FROM b.c_acctbal)
+                    THEN 'update' END AS change_type,
+               CASE WHEN b.c_custkey IS NULL THEN a.c_name
+                    ELSE b.c_name END AS c_name,
+               CASE WHEN b.c_custkey IS NULL THEN a.c_acctbal
+                    ELSE b.c_acctbal END AS c_acctbal
+             FROM v1 a FULL OUTER JOIN v2 b ON a.c_custkey = b.c_custkey)
+           SELECT * FROM d WHERE change_type IS NOT NULL
+           ORDER BY c_custkey""",
+
+      // med/mad via the same interpolated percentile the dq profiles
+      // grade; the outlier flag compares round(6) on both sides
+      "events_mad_outliers" ->
+        """WITH med AS (
+             SELECT event_type, quantile_cont(value, 0.5) AS med
+             FROM events GROUP BY event_type
+           ), dev AS (
+             SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+             FROM events e JOIN med m USING (event_type)
+           ), mad AS (
+             SELECT event_type, quantile_cont(dev, 0.5) AS mad
+             FROM dev GROUP BY event_type)
+           SELECT d.event_type, round(max(d.med), 6) AS med,
+             round(max(m.mad), 6) AS mad,
+             CAST(sum(CASE WHEN round(d.dev, 6) > round(3.0 * m.mad, 6)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             count(*) AS n_rows
+           FROM dev d JOIN mad m USING (event_type)
+           GROUP BY d.event_type ORDER BY d.event_type""",
+
+      // the same interleaved carry: touches publish (ts, id), IGNORE
+      // NULLS last_value carries them to each purchase; date_diff from
+      // the epoch = unix_timestamp's floored seconds
+      "events_attribution" ->
+        """WITH e AS (
+             SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv
+             FROM events
+             WHERE event_type IN ('click', 'view', 'purchase')
+           ), c AS (
+             SELECT user_id, event_id, ts, is_conv,
+               last_value(CASE WHEN is_conv = 0 THEN ts END IGNORE NULLS)
+                 OVER w AS t_ts,
+               last_value(CASE WHEN is_conv = 0 THEN event_id END IGNORE NULLS)
+                 OVER w AS t_id
+             FROM e
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_conv, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           SELECT user_id, event_id AS conv_id, ts AS conv_ts,
+             CASE WHEN date_diff('second', TIMESTAMP '1970-01-01', ts)
+                 - date_diff('second', TIMESTAMP '1970-01-01', t_ts) <= 604800
+               THEN t_id END AS touch_id,
+             CASE WHEN date_diff('second', TIMESTAMP '1970-01-01', ts)
+                 - date_diff('second', TIMESTAMP '1970-01-01', t_ts) <= 604800
+               THEN t_ts END AS touch_ts
+           FROM c WHERE is_conv = 1 ORDER BY conv_id""",
+
+      // α=0.5 depth-16 lag chain, literals written as exact decimal
+      // expansions of 2⁻ᵏ; left-to-right adds in both engines
+      "events_decay" -> {
+        val terms = (0 until 16).map { k =>
+          val p = new java.math.BigDecimal(math.pow(0.5, k)).toPlainString
+          s"coalesce(lag(value, $k) OVER w, 0.0) * $p"
+        }.mkString("\n               + ")
+        s"""WITH e AS (
+             SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+             FROM events)
+           SELECT user_id, event_id, ts, value,
+             $terms AS decayed_value
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           ORDER BY user_id, ts, event_id"""
+      },
+
+      // equal-depth reference bins via quantile_cont, the same
+      // list_filter bin fold, Laplace-smoothed fractions, window total
+      "dq_drift_psi" ->
+        """WITH ref AS (
+             SELECT value FROM events WHERE event_id < 8000
+           ), cur AS (
+             SELECT value FROM events WHERE event_id >= 8000
+           ), edges AS (
+             SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+               0.6, 0.7, 0.8, 0.9]) AS es FROM ref
+           ), rb AS (
+             SELECT CAST(len(list_filter(es, e -> value > e)) AS INTEGER)
+               AS bin FROM ref, edges
+           ), cb AS (
+             SELECT CAST(len(list_filter(es, e -> value > e)) AS INTEGER)
+               AS bin FROM cur, edges
+           ), spine AS (
+             SELECT CAST(unnest(generate_series(0, 9)) AS INTEGER) AS bin
+           ), rc AS (SELECT bin, count(*) AS c FROM rb GROUP BY bin
+           ), cc AS (SELECT bin, count(*) AS c FROM cb GROUP BY bin
+           ), j AS (
+             SELECT s.bin, CAST(coalesce(rc.c, 0) AS BIGINT) AS n_ref,
+               CAST(coalesce(cc.c, 0) AS BIGINT) AS n_cur
+             FROM spine s LEFT JOIN rc USING (bin) LEFT JOIN cc USING (bin)
+           ), f AS (
+             SELECT bin, n_ref, n_cur,
+               CAST(n_ref + 1 AS DOUBLE)
+                 / CAST(sum(n_ref) OVER () + 10 AS DOUBLE) AS p,
+               CAST(n_cur + 1 AS DOUBLE)
+                 / CAST(sum(n_cur) OVER () + 10 AS DOUBLE) AS q
+             FROM j)
+           SELECT bin, n_ref, n_cur, round(p, 6) AS ref_frac,
+             round(q, 6) AS cur_frac,
+             round((q - p) * ln(q / p), 6) AS psi_contrib,
+             round(sum((q - p) * ln(q / p)) OVER (), 6) AS psi
+           FROM f ORDER BY bin""",
+
+      // IVF-cell replay (the ann_ivf assignment CTE) + within-cell
+      // pairs ≥ threshold — the SemDeDup recipe end to end
+      "dedup_semantic" ->
+        """WITH e AS (
+             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           ), cent AS (
+             SELECT vec_id AS cell, v AS cv,
+               list_sum(list_transform(v, x -> x * x)) AS cc
+             FROM e WHERE vec_id < 16
+           ), ad AS (
+             SELECT e.vec_id, c.cell,
+               -2 * list_sum(list_transform(generate_series(1, len(e.v)),
+                 i -> e.v[i] * c.cv[i])) + c.cc AS dist
+             FROM e, cent c
+           ), assigned AS (
+             SELECT vec_id, cell FROM (
+               SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY dist, cell) AS r FROM ad)
+             WHERE r = 1
+           ), pairs AS (
+             SELECT a1.vec_id AS id_a, a2.vec_id AS id_b
+             FROM assigned a1 JOIN assigned a2
+               ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id
+           ), scored AS (
+             SELECT id_a, id_b,
+               list_sum(list_transform(generate_series(1, len(x.v)),
+                 i -> x.v[i] * y.v[i]))
+               / (sqrt(list_sum(list_transform(x.v, t -> t * t)))
+                  * sqrt(list_sum(list_transform(y.v, t -> t * t)))) AS cosine
+             FROM pairs JOIN e x ON pairs.id_a = x.vec_id
+               JOIN e y ON pairs.id_b = y.vec_id)
+           SELECT id_a, id_b, cosine FROM scored
+           WHERE cosine >= 0.4 ORDER BY id_a, id_b"""
     )
     // the incremental CC twin is PROVABLY the same labeling as the
     // full replay (star-edge folding, DedupSpec), so it shares the
     // recursive-reachability oracle verbatim
-    base + ("dedup_components_incr" -> base("dedup_components"))
+    base + ("dedup_components_incr" -> base("dedup_components")) +
+      // the streaming attributor must converge to the batch
+      // attribution — same oracle verbatim
+      ("stream_attribution" -> base("events_attribution"))
   }
 }

@@ -1320,4 +1320,73 @@ object Dedup {
     if (!includeBatchPairs) cross
     else cross.unionByName(editDistance(b, "id", "s", d))
   }
+
+  /** SemDeDup-style semantic near-dup pairs (r8-w4): cluster the
+    * embedding space with an IVF/k-means quantizer, then score
+    * cosine only WITHIN each cluster — the published semantic-dedup
+    * recipe (SemDeDup, Abbas et al. 2023: k-means on embeddings,
+    * intra-cluster cosine above a threshold marks semantic dupes).
+    * The cluster pass is what makes 100 TB feasible: candidate pairs
+    * are Σ|cell|² instead of N², and `nlist` scales with the corpus
+    * (√N cells keeps expected cell size √N). The LSH modality
+    * ([[embeddingCosine]]) catches near-identical vectors via random
+    * buckets; the cluster modality groups by SEMANTIC neighborhood —
+    * pairs far apart in every hash table but close to the same
+    * centroid.
+    *
+    * Same argmin cell assignment as [[Similarity.ivfTopKWith]]
+    * (codegen'd least() over (dist, cell) structs — deterministic,
+    * oracle-replayable with literal centroids). The within-cell
+    * self-join follows the keys-only + salt discipline of
+    * [[embeddingCosine]]: bare (cell, id) rows join (cells are few,
+    * so an unsalted join hands whole cells to single reducers and AQE
+    * coalesces the tiny-input pair join to one task); vectors are
+    * fetched once, for surviving pairs only.
+    */
+  def semanticDedup(embs: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[(Int, Seq[Double])],
+                    threshold: Double = 0.95): DataFrame = {
+    require(centroids.nonEmpty, "semanticDedup needs at least one centroid")
+    val spark = embs.sparkSession
+    val base = graft.Par.persistTracked(
+      graft.Par.widen(embs.select(col(idCol), col(vecCol)), idCol)
+        .select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("vec"))
+        .withColumn("nrm", Vectors.norm(col("vec"))))
+    def selfDot(v: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      s
+    }
+    def nearestCell(vec: Column): Column =
+      least(centroids.map { case (cell, cv) =>
+        struct((-Vectors.dot(vec, typedLit(cv)) * 2 + lit(selfDot(cv))).as("d"),
+          lit(cell).as("c"))
+      }: _*).getField("c")
+    // keys-only: the cell join moves bare (cell, salt, id) rows
+    val keys = graft.Par.persistTracked(
+      base.select(col("id"), nearestCell(col("vec")).as("cell")))
+    val salts = math.max(1, math.min(64, spark.sparkContext.defaultParallelism))
+    val a = keys.withColumn("salt", pmod(xxhash64(col("id")), lit(salts.toLong)))
+      .select(col("cell"), col("salt"), col("id").as("id_a"))
+    val b = keys.select(col("cell"), col("id").as("id_b"))
+      .withColumn("salt", explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+    val width = spark.conf.getOption("spark.sql.shuffle.partitions")
+      .map(_.toInt).getOrElse(spark.sparkContext.defaultParallelism)
+    // one cell per id → each (a, b) pair meets exactly once: no
+    // distinct needed; the keyed repartition pins pair-space width
+    // against AQE's input-sized coalescing (§5)
+    val pairs = a.join(b, Seq("cell", "salt"))
+      .filter(col("id_a") < col("id_b"))
+      .repartition(width, col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    pairs
+      .join(base.select(col("id").as("id_a"), col("vec").as("vec_a"),
+        col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("vec").as("vec_b"),
+        col("nrm").as("nrm_b")), Seq("id_b"))
+      .withColumn("cosine",
+        Vectors.dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
 }

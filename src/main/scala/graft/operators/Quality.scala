@@ -291,4 +291,57 @@ object Quality {
           .otherwise(round((s - col("__mn")) / (col("__mx") - col("__mn")), 6)))
       .drop("__n", "__mean", "__var", "__mn", "__mx")
   }
+
+  /** Population-stability-index drift monitor (r8-w4) — "does today's
+    * data still look like the data the model was trained on": bin the
+    * REFERENCE distribution into `bins` equal-depth buckets (edges =
+    * its interpolated quantiles — the cross-engine-stable percentile
+    * machinery), histogram the CURRENT data into those same edges,
+    * and score PSI = Σ (qᵢ−pᵢ)·ln(qᵢ/pᵢ). The standard monitoring
+    * thresholds read <0.1 stable, 0.1–0.25 shifting, >0.25 drifted.
+    *
+    * Fractions are Laplace-smoothed ((c+1)/(n+bins)) so empty bins —
+    * inevitable once current data escapes the reference's range —
+    * never produce ±∞; the smoothing is part of the contract and
+    * replays exactly. Bin assignment is `#edges < x` via a filtered
+    * fold over the (bins−1)-element edge array — per-row codegen,
+    * zero shuffle; out-of-range current values land in the first or
+    * last bin naturally. Cost: one percentile agg over the reference
+    * + one count-agg per side (map-side combined, `bins`-sized
+    * shuffles); the per-bin frame is bins rows, so the closing total
+    * window is free. Both inputs join the 1-row edge frame on a
+    * constant key — a broadcast HASH join, not a nested loop.
+    */
+  def psiDrift(reference: DataFrame, current: DataFrame, valCol: String,
+               bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val ps = (1 until bins).map(i => i.toDouble / bins)
+    val edges = reference.groupBy(lit(1).as("__k"))
+      .agg(expr(s"percentile($valCol, array(${ps.mkString(",")}))").as("__edges"))
+    def binned(df: DataFrame): DataFrame =
+      df.withColumn("__k", lit(1))
+        .join(broadcast(edges), Seq("__k"))
+        .select(expr(s"size(filter(__edges, e -> $valCol > e))").as("bin"))
+    def counts(df: DataFrame, out: String): DataFrame =
+      binned(df).groupBy(col("bin")).agg(count(lit(1)).as(out))
+    val spark = reference.sparkSession
+    val spine = spark.range(0, bins).select(col("id").cast("int").as("bin"))
+    val joined = spine
+      .join(counts(reference, "__cr"), Seq("bin"), "left")
+      .join(counts(current, "__cc"), Seq("bin"), "left")
+      .withColumn("n_ref", coalesce(col("__cr"), lit(0L)))
+      .withColumn("n_cur", coalesce(col("__cc"), lit(0L)))
+      .withColumn("__nr", sum(col("n_ref")).over(Window.partitionBy()))
+      .withColumn("__nc", sum(col("n_cur")).over(Window.partitionBy()))
+      .withColumn("__p", (col("n_ref") + 1).cast("double") /
+        (col("__nr") + bins).cast("double"))
+      .withColumn("__q", (col("n_cur") + 1).cast("double") /
+        (col("__nc") + bins).cast("double"))
+      .withColumn("__contrib", (col("__q") - col("__p")) * log(col("__q") / col("__p")))
+    joined
+      .withColumn("psi", round(sum(col("__contrib")).over(Window.partitionBy()), 6))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(col("__p"), 6).as("ref_frac"), round(col("__q"), 6).as("cur_frac"),
+        round(col("__contrib"), 6).as("psi_contrib"), col("psi"))
+  }
 }

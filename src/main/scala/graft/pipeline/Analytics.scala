@@ -994,4 +994,110 @@ object Analytics {
       .select(col(userCol), col("__f.stage").as("stage"),
         col("__f.t_first").as("t_first"), col("__f.t_last").as("t_last"))
   }
+
+  /** Robust per-group outlier detection via median absolute deviation
+    * (r8-w4): med = exact p50 of the value, mad = exact p50 of
+    * |value − med|, a row is an outlier when |value − med| > k·mad.
+    * The mean/σ z-score (doc_quality_normalized) breaks down exactly
+    * when you need it — heavy-tailed values drag μ and σ toward the
+    * outliers — while the median pair is 50%-breakdown robust, which
+    * is why monitoring pipelines flag on MAD.
+    *
+    * Two grouped passes over the fact (med first — the deviation
+    * column needs it — then mad), both exact-percentile sort-aggs on
+    * the group key; the per-group summary joins back broadcastable
+    * the same way [[winsorize]]'s bounds do. Same cross-engine-stable
+    * interpolated percentile the dq profiles grade; round(6) on the
+    * reported doubles guards the division.
+    */
+  def madOutliers(events: DataFrame, groupCol: String, valCol: String,
+                  k: Double = 3.0): DataFrame = {
+    val med = events.groupBy(col(groupCol).as("__g"))
+      .agg(expr(s"percentile($valCol, 0.5)").as("med"))
+    val withMed = events.join(med, col(groupCol) === col("__g")).drop("__g")
+      .withColumn("__dev", abs(col(valCol) - col("med")))
+    val mad = withMed.groupBy(col(groupCol).as("__g"))
+      .agg(expr("percentile(__dev, 0.5)").as("mad"))
+    withMed.join(mad, col(groupCol) === col("__g")).drop("__g")
+      .groupBy(col(groupCol))
+      .agg(round(first(col("med")), 6).as("med"),
+        round(first(col("mad")), 6).as("mad"),
+        // round(6) on BOTH compare sides: the flag must not hinge on
+        // sub-µ differences between the engines' percentile
+        // interpolation paths (same guard the score-normalization
+        // oracles use)
+        sum(when(round(col("__dev"), 6) > round(lit(k) * col("mad"), 6), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Last-touch attribution (r8-w4): credit each conversion event to
+    * the most recent touch event at-or-before it in the same user's
+    * timeline, provided the touch is within `lookbackSec`. The
+    * marketing-attribution primitive every event warehouse ends up
+    * running daily.
+    *
+    * NOT a join: conversions and touches interleave in one
+    * (user, ts)-sorted pass — touches publish their (ts, id) and a
+    * `last(..., ignoreNulls)` window carries the latest one forward to
+    * each conversion row. ONE user-keyed shuffle for any number of
+    * conversions and touches; the join formulation (each conversion ×
+    * all prior touches) is quadratic in a hot user's activity.
+    * Ordering is (ts, is-conversion, event_id): a touch at the exact
+    * conversion timestamp counts (touch sorts first), and same-ts
+    * touches resolve to the highest event_id — deterministic under
+    * unique ids.
+    */
+  def attributionLastTouch(events: DataFrame, touchTypes: Seq[String],
+                           convType: String,
+                           lookbackSec: Long = 7L * 24 * 3600): DataFrame = {
+    val ev = events
+      .filter(col("event_type").isin((touchTypes :+ convType).map(lit): _*))
+      .withColumn("__is_conv",
+        when(col("event_type") === convType, 1).otherwise(0))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("__is_conv"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("__touch_ts",
+        last(when(col("__is_conv") === 0, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("__touch_id",
+        last(when(col("__is_conv") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("__is_conv") === 1)
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("ts").as("conv_ts"),
+        when(unix_timestamp(col("ts")) - unix_timestamp(col("__touch_ts"))
+          <= lookbackSec, col("__touch_id")).as("touch_id"),
+        when(unix_timestamp(col("ts")) - unix_timestamp(col("__touch_ts"))
+          <= lookbackSec, col("__touch_ts")).as("touch_ts"))
+  }
+
+  /** Exponentially-decayed activity feature (r8-w4): for each event,
+    * Σ_{k=0..depth-1} α^k · value_{i−k} over the user's previous
+    * events in (ts, id) order — the "recent engagement" feature
+    * recommendation and fraud models consume, where yesterday's
+    * actions count half (α = 0.5).
+    *
+    * Bounded-depth lag chain, NOT a recurrence: an unbounded EWMA
+    * needs a sequential carry per key (no Spark window computes it),
+    * and with α ≤ 0.5 the tail beyond `depth` events contributes
+    * < α^depth ≈ 1e-5 of the signal — so the contract IS the
+    * truncated sum. One user-keyed sort shuffle; the lag chain is
+    * per-row codegen over the sorted frame. α = a power of two makes
+    * every term's scaling exact in binary floating point and the
+    * left-to-right add order is pinned by the expression shape, so
+    * the oracle replays bit-identically.
+    */
+  def decayedFeature(events: DataFrame, alpha: Double = 0.5,
+                     depth: Int = 16): DataFrame = {
+    require(depth >= 1 && depth <= 64, "depth in [1, 64]")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val terms = (0 until depth).map { k =>
+      coalesce(lag(col("value"), k).over(w), lit(0.0)) *
+        lit(math.pow(alpha, k))
+    }
+    events.select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("decayed_value", terms.reduceLeft(_ + _))
+  }
 }

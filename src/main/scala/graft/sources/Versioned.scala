@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, when}
 
 /** Versioned parquet table: a minimal manifest log giving plain
   * parquet directories the three properties object-store tables are
@@ -121,6 +122,54 @@ object Versioned {
     require(v >= 1, s"no committed version at $path")
     val segs = readManifest(spark, path, v)
     spark.read.parquet(segs.map(s => new Path(path, s).toString): _*)
+  }
+
+  /** Keyed change feed between two committed versions — the
+    * time-travel dividend: `changes(v₁, v₂)` derives the CDC stream a
+    * downstream consumer would need to catch up from v₁ to v₂ without
+    * the upstream ever emitting one (Delta's CDF / Iceberg's
+    * changelog read, derived rather than stored). One full-outer join
+    * on the key — both sides shuffle once on `keys`; a key-bucketed
+    * layout would make even that exchange-free — then a null-safe
+    * per-column compare classifies each key:
+    *
+    *  - `insert`: key absent at v₁ (row carries the v₂ values);
+    *  - `delete`: key absent at v₂ (row carries the v₁ values);
+    *  - `update`: present in both, any non-key column differs
+    *    null-safely (row carries the v₂ values).
+    *
+    * Unchanged keys emit nothing, so the feed is delta-sized. Both
+    * versions must be key-unique (the [[upsert]] invariant); the
+    * non-key schema is taken from v₂ and must exist at v₁ (run
+    * schema evolution forward, not backward).
+    */
+  def changes(spark: SparkSession, path: String, fromVersion: Int,
+              toVersion: Int, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    val before = read(spark, path, Some(fromVersion))
+    val after = read(spark, path, Some(toVersion))
+    val valCols = after.columns.filterNot(keys.contains).toSeq
+    val b = before.select((keys ++ valCols).map(col): _*)
+      .withColumn("__in_b", lit(1))
+      .select(keys.map(col) ++ valCols.map(c => col(c).as(s"__b_$c"))
+        :+ col("__in_b"): _*)
+    val a = after.select((keys ++ valCols).map(col): _*)
+      .withColumn("__in_a", lit(1))
+      .select(keys.map(col) ++ valCols.map(c => col(c).as(s"__a_$c"))
+        :+ col("__in_a"): _*)
+    val joined = b.join(a, keys, "full_outer")
+    val differs = valCols.map(c => !(col(s"__b_$c") <=> col(s"__a_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    joined
+      .withColumn("change_type",
+        when(col("__in_b").isNull, lit("insert"))
+          .when(col("__in_a").isNull, lit("delete"))
+          .when(differs, lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) ++ Seq(col("change_type")) ++ valCols.map { c =>
+        when(col("change_type") === "delete", col(s"__b_$c"))
+          .otherwise(col(s"__a_$c")).as(c)
+      }: _*)
   }
 
   /** Read-merge-commit with the merge INSIDE the retry loop: each

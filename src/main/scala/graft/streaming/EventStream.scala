@@ -37,6 +37,19 @@ case class SampleInW(stratum: String, id: Long, xi: Double)
   */
 case class TopNStateW(version: Long, xis: List[Double], ids: List[Long])
 
+/** One event entering the streaming attributor (is_conv ∈ {0, 1}). */
+case class AttrIn(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                  is_conv: Int)
+
+/** Latest-touch state per user (µs event time + event id). */
+case class AttrState(tsUs: Long, id: Long)
+
+/** One attributed conversion (touch fields NULL when no touch is
+  * inside the lookback).
+  */
+case class AttrOut(user_id: Long, conv_id: Long, conv_ts: java.sql.Timestamp,
+                   touch_id: Option[Long], touch_ts: Option[java.sql.Timestamp])
+
 /** Structured-Streaming re-expression of the reference's scheduled
   * CDC loop (reference: dagster_code/nomba_pipeline/definitions.py —
   * a 15-minute cron re-running the incremental load). Instead of
@@ -478,5 +491,66 @@ object EventStream {
       .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
+  /** Streaming last-touch attribution (r8-w4) — the continuous twin
+    * of [[graft.pipeline.Analytics.attributionLastTouch]]: each
+    * user's state is ONE (ts, id) pair — their latest click/view —
+    * and every arriving purchase is attributed against it
+    * immediately, so conversions credit in the current microbatch
+    * instead of tomorrow's batch job. State size = one tiny struct ×
+    * active users, independent of event volume (the 100 TB contract;
+    * no per-event buffering like the stream-stream [[correlate]]
+    * join, which must hold a lookback window of BOTH sides).
+    *
+    * In-batch events sort by (ts, is-conv, id) — the batch operator's
+    * exact tie discipline: a touch at the purchase's own timestamp
+    * counts, same-ts touches resolve to the highest id. Equal to the
+    * batch form whenever event-time order is respected ACROSS
+    * microbatches per user (the file-source CDC layout; a touch
+    * arriving in a later batch than a purchase it preceded would be
+    * credited only forward — the streaming tradeoff, stated).
+    * Lookback compares floored epoch seconds, matching the batch
+    * operator's `unix_timestamp` arithmetic.
+    */
+  def attribution(events: DataFrame, touchTypes: Seq[String],
+                  convType: String,
+                  lookbackSec: Long = 7L * 24 * 3600): Dataset[AttrOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def micros(ts: java.sql.Timestamp): Long =
+      (ts.getTime / 1000) * 1000000L + ts.getNanos / 1000
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000000 * 1000)
+      t.setNanos((us % 1000000).toInt * 1000)
+      t
+    }
+
+    val fn = (userId: Long, it: Iterator[AttrIn], state: GroupState[AttrState]) => {
+      val evs = it.toArray.sortBy(e => (micros(e.ts), e.is_conv, e.event_id))
+      var st = state.getOption
+      val out = Seq.newBuilder[AttrOut]
+      evs.foreach { e =>
+        if (e.is_conv == 0) {
+          st = Some(AttrState(micros(e.ts), e.event_id))
+        } else {
+          val valid = st.filter(s =>
+            micros(e.ts) / 1000000 - s.tsUs / 1000000 <= lookbackSec)
+          out += AttrOut(userId, e.event_id, e.ts,
+            valid.map(_.id), valid.map(s => toTs(s.tsUs)))
+        }
+      }
+      st.foreach(state.update)
+      out.result().iterator
+    }
+
+    events
+      .filter(col("event_type").isin((touchTypes :+ convType).map(lit): _*))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_type") === convType, 1).otherwise(0).as("is_conv"))
+      .as[AttrIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
   }
 }

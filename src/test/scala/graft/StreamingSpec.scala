@@ -423,4 +423,29 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
     Par.release()
   }
+
+  test("attribution: state carries the latest touch across microbatches; lookback cuts") {
+    // batch 1: u1 touches twice (id 2 latest); u2 touches long ago
+    // batch 2: u1 purchases (credit id 2), u2 purchases outside the
+    //          lookback (null), u3 purchases with no touch ever (null),
+    //          u1 touches again then purchases same-ts (credit id 7)
+    val b1 = Seq(
+      Event(1L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0),
+      Event(2L, ts("2024-01-01 11:00:00"), 1L, "view", 0.0),
+      Event(3L, ts("2024-01-01 09:00:00"), 2L, "click", 0.0))
+    val b2 = Seq(
+      Event(5L, ts("2024-01-02 00:00:00"), 1L, "purchase", 1.0),
+      Event(6L, ts("2024-01-09 09:00:01"), 2L, "purchase", 1.0), // 8d+1s after id 3
+      Event(4L, ts("2024-01-02 00:00:00"), 3L, "purchase", 1.0),
+      Event(7L, ts("2024-01-03 00:00:00"), 1L, "view", 0.0),
+      Event(8L, ts("2024-01-03 00:00:00"), 1L, "purchase", 1.0))
+    val out = runIncremental(
+      df => EventStream.attribution(df, Seq("click", "view"), "purchase")
+        .toDF(),
+      OutputMode.Append(), Seq(b1, b2))
+    val got = out.select("conv_id", "touch_id").collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getAs[java.lang.Long]("touch_id")).map(_.toLong)).toMap
+    assert(got === Map(5L -> Some(2L), 6L -> None, 4L -> None, 8L -> Some(7L)))
+  }
 }

@@ -1,0 +1,238 @@
+package graft
+
+import graft.operators.{Dedup, IncrementalAgg, SurrogateKey}
+import graft.pipeline.Analytics
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 wave-4 operators: surrogate keys, incremental aggregate
+  * maintenance, MAD outliers, last-touch attribution, decayed
+  * features, semantic dedup.
+  */
+class W4OpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ---- SurrogateKey ----
+
+  test("surrogate keys: two-phase numbering equals the global window, no single-partition exchange") {
+    val conf = spark.conf
+    val prevA = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false") // plan tree inspectable
+    try {
+      val df = spark.range(0, 10000).select(
+        (col("id") * 2654435761L % 1000L).as("grp"), col("id").as("uid"))
+      val got = SurrogateKey.assign(df, Seq("grp", "uid"), "sk")
+      // definitional form: one global window (the thing we must NOT plan)
+      val want = df.withColumn("sk",
+        row_number().over(Window.orderBy(col("grp"), col("uid"))).cast("long"))
+      assert(got.orderBy("sk").collect().toSeq ===
+        want.orderBy("sk").collect().toSeq)
+      // scale guard: the two-phase plan must have no SinglePartition
+      // shuffle (the global-window form has exactly one)
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+      def singles(p: org.apache.spark.sql.execution.SparkPlan) = p.collect {
+        case s: ShuffleExchangeLike if s.outputPartitioning == SinglePartition => s
+      }
+      assert(singles(got.queryExecution.executedPlan).isEmpty,
+        "two-phase surrogate keys planned a SinglePartition exchange")
+      assert(singles(want.queryExecution.executedPlan).nonEmpty)
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", prevA)
+      Par.release()
+    }
+  }
+
+  test("surrogate keys: dense 1..N and stable under repartitioning") {
+    val df = spark.range(0, 777).select(col("id").as("k"))
+      .repartition(13)
+    val got = SurrogateKey.assign(df, Seq("k"), "sk")
+      .select("k", "sk").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq === (1L to 777L))
+    assert(got.forall { case (k, sk) => sk === k + 1 })
+  }
+
+  // ---- IncrementalAgg ----
+
+  test("incremental aggregate: fold of N deltas equals the full recompute") {
+    val full = spark.range(0, 5000).select(
+      (col("id") % 7).as("k"), (col("id") % 100).cast("double").as("v"))
+    val parts = (0 until 4).map(i => full.filter(col("id") % 4 === i))
+    val state0 = IncrementalAgg.init(parts.head, Seq("k"), "v")
+    val folded = parts.tail.foldLeft(state0)(
+      (st, d) => IncrementalAgg.maintain(st, d, Seq("k"), "v"))
+    val want = IncrementalAgg.init(full, Seq("k"), "v")
+    assert(IncrementalAgg.finalize(folded).orderBy("k").collect().toSeq ===
+      IncrementalAgg.finalize(want).orderBy("k").collect().toSeq)
+  }
+
+  test("incremental aggregate: empty delta is a no-op; finalize derives avg") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 10.0)).toDF("k", "v")
+    val st = IncrementalAgg.init(df, Seq("k"), "v")
+    val same = IncrementalAgg.maintain(st, df.filter(lit(false)), Seq("k"), "v")
+    assert(same.orderBy("k").collect().toSeq === st.orderBy("k").collect().toSeq)
+    val fin = IncrementalAgg.finalize(st).filter(col("k") === "a").head()
+    assert(fin.getAs[Double]("avg_value") === 1.5)
+    assert(fin.getAs[Double]("sum_value") === 3.0)
+  }
+
+  // ---- Versioned.changes (in W4 because it rides the new ops wave) ----
+
+  test("versioned change feed: insert/delete/null-safe update, unchanged silent") {
+    import graft.sources.Versioned
+    val dir = tmpDir("vchg") + "/t"
+    val v1 = Seq((1L, Option("x"), 10.0), (2L, Option("y"), 20.0),
+      (3L, None: Option[String], 30.0), (4L, Option("z"), 40.0))
+      .toDF("id", "name", "bal")
+    // 1 unchanged; 2 deleted; 3 null→value update; 5 inserted;
+    // 4 value→null update
+    val v2 = Seq((1L, Option("x"), 10.0), (3L, Option("now"), 30.0),
+      (4L, None: Option[String], 40.0), (5L, Option("new"), 50.0))
+      .toDF("id", "name", "bal")
+    Versioned.commit(v1, dir, replace = true)
+    Versioned.commit(v2, dir, replace = true)
+    val got = Versioned.changes(spark, dir, 1, 2, Seq("id"))
+      .orderBy("id").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((2L, "delete"), (3L, "update"), (4L, "update"), (5L, "insert")))
+    // delete carries the BEFORE values, update/insert the AFTER values
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    assert(byId(2L).getString(2) === "y")
+    assert(byId(3L).getString(2) === "now")
+    assert(byId(4L).isNullAt(2))
+    assert(byId(5L).getString(2) === "new")
+  }
+
+  // ---- Analytics: MAD outliers ----
+
+  test("MAD outliers: robust to a heavy tail the z-score is dragged by") {
+    // 99 values at 0..98 plus one at 10000: median/MAD barely move,
+    // so the spike IS flagged (a 3σ z-score cut on the same data
+    // would swallow σ and could miss moderate outliers)
+    val df = ((0 until 99).map(i => ("t", i.toDouble)) :+ ("t", 10000.0))
+      .toDF("event_type", "value")
+    val r = Analytics.madOutliers(df, "event_type", "value", k = 3.0).head()
+    assert(r.getAs[Double]("med") === 49.5)
+    assert(r.getAs[Long]("n_outliers") === 1L)
+    assert(r.getAs[Long]("n_rows") === 100L)
+  }
+
+  // ---- Analytics: last-touch attribution ----
+
+  test("attribution: latest touch wins, same-ts touch counts, lookback cuts, no touch → null") {
+    val ev = Seq(
+      // u1: two touches then purchase → latest (id 12) wins
+      ("u1", 10L, "2024-01-01 00:00:00", "click"),
+      ("u1", 12L, "2024-01-01 02:00:00", "view"),
+      ("u1", 20L, "2024-01-01 03:00:00", "purchase"),
+      // u2: touch at the exact purchase ts counts (touch sorts first)
+      ("u2", 30L, "2024-01-02 00:00:00", "click"),
+      ("u2", 31L, "2024-01-02 00:00:00", "purchase"),
+      // u3: touch outside the lookback → null attribution
+      ("u3", 40L, "2024-01-01 00:00:00", "view"),
+      ("u3", 41L, "2024-01-20 00:00:00", "purchase"),
+      // u4: purchase with no touch at all
+      ("u4", 50L, "2024-01-05 00:00:00", "purchase"),
+      // u5: a LATER touch must not attribute backwards
+      ("u5", 60L, "2024-01-03 00:00:00", "purchase"),
+      ("u5", 61L, "2024-01-04 00:00:00", "click"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val got = Analytics.attributionLastTouch(ev, Seq("click", "view"),
+        "purchase", lookbackSec = 7L * 24 * 3600)
+      .orderBy("conv_id").collect()
+    val byConv = got.map(r => r.getAs[Long]("conv_id") ->
+      Option(r.getAs[java.lang.Long]("touch_id")).map(_.toLong)).toMap
+    assert(byConv === Map(20L -> Some(12L), 31L -> Some(30L),
+      41L -> None, 50L -> None, 60L -> None))
+  }
+
+  // ---- Analytics: decayed feature ----
+
+  test("decayed feature: truncated geometric sum in (ts, id) order per user") {
+    val ev = Seq(
+      ("u", 1L, "2024-01-01 00:00:00", 8.0),
+      ("u", 2L, "2024-01-01 01:00:00", 4.0),
+      ("u", 3L, "2024-01-01 02:00:00", 2.0),
+      ("v", 9L, "2024-01-01 00:00:00", 100.0))
+      .toDF("user_id", "event_id", "ts", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val got = Analytics.decayedFeature(ev, alpha = 0.5, depth = 16)
+      .select("event_id", "decayed_value").as[(Long, Double)]
+      .collect().toMap
+    assert(got(1L) === 8.0)
+    assert(got(2L) === 4.0 + 0.5 * 8.0)
+    assert(got(3L) === 2.0 + 0.5 * 4.0 + 0.25 * 8.0)
+    assert(got(9L) === 100.0) // other user unaffected
+  }
+
+  test("decayed feature: depth truncates — an event depth+1 back contributes nothing") {
+    val rows = (0 until 20).map(i => ("u", i.toLong,
+      f"2024-01-01 ${i}%02d:00:00", if (i == 0) 1024.0 else 0.0))
+    val ev = rows.toDF("user_id", "event_id", "ts", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val got = Analytics.decayedFeature(ev, alpha = 0.5, depth = 4)
+      .select("event_id", "decayed_value").as[(Long, Double)]
+      .collect().toMap
+    assert(got(3L) === 1024.0 / 8) // depth 4: lags 0..3 reach it
+    assert(got(4L) === 0.0)        // lag 4 is beyond the chain
+  }
+
+  // ---- Quality.psiDrift ----
+
+  test("PSI drift: identical distributions score ~0, a shift scores high, empty bins smooth") {
+    import graft.operators.Quality
+    val ref = spark.range(0, 10000).select((col("id") % 100).cast("double").as("v"))
+    // same distribution → tiny PSI (only Laplace noise)
+    val same = Quality.psiDrift(ref, ref, "v", bins = 10).head()
+    assert(math.abs(same.getAs[Double]("psi")) < 1e-6)
+    // hard shift: everything beyond the reference's range lands in the
+    // LAST bin (empty-bin smoothing keeps every term finite)
+    val far = spark.range(0, 5000).select(lit(1e9).as("v"))
+    val drift = Quality.psiDrift(ref, far, "v", bins = 10)
+    val rows = drift.orderBy("bin").collect()
+    assert(rows.length === 10)
+    assert(rows.last.getAs[Long]("n_cur") === 5000L)
+    assert(rows.init.forall(_.getAs[Long]("n_cur") === 0L))
+    assert(rows.head.getAs[Double]("psi") > 1.0, "a total shift must scream")
+    // per-bin reference mass is ~equal-depth (equal-width value grid)
+    assert(rows.forall(r => math.abs(r.getAs[Long]("n_ref") - 1000L) <= 100))
+    Par.release()
+  }
+
+  // ---- Dedup.semanticDedup ----
+
+  test("semantic dedup: equals exhaustive cosine restricted to shared-cell pairs") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = embs.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).toSeq
+    val t = 0.3
+    val got = Dedup.semanticDedup(embs, "vec_id", "embedding", cents, t)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // oracle: exhaustive pairs ≥ t that share a nearest centroid
+    val exhaustive = Dedup.embeddingCosine(embs, "vec_id", "embedding",
+      threshold = t, exhaustive = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    import graft.functions.Vectors
+    def nearest(): Map[Long, Int] = {
+      val assigned = embs.select(col("vec_id"),
+        Vectors.toDouble(col("embedding")).as("v")).collect().map { r =>
+        val v = r.getSeq[Double](1)
+        val cell = cents.minBy { case (c, cv) =>
+          var d = 0.0; var i = 0
+          while (i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+          (d, c)
+        }._1
+        r.getLong(0) -> cell
+      }
+      assigned.toMap
+    }
+    val cellOf = nearest()
+    val want = exhaustive.filter { case (a, b) => cellOf(a) == cellOf(b) }
+    assert(got === want)
+    assert(got.nonEmpty, "spec data should produce at least one pair")
+    Par.release()
+  }
+}
