@@ -1810,6 +1810,47 @@ object SparkEntry {
           "value", bins = 10)
         .orderBy(col("bin"))
     }),
+    // incremental COUNT(DISTINCT) maintenance: distinct-pair state
+    // folded with the delta must equal the full distinct recompute
+    "mv_incremental_distinct" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"), col("event_id"))
+      val cut = lit(8000L)
+      val st = IncrementalAgg.initDistinct(
+        ev.filter(col("event_id") < cut), Seq("event_type"), "user_id")
+      IncrementalAgg.finalizeDistinct(
+          IncrementalAgg.maintainDistinct(st, ev.filter(col("event_id") >= cut),
+            Seq("event_type"), "user_id"),
+          Seq("event_type"), "user_id")
+        .orderBy(col("event_type"))
+    }),
+    // streaming unbounded EWMA graded batch-side (§2.6): the true
+    // recurrence no batch window computes, replayed bit-exact by a
+    // recursive CTE (α = 0.5 → every step is one exact scale + one
+    // identically-ordered add)
+    "stream_ewma" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_ew").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = eventCols(Tables.events(s, d))
+      val cutoff = lit(CdcCutoff).cast("timestamp")
+      ev.filter(col("ts") <= cutoff).write.parquet(inDir)
+      withShufflePartitions(s, 4) {
+        val q = graft.streaming.EventStream.ewma(
+            graft.streaming.EventStream.read(s, inDir), alpha = 0.5)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .format("parquet").option("path", outDir).start()
+        try {
+          q.processAllAvailable()
+          ev.filter(col("ts") > cutoff).write.mode("append").parquet(inDir)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.read.parquet(outDir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("value"), col("ewma"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
     // streaming last-touch attribution graded batch-side (§2.6): two
     // microbatches split at the CDC cutoff; the final sink must equal
     // the BATCH attribution oracle (state carries the latest touch
@@ -4648,6 +4689,31 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            ORDER BY user_id, ts, event_id"""
       },
+
+      // the fold is exact set union, so the oracle is the full
+      // distinct recompute
+      "mv_incremental_distinct" ->
+        """SELECT event_type, count(DISTINCT user_id) AS n_distinct
+           FROM events GROUP BY event_type ORDER BY event_type""",
+
+      // the stream's recurrence replayed level-by-level: rn joins the
+      // previous row's ewma, e = value + 0.5·e_prev — the SAME IEEE
+      // multiply+add sequence the stateful operator executes
+      "stream_ewma" ->
+        """WITH RECURSIVE e AS (
+             SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS rn
+             FROM events
+           ), r AS (
+             SELECT user_id, event_id, ts, value, rn, value AS ewma
+             FROM e WHERE rn = 1
+             UNION ALL
+             SELECT e.user_id, e.event_id, e.ts, e.value, e.rn,
+               e.value + 0.5 * r.ewma AS ewma
+             FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+           SELECT user_id, event_id, ts, value, ewma FROM r
+           ORDER BY user_id, event_id""",
 
       // equal-depth reference bins via quantile_cont, the same
       // list_filter bin fold, Laplace-smoothed fractions, window total

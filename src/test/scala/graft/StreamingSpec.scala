@@ -448,4 +448,22 @@ class StreamingSpec extends SparkSuite {
         Option(r.getAs[java.lang.Long]("touch_id")).map(_.toLong)).toMap
     assert(got === Map(5L -> Some(2L), 6L -> None, 4L -> None, 8L -> Some(7L)))
   }
+
+  test("ewma: the recurrence carries across microbatches; in-batch disorder sorts away") {
+    val b1 = Seq(
+      Event(2L, ts("2024-01-01 11:00:00"), 1L, "click", 4.0), // arrives first,
+      Event(1L, ts("2024-01-01 10:00:00"), 1L, "click", 8.0)) // sorts second
+    val b2 = Seq(
+      Event(3L, ts("2024-01-02 09:00:00"), 1L, "click", 2.0),
+      Event(9L, ts("2024-01-02 09:00:00"), 2L, "click", 7.0))
+    val out = runIncremental(
+      df => EventStream.ewma(df, alpha = 0.5).toDF(),
+      OutputMode.Append(), Seq(b1, b2))
+    val got = out.select("event_id", "ewma").as[(Long, Double)].collect().toMap
+    assert(got === Map(
+      1L -> 8.0,               // e₁ = 8
+      2L -> (4.0 + 0.5 * 8.0), // e₂ = 4 + ½·8 (sorted, not arrival, order)
+      3L -> (2.0 + 0.5 * (4.0 + 0.5 * 8.0)), // batch-2 carry from batch-1 state
+      9L -> 7.0))              // other user starts fresh
+  }
 }

@@ -76,6 +76,23 @@ class W4OpsSpec extends SparkSuite {
     assert(fin.getAs[Double]("sum_value") === 3.0)
   }
 
+  test("incremental distinct: pair-state fold equals full COUNT(DISTINCT); nulls never counted") {
+    val full = spark.range(0, 4000).select(
+      (col("id") % 5).cast("string").as("k"),
+      when(col("id") % 97 === 0, lit(null).cast("long"))
+        .otherwise(col("id") % 40).as("v"),
+      col("id"))
+    val parts = (0 until 3).map(i => full.filter(col("id") % 3 === i))
+    val st0 = IncrementalAgg.initDistinct(parts.head, Seq("k"), "v")
+    val folded = parts.tail.foldLeft(st0)(
+      (st, d) => IncrementalAgg.maintainDistinct(st, d, Seq("k"), "v"))
+    val got = IncrementalAgg.finalizeDistinct(folded, Seq("k"), "v")
+    val want = full.groupBy("k").agg(countDistinct(col("v")).as("n_distinct"))
+    assert(got.orderBy("k").collect().toSeq === want.orderBy("k").collect().toSeq)
+    // the state is pair-sized, not history-sized
+    assert(folded.count() <= 5 * 40)
+  }
+
   // ---- Versioned.changes (in W4 because it rides the new ops wave) ----
 
   test("versioned change feed: insert/delete/null-safe update, unchanged silent") {
