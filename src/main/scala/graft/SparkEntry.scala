@@ -1810,6 +1810,38 @@ object SparkEntry {
           "value", bins = 10)
         .orderBy(col("bin"))
     }),
+    // KS two-sample drift: binning-free max-CDF-gap via the two-phase
+    // distributed cumsum (no SinglePartition window)
+    "dq_drift_ks" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+      Quality.ksDrift(
+        ev.filter(col("event_id") < lit(8000L)).select(col("value")),
+        ev.filter(col("event_id") >= lit(8000L)).select(col("value")),
+        "value")
+    }),
+    // BM25 ranked retrieval over the corpus (Lucene-shifted idf,
+    // k1=1.2 b=0.75), scored only on posting-sized frames
+    "doc_bm25_search" -> ((s, d) =>
+      Search.bm25(Tables.documents(s, d), "doc_id", "text",
+          query = Seq("window", "join", "scan"), topK = 20)
+        .orderBy(col("score").desc, col("id"))),
+    // triangle census of the co-purchase graph (degree-oriented wedge
+    // counting — each triangle closed at its min-degree corner)
+    "graph_triangles" -> ((s, d) => {
+      // pk-sampled subgraph (¼ of parts, pushed to the scan): the
+      // full co-purchase graph is DENSE (avg degree >100 at sf0.1 →
+      // ~140M wedges); the graded census runs the identical operator
+      // on a bounded-density slice, and StressR8d-style scaling is
+      // argued on the operator doc (out-degree O(√E) by orientation)
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.select(col("ok"), col("pk").as("pa"))
+        .join(li.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+        .filter(col("pa") < col("pb"))
+        .select(col("pa"), col("pb"))
+      Graph.triangleStats(edges, "pa", "pb")
+    }),
     // incremental COUNT(DISTINCT) maintenance: distinct-pair state
     // folded with the delta must equal the full distinct recompute
     "mv_incremental_distinct" -> ((s, d) => {
@@ -4689,6 +4721,88 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            ORDER BY user_id, ts, event_id"""
       },
+
+      // per-value counts → cumulative CDFs → max gap; identical
+      // divisions, round(6) on the one reported double
+      "dq_drift_ks" ->
+        """WITH g AS (
+             SELECT value AS v,
+               CAST(sum(CASE WHEN event_id < 8000 THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+               CAST(sum(CASE WHEN event_id >= 8000 THEN 1 ELSE 0 END) AS BIGINT) AS cc
+             FROM events GROUP BY value
+           ), t AS (
+             SELECT CAST(sum(cr) AS BIGINT) AS nr,
+               CAST(sum(cc) AS BIGINT) AS nc FROM g
+           ), c AS (
+             SELECT
+               CAST(sum(cr) OVER (ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS fr,
+               CAST(sum(cc) OVER (ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS fc
+             FROM g)
+           SELECT nr AS n_ref, nc AS n_cur,
+             round(max(abs(fr / CAST(nr AS DOUBLE)
+               - fc / CAST(nc AS DOUBLE))), 6) AS ks_d
+           FROM c, t GROUP BY nr, nc""",
+
+      // tokenization, tf/df, Lucene-shifted idf, the k1/b norm and the
+      // round(4) score all replayed; same (score desc, id) cut
+      "doc_bm25_search" -> {
+        val normSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+        s"""WITH words AS (
+             SELECT doc_id AS id, unnest(string_split($normSql, ' ')) AS term
+             FROM documents
+           ), w AS (SELECT id, term FROM words WHERE length(term) > 0
+           ), lens AS (SELECT id, count(*) AS dl FROM w GROUP BY id
+           ), stats AS (
+             SELECT count(*) AS n,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens
+           ), tf AS (
+             SELECT id, term, count(*) AS tf FROM w
+             WHERE term IN ('window', 'join', 'scan') GROUP BY id, term
+           ), df AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+           ), scored AS (
+             SELECT tf.id,
+               ln((CAST(n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                 / (CAST(df.df AS DOUBLE) + 0.5) + 1)
+               * (CAST(tf.tf AS DOUBLE) * 2.2)
+               / (CAST(tf.tf AS DOUBLE)
+                  + 1.2 * (1 - 0.75 + 0.75 * CAST(lens.dl AS DOUBLE) / avgdl))
+                 AS contrib
+             FROM tf JOIN df USING (term) JOIN lens USING (id), stats)
+           SELECT id, round(sum(contrib), 4) AS score,
+             count(*) AS n_terms
+           FROM scored GROUP BY id
+           ORDER BY score DESC, id LIMIT 20"""
+      },
+
+      // canonical co-purchase edges, a<b<c closed-triple count, and
+      // the Σd(d−1)/2 wedge denominator
+      "graph_triangles" ->
+        """WITH li AS (
+             SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+             WHERE l_partkey % 4 = 0
+           ), e AS (
+             SELECT DISTINCT x.pk AS a, y.pk AS b
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+           ), deg AS (
+             SELECT n, count(*) AS d FROM (
+               SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+             GROUP BY n
+           ), tri AS (
+             SELECT count(*) AS t
+             FROM e e1 JOIN e e2 ON e1.b = e2.a
+               JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+           ), st AS (
+             SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(d) / 2 AS BIGINT) AS n_edges,
+               CAST(sum(d * (d - 1) / 2) AS DOUBLE) AS wedges
+             FROM deg)
+           SELECT n_nodes, n_edges, CAST(t AS BIGINT) AS n_triangles,
+             CASE WHEN wedges > 0
+               THEN round(3.0 * CAST(t AS DOUBLE) / wedges, 6)
+               ELSE 0.0 END AS clustering_coef
+           FROM st, tri""",
 
       // the fold is exact set union, so the oracle is the full
       // distinct recompute

@@ -316,12 +316,17 @@ object Quality {
                bins: Int = 10): DataFrame = {
     require(bins >= 2, "need at least 2 bins")
     val ps = (1 until bins).map(i => i.toDouble / bins)
-    val edges = reference.groupBy(lit(1).as("__k"))
-      .agg(expr(s"percentile($valCol, array(${ps.mkString(",")}))").as("__edges"))
+    // the (bins−1)-element edge array rides to the driver and back as
+    // a LITERAL (the IVF-centroid bootstrap discipline): a 1-row
+    // edges frame joined on a constant key constant-folds into a
+    // BroadcastNestedLoopJoin (PlansSpec catches it), and a literal
+    // keeps the bin fold a zero-shuffle scan expression
+    val edgeVals: Seq[Double] = reference
+      .agg(expr(s"percentile($valCol, array(${ps.mkString(",")}))"))
+      .head.getSeq[Double](0).toSeq
     def binned(df: DataFrame): DataFrame =
-      df.withColumn("__k", lit(1))
-        .join(broadcast(edges), Seq("__k"))
-        .select(expr(s"size(filter(__edges, e -> $valCol > e))").as("bin"))
+      df.select(size(filter(typedLit(edgeVals),
+        (e: Column) => col(valCol) > e)).as("bin"))
     def counts(df: DataFrame, out: String): DataFrame =
       binned(df).groupBy(col("bin")).agg(count(lit(1)).as(out))
     val spark = reference.sparkSession
@@ -343,5 +348,63 @@ object Quality {
       .select(col("bin"), col("n_ref"), col("n_cur"),
         round(col("__p"), 6).as("ref_frac"), round(col("__q"), 6).as("cur_frac"),
         round(col("__contrib"), 6).as("psi_contrib"), col("psi"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic (r8-w4) — the
+    * binning-free companion to [[psiDrift]]: D = max over observed
+    * values of |F_ref − F_cur|, the largest gap between the two
+    * empirical CDFs. PSI answers "how much mass moved between my
+    * bins"; KS answers "how far apart are the distributions,
+    * anywhere" with no binning choice to defend.
+    *
+    * The CDF needs a GLOBAL cumulative count over the sorted distinct
+    * values — the naive window (`ORDER BY v` unpartitioned) is a
+    * SinglePartition exchange, one task scanning the whole value
+    * domain. Same two-phase fix as [[SurrogateKey]]: per-value counts
+    * shuffle once on the value, range-repartition + local sort, ONE
+    * tiny driver pull of per-partition subtotals (numPartitions
+    * rows), then each partition finishes its prefix independently
+    * with its offsets added — the window is partitioned by the
+    * physical pid, so reducers stay parallel. Totals n_ref/n_cur fall
+    * out of the same subtotal pull: no extra pass. Per-row division
+    * by the totals is identical IEEE arithmetic in both engines;
+    * round(6) guards only the reported D.
+    */
+  def ksDrift(reference: DataFrame, current: DataFrame,
+              valCol: String): DataFrame = {
+    val spark = reference.sparkSession
+    val tagged = reference.select(col(valCol).as("__v"))
+      .withColumn("__cr", lit(1L)).withColumn("__cc", lit(0L))
+      .unionByName(current.select(col(valCol).as("__v"))
+        .withColumn("__cr", lit(0L)).withColumn("__cc", lit(1L)))
+    val perValue = tagged.groupBy(col("__v"))
+      .agg(sum(col("__cr")).as("__cr"), sum(col("__cc")).as("__cc"))
+    val ranged = graft.Par.persistTracked(
+      perValue.repartitionByRange(col("__v"))
+        .sortWithinPartitions(col("__v"))
+        .withColumn("__pid", spark_partition_id()))
+    // numPartitions-sized driver pull (the SurrogateKey discipline)
+    val parts = ranged.groupBy("__pid")
+      .agg(sum(col("__cr")).as("r"), sum(col("__cc")).as("c")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val nRef = parts.map(_._2).sum
+    val nCur = parts.map(_._3).sum
+    val offR = parts.map(_._1).zip(
+      parts.scanLeft(0L)((a, p) => a + p._2)).toMap
+    val offC = parts.map(_._1).zip(
+      parts.scanLeft(0L)((a, p) => a + p._3)).toMap
+    val offDf = broadcast(spark.createDataFrame(
+      parts.map { case (p, _, _) => (p, offR(p), offC(p)) }.toSeq)
+      .toDF("__pid", "__or", "__oc"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(offDf, Seq("__pid"))
+      .withColumn("__fr",
+        (sum(col("__cr")).over(w) + col("__or")).cast("double") / lit(nRef.toDouble))
+      .withColumn("__fc",
+        (sum(col("__cc")).over(w) + col("__oc")).cast("double") / lit(nCur.toDouble))
+      .agg(round(max(abs(col("__fr") - col("__fc"))), 6).as("ks_d"))
+      .select(lit(nRef).as("n_ref"), lit(nCur).as("n_cur"), col("ks_d"))
   }
 }

@@ -123,4 +123,75 @@ object Search {
       .filter(col("__t").contains(col("pat")))
       .select(col("pat").as("pattern"), col("id"))
   }
+
+  /** BM25 ranked retrieval (r8-w4) — the substring family finds
+    * documents that CONTAIN; this ranks documents that are ABOUT:
+    * Okapi BM25 (Robertson & Walker '94, the Lucene/Elasticsearch
+    * default) over whitespace terms,
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avg)),
+    *   idf(t)   = ln( (N − df + 0.5)/(df + 0.5) + 1 )   (Lucene's
+    *              shifted form — never negative for common terms).
+    *
+    * Plan shape: the query's terms FILTER the exploded token stream
+    * BEFORE any aggregation (an IN over ≤ |query| literals, pushed to
+    * the scan side of the shuffle), so tf/df frames are
+    * posting-sized, not corpus-sized; doc lengths aggregate once from
+    * the same stream pre-filter (one extra corpus-wide agg — the
+    * length norm needs every doc's length, cacheable as a stored
+    * stat at 100 TB); N and avg len ride a 1-row frame joined on a
+    * constant key (broadcast hash join, never a nested loop). Top-k
+    * by (score desc, id) via one final sort of the ≤ |candidates|
+    * scored rows. Tokenization is the [[graft.functions.Text
+    * .normalize]] discipline, so the whole score replays in SQL.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           query: Seq[String], topK: Int = 10,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25 needs at least one query term")
+    val terms = query.map(_.toLowerCase).distinct
+    val base = Par.widen(docs.select(col(idCol), col(textCol)), idCol)
+    // doc length = whitespace token count, a per-row regex — NOT an
+    // explode+groupBy over every token (the first cut cached the full
+    // token stream to derive lengths: a corpus-sized shuffle and
+    // cache for what one scan expression computes). Docs with zero
+    // tokens carry no terms and are excluded from N/avgdl, matching
+    // the exploded definition.
+    val lens = Par.persistTracked(
+      base.select(col(idCol).as("id"),
+          graft.functions.Text.tokenCountWs(col(textCol)).as("dl"))
+        .filter(col("dl") > 0))
+    // N and avg doc length to the driver as two scalars (a constant-
+    // key 1-row join constant-folds into a nested loop — the psiDrift
+    // lesson); at 100 TB these are stored corpus stats anyway
+    val statsRow = lens.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+        .as("avgdl")).head
+    val n = statsRow.getLong(0)
+    val avgdl = statsRow.getDouble(1)
+    val hits = base
+      .select(col(idCol).as("id"),
+        explode(split(graft.functions.Text.normalize(col(textCol)), " "))
+          .as("term"))
+      .filter(col("term").isin(terms.map(lit): _*))
+    val tf = hits.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("term"))
+      .join(lens, Seq("id"))
+      .withColumn("__idf",
+        log((lit(n.toDouble) - col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5) + 1))
+      .withColumn("__contrib",
+        col("__idf") * (col("tf").cast("double") * lit(k1 + 1)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / lit(avgdl))))
+      .groupBy(col("id"))
+      // round(4): the per-term contributions sum in engine order (the
+      // doc_surprisal cross-engine double-sum discipline); ranking and
+      // the top-k cut both use the ROUNDED score, ties to the lower id
+      .agg(round(sum(col("__contrib")), 4).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+  }
 }

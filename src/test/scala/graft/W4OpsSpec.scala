@@ -217,6 +217,79 @@ class W4OpsSpec extends SparkSuite {
     Par.release()
   }
 
+  test("KS drift: identical samples → 0, disjoint → 1, hand case exact") {
+    import graft.operators.Quality
+    val a = spark.range(0, 1000).select((col("id") % 10).cast("double").as("v"))
+    val same = Quality.ksDrift(a, a, "v").head()
+    assert(same.getAs[Double]("ks_d") === 0.0)
+    val lo = spark.range(0, 500).select(col("id").cast("double").as("v"))
+    val hi = spark.range(1000, 1600).select(col("id").cast("double").as("v"))
+    val dis = Quality.ksDrift(lo, hi, "v").head()
+    assert(dis.getAs[Double]("ks_d") === 1.0)
+    assert(dis.getAs[Long]("n_ref") === 500L)
+    assert(dis.getAs[Long]("n_cur") === 600L)
+    // hand case: ref {1,2,3,4}, cur {3,4,5,6} → max gap at v=2: |0.5−0|
+    val r = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val c = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
+    assert(Quality.ksDrift(r, c, "v").head().getAs[Double]("ks_d") === 0.5)
+    Par.release()
+  }
+
+  test("BM25: rarity, tf saturation, and length normalization order as expected") {
+    import graft.operators.Search
+    val docs = Seq(
+      (1L, "spark spark spark spark engine"),   // high tf, short
+      (2L, "spark engine"),                      // tf 1, shortest
+      (3L, "spark " + ("filler " * 50).trim),    // tf 1, long → penalized
+      (4L, "rare gem engine"),                   // the only 'rare' doc
+      (5L, "engine engine engine"))              // no query terms beyond engine
+      .toDF("doc_id", "text")
+    val r = Search.bm25(docs, "doc_id", "text", Seq("spark", "rare"), topK = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // 'rare' (df 1) outweighs 'spark' (df 3) for any tf at these lengths
+    assert(r(4L) > r(1L), "rarity must dominate")
+    // same tf=1: shorter doc scores higher than the 50-filler doc
+    assert(r(2L) > r(3L), "length normalization must penalize the long doc")
+    // higher tf wins at comparable length
+    assert(r(1L) > r(2L), "tf must help")
+    assert(!r.contains(5L), "docs without query terms don't score")
+    Par.release()
+  }
+
+  test("triangle stats: known graphs and equality to brute force on a random graph") {
+    import graft.operators.Graph
+    def stats(edges: Seq[(Long, Long)]) =
+      Graph.triangleStats(edges.toDF("a", "b"), "a", "b").head()
+    // K3: one triangle, coefficient 1; duplicate + reversed edges canonicalize
+    val k3 = stats(Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (1L, 2L)))
+    assert(k3.getAs[Long]("n_edges") === 3L)
+    assert(k3.getAs[Long]("n_triangles") === 1L)
+    assert(k3.getAs[Double]("clustering_coef") === 1.0)
+    // 4-cycle: zero triangles
+    assert(stats(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+      .getAs[Long]("n_triangles") === 0L)
+    // K4: 4 triangles, coefficient 1
+    val k4 = stats(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(k4.getAs[Long]("n_triangles") === 4L)
+    assert(k4.getAs[Double]("clustering_coef") === 1.0)
+    // random graph vs brute-force triple enumeration
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 300).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val es = edges.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var brute = 0L
+    for (i <- nodes.indices; j <- i + 1 until nodes.length;
+         k <- j + 1 until nodes.length) {
+      val (a, b, c) = (nodes(i), nodes(j), nodes(k))
+      if (es((a, b)) && es((b, c)) && es((a, c))) brute += 1
+    }
+    assert(stats(edges).getAs[Long]("n_triangles") === brute)
+    Par.release()
+  }
+
   // ---- Dedup.semanticDedup ----
 
   test("semantic dedup: equals exhaustive cosine restricted to shared-cell pairs") {
