@@ -1805,18 +1805,21 @@ object SparkEntry {
     "dq_drift_psi" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("event_id"), col("value"))
       Quality.psiDrift(
-          ev.filter(col("event_id") < lit(8000L)).select(col("value")),
-          ev.filter(col("event_id") >= lit(8000L)).select(col("value")),
+          ev.filter(col("event_id") % 5 =!= 0).select(col("value")),
+          ev.filter(col("event_id") % 5 === 0).select(col("value")),
           "value", bins = 10)
         .orderBy(col("bin"))
     }),
     // KS two-sample drift: binning-free max-CDF-gap via the two-phase
     // distributed cumsum (no SinglePartition window)
     "dq_drift_ks" -> ((s, d) => {
+      // proportional id split (4:1) so both samples are nonempty at
+      // every SF (an absolute watermark empties the current side at
+      // sf0.001 — KS needs both CDFs to exist)
       val ev = Tables.events(s, d).select(col("event_id"), col("value"))
       Quality.ksDrift(
-        ev.filter(col("event_id") < lit(8000L)).select(col("value")),
-        ev.filter(col("event_id") >= lit(8000L)).select(col("value")),
+        ev.filter(col("event_id") % 5 =!= 0).select(col("value")),
+        ev.filter(col("event_id") % 5 === 0).select(col("value")),
         "value")
     }),
     // BM25 ranked retrieval over the corpus (Lucene-shifted idf,
@@ -4727,8 +4730,8 @@ object SparkEntry {
       "dq_drift_ks" ->
         """WITH g AS (
              SELECT value AS v,
-               CAST(sum(CASE WHEN event_id < 8000 THEN 1 ELSE 0 END) AS BIGINT) AS cr,
-               CAST(sum(CASE WHEN event_id >= 8000 THEN 1 ELSE 0 END) AS BIGINT) AS cc
+               CAST(sum(CASE WHEN event_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+               CAST(sum(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cc
              FROM events GROUP BY value
            ), t AS (
              SELECT CAST(sum(cr) AS BIGINT) AS nr,
@@ -4833,9 +4836,9 @@ object SparkEntry {
       // list_filter bin fold, Laplace-smoothed fractions, window total
       "dq_drift_psi" ->
         """WITH ref AS (
-             SELECT value FROM events WHERE event_id < 8000
+             SELECT value FROM events WHERE event_id % 5 <> 0
            ), cur AS (
-             SELECT value FROM events WHERE event_id >= 8000
+             SELECT value FROM events WHERE event_id % 5 = 0
            ), edges AS (
              SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
                0.6, 0.7, 0.8, 0.9]) AS es FROM ref

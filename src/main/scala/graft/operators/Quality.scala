@@ -390,6 +390,8 @@ object Quality {
       .sortBy(_._1)
     val nRef = parts.map(_._2).sum
     val nCur = parts.map(_._3).sum
+    require(nRef > 0 && nCur > 0,
+      s"ksDrift needs both samples nonempty (ref=$nRef, cur=$nCur)")
     val offR = parts.map(_._1).zip(
       parts.scanLeft(0L)((a, p) => a + p._2)).toMap
     val offC = parts.map(_._1).zip(
