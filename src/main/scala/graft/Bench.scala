@@ -55,6 +55,13 @@ object Bench {
         // drop operator-internal persists (tracked — exactly the blocks
         // graft cached) so queries don't pay each other's memory pressure
         Par.release()
+        // optional: force a collection between timed queries. At 180+
+        // queries (~540 executions/JVM) accumulated codegen classes +
+        // broadcast blocks raise GC debt that lands on whichever query
+        // runs next — measured at r8-w4: range_join_sessions 9.3 s in
+        // suite vs 0.9 s isolated. The GC pause is paid OUTSIDE the
+        // timed window, so per-query numbers reflect the query.
+        if (sys.env.getOrElse("SPARK_GRAFT_GC", "1") != "0") System.gc()
         if (sec < best) { best = sec; rows = n }
       }
       System.err.println(f"[bench] $name%-28s $best%8.2f s  ($rows rows)")
@@ -87,11 +94,17 @@ object Bench {
     System.out.flush()
     // the driver keeps only a 2000-char TAIL of stdout, which truncates
     // the per-query map for 100+ queries — also land the full JSON as a
-    // committed artifact so every query stays round-over-round diffable
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_full.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $out: $e") }
+    // committed artifact so every query stays round-over-round diffable.
+    // SPARK_GRAFT_ONLY dev runs must NOT clobber it (a 2-query artifact
+    // replaced the committed 140-query one once — r8-w4 lesson); write
+    // only for unrestricted runs unless an explicit file is given.
+    val explicit = sys.env.get("SPARK_GRAFT_BENCH_FILE")
+    if (only.isEmpty || explicit.isDefined) {
+      val out = explicit.getOrElse("BENCH_full.json")
+      try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $out: $e") }
+    }
   }
 }

@@ -195,6 +195,43 @@ class W4OpsSpec extends SparkSuite {
     assert(got(4L) === 0.0)        // lag 4 is beyond the chain
   }
 
+  test("atomic MV maintenance: agg + distinct state move as ONE VersionedGroup version") {
+    import graft.sources.{Versioned, VersionedGroup}
+    val root = tmpDir("mvg") + "/mv"
+    val full = spark.range(0, 3000).select(
+      (col("id") % 7).cast("string").as("k"),
+      (col("id") % 13).cast("double").as("v"), col("id"))
+    val day0 = full.filter(col("id") < 2000)
+    val day1 = full.filter(col("id") >= 2000)
+    VersionedGroup.commit(root, Map(
+      "agg" -> IncrementalAgg.init(day0, Seq("k"), "v"),
+      "dst" -> IncrementalAgg.initDistinct(day0, Seq("k"), "v")), replace = true)
+    // day-1 maintenance: BOTH frames in one group commit
+    VersionedGroup.commit(root, Map(
+      "agg" -> IncrementalAgg.maintain(
+        VersionedGroup.read(spark, root, "agg"), day1, Seq("k"), "v"),
+      "dst" -> IncrementalAgg.maintainDistinct(
+        VersionedGroup.read(spark, root, "dst"), day1, Seq("k"), "v")),
+      replace = true)
+    // the maintained store equals the full recompute, read via pins
+    assert(IncrementalAgg.finalize(VersionedGroup.read(spark, root, "agg"))
+      .orderBy("k").collect().toSeq ===
+      IncrementalAgg.finalize(IncrementalAgg.init(full, Seq("k"), "v"))
+        .orderBy("k").collect().toSeq)
+    assert(IncrementalAgg.finalizeDistinct(
+        VersionedGroup.read(spark, root, "dst"), Seq("k"), "v")
+      .orderBy("k").collect().toSeq ===
+      full.groupBy("k").agg(countDistinct(col("v")).as("n_distinct"))
+        .orderBy("k").collect().toSeq)
+    // a torn maintenance job (frame landed, group CAS never ran) is
+    // INVISIBLE to group readers — the crash contract the composition
+    // inherits from VersionedGroup
+    val before = VersionedGroup.read(spark, root, "agg").collect().toSet
+    Versioned.commit(IncrementalAgg.init(day1, Seq("k"), "v"),
+      root + "/agg", replace = true) // orphan frame version, no group pin
+    assert(VersionedGroup.read(spark, root, "agg").collect().toSet === before)
+  }
+
   // ---- Quality.psiDrift ----
 
   test("PSI drift: identical distributions score ~0, a shift scores high, empty bins smooth") {
