@@ -1845,6 +1845,22 @@ object SparkEntry {
         .select(col("pa"), col("pb"))
       Graph.triangleStats(edges, "pa", "pb")
     }),
+    // PageRank centrality on the same slice — rows-only by design
+    // (per-node sums add in partition order → double rounding is not
+    // cross-engine replayable; PageRankSpec pins semantics against a
+    // driver-side reference iteration)
+    "graph_pagerank" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.select(col("ok"), col("pk").as("pa"))
+        .join(li.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+        .filter(col("pa") < col("pb"))
+        .select(col("pa"), col("pb"))
+      Graph.pageRank(edges, "pa", "pb", iterations = 10)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("node")).limit(100)
+    }),
     // incremental COUNT(DISTINCT) maintenance: distinct-pair state
     // folded with the delta must equal the full distinct recompute
     "mv_incremental_distinct" -> ((s, d) => {

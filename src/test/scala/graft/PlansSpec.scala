@@ -122,7 +122,10 @@ class PlansSpec extends SparkSuite {
     val documentedRowsOnly = Set(
       "corpus_top_terms_approx", "dedup_minhash", "dedup_simhash",
       "doc_fingerprint", "doc_pack", "doc_shared_runs", "doc_winnow",
-      "dq_numeric_profile_approx", "dq_profile_approx")
+      "dq_numeric_profile_approx", "dq_profile_approx",
+      // per-node float sums add in partition order — not replayable;
+      // PageRankSpec pins the semantics
+      "graph_pagerank")
     assert((q -- o) === documentedRowsOnly,
       s"rows-only drift: ${((q -- o) -- documentedRowsOnly).mkString(", ")} lost oracles; " +
         s"${(documentedRowsOnly -- (q -- o)).mkString(", ")} unexpectedly gained one (update the set)")

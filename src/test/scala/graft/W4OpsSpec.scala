@@ -272,6 +272,37 @@ class W4OpsSpec extends SparkSuite {
     Par.release()
   }
 
+  test("KS drift: the CDF cumsum plans NO SinglePartition exchange") {
+    import graft.operators.Quality
+    val conf = spark.conf
+    val prevA = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val a = spark.range(0, 50000).select((col("id") % 1000).cast("double").as("v"))
+      val b = spark.range(0, 40000).select((col("id") % 900).cast("double").as("v"))
+      val got = Quality.ksDrift(a, b, "v")
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+      val singles = got.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeLike if s.outputPartitioning == SinglePartition => s
+      }
+      // the final 1-row agg legitimately gathers its tiny partials; the
+      // guard is that the VALUE-DOMAIN cumsum window runs partitioned —
+      // no SinglePartition exchange may feed a Window/Sort
+      import org.apache.spark.sql.execution.window.WindowExec
+      val windowsOnSingle = got.queryExecution.executedPlan.collect {
+        case w: WindowExec if w.collectFirst {
+          case s: ShuffleExchangeLike if s.outputPartitioning == SinglePartition => s
+        }.isDefined => w
+      }
+      assert(windowsOnSingle.isEmpty,
+        s"KS CDF window fed by a SinglePartition exchange (found ${singles.size} singles)")
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", prevA)
+      Par.release()
+    }
+  }
+
   test("BM25: rarity, tf saturation, and length normalization order as expected") {
     import graft.operators.Search
     val docs = Seq(
@@ -290,6 +321,40 @@ class W4OpsSpec extends SparkSuite {
     // higher tf wins at comparable length
     assert(r(1L) > r(2L), "tf must help")
     assert(!r.contains(5L), "docs without query terms don't score")
+    Par.release()
+  }
+
+  test("PageRank: matches a driver-side reference iteration; mass and hub invariants") {
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 200).map(_ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val got = Graph.pageRank(edges.toDF("a", "b"), "a", "b", iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // reference: same damped power iteration, driver-side
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = adj.keys.toSeq.sorted
+    val n = nodes.size
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 10) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Double]
+        .withDefaultValue(0.0)
+      for ((u, vs) <- adj; v <- vs) contrib(v) += r(u) / vs.size
+      r = nodes.map(v => v -> (0.15 / n + 0.85 * contrib(v))).toMap
+    }
+    assert(got.keySet === r.keySet)
+    got.foreach { case (v, g) => assert(math.abs(g - r(v)) < 1e-9, s"node $v") }
+    // mass: damped iteration over a dangling-free graph conserves Σr = 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // hub dominance: a star's center outranks every leaf
+    val star = (1L to 10L).map(i => (0L, i))
+    val sr = Graph.pageRank(star.toDF("a", "b"), "a", "b")
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert((1L to 10L).forall(i => sr(0L) > sr(i)))
+    assert((1L to 10L).map(sr).distinct.size === 1) // leaves symmetric
     Par.release()
   }
 
