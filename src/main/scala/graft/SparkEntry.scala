@@ -1875,6 +1875,34 @@ object SparkEntry {
           Seq("event_type"), "user_id")
         .orderBy(col("event_type"))
     }),
+    // streaming versioned MV graded batch-side (§2.6): two
+    // microbatches fold into the Versioned aggregate state, one
+    // atomic version each; the final finalized read must equal the
+    // batch mv_incremental oracle (decimal partials make the fold
+    // arithmetic exact)
+    "stream_mv_versioned" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_mv").toString
+      val inDir = s"$base/in"; val root = s"$base/state"; val ckpt = s"$base/ckpt"
+      val ev = eventCols(Tables.events(s, d))
+        .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      val cutoff = lit(CdcCutoff).cast("timestamp")
+      ev.filter(col("ts") <= cutoff).drop("ts").write.parquet(inDir)
+      withShufflePartitions(s, 4) {
+        val q = graft.streaming.EventStream.maintainAggVersioned(
+          s.readStream.schema(s.read.parquet(inDir).schema).parquet(inDir),
+          root, ckpt, Seq("user_id", "event_type"), "value")
+        try {
+          q.processAllAvailable()
+          ev.filter(col("ts") > cutoff).drop("ts")
+            .write.mode("append").parquet(inDir)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      IncrementalAgg.finalize(graft.sources.Versioned.read(s, root))
+        .select(col("user_id"), col("event_type"), col("n_rows"),
+          col("sum_value"), col("min_value"), col("max_value"), col("avg_value"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
     // streaming unbounded EWMA graded batch-side (§2.6): the true
     // recurrence no batch window computes, replayed bit-exact by a
     // recursive CTE (α = 0.5 → every step is one exact scale + one
@@ -4925,6 +4953,9 @@ object SparkEntry {
     base + ("dedup_components_incr" -> base("dedup_components")) +
       // the streaming attributor must converge to the batch
       // attribution — same oracle verbatim
-      ("stream_attribution" -> base("events_attribution"))
+      ("stream_attribution" -> base("events_attribution")) +
+      // the streaming versioned MV must converge to the full batch
+      // recompute — the mv_incremental oracle verbatim
+      ("stream_mv_versioned" -> base("mv_incremental"))
   }
 }

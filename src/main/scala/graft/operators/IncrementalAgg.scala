@@ -91,4 +91,36 @@ object IncrementalAgg {
                        valueCol: String): DataFrame =
     state.groupBy(keys.map(col): _*)
       .agg(count(col(valueCol)).as("n_distinct"))
+
+  /** EXACTLY-ONCE fold of one identified batch into a
+    * [[graft.sources.Versioned]] state table — the idempotence seam
+    * the streaming MV needs: a fold is NOT idempotent (replaying a
+    * delta double-counts), so each batch commits as exactly one table
+    * version and the version number IS the applied-batch watermark
+    * (version v ⟺ batches 0..v−1 applied, single writer). A replayed
+    * `batchId` finds `head > batchId` and returns false without
+    * touching the table — the crashed-checkpoint redelivery case that
+    * at-least-once `foreachBatch` must survive. Returns true when the
+    * batch was applied.
+    *
+    * Empty batches still commit (an unchanged state version) so the
+    * version↔batch correspondence never drifts.
+    */
+  def foldBatchVersioned(batch: DataFrame, root: String, batchId: Long,
+                         keys: Seq[String], valueCol: String): Boolean = {
+    import graft.sources.Versioned
+    val spark = batch.sparkSession
+    val head = Versioned.currentVersion(spark, root)
+    if (head > batchId) false // already applied — replay is a no-op
+    else {
+      require(head == batchId,
+        s"batch $batchId arrived at version $head — a batch was lost " +
+          "(single-writer contract broken?)")
+      val newState =
+        if (head == 0) init(batch, keys, valueCol)
+        else maintain(Versioned.read(spark, root), batch, keys, valueCol)
+      Versioned.commit(newState, root, replace = true)
+      true
+    }
+  }
 }

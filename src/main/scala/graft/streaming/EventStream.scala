@@ -561,6 +561,32 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
   }
 
+  /** Streaming materialized aggregate (r8-w4) — the reference's
+    * "keep the mart current" loop as a continuously-maintained,
+    * ATOMICALLY-versioned aggregate: every microbatch folds into the
+    * [[graft.operators.IncrementalAgg]] state table as exactly one
+    * [[graft.sources.Versioned]] version. Downstream batch readers
+    * time-travel consistent snapshots; a crash mid-commit leaves the
+    * previous version; and at-least-once redelivery after a lost
+    * checkpoint is absorbed by the version↔batchId watermark
+    * ([[graft.operators.IncrementalAgg.foldBatchVersioned]]) — the
+    * fold itself is NOT idempotent, so the guard is what makes the
+    * pipeline exactly-once end to end. Fold cost per batch is
+    * |delta| + group cardinality, never history (the MV contract).
+    */
+  def maintainAggVersioned(events: DataFrame, root: String,
+                           checkpoint: String, keys: Seq[String],
+                           valueCol: String): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.IncrementalAgg.foldBatchVersioned(
+          batch, root, batchId, keys, valueCol)
+        ()
+      }
+      .start()
+
   /** Streaming UNBOUNDED EWMA (r8-w4) — the true recurrence
     * eᵢ = valueᵢ + α·eᵢ₋₁ per user, which NO batch window computes
     * (a window aggregate can't carry state row-to-row; the batch

@@ -449,6 +449,33 @@ class StreamingSpec extends SparkSuite {
     assert(got === Map(5L -> Some(2L), 6L -> None, 4L -> None, 8L -> Some(7L)))
   }
 
+  test("versioned streaming MV: one version per batch, replay is a no-op, fold == full") {
+    import graft.operators.IncrementalAgg
+    import graft.sources.Versioned
+    val root = tmpDir("smv") + "/state"
+    val b0 = Seq(("a", 1.0), ("a", 2.0), ("b", 10.0)).toDF("k", "v")
+    val b1 = Seq(("a", 4.0), ("c", 7.0)).toDF("k", "v")
+    // batch 0 bootstraps version 1
+    assert(IncrementalAgg.foldBatchVersioned(b0, root, 0L, Seq("k"), "v"))
+    assert(Versioned.currentVersion(spark, root) === 1)
+    // REPLAY of batch 0 (lost checkpoint) must not double-count
+    assert(!IncrementalAgg.foldBatchVersioned(b0, root, 0L, Seq("k"), "v"))
+    assert(Versioned.currentVersion(spark, root) === 1)
+    // batch 1 folds to version 2; a skipped batch id fails fast
+    assert(IncrementalAgg.foldBatchVersioned(b1, root, 1L, Seq("k"), "v"))
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.foldBatchVersioned(b1, root, 5L, Seq("k"), "v")
+    }
+    // the maintained state equals the full recompute; version 1 still
+    // time-travels to the day-0 view
+    assert(IncrementalAgg.finalize(Versioned.read(spark, root))
+      .orderBy("k").collect().toSeq ===
+      IncrementalAgg.finalize(
+        IncrementalAgg.init(b0.unionByName(b1), Seq("k"), "v"))
+        .orderBy("k").collect().toSeq)
+    assert(Versioned.read(spark, root, Some(1)).count() === 2) // a, b only
+  }
+
   test("ewma: the recurrence carries across microbatches; in-batch disorder sorts away") {
     val b1 = Seq(
       Event(2L, ts("2024-01-01 11:00:00"), 1L, "click", 4.0), // arrives first,
