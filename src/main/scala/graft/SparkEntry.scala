@@ -1845,6 +1845,13 @@ object SparkEntry {
         .select(col("pa"), col("pb"))
       Graph.triangleStats(edges, "pa", "pb")
     }),
+    // column-level lineage of the fact model, extracted STRUCTURALLY
+    // from the analyzed Catalyst plan (nothing executed); the oracle
+    // states the expected provenance literally — the gate proves the
+    // plan walk, not a data computation
+    "pipeline_column_lineage" -> ((s, d) =>
+      graft.plans.ColumnLineage.of(graft.pipeline.Models.factLineitem(s, d))
+        .orderBy(col("column"), col("source_table"), col("source_column"))),
     // PageRank centrality on the same slice — rows-only by design
     // (per-node sums add in partition order → double rounding is not
     // cross-engine replayable; PageRankSpec pins semantics against a
@@ -4822,6 +4829,26 @@ object SparkEntry {
            FROM scored GROUP BY id
            ORDER BY score DESC, id LIMIT 20"""
       },
+
+      // the expected provenance, stated literally: the gate proves
+      // the Catalyst plan walk reports exactly these dependencies
+      "pipeline_column_lineage" ->
+        """SELECT * FROM (VALUES
+             ('customer_id', 'orders', 'o_custkey'),
+             ('discount', 'lineitem', 'l_discount'),
+             ('extended_price', 'lineitem', 'l_extendedprice'),
+             ('line_number', 'lineitem', 'l_linenumber'),
+             ('order_date', 'orders', 'o_orderdate'),
+             ('order_id', 'lineitem', 'l_orderkey'),
+             ('order_status', 'orders', 'o_orderstatus'),
+             ('part_id', 'lineitem', 'l_partkey'),
+             ('quantity', 'lineitem', 'l_quantity'),
+             ('revenue', 'lineitem', 'l_discount'),
+             ('revenue', 'lineitem', 'l_extendedprice'),
+             ('ship_date', 'lineitem', 'l_shipdate'),
+             ('supplier_id', 'lineitem', 'l_suppkey'))
+           AS t("column", source_table, source_column)
+           ORDER BY "column", source_table, source_column""",
 
       // canonical co-purchase edges, a<b<c closed-triple count, and
       // the Σd(d−1)/2 wedge denominator
