@@ -74,6 +74,34 @@ object SparkEntry {
     // r8 wave 3: grouping-sets/time-series/segment analytics staples
     "cube_revenue" -> ((s, d) => Analytics.cubeRevenue(s, d)),
     "events_gapfill" -> ((s, d) => Analytics.eventsGapfill(s, d)),
+    // r8 wave 5: linear-interpolation twin of the LOCF gapfill
+    "events_interpolate" -> ((s, d) =>
+      Analytics.eventsInterpolate(s, d)
+        .orderBy(col("event_type"), col("hour_ts"))),
+    // r8 wave 5: rolling distinct actives (DAU + trailing-7d)
+    "events_active_users" -> ((s, d) =>
+      Analytics.activeUsers(Tables.events(s, d), "user_id", "ts", 7)
+        .orderBy(col("day"))),
+    // r8 wave 5: top event-type trigram paths across user timelines
+    "events_top_paths" -> ((s, d) =>
+      Analytics.topPaths(Tables.events(s, d), "user_id", "event_type",
+        "ts", "event_id", len = 3, k = 25)),
+    // r8 wave 5: per-type coverage islands — event windows [ts, ts+10min]
+    // merged into disjoint covered intervals
+    "sessions_coverage" -> ((s, d) => {
+      val iv = Tables.events(s, d).select(col("event_type"),
+        col("ts").as("lo"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("hi"))
+      Sessionize.mergeIntervals(iv, Seq("event_type"), "lo", "hi")
+        .withColumn("covered_sec",
+          col("island_end").cast("long") - col("island_start").cast("long"))
+        .orderBy(col("event_type"), col("island_seq"))
+    }),
+    // r8 wave 5: functional-dependency violations — "is l_partkey →
+    // l_suppkey an FD?" (it isn't: parts ship from many suppliers)
+    "dq_fd_violations" -> ((s, d) =>
+      Quality.fdViolations(Tables.lineitem(s, d), Seq("l_partkey"), "l_suppkey")
+        .orderBy(col("l_partkey"))),
     "audience_overlap" -> ((s, d) =>
       Analytics.audienceOverlap(Tables.events(s, d), "event_type", "user_id")
         .orderBy(col("type_a"), col("type_b"))),
@@ -2734,6 +2762,118 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                AS filled_value
            FROM j ORDER BY event_type, hour_ts""",
+
+      // r8 wave 5: linear interpolation — the prev/next observation
+      // carry and the straight-line arithmetic stated verbatim
+      // (epoch-second abscissa; IEEE double sub/div/mul/add in the
+      // same order → bit-identical)
+      "events_interpolate" ->
+        """WITH h AS (
+             SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+                 CAST(count(*) AS DOUBLE) AS v
+             FROM events GROUP BY 1, 2
+           ), spine AS (
+             SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour_ts
+             FROM (SELECT event_type, min(hour_ts) AS mn, max(hour_ts) AS mx
+                   FROM h GROUP BY event_type)
+           ), j AS (
+             SELECT s.event_type, s.hour_ts, h.v,
+               CAST(epoch(s.hour_ts) AS BIGINT) AS hh
+             FROM spine s LEFT JOIN h
+               ON s.event_type = h.event_type AND s.hour_ts = h.hour_ts
+           ), c AS (
+             SELECT event_type, hour_ts, v, hh,
+               last_value(v IGNORE NULLS) OVER wp AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN hh END IGNORE NULLS) OVER wp AS ph,
+               first_value(v IGNORE NULLS) OVER wn AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN hh END IGNORE NULLS) OVER wn AS nh
+             FROM j
+             WINDOW wp AS (PARTITION BY event_type ORDER BY hour_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY event_type ORDER BY hour_ts
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+           SELECT event_type, hour_ts,
+             v IS NOT NULL AS observed,
+             CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  ELSE pv + (nv - pv) *
+                    (CAST(hh - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+             END AS filled_value
+           FROM c ORDER BY event_type, hour_ts""",
+
+      // r8 wave 5: DAU + trailing-7d distinct actives — the bounded
+      // 7x explode of the distinct user-day frame, replayed via a
+      // 0..6 offset cross join
+      "events_active_users" ->
+        """WITH ud AS (
+             SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, user_id
+             FROM events
+           ), dau AS (
+             SELECT day, count(*) AS dau FROM ud GROUP BY 1
+           ), covered AS (
+             SELECT DISTINCT d2 AS day, user_id FROM (
+               SELECT unnest(generate_series(ud.day, ud.day + INTERVAL 6 DAY,
+                 INTERVAL 1 DAY)) AS d2, ud.user_id
+               FROM ud)
+           ), roll AS (
+             SELECT day, count(*) AS rolling_actives FROM covered GROUP BY 1)
+           SELECT d.day, d.dau, r.rolling_actives
+           FROM dau d LEFT JOIN roll r ON d.day = r.day
+           ORDER BY d.day""",
+
+      // r8 wave 5: top event-type trigram paths — the lead() chain
+      // replayed, (n desc, path) tie-break pins the cut
+      "events_top_paths" ->
+        """WITH t AS (
+             SELECT event_type AS t0,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+           SELECT t0 || '>' || t1 || '>' || t2 AS path, count(*) AS n
+           FROM t
+           WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t2 IS NOT NULL
+           GROUP BY 1 ORDER BY n DESC, path LIMIT 25""",
+
+      // r8 wave 5: interval-union coverage islands — running-max
+      // island detection replayed over the same (lo, hi) sort
+      "sessions_coverage" ->
+        """WITH iv AS (
+             SELECT event_type, CAST(ts AS TIMESTAMP) AS lo,
+               CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS hi
+             FROM events
+           ), m AS (
+             SELECT event_type, lo, hi,
+               max(hi) OVER (PARTITION BY event_type ORDER BY lo, hi
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+             FROM iv WHERE hi >= lo
+           ), fl AS (
+             SELECT event_type, lo, hi,
+               CASE WHEN pm IS NULL OR lo > pm THEN 1 ELSE 0 END AS ni
+             FROM m
+           ), num AS (
+             SELECT event_type, lo, hi,
+               CAST(sum(ni) OVER (PARTITION BY event_type ORDER BY lo, hi
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island_seq
+             FROM fl)
+           SELECT event_type, island_seq,
+             min(lo) AS island_start, max(hi) AS island_end,
+             count(*) AS n_intervals,
+             date_diff('second', min(lo), max(hi)) AS covered_sec
+           FROM num GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      // r8 wave 5: FD violations — determinant values with >1
+      // distinct dependent
+      "dq_fd_violations" ->
+        """SELECT l_partkey,
+             count(DISTINCT l_suppkey) AS n_dependent,
+             count(*) AS n_rows,
+             min(l_suppkey) AS dep_min, max(l_suppkey) AS dep_max
+           FROM lineitem GROUP BY 1
+           HAVING count(DISTINCT l_suppkey) > 1
+           ORDER BY 1""",
 
       "audience_overlap" ->
         """SELECT a.event_type AS type_a, b.event_type AS type_b,

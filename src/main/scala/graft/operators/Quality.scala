@@ -409,4 +409,31 @@ object Quality {
       .agg(round(max(abs(col("__fr") - col("__fc"))), 6).as("ks_d"))
       .select(lit(nRef).as("n_ref"), lit(nCur).as("n_cur"), col("ks_d"))
   }
+
+  /** Functional-dependency violation miner — "does A (determinant)
+    * uniquely determine B (dependent)?", the profiling question
+    * behind normalization audits, conformed-dimension checks
+    * (one name per key), and dbt's `dbt_utils.unique_combination`
+    * family. Output: one row per determinant value that maps to MORE
+    * than one distinct dependent value, with the distinct-dependent
+    * count, row count, and the min/max dependent as evidence.
+    *
+    * ONE grouped pass on the determinant key (map-side partials; the
+    * per-group COUNT(DISTINCT dep) is Spark's two-phase distinct
+    * aggregate, never an Expand over the table). NULL dependents are
+    * not counted as a conflicting value (SQL COUNT DISTINCT
+    * semantics) — a NULL-vs-value conflict surfaces through
+    * [[runChecks]]' not_null instead.
+    */
+  def fdViolations(df: DataFrame, determinant: Seq[String],
+                   dependent: String): DataFrame = {
+    require(determinant.nonEmpty, "need at least one determinant column")
+    df.groupBy(determinant.map(col): _*)
+      .agg(
+        countDistinct(col(dependent)).as("n_dependent"),
+        count(lit(1)).as("n_rows"),
+        min(col(dependent)).as("dep_min"),
+        max(col(dependent)).as("dep_max"))
+      .filter(col("n_dependent") > 1)
+  }
 }

@@ -34,4 +34,42 @@ object Sessionize {
         (max(col(tsCol)).cast("long") - min(col(tsCol)).cast("long")).as("duration_sec"),
         count(lit(1)).as("n_events"))
   }
+
+  /** Merge overlapping-or-touching intervals per key into disjoint
+    * coverage islands (the classic "merge intervals" reduction —
+    * union of validity windows, machine-uptime coverage, campaign
+    * exposure windows). An interval starts a new island iff its lo
+    * lies strictly past the running max of every earlier interval's
+    * hi (earlier in (lo, hi) order), so chained intervals
+    * [1,3],[2,5],[4,8] collapse into one island even though the
+    * first and third don't touch each other directly.
+    *
+    * Plan: ONE shuffle on the keys (the window partition); the
+    * island numbering is a lag-style running max + cumulative sum
+    * over the same sort, and the final groupBy refines the window
+    * partition so it reuses the partitioning. Interval columns can
+    * be timestamps or numerics — comparisons are typed.
+    * Inverted intervals (hi < lo) are dropped (they cover nothing);
+    * touching intervals (next.lo == prev.hi) MERGE — coverage is
+    * closed-interval semantics.
+    */
+  def mergeIntervals(df: DataFrame, keys: Seq[String], loCol: String,
+                     hiCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(loCol), col(hiCol))
+    val prevMax = max(col(hiCol)).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    val grouped = df.filter(col(hiCol) >= col(loCol))
+      .withColumn("__new_island",
+        when(prevMax.isNull || col(loCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("island_seq",
+        sum(col("__new_island")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(keys.map(col) :+ col("island_seq"): _*)
+      .agg(
+        min(col(loCol)).as("island_start"),
+        max(col(hiCol)).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+    grouped
+  }
 }

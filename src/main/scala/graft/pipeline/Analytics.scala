@@ -1100,4 +1100,119 @@ object Analytics {
     events.select(col("user_id"), col("event_id"), col("ts"), col("value"))
       .withColumn("decayed_value", terms.reduceLeft(_ + _))
   }
+
+  /** Rolling distinct active users per day — DAU plus trailing
+    * W-day actives (WAU-style), the engagement staple every event
+    * warehouse reports daily.
+    *
+    * The naive form — `COUNT(DISTINCT user) OVER (ORDER BY day RANGE
+    * 6 PRECEDING)` — doesn't exist as a distributed window (distinct
+    * windows aren't supported), and a day×events range self-join
+    * re-scans the fact per day. Scale path: dedup to DISTINCT
+    * (user, day) FIRST (one user-day-keyed shuffle, state bounded by
+    * user-days, never events), then each user-day row supports
+    * exactly the W days [day, day+W-1] — a bounded W× explode of the
+    * already-tiny user-day frame — and a second distinct collapses a
+    * user active on several days inside one window to one row. Day
+    * spine = observed days only (trailing windows of empty days
+    * aren't reported; the gap-filled variant is [[eventsGapfill]]'s
+    * job).
+    */
+  def activeUsers(events: DataFrame, userCol: String, tsCol: String,
+                  windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays >= 1")
+    // day as a TIMESTAMP (date_trunc), not DATE — the artifact/oracle
+    // comparison layer treats dates and midnight timestamps differently
+    val userDays = events
+      .select(date_trunc("day", col(tsCol)).as("day"), col(userCol).as("u"))
+      .distinct()
+    val dau = userDays.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+    val rolling = userDays
+      .select(explode(sequence(col("day"),
+        col("day") + expr(s"INTERVAL ${windowDays - 1} DAYS"),
+        expr("INTERVAL 1 DAY"))).as("day"), col("u"))
+      .distinct()
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("rolling_actives"))
+    dau.join(rolling, Seq("day"), "left")
+      .select(col("day"), col("dau"), col("rolling_actives"))
+  }
+
+  /** Hourly series with LINEAR interpolation of missing hours — the
+    * numeric companion to [[eventsGapfill]]'s last-observation carry
+    * forward. Missing hours between two observations take the
+    * straight line between them; hours before the first / after the
+    * last observation take the nearest observed value (flat
+    * extrapolation).
+    *
+    * Same spine discipline as gapfill: the per-group hour spine is
+    * generated NEXT to each group's aggregate (no cross join), and
+    * the prev/next observation carry is two windows over one
+    * group-keyed sort. The interpolation arithmetic —
+    * prev + (next−prev)·((h−pt)/(nt−pt)) on IEEE doubles with hour
+    * distances as exact small integers — is stated identically in
+    * the oracle, so every double replays bit-for-bit.
+    */
+  def eventsInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg((sum(col("value").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)).cast("double")).as("v"))
+    val spine = hourly.groupBy(col("event_type"))
+      .agg(min(col("hour_ts")).as("mn"), max(col("hour_ts")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 HOUR")))
+          .as("hour_ts"))
+    val joined = spine.join(hourly, Seq("event_type", "hour_ts"), "left")
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("hour_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("hour_ts"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // epoch SECONDS as the interpolation abscissa (exact small longs;
+    // dividing by 3600 first would route through a double division
+    // whose long-cast truncates in Spark but rounds in DuckDB)
+    val h = col("hour_ts").cast("long")
+    val obsH = when(col("v").isNotNull, h)
+    val prevV = last(col("v"), ignoreNulls = true).over(wPrev)
+    val prevH = last(obsH, ignoreNulls = true).over(wPrev)
+    val nextV = first(col("v"), ignoreNulls = true).over(wNext)
+    val nextH = first(obsH, ignoreNulls = true).over(wNext)
+    joined.select(col("event_type"), col("hour_ts"), col("v"),
+        prevV.as("pv"), prevH.as("ph"), nextV.as("nv"), nextH.as("nh"), h.as("h"))
+      .select(col("event_type"), col("hour_ts"),
+        col("v").isNotNull.as("observed"),
+        when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((col("h") - col("ph")).cast("double") /
+              (col("nh") - col("ph")).cast("double")))
+          .as("filled_value"))
+  }
+
+  /** Top-k event-type paths — the most common length-`len` step
+    * sequences across user timelines (the "what do users do next"
+    * navigation report). A lead() chain over each user's (ts, id)
+    * sort builds every consecutive window in ONE pass — zero
+    * explode, one user-keyed shuffle — and the global count groups
+    * on the tiny type^len path domain. Tie-break (n desc, path asc)
+    * pins the top-k cut.
+    */
+  def topPaths(events: DataFrame, userCol: String, typeCol: String,
+               tsCol: String, idCol: String, len: Int = 3,
+               k: Int = 25): DataFrame = {
+    require(len >= 2 && len <= 8, "len in [2, 8]")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val steps = (0 until len).map(i =>
+      if (i == 0) col(typeCol) else lead(col(typeCol), i).over(w))
+    events
+      .select(col(userCol), col(typeCol), col(tsCol), col(idCol))
+      .select(steps.zipWithIndex.map { case (c, i) => c.as(s"t$i") }: _*)
+      .filter(steps.indices.map(i => col(s"t$i").isNotNull).reduce(_ && _))
+      .groupBy(concat_ws(">", steps.indices.map(i => col(s"t$i")): _*).as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
 }

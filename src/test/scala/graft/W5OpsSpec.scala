@@ -1,0 +1,159 @@
+package graft
+
+import graft.operators.{Quality, Sessionize}
+import graft.pipeline.Analytics
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Round-8 wave-5 operators: interval-union coverage islands,
+  * rolling distinct actives, linear interpolation, FD violations,
+  * top paths.
+  */
+class W5OpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // ---- Sessionize.mergeIntervals ----
+
+  test("mergeIntervals: chained/touching/disjoint/inverted intervals per key") {
+    val iv = Seq(
+      // key a: [1,3],[2,5],[4,8] chain into ONE island even though
+      // [1,3] and [4,8] don't touch directly; [8,9] touches (lo==hi) → merges
+      ("a", 1L, 3L), ("a", 2L, 5L), ("a", 4L, 8L), ("a", 8L, 9L),
+      // then a gap → new island
+      ("a", 11L, 12L),
+      // key b: disjoint stays disjoint; inverted [9,2] is dropped
+      ("b", 1L, 2L), ("b", 4L, 5L), ("b", 9L, 2L)
+    ).toDF("k", "lo", "hi")
+    val got = Sessionize.mergeIntervals(iv, Seq("k"), "lo", "hi")
+      .select("k", "island_seq", "island_start", "island_end", "n_intervals")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq === Seq(
+      ("a", 1L, 1L, 9L, 4L), ("a", 2L, 11L, 12L, 1L),
+      ("b", 1L, 1L, 2L, 1L), ("b", 2L, 4L, 5L, 1L)))
+  }
+
+  test("mergeIntervals: nested interval and equal-lo ties collapse into their cover") {
+    val iv = Seq(("k", 0L, 100L), ("k", 10L, 20L), ("k", 0L, 5L), ("k", 100L, 101L))
+      .toDF("g", "lo", "hi")
+    val got = Sessionize.mergeIntervals(iv, Seq("g"), "lo", "hi")
+      .select("island_seq", "island_start", "island_end", "n_intervals")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 0L, 101L, 4L)))
+  }
+
+  // ---- Analytics.activeUsers ----
+
+  test("activeUsers: DAU and trailing-7d distinct actives") {
+    // u1 active on day 1 and day 3; u2 on day 1; u3 on day 10 only
+    val ev = Seq(
+      (1L, ts("2024-01-01 05:00:00"), 1L),
+      (2L, ts("2024-01-01 06:00:00"), 1L), // same user+day dedups
+      (3L, ts("2024-01-01 07:00:00"), 2L),
+      (4L, ts("2024-01-03 05:00:00"), 1L),
+      (5L, ts("2024-01-10 05:00:00"), 3L)
+    ).toDF("event_id", "ts", "user_id")
+    val got = Analytics.activeUsers(ev, "user_id", "ts", 7)
+      .select(col("day").cast("string"), col("dau"), col("rolling_actives"))
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    // observed days: 1, 3, 10.
+    // day 1: dau {u1,u2}=2; trailing 7d (days -5..1) actives = {u1,u2} = 2
+    // day 3: dau {u1}=1; window covers day1+day3 → {u1,u2} = 2
+    // day 10: dau {u3}=1; day 3 still in [4..10]? day3+6=day9 < day10 → {u3} = 1
+    assert(got.toSeq === Seq(
+      ("2024-01-01 00:00:00", 2L, 2L),
+      ("2024-01-03 00:00:00", 1L, 2L),
+      ("2024-01-10 00:00:00", 1L, 1L)))
+  }
+
+  // ---- Analytics.eventsInterpolate ----
+
+  test("eventsInterpolate: straight line between observations, flat edges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_interp_").toString
+    // type "a": hours 00, 03 observed (values 1.0, 7.0) → 01, 02
+    // interpolate to 3.0, 5.0; type "b": single hour (no gaps)
+    Seq(
+      (1L, ts("2024-01-01 00:10:00"), 1L, "a", 1.0, "{}"),
+      (2L, ts("2024-01-01 03:20:00"), 1L, "a", 7.0, "{}"),
+      (3L, ts("2024-01-01 02:00:00"), 2L, "b", 4.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.eventsInterpolate(spark, dir)
+      .select(col("event_type"), col("hour_ts").cast("string"),
+        col("observed"), col("filled_value"))
+      .as[(String, String, Boolean, Double)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(got.toSeq === Seq(
+      ("a", "2024-01-01 00:00:00", true, 1.0),
+      ("a", "2024-01-01 01:00:00", false, 3.0),
+      ("a", "2024-01-01 02:00:00", false, 5.0),
+      ("a", "2024-01-01 03:00:00", true, 7.0),
+      ("b", "2024-01-01 02:00:00", true, 4.0)))
+  }
+
+  test("eventsInterpolate: multi-event hours average; edge hours extend flat") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_interp2_").toString
+    // hour 01 observed twice (avg 3.0), hour 03 observed (9.0) —
+    // hour 00 does not exist (spine starts at first OBSERVED hour),
+    // hour 02 interpolates to 6.0
+    Seq(
+      (1L, ts("2024-01-01 01:10:00"), 1L, "a", 2.0, "{}"),
+      (2L, ts("2024-01-01 01:50:00"), 1L, "a", 4.0, "{}"),
+      (3L, ts("2024-01-01 03:00:00"), 1L, "a", 9.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.eventsInterpolate(spark, dir)
+      .select(col("hour_ts").cast("string"), col("filled_value"))
+      .as[(String, Double)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      ("2024-01-01 01:00:00", 3.0),
+      ("2024-01-01 02:00:00", 6.0),
+      ("2024-01-01 03:00:00", 9.0)))
+  }
+
+  // ---- Quality.fdViolations ----
+
+  test("fdViolations: only determinants with >1 distinct dependent; nulls don't conflict") {
+    val df = Seq(
+      (1L, Some("x")), (1L, Some("x")),          // consistent → absent
+      (2L, Some("x")), (2L, Some("y")), (2L, None), // 2 distinct + null
+      (3L, None), (3L, Some("z"))                 // null vs value → NOT a violation
+    ).toDF("det", "dep")
+    val got = Quality.fdViolations(df, Seq("det"), "dep")
+      .select("det", "n_dependent", "n_rows", "dep_min", "dep_max")
+      .as[(Long, Long, Long, String, String)].collect()
+    assert(got.toSeq === Seq((2L, 2L, 3L, "x", "y")))
+  }
+
+  test("fdViolations: composite determinant") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 1L, 11L), // violated on (a,1)
+      ("a", 2L, 10L), ("b", 1L, 10L)
+    ).toDF("c1", "c2", "dep")
+    val got = Quality.fdViolations(df, Seq("c1", "c2"), "dep")
+      .select("c1", "c2", "n_dependent").as[(String, Long, Long)].collect()
+    assert(got.toSeq === Seq(("a", 1L, 2L)))
+  }
+
+  // ---- Analytics.topPaths ----
+
+  test("topPaths: lead-chain trigrams counted globally, tie-break pinned") {
+    val ev = Seq(
+      // u1: a b c a b c  → abc x2, bca, cab
+      (1L, "a"), (2L, "b"), (3L, "c"), (4L, "a"), (5L, "b"), (6L, "c"),
+      // u2: a b c → abc (timelines never cross users)
+      (11L, "a"), (12L, "b"), (13L, "c")
+    ).map { case (id, t) =>
+      (id % 10 match { case x => if (id > 10) 2L else 1L }, t,
+        ts(f"2024-01-01 00:${id % 60}%02d:00"), id)
+    }.toDF("user_id", "event_type", "ts", "event_id")
+    val got = Analytics.topPaths(ev, "user_id", "event_type", "ts", "event_id",
+        len = 3, k = 10)
+      .as[(String, Long)].collect()
+    assert(got.head === (("a>b>c", 3L)))
+    assert(got.toMap === Map("a>b>c" -> 3L, "b>c>a" -> 1L, "c>a>b" -> 1L))
+    // tie-break: equal counts sort by path ascending
+    assert(got.toSeq.drop(1).map(_._1) === Seq("b>c>a", "c>a>b"))
+  }
+}
