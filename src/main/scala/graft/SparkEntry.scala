@@ -97,6 +97,29 @@ object SparkEntry {
           col("island_end").cast("long") - col("island_start").cast("long"))
         .orderBy(col("event_type"), col("island_seq"))
     }),
+    // r8 wave 5: generalized MERGE INTO — conditional update, ordered
+    // matched-clause chain (update wins over delete), conditional
+    // insert, source-driven retirement; one full-outer key join
+    "merge_into" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val target = o.filter(col("o_orderkey") % 3 =!= 0)
+      val source = o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
+        .withColumn("o_orderstatus", lit("M"))
+      Merge.mergeInto(target, source, Seq("o_orderkey"),
+        matched = Seq(
+          Merge.MatchedUpdate(
+            Map("o_totalprice" -> col("s.o_totalprice"),
+              "o_orderstatus" -> lit("U")),
+            Some(col("s.o_totalprice") > 200000.0)),
+          Merge.MatchedDelete(Some(col("t.o_orderstatus") === "F"))),
+        notMatched = Seq(
+          Merge.NotMatchedInsert(cond = Some(col("s.o_totalprice") > 150000.0))),
+        notMatchedBySource = Seq(
+          Merge.NotMatchedBySourceDelete(
+            Some(col("t.o_orderpriority") === "1-URGENT"))))
+        .orderBy(col("o_orderkey"))
+    }),
     // r8 wave 5: functional-dependency violations — "is l_partkey →
     // l_suppkey an FD?" (it isn't: parts ship from many suppliers)
     "dq_fd_violations" -> ((s, d) =>
@@ -2863,6 +2886,51 @@ object SparkEntry {
              count(*) AS n_intervals,
              date_diff('second', min(lo), max(hi)) AS covered_sec
            FROM num GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      // r8 wave 5: MERGE INTO — the definitional FULL OUTER JOIN +
+      // ordered CASE form (DuckDB 1.0 has no MERGE statement); clause
+      // order and 3-valued condition guards stated verbatim
+      "merge_into" ->
+        """WITH t AS (
+             SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+           ), s AS (
+             SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+               o_totalprice + 10.0 AS o_totalprice,
+               o_orderdate, o_orderpriority
+             FROM orders WHERE o_orderkey % 2 = 0
+           ), j AS (
+             SELECT t.o_orderkey AS tk, t.o_custkey AS tc,
+               t.o_orderstatus AS tst, t.o_totalprice AS tp,
+               t.o_orderdate AS td, t.o_orderpriority AS tpr,
+               s.o_orderkey AS sk, s.o_custkey AS sc,
+               s.o_orderstatus AS sst, s.o_totalprice AS sp,
+               s.o_orderdate AS sd, s.o_orderpriority AS spr
+             FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+           ), f AS (
+             SELECT *,
+               (tk IS NOT NULL AND sk IS NOT NULL) AS matched,
+               (tk IS NULL AND sk IS NOT NULL) AS s_only,
+               (tk IS NOT NULL AND sk IS NULL) AS t_only
+             FROM j
+           ), fired AS (
+             SELECT *,
+               (matched AND sp > 200000.0) AS upd,
+               (matched AND NOT coalesce(sp > 200000.0, FALSE)
+                 AND tst = 'F') AS del,
+               (s_only AND sp > 150000.0) AS ins,
+               (t_only AND tpr = '1-URGENT') AS retire
+             FROM f)
+           SELECT
+             CASE WHEN ins THEN sk ELSE tk END AS o_orderkey,
+             CASE WHEN ins THEN sc ELSE tc END AS o_custkey,
+             CASE WHEN upd THEN 'U' WHEN ins THEN sst ELSE tst END AS o_orderstatus,
+             CASE WHEN upd THEN sp WHEN ins THEN sp ELSE tp END AS o_totalprice,
+             CASE WHEN ins THEN sd ELSE td END AS o_orderdate,
+             CASE WHEN ins THEN spr ELSE tpr END AS o_orderpriority
+           FROM fired
+           WHERE (matched AND NOT del) OR (s_only AND ins)
+              OR (t_only AND NOT retire)
+           ORDER BY o_orderkey""",
 
       // r8 wave 5: FD violations — determinant values with >1
       // distinct dependent
