@@ -1933,6 +1933,23 @@ object SparkEntry {
           Seq("event_type"), "user_id")
         .orderBy(col("event_type"))
     }),
+    // r8 wave 5: the HLL-sketch twin of mv_incremental_distinct — the
+    // stated 100 TB fallback when even the distinct pair set is too
+    // hot. Rows-only BY DESIGN (the sketch binary and its estimate
+    // aren't DuckDB-portable); the fold ≡ one-shot-sketch equality and
+    // the 5%-of-exact bracket are pinned in W5OpsSpec.
+    "mv_incremental_distinct_hll" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"), col("event_id"))
+      val cut = lit(8000L)
+      val st = IncrementalAgg.initDistinctSketch(
+        ev.filter(col("event_id") < cut), Seq("event_type"), "user_id")
+      IncrementalAgg.finalizeDistinctSketch(
+          IncrementalAgg.maintainDistinctSketch(st,
+            ev.filter(col("event_id") >= cut), Seq("event_type"), "user_id"),
+          Seq("event_type"))
+        .orderBy(col("event_type"))
+    }),
     // streaming versioned MV graded batch-side (§2.6): two
     // microbatches fold into the Versioned aggregate state, one
     // atomic version each; the final finalized read must equal the

@@ -92,6 +92,41 @@ object IncrementalAgg {
     state.groupBy(keys.map(col): _*)
       .agg(count(col(valueCol)).as("n_distinct"))
 
+  // ---- incremental COUNT(DISTINCT), HLL-sketch state ----
+  // The stated 100 TB fallback for [[maintainDistinct]]: when even the
+  // distinct pair set is too hot (high-cardinality values per key),
+  // the state collapses to ONE fixed-size Datasketches HLL sketch per
+  // key (2^lgK bytes, key-cardinality-sized total). Sketch union is
+  // EXACT over sketches built at the same lgK — union(sk(A), sk(B)) ≡
+  // sk(A ∪ B) — so the fold converges to precisely the sketch a full
+  // recompute would build (the spec asserts estimate equality, not
+  // tolerance), and only the final ESTIMATE carries the ~1.6%/√2^lgK
+  // HLL error. Native codegen'd Spark aggregates (hll_sketch_agg /
+  // hll_union_agg), no UDFs; the sketch binary stores through any
+  // sink like the other state frames.
+
+  /** Sketch state: one row per group, `hll_sketch` binary. */
+  def initDistinctSketch(df: DataFrame, keys: Seq[String], valueCol: String,
+                         lgK: Int = 12): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("hll_sketch"))
+
+  /** Fold an insert-only delta into the sketch state (delta is
+    * sketched alone — |delta|-sized scan, |delta groups| shuffle —
+    * then unioned per key with the state). */
+  def maintainDistinctSketch(state: DataFrame, delta: DataFrame,
+                             keys: Seq[String], valueCol: String,
+                             lgK: Int = 12): DataFrame =
+    state.unionByName(initDistinctSketch(delta, keys, valueCol, lgK))
+      .groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col("hll_sketch"), lit(false)).as("hll_sketch"))
+
+  /** Read-time view: approximate COUNT(DISTINCT) per key group. */
+  def finalizeDistinctSketch(state: DataFrame, keys: Seq[String]): DataFrame =
+    state.select(keys.map(col) :+
+      hll_sketch_estimate(col("hll_sketch")).as("n_distinct_approx"): _*)
+
   /** EXACTLY-ONCE fold of one identified batch into a
     * [[graft.sources.Versioned]] state table — the idempotence seam
     * the streaming MV needs: a fold is NOT idempotent (replaying a

@@ -481,7 +481,8 @@ object Sink {
                  key: Seq[String], trackingCol: String,
                  tieBreak: Seq[String] = Nil,
                  connProps: Map[String, String] = Map.empty,
-                 dialect: Option[JdbcMergeDialect] = None): Long = {
+                 dialect: Option[JdbcMergeDialect] = None,
+                 txEpilogue: Seq[String] = Nil): Long = {
     require(key.nonEmpty, "jdbcUpsert needs at least one upsert key column")
     val merge = dialect.getOrElse(JdbcMergeDialect.forUrl(url))
     val props = javaProps(connProps)
@@ -493,8 +494,14 @@ object Sink {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       if (!tableExists(conn, table)) {
-        // fresh load — the batch IS the table
+        // fresh load — the batch IS the table. The epilogue runs in
+        // its own transaction AFTER the load lands (the bootstrap
+        // write itself is executor-parallel and non-transactional); a
+        // crash between the two is healed by replay idempotence —
+        // the re-run takes the staged-upsert path where the epilogue
+        // IS atomic with the merge.
         fresh.write.mode(SaveMode.ErrorIfExists).jdbc(url, table, props)
+        txEpilogue.foreach(exec(conn, _))
         return scalarLong(conn, s"SELECT COUNT(*) FROM $table")
       }
       // temp-table name must be unique per run but need not be random:
@@ -503,7 +510,7 @@ object Sink {
       fresh.write.mode(SaveMode.ErrorIfExists).jdbc(url, tmp, props)
       try {
         val n = scalarLong(conn, s"SELECT COUNT(*) FROM $tmp")
-        if (n == 0L) return 0L
+        if (n == 0L) { txEpilogue.foreach(exec(conn, _)); return 0L }
         // key index on the staged batch BEFORE the merge: Derby plans
         // the correlated-EXISTS delete as a nested loop, and without
         // this probe index the merge is O(target·delta) comparisons
@@ -531,6 +538,11 @@ object Sink {
         try {
           merge.mergeStatements(table, tmp, key, fresh.columns.toSeq, stringKeys)
             .foreach(exec(conn, _))
+          // caller-supplied statements INSIDE the merge transaction —
+          // the exactly-once ledger seam: on a transactional dialect
+          // the batch's rows and its ledger mark commit or roll back
+          // together
+          txEpilogue.foreach(exec(conn, _))
           if (canTx) conn.commit()
         } catch {
           case e: Throwable =>

@@ -264,6 +264,80 @@ object EventStream {
       }
       .start()
 
+  /** EXACTLY-ONCE continuous CDC apply into a JDBC warehouse (r8-w5)
+    * — the reference's actual sink protocol (ClickHouse via JDBC,
+    * base_loader.py:253) composed with the ledger idempotence pattern
+    * every exactly-once JDBC sink uses: a `(sink_table, batch_id)`
+    * ledger row is inserted INSIDE the same transaction as the
+    * batch's staged merge ([[graft.sources.Sink.jdbcUpsert]]'s
+    * txEpilogue seam), so on a transactional dialect the data and its
+    * applied-mark commit or roll back TOGETHER. Redelivered batches
+    * (at-least-once `foreachBatch` after a crash between commit and
+    * checkpoint) find their ledger row and skip without touching the
+    * target.
+    *
+    * Empty batches record their ledger row too (ledger completeness);
+    * the bootstrap batch that CREATES the target runs its ledger
+    * insert post-load — a crash in that window is healed by replay
+    * (the latest-wins merge of identical rows is idempotent, and the
+    * re-run takes the atomic path). Non-transactional dialects
+    * (ClickHouse) degrade to at-least-once-with-dedup — exactly the
+    * reference's mutation-protocol window, documented on the dialect
+    * seam.
+    */
+  def applyUpsertsJdbcExactlyOnce(events: DataFrame, url: String,
+                                  table: String, checkpoint: String,
+                                  key: Seq[String], trackingCol: String,
+                                  tieBreak: Seq[String] = Nil,
+                                  connProps: Map[String, String] = Map.empty,
+                                  ledgerTable: String = "graft_batch_ledger"): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val props = new java.util.Properties()
+        connProps.foreach { case (k, v) => props.setProperty(k, v) }
+        connProps.get("driver").foreach(Class.forName)
+        val conn = java.sql.DriverManager.getConnection(url, props)
+        val applied =
+          try {
+            ensureLedger(conn, ledgerTable)
+            ledgerHas(conn, ledgerTable, table, batchId)
+          } finally conn.close()
+        if (!applied) {
+          val mark =
+            s"INSERT INTO $ledgerTable (sink_table, batch_id) " +
+              s"VALUES ('$table', $batchId)"
+          graft.sources.Sink.jdbcUpsert(batch, url, table, key,
+            trackingCol, tieBreak, connProps, txEpilogue = Seq(mark))
+          ()
+        }
+      }
+      .start()
+
+  private def ensureLedger(conn: java.sql.Connection, ledger: String): Unit = {
+    val probe = conn.createStatement()
+    try { probe.execute(s"SELECT 1 FROM $ledger WHERE 1=0"); return }
+    catch { case _: java.sql.SQLException => () }
+    finally probe.close()
+    val st = conn.createStatement()
+    try st.execute(s"CREATE TABLE $ledger (sink_table VARCHAR(256) NOT NULL, " +
+      "batch_id BIGINT NOT NULL, PRIMARY KEY (sink_table, batch_id))")
+    catch { case _: java.sql.SQLException => () } // lost a create race — fine
+    finally st.close()
+  }
+
+  private def ledgerHas(conn: java.sql.Connection, ledger: String,
+                        table: String, batchId: Long): Boolean = {
+    val ps = conn.prepareStatement(
+      s"SELECT 1 FROM $ledger WHERE sink_table = ? AND batch_id = ?")
+    try {
+      ps.setString(1, table); ps.setLong(2, batchId)
+      val rs = ps.executeQuery()
+      try rs.next() finally rs.close()
+    } finally ps.close()
+  }
+
   /** Streaming INGEST-TIME near-dup gate (r8) — curation at the
     * door: every microbatch of documents is checked against the
     * persistent MinHash index ([[graft.operators.Dedup

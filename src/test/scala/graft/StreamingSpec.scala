@@ -181,6 +181,76 @@ class StreamingSpec extends SparkSuite {
     assert(v1.toSeq === Seq((1L, 10L), (2L, 11L)))
   }
 
+  test("applyUpsertsJdbcExactlyOnce: ledger-atomic upserts; crash-window redelivery is a no-op") {
+    val src = tmpDir("xo-src")
+    val ckpt = tmpDir("xo-ckpt")
+    val url = s"jdbc:derby:memory:graftxo${System.nanoTime()};create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    def readTable(t: String): Seq[(Long, Long, String)] =
+      spark.read.format("jdbc").option("url", url).option("dbtable", t)
+        .options(props).load()
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+        .sortBy(_._1).toSeq
+    def ledger(): Seq[Long] =
+      spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "graft_batch_ledger").options(props).load()
+        .collect().map(_.getAs[Long]("BATCH_ID")).sorted.toSeq // Derby upper-cases unquoted DDL
+
+    writeBatch(src, "b0", Seq(
+      Event(10L, ts("2024-01-01 10:00:00"), 1L, "signup", 1.0),
+      Event(11L, ts("2024-01-01 10:00:00"), 2L, "signup", 2.0)))
+    val q = EventStream.applyUpsertsJdbcExactlyOnce(EventStream.read(spark, src),
+      url, "xo_target", ckpt, Seq("user_id"), "ts", Seq("event_id"), props)
+    q.processAllAvailable()
+    writeBatch(src, "b1", Seq(
+      Event(12L, ts("2024-01-01 11:00:00"), 1L, "purchase", 9.0),
+      Event(13L, ts("2024-01-01 10:30:00"), 3L, "signup", 3.0)))
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    // the checkpoint must be fully released before a successor reuses it
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (spark.streams.active.exists(_.id == q.id) &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+    assert(readTable("xo_target") ===
+      Seq((1L, 12L, "purchase"), (2L, 11L, "signup"), (3L, 13L, "signup")))
+    assert(ledger() === Seq(0L, 1L))
+
+    // the exactly-once crash window: JDBC transaction committed but the
+    // streaming checkpoint was not — emulate with a checkpoint clone
+    // whose batch-1 commit marker is missing (a fresh path sidesteps
+    // the session's cached metadata log; the offsets are identical, so
+    // the restart re-runs batch 1 with the SAME content) — the sink
+    // must skip on the ledger hit. Were the batch re-applied instead,
+    // the ledger PRIMARY KEY would reject the duplicate mark and fail
+    // the whole transaction, so a clean run + unchanged rows + no
+    // duplicate ledger row proves the skip path executed.
+    val ckpt2 = tmpDir("xo-ckpt2")
+    val srcRoot = java.nio.file.Paths.get(ckpt)
+    java.nio.file.Files.walk(srcRoot).forEach { p =>
+      val dst = java.nio.file.Paths.get(ckpt2).resolve(srcRoot.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(dst)
+      else java.nio.file.Files.copy(p, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    assert(java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt2, "commits", "1")))
+    // the Hadoop local FS checksum sidecar must go with it, or the
+    // re-commit's atomic create sees a leftover .crc and reads as a
+    // concurrent writer
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt2, "commits", ".1.crc"))
+    val q2 = EventStream.applyUpsertsJdbcExactlyOnce(EventStream.read(spark, src),
+      url, "xo_target", ckpt2, Seq("user_id"), "ts", Seq("event_id"), props)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(readTable("xo_target") ===
+      Seq((1L, 12L, "purchase"), (2L, 11L, "signup"), (3L, 13L, "signup")))
+    assert(ledger() === Seq(0L, 1L)) // no duplicate ledger row either
+  }
+
   test("applyUpserts restarts from its checkpoint: no reprocessing, no lost state") {
     // the operational property behind the reference's 15-min loop: a
     // crashed/redeployed job resumes from the checkpoint and the sink

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Quality, Sessionize}
+import graft.operators.{IncrementalAgg, Quality, Sessionize}
 import graft.pipeline.Analytics
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
@@ -134,6 +134,42 @@ class W5OpsSpec extends SparkSuite {
     val got = Quality.fdViolations(df, Seq("c1", "c2"), "dep")
       .select("c1", "c2", "n_dependent").as[(String, Long, Long)].collect()
     assert(got.toSeq === Seq(("a", 1L, 2L)))
+  }
+
+  // ---- IncrementalAgg sketch-distinct ----
+
+  test("sketch distinct MV: fold of N deltas equals the full-corpus sketch exactly") {
+    val full = spark.range(0, 30000).select(
+      (col("id") % 5).as("k"),
+      // ~4k distinct values per key — well past exact-count territory
+      concat(lit("v"), (col("id") * 2654435761L % 20011L)).as("v"))
+    val parts = (0 until 3).map(i => full.filter(col("id") % 3 === i))
+    val folded = parts.tail.foldLeft(
+      IncrementalAgg.initDistinctSketch(parts.head, Seq("k"), "v")) {
+      (st, d) => IncrementalAgg.maintainDistinctSketch(st, d, Seq("k"), "v")
+    }
+    val got = IncrementalAgg.finalizeDistinctSketch(folded, Seq("k"))
+      .as[(Long, Long)].collect().toMap
+    val oneShot = IncrementalAgg.finalizeDistinctSketch(
+      IncrementalAgg.initDistinctSketch(full, Seq("k"), "v"), Seq("k"))
+      .as[(Long, Long)].collect().toMap
+    // sketch union is exact over sketches: fold ≡ one-shot, bit-equal
+    assert(got === oneShot)
+    // and the estimate lands within HLL error of the exact count
+    val exact = full.select("k", "v").distinct().groupBy("k").count()
+      .as[(Long, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(got(k) - n).toDouble / n < 0.05,
+        s"key $k: estimate ${got(k)} vs exact $n")
+    }
+  }
+
+  test("sketch distinct MV: null values never counted") {
+    val df = Seq((1L, Some("a")), (1L, None), (1L, Some("b"))).toDF("k", "v")
+    val got = IncrementalAgg.finalizeDistinctSketch(
+      IncrementalAgg.initDistinctSketch(df, Seq("k"), "v"), Seq("k"))
+      .as[(Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 2L)))
   }
 
   // ---- Analytics.topPaths ----
