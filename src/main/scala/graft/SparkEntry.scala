@@ -120,6 +120,24 @@ object SparkEntry {
             Some(col("t.o_orderpriority") === "1-URGENT"))))
         .orderBy(col("o_orderkey"))
     }),
+    // r8 wave 5: late-arriving dimension — facts referencing dim keys
+    // the dim feed hasn't delivered get placeholder "inferred members"
+    "dim_late_arriving" -> ((s, d) => {
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("c_acctbal"))
+        .filter(col("c_custkey") % 11 =!= 0) // simulate the lagging feed
+      Models.inferredMembers(dim, Tables.orders(s, d), "c_custkey",
+          "o_custkey",
+          Map("c_name" -> lit("UNKNOWN"), "c_mktsegment" -> lit("UNKNOWN"),
+            "c_acctbal" -> lit(0.0)))
+        .orderBy(col("c_custkey"))
+    }),
+    // r8 wave 5: Benford's-law audit screen over order amounts
+    "dq_benford" -> ((s, d) =>
+      Quality.benford(Tables.orders(s, d), "o_totalprice",
+          Seq("o_orderpriority"))
+        .orderBy(col("o_orderpriority"), col("digit"))),
     // r8 wave 5: functional-dependency violations — "is l_partkey →
     // l_suppkey an FD?" (it isn't: parts ship from many suppliers)
     "dq_fd_violations" -> ((s, d) =>
@@ -2948,6 +2966,51 @@ object SparkEntry {
            WHERE (matched AND NOT del) OR (s_only AND ins)
               OR (t_only AND NOT retire)
            ORDER BY o_orderkey""",
+
+      // r8 wave 5: inferred members — the dim plus placeholder rows
+      // for fact keys the dim feed hasn't delivered
+      "dim_late_arriving" ->
+        """WITH dim AS (
+             SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+             FROM customer WHERE c_custkey % 11 <> 0
+           ), missing AS (
+             SELECT DISTINCT o_custkey AS c_custkey FROM orders
+             WHERE o_custkey IS NOT NULL
+               AND o_custkey NOT IN (SELECT c_custkey FROM dim))
+           SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+             FALSE AS is_inferred
+           FROM dim
+           UNION ALL
+           SELECT c_custkey, 'UNKNOWN', 'UNKNOWN', 0.0, TRUE
+           FROM missing
+           ORDER BY c_custkey""",
+
+      // r8 wave 5: Benford screen — leading digit from the pinned
+      // decimal string (log10/floor boundary arithmetic differs
+      // between engines; string extraction does not)
+      "dq_benford" ->
+        """WITH keyed AS (
+             SELECT o_orderpriority,
+               CAST(regexp_extract(
+                 CAST(CAST(abs(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+                 '[1-9]') AS INTEGER) AS digit
+             FROM orders
+             WHERE regexp_extract(
+               CAST(CAST(abs(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+               '[1-9]') <> ''
+           ), counts AS (
+             SELECT o_orderpriority, digit, count(*) AS n
+             FROM keyed GROUP BY 1, 2)
+           SELECT o_orderpriority, digit, n,
+             round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (
+               PARTITION BY o_orderpriority) AS DOUBLE), 6) AS obs_share,
+             round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS exp_share,
+             round(abs(
+               round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (
+                 PARTITION BY o_orderpriority) AS DOUBLE), 6) -
+               round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)), 6) AS abs_dev
+           FROM counts
+           ORDER BY o_orderpriority, digit""",
 
       // r8 wave 5: FD violations — determinant values with >1
       // distinct dependent

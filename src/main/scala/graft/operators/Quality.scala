@@ -425,6 +425,44 @@ object Quality {
     * semantics) — a NULL-vs-value conflict surfaces through
     * [[runChecks]]' not_null instead.
     */
+  /** Benford's-law screen — the classic audit test for fabricated or
+    * systematically-distorted amounts: in organically-generated
+    * multi-scale data the leading digit d appears with probability
+    * log10(1 + 1/d) (30.1% ones … 4.6% nines); human-invented numbers
+    * don't follow it. Output: one row per (group, digit) with
+    * observed count/share, the Benford expectation, and the absolute
+    * deviation — the per-digit evidence an auditor reads.
+    *
+    * The leading digit comes from the DECIMAL STRING of the value
+    * (first [1-9] char) — not from log10/floor arithmetic, whose
+    * boundary behavior at powers of ten differs between engines —
+    * and a decimal(18,2) cast pins the string format on both sides.
+    * Plan: one grouped count on (group, digit) ≤ 9 rows per group,
+    * shares via a window over that tiny frame. Zero/null values
+    * carry no leading digit and are excluded. round(6) on every
+    * reported double (shares and deviations are divisions — the only
+    * non-exact steps).
+    */
+  def benford(df: DataFrame, valueCol: String,
+              groupCols: Seq[String] = Seq.empty): DataFrame = {
+    val digit = regexp_extract(
+      abs(col(valueCol)).cast("decimal(18,2)").cast("string"), "[1-9]", 0)
+    val keyed = df
+      .withColumn("digit", digit)
+      .filter(col("digit") =!= "")
+      .withColumn("digit", col("digit").cast("int"))
+    val counts = keyed.groupBy((groupCols :+ "digit").map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val w = if (groupCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(groupCols.map(col): _*)
+    counts
+      .withColumn("obs_share",
+        round(col("n").cast("double") / sum(col("n")).over(w).cast("double"), 6))
+      .withColumn("exp_share",
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6))
+      .withColumn("abs_dev", round(abs(col("obs_share") - col("exp_share")), 6))
+  }
+
   def fdViolations(df: DataFrame, determinant: Seq[String],
                    dependent: String): DataFrame = {
     require(determinant.nonEmpty, "need at least one determinant column")

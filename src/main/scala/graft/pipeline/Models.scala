@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference's dbt model layers (staging → dim → fact),
@@ -148,5 +148,35 @@ object Models {
       .withColumn("revenue",
         (col("extended_price").cast("decimal(12,2)")
           * (lit(1) - col("discount").cast("decimal(12,2)"))).cast("double"))
+  }
+
+  /** Late-arriving-dimension handling (Kimball "inferred members"):
+    * fact rows can reference dimension keys the dim feed hasn't
+    * delivered yet (the reference's Mongo-sourced users lag its
+    * Postgres facts — no timestamps to order the loads by). Dropping
+    * the facts loses revenue; null-joining them loses drill-down. The
+    * standard fix: mint PLACEHOLDER dim rows for the missing keys —
+    * attribute defaults + an `is_inferred` flag — so fact loads join
+    * clean and the real attributes overwrite the placeholder when the
+    * dim catches up (an [[graft.operators.Cdc.upsert]] keyed on the
+    * dim key).
+    *
+    * Plan: the fact side reduces to DISTINCT keys FIRST (one key
+    * shuffle of the key projection, never fact rows), anti-joins the
+    * dim (delta-sized), and placeholder rows union on. Output is the
+    * dim schema + `is_inferred`.
+    */
+  def inferredMembers(dim: DataFrame, fact: DataFrame, dimKey: String,
+                      factKey: String,
+                      defaults: Map[String, Column]): DataFrame = {
+    val missing = fact.select(col(factKey).as(dimKey)).filter(col(dimKey).isNotNull)
+      .distinct()
+      .join(dim.select(col(dimKey)), Seq(dimKey), "left_anti")
+    val placeholders = dim.columns.foldLeft(missing) { (df, c) =>
+      if (c == dimKey) df
+      else df.withColumn(c, defaults.getOrElse(c, lit(null)))
+    }.select(dim.columns.map(col): _*)
+    dim.withColumn("is_inferred", lit(false))
+      .unionByName(placeholders.withColumn("is_inferred", lit(true)))
   }
 }

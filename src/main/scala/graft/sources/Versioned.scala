@@ -229,6 +229,40 @@ object Versioned {
     }
   }
 
+  /** Generalized MERGE INTO committed as one atomic version — the
+    * Delta `MERGE INTO` composition: [[graft.operators.Merge
+    * .mergeInto]]'s conditional clause chains applied against the
+    * head snapshot, committed through the same CAS-rebase discipline
+    * as [[upsert]] (a lost CAS re-merges against the winner — no lost
+    * updates under writer races). A crash mid-merge leaves the
+    * previous consistent version; readers never see a half-merged
+    * table. Bootstrap (head == 0): the not-matched clauses run
+    * against an empty target is ill-defined without a schema, so the
+    * source itself seeds version 1 only when an unconditional insert
+    * clause is present; otherwise the merge fails fast.
+    */
+  def mergeInto(source: DataFrame, path: String, key: Seq[String],
+                matched: Seq[graft.operators.Merge.MatchedClause] = Seq.empty,
+                notMatched: Seq[graft.operators.Merge.NotMatchedClause] = Seq.empty,
+                notMatchedBySource: Seq[graft.operators.Merge.NotMatchedBySourceClause] = Seq.empty,
+                maxRetries: Int = 10): Int = {
+    val spark = source.sparkSession
+    commitRebase(spark, path, maxRetries) { head =>
+      if (head == 0) {
+        val unconditionalInsert = notMatched.exists {
+          case graft.operators.Merge.NotMatchedInsert(set, None) => set.isEmpty
+          case _ => false
+        }
+        require(unconditionalInsert,
+          s"mergeInto bootstrap on empty table $path needs an " +
+            "unconditional NotMatchedInsert() clause (the source seeds v1)")
+        source
+      } else
+        graft.operators.Merge.mergeInto(read(spark, path, Some(head)),
+          source, key, matched, notMatched, notMatchedBySource)
+    }
+  }
+
   /** Rewrite the head's (possibly many) append segments as ONE
     * segment committed as the next version — the maintenance pass a
     * long-lived append table needs (every commit added a segment;

@@ -101,6 +101,37 @@ class VersionedSpec extends SparkSuite {
     assert(ids.size === 12)
   }
 
+  test("mergeInto: conditional merge commits atomically; history pins the pre-merge state") {
+    import graft.operators.Merge._
+    val dir = tmpDir("vermerge") + "/t"
+    // bootstrap requires an unconditional insert clause
+    val seed = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "tag", "v")
+    intercept[IllegalArgumentException] {
+      Versioned.mergeInto(seed, dir, Seq("k"),
+        notMatched = Seq(NotMatchedInsert(cond = Some(col("s.v") > 0))))
+    }
+    assert(Versioned.mergeInto(seed, dir, Seq("k"),
+      notMatched = Seq(NotMatchedInsert())) === 1)
+    // merge: update k=2, delete k=3 (stale), insert k=9
+    val day2 = Seq((2L, "B", 200.0), (3L, "c", -1.0), (9L, "i", 90.0))
+      .toDF("k", "tag", "v")
+    val v2 = Versioned.mergeInto(day2, dir, Seq("k"),
+      matched = Seq(
+        MatchedUpdate(Map("tag" -> col("s.tag"), "v" -> col("s.v")),
+          Some(col("s.v") > 0)),
+        MatchedDelete()),
+      notMatched = Seq(NotMatchedInsert()))
+    assert(v2 === 2)
+    val head = Versioned.read(spark, dir).orderBy("k")
+      .as[(Long, String, Double)].collect()
+    assert(head.toSeq === Seq((1L, "a", 10.0), (2L, "B", 200.0), (9L, "i", 90.0)))
+    // the pre-merge state is still pinned at v1
+    val v1 = Versioned.read(spark, dir, Some(1)).orderBy("k")
+      .as[(Long, String, Double)].collect()
+    assert(v1.toSeq === Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+  }
+
   test("compact folds append segments into one; history intact until vacuum") {
     val dir = tmpDir("vercp") + "/t"
     Versioned.commit((1L to 10L).toDF("id"), dir, replace = true)

@@ -136,6 +136,47 @@ class W5OpsSpec extends SparkSuite {
     assert(got.toSeq === Seq(("a", 1L, 2L)))
   }
 
+  // ---- Models.inferredMembers ----
+
+  test("inferredMembers: placeholders only for missing fact keys; nulls and dupes handled") {
+    val dim = Seq((1L, "alice", 10.0), (2L, "bob", 20.0)).toDF("k", "name", "bal")
+    val fact = Seq((1L, 5.0), (3L, 6.0), (3L, 7.0), (4L, 8.0))
+      .toDF("cust", "amt")
+      .union(Seq((Option.empty[Long], 9.0)).toDF("cust", "amt"))
+    val got = graft.pipeline.Models.inferredMembers(dim, fact, "k", "cust",
+        Map("name" -> lit("UNKNOWN")))
+      .select("k", "name", "bal", "is_inferred")
+      .as[(Long, String, Option[Double], Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, "alice", Some(10.0), false), (2L, "bob", Some(20.0), false),
+      (3L, "UNKNOWN", None, true),      // duplicate fact keys mint ONE row
+      (4L, "UNKNOWN", None, true)))     // null fact keys mint nothing
+  }
+
+  // ---- Quality.benford ----
+
+  test("benford: leading digits from decimal strings; zeros/nulls excluded; shares sum to 1") {
+    val df = Seq(100.0, 150.0, 0.09, 2.5, -33.3, 0.0, 19.0)
+      .toDF("v").union(Seq(Option.empty[Double]).toDF("v"))
+    val got = Quality.benford(df, "v")
+      .select("digit", "n", "obs_share", "exp_share")
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    // digits: 100→1, 150→1, 0.09→9, 2.5→2, -33.3→3, 19→1; 0.0/null excluded
+    assert(got.map(r => (r._1, r._2)).toSeq ===
+      Seq((1, 3L), (2, 1L), (3, 1L), (9, 1L)))
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-5) // round(6) shares
+    // Benford expectation for digit 1 is log10(2) ≈ 0.30103
+    assert(got.head._4 === 0.30103)
+  }
+
+  test("benford: grouped screen keeps groups independent") {
+    val df = Seq(("a", 11.0), ("a", 12.0), ("b", 90.0)).toDF("g", "v")
+    val got = Quality.benford(df, "v", Seq("g"))
+      .select("g", "digit", "obs_share").as[(String, Int, Double)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq === Seq(("a", 1, 1.0), ("b", 9, 1.0)))
+  }
+
   // ---- IncrementalAgg sketch-distinct ----
 
   test("sketch distinct MV: fold of N deltas equals the full-corpus sketch exactly") {
