@@ -120,6 +120,12 @@ object SparkEntry {
             Some(col("t.o_orderpriority") === "1-URGENT"))))
         .orderBy(col("o_orderkey"))
     }),
+    // r8 wave 5: Apriori frequent triples — the oracle states the
+    // definitional (unpruned) triple self-join, so the gate proves the
+    // anti-monotonic candidate pruning lossless
+    "basket_triples" -> ((s, d) =>
+      Analytics.frequentTriples(s, d)
+        .orderBy(col("brand_a"), col("brand_b"), col("brand_c"))),
     // r8 wave 5: late-arriving dimension — facts referencing dim keys
     // the dim feed hasn't delivered get placeholder "inferred members"
     "dim_late_arriving" -> ((s, d) => {
@@ -2966,6 +2972,24 @@ object SparkEntry {
            WHERE (matched AND NOT del) OR (s_only AND ins)
               OR (t_only AND NOT retire)
            ORDER BY o_orderkey""",
+
+      // r8 wave 5: frequent triples — the DEFINITIONAL unpruned
+      // triple self-join with relative support; the implementation's
+      // Apriori pruning must be invisible here
+      "basket_triples" ->
+        """WITH items AS (
+             SELECT DISTINCT l_orderkey AS o, p_brand AS b
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+           ), s AS (
+             SELECT ceil(0.002 * count(DISTINCT o)) AS s FROM items)
+           SELECT x.b AS brand_a, y.b AS brand_b, z.b AS brand_c,
+             count(*) AS n_orders
+           FROM items x
+           JOIN items y ON x.o = y.o AND x.b < y.b
+           JOIN items z ON y.o = z.o AND y.b < z.b
+           GROUP BY 1, 2, 3
+           HAVING count(*) >= (SELECT s FROM s)
+           ORDER BY 1, 2, 3""",
 
       // r8 wave 5: inferred members — the dim plus placeholder rows
       // for fact keys the dim feed hasn't delivered

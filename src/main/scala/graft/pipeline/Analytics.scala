@@ -370,6 +370,69 @@ object Analytics {
       .filter(col("n_orders") >= minCount)
   }
 
+  /** Frequent brand TRIPLES by Apriori candidate pruning (Agrawal &
+    * Srikant VLDB'94) — the next market-basket order up from
+    * [[basketPairs]]: all 3-itemsets co-purchased in ≥ ⌈frac·|orders|⌉
+    * orders (relative support — the threshold scales with the data,
+    * as the original definition has it).
+    *
+    * The definitional form is a triple self-join — per-order fan-out
+    * domain³ — and THAT is what the oracle states. The implementation
+    * prunes by anti-monotonicity (every sub-itemset of a frequent
+    * triple is frequent, so dropping infrequent items/pairs loses
+    * nothing — the correctness gate proves it):
+    *  1. distinct (order, brand) items, frequent ITEMS only;
+    *  2. per-order pair occurrences (a < b), kept only for frequent
+    *     PAIRS (the tiny ≤ domain² pair table broadcasts);
+    *  3. extend by a third item c > b, kept only when (a,c) and (b,c)
+    *     are also frequent — the full Apriori candidate test;
+    *  4. count per triple, cut at support.
+    * Per-order fan-out is bounded by the FREQUENT-item count per
+    * order, not the raw domain, and every pruning join is a broadcast
+    * of a domain²-bounded frame. The one driver-side scalar is the
+    * order count (bootstrap discipline — one count job).
+    */
+  def frequentTriples(spark: SparkSession, dir: String,
+                      supportFrac: Double = 0.002): DataFrame = {
+    val items = graft.Par.persistTracked(
+      Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+        .distinct())
+    val nOrders = items.select(countDistinct(col("o"))).head().getLong(0)
+    val s = math.ceil(supportFrac * nOrders).toLong
+    frequentTriplesFromItems(items, s)
+  }
+
+  /** Apriori core over a distinct (o, b) item frame — see
+    * [[frequentTriples]]. `items` must be (order, item)-distinct.
+    */
+  def frequentTriplesFromItems(items: DataFrame, s: Long): DataFrame = {
+    val freqItems = items.groupBy(col("b")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= s).select(col("b"))
+    val itemsF = graft.Par.persistTracked(
+      items.join(broadcast(freqItems), Seq("b")).select(col("o"), col("b")))
+    val pairOcc = itemsF.select(col("o"), col("b").as("brand_a"))
+      .join(itemsF.select(col("o"), col("b").as("brand_b")), Seq("o"))
+      .filter(col("brand_a") < col("brand_b"))
+    val freqPairs = graft.Par.persistTracked(
+      pairOcc.groupBy(col("brand_a"), col("brand_b"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= s)
+        .select(col("brand_a"), col("brand_b")))
+    val tripleOcc = pairOcc
+      .join(broadcast(freqPairs), Seq("brand_a", "brand_b"))
+      .join(itemsF.select(col("o"), col("b").as("brand_c")), Seq("o"))
+      .filter(col("brand_b") < col("brand_c"))
+      .join(broadcast(freqPairs.toDF("brand_a", "brand_c")),
+        Seq("brand_a", "brand_c"))
+      .join(broadcast(freqPairs.toDF("brand_b", "brand_c")),
+        Seq("brand_b", "brand_c"))
+    tripleOcc.groupBy(col("brand_a"), col("brand_b"), col("brand_c"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= s)
+  }
+
   /** Windowed funnel — [[funnel]] with a conversion deadline: the
     * chain must complete within `windowSeconds` of its step-1 start.
     * A single greedy chain is NOT enough here (an early start can

@@ -213,6 +213,35 @@ class W5OpsSpec extends SparkSuite {
     assert(got.toSeq === Seq((1L, 2L)))
   }
 
+  // ---- Analytics.frequentTriples ----
+
+  test("frequentTriples: Apriori pruning equals brute force where pruning bites") {
+    // orders crafted so pruning has real work: item "z" is infrequent
+    // (1 order), pair (a,c) is frequent but (a,b,c) is not, and
+    // (a,b,d) is the one frequent triple (support 2)
+    val baskets = Seq(
+      1L -> Seq("a", "b", "d"),
+      2L -> Seq("a", "b", "d", "z"),
+      3L -> Seq("a", "c"),
+      4L -> Seq("a", "c"),
+      5L -> Seq("b", "c"))
+    val items = baskets.flatMap { case (o, bs) => bs.map(o -> _) }
+      .toDF("o", "b")
+    val s = 2L
+    val got = Analytics.frequentTriplesFromItems(items, s)
+      .as[(String, String, String, Long)].collect().sorted
+    assert(got.toSeq === Seq(("a", "b", "d", 2L)))
+    // brute force: unpruned triple join with the same support
+    val brute = items.as("x")
+      .join(items.as("y"), $"x.o" === $"y.o" && $"x.b" < $"y.b")
+      .join(items.as("z"), $"y.o" === $"z.o" && $"y.b" < $"z.b")
+      .groupBy($"x.b", $"y.b", $"z.b").count()
+      .filter(col("count") >= s)
+      .as[(String, String, String, Long)].collect().sorted
+    assert(got.toSeq === brute.toSeq)
+    Par.release()
+  }
+
   // ---- Analytics.topPaths ----
 
   test("topPaths: lead-chain trigrams counted globally, tie-break pinned") {
