@@ -154,6 +154,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RangeJoinRewrite)
+    e.injectOptimizerRule(_ => MvRewrite)
+  }
 }
