@@ -1974,6 +1974,50 @@ object SparkEntry {
           Seq("event_type"))
         .orderBy(col("event_type"))
     }),
+    // transparent MV QUERY-REWRITE graded end-to-end: a copy of the
+    // events fact gets an IncrementalAgg state + MvCatalog
+    // registration; the query is the PLAIN aggregate over the fact —
+    // MvRewrite must answer it from the state (asserted eagerly on
+    // the optimized plan, so the entry FAILS rather than silently
+    // grading the unrewritten scan), and the answer must equal the
+    // DuckDB recompute over the original events table. Exercises the
+    // subset-grain path (state at (user_id, event_type), query at
+    // event_type) plus a group-key filter.
+    "mv_rewrite" -> ((s, d) => {
+      import graft.plans.{MvCatalog, MvRewrite}
+      import org.apache.spark.sql.execution.datasources.LogicalRelation
+      val base = java.nio.file.Files.createTempDirectory("graft_mvrw_").toString
+      val factPath = s"$base/fact"; val statePath = s"$base/state"
+      val keys = Seq("user_id", "event_type")
+      Tables.events(s, d).select(col("user_id"), col("event_type"), col("value"))
+        .write.parquet(factPath)
+      IncrementalAgg.init(s.read.parquet(factPath), keys, "value")
+        .write.parquet(statePath)
+      MvCatalog.register(s,
+        MvCatalog.MvDef(factPath, keys, "value", statePath))
+      val df = s.read.parquet(factPath)
+        .filter(col("event_type") =!= lit("__none__"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast("decimal(18,6)")).as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .withColumn("sum_value", col("sum_value").cast("double"))
+        .orderBy(col("event_type"))
+      // non-vacuous: the optimized plan must read the STATE, not the
+      // fact — a rewrite that fails to fire fails the graded entry
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case r: LogicalRelation => r
+      }.flatMap(_.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toUri.getPath)
+        case _ => Seq.empty
+      })
+      require(scans.exists(_.contains("/state")) && !scans.exists(_.contains("/fact")),
+        s"MvRewrite did not fire: scans=$scans " +
+          s"(enabled=${s.conf.get(MvRewrite.EnabledConf, "true")})")
+      df
+    }),
     // streaming versioned MV graded batch-side (§2.6): two
     // microbatches fold into the Versioned aggregate state, one
     // atomic version each; the final finalized read must equal the
@@ -4997,6 +5041,15 @@ object SparkEntry {
                / CAST(count(*) AS DOUBLE), 6) AS avg_value
            FROM events GROUP BY user_id, event_type
            ORDER BY user_id, event_type""",
+
+      // fact recompute over the original events table — the
+      // state-answered rewrite must be indistinguishable from it
+      "mv_rewrite" ->
+        """SELECT event_type, count(*) AS n_rows,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+             min(value) AS min_value, max(value) AS max_value
+           FROM events WHERE event_type <> '__none__'
+           GROUP BY event_type ORDER BY event_type""",
 
       // both versions' contents replayed from the same base table,
       // then the keyed null-safe diff (IS DISTINCT FROM ≡ Spark <=>)

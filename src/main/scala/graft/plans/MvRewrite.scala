@@ -8,23 +8,67 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types._
 
-/** Registry of maintained materialized aggregates for
-  * [[MvRewrite]] — which fact paths have an
-  * [[graft.operators.IncrementalAgg]] state table, and where.
-  * Registration is explicit (the maintenance job owns the state's
-  * freshness contract); `clear()` between tests/sessions.
+/** Registry of maintained materialized aggregates for [[MvRewrite]] —
+  * which fact paths have an [[graft.operators.IncrementalAgg]] state
+  * table, and where. Registration is explicit (the maintenance job
+  * owns the state's freshness contract: register AFTER the fold
+  * commits, deregister/re-register on every maintenance run).
+  *
+  * Scoped PER SparkSession (keyed by `sessionUUID`): two sessions in
+  * one driver never see each other's registrations — a multi-tenant
+  * driver can't have tenant A's state answer tenant B's query.
+  * Registration resolves the state's ANALYZED plan once, so the
+  * optimizer rule never does file-listing/schema IO inside an
+  * optimization pass.
   */
 object MvCatalog {
   final case class MvDef(factPath: String, groupKeys: Seq[String],
                          valueCol: String, statePath: String)
-  private val defs =
-    java.util.Collections.synchronizedList(new java.util.ArrayList[MvDef]())
-  def register(d: MvDef): Unit = defs.add(d)
-  def clear(): Unit = defs.clear()
-  def all: Seq[MvDef] = {
-    import scala.jdk.CollectionConverters._
-    defs.asScala.toSeq
+
+  /** A registered definition with its pre-resolved state relation. */
+  private[plans] final case class Resolved(mvDef: MvDef, factUriPath: String,
+                                           stateRel: LogicalRelation)
+
+  // weak keys: a dropped session's registrations are GC-collectable —
+  // the registry can't pin dead sessions in a long-lived driver
+  private val bySession =
+    new java.util.WeakHashMap[SparkSession, List[Resolved]]()
+
+  /** Register `d` for `spark`'s session. Resolves the state parquet's
+    * schema NOW (one file-listing, at registration — the maintenance
+    * job's cadence, not the query optimizer's) and validates that the
+    * state carries the partial columns the rewrite needs.
+    */
+  def register(spark: SparkSession, d: MvDef): Unit = {
+    val analyzed = spark.read.parquet(d.statePath).queryExecution.analyzed
+    val rel = analyzed.collectFirst { case r: LogicalRelation => r }
+      .getOrElse(throw new IllegalArgumentException(
+        s"state at ${d.statePath} did not resolve to a file relation"))
+    val names = rel.output.map(_.name).toSet
+    val needed = d.groupKeys ++ Seq("n_rows", "sum_value", "min_value", "max_value")
+    val missing = needed.filterNot(names.contains)
+    require(missing.isEmpty,
+      s"state at ${d.statePath} is missing partial columns: ${missing.mkString(", ")}")
+    val factUri = new org.apache.hadoop.fs.Path(d.factPath).toUri.getPath
+    bySession.synchronized {
+      bySession.put(spark,
+        resolvedForLocked(spark) :+ Resolved(d, factUri, rel))
+    }
   }
+
+  def clear(spark: SparkSession): Unit =
+    bySession.synchronized { bySession.remove(spark) }
+
+  def isEmpty(spark: SparkSession): Boolean =
+    bySession.synchronized { resolvedForLocked(spark).isEmpty }
+
+  private def resolvedForLocked(spark: SparkSession): List[Resolved] =
+    Option(bySession.get(spark)).getOrElse(Nil)
+
+  private[plans] def resolvedFor(spark: SparkSession): List[Resolved] =
+    bySession.synchronized { resolvedForLocked(spark) }
+
+  def all(spark: SparkSession): Seq[MvDef] = resolvedFor(spark).map(_.mvDef)
 }
 
 /** Catalyst optimizer rule: answer matching aggregate queries from
@@ -42,7 +86,9 @@ object MvCatalog {
   * group keys and whose aggregates are exactly-answerable from the
   * algebraic partials:
   *
-  *  - `count(1)` / `count(*)`         → sum(n_rows)
+  *  - `count(1)` / `count(*)`         → coalesce(sum(n_rows), 0)
+  *    (the coalesce matters for the GLOBAL count over an empty or
+  *    fully-filtered state: sum returns NULL where count returns 0)
   *  - `sum(cast(value as decimal(18,6)))` → sum(sum_value) (exact:
   *     decimal addition is associative — the state's partial is the
   *     same number the fact pass would produce)
@@ -53,24 +99,35 @@ object MvCatalog {
   * group cardinality, not history). `sum(value)` over raw DOUBLES is
   * deliberately NOT matched: float addition isn't associative, so the
   * state's sum is not bit-identical to a fact recompute. Output
-  * attribute ids/names/types are preserved exactly, so parent
-  * operators never notice the swap.
+  * attribute ids/names/types are preserved exactly (each output is
+  * re-aliased under the original ExprId), so parent operators —
+  * including downstream joins that reference the aggregate's output
+  * attributes — never notice the swap; the STATE side's attributes
+  * are freshly instantiated per rewrite (`newInstance`), so two
+  * rewrites in one query can't collide on ExprIds.
   *
   * The rewrite changes WHERE the numbers come from, not what they
   * are — correct iff the state is CURRENT for the fact (the
   * registration contract; the maintenance job registers after its
   * fold commits, mirroring every warehouse's staleness contract).
+  * The state's analyzed relation is resolved at REGISTRATION
+  * ([[MvCatalog.register]]) — the optimizer pass itself does zero IO.
   * Disable per session with `spark.graft.mvRewrite.enabled=false`.
+  * Registrations are per-session ([[MvCatalog]]); verified in
+  * MvRewriteSpec and graded as [mv_rewrite] against the fact
+  * recompute oracle.
   */
 object MvRewrite extends Rule[LogicalPlan] {
 
   val EnabledConf = "spark.graft.mvRewrite.enabled"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (conf.getConfString(EnabledConf, "true") != "true" ||
-      MvCatalog.all.isEmpty) return plan
+    if (conf.getConfString(EnabledConf, "true") != "true") return plan
+    val spark = SparkSession.getActiveSession.getOrElse(return plan)
+    val defs = MvCatalog.resolvedFor(spark)
+    if (defs.isEmpty) return plan
     plan.transform {
-      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+      case agg: Aggregate => tryRewrite(agg, defs).getOrElse(agg)
     }
   }
 
@@ -96,13 +153,14 @@ object MvRewrite extends Rule[LogicalPlan] {
       case _ => Seq.empty
     }
 
-  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+  private def tryRewrite(agg: Aggregate,
+                         defs: List[MvCatalog.Resolved]): Option[LogicalPlan] = {
     val (rel, filterCond) = peel(agg.child).getOrElse(return None)
     val roots = relationRoots(rel)
     if (roots.isEmpty) return None
-    val mv = MvCatalog.all.find(d =>
-      roots.exists(r => r == new org.apache.hadoop.fs.Path(d.factPath).toUri.getPath))
+    val resolved = defs.find(d => roots.contains(d.factUriPath))
       .getOrElse(return None)
+    val mv = resolved.mvDef
 
     // grouping keys: attribute refs, each one of the MV's group keys
     val groupAttrs = agg.groupingExpressions.map {
@@ -116,14 +174,13 @@ object MvRewrite extends Rule[LogicalPlan] {
       if (!c.deterministic) return None
     }
 
-    // the state relation (analyzed, not optimized — this rule must not
-    // recurse into itself, and an analyzed read is pre-optimizer)
-    val spark = SparkSession.active
-    val stateRel = spark.read.parquet(mv.statePath).queryExecution.analyzed
+    // fresh state-side attribute instances for THIS rewrite — the
+    // cached relation's ExprIds must not repeat if two aggregates in
+    // one query both rewrite (duplicate ids across join branches are
+    // never deduplicated post-analysis)
+    val stateRel = resolved.stateRel.newInstance()
     val stateByName: Map[String, AttributeReference] =
       stateRel.output.collect { case a: AttributeReference => a.name -> a }.toMap
-    val needed = mv.groupKeys ++ Seq("n_rows", "sum_value", "min_value", "max_value")
-    if (!needed.forall(stateByName.contains)) return None
     def stateAttr(name: String): AttributeReference = stateByName(name)
 
     val keyMap: Map[ExprId, AttributeReference] =
@@ -132,30 +189,51 @@ object MvRewrite extends Rule[LogicalPlan] {
     def aggCall(fn: AggregateFunction): AggregateExpression =
       AggregateExpression(fn, Complete, isDistinct = false)
 
-    // map each output: group-key passthroughs and the answerable aggs
+    /** State-side answer for one aggregate call, or None. */
+    def answerAgg(fn: AggregateFunction): Option[Expression] = fn match {
+      case Count(Seq(Literal(1, IntegerType))) =>
+        // sum(NULL-free longs) is NULL only over ZERO rows — the
+        // global-grain count over an empty/filtered-out state, where
+        // count(*) must say 0
+        Some(Coalesce(Seq(aggCall(Sum(stateAttr("n_rows"))), Literal(0L))))
+      case Sum(Cast(v: AttributeReference, dt: DecimalType, _, _), _)
+        if v.name == mv.valueCol && dt == DecimalType(18, 6) =>
+        Some(aggCall(Sum(stateAttr("sum_value"))))
+      case Min(v: AttributeReference) if v.name == mv.valueCol =>
+        Some(aggCall(Min(stateAttr("min_value"))))
+      case Max(v: AttributeReference) if v.name == mv.valueCol =>
+        Some(aggCall(Max(stateAttr("max_value"))))
+      case _ => None
+    }
+
+    // map each output. An alias child may be ANY deterministic
+    // expression tree over answerable aggregate calls and group keys
+    // (CollapseProject routinely folds a post-aggregation
+    // cast/round/arithmetic Project into the aggregate list — e.g.
+    // `cast(sum(x) as double)` — and the rewrite must still fire);
+    // each aggregate call is swapped type-preservingly, group keys map
+    // to state attributes, and anything that still references a fact
+    // attribute afterwards (a row-level value reference the state
+    // cannot answer) rejects the rewrite.
     val mapped: Seq[NamedExpression] = agg.aggregateExpressions.map {
       case a: AttributeReference if keyMap.contains(a.exprId) =>
         Alias(keyMap(a.exprId), a.name)(exprId = a.exprId)
-      case al @ Alias(a: AttributeReference, name) if keyMap.contains(a.exprId) =>
-        Alias(keyMap(a.exprId), name)(exprId = al.exprId)
-      case al @ Alias(AggregateExpression(fn, Complete, false, None, _), name) =>
-        val replaced: Expression = fn match {
-          case Count(Seq(Literal(1, IntegerType))) =>
-            aggCall(Sum(stateAttr("n_rows")))
-          case Sum(Cast(v: AttributeReference, dt: DecimalType, _, _), _)
-            if v.name == mv.valueCol && dt == DecimalType(18, 6) =>
-            Cast(aggCall(Sum(stateAttr("sum_value"))), al.dataType)
-          case Min(v: AttributeReference) if v.name == mv.valueCol =>
-            aggCall(Min(stateAttr("min_value")))
-          case Max(v: AttributeReference) if v.name == mv.valueCol =>
-            aggCall(Max(stateAttr("max_value")))
-          case _ => return None
+      case al @ Alias(child, name) if child.deterministic =>
+        var ok = true
+        val replaced = child.transformUp {
+          case ae @ AggregateExpression(fn, Complete, false, None, _) =>
+            answerAgg(fn) match {
+              case Some(e) =>
+                if (e.dataType == ae.dataType) e else Cast(e, ae.dataType)
+              case None => ok = false; ae
+            }
+          case ae: AggregateExpression => ok = false; ae
+          case a: AttributeReference if keyMap.contains(a.exprId) =>
+            keyMap(a.exprId)
         }
-        // count(1) over long partials: Sum(LongType) = LongType already
-        val typed: Expression =
-          if (replaced.dataType == al.dataType) replaced
-          else Cast(replaced, al.dataType)
-        Alias(typed, name)(exprId = al.exprId)
+        if (!ok) return None
+        if (!replaced.references.subsetOf(stateRel.outputSet)) return None
+        Alias(replaced, name)(exprId = al.exprId)
       case _ => return None
     }
 
