@@ -85,9 +85,15 @@ object Graph {
     * back to the node set so isolated-degree-0 nodes keep their
     * (1−d)/N floor. Undirected edges are exploded to both directions,
     * so every node with an edge has out-degree ≥ 1 — no dangling-mass
-    * term. Lineage is cut with localCheckpoint every 3 rounds (the
-    * connectedComponents discipline: 10 chained joins otherwise grow
-    * an exponential plan).
+    * term. Lineage is cut every 3 rounds (the connectedComponents
+    * discipline: 10 chained joins otherwise grow an exponential
+    * plan) — `localCheckpoint` by default, which pins blocks to their
+    * executors; on a cluster with dynamic allocation / spot nodes one
+    * lost executor kills the run's lineage, so there set a
+    * fault-tolerant `sparkContext.setCheckpointDir` and pass
+    * `reliable=true` to use `checkpoint()` instead (same truncation,
+    * HDFS-backed blocks) — mirrors [[Dedup.connectedComponents]]'s
+    * flag.
     *
     * Float caveat, stated: per-node sums add in partition order, so
     * ranks are deterministic only up to double rounding — the graded
@@ -96,8 +102,12 @@ object Graph {
     * structural invariants (Σr = 1, hub dominance, symmetry).
     */
   def pageRank(edges: DataFrame, aCol: String, bCol: String,
-               iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+               iterations: Int = 10, damping: Double = 0.85,
+               reliable: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 100, "iterations in [1, 100]")
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
     val e = canon(edges, aCol, bCol)
     val directed = graft.Par.persistTracked(
       e.select(col("a").as("src"), col("b").as("dst"))
@@ -118,7 +128,7 @@ object Graph {
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + lit(damping) * coalesce(col("__c"), lit(0.0))).as("rank"))
-      if (i % 3 == 0 && i < iterations) ranks = ranks.localCheckpoint()
+      if (i % 3 == 0 && i < iterations) ranks = truncate(ranks)
     }
     ranks
   }

@@ -358,6 +358,33 @@ class W4OpsSpec extends SparkSuite {
     Par.release()
   }
 
+  test("PageRank reliable=true uses fault-tolerant checkpoints, identical ranks") {
+    import graft.operators.Graph
+    // the reliable flag swaps localCheckpoint for HDFS-backed
+    // checkpoint() (the spot-node/dynamic-allocation mode) — the
+    // truncation cadence and arithmetic are unchanged; ranks agree to
+    // the same 1e-9 the driver-side reference uses (shuffle fetch
+    // order makes per-node double sums run-order-dependent, so exact
+    // bit equality across runs is not a contract even mode-to-mode)
+    val rnd = new scala.util.Random(13)
+    val edges = (0 until 150).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (a, b) => a != b }.distinct.toDF("a", "b")
+    val local = Graph.pageRank(edges, "a", "b", iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val prev = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(tmpDir("prckpt"))
+    try {
+      val rel = Graph.pageRank(edges, "a", "b", iterations = 10,
+          reliable = true)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(rel.keySet === local.keySet)
+      rel.foreach { case (v, x) =>
+        assert(math.abs(x - local(v)) < 1e-9, s"node $v") }
+    } finally prev.foreach(spark.sparkContext.setCheckpointDir)
+    Par.release()
+  }
+
   test("triangle stats: known graphs and equality to brute force on a random graph") {
     import graft.operators.Graph
     def stats(edges: Seq[(Long, Long)]) =
