@@ -360,6 +360,57 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ---- exactly-once JDBC CDC apply, graded batch-side (r9) ----
+    // the reference's ClickHouse sink protocol run as a REAL stream
+    // into embedded Derby: batch 0 bootstraps the warehouse table,
+    // batch 1 merges the delta (ledger mark inside the merge tx).
+    // Then the crash-redelivery case is DRIVEN, not just spec'd: a
+    // fresh-checkpoint restart replays ALL input as a new batch 0 —
+    // plus a POISON row that would corrupt the table if applied — and
+    // the (sink_table, batch_id) ledger must skip it untouched. The
+    // final warehouse table is graded against the latest-per-user
+    // oracle over the ORIGINAL events; an applied poison row or a
+    // double-applied batch fails the hash.
+    "stream_cdc_jdbc_exactly_once" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_jx").toString
+      val inDir = s"$base/in"
+      val dbName = "jx" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val url = s"jdbc:derby:memory:$dbName;create=true"
+      val table = "events_sink"
+      val ev = eventCols(Tables.events(s, d))
+      val cutoff = lit(CdcCutoff).cast("timestamp")
+      ev.filter(col("ts") <= cutoff).write.parquet(inDir)
+      withShufflePartitions(s, 4) {
+        def start(ckpt: String) = graft.streaming.EventStream
+          .applyUpsertsJdbcExactlyOnce(
+            graft.streaming.EventStream.read(s, inDir), url, table,
+            ckpt, Seq("user_id"), "ts", Seq("event_id"))
+        val q = start(s"$base/ckpt1")
+        try {
+          q.processAllAvailable() // batch 0: bootstrap load
+          ev.filter(col("ts") > cutoff).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // batch 1: staged merge + ledger mark
+        } finally q.stop()
+        // redelivery: fresh checkpoint ⇒ every file replays as batch 0
+        // again, now including a poison row newer than everything —
+        // applying it would win the latest-per-key merge and corrupt
+        // the graded output; the ledger row for batch 0 must skip it
+        import s.implicits._
+        Seq((-999L, -999L,
+            new java.sql.Timestamp(ev.agg(max(col("ts"))).head
+              .getTimestamp(0).getTime + 3600000L),
+            "__poison", -1.0))
+          .toDF("user_id", "event_id", "ts", "event_type", "value")
+          .write.mode("append").parquet(inDir)
+        val q2 = start(s"$base/ckpt2")
+        try q2.processAllAvailable() finally q2.stop()
+      }
+      s.read.format("jdbc").option("url", url).option("dbtable", table).load()
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- watermarked windowed agg, graded batch-side (§2.6) ----
     // the REAL hourlyCounts stream (watermark + tumbling window,
     // append mode, parquet sink) on static input. Append mode only
@@ -3537,6 +3588,18 @@ object SparkEntry {
            GROUP BY day_start ORDER BY day_start""",
 
       "stream_cdc_apply" ->
+        """SELECT user_id, event_id, ts, event_type, value FROM (
+             SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events)
+           WHERE rn = 1 ORDER BY user_id""",
+
+      // the JDBC warehouse table after bootstrap + merge + a skipped
+      // poisoned redelivery must equal the same latest-per-user
+      // recompute — an applied poison row or double-applied batch
+      // shows up as extra/shifted rows
+      "stream_cdc_jdbc_exactly_once" ->
         """SELECT user_id, event_id, ts, event_type, value FROM (
              SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
                row_number() OVER (PARTITION BY user_id
