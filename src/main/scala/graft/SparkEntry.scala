@@ -641,6 +641,55 @@ object SparkEntry {
             .as("sum_qty"))
     }),
 
+    // small-file compaction graded end-to-end (r9): a deliberately
+    // fragmented copy of orders (64 shards) is compacted through the
+    // checked-rename swap; the entry eagerly requires the file count
+    // actually DROPPED (a no-op compaction fails the gate), and the
+    // graded output is the post-maintenance table content — the row
+    // set a daily maintenance run must never change
+    "sink_compact" -> ((s, d) => {
+      val dir = s"/tmp/graft_compact_${java.util.UUID.randomUUID()}"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .repartition(64).write.parquet(dir)
+      val nAfter = graft.sources.Sink.compact(s, dir, targetBytes = 64L << 20)
+      require(nAfter < 64, s"compaction was a no-op: $nAfter files")
+      s.read.parquet(dir)
+        .orderBy(col("o_orderkey"))
+    }),
+    // range-clustered write graded end-to-end (r9): orders clustered
+    // on o_orderdate into 8 sorted files; the entry eagerly requires
+    // the files own DISJOINT key ranges (the property all three
+    // pruning levels hang off) and grades the table content — the
+    // layout must be invisible in the row set
+    "sink_clustered_write" -> ((s, d) => {
+      val dir = s"/tmp/graft_clustered_${java.util.UUID.randomUUID()}"
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice"))
+      val n = graft.sources.Sink.clusteredWrite(o, dir, Seq("o_orderdate"),
+        numFiles = 8)
+      require(n > 1 && n <= 8, s"unexpected file count: $n")
+      // disjoint ranges: sort files by min date — each file's min must
+      // be strictly after the previous file's max (equal keys never
+      // span files by range-partitioning construction)
+      val ranges = s.read.parquet(dir)
+        .groupBy(col("_metadata.file_path"))
+        .agg(min(col("o_orderdate")).as("lo"), max(col("o_orderdate")).as("hi"))
+        .orderBy(col("lo"))
+        .collect()
+      ranges.sliding(2).foreach {
+        case Array(a, b) =>
+          // ISO date/datetime strings compare lexically
+          require(b.getAs[Any]("lo").toString > a.getAs[Any]("hi").toString,
+            s"overlapping file ranges: $a vs $b")
+        case _ => ()
+      }
+      s.read.parquet(dir)
+        .orderBy(col("o_orderkey"))
+    }),
+
     // PERMISSIVE quarantine split (r8): bad records neither kill the
     // load nor vanish — schema-true rows parse, failures keep their
     // raw text for replay; graded via a VALUES-literal oracle over a
@@ -3682,6 +3731,15 @@ object SparkEntry {
            FROM lineitem
            WHERE l_partkey BETWEEN 100 AND 400
              AND l_suppkey BETWEEN 10 AND 40""",
+
+      // maintenance must never change the row set: both the compacted
+      // and the re-clustered orders table equal the plain source scan
+      "sink_compact" ->
+        """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+           FROM orders ORDER BY o_orderkey""",
+      "sink_clustered_write" ->
+        """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+           FROM orders ORDER BY o_orderkey""",
 
       // VALUES-literal oracle (zero data): the crafted file's
       // deterministic split — good rows parse, bad rows keep raw text
