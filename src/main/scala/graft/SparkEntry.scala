@@ -1015,6 +1015,10 @@ object SparkEntry {
     // Dag + Schedule at the reference's 01:40 Lagos cadence.
     // Oracle replays both days in SQL (pipeline/DayReplay.scala).
     "pipeline_day_replay" -> ((s, d) => DayReplay.run(s, d)),
+    // the DQ audit table the replay's gate committed (r9): Benford
+    // digit screen over the day-2 current balances — the oracle
+    // replays the same id-arithmetic day-2 row set and digit math
+    "pipeline_day_replay_dq" -> ((s, d) => DayReplay.runDqAudit(s, d)),
 
     // ---- data quality (§2.3) ----
     // store_failures analog (r8): the OFFENDING rows per check —
@@ -3624,6 +3628,32 @@ object SparkEntry {
            LEFT JOIN fct f ON h.customer_id = f.customer_id
            LEFT JOIN ev e ON h.customer_id = e.user_id
            ORDER BY h.customer_id, h.valid_from""",
+
+      // the gate's Benford screen over the day-2 current rows: the
+      // replay's surviving customers are pure id arithmetic, so the
+      // digit table is replayable without the pipeline
+      "pipeline_day_replay_dq" ->
+        """WITH s2 AS (
+             SELECT c_acctbal AS account_balance
+             FROM customer WHERE c_custkey % 7 <> 0),
+           keyed AS (
+             SELECT CAST(regexp_extract(
+               CAST(CAST(abs(account_balance) AS DECIMAL(18,2)) AS VARCHAR),
+               '[1-9]') AS INTEGER) AS digit
+             FROM s2
+             WHERE regexp_extract(
+               CAST(CAST(abs(account_balance) AS DECIMAL(18,2)) AS VARCHAR),
+               '[1-9]') <> ''
+           ), counts AS (
+             SELECT digit, count(*) AS n FROM keyed GROUP BY 1)
+           SELECT digit, n,
+             round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6)
+               AS obs_share,
+             round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS exp_share,
+             round(abs(
+               round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6) -
+               round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)), 6) AS abs_dev
+           FROM counts ORDER BY digit""",
 
       "range_join_rewrite" ->
         """WITH days AS (
