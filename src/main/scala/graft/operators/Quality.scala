@@ -410,21 +410,6 @@ object Quality {
       .select(lit(nRef).as("n_ref"), lit(nCur).as("n_cur"), col("ks_d"))
   }
 
-  /** Functional-dependency violation miner — "does A (determinant)
-    * uniquely determine B (dependent)?", the profiling question
-    * behind normalization audits, conformed-dimension checks
-    * (one name per key), and dbt's `dbt_utils.unique_combination`
-    * family. Output: one row per determinant value that maps to MORE
-    * than one distinct dependent value, with the distinct-dependent
-    * count, row count, and the min/max dependent as evidence.
-    *
-    * ONE grouped pass on the determinant key (map-side partials; the
-    * per-group COUNT(DISTINCT dep) is Spark's two-phase distinct
-    * aggregate, never an Expand over the table). NULL dependents are
-    * not counted as a conflicting value (SQL COUNT DISTINCT
-    * semantics) — a NULL-vs-value conflict surfaces through
-    * [[runChecks]]' not_null instead.
-    */
   /** Benford's-law screen — the classic audit test for fabricated or
     * systematically-distorted amounts: in organically-generated
     * multi-scale data the leading digit d appears with probability
@@ -463,6 +448,21 @@ object Quality {
       .withColumn("abs_dev", round(abs(col("obs_share") - col("exp_share")), 6))
   }
 
+  /** Functional-dependency violation miner — "does A (determinant)
+    * uniquely determine B (dependent)?", the profiling question
+    * behind normalization audits, conformed-dimension checks
+    * (one name per key), and dbt's `dbt_utils.unique_combination`
+    * family. Output: one row per determinant value that maps to MORE
+    * than one distinct dependent value, with the distinct-dependent
+    * count, row count, and the min/max dependent as evidence.
+    *
+    * ONE grouped pass on the determinant key (map-side partials; the
+    * per-group COUNT(DISTINCT dep) is Spark's two-phase distinct
+    * aggregate, never an Expand over the table). NULL dependents are
+    * not counted as a conflicting value (SQL COUNT DISTINCT
+    * semantics) — a NULL-vs-value conflict surfaces through
+    * [[runChecks]]' not_null instead.
+    */
   def fdViolations(df: DataFrame, determinant: Seq[String],
                    dependent: String): DataFrame = {
     require(determinant.nonEmpty, "need at least one determinant column")

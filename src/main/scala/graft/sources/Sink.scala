@@ -419,6 +419,14 @@ object Sink {
     manifest
   }
 
+  /** A parameterized epilogue statement for [[jdbcUpsert]]: `params`
+    * bind through `PreparedStatement` placeholders, so caller values
+    * (ledger marks, watermarks) never string-interpolate into SQL.
+    * Identifier positions (table names) cannot be parameterized by
+    * JDBC — keep those to trusted configuration.
+    */
+  final case class PStmt(sql: String, params: Seq[Any] = Nil)
+
   /** Plain JDBC append — executor-parallel: each partition of `df`
     * opens its own connection and batch-inserts its rows, so the wire
     * transfer scales with the cluster, not the driver.
@@ -482,7 +490,7 @@ object Sink {
                  tieBreak: Seq[String] = Nil,
                  connProps: Map[String, String] = Map.empty,
                  dialect: Option[JdbcMergeDialect] = None,
-                 txEpilogue: Seq[String] = Nil): Long = {
+                 txEpilogue: Seq[PStmt] = Nil): Long = {
     require(key.nonEmpty, "jdbcUpsert needs at least one upsert key column")
     val merge = dialect.getOrElse(JdbcMergeDialect.forUrl(url))
     val props = javaProps(connProps)
@@ -494,14 +502,16 @@ object Sink {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       if (!tableExists(conn, table)) {
-        // fresh load — the batch IS the table. The epilogue runs in
-        // its own transaction AFTER the load lands (the bootstrap
-        // write itself is executor-parallel and non-transactional); a
-        // crash between the two is healed by replay idempotence —
-        // the re-run takes the staged-upsert path where the epilogue
-        // IS atomic with the merge.
+        // fresh load — the batch IS the table. The epilogue runs as
+        // ONE transaction AFTER the load lands (the bootstrap write
+        // itself is executor-parallel and non-transactional); a crash
+        // between the two is healed by replay idempotence — the
+        // re-run takes the staged-upsert path where the epilogue IS
+        // atomic with the merge.
         fresh.write.mode(SaveMode.ErrorIfExists).jdbc(url, table, props)
-        txEpilogue.foreach(exec(conn, _))
+        atomically(conn, merge.transactional) {
+          txEpilogue.foreach(execP(conn, _))
+        }
         return scalarLong(conn, s"SELECT COUNT(*) FROM $table")
       }
       // temp-table name must be unique per run but need not be random:
@@ -510,7 +520,16 @@ object Sink {
       fresh.write.mode(SaveMode.ErrorIfExists).jdbc(url, tmp, props)
       try {
         val n = scalarLong(conn, s"SELECT COUNT(*) FROM $tmp")
-        if (n == 0L) { txEpilogue.foreach(exec(conn, _)); return 0L }
+        if (n == 0L) {
+          // empty batch: no merge, but the epilogue (ledger marks)
+          // still runs — as ONE transaction, same contract as the
+          // merge path (a multi-statement epilogue must not be able
+          // to half-commit here either)
+          atomically(conn, merge.transactional) {
+            txEpilogue.foreach(execP(conn, _))
+          }
+          return 0L
+        }
         // key index on the staged batch BEFORE the merge: Derby plans
         // the correlated-EXISTS delete as a nested loop, and without
         // this probe index the merge is O(target·delta) comparisons
@@ -531,24 +550,15 @@ object Sink {
                 "would truncate-collide in the merge")
           case _ => ()
         }
-        val canTx = merge.transactional && {
-          try { conn.setAutoCommit(false); true }
-          catch { case _: java.sql.SQLException => false }
-        }
-        try {
+        atomically(conn, merge.transactional) {
           merge.mergeStatements(table, tmp, key, fresh.columns.toSeq, stringKeys)
             .foreach(exec(conn, _))
           // caller-supplied statements INSIDE the merge transaction —
           // the exactly-once ledger seam: on a transactional dialect
           // the batch's rows and its ledger mark commit or roll back
           // together
-          txEpilogue.foreach(exec(conn, _))
-          if (canTx) conn.commit()
-        } catch {
-          case e: Throwable =>
-            if (canTx) try conn.rollback() catch { case _: Throwable => () }
-            throw e
-        } finally if (canTx) conn.setAutoCommit(true)
+          txEpilogue.foreach(execP(conn, _))
+        }
         n
       } finally exec(conn, s"DROP TABLE $tmp")
     } finally conn.close()
@@ -565,6 +575,35 @@ object Sink {
   private def exec(conn: java.sql.Connection, sql: String): Unit = {
     val st = conn.createStatement()
     try st.execute(sql) finally st.close()
+  }
+
+  private def execP(conn: java.sql.Connection, st: PStmt): Unit = {
+    val ps = conn.prepareStatement(st.sql)
+    try {
+      st.params.zipWithIndex.foreach { case (p, i) => ps.setObject(i + 1, p) }
+      ps.execute(); ()
+    } finally ps.close()
+  }
+
+  /** Run `body` as one transaction when the dialect + driver support
+    * it; otherwise each statement autocommits — on such dialects keep
+    * epilogues to a single statement (the non-transactional caveat
+    * documented on [[JdbcMergeDialect]]).
+    */
+  private def atomically(conn: java.sql.Connection,
+                         transactional: Boolean)(body: => Unit): Unit = {
+    val canTx = transactional && {
+      try { conn.setAutoCommit(false); true }
+      catch { case _: java.sql.SQLException => false }
+    }
+    try {
+      body
+      if (canTx) conn.commit()
+    } catch {
+      case e: Throwable =>
+        if (canTx) try conn.rollback() catch { case _: Throwable => () }
+        throw e
+    } finally if (canTx) conn.setAutoCommit(true)
   }
 
   private def scalarLong(conn: java.sql.Connection, sql: String): Long = {

@@ -236,10 +236,14 @@ object Versioned {
     * as [[upsert]] (a lost CAS re-merges against the winner — no lost
     * updates under writer races). A crash mid-merge leaves the
     * previous consistent version; readers never see a half-merged
-    * table. Bootstrap (head == 0): the not-matched clauses run
-    * against an empty target is ill-defined without a schema, so the
-    * source itself seeds version 1 only when an unconditional insert
-    * clause is present; otherwise the merge fails fast.
+    * table. Bootstrap (head == 0) IS the same merge, run against an
+    * empty target of the source's schema: every source row is
+    * not-matched, so the insert clause chain (conditions, set
+    * overrides, first-clause-wins order) applies exactly as it would
+    * against a non-empty table — bootstrap and steady-state semantics
+    * cannot diverge. A merge whose insert clauses admit no row seeds
+    * an EMPTY version 1 (the same rows a non-empty target would have
+    * gained: none).
     */
   def mergeInto(source: DataFrame, path: String, key: Seq[String],
                 matched: Seq[graft.operators.Merge.MatchedClause] = Seq.empty,
@@ -248,18 +252,13 @@ object Versioned {
                 maxRetries: Int = 10): Int = {
     val spark = source.sparkSession
     commitRebase(spark, path, maxRetries) { head =>
-      if (head == 0) {
-        val unconditionalInsert = notMatched.exists {
-          case graft.operators.Merge.NotMatchedInsert(set, None) => set.isEmpty
-          case _ => false
-        }
-        require(unconditionalInsert,
-          s"mergeInto bootstrap on empty table $path needs an " +
-            "unconditional NotMatchedInsert() clause (the source seeds v1)")
-        source
-      } else
-        graft.operators.Merge.mergeInto(read(spark, path, Some(head)),
-          source, key, matched, notMatched, notMatchedBySource)
+      val target =
+        if (head == 0)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], source.schema)
+        else read(spark, path, Some(head))
+      graft.operators.Merge.mergeInto(target, source, key,
+        matched, notMatched, notMatchedBySource)
     }
   }
 

@@ -305,9 +305,11 @@ object EventStream {
             ledgerHas(conn, ledgerTable, table, batchId)
           } finally conn.close()
         if (!applied) {
-          val mark =
-            s"INSERT INTO $ledgerTable (sink_table, batch_id) " +
-              s"VALUES ('$table', $batchId)"
+          // values bind through PreparedStatement placeholders; only
+          // the (configuration-owned) table identifiers interpolate
+          val mark = graft.sources.Sink.PStmt(
+            s"INSERT INTO $ledgerTable (sink_table, batch_id) VALUES (?, ?)",
+            Seq(table, java.lang.Long.valueOf(batchId)))
           graft.sources.Sink.jdbcUpsert(batch, url, table, key,
             trackingCol, tieBreak, connProps, txEpilogue = Seq(mark))
           ()

@@ -104,13 +104,17 @@ class VersionedSpec extends SparkSuite {
   test("mergeInto: conditional merge commits atomically; history pins the pre-merge state") {
     import graft.operators.Merge._
     val dir = tmpDir("vermerge") + "/t"
-    // bootstrap requires an unconditional insert clause
+    // bootstrap ≡ the same merge against an empty target: a
+    // CONDITIONAL insert clause filters the seed exactly as it would
+    // filter not-matched rows against a non-empty table
+    val probe = Seq((1L, "a", 10.0), (7L, "x", -70.0)).toDF("k", "tag", "v")
+    val probeDir = tmpDir("vermergeprobe") + "/t"
+    assert(Versioned.mergeInto(probe, probeDir, Seq("k"),
+      notMatched = Seq(NotMatchedInsert(cond = Some(col("s.v") > 0)))) === 1)
+    assert(Versioned.read(spark, probeDir).as[(Long, String, Double)]
+      .collect().toSeq === Seq((1L, "a", 10.0)))
     val seed = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "tag", "v")
-    intercept[IllegalArgumentException] {
-      Versioned.mergeInto(seed, dir, Seq("k"),
-        notMatched = Seq(NotMatchedInsert(cond = Some(col("s.v") > 0))))
-    }
     assert(Versioned.mergeInto(seed, dir, Seq("k"),
       notMatched = Seq(NotMatchedInsert())) === 1)
     // merge: update k=2, delete k=3 (stale), insert k=9
