@@ -100,11 +100,26 @@ object Bench {
     // only for unrestricted runs unless an explicit file is given.
     val explicit = sys.env.get("SPARK_GRAFT_BENCH_FILE")
     if (only.isEmpty || explicit.isDefined) {
-      val out = explicit.getOrElse("BENCH_full.json")
-      try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        (line + "\n").getBytes("UTF-8"))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] could not write $out: $e") }
+      // BENCH_full.json is overwritten every round, so r7's copy was
+      // only recoverable from git history (r8 verdict item 4). Also
+      // land a round-stamped BENCH_full_r{N}.json: N from
+      // SPARK_GRAFT_ROUND when the driver exports it, else inferred
+      // as max existing BENCH_r{N}.json + 1 (this run feeds the round
+      // the driver has not yet written an artifact for).
+      val round = sys.env.get("SPARK_GRAFT_ROUND").orElse {
+        val re = "BENCH_r(\\d+)\\.json".r
+        val ns = Option(new java.io.File(".").list()).getOrElse(Array.empty)
+          .collect { case re(n) => n.toInt }
+        if (ns.isEmpty) None else Some((ns.max + 1).toString)
+      }
+      val stamped = round.map(r => f"BENCH_full_r${r.toInt}%02d.json")
+      val outs = explicit.getOrElse("BENCH_full.json") :: stamped.toList
+      outs.foreach { out =>
+        try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+          (line + "\n").getBytes("UTF-8"))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] could not write $out: $e") }
+      }
     }
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators._
-import graft.pipeline.{Analytics, Dag, DayReplay, Models}
+import graft.pipeline.{Analytics, Dag, DayReplay, IncrementalModel, Models}
 import graft.sources.SchemaEvolution
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -688,6 +688,205 @@ object SparkEntry {
       }
       s.read.parquet(dir)
         .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- r9: the daily-maintenance write paths, graded end-to-end ----
+    // (each was spec-only until now; the graded output is always the
+    // READ-BACK table content — what a downstream consumer sees)
+
+    // keyed parquet upsert through the checked-rename swap: updates
+    // replace their keys (latest tracking wins), new keys append
+    "sink_upsert" -> ((s, d) => {
+      val dir = s"/tmp/graft_upsert_${java.util.UUID.randomUUID()}"
+      val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderdate"))
+      base.write.parquet(dir)
+      val updates = base.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        .withColumn("o_orderdate", lit("1999-12-31 00:00:00").cast("timestamp"))
+        .unionByName(base.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+      graft.sources.Sink.upsert(s, dir, updates, Seq("o_orderkey"), "o_orderdate")
+      s.read.parquet(dir).orderBy(col("o_orderkey"))
+    }),
+
+    // dynamic partition overwrite: the delta touches ONE partition
+    // (1-URGENT, halved to even keys, doubled price); every other
+    // partition must come through byte-identical
+    "sink_dynamic_overwrite" -> ((s, d) => {
+      val dir = s"/tmp/graft_dynow_${java.util.UUID.randomUUID()}"
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+      graft.sources.Sink.partitioned(base, dir, Seq("o_orderpriority"))
+      val delta = base
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+      graft.sources.Sink.overwritePartitions(delta, dir, Seq("o_orderpriority"))
+      s.read.parquet(dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // truncate+insert full load, run TWICE: converging on re-run is
+    // the property that makes it safe to schedule
+    "cdc_full_snapshot" -> ((s, d) => {
+      val dir = s"/tmp/graft_fullload_${java.util.UUID.randomUUID()}"
+      Cdc.fullLoad(Models.stgCustomer(s, d), dir)
+      Cdc.fullLoad(Models.stgCustomer(s, d), dir)
+      s.read.parquet(dir).orderBy(col("customer_id"))
+    }),
+
+    // dbt is_incremental() materialization end-to-end: bootstrap full
+    // load, watermark append, and a third pass that must append
+    // NOTHING (the target's own max(ts) is the progress record)
+    "incr_model_materialize" -> ((s, d) => {
+      val dir = s"/tmp/graft_incrmodel_${java.util.UUID.randomUUID()}/t"
+      val ev = eventCols(Tables.events(s, d))
+      val cutoff = lit(CdcCutoff).cast("timestamp")
+      val n1 = IncrementalModel.run(s, ev.filter(col("ts") <= cutoff), dir, "ts")
+      val n2 = IncrementalModel.run(s, ev, dir, "ts")
+      val n3 = IncrementalModel.run(s, ev, dir, "ts")
+      require(n1 > 0 && n2 > 0 && n3 == 0,
+        s"incremental passes not incremental: $n1/$n2/$n3")
+      s.read.parquet(dir).orderBy(col("event_id"))
+    }),
+
+    // staged extract → manifest commit → load → loaded marker, with
+    // both restart windows exercised: the re-stage returns the
+    // committed manifest without re-extracting, the re-load no-ops
+    "staged_load" -> ((s, d) => {
+      val root = s"/tmp/graft_staged_${java.util.UUID.randomUUID()}"
+      val staging = s"$root/staging"; val target = s"$root/target"
+      val src = Models.stgCustomer(s, d)
+      val m1 = graft.sources.Staging.stage(src, staging, "batch_001",
+        Some("customer_id"))
+      val m2 = graft.sources.Staging.stage(src, staging, "batch_001",
+        Some("customer_id"))
+      require(m1.rows == m2.rows && m1.watermark == m2.watermark,
+        s"re-stage diverged: $m1 vs $m2")
+      require(graft.sources.Staging.pending(s, staging) == Seq("batch_001"),
+        "staged batch not pending")
+      val loaded = graft.sources.Staging.loadStaged(s, staging, "batch_001")(
+        df => graft.sources.Sink.fullOverwrite(df, target))
+      require(loaded, "first load must run")
+      require(!graft.sources.Staging.loadStaged(s, staging, "batch_001")(
+        df => graft.sources.Sink.fullOverwrite(df, target)),
+        "replayed load must no-op")
+      s.read.parquet(target).orderBy(col("customer_id"))
+    }),
+
+    // versioned table: commit v1, upsert to v2, then time-travel —
+    // BOTH versions graded from one immutable table
+    "versioned_time_travel" -> ((s, d) => {
+      val dir = s"/tmp/graft_vtt_${java.util.UUID.randomUUID()}"
+      val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
+      val t1 = lit("2026-02-01 00:00:00").cast("timestamp")
+      val base = Models.stgCustomer(s, d).select(col("customer_id"),
+        col("customer_name"), col("account_balance"), col("market_segment"))
+      val v1rows = base.filter(col("customer_id") % 2 === 0)
+        .withColumn("updated_at", t0)
+      val v1 = graft.sources.Versioned.commit(v1rows, dir)
+      require(v1 == 1, s"expected version 1, got $v1")
+      val updates = base.filter(col("customer_id") % 4 === 0)
+        .withColumn("account_balance", col("account_balance") + 1000.0)
+        .withColumn("updated_at", t1)
+        .unionByName(base
+          .filter(col("customer_id") % 2 === 1 && col("customer_id") % 3 === 0)
+          .withColumn("updated_at", t1))
+      val v2 = graft.sources.Versioned.upsert(updates, dir,
+        Seq("customer_id"), "updated_at")
+      require(v2 == 2, s"expected version 2, got $v2")
+      graft.sources.Versioned.read(s, dir, Some(1))
+        .withColumn("version_tag", lit("v1"))
+        .unionByName(graft.sources.Versioned.read(s, dir, Some(2))
+          .withColumn("version_tag", lit("v2")))
+        .orderBy(col("version_tag"), col("customer_id"))
+    }),
+
+    // bucketed fact + dim on the join key: the join itself must plan
+    // with ZERO exchanges (broadcast disabled while checking — AQE
+    // would otherwise hide the shuffle question at small SF)
+    "bucketed_join" -> ((s, d) => {
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val factT = s"bj_fact_$tag"; val dimT = s"bj_dim_$tag"
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+        col("c_mktsegment"))
+      graft.sources.Sink.bucketedTable(o, factT, "o_custkey", 8)
+      graft.sources.Sink.bucketedTable(c, dimT, "c_custkey", 8)
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val j = s.table(factT)
+          .join(s.table(dimT), col("o_custkey") === col("c_custkey"))
+        val plan = j.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange"),
+          s"bucketed join still plans an exchange:\n$plan")
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      s.table(factT).join(s.table(dimT), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // orchestrated mart build: Dag.run drives staging → mart through
+    // real parquet hops; the graded output is the mart the graph built
+    "dag_run_mart" -> ((s, d) => {
+      val root = s"/tmp/graft_dag_${java.util.UUID.randomUUID()}"
+      val stg = s"$root/stg_customer"; val mart = s"$root/dim_customer"
+      val nodes = Seq(
+        Dag.Node("stg_customer", Nil, () =>
+          Models.stgCustomer(s, d).write.parquet(stg), group = "staging"),
+        Dag.Node("dim_customer", Seq("stg_customer"), () => {
+          val c = s.read.parquet(stg)
+          val n = Tables.nation(s, d).select(col("n_nationkey"),
+            col("n_name").as("nation_name"), col("n_regionkey"))
+          val r = Tables.region(s, d).select(col("r_regionkey"),
+            col("r_name").as("region_name"))
+          c.join(broadcast(n), c("nation_id") === n("n_nationkey"), "left")
+            .join(broadcast(r), col("n_regionkey") === r("r_regionkey"), "left")
+            .select(c("customer_id"), c("customer_name"),
+              concat(c("customer_name"), lit(" ["), c("market_segment"),
+                lit("]")).as("display_name"),
+              c("account_balance"), c("market_segment"),
+              col("nation_name"), col("region_name"))
+            .write.parquet(mart)
+        }, group = "marts"))
+      val statuses = Dag.run(nodes)
+      require(statuses.values.forall(_ == Dag.Succeeded),
+        s"dag did not complete cleanly: $statuses")
+      s.read.parquet(mart).orderBy(col("customer_id"))
+    }),
+
+    // N-snapshot SCD2 fold: three scheduled snapshot merges (with a
+    // lineage checkpoint mid-fold) must converge to the change-log
+    // window construction the oracle states directly
+    "scd2_mergeall_fold" -> ((s, d) => {
+      val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
+      val t1 = lit("2026-02-01 00:00:00").cast("timestamp")
+      val t2 = lit("2026-03-01 00:00:00").cast("timestamp")
+      val t3 = lit("2026-04-01 00:00:00").cast("timestamp")
+      val s0 = Models.stgCustomer(s, d).select(col("customer_id"),
+        col("customer_name"), col("account_balance"), col("market_segment"))
+      val history0 = s0.withColumn(Scd2.ValidFrom, t0)
+        .withColumn(Scd2.ValidTo, lit(null).cast("timestamp"))
+      val snap1 = s0.withColumn("market_segment",
+        when(col("customer_id") % 5 === 0, lit("SEG_T1"))
+          .otherwise(col("market_segment")))
+      val snap2 = snap1.withColumn("account_balance",
+        when(col("customer_id") % 3 === 0, col("account_balance") + 100.0)
+          .otherwise(col("account_balance")))
+      val snap3 = snap2.withColumn("market_segment",
+        when(col("customer_id") % 7 === 0, lit("SEG_T3"))
+          .otherwise(col("market_segment")))
+      Scd2.mergeAll(history0, Seq((snap1, t1), (snap2, t2), (snap3, t3)),
+          Seq("customer_id"),
+          Seq("customer_name", "account_balance", "market_segment"),
+          checkpointEvery = 2)
+        .orderBy(col("customer_id"), col("valid_from"))
     }),
 
     // PERMISSIVE quarantine split (r8): bad records neither kill the
@@ -3569,6 +3768,141 @@ object SparkEntry {
            SELECT customer_id, customer_name, account_balance, market_segment,
                   TIMESTAMP '2026-02-01 00:00:00', NULL
            FROM s2 WHERE customer_id IN (SELECT customer_id FROM changed)
+           ORDER BY customer_id, valid_from""",
+
+      // r9 write-path grades: every oracle states the POST-maintenance
+      // table content in plain SQL over the source tables
+      "sink_upsert" ->
+        """WITH base AS (
+             SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+             FROM orders)
+           SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 10 = 0 THEN TIMESTAMP '1999-12-31 00:00:00'
+                  ELSE o_orderdate END AS o_orderdate
+           FROM base
+           UNION ALL
+           SELECT o_orderkey + 100000000, o_custkey, o_totalprice, o_orderdate
+           FROM base WHERE o_orderkey % 7 = 0
+           ORDER BY o_orderkey""",
+
+      "sink_dynamic_overwrite" ->
+        """SELECT o_orderkey, o_totalprice, o_orderpriority
+           FROM orders WHERE o_orderpriority <> '1-URGENT'
+           UNION ALL
+           SELECT o_orderkey, o_totalprice * 2.0, o_orderpriority
+           FROM orders
+           WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0
+           ORDER BY o_orderkey""",
+
+      "cdc_full_snapshot" ->
+        """SELECT c_custkey AS customer_id, c_name AS customer_name,
+             c_nationkey AS nation_id, c_acctbal AS account_balance,
+             c_mktsegment AS market_segment
+           FROM customer ORDER BY customer_id""",
+
+      "incr_model_materialize" ->
+        """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             event_type, value
+           FROM events ORDER BY event_id""",
+
+      "staged_load" ->
+        """SELECT c_custkey AS customer_id, c_name AS customer_name,
+             c_nationkey AS nation_id, c_acctbal AS account_balance,
+             c_mktsegment AS market_segment
+           FROM customer ORDER BY customer_id""",
+
+      "versioned_time_travel" ->
+        """WITH base AS (
+             SELECT c_custkey AS customer_id, c_name AS customer_name,
+                    c_acctbal AS account_balance, c_mktsegment AS market_segment
+             FROM customer)
+           SELECT 'v1' AS version_tag, customer_id, customer_name,
+                  account_balance, market_segment,
+                  TIMESTAMP '2026-01-01 00:00:00' AS updated_at
+           FROM base WHERE customer_id % 2 = 0
+           UNION ALL
+           SELECT 'v2', customer_id, customer_name,
+                  CASE WHEN customer_id % 4 = 0 THEN account_balance + 1000
+                       ELSE account_balance END,
+                  market_segment,
+                  CASE WHEN customer_id % 4 = 0
+                       THEN TIMESTAMP '2026-02-01 00:00:00'
+                       ELSE TIMESTAMP '2026-01-01 00:00:00' END
+           FROM base WHERE customer_id % 2 = 0
+           UNION ALL
+           SELECT 'v2', customer_id, customer_name, account_balance,
+                  market_segment, TIMESTAMP '2026-02-01 00:00:00'
+           FROM base WHERE customer_id % 2 = 1 AND customer_id % 3 = 0
+           ORDER BY version_tag, customer_id""",
+
+      "bucketed_join" ->
+        """SELECT c_mktsegment, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+      "dag_run_mart" ->
+        """SELECT c_custkey AS customer_id, c_name AS customer_name,
+             c_name || ' [' || c_mktsegment || ']' AS display_name,
+             c_acctbal AS account_balance, c_mktsegment AS market_segment,
+             n_name AS nation_name, r_name AS region_name
+           FROM customer
+           LEFT JOIN nation ON c_nationkey = n_nationkey
+           LEFT JOIN region ON n_regionkey = r_regionkey
+           ORDER BY customer_id""",
+
+      // the fold converges to the change-log window construction:
+      // union the four states, keep rows whose attributes differ from
+      // the key's previous state, valid_to = next change time
+      "scd2_mergeall_fold" ->
+        """WITH s0 AS (
+             SELECT c_custkey AS customer_id, c_name AS customer_name,
+                    c_acctbal AS account_balance, c_mktsegment AS market_segment
+             FROM customer),
+           snaps AS (
+             SELECT customer_id, customer_name, account_balance,
+                    market_segment,
+                    TIMESTAMP '2026-01-01 00:00:00' AS vt FROM s0
+             UNION ALL
+             SELECT customer_id, customer_name, account_balance,
+                    CASE WHEN customer_id % 5 = 0 THEN 'SEG_T1'
+                         ELSE market_segment END,
+                    TIMESTAMP '2026-02-01 00:00:00' FROM s0
+             UNION ALL
+             SELECT customer_id, customer_name,
+                    CASE WHEN customer_id % 3 = 0 THEN account_balance + 100
+                         ELSE account_balance END,
+                    CASE WHEN customer_id % 5 = 0 THEN 'SEG_T1'
+                         ELSE market_segment END,
+                    TIMESTAMP '2026-03-01 00:00:00' FROM s0
+             UNION ALL
+             SELECT customer_id, customer_name,
+                    CASE WHEN customer_id % 3 = 0 THEN account_balance + 100
+                         ELSE account_balance END,
+                    CASE WHEN customer_id % 7 = 0 THEN 'SEG_T3'
+                         WHEN customer_id % 5 = 0 THEN 'SEG_T1'
+                         ELSE market_segment END,
+                    TIMESTAMP '2026-04-01 00:00:00' FROM s0),
+           marked AS (
+             SELECT *,
+               lag(market_segment) OVER w AS p_seg,
+               lag(account_balance) OVER w AS p_bal,
+               lag(customer_name) OVER w AS p_name
+             FROM snaps WINDOW w AS (PARTITION BY customer_id ORDER BY vt)),
+           versions AS (
+             SELECT customer_id, customer_name, account_balance,
+                    market_segment, vt
+             FROM marked
+             WHERE p_seg IS NULL OR market_segment <> p_seg
+                OR account_balance <> p_bal OR customer_name <> p_name)
+           SELECT customer_id, customer_name, account_balance, market_segment,
+                  vt AS valid_from,
+                  lead(vt) OVER (PARTITION BY customer_id ORDER BY vt)
+                    AS valid_to
+           FROM versions
            ORDER BY customer_id, valid_from""",
 
       // the two-day pipeline replay: the day-2 snapshot is the day-1
