@@ -1817,6 +1817,50 @@ object SparkEntry {
           minDistinctRatio = 0.4, maxTopWordFrac = 0.12)
         .orderBy(col("doc_id"))),
 
+    // segment-level exact dedup (r9; CCNet line-dedup with a fixed
+    // 20-word window as the unit — this corpus has no newlines):
+    // keep each segment's corpus-wide first occurrence, rebuild docs
+    "dedup_segments" -> ((s, d) =>
+      Dedup.segmentDedup(Tables.documents(s, d), "doc_id", "text", window = 20)
+        .orderBy(col("doc_id"))),
+
+    // incremental segment dedup (r9): batch dedups against the
+    // persisted segment-hash index; batch ids order after the index
+    "dedup_segments_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cut = lit(250L)
+      val index = Dedup.segmentIndex(docs.filter(col("doc_id") < cut),
+        "doc_id", "text", window = 20)
+      Dedup.segmentDedupIncremental(index, docs.filter(col("doc_id") >= cut),
+          "doc_id", "text", window = 20)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Zipf's-law OLS fit over the top-100 vocabulary (r9): the
+    // one-row natural-language-vs-template corpus screen
+    "corpus_zipf" -> ((s, d) =>
+      functions.Text.zipfFit(Tables.documents(s, d), "doc_id", "text", k = 100)),
+
+    // BPE merge learning (r9; Sennrich '16): iterative argmax-pair
+    // merges over the word-TYPE table. Deterministic (tie-break by
+    // count desc, pair asc) but iterative — not SQL-expressible, so
+    // rows-only; BpeSpec pins the merge table on a hand-computed
+    // corpus and merge-application semantics
+    "corpus_bpe" -> ((s, d) =>
+      functions.Bpe.learnMerges(Tables.documents(s, d), "doc_id", "text",
+        numMerges = 30)),
+
+    // model-based quality score (r9; GPT-3 appendix A distillation):
+    // logistic regression on the repetition/stopword signals with
+    // the rule verdict as teacher. L-BFGS coefficients reproduce
+    // only to float-sum order → rows-only; QualityModelSpec pins
+    // teacher agreement + separation
+    "doc_quality_model" -> ((s, d) =>
+      QualityModel.trainScore(Tables.documents(s, d), "doc_id", "text",
+          minWords = 50L, maxWords = 1000L,
+          minDistinctRatio = 0.4, maxTopWordFrac = 0.12)
+        .orderBy(col("doc_id"))),
+
     // per-domain score calibration (r8): z + min-max normalization of
     // the quality score within source — scores comparable across
     // domains before any global threshold
@@ -4656,6 +4700,74 @@ object SparkEntry {
                   WHEN top_word_frac > 0.12 THEN 'repetitive'
                   ELSE 'keep' END) = 'keep' AS keep
            FROM m ORDER BY doc_id""",
+
+      // segment-level dedup (r9): 20-word windows, keep-first by
+      // (doc_id, seg_no); DuckDB marks winners with a row_number
+      // window ≡ Spark's min(struct) per segment hash
+      "dedup_segments" ->
+        s"""WITH w AS (
+             SELECT doc_id, string_split($norm, ' ') AS ws FROM documents
+           ), segs AS (
+             SELECT doc_id, i AS seg_no,
+               array_to_string(ws[(i*20+1):(i*20+20)], ' ') AS seg
+             FROM w, LATERAL (SELECT unnest(range((len(ws)+19)//20)) AS i)
+           ), marked AS (
+             SELECT doc_id, seg_no, seg,
+               row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) AS rn
+             FROM segs)
+           SELECT doc_id,
+             string_agg(seg, ' ' ORDER BY seg_no) FILTER (WHERE rn = 1) AS text_dedup,
+             count(*) AS n_segments,
+             count(*) FILTER (WHERE rn = 1) AS n_kept
+           FROM marked GROUP BY doc_id ORDER BY doc_id""",
+
+      // incremental segment dedup (r9): the index is the first
+      // half's distinct segments; batch winners must also be unseen
+      "dedup_segments_incr" ->
+        s"""WITH w AS (
+             SELECT doc_id, string_split($norm, ' ') AS ws FROM documents
+           ), segs AS (
+             SELECT doc_id, i AS seg_no,
+               array_to_string(ws[(i*20+1):(i*20+20)], ' ') AS seg
+             FROM w, LATERAL (SELECT unnest(range((len(ws)+19)//20)) AS i)
+           ), idx AS (
+             SELECT DISTINCT seg FROM segs WHERE doc_id < 250
+           ), nb AS (
+             SELECT doc_id, seg_no, seg,
+               row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) AS rn,
+               seg IN (SELECT seg FROM idx) AS seen
+             FROM segs WHERE doc_id >= 250)
+           SELECT doc_id,
+             string_agg(seg, ' ' ORDER BY seg_no)
+               FILTER (WHERE rn = 1 AND NOT seen) AS text_dedup,
+             count(*) AS n_segments,
+             count(*) FILTER (WHERE rn = 1 AND NOT seen) AS n_kept
+           FROM nb GROUP BY doc_id ORDER BY doc_id""",
+
+      // Zipf OLS fit (r9): same closed-form sums as Text.zipfFit —
+      // identical formula both engines, round(6) absorbs sum order
+      "corpus_zipf" ->
+        s"""WITH words AS (
+             SELECT unnest(string_split($norm, ' ')) AS term FROM documents
+           ), tf AS (
+             SELECT term, count(*) AS tf FROM words
+             WHERE length(term) > 0 GROUP BY term
+           ), top AS (
+             SELECT term, tf FROM tf ORDER BY tf DESC, term LIMIT 100
+           ), ranked AS (
+             SELECT ln(CAST(row_number() OVER (ORDER BY tf DESC, term) AS DOUBLE)) AS x,
+                    ln(CAST(tf AS DOUBLE)) AS y
+             FROM top
+           ), s AS (
+             SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+                    sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+             FROM ranked)
+           SELECT CAST(n AS BIGINT) AS n_terms,
+             round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+             round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) AS intercept,
+             round(((n*sxy - sx*sy) * (n*sxy - sx*sy))
+                   / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+           FROM s""",
 
       "doc_tfidf" ->
         s"""WITH w AS (

@@ -1,0 +1,124 @@
+package graft.functions
+
+import graft.Par
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed byte-pair-encoding merge learning (Sennrich,
+  * Haddow & Birch '16) — the vocabulary-construction step of the
+  * subword tokenizers every LLM pipeline ships.
+  *
+  * Classic formulation: operate on the word-TYPE table
+  * `(word, count)`, not the corpus — one corpus-sized
+  * explode+group-by builds that table ONCE, then each of the K
+  * merge iterations costs a vocabulary-sized pair aggregation plus
+  * ONE bounded driver pull (the argmax pair: a 1-row
+  * `orderBy.limit(1).collect()`, the same bounded-scalar idiom as
+  * q15's max). At 100 TB the corpus is touched exactly once; the
+  * iteration state is the word-type table, millions of rows at web
+  * scale, shuffled on the pair key with map-side partial counts.
+  *
+  * Determinism: the argmax tie-breaks by (count desc, left asc,
+  * right asc), and merge application is the standard greedy
+  * left-to-right single pass — so the merge table is a pure
+  * function of the corpus (pinned in BpeSpec against a
+  * hand-computed example).
+  *
+  * Reference tie-in: the reference pipeline has no tokenizer
+  * (`dbt_project` models stop at marts); BPE is part of the
+  * mandated LLM-pipeline extension surface.
+  */
+object Bpe {
+
+  /** Greedy left-to-right application of ONE merge (l, r) to a
+    * symbol array, as a pure Catalyst fold — after merging, the new
+    * symbol `l+r` does NOT re-merge with the following symbol in
+    * the same pass (standard BPE: "aaa" + (a,a) → ["aa","a"]).
+    */
+  def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(concat_ws("", element_at(acc, -1), s))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Learn up to `numMerges` merges from the corpus; stops early
+    * when the best remaining pair's weighted count falls below
+    * `minCount`. Words are split to characters with `eow` appended
+    * as the end-of-word sentinel symbol. Returns the merge table:
+    * (merge_no, left, right, pair_count), merge_no from 1.
+    */
+  def learnMerges(docs: DataFrame, idCol: String, textCol: String,
+                  numMerges: Int, minCount: Long = 2L,
+                  eow: String = "</w>"): DataFrame = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val spark = docs.sparkSession
+    // corpus touched once: word-type table with frequencies
+    val wordCounts = Par.widen(docs.select(col(textCol)), textCol)
+      .select(explode(split(Text.normalize(col(textCol)), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    var words = Par.persistTracked(
+      wordCounts.select(col("cnt"),
+        // filter guards the regex-split's possible boundary empties
+        concat(filter(split(col("word"), ""), s => length(s) > 0),
+          array(lit(eow))).as("syms")))
+    words.count() // materialize before the loop
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    var m = 1
+    while (m <= numMerges && !done) {
+      // adjacent-pair counts, weighted by word frequency; map-side
+      // combined, vocabulary-sized shuffle
+      // adjacent pairs as zip(syms, tail(syms)) — both slices are
+      // empty for 1-symbol words, no out-of-bounds branch needed
+      val sc = col("syms")
+      val adj = zip_with(
+        slice(sc, lit(1), greatest(lit(0), size(sc) - 1)),
+        slice(sc, lit(2), greatest(lit(0), size(sc) - 1)),
+        (l, r) => struct(l.as("l"), r.as("r")))
+      val pairs = words
+        .select(col("cnt"), explode(adj).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pc"))
+      val best = pairs.orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(1).collect() // bounded: exactly one row
+      if (best.isEmpty || best(0).getLong(2) < minCount) {
+        done = true
+      } else {
+        val (l, r, pc) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((m, l, r, pc))
+        val next = words.select(col("cnt"), applyMerge(col("syms"), l, r).as("syms"))
+        // truncate the K-deep lineage: the state is vocab-sized, so
+        // an eager localCheckpoint per iteration is cheap and keeps
+        // the analyzed plan bounded (the Scd2.mergeAll lesson)
+        words = next.localCheckpoint(true)
+        m += 1
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("merge_no", IntegerType, nullable = false),
+      StructField("left", StringType, nullable = false),
+      StructField("right", StringType, nullable = false),
+      StructField("pair_count", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        merges.toList.map(t => Row(t._1, t._2, t._3, t._4)), 1), schema)
+  }
+
+  /** Encode text with a learned merge table: per-word greedy
+    * application of merges in learned order — one chained
+    * per-row fold, zero shuffle (the merge table is a driver-side
+    * bounded list, applied as literals inside codegen).
+    */
+  def encode(text: Column, merges: Seq[(String, String)],
+             eow: String = "</w>"): Column = {
+    val words = split(Text.normalize(text), " ")
+    transform(words, w => {
+      val init = concat(filter(split(w, ""), s => length(s) > 0),
+        array(lit(eow)))
+      merges.foldLeft(init) { case (acc, (l, r)) => applyMerge(acc, l, r) }
+    })
+  }
+}

@@ -529,4 +529,45 @@ object Text {
     size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long").as("n_emails"),
     size(regexp_extract_all(text, lit(UrlPattern), lit(0))).cast("long").as("n_urls"),
     size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))).cast("long").as("n_ips"))
+
+  /** Zipf's-law fit over the top-`k` vocabulary: OLS of
+    * `ln(frequency)` on `ln(rank)` — the one-row corpus-health
+    * screen behind "is this scrape natural language or boilerplate
+    * spam?" (natural corpora sit near slope −1, Zipf '49; machine-
+    * generated or template-heavy corpora flatten or step). Output:
+    * one row (n_terms, slope, intercept, r2).
+    *
+    * Scale shape: the vocabulary aggregation is [[topTerms]]'s
+    * map-side-combined count; the rank window runs over the BOUNDED
+    * top-k result (a TakeOrderedAndProject of ≤ k rows), never the
+    * corpus — the same bounded-scalar discipline as the q15 max. The
+    * OLS is computed from explicit sums with the textbook closed
+    * form, duplicated verbatim in the oracle SQL, so cross-engine
+    * disagreement is limited to float summation order — absorbed by
+    * round(6) (the doc_surprisal precedent).
+    */
+  def zipfFit(docs: DataFrame, idCol: String, textCol: String,
+              k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2 (a one-point fit has no slope)")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("term"))
+    val ranked = topTerms(docs, idCol, textCol, k)
+      .withColumn("rank", row_number().over(w))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("tf").cast("double")).as("y"))
+    val s = ranked.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val dxx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dxy = col("n") * col("sxy") - col("sx") * col("sy")
+    val dyy = col("n") * col("syy") - col("sy") * col("sy")
+    s.select(
+      col("n").cast("long").as("n_terms"),
+      round(dxy / dxx, 6).as("slope"),
+      round((col("sy") - (dxy / dxx) * col("sx")) / col("n"), 6).as("intercept"),
+      round((dxy * dxy) / (dxx * dyy), 6).as("r2"))
+  }
 }

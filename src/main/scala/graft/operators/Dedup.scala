@@ -1389,4 +1389,129 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Segment-level exact dedup — the sub-document analog of CCNet's
+    * line-level dedup (Wenzek et al. '19): boilerplate repeats
+    * ACROSS documents (headers, navigation, license blurbs) that
+    * whole-document dedup can't see. CCNet's unit is the line; this
+    * corpus carries no newlines, so the unit is a fixed
+    * non-overlapping `window`-word segment of the normalized text —
+    * same algorithm, same keep-first-occurrence rule.
+    *
+    * Semantics: a segment survives iff its (doc, position) is the
+    * corpus-wide FIRST occurrence of that segment's content,
+    * ordering occurrences by (docId, segNo). Each document is then
+    * reconstructed as the in-order join of its surviving segments;
+    * a document whose every segment is boilerplate yields NULL text
+    * (CCNet drops these). Output: one row per doc —
+    * (docId, text_dedup, n_segments, n_kept).
+    *
+    * Scale design: the explode is corpus-sized but narrow
+    * (id, segNo, 64-bit segment hash); the winner-per-segment agg is
+    * a map-side-combined `min(struct)` whose shuffle carries one
+    * partial per DISTINCT segment hash — 8-byte keys, never the
+    * segment strings (CCNet ships sha1 prefixes for the same
+    * reason). Only the marker join back to the (id, segNo, text)
+    * stream moves segment text, and that shuffle is linear in corpus
+    * size with no fan-out: each hash matches its own occurrences.
+    * 64-bit hashing makes cross-content collisions possible in
+    * principle at 100 TB segment counts (~billions); a collision
+    * deletes a non-duplicate segment — the standard CCNet trade,
+    * noted here rather than hidden.
+    *
+    * Reference tie-in: the reference dedups at row grain only
+    * (`base_loader.py` ReplacingMergeTree keys); sub-record dedup is
+    * part of the mandated LLM-pipeline extension surface.
+    */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int = 20): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val segs = Par.persistTracked(segmentsOf(docs, idCol, textCol, window))
+    // one partial per distinct segment hash; keys-only shuffle
+    val winners = segs
+      .groupBy(col("seg_hash"))
+      .agg(min(struct(col("doc_id"), col("seg_no"))).as("first"))
+      .select(col("seg_hash"), col("first.doc_id").as("w_doc"),
+        col("first.seg_no").as("w_seg"))
+    val marked = segs.join(winners, Seq("seg_hash"))
+      .withColumn("kept",
+        col("doc_id") === col("w_doc") && col("seg_no") === col("w_seg"))
+    rebuild(marked)
+  }
+
+  /** The fixed-window segment stream behind [[segmentDedup]]:
+    * (doc_id, seg_no, seg, seg_hash), one row per segment.
+    */
+  private def segmentsOf(docs: DataFrame, idCol: String, textCol: String,
+                         window: Int): DataFrame = {
+    // bind the word array once as a lambda var (the Text.shingles
+    // lesson: a Column reference would re-run normalize+split per
+    // segment position — O(len²/window) per doc)
+    val segsCol = element_at(transform(
+      array(split(Text.normalize(col(textCol)), " ")), ws =>
+        transform(sequence(lit(0), ceil(size(ws).cast("double") / window).cast("int") - 1),
+          i => concat_ws(" ", slice(ws, i * window + 1, lit(window))))), 1)
+    Par.widen(docs.select(col(idCol).as("doc_id"), col(textCol)), "doc_id")
+      .select(col("doc_id"), posexplode(segsCol).as(Seq("seg_no", "seg")))
+      .select(col("doc_id"), col("seg_no"), col("seg"),
+        xxhash64(col("seg")).as("seg_hash"))
+  }
+
+  /** Doc reconstruction shared by the batch and incremental paths:
+    * in-order join of kept segments, NULL when nothing survives.
+    */
+  private def rebuild(marked: DataFrame): DataFrame =
+    marked
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_sort(collect_list(when(col("kept"),
+          struct(col("seg_no"), col("seg"))))).as("kept_segs"))
+      .select(col("doc_id"),
+        when(col("n_kept") === 0, lit(null).cast("string"))
+          .otherwise(array_join(transform(col("kept_segs"), s => s("seg")), " "))
+          .as("text_dedup"),
+        col("n_segments"), col("n_kept"))
+
+  /** The (distinct) segment-hash index of a corpus — the state an
+    * incremental segment-dedup pipeline persists between daily runs.
+    * Store it BUCKETED on `seg_hash` ([[graft.sources.Sink
+    * .bucketedTable]]) so [[segmentDedupIncremental]]'s anti join
+    * reads it exchange-free (the exactIncremental contract).
+    */
+  def segmentIndex(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int = 20): DataFrame =
+    segmentsOf(docs, idCol, textCol, window)
+      .select(col("seg_hash")).distinct()
+
+  /** Incremental segment-level dedup — the daily-delta form of
+    * [[segmentDedup]]: the corpus is never re-exploded; each new
+    * batch dedups against the persisted [[segmentIndex]]. A batch
+    * segment survives iff its hash is unseen in the index AND its
+    * (doc, position) is the BATCH-wide first occurrence. Output is
+    * [[segmentDedup]]'s schema over the batch docs; equals the full
+    * run restricted to the batch whenever batch ids order after the
+    * indexed corpus's (the keep-first rule is id-ordered — the same
+    * contract every incremental dedup here states).
+    *
+    * Shuffles are batch-sized except the anti join's index side,
+    * which a bucketed index scan reads exchange-free.
+    */
+  def segmentDedupIncremental(index: DataFrame, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              window: Int = 20): DataFrame = {
+    val segs = Par.persistTracked(segmentsOf(batch, idCol, textCol, window))
+    val winners = segs
+      .groupBy(col("seg_hash"))
+      .agg(min(struct(col("doc_id"), col("seg_no"))).as("first"))
+      .join(index.select(col("seg_hash")), Seq("seg_hash"), "left_anti")
+      .select(col("seg_hash"), col("first.doc_id").as("w_doc"),
+        col("first.seg_no").as("w_seg"))
+    val marked = segs.join(winners, Seq("seg_hash"), "left")
+      .withColumn("kept",
+        col("w_doc").isNotNull &&
+          col("doc_id") === col("w_doc") && col("seg_no") === col("w_seg"))
+    rebuild(marked)
+  }
 }

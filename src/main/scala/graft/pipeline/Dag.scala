@@ -167,4 +167,81 @@ object Dag {
     rows.toDF("node_name", "group_name", "level", "ordinal", "column_name",
       "data_type", "nullable")
   }
+
+  /** Static docs-site renderer — the `dbt docs generate` + serve
+    * analog (the reference's dbt project implies the docs site;
+    * [[lineage]]/[[catalog]] export the data, this renders it): ONE
+    * self-contained HTML page with a grouped model index, a
+    * per-model card (columns/types/nullability, deps and dependents
+    * as anchors, group + topological level), and the dependency
+    * graph as an embedded Mermaid `graph TD` source block — the
+    * public text format dbt's own site renders. Driver-side,
+    * model-count-sized, no scanning; pure function of the graph +
+    * schemas, so DocsSpec pins the structure.
+    */
+  def renderDocs(nodes: Seq[Node],
+                 models: Map[String, org.apache.spark.sql.DataFrame],
+                 title: String = "graft pipeline"): String = {
+    val ordered = topoOrder(nodes)
+    val level = mutable.Map.empty[String, Int]
+    ordered.foreach { n =>
+      level(n.name) = if (n.deps.isEmpty) 0 else n.deps.map(level).max + 1
+    }
+    val dependents: Map[String, Seq[String]] =
+      nodes.flatMap(n => n.deps.distinct.map(d => d -> n.name))
+        .groupMap(_._1)(_._2)
+    def esc(s: String): String = s
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def link(n: String): String = s"""<a href="#model-${esc(n)}">${esc(n)}</a>"""
+    val index = ordered.groupBy(_.group).toSeq.sortBy(_._1).map {
+      case (group, ns) =>
+        s"""<h3>${esc(group)}</h3><ul>""" +
+          ns.sortBy(n => (level(n.name), n.name))
+            .map(n => s"<li>${link(n.name)} <small>L${level(n.name)}</small></li>")
+            .mkString + "</ul>"
+    }.mkString("\n")
+    val cards = ordered.map { n =>
+      val cols = models.get(n.name).map { df =>
+        val rows = df.schema.fields.zipWithIndex.map { case (f, i) =>
+          s"<tr><td>$i</td><td>${esc(f.name)}</td>" +
+            s"<td>${esc(f.dataType.simpleString)}</td>" +
+            s"<td>${if (f.nullable) "yes" else "no"}</td></tr>"
+        }.mkString
+        s"""<table><tr><th>#</th><th>column</th><th>type</th><th>nullable</th></tr>$rows</table>"""
+      }.getOrElse("<p><em>orchestration step — no materialized schema</em></p>")
+      val deps = if (n.deps.isEmpty) "—"
+        else n.deps.distinct.sorted.map(link).mkString(", ")
+      val outs = dependents.getOrElse(n.name, Nil).distinct.sorted match {
+        case Nil => "—"; case ds => ds.map(link).mkString(", ")
+      }
+      s"""<section id="model-${esc(n.name)}">
+         |<h2>${esc(n.name)}</h2>
+         |<p>group: <code>${esc(n.group)}</code> · level: ${level(n.name)}</p>
+         |<p>depends on: $deps<br/>referenced by: $outs</p>
+         |$cols
+         |</section>""".stripMargin
+    }.mkString("\n")
+    val mermaid = {
+      val nodeIds = ordered.map(n => s"""  ${n.name}["${n.name}"]""")
+      val edges = for {
+        n <- ordered; d <- n.deps.distinct.sorted
+      } yield s"  $d --> ${n.name}"
+      ("graph TD" +: (nodeIds ++ edges)).mkString("\n")
+    }
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8"><title>${esc(title)}</title>
+       |<style>
+       |body{font-family:sans-serif;max-width:60em;margin:2em auto;padding:0 1em}
+       |table{border-collapse:collapse}td,th{border:1px solid #999;padding:2px 8px}
+       |section{border-top:1px solid #ccc;padding-top:0.5em}
+       |</style></head><body>
+       |<h1>${esc(title)}</h1>
+       |$index
+       |$cards
+       |<h2>Dependency graph</h2>
+       |<pre class="mermaid">
+       |${esc(mermaid)}
+       |</pre>
+       |</body></html>""".stripMargin
+  }
 }

@@ -1,0 +1,71 @@
+package graft
+
+import graft.functions.Bpe
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def mergeOne(syms: Seq[String], l: String, r: String): Seq[String] =
+    Seq(syms).toDF("s")
+      .select(Bpe.applyMerge(col("s"), l, r).as("v"))
+      .collect()(0).getSeq[String](0)
+
+  test("applyMerge: greedy left-to-right, no re-merge of the new symbol") {
+    assert(mergeOne(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
+    assert(mergeOne(Seq("a", "a", "a", "a"), "a", "a") === Seq("aa", "aa"))
+    assert(mergeOne(Seq("l", "o", "w"), "l", "o") === Seq("lo", "w"))
+    assert(mergeOne(Seq("x", "y"), "a", "b") === Seq("x", "y"))
+    assert(mergeOne(Seq("a"), "a", "a") === Seq("a"))
+  }
+
+  test("learnMerges reproduces the hand-computed Sennrich-style example") {
+    // corpus word types: low×5, lowest×2, newer×6, wider×3
+    val docs = Seq(
+      (1, (Seq.fill(5)("low") ++ Seq.fill(2)("lowest")).mkString(" ")),
+      (2, (Seq.fill(6)("newer") ++ Seq.fill(3)("wider")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, "doc_id", "text", numMerges = 4)
+      .orderBy("merge_no")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // hand-computed: (e,r)=9 beats (r,</w>)=9 on the pair tie-break;
+    // then (er,</w>)=9; then (l,o)=7 beats (o,w)=7; then (lo,w)=7
+    assert(merges.toSeq === Seq(
+      (1, "e", "r", 9L),
+      (2, "er", "</w>", 9L),
+      (3, "l", "o", 7L),
+      (4, "lo", "w", 7L)))
+  }
+
+  test("learnMerges stops early when the best pair is below minCount") {
+    val docs = Seq((1, "ab cd")).toDF("doc_id", "text")
+    // every adjacent pair occurs exactly once → no merge at minCount=2
+    val merges = Bpe.learnMerges(docs, "doc_id", "text", numMerges = 10)
+    assert(merges.count() === 0)
+    assert(merges.columns.toSeq ===
+      Seq("merge_no", "left", "right", "pair_count"))
+  }
+
+  test("learnMerges is deterministic under repartitioning") {
+    val docs = Seq(
+      (1, (Seq.fill(5)("low") ++ Seq.fill(2)("lowest")).mkString(" ")),
+      (2, (Seq.fill(6)("newer") ++ Seq.fill(3)("wider")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val a = Bpe.learnMerges(docs, "doc_id", "text", 4)
+      .orderBy("merge_no").collect().toSeq
+    val b = Bpe.learnMerges(docs.repartition(7), "doc_id", "text", 4)
+      .orderBy("merge_no").collect().toSeq
+    assert(a === b)
+  }
+
+  test("encode applies the learned merges in order, per word") {
+    val merges = Seq(("e", "r"), ("er", "</w>"), ("l", "o"), ("lo", "w"))
+    val out = Seq("low newer").toDF("text")
+      .select(Bpe.encode(col("text"), merges).as("v"))
+      .collect()(0).getSeq[Seq[String]](0)
+    assert(out === Seq(
+      Seq("low", "</w>"),
+      Seq("n", "e", "w", "er</w>")))
+  }
+}

@@ -819,6 +819,68 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("segmentDedup: keep-first by (doc, position), rebuild in order") {
+    val docs = Seq(
+      (1L, "a b c d e f"),   // both segments first occurrences
+      (2L, "a b c x y"),     // "a b c" dups doc1's; short tail kept
+      (3L, "d e f"),         // whole doc is doc1's second segment
+      (4L, "a b c d e f")    // fully boilerplate → NULL text
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, "doc_id", "text", window = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, Some("a b c d e f"), 2L, 2L),
+      (2L, Some("x y"), 2L, 1L),
+      (3L, None, 1L, 0L),
+      (4L, None, 2L, 0L)))
+    Par.release()
+  }
+
+  test("segmentDedup: normalization unifies case/whitespace; window ≥ doc keeps whole text") {
+    val docs = Seq(
+      (1L, "Hello   World again"),
+      (2L, "hello world AGAIN")   // same normalized content → dropped
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, "doc_id", "text", window = 10)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, Some("hello world again"), 1L, 1L),
+      (2L, None, 1L, 0L)))
+    Par.release()
+  }
+
+  test("segmentDedupIncremental equals the full run restricted to batch docs") {
+    val docs = (1L to 80L)
+      .map(i => (i, (0 until 25).map(j => s"w${(i * 13 + j) % 9}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val full = Dedup.segmentDedup(docs, "doc_id", "text", 5)
+      .filter($"doc_id" >= 40L)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3))).toSet
+    val index = Dedup.segmentIndex(docs.filter($"doc_id" < 40L),
+      "doc_id", "text", 5)
+    val incr = Dedup.segmentDedupIncremental(index,
+        docs.filter($"doc_id" >= 40L), "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(incr === full)
+    Par.release()
+  }
+
+  test("segmentDedup is deterministic under repartitioning") {
+    val docs = (1L to 80L)
+      .map(i => (i, (0 until 25).map(j => s"w${(i * 13 + j) % 9}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = Dedup.segmentDedup(docs, "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val b = Dedup.segmentDedup(docs.repartition(7), "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(a === b)
+    Par.release()
+  }
+
   test("editDistance is deterministic under repartitioning") {
     val corpus = (1L to 60L).map(i => (i, f"item${i % 20}%03d")).toDF("doc_id", "text")
     val a = Dedup.editDistance(corpus, "doc_id", "text", 2)

@@ -128,7 +128,13 @@ class PlansSpec extends SparkSuite {
       "graph_pagerank",
       // HLL sketch bytes are register-layout-dependent; the fold vs
       // recompute equivalence is pinned in IncrementalAggSpec
-      "mv_incremental_distinct_hll")
+      "mv_incremental_distinct_hll",
+      // iterative argmax-merge loop is not SQL-expressible; BpeSpec
+      // pins the merge table on a hand-computed corpus
+      "corpus_bpe",
+      // L-BFGS coefficients reproduce only to float-sum order;
+      // QualityModelSpec pins teacher agreement + separation
+      "doc_quality_model")
     assert((q -- o) === documentedRowsOnly,
       s"rows-only drift: ${((q -- o) -- documentedRowsOnly).mkString(", ")} lost oracles; " +
         s"${(documentedRowsOnly -- (q -- o)).mkString(", ")} unexpectedly gained one (update the set)")

@@ -127,4 +127,27 @@ class ScheduleSpec extends SparkSuite {
       ("stg", "staging", 1, 1, "name", "string", true),
       ("stg", "staging", 1, 2, "score", "double", false)))
   }
+
+  test("renderDocs emits one self-contained page: cards, links, mermaid edges") {
+    import spark.implicits._
+    val nodes = Seq(
+      Dag.Node("extract", Nil, () => (), group = "sources"),
+      Dag.Node("stg_a", Seq("extract"), () => (), group = "staging"),
+      Dag.Node("mart", Seq("stg_a"), () => (), group = "marts"))
+    val model = Seq((1L, "v")).toDF("id", "a<b")
+    val html = Dag.renderDocs(nodes, Map("stg_a" -> model), "test site")
+    // a card per node, anchored
+    assert(Seq("extract", "stg_a", "mart")
+      .forall(n => html.contains(s"""id="model-$n"""")))
+    // the materialized model lists its columns; others declare none
+    assert(html.contains("<td>id</td>") && html.contains("<td>bigint</td>"))
+    assert(html.contains("orchestration step"))
+    // dep links both directions
+    assert(html.contains("""depends on: <a href="#model-extract">"""))
+    assert(html.contains("""referenced by: <a href="#model-stg_a">"""))
+    // mermaid source carries every edge (escaped inside <pre>)
+    assert(html.contains("extract --&gt; stg_a") && html.contains("stg_a --&gt; mart"))
+    // a hostile column NAME is escaped, never raw
+    assert(!html.contains("<td>a<b</td>") && html.contains("a&lt;b"))
+  }
 }

@@ -290,4 +290,33 @@ class TextSpec extends SparkSuite {
       .select(Text.pseudonymize(col("id"), "s1").as("t"))
     assert(many.distinct().count() === 100000L)
   }
+
+  test("zipfFit: a perfect tf ∝ 1/rank corpus fits slope −1, r² = 1") {
+    // tf: a=6, b=3, c=2 → tf = 6/rank exactly → ln tf = ln 6 − ln rank
+    val text = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .mkString(" ")
+    val r = Text.zipfFit(Seq((1, text)).toDF("doc_id", "text"),
+      "doc_id", "text", k = 10).collect()(0)
+    assert(r.getAs[Long]("n_terms") === 3L)
+    assert(r.getAs[Double]("slope") === -1.0)
+    assert(math.abs(r.getAs[Double]("intercept") - math.log(6.0)) < 1e-5)
+    assert(r.getAs[Double]("r2") === 1.0)
+  }
+
+  test("zipfFit ranks deterministically on tf ties and honors k") {
+    // four terms tf 4,4,2,1 — tie broken by term asc; k=3 drops 'd'
+    val text = "b b b b a a a a c c d"
+    val r = Text.zipfFit(Seq((1, text)).toDF("doc_id", "text"),
+      "doc_id", "text", k = 3).collect()(0)
+    assert(r.getAs[Long]("n_terms") === 3L)
+    // ranks: a=1, b=2, c=3 → the fit of (0,ln4),(ln2,ln4),(ln3,ln2)
+    val xs = Seq(0.0, math.log(2), math.log(3))
+    val ys = Seq(math.log(4), math.log(4), math.log(2))
+    val n = 3.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(x => x * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-5)
+  }
 }
