@@ -1016,6 +1016,12 @@ object SparkEntry {
       Quality.volumeAnomaly(Tables.events(s, d), "ts", zThreshold = 3.0)
         .orderBy(col("bucket_ts"))),
 
+    // seasonal-naive hourly anomaly screen (r9): each hour vs the
+    // trailing 7 same-hour-of-day observations on a zero-filled grid
+    "dq_seasonal_anomaly" -> ((s, d) =>
+      Quality.seasonalAnomaly(Tables.events(s, d), "ts", zThreshold = 2.0)
+        .orderBy(col("bucket_ts"))),
+
     // ---- soft delete (§2.1) ----
     // staging model CARRIES the soft-delete marker (reference
     // stg_savings_transaction.sql:21 selects deleted_at through)...
@@ -2289,6 +2295,22 @@ object SparkEntry {
       Graph.pageRank(edges, "pa", "pb", iterations = 10)
         .select(col("node"), round(col("rank"), 6).as("rank"))
         .orderBy(col("rank").desc, col("node")).limit(100)
+    }),
+
+    // label-propagation communities (r9) on the same co-purchase
+    // graph: deterministic (self-vote + (count desc, label asc)
+    // tie-break) but iterative → rows-only; W4OpsSpec pins planted
+    // cliques and the reliable-checkpoint twin
+    "graph_communities" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.select(col("ok"), col("pk").as("pa"))
+        .join(li.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+        .filter(col("pa") < col("pb"))
+        .select(col("pa"), col("pb"))
+      Graph.labelPropagation(edges, "pa", "pb", iterations = 6)
+        .orderBy(col("node"))
     }),
     // incremental COUNT(DISTINCT) maintenance: distinct-pair state
     // folded with the delta must equal the full distinct recompute
@@ -3678,6 +3700,44 @@ object SparkEntry {
              FROM m)
            SELECT bucket_ts, n_rows, z_score,
              coalesce(abs(z_score) > 3.0, false) AS is_anomaly
+           FROM z ORDER BY bucket_ts""",
+
+      // seasonal-naive anomaly (r9): dense hourly grid, trailing-7
+      // same-hour-of-day moment sums — identical closed form to the
+      // Spark side, round(6) per the cross-engine discipline
+      "dq_seasonal_anomaly" ->
+        """WITH c AS (
+             SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS b,
+               count(*) AS n
+             FROM events GROUP BY 1
+           ), bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM c),
+           grid AS (
+             SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+             FROM bounds
+           ), dense AS (
+             SELECT g.bucket_ts, coalesce(c.n, 0) AS n_rows
+             FROM grid g LEFT JOIN c ON c.b = g.bucket_ts
+           ), m AS (
+             SELECT bucket_ts, n_rows,
+               count(*) OVER w AS baseline_n,
+               CAST(sum(n_rows) OVER w AS DOUBLE) AS s1,
+               sum(CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)) OVER w AS s2
+             FROM dense
+             WINDOW w AS (PARTITION BY extract(hour FROM bucket_ts)
+               ORDER BY bucket_ts
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+           ), z AS (
+             SELECT bucket_ts, n_rows, baseline_n,
+               CASE WHEN baseline_n < 3
+                      OR (s2 - s1 * s1 / CAST(baseline_n AS DOUBLE))
+                         / CAST(greatest(baseline_n - 1, 1) AS DOUBLE) <= 0.0
+                    THEN NULL
+                 ELSE round((CAST(n_rows AS DOUBLE) - s1 / CAST(baseline_n AS DOUBLE))
+                   / sqrt((s2 - s1 * s1 / CAST(baseline_n AS DOUBLE))
+                          / CAST(greatest(baseline_n - 1, 1) AS DOUBLE)), 6) END AS z_score
+             FROM m)
+           SELECT bucket_ts, n_rows, baseline_n, z_score,
+             coalesce(abs(z_score) > 2.0, false) AS is_anomaly
            FROM z ORDER BY bucket_ts""",
 
       "stg_customer" ->

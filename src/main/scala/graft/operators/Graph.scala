@@ -132,4 +132,55 @@ object Graph {
     }
     ranks
   }
+
+  /** Community detection by synchronous label propagation (Raghavan,
+    * Albert & Kumara '07), made deterministic: every round each node
+    * adopts the most frequent label among its neighbors PLUS its own
+    * current label (the self-vote damps the bipartite oscillation
+    * synchronous LPA is known for), ties broken by (count desc,
+    * label asc) — so a fixed iteration count yields a pure function
+    * of the edge set, pinned in GraphSpec on planted cliques.
+    * Labels start as node ids; a community's final label is one of
+    * its member ids (deterministic, not necessarily the minimum —
+    * community IDENTITY is the grouping, not the label value).
+    *
+    * Scale shape mirrors [[pageRank]]: per round one edge-sized join
+    * (label lookup), one (node, label)-keyed count, one node-keyed
+    * argmax via the min(−count) struct trick — no windows, no
+    * driver-side state; lineage truncated every 3 rounds with the
+    * same `reliable` cluster-checkpoint option.
+    *
+    * Why next to [[triangleStats]]/[[pageRank]]: the near-dup pair
+    * graphs this engine emits ([[Dedup.connectedComponents]] gives
+    * CONNECTIVITY clusters) often need the finer "densely-knit
+    * groups" cut — LPA separates two cliques joined by one
+    * boilerplate bridge edge, which connected components cannot.
+    */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       iterations: Int = 10,
+                       reliable: Boolean = false): DataFrame = {
+    require(iterations >= 1 && iterations <= 100, "iterations in [1, 100]")
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    val e = canon(edges, aCol, bCol)
+    val directed = graft.Par.persistTracked(
+      e.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(e.select(col("b").as("src"), col("a").as("dst"))))
+    var labels = directed.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (i <- 1 to iterations) {
+      val votes = directed
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("label"))
+        .unionByName(labels) // self-vote
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
+      labels = votes
+        .groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("b"))
+        .select(col("node"), col("b.label").as("label"))
+      if (i % 3 == 0 && i < iterations) labels = truncate(labels)
+    }
+    labels
+  }
 }

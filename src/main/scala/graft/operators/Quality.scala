@@ -248,6 +248,72 @@ object Quality {
       .select(col("bucket_ts"), col("n_rows"), col("z_score"), col("is_anomaly"))
   }
 
+  /** Seasonal-naive volume-anomaly monitor — [[volumeAnomaly]] is
+    * blind to periodicity: a quiet 3 a.m. hour looks anomalous
+    * against the all-hours mean and a dead Monday 9 a.m. looks
+    * normal. This screens each hour against the trailing `lookback`
+    * observations of the SAME hour-of-day (the seasonal-naive
+    * baseline of the forecasting literature — the standard first
+    * benchmark, e.g. Hyndman & Athanasopoulos, "Forecasting:
+    * Principles and Practice" §5.2).
+    *
+    * Zero-count hours are materialized first (a dense hourly grid
+    * between the corpus's min/max hour — without it the baseline is
+    * survivor-biased and a silent DEAD pipeline hour never appears
+    * as a row at all, the failure mode this monitor exists for).
+    * Grid bounds ride to the driver as two scalars (the
+    * IVF-centroid discipline; a 1-row frame joined on a constant
+    * key constant-folds into a BroadcastNestedLoopJoin — measured,
+    * see PlansSpec).
+    *
+    * Scale shape: the event-sized work is ONE map-side-combined
+    * hourly count; the window runs over the hours×1 grid (days×24
+    * rows — bounded by calendar time, not data volume), partitioned
+    * by hour-of-day. Variance from Σn/Σn² moment sums (the
+    * [[volumeAnomaly]] cross-engine portability argument). z is NULL
+    * until `minObs` same-hour observations exist.
+    */
+  def seasonalAnomaly(df: DataFrame, tsCol: String,
+                      zThreshold: Double = 3.0, lookback: Int = 7,
+                      minObs: Int = 3): DataFrame = {
+    require(lookback >= minObs && minObs >= 2, "need lookback >= minObs >= 2")
+    val spark = df.sparkSession
+    val counts = df
+      .groupBy(date_trunc("hour", col(tsCol)).as("bucket_ts"))
+      .agg(count(lit(1)).as("n_rows"))
+    val bounds = counts
+      .agg(min(col("bucket_ts")).as("lo"), max(col("bucket_ts")).as("hi"))
+      .collect()(0) // bounded: one row
+    val (lo, hi) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+    val loSec = lo.toInstant.getEpochSecond
+    val nHours = (hi.toInstant.getEpochSecond - loSec) / 3600L
+    val grid = spark.range(nHours + 1)
+      .select(timestamp_seconds(lit(loSec) + col("id") * 3600L).as("bucket_ts"))
+    val dense = grid.join(counts, Seq("bucket_ts"), "left")
+      .select(col("bucket_ts"), coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+    val w = Window.partitionBy(hour(col("bucket_ts")))
+      .orderBy(col("bucket_ts"))
+      .rowsBetween(-lookback, -1)
+    dense
+      .withColumn("baseline_n", count(lit(1)).over(w))
+      .withColumn("__s1", sum(col("n_rows")).over(w).cast("double"))
+      .withColumn("__s2",
+        sum(col("n_rows").cast("double") * col("n_rows").cast("double")).over(w))
+      .withColumn("__mean", col("__s1") / col("baseline_n").cast("double"))
+      .withColumn("__var",
+        (col("__s2") - col("__s1") * col("__s1") / col("baseline_n").cast("double")) /
+          greatest(col("baseline_n") - lit(1), lit(1)).cast("double"))
+      .withColumn("z_score",
+        when(col("baseline_n") < minObs || col("__var") <= 0.0,
+          lit(null).cast("double"))
+          .otherwise(round((col("n_rows").cast("double") - col("__mean")) /
+            sqrt(col("__var")), 6)))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z_score")) > zThreshold, lit(false)))
+      .select(col("bucket_ts"), col("n_rows"), col("baseline_n"),
+        col("z_score"), col("is_anomaly"))
+  }
+
   /** dbt `relationships` test: child keys with no matching parent.
     * Single left-anti join (broadcast when the parent dim is small).
     */

@@ -94,6 +94,37 @@ class QualitySpec extends SparkSuite {
     assert(flat.forall(r => r.isNullAt(2) && !r.getBoolean(3)))
   }
 
+  test("seasonalAnomaly: same-hour spike flagged, zero hours materialized, cold start null") {
+    // days 1-14: hour 10 carries 100+(d%3) events, hour 22 a flat 5;
+    // day 15 hour 10 spikes to 500. The seasonal baseline must flag
+    // ONLY the spike — the all-hours volumeAnomaly view would see
+    // every quiet hour as deviant.
+    val rows = (1 to 15).flatMap { day =>
+      val n10 = if (day == 15) 500 else 100 + (day % 3)
+      val h10 = (0 until n10).map(i =>
+        java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:${i / 60}%02d:${i % 60}%02d"))
+      val h22 = (0 until 5).map(i =>
+        java.sql.Timestamp.valueOf(f"2024-01-$day%02d 22:00:0$i"))
+      h10 ++ h22
+    }
+    val out = Quality.seasonalAnomaly(rows.toDF("ts"), "ts", zThreshold = 2.0)
+      .collect().map(r => r.getTimestamp(0).toString.take(13) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_ => r.getDouble(3)),
+          r.getBoolean(4)))).toMap
+    // the spike is the ONLY flagged hour
+    val spike = out("2024-01-15 10")
+    assert(spike._1 === 500L && spike._4 && spike._3.get > 2.0)
+    assert(out.values.count(_._4) === 1)
+    // zero-count hours exist as rows (the dead-pipeline visibility)
+    assert(out("2024-01-05 15")._1 === 0L)
+    // flat hour 22 never flags (variance 0 → z null by contract)
+    assert((4 to 15).forall(d => !out(f"2024-01-$d%02d 22")._4))
+    // cold start: first two same-hour observations have no baseline
+    assert(out("2024-01-01 10")._3.isEmpty && out("2024-01-02 10")._3.isEmpty)
+    // steady days stay unflagged with a live z
+    assert(out("2024-01-10 10")._3.exists(z => math.abs(z) < 2.0))
+  }
+
   test("failingRows surfaces the offending rows per check (store_failures)") {
     val t = Seq(
       (1L, Some("A"), "x"), (2L, Some("Z"), "x"),  // 2 fails accepted

@@ -385,6 +385,38 @@ class W4OpsSpec extends SparkSuite {
     Par.release()
   }
 
+  test("labelPropagation: bridged cliques split into two communities; CC cannot") {
+    import graft.operators.{Dedup, Graph}
+    val edges = (for {
+      c <- Seq(Seq(1L, 2L, 3L, 4L), Seq(10L, 11L, 12L, 13L))
+      a <- c; b <- c if a < b
+    } yield (a, b)) :+ ((4L, 10L)) // one boilerplate bridge
+    val df = edges.toDF("a", "b")
+    val labels = Graph.labelPropagation(df, "a", "b", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val communities = labels.groupBy(_._2).values.map(_.keySet).toSet
+    assert(communities === Set(Set(1L, 2L, 3L, 4L), Set(10L, 11L, 12L, 13L)),
+      s"got $communities")
+    // connected components merges them — LPA is the finer cut
+    val cc = Dedup.connectedComponents(df, "a", "b")
+      .collect().map(_.getLong(1)).distinct
+    assert(cc.length === 1)
+    // reliable=true twin: identical labels through cluster checkpoints
+    val prev = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(tmpDir("lpackpt"))
+    try {
+      val rel = Graph.labelPropagation(df, "a", "b", iterations = 5,
+          reliable = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rel === labels)
+    } finally prev.foreach(spark.sparkContext.setCheckpointDir)
+    // deterministic under repartitioning
+    val rep = Graph.labelPropagation(df.repartition(7), "a", "b", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep === labels)
+    Par.release()
+  }
+
   test("triangle stats: known graphs and equality to brute force on a random graph") {
     import graft.operators.Graph
     def stats(edges: Seq[(Long, Long)]) =
