@@ -402,6 +402,70 @@ object EventStream {
       }
       .start()
 
+  /** Streaming SEGMENT-level dedup gate (r9) — the sub-document
+    * twin of [[nearDupGate]], CCNet line-dedup at the ingest door:
+    * every microbatch is segment-deduped against the persistent
+    * segment-hash index ([[graft.operators.Dedup
+    * .segmentDedupIncremental]] — batch-sized work, the index joined
+    * by its hash keys, never recomputed), each surviving document
+    * lands REWRITTEN (boilerplate segments removed, `n_segments`/
+    * `n_kept` accounting kept), documents reduced to pure
+    * boilerplate are dropped, and the corpus table plus the index's
+    * NEW hashes commit as ONE [[graft.sources.VersionedGroup]]
+    * version — crash-consistent corpus↔index, pinned readers.
+    *
+    * At-least-once redelivery converges: replayed doc ids are
+    * already in the corpus frame and filter out before scoring, so
+    * a replayed microbatch commits nothing (no version churn).
+    */
+  def segmentDedupGate(docs: DataFrame, root: String, checkpoint: String,
+                       idCol: String, textCol: String,
+                       window: Int = 20): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import graft.operators.Dedup
+          import graft.sources.VersionedGroup
+          val hasIndex = VersionedGroup.currentVersion(spark, root) >= 1
+          val cached = graft.Par.persistTracked(
+            batch.select(col(idCol), col(textCol)))
+          val fresh =
+            if (!hasIndex) cached
+            else cached.join(VersionedGroup.read(spark, root, "docs")
+              .select(col(idCol)), Seq(idCol), "left_anti")
+          val out =
+            if (hasIndex)
+              Dedup.segmentDedupIncremental(
+                VersionedGroup.read(spark, root, "seg"),
+                fresh, idCol, textCol, window)
+            else Dedup.segmentDedup(fresh, idCol, textCol, window)
+          val survivors = out
+            .filter(col("text_dedup").isNotNull)
+            .select(col("doc_id").as(idCol),
+              col("text_dedup").as(textCol),
+              col("n_segments"), col("n_kept"))
+          val newSegs = {
+            val segs = Dedup.segmentIndex(fresh, idCol, textCol, window)
+            if (!hasIndex) segs
+            else segs.join(VersionedGroup.read(spark, root, "seg"),
+              Seq("seg_hash"), "left_anti")
+          }
+          // commit even when every doc was boilerplate: the batch's
+          // new hashes (if any) must still enter the index
+          if (!survivors.isEmpty || !newSegs.isEmpty) {
+            VersionedGroup.commit(root,
+              Map("docs" -> survivors, "seg" -> newSegs),
+              replace = !hasIndex)
+            ()
+          }
+          graft.Par.release()
+        }
+      }
+      .start()
+
   /** Streaming per-stratum exact-n sampler — the continuous twin of
     * [[graft.operators.Sampling.stratifiedTopN]]: state per stratum
     * holds the n lowest-(xxhash64(id, seed), id) rows seen so far, so

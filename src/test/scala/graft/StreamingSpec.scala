@@ -353,6 +353,55 @@ class StreamingSpec extends SparkSuite {
     Par.release()
   }
 
+  test("segmentDedupGate: docs land rewritten, boilerplate docs dropped, replay no-op") {
+    import graft.sources.VersionedGroup
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val src = tmpDir("seggate-src")
+    val root = tmpDir("seggate-root") + "/idx"
+    def land(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = tmpDir("seggate-stage")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(src, s"$name.parquet"))
+    }
+    land("b0", Seq(
+      (1L, "a b c d e f"),  // both segments first occurrences
+      (3L, "a b c d e f"),  // intra-batch boilerplate → dropped
+      (2L, "g h i")))
+    val stream = spark.readStream.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .parquet(src)
+    val q = EventStream.segmentDedupGate(stream, root, tmpDir("seggate-ckpt"),
+      "doc_id", "text", window = 3)
+    q.processAllAvailable()
+    def corpus = VersionedGroup.read(spark, root, "docs")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(corpus === Map(1L -> "a b c d e f", 2L -> "g h i"))
+    assert(VersionedGroup.currentVersion(spark, root) === 1)
+
+    // 4 carries one known + one new segment → lands REWRITTEN;
+    // 5 is pure boilerplate → dropped
+    land("b1", Seq((4L, "a b c x y z"), (5L, "d e f")))
+    q.processAllAvailable()
+    assert(corpus === Map(1L -> "a b c d e f", 2L -> "g h i", 4L -> "x y z"))
+    assert(VersionedGroup.currentVersion(spark, root) === 2)
+    val acc = VersionedGroup.read(spark, root, "docs")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(acc(4L) === ((2L, 1L))) // n_segments=2, n_kept=1
+
+    // redelivery of 4 + a now-boilerplate 6: nothing commits
+    land("b2", Seq((4L, "a b c x y z"), (6L, "g h i")))
+    q.processAllAvailable()
+    assert(corpus.keySet === Set(1L, 2L, 4L))
+    assert(VersionedGroup.currentVersion(spark, root) === 2)
+    q.stop()
+    Par.release()
+  }
+
   test("enrichAsOf: a late event gets the dimension version true at ITS time") {
     import org.apache.spark.sql.functions.lit
     val src = tmpDir("asof-src")
