@@ -164,9 +164,12 @@ object Graph {
       if (reliable) df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
     val e = canon(edges, aCol, bCol)
+    // pin the edge frame's partitioning on the JOIN key so the
+    // per-round label lookup never re-exchanges the (big) edge side
     val directed = graft.Par.persistTracked(
       e.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(e.select(col("b").as("src"), col("a").as("dst"))))
+        .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("src")))
     var labels = directed.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (i <- 1 to iterations) {
@@ -174,8 +177,14 @@ object Graph {
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), col("label"))
         .unionByName(labels) // self-vote
-        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
+        // ONE node-keyed exchange serves BOTH aggregations below:
+        // hash(node) satisfies the (node, label) clustering too, so
+        // the count and the argmax plan exchange-free on top of it
+        // (first cut paid three shuffles/round — measured 10 s at
+        // sf0.1, vs pageRank's 2/round at 5.8 s for the same graph)
+        .repartition(col("node"))
       labels = votes
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
         .groupBy(col("node"))
         .agg(min(struct((-col("c")).as("nc"), col("label"))).as("b"))
         .select(col("node"), col("b.label").as("label"))
