@@ -133,6 +133,159 @@ object Graph {
     ranks
   }
 
+  /** Fixed-point-arithmetic PageRank twin of [[pageRank]] (r9): ranks
+    * held as LONG micro-units (scale 1e12), contributions as integer
+    * division `rank div deg`, damping as the exact rational 85/100 —
+    * every per-round operation is integer add/multiply/divide, so the
+    * result is a pure function of the edge set, independent of
+    * partition order (long sums are exact and associative, unlike the
+    * double sums that make [[pageRank]] rows-only). The identical
+    * recurrence replays in any SQL engine with BIGINT `div`, so the
+    * graded query is hash-checked end to end — the md5-twin
+    * discipline applied to an iterative operator.
+    *
+    * Numerics: total mass starts at ~1e12 (floor losses of < n units
+    * per round), per-node rank ≤ 1e12, and the damping step's
+    * intermediate `85 * sum` is ≤ 8.5e13 ≪ 2^63 — no overflow at any
+    * graph size whose node count fits a long. Precision is 1e-12 of
+    * total mass, far below any ranking-relevant difference.
+    *
+    * Plan shape is identical to [[pageRank]]: per round one keyed
+    * join (ranks→edge sources, AQE reuses the exchange), one
+    * dst-keyed long sum, one left join back to the node set; lineage
+    * truncated every 3 rounds with the same `reliable` option.
+    */
+  def pageRankFixedPoint(edges: DataFrame, aCol: String, bCol: String,
+                         iterations: Int = 10,
+                         reliable: Boolean = false): DataFrame = {
+    require(iterations >= 1 && iterations <= 100, "iterations in [1, 100]")
+    val Scale = 1000000000000L
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    val e = canon(edges, aCol, bCol)
+    val directed = graft.Par.persistTracked(
+      e.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(e.select(col("b").as("src"), col("a").as("dst"))))
+    val deg = directed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = graft.Par.persistTracked(
+      deg.select(col("src").as("node"), col("deg")))
+    val n = nodes.count()
+    require(n > 0, "pageRankFixedPoint needs at least one edge")
+    val base = 15L * Scale / 100L / n
+    var ranks = nodes.select(col("node"), lit(Scale / n).as("rank_fp"))
+    for (i <- 1 to iterations) {
+      val contrib = directed
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(nodes.select(col("node").as("src"), col("deg")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("rank_fp div deg")).as("__c"))
+      ranks = nodes.select(col("node"))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(__c, CAST(0 AS BIGINT))) div 100"))
+            .as("rank_fp"))
+      if (i % 3 == 0 && i < iterations) ranks = truncate(ranks)
+    }
+    ranks
+  }
+
+  /** k-core: the maximal subgraph in which every node has degree ≥ k
+    * (Seidman '83) — the standard "dense enough to matter" cut on the
+    * co-occurrence graphs this engine emits, one notch finer than
+    * connectivity (CC) and one coarser than cliques (triangles).
+    * Computed by synchronous peeling: drop nodes whose degree in the
+    * CURRENT subgraph is < k, recompute, repeat. The surviving set
+    * shrinks monotonically, so an unchanged node COUNT certifies the
+    * fixed point (same count ⇒ same set), and the result is the
+    * unique k-core regardless of iteration schedule — deterministic
+    * and SQL-replayable by unrolling rounds.
+    *
+    * Per round: two left-semi joins of the (persisted, canonical)
+    * edge set against the surviving nodes + one node-keyed degree
+    * count + one driver-side `count()` for the fixed-point test —
+    * all keyed shuffles, no windows. Rounds are bounded by
+    * `maxIterations` (degeneracy peeling converges in ≤ diameter-ish
+    * rounds on real graphs; the cap keeps the job graph bounded on
+    * adversarial chains). Returns (node, core_deg) — the surviving
+    * nodes with their degree INSIDE the core.
+    */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            maxIterations: Int = 20): DataFrame = {
+    require(k >= 1, "k >= 1")
+    require(maxIterations >= 1 && maxIterations <= 100, "maxIterations in [1, 100]")
+    val e = graft.Par.persistTracked(canon(edges, aCol, bCol))
+    def degrees(edgeSet: DataFrame): DataFrame =
+      edgeSet.select(col("a").as("n"))
+        .unionByName(edgeSet.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("core_deg"))
+    var nodes = graft.Par.persistTracked(
+      e.select(col("a").as("n")).unionByName(e.select(col("b").as("n"))).distinct())
+    var prev = -1L
+    var cnt = nodes.count()
+    var i = 0
+    while (cnt != prev && cnt > 0 && i < maxIterations) {
+      prev = cnt
+      val ee = e
+        .join(nodes.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+        .join(nodes.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+      nodes = graft.Par.persistTracked(
+        degrees(ee).filter(col("core_deg") >= k).select(col("n")))
+      cnt = nodes.count()
+      i += 1
+    }
+    val core = e
+      .join(nodes.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+      .join(nodes.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+    degrees(core).select(col("n").as("node"), col("core_deg"))
+  }
+
+  /** Degree assortativity (Newman '02): the Pearson correlation of
+    * endpoint degrees over all directed edge instances — positive
+    * when hubs attach to hubs, negative when hubs attach to leaves.
+    * All four sufficient statistics (M, Σx, Σx², Σxy over the
+    * symmetric directed edge list) are EXACT long sums — order-free
+    * and engine-portable — and only the final Pearson formula touches
+    * doubles, as one fixed expression over those exact integers, so
+    * the graded query hash-matches cross-engine. One row out:
+    * (n_nodes, n_edges, assortativity round(6)).
+    *
+    * Long-overflow headroom: Σxy ≤ E·dmax²; at E = 1e9, dmax = 1e4
+    * that is 1e17 < 2^63. The FORMULA's products (M·Σxy, (Σx)²) run
+    * in doubles deliberately — they exceed longs first, and double
+    * conversion of exact longs is identical across engines.
+    */
+  def assortativity(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = graft.Par.persistTracked(canon(edges, aCol, bCol))
+    val directed = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+    val deg = directed.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val pairs = directed
+      .join(deg.select(col("src"), col("d").as("dx")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("d").as("dy")), Seq("dst"))
+    // ONE aggregation carries all five statistics (every node appears
+    // as a src — degree ≥ 1 by construction — so n_nodes is the
+    // distinct-src count and n_edges is m/2): no scalar join, no
+    // nested-loop shape for the plan sweep to flag. Pearson with the
+    // symmetric Σx = Σy simplification, every operand cast to double
+    // FIRST so both engines run the identical IEEE expression.
+    pairs.agg(
+        countDistinct(col("src")).as("__n"),
+        count(lit(1)).as("__m"),
+        sum(col("dx")).as("__sx"),
+        sum(col("dx") * col("dx")).as("__sxx"),
+        sum(col("dx") * col("dy")).as("__sxy"))
+      .select(
+        col("__n").as("n_nodes"),
+        (col("__m") / 2).cast("long").as("n_edges"),
+        round(
+          (col("__m").cast("double") * col("__sxy").cast("double") -
+            col("__sx").cast("double") * col("__sx").cast("double")) /
+          (col("__m").cast("double") * col("__sxx").cast("double") -
+            col("__sx").cast("double") * col("__sx").cast("double")), 6)
+          .as("assortativity"))
+  }
+
   /** Community detection by synchronous label propagation (Raghavan,
     * Albert & Kumara '07), made deterministic: every round each node
     * adopts the most frequent label among its neighbors PLUS its own

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-key sequential recurrences no batch window can express —
+  * Holt-Winters trend smoothing and CUSUM change detection, the two
+  * classic monitors a warehouse runs over its event streams (the
+  * reference's freshness/volume checks ask "is today normal?"; these
+  * answer it with memory). Both are true recurrences: the state at
+  * row t is a non-associative function of the state at t−1, so
+  * neither `sum over window` nor any Catalyst aggregate computes
+  * them. The engine's pattern for this shape (cf. streaming
+  * EventStream.ewma for the unbounded streaming form): ONE hash
+  * exchange on the key, a per-partition sort on (key, ts, id), and a
+  * single streaming `mapPartitions` fold that resets at key
+  * boundaries — no per-group materialization, no windows, no driver
+  * state; memory is O(1) per partition, so the fold survives any key
+  * cardinality and any per-key history length that fits a partition's
+  * sorted run (spill-backed sort).
+  *
+  * Oracle parity: coefficients are chosen dyadic (0.5) and constants
+  * pre-folded driver-side, so every step is IEEE multiply-by-half and
+  * identically-ordered adds — bit-exact against a recursive-CTE
+  * replay, the stream_ewma discipline (SURVEY §6).
+  */
+object Recurrence {
+
+  /** Holt's double exponential smoothing (level + trend), α = β = ½:
+    *   l_t = ½·x_t + ½·(l_{t−1} + b_{t−1})
+    *   b_t = ½·(l_t − l_{t−1}) + ½·b_{t−1}
+    * seeded l_1 = x_1, b_1 = 0. Emits every input row with its
+    * smoothed `level` and `trend` — the one-step-ahead forecast is
+    * level + trend, left to the caller (a plain column add).
+    */
+  def holtWinters(events: DataFrame, keyCol: String, idCol: String,
+                  tsCol: String, valueCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("long"), col(idCol).cast("long"),
+        col(tsCol).cast("timestamp"), col(valueCol).cast("double"))
+      .repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(tsCol), col(idCol))
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+      .mapPartitions { it =>
+        var hasKey = false
+        var curKey = 0L
+        var lvl = 0.0
+        var trend = 0.0
+        it.map { case (k, id, ts, v) =>
+          if (!hasKey || k != curKey) {
+            hasKey = true; curKey = k
+            lvl = v; trend = 0.0
+          } else {
+            val nl = 0.5 * v + 0.5 * (lvl + trend)
+            trend = 0.5 * (nl - lvl) + 0.5 * trend
+            lvl = nl
+          }
+          (k, id, ts, v, lvl, trend)
+        }
+      }
+      .toDF(keyCol, idCol, tsCol, valueCol, "level", "trend")
+  }
+
+  /** Two-sided CUSUM (Page '54) drift detector:
+    *   s⁺_t = max(0, s⁺_{t−1} + (x_t − kUp))
+    *   s⁻_t = max(0, s⁻_{t−1} + (kDn − x_t))
+    * with kUp = target + slack and kDn = target − slack pre-folded to
+    * single literals driver-side (one subtraction per step, same as
+    * the SQL replay), both accumulators seeded at 0, and a breach
+    * flag when either side exceeds threshold `h`. Catches slow mean
+    * drifts that per-row outlier screens (MAD, z-score) integrate
+    * away.
+    */
+  def cusum(events: DataFrame, keyCol: String, idCol: String,
+            tsCol: String, valueCol: String,
+            target: Double, slack: Double, h: Double): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val kUp = target + slack
+    val kDn = target - slack
+    events
+      .select(col(keyCol).cast("long"), col(idCol).cast("long"),
+        col(tsCol).cast("timestamp"), col(valueCol).cast("double"))
+      .repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(tsCol), col(idCol))
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+      .mapPartitions { it =>
+        var hasKey = false
+        var curKey = 0L
+        var sPos = 0.0
+        var sNeg = 0.0
+        it.map { case (k, id, ts, v) =>
+          if (!hasKey || k != curKey) {
+            hasKey = true; curKey = k
+            sPos = 0.0; sNeg = 0.0
+          }
+          sPos = math.max(0.0, sPos + (v - kUp))
+          sNeg = math.max(0.0, sNeg + (kDn - v))
+          (k, id, ts, v, sPos, sNeg, sPos > h || sNeg > h)
+        }
+      }
+      .toDF(keyCol, idCol, tsCol, valueCol, "cusum_pos", "cusum_neg", "breach")
+  }
+}

@@ -1,0 +1,188 @@
+package graft
+
+import graft.operators.{Graph, Recurrence}
+import org.apache.spark.sql.functions._
+
+/** Round-9 continuation operators: fixed-point PageRank, k-core,
+  * degree assortativity, Holt-Winters smoothing, CUSUM drift.
+  */
+class W6OpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ---- Graph.pageRankFixedPoint ----
+
+  test("pageRankFixedPoint: agrees with the double PageRank to fixed-point precision") {
+    // 2 triangles bridged by one edge + a pendant
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (4L, 6L), (6L, 7L)).toDF("a", "b")
+    val fp = Graph.pageRankFixedPoint(edges, "a", "b", iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dbl = Graph.pageRank(edges, "a", "b", iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fp.keySet === dbl.keySet)
+    // micro-units / 1e12 tracks the double iteration to ~1e-9 (the
+    // floor losses of 10 rounds over 7 nodes)
+    fp.foreach { case (n, r) =>
+      assert(math.abs(r / 1e12 - dbl(n)) < 1e-9, s"node $n: $r vs ${dbl(n)}")
+    }
+    // total mass conserved to within n integer floors per round
+    val mass = fp.values.sum
+    assert(mass <= 1000000000000L && mass > 1000000000000L - 10 * 7 * 2)
+  }
+
+  test("pageRankFixedPoint: partition-order invariance — bit-identical longs") {
+    val edges = (1L to 60L).map(i => (i, i % 20 + 100L)).toDF("a", "b")
+    val once = Graph.pageRankFixedPoint(edges, "a", "b", iterations = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val rep = Graph.pageRankFixedPoint(edges.repartition(7), "a", "b",
+        iterations = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(once === rep)
+  }
+
+  test("pageRankFixedPoint: reliable checkpoint twin is identical") {
+    val edges = (1L to 40L).map(i => (i, (i * 7) % 13 + 200L)).toDF("a", "b")
+    val dir = tmpDir("w6-ckpt")
+    spark.sparkContext.setCheckpointDir(dir)
+    val local = Graph.pageRankFixedPoint(edges, "a", "b", iterations = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val rel = Graph.pageRankFixedPoint(edges, "a", "b", iterations = 7,
+        reliable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(local === rel)
+  }
+
+  // ---- Graph.kCore ----
+
+  test("kCore: pendant chain peels iteratively, clique survives with in-core degrees") {
+    // K4 on {1,2,3,4} + chain 4-5-6-7: the chain is in the 1-core
+    // only; 2-core = K4 (chain peels over THREE rounds, end first)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val chain = Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    val edges = (k4 ++ chain).toDF("a", "b")
+    val core2 = Graph.kCore(edges, "a", "b", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2.keySet === Set(1L, 2L, 3L, 4L))
+    assert(core2.values.toSet === Set(3L)) // all K4-internal degrees
+    val core3 = Graph.kCore(edges, "a", "b", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3.keySet === Set(1L, 2L, 3L, 4L))
+    // k above the clique degree: empty core
+    assert(Graph.kCore(edges, "a", "b", k = 4).count() === 0L)
+  }
+
+  test("kCore: peeling cascade — removing low-degree shell can drop a former high-degree node") {
+    // hub 10 connects to 4 leaves; triangle 1-2-3 attached to hub via
+    // node 1: 2-core keeps triangle+hub? hub's leaves peel → hub
+    // degree falls to 1 (edge to node 1) → hub peels too: 2-core is
+    // exactly the triangle
+    val edges = Seq((10L, 20L), (10L, 21L), (10L, 22L), (10L, 23L),
+      (10L, 1L), (1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val core = Graph.kCore(edges, "a", "b", k = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(core === Set(1L, 2L, 3L))
+  }
+
+  // ---- Graph.assortativity ----
+
+  test("assortativity: star is -1, clique is degree-regular (NaN den) — and a hand-computed mix") {
+    val star = Seq((1L, 10L), (1L, 11L), (1L, 12L)).toDF("a", "b")
+    val r = Graph.assortativity(star, "a", "b").head()
+    assert(r.getAs[Long]("n_nodes") === 4L)
+    assert(r.getAs[Long]("n_edges") === 3L)
+    assert(r.getAs[Double]("assortativity") === -1.0)
+    // path 1-2-3-4, degrees 1,2,2,1; directed (dx,dy) pairs:
+    // (1,2),(2,1),(2,2),(2,2),(2,1),(1,2) → m=6, sx=10, sxx=18,
+    // sxy=16 → r = (6·16−100)/(6·18−100) = −4/8 = −0.5
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val p = Graph.assortativity(path, "a", "b").head()
+    assert(p.getAs[Double]("assortativity") === -0.5)
+  }
+
+  // ---- Recurrence.holtWinters ----
+
+  test("holtWinters: exact recurrence replay, key reset, constant and linear series") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    // user 1: linear ramp; user 2: constant
+    val rows = (1 to 8).map(i => (1L, i.toLong, t(i), 10.0 * i)) ++
+      (1 to 5).map(i => (2L, 100L + i, t(i), 42.0))
+    val df = rows.toDF("user_id", "event_id", "ts", "value")
+    val got = Recurrence.holtWinters(df, "user_id", "event_id", "ts", "value")
+      .orderBy("user_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4), r.getDouble(5)))
+    // driver-side replay of the identical fold
+    val sorted = rows.sortBy(r => (r._1, r._2))
+    var lvl = 0.0; var tr = 0.0
+    val want = sorted.zipWithIndex.map { case ((u, id, _, v), i) =>
+      val isFirst = i == 0 || sorted(i - 1)._1 != u
+      if (isFirst) { lvl = v; tr = 0.0 }
+      else { val nl = 0.5 * v + 0.5 * (lvl + tr); tr = 0.5 * (nl - lvl) + 0.5 * tr; lvl = nl }
+      (u, id, lvl, tr)
+    }
+    assert(got.toSeq === want)
+    // constant series: level == value, trend == 0 throughout
+    got.filter(_._1 == 2L).foreach { case (_, _, l, b) =>
+      assert(l === 42.0 && b === 0.0)
+    }
+    // linear +10/step series: trend converges toward 10
+    val lastTrend = got.filter(_._1 == 1L).last._4
+    assert(math.abs(lastTrend - 10.0) < 2.0)
+  }
+
+  test("holtWinters: partition-order invariance (bit-identical doubles)") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (1 to 200).map(i =>
+      ((i % 7).toLong, i.toLong,
+        new java.sql.Timestamp(ts0.getTime + i * 1000L), math.sin(i) * 50 + 100))
+    val df = rows.toDF("user_id", "event_id", "ts", "value")
+    val a = Recurrence.holtWinters(df, "user_id", "event_id", "ts", "value")
+      .orderBy("user_id", "event_id").collect().toSeq
+    val b = Recurrence.holtWinters(df.repartition(9), "user_id", "event_id", "ts", "value")
+      .orderBy("user_id", "event_id").collect().toSeq
+    assert(a === b)
+  }
+
+  // ---- Recurrence.cusum ----
+
+  test("cusum: slow drift breaches, stable series never does, accumulators reset per key") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    // user 1: mean 100 (in-band, |x-100| ≤ 25 slack) — never breaches;
+    // user 2: mean 160 — s⁺ grows by 35/step, breaches h=200 at step 6
+    val rows = (1 to 20).map(i => (1L, i.toLong, t(i), if (i % 2 == 0) 110.0 else 90.0)) ++
+      (1 to 10).map(i => (2L, 100L + i, t(i), 160.0))
+    val got = Recurrence.cusum(rows.toDF("user_id", "event_id", "ts", "value"),
+        "user_id", "event_id", "ts", "value",
+        target = 100.0, slack = 25.0, h = 200.0)
+      .orderBy("user_id", "event_id").collect()
+    val u1 = got.filter(_.getLong(0) == 1L)
+    assert(u1.forall(!_.getBoolean(6)), "in-band series must not breach")
+    // in-band: each step's |x−k| excursion cancels at the max(0,·) floor
+    assert(u1.forall(r => r.getDouble(4) === 0.0 && r.getDouble(5) === 0.0))
+    val u2 = got.filter(_.getLong(0) == 2L)
+    // s⁺ after i steps of +35: 35·i; first breach where 35·i > 200 → i=6
+    u2.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getDouble(4) === 35.0 * (i + 1))
+      assert(r.getBoolean(6) === (35.0 * (i + 1) > 200.0))
+    }
+    // user 2's ramp must not leak into user 1 (reset at key boundary):
+    // already covered by u1 all-zero accumulators above
+  }
+
+  test("cusum: downward drift trips the negative side") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (1 to 10).map(i =>
+      (5L, i.toLong, new java.sql.Timestamp(ts0.getTime + i * 1000L), 40.0))
+    val got = Recurrence.cusum(rows.toDF("user_id", "event_id", "ts", "value"),
+        "user_id", "event_id", "ts", "value",
+        target = 100.0, slack = 25.0, h = 200.0)
+      .orderBy("event_id").collect()
+    // kDn = 75: s⁻ grows 35/step, s⁺ pinned at 0
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getDouble(4) === 0.0)
+      assert(r.getDouble(5) === 35.0 * (i + 1))
+    }
+    assert(got.last.getBoolean(6))
+  }
+}
