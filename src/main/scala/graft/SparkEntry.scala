@@ -2474,6 +2474,34 @@ object SparkEntry {
           col("value"), col("ewma"))
         .orderBy(col("user_id"), col("event_id"))
     }),
+    // streaming CUSUM graded batch-side (r9-cont, §2.6): two
+    // microbatches split at the CDC cutoff; the accumulators must
+    // carry across the batch boundary and the sink must equal the
+    // batch Recurrence.cusum bit-for-bit (shared oracle)
+    "stream_cusum" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_cu").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = eventCols(Tables.events(s, d))
+      val cutoff = lit(CdcCutoff).cast("timestamp")
+      ev.filter(col("ts") <= cutoff).write.parquet(inDir)
+      withShufflePartitions(s, 4) {
+        val q = graft.streaming.EventStream.cusum(
+            graft.streaming.EventStream.read(s, inDir),
+            target = 100.0, slack = 25.0, h = 200.0)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .format("parquet").option("path", outDir).start()
+        try {
+          q.processAllAvailable()
+          ev.filter(col("ts") > cutoff).write.mode("append").parquet(inDir)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.read.parquet(outDir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+          col("cusum_pos"), col("cusum_neg"), col("breach"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
     // streaming last-touch attribution graded batch-side (§2.6): two
     // microbatches split at the CDC cutoff; the final sink must equal
     // the BATCH attribution oracle (state carries the latest touch
@@ -6192,6 +6220,9 @@ object SparkEntry {
       ("stream_attribution" -> base("events_attribution")) +
       // the streaming versioned MV must converge to the full batch
       // recompute — the mv_incremental oracle verbatim
-      ("stream_mv_versioned" -> base("mv_incremental"))
+      ("stream_mv_versioned" -> base("mv_incremental")) +
+      // the streaming CUSUM must equal the batch recurrence
+      // bit-for-bit — the recursive-CTE oracle verbatim
+      ("stream_cusum" -> base("events_cusum"))
   }
 }

@@ -57,6 +57,13 @@ case class EwmaState(e: Double)
 case class EwmaOut(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
                    value: Double, ewma: Double)
 
+case class CusumState(sPos: Double, sNeg: Double)
+
+/** One event with its two-sided CUSUM accumulators and breach flag. */
+case class CusumOut(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                    value: Double, cusum_pos: Double, cusum_neg: Double,
+                    breach: Boolean)
+
 /** Structured-Streaming re-expression of the reference's scheduled
   * CDC loop (reference: dagster_code/nomba_pipeline/definitions.py —
   * a 15-minute cron re-running the incremental load). Instead of
@@ -757,6 +764,48 @@ object EventStream {
         EwmaOut(userId, ev.event_id, ev.ts, ev.value, e)
       }
       if (evs.nonEmpty) state.update(EwmaState(e))
+      out.iterator
+    }
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+  }
+
+  /** Streaming two-sided CUSUM (r9) — the continuous twin of
+    * [[graft.operators.Recurrence.cusum]]: the drift monitor runs ON
+    * the ingest stream, so a slow mean shift pages in the microbatch
+    * it crosses the threshold, not in tomorrow's batch screen. State
+    * per user is two doubles (the accumulators), independent of
+    * event volume — the same O(users) contract as [[ewma]] /
+    * [[attribution]].
+    *
+    * Arithmetic is the batch fold verbatim (constants kUp/kDn folded
+    * driver-side, one subtraction + max(0,·) per side per step), so
+    * with the cross-batch per-user event-time ordering contract the
+    * sink equals the batch operator bit-for-bit — the graded twin
+    * shares events_cusum's recursive-CTE oracle.
+    */
+  def cusum(events: DataFrame, target: Double, slack: Double,
+            h: Double): Dataset[CusumOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val kUp = target + slack
+    val kDn = target - slack
+    def micros(ts: java.sql.Timestamp): Long =
+      (ts.getTime / 1000) * 1000000L + ts.getNanos / 1000
+    val fn = (userId: Long, it: Iterator[Event], state: GroupState[CusumState]) => {
+      val evs = it.toArray.sortBy(e => (micros(e.ts), e.event_id))
+      var sp = state.getOption.map(_.sPos).getOrElse(0.0)
+      var sn = state.getOption.map(_.sNeg).getOrElse(0.0)
+      val out = evs.map { ev =>
+        sp = math.max(0.0, sp + (ev.value - kUp))
+        sn = math.max(0.0, sn + (kDn - ev.value))
+        CusumOut(userId, ev.event_id, ev.ts, ev.value, sp, sn,
+          sp > h || sn > h)
+      }
+      if (evs.nonEmpty) state.update(CusumState(sp, sn))
       out.iterator
     }
     events.select(col("event_id"), col("ts"), col("user_id"),

@@ -612,4 +612,43 @@ class StreamingSpec extends SparkSuite {
       3L -> (2.0 + 0.5 * (4.0 + 0.5 * 8.0)), // batch-2 carry from batch-1 state
       9L -> 7.0))              // other user starts fresh
   }
+
+  test("cusum: accumulators carry across microbatches and match the batch fold") {
+    // user 1 runs hot at 160 (s⁺ += 35/step, kUp = 125): three events
+    // in batch 1, two in batch 2 — breach (h = 200) lands on the 6th
+    // step which never arrives, so last cusum_pos = 175, no breach;
+    // user 2 cold at 40 (s⁻ += 35/step) breaches in batch 2
+    val b1 = Seq(
+      Event(2L, ts("2024-01-01 11:00:00"), 1L, "click", 160.0), // sorts 2nd
+      Event(1L, ts("2024-01-01 10:00:00"), 1L, "click", 160.0),
+      Event(3L, ts("2024-01-01 12:00:00"), 1L, "click", 160.0)) ++
+      (1 to 4).map(i => Event(10L + i, ts(s"2024-01-01 0$i:00:00"), 2L, "click", 40.0))
+    val b2 = Seq(
+      Event(4L, ts("2024-01-02 09:00:00"), 1L, "click", 160.0),
+      Event(5L, ts("2024-01-02 10:00:00"), 1L, "click", 160.0),
+      Event(15L, ts("2024-01-02 01:00:00"), 2L, "click", 40.0),
+      Event(16L, ts("2024-01-02 02:00:00"), 2L, "click", 40.0))
+    val out = runIncremental(
+      df => EventStream.cusum(df, target = 100.0, slack = 25.0, h = 200.0).toDF(),
+      OutputMode.Append(), Seq(b1, b2))
+    val got = out.select("event_id", "cusum_pos", "cusum_neg", "breach")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // user 1: 35·i on the positive side, negative pinned at 0
+    assert(got(1L) === ((35.0, 0.0, false)))
+    assert(got(3L) === ((105.0, 0.0, false)))   // in-batch sort order held
+    assert(got(5L) === ((175.0, 0.0, false)))   // batch-2 carry: 4th, 5th steps
+    // user 2: 35·i on the negative side; 6th step (event 16) breaches
+    assert(got(14L) === ((0.0, 140.0, false)))
+    assert(got(15L) === ((0.0, 175.0, false)))
+    assert(got(16L) === ((0.0, 210.0, true)))
+    // equals the batch operator on the union (bit-exact)
+    val batch = graft.operators.Recurrence.cusum(
+        (b1 ++ b2).toDF(), "user_id", "event_id", "ts", "value",
+        target = 100.0, slack = 25.0, h = 200.0)
+      .select("event_id", "cusum_pos", "cusum_neg", "breach")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got === batch)
+  }
 }
