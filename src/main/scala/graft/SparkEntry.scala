@@ -2344,6 +2344,13 @@ object SparkEntry {
           "user_id", "event_id", "ts", "value",
           target = 100.0, slack = 25.0, h = 200.0)
         .orderBy(col("user_id"), col("event_id"))),
+    // Theil-Sen robust trend per user (r9-cont): median of pairwise
+    // slopes over the maxPoints most-recent points — the hard
+    // per-key fan-out cap is part of the graded semantics
+    "events_theilsen" -> ((s, d) =>
+      Analytics.theilSenTrend(eventCols(Tables.events(s, d)),
+          "user_id", "event_id", "ts", "value", maxPoints = 200)
+        .orderBy(col("user_id"))),
     // incremental COUNT(DISTINCT) maintenance: distinct-pair state
     // folded with the delta must equal the full distinct recompute
     "mv_incremental_distinct" -> ((s, d) => {
@@ -6092,6 +6099,34 @@ object SparkEntry {
              FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
            SELECT user_id, event_id, ts, value, level, trend FROM r
            ORDER BY user_id, event_id""",
+
+      // Theil-Sen: pairwise slopes over the 200 most-recent points
+      // per user (the cap is part of the semantics), median via the
+      // same interpolated quantile the MAD oracle grades, round(6)
+      "events_theilsen" ->
+        """WITH pts AS (
+             SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events
+             QUALIFY rn <= 200
+           ), s AS (
+             SELECT a.user_id,
+               (b.value - a.value)
+                 / (CAST(b.us - a.us AS DOUBLE) / 1000000.0) AS slope
+             FROM pts a JOIN pts b
+               ON a.user_id = b.user_id AND a.us < b.us
+           ), agg AS (
+             SELECT user_id, round(quantile_cont(slope, 0.5), 6) AS trend,
+               CAST(count(*) AS BIGINT) AS n_pairs
+             FROM s GROUP BY user_id
+           ), np AS (
+             SELECT user_id, CAST(count(*) AS BIGINT) AS n_points
+             FROM pts GROUP BY user_id)
+           SELECT agg.user_id, np.n_points, agg.n_pairs, agg.trend
+           FROM agg JOIN np ON agg.user_id = np.user_id
+           ORDER BY agg.user_id""",
 
       // two-sided CUSUM recurrence: kUp = 125, kDn = 75 pre-folded
       // (one subtraction per step, mirroring the driver-side fold)

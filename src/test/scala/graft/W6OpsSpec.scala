@@ -143,6 +143,40 @@ class W6OpsSpec extends SparkSuite {
     assert(a === b)
   }
 
+  // ---- Analytics.theilSenTrend ----
+
+  test("theilSenTrend: hand-computed median slope, outlier robustness, recency cap, equal-ts skip") {
+    import graft.pipeline.Analytics
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(s: Int) = new java.sql.Timestamp(ts0.getTime + s * 1000L)
+    // key 1: points (0s,0),(1s,1),(2s,10) → slopes 1, 5, 9 → median 5
+    // key 2: clean slope-2 line with ONE wild outlier; Theil-Sen holds 2
+    // key 3: two points at the SAME timestamp → no valid pair → absent
+    val rows = Seq(
+      (1L, 1L, t(0), 0.0), (1L, 2L, t(1), 1.0), (1L, 3L, t(2), 10.0),
+      (3L, 30L, t(5), 1.0), (3L, 31L, t(5), 9.0)) ++
+      (0 to 10).map(i => (2L, 100L + i, t(i), 2.0 * i)) :+
+      (2L, 200L, t(20), 1000.0) // outlier at the end
+    val df = rows.toDF("user_id", "event_id", "ts", "value")
+    val got = Analytics.theilSenTrend(df, "user_id", "event_id", "ts", "value")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((3L, 3L, 5.0)))
+    // key 2: 12 points, 66 pairs; majority of slopes are exactly 2
+    assert(got(2L)._1 === 12L && got(2L)._2 === 66L)
+    assert(math.abs(got(2L)._3 - 2.0) < 0.5, s"outlier dragged trend to ${got(2L)._3}")
+    assert(!got.contains(3L), "equal-timestamp-only key must produce no trend")
+    // recency cap: with maxPoints = 3, key 2 keeps only the LAST 3
+    // points (ts 9,10 and the outlier at 20) — the outlier now
+    // dominates and the trend jumps far above 2
+    val capped = Analytics.theilSenTrend(df, "user_id", "event_id", "ts", "value",
+        maxPoints = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(capped(2L)._1 === 3L && capped(2L)._2 === 3L)
+    assert(capped(2L)._3 > 50.0)
+  }
+
   // ---- Recurrence.cusum ----
 
   test("cusum: slow drift breaches, stable series never does, accumulators reset per key") {
