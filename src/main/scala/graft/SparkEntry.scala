@@ -2351,6 +2351,13 @@ object SparkEntry {
       Analytics.theilSenTrend(eventCols(Tables.events(s, d)),
           "user_id", "event_id", "ts", "value", maxPoints = 200)
         .orderBy(col("user_id"))),
+    // frequent ORDERED event-type sequences (subsequence containment,
+    // any gap): occurrence-statistics tests, |types|²-bounded fan-out,
+    // Apriori-pruned broadcast triples
+    "events_frequent_seqs" -> ((s, d) =>
+      Analytics.frequentSequences(eventCols(Tables.events(s, d)),
+          "user_id", "event_type", "ts", "event_id", minSupportFrac = 0.2)
+        .orderBy(col("len"), col("p1"), col("p2"), col("p3"))),
     // incremental COUNT(DISTINCT) maintenance: distinct-pair state
     // folded with the delta must equal the full distinct recompute
     "mv_incremental_distinct" -> ((s, d) => {
@@ -6099,6 +6106,46 @@ object SparkEntry {
              FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
            SELECT user_id, event_id, ts, value, level, trend FROM r
            ORDER BY user_id, event_id""",
+
+      // ordered-subsequence containment via occurrence statistics:
+      // (a,b) ⇔ minpos(a) < maxpos(b); (a,b,c) ⇔ some b-position
+      // strictly between minpos(a) and maxpos(c) — correct for
+      // repeated symbols because positions are distinct integers
+      "events_frequent_seqs" ->
+        """WITH pos AS MATERIALIZED (
+             SELECT user_id AS u, event_type AS t,
+               CAST(row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS BIGINT) AS p
+             FROM events
+           ), occ AS MATERIALIZED (
+             SELECT u, t, min(p) AS minp, max(p) AS maxp
+             FROM pos GROUP BY u, t
+           ), nu AS (SELECT count(DISTINCT u) AS n FROM occ
+           ), f2 AS MATERIALIZED (
+             SELECT a.t AS p1, b.t AS p2, CAST(count(*) AS BIGINT) AS support
+             FROM occ a JOIN occ b ON a.u = b.u AND a.minp < b.maxp
+             GROUP BY a.t, b.t
+             HAVING count(*) >= (SELECT ceil(0.2 * n) FROM nu)
+           ), cand AS (
+             SELECT x.p1 AS a, x.p2 AS b, y.p2 AS c
+             FROM f2 x JOIN f2 y ON x.p2 = y.p1
+           ), f3 AS (
+             SELECT q.a, q.b, q.c, CAST(count(*) AS BIGINT) AS support
+             FROM (
+               SELECT oa.u, cand.a, cand.b, cand.c
+               FROM occ oa JOIN cand ON oa.t = cand.a
+                 JOIN occ oc ON oc.u = oa.u AND oc.t = cand.c
+               WHERE EXISTS (
+                 SELECT 1 FROM pos pb
+                 WHERE pb.u = oa.u AND pb.t = cand.b
+                   AND pb.p > oa.minp AND pb.p < oc.maxp)) q
+             GROUP BY q.a, q.b, q.c
+             HAVING count(*) >= (SELECT ceil(0.2 * n) FROM nu))
+           SELECT CAST(2 AS BIGINT) AS len, p1, p2,
+             CAST(NULL AS VARCHAR) AS p3, support FROM f2
+           UNION ALL
+           SELECT CAST(3 AS BIGINT), a, b, c, support FROM f3
+           ORDER BY len, p1, p2, p3""",
 
       // Theil-Sen: pairwise slopes over the 200 most-recent points
       // per user (the cap is part of the semantics), median via the

@@ -1325,4 +1325,78 @@ object Analytics {
     trend.join(np, Seq(keyCol))
       .select(col(keyCol), col("n_points"), col("n_pairs"), col("trend"))
   }
+
+  /** Frequent ORDERED event-type sequences (r9-cont) — sequential
+    * pattern mining à la GSP/PrefixSpan, restricted to lengths 2–3:
+    * a user supports pattern (a,b) iff some a-event precedes some
+    * b-event in their timeline (any gap — subsequence, not adjacency:
+    * the order-aware upgrade of [[basketPairs]]' co-occurrence and
+    * the gap-tolerant relaxation of [[transitionMatrix]]'s adjacent
+    * bigrams). Support = #users, threshold `minSupportFrac` of all
+    * active users.
+    *
+    * The containment tests collapse to occurrence STATISTICS, never
+    * event pairs: with per-(user, type) first/last positions over the
+    * (ts, id) ordering, (a,b) holds iff minpos(a) < maxpos(b) — and
+    * because positions are strictly increasing distinct integers this
+    * stays correct for a = b (needs two occurrences) — and (a,b,c)
+    * holds iff SOME b-position lies strictly between minpos(a) and
+    * maxpos(c), which covers every repeated-symbol case including
+    * (x,x,x) ⇔ ≥ 3 occurrences. So the per-user work is |types|²
+    * rows, not |events|² — one position window (a single user-keyed
+    * shuffle), one (user, type) aggregate, and joins whose fan-out is
+    * bounded by type cardinality, with length-3 candidates
+    * Apriori-pruned to pairs of frequent length-2 patterns
+    * (broadcast, the [[basketTriples]] discipline) and verified by
+    * ONE equi-semi-join against the position table with the
+    * between-range as residual. The user count for the threshold is
+    * one bounded driver scalar (the IVF-centroid discipline).
+    *
+    * Returns (len, p1, p2, p3 — null for pairs, support).
+    */
+  def frequentSequences(events: DataFrame, userCol: String, typeCol: String,
+                        tsCol: String, idCol: String,
+                        minSupportFrac: Double = 0.2): DataFrame = {
+    require(minSupportFrac > 0.0 && minSupportFrac <= 1.0,
+      "minSupportFrac in (0, 1]")
+    val w = Window.partitionBy(col("u")).orderBy(col(tsCol), col(idCol))
+    val pos = graft.Par.persistTracked(
+      events.select(col(userCol).as("u"), col(typeCol).as("t"),
+          col(tsCol), col(idCol))
+        .withColumn("p", row_number().over(w).cast("long"))
+        .select(col("u"), col("t"), col("p")))
+    val occ = graft.Par.persistTracked(
+      pos.groupBy(col("u"), col("t"))
+        .agg(min(col("p")).as("minp"), max(col("p")).as("maxp")))
+    val nUsers = occ.select(col("u")).distinct().count()
+    val minCount = math.max(1L, math.ceil(minSupportFrac * nUsers).toLong)
+    val freq2 = graft.Par.persistTracked(
+      occ.select(col("u"), col("t").as("p1"), col("minp").as("__minp1"))
+        .join(occ.select(col("u"), col("t").as("p2"), col("maxp").as("__maxp2")),
+          Seq("u"))
+        .filter(col("__minp1") < col("__maxp2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("support"))
+        .filter(col("support") >= minCount))
+    // Apriori: (a,b,c) needs (a,b) and (b,c) frequent; candidate set
+    // is bounded by frequent-pair fan-in, broadcast to the verify join
+    val cand = freq2.select(col("p1").as("a"), col("p2").as("b"))
+      .join(freq2.select(col("p1").as("b"), col("p2").as("c")), Seq("b"))
+      .select(col("a"), col("b"), col("c"))
+    val withBounds = occ.select(col("u"), col("t").as("a"), col("minp").as("__minpa"))
+      .join(broadcast(cand), Seq("a"))
+      .join(occ.select(col("u"), col("t").as("c"), col("maxp").as("__maxpc")),
+        Seq("u", "c"))
+    val pb = pos.select(col("u").as("__pu"), col("t").as("__pt"), col("p").as("__pp"))
+    val freq3 = withBounds
+      .join(pb,
+        col("u") === col("__pu") && col("b") === col("__pt") &&
+          col("__pp") > col("__minpa") && col("__pp") < col("__maxpc"),
+        "left_semi")
+      .groupBy(col("a"), col("b"), col("c")).agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minCount)
+    freq2.select(lit(2L).as("len"), col("p1"), col("p2"),
+        lit(null).cast("string").as("p3"), col("support"))
+      .unionByName(freq3.select(lit(3L).as("len"), col("a").as("p1"),
+        col("b").as("p2"), col("c").as("p3"), col("support")))
+  }
 }

@@ -177,6 +177,39 @@ class W6OpsSpec extends SparkSuite {
     assert(capped(2L)._3 > 50.0)
   }
 
+  // ---- Analytics.frequentSequences ----
+
+  test("frequentSequences: gap-tolerant order, direction sensitivity, repeats, threshold") {
+    import graft.pipeline.Analytics
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(s: Int) = new java.sql.Timestamp(ts0.getTime + s * 1000L)
+    def seq(u: Long, types: String*): Seq[(Long, String, java.sql.Timestamp, Long)] =
+      types.zipWithIndex.map { case (ty, i) => (u, ty, t(i), u * 100 + i) }
+    // u1: a c b — a precedes b WITH a gap; u2: a b; u3: b a (reverse)
+    val df = (seq(1L, "a", "c", "b") ++ seq(2L, "a", "b") ++ seq(3L, "b", "a"))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Analytics.frequentSequences(df, "user_id", "event_type",
+        "ts", "event_id", minSupportFrac = 0.5) // 3 users → minCount 2
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), r.getLong(4))).toSet
+    // only a→b reaches support 2 (u1 via the gap, u2 adjacent);
+    // b→a, a→c, c→b are singletons; no triples survive pruning
+    assert(got === Set((2L, "a", "b", None, 2L)))
+
+    // repeats: (x,x) needs two occurrences, (x,x,x) three — the
+    // strictly-between position test must not reuse one occurrence
+    val rep = (seq(1L, "x", "y", "x", "x") ++ seq(2L, "x", "x", "z", "x") ++
+        seq(3L, "x")) // one x only — supports nothing
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val gotRep = Analytics.frequentSequences(rep, "user_id", "event_type",
+        "ts", "event_id", minSupportFrac = 0.6) // 3 users → minCount 2
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), r.getLong(4))).toSet
+    assert(gotRep === Set(
+      (2L, "x", "x", None, 2L),
+      (3L, "x", "x", Some("x"), 2L)))
+  }
+
   // ---- Recurrence.cusum ----
 
   test("cusum: slow drift breaches, stable series never does, accumulators reset per key") {
