@@ -2488,6 +2488,32 @@ object SparkEntry {
           col("value"), col("ewma"))
         .orderBy(col("user_id"), col("event_id"))
     }),
+    // streaming Holt smoothing graded batch-side (r9-cont, §2.6):
+    // level/trend state carries across the cutoff-split microbatches;
+    // sink must equal batch Recurrence.holtWinters bit-for-bit
+    "stream_holt_winters" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_hw").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = eventCols(Tables.events(s, d))
+      val cutoff = lit(CdcCutoff).cast("timestamp")
+      ev.filter(col("ts") <= cutoff).write.parquet(inDir)
+      withShufflePartitions(s, 4) {
+        val q = graft.streaming.EventStream.holtWinters(
+            graft.streaming.EventStream.read(s, inDir))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .format("parquet").option("path", outDir).start()
+        try {
+          q.processAllAvailable()
+          ev.filter(col("ts") > cutoff).write.mode("append").parquet(inDir)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.read.parquet(outDir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+          col("level"), col("trend"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
     // streaming CUSUM graded batch-side (r9-cont, §2.6): two
     // microbatches split at the CDC cutoff; the accumulators must
     // carry across the batch boundary and the sink must equal the
@@ -6305,6 +6331,8 @@ object SparkEntry {
       ("stream_mv_versioned" -> base("mv_incremental")) +
       // the streaming CUSUM must equal the batch recurrence
       // bit-for-bit — the recursive-CTE oracle verbatim
-      ("stream_cusum" -> base("events_cusum"))
+      ("stream_cusum" -> base("events_cusum")) +
+      // same contract for the streaming Holt smoother
+      ("stream_holt_winters" -> base("events_holt_winters"))
   }
 }

@@ -64,6 +64,12 @@ case class CusumOut(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
                     value: Double, cusum_pos: Double, cusum_neg: Double,
                     breach: Boolean)
 
+case class HoltState(level: Double, trend: Double)
+
+/** One event with its Holt level/trend smoothing state. */
+case class HoltOut(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                   value: Double, level: Double, trend: Double)
+
 /** Structured-Streaming re-expression of the reference's scheduled
   * CDC loop (reference: dagster_code/nomba_pipeline/definitions.py —
   * a 15-minute cron re-running the incremental load). Instead of
@@ -787,6 +793,43 @@ object EventStream {
     * sink equals the batch operator bit-for-bit — the graded twin
     * shares events_cusum's recursive-CTE oracle.
     */
+  /** Streaming Holt double-exponential smoothing (r9) — the
+    * continuous twin of [[graft.operators.Recurrence.holtWinters]]:
+    * level+trend forecast state maintained per user ON the stream,
+    * two doubles of state independent of event volume. A NONE state
+    * seeds l = x, b = 0 exactly like the batch fold's first row, and
+    * each subsequent step is the identical dyadic (α = β = ½)
+    * arithmetic, so with the cross-batch per-user event-time ordering
+    * contract the sink equals the batch operator bit-for-bit — the
+    * graded twin shares events_holt_winters' recursive-CTE oracle.
+    */
+  def holtWinters(events: DataFrame): Dataset[HoltOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(ts: java.sql.Timestamp): Long =
+      (ts.getTime / 1000) * 1000000L + ts.getNanos / 1000
+    val fn = (userId: Long, it: Iterator[Event], state: GroupState[HoltState]) => {
+      val evs = it.toArray.sortBy(e => (micros(e.ts), e.event_id))
+      var st = state.getOption
+      val out = evs.map { ev =>
+        st = st match {
+          case None => Some(HoltState(ev.value, 0.0))
+          case Some(HoltState(lvl, tr)) =>
+            val nl = 0.5 * ev.value + 0.5 * (lvl + tr)
+            Some(HoltState(nl, 0.5 * (nl - lvl) + 0.5 * tr))
+        }
+        HoltOut(userId, ev.event_id, ev.ts, ev.value, st.get.level, st.get.trend)
+      }
+      st.foreach(state.update)
+      out.iterator
+    }
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+  }
+
   def cusum(events: DataFrame, target: Double, slack: Double,
             h: Double): Dataset[CusumOut] = {
     val spark = events.sparkSession

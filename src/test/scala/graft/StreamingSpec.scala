@@ -613,6 +613,33 @@ class StreamingSpec extends SparkSuite {
       9L -> 7.0))              // other user starts fresh
   }
 
+  test("holtWinters: level/trend carry across microbatches and match the batch fold") {
+    val b1 = Seq(
+      Event(2L, ts("2024-01-01 11:00:00"), 1L, "click", 20.0), // sorts 2nd
+      Event(1L, ts("2024-01-01 10:00:00"), 1L, "click", 10.0))
+    val b2 = Seq(
+      Event(3L, ts("2024-01-02 09:00:00"), 1L, "click", 30.0),
+      Event(9L, ts("2024-01-02 09:00:00"), 2L, "click", 7.0))
+    val out = runIncremental(
+      df => EventStream.holtWinters(df).toDF(),
+      OutputMode.Append(), Seq(b1, b2))
+    val got = out.select("event_id", "level", "trend")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    // seed: l=10, b=0; step 2: l = ½·20 + ½·10 = 15, b = ½·5 = 2.5;
+    // step 3 (batch-2 carry): l = ½·30 + ½·17.5 = 23.75,
+    // b = ½·8.75 + ½·2.5 = 5.625
+    assert(got(1L) === ((10.0, 0.0)))
+    assert(got(2L) === ((15.0, 2.5)))
+    assert(got(3L) === ((23.75, 5.625)))
+    assert(got(9L) === ((7.0, 0.0))) // other user seeds fresh
+    // equals the batch operator on the union (bit-exact)
+    val batch = graft.operators.Recurrence.holtWinters(
+        (b1 ++ b2).toDF(), "user_id", "event_id", "ts", "value")
+      .select("event_id", "level", "trend")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got === batch)
+  }
+
   test("cusum: accumulators carry across microbatches and match the batch fold") {
     // user 1 runs hot at 160 (s⁺ += 35/step, kUp = 125): three events
     // in batch 1, two in batch 2 — breach (h = 200) lands on the 6th
