@@ -2351,6 +2351,13 @@ object SparkEntry {
       Analytics.theilSenTrend(eventCols(Tables.events(s, d)),
           "user_id", "event_id", "ts", "value", maxPoints = 200)
         .orderBy(col("user_id"))),
+    // key-skew screen on a join key: top-k heavy keys with share and
+    // cumulative share — one grouped count + bounded TakeOrdered +
+    // k-row window (measure-before-salting, the Skew companion)
+    "dq_key_skew" -> ((s, d) =>
+      Quality.keySkew(Tables.lineitem(s, d).select(col("l_suppkey")),
+          "l_suppkey", topK = 50)
+        .orderBy(col("rank"))),
     // frequent ORDERED event-type sequences (subsequence containment,
     // any gap): occurrence-statistics tests, |types|²-bounded fan-out,
     // Apriori-pruned broadcast triples
@@ -6132,6 +6139,24 @@ object SparkEntry {
              FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
            SELECT user_id, event_id, ts, value, level, trend FROM r
            ORDER BY user_id, event_id""",
+
+      // top-k heavy join keys: exact counts, exact-long cumulative
+      // sums, one rounded division per share
+      "dq_key_skew" ->
+        """WITH c AS (
+             SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS n
+             FROM lineitem GROUP BY l_suppkey
+           ), t AS (
+             SELECT key, n, CAST(row_number() OVER (
+               ORDER BY n DESC, key) AS BIGINT) AS rank
+             FROM c QUALIFY rank <= 50
+           ), tot AS (SELECT CAST(count(*) AS BIGINT) AS m FROM lineitem)
+           SELECT rank, key, n,
+             round(CAST(n AS DOUBLE) / CAST(m AS DOUBLE), 6) AS share,
+             round(CAST(sum(n) OVER (ORDER BY n DESC, key
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / CAST(m AS DOUBLE), 6) AS cum_share
+           FROM t, tot ORDER BY rank""",
 
       // ordered-subsequence containment via occurrence statistics:
       // (a,b) ⇔ minpos(a) < maxpos(b); (a,b,c) ⇔ some b-position

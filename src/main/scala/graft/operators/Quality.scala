@@ -540,4 +540,40 @@ object Quality {
         max(col(dependent)).as("dep_max"))
       .filter(col("n_dependent") > 1)
   }
+
+  /** Key-skew diagnostic (r9-cont): the top-k heaviest values of a
+    * prospective JOIN or GROUP key with each one's row count, share
+    * of the table, and cumulative share — the screen a pipeline runs
+    * BEFORE shipping a shuffle on that key, because one hot key is
+    * the #1 cluster-scale shuffle killer (this is the measurement
+    * side of [[graft.operators.Skew]]'s salting cures: measure first,
+    * salt the keys this report names).
+    *
+    * Cost shape: one map-side-combined count per distinct key (the
+    * only table-sized work), a TakeOrdered top-k (bounded, no global
+    * sort), one driver-scalar total, and a cumulative window over the
+    * k surviving rows only — the [[graft.operators.Sampling]]
+    * boundary-bucket rule: only the bounded frame pays a window.
+    * Shares are exact-long divisions rounded once (round 6),
+    * cross-engine stable. Deterministic under ties: (n desc, key asc).
+    */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int = 50): DataFrame = {
+    require(topK >= 1, "topK >= 1")
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+    val total = df.count()
+    val top = counts.orderBy(col("n").desc, col("key")).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("key"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    top
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("key"))))
+      .withColumn("share",
+        round(col("n").cast("double") / lit(total).cast("double"), 6))
+      .withColumn("cum_share",
+        round(sum(col("n")).over(w).cast("double") / lit(total).cast("double"), 6))
+      .select(col("rank").cast("long").as("rank"), col("key"), col("n"),
+        col("share"), col("cum_share"))
+  }
 }

@@ -177,6 +177,21 @@ class W6OpsSpec extends SparkSuite {
     assert(capped(2L)._3 > 50.0)
   }
 
+  // ---- Quality.keySkew ----
+
+  test("keySkew: hand-computed shares, tie-break by key, topK bound") {
+    import graft.operators.Quality
+    // 10 rows: key 7 × 5, key 3 × 3, keys 1,2 × 1 each
+    val df = (Seq.fill(5)(7L) ++ Seq.fill(3)(3L) ++ Seq(1L, 2L)).toDF("k")
+    val got = Quality.keySkew(df, "k", topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      (1L, 7L, 5L, 0.5, 0.5),
+      (2L, 3L, 3L, 0.3, 0.8),
+      (3L, 1L, 1L, 0.1, 0.9))) // tie 1 vs 2 → key asc wins; topK cuts key 2
+  }
+
   // ---- Analytics.frequentSequences ----
 
   test("frequentSequences: gap-tolerant order, direction sensitivity, repeats, threshold") {
