@@ -50,7 +50,15 @@ object Bench {
       var rows = -1L
       (1 to passes).foreach { _ =>
         val t0 = System.nanoTime()
-        val n = try force(fn(spark, sfDir)) catch { case _: Throwable => -1L }
+        val n = try force(fn(spark, sfDir)) catch {
+          case e: Throwable =>
+            // surface the swallowed failure: a silent -1-rows entry in
+            // the artifact is undiagnosable after the fact (observed
+            // with doc_quality_model failing ONLY in-suite at r9-cont)
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).take(300))
+            -1L
+        }
         val sec = (System.nanoTime() - t0) / 1e9
         // drop operator-internal persists (tracked — exactly the blocks
         // graft cached) so queries don't pay each other's memory pressure
