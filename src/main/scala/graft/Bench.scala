@@ -57,6 +57,7 @@ object Bench {
             // with doc_quality_model failing ONLY in-suite at r9-cont)
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: " +
               String.valueOf(e.getMessage).take(300))
+            if (sys.env.contains("SPARK_GRAFT_TRACE")) e.printStackTrace()
             -1L
         }
         val sec = (System.nanoTime() - t0) / 1e9

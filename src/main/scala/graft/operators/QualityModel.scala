@@ -3,7 +3,6 @@ package graft.operators
 import graft.functions.Text
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.feature.VectorAssembler
-import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -81,10 +80,25 @@ object QualityModel {
       .setFeaturesCol("__vec").setLabelCol("label")
       .setMaxIter(100).setRegParam(0.01).setStandardization(true)
     val model = lr.fit(assembled)
-    model.transform(assembled)
+    // score with EXPLICIT column arithmetic from driver-extracted
+    // coefficients, not model.transform: the fitted model's
+    // trainingSummary field holds the SparkSession (via its summary
+    // DataFrames), and a plan shape that serializes the model into a
+    // task closure then dies on the session's non-serializable
+    // ObservationManager — observed as an in-suite-only
+    // "Task not serializable" at r9-cont (isolated runs planned the
+    // scoring differently and never tripped it). Literal weights also
+    // keep the scoring inside whole-stage codegen — the engine's
+    // no-model-UDFs discipline (cf. the ANN rankers).
+    val w = model.coefficients.toArray
+    val b = model.intercept
+    val margin = FeatureCols.zip(w)
+      .map { case (c, wi) => col(c) * lit(wi) }
+      .reduceLeft(_ + _) + lit(b)
+    val score = lit(1.0) / (lit(1.0) + exp(-margin))
+    feats
       .select(col(idCol), col("label").cast("int").as("label"),
-        round(element_at(vector_to_array(col("probability")), 2), 6)
-          .as("quality_score"),
-        col("prediction").cast("int").as("pred"))
+        round(score, 6).as("quality_score"),
+        when(score > 0.5, 1).otherwise(0).as("pred"))
   }
 }
