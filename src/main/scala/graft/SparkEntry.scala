@@ -2351,6 +2351,16 @@ object SparkEntry {
       Analytics.theilSenTrend(eventCols(Tables.events(s, d)),
           "user_id", "event_id", "ts", "value", maxPoints = 200)
         .orderBy(col("user_id"))),
+    // Jensen-Shannon categorical drift on event_type (ref = events
+    // off the %5 slice, cur = on it — the dq_drift_psi split),
+    // Laplace-smoothed over the union domain
+    "dq_drift_js" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"))
+      Quality.jsDrift(
+          ev.filter(col("event_id") % 5 =!= 0),
+          ev.filter(col("event_id") % 5 === 0), "event_type")
+        .orderBy(col("category"))
+    }),
     // key-skew screen on a join key: top-k heavy keys with share and
     // cumulative share — one grouped count + bounded TakeOrdered +
     // k-row window (measure-before-salting, the Skew companion)
@@ -6139,6 +6149,36 @@ object SparkEntry {
              FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
            SELECT user_id, event_id, ts, value, level, trend FROM r
            ORDER BY user_id, event_id""",
+
+      // JS divergence over Laplace-smoothed category shares; the
+      // identical (p+q)/2 midpoint and ½p·ln + ½q·ln expression order
+      "dq_drift_js" ->
+        """WITH ref AS (
+             SELECT event_type AS c FROM events
+             WHERE event_id % 5 <> 0 AND event_type IS NOT NULL
+           ), cur AS (
+             SELECT event_type AS c FROM events
+             WHERE event_id % 5 = 0 AND event_type IS NOT NULL
+           ), cr AS (SELECT c, CAST(count(*) AS BIGINT) AS nr FROM ref GROUP BY c
+           ), cc AS (SELECT c, CAST(count(*) AS BIGINT) AS nc FROM cur GROUP BY c
+           ), d AS (
+             SELECT coalesce(cr.c, cc.c) AS category,
+               coalesce(nr, 0) AS n_ref, coalesce(nc, 0) AS n_cur
+             FROM cr FULL OUTER JOIN cc ON cr.c = cc.c
+           ), f AS (
+             SELECT category, n_ref, n_cur,
+               CAST(n_ref + 1 AS DOUBLE)
+                 / CAST(sum(n_ref) OVER () + count(*) OVER () AS DOUBLE) AS p,
+               CAST(n_cur + 1 AS DOUBLE)
+                 / CAST(sum(n_cur) OVER () + count(*) OVER () AS DOUBLE) AS q
+             FROM d)
+           SELECT category, n_ref, n_cur,
+             round(p, 6) AS ref_frac, round(q, 6) AS cur_frac,
+             round(0.5 * p * ln(p / ((p + q) / 2.0))
+               + 0.5 * q * ln(q / ((p + q) / 2.0)), 6) AS js_contrib,
+             round(sum(0.5 * p * ln(p / ((p + q) / 2.0))
+               + 0.5 * q * ln(q / ((p + q) / 2.0))) OVER (), 6) AS js
+           FROM f ORDER BY category""",
 
       // top-k heavy join keys: exact counts, exact-long cumulative
       // sums, one rounded division per share

@@ -541,6 +541,53 @@ object Quality {
       .filter(col("n_dependent") > 1)
   }
 
+  /** Jensen–Shannon categorical drift (r9-cont) — the CATEGORICAL
+    * companion to [[psiDrift]]/[[ksDrift]]: PSI needs numeric
+    * quantile bins and KS needs an ordering; a category column has
+    * neither. JS divergence over Laplace-smoothed category shares is
+    * symmetric, bounded by ln 2, and never ±∞ — a category present
+    * on only one side contributes its smoothed mass, not infinity
+    * (the failure mode plain KL has on new categories, which is
+    * exactly the drift event worth catching).
+    *
+    * Domain = the union of categories observed on either side (one
+    * grouped count per side — map-side combined, category-sized
+    * shuffles — full-outer-joined on the category; NULL categories
+    * are excluded — null-rate drift belongs to the not_null check,
+    * and NULL join keys don't match cross-engine). Fractions are
+    * (c+1)/(n+|domain|); per-category contribution
+    * ½·p·ln(p/m) + ½·q·ln(q/m) with m = (p+q)/2; the closing total
+    * is a window over the |domain|-row frame — free. Standard
+    * reading: 0 identical, ln 2 ≈ 0.693 disjoint.
+    */
+  def jsDrift(reference: DataFrame, current: DataFrame,
+              catCol: String): DataFrame = {
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.filter(col(catCol).isNotNull)
+        .groupBy(col(catCol).as("category"))
+        .agg(count(lit(1)).as(out))
+    val joined = counts(reference, "__cr")
+      .join(counts(current, "__cc"), Seq("category"), "full_outer")
+      .withColumn("n_ref", coalesce(col("__cr"), lit(0L)))
+      .withColumn("n_cur", coalesce(col("__cc"), lit(0L)))
+      .withColumn("__k", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("__nr", sum(col("n_ref")).over(Window.partitionBy()))
+      .withColumn("__nc", sum(col("n_cur")).over(Window.partitionBy()))
+      .withColumn("__p", (col("n_ref") + 1).cast("double") /
+        (col("__nr") + col("__k")).cast("double"))
+      .withColumn("__q", (col("n_cur") + 1).cast("double") /
+        (col("__nc") + col("__k")).cast("double"))
+      .withColumn("__m", (col("__p") + col("__q")) / lit(2.0))
+      .withColumn("__contrib",
+        lit(0.5) * col("__p") * log(col("__p") / col("__m")) +
+          lit(0.5) * col("__q") * log(col("__q") / col("__m")))
+    joined
+      .withColumn("js", round(sum(col("__contrib")).over(Window.partitionBy()), 6))
+      .select(col("category"), col("n_ref"), col("n_cur"),
+        round(col("__p"), 6).as("ref_frac"), round(col("__q"), 6).as("cur_frac"),
+        round(col("__contrib"), 6).as("js_contrib"), col("js"))
+  }
+
   /** Key-skew diagnostic (r9-cont): the top-k heaviest values of a
     * prospective JOIN or GROUP key with each one's row count, share
     * of the table, and cumulative share — the screen a pipeline runs

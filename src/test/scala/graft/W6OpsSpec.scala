@@ -177,6 +177,31 @@ class W6OpsSpec extends SparkSuite {
     assert(capped(2L)._3 > 50.0)
   }
 
+  // ---- Quality.jsDrift ----
+
+  test("jsDrift: identical = 0, disjoint ≈ ln 2, one-sided categories stay finite") {
+    import graft.operators.Quality
+    val ref = (Seq.fill(60)("a") ++ Seq.fill(40)("b")).toDF("c")
+    // identical distribution → p = q exactly under smoothing → js = 0
+    assert(Quality.jsDrift(ref, ref, "c")
+      .select("js").head().getDouble(0) === 0.0)
+    // disjoint supports → js near ln 2 ≈ 0.6931, every contribution
+    // finite despite zero counts on one side (Laplace smoothing)
+    val cur = (Seq.fill(50)("x") ++ Seq.fill(50)("y")).toDF("c")
+    val dis = Quality.jsDrift(ref, cur, "c").collect()
+    assert(dis.length === 4) // union domain a,b,x,y
+    // Laplace smoothing pulls disjoint below the ln 2 bound at small
+    // n (measured 0.598 at 100 rows/side over a 4-category domain)
+    val js = dis.head.getAs[Double]("js")
+    assert(js > 0.55 && js <= math.log(2.0) + 1e-9, s"js=$js")
+    assert(dis.forall(r => !r.getAs[Double]("js_contrib").isInfinite))
+    // a shifted mix lands strictly between
+    val shifted = (Seq.fill(30)("a") ++ Seq.fill(70)("b")).toDF("c")
+    val mid = Quality.jsDrift(ref, shifted, "c")
+      .select("js").head().getDouble(0)
+    assert(mid > 0.0 && mid < js)
+  }
+
   // ---- Quality.keySkew ----
 
   test("keySkew: hand-computed shares, tie-break by key, topK bound") {
