@@ -2307,6 +2307,27 @@ object SparkEntry {
           iterations = 10)
         .orderBy(col("rank_fp").desc, col("node")).limit(100)
     }),
+    // WEIGHTED fixed-point PageRank: edge weight = shared-order
+    // count, contributions proportional to exact integer weights
+    "graph_pagerank_weighted" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val wedges = li.select(col("ok"), col("pk").as("pa"))
+        .join(li.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("w"))
+      Graph.pageRankFixedPointWeighted(wedges, "pa", "pb", "w",
+          iterations = 10)
+        .orderBy(col("rank_fp").desc, col("node")).limit(100)
+    }),
+    // PERSONALIZED fixed-point PageRank: teleport restarts at the
+    // pk % 40 == 0 seed parts — "central relative to THESE products"
+    "graph_ppr" -> ((s, d) =>
+      Graph.personalizedPageRankFixedPoint(coPurchaseEdges(s, d), "pa", "pb",
+          Tables.part(s, d).select(col("p_partkey").as("n"))
+            .filter(col("n") % 40 === 0), "n", iterations = 10)
+        .orderBy(col("rank_fp").desc, col("node")).limit(100)),
     // k-core of the co-purchase graph (r9): synchronous peeling to
     // the unique fixed point; the oracle unrolls the same peels
     // (monotone set shrinkage ⇒ extra unrolled rounds are idempotent)
@@ -2652,6 +2673,71 @@ object SparkEntry {
          ), r0 AS MATERIALIZED (
            SELECT src AS node, CAST(1000000000000 // n AS BIGINT) AS r
            FROM dgr, nn)""" +
+      iters +
+      s"""
+         SELECT node, r AS rank_fp FROM r$iterations
+         ORDER BY rank_fp DESC, node LIMIT 100"""
+  }
+
+  /** Weighted twin of [[pageRankFixedSql]]: weights = shared-order
+    * counts, contributions (r·w) `//` W(src). */
+  private def pageRankFixedWeightedSql(iterations: Int): String = {
+    val iters = (1 to iterations).map { i =>
+      s""", r$i AS MATERIALIZED (
+           SELECT g.src AS node,
+             CAST((150000000000 // nn.n)
+               + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+           FROM wt g CROSS JOIN nn LEFT JOIN (
+             SELECT dd.dst, CAST(sum((p.r * dd.w) // wt.tw) AS BIGINT) AS s
+             FROM dd JOIN r${i - 1} p ON dd.src = p.node
+               JOIN wt ON dd.src = wt.src
+             GROUP BY dd.dst) c ON g.src = c.dst)"""
+    }.mkString
+    """WITH li AS (
+         SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         WHERE l_partkey % 4 = 0
+       ), e AS MATERIALIZED (
+         SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS w
+         FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+         GROUP BY x.pk, y.pk
+       ), dd AS MATERIALIZED (
+         SELECT a AS src, b AS dst, w FROM e
+         UNION ALL SELECT b AS src, a AS dst, w FROM e
+       ), wt AS MATERIALIZED (
+         SELECT src, CAST(sum(w) AS BIGINT) AS tw FROM dd GROUP BY src
+       ), nn AS MATERIALIZED (SELECT count(*) AS n FROM wt
+       ), r0 AS MATERIALIZED (
+         SELECT src AS node, CAST(1000000000000 // n AS BIGINT) AS r
+         FROM wt, nn)""" +
+      iters +
+      s"""
+         SELECT node, r AS rank_fp FROM r$iterations
+         ORDER BY rank_fp DESC, node LIMIT 100"""
+  }
+
+  /** Personalized twin of [[pageRankFixedSql]]: teleport mass only
+    * to the pk % 40 == 0 seed nodes. */
+  private def pprFixedSql(iterations: Int): String = {
+    val iters = (1 to iterations).map { i =>
+      s""", r$i AS MATERIALIZED (
+           SELECT g.src AS node,
+             CAST(CASE WHEN g.src % 40 = 0 THEN 150000000000 // ns.n
+                 ELSE 0 END
+               + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+           FROM dgr g CROSS JOIN ns LEFT JOIN (
+             SELECT dd.dst, CAST(sum(p.r // dgr.deg) AS BIGINT) AS s
+             FROM dd JOIN r${i - 1} p ON dd.src = p.node
+               JOIN dgr ON dd.src = dgr.src
+             GROUP BY dd.dst) c ON g.src = c.dst)"""
+    }.mkString
+    graphEdgesCte +
+      """, ns AS MATERIALIZED (
+           SELECT count(*) AS n FROM dgr WHERE src % 40 = 0
+         ), r0 AS MATERIALIZED (
+           SELECT src AS node,
+             CASE WHEN src % 40 = 0 THEN CAST(1000000000000 // n AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS r
+           FROM dgr, ns)""" +
       iters +
       s"""
          SELECT node, r AS rank_fp FROM r$iterations
@@ -6101,6 +6187,11 @@ object SparkEntry {
       // long recurrence (see pageRankFixedSql) — iterative, yet
       // hash-green because every op is order-free integer arithmetic
       "graph_pagerank_fixed" -> pageRankFixedSql(10),
+
+      // weighted and personalized fixed-point twins — same integer
+      // portability, weights / seed-teleport replayed in BIGINT
+      "graph_pagerank_weighted" -> pageRankFixedWeightedSql(10),
+      "graph_ppr" -> pprFixedSql(10),
 
       // synchronous k-core peeling unrolled past its fixed point
       "graph_kcore" -> kCoreSql(16, 8),

@@ -190,6 +190,109 @@ object Graph {
     ranks
   }
 
+  /** WEIGHTED fixed-point PageRank (r9-cont): contributions split
+    * proportionally to integer edge weights — r·w div W(u) with
+    * W(u) = Σ out-weights — instead of uniformly over the degree.
+    * On the co-purchase graph the natural weight is the number of
+    * shared orders: a pair bought together 50 times should pull
+    * more rank than a one-off. Same exact-integer portability as
+    * [[pageRankFixedPoint]] (the intermediate r·w needs
+    * w < 2^63/scale ≈ 9.2e6 — any realistic co-occurrence count),
+    * same per-round plan shape, same graded hash-green contract.
+    * Duplicate / reversed input pairs are canonicalized by SUMMING
+    * their weights.
+    */
+  def pageRankFixedPointWeighted(edges: DataFrame, aCol: String, bCol: String,
+                                 weightCol: String, iterations: Int = 10,
+                                 reliable: Boolean = false): DataFrame = {
+    require(iterations >= 1 && iterations <= 100, "iterations in [1, 100]")
+    val Scale = 1000000000000L
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    val e = edges.select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("a") < col("b") && col("w") > 0)
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+    val directed = graft.Par.persistTracked(
+      e.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionByName(e.select(col("b").as("src"), col("a").as("dst"), col("w"))))
+    val tw = directed.groupBy(col("src")).agg(sum(col("w")).as("tw"))
+    val nodes = graft.Par.persistTracked(
+      tw.select(col("src").as("node"), col("tw")))
+    val n = nodes.count()
+    require(n > 0, "pageRankFixedPointWeighted needs at least one edge")
+    val base = 15L * Scale / 100L / n
+    var ranks = nodes.select(col("node"), lit(Scale / n).as("rank_fp"))
+    for (i <- 1 to iterations) {
+      val contrib = directed
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(nodes.select(col("node").as("src"), col("tw")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("(rank_fp * w) div tw")).as("__c"))
+      ranks = nodes.select(col("node"))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(__c, CAST(0 AS BIGINT))) div 100"))
+            .as("rank_fp"))
+      if (i % 3 == 0 && i < iterations) ranks = truncate(ranks)
+    }
+    ranks
+  }
+
+  /** PERSONALIZED fixed-point PageRank (r9-cont): the teleport mass
+    * restarts at a SEED set instead of uniformly — "what's central
+    * relative to THESE nodes", the related-items primitive (random
+    * walk with restart). Seeds get base = (15%·scale div |seeds|)
+    * each round and the initial mass; non-seeds start at 0 and only
+    * accumulate propagated rank. Same exact-integer portability and
+    * per-round plan shape as [[pageRankFixedPoint]]; the seed set is
+    * a (small) DataFrame joined once into the node frame — never a
+    * driver collect of the graph.
+    */
+  def personalizedPageRankFixedPoint(edges: DataFrame, aCol: String, bCol: String,
+                                     seeds: DataFrame, seedCol: String,
+                                     iterations: Int = 10,
+                                     reliable: Boolean = false): DataFrame = {
+    require(iterations >= 1 && iterations <= 100, "iterations in [1, 100]")
+    val Scale = 1000000000000L
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    val e = canon(edges, aCol, bCol)
+    val directed = graft.Par.persistTracked(
+      e.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(e.select(col("b").as("src"), col("a").as("dst"))))
+    val deg = directed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val seedSet = seeds.select(col(seedCol).as("node")).distinct()
+    val nodes = graft.Par.persistTracked(
+      deg.select(col("src").as("node"), col("deg"))
+        .join(seedSet.withColumn("__is_seed", lit(true)), Seq("node"), "left")
+        .withColumn("__is_seed", coalesce(col("__is_seed"), lit(false))))
+    val nSeeds = nodes.filter(col("__is_seed")).count()
+    require(nSeeds > 0, "no seed is a node of the graph")
+    val base = 15L * Scale / 100L / nSeeds
+    var ranks = nodes.select(col("node"),
+      when(col("__is_seed"), lit(Scale / nSeeds)).otherwise(lit(0L))
+        .as("rank_fp"))
+    for (i <- 1 to iterations) {
+      val contrib = directed
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(nodes.select(col("node").as("src"), col("deg")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("rank_fp div deg")).as("__c"))
+      ranks = nodes.select(col("node"), col("__is_seed"))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("__is_seed"), lit(base)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(__c, CAST(0 AS BIGINT))) div 100"))
+            .as("rank_fp"))
+      if (i % 3 == 0 && i < iterations) ranks = truncate(ranks)
+    }
+    ranks
+  }
+
   /** k-core: the maximal subgraph in which every node has degree ≥ k
     * (Seidman '83) — the standard "dense enough to matter" cut on the
     * co-occurrence graphs this engine emits, one notch finer than

@@ -52,6 +52,50 @@ class W6OpsSpec extends SparkSuite {
     assert(local === rel)
   }
 
+  test("pageRankFixedPointWeighted: equal weights ≡ unweighted; heavy edges pull rank") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)).toDF("a", "b")
+    val unw = Graph.pageRankFixedPoint(edges, "a", "b", iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val eq = Graph.pageRankFixedPointWeighted(
+        edges.withColumn("w", lit(7L)), "a", "b", "w", iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // uniform weights cancel: (r·7) div (7·deg) = r div deg exactly
+    // only when the division is exact — allow off-by-floor units
+    unw.keySet.foreach { k =>
+      assert(math.abs(unw(k) - eq(k)) < 1000L, s"node $k: ${unw(k)} vs ${eq(k)}")
+    }
+    // star with one heavy spoke: the heavy leaf outranks light leaves
+    val star = Seq((0L, 1L, 10L), (0L, 2L, 1L), (0L, 3L, 1L)).toDF("a", "b", "w")
+    val wr = Graph.pageRankFixedPointWeighted(star, "a", "b", "w", iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wr(1L) > wr(2L) && wr(2L) === wr(3L))
+    // duplicate + reversed pairs canonicalize by summing weights
+    val dup = Seq((0L, 1L, 5L), (1L, 0L, 5L), (0L, 2L, 1L), (0L, 3L, 1L))
+      .toDF("a", "b", "w")
+    val dr = Graph.pageRankFixedPointWeighted(dup, "a", "b", "w", iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dr === wr)
+  }
+
+  test("personalizedPageRankFixedPoint: seeds dominate, symmetric non-seeds tie, off-graph seeds rejected") {
+    // path 1-2-3-4-5: seed at the center
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val seeds = Seq(3L).toDF("n")
+    val r = Graph.personalizedPageRankFixedPoint(path, "a", "b", seeds, "n",
+        iterations = 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(3L) > r(2L) && r(3L) > r(4L))
+    assert(r(2L) === r(4L) && r(1L) === r(5L)) // symmetry about the seed
+    assert(r(2L) > r(1L)) // mass decays with distance from the seed
+    // total mass ≈ scale
+    assert(math.abs(r.values.sum - 1000000000000L) < 1000L)
+    // a seed that is not a graph node cannot anchor the teleport
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRankFixedPoint(path, "a", "b",
+        Seq(99L).toDF("n"), "n", iterations = 3)
+    }
+  }
+
   // ---- Graph.kCore ----
 
   test("kCore: pendant chain peels iteratively, clique survives with in-core degrees") {
