@@ -2372,6 +2372,29 @@ object SparkEntry {
       Analytics.theilSenTrend(eventCols(Tables.events(s, d)),
           "user_id", "event_id", "ts", "value", maxPoints = 200)
         .orderBy(col("user_id"))),
+    // dbt delete+insert incremental materialization, end to end: a
+    // day-1 load, then a day-2 pass whose watermark delta carries
+    // LATE UPDATES of already-loaded keys (%97 keys bumped +30d with
+    // changed values) — stale versions must vanish, not duplicate
+    "incr_model_delete_insert" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_incr_di").toString
+      val tgt = s"$base/t"
+      val ev = eventCols(Tables.events(s, d))
+      val cutoff = lit(CdcCutoff).cast("timestamp")
+      graft.pipeline.IncrementalModel.runDeleteInsert(s,
+        ev.filter(col("ts") <= cutoff), tgt, "ts", Seq("event_id"))
+      val upd = col("event_id") % 97 === 0
+      val src = ev.select(col("user_id"), col("event_id"),
+        when(upd, col("ts") + expr("INTERVAL 30 DAYS")).otherwise(col("ts")).as("ts"),
+        col("event_type"),
+        when(upd, col("value") + 1000.0).otherwise(col("value")).as("value"))
+      graft.pipeline.IncrementalModel.runDeleteInsert(s, src, tgt, "ts",
+        Seq("event_id"))
+      s.read.parquet(tgt)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
     // Jensen-Shannon categorical drift on event_type (ref = events
     // off the %5 slice, cur = on it — the dq_drift_psi split),
     // Laplace-smoothed over the union domain
@@ -6240,6 +6263,33 @@ object SparkEntry {
              FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
            SELECT user_id, event_id, ts, value, level, trend FROM r
            ORDER BY user_id, event_id""",
+
+      // the delete+insert replay: day-1 slice, watermark delta off
+      // its max(ts), keys in the delta replaced wholesale
+      "incr_model_delete_insert" ->
+        """WITH ev AS (
+             SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               event_type, value FROM events
+           ), t0 AS (
+             SELECT * FROM ev WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'
+           ), src AS (
+             SELECT user_id, event_id,
+               CASE WHEN event_id % 97 = 0
+                 THEN ts + INTERVAL 30 DAY ELSE ts END AS ts,
+               event_type,
+               CASE WHEN event_id % 97 = 0
+                 THEN value + 1000.0 ELSE value END AS value
+             FROM ev
+           ), lastw AS (SELECT max(ts) AS m FROM t0
+           ), delta AS (
+             SELECT src.* FROM src, lastw WHERE src.ts > lastw.m
+           ), final AS (
+             SELECT user_id, event_id, ts, event_type, value FROM t0
+             WHERE event_id NOT IN (SELECT event_id FROM delta)
+             UNION ALL
+             SELECT user_id, event_id, ts, event_type, value FROM delta)
+           SELECT event_id, ts, user_id, event_type, value
+           FROM final ORDER BY event_id""",
 
       // JS divergence over Laplace-smoothed category shares; the
       // identical (p+q)/2 midpoint and ½p·ln + ½q·ln expression order

@@ -69,6 +69,19 @@ object Sink {
     swapInto(fs, tmp, dst)
   }
 
+  /** Atomically replace the parquet table at `targetPath` with `df`:
+    * stage to a sibling dir, then the same checked-rename promote as
+    * [[upsert]]. `df` MAY read from the live table — the stage write
+    * completes before anything moves.
+    */
+  def replaceTable(spark: SparkSession, targetPath: String, df: DataFrame): Unit = {
+    val dst = new Path(targetPath)
+    val fs  = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(targetPath + "__staged")
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    swapInto(fs, tmp, dst)
+  }
+
   /** Promote `tmp` into `dst` with the live copy staged aside. Hadoop
     * `FileSystem.rename` reports failure by returning FALSE (it only
     * throws for IO errors), so every rename is CHECKED: an unchecked
