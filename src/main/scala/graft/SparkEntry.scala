@@ -2365,6 +2365,12 @@ object SparkEntry {
           "user_id", "event_id", "ts", "value",
           target = 100.0, slack = 25.0, h = 200.0)
         .orderBy(col("user_id"), col("event_id"))),
+    // EWMA adaptive control band per user (r9-cont): self-tuning
+    // mean/variance recurrences, flag vs the PRIOR state's 3σ band
+    "events_ewma_band" -> ((s, d) =>
+      operators.Recurrence.ewmaBand(eventCols(Tables.events(s, d)),
+          "user_id", "event_id", "ts", "value")
+        .orderBy(col("user_id"), col("event_id"))),
     // Theil-Sen robust trend per user (r9-cont): median of pairwise
     // slopes over the maxPoints most-recent points — the hard
     // per-key fan-out cap is part of the graded semantics
@@ -6378,6 +6384,30 @@ object SparkEntry {
            UNION ALL
            SELECT CAST(3 AS BIGINT), a, b, c, support FROM f3
            ORDER BY len, p1, p2, p3""",
+
+      // EWMA band recurrence: breach judged against the PRIOR row's
+      // state, mean/variance updated after — same op order as the fold
+      "events_ewma_band" ->
+        """WITH RECURSIVE e AS (
+             SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS rn
+             FROM events
+           ), r AS (
+             SELECT user_id, event_id, ts, value, rn,
+               value AS ew_mean, CAST(0.0 AS DOUBLE) AS ew_var,
+               false AS breach
+             FROM e WHERE rn = 1
+             UNION ALL
+             SELECT e.user_id, e.event_id, e.ts, e.value, e.rn,
+               0.5 * e.value + 0.5 * r.ew_mean AS ew_mean,
+               0.5 * ((e.value - r.ew_mean) * (e.value - r.ew_mean))
+                 + 0.5 * r.ew_var AS ew_var,
+               (r.ew_var > 0.0 AND
+                 abs(e.value - r.ew_mean) > 3.0 * sqrt(r.ew_var)) AS breach
+             FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+           SELECT user_id, event_id, ts, value, ew_mean, ew_var, breach
+           FROM r ORDER BY user_id, event_id""",
 
       // Theil-Sen: pairwise slopes over the 200 most-recent points
       // per user (the cap is part of the semantics), median via the

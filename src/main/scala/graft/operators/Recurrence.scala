@@ -63,6 +63,54 @@ object Recurrence {
       .toDF(keyCol, idCol, tsCol, valueCol, "level", "trend")
   }
 
+  /** EWMA control band (α = ½ exponentially-weighted mean AND
+    * variance per key) — the SELF-TUNING companion to [[cusum]]:
+    * CUSUM needs a known target and slack; the band learns the
+    * process level and spread as it goes and flags points outside
+    * mean ± 3·σ of the PRIOR state (the flag must not use the point
+    * being judged). Recurrences, both dyadic:
+    *   m_t = ½·x_t + ½·m_{t−1}
+    *   v_t = ½·(x_t − m_{t−1})² + ½·v_{t−1}
+    * seeded m_1 = x_1, v_1 = 0; breach_t = v_{t−1} > 0 ∧
+    * |x_t − m_{t−1}| > 3·√v_{t−1} (the v > 0 guard keeps a constant
+    * series from flagging its first wobble against a zero-width
+    * band... and from flagging nothing-at-all forever after, which
+    * is the correct reading: a constant series that moves IS the
+    * anomaly, caught the step AFTER variance first appears).
+    */
+  def ewmaBand(events: DataFrame, keyCol: String, idCol: String,
+               tsCol: String, valueCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("long"), col(idCol).cast("long"),
+        col(tsCol).cast("timestamp"), col(valueCol).cast("double"))
+      .repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(tsCol), col(idCol))
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+      .mapPartitions { it =>
+        var hasKey = false
+        var curKey = 0L
+        var m = 0.0
+        var v = 0.0
+        it.map { case (k, id, ts, x) =>
+          var breach = false
+          if (!hasKey || k != curKey) {
+            hasKey = true; curKey = k
+            m = x; v = 0.0
+          } else {
+            val dev = x - m
+            breach = v > 0.0 && math.abs(dev) > 3.0 * math.sqrt(v)
+            val nm = 0.5 * x + 0.5 * m
+            v = 0.5 * (dev * dev) + 0.5 * v
+            m = nm
+          }
+          (k, id, ts, x, m, v, breach)
+        }
+      }
+      .toDF(keyCol, idCol, tsCol, valueCol, "ew_mean", "ew_var", "breach")
+  }
+
   /** Two-sided CUSUM (Page '54) drift detector:
     *   s⁺_t = max(0, s⁺_{t−1} + (x_t − kUp))
     *   s⁻_t = max(0, s⁻_{t−1} + (kDn − x_t))

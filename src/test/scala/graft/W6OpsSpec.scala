@@ -321,6 +321,40 @@ class W6OpsSpec extends SparkSuite {
     // already covered by u1 all-zero accumulators above
   }
 
+  test("ewmaBand: flag judged vs PRIOR state, constant series silent, a spike flags") {
+    import graft.operators.Recurrence
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    // user 1: noisy-but-stable 90/110 alternation, then a 500 spike —
+    // only the spike may breach; user 2: constant, never breaches
+    // (zero-width band guarded by v > 0)
+    val rows = (1 to 20).map(i =>
+        (1L, i.toLong, t(i), if (i % 2 == 0) 110.0 else 90.0)) :+
+      (1L, 21L, t(21), 500.0)
+    val rows2 = (1 to 10).map(i => (2L, 100L + i, t(i), 42.0))
+    val got = Recurrence.ewmaBand((rows ++ rows2).toDF("user_id", "event_id", "ts", "value"),
+        "user_id", "event_id", "ts", "value")
+      .orderBy("user_id", "event_id").collect()
+    val u1 = got.filter(_.getLong(0) == 1L)
+    assert(!u1.init.exists(_.getBoolean(6)), "stable alternation must not breach")
+    assert(u1.last.getBoolean(6), "the 500 spike must breach the learned band")
+    val u2 = got.filter(_.getLong(0) == 2L)
+    assert(u2.forall(r => !r.getBoolean(6) && r.getDouble(4) === 42.0
+      && r.getDouble(5) === 0.0))
+    // driver replay of the exact fold on user 1
+    var m = 0.0; var v = 0.0
+    rows.zipWithIndex.foreach { case ((_, _, _, x), i) =>
+      if (i == 0) { m = x; v = 0.0 }
+      else {
+        val dev = x - m
+        val breach = v > 0.0 && math.abs(dev) > 3.0 * math.sqrt(v)
+        assert(u1(i).getBoolean(6) === breach, s"row $i")
+        val nm = 0.5 * x + 0.5 * m; v = 0.5 * (dev * dev) + 0.5 * v; m = nm
+      }
+      assert(u1(i).getDouble(4) === m && u1(i).getDouble(5) === v, s"row $i state")
+    }
+  }
+
   test("cusum: downward drift trips the negative side") {
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val rows = (1 to 10).map(i =>
