@@ -16,6 +16,10 @@ object Bench {
     */
   private def force(df: DataFrame): Long = df.queryExecution.toRdd.count()
   def main(args: Array[String]): Unit = {
+    // bench honesty: force a FRESH two-day replay per pipeline_day_replay
+    // execution so the artifact reports the pipeline's true cost, not a
+    // memoized Versioned read (r9 verdict item 2)
+    System.setProperty(graft.pipeline.DayReplay.FreshReplayProp, "true")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -98,6 +102,7 @@ object Bench {
     spark.stop()
     val line = s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec",""" +
       s""""batch_sec":${fmt(total - streamingSec)},"streaming_sec":${fmt(streamingSec)},""" +
+      s""""day_replay":"fresh-per-pass",""" +
       s""""value":${fmt(total)}}"""
     println(line)
     System.out.flush()

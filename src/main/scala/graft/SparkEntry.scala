@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators._
-import graft.pipeline.{Analytics, Dag, DayReplay, IncrementalModel, Models}
+import graft.pipeline.{Analytics, Dag, DayReplay, IncrementalModel, Models, Schedule}
 import graft.sources.SchemaEvolution
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -135,6 +135,40 @@ object SparkEntry {
             Some(col("t.o_orderpriority") === "1-URGENT"))))
         .orderBy(col("o_orderkey"))
     }),
+    // Versioned-table MERGE INTO (r10): the same clause chain as
+    // merge_into, committed atomically through the manifest CAS —
+    // graded across BOTH committed versions (version 1 must still
+    // time-travel to the pre-merge snapshot after the merge lands,
+    // version 2 is the merge result)
+    "versioned_merge_into" -> ((s, d) => {
+      import graft.sources.Versioned
+      val root = graft.TempDirs.create("graft_vmi_") + "/t"
+      val o = Tables.orders(s, d)
+      val target = o.filter(col("o_orderkey") % 3 =!= 0)
+      val source = o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
+        .withColumn("o_orderstatus", lit("M"))
+      val v1 = Versioned.commit(target, root, replace = true)
+      require(v1 == 1, s"expected bootstrap commit at version 1, got $v1")
+      val v2 = Versioned.mergeInto(source, root, Seq("o_orderkey"),
+        matched = Seq(
+          Merge.MatchedUpdate(
+            Map("o_totalprice" -> col("s.o_totalprice"),
+              "o_orderstatus" -> lit("U")),
+            Some(col("s.o_totalprice") > 200000.0)),
+          Merge.MatchedDelete(Some(col("t.o_orderstatus") === "F"))),
+        notMatched = Seq(
+          Merge.NotMatchedInsert(cond = Some(col("s.o_totalprice") > 150000.0))),
+        notMatchedBySource = Seq(
+          Merge.NotMatchedBySourceDelete(
+            Some(col("t.o_orderpriority") === "1-URGENT"))))
+      require(v2 == 2, s"expected the merge to commit version 2, got $v2")
+      Versioned.read(s, root, version = Some(1))
+        .withColumn("version", lit(1L))
+        .unionByName(Versioned.read(s, root).withColumn("version", lit(2L)))
+        .orderBy(col("version"), col("o_orderkey"))
+    }),
+
     // r8 wave 5: Apriori frequent triples — the oracle states the
     // definitional (unpruned) triple self-join, so the gate proves the
     // anti-monotonic candidate pruning lossless
@@ -354,7 +388,7 @@ object SparkEntry {
     // is the graded output (= latest event per user, the cdc_upsert
     // invariant), so the streaming path gets a full DuckDB oracle
     "stream_cdc_apply" -> ((s, d) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_stream_cdc").toString
+      val base = graft.TempDirs.create("graft_stream_cdc")
       val inDir = s"$base/in"; val target = s"$base/target"; val ckpt = s"$base/ckpt"
       val ev = eventCols(Tables.events(s, d))
       val cutoff = lit(CdcCutoff).cast("timestamp")
@@ -387,7 +421,7 @@ object SparkEntry {
     // oracle over the ORIGINAL events; an applied poison row or a
     // double-applied batch fails the hash.
     "stream_cdc_jdbc_exactly_once" -> ((s, d) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_stream_jx").toString
+      val base = graft.TempDirs.create("graft_stream_jx")
       val inDir = s"$base/in"
       val dbName = "jx" + java.util.UUID.randomUUID().toString.replace("-", "")
       val url = s"jdbc:derby:memory:$dbName;create=true"
@@ -434,7 +468,7 @@ object SparkEntry {
     // window; the sentinels' own windows stay in state (never emitted)
     // and the query is stopped. Final sink vs the events_hourly oracle.
     "stream_hourly_counts" -> ((s, d) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_stream_hr").toString
+      val base = graft.TempDirs.create("graft_stream_hr")
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
       val ev = eventCols(Tables.events(s, d))
       ev.write.parquet(inDir)
@@ -467,7 +501,7 @@ object SparkEntry {
     // real session finalizes; oracle = lag-islands in SQL with the
     // same strict-gap break and end-padding
     "stream_session_windows" -> ((s, d) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_stream_sw").toString
+      val base = graft.TempDirs.create("graft_stream_sw")
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
       val ev = eventCols(Tables.events(s, d))
       ev.write.parquet(inDir)
@@ -503,7 +537,7 @@ object SparkEntry {
     // (cross-batch dupes, inside the watermark horizon). The sink must
     // equal the events table exactly once per event_id.
     "stream_dedup" -> ((s, d) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_stream_dd").toString
+      val base = graft.TempDirs.create("graft_stream_dd")
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
       val ev = eventCols(Tables.events(s, d))
       ev.write.parquet(inDir)
@@ -532,7 +566,7 @@ object SparkEntry {
     // two microbatches (the second re-plans the dim side); every
     // event must pick the SCD2 version true at ITS timestamp
     "stream_enrich_asof" -> ((s, d) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_stream_ao").toString
+      val base = graft.TempDirs.create("graft_stream_ao")
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
       val ev = eventCols(Tables.events(s, d))
       val cutoff = lit(CdcCutoff).cast("timestamp")
@@ -557,6 +591,45 @@ object SparkEntry {
       s.read.parquet(outDir).orderBy(col("event_id"))
     }),
 
+    // ---- stream-STREAM interval join, graded batch-side (r10) ----
+    // the REAL EventStream.correlate: each purchase joined to the
+    // views that preceded it by <= 6h on the same user, both sides
+    // watermarked so state stays bounded. Two microbatches split at
+    // the CDC cutoff; an INNER interval join emits on match (no
+    // sentinel flush needed), and the state-retention math — needed
+    // views have ts > cutoff - 6h, expiry floor after batch 1 is
+    // (cutoff - 1h) - 6h — guarantees no cross-batch match is lost.
+    // Sink vs the DuckDB interval-join oracle.
+    "stream_correlate" -> ((s, d) => {
+      val base = graft.TempDirs.create("graft_stream_cx")
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = eventCols(Tables.events(s, d))
+      val cutoff = lit(CdcCutoff).cast("timestamp")
+      ev.filter(col("ts") <= cutoff).write.parquet(inDir)
+      withShufflePartitions(s, 4) {
+        val src = graft.streaming.EventStream.read(s, inDir)
+        val purchases = src.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts"))
+        val views = src.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("ts").as("view_ts"))
+        val q = graft.streaming.EventStream.correlate(purchases, views,
+            Seq("user_id"), "purchase_ts", "view_ts",
+            withinSeconds = 6L * 3600)
+          .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+            col("view_id"), col("view_ts"))
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+        try {
+          q.processAllAvailable() // batch 1: both sides <= cutoff
+          ev.filter(col("ts") > cutoff).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // batch 2: cross-batch matches
+        } finally q.stop()
+      }
+      s.read.parquet(outDir).orderBy(col("purchase_id"), col("view_id"))
+    }),
+
     // ---- streaming stratified sampler, graded batch-side (§2.6) ----
     // two days land as microbatches, then an at-least-once replay of
     // early docs (must bump no version); the current view (max version
@@ -564,7 +637,7 @@ object SparkEntry {
     // ranking oracle as the batch sampler — streaming state ≡ batch
     // operator over everything seen
     "stream_stratified_sample" -> ((s, d) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_stream_ss").toString
+      val base = graft.TempDirs.create("graft_stream_ss")
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
       val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
       docs.filter(col("doc_id") < 250).write.parquet(inDir)
@@ -593,7 +666,7 @@ object SparkEntry {
     // per-stratum PPS operator over everything seen, so the oracle is
     // the SAME per-stratum ξ ranking replay
     "stream_weighted_sample" -> ((s, d) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_stream_ws").toString
+      val base = graft.TempDirs.create("graft_stream_ws")
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -876,6 +949,69 @@ object SparkEntry {
       s.read.parquet(mart).orderBy(col("customer_id"))
     }),
 
+    // cron-schedule replay (r10): two Schedule.step windows over a
+    // real three-job graph — the reference's per-table cadences
+    // (all_schedules.py) driven end to end. Window 1 fires the daily
+    // extract (01:40 Lagos) + mart (02:00) but NOT the Sunday report
+    // (Jan 1 2026 is a Thursday); window 2 spans THREE missed daily
+    // ticks plus the Sunday tick, and the catch-up contract folds
+    // each job into ONE run (idempotent delete+insert loaders). The
+    // graded mart carries run_seq, so a scheduler that double-fires
+    // a folded tick, skips a due job, or breaks dependency order
+    // changes the table — hash-graded against the two watermark
+    // slices stated directly in SQL.
+    "pipeline_schedule_replay" -> ((s, d) => {
+      val root = graft.TempDirs.create("graft_sched_")
+      val stg = s"$root/stg_orders"; val mart = s"$root/mart_revenue"
+      val cutoffs = Iterator("1995-06-30 00:00:00", "1996-12-31 00:00:00")
+      var runSeq = 0
+      def staged = s.read.parquet(stg)
+      def revenueByPriority(df: DataFrame) = df
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+      val nodes = Seq(
+        Dag.Node("extract_orders", Nil, () => {
+          require(cutoffs.hasNext, "extract fired more often than its ticks")
+          runSeq += 1
+          Tables.orders(s, d)
+            .filter(col("o_orderdate") <= lit(cutoffs.next()).cast("timestamp"))
+            .write.mode("overwrite").parquet(stg)
+        }, group = "sources"),
+        Dag.Node("mart_revenue", Seq("extract_orders"), () =>
+          revenueByPriority(staged)
+            .withColumn("run_seq", lit(runSeq).cast("long"))
+            .write.mode("append").parquet(mart), group = "marts"),
+        Dag.Node("weekly_report", Seq("mart_revenue"), () =>
+          revenueByPriority(staged)
+            .agg(sum(col("n")).as("n"),
+              sum(col("revenue").cast("decimal(18,2)")).cast("double")
+                .as("revenue"))
+            .select(lit("__TOTAL__").as("o_orderpriority"), col("n"),
+              col("revenue"), lit(runSeq).cast("long").as("run_seq"))
+            .write.mode("append").parquet(mart), group = "reports"))
+      val lagos = java.time.ZoneId.of("Africa/Lagos")
+      val specs = Seq(
+        Schedule.CronSpec("extract_orders", "40 1 * * *", lagos),
+        Schedule.CronSpec("mart_revenue", "0 2 * * *", lagos),
+        Schedule.CronSpec("weekly_report", "0 3 * * 0", lagos))
+      val st1 = Schedule.step(nodes, specs,
+        java.time.Instant.parse("2026-01-01T00:00:00Z"),
+        java.time.Instant.parse("2026-01-01T01:30:00Z"))
+      require(st1.keySet == Set("extract_orders", "mart_revenue") &&
+        st1.values.forall(_ == Dag.Succeeded),
+        s"window 1 expected extract+mart only, got $st1")
+      val st2 = Schedule.step(nodes, specs,
+        java.time.Instant.parse("2026-01-01T01:30:00Z"),
+        java.time.Instant.parse("2026-01-04T02:00:00Z"))
+      require(st2.keySet ==
+        Set("extract_orders", "mart_revenue", "weekly_report") &&
+        st2.values.forall(_ == Dag.Succeeded),
+        s"window 2 expected all three jobs, got $st2")
+      s.read.parquet(mart).orderBy(col("run_seq"), col("o_orderpriority"))
+    }),
+
     // N-snapshot SCD2 fold: three scheduled snapshot merges (with a
     // lineage checkpoint mid-fold) must converge to the change-log
     // window construction the oracle states directly
@@ -910,7 +1046,7 @@ object SparkEntry {
     // deterministic crafted file
     "source_quarantine" -> ((s, d) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-      val dir = java.nio.file.Files.createTempDirectory("graft_quar").toString
+      val dir = graft.TempDirs.create("graft_quar")
       val lines = Seq(
         """{"id": 1, "name": "alpha", "qty": 10}""",
         """{"id": 2, "name": "beta", "qty": 20}""",
@@ -1567,8 +1703,7 @@ object SparkEntry {
       import graft.sources.VersionedGroup
       val corpus = Tables.documents(s, d)
       val (c1, c2) = (lit(200L), lit(350L))
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_vg_").toString + "/mh"
+      val root = graft.TempDirs.create("graft_vg_") + "/mh"
       def frames(df: DataFrame) = Dedup.minHashIndexFrames(df, "doc_id",
         "text", n = 3, numHashes = 32, bands = 16,
         shingleHash = functions.Text.portableHash60)
@@ -2202,8 +2337,7 @@ object SparkEntry {
     // (inserts + deletes + null-safe updates; unchanged keys silent)
     "versioned_change_feed" -> ((s, d) => {
       import graft.sources.Versioned
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_vcf_").toString + "/t"
+      val root = graft.TempDirs.create("graft_vcf_") + "/t"
       val c = Tables.customer(s, d)
       val v1 = c.filter(col("c_custkey") % 10 =!= 3)
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
@@ -2340,9 +2474,11 @@ object SparkEntry {
       Graph.assortativity(coPurchaseEdges(s, d), "pa", "pb")),
 
     // label-propagation communities (r9) on the same co-purchase
-    // graph: deterministic (self-vote + (count desc, label asc)
-    // tie-break) but iterative → rows-only; W4OpsSpec pins planted
-    // cliques and the reliable-checkpoint twin
+    // graph: integer vote counts + (count desc, label asc) argmax
+    // make every round a pure function of the edge set, so the
+    // iterative operator hash-grades end to end against a round-
+    // unrolled DuckDB replay (r10 — the pageRankFixedPoint
+    // discipline; W4OpsSpec still pins planted-clique semantics)
     "graph_communities" -> ((s, d) => {
       Graph.labelPropagation(coPurchaseEdges(s, d), "pa", "pb",
           iterations = 6)
@@ -2383,7 +2519,7 @@ object SparkEntry {
     // LATE UPDATES of already-loaded keys (%97 keys bumped +30d with
     // changed values) — stale versions must vanish, not duplicate
     "incr_model_delete_insert" -> ((s, d) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_incr_di").toString
+      val base = graft.TempDirs.create("graft_incr_di")
       val tgt = s"$base/t"
       val ev = eventCols(Tables.events(s, d))
       val cutoff = lit(CdcCutoff).cast("timestamp")
@@ -2468,7 +2604,7 @@ object SparkEntry {
     "mv_rewrite" -> ((s, d) => {
       import graft.plans.{MvCatalog, MvRewrite}
       import org.apache.spark.sql.execution.datasources.LogicalRelation
-      val base = java.nio.file.Files.createTempDirectory("graft_mvrw_").toString
+      val base = graft.TempDirs.create("graft_mvrw_")
       val factPath = s"$base/fact"; val statePath = s"$base/state"
       val keys = Seq("user_id", "event_type")
       Tables.events(s, d).select(col("user_id"), col("event_type"), col("value"))
@@ -2506,7 +2642,7 @@ object SparkEntry {
     // batch mv_incremental oracle (decimal partials make the fold
     // arithmetic exact)
     "stream_mv_versioned" -> ((s, d) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_stream_mv").toString
+      val base = graft.TempDirs.create("graft_stream_mv")
       val inDir = s"$base/in"; val root = s"$base/state"; val ckpt = s"$base/ckpt"
       val ev = eventCols(Tables.events(s, d))
         .select(col("user_id"), col("event_type"), col("value"), col("ts"))
@@ -2533,7 +2669,7 @@ object SparkEntry {
     // recursive CTE (α = 0.5 → every step is one exact scale + one
     // identically-ordered add)
     "stream_ewma" -> ((s, d) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_stream_ew").toString
+      val base = graft.TempDirs.create("graft_stream_ew")
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
       val ev = eventCols(Tables.events(s, d))
       val cutoff = lit(CdcCutoff).cast("timestamp")
@@ -2559,7 +2695,7 @@ object SparkEntry {
     // level/trend state carries across the cutoff-split microbatches;
     // sink must equal batch Recurrence.holtWinters bit-for-bit
     "stream_holt_winters" -> ((s, d) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_stream_hw").toString
+      val base = graft.TempDirs.create("graft_stream_hw")
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
       val ev = eventCols(Tables.events(s, d))
       val cutoff = lit(CdcCutoff).cast("timestamp")
@@ -2586,7 +2722,7 @@ object SparkEntry {
     // carry across the batch boundary and the sink must equal the
     // batch Recurrence.cusum bit-for-bit (shared oracle)
     "stream_cusum" -> ((s, d) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_stream_cu").toString
+      val base = graft.TempDirs.create("graft_stream_cu")
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
       val ev = eventCols(Tables.events(s, d))
       val cutoff = lit(CdcCutoff).cast("timestamp")
@@ -2614,7 +2750,7 @@ object SparkEntry {
     // the BATCH attribution oracle (state carries the latest touch
     // across the batch boundary)
     "stream_attribution" -> ((s, d) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_stream_at").toString
+      val base = graft.TempDirs.create("graft_stream_at")
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
       val ev = eventCols(Tables.events(s, d))
       val cutoff = lit(CdcCutoff).cast("timestamp")
@@ -2771,6 +2907,39 @@ object SparkEntry {
       s"""
          SELECT node, r AS rank_fp FROM r$iterations
          ORDER BY rank_fp DESC, node LIMIT 100"""
+  }
+
+  /** Unrolled synchronous label propagation mirroring
+    * [[graft.operators.Graph.labelPropagation]]: per round each node
+    * adopts the most frequent label among its neighbors plus its own
+    * current label (the self-vote), ties broken (count desc, label
+    * asc) — all-integer votes and a total-order tie-break, so a fixed
+    * round count replays exactly (the [[pageRankFixedSql]]
+    * discipline applied to community detection). Each round
+    * MATERIALIZED: l_i references l_{i-1} twice (edge lookup +
+    * self-vote) and plain CTEs inline exponentially.
+    */
+  private def labelPropagationSql(iterations: Int): String = {
+    val iters = (1 to iterations).map { i =>
+      s""", l$i AS MATERIALIZED (
+           SELECT node, label FROM (
+             SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                 ORDER BY c DESC, label) AS rn
+             FROM (
+               SELECT node, label, count(*) AS c FROM (
+                 SELECT dd.dst AS node, p.label
+                 FROM dd JOIN l${i - 1} p ON dd.src = p.node
+                 UNION ALL SELECT node, label FROM l${i - 1}) v
+               GROUP BY node, label) t) q
+           WHERE rn = 1)"""
+    }.mkString
+    graphEdgesCte +
+      """, l0 AS MATERIALIZED (
+           SELECT DISTINCT src AS node, src AS label FROM dd)""" +
+      iters +
+      s"""
+         SELECT node, label FROM l$iterations ORDER BY node"""
   }
 
   /** Unrolled synchronous k-core peeling: the surviving node set
@@ -3698,6 +3867,56 @@ object SparkEntry {
               OR (t_only AND NOT retire)
            ORDER BY o_orderkey""",
 
+      // Versioned MERGE: version 1 = the pre-merge snapshot (time
+      // travel must survive the merge commit), version 2 = the same
+      // clause chain as merge_into
+      "versioned_merge_into" ->
+        """WITH t AS (
+             SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+           ), s AS (
+             SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+               o_totalprice + 10.0 AS o_totalprice,
+               o_orderdate, o_orderpriority
+             FROM orders WHERE o_orderkey % 2 = 0
+           ), j AS (
+             SELECT t.o_orderkey AS tk, t.o_custkey AS tc,
+               t.o_orderstatus AS tst, t.o_totalprice AS tp,
+               t.o_orderdate AS td, t.o_orderpriority AS tpr,
+               s.o_orderkey AS sk, s.o_custkey AS sc,
+               s.o_orderstatus AS sst, s.o_totalprice AS sp,
+               s.o_orderdate AS sd, s.o_orderpriority AS spr
+             FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+           ), f AS (
+             SELECT *,
+               (tk IS NOT NULL AND sk IS NOT NULL) AS matched,
+               (tk IS NULL AND sk IS NOT NULL) AS s_only,
+               (tk IS NOT NULL AND sk IS NULL) AS t_only
+             FROM j
+           ), fired AS (
+             SELECT *,
+               (matched AND sp > 200000.0) AS upd,
+               (matched AND NOT coalesce(sp > 200000.0, FALSE)
+                 AND tst = 'F') AS del,
+               (s_only AND sp > 150000.0) AS ins,
+               (t_only AND tpr = '1-URGENT') AS retire
+             FROM f)
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority, CAST(1 AS BIGINT) AS version
+           FROM t
+           UNION ALL
+           SELECT
+             CASE WHEN ins THEN sk ELSE tk END AS o_orderkey,
+             CASE WHEN ins THEN sc ELSE tc END AS o_custkey,
+             CASE WHEN upd THEN 'U' WHEN ins THEN sst ELSE tst END AS o_orderstatus,
+             CASE WHEN upd THEN sp WHEN ins THEN sp ELSE tp END AS o_totalprice,
+             CASE WHEN ins THEN sd ELSE td END AS o_orderdate,
+             CASE WHEN ins THEN spr ELSE tpr END AS o_orderpriority,
+             CAST(2 AS BIGINT) AS version
+           FROM fired
+           WHERE (matched AND NOT del) OR (s_only AND ins)
+              OR (t_only AND NOT retire)
+           ORDER BY version, o_orderkey""",
+
       // r8 wave 5: frequent triples — the DEFINITIONAL unpruned
       // triple self-join with relative support; the implementation's
       // Apriori pruning must be invisible here
@@ -4269,6 +4488,36 @@ object SparkEntry {
            LEFT JOIN nation ON c_nationkey = n_nationkey
            LEFT JOIN region ON n_regionkey = r_regionkey
            ORDER BY customer_id""",
+
+      // two scheduler windows replayed directly: run 1 = the day-1
+      // watermark slice, run 2 = the catch-up slice (three folded
+      // daily ticks) plus the Sunday total row — per-run aggregates
+      // over the two cutoffs stated as plain SQL
+      "pipeline_schedule_replay" ->
+        """WITH r1 AS (
+             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+             FROM orders
+             WHERE o_orderdate <= TIMESTAMP '1995-06-30 00:00:00'
+             GROUP BY o_orderpriority
+           ), r2 AS (
+             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+             FROM orders
+             WHERE o_orderdate <= TIMESTAMP '1996-12-31 00:00:00'
+             GROUP BY o_orderpriority)
+           SELECT o_orderpriority, n, revenue, CAST(1 AS BIGINT) AS run_seq
+           FROM r1
+           UNION ALL
+           SELECT o_orderpriority, n, revenue, CAST(2 AS BIGINT) FROM r2
+           UNION ALL
+           SELECT '__TOTAL__', CAST(sum(n) AS BIGINT),
+             CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE),
+             CAST(2 AS BIGINT)
+           FROM r2
+           ORDER BY run_seq, o_orderpriority""",
 
       // the fold converges to the change-log window construction:
       // union the four states, keep rows whose attributes differ from
@@ -4979,6 +5228,18 @@ object SparkEntry {
              AND h.vf <= CAST(e.ts AS TIMESTAMP)
              AND (h.vt IS NULL OR CAST(e.ts AS TIMESTAMP) < h.vt)
            ORDER BY e.event_id""",
+
+      // stream-stream interval join: every (purchase, view-within-6h-
+      // before) pair on the same user, stated directly as the
+      // interval self-join the streaming state machine must equal
+      "stream_correlate" ->
+        """SELECT l.user_id, l.event_id AS purchase_id,
+             CAST(l.ts AS TIMESTAMP) AS purchase_ts,
+             r.event_id AS view_id, CAST(r.ts AS TIMESTAMP) AS view_ts
+           FROM events l JOIN events r ON l.user_id = r.user_id
+             AND r.ts >= l.ts - INTERVAL 6 HOUR AND r.ts <= l.ts
+           WHERE l.event_type = 'purchase' AND r.event_type = 'view'
+           ORDER BY purchase_id, view_id""",
 
       // streaming state ≡ batch operator over everything seen: the
       // same full-corpus ranking replay grades the stream's final view
@@ -6225,6 +6486,11 @@ object SparkEntry {
       // synchronous k-core peeling unrolled past its fixed point
       "graph_kcore" -> kCoreSql(16, 8),
 
+      // synchronous label propagation, 6 unrolled rounds: integer
+      // votes + total-order tie-break make the iterative operator
+      // hash-green (r10)
+      "graph_communities" -> labelPropagationSql(6),
+
       // degree assortativity: exact BIGINT sufficient statistics,
       // Pearson evaluated once in double with operands cast FIRST —
       // the identical IEEE expression the Spark side runs
@@ -6427,7 +6693,7 @@ object SparkEntry {
              FROM pts a JOIN pts b
                ON a.user_id = b.user_id AND a.us < b.us
            ), agg AS (
-             SELECT user_id, round(quantile_cont(slope, 0.5), 6) AS trend,
+             SELECT user_id, round(quantile_cont(slope, 0.5), 6) + 0.0 AS trend,
                CAST(count(*) AS BIGINT) AS n_pairs
              FROM s GROUP BY user_id
            ), np AS (

@@ -357,7 +357,18 @@ object Graph {
         i += 1
       }
     }
-    lastDeg.select(col("n").as("node"), col("core_deg"))
+    // convergence guard (r9 advice): if the round cap interrupted the
+    // peel, lastDeg can still hold sub-k nodes — never let those
+    // masquerade as core members. The filter is a no-op on converged
+    // runs (fixed point ⇒ all degrees ≥ k); on a capped run it makes
+    // the output a conservative superset of the true k-core's degree
+    // table, and the warning makes the truncation diagnosable.
+    if (!done) System.err.println(
+      s"[graft] kCore: round cap $maxIterations hit before the fixed " +
+        "point; returning the current peel filtered to core_deg >= " +
+        s"$k (a superset of the true $k-core)")
+    lastDeg.filter(col("core_deg") >= k)
+      .select(col("n").as("node"), col("core_deg"))
   }
 
   /** Degree assortativity (Newman '02): the Pearson correlation of

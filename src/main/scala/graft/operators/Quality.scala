@@ -606,9 +606,12 @@ object Quality {
     */
   def keySkew(df: DataFrame, keyCol: String, topK: Int = 50): DataFrame = {
     require(topK >= 1, "topK >= 1")
-    val counts = df.groupBy(col(keyCol).as("key"))
-      .agg(count(lit(1)).as("n"))
-    val total = df.count()
+    val counts = graft.Par.persistTracked(
+      df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n")))
+    // total from the counts frame itself (sum of n) — the grouped
+    // count stays the only table-sized scan (r9 advice: df.count()
+    // was a second full pass)
+    val total = counts.agg(sum(col("n"))).head().getLong(0)
     val top = counts.orderBy(col("n").desc, col("key")).limit(topK)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n").desc, col("key"))

@@ -26,7 +26,10 @@ import org.apache.spark.sql.functions._
   */
 object Recurrence {
 
-  /** Holt's double exponential smoothing (level + trend), α = β = ½:
+  /** Holt's DOUBLE exponential smoothing — level + trend ONLY, no
+    * seasonal term (the full triple/Holt-Winters form with a
+    * seasonal component is [[holtWintersSeasonal]]; this method
+    * keeps its historical name for API stability). α = β = ½:
     *   l_t = ½·x_t + ½·(l_{t−1} + b_{t−1})
     *   b_t = ½·(l_t − l_{t−1}) + ½·b_{t−1}
     * seeded l_1 = x_1, b_1 = 0. Emits every input row with its
@@ -61,6 +64,76 @@ object Recurrence {
         }
       }
       .toDF(keyCol, idCol, tsCol, valueCol, "level", "trend")
+  }
+
+  /** TRIPLE (seasonal additive) exponential smoothing — the full
+    * Holt-Winters form (Winters '60), α = β = γ = ½, over the per-key
+    * HOURLY VOLUME grid (the regular series [[graft.operators.Quality
+    * .seasonalAnomaly]] monitors — raw events are irregular, so the
+    * seasonal index needs a grid):
+    *   l_t = ½·(x_t − s_{t−p}) + ½·(l_{t−1} + b_{t−1})
+    *   b_t = ½·(l_t − l_{t−1}) + ½·b_{t−1}
+    *   s_t = ½·(x_t − l_t) + ½·s_{t−p}
+    * where the seasonal slot is (epoch-hours mod `period`) — with
+    * period 24, hour-of-day UTC — and s_{t−p} is the slot's previous
+    * smoothed value. Seeding: first row of a key takes l = x, b = 0,
+    * all slots 0 (so its s-update lands 0 by the same formula —
+    * seeding and steady state cannot diverge); a slot never seen
+    * before contributes s_{t−p} = 0, which handles gap hours and
+    * short histories without a one-full-season bootstrap pass.
+    *
+    * Bucket volumes are exact integer counts cast to double, every
+    * coefficient is dyadic, and all step arithmetic is the identical
+    * IEEE expression both engines evaluate — so the recurrence
+    * replays BIT-EXACT in a recursive CTE carrying the `period`
+    * seasonal slots as columns (the [[holtWinters]] discipline, plus
+    * a ring of seasonal state). Plan shape: one grid aggregation
+    * (key+hour keyed), one key exchange, a per-partition sorted fold
+    * with O(period) memory per key — no windows, no driver state.
+    *
+    * Emits one row per (key, hour bucket) with the smoothed level,
+    * trend, and the slot's updated seasonal component; the
+    * one-step-ahead forecast for slot σ is level + trend + s[σ],
+    * left to the caller.
+    */
+  def holtWintersSeasonal(events: DataFrame, keyCol: String, tsCol: String,
+                          period: Int = 24): DataFrame = {
+    require(period >= 2 && period <= 1024, "period in [2, 1024]")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupBy(col(keyCol).cast("long").as("k"),
+        date_trunc("hour", col(tsCol).cast("timestamp")).as("bucket"))
+      .agg(count(lit(1)).cast("double").as("x"))
+      .withColumn("slot",
+        (floor(col("bucket").cast("long") / 3600L) % period).cast("int"))
+      .select(col("k"), col("bucket"), col("x"), col("slot"))
+      .repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("bucket"))
+      .as[(Long, java.sql.Timestamp, Double, Int)]
+      .mapPartitions { it =>
+        var hasKey = false
+        var curKey = 0L
+        var lvl = 0.0
+        var tr = 0.0
+        val season = new Array[Double](period)
+        it.map { case (k, bucket, x, slot) =>
+          if (!hasKey || k != curKey) {
+            hasKey = true; curKey = k
+            lvl = x; tr = 0.0
+            java.util.Arrays.fill(season, 0.0)
+          } else {
+            val sPrev = season(slot)
+            val nl = 0.5 * (x - sPrev) + 0.5 * (lvl + tr)
+            tr = 0.5 * (nl - lvl) + 0.5 * tr
+            lvl = nl
+          }
+          val sNew = 0.5 * (x - lvl) + 0.5 * season(slot)
+          season(slot) = sNew
+          (k, bucket, slot.toLong, x, lvl, tr, sNew)
+        }
+      }
+      .toDF(keyCol, "bucket", "slot", "x", "level", "trend", "seasonal")
   }
 
   /** EWMA control band (α = ½ exponentially-weighted mean AND

@@ -1319,7 +1319,7 @@ object Analytics {
           ((col("__u2") - col("__u1")).cast("double") / lit(1000000.0)))
           .as("__slope"))
     val trend = slopes.groupBy(col(keyCol))
-      .agg(round(expr("percentile(__slope, 0.5)"), 6).as("trend"),
+      .agg((round(expr("percentile(__slope, 0.5)"), 6) + lit(0.0)).as("trend"),
         count(lit(1)).as("n_pairs"))
     val np = tracked.groupBy(col(keyCol)).agg(count(lit(1)).as("n_points"))
     trend.join(np, Seq(keyCol))

@@ -65,8 +65,26 @@ object DayReplay {
   private val replayed =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Bench honesty switch (r9 verdict item 2): under Bench the memo
+    * made warmup pay the two-day replay once and both timed passes
+    * measure a bare Versioned read (0.22 s standing in for ~8 s).
+    * When this property is set (Bench sets it; Verify does not) every
+    * [[run]] re-executes the full replay so the timed number IS the
+    * pipeline's cost; the previous warehouse dir is reclaimed eagerly
+    * so repeated passes don't accumulate disk. The DQ-audit twin
+    * still reads the memoized warehouse — in the real pipeline it is
+    * a downstream read of an already-committed audit table.
+    */
+  val FreshReplayProp = "graft.bench.freshReplay"
+
   def run(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = replayed.computeIfAbsent(sfDir, d => replay(spark, d))
+    val base =
+      if (sys.props.get(FreshReplayProp).contains("true")) {
+        val b = replay(spark, sfDir)
+        val prev = replayed.put(sfDir, b)
+        if (prev != null && prev != b) graft.TempDirs.delete(prev)
+        b
+      } else replayed.computeIfAbsent(sfDir, d => replay(spark, d))
     Versioned.read(spark, s"$base/warehouse/mart_customer_360")
       .orderBy(col("customer_id"), col(Scd2.ValidFrom))
   }
@@ -81,7 +99,7 @@ object DayReplay {
   }
 
   private def replay(spark: SparkSession, sfDir: String): String = {
-    val base = java.nio.file.Files.createTempDirectory("graft_replay_").toString
+    val base = graft.TempDirs.create("graft_replay_")
     val stagingCust = s"$base/staging/customers"
     val stagingEv = s"$base/staging/events"
     val whCust = s"$base/warehouse/stg_customers_snap"

@@ -779,20 +779,6 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
   }
 
-  /** Streaming two-sided CUSUM (r9) — the continuous twin of
-    * [[graft.operators.Recurrence.cusum]]: the drift monitor runs ON
-    * the ingest stream, so a slow mean shift pages in the microbatch
-    * it crosses the threshold, not in tomorrow's batch screen. State
-    * per user is two doubles (the accumulators), independent of
-    * event volume — the same O(users) contract as [[ewma]] /
-    * [[attribution]].
-    *
-    * Arithmetic is the batch fold verbatim (constants kUp/kDn folded
-    * driver-side, one subtraction + max(0,·) per side per step), so
-    * with the cross-batch per-user event-time ordering contract the
-    * sink equals the batch operator bit-for-bit — the graded twin
-    * shares events_cusum's recursive-CTE oracle.
-    */
   /** Streaming Holt double-exponential smoothing (r9) — the
     * continuous twin of [[graft.operators.Recurrence.holtWinters]]:
     * level+trend forecast state maintained per user ON the stream,
@@ -830,6 +816,20 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
   }
 
+  /** Streaming two-sided CUSUM (r9) — the continuous twin of
+    * [[graft.operators.Recurrence.cusum]]: the drift monitor runs ON
+    * the ingest stream, so a slow mean shift pages in the microbatch
+    * it crosses the threshold, not in tomorrow's batch screen. State
+    * per user is two doubles (the accumulators), independent of
+    * event volume — the same O(users) contract as [[ewma]] /
+    * [[attribution]].
+    *
+    * Arithmetic is the batch fold verbatim (constants kUp/kDn folded
+    * driver-side, one subtraction + max(0,·) per side per step), so
+    * with the cross-batch per-user event-time ordering contract the
+    * sink equals the batch operator bit-for-bit — the graded twin
+    * shares events_cusum's recursive-CTE oracle.
+    */
   def cusum(events: DataFrame, target: Double, slack: Double,
             h: Double): Dataset[CusumOut] = {
     val spark = events.sparkSession

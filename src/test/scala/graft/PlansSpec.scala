@@ -134,10 +134,7 @@ class PlansSpec extends SparkSuite {
       "corpus_bpe",
       // L-BFGS coefficients reproduce only to float-sum order;
       // QualityModelSpec pins teacher agreement + separation
-      "doc_quality_model",
-      // iterative label propagation is not SQL-expressible;
-      // W4OpsSpec pins planted-clique semantics
-      "graph_communities")
+      "doc_quality_model")
     assert((q -- o) === documentedRowsOnly,
       s"rows-only drift: ${((q -- o) -- documentedRowsOnly).mkString(", ")} lost oracles; " +
         s"${(documentedRowsOnly -- (q -- o)).mkString(", ")} unexpectedly gained one (update the set)")

@@ -28,6 +28,10 @@ def values_equal(a, b):
     if pd.isna(a) and pd.isna(b): return True
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b): return True
+        # driver compares HASHES of the serialized values, so -0.0 vs
+        # 0.0 must fail here too (they are == but hash differently)
+        if a == 0.0 and b == 0.0:
+            return math.copysign(1.0, a) == math.copysign(1.0, b)
         return a == b
     return str(a) == str(b)
 
