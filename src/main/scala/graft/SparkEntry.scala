@@ -222,7 +222,7 @@ object SparkEntry {
     // clustered by PRICE, so orderkey min/max can't prune — the
     // bloom sketches do; oracle = the plain equality filter
     "bloom_point_read" -> ((s, d) => {
-      val dir = s"/tmp/graft_bloompt_${java.util.UUID.randomUUID()}"
+      val dir = graft.TempDirs.create("graft_bloompt_")
       val o = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       graft.sources.Sink.clusteredWrite(o, dir, Seq("o_totalprice"), numFiles = 16)
@@ -698,7 +698,7 @@ object SparkEntry {
     // read, so the oracle is ordinary SQL over the same rows. Fresh
     // temp dir per invocation (idempotent re-runs)
     "clustered_prune_read" -> ((s, d) => {
-      val dir = s"/tmp/graft_prune_${java.util.UUID.randomUUID()}"
+      val dir = graft.TempDirs.create("graft_prune_")
       val o = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
       graft.sources.Sink.clusteredWrite(o, dir, Seq("o_totalprice"), numFiles = 16)
@@ -716,7 +716,7 @@ object SparkEntry {
     // per-file stats; oracle = the plain filtered scan (layout is
     // invisible in results)
     "zorder_prune_read" -> ((s, d) => {
-      val dir = s"/tmp/graft_zorder_${java.util.UUID.randomUUID()}"
+      val dir = graft.TempDirs.create("graft_zorder_")
       val l = Tables.lineitem(s, d)
         .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
       graft.sources.Sink.zorderWrite(l, dir, Seq("l_partkey", "l_suppkey"),
@@ -736,7 +736,7 @@ object SparkEntry {
     // graded output is the post-maintenance table content — the row
     // set a daily maintenance run must never change
     "sink_compact" -> ((s, d) => {
-      val dir = s"/tmp/graft_compact_${java.util.UUID.randomUUID()}"
+      val dir = graft.TempDirs.create("graft_compact_")
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_orderdate"), col("o_totalprice"))
@@ -752,7 +752,7 @@ object SparkEntry {
     // pruning levels hang off) and grades the table content — the
     // layout must be invisible in the row set
     "sink_clustered_write" -> ((s, d) => {
-      val dir = s"/tmp/graft_clustered_${java.util.UUID.randomUUID()}"
+      val dir = graft.TempDirs.create("graft_clustered_")
       val o = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_orderdate"), col("o_totalprice"))
@@ -785,7 +785,7 @@ object SparkEntry {
     // keyed parquet upsert through the checked-rename swap: updates
     // replace their keys (latest tracking wins), new keys append
     "sink_upsert" -> ((s, d) => {
-      val dir = s"/tmp/graft_upsert_${java.util.UUID.randomUUID()}"
+      val dir = graft.TempDirs.create("graft_upsert_")
       val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
         col("o_totalprice"), col("o_orderdate"))
       base.write.parquet(dir)
@@ -798,11 +798,47 @@ object SparkEntry {
       s.read.parquet(dir).orderBy(col("o_orderkey"))
     }),
 
+    // JDBC APPEND into a live warehouse (r10): bootstrap load creates
+    // the table, a second append ACCUMULATES (no dedup, no replace) —
+    // graded on the read-back through the same JDBC source, so type
+    // round-tripping (BIGINT/DOUBLE/VARCHAR/TIMESTAMP) is in scope
+    "sink_jdbc_append" -> ((s, d) => {
+      val db = "ja" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val url = s"jdbc:derby:memory:$db;create=true"
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      graft.sources.Sink.jdbcAppend(base, url, "wh_orders")
+      graft.sources.Sink.jdbcAppend(
+        base.filter(col("o_orderkey") % 3 === 0), url, "wh_orders")
+      s.read.format("jdbc").option("url", url)
+        .option("dbtable", "wh_orders").load()
+        .orderBy(col("o_orderkey"), col("o_custkey"))
+    }),
+
+    // JDBC truncate+insert full refresh (r10): a full load then an
+    // overwrite with the post-cutoff slice — the read-back must be
+    // the second slice ONLY (base_loader.py full-load semantics)
+    "sink_jdbc_overwrite" -> ((s, d) => {
+      val db = "jo" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val url = s"jdbc:derby:memory:$db;create=true"
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      graft.sources.Sink.jdbcOverwrite(base, url, "wh_orders")
+      graft.sources.Sink.jdbcOverwrite(
+        base.filter(col("o_orderdate") > lit("1998-01-01 00:00:00").cast("timestamp")),
+        url, "wh_orders")
+      s.read.format("jdbc").option("url", url)
+        .option("dbtable", "wh_orders").load()
+        .orderBy(col("o_orderkey"))
+    }),
+
     // dynamic partition overwrite: the delta touches ONE partition
     // (1-URGENT, halved to even keys, doubled price); every other
     // partition must come through byte-identical
     "sink_dynamic_overwrite" -> ((s, d) => {
-      val dir = s"/tmp/graft_dynow_${java.util.UUID.randomUUID()}"
+      val dir = graft.TempDirs.create("graft_dynow_")
       val base = Tables.orders(s, d).select(col("o_orderkey"),
         col("o_totalprice"), col("o_orderpriority"))
       graft.sources.Sink.partitioned(base, dir, Seq("o_orderpriority"))
@@ -818,7 +854,7 @@ object SparkEntry {
     // truncate+insert full load, run TWICE: converging on re-run is
     // the property that makes it safe to schedule
     "cdc_full_snapshot" -> ((s, d) => {
-      val dir = s"/tmp/graft_fullload_${java.util.UUID.randomUUID()}"
+      val dir = graft.TempDirs.create("graft_fullload_")
       Cdc.fullLoad(Models.stgCustomer(s, d), dir)
       Cdc.fullLoad(Models.stgCustomer(s, d), dir)
       s.read.parquet(dir).orderBy(col("customer_id"))
@@ -828,7 +864,7 @@ object SparkEntry {
     // load, watermark append, and a third pass that must append
     // NOTHING (the target's own max(ts) is the progress record)
     "incr_model_materialize" -> ((s, d) => {
-      val dir = s"/tmp/graft_incrmodel_${java.util.UUID.randomUUID()}/t"
+      val dir = graft.TempDirs.create("graft_incrmodel_") + "/t"
       val ev = eventCols(Tables.events(s, d))
       val cutoff = lit(CdcCutoff).cast("timestamp")
       val n1 = IncrementalModel.run(s, ev.filter(col("ts") <= cutoff), dir, "ts")
@@ -843,7 +879,7 @@ object SparkEntry {
     // both restart windows exercised: the re-stage returns the
     // committed manifest without re-extracting, the re-load no-ops
     "staged_load" -> ((s, d) => {
-      val root = s"/tmp/graft_staged_${java.util.UUID.randomUUID()}"
+      val root = graft.TempDirs.create("graft_staged_")
       val staging = s"$root/staging"; val target = s"$root/target"
       val src = Models.stgCustomer(s, d)
       val m1 = graft.sources.Staging.stage(src, staging, "batch_001",
@@ -866,7 +902,7 @@ object SparkEntry {
     // versioned table: commit v1, upsert to v2, then time-travel —
     // BOTH versions graded from one immutable table
     "versioned_time_travel" -> ((s, d) => {
-      val dir = s"/tmp/graft_vtt_${java.util.UUID.randomUUID()}"
+      val dir = graft.TempDirs.create("graft_vtt_")
       val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
       val t1 = lit("2026-02-01 00:00:00").cast("timestamp")
       val base = Models.stgCustomer(s, d).select(col("customer_id"),
@@ -923,7 +959,7 @@ object SparkEntry {
     // orchestrated mart build: Dag.run drives staging → mart through
     // real parquet hops; the graded output is the mart the graph built
     "dag_run_mart" -> ((s, d) => {
-      val root = s"/tmp/graft_dag_${java.util.UUID.randomUUID()}"
+      val root = graft.TempDirs.create("graft_dag_")
       val stg = s"$root/stg_customer"; val mart = s"$root/dim_customer"
       val nodes = Seq(
         Dag.Node("stg_customer", Nil, () =>
@@ -2493,6 +2529,15 @@ object SparkEntry {
       operators.Recurrence.holtWinters(eventCols(Tables.events(s, d)),
           "user_id", "event_id", "ts", "value")
         .orderBy(col("user_id"), col("event_id"))),
+    // TRIPLE (seasonal additive) exponential smoothing (r10): the
+    // full Holt-Winters recurrence over per-type hourly volumes —
+    // level+trend+24 seasonal slots, all-dyadic coefficients, graded
+    // bit-exact against a recursive CTE carrying the seasonal ring
+    // as 24 columns
+    "events_holt_winters_seasonal" -> ((s, d) =>
+      operators.Recurrence.holtWintersSeasonal(
+          eventCols(Tables.events(s, d)), "event_type", "ts", period = 24)
+        .orderBy(col("event_type"), col("bucket"))),
     // two-sided CUSUM drift detector per user (r9): max(0, s + (x−k))
     // recurrences with driver-folded constants, same bit-exact
     // recursive-CTE replay
@@ -2717,6 +2762,40 @@ object SparkEntry {
           col("level"), col("trend"))
         .orderBy(col("user_id"), col("event_id"))
     }),
+    // streaming SEASONAL Holt-Winters graded batch-side (r10, §2.6):
+    // grid rows stream in two microbatches split at the cutoff (whole
+    // buckets only — the grid is built once from all events); level,
+    // trend AND the 24-slot seasonal ring must carry across the batch
+    // boundary, sink ≡ the batch operator (shared recursive-CTE oracle)
+    "stream_holt_winters_seasonal" -> ((s, d) => {
+      val base = graft.TempDirs.create("graft_stream_hs")
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = eventCols(Tables.events(s, d))
+      val grid = ev.groupBy(col("event_type").as("key"),
+          date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).cast("double").as("x"))
+        .withColumn("slot",
+          (floor(col("bucket").cast("long") / 3600L) % 24).cast("int"))
+        .select(col("key"), col("bucket"), col("x"), col("slot"))
+      val cutoff = lit(CdcCutoff).cast("timestamp")
+      grid.filter(col("bucket") <= cutoff).write.parquet(inDir)
+      withShufflePartitions(s, 4) {
+        val stream = s.readStream.schema(grid.schema).parquet(inDir)
+        val q = graft.streaming.EventStream.holtWintersSeasonal(stream, 24)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .format("parquet").option("path", outDir).start()
+        try {
+          q.processAllAvailable()
+          grid.filter(col("bucket") > cutoff).write.mode("append").parquet(inDir)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.read.parquet(outDir)
+        .select(col("event_type"), col("bucket"), col("slot"), col("x"),
+          col("level"), col("trend"), col("seasonal"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
     // streaming CUSUM graded batch-side (r9-cont, §2.6): two
     // microbatches split at the CDC cutoff; the accumulators must
     // carry across the batch boundary and the sink must equal the
@@ -2907,6 +2986,53 @@ object SparkEntry {
       s"""
          SELECT node, r AS rank_fp FROM r$iterations
          ORDER BY rank_fp DESC, node LIMIT 100"""
+  }
+
+  /** Recursive-CTE replay of [[graft.operators.Recurrence
+    * .holtWintersSeasonal]]: the seasonal ring travels through the
+    * recursion as `period` columns (s0..s{p-1}), each step updating
+    * exactly the current slot's column with the same dyadic IEEE
+    * expression the Scala fold evaluates — bit-exact, no rounding.
+    * The level expression is textually expanded wherever the fold
+    * reads the new level (trend + the slot update): identical
+    * expression trees give identical doubles.
+    */
+  private def holtWintersSeasonalSql(period: Int): String = {
+    val seed = (0 until period)
+      .map(j => s"CAST(0.0 AS DOUBLE) AS s$j").mkString(", ")
+    val sPrev = "CASE e.slot " +
+      (0 until period).map(j => s"WHEN $j THEN r.s$j").mkString(" ") + " END"
+    val lvl = s"(0.5 * (e.x - ($sPrev)) + 0.5 * (r.level + r.trend))"
+    val sUpd = (0 until period).map { j =>
+      s"CASE WHEN e.slot = $j THEN 0.5 * (e.x - $lvl) + 0.5 * r.s$j " +
+        s"ELSE r.s$j END AS s$j"
+    }.mkString(",\n             ")
+    val sNew = "CASE slot " +
+      (0 until period).map(j => s"WHEN $j THEN s$j").mkString(" ") + " END"
+    s"""WITH RECURSIVE g AS (
+          SELECT event_type,
+            date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+            CAST(count(*) AS DOUBLE) AS x
+          FROM events GROUP BY event_type,
+            date_trunc('hour', CAST(ts AS TIMESTAMP))
+        ), e AS (
+          SELECT event_type, bucket,
+            CAST((epoch(bucket)::BIGINT // 3600) % $period AS INT) AS slot, x,
+            row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+          FROM g
+        ), r AS (
+          SELECT event_type, bucket, slot, x, rn,
+            x AS level, CAST(0.0 AS DOUBLE) AS trend, $seed
+          FROM e WHERE rn = 1
+          UNION ALL
+          SELECT e.event_type, e.bucket, e.slot, e.x, e.rn,
+            $lvl AS level,
+            0.5 * ($lvl - r.level) + 0.5 * r.trend AS trend,
+            $sUpd
+          FROM e JOIN r ON e.event_type = r.event_type AND e.rn = r.rn + 1)
+        SELECT event_type, bucket, CAST(slot AS BIGINT) AS slot, x,
+          level, trend, $sNew AS seasonal
+        FROM r ORDER BY event_type, bucket"""
   }
 
   /** Unrolled synchronous label propagation mirroring
@@ -4420,6 +4546,25 @@ object SparkEntry {
            UNION ALL
            SELECT o_orderkey + 100000000, o_custkey, o_totalprice, o_orderdate
            FROM base WHERE o_orderkey % 7 = 0
+           ORDER BY o_orderkey""",
+
+      // append accumulates: the whole table plus the %3 slice again
+      "sink_jdbc_append" ->
+        """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+             o_orderpriority
+           FROM orders
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+             o_orderpriority
+           FROM orders WHERE o_orderkey % 3 = 0
+           ORDER BY o_orderkey, o_custkey""",
+
+      // truncate+insert: only the second (post-cutoff) load survives
+      "sink_jdbc_overwrite" ->
+        """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+             o_orderpriority
+           FROM orders
+           WHERE o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
            ORDER BY o_orderkey""",
 
       "sink_dynamic_overwrite" ->
@@ -6535,6 +6680,12 @@ object SparkEntry {
              FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
            SELECT user_id, event_id, ts, value, level, trend FROM r
            ORDER BY user_id, event_id""",
+
+      // full Holt-Winters (level+trend+seasonal) over per-type hourly
+      // volumes: the seasonal ring rides the recursion as 24 columns;
+      // the streaming twin must equal the batch fold bit-for-bit
+      "events_holt_winters_seasonal" -> holtWintersSeasonalSql(24),
+      "stream_holt_winters_seasonal" -> holtWintersSeasonalSql(24),
 
       // the delete+insert replay: day-1 slice, watermark delta off
       // its max(ts), keys in the delta replaced wholesale

@@ -102,7 +102,7 @@ object Recurrence {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .groupBy(col(keyCol).cast("long").as("k"),
+      .groupBy(col(keyCol).cast("string").as("k"),
         date_trunc("hour", col(tsCol).cast("timestamp")).as("bucket"))
       .agg(count(lit(1)).cast("double").as("x"))
       .withColumn("slot",
@@ -110,10 +110,10 @@ object Recurrence {
       .select(col("k"), col("bucket"), col("x"), col("slot"))
       .repartition(col("k"))
       .sortWithinPartitions(col("k"), col("bucket"))
-      .as[(Long, java.sql.Timestamp, Double, Int)]
+      .as[(String, java.sql.Timestamp, Double, Int)]
       .mapPartitions { it =>
         var hasKey = false
-        var curKey = 0L
+        var curKey: String = null
         var lvl = 0.0
         var tr = 0.0
         val season = new Array[Double](period)

