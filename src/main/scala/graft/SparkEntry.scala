@@ -41,6 +41,23 @@ object SparkEntry {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Snapshot a Derby in-memory warehouse table to a tracked temp
+    * parquet dir and DROP the database before returning the graded
+    * read-back (r10 verdict: per-invocation `jdbc:derby:memory` DBs
+    * were never dropped, pinning a full orders-table copy in JVM heap
+    * per bench/verify pass — the prime suspect for the broad ~8%
+    * no-code-change bench drift). The snapshot decouples the lazy
+    * result frame from the database so the drop can happen eagerly.
+    */
+  private def derbySnapshotAndDrop(s: SparkSession, url: String, db: String,
+      table: String, prefix: String): DataFrame = {
+    val snap = graft.TempDirs.create(prefix) + "/snap"
+    s.read.format("jdbc").option("url", url).option("dbtable", table).load()
+      .write.parquet(snap)
+    graft.sources.Sink.dropDerbyInMemory(db)
+    s.read.parquet(snap)
+  }
+
   /** pk-sampled co-purchase edge list shared by the graph_* queries:
     * parts that appear on the same order, ¼ of parts pushed to the
     * scan to bound the (dense) graph's wedge count — the same slice
@@ -454,7 +471,7 @@ object SparkEntry {
         val q2 = start(s"$base/ckpt2")
         try q2.processAllAvailable() finally q2.stop()
       }
-      s.read.format("jdbc").option("url", url).option("dbtable", table).load()
+      derbySnapshotAndDrop(s, url, dbName, table, "graft_jx_")
         .select(col("user_id"), col("event_id"), col("ts"),
           col("event_type"), col("value"))
         .orderBy(col("user_id"))
@@ -692,6 +709,67 @@ object SparkEntry {
         .orderBy(col("lang"), col("rank"))
     }),
 
+    // streaming ingest-time NEAR-DUP gate (r11): the REAL
+    // nearDupGate stream run over two id-split document microbatches
+    // with the md5-portable shingle hash, graded on the final
+    // VersionedGroup corpus table. The two-stage semantics are NOT
+    // the batch pairs-losers run: a day-2 doc whose only near-dup
+    // was itself gated out on day 1 SURVIVES (its loser never
+    // entered the index) — the oracle encodes exactly that, deriving
+    // day-1 losers from pairs wholly inside day 1, then day-2 losers
+    // from pairs whose earlier side survived day 1 or is intra-day-2
+    "stream_neardup_gate" -> ((s, d) => {
+      val base = graft.TempDirs.create("graft_stream_ng")
+      val inDir = s"$base/in"; val root = s"$base/store"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      docs.filter(col("doc_id") < 250).write.parquet(inDir)
+      withShufflePartitions(s, 4) {
+        val stream = s.readStream.schema(docs.schema).parquet(inDir)
+        val q = graft.streaming.EventStream.nearDupGate(stream, root,
+          s"$base/ckpt", "doc_id", "text", n = 3, numHashes = 32,
+          bands = 16, threshold = 0.5,
+          shingleHash = functions.Text.portableHash60)
+        try {
+          q.processAllAvailable() // day 1: bootstrap commit
+          docs.filter(col("doc_id") >= 250).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // day 2: checked against the index
+        } finally q.stop()
+      }
+      graft.sources.VersionedGroup.read(s, root, "docs")
+        .orderBy(col("doc_id"))
+    }),
+
+    // streaming SEGMENT-dedup gate (r11): the REAL segmentDedupGate
+    // stream over the same two id-split microbatches plus a full
+    // redelivery of early docs (deterministically a no-op: surviving
+    // ids anti-join out on the corpus frame, dropped docs' segments
+    // are all in the index). Because batches split on ascending
+    // doc_id and the batch operator's keep-first rule orders by
+    // (doc_id, seg_no), the gate's final corpus EQUALS the
+    // full-corpus batch segmentDedup restricted to its survivors —
+    // the oracle is the dedup_segments oracle with the
+    // dropped-boilerplate docs filtered out
+    "stream_segdedup_gate" -> ((s, d) => {
+      val base = graft.TempDirs.create("graft_stream_sg")
+      val inDir = s"$base/in"; val root = s"$base/store"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      docs.filter(col("doc_id") < 250).write.parquet(inDir)
+      withShufflePartitions(s, 4) {
+        val stream = s.readStream.schema(docs.schema).parquet(inDir)
+        val q = graft.streaming.EventStream.segmentDedupGate(stream, root,
+          s"$base/ckpt", "doc_id", "text", window = 20)
+        try {
+          q.processAllAvailable() // day 1: bootstrap commit
+          docs.filter(col("doc_id") >= 250).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // day 2: deduped against the index
+          docs.filter(col("doc_id") < 50).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // redelivery: idempotent no-op
+        } finally q.stop()
+      }
+      graft.sources.VersionedGroup.read(s, root, "docs")
+        .orderBy(col("doc_id"))
+    }),
+
     // clustered write → per-file stats manifest → driver-side
     // file-pruned read (r8-cont): the graded query drives the whole
     // data-skipping path end to end — prunedRead ≡ the plain filtered
@@ -736,7 +814,10 @@ object SparkEntry {
     // graded output is the post-maintenance table content — the row
     // set a daily maintenance run must never change
     "sink_compact" -> ((s, d) => {
-      val dir = graft.TempDirs.create("graft_compact_")
+      // subpath of the pre-created temp dir: the bootstrap write below
+      // uses default ErrorIfExists mode, which must target a
+      // not-yet-existing path (TempDirs.create pre-creates its dir)
+      val dir = graft.TempDirs.create("graft_compact_") + "/t"
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_orderdate"), col("o_totalprice"))
@@ -785,7 +866,9 @@ object SparkEntry {
     // keyed parquet upsert through the checked-rename swap: updates
     // replace their keys (latest tracking wins), new keys append
     "sink_upsert" -> ((s, d) => {
-      val dir = graft.TempDirs.create("graft_upsert_")
+      // subpath for the same ErrorIfExists-bootstrap reason as
+      // sink_compact above
+      val dir = graft.TempDirs.create("graft_upsert_") + "/t"
       val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
         col("o_totalprice"), col("o_orderdate"))
       base.write.parquet(dir)
@@ -811,8 +894,7 @@ object SparkEntry {
       graft.sources.Sink.jdbcAppend(base, url, "wh_orders")
       graft.sources.Sink.jdbcAppend(
         base.filter(col("o_orderkey") % 3 === 0), url, "wh_orders")
-      s.read.format("jdbc").option("url", url)
-        .option("dbtable", "wh_orders").load()
+      derbySnapshotAndDrop(s, url, db, "wh_orders", "graft_ja_")
         .orderBy(col("o_orderkey"), col("o_custkey"))
     }),
 
@@ -829,8 +911,34 @@ object SparkEntry {
       graft.sources.Sink.jdbcOverwrite(
         base.filter(col("o_orderdate") > lit("1998-01-01 00:00:00").cast("timestamp")),
         url, "wh_orders")
-      s.read.format("jdbc").option("url", url)
-        .option("dbtable", "wh_orders").load()
+      derbySnapshotAndDrop(s, url, db, "wh_orders", "graft_jo_")
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // JDBC staged UPSERT into a live warehouse (r11): the reference's
+    // incremental-load protocol run end-to-end against embedded Derby
+    // — bootstrap creates the table from the batch, the delta stages
+    // into a temp table and merges SET-BASED inside the warehouse
+    // (keyed delete + insert, one transaction). Graded on the
+    // read-back: updated keys carry the delta's values (latest
+    // tracking wins), new keys append, and no key appears twice —
+    // the same post-maintenance content sink_upsert grades on the
+    // parquet path
+    "sink_jdbc_upsert" -> ((s, d) => {
+      val db = "ju" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val url = s"jdbc:derby:memory:$db;create=true"
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      graft.sources.Sink.jdbcUpsert(base, url, "wh_orders",
+        Seq("o_orderkey"), "o_orderdate")
+      val delta = base.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        .withColumn("o_orderdate", lit("1999-12-31 00:00:00").cast("timestamp"))
+        .unionByName(base.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+      graft.sources.Sink.jdbcUpsert(delta, url, "wh_orders",
+        Seq("o_orderkey"), "o_orderdate")
+      derbySnapshotAndDrop(s, url, db, "wh_orders", "graft_ju_")
         .orderBy(col("o_orderkey"))
     }),
 
@@ -1396,6 +1504,53 @@ object SparkEntry {
           "dim_order" -> Models.dimOrder(s, d),
           "fact_lineitem" -> Models.factLineitem(s, d)))
         .orderBy(col("node_name"), col("ordinal"))
+    }),
+
+    // multi-environment namespace routing graded end-to-end (r11;
+    // the reference's generate_schema_name + cleanup_test_schemas
+    // macros): the SAME mart model deploys through three env
+    // configs — prod lands in the fixed analytics schema, a CI/MR
+    // test run in its per-run namespaces, dev in the per-developer
+    // namespace — then the MR run's schemas are DROPPED and the
+    // graded read-back walks the surviving warehouse through the
+    // resolver. Routing errors are visible in row content: prod
+    // carries the full mart, dev only its slice, the dropped test
+    // namespaces contribute nothing
+    "namespace_routing" -> ((s, d) => {
+      import graft.sources.Namespace
+      val root = graft.TempDirs.create("graft_ns_")
+      val mart = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+      def deploy(cfg: Namespace.Config, custom: Option[String],
+                 df: DataFrame): String = {
+        val schema = Namespace.schemaName(cfg, custom)
+        Namespace.createSchemaIfNotExists(s, root, schema)
+        df.write.mode("overwrite")
+          .parquet(Namespace.tablePath(cfg, root, "mart_orders", custom))
+        schema
+      }
+      val prod = Namespace.Config(Namespace.Prod, "analytics",
+        prodDefault = "warehouse_analytics",
+        testDefault = "warehouse_analytics_test")
+      val ci = prod.copy(env = Namespace.Test, profileSchema = "ci_mr_42")
+      val dev = prod.copy(env = Namespace.Dev, lookup = _ => Some("Ada"))
+      val prodSchema = deploy(prod, Some("mart"), mart) // analytics_mart
+      deploy(ci, Some("staging"), mart)                 // ci_mr_42_staging
+      deploy(ci, Some("mart"), mart)                    // ci_mr_42_mart
+      val devSchema = deploy(dev, None,                 // ada
+        mart.filter(col("o_orderpriority") === "1-URGENT"))
+      val dropped = Namespace.cleanupTestSchemas(s, root, "ci", "42",
+        layers = Seq("staging", "mart"))
+      require(dropped == Seq("ci_mr_42_staging", "ci_mr_42_mart"),
+        s"cleanup dropped $dropped")
+      s.read.parquet(Namespace.tablePath(prod, root, "mart_orders", Some("mart")))
+        .withColumn("env_schema", lit(prodSchema))
+        .unionByName(
+          s.read.parquet(Namespace.tablePath(dev, root, "mart_orders", None))
+            .withColumn("env_schema", lit(devSchema)))
+        .select(col("env_schema"), col("o_orderpriority"), col("n_orders"))
+        .orderBy(col("env_schema"), col("o_orderpriority"))
     }),
 
     // ---- end-to-end reference-day replay (r8 flagship) ----
@@ -2458,15 +2613,13 @@ object SparkEntry {
     "pipeline_column_lineage" -> ((s, d) =>
       graft.plans.ColumnLineage.of(graft.pipeline.Models.factLineitem(s, d))
         .orderBy(col("column"), col("source_table"), col("source_column"))),
-    // PageRank centrality on the same slice — rows-only by design
-    // (per-node sums add in partition order → double rounding is not
-    // cross-engine replayable; PageRankSpec pins semantics against a
-    // driver-side reference iteration)
-    "graph_pagerank" -> ((s, d) => {
-      Graph.pageRank(coPurchaseEdges(s, d), "pa", "pb", iterations = 10)
-        .select(col("node"), round(col("rank"), 6).as("rank"))
-        .orderBy(col("rank").desc, col("node")).limit(100)
-    }),
+    // The float-form PageRank is NOT graded (retired r11, verdict
+    // item 5): per-node double sums add in partition order, so its
+    // output is not cross-engine replayable and the graded key was a
+    // permanent rows-only row. The operator stays ([[Graph.pageRank]],
+    // PageRankSpec pins semantics against a driver-side reference
+    // iteration) and the THREE fixed-point twins below grade the
+    // iterative semantics hash-green.
     // fixed-point-arithmetic PageRank twin (r9): long micro-rank
     // units and integer `div` make every round order-free and
     // engine-portable, so THIS form is hash-green — the md5-twin
@@ -4567,6 +4720,24 @@ object SparkEntry {
            WHERE o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
            ORDER BY o_orderkey""",
 
+      // staged warehouse upsert: identical post-maintenance content
+      // to the parquet-path sink_upsert — updates replace their keys,
+      // new keys append
+      "sink_jdbc_upsert" ->
+        """WITH base AS (
+             SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+             FROM orders)
+           SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 10 = 0 THEN TIMESTAMP '1999-12-31 00:00:00'
+                  ELSE o_orderdate END AS o_orderdate
+           FROM base
+           UNION ALL
+           SELECT o_orderkey + 100000000, o_custkey, o_totalprice, o_orderdate
+           FROM base WHERE o_orderkey % 7 = 0
+           ORDER BY o_orderkey""",
+
       "sink_dynamic_overwrite" ->
         """SELECT o_orderkey, o_totalprice, o_orderpriority
            FROM orders WHERE o_orderpriority <> '1-URGENT'
@@ -5058,6 +5229,20 @@ object SparkEntry {
                   status, root_cause)
            ORDER BY node_name""",
 
+      // routing outcome stated literally: prod carries the full
+      // mart under its fixed schema, dev only its slice under the
+      // per-developer namespace, the dropped CI schemas nothing
+      "namespace_routing" ->
+        """WITH m AS (
+             SELECT o_orderpriority, count(*) AS n_orders
+             FROM orders GROUP BY 1)
+           SELECT 'analytics_mart' AS env_schema, o_orderpriority, n_orders
+           FROM m
+           UNION ALL
+           SELECT 'ada', o_orderpriority, n_orders
+           FROM m WHERE o_orderpriority = '1-URGENT'
+           ORDER BY env_schema, o_orderpriority""",
+
       // the catalog is schema metadata — replayed literally
       "pipeline_catalog" ->
         """SELECT * FROM (VALUES
@@ -5498,6 +5683,29 @@ object SparkEntry {
              count(*) AS n_segments,
              count(*) FILTER (WHERE rn = 1) AS n_kept
            FROM marked GROUP BY doc_id ORDER BY doc_id""",
+
+      // the streaming segment gate: because batches split on
+      // ascending doc_id and keep-first orders by (doc_id, seg_no),
+      // the gate's accumulated corpus equals the full-corpus batch
+      // run restricted to docs that kept at least one segment
+      "stream_segdedup_gate" ->
+        s"""WITH w AS (
+             SELECT doc_id, string_split($norm, ' ') AS ws FROM documents
+           ), segs AS (
+             SELECT doc_id, i AS seg_no,
+               array_to_string(ws[(i*20+1):(i*20+20)], ' ') AS seg
+             FROM w, LATERAL (SELECT unnest(range((len(ws)+19)//20)) AS i)
+           ), marked AS (
+             SELECT doc_id, seg_no, seg,
+               row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) AS rn
+             FROM segs)
+           SELECT doc_id, text, n_segments, n_kept FROM (
+             SELECT doc_id,
+               string_agg(seg, ' ' ORDER BY seg_no) FILTER (WHERE rn = 1) AS text,
+               count(*) AS n_segments,
+               count(*) FILTER (WHERE rn = 1) AS n_kept
+             FROM marked GROUP BY doc_id)
+           WHERE text IS NOT NULL ORDER BY doc_id""",
 
       // incremental segment dedup (r9): the index is the first
       // half's distinct segments; batch winners must also be unseen
@@ -6043,6 +6251,23 @@ object SparkEntry {
       // the full run's pairs with id_b ≥ 200
       "dedup_minhash_vg_md5" ->
         minhashMd5Sql(pairWhere = "AND c.doc_id >= 200"),
+
+      // the streaming ingest gate's two-stage semantics (NOT the
+      // batch pairs-losers run): day-1 losers come from pairs wholly
+      // inside day 1; day-2 losers from pairs whose earlier side
+      // SURVIVED day 1 (gated-out docs never enter the index) or is
+      // intra-day-2; the corpus is everything never a loser
+      "stream_neardup_gate" ->
+        s"""WITH pairs AS (SELECT id_a, id_b FROM (${minhashMd5Sql("")})),
+             l1 AS (SELECT DISTINCT id_b FROM pairs WHERE id_b < 250),
+             l2 AS (SELECT DISTINCT p.id_b FROM pairs p
+                    WHERE p.id_b >= 250
+                      AND (p.id_a >= 250
+                           OR p.id_a NOT IN (SELECT id_b FROM l1)))
+           SELECT doc_id, text FROM documents
+           WHERE doc_id NOT IN (SELECT id_b FROM l1)
+             AND doc_id NOT IN (SELECT id_b FROM l2)
+           ORDER BY doc_id""",
 
       // SimHash replayed: per-bit votes over the md5-slice shingle
       // hashes, majority signature, 4×16-bit pigeonhole blocks,

@@ -23,7 +23,12 @@ object TempDirs {
   private lazy val hookInstalled: Boolean = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       var p = created.poll()
-      while (p != null) { deleteRecursively(p); p = created.poll() }
+      while (p != null) {
+        // one unreadable / concurrently-removed dir must not abort
+        // cleanup of everything still queued behind it
+        try deleteRecursively(p) catch { case _: Throwable => () }
+        p = created.poll()
+      }
     }, "graft-tempdir-cleanup"))
     true
   }

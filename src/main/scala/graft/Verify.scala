@@ -19,13 +19,24 @@ object Verify {
     // SPARK_GRAFT_ONLY=name1,name2 restricts the dump (dev iteration;
     // the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    SparkEntry.queries
+    // Failures must be LOUD (r10 verdict): a query that throws gets a
+    // per-query _ERROR.txt sentinel (an output dir with no parquet →
+    // check_oracle.py reports FAIL, not a silent gap) and lands in the
+    // _failures.json manifest alongside the attempted-key count, so
+    // the dump can never silently shrink below SparkEntry.queries.
+    val failed = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val attempted = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .foreach { case (name, fn) =>
+    attempted.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${e.getMessage}"
+        System.err.println(s"[verify] $name FAILED: $msg")
+        failed += ((name, msg))
+        val d = Paths.get(s"$outDir/$name")
+        Files.createDirectories(d)
+        Files.writeString(d.resolve("_ERROR.txt"), msg)
       }
       Par.release()
     }
@@ -45,6 +56,15 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val manifest =
+      s"""{"attempted": ${attempted.size}, "failed": ${
+        failed.map { case (n, m) => s"${q(n)}: ${q(m)}" }
+          .mkString("{", ",", "}")}}"""
+    Files.writeString(Paths.get(s"$outDir/_failures.json"), manifest)
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size}/${attempted.size} queries FAILED: " +
+          failed.map(_._1).mkString(", "))
     spark.stop()
   }
 }

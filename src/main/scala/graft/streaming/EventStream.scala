@@ -387,7 +387,9 @@ object EventStream {
   def nearDupGate(docs: DataFrame, root: String, checkpoint: String,
                   idCol: String, textCol: String,
                   n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                  threshold: Double = 0.8): StreamingQuery =
+                  threshold: Double = 0.8,
+                  shingleHash: org.apache.spark.sql.Column =>
+                    org.apache.spark.sql.Column = xxhash64(_)): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -409,15 +411,15 @@ object EventStream {
                 VersionedGroup.read(spark, root, "sh"),
                 VersionedGroup.read(spark, root, "bd"),
                 fresh, idCol, textCol, n, numHashes, bands, threshold,
-                includeIntraBatch = true)
+                includeIntraBatch = true, shingleHash = shingleHash)
             else
               Dedup.minHashLsh(fresh, idCol, textCol, n, numHashes,
-                bands, threshold)
+                bands, threshold, shingleHash = shingleHash)
           val losers = pairs.select(col("id_b").as(idCol)).distinct()
           val survivors = fresh.join(losers, Seq(idCol), "left_anti")
           if (!survivors.isEmpty) {
             val (sh, bd) = Dedup.minHashIndexFrames(survivors, idCol,
-              textCol, n, numHashes, bands)
+              textCol, n, numHashes, bands, shingleHash = shingleHash)
             VersionedGroup.commit(root,
               Map("docs" -> survivors, "sh" -> sh, "bd" -> bd),
               replace = !hasIndex)

@@ -123,9 +123,6 @@ class PlansSpec extends SparkSuite {
       "corpus_top_terms_approx", "dedup_minhash", "dedup_simhash",
       "doc_fingerprint", "doc_pack", "doc_shared_runs", "doc_winnow",
       "dq_numeric_profile_approx", "dq_profile_approx",
-      // per-node float sums add in partition order — not replayable;
-      // PageRankSpec pins the semantics
-      "graph_pagerank",
       // HLL sketch bytes are register-layout-dependent; the fold vs
       // recompute equivalence is pinned in IncrementalAggSpec
       "mv_incremental_distinct_hll",

@@ -310,6 +310,14 @@ class W6OpsSpec extends SparkSuite {
       (3L, 1L, 1L, 0.1, 0.9))) // tie 1 vs 2 → key asc wins; topK cuts key 2
   }
 
+  test("keySkew: empty input yields an empty frame, not a driver NPE") {
+    import graft.operators.Quality
+    // r10 ADVICE: sum over zero groups is NULL — the total read must
+    // be null-safe so an empty monitored table screens as empty
+    val empty = Seq.empty[Long].toDF("k")
+    assert(Quality.keySkew(empty, "k", topK = 3).count() === 0L)
+  }
+
   // ---- Analytics.frequentSequences ----
 
   test("frequentSequences: gap-tolerant order, direction sensitivity, repeats, threshold") {

@@ -71,6 +71,28 @@ for d in sorted(os.listdir(out_dir)):
     if d in oracle or not os.path.isdir(f"{out_dir}/{d}"): continue
     files = glob.glob(f"{out_dir}/{d}/*.parquet")
     n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
-    print(f"ROWS {d}: {n}")
+    marker = " (RUNTIME ERROR)" if os.path.exists(f"{out_dir}/{d}/_ERROR.txt") else ""
+    if marker: fails += 1
+    print(f"ROWS {d}: {n}{marker}")
+
+# Verify's failure manifest: every thrown query is a red row here, and
+# the dumped-key count must equal the attempted count (r10 verdict —
+# sink_compact/sink_upsert VANISHED from the artifact instead of
+# failing; absence is never a pass).
+if os.path.exists(f"{out_dir}/_failures.json"):
+    m = json.load(open(f"{out_dir}/_failures.json"))
+    for name, msg in sorted(m.get("failed", {}).items()):
+        print(f"FAIL {name}: runtime error: {msg}")
+        if name in oracle or os.path.exists(f"{out_dir}/{name}/_ERROR.txt"):
+            pass  # already counted above
+        else:
+            fails += 1
+    dumped = sum(1 for d in os.listdir(out_dir)
+                 if os.path.isdir(f"{out_dir}/{d}")
+                 and glob.glob(f"{out_dir}/{d}/*.parquet"))
+    if dumped + len(m.get("failed", {})) != m.get("attempted", dumped):
+        print(f"FAIL manifest: attempted={m.get('attempted')} but "
+              f"dumped={dumped} + failed={len(m.get('failed', {}))}")
+        fails += 1
 print(f"\n{fails} failures")
 sys.exit(1 if fails else 0)
