@@ -2380,6 +2380,20 @@ object SparkEntry {
           "doc_id", "text", n = 3, minCommon = 3, maxDocFreq = 1000)
         .orderBy(col("eval_id"))
     }),
+    // daily-ingest decontamination (r11): the direction-flipped delta
+    // form — the eval set's gram index is fixed, today's training
+    // batch (second half of the train docs) is checked against it at
+    // batch cost, and contaminated BATCH docs are flagged with their
+    // worst offending eval doc so they drop before training
+    "decontamination_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val evalIdx = Dedup.evalGramIndex(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 3)
+      Dedup.contaminationBatch(evalIdx,
+          docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") >= 250),
+          "doc_id", "text", n = 3, minCommon = 3, maxDocFreq = 1000)
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- end-to-end curation pipeline (§2.5b) ----
     // the whole training-set story composed: quality gate → exact
@@ -2439,6 +2453,31 @@ object SparkEntry {
         .sortBy(_._1).toSeq
       Similarity.ivfTopKWith(embs, queries, "vec_id", "embedding", "vec_id",
           k = 10, centroids = cents, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // incremental IVF index maintenance (r11): the daily-ingest ANN
+    // path — the corpus's first half is indexed, the second half is
+    // ASSIGNED AT BATCH COST against the frozen centroids and
+    // appended through a real parquet store hop, and the query runs
+    // against the maintained index. Frozen centroids make per-row
+    // assignment deterministic, so the result is IDENTICAL to a full
+    // rebuild — the oracle is ann_ivf_topk's replay verbatim
+    "ann_ivf_incr_topk" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val queries = embs.filter(col("vec_id") < 5)
+      val cents = embs.filter(col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt,
+          r.getSeq[Float](1).map(_.toDouble).toSeq))
+        .sortBy(_._1).toSeq
+      val store = graft.TempDirs.create("graft_ivf_") + "/t"
+      Similarity.ivfIndexFrame(embs.filter(col("vec_id") < 250),
+        "vec_id", "embedding", cents).write.parquet(store)
+      Similarity.ivfIndexFrame(embs.filter(col("vec_id") >= 250),
+        "vec_id", "embedding", cents).write.mode("append").parquet(store)
+      Similarity.ivfTopKIndexed(s.read.parquet(store), queries,
+          "embedding", "vec_id", k = 10, centroids = cents, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -3375,6 +3414,44 @@ object SparkEntry {
     * 16 bands, threshold 0.5). `pairWhere` narrows the candidate join
     * (the incremental twin restricts to batch-touching pairs).
     */
+  /** The IVF top-k replay shared by [[ann_ivf_topk]] and its
+    * incremental-index twin (identical result sets by construction:
+    * frozen centroids, per-row assignment).
+    */
+  private val ivfTopkOracleSql: String =
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           cent AS (SELECT vec_id AS cell, v AS cv,
+                      list_sum(list_transform(v, x -> x * x)) AS cc
+                    FROM e WHERE vec_id < 16),
+           ad AS (
+             SELECT e.vec_id, c.cell,
+               -2 * list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * c.cv[i])) + c.cc AS dist
+             FROM e, cent c),
+           assigned AS (
+             SELECT vec_id, cell FROM (
+               SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r FROM ad)
+             WHERE r = 1),
+           probes AS (
+             SELECT vec_id AS query_id, cell FROM (
+               SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r
+               FROM ad WHERE vec_id < 5)
+             WHERE r <= 4),
+           scored AS (
+             SELECT p.query_id, a.vec_id AS neighbor_id,
+               list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * q.v[i]))
+               / (sqrt(list_sum(list_transform(c.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(q.v, x -> x * x)))) AS cosine
+             FROM assigned a JOIN probes p USING (cell)
+               JOIN e c ON a.vec_id = c.vec_id
+               JOIN e q ON p.query_id = q.vec_id
+             WHERE a.vec_id <> p.query_id)
+           SELECT query_id, neighbor_id, cosine, rn AS rank FROM (
+             SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rn FROM scored)
+           WHERE rn <= 10 ORDER BY query_id, rank"""
+
   private def minhashMd5Sql(pairWhere: String): String =
     s"""WITH gd AS (
          SELECT doc_id, unnest(grams) AS gram
@@ -6007,6 +6084,33 @@ object SparkEntry {
              FROM pairs)
            WHERE rn = 1 ORDER BY eval_id""",
 
+      // the direction-flipped delta form: per BATCH doc (train docs
+      // with id >= 250), worst offending eval doc
+      "decontamination_incr" ->
+        s"""WITH sh AS (
+             SELECT doc_id, list_distinct(
+               CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+               ELSE list_transform(generate_series(1, len(words) - 2),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END) AS sh
+             FROM (SELECT doc_id, string_split($norm, ' ') AS words FROM documents)
+           ), sh_b AS (
+             SELECT doc_id, unnest(sh) AS gram FROM sh
+             WHERE doc_id % 10 <> 0 AND doc_id >= 250
+           ), sh_e AS (
+             SELECT doc_id AS eval_id, unnest(sh) AS gram FROM sh
+             WHERE doc_id % 10 = 0
+           ), pairs AS (
+             SELECT b.doc_id, eval_id, count(*) AS n_common
+             FROM sh_b b JOIN sh_e USING (gram)
+             GROUP BY b.doc_id, eval_id
+             HAVING count(*) >= 3)
+           SELECT doc_id, worst_eval_id, n_common FROM (
+             SELECT doc_id, eval_id AS worst_eval_id, n_common,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY n_common DESC, eval_id DESC) AS rn
+             FROM pairs)
+           WHERE rn = 1 ORDER BY doc_id""",
+
       "curation_pipeline" ->
         s"""WITH quality AS (
              SELECT doc_id, text FROM documents
@@ -6454,39 +6558,11 @@ object SparkEntry {
       // squared-L2 argmin assignment (dist ties to the lower cell),
       // nprobe=4 probe ranking, cell-local scoring, two-phase top-k —
       // the same -2·dot+|c|² arithmetic Spark's codegen'd chain runs
-      "ann_ivf_topk" ->
-        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           cent AS (SELECT vec_id AS cell, v AS cv,
-                      list_sum(list_transform(v, x -> x * x)) AS cc
-                    FROM e WHERE vec_id < 16),
-           ad AS (
-             SELECT e.vec_id, c.cell,
-               -2 * list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * c.cv[i])) + c.cc AS dist
-             FROM e, cent c),
-           assigned AS (
-             SELECT vec_id, cell FROM (
-               SELECT vec_id, cell,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r FROM ad)
-             WHERE r = 1),
-           probes AS (
-             SELECT vec_id AS query_id, cell FROM (
-               SELECT vec_id, cell,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r
-               FROM ad WHERE vec_id < 5)
-             WHERE r <= 4),
-           scored AS (
-             SELECT p.query_id, a.vec_id AS neighbor_id,
-               list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * q.v[i]))
-               / (sqrt(list_sum(list_transform(c.v, x -> x * x)))
-                  * sqrt(list_sum(list_transform(q.v, x -> x * x)))) AS cosine
-             FROM assigned a JOIN probes p USING (cell)
-               JOIN e c ON a.vec_id = c.vec_id
-               JOIN e q ON p.query_id = q.vec_id
-             WHERE a.vec_id <> p.query_id)
-           SELECT query_id, neighbor_id, cosine, rn AS rank FROM (
-             SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-               ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rn FROM scored)
-           WHERE rn <= 10 ORDER BY query_id, rank""",
+      // shared by the full-corpus and incremental-index forms: fixed
+      // centroids make per-row assignment deterministic, so the
+      // appended index answers queries identically to a full rebuild
+      "ann_ivf_topk" -> ivfTopkOracleSql,
+      "ann_ivf_incr_topk" -> ivfTopkOracleSql,
 
       "ann_brute_topk" ->
         """WITH q AS (SELECT vec_id AS query_id,

@@ -685,6 +685,63 @@ object Dedup {
         col("__worst.n_common").as("n_common"))
   }
 
+  /** The persisted eval-set gram index for [[contaminationBatch]]:
+    * `(eval_id, gram)` hashed shingles of the FIXED eval set — built
+    * once, stored (bucketed on `gram`), reused by every daily batch.
+    */
+  def evalGramIndex(eval: DataFrame, idCol: String, textCol: String,
+                    n: Int = 8): DataFrame =
+    Par.widen(eval.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol).as("eval_id"),
+        explode(Text.shingles(col(textCol), n)).as("g"))
+      .select(col("eval_id"), xxhash64(col("g")).as("gram"))
+
+  /** Daily-ingest decontamination — [[contamination]] with the
+    * direction FLIPPED for the training pipeline: the eval set is
+    * fixed and small (its [[evalGramIndex]] persists between runs),
+    * the training corpus arrives in batches, and the output flags
+    * BATCH docs whose n-gram overlap with ANY eval doc reaches
+    * `minCommon` (worst offending eval doc per batch doc) so they
+    * drop before training. Work per day is batch-sized: the batch
+    * explodes its own shingles and equi-joins the eval-sized gram
+    * index — nothing corpus-sized recomputes, and at 100 TB/day the
+    * join shuffles only batch-side occurrences that actually share a
+    * gram with the (tiny) eval set. `maxDocFreq` caps
+    * ubiquitous-gram fan-out with the df computed over index + batch
+    * (the [[contamination]] both-sides rule applied to this run's
+    * universe).
+    */
+  def contaminationBatch(evalGrams: DataFrame, batch: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 8, minCommon: Int = 1,
+                         maxDocFreq: Int = 0): DataFrame = {
+    val b = Par.persistTracked(
+      Par.widen(batch.select(col(idCol), col(textCol)), idCol)
+        .select(col(idCol).as("__bid"),
+          explode(Text.shingles(col(textCol), n)).as("g"))
+        .select(col("__bid"), xxhash64(col("g")).as("gram")))
+    val ev = evalGrams.select(col("gram"), col("eval_id"))
+    val joined =
+      if (maxDocFreq > 0) {
+        val hot = b.select(col("gram")).unionByName(ev.select(col("gram")))
+          .groupBy(col("gram")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDocFreq).select(col("gram"))
+        b.join(hot, Seq("gram"), "left_anti")
+          .join(ev.join(hot, Seq("gram"), "left_anti"), Seq("gram"))
+      } else b.join(ev, Seq("gram"))
+    joined
+      .groupBy(col("__bid"), col("eval_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+      // worst offender per BATCH doc: highest n_common, ties to the
+      // highest eval id (deterministic, mirrors contamination)
+      .groupBy(col("__bid"))
+      .agg(max(struct(col("n_common"), col("eval_id"))).as("__worst"))
+      .select(col("__bid").as(idCol),
+        col("__worst.eval_id").as("worst_eval_id"),
+        col("__worst.n_common").as("n_common"))
+  }
+
   /** Cross-document exact-substring-run pairs via winnowing
     * fingerprints — the distributed stand-in for suffix-array
     * substring dedup (Lee et al. '22 "Deduplicating Training Data

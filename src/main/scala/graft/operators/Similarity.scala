@@ -219,13 +219,23 @@ object Similarity {
     * (The distance uses |v-c|² = |v|² - 2v·c + |c|² minus the
     * candidate-invariant |v|²: only the ranking matters.)
     */
-  def ivfTopKWith(corpus: DataFrame, queries: DataFrame,
-                  idCol: String, vecCol: String, queryIdCol: String,
-                  k: Int, centroids: Seq[(Int, Seq[Double])],
-                  nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
-    require(centroids.nonEmpty, "ivfTopKWith needs at least one centroid")
-    val spark = corpus.sparkSession
-    import spark.implicits._
+  /** Persisted IVF index frame — the ANN state a daily embedding
+    * pipeline maintains: `(neighbor_id, __cell, __cv, __cn)` with
+    * cells assigned against FIXED centroids. APPEND-ONLY: a new
+    * embedding batch is assigned at batch cost (the quantizer stays
+    * frozen — retraining would re-assign the whole corpus) and
+    * appended to the store; [[ivfTopKIndexed]] then queries the
+    * maintained index without touching corpus-sized work. Identical
+    * assignment arithmetic to [[ivfTopKWith]] (which is now exactly
+    * index-build + indexed-query), so
+    * `ivfTopKIndexed(frame(a) ∪ frame(b), …) ≡ ivfTopKWith(a ∪ b, …)`
+    * — the dedup-index discipline applied to ANN. Store bucketed on
+    * `__cell` ([[graft.sources.Sink.bucketedTable]]) and the probe
+    * join reads it exchange-free.
+    */
+  def ivfIndexFrame(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "ivfIndexFrame needs at least one centroid")
     val c = graft.Par.widen(corpus.select(col(idCol), col(vecCol)), idCol)
       .select(col(idCol).as("neighbor_id"), Vectors.toDouble(col(vecCol)).as("__cv"))
       .withColumn("__cn", Vectors.norm(col("__cv")))
@@ -245,7 +255,28 @@ object Similarity {
       least(centroids.map { case (cell, cv) =>
         struct(distTo(vec, cv).as("d"), lit(cell).as("c"))
       }: _*).getField("c")
-    val assigned = c.withColumn("__cell", nearestCell(col("__cv")))
+    c.withColumn("__cell", nearestCell(col("__cv")))
+  }
+
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, queryIdCol: String,
+                  k: Int, centroids: Seq[(Int, Seq[Double])],
+                  nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame =
+    ivfTopKIndexed(ivfIndexFrame(corpus, idCol, vecCol, centroids),
+      queries, vecCol, queryIdCol, k, centroids, nprobe, excludeSelf)
+
+  /** Query the maintained IVF index of [[ivfIndexFrame]]: rank cells
+    * per query against the broadcast centroids, probe the top
+    * `nprobe`, score exact cosine on probed-cell rows only.
+    */
+  def ivfTopKIndexed(index: DataFrame, queries: DataFrame,
+                     vecCol: String, queryIdCol: String,
+                     k: Int, centroids: Seq[(Int, Seq[Double])],
+                     nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    require(centroids.nonEmpty, "ivfTopKIndexed needs at least one centroid")
+    val spark = index.sparkSession
+    import spark.implicits._
+    val assigned = index
     val cents = centroids.toDF("__cell", "__centroid")
     val q = queries
       .select(col(queryIdCol).as("query_id"), Vectors.toDouble(col(vecCol)).as("__qv"))

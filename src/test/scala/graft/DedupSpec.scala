@@ -343,6 +343,25 @@ class DedupSpec extends SparkSuite {
     assert(out(100L) === (2L, 7L))
   }
 
+  test("contaminationBatch: fixed eval index flags batch docs with the worst offender") {
+    val eval_ = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "totally novel evaluation prompt nothing shared")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog every single day"),
+      (3L, "completely unrelated training material here")).toDF("doc_id", "text")
+    val idx = Dedup.evalGramIndex(eval_, "doc_id", "text", n = 3)
+    val out = Dedup.contaminationBatch(idx, batch, "doc_id", "text",
+        n = 3, minCommon = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // docs 1 and 2 each share eval 100's 7 trigrams (doc 2 via its
+    // 9-word prefix); doc 3 and eval 101 contribute nothing
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === ((100L, 7L)))
+    assert(out(2L) === ((100L, 7L)))
+  }
+
   test("df-cap orphans (ALL shingles hot) still pair when bit-identical") {
     // every shingle of every doc has df=4 > cap=3, so all four docs
     // drop out of the capped vocabulary — the whole-doc rescue bucket

