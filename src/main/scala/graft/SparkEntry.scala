@@ -770,6 +770,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // streaming ingest-time DECONTAMINATION gate (r11): the REAL
+    // decontamGate stream over two id-split training microbatches
+    // plus a full redelivery (no-op). The eval gram index is STATIC,
+    // so unlike the near-dup gate the final corpus is batch-split
+    // invariant — the oracle is simply "train docs minus those
+    // sharing ≥3 trigrams with any eval doc"
+    "stream_decontam_gate" -> ((s, d) => {
+      val base = graft.TempDirs.create("graft_stream_dc")
+      val inDir = s"$base/in"; val root = s"$base/store"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val evalIdx = graft.operators.Dedup.evalGramIndex(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 3)
+      train.filter(col("doc_id") < 250).write.parquet(inDir)
+      withShufflePartitions(s, 4) {
+        val stream = s.readStream.schema(docs.schema).parquet(inDir)
+        val q = graft.streaming.EventStream.decontamGate(stream, evalIdx,
+          root, s"$base/ckpt", "doc_id", "text", n = 3, minCommon = 3)
+        try {
+          q.processAllAvailable() // day 1: bootstrap commit
+          train.filter(col("doc_id") >= 250).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // day 2: checked against the same index
+          train.filter(col("doc_id") < 50).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // redelivery: idempotent no-op
+        } finally q.stop()
+      }
+      graft.sources.VersionedGroup.read(s, root, "docs")
+        .orderBy(col("doc_id"))
+    }),
+
     // clustered write → per-file stats manifest → driver-side
     // file-pruned read (r8-cont): the graded query drives the whole
     // data-skipping path end to end — prunedRead ≡ the plain filtered
@@ -6110,6 +6140,32 @@ object SparkEntry {
                  ORDER BY n_common DESC, eval_id DESC) AS rn
              FROM pairs)
            WHERE rn = 1 ORDER BY doc_id""",
+
+      // the streaming gate's corpus: the eval index is static and
+      // flagging is per-doc, so the result is batch-split invariant —
+      // train docs minus any sharing >= 3 trigrams with an eval doc
+      "stream_decontam_gate" ->
+        s"""WITH sh AS (
+             SELECT doc_id, list_distinct(
+               CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+               ELSE list_transform(generate_series(1, len(words) - 2),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END) AS sh
+             FROM (SELECT doc_id, string_split($norm, ' ') AS words FROM documents)
+           ), sh_b AS (
+             SELECT doc_id, unnest(sh) AS gram FROM sh WHERE doc_id % 10 <> 0
+           ), sh_e AS (
+             SELECT doc_id AS eval_id, unnest(sh) AS gram FROM sh
+             WHERE doc_id % 10 = 0
+           ), bad AS (
+             SELECT DISTINCT doc_id FROM (
+               SELECT b.doc_id, eval_id, count(*) AS n_common
+               FROM sh_b b JOIN sh_e USING (gram)
+               GROUP BY b.doc_id, eval_id
+               HAVING count(*) >= 3))
+           SELECT doc_id, text FROM documents
+           WHERE doc_id % 10 <> 0
+             AND doc_id NOT IN (SELECT doc_id FROM bad)
+           ORDER BY doc_id""",
 
       "curation_pipeline" ->
         s"""WITH quality AS (

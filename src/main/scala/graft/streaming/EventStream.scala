@@ -430,6 +430,55 @@ object EventStream {
       }
       .start()
 
+  /** Streaming ingest-time DECONTAMINATION gate (r11) — the
+    * eval-overlap door check: every microbatch of training documents
+    * is checked against the FIXED eval-set gram index
+    * ([[graft.operators.Dedup.contaminationBatch]] — batch-sized
+    * work; the index is built once from the small eval set and never
+    * changes), contaminated docs drop at the door, and survivors
+    * commit to the corpus table as one
+    * [[graft.sources.VersionedGroup]] version.
+    *
+    * Because the index is STATIC and flagging is per-doc, the final
+    * corpus is batch-split invariant (unlike the near-dup gate,
+    * whose two-stage semantics depend on what survived earlier
+    * batches), and at-least-once redelivery converges: landed ids
+    * anti-join out on the corpus frame, re-delivered contaminated
+    * docs flag again identically and commit nothing.
+    */
+  def decontamGate(docs: DataFrame, evalGrams: DataFrame,
+                   root: String, checkpoint: String,
+                   idCol: String, textCol: String,
+                   n: Int = 8, minCommon: Int = 1): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import graft.operators.Dedup
+          import graft.sources.VersionedGroup
+          val hasCorpus = VersionedGroup.currentVersion(spark, root) >= 1
+          val cached = graft.Par.persistTracked(
+            batch.select(col(idCol), col(textCol)))
+          val fresh =
+            if (!hasCorpus) cached
+            else cached.join(VersionedGroup.read(spark, root, "docs")
+              .select(col(idCol)), Seq(idCol), "left_anti")
+          val flagged = Dedup.contaminationBatch(evalGrams, fresh,
+            idCol, textCol, n, minCommon)
+          val survivors = fresh.join(flagged.select(col(idCol)),
+            Seq(idCol), "left_anti")
+          if (!survivors.isEmpty) {
+            VersionedGroup.commit(root, Map("docs" -> survivors),
+              replace = !hasCorpus)
+            ()
+          }
+          graft.Par.release()
+        }
+      }
+      .start()
+
   /** Streaming SEGMENT-level dedup gate (r9) — the sub-document
     * twin of [[nearDupGate]], CCNet line-dedup at the ingest door:
     * every microbatch is segment-deduped against the persistent

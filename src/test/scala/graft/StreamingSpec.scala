@@ -402,6 +402,58 @@ class StreamingSpec extends SparkSuite {
     Par.release()
   }
 
+  test("decontamGate: contaminated docs drop at the door, replay no-op") {
+    import graft.sources.VersionedGroup
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val src = tmpDir("dcgate-src")
+    val root = tmpDir("dcgate-root") + "/idx"
+    def land(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = tmpDir("dcgate-stage")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(src, s"$name.parquet"))
+    }
+    val evalIdx = graft.operators.Dedup.evalGramIndex(
+      Seq((100L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text"), "doc_id", "text", n = 3)
+    land("b0", Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // contaminated
+      (2L, "completely unrelated training material here")))
+    val stream = spark.readStream.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .parquet(src)
+    val q = EventStream.decontamGate(stream, evalIdx, root,
+      tmpDir("dcgate-ckpt"), "doc_id", "text", n = 3, minCommon = 3)
+    q.processAllAvailable()
+    def docIds = VersionedGroup.read(spark, root, "docs")
+      .collect().map(_.getLong(0)).toSet
+    assert(docIds === Set(2L), "eval-overlapping doc must be gated out")
+    assert(VersionedGroup.currentVersion(spark, root) === 1)
+
+    // 3 shares the eval doc's 7 trigrams via its prefix → dropped;
+    // 4 shares nothing → survives
+    land("b1", Seq(
+      (3L, "the quick brown fox jumps over the lazy dog all over again"),
+      (4L, "novel training material nothing shared at all")))
+    q.processAllAvailable()
+    assert(docIds === Set(2L, 4L))
+    assert(VersionedGroup.currentVersion(spark, root) === 2)
+
+    // redelivery of a survivor AND a gated doc: both converge, no
+    // version churn
+    land("b2", Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated training material here")))
+    q.processAllAvailable()
+    assert(docIds === Set(2L, 4L))
+    assert(VersionedGroup.currentVersion(spark, root) === 2)
+    q.stop()
+    Par.release()
+  }
+
   test("enrichAsOf: a late event gets the dimension version true at ITS time") {
     import org.apache.spark.sql.functions.lit
     val src = tmpDir("asof-src")
