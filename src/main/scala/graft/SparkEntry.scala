@@ -1718,6 +1718,22 @@ object SparkEntry {
           k = 5, w = 4, minShared = 1, maxDocFreq = 200,
           hashFn = functions.Text.portableHash60)
         .orderBy(col("id_a"), col("id_b"))),
+    // daily-delta shared-runs (r11): the second half of the corpus
+    // paired against the first half's persisted fingerprint index
+    // under EXACT merged-df semantics — equal to the full run
+    // restricted to pairs whose later doc is in the batch, so the
+    // full oracle grades it with that one restriction
+    "doc_shared_runs_incr_md5" -> ((s, d) => {
+      val corpus = Tables.documents(s, d)
+      val cut = lit(250L)
+      val idx = Dedup.sharedRunsIndexFrame(corpus.filter(col("doc_id") < cut),
+        "doc_id", "text", k = 5, w = 4,
+        hashFn = functions.Text.portableHash60)
+      Dedup.sharedRunsIncremental(idx, corpus.filter(col("doc_id") >= cut),
+          "doc_id", "text", k = 5, w = 4, minShared = 1, maxDocFreq = 200,
+          hashFn = functions.Text.portableHash60)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // weighted cross-corpus mixing over residue slices of documents.
     // FULL-ROW oracle since r7: the per-source hash draw is Spark's
     // xxhash64 replayed in SQL (xxhash64LongSql) against quota
@@ -6249,6 +6265,22 @@ object SparkEntry {
            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              count(*) AS n_shared
            FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 1
+           ORDER BY id_a, id_b""",
+
+      // the incremental twin: merged-df cap + same fingerprints ⇒
+      // the delta path equals the full run restricted to pairs whose
+      // later doc is in the batch (id_b ≥ cut)
+      "doc_shared_runs_incr_md5" ->
+        s"""WITH fp AS (
+             SELECT doc_id, unnest(sel) AS fp FROM (${winnowSql(5, 4)})
+           ), kept AS (
+             SELECT * FROM fp WHERE fp IN (
+               SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 200))
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) AS n_shared
+           FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             AND b.doc_id >= 250
            GROUP BY 1, 2 HAVING count(*) >= 1
            ORDER BY id_a, id_b""",
 

@@ -788,6 +788,68 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** The persisted winnowing-fingerprint frame `(id, fp)` of a
+    * corpus — the index [[sharedRunsIncremental]] maintains between
+    * daily runs. Per-doc fingerprints are distinct by
+    * [[graft.functions.Text.winnow]]'s construction, so `count(*)`
+    * over this frame per fp IS the document frequency. Store it
+    * BUCKETED on `fp` ([[graft.sources.Sink.bucketedTable]]) so the
+    * daily df probe and candidate join read it exchange-free.
+    */
+  def sharedRunsIndexFrame(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 5, w: Int = 4,
+                           hashFn: Column => Column = xxhash64(_)): DataFrame =
+    Par.widen(docs.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol).as("id"),
+        explode(Text.winnow(col(textCol), k, w, hashFn)).as("fp"))
+
+  /** Incremental shared-runs — the daily-delta form of
+    * [[sharedRuns]] closing the last near-dup family without one:
+    * each new batch pairs against the persisted
+    * [[sharedRunsIndexFrame]] (and within itself) without
+    * re-fingerprinting the corpus. EXACT merged-corpus df semantics:
+    * every candidate pair shares a fingerprint the BATCH carries, so
+    * the merged document frequency (index + batch occurrences) is
+    * computable for exactly the fp set that matters by probing index
+    * occurrences with the batch's fps — delta-driven, like the
+    * [[ngramJaccardIncremental]] cap rule. Output = the full run on
+    * index ∪ batch RESTRICTED to pairs whose LATER doc is in the
+    * batch (batch ids must order after index ids — the standard
+    * incremental-dedup contract; index-index pairs, including any
+    * whose fp crossed the cap this batch, are not revisited).
+    */
+  def sharedRunsIncremental(indexFp: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String,
+                            k: Int = 5, w: Int = 4, minShared: Int = 2,
+                            maxDocFreq: Int = 1000,
+                            hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    val bfp = Par.persistTracked(
+      sharedRunsIndexFrame(batch, idCol, textCol, k, w, hashFn))
+    val bdf = bfp.groupBy(col("fp")).agg(count(lit(1)).as("__bdf"))
+    val idf = indexFp.select(col("fp"))
+      .join(bdf.select(col("fp")), Seq("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("__idf"))
+    val keptFps = Par.persistTracked(
+      bdf.join(idf, Seq("fp"), "left_outer")
+        .filter(col("__bdf") + coalesce(col("__idf"), lit(0L)) <= maxDocFreq)
+        .select(col("fp")))
+    // persisted: feeds the candidate join's BOTH batch sides (no
+    // cross-branch CSE — the sharedRuns discipline)
+    val keptB = Par.persistTracked(bfp.join(keptFps, Seq("fp")))
+    val width = batch.sparkSession.conf
+      .getOption("spark.sql.shuffle.partitions")
+      .map(_.toInt).getOrElse(batch.sparkSession.sparkContext.defaultParallelism)
+    keptB.select(col("fp"), col("id").as("id_b"))
+      .join(indexFp.join(keptFps, Seq("fp"))
+          .select(col("fp"), col("id").as("id_a"))
+        .unionByName(keptB.select(col("fp"), col("id").as("id_a"))), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .repartition(width, col("id_a"), col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Embedding near-dup: pairs with cosine ≥ threshold. Candidates
     * come from multi-table random-hyperplane LSH buckets (Charikar
     * '02; same planes as Similarity.lshTopK) so every join is

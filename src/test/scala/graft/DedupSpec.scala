@@ -494,6 +494,47 @@ class DedupSpec extends SparkSuite {
     Par.release()
   }
 
+  test("sharedRunsIncremental ≡ full run's batch-touching pairs, merged-df cap") {
+    // the boilerplate run sits in 13 index docs (under the cap of 14
+    // alone) and 2 batch docs — its fingerprints cross the cap ONLY
+    // when index + batch counts MERGE, the df rule the incremental
+    // form must reproduce; the planted 12-word run pairs across the
+    // cut and stays under the cap
+    val rnd = new scala.util.Random(11)
+    val boiler = (1 to 10).map(i => s"boiler$i").mkString(" ")
+    val planted = (1 to 12).map(i => s"planted$i").mkString(" ")
+    val docs = ((1 to 40).map { i =>
+      val words = Seq.fill(20 + rnd.nextInt(25))("w" + rnd.nextInt(200))
+      val extra = if (i % 3 == 0) s" $boiler" else ""
+      (i.toLong, words.mkString(" ") + extra)
+    } ++ Seq(
+      (41L, s"lead in $planted trailing words"),    // index side
+      (46L, s"$planted with another different ending"), // batch: cross pair
+      (47L, s"begin $boiler mid extra"),            // batch boiler
+      (48L, s"$boiler tail piece")                  // batch boiler
+    )).toDF("doc_id", "text")
+    val cut = 45L
+    val full = operators.Dedup.sharedRuns(docs, "doc_id", "text",
+        k = 5, w = 4, minShared = 1, maxDocFreq = 14)
+      .filter(org.apache.spark.sql.functions.col("id_b") >= cut)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val idx = operators.Dedup.sharedRunsIndexFrame(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") < cut),
+      "doc_id", "text", k = 5, w = 4)
+    val inc = operators.Dedup.sharedRunsIncremental(idx,
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") >= cut),
+        "doc_id", "text", k = 5, w = 4, minShared = 1, maxDocFreq = 14)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(inc === full)
+    assert(inc.contains((41L, 46L))) // planted run pairs ACROSS the cut
+    // merged-df bite: interior boiler fingerprints reach df 15 > 14
+    // only with the batch counted, so boiler-only pairs must be absent
+    assert(!inc.contains((47L, 48L)))
+    assert(!inc.keySet.exists { case (a, b) =>
+      a <= 40 && a % 3 == 0 && b >= 47L })
+    Par.release()
+  }
+
   test("connectedComponents reliable=true uses fault-tolerant checkpoints, same labels") {
     // on a real cluster localCheckpoint pins blocks to executors; the
     // reliable flag swaps in HDFS-backed checkpoint() — semantics must
