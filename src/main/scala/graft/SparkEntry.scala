@@ -2502,6 +2502,19 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // k-NN weak labeling (r11): every 50th vector plays the
+    // unlabeled batch, the rest the labeled seed corpus; each batch
+    // vector takes the majority label of its 10 nearest neighbors
+    // (integer votes, ties to the lowest label — fully
+    // SQL-replayable, no float aggregation)
+    "ann_knn_label" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      Similarity.knnLabel(
+          embs.filter(col("vec_id") % 50 =!= 0),
+          embs.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", "label", k = 10)
+        .orderBy(col("vec_id"))
+    }),
     // incremental IVF index maintenance (r11): the daily-ingest ANN
     // path — the corpus's first half is indexed, the second half is
     // ASSIGNED AT BATCH COST against the frozen centroids and
@@ -6651,6 +6664,35 @@ object SparkEntry {
       // appended index answers queries identically to a full rebuild
       "ann_ivf_topk" -> ivfTopkOracleSql,
       "ann_ivf_incr_topk" -> ivfTopkOracleSql,
+
+      // k-NN weak labeling: exact top-10 neighbors then an integer
+      // majority vote, ties to the lowest label
+      "ann_knn_label" ->
+        """WITH q AS (SELECT vec_id AS query_id,
+               CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+             WHERE vec_id % 50 = 0),
+           c AS (SELECT vec_id AS neighbor_id, label,
+               CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+             WHERE vec_id % 50 <> 0),
+           scored AS (
+             SELECT query_id, neighbor_id, label,
+               list_sum(list_transform(generate_series(1, len(cv)),
+                 i -> cv[i] * qv[i]))
+               / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+                  * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS cosine
+             FROM c, q),
+           topk AS (
+             SELECT query_id, label FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+             WHERE rn <= 10),
+           votes AS (
+             SELECT query_id, label, count(*) AS votes
+             FROM topk GROUP BY query_id, label)
+           SELECT query_id AS vec_id, label AS pred_label, votes FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY votes DESC, label) AS rn FROM votes)
+           WHERE rn = 1 ORDER BY vec_id""",
 
       "ann_brute_topk" ->
         """WITH q AS (SELECT vec_id AS query_id,

@@ -138,6 +138,47 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Majority vote over a ranker's neighbor lists — the
+    * ranker-AGNOSTIC half of [[knnLabel]]: `neighbors` is any frame
+    * of `(query_id, neighbor_id, …)` rows (brute force here, an
+    * [[ivfTopKIndexed]] / [[lshTopK]] result at scale — the vote
+    * doesn't care where the neighbors came from), `labels` maps
+    * `idCol` → `labelCol`. Votes are integer counts, the winner
+    * deterministic (votes desc, label asc), so the whole path is
+    * SQL-replayable — no float aggregation anywhere.
+    */
+  def knnLabelVote(neighbors: DataFrame, labels: DataFrame,
+                   idCol: String, labelCol: String): DataFrame =
+    neighbors
+      .join(labels.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("__lbl")), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("__lbl"))
+      .agg(count(lit(1)).as("votes"))
+      // min of (-votes, label) = most votes, ties to the lowest label
+      .groupBy(col("query_id"))
+      .agg(min(struct((-col("votes")).as("nv"), col("__lbl").as("l")))
+        .as("__win"))
+      .select(col("query_id").as(idCol),
+        col("__win.l").as("pred_label"),
+        (-col("__win.nv")).as("votes"))
+
+  /** Weak labeling by k-NN majority vote — the semi-supervised
+    * bootstrap a training-data pipeline runs to extend a small
+    * labeled seed set over a large unlabeled corpus (assign each
+    * unlabeled vector the majority label of its k nearest labeled
+    * neighbors). Exact neighbors here ([[bruteForceTopK]] — the
+    * unlabeled batch is the broadcast side, so cost is
+    * |corpus|·|batch| dot products, map-only); at 100 TB swap the
+    * ranker for [[ivfTopKIndexed]] over the maintained index and
+    * feed [[knnLabelVote]] directly — the vote is ranker-agnostic.
+    */
+  def knnLabel(labeled: DataFrame, unlabeled: DataFrame,
+               idCol: String, vecCol: String, labelCol: String,
+               k: Int = 10): DataFrame =
+    knnLabelVote(
+      bruteForceTopK(labeled, unlabeled, idCol, vecCol, idCol, k),
+      labeled, idCol, labelCol)
+
   /** Train the IVF coarse quantizer on a bounded, seeded sample of
     * the corpus — NEVER on the full corpus: k-means runs `maxIter`
     * full passes over its input, and centroid quality saturates far

@@ -65,8 +65,9 @@ class PlansSpec extends SparkSuite {
     // broadcast side is 1 row by construction at any SF
     // ann_ivf_incr_topk: the incremental-index twin ranks the same
     // tiny query set over the same nlist-bounded broadcast centroids
+    // ann_knn_label rides ann_brute_topk's broadcast-queries stream
     val nestedLoopOk = Set("dedup_embedding", "ann_brute_topk", "ann_ivf_topk",
-      "ann_ivf_incr_topk",
+      "ann_ivf_incr_topk", "ann_knn_label",
       "ann_lsh_topk", "ann_sq8_topk", "ann_pq_topk", "band_join_price",
       "corpus_top_terms_approx", "corpus_bm25_topk",
       "q11_important_parts", "q15_top_supplier",

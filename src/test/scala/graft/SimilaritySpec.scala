@@ -141,6 +141,27 @@ class SimilaritySpec extends SparkSuite {
     assert(reused === ivf)
   }
 
+  test("knnLabel: majority vote, deterministic tie-break to the lowest label") {
+    val labeled = Seq(
+      (1L, Array(1.0f, 0.0f), 7),
+      (2L, Array(0.9f, 0.1f), 7),
+      (3L, Array(0.0f, 1.0f), 3),
+      (4L, Array(0.1f, 0.9f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val unl = Seq((100L, Array(1.0f, 0.05f)), (101L, Array(0.05f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnLabel(labeled, unl, "vec_id", "embedding",
+        "label", k = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(out(100L) === ((7, 2L))) // both near neighbors vote 7
+    assert(out(101L) === ((3, 2L)))
+    // k=4 sees all four seeds → 2:2 tie → lowest label wins
+    val tied = Similarity.knnLabel(labeled, unl, "vec_id", "embedding",
+        "label", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(tied(100L) === 3 && tied(101L) === 3)
+  }
+
   test("incremental IVF: appended index batches answer identically to a full rebuild") {
     val queries = corpus.filter($"vec_id" % 16 === 0)
     val cents = Similarity.trainIvfQuantizer(corpus, "embedding", nlist = 8)
