@@ -736,6 +736,28 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("sharedRunsIncremental: fp-bucketed index keeps its joins exchange-free") {
+    withInspectablePlans {
+      import org.apache.spark.sql.functions.col
+      val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      val cut = 250L
+      val idx = Dedup.sharedRunsIndexFrame(corpus.filter(col("doc_id") < cut),
+        "doc_id", "text", k = 5, w = 4)
+      resetTable("sr_fp")
+      graft.sources.Sink.bucketedTableBy(idx, "sr_fp", Seq("fp"), 8)
+      val batch = corpus.filter(col("doc_id") >= cut)
+      val bucketed = Dedup.sharedRunsIncremental(spark.table("sr_fp"), batch,
+        "doc_id", "text", k = 5, w = 4, minShared = 1, maxDocFreq = 200)
+      assertScanJoinsExchangeFree(bucketed.queryExecution.executedPlan, "sr_fp")
+      val plain = Dedup.sharedRunsIncremental(idx, batch,
+        "doc_id", "text", k = 5, w = 4, minShared = 1, maxDocFreq = 200)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows(bucketed) === rows(plain))
+      Par.release()
+    }
+  }
+
   test("ngramJaccardIncremental: dual-bucketed postings keep the index exchange-free") {
     withInspectablePlans {
       import org.apache.spark.sql.functions.col
