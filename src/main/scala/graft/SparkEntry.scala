@@ -770,6 +770,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // streaming k-NN weak-labeling door (r11): the REAL knnLabelDoor
+    // stream over two id-split microbatches of unlabeled vectors
+    // plus a redelivery (no-op). The labeled seed corpus is FIXED
+    // and predictions never feed back into the vote, so the output
+    // is batch-split invariant — the oracle is ann_knn_label's vote
+    // replay verbatim
+    "stream_knn_label" -> ((s, d) => {
+      val base = graft.TempDirs.create("graft_stream_kl")
+      val inDir = s"$base/in"; val root = s"$base/store"
+      val embs = Tables.embeddings(s, d)
+      val labeled = embs.filter(col("vec_id") % 50 =!= 0)
+      val unlabeled = embs.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("embedding"))
+      unlabeled.filter(col("vec_id") < 250).write.parquet(inDir)
+      withShufflePartitions(s, 4) {
+        val stream = s.readStream.schema(unlabeled.schema).parquet(inDir)
+        val q = graft.streaming.EventStream.knnLabelDoor(stream, labeled,
+          root, s"$base/ckpt", "vec_id", "embedding", "label", k = 10)
+        try {
+          q.processAllAvailable() // day 1
+          unlabeled.filter(col("vec_id") >= 250).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // day 2: same static seed corpus
+          unlabeled.filter(col("vec_id") < 250).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // redelivery: idempotent no-op
+        } finally q.stop()
+      }
+      graft.sources.VersionedGroup.read(s, root, "labels")
+        .orderBy(col("vec_id"))
+    }),
+
     // streaming ingest-time DECONTAMINATION gate (r11): the REAL
     // decontamGate stream over two id-split training microbatches
     // plus a full redelivery (no-op). The eval gram index is STATIC,
@@ -3510,6 +3540,37 @@ object SparkEntry {
              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rn FROM scored)
            WHERE rn <= 10 ORDER BY query_id, rank"""
+
+  /** The k-NN vote replay shared by [[ann_knn_label]] and its
+    * streaming door twin (identical by construction: static seed
+    * corpus, per-row vote).
+    */
+  private val knnLabelOracleSql: String =
+    """WITH q AS (SELECT vec_id AS query_id,
+               CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+             WHERE vec_id % 50 = 0),
+           c AS (SELECT vec_id AS neighbor_id, label,
+               CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+             WHERE vec_id % 50 <> 0),
+           scored AS (
+             SELECT query_id, neighbor_id, label,
+               list_sum(list_transform(generate_series(1, len(cv)),
+                 i -> cv[i] * qv[i]))
+               / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+                  * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS cosine
+             FROM c, q),
+           topk AS (
+             SELECT query_id, label FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+             WHERE rn <= 10),
+           votes AS (
+             SELECT query_id, label, count(*) AS votes
+             FROM topk GROUP BY query_id, label)
+           SELECT query_id AS vec_id, label AS pred_label, votes FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY votes DESC, label) AS rn FROM votes)
+           WHERE rn = 1 ORDER BY vec_id"""
 
   private def minhashMd5Sql(pairWhere: String): String =
     s"""WITH gd AS (
@@ -6667,32 +6728,10 @@ object SparkEntry {
 
       // k-NN weak labeling: exact top-10 neighbors then an integer
       // majority vote, ties to the lowest label
-      "ann_knn_label" ->
-        """WITH q AS (SELECT vec_id AS query_id,
-               CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
-             WHERE vec_id % 50 = 0),
-           c AS (SELECT vec_id AS neighbor_id, label,
-               CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
-             WHERE vec_id % 50 <> 0),
-           scored AS (
-             SELECT query_id, neighbor_id, label,
-               list_sum(list_transform(generate_series(1, len(cv)),
-                 i -> cv[i] * qv[i]))
-               / (sqrt(list_sum(list_transform(cv, x -> x * x)))
-                  * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS cosine
-             FROM c, q),
-           topk AS (
-             SELECT query_id, label FROM (
-               SELECT *, row_number() OVER (PARTITION BY query_id
-                 ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
-             WHERE rn <= 10),
-           votes AS (
-             SELECT query_id, label, count(*) AS votes
-             FROM topk GROUP BY query_id, label)
-           SELECT query_id AS vec_id, label AS pred_label, votes FROM (
-             SELECT *, row_number() OVER (PARTITION BY query_id
-               ORDER BY votes DESC, label) AS rn FROM votes)
-           WHERE rn = 1 ORDER BY vec_id""",
+      // shared by the batch form and the streaming door (static seed
+      // corpus => batch-split-invariant predictions)
+      "ann_knn_label" -> knnLabelOracleSql,
+      "stream_knn_label" -> knnLabelOracleSql,
 
       "ann_brute_topk" ->
         """WITH q AS (SELECT vec_id AS query_id,

@@ -479,6 +479,50 @@ object EventStream {
       }
       .start()
 
+  /** Streaming k-NN WEAK-LABELING door (r11) — the enrichment twin
+    * of the ingest gates: every microbatch of UNLABELED embedding
+    * rows is labeled by majority vote of its k nearest neighbors in
+    * the FIXED labeled seed corpus
+    * ([[graft.operators.Similarity.knnLabel]] — integer votes,
+    * deterministic tie-break) and the predictions commit as one
+    * [[graft.sources.VersionedGroup]] version. The seed corpus is
+    * static — predicted labels are NEVER fed back into the voting
+    * set, so the output is batch-split invariant (the
+    * [[decontamGate]] argument) and redelivery converges: already-
+    * labeled ids anti-join out, re-delivered rows re-vote
+    * identically and commit nothing.
+    */
+  def knnLabelDoor(unlabeled: DataFrame, labeled: DataFrame,
+                   root: String, checkpoint: String,
+                   idCol: String, vecCol: String, labelCol: String,
+                   k: Int = 10): StreamingQuery =
+    unlabeled.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import graft.operators.Similarity
+          import graft.sources.VersionedGroup
+          val hasOut = VersionedGroup.currentVersion(spark, root) >= 1
+          val cached = graft.Par.persistTracked(
+            batch.select(col(idCol), col(vecCol)))
+          val fresh =
+            if (!hasOut) cached
+            else cached.join(VersionedGroup.read(spark, root, "labels")
+              .select(col(idCol)), Seq(idCol), "left_anti")
+          val preds = Similarity.knnLabel(labeled, fresh, idCol, vecCol,
+            labelCol, k)
+          if (!preds.isEmpty) {
+            VersionedGroup.commit(root, Map("labels" -> preds),
+              replace = !hasOut)
+            ()
+          }
+          graft.Par.release()
+        }
+      }
+      .start()
+
   /** Streaming SEGMENT-level dedup gate (r9) — the sub-document
     * twin of [[nearDupGate]], CCNet line-dedup at the ingest door:
     * every microbatch is segment-deduped against the persistent

@@ -454,6 +454,51 @@ class StreamingSpec extends SparkSuite {
     Par.release()
   }
 
+  test("knnLabelDoor: batch labeling against the static seed, replay no-op") {
+    import graft.sources.VersionedGroup
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+    val src = tmpDir("klgate-src")
+    val root = tmpDir("klgate-root") + "/idx"
+    val labeled = Seq(
+      (1L, Array(1.0f, 0.0f), 7), (2L, Array(0.9f, 0.1f), 7),
+      (3L, Array(0.0f, 1.0f), 3), (4L, Array(0.1f, 0.9f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    def land(name: String, rows: Seq[(Long, Array[Float])]): Unit = {
+      val staging = tmpDir("klgate-stage")
+      rows.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(src, s"$name.parquet"))
+    }
+    land("b0", Seq((100L, Array(1.0f, 0.05f))))
+    val stream = spark.readStream.schema(StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .parquet(src)
+    val q = EventStream.knnLabelDoor(stream, labeled, root,
+      tmpDir("klgate-ckpt"), "vec_id", "embedding", "label", k = 2)
+    q.processAllAvailable()
+    def preds = VersionedGroup.read(spark, root, "labels")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(preds === Map(100L -> 7))
+    assert(VersionedGroup.currentVersion(spark, root) === 1)
+
+    land("b1", Seq((101L, Array(0.05f, 1.0f))))
+    q.processAllAvailable()
+    assert(preds === Map(100L -> 7, 101L -> 3))
+    assert(VersionedGroup.currentVersion(spark, root) === 2)
+
+    // redelivery: already-labeled id filters out, no version churn
+    land("b2", Seq((100L, Array(1.0f, 0.05f))))
+    q.processAllAvailable()
+    assert(preds === Map(100L -> 7, 101L -> 3))
+    assert(VersionedGroup.currentVersion(spark, root) === 2)
+    q.stop()
+    Par.release()
+  }
+
   test("enrichAsOf: a late event gets the dimension version true at ITS time") {
     import org.apache.spark.sql.functions.lit
     val src = tmpDir("asof-src")
