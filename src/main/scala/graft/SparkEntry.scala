@@ -1069,6 +1069,54 @@ object SparkEntry {
 
     // versioned table: commit v1, upsert to v2, then time-travel —
     // BOTH versions graded from one immutable table
+    // data-contract compatibility gate (r11): the schema-only check
+    // a load runs before any data movement — one batch exercising
+    // all five classifications (unchanged / widened / changed /
+    // removed / added); the oracle states the verdict table
+    // literally, proving the classification rules, not a data pass
+    "schema_compat_report" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val contract = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("value", DoubleType), StructField("event_type", StringType),
+        StructField("ts", TimestampType)))
+      val incoming = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("user_id", IntegerType),  // widened: int ⊂ bigint
+        StructField("value", StringType),     // changed: lossy drift
+        StructField("event_type", StringType),
+        StructField("props", StringType)))    // added; ts removed
+      graft.sources.SchemaEvolution.compatReport(s, contract, incoming)
+        .orderBy(col("column"))
+    }),
+
+    // storage-reclaim vacuum graded end-to-end (r11): three committed
+    // versions, vacuum keeps only the head — the entry eagerly
+    // requires segment dirs were actually removed AND the vacuumed
+    // version is no longer readable, then grades the head content
+    // (the row set maintenance must never change)
+    "versioned_vacuum" -> ((s, d) => {
+      val dir = graft.TempDirs.create("graft_vac_")
+      val base = Models.stgCustomer(s, d).select(col("customer_id"),
+        col("customer_name"), col("account_balance"))
+      require(graft.sources.Versioned.commit(base, dir) == 1)
+      require(graft.sources.Versioned.commit(
+        base.withColumn("account_balance", col("account_balance") + 10.0),
+        dir, replace = true) == 2)
+      require(graft.sources.Versioned.commit(
+        base.filter(col("customer_id") % 2 === 0)
+          .withColumn("account_balance", col("account_balance") * 2.0),
+        dir, replace = true) == 3)
+      val removed = graft.sources.Versioned.vacuum(s, dir,
+        keepVersions = 1, retentionMs = 0L)
+      require(removed >= 2, s"vacuum removed only $removed segment dirs")
+      val v1Gone =
+        try { graft.sources.Versioned.read(s, dir, Some(1)).count(); false }
+        catch { case _: Exception => true }
+      require(v1Gone, "vacuumed version 1 is still readable")
+      graft.sources.Versioned.read(s, dir).orderBy(col("customer_id"))
+    }),
+
     "versioned_time_travel" -> ((s, d) => {
       val dir = graft.TempDirs.create("graft_vtt_")
       val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
@@ -4960,6 +5008,26 @@ object SparkEntry {
              c_nationkey AS nation_id, c_acctbal AS account_balance,
              c_mktsegment AS market_segment
            FROM customer ORDER BY customer_id""",
+
+      // the contract verdict table, stated literally
+      "schema_compat_report" ->
+        """SELECT * FROM (VALUES
+             ('event_id', 'bigint', 'bigint', 'unchanged', true),
+             ('event_type', 'string', 'string', 'unchanged', true),
+             ('props', CAST(NULL AS VARCHAR), 'string', 'added', true),
+             ('ts', 'timestamp', CAST(NULL AS VARCHAR), 'removed', false),
+             ('user_id', 'bigint', 'int', 'widened', true),
+             ('value', 'double', 'string', 'changed', false)
+           ) AS t("column", contract_type, incoming_type, change, compatible)
+           ORDER BY "column"""",
+
+      // vacuum grades the HEAD content: v3 replaced the table with
+      // the doubled-balance even-customer slice
+      "versioned_vacuum" ->
+        """SELECT c_custkey AS customer_id, c_name AS customer_name,
+             c_acctbal * 2 AS account_balance
+           FROM customer WHERE c_custkey % 2 = 0
+           ORDER BY customer_id""",
 
       "versioned_time_travel" ->
         """WITH base AS (

@@ -45,6 +45,44 @@ object SchemaEvolution {
     df.select(conformed ++ extras: _*)
   }
 
+  /** Data-contract compatibility report — the schema gate a load
+    * runs BEFORE any data movement (schema-only, no scan): classify
+    * every column of the incoming batch against the registered
+    * contract. `added` (new nullable column the warehouse can absorb
+    * via [[evolve]]) and `widened` (the incoming type up-casts
+    * LOSSLESSLY into the contract type — Catalyst's `canUpCast`
+    * rule) are compatible; `removed`, `narrowed`/`changed` (lossy or
+    * incompatible type drift) are breaking. One row per column,
+    * `compatible` false = block the load and page the producer.
+    */
+  def compatReport(spark: org.apache.spark.sql.SparkSession,
+                   contract: StructType, incoming: StructType): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    val inMap = incoming.fields.map(f => f.name -> f).toMap
+    val known = contract.fieldNames.toSet
+    val rows: Seq[(String, String, String, String, Boolean)] =
+      contract.fields.toSeq.map { f =>
+        inMap.get(f.name) match {
+          case None =>
+            (f.name, f.dataType.simpleString, null, "removed", false)
+          case Some(g) if g.dataType == f.dataType =>
+            (f.name, f.dataType.simpleString, g.dataType.simpleString,
+              "unchanged", true)
+          case Some(g) if Cast.canUpCast(g.dataType, f.dataType) =>
+            (f.name, f.dataType.simpleString, g.dataType.simpleString,
+              "widened", true)
+          case Some(g) =>
+            (f.name, f.dataType.simpleString, g.dataType.simpleString,
+              "changed", false)
+        }
+      } ++ incoming.fields.toSeq.filterNot(f => known(f.name)).map { g =>
+        (g.name, null, g.dataType.simpleString, "added", true)
+      }
+    import spark.implicits._
+    rows.toDF("column", "contract_type", "incoming_type", "change",
+      "compatible")
+  }
+
   /** Union batches whose schemas drifted: the combined schema is the
     * evolution of the first batch's schema by each later batch;
     * every batch is aligned (null-filled / cast) before the union.

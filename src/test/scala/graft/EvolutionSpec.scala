@@ -83,6 +83,26 @@ class EvolutionSpec extends SparkSuite {
     }
   }
 
+  test("compatReport classifies all five contract outcomes; widening is canUpCast") {
+    import org.apache.spark.sql.types._
+    val contract = StructType(Seq(
+      StructField("a", LongType), StructField("b", DoubleType),
+      StructField("c", StringType), StructField("d", TimestampType)))
+    val incoming = StructType(Seq(
+      StructField("a", IntegerType),  // widened (lossless upcast)
+      StructField("b", StringType),   // changed (no numeric upcast)
+      StructField("c", StringType),   // unchanged
+      StructField("e", StringType)))  // added; d removed
+    val rep = SchemaEvolution.compatReport(spark, contract, incoming)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(3), r.getBoolean(4)))).toMap
+    assert(rep("a") === (("widened", true)))
+    assert(rep("b") === (("changed", false)))
+    assert(rep("c") === (("unchanged", true)))
+    assert(rep("d") === (("removed", false)))
+    assert(rep("e") === (("added", true)))
+  }
+
   test("profile and profileApprox agree on nulls/rows and near-agree on distincts") {
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")
     val exact = graft.operators.Quality.profile(orders, Seq("o_orderstatus", "o_custkey"))
