@@ -2422,6 +2422,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // column-level PII exposure scan (r11): the governance screen a
+    // table passes before training/export clearance — every string
+    // column × PII kind gets (rows hit, total hits) from ONE scan
+    // using the SAME patterns the redaction pass applies. The text
+    // column is seeded with one email/url/ip per doc (the
+    // doc_pii_redact corpus), lang/source must screen clean
+    "pii_column_scan" -> ((s, d) => {
+      val seeded = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+          lit(" see https://ex.org/p/"), col("doc_id").cast("string"),
+          lit(" from 10.1.2.3")).as("text"),
+        col("lang"), col("source"))
+      Quality.piiColumnScan(seeded, Seq("text", "lang", "source"))
+        .orderBy(col("column_name"), col("pii_kind"))
+    }),
+
     // salted pseudonymization (r8-cont): both sides tokenize their
     // key under one salt and the JOIN RUNS ON TOKENS — the graded
     // aggregate (incl. a sample token value) proves referential
@@ -6228,6 +6245,33 @@ object SparkEntry {
              CAST(length(regexp_extract_all(text,
                '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips
            FROM seeded ORDER BY doc_id""",
+
+      // the column-level scan: same patterns, same seeded corpus;
+      // one UNION-ALL arm per (column, kind)
+      "pii_column_scan" -> {
+        val kinds = Seq(
+          "email" -> """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
+          "url" -> """https?://[^\s]+""",
+          "ipv4" -> """([0-9]{1,3}\.){3}[0-9]{1,3}""")
+        val arms = for {
+          c <- Seq("text", "lang", "source"); (k, p) <- kinds
+        } yield
+          s"""SELECT '$c' AS column_name, '$k' AS pii_kind,
+                count(*) AS n_rows,
+                CAST(sum(CASE WHEN len(regexp_extract_all($c, '$p')) > 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_hit,
+                CAST(sum(len(regexp_extract_all($c, '$p'))) AS BIGINT) AS n_hits
+              FROM seeded"""
+        s"""WITH seeded AS (
+             SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com see https://ex.org/p/'
+                    || CAST(doc_id AS VARCHAR) || ' from 10.1.2.3' AS text,
+               lang, source
+             FROM documents)
+           SELECT * FROM (${arms.mkString(" UNION ALL ")})
+           ORDER BY column_name, pii_kind"""
+      },
 
       "dq_numeric_profile" ->
         """SELECT column_name, n_rows, n_null, min_value, max_value, p50, p90 FROM (

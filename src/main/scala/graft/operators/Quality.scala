@@ -628,4 +628,44 @@ object Quality {
       .select(col("rank").cast("long").as("rank"), col("key"), col("n"),
         col("share"), col("cum_share"))
   }
+
+  /** Column-level PII exposure scan — the governance screen run
+    * before a table is cleared for training or export: for every
+    * (string column, PII kind) pair, how many rows hit and how many
+    * total occurrences ([[graft.functions.Text]]'s email / URL /
+    * IPv4 patterns — the same regexes the redaction pass uses, so
+    * scan and scrub can never disagree about what counts as PII).
+    *
+    * ONE scan regardless of column count: all column×kind aggregates
+    * compute in a single pass (codegen'd regexp counts, no shuffle —
+    * an agg-without-grouping), and only the one aggregated row comes
+    * to the driver to be unpivoted into the (bounded, cols×kinds)
+    * report frame. Integer counts only — cross-engine exact.
+    */
+  def piiColumnScan(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "piiColumnScan needs at least one column")
+    import graft.functions.Text
+    val kinds = Seq(("email", Text.EmailPattern), ("url", Text.UrlPattern),
+      ("ipv4", Text.Ipv4Pattern))
+    def hitsIn(c: String, p: String): Column =
+      size(regexp_extract_all(coalesce(col(c), lit("")), lit(p), lit(0)))
+    val aggCols: Seq[Column] = (for {
+      c <- cols; (k, p) <- kinds
+      // null-safe on empty input (the keySkew lesson: sum over zero
+      // rows is NULL)
+      agg <- Seq(
+        coalesce(sum(hitsIn(c, p).cast("long")), lit(0L))
+          .as(s"__h__${c}__$k"),
+        coalesce(sum(when(hitsIn(c, p) > 0, 1L).otherwise(0L)), lit(0L))
+          .as(s"__r__${c}__$k"))
+    } yield agg) :+ count(lit(1)).as("__n")
+    val row = df.agg(aggCols.head, aggCols.tail: _*).head()
+    val nRows = row.getAs[Long]("__n")
+    val out = for { c <- cols; (k, _) <- kinds } yield
+      (c, k, nRows, row.getAs[Long](s"__r__${c}__$k"),
+        row.getAs[Long](s"__h__${c}__$k"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.toDF("column_name", "pii_kind", "n_rows", "n_rows_hit", "n_hits")
+  }
 }

@@ -166,4 +166,26 @@ class QualitySpec extends SparkSuite {
     assert(out(5L) === ((None, None)) && out(6L) === ((None, None)))
     assert(out(7L) === ((None, None)))
   }
+
+  test("piiColumnScan: per-(column, kind) counts, nulls safe, clean columns zero") {
+    val df = Seq(
+      (1L, "mail a@b.co and c@d.org plus http://x.io", "en"),
+      (2L, "ip 10.0.0.1 here", "fr"),
+      (3L, null.asInstanceOf[String], "en")
+    ).toDF("id", "body", "lang")
+    val out = Quality.piiColumnScan(df, Seq("body", "lang"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(("body", "email")) === ((3L, 1L, 2L))) // one row, two emails
+    assert(out(("body", "url")) === ((3L, 1L, 1L)))
+    assert(out(("body", "ipv4")) === ((3L, 1L, 1L)))
+    // the clean column screens zero across all kinds
+    Seq("email", "url", "ipv4").foreach { k =>
+      assert(out(("lang", k)) === ((3L, 0L, 0L)))
+    }
+    // empty input: zero-filled report, not a driver NPE
+    val empty = Quality.piiColumnScan(df.filter(col("id") < 0), Seq("body"))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(4))).toSet
+    assert(empty === Set(("email", 0L, 0L), ("url", 0L, 0L), ("ipv4", 0L, 0L)))
+  }
 }
