@@ -2751,6 +2751,16 @@ object SparkEntry {
             .select(col("user_id"), col("event_id"), col("ts"), col("event_type")),
           touchTypes = Seq("click", "view"), convType = "purchase")
         .orderBy(col("conv_id"))),
+    // LINEAR multi-touch attribution (r11): every in-window touch
+    // (capped at the 50 most recent) shares the conversion's credit
+    // equally — per-row rational credit rounded once, no float sums,
+    // one row per (conversion, credited touch)
+    "events_attribution_linear" -> ((s, d) =>
+      Analytics.attributionLinear(
+          Tables.events(s, d)
+            .select(col("user_id"), col("event_id"), col("ts"), col("event_type")),
+          touchTypes = Seq("click", "view"), convType = "purchase")
+        .orderBy(col("conv_id"), col("touch_id"))),
     // exponentially-decayed activity feature: α=0.5 depth-16 lag
     // chain — power-of-two scaling + pinned add order make the doubles
     // bit-exact cross-engine (no rounding in the output)
@@ -7080,6 +7090,33 @@ object SparkEntry {
                  - date_diff('second', TIMESTAMP '1970-01-01', t_ts) <= 604800
                THEN t_ts END AS touch_ts
            FROM c WHERE is_conv = 1 ORDER BY conv_id""",
+
+      // linear multi-touch: per-conversion equal split over the 50
+      // most recent in-window touches, credit rounded once per row
+      "events_attribution_linear" ->
+        """WITH t AS (
+             SELECT user_id, event_id AS touch_id,
+               CAST(ts AS TIMESTAMP) AS touch_ts
+             FROM events WHERE event_type IN ('click', 'view')
+           ), c AS (
+             SELECT user_id, event_id AS conv_id,
+               CAST(ts AS TIMESTAMP) AS conv_ts
+             FROM events WHERE event_type = 'purchase'
+           ), j AS (
+             SELECT c.user_id, conv_id, conv_ts, touch_id, touch_ts
+             FROM c JOIN t USING (user_id)
+             WHERE touch_ts <= conv_ts
+               AND date_diff('second', TIMESTAMP '1970-01-01', conv_ts)
+                 - date_diff('second', TIMESTAMP '1970-01-01', touch_ts)
+                 <= 604800
+           ), k AS (
+             SELECT *, row_number() OVER (PARTITION BY conv_id
+               ORDER BY touch_ts DESC, touch_id DESC) AS r
+             FROM j)
+           SELECT user_id, conv_id, conv_ts, touch_id, touch_ts,
+             round(1.0 / (count(*) OVER (PARTITION BY conv_id)), 6) AS credit
+           FROM k WHERE r <= 50
+           ORDER BY conv_id, touch_id""",
 
       // α=0.5 depth-16 lag chain, literals written as exact decimal
       // expansions of 2⁻ᵏ; left-to-right adds in both engines

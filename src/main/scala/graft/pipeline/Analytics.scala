@@ -1111,6 +1111,49 @@ object Analytics {
     * touches resolve to the highest event_id — deterministic under
     * unique ids.
     */
+  /** LINEAR multi-touch attribution — the fair-split companion to
+    * [[attributionLastTouch]]: every touch inside the lookback
+    * window shares the conversion's credit equally (`1/n`, rounded
+    * once — per-row rational, NO float sums anywhere, so the output
+    * is cross-engine exact). Output is one row per (conversion,
+    * credited touch).
+    *
+    * Fan-out bound: the per-user join is conversions × in-window
+    * touches — unbounded for a hot user with a long lookback — so
+    * `maxTouches` caps credit at the most RECENT n touches per
+    * conversion (the practical attribution-window cap, and the
+    * structural bound that survives 100 TB: the per-conversion
+    * window ranks at most the in-window touches and keeps ≤
+    * maxTouches). One user-keyed shuffle + one conversion-keyed
+    * window over the capped rows — the Theil–Sen cap discipline.
+    */
+  def attributionLinear(events: DataFrame, touchTypes: Seq[String],
+                        convType: String,
+                        lookbackSec: Long = 7L * 24 * 3600,
+                        maxTouches: Int = 50): DataFrame = {
+    require(maxTouches >= 1, "maxTouches >= 1")
+    val touches = events.filter(col("event_type").isin(touchTypes.map(lit): _*))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("ts").as("touch_ts"))
+    val convs = events.filter(col("event_type") === convType)
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("ts").as("conv_ts"))
+    val joined = convs.join(touches, Seq("user_id"))
+      .filter(col("touch_ts") <= col("conv_ts") &&
+        unix_timestamp(col("conv_ts")) - unix_timestamp(col("touch_ts"))
+          <= lookbackSec)
+    val recency = Window.partitionBy(col("conv_id"))
+      .orderBy(col("touch_ts").desc, col("touch_id").desc)
+    val perConv = Window.partitionBy(col("conv_id"))
+    joined
+      .withColumn("__r", row_number().over(recency))
+      .filter(col("__r") <= maxTouches)
+      .withColumn("n_touches", count(lit(1)).over(perConv))
+      .select(col("user_id"), col("conv_id"), col("conv_ts"),
+        col("touch_id"), col("touch_ts"),
+        round(lit(1.0) / col("n_touches"), 6).as("credit"))
+  }
+
   def attributionLastTouch(events: DataFrame, touchTypes: Seq[String],
                            convType: String,
                            lookbackSec: Long = 7L * 24 * 3600): DataFrame = {

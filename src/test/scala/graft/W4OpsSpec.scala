@@ -164,6 +164,39 @@ class W4OpsSpec extends SparkSuite {
       41L -> None, 50L -> None, 60L -> None))
   }
 
+  test("attributionLinear: equal split, lookback cut, recency cap, no-touch drops") {
+    val ev = Seq(
+      // u1: three in-window touches → each gets 1/3
+      ("u1", 10L, "2024-01-01 00:00:00", "click"),
+      ("u1", 11L, "2024-01-01 01:00:00", "view"),
+      ("u1", 12L, "2024-01-01 02:00:00", "click"),
+      ("u1", 20L, "2024-01-01 03:00:00", "purchase"),
+      // u2: one touch OUTSIDE the lookback is cut → the one inside
+      // gets full credit
+      ("u2", 30L, "2024-01-01 00:00:00", "view"),
+      ("u2", 31L, "2024-01-09 00:00:00", "click"),
+      ("u2", 32L, "2024-01-10 00:00:00", "purchase"),
+      // u3: no touches → the conversion emits NO rows (unlike
+      // last-touch's null row: linear credit has nobody to pay)
+      ("u3", 40L, "2024-01-05 00:00:00", "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val got = Analytics.attributionLinear(ev, Seq("click", "view"),
+        "purchase", lookbackSec = 7L * 24 * 3600)
+      .collect().map(r => (r.getAs[Long]("conv_id"), r.getAs[Long]("touch_id"))
+        -> r.getAs[Double]("credit")).toMap
+    assert(got === Map(
+      (20L, 10L) -> 0.333333, (20L, 11L) -> 0.333333, (20L, 12L) -> 0.333333,
+      (32L, 31L) -> 1.0))
+    // recency cap: maxTouches=2 keeps the two most recent of u1's three
+    val capped = Analytics.attributionLinear(ev, Seq("click", "view"),
+        "purchase", lookbackSec = 7L * 24 * 3600, maxTouches = 2)
+      .filter(col("conv_id") === 20L)
+      .collect().map(r => r.getAs[Long]("touch_id") ->
+        r.getAs[Double]("credit")).toMap
+    assert(capped === Map(11L -> 0.5, 12L -> 0.5))
+  }
+
   // ---- Analytics: decayed feature ----
 
   test("decayed feature: truncated geometric sum in (ts, id) order per user") {
