@@ -1750,6 +1750,15 @@ object SparkEntry {
       Tables.documents(s, d)
         .select(col("doc_id"), functions.Text.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
+    // lang-ID evaluation harness (r11): predicted vs labeled language
+    // as a confusion matrix — the screen that tells you WHERE the
+    // heuristic fails before you trust it to route a corpus
+    "lang_id_confusion" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), functions.Text.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("lang_pred"))),
     // rolling 64-bit content fingerprint (xxhash64 arithmetic is not
     // DuckDB-portable → rows-only; TextSpec pins the semantics)
     "doc_fingerprint" -> ((s, d) =>
@@ -2761,6 +2770,16 @@ object SparkEntry {
             .select(col("user_id"), col("event_id"), col("ts"), col("event_type")),
           touchTypes = Seq("click", "view"), convType = "purchase")
         .orderBy(col("conv_id"), col("touch_id"))),
+    // U-shaped (position-based) attribution (r11): first and last
+    // in-window touches carry 40% each, middles split the remainder;
+    // same per-row-rational + recency-cap discipline as the linear
+    // form
+    "events_attribution_ushape" -> ((s, d) =>
+      Analytics.attributionPositionBased(
+          Tables.events(s, d)
+            .select(col("user_id"), col("event_id"), col("ts"), col("event_type")),
+          touchTypes = Seq("click", "view"), convType = "purchase")
+        .orderBy(col("conv_id"), col("touch_id"))),
     // exponentially-decayed activity feature: α=0.5 depth-16 lag
     // chain — power-of-two scaling + pinned add order make the doubles
     // bit-exact cross-engine (no rounding in the output)
@@ -3728,6 +3747,24 @@ object SparkEntry {
          ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END"""
     def stopHits(words: String, list: Seq[String]): String =
       s"CAST(len(list_filter($words, w -> w IN (${list.map(w => s"'$w'").mkString(",")}))) AS BIGINT)"
+
+    // the lang-ID replay shared by doc_lang_id and lang_id_confusion:
+    // per-language stopword hit counts → argmax with und fallback
+    val langScores = Seq(
+      "en" -> functions.Text.StopwordsEn, "fr" -> functions.Text.StopwordsFr,
+      "de" -> functions.Text.StopwordsDe, "es" -> functions.Text.StopwordsEs,
+      "zh" -> functions.Text.StopwordsZh)
+    val langPredCaseSql = "CASE " + langScores.map { case (l, _) =>
+      s"WHEN hits_$l > 0 AND hits_$l = best THEN '$l'" }.mkString(" ") +
+      " ELSE 'und' END"
+    val langPredBaseSql = {
+      val hitCols = langScores.map { case (l, ws) =>
+        s"${stopHits("words", ws)} AS hits_$l" }.mkString(", ")
+      val bestExpr = langScores.map { case (l, _) => s"hits_$l" }.mkString(", ")
+      s"""SELECT doc_id, $bestExpr, greatest($bestExpr) AS best FROM (
+            SELECT doc_id, $hitCols FROM (
+              SELECT doc_id, string_split($norm, ' ') AS words FROM documents))"""
+    }
 
     val base = Map(
       "q1_pricing_summary" ->
@@ -5715,22 +5752,21 @@ object SparkEntry {
            SELECT doc_id, n_words FROM c WHERE cum <= 15000
            ORDER BY doc_id""",
 
-      "doc_lang_id" -> {
-        val scores = Seq(
-          "en" -> functions.Text.StopwordsEn, "fr" -> functions.Text.StopwordsFr,
-          "de" -> functions.Text.StopwordsDe, "es" -> functions.Text.StopwordsEs,
-          "zh" -> functions.Text.StopwordsZh)
-        val hitCols = scores.map { case (l, ws) =>
-          s"${stopHits("words", ws)} AS hits_$l" }.mkString(", ")
-        val bestExpr = scores.map { case (l, _) => s"hits_$l" }.mkString(", ")
-        val caseExpr = scores.map { case (l, _) =>
-          s"WHEN hits_$l > 0 AND hits_$l = best THEN '$l'" }.mkString(" ")
-        s"""SELECT doc_id, CASE $caseExpr ELSE 'und' END AS lang_pred FROM (
-              SELECT doc_id, $bestExpr, greatest($bestExpr) AS best FROM (
-                SELECT doc_id, $hitCols FROM (
-                  SELECT doc_id, string_split($norm, ' ') AS words FROM documents)))
-            ORDER BY doc_id"""
-      },
+      "doc_lang_id" ->
+        s"""SELECT doc_id, $langPredCaseSql AS lang_pred
+            FROM ($langPredBaseSql)
+            ORDER BY doc_id""",
+
+      // the heuristic's evaluation harness: predicted vs labeled
+      // language, grouped — integer counts, the same prediction SQL
+      "lang_id_confusion" ->
+        s"""WITH pred AS (
+              SELECT doc_id, $langPredCaseSql AS lang_pred
+              FROM ($langPredBaseSql))
+            SELECT d.lang, p.lang_pred, count(*) AS n_docs
+            FROM documents d JOIN pred p USING (doc_id)
+            GROUP BY d.lang, p.lang_pred
+            ORDER BY d.lang, p.lang_pred""",
 
       "multimodal_features" ->
         """WITH idx AS (
@@ -7117,6 +7153,42 @@ object SparkEntry {
              round(1.0 / (count(*) OVER (PARTITION BY conv_id)), 6) AS credit
            FROM k WHERE r <= 50
            ORDER BY conv_id, touch_id""",
+
+      // U-shaped: positions computed over the capped set; the middle
+      // weight is written as the SAME double expression Spark folds
+      // (1.0 - 0.4 - 0.4), so rounding sees identical inputs
+      "events_attribution_ushape" ->
+        """WITH t AS (
+             SELECT user_id, event_id AS touch_id,
+               CAST(ts AS TIMESTAMP) AS touch_ts
+             FROM events WHERE event_type IN ('click', 'view')
+           ), c AS (
+             SELECT user_id, event_id AS conv_id,
+               CAST(ts AS TIMESTAMP) AS conv_ts
+             FROM events WHERE event_type = 'purchase'
+           ), j AS (
+             SELECT c.user_id, conv_id, conv_ts, touch_id, touch_ts
+             FROM c JOIN t USING (user_id)
+             WHERE touch_ts <= conv_ts
+               AND date_diff('second', TIMESTAMP '1970-01-01', conv_ts)
+                 - date_diff('second', TIMESTAMP '1970-01-01', touch_ts)
+                 <= 604800
+           ), k AS (
+             SELECT *, row_number() OVER (PARTITION BY conv_id
+               ORDER BY touch_ts DESC, touch_id DESC) AS r
+             FROM j
+           ), f AS (
+             SELECT * FROM k WHERE r <= 50
+           ), p AS (
+             SELECT *, row_number() OVER (PARTITION BY conv_id
+                 ORDER BY touch_ts ASC, touch_id ASC) AS pos,
+               count(*) OVER (PARTITION BY conv_id) AS n
+             FROM f)
+           SELECT user_id, conv_id, conv_ts, touch_id, touch_ts,
+             round(CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5
+               WHEN pos = 1 THEN 0.4 WHEN pos = n THEN 0.4
+               ELSE (1.0 - 0.4 - 0.4) / (n - 2) END, 6) AS credit
+           FROM p ORDER BY conv_id, touch_id""",
 
       // α=0.5 depth-16 lag chain, literals written as exact decimal
       // expansions of 2⁻ᵏ; left-to-right adds in both engines

@@ -1154,6 +1154,58 @@ object Analytics {
         round(lit(1.0) / col("n_touches"), 6).as("credit"))
   }
 
+  /** POSITION-BASED (U-shaped) multi-touch attribution — the third
+    * standard model next to [[attributionLastTouch]] and
+    * [[attributionLinear]]: the FIRST and LAST in-window touches
+    * carry `firstWeight`/`lastWeight` (default the classic 40/40),
+    * middles split the remainder equally. Degenerate conventions:
+    * one touch takes 1.0, two touches split 0.5/0.5. Same join +
+    * recency-cap shape as the linear form (positions are computed
+    * over the KEPT set), and the same exactness discipline: per-row
+    * rational credits rounded once, NO float sums.
+    */
+  def attributionPositionBased(events: DataFrame, touchTypes: Seq[String],
+                               convType: String,
+                               lookbackSec: Long = 7L * 24 * 3600,
+                               maxTouches: Int = 50,
+                               firstWeight: Double = 0.4,
+                               lastWeight: Double = 0.4): DataFrame = {
+    require(maxTouches >= 1, "maxTouches >= 1")
+    require(firstWeight >= 0 && lastWeight >= 0 &&
+      firstWeight + lastWeight <= 1.0, "weights must sum to <= 1")
+    val touches = events.filter(col("event_type").isin(touchTypes.map(lit): _*))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("ts").as("touch_ts"))
+    val convs = events.filter(col("event_type") === convType)
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("ts").as("conv_ts"))
+    val joined = convs.join(touches, Seq("user_id"))
+      .filter(col("touch_ts") <= col("conv_ts") &&
+        unix_timestamp(col("conv_ts")) - unix_timestamp(col("touch_ts"))
+          <= lookbackSec)
+    val recency = Window.partitionBy(col("conv_id"))
+      .orderBy(col("touch_ts").desc, col("touch_id").desc)
+    val byTime = Window.partitionBy(col("conv_id"))
+      .orderBy(col("touch_ts").asc, col("touch_id").asc)
+    val perConv = Window.partitionBy(col("conv_id"))
+    val n = col("n_touches")
+    val credit =
+      when(n === 1, lit(1.0))
+        .when(n === 2, lit(0.5))
+        .when(col("__pos") === 1, lit(firstWeight))
+        .when(col("__pos") === n, lit(lastWeight))
+        .otherwise(lit(1.0 - firstWeight - lastWeight) /
+          (n - 2).cast("double"))
+    joined
+      .withColumn("__r", row_number().over(recency))
+      .filter(col("__r") <= maxTouches)
+      .withColumn("__pos", row_number().over(byTime))
+      .withColumn("n_touches", count(lit(1)).over(perConv))
+      .select(col("user_id"), col("conv_id"), col("conv_ts"),
+        col("touch_id"), col("touch_ts"),
+        round(credit, 6).as("credit"))
+  }
+
   def attributionLastTouch(events: DataFrame, touchTypes: Seq[String],
                            convType: String,
                            lookbackSec: Long = 7L * 24 * 3600): DataFrame = {

@@ -197,6 +197,33 @@ class W4OpsSpec extends SparkSuite {
     assert(capped === Map(11L -> 0.5, 12L -> 0.5))
   }
 
+  test("attributionPositionBased: 40/40 ends, middles split, degenerate 1/2-touch") {
+    val ev = Seq(
+      // u1: four touches → 0.4, 0.1, 0.1, 0.4 (time order 10,11,12,13)
+      ("u1", 10L, "2024-01-01 00:00:00", "click"),
+      ("u1", 11L, "2024-01-01 01:00:00", "view"),
+      ("u1", 12L, "2024-01-01 02:00:00", "click"),
+      ("u1", 13L, "2024-01-01 03:00:00", "view"),
+      ("u1", 20L, "2024-01-01 04:00:00", "purchase"),
+      // u2: two touches → 0.5 each
+      ("u2", 30L, "2024-01-02 00:00:00", "click"),
+      ("u2", 31L, "2024-01-02 01:00:00", "view"),
+      ("u2", 32L, "2024-01-02 02:00:00", "purchase"),
+      // u3: one touch → full credit
+      ("u3", 40L, "2024-01-03 00:00:00", "click"),
+      ("u3", 41L, "2024-01-03 01:00:00", "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val got = Analytics.attributionPositionBased(ev, Seq("click", "view"),
+        "purchase", lookbackSec = 7L * 24 * 3600)
+      .collect().map(r => (r.getAs[Long]("conv_id"), r.getAs[Long]("touch_id"))
+        -> r.getAs[Double]("credit")).toMap
+    assert(got === Map(
+      (20L, 10L) -> 0.4, (20L, 11L) -> 0.1, (20L, 12L) -> 0.1, (20L, 13L) -> 0.4,
+      (32L, 30L) -> 0.5, (32L, 31L) -> 0.5,
+      (41L, 40L) -> 1.0))
+  }
+
   // ---- Analytics: decayed feature ----
 
   test("decayed feature: truncated geometric sum in (ts, id) order per user") {
