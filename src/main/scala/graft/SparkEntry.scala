@@ -2261,6 +2261,21 @@ object SparkEntry {
       functions.Text.bm25TopK(Tables.documents(s, d), "doc_id", "text",
           queryTerms = Seq("spark", "hash", "join"), k = 50)
         .orderBy(col("rank"))),
+    // maintained BM25 inverted index (r11): two corpus halves indexed
+    // separately (per-doc postings + lens rows — the daily-append
+    // shape), the query runs against the UNIONED index frames and
+    // must answer exactly like the full re-scan — integer tf/len/df
+    // adds and the shared scoring tail make the equality structural
+    "corpus_bm25_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (p1, l1) = functions.Text.bm25IndexFrames(
+        docs.filter(col("doc_id") < 250), "doc_id", "text")
+      val (p2, l2) = functions.Text.bm25IndexFrames(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text")
+      functions.Text.bm25TopKIndexed(p1.unionByName(p2), l1.unionByName(l2),
+          queryTerms = Seq("spark", "hash", "join"), k = 50)
+        .orderBy(col("rank"))
+    }),
 
     // word-level repetition signals (Gopher A1.1-style): type-token
     // ratio + top-word fraction per doc
@@ -3665,6 +3680,47 @@ object SparkEntry {
              SELECT *, row_number() OVER (PARTITION BY query_id
                ORDER BY votes DESC, label) AS rn FROM votes)
            WHERE rn = 1 ORDER BY vec_id"""
+
+  /** The BM25 top-k replay shared by [[corpus_bm25_topk]] and its
+    * maintained-index twin (identical by construction: same per-doc
+    * tf/len rows, same stats, same fixed-order scoring).
+    */
+  private def bm25TopkOracleSql: String = {
+    val norm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+    s"""WITH w AS (
+             SELECT doc_id, unnest(string_split($norm, ' ')) AS term FROM documents
+           ), f AS (
+             SELECT doc_id, term FROM w WHERE length(term) > 0
+           ), d AS (
+             SELECT doc_id, count(*) AS len,
+               CAST(sum(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS BIGINT) AS tf_0,
+               CAST(sum(CASE WHEN term = 'hash'  THEN 1 ELSE 0 END) AS BIGINT) AS tf_1,
+               CAST(sum(CASE WHEN term = 'join'  THEN 1 ELSE 0 END) AS BIGINT) AS tf_2
+             FROM f GROUP BY doc_id
+           ), g AS (
+             SELECT CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+               CAST(count(*) AS DOUBLE) AS nd,
+               CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+               CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
+               CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
+             FROM d
+           ), s AS (
+             SELECT doc_id, round(
+               (CASE WHEN tf_0 > 0 THEN ln((nd - df_0 + 0.5) / (df_0 + 0.5) + 1.0)
+                 * (tf_0 * 2.2) / (tf_0 + 1.2 * (0.25 + 0.75 * len / avgdl))
+                 ELSE 0.0 END)
+               + (CASE WHEN tf_1 > 0 THEN ln((nd - df_1 + 0.5) / (df_1 + 0.5) + 1.0)
+                 * (tf_1 * 2.2) / (tf_1 + 1.2 * (0.25 + 0.75 * len / avgdl))
+                 ELSE 0.0 END)
+               + (CASE WHEN tf_2 > 0 THEN ln((nd - df_2 + 0.5) / (df_2 + 0.5) + 1.0)
+                 * (tf_2 * 2.2) / (tf_2 + 1.2 * (0.25 + 0.75 * len / avgdl))
+                 ELSE 0.0 END), 6) AS score
+             FROM d, g WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0)
+           SELECT doc_id, score, rank FROM (
+             SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM s)
+           WHERE rank <= 50 ORDER BY rank"""
+  }
 
   private def minhashMd5Sql(pairWhere: String): String =
     s"""WITH gd AS (
@@ -6101,40 +6157,11 @@ object SparkEntry {
       // BM25 replay: the same left-to-right IEEE arithmetic as the
       // Spark scorer (exact-integer sums, correctly-rounded divisions,
       // fixed term order), ranked on the ROUNDED score
-      "corpus_bm25_topk" ->
-        s"""WITH w AS (
-             SELECT doc_id, unnest(string_split($norm, ' ')) AS term FROM documents
-           ), f AS (
-             SELECT doc_id, term FROM w WHERE length(term) > 0
-           ), d AS (
-             SELECT doc_id, count(*) AS len,
-               CAST(sum(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS BIGINT) AS tf_0,
-               CAST(sum(CASE WHEN term = 'hash'  THEN 1 ELSE 0 END) AS BIGINT) AS tf_1,
-               CAST(sum(CASE WHEN term = 'join'  THEN 1 ELSE 0 END) AS BIGINT) AS tf_2
-             FROM f GROUP BY doc_id
-           ), g AS (
-             SELECT CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
-               CAST(count(*) AS DOUBLE) AS nd,
-               CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
-               CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
-               CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
-             FROM d
-           ), s AS (
-             SELECT doc_id, round(
-               (CASE WHEN tf_0 > 0 THEN ln((nd - df_0 + 0.5) / (df_0 + 0.5) + 1.0)
-                 * (tf_0 * 2.2) / (tf_0 + 1.2 * (0.25 + 0.75 * len / avgdl))
-                 ELSE 0.0 END)
-               + (CASE WHEN tf_1 > 0 THEN ln((nd - df_1 + 0.5) / (df_1 + 0.5) + 1.0)
-                 * (tf_1 * 2.2) / (tf_1 + 1.2 * (0.25 + 0.75 * len / avgdl))
-                 ELSE 0.0 END)
-               + (CASE WHEN tf_2 > 0 THEN ln((nd - df_2 + 0.5) / (df_2 + 0.5) + 1.0)
-                 * (tf_2 * 2.2) / (tf_2 + 1.2 * (0.25 + 0.75 * len / avgdl))
-                 ELSE 0.0 END), 6) AS score
-             FROM d, g WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0)
-           SELECT doc_id, score, rank FROM (
-             SELECT doc_id, score,
-               row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM s)
-           WHERE rank <= 50 ORDER BY rank""",
+      // shared by the full-scan and maintained-index forms: per-doc
+      // index rows + integer stat adds make the index answer exactly
+      // like a re-scan
+      "corpus_bm25_topk" -> bm25TopkOracleSql,
+      "corpus_bm25_incr" -> bm25TopkOracleSql,
 
       "doc_surprisal" ->
         s"""WITH w AS (

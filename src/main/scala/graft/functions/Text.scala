@@ -467,8 +467,6 @@ object Text {
                k1: Double = 1.2, b: Double = 0.75,
                roundTo: Int = 6): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    require(queryTerms.distinct == queryTerms, "queryTerms must be distinct")
-    require(k > 0, "k must be positive")
     val words = docs.select(col(idCol).as("doc_id"),
         explode(split(normalize(col(textCol)), " ")).as("term"))
       .filter(length(col("term")) > 0)
@@ -477,8 +475,63 @@ object Text {
         .as(s"tf_$i"))
     val perDoc = words.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("len"), tfCols: _*)
-    // 1-row corpus stats; exact-integer sums, single correctly-rounded
-    // divisions — bit-identical across engines
+    bm25ScoreTopK(perDoc, queryTerms, k, k1, b, roundTo)
+  }
+
+  /** Maintained BM25 inverted-index frames: `postings (doc_id, term,
+    * tf)` and `lens (doc_id, len)` — PER-DOC rows, so a daily batch
+    * appends exactly its own rows and nothing corpus-sized ever
+    * recomputes (`frames(b1) ∪ frames(b2) ≡ frames(b1 ∪ b2)` row for
+    * row when batches partition the docs). Store postings BUCKETED
+    * on `term` so query-time tf/df lookups read exchange-free; lens
+    * is the integer (doc, len) table corpus stats derive from by
+    * exact adds.
+    */
+  def bm25IndexFrames(docs: DataFrame, idCol: String,
+                      textCol: String): (DataFrame, DataFrame) = {
+    val words = docs.select(col(idCol).as("doc_id"),
+        explode(split(normalize(col(textCol)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val cached = graft.Par.persistTracked(words)
+    (cached.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")),
+      cached.groupBy(col("doc_id")).agg(count(lit(1)).as("len")))
+  }
+
+  /** Query the maintained index of [[bm25IndexFrames]]: the per-doc
+    * query-term tf vector comes from the TERM-KEYED postings (the
+    * only rows touched are the query terms' — delta-sized at any
+    * corpus size), lengths and corpus stats from `lens`, and the
+    * scoring tail is [[bm25TopK]]'s own — identical arithmetic, so a
+    * maintained index answers exactly like a full re-scan.
+    */
+  def bm25TopKIndexed(postings: DataFrame, lens: DataFrame,
+                      queryTerms: Seq[String], k: Int,
+                      k1: Double = 1.2, b: Double = 0.75,
+                      roundTo: Int = 6): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val tfCols = queryTerms.indices.map(i =>
+      sum(when(col("term") === queryTerms(i), col("tf")).otherwise(lit(0L)))
+        .as(s"tf_$i"))
+    val perDocQ = postings
+      .filter(col("term").isin(queryTerms.map(lit): _*))
+      .groupBy(col("doc_id")).agg(tfCols.head, tfCols.tail: _*)
+    val perDoc = lens.join(perDocQ, Seq("doc_id"), "left")
+      .select(col("doc_id") +: col("len") +:
+        queryTerms.indices.map(i =>
+          coalesce(col(s"tf_$i"), lit(0L)).as(s"tf_$i")): _*)
+    bm25ScoreTopK(perDoc, queryTerms, k, k1, b, roundTo)
+  }
+
+  /** The shared BM25 scoring tail: corpus stats from the per-doc
+    * frame (exact-integer sums, single correctly-rounded divisions —
+    * bit-identical across engines), per-term contributions summed in
+    * FIXED index order.
+    */
+  private def bm25ScoreTopK(perDoc: DataFrame, queryTerms: Seq[String],
+                            k: Int, k1: Double, b: Double,
+                            roundTo: Int): DataFrame = {
+    require(queryTerms.distinct == queryTerms, "queryTerms must be distinct")
+    require(k > 0, "k must be positive")
     val dfCols = queryTerms.indices.map(i =>
       sum(when(col(s"tf_$i") > 0, lit(1L)).otherwise(lit(0L))).as(s"df_$i"))
     val stats = perDoc.agg(

@@ -259,6 +259,27 @@ class TextSpec extends SparkSuite {
       Text.bm25TopK(docs, "doc_id", "text", Seq("a"), k = 0) }
   }
 
+  test("bm25 maintained index: unioned batch frames answer exactly like a re-scan") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "cherry cherry banana"),
+      (4L, "plum plum plum"),
+      (5L, "banana plum apple banana")).toDF("doc_id", "text")
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    val full = res(Text.bm25TopK(docs, "doc_id", "text",
+      Seq("apple", "banana"), k = 10))
+    val (p1, l1) = Text.bm25IndexFrames(docs.filter(col("doc_id") <= 2), "doc_id", "text")
+    val (p2, l2) = Text.bm25IndexFrames(docs.filter(col("doc_id") > 2), "doc_id", "text")
+    val incr = res(Text.bm25TopKIndexed(p1.unionByName(p2),
+      l1.unionByName(l2), Seq("apple", "banana"), k = 10))
+    // the batch split changes df/avgdl inputs NOT AT ALL: per-doc
+    // rows append, stats are integer adds — scores identical
+    assert(incr === full)
+    Par.release()
+  }
+
   test("pseudonymize: deterministic, salt-isolated, null-safe, join-true") {
     val left = Seq((1L, "a"), (2L, "b"), (3L, "c"))
       .toDF("k", "v")
