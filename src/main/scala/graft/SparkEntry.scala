@@ -2505,6 +2505,31 @@ object SparkEntry {
         .orderBy(col("pattern"), col("doc_id"))
     }),
 
+    // positional-index phrase search (r11, the Lucene PhraseQuery
+    // shape): anchor-vote adjacency intersect over (id, term, pos)
+    // postings — "table table" exercises repeated phrase terms AND
+    // overlapping occurrences; oracle = the definitional padded-text
+    // scan counting every (incl. overlapping) occurrence
+    "doc_phrase_search" -> ((s, d) => {
+      val idx = Search.positionalFrame(Tables.documents(s, d), "doc_id", "text")
+      Search.phraseSearch(idx, Seq("table", "table"))
+        .select(col("id").as("doc_id"), col("n_matches"), col("first_pos"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // maintained positional index (r11): two corpus halves indexed
+    // separately, the phrase runs against the UNIONED postings and
+    // must answer exactly like the fresh build — positions are
+    // per-doc, so batch frames append row-for-row
+    "doc_phrase_search_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val i1 = Search.positionalFrame(docs.filter(col("doc_id") < 250), "doc_id", "text")
+      val i2 = Search.positionalFrame(docs.filter(col("doc_id") >= 250), "doc_id", "text")
+      Search.phraseSearch(i1.unionByName(i2), Seq("table", "table"))
+        .select(col("id").as("doc_id"), col("n_matches"), col("first_pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- sequence packing (§2.5b) ----
     // bin ids depend on partition layout → rows-only (one row per doc;
     // PackSpec pins the packing invariants)
@@ -3680,6 +3705,28 @@ object SparkEntry {
              SELECT *, row_number() OVER (PARTITION BY query_id
                ORDER BY votes DESC, label) AS rn FROM votes)
            WHERE rn = 1 ORDER BY vec_id"""
+
+  /** The phrase-search replay shared by [[doc_phrase_search]] and its
+    * maintained-index twin: every char offset of the space-padded
+    * normalized text is probed for ' table table ' (overlapping
+    * matches INCLUDED — the semantics the positional intersect
+    * implements), and the token index of a match is the space count
+    * up to its leading space.
+    */
+  private def phraseSearchOracleSql: String =
+    """WITH d AS (
+         SELECT doc_id,
+           ' ' || regexp_replace(lower(trim(text)), '\s+', ' ', 'g') || ' ' AS p
+         FROM documents
+       ), m AS (
+         SELECT doc_id, i.gs AS cpos, p FROM d,
+           LATERAL (SELECT unnest(generate_series(1, length(p))) AS gs) i
+         WHERE substr(p, i.gs, 13) = ' table table '
+       )
+       SELECT doc_id, count(*) AS n_matches,
+         min(length(substr(p, 1, cpos))
+             - length(replace(substr(p, 1, cpos), ' ', ''))) AS first_pos
+       FROM m GROUP BY doc_id ORDER BY doc_id"""
 
   /** The BM25 top-k replay shared by [[corpus_bm25_topk]] and its
     * maintained-index twin (identical by construction: same per-doc
@@ -5436,6 +5483,14 @@ object SparkEntry {
       "doc_substring_search" ->
         """SELECT doc_id FROM documents
            WHERE contains(text, 'data group') ORDER BY doc_id""",
+
+      // the definitional padded-text position scan (counts EVERY
+      // occurrence, overlapping included — regex/replace tricks
+      // can't) grades the anchor-vote positional intersect; shared by
+      // the fresh-build and maintained-index forms, which are
+      // row-identical by the per-doc postings argument
+      "doc_phrase_search" -> phraseSearchOracleSql,
+      "doc_phrase_search_incr" -> phraseSearchOracleSql,
 
       // per-pattern scan union grades the one-pass batch probe
       "doc_multi_search" ->

@@ -124,6 +124,57 @@ object Search {
       .select(col("pat").as("pattern"), col("id"))
   }
 
+  /** Positional postings `(id, term, pos)` — the Lucene positional
+    * index: 1-based token positions over [[graft.functions.Text
+    * .normalize]]d whitespace tokens. PER-DOC rows, so a daily batch
+    * appends exactly its own rows (`frame(b1) ∪ frame(b2) ≡
+    * frame(b1 ∪ b2)` when batches partition the docs) and a
+    * maintained index answers phrase queries exactly like a fresh
+    * build. Store bucketed on `term` and the phrase probe's IN-filter
+    * prunes to the phrase's posting lists without an exchange.
+    */
+  def positionalFrame(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    Par.widen(docs.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol).as("id"),
+        posexplode(split(graft.functions.Text.normalize(col(textCol)), " ")))
+      .filter(length(col("col")) > 0)
+      .select(col("id"), col("col").as("term"),
+        (col("pos") + 1).cast("long").as("pos"))
+
+  /** Phrase query over [[positionalFrame]] — the Lucene PhraseQuery
+    * adjacency intersect: token i of the phrase must sit at
+    * `anchor + i`, so each posting row votes for `anchor = pos − i`
+    * and an anchor collecting all k votes is a match. Only the
+    * phrase's ≤ k posting lists are read (the IN-list pushes into the
+    * bucketed index scan); the vote count groups posting-sized rows,
+    * never the corpus. `(id, anchor, i)` is unique by construction
+    * ((id, pos) is unique per doc), so `count(*) = k` ⟺ every phrase
+    * slot matched — repeated phrase terms and OVERLAPPING occurrences
+    * ("table table table" matches "table table" twice) fall out
+    * correctly.
+    *
+    * @return (id, n_matches, first_pos) per matching doc — first_pos
+    *         is the 1-based token index of the earliest match
+    */
+  def phraseSearch(index: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs at least one term")
+    val spark = index.sparkSession
+    import spark.implicits._
+    val terms = phrase.map(_.toLowerCase)
+    val k = terms.length
+    val probe = terms.zipWithIndex.toDF("term", "i")
+    index
+      .filter(col("term").isin(terms.distinct.map(lit): _*))
+      .join(broadcast(probe), Seq("term"))
+      .select(col("id"), (col("pos") - col("i")).as("anchor"))
+      .groupBy(col("id"), col("anchor"))
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") === k && col("anchor") >= 1)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("anchor")).as("first_pos"))
+  }
+
   /** BM25 ranked retrieval (r8-w4) — the substring family finds
     * documents that CONTAIN; this ranks documents that are ABOUT:
     * Okapi BM25 (Robertson & Walker '94, the Lucene/Elasticsearch

@@ -117,4 +117,45 @@ class SearchSpec extends SparkSuite {
     }
     Par.release()
   }
+
+  test("phraseSearch: adjacency, overlap counting, case-fold, no scrambles") {
+    val pdocs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "brown quick the fox"),         // same terms, scrambled — no match
+      (3L, "a a a a"),                     // overlapping "a a": 3 anchors
+      (4L, "THE QUICK brown"),             // normalize lowers — matches
+      (5L, "the slow quick brown"),        // gap between phrase terms — no match
+      (6L, "x the quick y the quick"),     // two disjoint matches
+      (7L, "")
+    ).toDF("doc_id", "text")
+    val idx = Search.positionalFrame(pdocs, "doc_id", "text")
+    def res(phrase: Seq[String]) = Search.phraseSearch(idx, phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(res(Seq("the", "quick")) ===
+      Set((1L, 1L, 1L), (4L, 1L, 1L), (6L, 2L, 2L)))
+    assert(res(Seq("a", "a")) === Set((3L, 3L, 1L)))
+    assert(res(Seq("a", "a", "a")) === Set((3L, 2L, 1L)))
+    assert(res(Seq("quick", "brown", "fox")) === Set((1L, 1L, 2L)))
+    assert(res(Seq("fox", "the")) === Set.empty)          // no wraparound
+    assert(res(Seq("zzz", "quick")) === Set.empty)
+    Par.release()
+  }
+
+  test("phraseSearch: unioned batch index frames answer exactly like a fresh build") {
+    val pdocs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "a a a"),
+      (3L, "x the quick y"),
+      (4L, "the quick the quick")
+    ).toDF("doc_id", "text")
+    val full = Search.phraseSearch(
+      Search.positionalFrame(pdocs, "doc_id", "text"), Seq("the", "quick"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val i1 = Search.positionalFrame(pdocs.filter(col("doc_id") <= 2), "doc_id", "text")
+    val i2 = Search.positionalFrame(pdocs.filter(col("doc_id") > 2), "doc_id", "text")
+    val incr = Search.phraseSearch(i1.unionByName(i2), Seq("the", "quick"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(incr === full)
+    Par.release()
+  }
 }
