@@ -2403,6 +2403,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR importance-resampling selection (r11, Xie et al. '23):
+    // non-English candidates ranked by how much they read like the
+    // English target under hashed-unigram models (md5-slice buckets —
+    // the whole score replays in SQL); deterministic top-k form
+    "select_dsir" -> ((s, d) =>
+      Sampling.dsirSelect(Tables.documents(s, d), "doc_id", "text",
+          isTarget = col("lang") === "en", n = 100)
+        .orderBy(col("rank"))),
+
     // per-(doc, term) TF-IDF; nDocs from the raw scan (metadata-only)
     "doc_tfidf" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -5862,6 +5871,38 @@ object SparkEntry {
              FROM q)
            SELECT doc_id, n_words FROM c WHERE cum <= 15000
            ORDER BY doc_id""",
+
+      // full DSIR replay: md5-slice bucket hashing, add-α smoothed
+      // bucket log-ratios, per-doc dot product, top-k on the ROUNDED
+      // score — every stage is portable arithmetic
+      "select_dsir" ->
+        s"""WITH w AS (
+             SELECT doc_id, lang != 'en' AS cand,
+               unnest(string_split($norm, ' ')) AS term FROM documents
+           ), f AS (
+             SELECT doc_id, cand,
+               CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) % 64 AS bucket
+             FROM w WHERE length(term) > 0
+           ), s AS (
+             SELECT bucket,
+               sum(CASE WHEN cand THEN 0 ELSE 1 END) AS t_b,
+               sum(CASE WHEN cand THEN 1 ELSE 0 END) AS r_b
+             FROM f GROUP BY bucket
+           ), st AS (
+             SELECT bucket,
+               ln((t_b + 0.5) / ((SELECT sum(t_b) FROM s) + 32.0))
+               - ln((r_b + 0.5) / ((SELECT sum(r_b) FROM s) + 32.0)) AS delta
+             FROM s
+           ), c AS (
+             SELECT doc_id, bucket, count(*) AS c FROM f WHERE cand GROUP BY 1, 2
+           ), sc AS (
+             SELECT doc_id, round(sum(c * delta), 4) AS score,
+               CAST(sum(c) AS BIGINT) AS n_tokens
+             FROM c JOIN st USING (bucket) GROUP BY doc_id)
+           SELECT doc_id, score, n_tokens, rank FROM (
+             SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             FROM sc)
+           WHERE rank <= 100 ORDER BY rank""",
 
       "doc_lang_id" ->
         s"""SELECT doc_id, $langPredCaseSql AS lang_pred

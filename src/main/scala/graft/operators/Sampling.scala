@@ -649,4 +649,71 @@ object Sampling {
       .filter(bucket < col("__thresh"))
       .drop("__grp", "__thresh")
   }
+
+  /** DSIR data selection (Xie et al. '23, "Data Selection for
+    * Language Models via Importance Resampling"): score every
+    * CANDIDATE document by how much it reads like the TARGET corpus
+    * under bag-of-hashed-unigram models,
+    *
+    *   log w(d) = Σ_b c_b(d) · (ln p̂_t[b] − ln p̂_r[b]),
+    *   p̂[b]    = (count[b] + α) / (total + α·B)     (add-α smoothing)
+    *
+    * with tokens hashed into B buckets by [[graft.functions.Text
+    * .portableHash60]] (md5-slice — the whole score replays SQL-for-
+    * SQL in an external engine), and keep the top n by (rounded
+    * score desc, id) — the deterministic top-k variant of the paper's
+    * gumbel resampling, graded end-to-end.
+    *
+    * Plan shape at 100 TB: one explode → a per-(doc, bucket) count
+    * (the only corpus-sized shuffle, pre-reduced to ≤ B rows per doc
+    * map-side) and a B-row global stat frame (broadcast; a stored
+    * stat per target refresh in production) → per-doc dot product.
+    * No corpus-sized join anywhere; candidates never compare to
+    * target docs pairwise.
+    *
+    * @param isTarget boolean Column over `docs`: rows defining the
+    *                 target distribution. Non-target rows are the
+    *                 candidate pool that gets scored and selected.
+    * @return (doc_id, score, n_tokens, rank), rank 1..n by (score
+    *         desc, doc_id) — ranked on the ROUNDED score, ties to
+    *         the lower id (the bm25TopK discipline)
+    */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, n: Int, buckets: Int = 64,
+                 alpha: Double = 0.5, roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, "n must be positive")
+    require(buckets > 0, "buckets must be positive")
+    val toks = graft.Par.persistTracked(
+      docs.select(col(idCol).as("doc_id"), isTarget.as("__tgt"),
+          explode(split(graft.functions.Text.normalize(col(textCol)), " "))
+            .as("term"))
+        .filter(length(col("term")) > 0)
+        .select(col("doc_id"), col("__tgt"),
+          pmod(graft.functions.Text.portableHash60(col("term")),
+            lit(buckets.toLong)).as("bucket")))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // B-row stat frame; totals ride a window over it (the surprisal
+    // discipline — no 1-row cross join, no extra scan)
+    val deltas = toks.groupBy(col("bucket"))
+      .agg(sum(when(col("__tgt"), lit(1L)).otherwise(lit(0L))).as("t_b"),
+        sum(when(!col("__tgt"), lit(1L)).otherwise(lit(0L))).as("r_b"))
+      .withColumn("t_tot", sum(col("t_b")).over(wAll))
+      .withColumn("r_tot", sum(col("r_b")).over(wAll))
+      .select(col("bucket"),
+        (log((col("t_b") + lit(alpha)) / (col("t_tot") + lit(alpha * buckets)))
+          - log((col("r_b") + lit(alpha)) / (col("r_tot") + lit(alpha * buckets))))
+          .as("delta"))
+    val cand = toks.filter(!col("__tgt"))
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("c"))
+    cand.join(broadcast(deltas), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("c").cast("double") * col("delta")), roundTo)
+          .as("score"),
+        sum(col("c")).as("n_tokens"))
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= n)
+  }
 }

@@ -449,4 +449,32 @@ class SamplingSpec extends SparkSuite {
     assert(set(again) === set(full))
     Par.release()
   }
+
+  test("dsirSelect: target-like candidates outrank unlike ones; n caps; target excluded") {
+    // target speaks {alpha beta gamma}; candidate 10 reuses the target
+    // vocabulary, candidate 11 shares half, candidate 12 none
+    val docs = Seq(
+      (1L, true,  "alpha beta gamma alpha beta"),
+      (2L, true,  "beta gamma alpha gamma"),
+      (3L, true,  "alpha alpha beta gamma"),
+      (10L, false, "alpha beta gamma beta"),
+      (11L, false, "alpha beta zork quux"),
+      (12L, false, "zork quux blarg zork"),
+      (13L, false, "")
+    ).toDF("doc_id", "tgt", "text")
+    val out = Sampling.dsirSelect(docs, "doc_id", "text",
+      isTarget = col("tgt"), n = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(3))).toList
+      .sortBy(_._3)
+    // only non-empty candidates appear, ranked dense from 1
+    assert(out.map(_._1).toSet === Set(10L, 11L, 12L))
+    assert(out.map(_._3) === List(1, 2, 3))
+    val score = out.map(t => t._1 -> t._2).toMap
+    assert(score(10L) > score(11L) && score(11L) > score(12L))
+    // n cuts the ranking, keeping the BEST
+    val top1 = Sampling.dsirSelect(docs, "doc_id", "text",
+      isTarget = col("tgt"), n = 1).collect().map(_.getLong(0)).toSet
+    assert(top1 === Set(10L))
+    Par.release()
+  }
 }
