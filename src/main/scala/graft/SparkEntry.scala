@@ -2976,6 +2976,17 @@ object SparkEntry {
       operators.Recurrence.ewmaBand(eventCols(Tables.events(s, d)),
           "user_id", "event_id", "ts", "value")
         .orderBy(col("user_id"), col("event_id"))),
+    // Pettitt change-point test per event_type over the hourly-count
+    // series (r11): rank-based U_t is exact integer arithmetic end to
+    // end — only the final p-value touches a double
+    "events_pettitt" -> ((s, d) => {
+      val grid = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      operators.Recurrence.pettitt(grid, "event_type", "hr", "cnt")
+        .orderBy(col("event_type"))
+    }),
     // Theil-Sen robust trend per user (r9-cont): median of pairwise
     // slopes over the maxPoints most-recent points — the hard
     // per-key fan-out cap is part of the graded semantics
@@ -7689,6 +7700,41 @@ object SparkEntry {
            SELECT user_id, event_id, ts, value, cusum_pos, cusum_neg,
              (cusum_pos > 200.0 OR cusum_neg > 200.0) AS breach
            FROM r ORDER BY user_id, event_id""",
+
+      // Pettitt replay: tie-averaged ranks doubled to stay integer
+      // (2·avg_rank = 2·(rank−1) + ties + 1), U_t an integer running
+      // sum, K/argmax exact — the one double is the final p
+      "events_pettitt" ->
+        """WITH g AS (
+             SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+               count(*) AS cnt
+             FROM events GROUP BY 1, 2
+           ), r AS (
+             SELECT event_type, hr,
+               2 * (rank() OVER (PARTITION BY event_type ORDER BY cnt) - 1)
+                 + count(*) OVER (PARTITION BY event_type, cnt) + 1 AS r2,
+               row_number() OVER (PARTITION BY event_type ORDER BY hr) AS t,
+               count(*) OVER (PARTITION BY event_type) AS n
+             FROM g
+           ), u AS (
+             SELECT event_type, hr, t, n,
+               sum(r2) OVER (PARTITION BY event_type ORDER BY hr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - t * (n + 1) AS u
+             FROM r
+           ), uf AS (SELECT * FROM u WHERE t < n
+           ), k AS (
+             SELECT event_type, max(abs(u)) AS k_stat FROM uf GROUP BY 1
+           ), cp AS (
+             SELECT uf.event_type, max(uf.n) AS n, min(uf.hr) AS cp_ts,
+               max(k.k_stat) AS k_stat
+             FROM uf JOIN k ON uf.event_type = k.event_type
+               AND abs(uf.u) = k.k_stat
+             GROUP BY 1)
+           SELECT event_type, n, cp_ts, CAST(k_stat AS BIGINT) AS k_stat,
+             round(least(1.0, 2.0 * exp(-6.0 * k_stat * k_stat
+               / CAST(n*n*n + n*n AS DOUBLE))), 6) AS p_value
+           FROM cp ORDER BY event_type""",
 
       // the fold is exact set union, so the oracle is the full
       // distinct recompute

@@ -224,4 +224,54 @@ object Recurrence {
       }
       .toDF(keyCol, idCol, tsCol, valueCol, "cusum_pos", "cusum_neg", "breach")
   }
+
+  /** Pettitt change-point test (Pettitt '79) per key — the
+    * nonparametric "did the level shift, and where?" monitor: for a
+    * series x_1..x_n, U_t = 2·Σ_{i≤t} r_i − t(n+1) with r_i the
+    * (tie-averaged) rank of x_i, K = max_{t<n} |U_t|, change point at
+    * the earliest argmax, approx p ≈ 2·exp(−6K²/(n³+n²)). Rank-based
+    * ⟹ robust to outliers (the Mann-Whitney of change detection —
+    * CUSUM needs a known target level; this needs nothing).
+    *
+    * Everything before the p-value is EXACT INTEGER arithmetic:
+    * 2·avg_rank = 2·(rank−1) + ties + 1 is an integer, so U_t is an
+    * integer running sum — cross-engine hash-stable with no rounding
+    * discipline needed; the single p-value expression is one exp on
+    * integer inputs. Plan shape: three window families all
+    * partitioned BY THE KEY, so thousands of series fan out across
+    * the cluster on one exchange; no series ever leaves its reducer.
+    *
+    * @param series one row per (key, ts) — an already-aggregated
+    *               regular or irregular series
+    * @return (key, n, cp_ts, k_stat, p_value), one row per key with
+    *         n ≥ 2 (a 1-point series has no interior split)
+    */
+  def pettitt(series: DataFrame, keyCol: String, tsCol: String,
+              valueCol: String, roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVal = Window.partitionBy(col(keyCol)).orderBy(col(valueCol))
+    val eq = Window.partitionBy(col(keyCol), col(valueCol))
+    val byTs = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val cum = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col(keyCol))
+    val u = series.select(col(keyCol), col(tsCol), col(valueCol))
+      .withColumn("__r2", (lit(2L) * (rank().over(byVal) - 1)
+        + count(lit(1)).over(eq) + 1).cast("long"))
+      .withColumn("__t", row_number().over(byTs).cast("long"))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .withColumn("__u",
+        sum(col("__r2")).over(cum) - col("__t") * (col("__n") + 1))
+      .filter(col("__t") < col("__n"))  // U_n ≡ 0: not a split point
+      .withColumn("__k", max(abs(col("__u"))).over(whole))
+    u.filter(abs(col("__u")) === col("__k"))
+      .groupBy(col(keyCol))
+      .agg(max(col("__n")).as("n"), min(col(tsCol)).as("cp_ts"),
+        max(col("__k")).as("k_stat"))
+      .select(col(keyCol), col("n"), col("cp_ts"), col("k_stat"),
+        round(least(lit(1.0), lit(2.0) * exp(lit(-6.0)
+            * col("k_stat").cast("double") * col("k_stat").cast("double")
+            / (col("n") * col("n") * col("n") + col("n") * col("n"))
+              .cast("double"))), roundTo)
+          .as("p_value"))
+  }
 }

@@ -427,4 +427,26 @@ class W6OpsSpec extends SparkSuite {
     }
     assert(got.last.getBoolean(6))
   }
+
+  test("pettitt: hand-computed U/K/argmax with ties, flat series, key isolation, n<2 dropped") {
+    val series = Seq(
+      // key A: level shift 1→10 after t=3; tie-averaged ranks
+      ("a", 1, 1L), ("a", 2, 1L), ("a", 3, 1L),
+      ("a", 4, 10L), ("a", 5, 10L), ("a", 6, 10L),
+      // key B: flat — U ≡ 0 everywhere, K = 0, earliest argmax
+      ("b", 1, 5L), ("b", 2, 5L), ("b", 3, 5L),
+      // key C: single point — no interior split, must be absent
+      ("c", 1, 7L)
+    ).toDF("k", "ts", "v")
+    val out = Recurrence.pettitt(series, "k", "ts", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))).toMap
+    // A: U = [-3,-6,-9,-6,-3] (doubled tie ranks 4/10), K=9 at t=3
+    val pA = BigDecimal(math.min(1.0, 2.0 * math.exp(-6.0 * 81.0 / 252.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("a") === ((6L, 3, 9L, pA)))
+    // B: all ranks tie ⇒ U_t = 0, K = 0, p capped at 1
+    assert(out("b") === ((3L, 1, 0L, 1.0)))
+    assert(!out.contains("c"))
+  }
 }
