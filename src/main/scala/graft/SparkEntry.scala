@@ -2986,6 +2986,19 @@ object SparkEntry {
       operators.Recurrence.ewmaBand(eventCols(Tables.events(s, d)),
           "user_id", "event_id", "ts", "value")
         .orderBy(col("user_id"), col("event_id"))),
+    // classical additive seasonal decomposition (r11): centered-MA
+    // trend + grand-mean-centered seasonal means per hour-of-day —
+    // every sum integer (detrended carried ×25), so the doubles are
+    // single correctly-rounded divisions
+    "events_seasonal_decompose" -> ((s, d) => {
+      val grid = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      Analytics.seasonalDecompose(grid, "event_type", "hr", "cnt",
+          seasonCol = hour(col("hr")), halfWindow = 12)
+        .orderBy(col("event_type"), col("hr"))
+    }),
     // Pettitt change-point test per event_type over the hourly-count
     // series (r11): rank-based U_t is exact integer arithmetic end to
     // end — only the final p-value touches a double
@@ -7723,6 +7736,37 @@ object SparkEntry {
            SELECT user_id, event_id, ts, value, cusum_pos, cusum_neg,
              (cusum_pos > 200.0 OR cusum_neg > 200.0) AS breach
            FROM r ORDER BY user_id, event_id""",
+
+      // decomposition replay: identical integer window sums, the same
+      // division/subtraction tree — resid intentionally repeats the
+      // unrounded trend/seasonal expressions
+      "events_seasonal_decompose" ->
+        """WITH g AS (
+             SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+               count(*) AS v
+             FROM events GROUP BY 1, 2
+           ), t AS (
+             SELECT event_type, hr, v, extract(hour FROM hr) AS s,
+               sum(v) OVER (PARTITION BY event_type ORDER BY hr
+                 ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS tsum,
+               count(*) OVER (PARTITION BY event_type ORDER BY hr
+                 ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS wcnt
+             FROM g
+           ), i AS (
+             SELECT * , 25 * v - tsum AS detr FROM t WHERE wcnt = 25
+           ), f AS (
+             SELECT event_type, hr, v, tsum,
+               sum(detr) OVER (PARTITION BY event_type, s) AS ssum,
+               count(*) OVER (PARTITION BY event_type, s) AS sn,
+               sum(detr) OVER (PARTITION BY event_type) AS gsum,
+               count(*) OVER (PARTITION BY event_type) AS gn
+             FROM i)
+           SELECT event_type, hr, CAST(v AS BIGINT) AS value,
+             round(tsum / 25.0, 6) AS trend,
+             round(ssum / (25.0 * sn) - gsum / (25.0 * gn), 6) AS seasonal,
+             round(v - tsum / 25.0
+               - (ssum / (25.0 * sn) - gsum / (25.0 * gn)), 6) AS resid
+           FROM f ORDER BY event_type, hr""",
 
       // Pettitt replay: tie-averaged ranks doubled to stay integer
       // (2·avg_rank = 2·(rank−1) + ties + 1), U_t an integer running

@@ -1494,4 +1494,65 @@ object Analytics {
       .unionByName(freq3.select(lit(3L).as("len"), col("a").as("p1"),
         col("b").as("p2"), col("c").as("p3"), col("support")))
   }
+
+  /** Classical additive seasonal decomposition per key (the moving-
+    * average method behind R's `decompose` / statsmodels'
+    * `seasonal_decompose`): value = trend + seasonal + residual, with
+    *
+    *   trend_t    = centered MA over 2·halfWindow+1 points,
+    *   seasonal_s = mean of detrended values at season index s,
+    *                grand-mean-centered so Σ seasonal ≈ 0,
+    *   resid_t    = value − trend − seasonal.
+    *
+    * Cross-engine discipline: every SUM here is over INTEGERS. The
+    * detrended value is carried ×w (w = window size): detr_w =
+    * w·value − Σ_window value, an exact integer, so the seasonal
+    * means and the grand mean are each ONE correctly-rounded double
+    * division of integer sums — no order-dependent double
+    * accumulation anywhere, and the remaining subtraction chain is
+    * fixed-order IEEE. Only rows with a FULL window (the series
+    * interior) are emitted; seasonal means use exactly those rows.
+    *
+    * Plan shape: three window families all partitioned by the key
+    * (plus season index) — thousands of series decompose on one
+    * exchange, the [[operators.Recurrence.pettitt]] property.
+    *
+    * @param seasonCol season index expression over the series frame
+    *                  (e.g. `hour(col("hr"))` for period-24 hourly)
+    * @param valueCol  an integral column (counts); integrality is
+    *                  what makes the result hash-stable
+    */
+  def seasonalDecompose(series: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String, seasonCol: org.apache.spark.sql.Column,
+                        halfWindow: Int = 12, roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(halfWindow > 0, "halfWindow must be positive")
+    val w = 2 * halfWindow + 1
+    val win = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+      .rowsBetween(-halfWindow, halfWindow)
+    val interior = series
+      .select(col(keyCol), col(tsCol), col(valueCol).cast("long").as("__v"),
+        seasonCol.as("__s"))
+      .withColumn("__tsum", sum(col("__v")).over(win))
+      .withColumn("__wcnt", count(lit(1)).over(win))
+      .filter(col("__wcnt") === w)
+      .withColumn("__detr", lit(w.toLong) * col("__v") - col("__tsum"))
+    val bySeason = Window.partitionBy(col(keyCol), col("__s"))
+    val byKey = Window.partitionBy(col(keyCol))
+    interior
+      .withColumn("__ssum", sum(col("__detr")).over(bySeason))
+      .withColumn("__sn", count(lit(1)).over(bySeason))
+      .withColumn("__gsum", sum(col("__detr")).over(byKey))
+      .withColumn("__gn", count(lit(1)).over(byKey))
+      .withColumn("trend", col("__tsum").cast("double") / lit(w.toDouble))
+      .withColumn("seasonal",
+        col("__ssum").cast("double") / (lit(w.toDouble) * col("__sn"))
+          - col("__gsum").cast("double") / (lit(w.toDouble) * col("__gn")))
+      .withColumn("resid",
+        col("__v").cast("double") - col("trend") - col("seasonal"))
+      .select(col(keyCol), col(tsCol), col("__v").as("value"),
+        round(col("trend"), roundTo).as("trend"),
+        round(col("seasonal"), roundTo).as("seasonal"),
+        round(col("resid"), roundTo).as("resid"))
+  }
 }

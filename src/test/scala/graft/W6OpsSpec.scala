@@ -449,4 +449,39 @@ class W6OpsSpec extends SparkSuite {
     assert(out("b") === ((3L, 1, 0L, 1.0)))
     assert(!out.contains("c"))
   }
+
+  test("seasonalDecompose: linear series decomposes exactly, alternating splits into seasonal, edges dropped, keys isolated") {
+    import graft.pipeline.Analytics
+    val series = Seq(
+      // key L: linear 1..6 — trend IS the value, seasonal/resid 0
+      ("L", 1, 1L), ("L", 2, 2L), ("L", 3, 3L),
+      ("L", 4, 4L), ("L", 5, 5L), ("L", 6, 6L),
+      // key A: alternating 10/20 — pure seasonal signal
+      ("A", 1, 10L), ("A", 2, 20L), ("A", 3, 10L),
+      ("A", 4, 20L), ("A", 5, 10L), ("A", 6, 20L)
+    ).toDF("k", "t", "v")
+    val out = Analytics.seasonalDecompose(series, "k", "t", "v",
+        seasonCol = pmod(col("t"), lit(2)), halfWindow = 1)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // edges (t=1, t=6) have no full window — absent
+    assert(out.keySet === (2 to 5).flatMap(t => Seq(("L", t), ("A", t))).toSet)
+    for (t <- 2 to 5) {
+      val (v, tr, se, re) = out(("L", t))
+      assert(v === t.toLong && tr === t.toDouble && se === 0.0 && re === 0.0)
+    }
+    // A: detr×3 = ±20 per row, season means ±20·2/(3·2·2)... = ±6.666667
+    val (v2, tr2, se2, re2) = out(("A", 2))
+    assert(v2 === 20L && tr2 === BigDecimal(40.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(se2 === BigDecimal(40.0 / 6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(math.abs(re2) < 1e-9)
+    val (_, _, se3, re3) = out(("A", 3))
+    assert(se3 === -se2 && math.abs(re3) < 1e-9)
+    // the decomposition identity holds after rounding: v ≈ tr + se + re
+    out.values.foreach { case (v, tr, se, re) =>
+      assert(math.abs(v - tr - se - re) < 2e-6)
+    }
+  }
 }
