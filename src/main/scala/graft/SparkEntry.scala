@@ -2887,6 +2887,11 @@ object SparkEntry {
       // argued on the operator doc (out-degree O(√E) by orientation)
       Graph.triangleStats(coPurchaseEdges(s, d), "pa", "pb")
     }),
+    // neighbor-Jaccard link prediction (r11) on the same bounded-
+    // density co-purchase slice: top-100 non-adjacent pairs by shared-
+    // neighbor Jaccard — ranked on the ROUNDED score, ties to ids
+    "graph_link_predict" -> ((s, d) =>
+      Graph.linkPredict(coPurchaseEdges(s, d), "pa", "pb", topK = 100)),
     // column-level lineage of the fact model, extracted STRUCTURALLY
     // from the analyzed Catalyst plan (nothing executed); the oracle
     // states the expected provenance literally — the gate proves the
@@ -7478,6 +7483,38 @@ object SparkEntry {
                THEN round(3.0 * CAST(t AS DOUBLE) / wedges, 6)
                ELSE 0.0 END AS clustering_coef
            FROM st, tri""",
+
+      // link-prediction replay: same wedge-pair counts, same degree
+      // frame, one integer division, rank on the rounded score
+      "graph_link_predict" ->
+        """WITH li AS (
+             SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+             WHERE l_partkey % 4 = 0
+           ), e AS (
+             SELECT DISTINCT x.pk AS a, y.pk AS b
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+           ), adj AS (
+             SELECT a AS n, b AS nbr FROM e
+             UNION ALL SELECT b AS n, a AS nbr FROM e
+           ), deg AS (
+             SELECT n, count(*) AS d FROM adj GROUP BY n
+           ), w AS (
+             SELECT x.n AS u, y.n AS v, count(*) AS common
+             FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.n < y.n
+             GROUP BY 1, 2
+           ), cand AS (
+             SELECT w.* FROM w WHERE NOT EXISTS (
+               SELECT 1 FROM e WHERE e.a = w.u AND e.b = w.v)
+           ), sc AS (
+             SELECT u, v, common,
+               round(common / CAST(du.d + dv.d - common AS DOUBLE), 6)
+                 AS jaccard
+             FROM cand JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v)
+           SELECT u, v, CAST(common AS BIGINT) AS common, jaccard,
+             CAST(rank AS INT) AS rank
+           FROM (SELECT *, row_number()
+               OVER (ORDER BY jaccard DESC, u, v) AS rank FROM sc)
+           WHERE rank <= 100 ORDER BY rank""",
 
       // integer fixed-point PageRank: 10 unrolled rounds of the exact
       // long recurrence (see pageRankFixedSql) — iterative, yet

@@ -476,4 +476,47 @@ object Graph {
     }
     labels
   }
+
+  /** Neighbor-set Jaccard link prediction (Liben-Nowell & Kleinberg
+    * '03): for every NON-adjacent pair sharing ≥ `minCommon`
+    * neighbors, score = |N(u)∩N(v)| / |N(u)∪N(v)| =
+    * common/(dᵤ+dᵥ−common); the top-k by (rounded score desc, u, v)
+    * are the predicted links — "customers who bought these also
+    * bought…" as a graph primitive.
+    *
+    * Cost is wedge enumeration, Σ d(d−1)/2 — inherently quadratic in
+    * hub degree because every wedge CENTER must emit its endpoint
+    * pairs (unlike the triangle census, orientation cannot prune:
+    * both wedge endpoints are output, not probed). Run it on a
+    * bounded-density slice or cap hub centers upstream; the common-
+    * count shuffle carries bare id pairs. Top-k via sort+limit
+    * (TakeOrderedAndProject — no single-partition global window);
+    * the rank column is assigned AFTER the cut, over ≤ k rows.
+    */
+  def linkPredict(edges: DataFrame, aCol: String, bCol: String,
+                  topK: Int, minCommon: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK > 0, "topK must be positive")
+    val e = graft.Par.persistTracked(canon(edges, aCol, bCol))
+    val adj = e.select(col("a").as("n"), col("b").as("nbr"))
+      .unionByName(e.select(col("b").as("n"), col("a").as("nbr")))
+    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val common = adj.select(col("nbr").as("c"), col("n").as("u"))
+      .join(adj.select(col("nbr").as("c"), col("n").as("v")), Seq("c"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    val cand = common.join(e,
+      common("u") === e("a") && common("v") === e("b"), "left_anti")
+    cand
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .withColumn("jaccard", round(col("common").cast("double")
+        / (col("du") + col("dv") - col("common")).cast("double"), 6))
+      .select(col("u"), col("v"), col("common"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("u"), col("v"))
+      .limit(topK)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("jaccard").desc, col("u"), col("v"))))
+  }
 }

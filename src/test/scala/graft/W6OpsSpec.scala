@@ -484,4 +484,26 @@ class W6OpsSpec extends SparkSuite {
       assert(math.abs(v - tr - se - re) < 2e-6)
     }
   }
+
+  test("linkPredict: diagonal of a square predicted, adjacent pairs excluded, topK ranks deterministically") {
+    // square 1-2-3-4 plus diagonal 1-3 (duplicate reversed edge too):
+    // only (2,4) is non-adjacent with common neighbors {1,3} — full
+    // Jaccard 2/(2+2-2) = 1.0
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("x", "y")
+    val out = Graph.linkPredict(edges, "x", "y", topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    assert(out.toList === List((2L, 4L, 2L, 1.0, 1)))
+    // star 0-{1,2,3}: every leaf pair scores 1/(1+1-1)=1.0; topK=2
+    // cuts by (score, u, v)
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("x", "y")
+    val top2 = Graph.linkPredict(star, "x", "y", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toList
+    assert(top2 === List((1L, 2L, 1), (1L, 3L, 2)))
+    // minCommon above the max shared count empties the prediction
+    assert(Graph.linkPredict(star, "x", "y", topK = 5, minCommon = 2)
+      .count() === 0L)
+    Par.release()
+  }
 }
