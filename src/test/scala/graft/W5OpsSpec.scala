@@ -262,4 +262,30 @@ class W5OpsSpec extends SparkSuite {
     // tie-break: equal counts sort by path ascending
     assert(got.toSeq.drop(1).map(_._1) === Seq("b>c>a", "c>a>b"))
   }
+
+  test("byGapIncremental ≡ full resessionization: extend, bridge, untouched carry, new user") {
+    val gap = 300L
+    // history: A one session (0,100); B two sessions (0 / 10000); C one session
+    val hist = Seq(("a", 0L), ("a", 100L), ("b", 0L), ("b", 10000L),
+      ("c", 50L)).toDF("u", "t")
+    // delta: extends A (200), bridges B if within gap of neither?? —
+    // 9900 is within 300 of 10000 but not of 0: B stays two sessions
+    // but the SECOND gains an event; D is brand new; C untouched
+    val delta = Seq(("a", 200L), ("b", 9900L), ("d", 7L)).toDF("u", "t")
+    val stored = Sessionize.byGap(hist, "u", "t", gap)
+    val incr = Sessionize.byGapIncremental(stored, hist, delta, "u", "t", gap)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4), r.getLong(5))).toSet
+    val full = Sessionize.byGap(hist.unionByName(delta), "u", "t", gap)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4), r.getLong(5))).toSet
+    assert(incr === full)
+    // semantic spot checks: A extended to 3 events, one session;
+    // B's late event lands mid-gap and BRIDGES nothing new but joins
+    // session 2; C carried forward; D appears
+    val byUser = incr.groupBy(_._1)
+    assert(byUser("a") === Set(("a", 1L, 200L, 3L)))
+    assert(byUser("b").map(_._2) === Set(1L, 2L))
+    assert(byUser("b").find(_._2 == 2L).get._4 === 2L)
+    assert(byUser("c") === Set(("c", 1L, 0L, 1L)))
+    assert(byUser("d") === Set(("d", 1L, 0L, 1L)))
+  }
 }
