@@ -215,6 +215,15 @@ object SparkEntry {
     "dq_fd_violations" -> ((s, d) =>
       Quality.fdViolations(Tables.lineitem(s, d), Seq("l_partkey"), "l_suppkey")
         .orderBy(col("l_partkey"))),
+    // candidate-key discovery (r11): uniqueness profiling of proposed
+    // key combos in ONE scan — run before wiring a key into an
+    // upsert/SCD2 merge
+    "dq_candidate_keys" -> ((s, d) =>
+      Quality.candidateKeys(Tables.orders(s, d), Seq(
+          Seq("o_orderkey"), Seq("o_custkey"), Seq("o_orderstatus"),
+          Seq("o_orderdate"), Seq("o_custkey", "o_orderdate"),
+          Seq("o_orderdate", "o_orderstatus")))
+        .orderBy(col("columns"))),
     "audience_overlap" -> ((s, d) =>
       Analytics.audienceOverlap(Tables.events(s, d), "event_type", "user_id")
         .orderBy(col("type_a"), col("type_b"))),
@@ -4750,6 +4759,28 @@ object SparkEntry {
            FROM lineitem GROUP BY 1
            HAVING count(DISTINCT l_suppkey) > 1
            ORDER BY 1""",
+
+      // one row per proposed combo; the tuple count(DISTINCT (...))
+      // replays Spark's struct-distinct exactly
+      "dq_candidate_keys" ->
+        """WITH n AS (SELECT count(*) AS n_rows FROM orders)
+           SELECT columns, n_rows, n_distinct,
+             round(n_distinct / CAST(n_rows AS DOUBLE), 6) AS uniqueness,
+             n_distinct = n_rows AS is_key
+           FROM (
+             SELECT 'o_orderkey' AS columns, n_rows,
+               (SELECT count(DISTINCT o_orderkey) FROM orders) AS n_distinct FROM n
+             UNION ALL SELECT 'o_custkey', n_rows,
+               (SELECT count(DISTINCT o_custkey) FROM orders) FROM n
+             UNION ALL SELECT 'o_orderstatus', n_rows,
+               (SELECT count(DISTINCT o_orderstatus) FROM orders) FROM n
+             UNION ALL SELECT 'o_orderdate', n_rows,
+               (SELECT count(DISTINCT o_orderdate) FROM orders) FROM n
+             UNION ALL SELECT 'o_custkey,o_orderdate', n_rows,
+               (SELECT count(DISTINCT (o_custkey, o_orderdate)) FROM orders) FROM n
+             UNION ALL SELECT 'o_orderdate,o_orderstatus', n_rows,
+               (SELECT count(DISTINCT (o_orderdate, o_orderstatus)) FROM orders) FROM n)
+           ORDER BY columns""",
 
       "audience_overlap" ->
         """SELECT a.event_type AS type_a, b.event_type AS type_b,

@@ -668,4 +668,37 @@ object Quality {
     import spark.implicits._
     out.toDF("column_name", "pii_kind", "n_rows", "n_rows_hit", "n_hits")
   }
+
+  /** Candidate-key discovery (the uniqueness half of classic
+    * dependency profiling, cf. Abedjan et al., "Profiling relational
+    * data"): for each proposed column combination, exact distinct
+    * count vs row count → uniqueness ratio and an is-key verdict.
+    * The contract-validation companion to [[fdViolations]]: run it
+    * on candidate unique keys BEFORE wiring them into an upsert or
+    * SCD2 merge.
+    *
+    * ONE scan: all combos share a single aggregate (each
+    * `count(DISTINCT struct(cols))` — Catalyst plans the multi-
+    * distinct via Expand, ×|combos| the scan rows pre-shuffle; the
+    * documented profiling cost, linear in combos). At 100 TB swap
+    * exact distinct for HLL (`approx_count_distinct`) per the
+    * dq_profile_approx precedent — a key VERDICT still needs the
+    * exact pass, approximate uniqueness only triages.
+    */
+  def candidateKeys(df: DataFrame, combos: Seq[Seq[String]]): DataFrame = {
+    require(combos.nonEmpty, "need at least one column combination")
+    require(combos.map(_.mkString(",")).distinct.size == combos.size,
+      "combos must be distinct")
+    val aggs = count(lit(1)).as("__n") +: combos.zipWithIndex.map {
+      case (cs, i) => countDistinct(struct(cs.map(col): _*)).as(s"__d_$i") }
+    val stackExpr = s"stack(${combos.size}, " + combos.zipWithIndex.map {
+      case (cs, i) => s"'${cs.mkString(",")}', __d_$i" }.mkString(", ") +
+      ") as (columns, n_distinct)"
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("__n"), expr(stackExpr))
+      .select(col("columns"), col("__n").as("n_rows"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("__n").cast("double"), 6)
+          .as("uniqueness"),
+        (col("n_distinct") === col("__n")).as("is_key"))
+  }
 }

@@ -188,4 +188,24 @@ class QualitySpec extends SparkSuite {
       .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(4))).toSet
     assert(empty === Set(("email", 0L, 0L), ("url", 0L, 0L), ("ipv4", 0L, 0L)))
   }
+
+  test("candidateKeys: is-key verdicts, uniqueness ratios, struct-null semantics, one row per combo") {
+    val df = Seq(
+      (Some(1), "x"), (Some(2), "x"), (Some(2), "y"), (None, "x")
+    ).toDF("a", "b")
+    val out = Quality.candidateKeys(df,
+        Seq(Seq("a"), Seq("b"), Seq("a", "b")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    // struct-distinct COUNTS a null member as a value: a has
+    // {1, 2, null} = 3 distinct (plain count(DISTINCT a) would say 2)
+    assert(out("a") === ((4L, 3L, 0.75, false)))
+    assert(out("b") === ((4L, 2L, 0.5, false)))
+    // (a, b) has 4 distinct tuples — the only key here
+    assert(out("a,b") === ((4L, 4L, 1.0, true)))
+    assert(out.size === 3)
+    // duplicate combos rejected
+    intercept[IllegalArgumentException] {
+      Quality.candidateKeys(df, Seq(Seq("a"), Seq("a"))) }
+  }
 }
