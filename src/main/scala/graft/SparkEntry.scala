@@ -2126,6 +2126,14 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // asymmetric containment search (r11, Broder's c(Q,D)): which
+    // docs CONTAIN the query docs' shingles — the quote/superset
+    // detector Jaccard misses; broadcast query grams, no corpus text
+    // shuffle
+    "doc_containment" -> ((s, d) =>
+      Dedup.containmentSearch(Tables.documents(s, d), "doc_id", "text",
+          queryIds = Seq(0L, 1L, 2L), n = 3, threshold = 0.02)
+        .orderBy(col("query_id"), col("doc_id"))),
     // near-dup pairs → transitive CLUSTERS: every id labeled with its
     // component's minimum id (keep-one-per-cluster even when
     // duplicates chain; pair-drop keeps locally-minimal extras)
@@ -6916,6 +6924,27 @@ object SparkEntry {
       // delta path equals the full run restricted to id_b ≥ cut
       "dedup_simhash_incr_md5" ->
         simhashMd5Sql(pairWhere = "AND c.doc_id >= 250"),
+
+      // containment replay on gram STRINGS (the engine's xxhash64
+      // longs are a w.h.p.-collision-free stand-in — the
+      // dedup_ngram_jaccard precedent)
+      "doc_containment" ->
+        s"""WITH g AS (
+             SELECT doc_id, unnest(grams) AS gram
+             FROM (${gramsSql(3, distinct = true)})
+           ), q AS (
+             SELECT doc_id AS query_id, gram FROM g WHERE doc_id IN (0, 1, 2)
+           ), qs AS (
+             SELECT query_id, count(*) AS qn FROM q GROUP BY 1
+           ), j AS (
+             SELECT q.query_id, g.doc_id, count(*) AS n_common
+             FROM g JOIN q USING (gram) WHERE g.doc_id != q.query_id
+             GROUP BY 1, 2)
+           SELECT query_id, doc_id, n_common,
+             round(n_common / CAST(qn AS DOUBLE), 6) AS containment
+           FROM j JOIN qs USING (query_id)
+           WHERE round(n_common / CAST(qn AS DOUBLE), 6) >= 0.02
+           ORDER BY query_id, doc_id""",
 
       // same block key, same threshold — plain SQL replays the whole
       // candidate pass (levenshtein is engine-agnostic: edit distance

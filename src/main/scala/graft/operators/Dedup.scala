@@ -116,6 +116,49 @@ object Dedup {
     * similarity is boilerplate-only by construction); pair with
     * [[exact]] if byte-identical fallback coverage must be total.
     */
+  /** Asymmetric CONTAINMENT search (Broder '97's c(Q,D) =
+    * |S(Q)∩S(D)|/|S(Q)| — the one-sided cousin of Jaccard): find
+    * documents that CONTAIN a query document's shingles, however much
+    * extra text surrounds them. Jaccard dedup misses exactly this
+    * case — a quote embedded in a 100× longer doc has near-zero
+    * Jaccard but containment ≈ 1 — making this the quote/inclusion/
+    * superset detector (and the asymmetric half of contamination
+    * checks).
+    *
+    * Scale shape: the query docs' shingle sets are query-sized ⇒
+    * BROADCAST; the corpus stream explodes once, joins the broadcast
+    * gram set (scan-side filter, no corpus shuffle on text), and the
+    * per-(query, doc) counts aggregate map-side. Shingles are
+    * distinct per doc, so joined-row count = |∩| exactly; grams ride
+    * as xxhash64 longs (the [[ngramJaccard]] hashing discipline).
+    *
+    * @return (query_id, doc_id, n_common, containment) for pairs at
+    *         or above `threshold`, self-pairs excluded
+    */
+  def containmentSearch(docs: DataFrame, idCol: String, textCol: String,
+                        queryIds: Seq[Long], n: Int = 3,
+                        threshold: Double = 0.5,
+                        roundTo: Int = 6): DataFrame = {
+    require(queryIds.nonEmpty, "containmentSearch needs at least one query id")
+    require(threshold > 0.0, "threshold must be positive")
+    val grams = Par.widen(docs.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol).as("id"),
+        explode(Text.shingles(col(textCol), n)).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("gram"))
+    val q = grams.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("gram"))
+    val qsize = q.groupBy(col("query_id")).agg(count(lit(1)).as("__qn"))
+    grams.join(broadcast(q), Seq("gram"))
+      .filter(col("id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("id")).agg(count(lit(1)).as("n_common"))
+      .join(broadcast(qsize), Seq("query_id"))
+      .withColumn("containment", round(col("n_common").cast("double")
+        / col("__qn").cast("double"), roundTo))
+      .filter(col("containment") >= threshold)
+      .select(col("query_id"), col("id").as("doc_id"),
+        col("n_common"), col("containment"))
+  }
+
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8,
                    maxDocFreq: Int = 0): DataFrame = {

@@ -983,4 +983,30 @@ class DedupSpec extends SparkSuite {
         dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
     dp(a.length)(b.length)
   }
+
+  test("containmentSearch: quote-in-long-doc scores 1.0 where Jaccard ≈ 0; asymmetry, threshold, self-pair excluded") {
+    val quote = "alpha beta gamma delta epsilon"  // 3 distinct 3-grams
+    val docs = Seq(
+      (1L, quote),
+      // 2 embeds the quote in much longer text — containment(1→2)=1.0
+      (2L, s"zero one two three four five $quote six seven eight nine ten"),
+      // 3 shares exactly one of the 3 query grams (plus noise)
+      (3L, "alpha beta gamma nope x y z"),
+      (4L, "unrelated words only here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentSearch(docs, "doc_id", "text",
+        queryIds = Seq(1L), threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(out === Set((1L, 2L, 3L, 1.0),
+      (1L, 3L, 1L, BigDecimal(1.0 / 3).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // asymmetry: querying FROM the long doc, the quote covers only a
+    // sliver of its shingles — below any useful threshold
+    val rev = Dedup.containmentSearch(docs, "doc_id", "text",
+        queryIds = Seq(2L), threshold = 0.3)
+      .collect().map(_.getLong(1)).toSet
+    assert(!rev.contains(1L))
+    Par.release()
+  }
 }
