@@ -827,6 +827,31 @@ object SparkEntry {
     // so unlike the near-dup gate the final corpus is batch-split
     // invariant — the oracle is simply "train docs minus those
     // sharing ≥3 trigrams with any eval doc"
+    // streaming banned-phrase gate (r11): batch-local positional
+    // index per microbatch (per-doc predicate ⇒ batch-split
+    // invariant); two days + a redelivery, survivors versioned
+    "stream_phrase_gate" -> ((s, d) => {
+      val base = graft.TempDirs.create("graft_stream_ph")
+      val inDir = s"$base/in"; val root = s"$base/store"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      docs.filter(col("doc_id") < 250).write.parquet(inDir)
+      withShufflePartitions(s, 4) {
+        val stream = s.readStream.schema(docs.schema).parquet(inDir)
+        val q = graft.streaming.EventStream.phraseGate(stream,
+          Seq(Seq("table", "table"), Seq("value", "table")),
+          root, s"$base/ckpt", "doc_id", "text")
+        try {
+          q.processAllAvailable() // day 1: bootstrap commit
+          docs.filter(col("doc_id") >= 250).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // day 2: same fixed phrase list
+          docs.filter(col("doc_id") < 50).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // redelivery: idempotent no-op
+        } finally q.stop()
+      }
+      graft.sources.VersionedGroup.read(s, root, "docs")
+        .orderBy(col("doc_id"))
+    }),
+
     "stream_decontam_gate" -> ((s, d) => {
       val base = graft.TempDirs.create("graft_stream_dc")
       val inDir = s"$base/in"; val root = s"$base/store"
@@ -6614,6 +6639,17 @@ object SparkEntry {
       // the streaming gate's corpus: the eval index is static and
       // flagging is per-doc, so the result is batch-split invariant —
       // train docs minus any sharing >= 3 trigrams with an eval doc
+      // the gate verdict is per-doc ⇒ the streamed two-day + replay
+      // run equals one batch filter over the padded normalized text
+      "stream_phrase_gate" ->
+        """SELECT doc_id, text FROM (
+             SELECT doc_id, text,
+               ' ' || regexp_replace(lower(trim(text)), '\s+', ' ', 'g') || ' ' AS p
+             FROM documents)
+           WHERE NOT contains(p, ' table table ')
+             AND NOT contains(p, ' value table ')
+           ORDER BY doc_id""",
+
       "stream_decontam_gate" ->
         s"""WITH sh AS (
              SELECT doc_id, list_distinct(

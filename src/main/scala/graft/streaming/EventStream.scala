@@ -479,6 +479,53 @@ object EventStream {
       }
       .start()
 
+  /** Streaming BANNED-PHRASE ingest gate (r11) — the token-adjacent
+    * companion of the substring/decontamination gates: each
+    * microbatch builds its own batch-local positional index
+    * ([[graft.operators.Search.positionalFrame]] — per-doc rows, so
+    * batch-local ≡ corpus-wide for a per-doc predicate) and drops
+    * every doc matching ANY of the phrases via the anchor-vote
+    * intersect; survivors commit as one
+    * [[graft.sources.VersionedGroup]] version. The phrase list is
+    * fixed ⇒ the gate verdict is per-doc and batch-split invariant;
+    * redelivered ids anti-join out, so replays commit nothing.
+    */
+  def phraseGate(docs: DataFrame, phrases: Seq[Seq[String]],
+                 root: String, checkpoint: String,
+                 idCol: String, textCol: String): StreamingQuery = {
+    require(phrases.nonEmpty, "phraseGate needs at least one phrase")
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import graft.operators.Search
+          import graft.sources.VersionedGroup
+          val hasCorpus = VersionedGroup.currentVersion(spark, root) >= 1
+          val cached = graft.Par.persistTracked(
+            batch.select(col(idCol), col(textCol)))
+          val fresh =
+            if (!hasCorpus) cached
+            else cached.join(VersionedGroup.read(spark, root, "docs")
+              .select(col(idCol)), Seq(idCol), "left_anti")
+          val idx = Search.positionalFrame(fresh, idCol, textCol)
+          val banned = phrases.map(p =>
+              Search.phraseSearch(idx, p).select(col("id")))
+            .reduce(_.unionByName(_)).distinct()
+            .withColumnRenamed("id", idCol)
+          val survivors = fresh.join(banned, Seq(idCol), "left_anti")
+          if (!survivors.isEmpty) {
+            VersionedGroup.commit(root, Map("docs" -> survivors),
+              replace = !hasCorpus)
+            ()
+          }
+          graft.Par.release()
+        }
+      }
+      .start()
+  }
+
   /** Streaming k-NN WEAK-LABELING door (r11) — the enrichment twin
     * of the ingest gates: every microbatch of UNLABELED embedding
     * rows is labeled by majority vote of its k nearest neighbors in

@@ -454,6 +454,52 @@ class StreamingSpec extends SparkSuite {
     Par.release()
   }
 
+  test("phraseGate: token-adjacent bans at the door, substring-only docs pass, replay no-op") {
+    import graft.sources.VersionedGroup
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val src = tmpDir("phgate-src")
+    val root = tmpDir("phgate-root") + "/idx"
+    def land(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = tmpDir("phgate-stage")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(src, s"$name.parquet"))
+    }
+    land("b0", Seq(
+      (1L, "clean text with no banned runs"),
+      (2L, "BAD words here now"),            // phrase, case-folded → drop
+      (3L, "bad stuff words elsewhere")))    // terms present, NOT adjacent
+    val stream = spark.readStream.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .parquet(src)
+    val q = EventStream.phraseGate(stream,
+      Seq(Seq("bad", "words"), Seq("worse", "phrase")),
+      root, tmpDir("phgate-ckpt"), "doc_id", "text")
+    q.processAllAvailable()
+    def docIds = VersionedGroup.read(spark, root, "docs")
+      .collect().map(_.getLong(0)).toSet
+    assert(docIds === Set(1L, 3L))
+    assert(VersionedGroup.currentVersion(spark, root) === 1)
+    // day 2: second phrase fires; redelivered survivor is a no-op
+    land("b1", Seq(
+      (4L, "a worse phrase lives here"),
+      (5L, "wholly fine material"),
+      (1L, "clean text with no banned runs")))
+    q.processAllAvailable()
+    assert(docIds === Set(1L, 3L, 5L))
+    assert(VersionedGroup.currentVersion(spark, root) === 2)
+    // redelivery of a banned doc: converges, no version churn
+    land("b2", Seq((2L, "BAD words here now")))
+    q.processAllAvailable()
+    assert(docIds === Set(1L, 3L, 5L))
+    assert(VersionedGroup.currentVersion(spark, root) === 2)
+    q.stop()
+    Par.release()
+  }
+
   test("knnLabelDoor: batch labeling against the static seed, replay no-op") {
     import graft.sources.VersionedGroup
     import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
