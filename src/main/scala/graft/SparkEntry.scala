@@ -3058,6 +3058,18 @@ object SparkEntry {
           seasonCol = hour(col("hr")), halfWindow = 12)
         .orderBy(col("event_type"), col("hr"))
     }),
+    // seasonal-residual anomalies (r11): decompose, then the robust
+    // MAD rule on the ROUNDED residual — "departure from the expected
+    // shape", not "the daily peak again"
+    "events_stl_anomaly" -> ((s, d) => {
+      val grid = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      Analytics.stlAnomaly(grid, "event_type", "hr", "cnt",
+          seasonCol = hour(col("hr")), halfWindow = 12)
+        .orderBy(col("event_type"), col("hr"))
+    }),
     // Pettitt change-point test per event_type over the hourly-count
     // series (r11): rank-based U_t is exact integer arithmetic end to
     // end — only the final p-value touches a double
@@ -3807,6 +3819,40 @@ object SparkEntry {
              SELECT *, row_number() OVER (PARTITION BY query_id
                ORDER BY votes DESC, label) AS rn FROM votes)
            WHERE rn = 1 ORDER BY vec_id"""
+
+  /** The additive-decomposition core shared by
+    * [[events_seasonal_decompose]] and the STL-anomaly screen: per
+    * event_type hourly counts, centered 25-point MA trend, grand-
+    * mean-centered hour-of-day seasonal means — integer sums
+    * throughout, single divisions at the end.
+    */
+  private def seasonalDecomposeCoreSql: String =
+    """WITH g AS (
+         SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+           count(*) AS v
+         FROM events GROUP BY 1, 2
+       ), t AS (
+         SELECT event_type, hr, v, extract(hour FROM hr) AS s,
+           sum(v) OVER (PARTITION BY event_type ORDER BY hr
+             ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS tsum,
+           count(*) OVER (PARTITION BY event_type ORDER BY hr
+             ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS wcnt
+         FROM g
+       ), i AS (
+         SELECT * , 25 * v - tsum AS detr FROM t WHERE wcnt = 25
+       ), f AS (
+         SELECT event_type, hr, v, tsum,
+           sum(detr) OVER (PARTITION BY event_type, s) AS ssum,
+           count(*) OVER (PARTITION BY event_type, s) AS sn,
+           sum(detr) OVER (PARTITION BY event_type) AS gsum,
+           count(*) OVER (PARTITION BY event_type) AS gn
+         FROM i)
+       SELECT event_type, hr, CAST(v AS BIGINT) AS value,
+         round(tsum / 25.0, 6) AS trend,
+         round(ssum / (25.0 * sn) - gsum / (25.0 * gn), 6) AS seasonal,
+         round(v - tsum / 25.0
+           - (ssum / (25.0 * sn) - gsum / (25.0 * gn)), 6) AS resid
+       FROM f"""
 
   /** Full-log gap sessionization, shared by [[events_sessions]] and
     * the incremental fold (whose untouched-carry + touched-replay
@@ -7895,32 +7941,30 @@ object SparkEntry {
       // division/subtraction tree — resid intentionally repeats the
       // unrounded trend/seasonal expressions
       "events_seasonal_decompose" ->
-        """WITH g AS (
-             SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
-               count(*) AS v
-             FROM events GROUP BY 1, 2
-           ), t AS (
-             SELECT event_type, hr, v, extract(hour FROM hr) AS s,
-               sum(v) OVER (PARTITION BY event_type ORDER BY hr
-                 ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS tsum,
-               count(*) OVER (PARTITION BY event_type ORDER BY hr
-                 ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS wcnt
-             FROM g
-           ), i AS (
-             SELECT * , 25 * v - tsum AS detr FROM t WHERE wcnt = 25
-           ), f AS (
-             SELECT event_type, hr, v, tsum,
-               sum(detr) OVER (PARTITION BY event_type, s) AS ssum,
-               count(*) OVER (PARTITION BY event_type, s) AS sn,
-               sum(detr) OVER (PARTITION BY event_type) AS gsum,
-               count(*) OVER (PARTITION BY event_type) AS gn
-             FROM i)
-           SELECT event_type, hr, CAST(v AS BIGINT) AS value,
-             round(tsum / 25.0, 6) AS trend,
-             round(ssum / (25.0 * sn) - gsum / (25.0 * gn), 6) AS seasonal,
-             round(v - tsum / 25.0
-               - (ssum / (25.0 * sn) - gsum / (25.0 * gn)), 6) AS resid
-           FROM f ORDER BY event_type, hr""",
+        s"$seasonalDecomposeCoreSql ORDER BY event_type, hr",
+
+      // the MAD rule over the decomposition's ROUNDED residual —
+      // med/mad via quantile_cont ≡ Spark's exact percentile, the
+      // events_mad_outliers round-6 compare guard
+      "events_stl_anomaly" ->
+        s"""WITH dec AS ($seasonalDecomposeCoreSql
+           ), sc AS (
+             SELECT *, CAST(round(resid * 1000000) AS BIGINT) AS r6 FROM dec
+           ), med AS (
+             SELECT event_type, quantile_cont(r6, 0.5) AS med_s
+             FROM sc GROUP BY 1
+           ), dev AS (
+             SELECT d.*, m.med_s, abs(d.r6 - m.med_s) AS dev_s
+             FROM sc d JOIN med m USING (event_type)
+           ), mad AS (
+             SELECT event_type, quantile_cont(dev_s, 0.5) AS mad_s
+             FROM dev GROUP BY 1)
+           SELECT d.event_type, d.hr, d.value, d.resid,
+             round(d.med_s / 1000000.0, 6) AS med,
+             round(a.mad_s / 1000000.0, 6) AS mad,
+             d.dev_s > 3.0 * a.mad_s AS is_anomaly
+           FROM dev d JOIN mad a USING (event_type)
+           ORDER BY d.event_type, d.hr""",
 
       // Pettitt replay: tie-averaged ranks doubled to stay integer
       // (2·avg_rank = 2·(rank−1) + ties + 1), U_t an integer running

@@ -1555,4 +1555,43 @@ object Analytics {
         round(col("seasonal"), roundTo).as("seasonal"),
         round(col("resid"), roundTo).as("resid"))
   }
+
+  /** Seasonal-residual anomaly detection — [[seasonalDecompose]]
+    * composed with the robust MAD rule (the [[madOutliers]]
+    * discipline) on the RESIDUAL: a point is anomalous when its
+    * residual deviates from the key's median residual by more than
+    * k·MAD. Deseasonalizing first is what separates "3am spike"
+    * from "every 3am looks like this" — the raw-value MAD screen
+    * flags the daily peak forever; this flags departures from the
+    * expected shape. Input to the MAD stage is the decomposition's
+    * ROUNDED residual, so the whole chain replays in SQL.
+    *
+    * @return every interior point with (value, resid, med, mad,
+    *         is_anomaly); the k·MAD compare runs on round-6 values
+    *         (the madOutliers cross-engine guard)
+    */
+  def stlAnomaly(series: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String, seasonCol: org.apache.spark.sql.Column,
+                 halfWindow: Int = 12, k: Double = 3.0): DataFrame = {
+    val dec = seasonalDecompose(series, keyCol, tsCol, valueCol,
+        seasonCol, halfWindow)
+      // the MAD stage runs on ×10⁶-SCALED residuals: resid is
+      // round-6, so __r6 is an exact integer and every percentile
+      // interpolation below lands on dyadic values (k or k.5 /
+      // k.25) — bit-identical across engines, where interpolating
+      // raw doubles puts the two engines' ulp-different medians on
+      // opposite sides of the round-6 boundary (observed at sf0.001)
+      .withColumn("__r6", round(col("resid") * lit(1e6)).cast("long"))
+    val med = dec.groupBy(col(keyCol).as("__g"))
+      .agg(expr("percentile(__r6, 0.5)").as("__med_s"))
+    val withMed = dec.join(med, col(keyCol) === col("__g")).drop("__g")
+      .withColumn("__dev_s", abs(col("__r6").cast("double") - col("__med_s")))
+    val mad = withMed.groupBy(col(keyCol).as("__g"))
+      .agg(expr("percentile(__dev_s, 0.5)").as("__mad_s"))
+    withMed.join(mad, col(keyCol) === col("__g")).drop("__g")
+      .select(col(keyCol), col(tsCol), col("value"), col("resid"),
+        round(col("__med_s") / lit(1e6), 6).as("med"),
+        round(col("__mad_s") / lit(1e6), 6).as("mad"),
+        (col("__dev_s") > lit(k) * col("__mad_s")).as("is_anomaly"))
+  }
 }

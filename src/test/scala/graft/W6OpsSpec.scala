@@ -485,6 +485,24 @@ class W6OpsSpec extends SparkSuite {
     }
   }
 
+  test("stlAnomaly: a spike against the seasonal shape is flagged; the shape itself is not") {
+    import graft.pipeline.Analytics
+    // alternating 10/20 season with ONE corrupted point (t=7: 100
+    // where the shape says 10); a raw-value MAD screen would flag
+    // every 20 — deseasonalized, only the spike stands out
+    val vals = (1 to 16).map(t => (t, if (t == 7) 100L else if (t % 2 == 0) 20L else 10L))
+    val series = vals.map { case (t, v) => ("a", t, v) }.toDF("k", "t", "v")
+    val out = Analytics.stlAnomaly(series, "k", "t", "v",
+        seasonCol = pmod(col("t"), lit(2)), halfWindow = 1)
+      .collect().map(r => r.getInt(1) -> r.getBoolean(6)).toMap
+    assert(out.keySet === (2 to 15).toSet)        // interior only
+    assert(out(7), "the injected spike must be flagged")
+    // the periodic 20s are the SHAPE, not anomalies
+    assert(Seq(2, 4, 12, 14).forall(t => !out(t)))
+    // only the spike's neighborhood may trip (its trend bleed)
+    assert(out.count(_._2) <= 3)
+  }
+
   test("linkPredict: diagonal of a square predicted, adjacent pairs excluded, topK ranks deterministically") {
     // square 1-2-3-4 plus diagonal 1-3 (duplicate reversed edge too):
     // only (2,4) is non-adjacent with common neighbors {1,3} — full
