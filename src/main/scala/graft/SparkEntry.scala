@@ -215,6 +215,15 @@ object SparkEntry {
     "dq_fd_violations" -> ((s, d) =>
       Quality.fdViolations(Tables.lineitem(s, d), Seq("l_partkey"), "l_suppkey")
         .orderBy(col("l_partkey"))),
+    // 2-D skyline (r11): orders on the price × recency Pareto
+    // frontier — the sorted-window form, no dominance self-join; the
+    // oracle is the definitional NOT EXISTS dominance scan
+    "skyline_frontier" -> ((s, d) =>
+      Analytics.skyline2d(
+          Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate")),
+          "o_totalprice", "o_orderdate")
+        .orderBy(col("o_orderkey"))),
     // candidate-key discovery (r11): uniqueness profiling of proposed
     // key combos in ONE scan — run before wiring a key into an
     // upsert/SCD2 merge
@@ -2325,6 +2334,13 @@ object SparkEntry {
       functions.Text.bm25TopK(Tables.documents(s, d), "doc_id", "text",
           queryTerms = Seq("spark", "hash", "join"), k = 50)
         .orderBy(col("rank"))),
+    // PMI collocations (r11, Church & Hanks): strongly-associated
+    // adjacent pairs, hapax-pair pathology cut by minCount, top-k on
+    // the rounded score
+    "corpus_collocations" -> ((s, d) =>
+      functions.Text.collocations(Tables.documents(s, d), "doc_id", "text",
+        minCount = 5L, k = 50)),
+
     // maintained BM25 inverted index (r11): two corpus halves indexed
     // separately (per-doc postings + lens rows — the daily-append
     // shape), the query runs against the UNIONED index frames and
@@ -4839,6 +4855,18 @@ object SparkEntry {
            HAVING count(DISTINCT l_suppkey) > 1
            ORDER BY 1""",
 
+      // the definitional dominance scan grades the sorted-window
+      // frontier (≡ by the per-x-max + strictly-greater-x argument)
+      "skyline_frontier" ->
+        """SELECT o_orderkey, o_totalprice, o_orderdate FROM orders r
+           WHERE NOT EXISTS (
+             SELECT 1 FROM orders s
+             WHERE s.o_totalprice >= r.o_totalprice
+               AND s.o_orderdate >= r.o_orderdate
+               AND (s.o_totalprice > r.o_totalprice
+                 OR s.o_orderdate > r.o_orderdate))
+           ORDER BY o_orderkey""",
+
       // one row per proposed combo; the tuple count(DISTINCT (...))
       // replays Spark's struct-distinct exactly
       "dq_candidate_keys" ->
@@ -6423,6 +6451,40 @@ object SparkEntry {
       // BM25 replay: the same left-to-right IEEE arithmetic as the
       // Spark scorer (exact-integer sums, correctly-rounded divisions,
       // fixed term order), ranked on the ROUNDED score
+      // PMI replay: same integer counts, the same multiply/divide
+      // tree under one ln, rank on the rounded score
+      "corpus_collocations" ->
+        s"""WITH d AS (
+             SELECT doc_id, string_split($norm, ' ') AS ws FROM documents
+           ), toks AS (
+             SELECT unnest(ws) AS term FROM d
+           ), uni AS (
+             SELECT term, count(*) AS c FROM toks
+             WHERE length(term) > 0 GROUP BY 1
+           ), nt AS (SELECT sum(c) AS n_tok FROM uni
+           ), pq AS (
+             SELECT unnest([ws[i] || ' ' || ws[i+1]
+               for i in range(1, len(ws))]) AS p
+             FROM d WHERE len(ws) >= 2
+           ), bi0 AS (
+             SELECT string_split(p, ' ')[1] AS term_a,
+               string_split(p, ' ')[2] AS term_b, count(*) AS n_pair
+             FROM pq GROUP BY 1, 2
+           ), nb AS (SELECT sum(n_pair) AS n_big FROM bi0
+           ), sc AS (
+             SELECT term_a, term_b, n_pair,
+               round(ln((n_pair * CAST(n_tok AS DOUBLE) * n_tok)
+                 / (CAST(n_big AS DOUBLE) * ca.c * cb.c)), 6) AS pmi
+             FROM bi0
+             CROSS JOIN nt CROSS JOIN nb
+             JOIN uni ca ON ca.term = bi0.term_a
+             JOIN uni cb ON cb.term = bi0.term_b
+             WHERE n_pair >= 5)
+           SELECT term_a, term_b, CAST(n_pair AS BIGINT) AS n_pair, pmi
+           FROM sc
+           QUALIFY row_number() OVER (ORDER BY pmi DESC, term_a, term_b) <= 50
+           ORDER BY pmi DESC, term_a, term_b""",
+
       // shared by the full-scan and maintained-index forms: per-doc
       // index rows + integer stat adds make the index answer exactly
       // like a re-scan

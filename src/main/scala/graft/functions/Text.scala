@@ -478,6 +478,57 @@ object Text {
     bm25ScoreTopK(perDoc, queryTerms, k, k1, b, roundTo)
   }
 
+  /** Collocation extraction by pointwise mutual information (Church
+    * & Hanks '90 — the "strongly associated adjacent word pairs"
+    * statistic behind phrase detection à la word2vec's bigram pass):
+    * PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with p(a,b) = c_ab/M over
+    * adjacent bigrams and p(a) = c_a/N over unigrams; pairs below
+    * `minCount` are cut first (PMI's known pathology — hapax pairs
+    * score highest), then top-k by (rounded PMI desc, pair).
+    *
+    * Plan shape: one explode; bigrams via `lead` over (doc, pos) —
+    * the per-doc window rides ONE corpus shuffle on doc_id; unigram
+    * and bigram count frames are vocabulary-sized, their totals ride
+    * window sums over those tiny frames; the PMI expression is a
+    * fixed multiply/divide tree on integer counts (deterministic
+    * IEEE both engines).
+    */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+                   minCount: Long = 5L, k: Int = 50,
+                   roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    val toks = graft.Par.persistTracked(
+      docs.select(col(idCol).as("doc_id"),
+          posexplode(split(normalize(col(textCol)), " ")))
+        .filter(length(col("col")) > 0)
+        .select(col("doc_id"), col("pos"), col("col").as("term")))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pairs = toks
+      .withColumn("next", lead(col("term"), 1).over(byDoc))
+      .filter(col("next").isNotNull)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val uni = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .withColumn("n_tok", sum(col("c")).over(wAll))
+    val bi = pairs.groupBy(col("term").as("term_a"), col("next").as("term_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .withColumn("n_big", sum(col("n_pair")).over(wAll))
+      .filter(col("n_pair") >= minCount)
+    bi.join(uni.select(col("term").as("term_a"), col("c").as("__ca"),
+        col("n_tok")), Seq("term_a"))
+      .join(uni.select(col("term").as("term_b"), col("c").as("__cb")),
+        Seq("term_b"))
+      .withColumn("pmi", round(log(
+        (col("n_pair").cast("double") * col("n_tok").cast("double")
+          * col("n_tok").cast("double"))
+        / (col("n_big").cast("double") * col("__ca").cast("double")
+          * col("__cb").cast("double"))), roundTo))
+      .select(col("term_a"), col("term_b"), col("n_pair"), col("pmi"))
+      .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
+      .limit(k)
+  }
+
   /** Maintained BM25 inverted-index frames: `postings (doc_id, term,
     * tf)` and `lens (doc_id, len)` — PER-DOC rows, so a daily batch
     * appends exactly its own rows and nothing corpus-sized ever

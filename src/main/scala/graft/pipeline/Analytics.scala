@@ -1594,4 +1594,35 @@ object Analytics {
         round(col("__mad_s") / lit(1e6), 6).as("mad"),
         (col("__dev_s") > lit(k) * col("__mad_s")).as("is_anomaly"))
   }
+
+  /** 2-D skyline / Pareto frontier (Börzsönyi et al. '01, "The
+    * Skyline Operator"): rows not DOMINATED on two maximized
+    * criteria — r dominates s iff r.x ≥ s.x ∧ r.y ≥ s.y with at
+    * least one strict. The multi-criteria curation cut ("keep docs
+    * on the quality × freshness frontier") that no single scoring
+    * function expresses: any weighted sum picks ONE point of the
+    * frontier; the skyline keeps them all.
+    *
+    * The 2-D case needs no O(n²) dominance join: group to one row
+    * per distinct x (the per-x max y — anything below is dominated
+    * at equal x), then a row survives iff its y exceeds the best y
+    * among STRICTLY greater x — a lagged running max over the
+    * x-descending order. One small sorted window over the |distinct
+    * x|-sized frame, one semi-join back; equal (x, y) duplicates all
+    * survive (nothing dominates them — they tie).
+    */
+  def skyline2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // per distinct x: the frontier candidate y
+    val perX = df.groupBy(col(xCol).as("__x")).agg(max(col(yCol)).as("__ymax"))
+    val byXDesc = Window.orderBy(col("__x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // best y among strictly greater x (null for the max x — survives)
+    val frontierX = perX
+      .withColumn("__prior", max(col("__ymax")).over(byXDesc))
+      .filter(col("__prior").isNull || col("__ymax") > col("__prior"))
+      .select(col("__x"), col("__ymax"))
+    df.join(frontierX,
+      col(xCol) === col("__x") && col(yCol) === col("__ymax"), "left_semi")
+  }
 }

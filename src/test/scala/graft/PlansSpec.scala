@@ -69,7 +69,9 @@ class PlansSpec extends SparkSuite {
     val nestedLoopOk = Set("dedup_embedding", "ann_brute_topk", "ann_ivf_topk",
       "ann_ivf_incr_topk", "ann_knn_label",
       "ann_lsh_topk", "ann_sq8_topk", "ann_pq_topk", "band_join_price",
-      "corpus_top_terms_approx", "corpus_bm25_topk",
+      // the bm25 scoring tail joins a 1-row corpus-stats frame on a
+      // constant key — shared by the full-scan and maintained forms
+      "corpus_top_terms_approx", "corpus_bm25_topk", "corpus_bm25_incr",
       "q11_important_parts", "q15_top_supplier",
       // bloom_reduced_join broadcasts a ONE-row bloom sketch of the
       // filtered dim keys — the same scalar-join shape

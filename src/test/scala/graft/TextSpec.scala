@@ -280,6 +280,27 @@ class TextSpec extends SparkSuite {
     Par.release()
   }
 
+  test("collocations: PMI hand-computed, minCount cuts sub-threshold pairs, ties order by pair") {
+    val docs = Seq(
+      (1L, "x y x y x y x y x y"),
+      (2L, "p q p q p q p q p q")).toDF("doc_id", "text")
+    val out = Text.collocations(docs, "doc_id", "text", minCount = 5L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toList
+    // N=20 tokens, M=18 bigrams; c(·)=5 each; "x y" and "p q" occur 5×
+    // (the reversed pairs only 4× — cut by minCount)
+    def pmi(cab: Long) = BigDecimal(math.log(
+        (cab.toDouble * 20 * 20) / (18.0 * 5 * 5)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === List(("p", "q", 5L, pmi(5)), ("x", "y", 5L, pmi(5)))
+      .sortBy(t => (-t._4, t._1)))
+    // lower minCount admits the reversed pairs at lower PMI
+    val all = Text.collocations(docs, "doc_id", "text", minCount = 4L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(all === Set(("x", "y"), ("p", "q"), ("y", "x"), ("q", "p")))
+    Par.release()
+  }
+
   test("pseudonymize: deterministic, salt-isolated, null-safe, join-true") {
     val left = Seq((1L, "a"), (2L, "b"), (3L, "c"))
       .toDF("k", "v")

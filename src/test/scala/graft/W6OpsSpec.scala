@@ -503,6 +503,23 @@ class W6OpsSpec extends SparkSuite {
     assert(out.count(_._2) <= 3)
   }
 
+  test("skyline2d: frontier kept, equal-coordinate dupes tie-survive, dominated-at-equal-x dropped; ≡ brute force") {
+    import graft.pipeline.Analytics
+    val pts = Seq((5, 1), (4, 2), (3, 3), (4, 1), (2, 3), (3, 3), (1, 1), (5, 0))
+      .zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+    val df = pts.toDF("id", "x", "y")
+    val got = Analytics.skyline2d(df, "x", "y")
+      .collect().map(_.getLong(0)).toSet
+    // brute force dominance
+    val expected = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, x2, y2) =>
+        x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }.map(_._1).toSet
+    assert(got === expected)
+    // (5,1),(4,2) and BOTH (3,3) dupes survive; (4,1),(2,3),(1,1),(5,0) dominated
+    assert(got === Set(0L, 1L, 2L, 5L))
+  }
+
   test("linkPredict: diagonal of a square predicted, adjacent pairs excluded, topK ranks deterministically") {
     // square 1-2-3-4 plus diagonal 1-3 (duplicate reversed edge too):
     // only (2,4) is non-adjacent with common neighbors {1,3} — full
