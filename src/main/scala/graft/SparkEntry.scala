@@ -339,6 +339,17 @@ object SparkEntry {
     "q13_custdist" -> ((s, d) => Analytics.q13CustDist(s, d)),
     // co-purchase part pairs (r7): order-keyed self-join, per-order
     // fan-out bounded by line count
+    // association rules (r11): directional confidence/lift over the
+    // co-purchase pairs — {a}→{b} and {b}→{a} differ exactly when the
+    // item frequencies do
+    "basket_rules" -> ((s, d) =>
+      Analytics.basketRules(Tables.lineitem(s, d), minCount = 4L)
+        .orderBy(col("antecedent"), col("consequent"))),
+    // RFM segmentation (r11): recency/frequency/monetary quintiles
+    // against the corpus's own max date; decimal money, ties pinned
+    "customer_rfm" -> ((s, d) =>
+      Analytics.rfm(Tables.orders(s, d))
+        .orderBy(col("o_custkey"))),
     "basket_pairs" -> ((s, d) =>
       Analytics.basketPairs(Tables.lineitem(s, d), minCount = 2L)
         .orderBy(col("part_a"), col("part_b"))),
@@ -4150,6 +4161,54 @@ object SparkEntry {
              FROM events e JOIN first f USING (user_id))
            SELECT cohort_ts, period_n, count(*) AS n_active
            FROM act GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      // directional rules: same distinct-items self-join, three
+      // single divisions of integer counts under round(6)
+      "basket_rules" ->
+        """WITH items AS (
+             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+           ), n AS (SELECT count(DISTINCT l_orderkey) AS nb FROM items
+           ), ic AS (
+             SELECT l_partkey, count(*) AS c FROM items GROUP BY 1
+           ), p AS (
+             SELECT a.l_partkey AS antecedent, b.l_partkey AS consequent,
+               count(*) AS n_both
+             FROM items a JOIN items b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+             GROUP BY 1, 2 HAVING count(*) >= 4)
+           SELECT antecedent, consequent, n_both,
+             round(n_both / CAST(nb AS DOUBLE), 6) AS support,
+             round(n_both / CAST(ca.c AS DOUBLE), 6) AS confidence,
+             round((n_both * CAST(nb AS DOUBLE))
+               / (CAST(ca.c AS DOUBLE) * cb.c), 6) AS lift
+           FROM p CROSS JOIN n
+           JOIN ic ca ON ca.l_partkey = antecedent
+           JOIN ic cb ON cb.l_partkey = consequent
+           ORDER BY antecedent, consequent""",
+
+      // ntile bands replay (standard SQL distribution), decimal
+      // money, recency vs the corpus's own max date
+      "customer_rfm" ->
+        """WITH pc AS (
+             SELECT o_custkey, max(o_orderdate) AS last_o,
+               count(*) AS frequency,
+               sum(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary
+             FROM orders GROUP BY 1
+           ), r AS (
+             SELECT *, date_diff('day', last_o,
+               (SELECT max(last_o) FROM pc)) AS recency_days FROM pc
+           ), sc AS (
+             SELECT o_custkey, recency_days, frequency, monetary,
+               ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+               ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+               ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+             FROM r)
+           SELECT o_custkey, recency_days, frequency,
+             CAST(monetary AS DOUBLE) AS monetary,
+             r_score, f_score, m_score,
+             CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS rfm
+           FROM sc ORDER BY o_custkey""",
 
       "basket_pairs" ->
         """WITH items AS (

@@ -370,6 +370,95 @@ object Analytics {
       .filter(col("n_orders") >= minCount)
   }
 
+  /** Association rules from the co-purchase pairs (Agrawal et al.
+    * '93 — [[basketPairs]] says WHICH pairs co-occur; rules say in
+    * which DIRECTION the signal runs): for every ordered pair with
+    * joint count ≥ minCount,
+    *
+    *   support(a→b)    = c_ab / N,   confidence(a→b) = c_ab / c_a,
+    *   lift(a→b)       = (c_ab · N) / (c_a · c_b)
+    *
+    * (N = basket count). Confidence is asymmetric — {diapers}→{beer}
+    * and {beer}→{diapers} differ exactly when the item frequencies
+    * do; lift > 1 separates association from popularity.
+    *
+    * Same shuffle shape as [[basketPairs]] (per-order fan-out bounded
+    * by basket size); the item-count frame is domain-sized and
+    * broadcasts; N is one driver scalar (the bootstrap discipline).
+    * All three ratios are single divisions of integer counts under
+    * round(6) — fixed-tree cross-engine arithmetic.
+    */
+  def basketRules(lineitem: DataFrame, minCount: Long = 2L,
+                  minConfidence: Double = 0.0,
+                  roundTo: Int = 6): DataFrame = {
+    val items = graft.Par.persistTracked(
+      lineitem.select(col("l_orderkey"), col("l_partkey")).distinct())
+    val nBaskets = items.select(col("l_orderkey")).distinct().count()
+    val itemCounts = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+    val pairs = items.select(col("l_orderkey"), col("l_partkey").as("antecedent"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("consequent")),
+        Seq("l_orderkey"))
+      .filter(col("antecedent") =!= col("consequent"))
+      .groupBy(col("antecedent"), col("consequent"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minCount)
+    pairs
+      .join(broadcast(itemCounts.select(col("l_partkey").as("antecedent"),
+        col("c").as("__ca"))), Seq("antecedent"))
+      .join(broadcast(itemCounts.select(col("l_partkey").as("consequent"),
+        col("c").as("__cb"))), Seq("consequent"))
+      .withColumn("support",
+        round(col("n_both").cast("double") / lit(nBaskets.toDouble), roundTo))
+      .withColumn("confidence",
+        round(col("n_both").cast("double") / col("__ca").cast("double"), roundTo))
+      .withColumn("lift",
+        round((col("n_both").cast("double") * lit(nBaskets.toDouble))
+          / (col("__ca").cast("double") * col("__cb").cast("double")), roundTo))
+      .filter(col("confidence") >= minConfidence)
+      .select(col("antecedent"), col("consequent"), col("n_both"),
+        col("support"), col("confidence"), col("lift"))
+  }
+
+  /** RFM segmentation (Hughes '94 — the classic marketing triage):
+    * per customer, Recency (days since last order, against the
+    * corpus's own max date — no wall clock), Frequency (order
+    * count), Monetary (exact-decimal revenue, the float-money
+    * discipline), each scored into `buckets` quantile bands by
+    * `ntile` with ties pinned on the customer key — score `buckets`
+    * is best on every axis, so '555' is the champion segment.
+    *
+    * The three ntile windows are global sorts over the CUSTOMER
+    * frame (dimension-sized, already aggregated — not the orders
+    * fact); at extreme customer cardinality swap ntile for
+    * percentile-bucket joins (the selectBudget bucketing trick).
+    */
+  def rfm(orders: DataFrame, buckets: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets > 0, "buckets must be positive")
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val perCust = orders.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(dec2(col("o_totalprice"))).as("monetary"))
+      .withColumn("recency_days",
+        datediff(max(col("__last")).over(wAll), col("__last")))
+    val key = col("o_custkey").asc
+    perCust
+      .withColumn("r_score", ntile(buckets)
+        .over(Window.orderBy(col("recency_days").desc, key)))
+      .withColumn("f_score", ntile(buckets)
+        .over(Window.orderBy(col("frequency").asc, key)))
+      .withColumn("m_score", ntile(buckets)
+        .over(Window.orderBy(col("monetary").asc, key)))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        // ntile ordered on the EXACT decimal above; the output column
+        // is double (the events_hourly money-export discipline)
+        col("monetary").cast("double").as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score"), col("f_score"), col("m_score")).as("rfm"))
+  }
+
   /** Frequent brand TRIPLES by Apriori candidate pruning (Agrawal &
     * Srikant VLDB'94) — the next market-basket order up from
     * [[basketPairs]]: all 3-itemsets co-purchased in ≥ ⌈frac·|orders|⌉

@@ -263,6 +263,45 @@ class W5OpsSpec extends SparkSuite {
     assert(got.toSeq.drop(1).map(_._1) === Seq("b>c>a", "c>a>b"))
   }
 
+  test("basketRules: directional confidence, lift, minCount cut — hand-computed") {
+    import graft.pipeline.Analytics
+    // baskets: {A,B}, {A,B}, {A}, {A,C} → c_A=4, c_B=2, c_C=1, N=4
+    val li = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (4L, 10L), (4L, 30L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Analytics.basketRules(li, minCount = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // only the A↔B pair survives minCount; A→B conf 0.5, B→A conf 1.0
+    assert(out.keySet === Set((10L, 20L), (20L, 10L)))
+    assert(out((10L, 20L)) === ((2L, 0.5, 0.5, 1.0)))
+    assert(out((20L, 10L)) === ((2L, 0.5, 1.0, 1.0)))
+    Par.release()
+  }
+
+  test("rfm: quintile scores with 5 customers are ranks; recency against the corpus max date") {
+    import graft.pipeline.Analytics
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // cust i: frequency i, monetary 100·i, last order on Jan i
+    val rows = (1 to 5).flatMap { i =>
+      (1 to i).map { j =>
+        (i.toLong, ts(if (j == i) f"2024-01-0$i 00:00:00"
+                      else "2024-01-01 00:00:00"), 100.0)
+      }
+    }
+    val orders = rows.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val out = Analytics.rfm(orders)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getInt(4), r.getInt(5), r.getInt(6),
+          r.getString(7)))).toMap
+    (1 to 5).foreach { i =>
+      val (rec, freq, rs, fs, ms, code) = out(i.toLong)
+      assert(rec === 5 - i && freq === i.toLong)
+      assert((rs, fs, ms) === ((i, i, i)), s"cust $i")
+      assert(code === s"$i$i$i")
+    }
+  }
+
   test("byGapIncremental ≡ full resessionization: extend, bridge, untouched carry, new user") {
     val gap = 300L
     // history: A one session (0,100); B two sessions (0 / 10000); C one session
