@@ -2617,6 +2617,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // batch multi-phrase search (r11): N phrases probe the positional
+    // index in ONE pass — the banned-phrase-list shape at token
+    // level; includes a rare and a no-hit phrase
+    "doc_multi_phrase" -> ((s, d) => {
+      val idx = Search.positionalFrame(Tables.documents(s, d), "doc_id", "text")
+      Search.multiPhraseSearch(idx, Seq(
+          Seq("table", "table"), Seq("value", "table"),
+          Seq("fast", "sort", "key"), Seq("quantum", "leap")))
+        .select(col("pattern"), col("id").as("doc_id"),
+          col("n_matches"), col("first_pos"))
+        .orderBy(col("pattern"), col("doc_id"))
+    }),
+
     // maintained positional index (r11): two corpus halves indexed
     // separately, the phrase runs against the UNIONED postings and
     // must answer exactly like the fresh build — positions are
@@ -5757,6 +5770,27 @@ object SparkEntry {
       // row-identical by the per-doc postings argument
       "doc_phrase_search" -> phraseSearchOracleSql,
       "doc_phrase_search_incr" -> phraseSearchOracleSql,
+
+      // per-phrase every-offset scan union grades the one-pass
+      // multi-phrase probe (overlaps counted, token first positions)
+      "doc_multi_phrase" ->
+        """WITH pats AS (
+             SELECT * FROM (VALUES (' table table '), (' value table '),
+               (' fast sort key '), (' quantum leap ')) p(pp)
+           ), d AS (
+             SELECT doc_id,
+               ' ' || regexp_replace(lower(trim(text)), '\s+', ' ', 'g') || ' ' AS p
+             FROM documents
+           ), m AS (
+             SELECT trim(pp) AS pattern, doc_id, i.gs AS cpos, d.p
+             FROM d CROSS JOIN pats,
+               LATERAL (SELECT unnest(generate_series(1, length(d.p))) AS gs) i
+             WHERE substr(d.p, i.gs, length(pp)) = pp
+           )
+           SELECT pattern, doc_id, count(*) AS n_matches,
+             min(length(substr(p, 1, cpos))
+                 - length(replace(substr(p, 1, cpos), ' ', ''))) AS first_pos
+           FROM m GROUP BY 1, 2 ORDER BY pattern, doc_id""",
 
       // per-pattern scan union grades the one-pass batch probe
       "doc_multi_search" ->

@@ -175,6 +175,45 @@ object Search {
       .agg(count(lit(1)).as("n_matches"), min(col("anchor")).as("first_pos"))
   }
 
+  /** Batch multi-phrase search — the [[multiSearch]] shape at the
+    * token level: ALL phrases probe the positional index in ONE pass
+    * (the exploded (phrase, slot, term) probe is broadcast-sized by
+    * definition, so the index is read once however many phrases the
+    * ban list holds). Per-(phrase, id, anchor) votes need the
+    * PHRASE's own slot count, joined from the tiny per-phrase-k
+    * frame; `(phrase, id, anchor, slot)` stays unique by the
+    * [[phraseSearch]] argument, so `count(*)` is the vote.
+    *
+    * @return (pattern, id, n_matches, first_pos) — pattern is the
+    *         lowercased phrase joined by single spaces
+    */
+  def multiPhraseSearch(index: DataFrame,
+                        phrases: Seq[Seq[String]]): DataFrame = {
+    require(phrases.nonEmpty, "multiPhraseSearch needs at least one phrase")
+    val spark = index.sparkSession
+    import spark.implicits._
+    val normed = phrases.map(_.map(_.toLowerCase))
+    require(normed.map(_.mkString(" ")).distinct.size == normed.size,
+      "phrases must be distinct")
+    val probe = normed.flatMap { p =>
+      val label = p.mkString(" ")
+      p.zipWithIndex.map { case (t, i) => (label, i, t) }
+    }.toDF("pattern", "i", "term")
+    val need = normed.map(p => (p.mkString(" "), p.length))
+      .toDF("pattern", "__k")
+    val terms = normed.flatten.distinct
+    index
+      .filter(col("term").isin(terms.map(lit): _*))
+      .join(broadcast(probe), Seq("term"))
+      .select(col("pattern"), col("id"), (col("pos") - col("i")).as("anchor"))
+      .groupBy(col("pattern"), col("id"), col("anchor"))
+      .agg(count(lit(1)).as("__hits"))
+      .join(broadcast(need), Seq("pattern"))
+      .filter(col("__hits") === col("__k") && col("anchor") >= 1)
+      .groupBy(col("pattern"), col("id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("anchor")).as("first_pos"))
+  }
+
   /** BM25 ranked retrieval (r8-w4) — the substring family finds
     * documents that CONTAIN; this ranks documents that are ABOUT:
     * Okapi BM25 (Robertson & Walker '94, the Lucene/Elasticsearch

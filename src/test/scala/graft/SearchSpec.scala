@@ -141,6 +141,30 @@ class SearchSpec extends SparkSuite {
     Par.release()
   }
 
+  test("multiPhraseSearch ≡ per-phrase phraseSearch in one index pass; no-hit and shared-term phrases") {
+    val pdocs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "a a a quick brown"),
+      (3L, "x the quick y the quick"),
+      (4L, "quick the brown")
+    ).toDF("doc_id", "text")
+    val idx = Search.positionalFrame(pdocs, "doc_id", "text")
+    // phrases share terms ("the quick" / "quick brown") and include a
+    // repeated-term and a no-hit phrase
+    val phrases = Seq(Seq("the", "quick"), Seq("quick", "brown"),
+      Seq("a", "a"), Seq("none", "here"))
+    val batch = Search.multiPhraseSearch(idx, phrases)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val single = phrases.flatMap { p =>
+      Search.phraseSearch(idx, p).collect()
+        .map(r => (p.mkString(" "), r.getLong(0), r.getLong(1), r.getLong(2)))
+    }.toSet
+    assert(batch === single)
+    assert(batch.map(_._1) === Set("the quick", "quick brown", "a a"))
+    Par.release()
+  }
+
   test("phraseSearch: unioned batch index frames answer exactly like a fresh build") {
     val pdocs = Seq(
       (1L, "the quick brown fox"),
