@@ -215,6 +215,24 @@ object SparkEntry {
     "dq_fd_violations" -> ((s, d) =>
       Quality.fdViolations(Tables.lineitem(s, d), Seq("l_partkey"), "l_suppkey")
         .orderBy(col("l_partkey"))),
+    // cohort LTV curves (r11): cumulative decimal revenue per
+    // first-order-month cohort, normalized by cohort size
+    "cohort_ltv" -> ((s, d) =>
+      Analytics.cohortLtv(Tables.orders(s, d))
+        .orderBy(col("cohort_month"), col("period_m"))),
+    // referential-integrity audit (r11): dbt's relationships test —
+    // orphan child keys per declared FK edge
+    "dq_referential" -> ((s, d) =>
+      Quality.referentialIntegrity(Seq(
+          ("orders.custkey->customer", Tables.orders(s, d), "o_custkey",
+            Tables.customer(s, d), "c_custkey"),
+          ("lineitem.orderkey->orders", Tables.lineitem(s, d), "l_orderkey",
+            Tables.orders(s, d), "o_orderkey"),
+          ("lineitem.partkey->part", Tables.lineitem(s, d), "l_partkey",
+            Tables.part(s, d), "p_partkey"),
+          ("lineitem.suppkey->supplier", Tables.lineitem(s, d), "l_suppkey",
+            Tables.supplier(s, d), "s_suppkey")))
+        .orderBy(col("relationship"))),
     // 2-D skyline (r11): orders on the price × recency Pareto
     // frontier — the sorted-window form, no dominance self-join; the
     // oracle is the definitional NOT EXISTS dominance scan
@@ -4926,6 +4944,68 @@ object SparkEntry {
            FROM lineitem GROUP BY 1
            HAVING count(DISTINCT l_suppkey) > 1
            ORDER BY 1""",
+
+      // integer month indices (y·12+m), decimal cumulative revenue,
+      // one export division
+      "cohort_ltv" ->
+        """WITH first AS (
+             SELECT o_custkey,
+               year(min(o_orderdate)) * 12 + month(min(o_orderdate)) AS cm
+             FROM orders GROUP BY 1
+           ), sized AS (
+             SELECT cm, count(*) AS n_customers FROM first GROUP BY 1
+           ), facts AS (
+             SELECT f.cm,
+               (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.cm
+                 AS period_m,
+               sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS revenue
+             FROM orders o JOIN first f USING (o_custkey)
+             GROUP BY 1, 2
+           ), cum AS (
+             SELECT *, sum(revenue) OVER (PARTITION BY cm ORDER BY period_m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_revenue
+             FROM facts)
+           SELECT c.cm AS cohort_month, c.period_m, s.n_customers,
+             CAST(c.revenue AS DOUBLE) AS revenue,
+             CAST(c.cum_revenue AS DOUBLE) AS cum_revenue,
+             round(CAST(c.cum_revenue AS DOUBLE) / s.n_customers, 6) AS ltv
+           FROM cum c JOIN sized s USING (cm)
+           ORDER BY cohort_month, period_m""",
+
+      // per-edge orphan audit; synthetic TPC-H data should be clean —
+      // the zero counts ARE the assertion
+      "dq_referential" ->
+        """SELECT 'orders.custkey->customer' AS relationship,
+             count(*) AS n_child, count(DISTINCT o_custkey) AS n_keys,
+             CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orphan_rows,
+             count(DISTINCT CASE WHEN c.c_custkey IS NULL THEN o_custkey END)
+               AS n_orphan_keys
+           FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             ON o_custkey = c.c_custkey WHERE o_custkey IS NOT NULL
+           UNION ALL
+           SELECT 'lineitem.orderkey->orders',
+             count(*), count(DISTINCT l_orderkey),
+             CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             count(DISTINCT CASE WHEN o.o_orderkey IS NULL THEN l_orderkey END)
+           FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             ON l_orderkey = o.o_orderkey WHERE l_orderkey IS NOT NULL
+           UNION ALL
+           SELECT 'lineitem.partkey->part',
+             count(*), count(DISTINCT l_partkey),
+             CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             count(DISTINCT CASE WHEN p.p_partkey IS NULL THEN l_partkey END)
+           FROM lineitem LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+             ON l_partkey = p.p_partkey WHERE l_partkey IS NOT NULL
+           UNION ALL
+           SELECT 'lineitem.suppkey->supplier',
+             count(*), count(DISTINCT l_suppkey),
+             CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             count(DISTINCT CASE WHEN s.s_suppkey IS NULL THEN l_suppkey END)
+           FROM lineitem LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+             ON l_suppkey = s.s_suppkey WHERE l_suppkey IS NOT NULL
+           ORDER BY relationship""",
 
       // the definitional dominance scan grades the sorted-window
       // frontier (≡ by the per-x-max + strictly-greater-x argument)

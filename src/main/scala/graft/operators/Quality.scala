@@ -669,6 +669,39 @@ object Quality {
     out.toDF("column_name", "pii_kind", "n_rows", "n_rows_hit", "n_hits")
   }
 
+  /** Referential-integrity audit — dbt's `relationships` test as an
+    * operator: for each declared FK edge, how many child rows (and
+    * distinct keys) point at a parent that does not exist. NULL
+    * child keys are excluded (that's the `not_null` test's job, not
+    * a dangling reference).
+    *
+    * One aggregate per edge over the child keyed LEFT-joined to the
+    * DISTINCT parent keys (broadcastable for dimension parents;
+    * orphan = no hit) — no cross join of scalar frames, so the plan
+    * sweep stays nested-loop-free. Run it before a snapshot publish:
+    * a nonzero orphan count is the classic symptom of a partial
+    * extract.
+    */
+  def referentialIntegrity(
+      rels: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(rels.nonEmpty, "need at least one relationship")
+    rels.map { case (label, child, childKey, parent, parentKey) =>
+      val c = child.select(col(childKey).as("__k"))
+        .filter(col("__k").isNotNull)
+      val p = parent.select(col(parentKey).as("__k")).distinct()
+        .withColumn("__hit", lit(1))
+      c.join(p, Seq("__k"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          countDistinct(col("__k")).as("n_keys"),
+          sum(when(col("__hit").isNull, lit(1L)).otherwise(lit(0L)))
+            .as("n_orphan_rows"),
+          countDistinct(when(col("__hit").isNull, col("__k")))
+            .as("n_orphan_keys"))
+        .select(lit(label).as("relationship"), col("n_child"),
+          col("n_keys"), col("n_orphan_rows"), col("n_orphan_keys"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Candidate-key discovery (the uniqueness half of classic
     * dependency profiling, cf. Abedjan et al., "Profiling relational
     * data"): for each proposed column combination, exact distinct

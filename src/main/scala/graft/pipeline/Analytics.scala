@@ -370,6 +370,44 @@ object Analytics {
       .filter(col("n_orders") >= minCount)
   }
 
+  /** Cohort LTV curves — the cumulative-revenue companion of the
+    * retention triangle: customers cohorted by FIRST-order month,
+    * revenue bucketed by whole months since the cohort month
+    * (integer month index y·12+m, exact in any engine), cumulative
+    * per cohort, and LTV = cumulative revenue / cohort size — "how
+    * much is a January customer worth by month 6".
+    *
+    * Money stays exact decimal through the cumulative window (the
+    * float-money discipline); the single LTV division exports
+    * double. Two shuffles (first-order agg on customer, cohort-
+    * period agg), one small window over the cohort × period frame.
+    */
+  def cohortLtv(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mIdx = (c: Column) => year(c) * 12 + month(c)
+    val first = orders.groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("__first"))
+      .select(col("o_custkey"), mIdx(col("__first")).as("__cm"))
+    val sized = first.groupBy(col("__cm")).agg(count(lit(1)).as("n_customers"))
+    val facts = orders
+      .select(col("o_custkey"), mIdx(col("o_orderdate")).as("__om"),
+        dec2(col("o_totalprice")).as("__rev"))
+      .join(first, Seq("o_custkey"))
+      .groupBy(col("__cm"), (col("__om") - col("__cm")).as("period_m"))
+      .agg(sum(col("__rev")).as("revenue"))
+    val byCohort = Window.partitionBy(col("__cm")).orderBy(col("period_m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    facts
+      .withColumn("cum_revenue", sum(col("revenue")).over(byCohort))
+      .join(broadcast(sized), Seq("__cm"))
+      .select(col("__cm").as("cohort_month"), col("period_m"),
+        col("n_customers"),
+        col("revenue").cast("double").as("revenue"),
+        col("cum_revenue").cast("double").as("cum_revenue"),
+        round(col("cum_revenue").cast("double")
+          / col("n_customers").cast("double"), 6).as("ltv"))
+  }
+
   /** Association rules from the co-purchase pairs (Agrawal et al.
     * '93 — [[basketPairs]] says WHICH pairs co-occur; rules say in
     * which DIRECTION the signal runs): for every ordered pair with

@@ -263,6 +263,40 @@ class W5OpsSpec extends SparkSuite {
     assert(got.toSeq.drop(1).map(_._1) === Seq("b>c>a", "c>a>b"))
   }
 
+  test("cohortLtv: cumulative revenue per first-month cohort normalized by cohort size") {
+    import graft.pipeline.Analytics
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val orders = Seq(
+      (1L, ts("2024-01-05 00:00:00"), 100.0),
+      (1L, ts("2024-03-10 00:00:00"), 50.0),   // period 2 for the Jan cohort
+      (2L, ts("2024-01-20 00:00:00"), 200.0),
+      (3L, ts("2024-02-02 00:00:00"), 300.0)
+    ).toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val out = Analytics.cohortLtv(orders)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val jan = 2024 * 12 + 1; val feb = jan + 1
+    assert(out((jan, 0)) === ((2L, 300.0, 300.0, 150.0)))
+    assert(out((jan, 2)) === ((2L, 50.0, 350.0, 175.0)))
+    assert(out((feb, 0)) === ((1L, 300.0, 300.0, 300.0)))
+    assert(out.size === 3)
+  }
+
+  test("referentialIntegrity: orphan rows/keys per edge, nulls excluded, clean edge zero") {
+    import graft.operators.Quality
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(3L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val cleanChild = Seq(1L, 2L).toDF("fk")
+    val out = Quality.referentialIntegrity(Seq(
+        ("dirty", child, "fk", parent, "pk"),
+        ("clean", cleanChild, "fk", parent, "pk")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("dirty") === ((4L, 3L, 1L, 1L)))  // null FK not an orphan
+    assert(out("clean") === ((2L, 2L, 0L, 0L)))
+  }
+
   test("basketRules: directional confidence, lift, minCount cut — hand-computed") {
     import graft.pipeline.Analytics
     // baskets: {A,B}, {A,B}, {A}, {A,C} → c_A=4, c_B=2, c_C=1, N=4
