@@ -3116,6 +3116,16 @@ object SparkEntry {
           seasonCol = hour(col("hr")), halfWindow = 12)
         .orderBy(col("event_type"), col("hr"))
     }),
+    // per-key OLS trend (r11): slope/intercept/R² from five exact
+    // integer sums — the least-squares complement of events_theilsen
+    "events_ols_trend" -> ((s, d) => {
+      val grid = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      Analytics.olsTrend(grid, "event_type", "hr", "cnt")
+        .orderBy(col("event_type"))
+    }),
     // seasonal-residual anomalies (r11): decompose, then the robust
     // MAD rule on the ROUNDED residual — "departure from the expected
     // shape", not "the daily peak again"
@@ -8171,6 +8181,40 @@ object SparkEntry {
            SELECT user_id, event_id, ts, value, cusum_pos, cusum_neg,
              (cusum_pos > 200.0 OR cusum_neg > 200.0) AS breach
            FROM r ORDER BY user_id, event_id""",
+
+      // OLS replay: the same five integer sums, the same double
+      // combination tree
+      "events_ols_trend" ->
+        """WITH g AS (
+             SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+               count(*) AS y
+             FROM events GROUP BY 1, 2
+           ), ix AS (
+             SELECT event_type, y,
+               row_number() OVER (PARTITION BY event_type ORDER BY hr) AS x
+             FROM g
+           ), s AS (
+             SELECT event_type, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+             FROM ix GROUP BY 1 HAVING count(*) >= 2
+           ), c AS (
+             SELECT event_type, n,
+               CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+               CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+               CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy,
+               sx, sy
+             FROM s)
+           SELECT event_type, n, round(num / dx, 6) AS slope,
+             round((CAST(sy AS DOUBLE) - (num / dx) * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE), 6) AS intercept,
+             round(CASE WHEN dy > 0 THEN (num * num) / (dx * dy) END, 6) AS r2
+           FROM c ORDER BY event_type""",
 
       // decomposition replay: identical integer window sums, the same
       // division/subtraction tree — resid intentionally repeats the

@@ -370,6 +370,48 @@ object Analytics {
       .filter(col("n_orders") >= minCount)
   }
 
+  /** Per-key OLS trend — the least-squares complement of the robust
+    * [[theilSenTrend]]: slope, intercept and R² per key from the five
+    * classical sums,
+    *
+    *   slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²),
+    *   R²    = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²)),
+    *
+    * with x the 1-based time index and y an integral series: every Σ
+    * is an EXACT integer (one groupBy), and the combination step is
+    * a fixed double expression tree on those integers — deterministic
+    * IEEE in any engine, no rounding discipline beyond the output
+    * round. One shuffle for the index window, one for the agg (same
+    * key ⇒ the exchange is reused). Keys need n ≥ 2; a constant
+    * series (zero y-variance) reports R² null.
+    */
+  def olsTrend(series: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String, roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTs = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val d = (c: Column) => c.cast("double")
+    val s = series
+      .select(col(keyCol), col(tsCol), col(valueCol).cast("long").as("__y"))
+      .withColumn("__x", row_number().over(byTs).cast("long"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+      .filter(col("n") >= 2)
+      .withColumn("__num", d(col("n")) * d(col("__sxy")) - d(col("__sx")) * d(col("__sy")))
+      .withColumn("__dx", d(col("n")) * d(col("__sxx")) - d(col("__sx")) * d(col("__sx")))
+      .withColumn("__dy", d(col("n")) * d(col("__syy")) - d(col("__sy")) * d(col("__sy")))
+    s.select(col(keyCol), col("n"),
+      round(col("__num") / col("__dx"), roundTo).as("slope"),
+      round((d(col("__sy")) - (col("__num") / col("__dx")) * d(col("__sx")))
+        / d(col("n")), roundTo).as("intercept"),
+      round(when(col("__dy") > 0,
+        (col("__num") * col("__num")) / (col("__dx") * col("__dy"))), roundTo)
+        .as("r2"))
+  }
+
   /** Cohort LTV curves — the cumulative-revenue companion of the
     * retention triangle: customers cohorted by FIRST-order month,
     * revenue bucketed by whole months since the cohort month

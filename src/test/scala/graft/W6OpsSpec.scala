@@ -485,6 +485,25 @@ class W6OpsSpec extends SparkSuite {
     }
   }
 
+  test("olsTrend: perfect line, hand-computed fit, flat series R² null, n<2 dropped") {
+    import graft.pipeline.Analytics
+    val series = Seq(
+      ("line", 1, 3L), ("line", 2, 5L), ("line", 3, 7L),   // y = 2x+1
+      ("hand", 1, 1L), ("hand", 2, 2L), ("hand", 3, 4L),
+      ("flat", 1, 5L), ("flat", 2, 5L), ("flat", 3, 5L),
+      ("solo", 1, 9L)
+    ).toDF("k", "t", "v")
+    val out = Analytics.olsTrend(series, "k", "t", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(out("line") === ((3L, 2.0, 1.0, Some(1.0))))
+    // n=3: num=9, dx=6 → slope 1.5; intercept −2/3; r² 81/84
+    assert(out("hand") === ((3L, 1.5, -0.666667, Some(0.964286))))
+    assert(out("flat") === ((3L, 0.0, 5.0, None)))
+    assert(!out.contains("solo"))
+  }
+
   test("stlAnomaly: a spike against the seasonal shape is flagged; the shape itself is not") {
     import graft.pipeline.Analytics
     // alternating 10/20 season with ONE corrupted point (t=7: 100
