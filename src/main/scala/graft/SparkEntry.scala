@@ -3116,6 +3116,14 @@ object SparkEntry {
           seasonCol = hour(col("hr")), halfWindow = 12)
         .orderBy(col("event_type"), col("hr"))
     }),
+    // Mann-Whitney U per hour-of-day (r11): purchase vs view value
+    // distributions — the nonparametric A/B primitive, integer-rank
+    // exact with tie-corrected z
+    "ab_mannwhitney" -> ((s, d) =>
+      Quality.mannWhitney(
+          eventCols(Tables.events(s, d)).withColumn("hod", hour(col("ts"))),
+          "hod", "event_type", "value", "purchase", "view")
+        .orderBy(col("hod"))),
     // per-key OLS trend (r11): slope/intercept/R² from five exact
     // integer sums — the least-squares complement of events_theilsen
     "events_ols_trend" -> ((s, d) => {
@@ -8181,6 +8189,45 @@ object SparkEntry {
            SELECT user_id, event_id, ts, value, cusum_pos, cusum_neg,
              (cusum_pos > 200.0 OR cusum_neg > 200.0) AS breach
            FROM r ORDER BY user_id, event_id""",
+
+      // U replay: doubled tie-averaged ranks (integer), exact tie
+      // term T = Σ(t³−t), the same fixed double tree for σ and z
+      "ab_mannwhitney" ->
+        """WITH f AS (
+             SELECT hour(CAST(ts AS TIMESTAMP)) AS hod,
+               event_type = 'purchase' AS isa, value AS v
+             FROM events WHERE event_type IN ('purchase', 'view')
+           ), r AS (
+             SELECT hod, isa, v,
+               2 * (rank() OVER (PARTITION BY hod ORDER BY v) - 1)
+                 + count(*) OVER (PARTITION BY hod, v) + 1 AS r2
+             FROM f
+           ), t AS (
+             SELECT hod, CAST(sum(tt*tt*tt - tt) AS BIGINT) AS tie
+             FROM (SELECT hod, v, count(*) AS tt FROM f GROUP BY 1, 2)
+             GROUP BY 1
+           ), a AS (
+             SELECT hod, sum(CASE WHEN isa THEN 1 ELSE 0 END) AS n_a,
+               sum(CASE WHEN isa THEN 0 ELSE 1 END) AS n_b,
+               CAST(sum(CASE WHEN isa THEN r2 ELSE 0 END) AS BIGINT) AS ra2
+             FROM r GROUP BY 1
+             HAVING sum(CASE WHEN isa THEN 1 ELSE 0 END) >= 1
+               AND sum(CASE WHEN isa THEN 0 ELSE 1 END) >= 1
+           ), c AS (
+             SELECT a.hod, n_a, n_b, ra2 - n_a * (n_a + 1) AS u2,
+               n_a + n_b AS n, t.tie
+             FROM a JOIN t ON a.hod = t.hod
+           ), s AS (
+             SELECT *, (CAST(n_a AS DOUBLE) * n_b / 12.0)
+               * (CAST(n + 1 AS DOUBLE) - CAST(tie AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS s2
+             FROM c)
+           SELECT hod, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             CAST(u2 AS DOUBLE) / 2.0 AS u_a,
+             round(CASE WHEN s2 > 0 THEN
+               (CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b)
+               / (2.0 * sqrt(s2)) END, 6) AS z
+           FROM s ORDER BY hod""",
 
       // OLS replay: the same five integer sums, the same double
       // combination tree

@@ -669,6 +669,58 @@ object Quality {
     out.toDF("column_name", "pii_kind", "n_rows", "n_rows_hit", "n_hits")
   }
 
+  /** Mann–Whitney U test per key (Mann & Whitney '47) — the
+    * nonparametric two-sample A/B primitive: does group A's value
+    * distribution sit above group B's, without assuming normality?
+    * The [[graft.operators.Recurrence.pettitt]] integer-rank
+    * discipline: tie-averaged ranks doubled to stay integer
+    * (r2 = 2·(rank−1) + ties + 1), so R_A and 2·U_A are exact
+    * integer sums; the tie-corrected normal approximation
+    *
+    *   σ² = (n_A·n_B/12)·((n+1) − Σ(t³−t)/(n·(n−1))),
+    *   z  = (2U_A − n_A·n_B) / (2σ)
+    *
+    * is a fixed double tree on integers (T = Σ(t³−t) over tie groups
+    * is itself an exact integer). All windows/aggs partition by the
+    * key — thousands of independent tests on one exchange. Keys
+    * where every value ties (σ = 0) report z null; u_a is reported
+    * in half-unit steps (tie-averaged ranks).
+    */
+  def mannWhitney(df: DataFrame, keyCol: String, groupCol: String,
+                  valueCol: String, groupA: String, groupB: String,
+                  roundTo: Int = 6): DataFrame = {
+    val f = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(keyCol), (col(groupCol) === groupA).as("__isA"),
+        col(valueCol).as("__v"))
+    val byVal = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
+    val eq = Window.partitionBy(col(keyCol), col("__v"))
+    val ranked = f
+      .withColumn("__r2", (lit(2L) * (rank().over(byVal) - 1)
+        + count(lit(1)).over(eq) + 1).cast("long"))
+    val ties = f.groupBy(col(keyCol), col("__v"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__T"))
+    val d = (c: Column) => c.cast("double")
+    ranked.groupBy(col(keyCol))
+      .agg(sum(when(col("__isA"), lit(1L)).otherwise(lit(0L))).as("n_a"),
+        sum(when(!col("__isA"), lit(1L)).otherwise(lit(0L))).as("n_b"),
+        sum(when(col("__isA"), col("__r2")).otherwise(lit(0L))).as("__ra2"))
+      .filter(col("n_a") >= 1 && col("n_b") >= 1)
+      .join(ties, Seq(keyCol))
+      .withColumn("__u2", col("__ra2") - col("n_a") * (col("n_a") + 1))
+      .withColumn("__n", col("n_a") + col("n_b"))
+      .withColumn("__s2",
+        (d(col("n_a")) * d(col("n_b")) / lit(12.0))
+          * (d(col("__n") + 1) - d(col("__T"))
+            / (d(col("__n")) * d(col("__n") - 1))))
+      .select(col(keyCol), col("n_a"), col("n_b"),
+        (d(col("__u2")) / lit(2.0)).as("u_a"),
+        round(when(col("__s2") > 0,
+          (d(col("__u2")) - d(col("n_a")) * d(col("n_b")))
+            / (lit(2.0) * sqrt(col("__s2")))), roundTo).as("z"))
+  }
+
   /** Referential-integrity audit — dbt's `relationships` test as an
     * operator: for each declared FK edge, how many child rows (and
     * distinct keys) point at a parent that does not exist. NULL

@@ -189,6 +189,24 @@ class QualitySpec extends SparkSuite {
     assert(empty === Set(("email", 0L, 0L), ("url", 0L, 0L), ("ipv4", 0L, 0L)))
   }
 
+  test("mannWhitney: separation maxes U with hand-computed z; full ties zero σ → null z; other groups ignored") {
+    val df = Seq(
+      // k1: A strictly above B — U = n_a·n_b = 4
+      (1, "A", 3.0), (1, "A", 5.0), (1, "B", 1.0), (1, "B", 2.0),
+      (1, "C", 99.0),                       // not in the comparison
+      // k2: everything ties — σ² = 0
+      (2, "A", 1.0), (2, "A", 1.0), (2, "B", 1.0), (2, "B", 1.0)
+    ).toDF("k", "grp", "v")
+    val out = Quality.mannWhitney(df, "k", "grp", "v", "A", "B")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    val zExp = BigDecimal(4.0 / (2.0 * math.sqrt(5.0 / 3.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1) === ((2L, 2L, 4.0, Some(zExp))))
+    assert(out(2) === ((2L, 2L, 2.0, None)))
+  }
+
   test("candidateKeys: is-key verdicts, uniqueness ratios, struct-null semantics, one row per combo") {
     val df = Seq(
       (Some(1), "x"), (Some(2), "x"), (Some(2), "y"), (None, "x")
