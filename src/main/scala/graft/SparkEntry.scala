@@ -3116,6 +3116,16 @@ object SparkEntry {
           seasonCol = hour(col("hr")), halfWindow = 12)
         .orderBy(col("event_type"), col("hr"))
     }),
+    // quantile normalization (r11): per-source n_chars mapped onto
+    // the global distribution at the same within-source rank fraction
+    "quality_quantile_norm" -> ((s, d) =>
+      Quality.quantileNormalize(
+          Tables.documents(s, d).select(col("doc_id"), col("source"),
+            col("n_chars")),
+          "source", "n_chars", "doc_id")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("norm_value"))
+        .orderBy(col("doc_id"))),
     // Mann-Whitney U per hour-of-day (r11): purchase vs view value
     // distributions — the nonparametric A/B primitive, integer-rank
     // exact with tie-corrected z
@@ -8189,6 +8199,31 @@ object SparkEntry {
            SELECT user_id, event_id, ts, value, cusum_pos, cusum_neg,
              (cusum_pos > 200.0 OR cusum_neg > 200.0) AS breach
            FROM r ORDER BY user_id, event_id""",
+
+      // rank-fraction lookup replay: same pr division, same
+      // half-away round, same (value, id)-ordered global sequence
+      "quality_quantile_norm" ->
+        """WITH g AS (
+             SELECT n_chars AS gv,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS gi
+             FROM documents
+           ), n AS (SELECT count(*) AS nn FROM documents
+           ), w AS (
+             SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY n_chars, doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS ng
+             FROM documents
+           ), ix AS (
+             SELECT doc_id, source, n_chars,
+               1 + CAST(round(
+                 (CASE WHEN ng > 1
+                   THEN CAST(rn - 1 AS DOUBLE) / CAST(ng - 1 AS DOUBLE)
+                   ELSE 0.0 END) * CAST(nn - 1 AS DOUBLE), 0) AS BIGINT)
+                 AS gi
+             FROM w CROSS JOIN n)
+           SELECT doc_id, source, n_chars, g.gv AS norm_value
+           FROM ix JOIN g USING (gi) ORDER BY doc_id""",
 
       // U replay: doubled tie-averaged ranks (integer), exact tie
       // term T = Σ(t³−t), the same fixed double tree for σ and z

@@ -669,6 +669,48 @@ object Quality {
     out.toDF("column_name", "pii_kind", "n_rows", "n_rows_hit", "n_hits")
   }
 
+  /** Quantile normalization across groups (the microarray-era
+    * cross-batch calibration, Bolstad et al. '03, as a curation
+    * primitive): map every row's value onto the GLOBAL distribution
+    * at the same within-group rank fraction, so "top-10% by this
+    * source's standards" means the same number everywhere — the fix
+    * for per-source score drift that a global threshold can't see.
+    *
+    * Deterministic by construction: within-group percent rank
+    * pr = (rn−1)/(n_g−1) (ties broken on the id), global lookup
+    * index 1 + round(pr·(N−1)) — one division, one multiply, one
+    * half-away round, then an equi-join into the globally-ranked
+    * value sequence. The global row_number is the one global sort
+    * (rank-lookup shape); at 100 TB replace it with a sampled
+    * quantile sketch table (the dq_profile_approx path) — the
+    * group-side windows already partition by the group.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                        idCol: String): DataFrame = {
+    val byGrp = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(idCol))
+    val grpAll = Window.partitionBy(col(groupCol))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val global = df.select(col(valueCol).as("__gv"), col(idCol))
+      .withColumn("__gi", row_number().over(
+        Window.orderBy(col("__gv"), col(idCol))).cast("long"))
+      .select(col("__gi"), col("__gv"))
+    val withIdx = df
+      .withColumn("__rn", row_number().over(byGrp).cast("long"))
+      .withColumn("__ng", count(lit(1)).over(grpAll))
+      .withColumn("__nn", count(lit(1)).over(wAll))
+      .withColumn("__pr", when(col("__ng") > 1,
+        (col("__rn") - 1).cast("double") / (col("__ng") - 1).cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("__gi",
+        (lit(1L) + round(col("__pr") * (col("__nn") - 1).cast("double"), 0)
+          .cast("long")))
+    withIdx.join(global, Seq("__gi"))
+      .withColumn("norm_value", col("__gv"))
+      .drop("__gi", "__gv", "__rn", "__ng", "__nn", "__pr")
+  }
+
   /** Mann–Whitney U test per key (Mann & Whitney '47) — the
     * nonparametric two-sample A/B primitive: does group A's value
     * distribution sit above group B's, without assuming normality?

@@ -189,6 +189,25 @@ class QualitySpec extends SparkSuite {
     assert(empty === Set(("email", 0L, 0L), ("url", 0L, 0L), ("ipv4", 0L, 0L)))
   }
 
+  test("quantileNormalize: scale-shifted sources map to identical normalized sets; singleton maps to global min") {
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+      (4L, "b", 100L), (5L, "b", 200L), (6L, "b", 300L),
+      (7L, "c", 7L)
+    ).toDF("id", "src", "v")
+    val out = Quality.quantileNormalize(df, "src", "v", "id")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val bySrc = out.groupBy(_._1).map { case (s, rows) =>
+      s -> rows.map(_._3).sorted.toList }
+    // global sorted: 7,10,20,30,100,200,300 — ranks 0/.5/1 hit
+    // indices 1/4/7 for BOTH 3-row sources: identical after norm
+    assert(bySrc("a") === List(7L, 30L, 300L))
+    assert(bySrc("b") === List(7L, 30L, 300L))
+    assert(bySrc("a") === bySrc("b"))
+    // a singleton source pins to rank 0 — the global minimum
+    assert(bySrc("c") === List(7L))
+  }
+
   test("mannWhitney: separation maxes U with hand-computed z; full ties zero σ → null z; other groups ignored") {
     val df = Seq(
       // k1: A strictly above B — U = n_a·n_b = 4
