@@ -3126,6 +3126,16 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"),
           col("norm_value"))
         .orderBy(col("doc_id"))),
+    // two-proportion z (r11): conversion-rate A/B over a
+    // deterministic user split (user_id parity as the holdout)
+    "ab_proportions" -> ((s, d) => {
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", lit(1L))
+          .otherwise(lit(0L))).as("converted"))
+        .withColumn("variant", pmod(col("user_id"), lit(2)))
+      Quality.twoProportionZ(users, "variant", "converted")
+    }),
     // Mann-Whitney U per hour-of-day (r11): purchase vs view value
     // distributions — the nonparametric A/B primitive, integer-rank
     // exact with tie-corrected z
@@ -8224,6 +8234,36 @@ object SparkEntry {
              FROM w CROSS JOIN n)
            SELECT doc_id, source, n_chars, g.gv AS norm_value
            FROM ix JOIN g USING (gi) ORDER BY doc_id""",
+
+      // pooled-variance z replay: four integer sums, the same
+      // division/sqrt tree
+      "ab_proportions" ->
+        """WITH u AS (
+             SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS converted,
+               user_id % 2 AS variant
+             FROM events GROUP BY user_id
+           ), s AS (
+             SELECT
+               CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+               CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_t,
+               CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+               CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_c
+             FROM u
+           ), p AS (
+             SELECT *, (CAST(conv_t AS DOUBLE) + conv_c)
+               / (CAST(n_t AS DOUBLE) + n_c) AS pp
+             FROM s)
+           SELECT n_t, conv_t, n_c, conv_c,
+             round(CAST(conv_t AS DOUBLE) / n_t, 6) AS rate_t,
+             round(CAST(conv_c AS DOUBLE) / n_c, 6) AS rate_c,
+             round(CASE WHEN pp > 0 AND pp < 1 THEN
+               (CAST(conv_t AS DOUBLE) / n_t - CAST(conv_c AS DOUBLE) / n_c)
+               / sqrt(pp * (1.0 - pp)
+                 * (1.0 / CAST(n_t AS DOUBLE) + 1.0 / CAST(n_c AS DOUBLE)))
+               END, 6) AS z
+           FROM p""",
 
       // U replay: doubled tie-averaged ranks (integer), exact tie
       // term T = Σ(t³−t), the same fixed double tree for σ and z

@@ -669,6 +669,39 @@ object Quality {
     out.toDF("column_name", "pii_kind", "n_rows", "n_rows_hit", "n_hits")
   }
 
+  /** Two-proportion z-test — the conversion-rate A/B statistic
+    * ([[mannWhitney]] compares value DISTRIBUTIONS; this compares a
+    * binary outcome's RATE): z = (p_t − p_c) /
+    * √(p̂(1−p̂)(1/n_t + 1/n_c)) with p̂ the pooled rate. One
+    * aggregate over the per-unit frame (four integer sums), then a
+    * fixed double tree — deterministic in any engine. Degenerate
+    * pooled rates (p̂ ∈ {0, 1} ⇒ zero variance) report z null.
+    *
+    * @param units one row per experimental unit with a 0/1 variant
+    *              column and a 0/1 conversion column
+    */
+  def twoProportionZ(units: DataFrame, variantCol: String,
+                     convCol: String, roundTo: Int = 6): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    units.agg(
+        sum(when(col(variantCol) === 1, lit(1L)).otherwise(lit(0L))).as("n_t"),
+        sum(when(col(variantCol) === 1, col(convCol).cast("long"))
+          .otherwise(lit(0L))).as("conv_t"),
+        sum(when(col(variantCol) === 0, lit(1L)).otherwise(lit(0L))).as("n_c"),
+        sum(when(col(variantCol) === 0, col(convCol).cast("long"))
+          .otherwise(lit(0L))).as("conv_c"))
+      .withColumn("rate_t", round(d(col("conv_t")) / d(col("n_t")), roundTo))
+      .withColumn("rate_c", round(d(col("conv_c")) / d(col("n_c")), roundTo))
+      .withColumn("__pp", (d(col("conv_t")) + d(col("conv_c")))
+        / (d(col("n_t")) + d(col("n_c"))))
+      .withColumn("z", round(when(col("__pp") > 0 && col("__pp") < 1,
+        (d(col("conv_t")) / d(col("n_t")) - d(col("conv_c")) / d(col("n_c")))
+          / sqrt(col("__pp") * (lit(1.0) - col("__pp"))
+            * (lit(1.0) / d(col("n_t")) + lit(1.0) / d(col("n_c"))))),
+        roundTo))
+      .drop("__pp")
+  }
+
   /** Quantile normalization across groups (the microarray-era
     * cross-batch calibration, Bolstad et al. '03, as a curation
     * primitive): map every row's value onto the GLOBAL distribution

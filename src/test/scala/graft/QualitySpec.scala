@@ -189,6 +189,23 @@ class QualitySpec extends SparkSuite {
     assert(empty === Set(("email", 0L, 0L), ("url", 0L, 0L), ("ipv4", 0L, 0L)))
   }
 
+  test("twoProportionZ: hand-computed pooled z; degenerate all-converted reports null") {
+    val units = Seq((1L, 1, 1L), (3L, 1, 0L), (2L, 0, 1L), (4L, 0, 1L))
+      .toDF("u", "variant", "conv")
+    val r = Quality.twoProportionZ(units, "variant", "conv").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((2L, 1L, 2L, 2L)))
+    assert((r.getDouble(4), r.getDouble(5)) === ((0.5, 1.0)))
+    val zExp = BigDecimal(-0.5 / math.sqrt(0.75 * 0.25 * 1.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(6) === zExp)
+    // everyone converts: pooled rate 1 → zero variance → null
+    val degen = Quality.twoProportionZ(
+      Seq((1L, 1, 1L), (2L, 0, 1L)).toDF("u", "variant", "conv"),
+      "variant", "conv").collect().head
+    assert(degen.isNullAt(6))
+  }
+
   test("quantileNormalize: scale-shifted sources map to identical normalized sets; singleton maps to global min") {
     val df = Seq(
       (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
