@@ -220,6 +220,39 @@ object SparkEntry {
     "cohort_ltv" -> ((s, d) =>
       Analytics.cohortLtv(Tables.orders(s, d))
         .orderBy(col("cohort_month"), col("period_m"))),
+    // ABC classification per brand (r11): part revenue in exact
+    // 1e-4 integer units, class thresholds as integer
+    // cross-products — no float share anywhere
+    "abc_parts" -> ((s, d) => {
+      val units = Tables.lineitem(s, d)
+        .select(col("l_partkey"),
+          (col("l_extendedprice").cast("decimal(12,2)")
+            * (lit(1) - col("l_discount").cast("decimal(12,2)"))
+            * lit(10000)).cast("long").as("u"))
+        .groupBy(col("l_partkey")).agg(sum(col("u")).as("rev_u"))
+      val df = units.join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), col("p_partkey"), col("rev_u"))
+      Analytics.abcClassification(df, "p_brand", "p_partkey", "rev_u")
+        .orderBy(col("p_brand"), col("rank"))
+    }),
+    // per-nation revenue Gini (r11): customer-revenue concentration
+    // — exact decimal rank sums, one double division
+    "revenue_gini" -> ((s, d) => {
+      val rev = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("rev"))
+      val df = rev
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey")),
+          rev("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("c_custkey"), col("rev"))
+      Analytics.giniConcentration(df, "nation", "c_custkey", "rev")
+        .orderBy(col("nation"))
+    }),
     // referential-integrity audit (r11): dbt's relationships test —
     // orphan child keys per declared FK edge
     "dq_referential" -> ((s, d) =>
@@ -3071,6 +3104,18 @@ object SparkEntry {
           iterations = 6)
         .orderBy(col("node"))
     }),
+    // multi-source BFS hop distance (r11): blast-radius analysis
+    // from the pk % 40 == 0 seed parts (the PPR teleport set) —
+    // integer hops and order-free min() make every synchronous
+    // round a pure function of the edge set, so the 6 rounds
+    // hash-grade against the same rounds unrolled as MATERIALIZED
+    // CTEs (6 ≥ the seed set's eccentricity at the graded SFs ⇒
+    // exact BFS distances; extra rounds idempotent by monotonicity)
+    "graph_bfs_distance" -> ((s, d) =>
+      Graph.bfsDistance(coPurchaseEdges(s, d), "pa", "pb",
+          Tables.part(s, d).select(col("p_partkey").as("n"))
+            .filter(col("n") % 40 === 0), "n", maxHops = 6)
+        .orderBy(col("node"))),
     // Holt double-exponential smoothing per user (r9): the level+trend
     // recurrence no batch window computes, folded in one keyed
     // mapPartitions pass and replayed BIT-EXACT by a recursive CTE
@@ -3136,6 +3181,12 @@ object SparkEntry {
         .withColumn("variant", pmod(col("user_id"), lit(2)))
       Quality.twoProportionZ(users, "variant", "converted")
     }),
+    // chi-squared independence (r11): market segment × nation over
+    // customers — full R×C grid, 6-decimal-rounded cell
+    // contributions summed as integers (order-free)
+    "dq_chi2" -> ((s, d) =>
+      Quality.chiSquareIndependence(Tables.customer(s, d),
+        "c_mktsegment", "c_nationkey")),
     // Mann-Whitney U per hour-of-day (r11): purchase vs view value
     // distributions — the nonparametric A/B primitive, integer-rank
     // exact with tie-corrected z
@@ -3165,6 +3216,17 @@ object SparkEntry {
       Analytics.stlAnomaly(grid, "event_type", "hr", "cnt",
           seasonCol = hour(col("hr")), halfWindow = 12)
         .orderBy(col("event_type"), col("hr"))
+    }),
+    // per-key ACF at lags 1-3 over the hourly-count grid (r11):
+    // every statistic an exact integer sum (the OLS discipline), one
+    // double division per (key, lag)
+    "events_acf" -> ((s, d) => {
+      val grid = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      Analytics.acf(grid, "event_type", "hr", "cnt", maxLag = 3)
+        .orderBy(col("event_type"), col("lag"))
     }),
     // Pettitt change-point test per event_type over the hourly-count
     // series (r11): rank-based U_t is exact integer arithmetic end to
@@ -3670,6 +3732,28 @@ object SparkEntry {
     * MATERIALIZED: l_i references l_{i-1} twice (edge lookup +
     * self-vote) and plain CTEs inline exponentially.
     */
+  /** Unrolled multi-source BFS relaxation rounds — mirrors
+    * [[graft.operators.Graph.bfsDistance]]: b0 = the seed∩graph
+    * nodes at distance 0, each round one edge relaxation + min.
+    */
+  private def bfsDistanceSql(maxHops: Int): String = {
+    val iters = (1 to maxHops).map { i =>
+      s""", b$i AS MATERIALIZED (
+           SELECT node, min(dist) AS dist FROM (
+             SELECT dd.dst AS node, p.dist + 1 AS dist
+             FROM dd JOIN b${i - 1} p ON dd.src = p.node
+             UNION ALL SELECT node, dist FROM b${i - 1}) v
+           GROUP BY node)"""
+    }.mkString
+    graphEdgesCte +
+      """, b0 AS MATERIALIZED (
+           SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+           FROM dd WHERE src % 40 = 0)""" +
+      iters +
+      s"""
+         SELECT node, dist FROM b$maxHops ORDER BY node"""
+  }
+
   private def labelPropagationSql(iterations: Int): String = {
     val iters = (1 to iterations).map { i =>
       s""", l$i AS MATERIALIZED (
@@ -5010,6 +5094,64 @@ object SparkEntry {
              round(CAST(c.cum_revenue AS DOUBLE) / s.n_customers, 6) AS ltv
            FROM cum c JOIN sized s USING (cm)
            ORDER BY cohort_month, period_m""",
+
+      // ABC replay: the same 1e-4 integer units, identical ordered
+      // windows, identical integer threshold cross-products
+      "abc_parts" ->
+        """WITH u AS (
+             SELECT l_partkey,
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000
+                 AS BIGINT)) AS BIGINT) AS rev_u
+             FROM lineitem GROUP BY 1
+           ), j AS (
+             SELECT p.p_brand, p.p_partkey, u.rev_u
+             FROM u JOIN part p ON u.l_partkey = p.p_partkey
+           ), w AS (
+             SELECT p_brand, p_partkey, rev_u,
+               CAST(row_number() OVER (PARTITION BY p_brand
+                 ORDER BY rev_u DESC, p_partkey) AS BIGINT) AS rank,
+               CAST(sum(rev_u) OVER (PARTITION BY p_brand
+                 ORDER BY rev_u DESC, p_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum,
+               CAST(sum(rev_u) OVER (PARTITION BY p_brand) AS BIGINT)
+                 AS tot
+             FROM j)
+           SELECT p_brand, p_partkey, rank, rev_u AS value,
+             cum AS cum_value,
+             CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+                  WHEN cum * 20 <= tot * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class
+           FROM w ORDER BY p_brand, rank""",
+
+      // Gini replay: identical decimal rank sums, the same double
+      // tree — ties rank-broken on custkey in both engines
+      "revenue_gini" ->
+        """WITH rev AS (
+             SELECT o_custkey,
+               sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+             FROM orders GROUP BY 1
+           ), j AS (
+             SELECT n.n_name AS nation, c.c_custkey AS id,
+               CAST(r.rev AS DECIMAL(12,2)) AS x
+             FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+               JOIN nation n ON c.c_nationkey = n.n_nationkey
+           ), ix AS (
+             SELECT nation, x, row_number() OVER (PARTITION BY nation
+               ORDER BY x, id) AS i
+             FROM j
+           ), s AS (
+             SELECT nation, count(*) AS n_units, sum(x) AS sx,
+               sum(x * i) AS six
+             FROM ix GROUP BY 1)
+           SELECT nation, n_units, CAST(sx AS DOUBLE) AS total_value,
+             round(CASE WHEN CAST(sx AS DOUBLE) > 0 THEN
+               (2.0 * CAST(six AS DOUBLE)
+                 - (CAST(n_units AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+               / (CAST(n_units AS DOUBLE) * CAST(sx AS DOUBLE)) END, 6)
+               AS gini
+           FROM s ORDER BY nation""",
 
       // per-edge orphan audit; synthetic TPC-H data should be clean —
       // the zero counts ARE the assertion
@@ -7970,6 +8112,9 @@ object SparkEntry {
       // hash-green (r10)
       "graph_communities" -> labelPropagationSql(6),
 
+      // BFS replay: the same 6 relaxation rounds, integer hops
+      "graph_bfs_distance" -> bfsDistanceSql(6),
+
       // degree assortativity: exact BIGINT sufficient statistics,
       // Pearson evaluated once in double with operands cast FIRST —
       // the identical IEEE expression the Spark side runs
@@ -8265,6 +8410,39 @@ object SparkEntry {
                END, 6) AS z
            FROM p""",
 
+      // χ² replay: the full R×C grid with zero cells, the same
+      // per-cell double tree, 1e6-scaled integer contribution sum
+      "dq_chi2" ->
+        """WITH obs AS (
+             SELECT c_mktsegment AS a, c_nationkey AS b,
+               CAST(count(*) AS BIGINT) AS o
+             FROM customer GROUP BY 1, 2
+           ), ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1
+           ), cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1
+           ), nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs
+           ), grid AS (
+             SELECT ra.a, cb.b, ra.r, cb.c, coalesce(obs.o, 0) AS o
+             FROM ra CROSS JOIN cb
+               LEFT JOIN obs ON ra.a = obs.a AND cb.b = obs.b
+           ), cells AS (
+             SELECT g.o,  g.a, g.b,
+               CAST(g.r AS DOUBLE) * CAST(g.c AS DOUBLE)
+                 / CAST(nn.n AS DOUBLE) AS e
+             FROM grid g CROSS JOIN nn
+           ), sc AS (
+             SELECT a, b,
+               CAST(round((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+                 / e * 1000000.0) AS BIGINT) AS s6
+             FROM cells)
+           SELECT nn.n, x.n_rows_cat, x.n_cols_cat,
+             (x.n_rows_cat - 1) * (x.n_cols_cat - 1) AS dof,
+             round(CAST(x.chi6 AS DOUBLE) / 1000000.0, 6) AS chi2
+           FROM (
+             SELECT count(DISTINCT a) AS n_rows_cat,
+               count(DISTINCT b) AS n_cols_cat,
+               CAST(sum(s6) AS BIGINT) AS chi6
+             FROM sc) x CROSS JOIN nn""",
+
       // U replay: doubled tie-averaged ranks (integer), exact tie
       // term T = Σ(t³−t), the same fixed double tree for σ and z
       "ab_mannwhitney" ->
@@ -8366,6 +8544,49 @@ object SparkEntry {
              d.dev_s > 3.0 * a.mad_s AS is_anomaly
            FROM dev d JOIN mad a USING (event_type)
            ORDER BY d.event_type, d.hr""",
+
+      // ACF replay: C/H/T from a rn self-join per lag (≡ the lead
+      // columns), the same n²-scaled integer statistics and the
+      // same double tree
+      "events_acf" ->
+        """WITH g AS (
+             SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+               count(*) AS y
+             FROM events GROUP BY 1, 2
+           ), ix AS (
+             SELECT event_type, CAST(y AS BIGINT) AS y,
+               row_number() OVER (PARTITION BY event_type ORDER BY hr) AS t
+             FROM g
+           ), base AS (
+             SELECT event_type, count(*) AS n,
+               CAST(sum(y) AS BIGINT) AS s,
+               CAST(sum(y * y) AS BIGINT) AS sxx
+             FROM ix GROUP BY 1
+           ), lags(k) AS (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)),
+             (CAST(3 AS BIGINT))
+           ), pairs AS (
+             SELECT a.event_type, l.k,
+               CAST(sum(a.y * b.y) AS BIGINT) AS c,
+               CAST(sum(a.y) AS BIGINT) AS h,
+               CAST(sum(b.y) AS BIGINT) AS tl
+             FROM ix a CROSS JOIN lags l
+               JOIN ix b ON a.event_type = b.event_type AND b.t = a.t + l.k
+             GROUP BY 1, 2)
+           SELECT p.event_type, p.k AS lag, b.n,
+             round(CASE WHEN CAST(b.n AS DOUBLE) * (CAST(b.n AS DOUBLE)
+                 * CAST(b.sxx AS DOUBLE)
+                 - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE)) > 0 THEN
+               (CAST(b.n AS DOUBLE) * CAST(b.n AS DOUBLE) * CAST(p.c AS DOUBLE)
+                 - CAST(b.n AS DOUBLE) * CAST(b.s AS DOUBLE)
+                   * (CAST(p.h AS DOUBLE) + CAST(p.tl AS DOUBLE))
+                 + (CAST(b.n AS DOUBLE) - CAST(p.k AS DOUBLE))
+                   * CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE))
+               / (CAST(b.n AS DOUBLE) * (CAST(b.n AS DOUBLE)
+                 * CAST(b.sxx AS DOUBLE)
+                 - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE)))
+               END, 6) AS acf
+           FROM pairs p JOIN base b USING (event_type)
+           ORDER BY event_type, lag""",
 
       // Pettitt replay: tie-averaged ranks doubled to stay integer
       // (2·avg_rank = 2·(rank−1) + ties + 1), U_t an integer running

@@ -412,6 +412,136 @@ object Analytics {
         .as("r2"))
   }
 
+  /** Per-key autocorrelation function at lags 1..`maxLag` (the
+    * Box–Jenkins identification statistic — "is this series still
+    * correlated with itself k steps back?", the seasonality/
+    * momentum screen that decides whether [[olsTrend]]'s
+    * independence assumption even holds). For the length-n series
+    * x₁..xₙ with mean x̄, r_k = Σ_{t≤n−k}(x_t−x̄)(x_{t+k}−x̄) /
+    * Σ(x_t−x̄)². Multiplying through by n² turns both sides into
+    * EXACT integer statistics: r_k = (n²·C_k − n·S·(H_k+T_k) +
+    * (n−k)·S²) / (n·(n·Sxx − S²)) where C_k = Σ x_t·x_{t+k},
+    * H_k/T_k the head/tail partial sums, S/Sxx the plain sums —
+    * every term one integer aggregate, the final division the only
+    * double (round 6), so the statistic hash-grades cross-engine
+    * with no summation-order discipline.
+    *
+    * One ordered window pass (maxLag `lead` columns share the key
+    * exchange) + one key aggregate; the lag unpivot is a `stack`
+    * over the already-aggregated per-key row — thousands of series
+    * cost one shuffle. Constant series (zero variance) report a
+    * null acf; lags ≥ n drop (no pairs).
+    */
+  def acf(series: DataFrame, keyCol: String, tsCol: String,
+          valueCol: String, maxLag: Int = 3, roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxLag >= 1 && maxLag <= 24, "maxLag in [1, 24]")
+    val byTs = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val d = (c: Column) => c.cast("double")
+    val led = (1 to maxLag).foldLeft(
+        series.select(col(keyCol), col(tsCol),
+          col(valueCol).cast("long").as("__y"))) { (df, k) =>
+      df.withColumn(s"__l$k", lead(col("__y"), k).over(byTs))
+    }
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("__y")).as("__s"),
+      sum(col("__y") * col("__y")).as("__sxx")) ++
+      (1 to maxLag).flatMap { k =>
+        Seq(sum(col("__y") * col(s"__l$k")).as(s"__c$k"),
+          sum(when(col(s"__l$k").isNotNull, col("__y"))).as(s"__h$k"),
+          sum(col(s"__l$k")).as(s"__t$k"))
+      }
+    val stackArgs = (1 to maxLag)
+      .map(k => s"CAST($k AS BIGINT), __c$k, __h$k, __t$k").mkString(", ")
+    led.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(keyCol), col("n"), col("__s"), col("__sxx"),
+        expr(s"stack($maxLag, $stackArgs) AS (lag, __c, __h, __t)"))
+      .filter(col("__c").isNotNull) // lag ≥ n ⇒ no pairs
+      .withColumn("__num", d(col("n")) * d(col("n")) * d(col("__c"))
+        - d(col("n")) * d(col("__s")) * (d(col("__h")) + d(col("__t")))
+        + (d(col("n")) - d(col("lag"))) * d(col("__s")) * d(col("__s")))
+      .withColumn("__den", d(col("n")) * (d(col("n")) * d(col("__sxx"))
+        - d(col("__s")) * d(col("__s"))))
+      .select(col(keyCol), col("lag"), col("n"),
+        round(when(col("__den") > 0, col("__num") / col("__den")), roundTo)
+          .as("acf"))
+  }
+
+  /** ABC / Pareto classification per group — the inventory-analysis
+    * staple ("which parts are the 80% of this brand's revenue?"):
+    * rank keys by value descending inside each group, classify by
+    * cumulative share — A while cum ≤ 80% of the group total, B
+    * while ≤ 95%, C after. `valueCol` must be an INTEGER measure
+    * (money pre-scaled to its smallest unit by the caller): the
+    * thresholds are compared as exact integer cross-products
+    * (cum·5 ≤ total·4, cum·20 ≤ total·19) — no float share ever
+    * exists, so a class boundary cannot flip on summation order or
+    * representation. (Decimal×int would hit Spark's precision-38
+    * cap and silently round; longs cannot.) All-zero groups
+    * classify everything A (0 ≤ 0). Headroom: total·20 must fit a
+    * long — values up to ~4.6e17 per group.
+    *
+    * Both windows (ordered cum-sum, unordered total) share the one
+    * group-key exchange; groups rank independently — no global
+    * sort, thousands of groups in parallel. The input should be the
+    * per-key PRE-AGGREGATED frame (dimension-sized), not raw facts.
+    */
+  def abcClassification(rows: DataFrame, groupCol: String, keyCol: String,
+                        valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ordered = Window.partitionBy(col(groupCol))
+      .orderBy(col("__x").desc, col(keyCol))
+    val whole = Window.partitionBy(col(groupCol))
+    rows.select(col(groupCol), col(keyCol),
+        col(valueCol).cast("long").as("__x"))
+      .withColumn("rank", row_number().over(ordered).cast("long"))
+      .withColumn("__cum", sum(col("__x"))
+        .over(ordered.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("__tot", sum(col("__x")).over(whole))
+      .select(col(groupCol), col(keyCol), col("rank"),
+        col("__x").as("value"), col("__cum").as("cum_value"),
+        when(col("__cum") * 5 <= col("__tot") * 4, "A")
+          .when(col("__cum") * 20 <= col("__tot") * 19, "B")
+          .otherwise("C").as("abc_class"))
+  }
+
+  /** Per-group Gini coefficient — revenue-concentration measurement
+    * ("is this nation's revenue one whale or a broad base?"), the
+    * scalar summary behind every Lorenz-curve dashboard. For
+    * ascending-ranked positive values x₁..xₙ, G = Σ(2i−n−1)·xᵢ /
+    * (n·Σx); expanding the rank term gives G = (2·Σi·xᵢ −
+    * (n+1)·Σx) / (n·Σx) — so ONE ordered window (the rank) and one
+    * group aggregate suffice, no per-row n. Values ride as exact
+    * decimals (the money discipline: Σx and Σi·xᵢ are order-free
+    * decimal sums), the single division is the only double (round
+    * 6). Ties are rank-broken on `idCol` for determinism, but G is
+    * tie-order invariant (equal x swap freely in Σi·xᵢ... their
+    * rank-sum is fixed). Zero/negative totals report null; G ∈
+    * [0, 1−1/n] for non-negative values.
+    *
+    * One key exchange shared by the window sort and the aggregate;
+    * groups are ranked independently — thousands of groups scale
+    * linearly, no global sort.
+    */
+  def giniConcentration(rows: DataFrame, groupCol: String, idCol: String,
+                        valueCol: String, roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = (c: Column) => c.cast("double")
+    val byVal = Window.partitionBy(col(groupCol))
+      .orderBy(col("__x"), col(idCol))
+    rows.select(col(groupCol), col(idCol), dec2(col(valueCol)).as("__x"))
+      .withColumn("__i", row_number().over(byVal).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_units"), sum(col("__x")).as("__sx"),
+        sum(col("__x") * col("__i")).as("__six"))
+      .select(col(groupCol), col("n_units"),
+        d(col("__sx")).as("total_value"),
+        round(when(d(col("__sx")) > 0,
+          (lit(2.0) * d(col("__six"))
+            - (d(col("n_units")) + lit(1.0)) * d(col("__sx")))
+          / (d(col("n_units")) * d(col("__sx")))), roundTo).as("gini"))
+  }
+
   /** Cohort LTV curves — the cumulative-revenue companion of the
     * retention triangle: customers cohorted by FIRST-order month,
     * revenue bucketed by whole months since the cohort month

@@ -189,6 +189,28 @@ class QualitySpec extends SparkSuite {
     assert(empty === Set(("email", 0L, 0L), ("url", 0L, 0L), ("ipv4", 0L, 0L)))
   }
 
+  test("chiSquareIndependence: hand-computed 2x2, independent table is 0, zero cells contribute") {
+    // (x,p)=10 (x,q)=20 (y,p)=20 (y,q)=10: e = 15 everywhere,
+    // per-cell 25/15 → rounded-cell χ² = 6.666668
+    val df = (Seq.fill(10)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++
+      Seq.fill(20)(("y", "p")) ++ Seq.fill(10)(("y", "q"))).toDF("a", "b")
+    val r = Quality.chiSquareIndependence(df, "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((60L, 2L, 2L, 1L)))
+    assert(r.getDouble(4) === 6.666668)
+    // perfectly independent table: χ² = 0
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 10 }
+      yield (a, b)).toDF("a", "b")
+    assert(Quality.chiSquareIndependence(ind, "a", "b")
+      .collect().head.getDouble(4) === 0.0)
+    // full association with ZERO cells: (x,p)=2 (z,q)=1 → the two
+    // unobserved cells contribute their e; χ² = N = 3 exactly
+    val zc = (Seq.fill(2)(("x", "p")) :+ (("z", "q"))).toDF("a", "b")
+    val z = Quality.chiSquareIndependence(zc, "a", "b").collect().head
+    assert((z.getLong(0), z.getLong(3), z.getDouble(4)) === ((3L, 1L, 3.0)))
+    Par.release()
+  }
+
   test("twoProportionZ: hand-computed pooled z; degenerate all-converted reports null") {
     val units = Seq((1L, 1, 1L), (3L, 1, 0L), (2L, 0, 1L), (4L, 0, 1L))
       .toDF("u", "variant", "conv")

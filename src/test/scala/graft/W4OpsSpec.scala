@@ -477,6 +477,29 @@ class W4OpsSpec extends SparkSuite {
     Par.release()
   }
 
+  test("bfsDistance: path-graph hops, multi-source min, off-graph seeds ignored, unreached absent") {
+    import graft.operators.Graph
+    // path 1-2-3-4-5, separate edge 20-21, unreached component 30-31
+    val df = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (20L, 21L),
+      (30L, 31L)).toDF("a", "b")
+    val seeds = Seq(1L, 20L, 99L).toDF("n") // 99 not a graph node
+    val got = Graph.bfsDistance(df, "a", "b", seeds, "n", maxHops = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L,
+      20L -> 0L, 21L -> 1L))
+    // multi-source: nearest seed wins
+    val two = Graph.bfsDistance(df, "a", "b", Seq(1L, 5L).toDF("n"), "n",
+        maxHops = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+    // idempotent past convergence + deterministic under repartitioning
+    val more = Graph.bfsDistance(df.repartition(7), "a", "b", seeds, "n",
+        maxHops = 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more === got)
+    Par.release()
+  }
+
   test("triangle stats: known graphs and equality to brute force on a random graph") {
     import graft.operators.Graph
     def stats(edges: Seq[(Long, Long)]) =

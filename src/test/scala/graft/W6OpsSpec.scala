@@ -504,6 +504,67 @@ class W6OpsSpec extends SparkSuite {
     assert(!out.contains("solo"))
   }
 
+  test("acf: hand-computed lags, alternating series negative lag-1, constant null, lag >= n dropped") {
+    import graft.pipeline.Analytics
+    val series = Seq(
+      ("ramp", 1, 1L), ("ramp", 2, 2L), ("ramp", 3, 3L),
+      ("alt", 1, 1L), ("alt", 2, 2L), ("alt", 3, 1L), ("alt", 4, 2L),
+      ("flat", 1, 5L), ("flat", 2, 5L), ("flat", 3, 5L), ("flat", 4, 5L)
+    ).toDF("k", "t", "v")
+    val out = Analytics.acf(series, "k", "t", "v", maxLag = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // ramp 1,2,3: r1 = 0, r2 = -1/2; lag 3 has no pairs → dropped
+    assert(out(("ramp", 1L)) === Some(0.0))
+    assert(out(("ramp", 2L)) === Some(-0.5))
+    assert(!out.contains(("ramp", 3L)))
+    // alternating 1,2,1,2: r1 = -3/4 (anti-persistent)
+    assert(out(("alt", 1L)) === Some(-0.75))
+    // constant series: zero variance → null at every lag
+    assert(out(("flat", 1L)) === None)
+    assert(out(("flat", 2L)) === None)
+  }
+
+  test("abcClassification: exact 80/95 boundaries, all-zero group classifies A, deterministic tie rank") {
+    import graft.pipeline.Analytics
+    // 80/15/4/1: cum shares exactly 0.80 (A), 0.95 (B), then C
+    val rows = Seq(("g", 1L, 80L), ("g", 2L, 15L), ("g", 3L, 4L),
+      ("g", 4L, 1L), ("z", 7L, 0L), ("z", 8L, 0L)).toDF("b", "k", "v")
+    val out = Analytics.abcClassification(rows, "b", "k", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(4), r.getString(5)))).toMap
+    assert(out(("g", 1L)) === ((1L, 80L, "A")))   // exactly 80% → A
+    assert(out(("g", 2L)) === ((2L, 95L, "B")))   // exactly 95% → B
+    assert(out(("g", 3L)) === ((3L, 99L, "C")))
+    assert(out(("g", 4L)) === ((4L, 100L, "C")))
+    // all-zero group: 0 ≤ 0 → everything A, ties ranked by key
+    assert(out(("z", 7L)) === ((1L, 0L, "A")))
+    assert(out(("z", 8L)) === ((2L, 0L, "A")))
+  }
+
+  test("giniConcentration: equality 0, max concentration 1-1/n, zero-total null, tie-order invariant") {
+    import graft.pipeline.Analytics
+    val rows = Seq(
+      ("eq", 1L, 5.0), ("eq", 2L, 5.0), ("eq", 3L, 5.0), ("eq", 4L, 5.0),
+      ("whale", 1L, 0.0), ("whale", 2L, 0.0), ("whale", 3L, 0.0),
+      ("whale", 4L, 4.0),
+      ("zero", 1L, 0.0), ("zero", 2L, 0.0)
+    ).toDF("g", "id", "v")
+    val out = Analytics.giniConcentration(rows, "g", "id", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out("eq") === ((4L, 20.0, Some(0.0))))
+    assert(out("whale") === ((4L, 4.0, Some(0.75)))) // 1 - 1/n
+    assert(out("zero") === ((2L, 0.0, None)))
+    // tie-order invariance: permuting ids of equal values changes nothing
+    val perm = rows.withColumn("id", lit(10L) - col("id"))
+    val p = Analytics.giniConcentration(perm, "g", "id", "v")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(p("eq") === Some(0.0) && p("whale") === Some(0.75))
+  }
+
   test("stlAnomaly: a spike against the seasonal shape is flagged; the shape itself is not") {
     import graft.pipeline.Analytics
     // alternating 10/20 season with ONE corrupted point (t=7: 100
