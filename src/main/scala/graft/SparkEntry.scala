@@ -1863,6 +1863,12 @@ object SparkEntry {
             nullif(nWords, lit(0L)).cast("double")).as("stopword_ratio"))
         .orderBy(col("doc_id"))
     }),
+    // Flesch-Kincaid readability (r11): grade/ease from portable
+    // regex counts — words, sentence runs (floored 1), vowel-run
+    // syllables — two fixed double trees, round 6
+    "doc_readability" -> ((s, d) =>
+      functions.Text.readability(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     "doc_lang_id" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), functions.Text.langId(col("text")).as("lang_pred"))
@@ -3238,6 +3244,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
       operators.Recurrence.pettitt(grid, "event_type", "hr", "cnt")
         .orderBy(col("event_type"))
+    }),
+    // Kaplan-Meier time-to-first-purchase per user-parity cohort
+    // (r11): duration = whole hours from a user's first event to
+    // their first purchase, administratively CENSORED at the
+    // 48-hour horizon — conversions past the window count as
+    // at-risk exposure, never as events (the estimator's point)
+    "events_survival" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val subj = ev.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("__first"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("__fp"))
+        .withColumn("__gap_h",
+          (unix_timestamp(col("__fp")) - unix_timestamp(col("__first")))
+            .divide(lit(3600)).cast("long"))
+        .select(pmod(col("user_id"), lit(2)).as("cohort"),
+          when(col("__gap_h") <= 48, col("__gap_h")).otherwise(lit(48L))
+            .as("dur"),
+          when(col("__gap_h") <= 48, lit(1L)).otherwise(lit(0L))
+            .as("converted"))
+      operators.Recurrence.kaplanMeier(subj, "cohort", "dur", "converted")
+        .orderBy(col("cohort"), col("t_duration"))
     }),
     // Theil-Sen robust trend per user (r9-cont): median of pairwise
     // slopes over the maxPoints most-recent points — the hard
@@ -6366,6 +6394,30 @@ object SparkEntry {
                / nullif($nWordsSql, 0) AS stopword_ratio
            FROM documents ORDER BY doc_id""",
 
+      // readability replay: the same three regex run-counts, the
+      // same two double trees
+      "doc_readability" ->
+        """WITH c AS (
+             SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+                 AS n_words,
+               greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                 AS BIGINT), 1) AS n_sentences,
+               CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                 AS BIGINT) AS n_syllables
+             FROM documents)
+           SELECT doc_id, n_words, n_sentences, n_syllables,
+             round(CASE WHEN n_words > 0 THEN
+               0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+               + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+               - 15.59 END, 6) AS fk_grade,
+             round(CASE WHEN n_words > 0 THEN
+               206.835
+               - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+               - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+               END, 6) AS flesch_ease
+           FROM c ORDER BY doc_id""",
+
       // moment-sum variance replay (the volumeAnomaly portability
       // argument); round(6) guards the cross-engine double sums
       "doc_quality_normalized" ->
@@ -8587,6 +8639,49 @@ object SparkEntry {
                END, 6) AS acf
            FROM pairs p JOIN base b USING (event_type)
            ORDER BY event_type, lag""",
+
+      // KM replay: integer suffix-sum risk sets, then the product
+      // recurrence step-by-step in a recursive CTE — the same
+      // divide-then-multiply IEEE sequence the keyed fold executes
+      "events_survival" ->
+        """WITH RECURSIVE g AS (
+             SELECT user_id,
+               (date_diff('second', TIMESTAMP '1970-01-01',
+                  min(CASE WHEN event_type = 'purchase'
+                    THEN CAST(ts AS TIMESTAMP) END))
+                - date_diff('second', TIMESTAMP '1970-01-01',
+                    min(CAST(ts AS TIMESTAMP)))) // 3600 AS gap_h
+             FROM events GROUP BY user_id
+           ), subj AS (
+             SELECT user_id % 2 AS k,
+               CAST(CASE WHEN gap_h <= 48 THEN gap_h ELSE 48 END
+                 AS BIGINT) AS t,
+               CASE WHEN gap_h <= 48 THEN 1 ELSE 0 END AS ev
+             FROM g
+           ), tbl AS (
+             SELECT k, t, CAST(sum(ev) AS BIGINT) AS d, count(*) AS m
+             FROM subj GROUP BY 1, 2
+           ), risk AS (
+             SELECT k, t, d,
+               CAST(sum(m) OVER (PARTITION BY k ORDER BY t DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS n
+             FROM tbl
+           ), er AS (
+             SELECT k, t, n, d,
+               row_number() OVER (PARTITION BY k ORDER BY t) AS rn
+             FROM risk WHERE d >= 1
+           ), s AS (
+             SELECT k, t, n, d, rn,
+               CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE) AS surv
+             FROM er WHERE rn = 1
+             UNION ALL
+             SELECT e.k, e.t, e.n, e.d, e.rn,
+               s.surv * (CAST(e.n - e.d AS DOUBLE) / CAST(e.n AS DOUBLE))
+             FROM er e JOIN s ON e.k = s.k AND e.rn = s.rn + 1)
+           SELECT k AS cohort, t AS t_duration, n AS n_risk,
+             d AS n_events, surv AS survival
+           FROM s ORDER BY cohort, t_duration""",
 
       // Pettitt replay: tie-averaged ranks doubled to stay integer
       // (2·avg_rank = 2·(rank−1) + ties + 1), U_t an integer running

@@ -297,6 +297,44 @@ object Text {
         (col("__top").cast("double") / col("n_words").cast("double"))
           .as("top_word_frac"))
 
+  /** Flesch–Kincaid readability (Kincaid et al. '75 — the standard
+    * "what grade level is this prose?" screen; a curation signal
+    * orthogonal to [[wordRepetition]]'s diversity ratios: templated
+    * legalese passes repetition filters but reads at grade 20+).
+    * Counts are the portable regex heuristic, identical in any
+    * POSIX-regex engine: words = `[A-Za-z]+` runs, sentences =
+    * `[.!?]+` runs floored at 1, syllables = vowel runs
+    * `[aeiouyAEIOUY]+` (consonant-only tokens count zero syllables
+    * — documented approximation; no silent-e adjustment). Grade =
+    * 0.39·(w/s) + 11.8·(syl/w) − 15.59; ease = 206.835 − 1.015·(w/s)
+    * − 84.6·(syl/w) — fixed double trees on the three integer
+    * counts, round 6. Wordless docs report null metrics.
+    *
+    * Pure per-row map over the scan — no shuffle, codegen'd
+    * regexes; at 100 TB this is scan-bound by construction.
+    */
+  def readability(docs: DataFrame, idCol: String, textCol: String,
+                  roundTo: Int = 6): DataFrame = {
+    val t = col(textCol)
+    val d = (c: Column) => c.cast("double")
+    val w = regexp_count(t, lit("[A-Za-z]+")).cast("long")
+    val s = greatest(regexp_count(t, lit("[.!?]+")).cast("long"), lit(1L))
+    val syl = regexp_count(t, lit("[aeiouyAEIOUY]+")).cast("long")
+    docs.select(col(idCol), w.as("n_words"), s.as("n_sentences"),
+        syl.as("n_syllables"))
+      .select(col(idCol), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        round(when(col("n_words") > 0,
+          lit(0.39) * (d(col("n_words")) / d(col("n_sentences")))
+            + lit(11.8) * (d(col("n_syllables")) / d(col("n_words")))
+            - lit(15.59)), roundTo).as("fk_grade"),
+        round(when(col("n_words") > 0,
+          lit(206.835)
+            - lit(1.015) * (d(col("n_words")) / d(col("n_sentences")))
+            - lit(84.6) * (d(col("n_syllables")) / d(col("n_words")))),
+          roundTo).as("flesch_ease"))
+  }
+
   /** Gopher-style n-gram repetition signals (Rae et al. '21 appendix
     * A1.1's duplicate/top n-gram filters, word-occurrence form):
     * over the doc's n-gram occurrences (position order, duplicates

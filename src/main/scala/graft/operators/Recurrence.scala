@@ -274,4 +274,62 @@ object Recurrence {
               .cast("double"))), roundTo)
           .as("p_value"))
   }
+
+  /** Kaplan–Meier survival estimator per key (Kaplan & Meier '58 —
+    * THE right-censored time-to-event curve: retention/churn where
+    * still-active users must not count as churned, they just stop
+    * being observed): with dₜ events and mₜ departures (events +
+    * censorings) at duration t, the at-risk set is the integer
+    * suffix sum nₜ = Σ_{u≥t} mₜ, and S(t) = Π_{u≤t}(nᵤ−dᵤ)/nᵤ over
+    * event times only (censorings shrink the risk set but never the
+    * product — the whole point of the estimator; ties at t count
+    * events before censorings, the standard convention, which the
+    * suffix sum encodes by keeping same-t censored subjects in nₜ).
+    *
+    * The product is a TRUE recurrence (non-associative in float),
+    * folded per key in the engine's one-exchange sorted
+    * mapPartitions pass: each step is one correctly-rounded
+    * division then one multiply — the identical IEEE sequence a
+    * recursive CTE replays, so the curve hash-grades BIT-EXACT
+    * (the holtWinters discipline; integer inputs, no rounding).
+    * Plan: one (key, t) aggregate, one integer suffix-sum window,
+    * one keyed fold — O(1) state per partition, any key count.
+    *
+    * @param subjects one row per subject: key, integer duration,
+    *                 0/1 event flag (1 = event observed, 0 = right-
+    *                 censored at that duration)
+    */
+  def kaplanMeier(subjects: DataFrame, keyCol: String, durationCol: String,
+                  eventCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = subjects.sparkSession
+    import spark.implicits._
+    val tbl = subjects
+      .select(col(keyCol).cast("long").as("__k"),
+        col(durationCol).cast("long").as("__t"),
+        col(eventCol).cast("long").as("__ev"))
+      .groupBy(col("__k"), col("__t"))
+      .agg(sum(col("__ev")).as("__d"), count(lit(1)).as("__m"))
+    val suffix = Window.partitionBy(col("__k")).orderBy(col("__t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tbl
+      .withColumn("__n", sum(col("__m")).over(suffix))
+      .filter(col("__d") >= 1) // event times only
+      .select(col("__k"), col("__t"), col("__n"), col("__d"))
+      .repartition(col("__k"))
+      .sortWithinPartitions(col("__k"), col("__t"))
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        var hasKey = false
+        var cur = 0L
+        var surv = 1.0
+        it.map { case (k, t, n, d) =>
+          if (!hasKey || k != cur) { hasKey = true; cur = k; surv = 1.0 }
+          val q = (n - d).toDouble / n.toDouble
+          surv = surv * q
+          (k, t, n, d, surv)
+        }
+      }
+      .toDF(keyCol, "t_duration", "n_risk", "n_events", "survival")
+  }
 }

@@ -9,6 +9,27 @@ class TextSpec extends SparkSuite {
   private def one[T](c: org.apache.spark.sql.Column, text: String): T =
     Seq(text).toDF("text").select(c.as("v")).collect()(0).getAs[T]("v")
 
+  test("readability: hand-computed counts, sentence floor, consonant-only tokens, wordless null") {
+    val docs = Seq(
+      (1L, "The cat sat. It ran!"),   // 5 words, 2 sentences, 5 syllable runs
+      (2L, "hello world"),            // no terminator → sentence floor 1
+      (3L, "Mr Smth tries."),         // consonant-only tokens: 3 words, 1 syllable run
+      (4L, "123 456 --")              // wordless → null metrics
+    ).toDF("doc_id", "text")
+    val out = Text.readability(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) ===
+      ((5L, 2L, 5L, Some(r6(0.39 * 2.5 + 11.8 * 1.0 - 15.59)))))
+    assert(out(2L)._2 === 1L)
+    assert(out(3L) === ((3L, 1L, 1L,
+      Some(r6(0.39 * 3.0 + 11.8 * (1.0 / 3.0) - 15.59)))))
+    assert(out(4L) === ((0L, 1L, 0L, None)))
+  }
+
   test("tokenCountWs: whitespace runs, empty string") {
     assert(one[Long](Text.tokenCountWs(col("text")), "a  b\tc\nd") === 4L)
     assert(one[Long](Text.tokenCountWs(col("text")), "") === 0L)

@@ -525,6 +525,29 @@ class W6OpsSpec extends SparkSuite {
     assert(out(("flat", 2L)) === None)
   }
 
+  test("kaplanMeier: censoring shrinks risk set without events, event-time rows only, per-key reset") {
+    import graft.operators.Recurrence
+    // key 1: durations (1 ev), (2 cens), (3 ev), (3 ev), (5 cens)
+    // risk sets 5,4,3,1 → curve at event times: t=1 S=4/5, t=3 S=4/5·1/3
+    // key 2: single immediate event → S = 0
+    val subj = Seq((1L, 1L, 1L), (1L, 2L, 0L), (1L, 3L, 1L),
+      (1L, 3L, 1L), (1L, 5L, 0L), (2L, 1L, 1L)).toDF("k", "dur", "ev")
+    val out = Recurrence.kaplanMeier(subj, "k", "dur", "ev")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.keySet === Set((1L, 1L), (1L, 3L), (2L, 1L)))
+    assert(out((1L, 1L)) === ((5L, 1L, 4.0 / 5.0)))
+    assert(out((1L, 3L)) === ((3L, 2L, (4.0 / 5.0) * (1.0 / 3.0))))
+    assert(out((2L, 1L)) === ((1L, 1L, 0.0)))
+    // no-censoring sanity: KM reduces to the empirical survivor fn
+    val plain = Seq((9L, 1L, 1L), (9L, 2L, 1L), (9L, 3L, 1L), (9L, 4L, 1L))
+      .toDF("k", "dur", "ev")
+    val p = Recurrence.kaplanMeier(plain, "k", "dur", "ev")
+      .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    assert(p(1L) === 3.0 / 4.0)
+    assert(math.abs(p(4L)) < 1e-15)
+  }
+
   test("abcClassification: exact 80/95 boundaries, all-zero group classifies A, deterministic tie rank") {
     import graft.pipeline.Analytics
     // 80/15/4/1: cum shares exactly 0.80 (A), 0.95 (B), then C
