@@ -1413,6 +1413,39 @@ object SparkEntry {
     // load nor vanish — schema-true rows parse, failures keep their
     // raw text for replay; graded via a VALUES-literal oracle over a
     // deterministic crafted file
+    // non-parquet source/sink roundtrips (r11): orders written
+    // through each format and read back via the schema-enforced
+    // readers — the oracle is the parquet table itself, so ANY
+    // serialization loss (timestamp precision, float text
+    // round-trip, header/quoting) fails the hash. Text formats pin
+    // an explicit microsecond timestampFormat on BOTH sides (the
+    // schema-at-read discipline: never trust format defaults).
+    "source_orc_roundtrip" -> ((s, d) => {
+      val dir = graft.TempDirs.create("graft_orc") + "/t"
+      val o = Tables.orders(s, d)
+      o.write.orc(dir)
+      graft.sources.Sources.orc(s, dir, o.schema)
+        .orderBy(col("o_orderkey"))
+    }),
+    "source_csv_roundtrip" -> ((s, d) => {
+      val dir = graft.TempDirs.create("graft_csvrt") + "/t"
+      val o = Tables.orders(s, d)
+      val tf = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      o.write.option("header", "true").option("timestampFormat", tf)
+        .csv(dir)
+      graft.sources.Sources.csv(s, dir, o.schema,
+          options = Map("timestampFormat" -> tf))
+        .orderBy(col("o_orderkey"))
+    }),
+    "source_jsonl_roundtrip" -> ((s, d) => {
+      val dir = graft.TempDirs.create("graft_jsonrt") + "/t"
+      val o = Tables.orders(s, d)
+      val tf = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      o.write.option("timestampFormat", tf).json(dir)
+      graft.sources.Sources.jsonl(s, dir, o.schema,
+          options = Map("timestampFormat" -> tf))
+        .orderBy(col("o_orderkey"))
+    }),
     "source_quarantine" -> ((s, d) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
       val dir = graft.TempDirs.create("graft_quar")
@@ -6116,6 +6149,15 @@ object SparkEntry {
 
       // VALUES-literal oracle (zero data): the crafted file's
       // deterministic split — good rows parse, bad rows keep raw text
+      // roundtrip oracles: the parquet table verbatim — equality
+      // proves the format paths are lossless
+      "source_orc_roundtrip" ->
+        "SELECT * FROM orders ORDER BY o_orderkey",
+      "source_csv_roundtrip" ->
+        "SELECT * FROM orders ORDER BY o_orderkey",
+      "source_jsonl_roundtrip" ->
+        "SELECT * FROM orders ORDER BY o_orderkey",
+
       "source_quarantine" ->
         """SELECT * FROM (VALUES
              ('good', CAST(1 AS BIGINT), CAST('alpha' AS VARCHAR), CAST(10 AS BIGINT), CAST(NULL AS VARCHAR)),

@@ -21,15 +21,18 @@ object Sources {
     spark.read.parquet(path)
 
   def csv(spark: SparkSession, path: String, schema: StructType,
-          header: Boolean = true, delimiter: String = ","): DataFrame =
+          header: Boolean = true, delimiter: String = ",",
+          options: Map[String, String] = Map.empty): DataFrame =
     spark.read.schema(schema)
       .option("header", header.toString)
       .option("delimiter", delimiter)
       .option("mode", "PERMISSIVE")
+      .options(options)
       .csv(path)
 
-  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).json(path)
+  def jsonl(spark: SparkSession, path: String, schema: StructType,
+            options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.schema(schema).options(options).json(path)
 
   /** ORC — Spark-native columnar alternative; same pushdown/pruning
     * behavior as parquet, schema enforced.

@@ -12,6 +12,32 @@ class SourcesSpec extends SparkSuite {
     StructField("id", LongType), StructField("name", StringType),
     StructField("v", DoubleType)))
 
+  test("orc/csv/jsonl roundtrips are lossless: microsecond timestamps, float text, quoted strings") {
+    val dir = tmpDir("rt")
+    val tsSchema = StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampType),
+      StructField("x", DoubleType), StructField("s", StringType)))
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 12:34:56.123456"),
+        1.25e-3, "a,b \"quoted\""),
+      (2L, java.sql.Timestamp.valueOf("2024-03-02 00:00:00"),
+        1.0e7, "plain")).toDF("id", "ts", "x", "s")
+    val want = df.orderBy("id").collect().toSeq
+    val tf = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    df.write.orc(s"$dir/o")
+    assert(Sources.orc(spark, s"$dir/o", tsSchema)
+      .orderBy("id").collect().toSeq === want)
+    df.write.option("header", "true").option("timestampFormat", tf)
+      .csv(s"$dir/c")
+    assert(Sources.csv(spark, s"$dir/c", tsSchema,
+        options = Map("timestampFormat" -> tf))
+      .orderBy("id").collect().toSeq === want)
+    df.write.option("timestampFormat", tf).json(s"$dir/j")
+    assert(Sources.jsonl(spark, s"$dir/j", tsSchema,
+        options = Map("timestampFormat" -> tf))
+      .orderBy("id").collect().toSeq === want)
+  }
+
   test("csv and jsonl readers enforce the declared schema") {
     val dir = tmpDir("src")
     Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
