@@ -1896,6 +1896,14 @@ object SparkEntry {
             nullif(nWords, lit(0L)).cast("double")).as("stopword_ratio"))
         .orderBy(col("doc_id"))
     }),
+    // TextRank keywords (r11): per-doc integer fixed-point PageRank
+    // over the word-adjacency graph, top-5 by (rank desc, word) —
+    // the iterative extraction hash-grades against 6 unrolled
+    // MATERIALIZED-CTE rounds
+    "doc_keywords" -> ((s, d) =>
+      functions.Text.textRankKeywords(Tables.documents(s, d), "doc_id",
+          "text", iterations = 6, topK = 5)
+        .orderBy(col("doc_id"), col("rank"))),
     // Flesch-Kincaid readability (r11): grade/ease from portable
     // regex counts — words, sentence runs (floored 1), vowel-run
     // syllables — two fixed double trees, round 6
@@ -3813,6 +3821,65 @@ object SparkEntry {
       iters +
       s"""
          SELECT node, dist FROM b$maxHops ORDER BY node"""
+  }
+
+  /** Unrolled per-doc integer fixed-point PageRank over word
+    * adjacency — mirrors [[graft.functions.Text.textRankKeywords]]:
+    * the pageRankFixedSql discipline with (doc_id, word) composite
+    * nodes and per-doc base mass.
+    */
+  private def textRankSql(iterations: Int, topK: Int): String = {
+    val norm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+    val iters = (1 to iterations).map { i =>
+      s""", r$i AS MATERIALIZED (
+           SELECT g.doc_id, g.src AS node,
+             CAST((150000000000 // g.n)
+               + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+           FROM wn g LEFT JOIN (
+             SELECT dd.doc_id, dd.dst,
+               CAST(sum(p.r // dgr.deg) AS BIGINT) AS s
+             FROM dd JOIN r${i - 1} p
+               ON dd.doc_id = p.doc_id AND dd.src = p.node
+               JOIN dgr ON dd.doc_id = dgr.doc_id AND dd.src = dgr.src
+             GROUP BY dd.doc_id, dd.dst) c
+             ON g.doc_id = c.doc_id AND g.src = c.dst)"""
+    }.mkString
+    s"""WITH w AS (
+         SELECT doc_id, string_split($norm, ' ') AS ws FROM documents
+       ), b0 AS (
+         SELECT doc_id,
+           unnest([struct_pack(a := ws[i+1], b := ws[i+2])
+                   for i in range(0, len(ws) - 1)]) AS bg
+         FROM w WHERE len(ws) >= 2
+       ), bi AS (
+         SELECT doc_id, bg.a AS a, bg.b AS b FROM b0
+         WHERE bg.a <> bg.b AND len(bg.a) > 0 AND len(bg.b) > 0
+       ), e AS MATERIALIZED (
+         SELECT DISTINCT doc_id, least(a, b) AS a, greatest(a, b) AS b
+         FROM bi
+       ), dd AS MATERIALIZED (
+         SELECT doc_id, a AS src, b AS dst FROM e
+         UNION ALL SELECT doc_id, b AS src, a AS dst FROM e
+       ), dgr AS MATERIALIZED (
+         SELECT doc_id, src, CAST(count(*) AS BIGINT) AS deg
+         FROM dd GROUP BY 1, 2
+       ), nn AS (SELECT doc_id, count(*) AS n FROM dgr GROUP BY 1
+       ), wn AS MATERIALIZED (
+         SELECT dgr.doc_id, dgr.src, nn.n FROM dgr JOIN nn USING (doc_id)
+       ), r0 AS MATERIALIZED (
+         SELECT doc_id, src AS node,
+           CAST(1000000000000 // n AS BIGINT) AS r
+         FROM wn)""" +
+      iters +
+      s"""
+         , ranked AS (
+           SELECT doc_id, node, r,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY r DESC, node) AS rk
+           FROM r$iterations)
+         SELECT doc_id, node AS word, r AS rank_fp,
+           CAST(rk AS BIGINT) AS rank
+         FROM ranked WHERE rk <= $topK ORDER BY doc_id, rank"""
   }
 
   private def labelPropagationSql(iterations: Int): String = {
@@ -6435,6 +6502,9 @@ object SparkEntry {
              CAST(${stopHits(s"string_split($norm, ' ')", functions.Text.StopwordsEn)} AS DOUBLE)
                / nullif($nWordsSql, 0) AS stopword_ratio
            FROM documents ORDER BY doc_id""",
+
+      // TextRank replay: per-doc unrolled integer PageRank rounds
+      "doc_keywords" -> textRankSql(6, 5),
 
       // readability replay: the same three regex run-counts, the
       // same two double trees

@@ -297,6 +297,80 @@ object Text {
         (col("__top").cast("double") / col("n_words").cast("double"))
           .as("top_word_frac"))
 
+  /** TextRank keyword extraction (Mihalcea & Tarau '04) — PageRank
+    * over each document's word-ADJACENCY graph picks the words most
+    * central to the doc's own structure, the unsupervised upgrade of
+    * [[tfIdf]]'s frequency ranking (a word mentioned once but
+    * bridging every topic outranks a repeated filler). Graph per
+    * doc: distinct undirected edges between adjacent normalized
+    * tokens (window 2, self-loops dropped); then `iterations`
+    * synchronous PageRank rounds in the engine's INTEGER fixed-point
+    * discipline (scale 1e12, damping 85/100, per-DOC base mass
+    * 15%·S div n_d) — every round order-free integer arithmetic, so
+    * the iterative extraction hash-grades against the same rounds
+    * unrolled as MATERIALIZED CTEs (the pageRankFixedPoint
+    * portability argument, applied per document). Top-`topK` words
+    * per doc by (rank desc, word asc) via a per-doc window.
+    *
+    * All rounds run over the UNION of every doc's graph keyed by
+    * (doc, word) — one composite-key exchange per round, thousands
+    * of docs in flight, per-doc skew bounded by doc length; docs
+    * with fewer than two distinct adjacent tokens have no graph and
+    * are absent.
+    */
+  def textRankKeywords(docs: DataFrame, idCol: String, textCol: String,
+                       iterations: Int = 6, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(iterations >= 1 && iterations <= 50, "iterations in [1, 50]")
+    require(topK >= 1, "topK must be positive")
+    val Scale = 1000000000000L
+    val bi = docs
+      .select(col(idCol).as("__id"),
+        split(normalize(col(textCol)), " ").as("__ws"))
+      .filter(size(col("__ws")) >= 2)
+      .select(col("__id"), explode(expr(
+        "transform(sequence(0, size(__ws) - 2), " +
+          "i -> struct(__ws[i] AS a, __ws[i + 1] AS b))")).as("__bg"))
+      .select(col("__id"), col("__bg.a").as("a"), col("__bg.b").as("b"))
+      .filter(col("a") =!= col("b")
+        && length(col("a")) > 0 && length(col("b")) > 0)
+    val e = bi.select(col("__id"), least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val dd = graft.Par.persistTracked(
+      e.select(col("__id"), col("a").as("src"), col("b").as("dst"))
+        .unionByName(
+          e.select(col("__id"), col("b").as("src"), col("a").as("dst")))
+        .repartition(col("__id"), col("src")))
+    val nodes = graft.Par.persistTracked(
+      dd.groupBy(col("__id"), col("src")).agg(count(lit(1)).as("deg")))
+    val nn = nodes.groupBy(col("__id")).agg(count(lit(1)).as("n"))
+    val withN = graft.Par.persistTracked(nodes.join(nn, "__id"))
+    var ranks = withN.select(col("__id"), col("src").as("node"),
+      expr(s"CAST($Scale AS BIGINT) div n").as("rank_fp"))
+    for (i <- 1 to iterations) {
+      val contrib = dd
+        .join(ranks.withColumnRenamed("node", "src"), Seq("__id", "src"))
+        .join(nodes, Seq("__id", "src"))
+        .groupBy(col("__id"), col("dst").as("node"))
+        .agg(sum(expr("rank_fp div deg")).as("__c"))
+      ranks = withN.select(col("__id"), col("src").as("node"), col("n"))
+        .join(contrib, Seq("__id", "node"), "left")
+        .select(col("__id"), col("node"),
+          (expr(s"CAST(150000000000 AS BIGINT) div n")
+            + expr("(85 * coalesce(__c, CAST(0 AS BIGINT))) div 100"))
+            .as("rank_fp"))
+      if (i % 3 == 0 && i < iterations) ranks = ranks.localCheckpoint(true)
+    }
+    val byRank = Window.partitionBy(col("__id"))
+      .orderBy(col("rank_fp").desc, col("node"))
+    ranks
+      .withColumn("rank", row_number().over(byRank).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("__id").as(idCol), col("node").as("word"),
+        col("rank_fp"), col("rank"))
+  }
+
   /** Flesch–Kincaid readability (Kincaid et al. '75 — the standard
     * "what grade level is this prose?" screen; a curation signal
     * orthogonal to [[wordRepetition]]'s diversity ratios: templated

@@ -9,6 +9,29 @@ class TextSpec extends SparkSuite {
   private def one[T](c: org.apache.spark.sql.Column, text: String): T =
     Seq(text).toDF("text").select(c.as("v")).collect()(0).getAs[T]("v")
 
+  test("textRankKeywords: hub word ranks first, tie-break alphabetical, graphless docs absent, repartition-stable") {
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma alpha delta"), // star centered on alpha
+      (2L, "x"),                                  // single token: no graph
+      (3L, "y y y y")                             // self-adjacency only: no edges
+    ).toDF("doc_id", "text")
+    val out = Text.textRankKeywords(docs, "doc_id", "text",
+      iterations = 6, topK = 3).collect()
+    assert(out.map(_.getLong(0)).toSet === Set(1L))
+    val top = out.filter(_.getLong(0) == 1L).sortBy(_.getLong(3))
+    // hub first; the three spokes tie on rank → alphabetical
+    assert(top.map(_.getString(1)).toSeq === Seq("alpha", "beta", "delta"))
+    assert(top.head.getLong(2) > top(1).getLong(2))
+    assert(top(1).getLong(2) === top(2).getLong(2))
+    // deterministic under repartitioning (integer fixed-point)
+    val rep = Text.textRankKeywords(docs.repartition(5), "doc_id", "text",
+      iterations = 6, topK = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rep.sortBy(_._4).toSeq ===
+      top.map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq)
+    Par.release()
+  }
+
   test("readability: hand-computed counts, sentence floor, consonant-only tokens, wordless null") {
     val docs = Seq(
       (1L, "The cat sat. It ran!"),   // 5 words, 2 sentences, 5 syllable runs
