@@ -3228,6 +3228,39 @@ object SparkEntry {
         .withColumn("variant", pmod(col("user_id"), lit(2)))
       Quality.twoProportionZ(users, "variant", "converted")
     }),
+    // WoE/IV (r11): how predictive is a user's FIRST event type of
+    // eventual purchase conversion — half-unit-smoothed shares,
+    // rounded-WoE contributions, order-free integer IV sum
+    "dq_woe_iv" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ev = eventCols(Tables.events(s, d))
+      val first = ev.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("event_type").as("first_event"))
+      val conv = ev.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", lit(1L))
+          .otherwise(lit(0L))).as("converted"))
+      Quality.weightOfEvidence(first.join(conv, Seq("user_id")),
+          "first_event", "converted")
+        .orderBy(col("first_event"))
+    }),
+    // Spearman rank correlation per nation (r11): does account
+    // balance move with lifetime revenue? — doubled tie-averaged
+    // ranks, decimal-exact big-integer sums, one double tree
+    "corr_spearman" -> ((s, d) => {
+      val rev = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("rev"))
+      val df = rev.join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal")),
+        rev("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("c_acctbal"), col("rev"))
+      Quality.spearman(df, "nation", "c_acctbal", "rev")
+        .orderBy(col("nation"))
+    }),
     // chi-squared independence (r11): market segment × nation over
     // customers — full R×C grid, 6-decimal-rounded cell
     // contributions summed as integers (order-free)
@@ -8573,6 +8606,88 @@ object SparkEntry {
                  * (1.0 / CAST(n_t AS DOUBLE) + 1.0 / CAST(n_c AS DOUBLE)))
                END, 6) AS z
            FROM p""",
+
+      // WoE/IV replay: identical smoothed shares, ln through the
+      // round-6 guard, contributions on the ROUNDED woe, the same
+      // 1e6-scaled integer IV sum
+      "dq_woe_iv" ->
+        """WITH e AS (
+             SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               event_type
+             FROM events
+           ), f AS (
+             SELECT user_id, event_type AS first_event FROM (
+               SELECT user_id, event_type, row_number() OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS rn
+               FROM e) WHERE rn = 1
+           ), c AS (
+             SELECT user_id, CAST(max(CASE WHEN event_type = 'purchase'
+               THEN 1 ELSE 0 END) AS BIGINT) AS converted
+             FROM e GROUP BY 1
+           ), u AS (
+             SELECT f.first_event, c.converted FROM f JOIN c USING (user_id)
+           ), per AS (
+             SELECT first_event, count(*) AS n_units,
+               CAST(sum(converted) AS BIGINT) AS n_pos,
+               CAST(count(*) - sum(converted) AS BIGINT) AS n_neg
+             FROM u GROUP BY 1
+           ), tot AS (
+             SELECT CAST(sum(n_pos) AS BIGINT) AS p,
+               CAST(sum(n_neg) AS BIGINT) AS n
+             FROM per
+           ), w AS (
+             SELECT per.*,
+               (CAST(n_pos AS DOUBLE) + 0.5) / (CAST(t.p AS DOUBLE) + 0.5)
+                 AS gs,
+               (CAST(n_neg AS DOUBLE) + 0.5) / (CAST(t.n AS DOUBLE) + 0.5)
+                 AS bs
+             FROM per CROSS JOIN tot t
+           ), w2 AS (SELECT *, round(ln(gs / bs), 6) AS woe FROM w
+           ), w3 AS (
+             SELECT *, round((gs - bs) * woe, 6) AS iv_contrib FROM w2
+           ), w4 AS (
+             SELECT *, CAST(round(iv_contrib * 1000000.0) AS BIGINT) AS s6
+             FROM w3
+           ), iv AS (SELECT CAST(sum(s6) AS BIGINT) AS iv6 FROM w4)
+           SELECT first_event, n_units, n_pos, n_neg, woe, iv_contrib,
+             round(CAST(iv.iv6 AS DOUBLE) / 1000000.0, 6) AS iv_total
+           FROM w4 CROSS JOIN iv ORDER BY first_event""",
+
+      // Spearman replay: the same doubled tie-averaged ranks,
+      // HUGEINT sums (≡ Spark's decimal(38)), the same double tree
+      "corr_spearman" ->
+        """WITH rev AS (
+             SELECT o_custkey,
+               sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+             FROM orders GROUP BY 1
+           ), j AS (
+             SELECT n.n_name AS nation, c.c_acctbal AS x, r.rev AS y
+             FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+               JOIN nation n ON c.c_nationkey = n.n_nationkey
+           ), rk AS (
+             SELECT nation,
+               CAST(2 * (rank() OVER (PARTITION BY nation ORDER BY x) - 1)
+                 + count(*) OVER (PARTITION BY nation, x) + 1 AS HUGEINT)
+                 AS rx2,
+               CAST(2 * (rank() OVER (PARTITION BY nation ORDER BY y) - 1)
+                 + count(*) OVER (PARTITION BY nation, y) + 1 AS HUGEINT)
+                 AS ry2
+             FROM j
+           ), s AS (
+             SELECT nation, count(*) AS n, sum(rx2) AS sx, sum(ry2) AS sy,
+               sum(rx2 * ry2) AS sxy, sum(rx2 * rx2) AS sxx,
+               sum(ry2 * ry2) AS syy
+             FROM rk GROUP BY 1 HAVING count(*) >= 2
+           ), c AS (
+             SELECT nation, n,
+               CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+               CAST(n * sxx - sx * sx AS DOUBLE) AS dx,
+               CAST(n * syy - sy * sy AS DOUBLE) AS dy
+             FROM s)
+           SELECT nation, n,
+             round(CASE WHEN dx > 0 AND dy > 0
+               THEN num / sqrt(dx * dy) END, 6) AS rho
+           FROM c ORDER BY nation""",
 
       // χ² replay: the full R×C grid with zero cells, the same
       // per-cell double tree, 1e6-scaled integer contribution sum

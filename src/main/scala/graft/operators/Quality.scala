@@ -862,6 +862,102 @@ object Quality {
         (col("n_distinct") === col("__n")).as("is_key"))
   }
 
+  /** Spearman rank correlation per key — the monotone-association
+    * A/B-family member ([[mannWhitney]] compares two groups' value
+    * distributions; this asks whether two PAIRED metrics move
+    * together, robust to outliers and any monotone rescaling that
+    * would distort Pearson on raw values). Pearson over DOUBLED
+    * tie-averaged ranks (the Pettitt/mannWhitney integer-rank trick:
+    * 2·avg_rank = 2·(rank−1) + ties + 1, exact in any engine), with
+    * all five sufficient sums carried as EXACT DECIMALS — doubled-
+    * rank products reach 4n³ and n·Σxy reaches 4n⁴, past long range
+    * near n ≈ 7k/group, but decimal(38) (and the oracle's HUGEINT)
+    * holds to n ≈ 1e9 — then one fixed double tree, round 6.
+    * Zero-variance sides (all-tied x or y) report null.
+    *
+    * All four rank windows cluster on (key) or (key, value), so one
+    * key exchange serves everything (HashPartitioning(key) satisfies
+    * the (key, value) clustering) — thousands of independent
+    * correlations on one shuffle.
+    */
+  def spearman(df: DataFrame, keyCol: String, xCol: String, yCol: String,
+               roundTo: Int = 6): DataFrame = {
+    val byX = Window.partitionBy(col(keyCol)).orderBy(col("__x"))
+    val eqX = Window.partitionBy(col(keyCol), col("__x"))
+    val byY = Window.partitionBy(col(keyCol)).orderBy(col("__y"))
+    val eqY = Window.partitionBy(col(keyCol), col("__y"))
+    val dec = (c: Column) => c.cast("decimal(18,0)")
+    val d = (c: Column) => c.cast("double")
+    val ranked = df
+      .select(col(keyCol), col(xCol).as("__x"), col(yCol).as("__y"))
+      .withColumn("__rx2", (lit(2L) * (rank().over(byX) - 1)
+        + count(lit(1)).over(eqX) + 1).cast("long"))
+      .withColumn("__ry2", (lit(2L) * (rank().over(byY) - 1)
+        + count(lit(1)).over(eqY) + 1).cast("long"))
+    ranked.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("__rx2"))).as("__sx"),
+        sum(dec(col("__ry2"))).as("__sy"),
+        sum(dec(col("__rx2")) * dec(col("__ry2"))).as("__sxy"),
+        sum(dec(col("__rx2")) * dec(col("__rx2"))).as("__sxx"),
+        sum(dec(col("__ry2")) * dec(col("__ry2"))).as("__syy"))
+      .filter(col("n") >= 2)
+      .withColumn("__nd", col("n").cast("decimal(38,0)"))
+      .withColumn("__num",
+        d(col("__nd") * col("__sxy") - col("__sx") * col("__sy")))
+      .withColumn("__dx",
+        d(col("__nd") * col("__sxx") - col("__sx") * col("__sx")))
+      .withColumn("__dy",
+        d(col("__nd") * col("__syy") - col("__sy") * col("__sy")))
+      .select(col(keyCol), col("n"),
+        round(when(col("__dx") > 0 && col("__dy") > 0,
+          col("__num") / sqrt(col("__dx") * col("__dy"))), roundTo)
+          .as("rho"))
+  }
+
+  /** Weight-of-Evidence encoding + Information Value (the credit-
+    * scoring categorical screen — "how predictive of the outcome is
+    * this attribute, per level and overall?"; the supervised
+    * counterpart of [[chiSquareIndependence]]'s symmetric test):
+    * per category, WoE = ln(gs/bs) with half-unit-smoothed shares
+    * gs = (pos+½)/(P+½), bs = (neg+½)/(N+½) (zero cells finite by
+    * construction), and IV contribution (gs−bs)·WoE; the total IV
+    * uses the engine's r6-scaling trick — contributions are rounded,
+    * 1e6-scaled to integers, and summed order-free (and the contrib
+    * itself multiplies the ROUNDED WoE, so libm ln() ulp skew
+    * cannot leak past the round-6 guard twice). IV reading:
+    * <0.02 useless, 0.1–0.3 medium, >0.5 suspicious.
+    *
+    * One unit-frame aggregate; the totals and the IV sum ride
+    * 1-row broadcast scalar joins (the q11/q15 shape) over the
+    * category-sized frame.
+    */
+  def weightOfEvidence(units: DataFrame, catCol: String, outcomeCol: String,
+                       roundTo: Int = 6): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val per = graft.Par.persistTracked(
+      units.groupBy(col(catCol))
+        .agg(count(lit(1)).as("n_units"),
+          sum(col(outcomeCol).cast("long")).as("n_pos"))
+        .withColumn("n_neg", col("n_units") - col("n_pos")))
+    val tot = per.agg(sum(col("n_pos")).as("__P"), sum(col("n_neg")).as("__N"))
+    val woe = per.crossJoin(broadcast(tot))
+      .withColumn("__gs",
+        (d(col("n_pos")) + lit(0.5)) / (d(col("__P")) + lit(0.5)))
+      .withColumn("__bs",
+        (d(col("n_neg")) + lit(0.5)) / (d(col("__N")) + lit(0.5)))
+      .withColumn("woe", round(log(col("__gs") / col("__bs")), roundTo))
+      .withColumn("iv_contrib",
+        round((col("__gs") - col("__bs")) * col("woe"), roundTo))
+      .withColumn("__s6",
+        round(col("iv_contrib") * lit(1000000.0)).cast("long"))
+    val iv = woe.agg(sum(col("__s6")).as("__iv6"))
+    woe.crossJoin(broadcast(iv))
+      .select(col(catCol), col("n_units"), col("n_pos"), col("n_neg"),
+        col("woe"), col("iv_contrib"),
+        round(d(col("__iv6")) / lit(1000000.0), roundTo).as("iv_total"))
+  }
+
   /** Chi-squared test of independence between two categorical
     * columns (Pearson 1900) — the categorical×categorical companion
     * of [[mannWhitney]] (numeric×binary) and [[twoProportionZ]]

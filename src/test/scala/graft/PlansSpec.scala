@@ -75,7 +75,15 @@ class PlansSpec extends SparkSuite {
       "q11_important_parts", "q15_top_supplier",
       // bloom_reduced_join broadcasts a ONE-row bloom sketch of the
       // filtered dim keys — the same scalar-join shape
-      "bloom_reduced_join")
+      "bloom_reduced_join",
+      // dq_chi2's full R×C grid IS a cross of the two category-sized
+      // marginal frames (zero-observation cells must exist to
+      // contribute their expectation) — both sides bounded by the
+      // column cardinalities, never by data size
+      "dq_chi2",
+      // dq_woe_iv attaches its 1-row totals and 1-row IV sum to the
+      // category-sized frame — the q11/q15 scalar-join shape
+      "dq_woe_iv")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       if (!nestedLoopOk(name)) {

@@ -189,6 +189,48 @@ class QualitySpec extends SparkSuite {
     assert(empty === Set(("email", 0L, 0L), ("url", 0L, 0L), ("ipv4", 0L, 0L)))
   }
 
+  test("weightOfEvidence: hand-computed woe/iv, smoothing keeps zero cells finite") {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // A: 3 units 2 pos; B: 2 units 0 pos → P=2, N=3
+    val units = Seq(("A", 1L), ("A", 1L), ("A", 0L), ("B", 0L), ("B", 0L))
+      .toDF("cat", "y")
+    val out = Quality.weightOfEvidence(units, "cat", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    val gsA = (2.0 + 0.5) / (2.0 + 0.5); val bsA = (1.0 + 0.5) / (3.0 + 0.5)
+    val woeA = r6(math.log(gsA / bsA)); val cA = r6((gsA - bsA) * woeA)
+    val gsB = (0.0 + 0.5) / (2.0 + 0.5); val bsB = (2.0 + 0.5) / (3.0 + 0.5)
+    val woeB = r6(math.log(gsB / bsB)); val cB = r6((gsB - bsB) * woeB)
+    def s6(x: Double) = BigDecimal(x * 1000000.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val ivTotal = r6((s6(cA) + s6(cB)).toDouble / 1000000.0)
+    assert(out("A") === ((3L, 2L, 1L, woeA, cA, ivTotal)))
+    assert(out("B") === ((2L, 0L, 2L, woeB, cB, ivTotal)))
+    // zero-positive category got a finite negative woe, not -inf
+    assert(woeB < 0 && !woeB.isInfinite)
+    Par.release()
+  }
+
+  test("spearman: monotone 1/-1, hand-computed -0.5, aligned ties still 1, constant side null") {
+    val df = Seq(
+      ("up", 1.0, 10.0), ("up", 2.0, 20.0), ("up", 3.0, 25.0), ("up", 4.0, 99.0),
+      ("down", 1.0, 9.0), ("down", 2.0, 5.0), ("down", 3.0, 1.0),
+      ("hand", 1.0, 3.0), ("hand", 2.0, 1.0), ("hand", 3.0, 2.0),
+      ("tied", 1.0, 5.0), ("tied", 1.0, 5.0), ("tied", 2.0, 9.0),
+      ("flat", 1.0, 7.0), ("flat", 2.0, 7.0), ("flat", 3.0, 7.0)
+    ).toDF("k", "x", "y")
+    val out = Quality.spearman(df, "k", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(out("up") === ((4L, Some(1.0))))     // monotone, nonlinear
+    assert(out("down") === ((3L, Some(-1.0))))
+    assert(out("hand") === ((3L, Some(-0.5)))) // 1 - 6*6/24
+    assert(out("tied") === ((3L, Some(1.0))))  // aligned tie patterns
+    assert(out("flat") === ((3L, None)))       // zero variance side
+  }
+
   test("chiSquareIndependence: hand-computed 2x2, independent table is 0, zero cells contribute") {
     // (x,p)=10 (x,q)=20 (y,p)=20 (y,q)=10: e = 15 everywhere,
     // per-cell 25/15 → rounded-cell χ² = 6.666668
