@@ -185,6 +185,34 @@ object SparkEntry {
         .unionByName(Versioned.read(s, root).withColumn("version", lit(2L)))
         .orderBy(col("version"), col("o_orderkey"))
     }),
+    // write-audit-publish (r11): a dirty candidate (null custkeys
+    // injected) STAGES but fails its not-null audit → head untouched,
+    // segment reclaimed; the corrected candidate publishes v2. The
+    // graded read-back proves the gate: the dirty rows can never
+    // appear, and published_version counts only CLEAN publishes.
+    "versioned_wap" -> ((s, d) => {
+      import graft.sources.Versioned
+      val root = graft.TempDirs.create("graft_wap_") + "/t"
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val audit = (df: DataFrame) => df.filter(col("o_custkey").isNull)
+      val day1 = o.filter(col("o_orderkey") % 2 === 0)
+      val (p1, _) = Versioned.writeAuditPublish(day1, root, audit)
+      require(p1.contains(1), s"clean bootstrap must publish v1, got $p1")
+      val dirty = day1.unionByName(o.filter(col("o_orderkey") % 2 =!= 0)
+        .withColumn("o_custkey", when(col("o_orderkey") % 97 === 0,
+          lit(null).cast("long")).otherwise(col("o_custkey"))))
+      val (p2, fail2) = Versioned.writeAuditPublish(dirty, root, audit)
+      require(p2.isEmpty && !fail2.isEmpty,
+        "the dirty candidate must be rejected with failure rows")
+      val (p3, _) = Versioned.writeAuditPublish(
+        dirty.filter(col("o_custkey").isNotNull), root, audit)
+      require(p3.contains(2), s"corrected candidate must publish v2, got $p3")
+      Versioned.read(s, root)
+        .withColumn("published_version",
+          lit(Versioned.currentVersion(s, root).toLong))
+        .orderBy(col("o_orderkey"))
+    }),
 
     // r8 wave 5: Apriori frequent triples — the oracle states the
     // definitional (unpruned) triple self-join, so the gate proves the
@@ -327,6 +355,12 @@ object SparkEntry {
       Analytics.transitionMatrix(Tables.events(s, d), "user_id", "event_type",
           "ts", "event_id")
         .orderBy(col("from_type"), col("to_type"))),
+    // Markov next-event accuracy (r11): is "predict the modal
+    // successor" worth deploying? — per-state argmax + one division
+    "events_markov_accuracy" -> ((s, d) =>
+      Analytics.markovAccuracy(Tables.events(s, d), "user_id",
+          "event_type", "ts", "event_id")
+        .orderBy(col("from_type"))),
     "events_rolling_range" -> ((s, d) =>
       Analytics.eventsRollingRange(s, d)
         .orderBy(col("user_id"), col("event_id"))),
@@ -5107,6 +5141,16 @@ object SparkEntry {
       // Versioned MERGE: version 1 = the pre-merge snapshot (time
       // travel must survive the merge commit), version 2 = the same
       // clause chain as merge_into
+      // WAP replay: the published content can only be the clean
+      // rows; the rejected candidate's nulled keys (%97 odd) are
+      // exactly the rows missing from the odd half
+      "versioned_wap" ->
+        """SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(2 AS BIGINT) AS published_version
+           FROM orders
+           WHERE o_orderkey % 2 = 0 OR o_orderkey % 97 <> 0
+           ORDER BY o_orderkey""",
+
       "versioned_merge_into" ->
         """WITH t AS (
              SELECT * FROM orders WHERE o_orderkey % 3 <> 0
@@ -5442,6 +5486,33 @@ object SparkEntry {
              count(*) AS n
            FROM o WHERE next_type IS NOT NULL
            GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      // Markov accuracy replay: same lead() bigrams, (count desc,
+      // type asc) argmax, one division
+      "events_markov_accuracy" ->
+        """WITH o AS (
+             SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS next_type
+             FROM events
+           ), c AS (
+             SELECT event_type AS from_type, next_type AS to_type,
+               CAST(count(*) AS BIGINT) AS n
+             FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2
+           ), p AS (
+             SELECT from_type, to_type AS predicted_next, n AS n_correct,
+               row_number() OVER (PARTITION BY from_type
+                 ORDER BY n DESC, to_type) AS rn
+             FROM c
+           ), t AS (
+             SELECT from_type, CAST(sum(n) AS BIGINT) AS n_transitions
+             FROM c GROUP BY 1)
+           SELECT t.from_type, t.n_transitions, p.predicted_next,
+             p.n_correct,
+             round(CAST(p.n_correct AS DOUBLE)
+               / CAST(t.n_transitions AS DOUBLE), 6) AS accuracy
+           FROM t JOIN p ON t.from_type = p.from_type AND p.rn = 1
+           ORDER BY t.from_type""",
 
       // integral trailing-hour RANGE frame (date_diff = floor'd epoch
       // seconds, matching Spark's unix_timestamp truncation)
@@ -8715,7 +8786,12 @@ object SparkEntry {
              FROM cells)
            SELECT nn.n, x.n_rows_cat, x.n_cols_cat,
              (x.n_rows_cat - 1) * (x.n_cols_cat - 1) AS dof,
-             round(CAST(x.chi6 AS DOUBLE) / 1000000.0, 6) AS chi2
+             round(CAST(x.chi6 AS DOUBLE) / 1000000.0, 6) AS chi2,
+             round(CASE WHEN least(x.n_rows_cat, x.n_cols_cat) > 1 THEN
+               sqrt((CAST(x.chi6 AS DOUBLE) / 1000000.0)
+                 / (CAST(nn.n AS DOUBLE)
+                   * CAST(least(x.n_rows_cat, x.n_cols_cat) - 1 AS DOUBLE)))
+               END, 6) AS cramers_v
            FROM (
              SELECT count(DISTINCT a) AS n_rows_cat,
                count(DISTINCT b) AS n_cols_cat,

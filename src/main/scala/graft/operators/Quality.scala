@@ -1004,6 +1004,14 @@ object Quality {
         sum(col("__s6")).as("__chi6"))
       .select(lit(n).as("n"), col("n_rows_cat"), col("n_cols_cat"),
         ((col("n_rows_cat") - 1) * (col("n_cols_cat") - 1)).as("dof"),
-        round(d(col("__chi6")) / lit(1000000.0), 6).as("chi2"))
+        round(d(col("__chi6")) / lit(1000000.0), 6).as("chi2"),
+        // Cramér's V effect size: √(χ²/(N·min(R−1, C−1))) — the
+        // [0,1] strength reading the raw statistic (which grows
+        // with N) cannot give; guarded for 1×C / R×1 tables
+        round(when(least(col("n_rows_cat"), col("n_cols_cat")) > 1,
+          sqrt((d(col("__chi6")) / lit(1000000.0))
+            / (lit(n.toDouble)
+              * d(least(col("n_rows_cat"), col("n_cols_cat")) - 1)))),
+          6).as("cramers_v"))
   }
 }

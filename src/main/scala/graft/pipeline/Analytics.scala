@@ -1288,6 +1288,31 @@ object Analytics {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** In-sample next-event prediction accuracy of the first-order
+    * Markov model [[transitionMatrix]] trains — the evaluation
+    * harness that tells you whether "predict the modal successor"
+    * is even worth deploying before anything fancier: per state,
+    * predicted next = argmax transition count ((count desc, type
+    * asc) — the LPA argmax discipline), accuracy = that count over
+    * the state's total outgoing transitions. All integers until the
+    * single division (round 6). The transition frame is type×type
+    * sized, so everything after the one user-keyed lead() window is
+    * dimension-cheap.
+    */
+  def markovAccuracy(events: DataFrame, userCol: String, typeCol: String,
+                     tsCol: String, idCol: String,
+                     roundTo: Int = 6): DataFrame = {
+    val cnt = transitionMatrix(events, userCol, typeCol, tsCol, idCol)
+    cnt.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_transitions"),
+        min(struct((-col("n")).as("nc"), col("to_type").as("t"))).as("__b"))
+      .select(col("from_type"), col("n_transitions"),
+        col("__b.t").as("predicted_next"),
+        (-col("__b.nc")).as("n_correct"))
+      .withColumn("accuracy", round(col("n_correct").cast("double")
+        / col("n_transitions").cast("double"), roundTo))
+  }
+
   /** Per-user trailing time-RANGE sum — the companion to the
     * ROWS-frame [[eventsRolling]]: the frame is "everything in the
     * last hour", so its width follows event DENSITY, not a fixed row

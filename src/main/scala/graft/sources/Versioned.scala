@@ -113,6 +113,46 @@ object Versioned {
       s"commit lost the version race $maxRetries times at $path")
   }
 
+  /** Write-audit-publish (the Iceberg/Netflix WAP discipline): stage
+    * the candidate snapshot's data files, audit the STAGED BYTES —
+    * a re-read of the written parquet, not the logical plan that
+    * produced it, so serialization itself is inside the audited
+    * surface — and only on a clean audit CAS the manifest pointer.
+    * On failure the staged segment is deleted and the head is
+    * untouched: readers can never observe unaudited data because
+    * visibility IS the manifest pointer, and a crash between stage
+    * and publish leaves only an unreferenced segment for [[vacuum]].
+    * Publishes a full-snapshot (replace) version.
+    *
+    * @param audit maps the staged frame to its FAILURE rows; empty
+    *              result = publish
+    * @return (published version if any, the audit failures)
+    */
+  def writeAuditPublish(candidate: DataFrame, path: String,
+                        audit: DataFrame => DataFrame,
+                        maxRetries: Int = 10): (Option[Int], DataFrame) = {
+    val spark = candidate.sparkSession
+    val seg = s"d-${java.util.UUID.randomUUID()}"
+    candidate.write.mode(SaveMode.ErrorIfExists)
+      .parquet(new Path(path, seg).toString)
+    val staged = spark.read.parquet(new Path(path, seg).toString)
+    val failures = graft.Par.persistTracked(audit(staged))
+    if (failures.isEmpty) {
+      var attempt = 0
+      while (attempt < maxRetries) {
+        val head = currentVersion(spark, path)
+        if (writeManifestCas(spark, path, head + 1, Seq(seg)))
+          return (Some(head + 1), failures)
+        attempt += 1
+      }
+      throw new IllegalStateException(
+        s"writeAuditPublish lost the version race $maxRetries times at $path")
+    } else {
+      fs(spark, path).delete(new Path(path, seg), true)
+      (None, failures)
+    }
+  }
+
   /** Read a pinned version (default: current head). Reading version 0
     * (empty table) is an error — commit first.
     */

@@ -240,16 +240,19 @@ class QualitySpec extends SparkSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
       === ((60L, 2L, 2L, 1L)))
     assert(r.getDouble(4) === 6.666668)
-    // perfectly independent table: χ² = 0
+    assert(r.getDouble(5) === BigDecimal(math.sqrt(6.666668 / (60.0 * 1.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // perfectly independent table: χ² = 0, V = 0
     val ind = (for { a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 10 }
       yield (a, b)).toDF("a", "b")
-    assert(Quality.chiSquareIndependence(ind, "a", "b")
-      .collect().head.getDouble(4) === 0.0)
+    val i = Quality.chiSquareIndependence(ind, "a", "b").collect().head
+    assert(i.getDouble(4) === 0.0 && i.getDouble(5) === 0.0)
     // full association with ZERO cells: (x,p)=2 (z,q)=1 → the two
-    // unobserved cells contribute their e; χ² = N = 3 exactly
+    // unobserved cells contribute their e; χ² = N = 3 exactly, V = 1
     val zc = (Seq.fill(2)(("x", "p")) :+ (("z", "q"))).toDF("a", "b")
     val z = Quality.chiSquareIndependence(zc, "a", "b").collect().head
-    assert((z.getLong(0), z.getLong(3), z.getDouble(4)) === ((3L, 1L, 3.0)))
+    assert((z.getLong(0), z.getLong(3), z.getDouble(4), z.getDouble(5))
+      === ((3L, 1L, 3.0, 1.0)))
     Par.release()
   }
 

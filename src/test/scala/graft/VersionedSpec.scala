@@ -25,6 +25,32 @@ class VersionedSpec extends SparkSuite {
       === (1L to 150L).sum)
   }
 
+  test("writeAuditPublish: dirty candidate rejected with head/content untouched and segment reclaimed") {
+    val dir = tmpDir("wap") + "/t"
+    val audit = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("id") < 0)
+    val (p1, f1) = Versioned.writeAuditPublish((1L to 10L).toDF("id"), dir, audit)
+    assert(p1 === Some(1) && f1.isEmpty)
+    // dirty candidate: stages, audits the staged bytes, rejects
+    val (p2, f2) = Versioned.writeAuditPublish(
+      Seq(11L, -5L, 12L).toDF("id"), dir, audit)
+    assert(p2 === None)
+    assert(f2.collect().map(_.getLong(0)).toSeq === Seq(-5L))
+    assert(Versioned.currentVersion(spark, dir) === 1)
+    assert(Versioned.read(spark, dir).count() === 10)
+    // the rejected segment was deleted: only v1's segment remains
+    val segs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("d-"))
+    assert(segs.length === 1)
+    // corrected candidate publishes a full-snapshot v2
+    val (p3, _) = Versioned.writeAuditPublish(
+      Seq(11L, 12L).toDF("id"), dir, audit)
+    assert(p3 === Some(2))
+    assert(Versioned.read(spark, dir).collect().map(_.getLong(0)).sorted
+      === Array(11L, 12L))
+    Par.release()
+  }
+
   test("a crashed write (segment without manifest) is invisible") {
     val dir = tmpDir("verc") + "/t"
     Versioned.commit((1L to 50L).toDF("id"), dir, replace = true)

@@ -525,6 +525,24 @@ class W6OpsSpec extends SparkSuite {
     assert(out(("flat", 2L)) === None)
   }
 
+  test("markovAccuracy: modal successor per state, alphabetical tie-break, exact accuracy") {
+    import graft.pipeline.Analytics
+    val ev = Seq(
+      (1L, 1L, 1, "a"), (1L, 2L, 2, "b"), (1L, 3L, 3, "a"), (1L, 4L, 4, "b"),
+      (2L, 5L, 1, "a"), (2L, 6L, 2, "c"),
+      (3L, 7L, 1, "c"), (3L, 8L, 2, "d"),
+      (4L, 9L, 1, "c"), (4L, 10L, 2, "e")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = Analytics.markovAccuracy(ev, "user_id", "event_type",
+        "ts", "event_id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("a") === ((3L, "b", 2L, 0.666667))) // a→b 2, a→c 1
+    assert(out("b") === ((1L, "a", 1L, 1.0)))
+    assert(out("c") === ((2L, "d", 1L, 0.5)))      // d/e tie → d
+    assert(!out.contains("d") && !out.contains("e")) // terminal states
+  }
+
   test("kaplanMeier: censoring shrinks risk set without events, event-time rows only, per-key reset") {
     import graft.operators.Recurrence
     // key 1: durations (1 ev), (2 cens), (3 ev), (3 ev), (5 cens)
