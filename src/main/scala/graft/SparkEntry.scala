@@ -3384,6 +3384,18 @@ object SparkEntry {
       Analytics.acf(grid, "event_type", "hr", "cnt", maxLag = 3)
         .orderBy(col("event_type"), col("lag"))
     }),
+    // forecast-accuracy scorecard (r11): MAE/RMSE/sMAPE/MASE for the
+    // naive and seasonal-naive baselines over the hourly grid — the
+    // Hyndman-Koehler harness a fitted forecaster must beat
+    "events_forecast_accuracy" -> ((s, d) => {
+      val grid = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      Analytics.forecastAccuracy(grid, "event_type", "hr", "cnt",
+          season = 24)
+        .orderBy(col("event_type"), col("model"))
+    }),
     // Pettitt change-point test per event_type over the hourly-count
     // series (r11): rank-based U_t is exact integer arithmetic end to
     // end — only the final p-value touches a double
@@ -9143,6 +9155,54 @@ object SparkEntry {
                END, 6) AS acf
            FROM pairs p JOIN base b USING (event_type)
            ORDER BY event_type, lag""",
+
+      // forecast-accuracy replay: same evaluation window (rn >
+      // season), integer Σ|e|/Σe², rounded-term sMAPE sum, one
+      // division each
+      "events_forecast_accuracy" ->
+        """WITH g AS (
+             SELECT event_type AS k,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+               count(*) AS y
+             FROM events GROUP BY 1, 2
+           ), w AS (
+             SELECT k, CAST(y AS BIGINT) AS y,
+               row_number() OVER (PARTITION BY k ORDER BY hr) AS rn,
+               lag(y, 1) OVER (PARTITION BY k ORDER BY hr) AS f1,
+               lag(y, 24) OVER (PARTITION BY k ORDER BY hr) AS fs
+             FROM g
+           ), e AS (
+             SELECT k, y, abs(y - f1) AS en_abs, 'naive' AS model,
+               CAST(f1 AS BIGINT) AS f
+             FROM w WHERE rn > 24
+             UNION ALL
+             SELECT k, y, abs(y - f1) AS en_abs, 'seasonal_naive' AS model,
+               CAST(fs AS BIGINT) AS f
+             FROM w WHERE rn > 24
+           ), t AS (
+             SELECT k, model, y - f AS e, en_abs,
+               CASE WHEN abs(y) + abs(f) > 0 THEN
+                 CAST(round(2.0 * abs(CAST(y - f AS DOUBLE))
+                   / (abs(CAST(y AS DOUBLE)) + abs(CAST(f AS DOUBLE)))
+                   * 1000000.0) AS BIGINT)
+               ELSE 0 END AS s6
+             FROM e
+           ), a AS (
+             SELECT k, model, count(*) AS n_eval,
+               CAST(sum(abs(e)) AS BIGINT) AS sae,
+               sum(CAST(e AS HUGEINT) * e) AS sse,
+               CAST(sum(s6) AS BIGINT) AS smape6,
+               CAST(sum(en_abs) AS BIGINT) AS san
+             FROM t GROUP BY 1, 2)
+           SELECT k AS event_type, model, CAST(n_eval AS BIGINT) AS n_eval,
+             round(CAST(sae AS DOUBLE) / CAST(n_eval AS DOUBLE), 6) AS mae,
+             round(sqrt(CAST(sse AS DOUBLE) / CAST(n_eval AS DOUBLE)), 6)
+               AS rmse,
+             round(CAST(smape6 AS DOUBLE) / 1000000.0
+               / CAST(n_eval AS DOUBLE), 6) AS smape,
+             round(CASE WHEN san > 0 THEN
+               CAST(sae AS DOUBLE) / CAST(san AS DOUBLE) END, 6) AS mase
+           FROM a ORDER BY event_type, model""",
 
       // KM replay: integer suffix-sum risk sets, then the product
       // recurrence step-by-step in a recursive CTE — the same

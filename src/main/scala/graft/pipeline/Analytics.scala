@@ -412,6 +412,63 @@ object Analytics {
         .as("r2"))
   }
 
+  /** Per-key forecast-accuracy scorecard for the two standard
+    * no-model baselines — naive (ŷ_t = y_{t−1}) and seasonal-naive
+    * (ŷ_t = y_{t−season}) — the Hyndman & Koehler '06 evaluation
+    * harness every fitted forecaster ([[graft.operators.Recurrence]]
+    * holtWinters etc.) must beat to justify its cost: MAE, RMSE,
+    * sMAPE, and MASE (MAE scaled by the naive MAE on the SAME rows,
+    * the scale-free cross-series comparator).
+    *
+    * Evaluation window: rows with index > season, so both models
+    * score the identical row set (n_eval equal by construction) and
+    * MASE's numerator/denominator align. Portability: integer
+    * values ⇒ errors, Σ|e| and Σe² are exact integer statistics
+    * (Σe² carried decimal(38,0)); MAE/RMSE/MASE are then single
+    * double expressions; sMAPE's per-row rational terms use the
+    * r6-scaling trick (rounded, 1e6-scaled, integer-summed,
+    * documented "sMAPE over rounded terms"). Lags are over the
+    * OBSERVED index (gaps compress, the acf/olsTrend convention).
+    * One ordered window pass + one (key, model) aggregate; MASE is
+    * null where the naive baseline is perfect (Σ|e_naive| = 0).
+    */
+  def forecastAccuracy(series: DataFrame, keyCol: String, tsCol: String,
+                       valueCol: String, season: Int,
+                       roundTo: Int = 6): DataFrame = {
+    require(season >= 1, "season must be at least 1")
+    val byTs = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val d = (c: Column) => c.cast("double")
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    val rows = series
+      .select(col(keyCol), col(tsCol), col(valueCol).cast("long").as("__y"))
+      .withColumn("__rn", row_number().over(byTs))
+      .withColumn("__f1", lag(col("__y"), 1).over(byTs))
+      .withColumn("__fs", lag(col("__y"), season).over(byTs))
+      .filter(col("__rn") > season)
+      .withColumn("__en_abs", abs(col("__y") - col("__f1")))
+      .select(col(keyCol), col("__y"), col("__en_abs"),
+        expr(s"stack(2, 'naive', __f1, 'seasonal_naive', __fs) " +
+          "as (model, __f)"))
+      .withColumn("__e", col("__y") - col("__f"))
+      .withColumn("__s6", when(abs(col("__y")) + abs(col("__f")) > 0,
+        round(lit(2.0) * abs(d(col("__e")))
+          / (abs(d(col("__y"))) + abs(d(col("__f")))) * lit(1000000.0))
+          .cast("long")).otherwise(lit(0L)))
+    rows.groupBy(col(keyCol), col("model"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("__e"))).as("__sae"),
+        sum(dec(col("__e")) * dec(col("__e"))).as("__sse"),
+        sum(col("__s6")).as("__smape6"),
+        sum(col("__en_abs")).as("__san"))
+      .select(col(keyCol), col("model"), col("n_eval"),
+        round(d(col("__sae")) / d(col("n_eval")), roundTo).as("mae"),
+        round(sqrt(d(col("__sse")) / d(col("n_eval"))), roundTo).as("rmse"),
+        round(d(col("__smape6")) / lit(1000000.0) / d(col("n_eval")),
+          roundTo).as("smape"),
+        round(when(col("__san") > 0, d(col("__sae")) / d(col("__san"))),
+          roundTo).as("mase"))
+  }
+
   /** Per-key autocorrelation function at lags 1..`maxLag` (the
     * Box–Jenkins identification statistic — "is this series still
     * correlated with itself k steps back?", the seasonality/

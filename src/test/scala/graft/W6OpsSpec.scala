@@ -525,6 +525,30 @@ class W6OpsSpec extends SparkSuite {
     assert(out(("flat", 2L)) === None)
   }
 
+  test("forecastAccuracy: hand-computed scorecard, perfect-naive mase null, short series absent") {
+    import graft.pipeline.Analytics
+    val series = Seq(
+      ("k", 1, 1L), ("k", 2, 2L), ("k", 3, 4L), ("k", 4, 3L), ("k", 5, 5L),
+      ("z", 1, 5L), ("z", 2, 5L), ("z", 3, 5L), ("z", 4, 5L),
+      ("s", 1, 1L), ("s", 2, 2L) // no row past the season → absent
+    ).toDF("k", "t", "v")
+    val out = Analytics.forecastAccuracy(series, "k", "t", "v", season = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6))))).toMap
+    // naive errors 2,−1,2: mae 5/3, rmse √3, smape mean of rounded
+    // terms (666667+285714+500000)/3e6, mase 5/5
+    assert(out(("k", "naive")) ===
+      ((3L, 1.666667, 1.732051, 0.484127, Some(1.0))))
+    // seasonal errors 3,1,1: rmse √(11/3), smape (1200000+400000+222222)/3e6
+    assert(out(("k", "seasonal_naive")) ===
+      ((3L, 1.666667, 1.914854, 0.607407, Some(1.0))))
+    // constant series: both models perfect → zero errors, MASE null
+    assert(out(("z", "naive")) === ((2L, 0.0, 0.0, 0.0, None)))
+    assert(out(("z", "seasonal_naive")) === ((2L, 0.0, 0.0, 0.0, None)))
+    assert(!out.keySet.exists(_._1 == "s"))
+  }
+
   test("markovAccuracy: modal successor per state, alphabetical tie-break, exact accuracy") {
     import graft.pipeline.Analytics
     val ev = Seq(
