@@ -2477,6 +2477,12 @@ object SparkEntry {
       functions.Text.bm25TopK(Tables.documents(s, d), "doc_id", "text",
           queryTerms = Seq("spark", "hash", "join"), k = 50)
         .orderBy(col("rank"))),
+    // nDCG@50 over that same BM25 ranking (r11): graded term-overlap
+    // relevance, rounded-term DCG/IDCG integer sums, one division —
+    // the search-quality eval harness
+    "search_ndcg" -> ((s, d) =>
+      functions.Text.ndcgAtK(Tables.documents(s, d), "doc_id", "text",
+        queryTerms = Seq("spark", "hash", "join"), k = 50)),
     // PMI collocations (r11, Church & Hanks): strongly-associated
     // adjacent pairs, hapax-pair pathology cut by minCount, top-k on
     // the rounded score
@@ -4368,6 +4374,41 @@ object SparkEntry {
              SELECT doc_id, score,
                row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM s)
            WHERE rank <= 50 ORDER BY rank"""
+  }
+
+  /** nDCG replay: the full [[bm25TopkOracleSql]] ranking as a
+    * subquery, graded distinct-term-overlap relevance, the identical
+    * gain tree per position rounded-6/1e6-scaled/integer-summed.
+    */
+  private def ndcgOracleSql: String = {
+    val norm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+    s"""WITH topk AS (SELECT * FROM ($bm25TopkOracleSql)
+           ), rel AS (
+             SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS rel
+             FROM (SELECT doc_id, unnest(string_split($norm, ' ')) AS term
+                   FROM documents)
+             WHERE length(term) > 0 AND term IN ('spark', 'hash', 'join')
+             GROUP BY doc_id
+           ), j AS (
+             SELECT t.rank, r.rel,
+               row_number() OVER (ORDER BY r.rel DESC, t.rank) AS irank
+             FROM topk t JOIN rel r USING (doc_id)
+           ), terms AS (
+             SELECT
+               CAST(round((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+                 / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0))
+                 * 1000000.0) AS BIGINT) AS d6,
+               CAST(round((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+                 / (ln(CAST(irank AS DOUBLE) + 1.0) / ln(2.0))
+                 * 1000000.0) AS BIGINT) AS i6
+             FROM j)
+           SELECT CAST(count(*) AS BIGINT) AS n_ranked,
+             CAST(coalesce(sum(d6), 0) AS DOUBLE) / 1000000.0 AS dcg,
+             CAST(coalesce(sum(i6), 0) AS DOUBLE) / 1000000.0 AS idcg,
+             round(CASE WHEN coalesce(sum(i6), 0) > 0 THEN
+               CAST(sum(d6) AS DOUBLE) / CAST(sum(i6) AS DOUBLE) END, 6)
+               AS ndcg
+           FROM terms"""
   }
 
   private def minhashMd5Sql(pairWhere: String): String =
@@ -7164,6 +7205,7 @@ object SparkEntry {
       // index rows + integer stat adds make the index answer exactly
       // like a re-scan
       "corpus_bm25_topk" -> bm25TopkOracleSql,
+      "search_ndcg" -> ndcgOracleSql,
       "corpus_bm25_incr" -> bm25TopkOracleSql,
 
       "doc_surprisal" ->

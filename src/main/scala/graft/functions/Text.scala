@@ -590,6 +590,56 @@ object Text {
     bm25ScoreTopK(perDoc, queryTerms, k, k1, b, roundTo)
   }
 
+  /** nDCG@k search-quality evaluation over the [[bm25TopK]] ranking
+    * (Järvelin & Kekäläinen '02 — the graded-relevance harness that
+    * turns "the ranker returned SOMETHING" into "the ranker put the
+    * most relevant things FIRST"): graded relevance per retrieved
+    * doc = number of DISTINCT query terms it contains (0..|q|,
+    * integer, engine-replayable — no human labels in the sandbox),
+    * DCG@k = Σ_i (2^rel_i − 1)/log₂(i+1) over the retrieved
+    * ranking, IDCG from the ideal reordering of the SAME retrieved
+    * set (rel desc, original rank as the deterministic tie-break —
+    * the standard retrieved-set convention, documented), and
+    * nDCG = DCG/IDCG ∈ (0, 1].
+    *
+    * Portability: each position's gain is a fixed double tree on
+    * integer (rel, position) — rounded-6, 1e6-scaled, and summed as
+    * order-free integers (the r6-scaling trick); nDCG is one
+    * integer-ratio division. Everything after the [[bm25TopK]]
+    * top-k cut is a ≤ k-row frame, so the unpartitioned ideal-rank
+    * window is k-bounded by construction — never a global sort.
+    */
+  def ndcgAtK(docs: DataFrame, idCol: String, textCol: String,
+              queryTerms: Seq[String], k: Int,
+              roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = (c: Column) => c.cast("double")
+    val ranked = bm25TopK(docs, idCol, textCol, queryTerms, k)
+    val words = docs.select(col(idCol).as("doc_id"),
+        explode(split(normalize(col(textCol)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val rel = words.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("rel"))
+    def gain(r: Column, pos: Column): Column =
+      (pow(lit(2.0), d(r)) - lit(1.0)) /
+        (log(d(pos) + lit(1.0)) / log(lit(2.0)))
+    def s6(t: Column): Column = round(t * lit(1000000.0)).cast("long")
+    ranked.join(rel, Seq("doc_id")) // every ranked doc matched ≥ 1 term
+      .withColumn("__irank", row_number().over(
+        Window.orderBy(col("rel").desc, col("rank"))))
+      .withColumn("__d6", s6(gain(col("rel"), col("rank"))))
+      .withColumn("__i6", s6(gain(col("rel"), col("__irank"))))
+      .agg(count(lit(1)).as("n_ranked"),
+        coalesce(sum(col("__d6")), lit(0L)).as("__ds"),
+        coalesce(sum(col("__i6")), lit(0L)).as("__is"))
+      .select(col("n_ranked"),
+        (d(col("__ds")) / lit(1000000.0)).as("dcg"),
+        (d(col("__is")) / lit(1000000.0)).as("idcg"),
+        round(when(col("__is") > 0, d(col("__ds")) / d(col("__is"))),
+          roundTo).as("ndcg"))
+  }
+
   /** Collocation extraction by pointwise mutual information (Church
     * & Hanks '90 — the "strongly associated adjacent word pairs"
     * statistic behind phrase detection à la word2vec's bigram pass):

@@ -265,6 +265,32 @@ class TextSpec extends SparkSuite {
       "id", "text").isEmpty)
   }
 
+  test("ndcgAtK: ideal order scores 1, hand-computed inversion penalty, no-match empty corpus") {
+    // ideal retrieved order (rel 2 first): dcg = idcg → ndcg 1
+    val ideal = Seq((1L, "a b"), (2L, "a x")).toDF("doc_id", "text")
+    val i = Text.ndcgAtK(ideal, "doc_id", "text", Seq("a", "b"), k = 5).head()
+    assert(i.getLong(0) === 2L)
+    // gains: 3/log₂2 + 1/log₂3 = 3.0 + 0.630930 over rounded terms
+    assert(i.getDouble(1) === 3.63093 && i.getDouble(2) === 3.63093)
+    assert(i.getDouble(3) === 1.0)
+    // BM25 puts the tf-saturated single-term doc FIRST (b is rare,
+    // idf 1.280934) though the two-term doc is more relevant → the
+    // inversion nDCG exists to punish: rel by rank [1,2,1,1,1,1,1,1]
+    val inv = (Seq(
+      (1L, "b b b b b b"),
+      (2L, "a b x x x x x x x x x x")) ++
+      (3L to 8L).map(id => (id, "a y"))).toDF("doc_id", "text")
+    val v = Text.ndcgAtK(inv, "doc_id", "text", Seq("a", "b"), k = 8).head()
+    assert(v.getLong(0) === 8L)
+    assert(v.getDouble(1) === 5.215324) // Σ rounded gains, retrieved order
+    assert(v.getDouble(2) === 5.953465) // ideal reorder: rel-2 doc first
+    assert(v.getDouble(3) === 0.876015) // 5215324/5953465
+    // no doc matches any term: empty ranking, guarded null ndcg
+    val none = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val n = Text.ndcgAtK(none, "doc_id", "text", Seq("a", "b"), k = 5).head()
+    assert(n.getLong(0) === 0L && n.getDouble(1) === 0.0 && n.isNullAt(3))
+  }
+
   test("bm25TopK: closed-form scores, rank order, non-matching docs excluded") {
     val docs = Seq(
       (1L, "apple banana apple"),
