@@ -2329,6 +2329,23 @@ object SparkEntry {
           Tables.part(s, d), "p_partkey", "p_name",
           blockCol = element_at(split(col("p_name"), " "), -1), maxDist = 2)
         .orderBy(col("id_a"), col("id_b"))),
+    // golden-record survivorship (r11): the MERGE half of ER — the
+    // fuzzy clusters collapsed to one composite record per entity
+    // under per-attribute rules (longest name, modal brand/type,
+    // max size, cheapest price)
+    "er_golden_record" -> ((s, d) => {
+      import operators.Linkage.Survivorship._
+      val part = Tables.part(s, d)
+      val pairs = operators.Linkage.blockedFuzzyPairs(part, "p_partkey",
+        "p_name", blockCol = element_at(split(col("p_name"), " "), -1),
+        maxDist = 2)
+      operators.Linkage.goldenRecord(part, "p_partkey",
+          Dedup.connectedComponents(pairs),
+          Seq("p_name" -> Longest, "p_brand" -> MostFrequent,
+            "p_type" -> MostFrequent, "p_size" -> Max,
+            "p_retailprice" -> Min), minMembers = 2)
+        .orderBy(col("comp"))
+    }),
     // keep-BEST-per-cluster (r8): the curation form — the longest doc
     // of each near-dup cluster survives (ties to the lowest id),
     // unclustered docs survive as their own cluster
@@ -7819,6 +7836,61 @@ object SparkEntry {
            FROM b a JOIN b c ON a.blk = c.blk AND a.id < c.id
            WHERE levenshtein(a.name, c.name) <= 2
            ORDER BY id_a, id_b""",
+
+      // golden-record replay: same pairs → recursive-reachability
+      // components → per-attribute survivorship with identical
+      // tie-breaks (len desc/value asc, cnt desc/value asc)
+      "er_golden_record" ->
+        """WITH RECURSIVE b AS (
+             SELECT p_partkey AS id, p_name AS name,
+               string_split(p_name, ' ')[-1] AS blk FROM part
+           ), pairs AS (
+             SELECT a.id AS id_a, c.id AS id_b
+             FROM b a JOIN b c ON a.blk = c.blk AND a.id < c.id
+             WHERE levenshtein(a.name, c.name) <= 2
+           ), edges AS (
+             SELECT id_a AS src, id_b AS dst FROM pairs
+             UNION SELECT id_b, id_a FROM pairs
+           ), reach(id, r) AS (
+             SELECT src, src FROM edges
+             UNION
+             SELECT e.src, rch.r FROM edges e JOIN reach rch ON e.dst = rch.id
+           ), cmp AS (
+             SELECT id, min(r) AS comp FROM reach GROUP BY id
+           ), m AS (
+             SELECT coalesce(c.comp, p.p_partkey) AS comp, p.*
+             FROM part p LEFT JOIN cmp c ON p.p_partkey = c.id
+           ), sz AS (
+             SELECT comp, CAST(count(*) AS BIGINT) AS n_members
+             FROM m GROUP BY 1 HAVING count(*) >= 2
+           ), nm AS (
+             SELECT comp, p_name FROM (
+               SELECT comp, p_name, row_number() OVER (PARTITION BY comp
+                 ORDER BY length(p_name) DESC, p_name) AS rn FROM m)
+             WHERE rn = 1
+           ), br AS (
+             SELECT comp, p_brand FROM (
+               SELECT comp, p_brand, row_number() OVER (PARTITION BY comp
+                 ORDER BY cnt DESC, p_brand) AS rn
+               FROM (SELECT comp, p_brand, count(*) AS cnt
+                     FROM m GROUP BY 1, 2))
+             WHERE rn = 1
+           ), ty AS (
+             SELECT comp, p_type FROM (
+               SELECT comp, p_type, row_number() OVER (PARTITION BY comp
+                 ORDER BY cnt DESC, p_type) AS rn
+               FROM (SELECT comp, p_type, count(*) AS cnt
+                     FROM m GROUP BY 1, 2))
+             WHERE rn = 1
+           ), ag AS (
+             SELECT comp, max(p_size) AS p_size,
+               min(p_retailprice) AS p_retailprice
+             FROM m GROUP BY 1)
+           SELECT sz.comp, sz.n_members, nm.p_name, br.p_brand, ty.p_type,
+             ag.p_size, ag.p_retailprice
+           FROM sz JOIN nm USING (comp) JOIN br USING (comp)
+             JOIN ty USING (comp) JOIN ag USING (comp)
+           ORDER BY comp""",
 
       "dedup_components" ->
         s"""WITH RECURSIVE sh AS (

@@ -48,4 +48,89 @@ object Linkage {
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** Per-attribute survivorship rule for [[goldenRecord]]. Every
+    * rule is deterministic including its tie-break, so the golden
+    * record is a pure function of the cluster's rows.
+    */
+  sealed trait Survivorship
+  object Survivorship {
+    /** Most frequent non-null value; ties to the SMALLEST value. */
+    case object MostFrequent extends Survivorship
+    /** Longest non-null string; ties to the smallest value. */
+    case object Longest extends Survivorship
+    /** Greatest non-null value. */
+    case object Max extends Survivorship
+    /** Smallest non-null value. */
+    case object Min extends Survivorship
+    /** Value of the row with the greatest `orderCol` (ties to the
+      * greatest id — ids are unique, so this is total). */
+    final case class MostRecent(orderCol: String) extends Survivorship
+  }
+
+  /** Golden-record survivorship — the MERGE half of entity
+    * resolution ([[blockedFuzzyPairs]] finds the candidates,
+    * [[Dedup.connectedComponents]] clusters them; this builds the
+    * one record per entity downstream consumers join to): each
+    * attribute survives independently under its declared rule
+    * (longest name, most frequent category, cheapest price, most
+    * recent status…), so the golden record is usually a COMPOSITE no
+    * single source row equals — the standard MDM survivorship
+    * semantics.
+    *
+    * `clusters` is the `(id, comp)` frame from connectedComponents;
+    * unpaired records fall back to their own id (singleton
+    * clusters). Nulls never survive over values (per-attribute
+    * null-guarded structs, so min/max skip them); all-null
+    * attributes stay null.
+    *
+    * Scale shape: simple rules (min/max/longest/most-recent) fold in
+    * ONE cluster-keyed aggregation via the engine's min-struct
+    * argmax discipline (`min(struct(-len, v))` = longest-then-
+    * smallest — order-free, map-side combinable); each MostFrequent
+    * attribute costs one extra (cluster, value)-count aggregation
+    * joined back (value-domain-sized frames). No windows, no
+    * per-cluster sorts — clusters of any size fold associatively.
+    */
+  def goldenRecord(records: DataFrame, idCol: String,
+                   clusters: DataFrame,
+                   rules: Seq[(String, Survivorship)],
+                   minMembers: Int = 1): DataFrame = {
+    import Survivorship._
+    require(rules.nonEmpty, "goldenRecord needs at least one rule")
+    val base = records.join(
+        clusters.select(col("id").as(idCol), col("comp")), Seq(idCol), "left")
+      .withColumn("comp", coalesce(col("comp"), col(idCol)))
+    // one aggregation for every non-frequency rule
+    val simpleAggs = rules.flatMap {
+      case (c, Longest) => Some(
+        min(when(col(c).isNotNull,
+          struct((-length(col(c))).as("k"), col(c).as("v"))))("v").as(c))
+      case (c, Max) => Some(max(col(c)).as(c))
+      case (c, Min) => Some(min(col(c)).as(c))
+      case (c, MostRecent(ts)) => Some(
+        max(when(col(c).isNotNull,
+          struct(col(ts).as("k"), col(idCol).as("i"), col(c).as("v"))))("v")
+          .as(c))
+      case (_, MostFrequent) => None
+    }
+    val aggs = count(lit(1)).as("n_members") +: simpleAggs
+    val golden = base.groupBy(col("comp"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("n_members") >= minMembers)
+    // each frequency rule: (comp, value) counts → min-struct argmax
+    val withFreq = rules.collect { case (c, MostFrequent) => c }
+      .foldLeft(golden) { (acc, c) =>
+        val freq = base.filter(col(c).isNotNull)
+          .groupBy(col("comp"), col(c))
+          .agg(count(lit(1)).as("__cnt"))
+          .groupBy(col("comp"))
+          .agg(min(struct((-col("__cnt")).as("k"), col(c).as("v")))("v")
+            .as(c))
+        acc.join(freq, Seq("comp"), "left")
+      }
+    val ordered = Seq(col("comp"), col("n_members")) ++
+      rules.map { case (c, _) => col(c) }
+    withFreq.select(ordered: _*)
+  }
 }

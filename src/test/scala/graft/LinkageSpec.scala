@@ -35,4 +35,41 @@ class LinkageSpec extends SparkSuite {
     assert(labels(3L) === 3L && labels(4L) === 3L)
     Par.release()
   }
+
+  test("goldenRecord: per-rule survivorship with deterministic tie-breaks, nulls never survive, singleton fallback") {
+    import Linkage.Survivorship._
+    val full = Seq(
+      (1L, "cold widget", Some("B"), 5.0, 2, 10L, Some("new")),
+      (2L, "gold widgetX", Some("A"), 3.0, 9, 20L, Some("old")),
+      (5L, "abcd widgetX", Some("B"), 4.0, 7, 15L, Option.empty[String]),
+      (3L, "blue bolt", Some("D"), 9.9, 1, 5L, Some("solo")),
+      (4L, "glee bolt!", Some("C"), 1.1, 3, 6L, Option.empty[String]),
+      (6L, "enormous widget", Option.empty[String], 2.2, 4, 1L,
+        Option.empty[String])
+    ).toDF("id", "name", "brand", "price", "size", "ts", "status")
+    val clusters = Seq((1L, 1L), (2L, 1L), (5L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("id", "comp")
+    val rules = Seq("name" -> (Longest: Linkage.Survivorship),
+      "brand" -> MostFrequent, "price" -> Min, "size" -> Max,
+      "status" -> MostRecent("ts"))
+    val out = Linkage.goldenRecord(full, "id", clusters, rules)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val c1 = out(1L)
+    assert(c1.getLong(1) === 3L)
+    assert(c1.getString(2) === "abcd widgetX") // 12-char tie → smallest
+    assert(c1.getString(3) === "B")            // modal 2-vs-1
+    assert(c1.getDouble(4) === 3.0 && c1.getInt(5) === 9)
+    assert(c1.getString(6) === "old")          // max ts among non-null
+    val c3 = out(3L)
+    assert(c3.getString(2) === "glee bolt!" && c3.getString(3) === "C") // count tie → smallest
+    assert(c3.getDouble(4) === 1.1 && c3.getInt(5) === 3)
+    assert(c3.getString(6) === "solo")
+    val c6 = out(6L) // unpaired record: own-id singleton cluster
+    assert(c6.getLong(1) === 1L && c6.getString(2) === "enormous widget")
+    assert(c6.isNullAt(3) && c6.isNullAt(6)) // all-null attrs stay null
+    // minMembers=2 drops the singleton
+    val multi = Linkage.goldenRecord(full, "id", clusters, rules,
+      minMembers = 2).collect().map(_.getLong(0)).toSet
+    assert(multi === Set(1L, 3L))
+  }
 }
