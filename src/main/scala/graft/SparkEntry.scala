@@ -2717,6 +2717,13 @@ object SparkEntry {
       Quality.piiColumnScan(seeded, Seq("text", "lang", "source"))
         .orderBy(col("column_name"), col("pii_kind"))
     }),
+    // k-anonymity / l-diversity audit (r11): equivalence classes on
+    // (nation, segment), acctbal as the sensitive attribute — the
+    // re-identification screen before export clearance
+    "pii_k_anonymity" -> ((s, d) =>
+      Quality.kAnonymity(Tables.customer(s, d),
+        Seq("c_nationkey", "c_mktsegment"), k = 10,
+        sensitiveCol = Some("c_acctbal"))),
 
     // salted pseudonymization (r8-cont): both sides tokenize their
     // key under one salt and the JOIN RUNS ON TOKENS — the graded
@@ -7407,6 +7414,28 @@ object SparkEntry {
            SELECT * FROM (${arms.mkString(" UNION ALL ")})
            ORDER BY column_name, pii_kind"""
       },
+
+      // k-anonymity replay: class sizes + distinct-sensitive floors,
+      // integer throughout, one risk_share division
+      "pii_k_anonymity" ->
+        """WITH cls AS (
+             SELECT c_nationkey, c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l
+             FROM customer GROUP BY 1, 2
+           ), a AS (
+             SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(min(n) AS BIGINT) AS min_class_size,
+               CAST(coalesce(sum(CASE WHEN n < 10 THEN n ELSE 0 END), 0)
+                 AS BIGINT) AS risk_rows,
+               CAST(min(l) AS BIGINT) AS l_min
+             FROM cls)
+           SELECT n_rows, n_classes, min_class_size, risk_rows, l_min,
+             round(CAST(risk_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+               AS risk_share,
+             min_class_size >= 10 AS is_k_anonymous
+           FROM a""",
 
       "dq_numeric_profile" ->
         """SELECT column_name, n_rows, n_null, min_value, max_value, p50, p90 FROM (

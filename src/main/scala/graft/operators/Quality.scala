@@ -1084,6 +1084,46 @@ object Quality {
           6).as("cramers_v"))
   }
 
+  /** k-anonymity / l-diversity audit (Sweeney '02 / Machanavajjhala
+    * '07 — the re-identification risk screen to run BEFORE any
+    * export or training clearance, the row-level companion of
+    * [[piiColumnScan]]'s column-level scan): group rows into
+    * equivalence classes on the quasi-identifier combo and report
+    * the class-size floor (k-anonymity holds iff every class has ≥ k
+    * rows), the count/share of rows in classes below k (the rows an
+    * adversary can narrow to < k candidates), and — given a
+    * sensitive column — the l-diversity floor (min distinct
+    * sensitive values in any class; a k-anonymous class with ONE
+    * sensitive value still leaks it).
+    *
+    * Null quasi-identifier values form classes like any value (a
+    * null zip is itself identifying). One scan → class-sized
+    * aggregate → one bounded final aggregate; every statistic an
+    * exact integer until risk_share's single round-6 division.
+    */
+  def kAnonymity(df: DataFrame, quasiIdCols: Seq[String], k: Long,
+                 sensitiveCol: Option[String] = None,
+                 roundTo: Int = 6): DataFrame = {
+    require(quasiIdCols.nonEmpty, "kAnonymity needs quasi-identifiers")
+    require(k >= 1, "k must be at least 1")
+    val d = (c: Column) => c.cast("double")
+    val classAggs = count(lit(1)).as("__n") +:
+      sensitiveCol.map(s => countDistinct(col(s)).as("__l")).toSeq
+    val classes = df.groupBy(quasiIdCols.map(col): _*)
+      .agg(classAggs.head, classAggs.tail: _*)
+    val finalAggs = Seq(
+      sum(col("__n")).as("n_rows"),
+      count(lit(1)).as("n_classes"),
+      min(col("__n")).as("min_class_size"),
+      coalesce(sum(when(col("__n") < k, col("__n")).otherwise(lit(0L))),
+        lit(0L)).as("risk_rows")) ++
+      sensitiveCol.map(_ => min(col("__l")).as("l_min")).toSeq
+    classes.agg(finalAggs.head, finalAggs.tail: _*)
+      .withColumn("risk_share",
+        round(d(col("risk_rows")) / d(col("n_rows")), roundTo))
+      .withColumn("is_k_anonymous", col("min_class_size") >= k)
+  }
+
   /** Welch's unequal-variance t-test per key (Welch '47) — the
     * parametric mean-difference companion of [[mannWhitney]]'s
     * distribution test and [[twoProportionZ]]'s rate test: "is

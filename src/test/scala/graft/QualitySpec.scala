@@ -227,6 +227,29 @@ class QualitySpec extends SparkSuite {
     assert(t(2L) === ((0L, 1.0, 0.0)))
   }
 
+  test("kAnonymity: class floors, risk share, l-diversity, null quasi-id forms a class") {
+    val df = Seq(
+      (Some("a"), 1, "x"), (Some("a"), 1, "x"), (Some("a"), 1, "y"),
+      (Some("a"), 2, "z"), (Some("b"), 1, "x"), (Some("b"), 1, "y"),
+      (Option.empty[String], 1, "q")
+    ).toDF("zip", "age", "diag")
+    val r = Quality.kAnonymity(df, Seq("zip", "age"), k = 2,
+      sensitiveCol = Some("diag")).head()
+    assert(r.getAs[Long]("n_rows") === 7L)
+    assert(r.getAs[Long]("n_classes") === 4L) // null zip is a class
+    assert(r.getAs[Long]("min_class_size") === 1L)
+    assert(r.getAs[Long]("risk_rows") === 2L) // the two 1-row classes
+    assert(r.getAs[Double]("risk_share") === 0.285714)
+    assert(!r.getAs[Boolean]("is_k_anonymous"))
+    assert(r.getAs[Long]("l_min") === 1L)
+    // k=1 always holds; without a sensitive column no l_min is emitted
+    val r1 = Quality.kAnonymity(df, Seq("zip", "age"), k = 1)
+    assert(!r1.columns.contains("l_min"))
+    val h1 = r1.head()
+    assert(h1.getAs[Long]("risk_rows") === 0L)
+    assert(h1.getAs[Boolean]("is_k_anonymous"))
+  }
+
   test("welchT: hand-computed t/df, zero-variance null, n<2 keys dropped, foreign groups ignored") {
     val df = Seq(
       ("k", "A", 1L), ("k", "A", 2L), ("k", "A", 3L),
