@@ -2346,6 +2346,39 @@ object SparkEntry {
             "p_retailprice" -> Min), minMembers = 2)
         .orderBy(col("comp"))
     }),
+    // Data Vault hub (r11): one row per business key from a TWO-
+    // source union, deterministic md5 hub keys, order-free min
+    // record_source — no sequence generator anywhere
+    "dv_hub_customer" -> ((s, d) => {
+      val crm = Tables.customer(s, d)
+        .select(col("c_custkey").as("custkey"), lit("crm").as("src"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_custkey").as("custkey"), lit("orders").as("src"))
+      pipeline.DataVault.hub(crm.unionByName(ord), Seq("custkey"),
+          col("src"), "L1")
+        .orderBy(col("custkey"))
+    }),
+    // Data Vault link (r11): the order↔customer relationship keyed by
+    // the hash of both business keys, each side's hub key carried
+    "dv_link_order_customer" -> ((s, d) =>
+      pipeline.DataVault.link(Tables.orders(s, d), Seq("o_orderkey"),
+          Seq("o_custkey"), "orders", "L1")
+        .orderBy(col("o_orderkey"))),
+    // Data Vault satellite delta (r11): batch 2 modifies every 10th
+    // customer's segment; the hash_diff anti-join must surface
+    // exactly those states and nothing else
+    "dv_satellite_delta" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val cur = pipeline.DataVault.satellite(cust, Seq("c_custkey"),
+        Seq("c_mktsegment", "c_nationkey"), "crm", "L1")
+      val batch2 = cust.withColumn("c_mktsegment",
+        when(pmod(col("c_custkey"), lit(10)) === 0,
+          concat(lit("X-"), col("c_mktsegment")))
+          .otherwise(col("c_mktsegment")))
+      pipeline.DataVault.satelliteDelta(cur, batch2, Seq("c_custkey"),
+          Seq("c_mktsegment", "c_nationkey"), "crm", "L2")
+        .orderBy(col("hub_key"))
+    }),
     // keep-BEST-per-cluster (r8): the curation form — the longest doc
     // of each near-dup cluster survives (ties to the lowest id),
     // unclustered docs survive as their own cluster
@@ -7920,6 +7953,58 @@ object SparkEntry {
            FROM sz JOIN nm USING (comp) JOIN br USING (comp)
              JOIN ty USING (comp) JOIN ag USING (comp)
            ORDER BY comp""",
+
+      // vault hub replay: md5 business-key hashes, min source tag
+      "dv_hub_customer" ->
+        """WITH u AS (
+             SELECT c_custkey AS custkey, 'crm' AS src FROM customer
+             UNION ALL SELECT o_custkey, 'orders' FROM orders
+           ), h AS (
+             SELECT custkey, min(src) AS record_source FROM u GROUP BY 1)
+           SELECT md5(concat_ws('||', CAST(custkey AS VARCHAR))) AS hub_key,
+             custkey, record_source, 'L1' AS load_id
+           FROM h ORDER BY custkey""",
+
+      // vault link replay: distinct relationship instances, hash of
+      // all keys plus each side's hub key
+      "dv_link_order_customer" ->
+        """WITH dt AS (SELECT DISTINCT o_orderkey, o_custkey FROM orders)
+           SELECT md5(concat_ws('||', CAST(o_orderkey AS VARCHAR),
+               CAST(o_custkey AS VARCHAR))) AS link_key,
+             md5(concat_ws('||', CAST(o_orderkey AS VARCHAR))) AS hub_a_key,
+             md5(concat_ws('||', CAST(o_custkey AS VARCHAR))) AS hub_b_key,
+             o_orderkey, o_custkey, 'orders' AS record_source,
+             'L1' AS load_id
+           FROM dt ORDER BY o_orderkey""",
+
+      // vault satellite-delta replay: hash_diff anti-join — only the
+      // modified attribute states land
+      "dv_satellite_delta" ->
+        """WITH cur AS (
+             SELECT DISTINCT
+               md5(concat_ws('||', CAST(c_custkey AS VARCHAR))) AS hub_key,
+               md5(concat_ws('||', c_mktsegment,
+                 CAST(c_nationkey AS VARCHAR))) AS hash_diff
+             FROM customer
+           ), b2 AS (
+             SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 0 THEN 'X-' || c_mktsegment
+                 ELSE c_mktsegment END AS c_mktsegment,
+               c_nationkey
+             FROM customer
+           ), st AS (
+             SELECT DISTINCT
+               md5(concat_ws('||', CAST(c_custkey AS VARCHAR))) AS hub_key,
+               md5(concat_ws('||', c_mktsegment,
+                 CAST(c_nationkey AS VARCHAR))) AS hash_diff,
+               c_mktsegment, c_nationkey
+             FROM b2)
+           SELECT st.hub_key, st.hash_diff, st.c_mktsegment,
+             st.c_nationkey, 'crm' AS record_source, 'L2' AS load_id
+           FROM st LEFT JOIN cur ON st.hub_key = cur.hub_key
+             AND st.hash_diff = cur.hash_diff
+           WHERE cur.hub_key IS NULL
+           ORDER BY st.hub_key""",
 
       "dedup_components" ->
         s"""WITH RECURSIVE sh AS (
