@@ -3459,6 +3459,18 @@ object SparkEntry {
           season = 24)
         .orderBy(col("event_type"), col("model"))
     }),
+    // M4 downsampling (r11): the hourly grid reduced to 6-hour pixel
+    // columns keeping first/last/min/max — the error-free-at-pixel-
+    // resolution reduction, one order-free group-by
+    "events_m4_downsample" -> ((s, d) => {
+      val grid = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      Analytics.m4Downsample(grid, "event_type", "hr", "cnt",
+          bucketSeconds = 6L * 3600)
+        .orderBy(col("event_type"), col("ts"), col("value"))
+    }),
     // Pettitt change-point test per event_type over the hourly-count
     // series (r11): rank-based U_t is exact integer arithmetic end to
     // end — only the final p-value touches a double
@@ -9431,6 +9443,34 @@ object SparkEntry {
              round(CASE WHEN san > 0 THEN
                CAST(sae AS DOUBLE) / CAST(san AS DOUBLE) END, 6) AS mase
            FROM a ORDER BY event_type, model""",
+
+      // M4 replay: the four per-bucket extreme selections as rank-1
+      // windows with the identical tie-breaks, distinct union
+      "events_m4_downsample" ->
+        """WITH g AS (
+             SELECT event_type AS k,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+               CAST(count(*) AS BIGINT) AS y
+             FROM events GROUP BY 1, 2
+           ), b AS (
+             SELECT k, hr, y,
+               date_diff('second', TIMESTAMP '1970-01-01', hr) // 21600
+                 AS bucket
+             FROM g
+           ), r AS (
+             SELECT k, bucket, hr, y,
+               row_number() OVER (PARTITION BY k, bucket
+                 ORDER BY hr) AS rf,
+               row_number() OVER (PARTITION BY k, bucket
+                 ORDER BY hr DESC) AS rl,
+               row_number() OVER (PARTITION BY k, bucket
+                 ORDER BY y, hr) AS rmin,
+               row_number() OVER (PARTITION BY k, bucket
+                 ORDER BY y DESC, hr DESC) AS rmax
+             FROM b)
+           SELECT DISTINCT k AS event_type, bucket, hr AS ts, y AS value
+           FROM r WHERE 1 IN (rf, rl, rmin, rmax)
+           ORDER BY event_type, ts, value""",
 
       // KM replay: integer suffix-sum risk sets, then the product
       // recurrence step-by-step in a recursive CTE — the same

@@ -412,6 +412,50 @@ object Analytics {
         .as("r2"))
   }
 
+  /** M4 time-series downsampling per key (Jugel et al. VLDB '14 —
+    * the width-m pixel-column reduction behind every "plot a year of
+    * seconds" dashboard): within each fixed-width time bucket keep
+    * the FOUR extreme points — first, last, min-value, max-value —
+    * which is exactly the set a line rendering of the bucket needs
+    * (error-free at pixel resolution, the paper's result). Chosen
+    * over LTTB deliberately: LTTB's triangle selection depends on
+    * the PREVIOUSLY selected point — an inherently sequential
+    * recurrence — while M4 is one group-by of order-free min/max
+    * structs, map-side combinable and embarrassingly parallel at
+    * any scale.
+    *
+    * Tie-breaks are pinned by the struct encodings (min-value point
+    * ties to the EARLIEST ts, max-value to the latest; first/last
+    * are unique per ts), the four selections may coincide (a
+    * 1-point bucket emits 1 row) — hence the final distinct over a
+    * ≤ 4·buckets frame. Buckets are `floor(epoch/bucketSeconds)` —
+    * no global min/max pass, so the operator streams.
+    */
+  def m4Downsample(series: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds >= 1, "bucketSeconds must be positive")
+    val d = series.select(col(keyCol), col(tsCol).as("__ts"),
+        col(valueCol).cast("long").as("__v"))
+      .withColumn("bucket",
+        floor(unix_timestamp(col("__ts")) / lit(bucketSeconds.toDouble))
+          .cast("long"))
+    d.groupBy(col(keyCol), col("bucket"))
+      .agg(
+        min(struct(col("__ts").as("t"), col("__v").as("v"))).as("__pf"),
+        max(struct(col("__ts").as("t"), col("__v").as("v"))).as("__pl"),
+        min(struct(col("__v").as("v"), col("__ts").as("t"))).as("__pn"),
+        max(struct(col("__v").as("v"), col("__ts").as("t"))).as("__px"))
+      .select(col(keyCol), col("bucket"), explode(array(
+        struct(col("__pf.t").as("ts"), col("__pf.v").as("value")),
+        struct(col("__pl.t").as("ts"), col("__pl.v").as("value")),
+        struct(col("__pn.t").as("ts"), col("__pn.v").as("value")),
+        struct(col("__px.t").as("ts"), col("__px.v").as("value"))))
+        .as("__p"))
+      .select(col(keyCol), col("bucket"), col("__p.ts").as("ts"),
+        col("__p.value").as("value"))
+      .distinct()
+  }
+
   /** Per-key forecast-accuracy scorecard for the two standard
     * no-model baselines — naive (ŷ_t = y_{t−1}) and seasonal-naive
     * (ŷ_t = y_{t−season}) — the Hyndman & Koehler '06 evaluation

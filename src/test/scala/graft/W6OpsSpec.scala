@@ -525,6 +525,27 @@ class W6OpsSpec extends SparkSuite {
     assert(out(("flat", 2L)) === None)
   }
 
+  test("m4Downsample: four extremes per bucket, coincident points collapse, value ties keep both endpoints") {
+    import graft.pipeline.Analytics
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val series = Seq(
+      ("k", ts(0), 5L), ("k", ts(10), 9L), ("k", ts(20), 1L),
+      ("k", ts(30), 7L),              // bucket 0: all four distinct
+      ("k", ts(110), 3L),             // bucket 1: single point → 1 row
+      ("k", ts(210), 4L), ("k", ts(220), 4L) // bucket 2: value tie
+    ).toDF("k", "t", "v")
+    val out = Analytics.m4Downsample(series, "k", "t", "v",
+        bucketSeconds = 100L)
+      .collect()
+      .map(r => (r.getLong(1), r.getTimestamp(2).getTime / 1000L,
+        r.getLong(3))).toSet
+    assert(out === Set(
+      (0L, 0L, 5L), (0L, 10L, 9L), (0L, 20L, 1L), (0L, 30L, 7L),
+      (1L, 110L, 3L),
+      // min ties to the earliest ts, max to the latest → both survive
+      (2L, 210L, 4L), (2L, 220L, 4L)))
+  }
+
   test("forecastAccuracy: hand-computed scorecard, perfect-naive mase null, short series absent") {
     import graft.pipeline.Analytics
     val series = Seq(
