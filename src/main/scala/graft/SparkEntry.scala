@@ -3471,6 +3471,24 @@ object SparkEntry {
           bucketSeconds = 6L * 3600)
         .orderBy(col("event_type"), col("ts"), col("value"))
     }),
+    // price-volume-mix revenue bridge (r11): 1997→1998 shipped
+    // revenue per brand decomposed into volume/price/cross effects —
+    // exact-decimal sums, one double tree per effect
+    "revenue_bridge" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(year(col("l_shipdate")).isin(1997, 1998))
+        .withColumn("period",
+          when(year(col("l_shipdate")) === 1997, 0).otherwise(1))
+        .withColumn("rev",
+          col("l_extendedprice").cast("decimal(12,2)")
+            * (lit(1) - col("l_discount").cast("decimal(12,2)")))
+      val withBrand = li.join(
+        Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      Analytics.revenueBridge(withBrand, "p_brand", "period",
+          "l_quantity", "rev")
+        .orderBy(col("p_brand"))
+    }),
     // Pettitt change-point test per event_type over the hourly-count
     // series (r11): rank-based U_t is exact integer arithmetic end to
     // end — only the final p-value touches a double
@@ -9471,6 +9489,47 @@ object SparkEntry {
            SELECT DISTINCT k AS event_type, bucket, hr AS ts, y AS value
            FROM r WHERE 1 IN (rf, rl, rmin, rmax)
            ORDER BY event_type, ts, value""",
+
+      // revenue-bridge replay: exact-decimal (q, r) sums per
+      // (brand, period), the identical effect trees
+      "revenue_bridge" ->
+        """WITH li AS (
+             SELECT p.p_brand AS g,
+               CASE WHEN year(l_shipdate) = 1997 THEN 0 ELSE 1 END AS per,
+               CAST(l_quantity AS DECIMAL(12,2)) AS q,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                 AS DECIMAL(18,4)) AS r
+             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             WHERE year(l_shipdate) IN (1997, 1998)
+           ), a AS (
+             SELECT g,
+               sum(CASE WHEN per = 0 THEN q END) AS q0,
+               sum(CASE WHEN per = 1 THEN q END) AS q1,
+               sum(CASE WHEN per = 0 THEN r END) AS r0,
+               sum(CASE WHEN per = 1 THEN r END) AS r1
+             FROM li GROUP BY 1
+           ), e AS (
+             SELECT g, q0, q1, r0, r1,
+               CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE) AS p0,
+               CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE) AS p1,
+               CAST(q1 AS DOUBLE) - CAST(q0 AS DOUBLE) AS dq,
+               q0 IS NOT NULL AND q1 IS NOT NULL AND q0 > 0 AND q1 > 0
+                 AS cont
+             FROM a)
+           SELECT g AS p_brand,
+             CASE WHEN q0 IS NULL THEN 'new'
+               WHEN q1 IS NULL THEN 'discontinued'
+               ELSE 'continuing' END AS status,
+             CAST(q0 AS DOUBLE) AS q0, CAST(q1 AS DOUBLE) AS q1,
+             CAST(r0 AS DOUBLE) AS r0, CAST(r1 AS DOUBLE) AS r1,
+             CAST(coalesce(r1, 0) - coalesce(r0, 0) AS DOUBLE) AS delta_r,
+             round(CASE WHEN cont THEN dq * p0 END, 6) AS volume_effect,
+             round(CASE WHEN cont THEN (p1 - p0) * CAST(q0 AS DOUBLE) END, 6)
+               AS price_effect,
+             round(CASE WHEN cont THEN dq * (p1 - p0) END, 6)
+               AS cross_effect
+           FROM e ORDER BY p_brand""",
 
       // KM replay: integer suffix-sum risk sets, then the product
       // recurrence step-by-step in a recursive CTE — the same

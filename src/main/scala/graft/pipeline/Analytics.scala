@@ -412,6 +412,56 @@ object Analytics {
         .as("r2"))
   }
 
+  /** Price-volume-mix revenue bridge (the FP&A "why did revenue
+    * change" decomposition — every board deck's waterfall chart):
+    * per group, ΔR between period 0 and period 1 split into
+    * volume effect (q₁−q₀)·p₀, price effect (p₁−p₀)·q₀, and the
+    * cross term (q₁−q₀)·(p₁−p₀) — the three sum to ΔR exactly by
+    * algebra (up to the per-effect output rounding). Groups present
+    * in only one period classify `new` / `discontinued` (their whole
+    * ΔR is the entry/exit contribution; per-effect split undefined →
+    * null), both periods → `continuing`.
+    *
+    * Money discipline: quantities and revenue aggregate as EXACT
+    * decimals (the engine's float-money rule — associative, partial-
+    * agg safe at any partitioning); unit prices and the three
+    * effects are then single fixed double trees on those exact
+    * sums, rounded once. One (group, period) aggregate — no joins,
+    * no windows; the period pivot is conditional sums.
+    */
+  def revenueBridge(df: DataFrame, groupCol: String, periodCol: String,
+                    qtyCol: String, revCol: String,
+                    roundTo: Int = 6): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val g = df.groupBy(col(groupCol))
+      .agg(
+        sum(when(col(periodCol) === 0, dec2(col(qtyCol)))).as("__q0"),
+        sum(when(col(periodCol) === 1, dec2(col(qtyCol)))).as("__q1"),
+        // 4 decimal places: a (12,2)×(12,2) discounted-price product
+        // is exact at scale 4 — re-casting to (12,2) would round
+        sum(when(col(periodCol) === 0, col(revCol).cast("decimal(18,4)")))
+          .as("__r0"),
+        sum(when(col(periodCol) === 1, col(revCol).cast("decimal(18,4)")))
+          .as("__r1"))
+    val p0 = d(col("__r0")) / d(col("__q0"))
+    val p1 = d(col("__r1")) / d(col("__q1"))
+    val dq = d(col("__q1")) - d(col("__q0"))
+    val continuing = col("__q0").isNotNull && col("__q1").isNotNull &&
+      col("__q0") > 0 && col("__q1") > 0
+    g.select(col(groupCol),
+        when(col("__q0").isNull, lit("new"))
+          .when(col("__q1").isNull, lit("discontinued"))
+          .otherwise(lit("continuing")).as("status"),
+        d(col("__q0")).as("q0"), d(col("__q1")).as("q1"),
+        d(col("__r0")).as("r0"), d(col("__r1")).as("r1"),
+        d(coalesce(col("__r1"), lit(0)) - coalesce(col("__r0"), lit(0)))
+          .as("delta_r"),
+        round(when(continuing, dq * p0), roundTo).as("volume_effect"),
+        round(when(continuing, (p1 - p0) * d(col("__q0"))), roundTo)
+          .as("price_effect"),
+        round(when(continuing, dq * (p1 - p0)), roundTo).as("cross_effect"))
+  }
+
   /** M4 time-series downsampling per key (Jugel et al. VLDB '14 —
     * the width-m pixel-column reduction behind every "plot a year of
     * seconds" dashboard): within each fixed-width time bucket keep

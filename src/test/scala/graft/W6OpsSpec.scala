@@ -525,6 +525,32 @@ class W6OpsSpec extends SparkSuite {
     assert(out(("flat", 2L)) === None)
   }
 
+  test("revenueBridge: effects sum to delta, new/discontinued classify with null splits") {
+    import graft.pipeline.Analytics
+    val df = Seq(
+      ("A", 0, 6.0, 60.0), ("A", 0, 4.0, 40.0), // q0 10, r0 100, p0 10
+      ("A", 1, 12.0, 132.0),                    // q1 12, r1 132, p1 11
+      ("N", 1, 5.0, 50.0),                      // period-1 only
+      ("D", 0, 3.0, 30.0)                       // period-0 only
+    ).toDF("g", "per", "q", "r")
+    val out = Analytics.revenueBridge(df, "g", "per", "q", "r")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert(a.getString(1) === "continuing")
+    assert(a.getDouble(6) === 32.0) // delta_r
+    assert(a.getDouble(7) === 20.0) // (12−10)·10
+    assert(a.getDouble(8) === 10.0) // (11−10)·10
+    assert(a.getDouble(9) === 2.0)  // cross
+    assert(a.getDouble(7) + a.getDouble(8) + a.getDouble(9)
+      === a.getDouble(6)) // the bridge identity
+    val n = out("N")
+    assert(n.getString(1) === "new" && n.getDouble(6) === 50.0)
+    assert(n.isNullAt(7) && n.isNullAt(8) && n.isNullAt(9))
+    val dd = out("D")
+    assert(dd.getString(1) === "discontinued" && dd.getDouble(6) === -30.0)
+    assert(dd.isNullAt(7))
+  }
+
   test("m4Downsample: four extremes per bucket, coincident points collapse, value ties keep both endpoints") {
     import graft.pipeline.Analytics
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
