@@ -3471,6 +3471,13 @@ object SparkEntry {
           bucketSeconds = 6L * 3600)
         .orderBy(col("event_type"), col("ts"), col("value"))
     }),
+    // per-user debounce (r11): keep an event only ≥6h after the last
+    // KEPT one — a true recurrence on the last survivor (lag() sees
+    // dropped rows too), folded in the one-exchange sorted pass
+    "events_debounce" -> ((s, d) =>
+      operators.Recurrence.debounce(eventCols(Tables.events(s, d)),
+          "user_id", "event_id", "ts", gapSeconds = 21600L)
+        .orderBy(col("user_id"), col("ts"), col("event_id"))),
     // price-volume-mix revenue bridge (r11): 1997→1998 shipped
     // revenue per brand decomposed into volume/price/cross effects —
     // exact-decimal sums, one double tree per effect
@@ -9489,6 +9496,32 @@ object SparkEntry {
            SELECT DISTINCT k AS event_type, bucket, hr AS ts, y AS value
            FROM r WHERE 1 IN (rf, rl, rmin, rmax)
            ORDER BY event_type, ts, value""",
+
+      // debounce replay: the survivor chain as a recursive CTE —
+      // each kept row's successor is the minimal-rn event ≥ gap
+      // after it (sec non-decreasing in rn ⇒ identical to the fold)
+      "events_debounce" ->
+        """WITH RECURSIVE e AS (
+             SELECT user_id AS k, event_id AS id, CAST(ts AS TIMESTAMP) AS ts,
+               date_diff('second', TIMESTAMP '1970-01-01',
+                 CAST(ts AS TIMESTAMP)) AS sec,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS rn
+             FROM events
+           ), kept(k, rn, sec) AS (
+             SELECT k, rn, sec FROM e WHERE rn = 1
+             UNION
+             SELECT n.k, n.rn, n.sec
+             FROM kept kp JOIN e n ON n.k = kp.k AND n.rn > kp.rn
+               AND n.sec - kp.sec >= 21600
+             WHERE NOT EXISTS (
+               SELECT 1 FROM e m
+               WHERE m.k = kp.k AND m.rn > kp.rn
+                 AND m.sec - kp.sec >= 21600 AND m.rn < n.rn)
+           )
+           SELECT e.k AS user_id, e.id AS event_id, e.ts
+           FROM kept JOIN e ON kept.k = e.k AND kept.rn = e.rn
+           ORDER BY user_id, ts, event_id""",
 
       // revenue-bridge replay: exact-decimal (q, r) sums per
       // (brand, period), the identical effect trees

@@ -332,4 +332,47 @@ object Recurrence {
       }
       .toDF(keyCol, "t_duration", "n_risk", "n_events", "survival")
   }
+
+  /** Per-key DEBOUNCE — keep an event only if it falls at least
+    * `gapSeconds` after the last KEPT event of its key (the first
+    * event of a key is always kept). The rate-limiting curation
+    * primitive behind "one notification per 6 h", bot-burst
+    * squashing, and poll-spam collapse — and a TRUE recurrence:
+    * whether a row survives depends on the last SURVIVOR, not the
+    * last row, so `lag()` cannot express it (lag sees dropped rows
+    * too) and the engine folds it in the one-exchange sorted
+    * mapPartitions pass. State is a single exact epoch-second long
+    * per key — integer comparisons, no float drift, hash-stable in
+    * any engine replaying the same (ts, id)-ordered walk. Ties on
+    * ts order by id; sub-second fractions truncate to the epoch
+    * second on both engines (documented grain).
+    */
+  def debounce(events: DataFrame, keyCol: String, idCol: String,
+               tsCol: String, gapSeconds: Long): DataFrame = {
+    require(gapSeconds >= 1, "gapSeconds must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("long"), col(idCol).cast("long"),
+        col(tsCol).cast("timestamp"))
+      .repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(tsCol), col(idCol))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .mapPartitions { it =>
+        var hasKey = false
+        var curKey = 0L
+        var lastKept = 0L
+        it.flatMap { case (k, id, ts) =>
+          val sec = Math.floorDiv(ts.getTime, 1000L)
+          if (!hasKey || k != curKey) {
+            hasKey = true; curKey = k; lastKept = sec
+            Some((k, id, ts))
+          } else if (sec - lastKept >= gapSeconds) {
+            lastKept = sec
+            Some((k, id, ts))
+          } else None
+        }
+      }
+      .toDF(keyCol, idCol, tsCol)
+  }
 }

@@ -525,6 +525,25 @@ class W6OpsSpec extends SparkSuite {
     assert(out(("flat", 2L)) === None)
   }
 
+  test("debounce: gap measured from last SURVIVOR not last event, per-key reset, ts tie keeps lowest id") {
+    import graft.operators.Recurrence
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, 10L, ts(0)), (1L, 11L, ts(100)), (1L, 12L, ts(200)),
+      (1L, 13L, ts(350)), (1L, 14L, ts(400)),
+      (2L, 20L, ts(50)),                       // new key: first kept
+      (3L, 6L, ts(0)), (3L, 5L, ts(0)),        // ts tie → lowest id
+      (4L, 40L, ts(0)), (4L, 41L, ts(250)), (4L, 42L, ts(500))
+    ).toDF("u", "id", "t")
+    val kept = Recurrence.debounce(ev, "u", "id", "t", gapSeconds = 300L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // user 1: 0 kept; 100/200 inside gap; 350 kept (vs 0); 400 inside
+    // user 4: 250 dropped, but 500 KEPT — 500−0 ≥ 300 measured from
+    // the survivor; a lag()-based filter would drop it (500−250 < 300)
+    assert(kept === Set((1L, 10L), (1L, 13L), (2L, 20L), (3L, 5L),
+      (4L, 40L), (4L, 42L)))
+  }
+
   test("revenueBridge: effects sum to delta, new/discontinued classify with null splits") {
     import graft.pipeline.Analytics
     val df = Seq(
