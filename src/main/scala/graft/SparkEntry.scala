@@ -3690,6 +3690,33 @@ object SparkEntry {
     // recurrence no batch window computes, replayed bit-exact by a
     // recursive CTE (α = 0.5 → every step is one exact scale + one
     // identically-ordered add)
+    // streaming debounce graded batch-side (r11, §2.6): the
+    // last-survivor clock carries across the cutoff-split
+    // microbatches; sink ≡ batch Recurrence.debounce row-for-row,
+    // so it shares events_debounce's recursive-CTE oracle
+    "stream_debounce" -> ((s, d) => {
+      val base = graft.TempDirs.create("graft_stream_db")
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = eventCols(Tables.events(s, d))
+      val cutoff = lit(CdcCutoff).cast("timestamp")
+      ev.filter(col("ts") <= cutoff).write.parquet(inDir)
+      withShufflePartitions(s, 4) {
+        val q = graft.streaming.EventStream.debounce(
+            graft.streaming.EventStream.read(s, inDir),
+            gapSeconds = 21600L)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .format("parquet").option("path", outDir).start()
+        try {
+          q.processAllAvailable()
+          ev.filter(col("ts") > cutoff).write.mode("append").parquet(inDir)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.read.parquet(outDir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
     "stream_ewma" -> ((s, d) => {
       val base = graft.TempDirs.create("graft_stream_ew")
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
@@ -4469,6 +4496,34 @@ object SparkEntry {
                row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM s)
            WHERE rank <= 50 ORDER BY rank"""
   }
+
+  /** Debounce replay shared by the batch fold and its streaming
+    * twin: the survivor chain as a recursive CTE — each kept row's
+    * successor is the minimal-rn event ≥ gap after it (sec is
+    * non-decreasing in rn, so this IS the fold).
+    */
+  private def debounceOracleSql: String =
+    """WITH RECURSIVE e AS (
+         SELECT user_id AS k, event_id AS id, CAST(ts AS TIMESTAMP) AS ts,
+           date_diff('second', TIMESTAMP '1970-01-01',
+             CAST(ts AS TIMESTAMP)) AS sec,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS rn
+         FROM events
+       ), kept(k, rn, sec) AS (
+         SELECT k, rn, sec FROM e WHERE rn = 1
+         UNION
+         SELECT n.k, n.rn, n.sec
+         FROM kept kp JOIN e n ON n.k = kp.k AND n.rn > kp.rn
+           AND n.sec - kp.sec >= 21600
+         WHERE NOT EXISTS (
+           SELECT 1 FROM e m
+           WHERE m.k = kp.k AND m.rn > kp.rn
+             AND m.sec - kp.sec >= 21600 AND m.rn < n.rn)
+       )
+       SELECT e.k AS user_id, e.id AS event_id, e.ts
+       FROM kept JOIN e ON kept.k = e.k AND kept.rn = e.rn
+       ORDER BY user_id, ts, event_id"""
 
   /** nDCG replay: the full [[bm25TopkOracleSql]] ranking as a
     * subquery, graded distinct-term-overlap relevance, the identical
@@ -9499,29 +9554,10 @@ object SparkEntry {
 
       // debounce replay: the survivor chain as a recursive CTE —
       // each kept row's successor is the minimal-rn event ≥ gap
-      // after it (sec non-decreasing in rn ⇒ identical to the fold)
-      "events_debounce" ->
-        """WITH RECURSIVE e AS (
-             SELECT user_id AS k, event_id AS id, CAST(ts AS TIMESTAMP) AS ts,
-               date_diff('second', TIMESTAMP '1970-01-01',
-                 CAST(ts AS TIMESTAMP)) AS sec,
-               row_number() OVER (PARTITION BY user_id
-                 ORDER BY ts, event_id) AS rn
-             FROM events
-           ), kept(k, rn, sec) AS (
-             SELECT k, rn, sec FROM e WHERE rn = 1
-             UNION
-             SELECT n.k, n.rn, n.sec
-             FROM kept kp JOIN e n ON n.k = kp.k AND n.rn > kp.rn
-               AND n.sec - kp.sec >= 21600
-             WHERE NOT EXISTS (
-               SELECT 1 FROM e m
-               WHERE m.k = kp.k AND m.rn > kp.rn
-                 AND m.sec - kp.sec >= 21600 AND m.rn < n.rn)
-           )
-           SELECT e.k AS user_id, e.id AS event_id, e.ts
-           FROM kept JOIN e ON kept.k = e.k AND kept.rn = e.rn
-           ORDER BY user_id, ts, event_id""",
+      // after it (sec non-decreasing in rn ⇒ identical to the fold);
+      // the streaming gate accumulates the same survivors
+      "events_debounce" -> debounceOracleSql,
+      "stream_debounce" -> debounceOracleSql,
 
       // revenue-bridge replay: exact-decimal (q, r) sums per
       // (brand, period), the identical effect trees

@@ -50,6 +50,13 @@ case class AttrState(tsUs: Long, id: Long)
 case class AttrOut(user_id: Long, conv_id: Long, conv_ts: java.sql.Timestamp,
                    touch_id: Option[Long], touch_ts: Option[java.sql.Timestamp])
 
+/** Last-survivor epoch second per user (the debounce carry). */
+case class DebounceState(lastKept: Long)
+
+/** One surviving (debounced) event. */
+case class DebounceOut(user_id: Long, event_id: Long,
+                       ts: java.sql.Timestamp)
+
 /** Running EWMA state per user (the carry of the recurrence). */
 case class EwmaState(e: Double)
 
@@ -912,6 +919,45 @@ object EventStream {
     * order must hold across microbatches per user (the CDC file
     * layout), in-batch disorder is sorted away.
     */
+  /** Streaming DEBOUNCE (r11) — the ingest-door twin of
+    * [[graft.operators.Recurrence.debounce]]: an event survives only
+    * ≥ `gapSeconds` after the last SURVIVOR of its user, state one
+    * epoch-second long per user. A true last-survivor recurrence
+    * (dropped rows must not reset the clock), which is why it's a
+    * stateful gate and not a watermark dedup. Exact integer state ⇒
+    * with the cross-batch per-user event-time ordering contract
+    * (the CDC file layout; in-batch disorder sorted away) the sink
+    * equals the batch fold row-for-row — the graded twin shares
+    * `events_debounce`'s recursive-CTE oracle.
+    */
+  def debounce(events: DataFrame,
+               gapSeconds: Long): Dataset[DebounceOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(ts: java.sql.Timestamp): Long =
+      (ts.getTime / 1000) * 1000000L + ts.getNanos / 1000
+    val fn = (userId: Long, it: Iterator[Event],
+              state: GroupState[DebounceState]) => {
+      val evs = it.toArray.sortBy(e => (micros(e.ts), e.event_id))
+      var last = state.getOption.map(_.lastKept)
+      val out = evs.flatMap { ev =>
+        val sec = Math.floorDiv(ev.ts.getTime, 1000L)
+        if (last.forall(l => sec - l >= gapSeconds)) {
+          last = Some(sec)
+          Some(DebounceOut(userId, ev.event_id, ev.ts))
+        } else None
+      }
+      last.foreach(l => state.update(DebounceState(l)))
+      out.iterator
+    }
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(fn)
+  }
+
   def ewma(events: DataFrame, alpha: Double = 0.5): Dataset[EwmaOut] = {
     val spark = events.sparkSession
     import spark.implicits._

@@ -738,6 +738,27 @@ class StreamingSpec extends SparkSuite {
     assert(Versioned.read(spark, root, Some(1)).count() === 2) // a, b only
   }
 
+  test("debounce: last-survivor clock carries across microbatches; dropped rows don't reset it") {
+    val b1 = Seq(
+      Event(2L, ts("2024-01-01 10:05:00"), 1L, "click", 0.0), // 5m after 1 → dropped
+      Event(1L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0), // sorts first → kept
+      Event(3L, ts("2024-01-01 10:20:00"), 1L, "click", 0.0)) // 20m after 1 → kept
+    val b2 = Seq(
+      Event(4L, ts("2024-01-01 10:30:00"), 1L, "click", 0.0), // 10m after survivor 3 → dropped
+      Event(5L, ts("2024-01-01 10:36:00"), 1L, "click", 0.0), // 16m after 3 → kept
+      Event(9L, ts("2024-01-01 00:00:00"), 2L, "click", 0.0)) // new user → kept
+    val out = runIncremental(
+      df => EventStream.debounce(df, gapSeconds = 900L).toDF(),
+      OutputMode.Append(), Seq(b1, b2))
+    val kept = out.select("event_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 5L, 9L))
+    // batch fold over the union agrees row-for-row
+    val batch = graft.operators.Recurrence.debounce(
+      (b1 ++ b2).toDF(), "user_id", "event_id", "ts", gapSeconds = 900L)
+      .select("event_id").as[Long].collect().toSet
+    assert(batch === kept)
+  }
+
   test("ewma: the recurrence carries across microbatches; in-batch disorder sorts away") {
     val b1 = Seq(
       Event(2L, ts("2024-01-01 11:00:00"), 1L, "click", 4.0), // arrives first,
