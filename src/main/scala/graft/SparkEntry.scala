@@ -3471,6 +3471,18 @@ object SparkEntry {
           bucketSeconds = 6L * 3600)
         .orderBy(col("event_type"), col("ts"), col("value"))
     }),
+    // inter-event burstiness per user (r11): B = (σ−μ)/(σ+μ) over
+    // integer-second gaps — bots → −1, Poisson → 0, bursts → 1
+    "events_burstiness" -> ((s, d) =>
+      Analytics.burstiness(eventCols(Tables.events(s, d)),
+          "user_id", "ts")
+        .orderBy(col("user_id"))),
+    // weekly growth accounting (r11): the new/retained/resurrected/
+    // churned ledger + quick ratio — what a bare WAU curve hides
+    "events_growth_accounting" -> ((s, d) =>
+      Analytics.growthAccounting(eventCols(Tables.events(s, d)),
+          "user_id", "ts")
+        .orderBy(col("week_start"))),
     // per-user debounce (r11): keep an event only ≥6h after the last
     // KEPT one — a true recurrence on the last survivor (lag() sees
     // dropped rows too), folded in the one-exchange sorted pass
@@ -9558,6 +9570,80 @@ object SparkEntry {
       // the streaming gate accumulates the same survivors
       "events_debounce" -> debounceOracleSql,
       "stream_debounce" -> debounceOracleSql,
+
+      // burstiness replay: integer-second gaps, exact sums, the same
+      // σ/μ/B double trees
+      "events_burstiness" ->
+        """WITH s AS (
+             SELECT user_id AS k,
+               date_diff('second', TIMESTAMP '1970-01-01',
+                 CAST(ts AS TIMESTAMP)) AS sec
+             FROM events
+           ), g AS (
+             SELECT k, sec - lag(sec) OVER (PARTITION BY k ORDER BY sec)
+               AS gap
+             FROM s
+           ), a AS (
+             SELECT k, count(*) AS n_gaps,
+               CAST(sum(gap) AS BIGINT) AS sg,
+               CAST(sum(gap * gap) AS BIGINT) AS qg
+             FROM g WHERE gap IS NOT NULL GROUP BY 1
+             HAVING count(*) >= 2
+           ), e AS (
+             SELECT k, n_gaps,
+               CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu,
+               sqrt((CAST(qg AS DOUBLE)
+                 - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                   / CAST(n_gaps AS DOUBLE))
+                 / CAST(n_gaps AS DOUBLE)) AS sigma
+             FROM a)
+           SELECT k AS user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+             round(mu, 6) AS mean_gap, round(sigma, 6) AS sd_gap,
+             round(CASE WHEN sigma + mu > 0 THEN
+               (sigma - mu) / (sigma + mu) END, 6) AS burstiness
+           FROM e ORDER BY user_id""",
+
+      // growth-accounting replay: distinct user-weeks, lag/lead
+      // classification, churn capped at the corpus' last week
+      "events_growth_accounting" ->
+        """WITH uw AS (
+             SELECT DISTINCT user_id AS u,
+               date_diff('day', DATE '1970-01-05',
+                 CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE))
+                 // 7 AS wk
+             FROM events
+           ), f AS (
+             SELECT u, wk,
+               lag(wk) OVER (PARTITION BY u ORDER BY wk) AS pv,
+               lead(wk) OVER (PARTITION BY u ORDER BY wk) AS nx
+             FROM uw
+           ), mx AS (SELECT max(wk) AS mw FROM uw
+           ), cls AS (
+             SELECT wk, CASE WHEN pv IS NULL THEN 'new'
+               WHEN wk - pv = 1 THEN 'retained'
+               ELSE 'resurrected' END AS cls
+             FROM f
+             UNION ALL
+             SELECT wk + 1, 'churned' FROM f CROSS JOIN mx
+             WHERE (nx IS NULL OR nx > wk + 1) AND wk + 1 <= mw
+           ), a AS (
+             SELECT wk,
+               CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_new,
+               CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_retained,
+               CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_resurrected,
+               CAST(sum(CASE WHEN cls = 'churned' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_churned
+             FROM cls GROUP BY 1)
+           SELECT CAST(DATE '1970-01-05' + CAST(wk * 7 AS INT)
+               AS TIMESTAMP) AS week_start,
+             n_new, n_retained, n_resurrected, n_churned,
+             round(CASE WHEN n_churned > 0 THEN
+               CAST(n_new + n_resurrected AS DOUBLE)
+               / CAST(n_churned AS DOUBLE) END, 6) AS quick_ratio
+           FROM a ORDER BY week_start""",
 
       // revenue-bridge replay: exact-decimal (q, r) sums per
       // (brand, period), the identical effect trees

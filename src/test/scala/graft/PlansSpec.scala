@@ -72,7 +72,13 @@ class PlansSpec extends SparkSuite {
       // the bm25 scoring tail joins a 1-row corpus-stats frame on a
       // constant key — shared by the full-scan and maintained forms
       "corpus_top_terms_approx", "corpus_bm25_topk", "corpus_bm25_incr",
+      // search_ndcg evaluates ON corpus_bm25_topk's ranking, so it
+      // inherits the same 1-row corpus-stats scalar join
+      "search_ndcg",
       "q11_important_parts", "q15_top_supplier",
+      // events_growth_accounting attaches its 1-row max-week frame to
+      // the user-week walk the same way (churn caps at the last week)
+      "events_growth_accounting",
       // bloom_reduced_join broadcasts a ONE-row bloom sketch of the
       // filtered dim keys — the same scalar-join shape
       "bloom_reduced_join",

@@ -525,6 +525,48 @@ class W6OpsSpec extends SparkSuite {
     assert(out(("flat", 2L)) === None)
   }
 
+  test("burstiness: clockwork -1, hand-computed bursty, degenerate null, single-gap dropped") {
+    import graft.pipeline.Analytics
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(100)), (1L, ts(200)), (1L, ts(300)), // equal gaps
+      (2L, ts(0)), (2L, ts(1)), (2L, ts(2)), (2L, ts(12)),      // gaps 1,1,10
+      (3L, ts(5)), (3L, ts(5)), (3L, ts(5)),                    // gaps 0,0 → σ+μ=0
+      (4L, ts(0)), (4L, ts(9))                                  // one gap → dropped
+    ).toDF("u", "t")
+    val out = Analytics.burstiness(ev, "u", "t")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(out(1L) === ((3L, 100.0, Some(-1.0)))) // σ=0: clockwork
+    // μ=4, σ=√18: B = (√18−4)/(√18+4)
+    assert(out(2L) === ((3L, 4.0, Some(0.029437))))
+    assert(out(3L) === ((2L, 0.0, None))) // σ+μ=0 guard
+    assert(!out.contains(4L))
+  }
+
+  test("growthAccounting: new/retained/resurrected/churned ledger, churn capped at last week, quick ratio") {
+    import graft.pipeline.Analytics
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 12:00:00")
+    val ev = Seq(
+      (1L, ts("2024-01-01")), (1L, ts("2024-01-03")), // u1 W1 (two events, one week)
+      (1L, ts("2024-01-08")),                         // u1 W2 retained
+      (1L, ts("2024-01-22")),                         // u1 W4 resurrected
+      (2L, ts("2024-01-02")),                         // u2 W1 only → churns W2
+      (3L, ts("2024-01-15"))                          // u3 W3 new → churns W4
+    ).toDF("u", "t")
+    val out = Analytics.growthAccounting(ev, "u", "t")
+      .collect().map(r => r.getTimestamp(0).toString.take(10) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    assert(out("2024-01-01") === ((2L, 0L, 0L, 0L, None))) // zero churn → null
+    assert(out("2024-01-08") === ((0L, 1L, 0L, 1L, Some(0.0))))
+    assert(out("2024-01-15") === ((1L, 0L, 0L, 1L, Some(1.0))))
+    assert(out("2024-01-22") === ((0L, 0L, 1L, 1L, Some(1.0))))
+    // u1's W4 exit is beyond the corpus' last week → no phantom W5 row
+    assert(!out.contains("2024-01-29"))
+  }
+
   test("debounce: gap measured from last SURVIVOR not last event, per-key reset, ts tie keeps lowest id") {
     import graft.operators.Recurrence
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
