@@ -3181,6 +3181,11 @@ object SparkEntry {
     // neighbor Jaccard — ranked on the ROUNDED score, ties to ids
     "graph_link_predict" -> ((s, d) =>
       Graph.linkPredict(coPurchaseEdges(s, d), "pa", "pb", topK = 100)),
+    // Adamic–Adar link prediction (r11) on the same slice: shared
+    // RARE neighbors outweigh shared hubs — per-center 1/ln(deg)
+    // terms, rounded-6/1e6-scaled, summed as order-free integers
+    "graph_adamic_adar" -> ((s, d) =>
+      Graph.adamicAdar(coPurchaseEdges(s, d), "pa", "pb", topK = 100)),
     // column-level lineage of the fact model, extracted STRUCTURALLY
     // from the analyzed Catalyst plan (nothing executed); the oracle
     // states the expected provenance literally — the gate proves the
@@ -3407,6 +3412,21 @@ object SparkEntry {
       Quality.welchT(units, "event_type", "grp", "n_events", "1", "0")
         .orderBy(col("event_type"))
     }),
+    // CUPED variance-reduced A/B per event type (r11): pre-cutoff
+    // activity as the covariate, post-cutoff activity as the metric,
+    // user-parity variants — exact integer sufficient statistics,
+    // θ/adjusted-diff/ρ² one double tree each
+    "ab_cuped" -> ((s, d) => {
+      val cutoff = lit(CdcCutoff).cast("timestamp")
+      val units = eventCols(Tables.events(s, d))
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(when(col("ts") <= cutoff, 1L).otherwise(0L)).as("x_pre"),
+          sum(when(col("ts") > cutoff, 1L).otherwise(0L)).as("y_post"))
+        .withColumn("grp", pmod(col("user_id"), lit(2)).cast("string"))
+      Quality.cuped(units, "event_type", "grp", "x_pre", "y_post",
+          "1", "0")
+        .orderBy(col("event_type"))
+    }),
     // mutual information event_type × hour-of-day (r11): the
     // information-theoretic strength reading next to dq_chi2 —
     // rounded per-cell terms summed as order-free integers
@@ -3540,6 +3560,27 @@ object SparkEntry {
             .as("converted"))
       operators.Recurrence.kaplanMeier(subj, "cohort", "dur", "converted")
         .orderBy(col("cohort"), col("t_duration"))
+    }),
+    // log-rank test over the SAME two survival cohorts (r11): is the
+    // parity split's time-to-purchase difference real? — exact
+    // integer risk sets, rounded-6/1e6-scaled per-time E/V terms
+    // summed order-free, one double tree for z/χ²
+    "survival_logrank" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val subj = ev.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("__first"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("__fp"))
+        .withColumn("__gap_h",
+          (unix_timestamp(col("__fp")) - unix_timestamp(col("__first")))
+            .divide(lit(3600)).cast("long"))
+        .select(pmod(col("user_id"), lit(2)).cast("string").as("cohort"),
+          when(col("__gap_h") <= 48, col("__gap_h")).otherwise(lit(48L))
+            .as("dur"),
+          when(col("__gap_h") <= 48, lit(1L)).otherwise(lit(0L))
+            .as("converted"))
+      operators.Recurrence.logRank(subj, "cohort", "dur", "converted",
+        "1", "0")
     }),
     // Theil-Sen robust trend per user (r9-cont): median of pairwise
     // slopes over the maxPoints most-recent points — the hard
@@ -8748,6 +8789,43 @@ object SparkEntry {
                OVER (ORDER BY jaccard DESC, u, v) AS rank FROM sc)
            WHERE rank <= 100 ORDER BY rank""",
 
+      // Adamic–Adar replay: per-center 1/ln(deg) terms rounded-6 and
+      // 1e6-scaled, summed as order-free integers per pair
+      "graph_adamic_adar" ->
+        """WITH li AS (
+             SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+             WHERE l_partkey % 4 = 0
+           ), e AS (
+             SELECT DISTINCT x.pk AS a, y.pk AS b
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+           ), adj AS (
+             SELECT a AS n, b AS nbr FROM e
+             UNION ALL SELECT b AS n, a AS nbr FROM e
+           ), deg AS (
+             SELECT n, count(*) AS d FROM adj GROUP BY n
+           ), adjd AS (
+             SELECT adj.n, adj.nbr,
+               CAST(round(1.0 / ln(CAST(deg.d AS DOUBLE)) * 1000000.0)
+                 AS BIGINT) AS t6
+             FROM adj JOIN deg ON deg.n = adj.nbr
+           ), w AS (
+             SELECT x.n AS u, y.n AS v, count(*) AS common,
+               CAST(sum(x.t6) AS BIGINT) AS s6
+             FROM adjd x JOIN adjd y ON x.nbr = y.nbr AND x.n < y.n
+             GROUP BY 1, 2
+           ), cand AS (
+             SELECT w.* FROM w WHERE NOT EXISTS (
+               SELECT 1 FROM e WHERE e.a = w.u AND e.b = w.v)
+           ), sc AS (
+             SELECT u, v, common,
+               round(CAST(s6 AS DOUBLE) / 1000000.0, 6) AS aa_score
+             FROM cand)
+           SELECT u, v, CAST(common AS BIGINT) AS common, aa_score,
+             CAST(rank AS INT) AS rank
+           FROM (SELECT *, row_number()
+               OVER (ORDER BY aa_score DESC, u, v) AS rank FROM sc)
+           WHERE rank <= 100 ORDER BY rank""",
+
       // integer fixed-point PageRank: 10 unrolled rounds of the exact
       // long recurrence (see pageRankFixedSql) — iterative, yet
       // hash-green because every op is order-free integer arithmetic
@@ -9332,6 +9410,65 @@ object SparkEntry {
                AS df_w
            FROM s ORDER BY event_type""",
 
+      // CUPED replay: exact HUGEINT sufficient statistics, the same
+      // one-division θ and fixed double trees
+      "ab_cuped" ->
+        """WITH u AS (
+             SELECT event_type AS k, user_id,
+               CAST(user_id % 2 AS VARCHAR) AS g,
+               sum(CASE WHEN CAST(ts AS TIMESTAMP)
+                 <= TIMESTAMP '2024-01-20 00:00:00'
+                 THEN 1 ELSE 0 END) AS x,
+               sum(CASE WHEN CAST(ts AS TIMESTAMP)
+                 > TIMESTAMP '2024-01-20 00:00:00'
+                 THEN 1 ELSE 0 END) AS y
+             FROM events GROUP BY 1, 2, 3
+           ), a AS (
+             SELECT k,
+               sum(CASE WHEN g = '1' THEN 1 ELSE 0 END) AS n_a,
+               sum(CASE WHEN g = '0' THEN 1 ELSE 0 END) AS n_b,
+               sum(CASE WHEN g = '1' THEN CAST(x AS HUGEINT) ELSE 0 END)
+                 AS xa,
+               sum(CASE WHEN g = '0' THEN CAST(x AS HUGEINT) ELSE 0 END)
+                 AS xb,
+               sum(CASE WHEN g = '1' THEN CAST(y AS HUGEINT) ELSE 0 END)
+                 AS ya,
+               sum(CASE WHEN g = '0' THEN CAST(y AS HUGEINT) ELSE 0 END)
+                 AS yb,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(y AS HUGEINT) * y) AS syy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy
+             FROM u GROUP BY 1
+             HAVING sum(CASE WHEN g = '1' THEN 1 ELSE 0 END) >= 2
+               AND sum(CASE WHEN g = '0' THEN 1 ELSE 0 END) >= 2
+           ), e AS (
+             SELECT k, n_a, n_b,
+               CAST(n_a + n_b AS HUGEINT) * sxy - (xa + xb) * (ya + yb)
+                 AS num,
+               CAST(n_a + n_b AS HUGEINT) * sxx - (xa + xb) * (xa + xb)
+                 AS denx,
+               CAST(n_a + n_b AS HUGEINT) * syy - (ya + yb) * (ya + yb)
+                 AS deny,
+               CAST(ya AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 - CAST(yb AS DOUBLE) / CAST(n_b AS DOUBLE) AS diff_raw,
+               CAST(xa AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 - CAST(xb AS DOUBLE) / CAST(n_b AS DOUBLE) AS diff_x
+             FROM a)
+           SELECT k AS event_type, CAST(n_a AS BIGINT) AS n_a,
+             CAST(n_b AS BIGINT) AS n_b,
+             round(CASE WHEN denx > 0 THEN
+               CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) END, 6)
+               AS theta,
+             round(diff_raw, 6) AS diff_raw,
+             round(CASE WHEN denx > 0 THEN diff_raw
+               - CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) * diff_x
+               END, 6) AS diff_cuped,
+             round(CASE WHEN denx > 0 AND deny > 0 THEN
+               CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+               / (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)) END, 6)
+               AS var_reduction
+           FROM e ORDER BY event_type""",
+
       // MI replay: observed cells only (x·ln x → 0 at zero), each
       // term rounded-6 and 1e6-scaled, order-free integer sums
       "dq_mutual_info" ->
@@ -9728,6 +9865,77 @@ object SparkEntry {
            SELECT k AS cohort, t AS t_duration, n AS n_risk,
              d AS n_events, surv AS survival
            FROM s ORDER BY cohort, t_duration""",
+
+      // log-rank replay: the same zero-filled grid, integer suffix
+      // risk sets, rounded-6/1e6-scaled E/V terms, one z/χ² tree
+      "survival_logrank" ->
+        """WITH g AS (
+             SELECT user_id,
+               (date_diff('second', TIMESTAMP '1970-01-01',
+                  min(CASE WHEN event_type = 'purchase'
+                    THEN CAST(ts AS TIMESTAMP) END))
+                - date_diff('second', TIMESTAMP '1970-01-01',
+                    min(CAST(ts AS TIMESTAMP)))) // 3600 AS gap_h
+             FROM events GROUP BY user_id
+           ), subj AS (
+             SELECT user_id % 2 = 1 AS isa,
+               CAST(CASE WHEN gap_h <= 48 THEN gap_h ELSE 48 END
+                 AS BIGINT) AS t,
+               CASE WHEN gap_h <= 48 THEN 1 ELSE 0 END AS ev
+             FROM g
+           ), per AS (
+             SELECT isa, t, CAST(sum(ev) AS BIGINT) AS d, count(*) AS m
+             FROM subj GROUP BY 1, 2
+           ), grid AS (
+             SELECT s.isa, axis.t, coalesce(per.d, 0) AS d,
+               coalesce(per.m, 0) AS m
+             FROM (SELECT DISTINCT t FROM per) axis
+             CROSS JOIN (VALUES (TRUE), (FALSE)) AS s(isa)
+             LEFT JOIN per ON per.isa = s.isa AND per.t = axis.t
+           ), risk AS (
+             SELECT isa, t, d,
+               CAST(sum(m) OVER (PARTITION BY isa ORDER BY t DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS n
+             FROM grid
+           ), ab AS (
+             SELECT x.t, x.d AS d1, x.n AS n1, y.d AS d2, y.n AS n2
+             FROM risk x JOIN risk y ON x.t = y.t AND x.isa AND NOT y.isa
+             WHERE x.d + y.d >= 1
+           ), terms AS (
+             SELECT d1, d2,
+               CAST(round(CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                 / CAST(n1 + n2 AS DOUBLE) * 1000000.0) AS BIGINT) AS e6,
+               CASE WHEN n1 + n2 > 1 THEN
+                 CAST(round(CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                   * CAST(n2 AS DOUBLE)
+                   * (CAST(n1 + n2 AS DOUBLE) - CAST(d1 + d2 AS DOUBLE))
+                   / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                     * (CAST(n1 + n2 AS DOUBLE) - 1.0))
+                   * 1000000.0) AS BIGINT) ELSE 0 END AS v6
+             FROM ab
+           ), agg AS (
+             SELECT CAST(sum(d1) AS BIGINT) AS d_a,
+               CAST(sum(d2) AS BIGINT) AS d_b,
+               CAST(sum(e6) AS BIGINT) AS se6,
+               CAST(sum(v6) AS BIGINT) AS sv6
+             FROM terms
+           ), cnt AS (
+             SELECT CAST(sum(CASE WHEN isa THEN m ELSE 0 END) AS BIGINT)
+                 AS n_a,
+               CAST(sum(CASE WHEN NOT isa THEN m ELSE 0 END) AS BIGINT)
+                 AS n_b
+             FROM per
+           ), zc AS (
+             SELECT n_a, n_b, d_a, d_b, se6, sv6,
+               (CAST(d_a AS DOUBLE) - CAST(se6 AS DOUBLE) / 1000000.0)
+                 / sqrt(CAST(sv6 AS DOUBLE) / 1000000.0) AS zr
+             FROM cnt CROSS JOIN agg)
+           SELECT n_a, n_b, d_a, d_b,
+             round(CAST(se6 AS DOUBLE) / 1000000.0, 6) AS e_a,
+             round(CASE WHEN sv6 > 0 THEN zr END, 6) AS z,
+             round(CASE WHEN sv6 > 0 THEN zr * zr END, 6) AS chi2
+           FROM zc""",
 
       // Pettitt replay: tie-averaged ranks doubled to stay integer
       // (2·avg_rank = 2·(rank−1) + ties + 1), U_t an integer running

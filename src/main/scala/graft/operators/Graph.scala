@@ -520,6 +520,60 @@ object Graph {
         .over(Window.orderBy(col("jaccard").desc, col("u"), col("v"))))
   }
 
+  /** Adamic–Adar link prediction (Adamic & Adar '03, "Friends and
+    * neighbors on the Web") — [[linkPredict]]'s rarity-weighted
+    * sibling: a shared RARE neighbor is stronger evidence than a
+    * shared hub, so each common neighbor c contributes 1/ln(deg c)
+    * instead of Jaccard's flat count. The score that ranks "both
+    * bought this niche part" over "both bought the bestseller".
+    *
+    * Portability discipline: deg c ≥ 2 for any wedge center by
+    * construction (it has two distinct neighbors), so ln(deg) ≥
+    * ln 2 > 0 and every term is finite; each term is ONE libm ln +
+    * one division, rounded to 6 and 1e6-scaled to a long (the chi2
+    * r6-scaling trick), and the pair score is the ORDER-FREE integer
+    * sum of its wedge terms — hash-stable in any engine, off the
+    * true score by < common·5e-7.
+    *
+    * Same wedge-enumeration cost envelope as [[linkPredict]]
+    * (Σ d(d−1)/2 over centers — run on a bounded-density slice or
+    * cap hubs upstream); the center's degree rides the adjacency
+    * frame into the self-join so the wedge shuffle carries one extra
+    * long, and top-k is sort+limit with the rank assigned after the
+    * cut.
+    */
+  def adamicAdar(edges: DataFrame, aCol: String, bCol: String,
+                 topK: Int, minCommon: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK > 0, "topK must be positive")
+    val e = graft.Par.persistTracked(canon(edges, aCol, bCol))
+    val adj = e.select(col("a").as("n"), col("b").as("nbr"))
+      .unionByName(e.select(col("b").as("n"), col("a").as("nbr")))
+    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // center degree joined BEFORE wedge enumeration: one nbr-keyed
+    // join on the adjacency frame instead of one per wedge
+    val adjD = adj.join(deg.select(col("n").as("nbr"), col("d")), Seq("nbr"))
+      .withColumn("__t6",
+        round(lit(1.0) / log(col("d").cast("double")) * lit(1000000.0))
+          .cast("long"))
+    val scored = adjD.select(col("nbr").as("c"), col("n").as("u"),
+        col("__t6"))
+      .join(adjD.select(col("nbr").as("c"), col("n").as("v")), Seq("c"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common"), sum(col("__t6")).as("__s6"))
+      .filter(col("common") >= minCommon)
+      .withColumn("aa_score",
+        round(col("__s6").cast("double") / lit(1000000.0), 6))
+    scored.join(e, scored("u") === e("a") && scored("v") === e("b"),
+        "left_anti")
+      .select(col("u"), col("v"), col("common"), col("aa_score"))
+      .orderBy(col("aa_score").desc, col("u"), col("v"))
+      .limit(topK)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("aa_score").desc, col("u"), col("v"))))
+  }
+
   /** Multi-source BFS hop distance — "how many co-purchase hops from
     * the seed products is everything else?" (reach/blast-radius
     * analysis; the unweighted single-pattern special case of what

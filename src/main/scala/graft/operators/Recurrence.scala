@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Per-key sequential recurrences no batch window can express —
@@ -331,6 +331,82 @@ object Recurrence {
         }
       }
       .toDF(keyCol, "t_duration", "n_risk", "n_events", "survival")
+  }
+
+  /** Log-rank test (Mantel '66 / Peto & Peto '72) — the hypothesis
+    * test over [[kaplanMeier]]'s curves: "are these two groups'
+    * time-to-event distributions actually different, or is the gap
+    * between their survival curves noise?" At each event time t with
+    * d events out of n at risk (n₁ in group A), group A's expected
+    * events are E_t = d·n₁/n under H₀ and the hypergeometric
+    * variance is V_t = d·n₁·n₂·(n−d)/(n²·(n−1)); the statistic is
+    * z = Σ(O_t−E_t)/√ΣV_t, χ² = z².
+    *
+    * Portability discipline: the risk sets are exact integer suffix
+    * sums over the (group × duration) grid (censorings shrink the
+    * risk set but contribute no event, the KM convention); each
+    * per-time E_t and V_t term is one fixed double tree on exact
+    * integers, rounded to 6 and 1e6-scaled to a long (the chi2
+    * r6-scaling trick), and ΣE/ΣV are ORDER-FREE integer sums — so
+    * z and χ² are one double tree on two longs and an exact integer
+    * event count, hash-stable in any engine (off the true statistic
+    * by < times·5e-7, documented). Single-subject times (n = 1)
+    * contribute V = 0 and are E-degenerate the same way in both
+    * engines. The grid is distinct-durations × 2 — bounded by the
+    * duration range, never the subject count; subject-sized work is
+    * one group-by. Zero total variance → z/χ² null.
+    */
+  def logRank(subjects: DataFrame, groupCol: String, durationCol: String,
+              eventCol: String, groupA: String, groupB: String,
+              roundTo: Int = 6): DataFrame = {
+    val spark = subjects.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = (c: Column) => c.cast("double")
+    def s6(t: Column): Column = round(t * lit(1000000.0)).cast("long")
+    val per = subjects
+      .filter(col(groupCol).cast("string").isin(groupA, groupB))
+      .select((col(groupCol).cast("string") === groupA).as("__isA"),
+        col(durationCol).cast("long").as("__t"),
+        col(eventCol).cast("long").as("__ev"))
+      .groupBy(col("__isA"), col("__t"))
+      .agg(sum(col("__ev")).as("__d"), count(lit(1)).as("__m"))
+    // zero-filled grid over the shared time axis so BOTH groups'
+    // risk sets are defined at every observed time
+    val grid = per.select(col("__t")).distinct()
+      .crossJoin(Seq(true, false).toDF("__isA"))
+      .join(per, Seq("__isA", "__t"), "left")
+      .na.fill(0L, Seq("__d", "__m"))
+    val suffix = Window.partitionBy(col("__isA")).orderBy(col("__t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atRisk = grid.withColumn("__n", sum(col("__m")).over(suffix))
+    val a = atRisk.filter(col("__isA"))
+      .select(col("__t"), col("__d").as("__d1"), col("__n").as("__n1"))
+    val b = atRisk.filter(!col("__isA"))
+      .select(col("__t"), col("__d").as("__d2"), col("__n").as("__n2"))
+    val nT = d(col("__n1") + col("__n2"))
+    val dT = d(col("__d1") + col("__d2"))
+    val terms = a.join(b, Seq("__t"))
+      .filter(col("__d1") + col("__d2") >= 1)
+      .select(col("__d1"), col("__d2"),
+        s6(dT * d(col("__n1")) / nT).as("__e6"),
+        when(col("__n1") + col("__n2") > 1,
+          s6(dT * d(col("__n1")) * d(col("__n2")) * (nT - dT)
+            / (nT * nT * (nT - lit(1.0))))).otherwise(lit(0L)).as("__v6"))
+      .agg(sum(col("__d1")).as("d_a"), sum(col("__d2")).as("d_b"),
+        sum(col("__e6")).as("__se6"), sum(col("__v6")).as("__sv6"))
+    // subject counts ride a 1-row frame (the q11/q15 scalar shape)
+    val counts = per.groupBy()
+      .agg(sum(when(col("__isA"), col("__m")).otherwise(lit(0L))).as("n_a"),
+        sum(when(!col("__isA"), col("__m")).otherwise(lit(0L))).as("n_b"))
+    val eA = col("__se6").cast("double") / lit(1000000.0)
+    val vSum = col("__sv6").cast("double") / lit(1000000.0)
+    val z = (d(col("d_a")) - eA) / sqrt(vSum)
+    counts.crossJoin(broadcast(terms))
+      .select(col("n_a"), col("n_b"), col("d_a"), col("d_b"),
+        round(eA, roundTo).as("e_a"),
+        round(when(col("__sv6") > 0, z), roundTo).as("z"),
+        round(when(col("__sv6") > 0, z * z), roundTo).as("chi2"))
   }
 
   /** Per-key DEBOUNCE — keep an event only if it falls at least

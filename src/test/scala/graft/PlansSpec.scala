@@ -89,7 +89,11 @@ class PlansSpec extends SparkSuite {
       "dq_chi2",
       // dq_woe_iv attaches its 1-row totals and 1-row IV sum to the
       // category-sized frame — the q11/q15 scalar-join shape
-      "dq_woe_iv")
+      "dq_woe_iv",
+      // survival_logrank crosses the distinct-duration axis with a
+      // 2-row group frame (the zero-filled risk grid — bounded by the
+      // duration range) and attaches its 1-row term aggregate
+      "survival_logrank")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       if (!nestedLoopOk(name)) {

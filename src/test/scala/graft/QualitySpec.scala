@@ -270,6 +270,34 @@ class QualitySpec extends SparkSuite {
     assert(out("z").isNullAt(5) && out("z").isNullAt(6))
   }
 
+  test("cuped: hand-computed theta/adjusted diff/variance reduction, constant covariate degenerates to raw") {
+    val df = Seq(
+      // key k: A units (x,y) = (1,3),(2,5); B units (1,2),(3,4)
+      ("k", "A", 1L, 3L), ("k", "A", 2L, 5L),
+      ("k", "B", 1L, 2L), ("k", "B", 3L, 4L),
+      ("k", "C", 9L, 9L), // foreign group: ignored
+      // key z: constant covariate → denx = 0 → theta/adj/rho2 null
+      ("z", "A", 2L, 1L), ("z", "A", 2L, 3L),
+      ("z", "B", 2L, 2L), ("z", "B", 2L, 6L),
+      // key w: n_b = 1 → dropped
+      ("w", "A", 1L, 1L), ("w", "A", 2L, 2L), ("w", "B", 1L, 1L)
+    ).toDF("k", "g", "x", "y")
+    val out = Quality.cuped(df, "k", "g", "x", "y", "A", "B")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("k", "z"))
+    val k = out("k")
+    // n=4, sx=7, sy=14, sxx=15, syy=54, sxy=27 →
+    // num = 4·27−7·14 = 10, denx = 4·15−49 = 11, deny = 4·54−196 = 20
+    assert((k.getLong(1), k.getLong(2)) === ((2L, 2L)))
+    assert(k.getDouble(3) === 0.909091)  // θ = 10/11
+    assert(k.getDouble(4) === 1.0)       // raw: 8/2 − 6/2
+    assert(k.getDouble(5) === 1.454545)  // 1 − (10/11)·(−0.5)
+    assert(k.getDouble(6) === 0.454545)  // ρ² = 100/(11·20)
+    val z = out("z")
+    assert(z.getDouble(4) === -2.0)      // raw diff survives
+    assert(z.isNullAt(3) && z.isNullAt(5) && z.isNullAt(6))
+  }
+
   test("mutualInformation: perfect association nmi 1, independence mi 0, rounded-term entropies") {
     val perfect = Seq(("x", 1), ("x", 1), ("y", 2), ("y", 2)).toDF("a", "b")
     val p = Quality.mutualInformation(perfect, "a", "b").head()

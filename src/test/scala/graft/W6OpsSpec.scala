@@ -698,6 +698,34 @@ class W6OpsSpec extends SparkSuite {
     assert(math.abs(p(4L)) < 1e-15)
   }
 
+  test("logRank: hand-computed risk grid and scaled E/V sums, identical groups z=0, empty group null") {
+    import graft.operators.Recurrence
+    // A: (1 ev) (3 ev) (5 cens); B: (1 ev) (2 cens) (4 ev)
+    // event times 1/3/4 → e6 = 1000000+666667+500000, v6 =
+    // 400000+222222+250000 (hypergeometric, hand-computed)
+    val subj = Seq(("a", 1L, 1L), ("a", 3L, 1L), ("a", 5L, 0L),
+      ("b", 1L, 1L), ("b", 2L, 0L), ("b", 4L, 1L)).toDF("g", "dur", "ev")
+    val r = Recurrence.logRank(subj, "g", "dur", "ev", "a", "b").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3L, 3L, 2L, 2L)))
+    assert(r.getDouble(4) === 2.166667) // ΣE from the scaled terms
+    val z = (2.0 - 2166667 / 1e6) / math.sqrt(872222 / 1e6)
+    assert(r.getDouble(5) ===
+      BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getDouble(6) ===
+      BigDecimal(z * z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // identical groups: O = E at every time → z exactly 0
+    val same = Seq(("a", 1L, 1L), ("a", 2L, 1L), ("a", 4L, 0L),
+      ("b", 1L, 1L), ("b", 2L, 1L), ("b", 4L, 0L)).toDF("g", "dur", "ev")
+    val s = Recurrence.logRank(same, "g", "dur", "ev", "a", "b").head()
+    assert(s.getDouble(5) === 0.0 && s.getDouble(6) === 0.0)
+    // one-sided population: zero variance → z/χ² null, counts intact
+    val solo = Seq(("a", 1L, 1L), ("a", 2L, 1L)).toDF("g", "dur", "ev")
+    val o = Recurrence.logRank(solo, "g", "dur", "ev", "a", "b").head()
+    assert((o.getLong(0), o.getLong(1)) === ((2L, 0L)))
+    assert(o.isNullAt(5) && o.isNullAt(6))
+  }
+
   test("abcClassification: exact 80/95 boundaries, all-zero group classifies A, deterministic tie rank") {
     import graft.pipeline.Analytics
     // 80/15/4/1: cum shares exactly 0.80 (A), 0.95 (B), then C
@@ -792,6 +820,28 @@ class W6OpsSpec extends SparkSuite {
     // minCommon above the max shared count empties the prediction
     assert(Graph.linkPredict(star, "x", "y", topK = 5, minCommon = 2)
       .count() === 0L)
+    Par.release()
+  }
+
+  test("adamicAdar: hand-computed 1/ln(deg) sum, rare neighbor outranks hub, adjacency excluded") {
+    // square 1-2-3-4 + diagonal 1-3: only (2,4) is predictable,
+    // common {1,3} both degree 3 → 2·round6(1/ln 3) = 1.820478
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("x", "y")
+    val out = Graph.adamicAdar(edges, "x", "y", topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    assert(out.toList === List((2L, 4L, 2L, 1.820478, 1)))
+    // the rarity property Jaccard cannot see: (3,4) share a degree-2
+    // neighbor (1/ln 2 = 1.442695) and outrank every hub-leaf pair
+    // sharing only the degree-4 hub (1/ln 4 = 0.721348)
+    val g = Seq((10L, 1L), (10L, 2L), (10L, 5L), (10L, 6L),
+      (20L, 3L), (20L, 4L)).toDF("x", "y")
+    val top = Graph.adamicAdar(g, "x", "y", topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3),
+        r.getInt(4))).toList
+    assert(top === List((3L, 4L, 1.442695, 1), (1L, 2L, 0.721348, 2),
+      (1L, 5L, 0.721348, 3)))
     Par.release()
   }
 }
