@@ -1363,6 +1363,34 @@ object SparkEntry {
     // a folded tick, skips a due job, or breaks dependency order
     // changes the table — hash-graded against the two watermark
     // slices stated directly in SQL.
+    // partitioned backfill (r11): the Dagster "backfill a partition
+    // range" operation — the daily mart's whole history rebuilt as
+    // 2-day chunk runs through dynamic partition overwrite, then the
+    // FIRST chunk deliberately relaunched (a retry) — the graded
+    // read-back must equal the one-shot full rebuild exactly
+    "pipeline_backfill" -> ((s, d) => {
+      val dir = graft.TempDirs.create("graft_backfill_") + "/t"
+      val ev = eventCols(Tables.events(s, d))
+      val mart = (slice: DataFrame) => slice
+        .groupBy(col("ts").cast("date").as("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+      // calendar bounds from the source: two bounded driver scalars
+      val r = ev.agg(min(col("ts").cast("date")).cast("string"),
+        max(col("ts").cast("date")).cast("string")).head()
+      val runs = graft.pipeline.Backfill.runDaily(s, ev, "ts", mart, dir,
+        "event_date", r.getString(0), r.getString(1), chunkDays = 2)
+      require(runs.nonEmpty && runs.map(_.rows).sum > 0,
+        "backfill landed nothing")
+      // idempotency: relaunch chunk 1 — the table must not change
+      graft.pipeline.Backfill.runChunk(s, ev, "ts", mart, dir,
+        "event_date", runs.head.fromDay, runs.head.toDay)
+      s.read.parquet(dir)
+        .select(col("event_date").cast("timestamp").as("event_date"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("event_date"), col("event_type"))
+    }),
     "pipeline_schedule_replay" -> ((s, d) => {
       val root = graft.TempDirs.create("graft_sched_")
       val stg = s"$root/stg_orders"; val mart = s"$root/mart_revenue"
@@ -3747,6 +3775,37 @@ object SparkEntry {
     // last-survivor clock carries across the cutoff-split
     // microbatches; sink ≡ batch Recurrence.debounce row-for-row,
     // so it shares events_debounce's recursive-CTE oracle
+    // streaming funnel graded batch-side (r11, §2.6): two microbatches
+    // split at the cutoff; per-user (stage, t_first, t_last) state
+    // must carry across the boundary (a user's view can land in batch
+    // 1 and the click completing the chain in batch 2); the sink's
+    // max-version row per user is the current view and must equal the
+    // batch fold — the oracle is events_funnel's, verbatim
+    "stream_funnel" -> ((s, d) => {
+      val base = graft.TempDirs.create("graft_stream_fn")
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = eventCols(Tables.events(s, d))
+      val cutoff = lit(CdcCutoff).cast("timestamp")
+      ev.filter(col("ts") <= cutoff).write.parquet(inDir)
+      withShufflePartitions(s, 4) {
+        val q = graft.streaming.EventStream.funnel(
+            graft.streaming.EventStream.read(s, inDir),
+            Seq("view", "click", "purchase"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .format("parquet").option("path", outDir).start()
+        try {
+          q.processAllAvailable()
+          ev.filter(col("ts") > cutoff).write.mode("append").parquet(inDir)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      val out = s.read.parquet(outDir)
+      val mx = out.groupBy(col("user_id")).agg(max(col("version")).as("version"))
+      out.join(mx, Seq("user_id", "version"))
+        .select(col("user_id"), col("stage"), col("t_first"), col("t_last"))
+        .orderBy(col("user_id"))
+    }),
     "stream_debounce" -> ((s, d) => {
       val base = graft.TempDirs.create("graft_stream_db")
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
@@ -4555,6 +4614,31 @@ object SparkEntry {
     * successor is the minimal-rn event ≥ gap after it (sec is
     * non-decreasing in rn, so this IS the fold).
     */
+  // shared by events_funnel and its streaming twin (stream_funnel's
+  // max-version current view must equal the batch fold exactly)
+  private def funnelOracleSql: String =
+    """WITH f AS (
+         SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+         FROM events WHERE event_type IN ('view', 'click', 'purchase')
+       ), s1 AS (
+         SELECT user_id, min(ts) AS t1 FROM f
+         WHERE event_type = 'view' GROUP BY user_id
+       ), s2 AS (
+         SELECT f.user_id, min(ts) AS t2 FROM f JOIN s1 USING (user_id)
+         WHERE event_type = 'click' AND ts > t1 GROUP BY f.user_id
+       ), s3 AS (
+         SELECT f.user_id, min(ts) AS t3 FROM f JOIN s2 USING (user_id)
+         WHERE event_type = 'purchase' AND ts > t2 GROUP BY f.user_id
+       ), u AS (SELECT DISTINCT user_id FROM f)
+       SELECT u.user_id,
+         CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+              WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage,
+         t1 AS t_first,
+         coalesce(t3, t2, t1) AS t_last
+       FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+              LEFT JOIN s3 USING (user_id)
+       ORDER BY u.user_id"""
+
   private def debounceOracleSql: String =
     """WITH RECURSIVE e AS (
          SELECT user_id AS k, event_id AS id, CAST(ts AS TIMESTAMP) AS ts,
@@ -4910,28 +4994,10 @@ object SparkEntry {
 
       // the funnel fold ≡ the earliest-completion recurrence
       // tᵢ = min{ts of step i | ts > tᵢ₋₁}, expressed as k min-joins
-      "events_funnel" ->
-        """WITH f AS (
-             SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
-             FROM events WHERE event_type IN ('view', 'click', 'purchase')
-           ), s1 AS (
-             SELECT user_id, min(ts) AS t1 FROM f
-             WHERE event_type = 'view' GROUP BY user_id
-           ), s2 AS (
-             SELECT f.user_id, min(ts) AS t2 FROM f JOIN s1 USING (user_id)
-             WHERE event_type = 'click' AND ts > t1 GROUP BY f.user_id
-           ), s3 AS (
-             SELECT f.user_id, min(ts) AS t3 FROM f JOIN s2 USING (user_id)
-             WHERE event_type = 'purchase' AND ts > t2 GROUP BY f.user_id
-           ), u AS (SELECT DISTINCT user_id FROM f)
-           SELECT u.user_id,
-             CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
-                  WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage,
-             t1 AS t_first,
-             coalesce(t3, t2, t1) AS t_last
-           FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
-                  LEFT JOIN s3 USING (user_id)
-           ORDER BY u.user_id""",
+      "events_funnel" -> funnelOracleSql,
+      // the streaming twin's max-version view ≡ the batch fold —
+      // the oracle is events_funnel's own, verbatim
+      "stream_funnel" -> funnelOracleSql,
 
       "events_sessions" -> sessionsOracleSql,
       // the incremental fold must equal the full resessionization —
@@ -6304,6 +6370,16 @@ object SparkEntry {
            LEFT JOIN nation ON c_nationkey = n_nationkey
            LEFT JOIN region ON n_regionkey = r_regionkey
            ORDER BY customer_id""",
+
+      // backfill equivalence stated directly: chunked day-partition
+      // runs (plus one retried chunk) must reproduce the one-shot
+      // full rebuild — the oracle IS that rebuild
+      "pipeline_backfill" ->
+        """SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date,
+             event_type, count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_value
+           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
       // two scheduler windows replayed directly: run 1 = the day-1
       // watermark slice, run 2 = the catch-up slice (three folded

@@ -57,6 +57,17 @@ case class DebounceState(lastKept: Long)
 case class DebounceOut(user_id: Long, event_id: Long,
                        ts: java.sql.Timestamp)
 
+/** Per-user funnel progress carry (µs event times; version counts
+  * emissions so the sink's max-version row is the current view).
+  */
+case class FunnelState(stage: Int, tFirstUs: Long, tLastUs: Long,
+                       version: Long)
+
+/** A user's funnel progress after a microbatch. */
+case class FunnelOut(user_id: Long, stage: Int,
+                     t_first: Option[java.sql.Timestamp],
+                     t_last: Option[java.sql.Timestamp], version: Long)
+
 /** Running EWMA state per user (the carry of the recurrence). */
 case class EwmaState(e: Double)
 
@@ -919,6 +930,68 @@ object EventStream {
     * order must hold across microbatches per user (the CDC file
     * layout), in-batch disorder is sorted away.
     */
+  /** Streaming FUNNEL (r11) — the continuous twin of
+    * [[graft.pipeline.Analytics.funnel]]: per-user ordered-step
+    * conversion progress maintained ON the stream ("how far down
+    * view→click→purchase is each user, live?"). State is one
+    * (stage, t_first, t_last) triple per user in exact µs longs;
+    * each microbatch folds its (ts, step)-sorted step events with
+    * the IDENTICAL advance rule as the batch fold (advance on the
+    * first step-(stage+1) event strictly after the chain's tip) and
+    * emits the user's updated progress with a per-user version — the
+    * sink's max-version row per user IS the current funnel view.
+    *
+    * The fold's carry is exactly its state, so prefix-then-suffix
+    * processing equals the one-shot batch fold: with the cross-batch
+    * per-user event-time ordering contract (the CDC file layout;
+    * in-batch disorder sorted away, ties on ts by step index — the
+    * batch sort_array's struct order) the current view ≡
+    * `events_funnel`, which is how the graded twin is checked.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): Dataset[FunnelOut] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(ts: java.sql.Timestamp): Long =
+      (ts.getTime / 1000) * 1000000L + ts.getNanos / 1000
+    def fromMicros(us: Long): java.sql.Timestamp = {
+      val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      ts
+    }
+    val stepOf = steps.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
+    val fn = (userId: Long, it: Iterator[Event],
+              state: GroupState[FunnelState]) => {
+      val evs = it.toArray
+        .map(e => (micros(e.ts), stepOf(e.event_type)))
+        .sortBy(identity)
+      if (evs.isEmpty) Iterator.empty
+      else {
+        val st = state.getOption.getOrElse(FunnelState(0, 0L, 0L, 0L))
+        var stage = st.stage; var tF = st.tFirstUs; var tL = st.tLastUs
+        evs.foreach { case (us, step) =>
+          if (step == stage + 1 && (stage == 0 || us > tL)) {
+            if (stage == 0) tF = us
+            stage += 1; tL = us
+          }
+        }
+        val v = st.version + 1
+        state.update(FunnelState(stage, tF, tL, v))
+        Iterator.single(FunnelOut(userId, stage,
+          if (stage == 0) None else Some(fromMicros(tF)),
+          if (stage == 0) None else Some(fromMicros(tL)), v))
+      }
+    }
+    events.filter(col("event_type").isin(steps: _*))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(fn)
+  }
+
   /** Streaming DEBOUNCE (r11) — the ingest-door twin of
     * [[graft.operators.Recurrence.debounce]]: an event survives only
     * ≥ `gapSeconds` after the last SURVIVOR of its user, state one

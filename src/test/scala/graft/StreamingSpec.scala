@@ -759,6 +759,40 @@ class StreamingSpec extends SparkSuite {
     assert(batch === kept)
   }
 
+  test("funnel: stage carries across microbatches, out-of-order step ignored, max-version view equals batch fold") {
+    val b1 = Seq(
+      Event(1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      Event(2L, ts("2024-01-01 09:00:00"), 1L, "click", 0.0), // BEFORE the view → never advances
+      Event(3L, ts("2024-01-01 10:00:00"), 2L, "click", 0.0)) // no view yet → stage 0
+    val b2 = Seq(
+      Event(4L, ts("2024-01-01 11:00:00"), 1L, "click", 0.0),    // batch-2 click completes view→click
+      Event(5L, ts("2024-01-01 12:00:00"), 1L, "purchase", 0.0), // …and the purchase lands stage 3
+      Event(6L, ts("2024-01-01 11:00:00"), 2L, "view", 0.0))     // view AFTER click: stage 1 only
+    val out = runIncremental(
+      df => EventStream.funnel(df, Seq("view", "click", "purchase")).toDF(),
+      OutputMode.Append(), Seq(b1, b2))
+    // max-version current view, computed driver-side (a self-join on
+    // the memory sink view trips reference resolution)
+    val view = out.select($"user_id", $"stage", $"t_first", $"t_last",
+        $"version")
+      .collect().groupBy(_.getLong(0)).map { case (u, rows) =>
+        val r = rows.maxBy(_.getLong(4))
+        u -> ((r.getInt(1),
+          if (r.isNullAt(2)) null else r.getTimestamp(2).toString,
+          if (r.isNullAt(3)) null else r.getTimestamp(3).toString))
+      }
+    assert(view(1L) === ((3, "2024-01-01 10:00:00.0", "2024-01-01 12:00:00.0")))
+    assert(view(2L) === ((1, "2024-01-01 11:00:00.0", "2024-01-01 11:00:00.0")))
+    // the batch fold over the union agrees field-for-field
+    val batch = graft.pipeline.Analytics.funnel((b1 ++ b2).toDF(),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1),
+          if (r.isNullAt(2)) null else r.getTimestamp(2).toString,
+          if (r.isNullAt(3)) null else r.getTimestamp(3).toString))).toMap
+    assert(batch === view)
+  }
+
   test("ewma: the recurrence carries across microbatches; in-batch disorder sorts away") {
     val b1 = Seq(
       Event(2L, ts("2024-01-01 11:00:00"), 1L, "click", 4.0), // arrives first,
