@@ -3589,6 +3589,33 @@ object SparkEntry {
       operators.Recurrence.kaplanMeier(subj, "cohort", "dur", "converted")
         .orderBy(col("cohort"), col("t_duration"))
     }),
+    // Nelson-Aalen cumulative hazard over the SAME cohorts (r11):
+    // the additive risk curve — integer risk sets, rounded-6/1e6-
+    // scaled d/n increments, integer running sum (no recursion)
+    "survival_hazard" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val subj = ev.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("__first"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("__fp"))
+        .withColumn("__gap_h",
+          (unix_timestamp(col("__fp")) - unix_timestamp(col("__first")))
+            .divide(lit(3600)).cast("long"))
+        .select(pmod(col("user_id"), lit(2)).as("cohort"),
+          when(col("__gap_h") <= 48, col("__gap_h")).otherwise(lit(48L))
+            .as("dur"),
+          when(col("__gap_h") <= 48, lit(1L)).otherwise(lit(0L))
+            .as("converted"))
+      operators.Recurrence.nelsonAalen(subj, "cohort", "dur", "converted")
+        .orderBy(col("cohort"), col("t_duration"))
+    }),
+    // funnel step latency (r11): seconds between the funnel chain's
+    // first-qualifying events per consecutive step pair — exact µs
+    // gaps, double-tree mean, exact interpolated p50
+    "events_funnel_latency" -> ((s, d) =>
+      Analytics.funnelLatency(Tables.events(s, d), "user_id",
+          "event_type", "ts", Seq("view", "click", "purchase"))
+        .orderBy(col("step_from"))),
     // log-rank test over the SAME two survival cohorts (r11): is the
     // parity split's time-to-purchase difference real? — exact
     // integer risk sets, rounded-6/1e6-scaled per-time E/V terms
@@ -9941,6 +9968,81 @@ object SparkEntry {
            SELECT k AS cohort, t AS t_duration, n AS n_risk,
              d AS n_events, surv AS survival
            FROM s ORDER BY cohort, t_duration""",
+
+      // Nelson-Aalen replay: the same risk-set CTEs as events_survival
+      // up to the event-time cut, then scaled increments + integer
+      // running sum — a plain window, no recursion
+      "survival_hazard" ->
+        """WITH g AS (
+             SELECT user_id,
+               (date_diff('second', TIMESTAMP '1970-01-01',
+                  min(CASE WHEN event_type = 'purchase'
+                    THEN CAST(ts AS TIMESTAMP) END))
+                - date_diff('second', TIMESTAMP '1970-01-01',
+                    min(CAST(ts AS TIMESTAMP)))) // 3600 AS gap_h
+             FROM events GROUP BY user_id
+           ), subj AS (
+             SELECT user_id % 2 AS k,
+               CAST(CASE WHEN gap_h <= 48 THEN gap_h ELSE 48 END
+                 AS BIGINT) AS t,
+               CASE WHEN gap_h <= 48 THEN 1 ELSE 0 END AS ev
+             FROM g
+           ), tbl AS (
+             SELECT k, t, CAST(sum(ev) AS BIGINT) AS d, count(*) AS m
+             FROM subj GROUP BY 1, 2
+           ), risk AS (
+             SELECT k, t, d,
+               CAST(sum(m) OVER (PARTITION BY k ORDER BY t DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS n
+             FROM tbl
+           ), hz AS (
+             SELECT k, t, n, d,
+               CAST(round(CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+                 * 1000000.0) AS BIGINT) AS h6
+             FROM risk WHERE d >= 1)
+           SELECT k AS cohort, t AS t_duration, n AS n_risk,
+             d AS n_events,
+             CAST(CAST(sum(h6) OVER (PARTITION BY k ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS DOUBLE) / 1000000.0 AS cum_hazard
+           FROM hz ORDER BY cohort, t_duration""",
+
+      // funnel-latency replay: the funnel's min-join chain carrying
+      // BOTH endpoints, exact µs gaps, quantile_cont p50
+      "events_funnel_latency" ->
+        """WITH f AS (
+             SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+             FROM events WHERE event_type IN ('view', 'click', 'purchase')
+           ), s1 AS (
+             SELECT user_id, min(ts) AS t1 FROM f
+             WHERE event_type = 'view' GROUP BY user_id
+           ), s2 AS (
+             SELECT f.user_id, min(ts) AS t2, min(t1) AS t1
+             FROM f JOIN s1 USING (user_id)
+             WHERE event_type = 'click' AND ts > t1 GROUP BY f.user_id
+           ), s3 AS (
+             SELECT f.user_id, min(ts) AS t3, min(t2) AS t2
+             FROM f JOIN s2 USING (user_id)
+             WHERE event_type = 'purchase' AND ts > t2 GROUP BY f.user_id
+           ), a1 AS (
+             SELECT 'view' AS step_from, 'click' AS step_to,
+               count(*) AS n_users,
+               CAST(sum(epoch_us(t2) - epoch_us(t1)) AS BIGINT) AS sg,
+               quantile_cont(epoch_us(t2) - epoch_us(t1), 0.5) AS p50
+             FROM s2
+           ), a2 AS (
+             SELECT 'click' AS step_from, 'purchase' AS step_to,
+               count(*) AS n_users,
+               CAST(sum(epoch_us(t3) - epoch_us(t2)) AS BIGINT) AS sg,
+               quantile_cont(epoch_us(t3) - epoch_us(t2), 0.5) AS p50
+             FROM s3)
+           SELECT step_from, step_to, CAST(n_users AS BIGINT) AS n_users,
+             round(CAST(sg AS DOUBLE) / CAST(n_users AS DOUBLE)
+               / 1000000.0, 6) AS mean_s,
+             round(p50 / 1000000.0, 6) AS p50_s
+           FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+           ORDER BY step_from""",
 
       // log-rank replay: the same zero-filled grid, integer suffix
       // risk sets, rounded-6/1e6-scaled E/V terms, one z/χ² tree

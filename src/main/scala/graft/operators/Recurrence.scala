@@ -333,6 +333,50 @@ object Recurrence {
       .toDF(keyCol, "t_duration", "n_risk", "n_events", "survival")
   }
 
+  /** Nelson–Aalen cumulative hazard per key (Nelson '72 / Aalen '78)
+    * — the additive companion of [[kaplanMeier]]'s multiplicative
+    * survival curve: H(t) = Σ_{u≤t} dᵤ/nᵤ over event times, the
+    * "accumulated risk so far" reading that adds across time (and
+    * whose increments ARE the per-time hazard rates KM's product
+    * hides). Preferred over −ln(KM) in small risk sets, where the
+    * product estimator biases.
+    *
+    * Portability discipline: risk sets are the same exact integer
+    * suffix sums as KM; each per-time increment d/n is ONE double
+    * division rounded to 6 and 1e6-scaled to a long, and the
+    * cumulative hazard is the INTEGER running sum of those terms —
+    * unlike KM's product this needs no sequential float fold, so it
+    * is a pure window expression (no mapPartitions) and replays
+    * hash-exact in plain SQL with no recursion. Same event-before-
+    * censoring tie convention as KM (same-t censored subjects stay
+    * in nₜ).
+    */
+  def nelsonAalen(subjects: DataFrame, keyCol: String,
+                  durationCol: String, eventCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def s6(t: Column): Column = round(t * lit(1000000.0)).cast("long")
+    val tbl = subjects
+      .select(col(keyCol).cast("long").as("__k"),
+        col(durationCol).cast("long").as("__t"),
+        col(eventCol).cast("long").as("__ev"))
+      .groupBy(col("__k"), col("__t"))
+      .agg(sum(col("__ev")).as("__d"), count(lit(1)).as("__m"))
+    val suffix = Window.partitionBy(col("__k")).orderBy(col("__t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = Window.partitionBy(col("__k")).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tbl
+      .withColumn("__n", sum(col("__m")).over(suffix))
+      .filter(col("__d") >= 1)
+      .withColumn("__h6",
+        s6(col("__d").cast("double") / col("__n").cast("double")))
+      .withColumn("cum_hazard",
+        sum(col("__h6")).over(cum).cast("double") / lit(1000000.0))
+      .select(col("__k").as(keyCol), col("__t").as("t_duration"),
+        col("__n").as("n_risk"), col("__d").as("n_events"),
+        col("cum_hazard"))
+  }
+
   /** Log-rank test (Mantel '66 / Peto & Peto '72) — the hypothesis
     * test over [[kaplanMeier]]'s curves: "are these two groups'
     * time-to-event distributions actually different, or is the gap

@@ -1629,6 +1629,57 @@ object Analytics {
         col("__f.t_first").as("t_first"), col("__f.t_last").as("t_last"))
   }
 
+  /** Funnel step latency — the time-dimension companion of
+    * [[funnel]]'s conversion counts: for each consecutive step pair,
+    * how long do converting users take? ("users click 40 s after the
+    * view but purchase 2 h after the click" — where the funnel leaks
+    * TIME, not users.) Uses the same first-qualifying-event chain as
+    * the funnel fold: t₁ = first step-1 event, tᵢ₊₁ = first step-
+    * (i+1) event STRICTLY after tᵢ — so the measured gaps are
+    * exactly the graded funnel's chain segments.
+    *
+    * Portability discipline: gaps are exact integer MICROSECONDS
+    * (unix_micros / epoch_us in either engine); the mean is one
+    * double tree on (Σµs, n) and the p50 is the exact interpolated
+    * percentile over integer µs (the dq_numeric_profile machinery —
+    * cross-engine-stable linear interpolation), each rounded once
+    * after the µs→seconds division. Plan: one step-pair loop of
+    * (user-keyed min-aggregates + one join) — steps.size bounded,
+    * each pass one exchange on the user key; the final frame is
+    * steps−1 rows.
+    */
+  def funnelLatency(events: DataFrame, userCol: String, typeCol: String,
+                    tsCol: String, steps: Seq[String],
+                    roundTo: Int = 6): DataFrame = {
+    require(steps.size >= 2, "funnelLatency needs at least two steps")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val d = (c: Column) => c.cast("double")
+    val f = graft.Par.persistTracked(
+      events.filter(col(typeCol).isin(steps: _*))
+        .select(col(userCol).as("__u"), col(typeCol).as("__e"),
+          col(tsCol).cast("timestamp").as("__ts")))
+    var reached = f.filter(col("__e") === steps.head)
+      .groupBy(col("__u")).agg(min(col("__ts")).as("__t"))
+    val pairs = steps.sliding(2).toSeq.map { case Seq(a, b) =>
+      val nxt = f.filter(col("__e") === b)
+        .join(reached, Seq("__u"))
+        .filter(col("__ts") > col("__t"))
+        .groupBy(col("__u"))
+        .agg(min(col("__ts")).as("__t2"), min(col("__t")).as("__t1"))
+      reached = nxt.select(col("__u"), col("__t2").as("__t"))
+      nxt.select(col("__u"),
+          (unix_micros(col("__t2")) - unix_micros(col("__t1"))).as("__gap"))
+        .agg(count(lit(1)).as("n_users"), sum(col("__gap")).as("__sg"),
+          expr("percentile(__gap, 0.5)").as("__p50"))
+        .select(lit(a).as("step_from"), lit(b).as("step_to"),
+          col("n_users"),
+          round(d(col("__sg")) / d(col("n_users")) / lit(1000000.0),
+            roundTo).as("mean_s"),
+          round(col("__p50") / lit(1000000.0), roundTo).as("p50_s"))
+    }
+    pairs.reduce(_ unionByName _)
+  }
+
   /** Robust per-group outlier detection via median absolute deviation
     * (r8-w4): med = exact p50 of the value, mad = exact p50 of
     * |value − med|, a row is an outlier when |value − med| > k·mad.

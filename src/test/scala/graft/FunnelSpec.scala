@@ -77,4 +77,32 @@ class FunnelSpec extends SparkSuite {
     assert(!Analytics.funnel(withNoise, "user_id", "event_type", "ts",
       Seq("view", "click", "purchase")).collect().exists(_.getLong(0) == 9L))
   }
+
+  test("funnelLatency: gaps from the chain's first-qualifying events, exact interpolated p50, partial completers") {
+    // u1: view→click 10 s, click→purchase 60 s; u2: view→click 30 s,
+    // no purchase; u3: click only (never enters); u4: click BEFORE
+    // its view (never a qualifying click); u5: sub-second µs gap
+    val events = Seq(
+      (1L, "view", 1000000L), (1L, "click", 11000000L),
+      (1L, "purchase", 71000000L),
+      (2L, "view", 1000000L), (2L, "click", 31000000L),
+      (3L, "click", 5000000L),
+      (4L, "click", 1000000L), (4L, "view", 2000000L),
+      (5L, "view", 1000000L), (5L, "click", 2500000L)
+    ).toDF("user_id", "event_type", "us")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+    val out = Analytics.funnelLatency(events, "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // gaps {10, 30, 1.5} s: mean 41.5/3 = 13.833333, p50 = 10
+    assert(out(("view", "click")) === ((3L, 13.833333, 10.0)))
+    assert(out(("click", "purchase")) === ((1L, 60.0, 60.0)))
+    // even-count p50 interpolates: drop u5 → gaps {10, 30} → 20
+    val even = Analytics.funnelLatency(events.filter(col("user_id") =!= 5L),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(even("view") === 20.0)
+  }
 }

@@ -698,6 +698,21 @@ class W6OpsSpec extends SparkSuite {
     assert(math.abs(p(4L)) < 1e-15)
   }
 
+  test("nelsonAalen: scaled d/n increments accumulate as integers, censoring shrinks risk set, per-key reset") {
+    import graft.operators.Recurrence
+    // same data as the KM spec: increments 1/5 then 2/3 → cum
+    // 0.2, 0.2 + round6(2/3) = 0.866667; key 2 jumps straight to 1.0
+    val subj = Seq((1L, 1L, 1L), (1L, 2L, 0L), (1L, 3L, 1L),
+      (1L, 3L, 1L), (1L, 5L, 0L), (2L, 1L, 1L)).toDF("k", "dur", "ev")
+    val out = Recurrence.nelsonAalen(subj, "k", "dur", "ev")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.keySet === Set((1L, 1L), (1L, 3L), (2L, 1L)))
+    assert(out((1L, 1L)) === ((5L, 1L, 0.2)))
+    assert(out((1L, 3L)) === ((3L, 2L, 0.866667)))
+    assert(out((2L, 1L)) === ((1L, 1L, 1.0)))
+  }
+
   test("logRank: hand-computed risk grid and scaled E/V sums, identical groups z=0, empty group null") {
     import graft.operators.Recurrence
     // A: (1 ev) (3 ev) (5 cens); B: (1 ev) (2 cens) (4 ev)
