@@ -265,6 +265,16 @@ object SparkEntry {
       Analytics.abcClassification(df, "p_brand", "p_partkey", "rev_u")
         .orderBy(col("p_brand"), col("rank"))
     }),
+    // XYZ demand-variability classes (r11): ABC's companion axis —
+    // CV of monthly shipped quantity per part, class boundaries
+    // compared in EXACT integer arithmetic (4·varNum < Σv² etc.)
+    "inventory_xyz" -> ((s, d) =>
+      Analytics.xyzClassification(Tables.lineitem(s, d)
+          .select(col("l_partkey"),
+            date_trunc("month", col("l_shipdate")).as("period"),
+            col("l_quantity")),
+        "l_partkey", "period", "l_quantity")
+        .orderBy(col("l_partkey"))),
     // per-nation revenue Gini (r11): customer-revenue concentration
     // — exact decimal rank sums, one double division
     "revenue_gini" -> ((s, d) => {
@@ -2785,6 +2795,16 @@ object SparkEntry {
       Quality.kAnonymity(Tables.customer(s, d),
         Seq("c_nationkey", "c_mktsegment"), k = 10,
         sensitiveCol = Some("c_acctbal"))),
+    // t-closeness (r11): the third privacy rung — per (nation,
+    // segment) class, total-variation distance of the balance-band
+    // distribution from the global one; zero cells via algebra (no
+    // grid), rounded-6/1e6-scaled terms summed as integers
+    "dq_t_closeness" -> ((s, d) =>
+      Quality.tCloseness(Tables.customer(s, d)
+          .withColumn("bal_band",
+            floor(col("c_acctbal") / lit(2000.0)).cast("int")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", t = 0.2)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))),
 
     // salted pseudonymization (r8-cont): both sides tokenize their
     // key under one salt and the JOIN RUNS ON TOKENS — the graded
@@ -5692,6 +5712,31 @@ object SparkEntry {
 
       // ABC replay: the same 1e-4 integer units, identical ordered
       // windows, identical integer threshold cross-products
+      // XYZ replay: exact HUGEINT variance numerator, integer class
+      // cuts (no float can flip a class), one double tree for cv
+      "inventory_xyz" ->
+        """WITH dem AS (
+             SELECT l_partkey AS k,
+               date_trunc('month', CAST(l_shipdate AS TIMESTAMP)) AS p,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS v
+             FROM lineitem GROUP BY 1, 2
+           ), a AS (
+             SELECT k, count(*) AS n, sum(v) AS sv, sum(v * v) AS qv
+             FROM dem GROUP BY 1
+           ), e AS (
+             SELECT k, n, sv,
+               CAST(n AS HUGEINT) * qv - sv * sv AS varnum,
+               sv * sv AS sv2
+             FROM a)
+           SELECT k AS l_partkey, CAST(n AS BIGINT) AS n_periods,
+             round(CASE WHEN sv > 0 THEN
+               sqrt(CAST(varnum AS DOUBLE)) / CAST(sv AS DOUBLE) END, 6)
+               AS cv,
+             CASE WHEN varnum = 0 THEN 'X'
+                  WHEN varnum * 4 < sv2 THEN 'X'
+                  WHEN varnum < sv2 THEN 'Y' ELSE 'Z' END AS xyz_class
+           FROM e ORDER BY l_partkey""",
+
       "abc_parts" ->
         """WITH u AS (
              SELECT l_partkey,
@@ -7698,6 +7743,44 @@ object SparkEntry {
 
       // k-anonymity replay: class sizes + distinct-sensitive floors,
       // integer throughout, one risk_share division
+      // t-closeness replay: observed cells only (absent values via
+      // the 1 − Σp_g algebra), rounded-6/1e6-scaled terms, integer
+      // class sums, the t comparison on the ROUNDED distance
+      "dq_t_closeness" ->
+        """WITH c AS (
+             SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 2000.0) AS INT) AS v
+             FROM customer
+           ), cells AS (
+             SELECT c_nationkey, c_mktsegment, v, count(*) AS cc
+             FROM c GROUP BY 1, 2, 3
+           ), g AS (
+             SELECT v, CAST(sum(cc) AS BIGINT) AS gg FROM cells GROUP BY 1
+           ), nn AS (SELECT CAST(sum(cc) AS BIGINT) AS n FROM cells
+           ), sz AS (
+             SELECT c_nationkey, c_mktsegment, CAST(sum(cc) AS BIGINT)
+               AS nc
+             FROM cells GROUP BY 1, 2
+           ), terms AS (
+             SELECT cells.c_nationkey, cells.c_mktsegment, sz.nc,
+               CAST(round((abs(CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE)
+                 - CAST(gg AS DOUBLE) / CAST(n AS DOUBLE))
+                 - CAST(gg AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0)
+                 AS BIGINT) AS t6
+             FROM cells
+             JOIN g USING (v)
+             JOIN sz USING (c_nationkey, c_mktsegment)
+             CROSS JOIN nn
+           ), a AS (
+             SELECT c_nationkey, c_mktsegment,
+               CAST(min(nc) AS BIGINT) AS n_rows,
+               CAST(CAST(sum(t6) + 1000000 AS BIGINT) AS DOUBLE)
+                 / 2000000.0 AS tv_distance
+             FROM terms GROUP BY 1, 2)
+           SELECT c_nationkey, c_mktsegment, n_rows, tv_distance,
+             tv_distance <= 0.2 AS is_t_close
+           FROM a ORDER BY c_nationkey, c_mktsegment""",
+
       "pii_k_anonymity" ->
         """WITH cls AS (
              SELECT c_nationkey, c_mktsegment,

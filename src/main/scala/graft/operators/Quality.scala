@@ -1124,6 +1124,57 @@ object Quality {
       .withColumn("is_k_anonymous", col("min_class_size") >= k)
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian ICDE '07) — the
+    * third rung of the re-identification ladder after
+    * [[kAnonymity]]'s class sizes and l-diversity's distinct counts:
+    * a class can be large AND diverse yet still leak ("every salary
+    * in this class is in the top decile"), so the test is whether
+    * each class's SENSITIVE-VALUE DISTRIBUTION stays within total-
+    * variation distance t of the global one. TV(class) =
+    * ½ Σ_v |p_class(v) − p_global(v)| over all global values v.
+    *
+    * Zero-cell algebra instead of a grid: values absent from a class
+    * contribute p_global(v)/2 each, and Σ_{v∉class} p_g =
+    * 1 − Σ_{v∈class} p_g, so TV = ½(Σ_{v∈class}(|p_c − p_g| − p_g)
+    * + 1) — only OBSERVED (class, value) cells are ever built.
+    * Portability: every probability is a ratio of exact integer
+    * counts; each cell term is one fixed double tree rounded-6/1e6-
+    * scaled, summed per class as ORDER-FREE integers (the chi2
+    * r6-scaling trick, off-true < cells·5e-7); the t comparison runs
+    * on the ROUNDED distance in both engines. Global value counts
+    * and N are value-cardinality-sized / 1-row broadcasts; the one
+    * data shuffle is the (class, value) group-by.
+    */
+  def tCloseness(df: DataFrame, quasiIdCols: Seq[String],
+                 sensitiveCol: String, t: Double): DataFrame = {
+    require(quasiIdCols.nonEmpty, "tCloseness needs quasi-identifiers")
+    require(t > 0 && t < 1, "t in (0, 1)")
+    val d = (c: Column) => c.cast("double")
+    def s6(x: Column): Column = round(x * lit(1000000.0)).cast("long")
+    val qi = quasiIdCols.map(col)
+    val cells = graft.Par.persistTracked(
+      df.groupBy(qi :+ col(sensitiveCol).as("__v"): _*)
+        .agg(count(lit(1)).as("__c")))
+    val global = cells.groupBy(col("__v")).agg(sum(col("__c")).as("__g"))
+    val nTotal = cells.agg(sum(col("__c")).as("__nn"))
+    val sizes = cells.groupBy(qi: _*).agg(sum(col("__c")).as("__nc"))
+    val term = abs(d(col("__c")) / d(col("__nc"))
+      - d(col("__g")) / d(col("__nn"))) - d(col("__g")) / d(col("__nn"))
+    // TV = (Σterms + 1)/2 computed as ONE integer (units of 5e-7)
+    // cast to double — no final rounding, so no half-way case can
+    // split engines (a round-6 of (s/1e6+1)/2 sits exactly on the
+    // half digit whenever s is odd)
+    val tv = (col("__s") + lit(1000000L)).cast("double") / lit(2000000.0)
+    cells
+      .join(broadcast(global), Seq("__v"))
+      .join(sizes, quasiIdCols)
+      .crossJoin(broadcast(nTotal))
+      .groupBy(qi: _*)
+      .agg(min(col("__nc")).as("n_rows"), sum(s6(term)).as("__s"))
+      .select(qi ++ Seq(col("n_rows"), tv.as("tv_distance")): _*)
+      .withColumn("is_t_close", col("tv_distance") <= t)
+  }
+
   /** Welch's unequal-variance t-test per key (Welch '47) — the
     * parametric mean-difference companion of [[mannWhitney]]'s
     * distribution test and [[twoProportionZ]]'s rate test: "is

@@ -770,6 +770,51 @@ object Analytics {
     * groups are ranked independently — thousands of groups scale
     * linearly, no global sort.
     */
+  /** XYZ demand-variability classification — [[abcClassification]]'s
+    * standard companion axis (the ABC/XYZ matrix every inventory
+    * planner runs): ABC ranks items by VALUE share, XYZ by demand
+    * PREDICTABILITY via the coefficient of variation of the item's
+    * per-period demand — X steady (CV < xMax), Y fluctuating
+    * (CV < yMax), Z erratic. Steady A-items get JIT replenishment;
+    * erratic C-items get buffer stock or the axe.
+    *
+    * Portability discipline: per-period demands aggregate to exact
+    * integers, so n, Σv, Σv² are exact (decimal(38,0)/HUGEINT) and
+    * CV = σ/μ = √(n·Σv²−(Σv)²)/Σv. The CLASS boundaries compare in
+    * EXACT INTEGER arithmetic — CV < b ⟺ n·Σv²−(Σv)² < b²·(Σv)²,
+    * with b² rational for the standard 0.5/1.0 cuts — so no float
+    * rounding can flip a class anywhere; the reported cv is one
+    * double tree rounded once. Zero-variance series are X by
+    * definition (includes all-zero); zero-mean with variance cannot
+    * occur for non-negative demand. Periods are OBSERVED periods
+    * (gaps compress — the acf/forecastAccuracy convention,
+    * documented). One (key, period) aggregate + one key aggregate.
+    */
+  def xyzClassification(rows: DataFrame, keyCol: String,
+                        periodCol: String, valueCol: String,
+                        roundTo: Int = 6): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    val agg = rows
+      .groupBy(col(keyCol), col(periodCol))
+      .agg(sum(col(valueCol).cast("long")).as("__v"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_periods"),
+        sum(dec(col("__v"))).as("__sv"),
+        sum(dec(col("__v")) * dec(col("__v"))).as("__qv"))
+    val n = dec(col("n_periods"))
+    val varNum = n * col("__qv") - col("__sv") * col("__sv")
+    val sv2 = col("__sv") * col("__sv")
+    agg.select(col(keyCol), col("n_periods"),
+      round(when(col("__sv") > 0, sqrt(d(varNum)) / d(col("__sv"))),
+        roundTo).as("cv"),
+      // exact integer cuts: CV<0.5 ⟺ 4·varNum < Σv²; CV<1 ⟺ varNum < Σv²
+      when(varNum === 0, lit("X"))
+        .when(varNum * lit(4) < sv2, lit("X"))
+        .when(varNum < sv2, lit("Y"))
+        .otherwise(lit("Z")).as("xyz_class"))
+  }
+
   def giniConcentration(rows: DataFrame, groupCol: String, idCol: String,
                         valueCol: String, roundTo: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -93,7 +93,10 @@ class PlansSpec extends SparkSuite {
       // survival_logrank crosses the distinct-duration axis with a
       // 2-row group frame (the zero-filled risk grid — bounded by the
       // duration range) and attaches its 1-row term aggregate
-      "survival_logrank")
+      "survival_logrank",
+      // dq_t_closeness attaches its 1-row global-N frame to the
+      // observed cells — the q11/q15 scalar-join shape
+      "dq_t_closeness")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       if (!nestedLoopOk(name)) {

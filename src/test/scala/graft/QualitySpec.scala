@@ -270,6 +270,29 @@ class QualitySpec extends SparkSuite {
     assert(out("z").isNullAt(5) && out("z").isNullAt(6))
   }
 
+  test("tCloseness: hand-computed TV with absent values, global-matching class, breach flagged") {
+    // global: a:4 b:4 c:2 (N=10) → p_g = .4/.4/.2
+    val df = Seq(
+      (1, "a"), (1, "a"), (1, "a"), (1, "b"),
+      (2, "a"), (2, "b"), (2, "b"), (2, "b"),
+      (3, "c"), (3, "c")
+    ).toDF("q", "s")
+    val out = Quality.tCloseness(df, Seq("q"), "s", t = 0.5)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // q1: ½(|.75−.4| + |.25−.4| + .2 for the absent c) = 0.35
+    assert(out(1) === ((4L, 0.35, true)))
+    assert(out(2) === ((4L, 0.35, true)))
+    // q3 is all-c: ½(|1−.2| + .4 + .4) = 0.8 — the leak k-anon and
+    // l-diversity both miss (class size 2, 1 distinct value aside)
+    assert(out(3) === ((2L, 0.8, false)))
+    // a class mirroring the global distribution is distance 0
+    val mirror = Seq((1, "a"), (1, "b"), (2, "a"), (2, "b")).toDF("q", "s")
+    val m = Quality.tCloseness(mirror, Seq("q"), "s", t = 0.1)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(m(1) === 0.0 && m(2) === 0.0)
+  }
+
   test("cuped: hand-computed theta/adjusted diff/variance reduction, constant covariate degenerates to raw") {
     val df = Seq(
       // key k: A units (x,y) = (1,3),(2,5); B units (1,2),(3,4)

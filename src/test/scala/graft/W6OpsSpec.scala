@@ -698,6 +698,28 @@ class W6OpsSpec extends SparkSuite {
     assert(math.abs(p(4L)) < 1e-15)
   }
 
+  test("xyzClassification: integer class cuts incl. the exact CV=0.5 boundary, all-zero is X, per-period pre-sum") {
+    import graft.pipeline.Analytics
+    val rows = Seq(
+      (1L, "p1", 10L), (1L, "p2", 10L), (1L, "p3", 10L), // σ=0 → X
+      (2L, "p1", 1L), (2L, "p1", 3L), (2L, "p2", 6L),    // {4,6}: cv .2 → X
+      (3L, "p1", 1L), (3L, "p2", 9L),                    // cv .8 → Y
+      (4L, "p1", 0L), (4L, "p2", 10L),                   // cv 1.0 → Z (not <1)
+      (5L, "p1", 0L), (5L, "p2", 0L),                    // all-zero → X, cv null
+      (6L, "p1", 1L), (6L, "p2", 3L)                     // cv EXACTLY 0.5 → Y
+    ).toDF("k", "p", "v")
+    val out = Analytics.xyzClassification(rows, "k", "p", "v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          r.getString(3)))).toMap
+    assert(out(1L) === ((3L, Some(0.0), "X")))
+    assert(out(2L) === ((2L, Some(0.2), "X"))) // rows pre-sum to {4, 6}
+    assert(out(3L) === ((2L, Some(0.8), "Y")))
+    assert(out(4L) === ((2L, Some(1.0), "Z")))
+    assert(out(5L) === ((2L, None, "X")))
+    assert(out(6L) === ((2L, Some(0.5), "Y")))
+  }
+
   test("nelsonAalen: scaled d/n increments accumulate as integers, censoring shrinks risk set, per-key reset") {
     import graft.operators.Recurrence
     // same data as the KM spec: increments 1/5 then 2/3 → cum
