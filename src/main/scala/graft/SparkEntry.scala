@@ -3234,6 +3234,19 @@ object SparkEntry {
     // terms, rounded-6/1e6-scaled, summed as order-free integers
     "graph_adamic_adar" -> ((s, d) =>
       Graph.adamicAdar(coPurchaseEdges(s, d), "pa", "pb", topK = 100)),
+    // HITS hubs/authorities (r11) on the DIRECTED customer→part
+    // purchase graph: 8 integer fixed-point rounds, max-normalized
+    // per phase — hash-green where float HITS never could be
+    "graph_hits" -> ((s, d) => {
+      val edges = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d)
+          .filter(col("l_partkey") % 4 === 0)
+          .select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      Graph.hitsFixedPoint(edges, "cust", "part", iterations = 8, topK = 50)
+        .orderBy(col("kind"), col("rank"))
+    }),
     // column-level lineage of the fact model, extracted STRUCTURALLY
     // from the analyzed Catalyst plan (nothing executed); the oracle
     // states the expected provenance literally — the gate proves the
@@ -4063,6 +4076,51 @@ object SparkEntry {
     * Must mirror [[graft.operators.Graph.pageRankFixedPoint]]:
     * scale 1e12, damping 85/100, base = (15·S div 100) div n.
     */
+  /** Unrolled integer fixed-point HITS (see [[graft.operators.Graph
+    * .hitsFixedPoint]]): per round, authority = in-sum of hub scores
+    * then hub = out-sum of authority scores, each phase
+    * max-normalized with `//` — order-free integer arithmetic, so
+    * the iterative operator hash-greens.
+    */
+  private def hitsFixedSql(iterations: Int, topK: Int): String = {
+    val iters = (1 to iterations).map { i =>
+      s""", ar$i AS MATERIALIZED (
+           SELECT ed.dst AS node, CAST(sum(h.s) AS BIGINT) AS raw
+           FROM ed JOIN h${i - 1} h ON ed.src = h.node GROUP BY 1
+         ), a$i AS MATERIALIZED (
+           SELECT node, CAST((raw * 1000000)
+             // (SELECT max(raw) FROM ar$i) AS BIGINT) AS s
+           FROM ar$i
+         ), hr$i AS MATERIALIZED (
+           SELECT ed.src AS node, CAST(sum(a.s) AS BIGINT) AS raw
+           FROM ed JOIN a$i a ON ed.dst = a.node GROUP BY 1
+         ), h$i AS MATERIALIZED (
+           SELECT node, CAST((raw * 1000000)
+             // (SELECT max(raw) FROM hr$i) AS BIGINT) AS s
+           FROM hr$i)"""
+    }.mkString
+    s"""WITH ed AS MATERIALIZED (
+         SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE l_partkey % 4 = 0
+       ), h0 AS MATERIALIZED (
+         SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS s
+         FROM ed)""" +
+      iters +
+      s"""
+         SELECT 'hub' AS kind, node, s AS score, CAST(rank AS INT) AS rank
+         FROM (SELECT node, s, row_number()
+             OVER (ORDER BY s DESC, node) AS rank FROM h$iterations)
+         WHERE rank <= $topK
+         UNION ALL
+         SELECT 'authority' AS kind, node, s AS score,
+           CAST(rank AS INT) AS rank
+         FROM (SELECT node, s, row_number()
+             OVER (ORDER BY s DESC, node) AS rank FROM a$iterations)
+         WHERE rank <= $topK
+         ORDER BY kind, rank"""
+  }
+
   private def pageRankFixedSql(iterations: Int): String = {
     val iters = (1 to iterations).map { i =>
       s""", r$i AS MATERIALIZED (
@@ -9016,6 +9074,10 @@ object SparkEntry {
       // long recurrence (see pageRankFixedSql) — iterative, yet
       // hash-green because every op is order-free integer arithmetic
       "graph_pagerank_fixed" -> pageRankFixedSql(10),
+
+      // integer fixed-point HITS: 8 unrolled (authority, hub) rounds,
+      // each phase max-normalized with `//` — order-free integers
+      "graph_hits" -> hitsFixedSql(8, 50),
 
       // weighted and personalized fixed-point twins — same integer
       // portability, weights / seed-teleport replayed in BIGINT

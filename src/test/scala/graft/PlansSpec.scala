@@ -96,7 +96,10 @@ class PlansSpec extends SparkSuite {
       "survival_logrank",
       // dq_t_closeness attaches its 1-row global-N frame to the
       // observed cells — the q11/q15 scalar-join shape
-      "dq_t_closeness")
+      "dq_t_closeness",
+      // graph_hits joins each phase's 1-row integer-max normalizer
+      // to the node frame — the same scalar-join shape, per round
+      "graph_hits")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       if (!nestedLoopOk(name)) {

@@ -860,6 +860,29 @@ class W6OpsSpec extends SparkSuite {
     Par.release()
   }
 
+  test("hitsFixedPoint: mutual reinforcement ranks, max-normalized tops at Scale, symmetric tie, bit-identical reruns") {
+    // customers 1,2,3 all buy part 10; customer 1 also buys the
+    // niche part 11 → 1 is the best hub, 10 the best authority,
+    // 2 and 3 symmetric (exact tie), 11 strictly weaker than 10
+    val ed = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L))
+      .toDF("c", "p")
+    val out = Graph.hitsFixedPoint(ed, "c", "p", iterations = 8, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getInt(3)))).toMap
+    assert(out(("hub", 1L)) === ((1000000L, 1)))
+    assert(out(("authority", 10L)) === ((1000000L, 1)))
+    val (s2, r2) = out(("hub", 2L)); val (s3, r3) = out(("hub", 3L))
+    assert(s2 === s3 && s2 < 1000000L) // exact integer tie
+    assert((r2, r3) === ((2, 3)))      // tie ranks break on node
+    assert(out(("authority", 11L))._1 < 1000000L)
+    // order-free integer arithmetic: reruns are bit-identical
+    val again = Graph.hitsFixedPoint(ed, "c", "p", iterations = 8, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getInt(3)))).toMap
+    assert(again === out)
+    Par.release()
+  }
+
   test("adamicAdar: hand-computed 1/ln(deg) sum, rare neighbor outranks hub, adjacency excluded") {
     // square 1-2-3-4 + diagonal 1-3: only (2,4) is predictable,
     // common {1,3} both degree 3 → 2·round6(1/ln 3) = 1.820478
