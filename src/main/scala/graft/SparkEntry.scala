@@ -403,6 +403,24 @@ object SparkEntry {
     "events_sessions" -> ((s, d) =>
       Sessionize.byGap(Tables.events(s, d), "user_id", "ts", 1800L)
         .orderBy(col("user_id"), col("session_seq"))),
+    // per-session entry/exit/bounce readout (r11): landing and exit
+    // event types via (ts, id, type) struct extrema — one exchange
+    "sessions_entry_exit" -> ((s, d) =>
+      Sessionize.entryExit(eventCols(Tables.events(s, d)), "user_id",
+          "event_id", "event_type", "ts", 1800L)
+        .orderBy(col("user_id"), col("session_seq"))),
+    // peak concurrent sessions per hour (r11): bucketed sweep line
+    // with grid carry — a spanning session counts in EVERY bucket
+    "sessions_concurrency" -> ((s, d) =>
+      Sessionize.concurrency(
+          Sessionize.byGap(Tables.events(s, d), "user_id", "ts", 1800L),
+          "session_start", "session_end", bucketSeconds = 3600L)
+        .orderBy(col("bucket_ts"))),
+    // calendar date-spine dimension (r11): dbt-utils date_spine /
+    // Kimball dim_date over the orders range, engine-safe attributes
+    "dim_date_spine" -> ((s, d) =>
+      graft.pipeline.Models.dimDate(Tables.orders(s, d), "o_orderdate")
+        .orderBy(col("day_ts"))),
     // incremental sessionization (r11): stored sessions + a day's
     // batch — untouched users carry forward, touched users replay
     // from history; ≡ the full resessionization (the shared oracle)
@@ -5108,6 +5126,136 @@ object SparkEntry {
       // the incremental fold must equal the full resessionization —
       // the oracle is events_sessions' own, verbatim
       "events_sessions_incr" -> sessionsOracleSql,
+
+      // entry/exit replay: the same session numbering, endpoints via
+      // (ts, id)-ordered row_numbers in each direction
+      "sessions_entry_exit" ->
+        """WITH flagged AS (
+             SELECT user_id, event_id, event_type,
+               CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                 OR date_diff('second', lag(CAST(ts AS TIMESTAMP)) OVER w,
+                   CAST(ts AS TIMESTAMP)) > 1800
+               THEN 1 ELSE 0 END AS new_session
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           ), numbered AS (
+             SELECT user_id, event_id, event_type, ts,
+               CAST(sum(new_session) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS session_seq
+             FROM flagged
+           ), ranked AS (
+             SELECT *,
+               row_number() OVER (PARTITION BY user_id, session_seq
+                 ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY user_id, session_seq
+                 ORDER BY ts DESC, event_id DESC) AS rn_d,
+               count(*) OVER (PARTITION BY user_id, session_seq)
+                 AS n_events
+             FROM numbered)
+           SELECT en.user_id, en.session_seq,
+             en.ts AS session_start, ex.ts AS session_end,
+             date_diff('second', en.ts, ex.ts) AS duration_sec,
+             CAST(en.n_events AS BIGINT) AS n_events,
+             en.event_type AS entry_type, ex.event_type AS exit_type,
+             en.n_events = 1 AS is_bounce
+           FROM ranked en JOIN ranked ex
+             ON en.user_id = ex.user_id AND en.session_seq = ex.session_seq
+           WHERE en.rn_a = 1 AND ex.rn_d = 1
+           ORDER BY en.user_id, en.session_seq""",
+
+      // concurrency replay: the same sessions swept as +1/−(end+1)
+      // deltas per (bucket, sec), grid carry via one window over the
+      // bucket grid, within-bucket peak = carry + max(cum + removals)
+      "sessions_concurrency" ->
+        """WITH flagged AS (
+             SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                 OR date_diff('second', lag(CAST(ts AS TIMESTAMP)) OVER w,
+                   CAST(ts AS TIMESTAMP)) > 1800
+               THEN 1 ELSE 0 END AS new_session
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+           ), numbered AS (
+             SELECT user_id, ts,
+               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+             FROM flagged
+           ), sess AS (
+             SELECT date_diff('second', TIMESTAMP '1970-01-01', min(ts))
+                 AS st,
+               date_diff('second', TIMESTAMP '1970-01-01', max(ts)) AS en
+             FROM numbered GROUP BY user_id, session_seq
+           ), del AS (
+             SELECT st AS sec, 1 AS d FROM sess
+             UNION ALL SELECT en + 1, -1 FROM sess
+           ), agg AS (
+             SELECT sec - sec % 3600 AS bucket, sec,
+               CAST(sum(CASE WHEN d > 0 THEN d ELSE 0 END) AS BIGINT)
+                 AS pos,
+               CAST(sum(CASE WHEN d < 0 THEN -d ELSE 0 END) AS BIGINT)
+                 AS neg
+             FROM del GROUP BY 1, 2
+           ), pb AS (
+             SELECT bucket, CAST(sum(pos) AS BIGINT) AS n_started,
+               CAST(max(cum + neg) AS BIGINT) AS peak_off,
+               CAST(sum(pos - neg) AS BIGINT) AS net
+             FROM (SELECT *, sum(pos - neg) OVER (PARTITION BY bucket
+                 ORDER BY sec ROWS UNBOUNDED PRECEDING) AS cum
+               FROM agg)
+             GROUP BY 1
+           ), en2 AS (
+             SELECT en - en % 3600 AS bucket, count(*) AS n_ended
+             FROM sess GROUP BY 1
+           ), grid AS (
+             SELECT unnest(generate_series(
+               (SELECT min(bucket) FROM pb),
+               (SELECT max(bucket) FROM pb), 3600)) AS bucket
+           ), j AS (
+             SELECT g.bucket, coalesce(pb.n_started, 0) AS n_started,
+               coalesce(pb.peak_off, 0) AS peak_off,
+               coalesce(pb.net, 0) AS net,
+               coalesce(en2.n_ended, 0) AS n_ended
+             FROM grid g LEFT JOIN pb USING (bucket)
+               LEFT JOIN en2 USING (bucket)
+           ), c AS (
+             SELECT *, CAST(sum(net) OVER (ORDER BY bucket
+               ROWS UNBOUNDED PRECEDING) - net AS BIGINT) AS carry
+             FROM j)
+           SELECT TIMESTAMP '1970-01-01' + bucket * INTERVAL 1 SECOND
+               AS bucket_ts,
+             carry AS carry_in,
+             greatest(carry, carry + peak_off) AS peak,
+             CAST(n_started AS BIGINT) AS n_started,
+             CAST(n_ended AS BIGINT) AS n_ended
+           FROM c ORDER BY bucket_ts""",
+
+      // date-spine replay: integer epoch-day arithmetic for iso_dow /
+      // week_index (engine dayofweek conventions diverge), d+1 month
+      // test for month-end
+      "dim_date_spine" ->
+        """WITH b AS (
+             SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+               max(CAST(o_orderdate AS DATE)) AS hi
+             FROM orders
+           ), d AS (
+             SELECT lo + CAST(unnest(generate_series(0,
+               date_diff('day', lo, hi))) AS INT) AS d
+             FROM b)
+           SELECT CAST(d AS TIMESTAMP) AS day_ts,
+             year(d) * 10000 + month(d) * 100 + day(d) AS date_key,
+             year(d) AS year, quarter(d) AS quarter, month(d) AS month,
+             day(d) AS day_of_month,
+             (date_diff('day', DATE '1970-01-01', d) + 3) % 7 + 1
+               AS iso_dow,
+             (date_diff('day', DATE '1970-01-01', d) + 3) % 7 + 1 >= 6
+               AS is_weekend,
+             month(d + 1) <> month(d) AS is_month_end,
+             date_diff('day', DATE '1970-01-05',
+               CAST(date_trunc('week', CAST(d AS TIMESTAMP)) AS DATE))
+               // 7 AS week_index
+           FROM d ORDER BY day_ts""",
 
       // definitional inequality overlap join over the same
       // session-building SQL as events_sessions (DuckDB IEJoin)

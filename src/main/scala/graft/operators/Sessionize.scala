@@ -105,4 +105,106 @@ object Sessionize {
         count(lit(1)).as("n_intervals"))
     grouped
   }
+
+  /** Per-session ENTRY/EXIT/BOUNCE stats — the web-analytics standard
+    * "landing page / exit page / bounce rate" readout over [[byGap]]
+    * sessions: entry = the session's first event (ties on ts break by
+    * id — the engine's funnel/debounce tie discipline), exit = its
+    * last, bounce = a single-event session. Entry/exit ride min/max
+    * over (ts, id, type) STRUCTS, so the grouped agg answers both
+    * without a second window pass; the groupBy reuses the session
+    * window's user partitioning (one exchange total, the byGap plan).
+    */
+  def entryExit(events: DataFrame, userCol: String, idCol: String,
+                typeCol: String, tsCol: String,
+                gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val gap = col(tsCol).cast("long") - lag(col(tsCol), 1).over(byUser).cast("long")
+    events
+      .withColumn("__new_session",
+        when(gap.isNull || gap > gapSeconds, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("__new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(
+        min(struct(col(tsCol).as("ts"), col(idCol).as("id"),
+          col(typeCol).as("t"))).as("__en"),
+        max(struct(col(tsCol).as("ts"), col(idCol).as("id"),
+          col(typeCol).as("t"))).as("__ex"),
+        count(lit(1)).as("n_events"))
+      .select(col(userCol), col("session_seq"),
+        col("__en.ts").as("session_start"),
+        col("__ex.ts").as("session_end"),
+        (col("__ex.ts").cast("long") - col("__en.ts").cast("long"))
+          .as("duration_sec"),
+        col("n_events"),
+        col("__en.t").as("entry_type"),
+        col("__ex.t").as("exit_type"),
+        (col("n_events") === 1).as("is_bounce"))
+  }
+
+  /** Peak concurrent sessions per time bucket — the capacity-planning
+    * reading ("how many sessions were open AT ONCE each hour?") that
+    * per-bucket session COUNTS cannot give: a session counts toward
+    * concurrency in every bucket it spans, and the peak needs the
+    * within-bucket sweep, not the total.
+    *
+    * Sweep line, bucketed for scale: every interval contributes
+    * +1 at start_sec and −1 at end_sec+1 (inclusive-end semantics);
+    * deltas aggregate per (bucket, sec); each bucket's CARRY-IN is
+    * the running net over the gap-filled bucket GRID (a bucket-count-
+    * sized frame — the one global-ordered window runs on the grid,
+    * never the data); the within-bucket peak is carry + max over
+    * secs of (cumulative net + that sec's removals) — the "+1s
+    * before −1s at the same second" convention, expressed without a
+    * sequential fold. Everything is exact integer arithmetic; rows
+    * cover the full grid, so buckets a long session merely SPANS
+    * report its concurrency too (peak = carry, n_started = 0).
+    */
+  def concurrency(intervals: DataFrame, startCol: String, endCol: String,
+                  bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds >= 1, "bucketSeconds must be positive")
+    val deltas = intervals
+      .select(col(startCol).cast("long").as("__sec"), lit(1L).as("__d"))
+      .unionByName(intervals
+        .select((col(endCol).cast("long") + 1).as("__sec"), lit(-1L).as("__d")))
+      .withColumn("__bucket",
+        col("__sec") - pmod(col("__sec"), lit(bucketSeconds)))
+      .groupBy(col("__bucket"), col("__sec"))
+      .agg(sum(when(col("__d") > 0, col("__d")).otherwise(0L)).as("__pos"),
+        sum(when(col("__d") < 0, -col("__d")).otherwise(0L)).as("__neg"))
+    val inBucket = Window.partitionBy(col("__bucket")).orderBy(col("__sec"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perBucket = deltas
+      .withColumn("__cum", sum(col("__pos") - col("__neg")).over(inBucket))
+      .groupBy(col("__bucket"))
+      .agg(sum(col("__pos")).as("n_started"),
+        max(col("__cum") + col("__neg")).as("__peak_off"),
+        sum(col("__pos") - col("__neg")).as("__net"))
+    // n_ended = sessions whose LAST second is in the bucket (the −1
+    // markers sit at end+1 and may cross the boundary — they drive
+    // concurrency, not this count)
+    val ended = intervals
+      .select(col(endCol).cast("long").as("__esec"))
+      .withColumn("__bucket",
+        col("__esec") - pmod(col("__esec"), lit(bucketSeconds)))
+      .groupBy(col("__bucket")).agg(count(lit(1)).as("n_ended"))
+    // gap-filled bucket grid: spanned-but-quiet buckets must report
+    val bounds = perBucket.agg(min(col("__bucket")).as("__lo"),
+      max(col("__bucket")).as("__hi"))
+    val grid = bounds.select(explode(
+      sequence(col("__lo"), col("__hi"), lit(bucketSeconds))).as("__bucket"))
+    val byBucket = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perBucket, Seq("__bucket"), "left")
+      .join(ended, Seq("__bucket"), "left")
+      .na.fill(0L, Seq("n_started", "n_ended", "__peak_off", "__net"))
+      .withColumn("__carry", sum(col("__net")).over(byBucket) - col("__net"))
+      .select(timestamp_seconds(col("__bucket")).as("bucket_ts"),
+        col("__carry").as("carry_in"),
+        greatest(col("__carry"), col("__carry") + col("__peak_off"))
+          .as("peak"),
+        col("n_started"), col("n_ended"))
+  }
 }

@@ -179,4 +179,44 @@ object Models {
     dim.withColumn("is_inferred", lit(false))
       .unionByName(placeholders.withColumn("is_inferred", lit(true)))
   }
+
+  /** Calendar date-spine dimension — the dbt-utils `date_spine` /
+    * Kimball `dim_date` every warehouse keys its facts to: one row
+    * per day covering the fact table's observed range, with the
+    * standard attributes precomputed so queries never re-derive
+    * them. Built IN-PLAN from the fact's min/max (a 1-row aggregate
+    * exploded through `sequence` — no driver round-trip), so the
+    * spine tracks the data automatically.
+    *
+    * Cross-engine date hygiene: iso_dow comes from integer
+    * epoch-day arithmetic ((days-since-1970-01-01 + 3) mod 7 + 1 —
+    * 1970-01-01 was a Thursday), NOT from the engines' divergent
+    * dayofweek conventions; week_index is integer Mondays-since-
+    * 1970-01-05 (the growthAccounting discipline); month-end tests
+    * month(d+1) ≠ month(d). A date spine is calendar-bounded
+    * (decades ≈ 10⁴ rows) — broadcast it to every fact join.
+    */
+  def dimDate(facts: DataFrame, dateCol: String): DataFrame = {
+    val bounds = facts.agg(min(col(dateCol).cast("date")).as("__lo"),
+      max(col(dateCol).cast("date")).as("__hi"))
+    val days = bounds
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("__d"))
+    val ep = datediff(col("__d"), lit("1970-01-01").cast("date"))
+    val isoDow = pmod(ep + lit(3), lit(7)) + lit(1)
+    days.select(
+      col("__d").cast("timestamp").as("day_ts"),
+      (year(col("__d")) * 10000 + month(col("__d")) * 100
+        + dayofmonth(col("__d"))).as("date_key"),
+      year(col("__d")).as("year"),
+      quarter(col("__d")).as("quarter"),
+      month(col("__d")).as("month"),
+      dayofmonth(col("__d")).as("day_of_month"),
+      isoDow.as("iso_dow"),
+      (isoDow >= 6).as("is_weekend"),
+      (month(date_add(col("__d"), 1)) =!= month(col("__d")))
+        .as("is_month_end"),
+      (datediff(date_trunc("week", col("__d").cast("timestamp"))
+        .cast("date"), lit("1970-01-05").cast("date")) / 7)
+        .cast("long").as("week_index"))
+  }
 }

@@ -361,4 +361,60 @@ class W5OpsSpec extends SparkSuite {
     assert(byUser("c") === Set(("c", 1L, 0L, 1L)))
     assert(byUser("d") === Set(("d", 1L, 0L, 1L)))
   }
+
+  test("entryExit: entry/exit by (ts,id) extrema, same-ts tie on id, bounce flag, session split") {
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, 1L, "view", t(0)), (1L, 2L, "click", t(10)),   // session 1
+      (1L, 3L, "purchase", t(5000)),                      // session 2: bounce
+      (2L, 5L, "b", t(7)), (2L, 4L, "a", t(7))            // same-ts tie
+    ).toDF("u", "id", "typ", "ts")
+    val out = Sessionize.entryExit(ev, "u", "id", "typ", "ts", 1800L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(4), r.getLong(5), r.getString(6), r.getString(7),
+          r.getBoolean(8)))).toMap
+    assert(out((1L, 1L)) === ((10L, 2L, "view", "click", false)))
+    assert(out((1L, 2L)) === ((0L, 1L, "purchase", "purchase", true)))
+    // ts tie: entry = lowest id ("a"), exit = highest id ("b")
+    assert(out((2L, 1L)) === ((0L, 2L, "a", "b", false)))
+  }
+
+  test("concurrency: within-bucket sweep peak, cross-bucket carry, quiet spanned buckets on the grid") {
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    val sess = Seq((t(0L), t(4L)), (t(2L), t(11L)), (t(25L), t(26L)))
+      .toDF("st", "en")
+    val out = Sessionize.concurrency(sess, "st", "en", bucketSeconds = 10L)
+      .collect().map(r => (r.getTimestamp(0).getTime / 1000) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // bucket 0: both sessions overlap on [2,4] → peak 2; one ends (4)
+    assert(out(0L) === ((0L, 2L, 2L, 1L)))
+    // bucket 10: carried-in session B still open, ends at 11
+    assert(out(10L) === ((1L, 1L, 0L, 1L)))
+    // bucket 20: C opens and closes inside
+    assert(out(20L) === ((0L, 1L, 1L, 1L)))
+    // a session SPANNING a quiet bucket still reports concurrency
+    val span = Seq((t(0L), t(25L))).toDF("st", "en")
+    val q = Sessionize.concurrency(span, "st", "en", bucketSeconds = 10L)
+      .collect().map(r => (r.getTimestamp(0).getTime / 1000) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(q(10L) === ((1L, 1L, 0L, 0L))) // no deltas, peak = carry
+    assert(q(20L) === ((1L, 1L, 0L, 1L)))
+  }
+
+  test("dimDate: leap month-end, epoch-day iso_dow, weekend, week_index — engine-convention-free") {
+    val facts = Seq("2024-02-27", "2024-03-02").toDF("d")
+      .select(col("d").cast("date").as("d"))
+    val out = graft.pipeline.Models.dimDate(facts, "d")
+      .collect().map(r => r.getTimestamp(0).toString.take(10) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5),
+          r.getInt(6), r.getBoolean(7), r.getBoolean(8), r.getLong(9)))).toMap
+    assert(out.size === 5) // the spine fills 02-27..03-02 inclusive
+    // 2024-02-29 (leap day, a Thursday, end of February)
+    assert(out("2024-02-29") ===
+      ((20240229, 2024, 1, 2, 29, 4, false, true, 2825L)))
+    // 2024-03-02 is a Saturday → weekend; same ISO week as Feb 29
+    assert(out("2024-03-02") ===
+      ((20240302, 2024, 1, 3, 2, 6, true, false, 2825L)))
+    assert(out("2024-03-01")._8 === false) // Mar 1 is not month-end
+  }
 }
