@@ -265,6 +265,39 @@ object SparkEntry {
       Analytics.abcClassification(df, "p_brand", "p_partkey", "rev_u")
         .orderBy(col("p_brand"), col("rank"))
     }),
+    // column-level snapshot diff (r11): which FIELDS drift between
+    // snapshots — per-column null-safe change counts from one
+    // full-outer join + one wide aggregate, then a bounded unpivot
+    "cdc_column_diff" -> ((s, d) => {
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice").cast("double").as("o_totalprice"),
+        col("o_orderpriority"))
+      val newer = base.filter(col("o_orderkey") % 31 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 13 === 0, lit("9-RECLASSED"))
+            .otherwise(col("o_orderpriority")))
+        .unionByName(base.filter(col("o_orderkey") % 17 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 900000000L))
+      operators.Cdc.columnDiff(base, newer, Seq("o_orderkey"),
+          Seq("o_custkey", "o_totalprice", "o_orderpriority"))
+        .orderBy(col("column_name"))
+    }),
+    // semi-additive month-end balance snapshots (r11): the Kimball
+    // periodic-snapshot fact — exact-decimal running balances carried
+    // through quiet months on a per-account month grid
+    "fact_balance_snapshots" -> ((s, d) =>
+      Analytics.periodEndBalances(Tables.orders(s, d), "o_custkey",
+          "o_orderdate", "o_totalprice")
+        .orderBy(col("o_custkey"), col("month_start"))),
+    // week-over-week growth per event type (r11): Δ and Δ% vs the
+    // preceding CALENDAR week — gap weeks null the comparison
+    "events_wow_growth" -> ((s, d) =>
+      Analytics.weekOverWeek(eventCols(Tables.events(s, d)),
+          "event_type", "ts")
+        .orderBy(col("event_type"), col("week_start"))),
     // XYZ demand-variability classes (r11): ABC's companion axis —
     // CV of monthly shipped quantity per part, class boundaries
     // compared in EXACT integer arithmetic (4·varNum < Σv² etc.)
@@ -5918,6 +5951,111 @@ object SparkEntry {
 
       // ABC replay: the same 1e-4 integer units, identical ordered
       // windows, identical integer threshold cross-products
+      // column-diff replay: the same deterministic mutation, one wide
+      // conditional aggregate, bounded per-column union
+      "cdc_column_diff" ->
+        """WITH base AS (
+             SELECT o_orderkey AS k, o_custkey AS c,
+               CAST(o_totalprice AS DOUBLE) AS p, o_orderpriority AS pr
+             FROM orders
+           ), newer AS (
+             SELECT k, c,
+               CASE WHEN k % 10 = 0 THEN p + 1.0 ELSE p END AS p,
+               CASE WHEN k % 13 = 0 THEN '9-RECLASSED' ELSE pr END AS pr
+             FROM base WHERE k % 31 <> 0
+             UNION ALL
+             SELECT k + 900000000, c, p, pr FROM base WHERE k % 17 = 0
+           ), j AS (
+             SELECT b.k AS ok, n.k AS nk, b.c AS oc, n.c AS nc,
+               b.p AS op, n.p AS np, b.pr AS opr, n.pr AS npr
+             FROM base b FULL OUTER JOIN newer n ON b.k = n.k
+           ), w AS (
+             SELECT
+               CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS m,
+               CAST(sum(CASE WHEN nk IS NOT NULL AND ok IS NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS ad,
+               CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS rm,
+               CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                 AND oc IS DISTINCT FROM nc THEN 1 ELSE 0 END) AS BIGINT)
+                 AS chc,
+               CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                 AND op IS DISTINCT FROM np THEN 1 ELSE 0 END) AS BIGINT)
+                 AS chp,
+               CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                 AND opr IS DISTINCT FROM npr THEN 1 ELSE 0 END) AS BIGINT)
+                 AS chpr
+             FROM j)
+           SELECT column_name, n_changed, m AS n_matched,
+             round(CASE WHEN m > 0 THEN CAST(n_changed AS DOUBLE)
+               / CAST(m AS DOUBLE) END, 6) AS change_share,
+             ad AS n_added, rm AS n_removed
+           FROM (
+             SELECT 'o_custkey' AS column_name, chc AS n_changed,
+               m, ad, rm FROM w
+             UNION ALL SELECT 'o_totalprice', chp, m, ad, rm FROM w
+             UNION ALL SELECT 'o_orderpriority', chpr, m, ad, rm FROM w)
+           ORDER BY column_name""",
+
+      // balance-snapshot replay: integer month indexes, exact decimal
+      // running sums, per-account grid, IGNORE NULLS carry-forward
+      "fact_balance_snapshots" ->
+        """WITH t AS (
+             SELECT o_custkey AS a,
+               (year(CAST(o_orderdate AS TIMESTAMP)) - 1970) * 12
+                 + month(CAST(o_orderdate AS TIMESTAMP)) - 1 AS m,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS amt
+             FROM orders
+           ), pm AS (
+             SELECT a, m, sum(amt) AS dm FROM t GROUP BY 1, 2
+           ), cum AS (
+             SELECT a, m, sum(dm) OVER (PARTITION BY a ORDER BY m
+               ROWS UNBOUNDED PRECEDING) AS bal
+             FROM pm
+           ), f AS (
+             SELECT a, min(m) AS fm FROM pm GROUP BY 1
+           ), grid AS (
+             SELECT a, unnest(generate_series(fm,
+               (SELECT max(m) FROM pm))) AS m
+             FROM f
+           ), c AS (
+             SELECT g.a, g.m,
+               last_value(cum.bal IGNORE NULLS) OVER (PARTITION BY g.a
+                 ORDER BY g.m ROWS UNBOUNDED PRECEDING) AS bal
+             FROM grid g LEFT JOIN cum ON cum.a = g.a AND cum.m = g.m)
+           SELECT a AS o_custkey,
+             CAST(DATE '1970-01-01' + CAST(m AS INT) * INTERVAL 1 MONTH
+               AS TIMESTAMP) AS month_start,
+             CAST(bal AS DOUBLE) AS balance
+           FROM c ORDER BY o_custkey, month_start""",
+
+      // WoW replay: integer Monday-week indexes, calendar-consecutive
+      // guard, one round-6 division
+      "events_wow_growth" ->
+        """WITH w AS (
+             SELECT event_type AS k,
+               date_diff('day', DATE '1970-01-05',
+                 CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE))
+                 // 7 AS wk,
+               count(*) AS n
+             FROM events GROUP BY 1, 2
+           ), l AS (
+             SELECT k, wk, n,
+               lag(wk) OVER (PARTITION BY k ORDER BY wk) AS pwk,
+               lag(n) OVER (PARTITION BY k ORDER BY wk) AS pn
+             FROM w)
+           SELECT k AS event_type,
+             CAST(DATE '1970-01-05' + CAST(wk * 7 AS INT) AS TIMESTAMP)
+               AS week_start,
+             CAST(n AS BIGINT) AS n_events,
+             CAST(CASE WHEN pwk IS NOT NULL AND wk - pwk = 1
+               THEN n - pn END AS BIGINT) AS wow_delta,
+             round(CASE WHEN pwk IS NOT NULL AND wk - pwk = 1 AND pn > 0
+               THEN CAST(n - pn AS DOUBLE) / CAST(pn AS DOUBLE) END, 6)
+               AS wow_pct
+           FROM l ORDER BY event_type, week_start""",
+
       // XYZ replay: exact HUGEINT variance numerator, integer class
       // cuts (no float can flip a class), one double tree for cv
       "inventory_xyz" ->

@@ -118,6 +118,49 @@ object Cdc {
       .select(outCols :+ changeType.as("change_type"): _*)
   }
 
+  /** COLUMN-level snapshot-diff summary — the "which fields drift"
+    * audit on top of [[snapshotDiff]]'s row feed: per compared
+    * column, how many matched keys changed it, plus the added /
+    * removed key counts. The reading that separates "prices were
+    * repriced" from "rows churned" before anyone opens the row-level
+    * feed; also the schema-drift early warning (a column that
+    * suddenly changes on every row usually changed semantics).
+    *
+    * One full-outer key join + ONE aggregate computing every
+    * column's null-safe change count side by side (conditional sums
+    * — no per-column passes), then a column-count-bounded unpivot
+    * via `stack`. Change share is one round-6 division per column.
+    */
+  def columnDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                 key: Seq[String], compareCols: Seq[String],
+                 roundTo: Int = 6): DataFrame = {
+    require(compareCols.nonEmpty, "columnDiff needs compare columns")
+    val o = oldSnap.select((key ++ compareCols).map(c => col(c).as(s"__o_$c")): _*)
+    val n = newSnap.select((key ++ compareCols).map(c => col(c).as(s"__n_$c")): _*)
+    val keyCond = key.map(k => col(s"__o_$k") === col(s"__n_$k")).reduce(_ && _)
+    val inOld = key.map(k => col(s"__o_$k").isNotNull).reduce(_ && _)
+    val inNew = key.map(k => col(s"__n_$k").isNotNull).reduce(_ && _)
+    val matched = inOld && inNew
+    val aggs =
+      Seq(sum(when(matched, 1L).otherwise(0L)).as("__n_matched"),
+        sum(when(inNew && !inOld, 1L).otherwise(0L)).as("__n_added"),
+        sum(when(inOld && !inNew, 1L).otherwise(0L)).as("__n_removed")) ++
+        compareCols.map(c =>
+          sum(when(matched && !(col(s"__o_$c") <=> col(s"__n_$c")), 1L)
+            .otherwise(0L)).as(s"__chg_$c"))
+    val wide = o.join(n, keyCond, "full_outer").agg(aggs.head, aggs.tail: _*)
+    val stackExpr = compareCols
+      .map(c => s"'$c', __chg_$c").mkString(", ")
+    wide.select(col("__n_matched"), col("__n_added"), col("__n_removed"),
+        expr(s"stack(${compareCols.size}, $stackExpr) AS (column_name, n_changed)"))
+      .select(col("column_name"), col("n_changed"),
+        col("__n_matched").as("n_matched"),
+        round(when(col("__n_matched") > 0,
+          col("n_changed").cast("double") / col("__n_matched").cast("double")),
+          roundTo).as("change_share"),
+        col("__n_added").as("n_added"), col("__n_removed").as("n_removed"))
+  }
+
   /** Soft-delete filter: keep rows whose delete marker is unset —
     * reference stg_savings_transaction.sql:21 carries `deleted_at`
     * through staging (schema.yml documents it as the soft-delete

@@ -770,6 +770,80 @@ object Analytics {
     * groups are ranked independently — thousands of groups scale
     * linearly, no global sort.
     */
+  /** Semi-additive PERIOD-END BALANCE snapshot fact (the Kimball
+    * "periodic snapshot" for balances — the one fact family you must
+    * NOT sum over time: month-end balance is the LAST value, carried
+    * through months with no activity): from a transaction log, per
+    * (account, month) the cumulative balance at month end, with
+    * quiet months filled by carry-forward from each account's first
+    * active month to the corpus' last.
+    *
+    * Months index as exact integers ((year−1970)·12 + month−1 — no
+    * date arithmetic ambiguity); amounts aggregate as EXACT decimals
+    * so the running balance is order-free exact; the per-account
+    * grid generates first-month→max-month via one sequence explode
+    * (data-proportional — an account active 3 months materializes
+    * its own span, never the full calendar cross join); the
+    * carry-forward is last_value IGNORE NULLS over the account's
+    * month order. Two account-keyed window passes share one
+    * exchange; the global max month rides a 1-row broadcast.
+    */
+  def periodEndBalances(txns: DataFrame, accountCol: String,
+                        tsCol: String, amountCol: String): DataFrame = {
+    val mIdx = ((year(col(tsCol)) - 1970) * 12 + month(col(tsCol)) - 1)
+      .cast("long")
+    val perMonth = txns
+      .select(col(accountCol).as("__a"), mIdx.as("__m"),
+        col(amountCol).cast("decimal(18,2)").as("__amt"))
+      .groupBy(col("__a"), col("__m")).agg(sum(col("__amt")).as("__dm"))
+    val byA = Window.partitionBy(col("__a")).orderBy(col("__m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perMonth.withColumn("__bal", sum(col("__dm")).over(byA))
+    val maxM = perMonth.agg(max(col("__m")).as("__mx"))
+    val grid = perMonth.groupBy(col("__a")).agg(min(col("__m")).as("__f"))
+      .crossJoin(broadcast(maxM))
+      .select(col("__a"),
+        explode(sequence(col("__f"), col("__mx"))).as("__m"))
+    grid.join(cum.select(col("__a"), col("__m"), col("__bal")),
+        Seq("__a", "__m"), "left")
+      .withColumn("__carried",
+        last(col("__bal"), ignoreNulls = true).over(byA))
+      .select(col("__a").as(accountCol),
+        add_months(lit("1970-01-01").cast("date"), col("__m").cast("int"))
+          .cast("timestamp").as("month_start"),
+        col("__carried").cast("double").as("balance"))
+  }
+
+  /** Week-over-week growth per key — the dashboard-standard Δ/Δ%
+    * readout over the weekly grid: n this week, the delta and
+    * percent change vs the PRECEDING CALENDAR week (a gap week
+    * breaks the comparison → nulls, not a misleading jump vs the
+    * last active week). Weeks index as integer Mondays-since-
+    * 1970-01-05 (the growthAccounting discipline); counts are exact
+    * integers, the percent is one round-6 division. One key
+    * exchange shared by the aggregate and the lag window.
+    */
+  def weekOverWeek(events: DataFrame, keyCol: String, tsCol: String,
+                   roundTo: Int = 6): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val wk = (datediff(date_trunc("week", col(tsCol)).cast("date"),
+      lit("1970-01-05").cast("date")) / 7).cast("long")
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("__wk"))
+    val agg = events.select(col(keyCol), wk.as("__wk"))
+      .groupBy(col(keyCol), col("__wk")).agg(count(lit(1)).as("n_events"))
+      .withColumn("__pwk", lag(col("__wk"), 1).over(byKey))
+      .withColumn("__pn", lag(col("n_events"), 1).over(byKey))
+    val consecutive = col("__pwk").isNotNull && col("__wk") - col("__pwk") === 1
+    agg.select(col(keyCol),
+      date_add(lit("1970-01-05").cast("date"), (col("__wk") * 7).cast("int"))
+        .cast("timestamp").as("week_start"),
+      col("n_events"),
+      when(consecutive, col("n_events") - col("__pn")).as("wow_delta"),
+      round(when(consecutive && col("__pn") > 0,
+        d(col("n_events") - col("__pn")) / d(col("__pn"))), roundTo)
+        .as("wow_pct"))
+  }
+
   /** XYZ demand-variability classification — [[abcClassification]]'s
     * standard companion axis (the ABC/XYZ matrix every inventory
     * planner runs): ABC ranks items by VALUE share, XYZ by demand

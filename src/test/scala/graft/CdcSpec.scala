@@ -70,4 +70,21 @@ class CdcSpec extends SparkSuite {
     Cdc.fullLoad(df, s"$dir/t") // second run must not duplicate
     assert(spark.read.parquet(s"$dir/t").count() === 2)
   }
+
+  test("columnDiff: per-column change counts null-safely, adds/removes counted once, shares rounded") {
+    val old = Seq((1L, Some("a"), Some(10L)), (2L, Some("a"), Some(20L)),
+      (3L, Some("b"), Some(30L)), (5L, None, Some(50L)),
+      (6L, None, None)).toDF("k", "c", "v")
+    val neu = Seq((1L, Some("a"), Some(11L)), (2L, Some("z"), Some(20L)),
+      (5L, Some("x"), Some(50L)), (6L, None, None),
+      (4L, Some("b"), Some(40L))).toDF("k", "c", "v")
+    val out = Cdc.columnDiff(old, neu, Seq("k"), Seq("c", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // matched {1,2,5,6}: c changes on 2 (z) and 5 (null→x, null-safe);
+    // v changes on 1 only; 6's null==null is NOT a change
+    assert(out("c") === ((2L, 4L, 0.5, 1L, 1L)))
+    assert(out("v") === ((1L, 4L, 0.25, 1L, 1L)))
+  }
 }

@@ -99,7 +99,10 @@ class PlansSpec extends SparkSuite {
       "dq_t_closeness",
       // graph_hits joins each phase's 1-row integer-max normalizer
       // to the node frame — the same scalar-join shape, per round
-      "graph_hits")
+      "graph_hits",
+      // fact_balance_snapshots attaches the 1-row global-max-month
+      // frame to the per-account grid — the q11/q15 scalar shape
+      "fact_balance_snapshots")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       if (!nestedLoopOk(name)) {

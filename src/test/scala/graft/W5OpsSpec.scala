@@ -401,6 +401,45 @@ class W5OpsSpec extends SparkSuite {
     assert(q(20L) === ((1L, 1L, 0L, 1L)))
   }
 
+  test("periodEndBalances: exact running balances, quiet-month carry-forward, per-account grid spans") {
+    def t(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val txns = Seq(
+      (1L, t("1970-01-10"), 4.0), (1L, t("1970-01-20"), 6.0), // m0 sums to 10
+      (1L, t("1970-03-05"), 5.0),                             // m2 → 15
+      (2L, t("1970-02-14"), 7.0)                              // m1 only
+    ).toDF("a", "ts", "amt")
+    val out = Analytics.periodEndBalances(txns, "a", "ts", "amt")
+      .collect().map(r => (r.getLong(0),
+        r.getTimestamp(1).toString.take(10)) -> r.getDouble(2)).toMap
+    // account 1 spans m0..m2 with the quiet Feb carried at 10
+    assert(out((1L, "1970-01-01")) === 10.0)
+    assert(out((1L, "1970-02-01")) === 10.0)
+    assert(out((1L, "1970-03-01")) === 15.0)
+    // account 2 starts at ITS first month, carried to the global max
+    assert(out((2L, "1970-02-01")) === 7.0)
+    assert(out((2L, "1970-03-01")) === 7.0)
+    assert(!out.contains((2L, "1970-01-01"))) // before first activity
+    assert(out.size === 5)
+  }
+
+  test("weekOverWeek: consecutive-week delta and pct, gap week nulls the comparison") {
+    def t(s: String) = Timestamp.valueOf(s + " 12:00:00")
+    // weeks (Mon-aligned): 1970-01-05 = w0, 01-12 = w1, 01-26 = w3
+    val ev = Seq(
+      ("a", t("1970-01-05")), ("a", t("1970-01-07")), // w0: 2
+      ("a", t("1970-01-12")), ("a", t("1970-01-13")), ("a", t("1970-01-14")), // w1: 3
+      ("a", t("1970-01-26"))                          // w3: 1 (gap at w2)
+    ).toDF("k", "ts")
+    val out = Analytics.weekOverWeek(ev, "k", "ts")
+      .collect().map(r => r.getTimestamp(1).toString.take(10) ->
+        ((r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(out("1970-01-05") === ((2L, None, None)))          // first week
+    assert(out("1970-01-12") === ((3L, Some(1L), Some(0.5))))
+    assert(out("1970-01-26") === ((1L, None, None)))          // gap breaks WoW
+  }
+
   test("dimDate: leap month-end, epoch-day iso_dow, weekend, week_index — engine-convention-free") {
     val facts = Seq("2024-02-27", "2024-03-02").toDF("d")
       .select(col("d").cast("date").as("d"))
