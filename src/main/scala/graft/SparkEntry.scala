@@ -499,6 +499,12 @@ object SparkEntry {
     "basket_pairs" -> ((s, d) =>
       Analytics.basketPairs(Tables.lineitem(s, d), minCount = 2L)
         .orderBy(col("part_a"), col("part_b"))),
+    // item-item cosine affinity (r11): co-occurrence normalized by
+    // √(c_a·c_b) — niche affinity outranks bestseller incidence
+    "basket_cosine" -> ((s, d) =>
+      Analytics.basketCosine(Tables.lineitem(s, d), minCount = 2L,
+          topK = 100)
+        .orderBy(col("rank"))),
     "events_rolling" -> ((s, d) => Analytics.eventsRolling(s, d)),
     // ordered-step conversion funnel (r7): one shuffle + per-user
     // sorted fold; oracle replays the min-join recurrence
@@ -3377,6 +3383,23 @@ object SparkEntry {
           Tables.part(s, d).select(col("p_partkey").as("n"))
             .filter(col("n") % 40 === 0), "n", maxHops = 6)
         .orderBy(col("node"))),
+    // weighted SSSP (r11): Bellman-Ford rounds over affinity-derived
+    // integer costs (frequent co-purchase = closer) from the same
+    // seed set — order-free integer min per round, 6-round contract
+    "graph_sssp_weighted" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val weighted = li.select(col("ok"), col("pk").as("pa"))
+        .join(li.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n"))
+        .select(col("pa"), col("pb"),
+          greatest(lit(1L), lit(20L) - col("n")).as("w"))
+      Graph.ssspWeighted(weighted, "pa", "pb", "w",
+          Tables.part(s, d).select(col("p_partkey").as("n"))
+            .filter(col("n") % 40 === 0), "n", rounds = 6)
+        .orderBy(col("node"))
+    }),
     // Holt double-exponential smoothing per user (r9): the level+trend
     // recurrence no batch window computes, folded in one keyed
     // mapPartitions pass and replayed BIT-EXACT by a recursive CTE
@@ -4321,6 +4344,38 @@ object SparkEntry {
     * [[graft.operators.Graph.bfsDistance]]: b0 = the seed∩graph
     * nodes at distance 0, each round one edge relaxation + min.
     */
+  /** Unrolled weighted Bellman–Ford rounds (see [[graft.operators
+    * .Graph.ssspWeighted]]): the bfsDistanceSql discipline with
+    * affinity-derived integer edge costs relaxed per round.
+    */
+  private def ssspWeightedSql(rounds: Int): String = {
+    val iters = (1 to rounds).map { i =>
+      s""", b$i AS MATERIALIZED (
+           SELECT node, min(dist) AS dist FROM (
+             SELECT dd.dst AS node, p.dist + dd.w AS dist
+             FROM dd JOIN b${i - 1} p ON dd.src = p.node
+             UNION ALL SELECT node, dist FROM b${i - 1}) v
+           GROUP BY node)"""
+    }.mkString
+    s"""WITH li AS (
+         SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         WHERE l_partkey % 4 = 0
+       ), e AS MATERIALIZED (
+         SELECT x.pk AS a, y.pk AS b,
+           greatest(1, 20 - count(*)) AS w
+         FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+         GROUP BY x.pk, y.pk
+       ), dd AS MATERIALIZED (
+         SELECT a AS src, b AS dst, CAST(w AS BIGINT) AS w FROM e
+         UNION ALL SELECT b, a, CAST(w AS BIGINT) FROM e
+       ), b0 AS MATERIALIZED (
+         SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+         FROM dd WHERE src % 40 = 0)""" +
+      iters +
+      s"""
+         SELECT node, dist FROM b$rounds ORDER BY node"""
+  }
+
   private def bfsDistanceSql(maxHops: Int): String = {
     val iters = (1 to maxHops).map { i =>
       s""", b$i AS MATERIALIZED (
@@ -5104,6 +5159,32 @@ object SparkEntry {
              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
            GROUP BY 1, 2 HAVING count(*) >= 2
            ORDER BY part_a, part_b""",
+
+      // cosine replay: same pairs, item frequencies, one
+      // sqrt+division tree round-6, rank after the top-k cut
+      "basket_cosine" ->
+        """WITH items AS (
+             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+           ), freq AS (
+             SELECT l_partkey, count(*) AS n FROM items GROUP BY 1
+           ), pairs AS (
+             SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_orders
+             FROM items a JOIN items b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2 HAVING count(*) >= 2
+           ), sc AS (
+             SELECT part_a, part_b, CAST(n_orders AS BIGINT) AS n_orders,
+               round(CAST(n_orders AS DOUBLE)
+                 / sqrt(CAST(fa.n AS DOUBLE) * CAST(fb.n AS DOUBLE)), 6)
+                 AS cosine
+             FROM pairs
+             JOIN freq fa ON fa.l_partkey = part_a
+             JOIN freq fb ON fb.l_partkey = part_b)
+           SELECT part_a, part_b, n_orders, cosine, CAST(rank AS INT) AS rank
+           FROM (SELECT *, row_number()
+               OVER (ORDER BY cosine DESC, part_a, part_b) AS rank FROM sc)
+           WHERE rank <= 100 ORDER BY rank""",
 
       // per-start chains: for every step-1 start t0, the windowed
       // recurrence tᵢ = min{ts of step i | tᵢ₋₁ < ts ≤ t0 + W};
@@ -9380,6 +9461,9 @@ object SparkEntry {
 
       // BFS replay: the same 6 relaxation rounds, integer hops
       "graph_bfs_distance" -> bfsDistanceSql(6),
+      // weighted Bellman-Ford rounds — the same unrolled discipline
+      // with affinity-derived integer edge costs
+      "graph_sssp_weighted" -> ssspWeightedSql(6),
 
       // degree assortativity: exact BIGINT sufficient statistics,
       // Pearson evaluated once in double with operands cast FIRST —

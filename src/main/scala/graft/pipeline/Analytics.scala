@@ -370,6 +370,50 @@ object Analytics {
       .filter(col("n_orders") >= minCount)
   }
 
+  /** Item-item COSINE similarity over the co-purchase matrix
+    * (Sarwar et al. WWW '01, item-based collaborative filtering) —
+    * [[basketPairs]]' normalized sibling: raw co-occurrence favors
+    * bestsellers (everything co-occurs with them), cosine
+    * c_ab/√(c_a·c_b) scores AFFINITY — two niche parts bought
+    * together half the time outrank a bestseller's incidental
+    * pairings. The score behind "customers who bought X also
+    * bought Y" ranking.
+    *
+    * Exact integer co-occurrence and item counts in, ONE fixed
+    * double tree per pair (a sqrt and a division, round-6) out —
+    * hash-stable anywhere. Same distinct-items + self-join shape as
+    * basketPairs (order-bounded fan-out); item frequencies join in
+    * item-cardinality-sized frames; top-k via sort+limit, rank after
+    * the cut.
+    */
+  def basketCosine(lineitem: DataFrame, minCount: Long = 2L,
+                   topK: Int = 100, roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = (c: Column) => c.cast("double")
+    val items = graft.Par.persistTracked(
+      lineitem.select(col("l_orderkey"), col("l_partkey")).distinct())
+    val freq = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("__n"))
+    val pairs = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= minCount)
+    pairs
+      .join(freq.select(col("l_partkey").as("part_a"), col("__n").as("__na")),
+        Seq("part_a"))
+      .join(freq.select(col("l_partkey").as("part_b"), col("__n").as("__nb")),
+        Seq("part_b"))
+      .withColumn("cosine", round(
+        d(col("n_orders")) / sqrt(d(col("__na")) * d(col("__nb"))), roundTo))
+      .select(col("part_a"), col("part_b"), col("n_orders"), col("cosine"))
+      .orderBy(col("cosine").desc, col("part_a"), col("part_b"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("part_a"), col("part_b"))))
+  }
+
   /** Per-key OLS trend — the least-squares complement of the robust
     * [[theilSenTrend]]: slope, intercept and R² per key from the five
     * classical sums,

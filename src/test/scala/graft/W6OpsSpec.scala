@@ -860,6 +860,41 @@ class W6OpsSpec extends SparkSuite {
     Par.release()
   }
 
+  test("basketCosine: affinity outranks bestseller incidence, hand-computed scores, rank after cut") {
+    import graft.pipeline.Analytics
+    // orders: {1,2} twice, {1,3}, {3,4} → freq 1:3 2:2 3:2 4:1
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 3L), (4L, 3L), (4L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Analytics.basketCosine(li, minCount = 1L, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getInt(4)))).toMap
+    assert(out((1L, 2L)) === ((2L, 0.816497, 1))) // 2/√(3·2)
+    // same raw count, but the niche pair outranks the bestseller one
+    assert(out((3L, 4L)) === ((1L, 0.707107, 2))) // 1/√(2·1)
+    assert(out((1L, 3L)) === ((1L, 0.408248, 3))) // 1/√(3·2)
+    Par.release()
+  }
+
+  test("ssspWeighted: cheap two-hop beats expensive direct edge, reversed-dup keeps min weight, unreached absent") {
+    def seeds(ids: Long*) = ids.toDF("n")
+    // 1-2 (5), 2-3 (5), 1-3 (20): the direct edge loses to the path
+    val g = Seq((1L, 2L, 5L), (2L, 3L, 5L), (1L, 3L, 20L),
+      (8L, 9L, 1L)).toDF("x", "y", "w")
+    val out = Graph.ssspWeighted(g, "x", "y", "w", seeds(1L), "n",
+        rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 5L, 3L -> 10L)) // 8,9 unreached
+    // reversed duplicate keeps the MIN weight
+    val dup = Seq((1L, 2L, 5L), (2L, 1L, 3L), (2L, 3L, 5L))
+      .toDF("x", "y", "w")
+    val d2 = Graph.ssspWeighted(dup, "x", "y", "w", seeds(1L), "n",
+        rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d2 === Map(1L -> 0L, 2L -> 3L, 3L -> 8L))
+    Par.release()
+  }
+
   test("hitsFixedPoint: mutual reinforcement ranks, max-normalized tops at Scale, symmetric tie, bit-identical reruns") {
     // customers 1,2,3 all buy part 10; customer 1 also buys the
     // niche part 11 → 1 is the best hub, 10 the best authority,
