@@ -499,6 +499,24 @@ object SparkEntry {
     "basket_pairs" -> ((s, d) =>
       Analytics.basketPairs(Tables.lineitem(s, d), minCount = 2L)
         .orderBy(col("part_a"), col("part_b"))),
+    // fulfillment cycle-time SLA per priority (r11): exact integer
+    // order→ship days, interpolated p50/p90, 90-day breach share
+    "fulfillment_cycle_sla" -> ((s, d) => {
+      val joined = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(broadcast(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority"))),
+          col("l_orderkey") === col("o_orderkey"))
+      Analytics.cycleSla(joined, "o_orderpriority", "o_orderdate",
+          "l_shipdate", slaDays = 90)
+        .orderBy(col("o_orderpriority"))
+    }),
+    // log-log price elasticity per brand (r11): OLS slope of monthly
+    // ln(qty) on ln(unit price) over r6-scaled exact integer sums
+    "price_elasticity" -> ((s, d) =>
+      Analytics.priceElasticity(Tables.lineitem(s, d), Tables.part(s, d))
+        .orderBy(col("p_brand"))),
     // item-item cosine affinity (r11): co-occurrence normalized by
     // √(c_a·c_b) — niche affinity outranks bestseller incidence
     "basket_cosine" -> ((s, d) =>
@@ -5159,6 +5177,62 @@ object SparkEntry {
              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
            GROUP BY 1, 2 HAVING count(*) >= 2
            ORDER BY part_a, part_b""",
+
+      // cycle-SLA replay: integer day diffs, quantile_cont p50/p90,
+      // one round-6 division each for share and mean
+      "fulfillment_cycle_sla" ->
+        """WITH li AS (
+             SELECT o_orderpriority,
+               date_diff('day', CAST(o_orderdate AS DATE),
+                 CAST(l_shipdate AS DATE)) AS days
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+           SELECT o_orderpriority, count(*) AS n_lines,
+             round(CAST(sum(CASE WHEN days > 90 THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS late_share,
+             round(CAST(sum(days) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) AS mean_days,
+             quantile_cont(days, 0.5) AS p50_days,
+             quantile_cont(days, 0.9) AS p90_days
+           FROM li GROUP BY 1 ORDER BY o_orderpriority""",
+
+      // elasticity replay: r6-scaled monthly ln(price)/ln(qty) longs,
+      // exact HUGEINT OLS sums, scale cancels in slope and R²
+      "price_elasticity" ->
+        """WITH m AS (
+             SELECT p_brand,
+               date_trunc('month', CAST(l_shipdate AS TIMESTAMP)) AS mo,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS q,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             GROUP BY 1, 2
+             HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 0
+               AND sum(CAST(l_extendedprice AS DECIMAL(18,2))) > 0
+           ), s AS (
+             SELECT p_brand,
+               CAST(round(ln(CAST(r AS DOUBLE) / CAST(q AS DOUBLE))
+                 * 1000000.0) AS HUGEINT) AS x,
+               CAST(round(ln(CAST(q AS DOUBLE)) * 1000000.0) AS HUGEINT)
+                 AS y
+             FROM m
+           ), a AS (
+             SELECT p_brand, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+             FROM s GROUP BY 1 HAVING count(*) >= 3
+           ), e AS (
+             SELECT p_brand, n,
+               CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+               CAST(n AS HUGEINT) * sxx - sx * sx AS denx,
+               CAST(n AS HUGEINT) * syy - sy * sy AS deny
+             FROM a)
+           SELECT p_brand, CAST(n AS BIGINT) AS n_months,
+             round(CASE WHEN denx > 0 THEN
+               CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) END, 6)
+               AS elasticity,
+             round(CASE WHEN denx > 0 AND deny > 0 THEN
+               CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+               / (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)) END, 6)
+               AS r2
+           FROM e ORDER BY p_brand""",
 
       // cosine replay: same pairs, item frequencies, one
       // sqrt+division tree round-6, rank after the top-k cut

@@ -370,6 +370,89 @@ object Analytics {
       .filter(col("n_orders") >= minCount)
   }
 
+  /** Cycle-time SLA scorecard per class — the ops counterpart of
+    * q12's late COUNTS: how long does the start→end leg actually
+    * take per class (mean, exact p50/p90), and what share breaches
+    * the SLA threshold? The percentile spread is the reading SLAs
+    * are written against; a mean alone hides the tail that pages
+    * people.
+    *
+    * Durations are exact integer DAYS (datediff — no timezone
+    * arithmetic); the mean is one double tree on (Σdays, n) and the
+    * percentiles are the exact interpolated quantiles over integer
+    * days (the funnelLatency/quantile_cont discipline); breach share
+    * one round-6 division of integer counts. One class-keyed
+    * sort-agg over pre-computed day gaps.
+    */
+  def cycleSla(df: DataFrame, classCol: String, startCol: String,
+               endCol: String, slaDays: Int,
+               roundTo: Int = 6): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    df.select(col(classCol),
+        datediff(col(endCol), col(startCol)).cast("long").as("__days"))
+      .groupBy(col(classCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__days") > slaDays, 1L).otherwise(0L)).as("__n_late"),
+        sum(col("__days")).as("__sd"),
+        expr("percentile(__days, 0.5)").as("__p50"),
+        expr("percentile(__days, 0.9)").as("__p90"))
+      .select(col(classCol), col("n_lines"),
+        round(d(col("__n_late")) / d(col("n_lines")), roundTo)
+          .as("late_share"),
+        round(d(col("__sd")) / d(col("n_lines")), roundTo).as("mean_days"),
+        col("__p50").as("p50_days"), col("__p90").as("p90_days"))
+  }
+
+  /** Log-log price elasticity of demand per product group (the
+    * econometrics standard: elasticity = d ln q / d ln p, estimated
+    * as the OLS slope of monthly ln(quantity) on ln(unit price) —
+    * "a 1% price increase moves demand by slope %"). The pricing
+    * reading behind every markdown decision; R² reports how much of
+    * the demand variation price actually explains.
+    *
+    * Portability discipline: monthly Σqty and Σrevenue are exact
+    * decimals; each month's ln(price) and ln(qty) is ONE libm ln on
+    * a deterministic double ratio, rounded to 6 and 1e6-scaled to a
+    * long (the chi2 r6-scaling trick) — so the five OLS sums are
+    * EXACT integer statistics (the olsTrend discipline) and the
+    * 1e6 scale CANCELS in both slope and R² (a ratio of same-degree
+    * forms), leaving one fixed double tree each, rounded once.
+    * Groups need ≥ 3 months and nonzero price variance (else null).
+    * One (group, month) aggregate + one group aggregate.
+    */
+  def priceElasticity(lineitem: DataFrame, part: DataFrame,
+                      roundTo: Int = 6): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    def s6(t: Column): Column = round(t * lit(1000000.0)).cast("long")
+    val monthly = lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"),
+        date_trunc("month", col("l_shipdate")).as("__m"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("__q"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("__r"))
+      .filter(col("__q") > 0 && col("__r") > 0)
+      .select(col("p_brand"),
+        s6(log(d(col("__r")) / d(col("__q")))).as("__x"),
+        s6(log(d(col("__q")))).as("__y"))
+    val agg = monthly.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_months"),
+        sum(dec(col("__x"))).as("__sx"), sum(dec(col("__y"))).as("__sy"),
+        sum(dec(col("__x")) * dec(col("__x"))).as("__sxx"),
+        sum(dec(col("__y")) * dec(col("__y"))).as("__syy"),
+        sum(dec(col("__x")) * dec(col("__y"))).as("__sxy"))
+      .filter(col("n_months") >= 3)
+    val n = dec(col("n_months"))
+    val num = n * col("__sxy") - col("__sx") * col("__sy")
+    val denX = n * col("__sxx") - col("__sx") * col("__sx")
+    val denY = n * col("__syy") - col("__sy") * col("__sy")
+    agg.select(col("p_brand"), col("n_months"),
+      round(when(denX > 0, d(num) / d(denX)), roundTo).as("elasticity"),
+      round(when(denX > 0 && denY > 0,
+        (d(num) * d(num)) / (d(denX) * d(denY))), roundTo).as("r2"))
+  }
+
   /** Item-item COSINE similarity over the co-purchase matrix
     * (Sarwar et al. WWW '01, item-based collaborative filtering) —
     * [[basketPairs]]' normalized sibling: raw co-occurrence favors

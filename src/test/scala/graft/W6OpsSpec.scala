@@ -860,6 +860,53 @@ class W6OpsSpec extends SparkSuite {
     Par.release()
   }
 
+  test("cycleSla: integer day gaps, interpolated p90, SLA breach share, singleton class") {
+    import graft.pipeline.Analytics
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val df = Seq(
+      ("U", t("2024-01-01"), t("2024-01-03")),  // 2d
+      ("U", t("2024-01-01"), t("2024-01-05")),  // 4d
+      ("U", t("2024-01-01"), t("2024-01-11")),  // 10d → breaches sla 9
+      ("H", t("2024-01-01"), t("2024-01-06"))   // 5d
+    ).toDF("cls", "st", "en")
+    val out = Analytics.cycleSla(df, "cls", "st", "en", slaDays = 9)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    // days {2,4,10}: p90 interpolates 4 + 0.8·6 = 8.8
+    assert(out("U") === ((3L, 0.333333, 5.333333, 4.0, 8.8)))
+    assert(out("H") === ((1L, 0.0, 5.0, 5.0, 5.0)))
+  }
+
+  test("priceElasticity: perfect -2 power law, constant price null, short series dropped") {
+    import graft.pipeline.Analytics
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // brand B: q = 16·p^-2 across p = 1, 2, 4 (unit price = r/q)
+    val li = Seq(
+      (10L, t("2024-01-05"), 16.0, 16.0),
+      (10L, t("2024-02-05"), 4.0, 8.0),
+      (10L, t("2024-03-05"), 1.0, 4.0),
+      // brand C: constant price → zero x-variance → nulls
+      (20L, t("2024-01-05"), 5.0, 10.0),
+      (20L, t("2024-02-05"), 7.0, 14.0),
+      (20L, t("2024-03-05"), 9.0, 18.0),
+      // brand D: two months only → dropped
+      (30L, t("2024-01-05"), 5.0, 10.0), (30L, t("2024-02-05"), 6.0, 18.0)
+    ).toDF("l_partkey", "l_shipdate", "l_quantity", "l_extendedprice")
+    val part = Seq((10L, "B"), (20L, "C"), (30L, "D"))
+      .toDF("p_partkey", "p_brand")
+    val out = Analytics.priceElasticity(li, part)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out.keySet === Set("B", "C"))
+    // the r6-scaled lns are off-collinear by one µ-unit (ln2 rounds
+    // down, ln16 rounds up) — the graded statistic is −2.000001
+    assert(out("B") === ((3L, Some(-2.000001), Some(1.0))))
+    assert(out("C") === ((3L, None, None)))
+  }
+
   test("basketCosine: affinity outranks bestseller incidence, hand-computed scores, rank after cut") {
     import graft.pipeline.Analytics
     // orders: {1,2} twice, {1,3}, {3,4} → freq 1:3 2:2 3:2 4:1
