@@ -499,6 +499,30 @@ object SparkEntry {
     "basket_pairs" -> ((s, d) =>
       Analytics.basketPairs(Tables.lineitem(s, d), minCount = 2L)
         .orderBy(col("part_a"), col("part_b"))),
+    // share-of-parent hierarchy rollup (r11): nation revenue as a
+    // share of ITS region, region share of global — one leaf row
+    "rollup_share" -> ((s, d) => {
+      val rev = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_totalprice"))
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"),
+          col("n_name"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)
+          .select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("n_name"), col("o_totalprice"))
+      Analytics.shareOfParent(rev, "r_name", "n_name", "o_totalprice")
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+    // new-vs-returning revenue split per month (r11): acquisition vs
+    // retention decomposition — first-order-month customers are NEW
+    "revenue_new_vs_returning" -> ((s, d) =>
+      Analytics.newVsReturning(Tables.orders(s, d), "o_custkey",
+          "o_orderdate", "o_totalprice")
+        .orderBy(col("month_start"))),
     // fulfillment cycle-time SLA per priority (r11): exact integer
     // order→ship days, interpolated p50/p90, 90-day breach share
     "fulfillment_cycle_sla" -> ((s, d) => {
@@ -5177,6 +5201,59 @@ object SparkEntry {
              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
            GROUP BY 1, 2 HAVING count(*) >= 2
            ORDER BY part_a, part_b""",
+
+      // share-of-parent replay: exact decimal level re-aggregations,
+      // two round-6 divisions per leaf row
+      "rollup_share" ->
+        """WITH leaf AS (
+             SELECT r_name, n_name,
+               sum(CAST(o_totalprice AS DECIMAL(12,2))) AS v
+             FROM orders JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey
+             GROUP BY 1, 2
+           ), p AS (SELECT r_name, sum(v) AS pv FROM leaf GROUP BY 1
+           ), t AS (SELECT sum(pv) AS tv FROM p)
+           SELECT leaf.r_name, n_name, CAST(v AS DOUBLE) AS value,
+             round(CAST(v AS DOUBLE) / CAST(pv AS DOUBLE), 6)
+               AS share_of_parent,
+             round(CAST(pv AS DOUBLE) / CAST(tv AS DOUBLE), 6)
+               AS parent_share_of_total
+           FROM leaf JOIN p USING (r_name) CROSS JOIN t
+           ORDER BY r_name, n_name""",
+
+      // new-vs-returning replay: integer month indexes, first-month
+      // classification, exact decimal revenue, one share division
+      "revenue_new_vs_returning" ->
+        """WITH b AS (
+             SELECT o_custkey AS c,
+               (year(CAST(o_orderdate AS TIMESTAMP)) - 1970) * 12
+                 + month(CAST(o_orderdate AS TIMESTAMP)) - 1 AS m,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS amt
+             FROM orders
+           ), f AS (SELECT c, min(m) AS fm FROM b GROUP BY 1
+           ), j AS (
+             SELECT b.m, b.c, b.amt, b.m = f.fm AS isn
+             FROM b JOIN f USING (c)
+           ), a AS (
+             SELECT m,
+               sum(CASE WHEN isn THEN amt
+                 ELSE CAST(0 AS DECIMAL(12,2)) END) AS rn,
+               sum(CASE WHEN NOT isn THEN amt
+                 ELSE CAST(0 AS DECIMAL(12,2)) END) AS rr,
+               count(DISTINCT CASE WHEN isn THEN c END) AS nn,
+               count(DISTINCT CASE WHEN NOT isn THEN c END) AS nr
+             FROM j GROUP BY 1)
+           SELECT CAST(DATE '1970-01-01' + CAST(m AS INT)
+               * INTERVAL 1 MONTH AS TIMESTAMP) AS month_start,
+             CAST(rn AS DOUBLE) AS rev_new,
+             CAST(rr AS DOUBLE) AS rev_returning,
+             CAST(nn AS BIGINT) AS n_new_customers,
+             CAST(nr AS BIGINT) AS n_returning_customers,
+             round(CASE WHEN rn + rr > 0 THEN
+               CAST(rn AS DOUBLE) / CAST(rn + rr AS DOUBLE) END, 6)
+               AS new_rev_share
+           FROM a ORDER BY month_start""",
 
       // cycle-SLA replay: integer day diffs, quantile_cont p50/p90,
       // one round-6 division each for share and mean

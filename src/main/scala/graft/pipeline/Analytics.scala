@@ -370,6 +370,79 @@ object Analytics {
       .filter(col("n_orders") >= minCount)
   }
 
+  /** Share-of-parent hierarchy rollup — the drill-down reading plain
+    * ROLLUP totals don't give: each nation's revenue as a share of
+    * ITS REGION and each region's share of the global total, on one
+    * output row per leaf ("APAC is 23% of world; China is 41% of
+    * APAC"). The ratio-to-parent is what makes a drill-down
+    * comparable across branches of different size.
+    *
+    * Exact decimal revenue at every level (leaf agg → parent agg →
+    * 1-row global, each a re-aggregation of the level below — one
+    * data-sized shuffle total); shares are single round-6 double
+    * divisions; parent and global frames are category-sized /
+    * 1-row broadcasts.
+    */
+  def shareOfParent(rows: DataFrame, parentCol: String, childCol: String,
+                    valueCol: String, roundTo: Int = 6): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val leaf = graft.Par.persistTracked(
+      rows.groupBy(col(parentCol), col(childCol))
+        .agg(sum(dec2(col(valueCol))).as("__v")))
+    val parent = leaf.groupBy(col(parentCol)).agg(sum(col("__v")).as("__pv"))
+    val total = parent.agg(sum(col("__pv")).as("__tv"))
+    leaf.join(broadcast(parent), Seq(parentCol))
+      .crossJoin(broadcast(total))
+      .select(col(parentCol), col(childCol),
+        d(col("__v")).as("value"),
+        round(d(col("__v")) / d(col("__pv")), roundTo)
+          .as("share_of_parent"),
+        round(d(col("__pv")) / d(col("__tv")), roundTo)
+          .as("parent_share_of_total"))
+  }
+
+  /** New-vs-returning revenue split per month — the acquisition/
+    * retention decomposition every commerce dashboard leads with:
+    * how much of each month's revenue came from FIRST-TIME customers
+    * vs repeat buyers ("revenue grew, but new-customer revenue
+    * shrank" is invisible in the total). A customer is NEW in their
+    * first order month (integer month index) and returning after.
+    *
+    * Exact decimal revenue, integer month indexes ((y−1970)·12+m−1),
+    * first month per customer from one customer-keyed aggregate
+    * joined back (broadcastable while the customer dim fits);
+    * distinct-customer counts per class are exact; the new-revenue
+    * share is one round-6 division. Two keyed shuffles total.
+    */
+  def newVsReturning(orders: DataFrame, custCol: String, tsCol: String,
+                     amountCol: String, roundTo: Int = 6): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val mIdx = ((year(col(tsCol)) - 1970) * 12 + month(col(tsCol)) - 1)
+      .cast("long")
+    val base = orders.select(col(custCol).as("__c"), mIdx.as("__m"),
+      dec2(col(amountCol)).as("__amt"))
+    val firsts = base.groupBy(col("__c")).agg(min(col("__m")).as("__f"))
+    base.join(firsts, Seq("__c"))
+      .withColumn("__is_new", col("__m") === col("__f"))
+      .groupBy(col("__m"))
+      .agg(
+        sum(when(col("__is_new"), col("__amt"))
+          .otherwise(lit(0).cast("decimal(12,2)"))).as("__rn"),
+        sum(when(!col("__is_new"), col("__amt"))
+          .otherwise(lit(0).cast("decimal(12,2)"))).as("__rr"),
+        countDistinct(when(col("__is_new"), col("__c"))).as("n_new_customers"),
+        countDistinct(when(!col("__is_new"), col("__c")))
+          .as("n_returning_customers"))
+      .select(
+        add_months(lit("1970-01-01").cast("date"), col("__m").cast("int"))
+          .cast("timestamp").as("month_start"),
+        d(col("__rn")).as("rev_new"), d(col("__rr")).as("rev_returning"),
+        col("n_new_customers"), col("n_returning_customers"),
+        round(when(col("__rn") + col("__rr") > 0,
+          d(col("__rn")) / d(col("__rn") + col("__rr"))), roundTo)
+          .as("new_rev_share"))
+  }
+
   /** Cycle-time SLA scorecard per class — the ops counterpart of
     * q12's late COUNTS: how long does the start→end leg actually
     * take per class (mean, exact p50/p90), and what share breaches

@@ -102,7 +102,10 @@ class PlansSpec extends SparkSuite {
       "graph_hits",
       // fact_balance_snapshots attaches the 1-row global-max-month
       // frame to the per-account grid — the q11/q15 scalar shape
-      "fact_balance_snapshots")
+      "fact_balance_snapshots",
+      // rollup_share attaches the 1-row global-total frame to the
+      // leaf rows — the q11/q15 scalar shape
+      "rollup_share")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       if (!nestedLoopOk(name)) {

@@ -860,6 +860,34 @@ class W6OpsSpec extends SparkSuite {
     Par.release()
   }
 
+  test("shareOfParent: leaf/parent/global shares, pre-aggregation of duplicate leaves") {
+    import graft.pipeline.Analytics
+    val rows = Seq(("R1", "N1", 10.0), ("R1", "N1", 20.0),
+      ("R1", "N2", 30.0), ("R2", "N3", 40.0)).toDF("r", "n", "v")
+    val out = Analytics.shareOfParent(rows, "r", "n", "v")
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getDouble(2), x.getDouble(3), x.getDouble(4)))).toMap
+    assert(out(("R1", "N1")) === ((30.0, 0.5, 0.6)))
+    assert(out(("R1", "N2")) === ((30.0, 0.5, 0.6)))
+    assert(out(("R2", "N3")) === ((40.0, 1.0, 0.4)))
+  }
+
+  test("newVsReturning: first-month customers are new, later months returning, share rounded") {
+    import graft.pipeline.Analytics
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (1L, t("1970-01-05"), 10.0), (1L, t("1970-01-20"), 5.0),
+      (1L, t("1970-02-10"), 20.0), // cust 1 returns in Feb
+      (2L, t("1970-02-15"), 7.0)   // cust 2 is new in Feb
+    ).toDF("c", "ts", "amt")
+    val out = Analytics.newVsReturning(orders, "c", "ts", "amt")
+      .collect().map(r => r.getTimestamp(0).toString.take(7) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    assert(out("1970-01") === ((15.0, 0.0, 1L, 0L, 1.0)))
+    assert(out("1970-02") === ((7.0, 20.0, 1L, 1L, 0.259259))) // 7/27
+  }
+
   test("cycleSla: integer day gaps, interpolated p90, SLA breach share, singleton class") {
     import graft.pipeline.Analytics
     def t(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
