@@ -499,6 +499,13 @@ object SparkEntry {
     "basket_pairs" -> ((s, d) =>
       Analytics.basketPairs(Tables.lineitem(s, d), minCount = 2L)
         .orderBy(col("part_a"), col("part_b"))),
+    // per-label embedding centroid vs the global centroid (r11):
+    // cosine + norm from exact integer per-dim sums (n cancels in
+    // the cosine) — the embedding-space drift/coherence monitor
+    "embedding_centroid_shift" -> ((s, d) =>
+      operators.Similarity.centroidShift(Tables.embeddings(s, d),
+          "label", "embedding")
+        .orderBy(col("label"))),
     // share-of-parent hierarchy rollup (r11): nation revenue as a
     // share of ITS region, region share of global — one leaf row
     "rollup_share" -> ((s, d) => {
@@ -5201,6 +5208,35 @@ object SparkEntry {
              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
            GROUP BY 1, 2 HAVING count(*) >= 2
            ORDER BY part_a, part_b""",
+
+      // centroid-shift replay: WITH ORDINALITY explode, the same
+      // r6-scaled integer per-dim sums, n-cancelling cosine tree
+      "embedding_centroid_shift" ->
+        """WITH e AS (
+             SELECT label AS g,
+               unnest(generate_series(1, len(embedding))) AS d,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+                 AS BIGINT) AS s
+             FROM embeddings
+           ), dims AS (
+             SELECT g, d, CAST(sum(s) AS HUGEINT) AS sg,
+               count(*) AS n
+             FROM e GROUP BY 1, 2
+           ), gtot AS (
+             SELECT d, CAST(sum(sg) AS HUGEINT) AS st FROM dims GROUP BY 1
+           ), pg AS (
+             SELECT g, CAST(max(n) AS BIGINT) AS n_vectors,
+               sum(sg * st) AS dot, sum(sg * sg) AS a2,
+               sum(st * st) AS b2
+             FROM dims JOIN gtot USING (d) GROUP BY 1)
+           SELECT g AS label, n_vectors,
+             round(sqrt(CAST(a2 AS DOUBLE)) / CAST(n_vectors AS DOUBLE)
+               / 1000000.0, 6) AS centroid_norm,
+             round(CASE WHEN a2 > 0 AND b2 > 0 THEN
+               CAST(dot AS DOUBLE)
+               / (sqrt(CAST(a2 AS DOUBLE)) * sqrt(CAST(b2 AS DOUBLE)))
+               END, 6) AS cos_to_global
+           FROM pg ORDER BY label""",
 
       // share-of-parent replay: exact decimal level re-aggregations,
       // two round-6 divisions per leaf row

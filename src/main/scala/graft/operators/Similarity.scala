@@ -31,6 +31,54 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Per-group embedding CENTROID vs the global centroid — the
+    * embedding-space drift/coherence monitor ("is this label's
+    * region of the space actually distinct, and is it moving?"):
+    * per group, the cosine between its mean vector and the corpus
+    * mean, plus the centroid norm (a tight cluster far from the
+    * global mean reads high-norm/low-cos; noise reads cos ≈ 1).
+    * The per-label twin of what PSI/KS do for scalar columns.
+    *
+    * Portability discipline: float components round to 6 and
+    * 1e6-scale to longs ONCE (a float→double widen is exact), so
+    * per-dimension sums are EXACT integers — and because cosine is
+    * scale-invariant the n divisions cancel:
+    * cos(μ_g, μ_G) = Σ s_g·s_G / (√Σs_g²·√Σs_G²) directly on the
+    * integer sums (products carried decimal(38,0) — s_d reaches
+    * rows·1e6·|v|, square it before worrying). The one double tree
+    * per group ends in two sqrts and a division, rounded once.
+    * Plan: one posexplode → (group, dim) integer aggregate (the
+    * dims-sized frame), a dim-keyed re-aggregate for the global
+    * sums (64-row broadcast), one group aggregate — the explode is
+    * the only data-sized pass, map-side combinable at any scale.
+    */
+  def centroidShift(embeddings: DataFrame, groupCol: String,
+                    vecCol: String, roundTo: Int = 6): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val dims = embeddings
+      .select(col(groupCol).as("__g"), posexplode(col(vecCol))
+        .as(Seq("__d", "__v")))
+      .select(col("__g"), col("__d"),
+        round(col("__v").cast("double") * lit(1000000.0)).cast("long")
+          .as("__s"))
+      .groupBy(col("__g"), col("__d"))
+      .agg(sum(col("__s")).as("__sg"), count(lit(1)).as("__n"))
+    val global = dims.groupBy(col("__d")).agg(sum(col("__sg")).as("__st"))
+    val perGroup = dims.join(broadcast(global), Seq("__d"))
+      .groupBy(col("__g"))
+      .agg(max(col("__n")).as("n_vectors"),
+        sum(dec(col("__sg")) * dec(col("__st"))).as("__dot"),
+        sum(dec(col("__sg")) * dec(col("__sg"))).as("__a2"),
+        sum(dec(col("__st")) * dec(col("__st"))).as("__b2"))
+    perGroup.select(col("__g").as(groupCol), col("n_vectors"),
+      round(sqrt(d(col("__a2"))) / d(col("n_vectors")) / lit(1000000.0),
+        roundTo).as("centroid_norm"),
+      round(when(col("__a2") > 0 && col("__b2") > 0,
+        d(col("__dot")) / (sqrt(d(col("__a2"))) * sqrt(d(col("__b2"))))),
+        roundTo).as("cos_to_global"))
+  }
+
   /** Deterministic pseudo-random hyperplane for (table, plane):
     * components from the splitmix64 finalizer (public-domain PRNG
     * mixing function) folded into [-1, 1]. Generated driver-side and

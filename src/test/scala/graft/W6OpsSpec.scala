@@ -860,6 +860,27 @@ class W6OpsSpec extends SparkSuite {
     Par.release()
   }
 
+  test("centroidShift: n-cancelling cosine to the global centroid, norms, hand-computed axes") {
+    import graft.operators.Similarity
+    val emb = Seq(
+      (1, Array(1.0f, 0.0f)), (1, Array(1.0f, 0.0f)), // A on the x axis
+      (2, Array(0.0f, 1.0f)),                         // B on the y axis
+      (3, Array(0.5f, 0.5f))                          // diagonal
+    ).toDF("label", "embedding")
+    val out = Similarity.centroidShift(emb, "label", "embedding")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // global scaled sums: (2.5e6, 1.5e6)
+    assert(out(1)._1 === 2L)
+    assert(out(1)._2 === 1.0) // unit centroid
+    // cos(A, G) = 2.5/√(1·8.5) — A sums (2e6,0), G (2.5e6,1.5e6):
+    // dot 5e12, |A| 2e6, |G| √8.5e6 → 5/(2·2.915476) = 0.857493
+    assert(out(1)._3 === 0.857493)
+    assert(out(2) === ((1L, 1.0, 0.514496)))  // 1.5/√8.5
+    assert(out(3) === ((1L, 0.707107, 0.970143))) // 2/(√.5·√8.5)
+    Par.release()
+  }
+
   test("shareOfParent: leaf/parent/global shares, pre-aggregation of duplicate leaves") {
     import graft.pipeline.Analytics
     val rows = Seq(("R1", "N1", 10.0), ("R1", "N1", 20.0),
