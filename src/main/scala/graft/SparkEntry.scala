@@ -2468,9 +2468,17 @@ object SparkEntry {
     // edit distance — the equi-join-on-block-key form of the O(n²)
     // cross join; blocking recall loss is part of the graded
     // semantics (the oracle replays the same block key)
+    // pk-sliced like the graph family (r11 re-scope): the synthetic
+    // 2-word names draw from an 8-noun vocabulary, so full-corpus
+    // blocks are ~n/8 wide and ~28% of ALL within-block pairs match
+    // at dist ≤ 2 (5.5M output rows at sf0.1, 35 s of pure true-pair
+    // emission) — the graded query runs the identical operator on
+    // the bounded-density slice; the operator's scale story is the
+    // blocking, argued in LinkageSpec + the scaladoc
     "er_fuzzy_pairs" -> ((s, d) =>
       operators.Linkage.blockedFuzzyPairs(
-          Tables.part(s, d), "p_partkey", "p_name",
+          Tables.part(s, d).filter(col("p_partkey") % 4 === 0),
+          "p_partkey", "p_name",
           blockCol = element_at(split(col("p_name"), " "), -1), maxDist = 2)
         .orderBy(col("id_a"), col("id_b"))),
     // golden-record survivorship (r11): the MERGE half of ER — the
@@ -2479,7 +2487,8 @@ object SparkEntry {
     // max size, cheapest price)
     "er_golden_record" -> ((s, d) => {
       import operators.Linkage.Survivorship._
-      val part = Tables.part(s, d)
+      // same bounded-density slice as er_fuzzy_pairs
+      val part = Tables.part(s, d).filter(col("p_partkey") % 4 === 0)
       val pairs = operators.Linkage.blockedFuzzyPairs(part, "p_partkey",
         "p_name", blockCol = element_at(split(col("p_name"), " "), -1),
         maxDist = 2)
@@ -8835,7 +8844,8 @@ object SparkEntry {
       "er_fuzzy_pairs" ->
         """WITH b AS (
              SELECT p_partkey AS id, p_name AS name,
-               string_split(p_name, ' ')[-1] AS blk FROM part)
+               string_split(p_name, ' ')[-1] AS blk FROM part
+             WHERE p_partkey % 4 = 0)
            SELECT a.id AS id_a, c.id AS id_b,
              CAST(levenshtein(a.name, c.name) AS INT) AS dist
            FROM b a JOIN b c ON a.blk = c.blk AND a.id < c.id
@@ -8849,6 +8859,7 @@ object SparkEntry {
         """WITH RECURSIVE b AS (
              SELECT p_partkey AS id, p_name AS name,
                string_split(p_name, ' ')[-1] AS blk FROM part
+             WHERE p_partkey % 4 = 0
            ), pairs AS (
              SELECT a.id AS id_a, c.id AS id_b
              FROM b a JOIN b c ON a.blk = c.blk AND a.id < c.id
@@ -8865,6 +8876,7 @@ object SparkEntry {
            ), m AS (
              SELECT coalesce(c.comp, p.p_partkey) AS comp, p.*
              FROM part p LEFT JOIN cmp c ON p.p_partkey = c.id
+             WHERE p.p_partkey % 4 = 0
            ), sz AS (
              SELECT comp, CAST(count(*) AS BIGINT) AS n_members
              FROM m GROUP BY 1 HAVING count(*) >= 2
