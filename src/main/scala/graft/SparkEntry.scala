@@ -506,6 +506,11 @@ object SparkEntry {
       operators.Similarity.centroidShift(Tables.embeddings(s, d),
           "label", "embedding")
         .orderBy(col("label"))),
+    // repurchase cycle per segment (r11): days between consecutive
+    // orders per customer — reorder-cadence mean/p50/p90
+    "repurchase_cycle" -> ((s, d) =>
+      Analytics.repurchaseCycle(Tables.orders(s, d), Tables.customer(s, d))
+        .orderBy(col("c_mktsegment"))),
     // share-of-parent hierarchy rollup (r11): nation revenue as a
     // share of ITS region, region share of global — one leaf row
     "rollup_share" -> ((s, d) => {
@@ -5246,6 +5251,27 @@ object SparkEntry {
                / (sqrt(CAST(a2 AS DOUBLE)) * sqrt(CAST(b2 AS DOUBLE)))
                END, 6) AS cos_to_global
            FROM pg ORDER BY label""",
+
+      // repurchase-cycle replay: the same (date, key)-ordered lag
+      // recurrence, integer day gaps, quantile_cont percentiles
+      "repurchase_cycle" ->
+        """WITH g AS (
+             SELECT o_custkey,
+               date_diff('day',
+                 CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS DATE),
+                 CAST(o_orderdate AS DATE)) AS gap
+             FROM orders
+           ), j AS (
+             SELECT c_mktsegment, gap
+             FROM g JOIN customer ON o_custkey = c_custkey
+             WHERE gap IS NOT NULL)
+           SELECT c_mktsegment, count(*) AS n_gaps,
+             round(CAST(sum(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+               AS mean_days,
+             quantile_cont(gap, 0.5) AS p50_days,
+             quantile_cont(gap, 0.9) AS p90_days
+           FROM j GROUP BY 1 ORDER BY c_mktsegment""",
 
       // share-of-parent replay: exact decimal level re-aggregations,
       // two round-6 divisions per leaf row

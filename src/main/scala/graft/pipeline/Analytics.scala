@@ -370,6 +370,42 @@ object Analytics {
       .filter(col("n_orders") >= minCount)
   }
 
+  /** Repurchase-cycle scorecard per segment — the retention-planning
+    * twin of [[cycleSla]]: how many days pass between a customer's
+    * CONSECUTIVE orders, summarized per segment (mean, exact
+    * p50/p90)? The reorder cadence that sets replenishment-email
+    * timing and flags a segment whose cycle is stretching. Gaps are
+    * per-customer recurrences (lag over the order date, ties by
+    * order key), so first orders contribute nothing.
+    *
+    * Exact integer day gaps, one customer-keyed window pass, one
+    * segment-keyed sort-agg (exact interpolated percentiles — the
+    * cycleSla/quantile_cont discipline), mean one round-6 double
+    * tree on (Σdays, n).
+    */
+  def repurchaseCycle(orders: DataFrame, customer: DataFrame,
+                      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = (c: Column) => c.cast("double")
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("__gap",
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(byCust))
+          .cast("long"))
+      .filter(col("__gap").isNotNull)
+    gaps.join(broadcast(customer.select(col("c_custkey"),
+        col("c_mktsegment"))), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("__gap")).as("__sg"),
+        expr("percentile(__gap, 0.5)").as("__p50"),
+        expr("percentile(__gap, 0.9)").as("__p90"))
+      .select(col("c_mktsegment"), col("n_gaps"),
+        round(d(col("__sg")) / d(col("n_gaps")), roundTo).as("mean_days"),
+        col("__p50").as("p50_days"), col("__p90").as("p90_days"))
+  }
+
   /** Share-of-parent hierarchy rollup — the drill-down reading plain
     * ROLLUP totals don't give: each nation's revenue as a share of
     * ITS REGION and each region's share of the global total, on one

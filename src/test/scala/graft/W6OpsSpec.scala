@@ -881,6 +881,25 @@ class W6OpsSpec extends SparkSuite {
     Par.release()
   }
 
+  test("repurchaseCycle: per-customer gap recurrence, first order contributes nothing, same-day tie gap 0") {
+    import graft.pipeline.Analytics
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (1L, 10L, t("2024-01-01")), (1L, 11L, t("2024-01-04")), // gap 3
+      (1L, 12L, t("2024-01-14")),                             // gap 10
+      (2L, 20L, t("2024-01-01")), (2L, 21L, t("2024-01-01")), // same day: 0
+      (3L, 30L, t("2024-01-05"))                              // single: none
+    ).toDF("o_custkey", "o_orderkey", "o_orderdate")
+    val cust = Seq((1L, "AUTO"), (2L, "AUTO"), (3L, "AUTO"))
+      .toDF("c_custkey", "c_mktsegment")
+    val r = Analytics.repurchaseCycle(orders, cust).head()
+    // gaps {3, 10, 0}: mean 13/3, p50 = 3, p90 interpolates 3+0.8·7
+    assert(r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 4.333333)
+    assert(r.getDouble(3) === 3.0)
+    assert(r.getDouble(4) === 8.6)
+  }
+
   test("shareOfParent: leaf/parent/global shares, pre-aggregation of duplicate leaves") {
     import graft.pipeline.Analytics
     val rows = Seq(("R1", "N1", 10.0), ("R1", "N1", 20.0),
