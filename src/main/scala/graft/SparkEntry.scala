@@ -5503,7 +5503,9 @@ object SparkEntry {
 
       // concurrency replay: the same sessions swept as +1/−(end+1)
       // deltas per (bucket, sec), grid carry via one window over the
-      // bucket grid, within-bucket peak = carry + max(cum + removals)
+      // bucket grid, within-bucket peak = carry + max(cum) (count
+      // AFTER the second's removals — r11 ADVICE fix); the carry
+      // plateau counts only when the first marker is past bucket start
       "sessions_concurrency" ->
         """WITH flagged AS (
              SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
@@ -5535,8 +5537,9 @@ object SparkEntry {
              FROM del GROUP BY 1, 2
            ), pb AS (
              SELECT bucket, CAST(sum(pos) AS BIGINT) AS n_started,
-               CAST(max(cum + neg) AS BIGINT) AS peak_off,
-               CAST(sum(pos - neg) AS BIGINT) AS net
+               CAST(max(cum) AS BIGINT) AS peak_off,
+               CAST(sum(pos - neg) AS BIGINT) AS net,
+               min(sec) AS first_sec
              FROM (SELECT *, sum(pos - neg) OVER (PARTITION BY bucket
                  ORDER BY sec ROWS UNBOUNDED PRECEDING) AS cum
                FROM agg)
@@ -5552,6 +5555,7 @@ object SparkEntry {
              SELECT g.bucket, coalesce(pb.n_started, 0) AS n_started,
                coalesce(pb.peak_off, 0) AS peak_off,
                coalesce(pb.net, 0) AS net,
+               pb.first_sec AS first_sec,
                coalesce(en2.n_ended, 0) AS n_ended
              FROM grid g LEFT JOIN pb USING (bucket)
                LEFT JOIN en2 USING (bucket)
@@ -5562,7 +5566,10 @@ object SparkEntry {
            SELECT TIMESTAMP '1970-01-01' + bucket * INTERVAL 1 SECOND
                AS bucket_ts,
              carry AS carry_in,
-             greatest(carry, carry + peak_off) AS peak,
+             CASE WHEN first_sec IS NULL THEN carry
+               WHEN first_sec > bucket
+                 THEN greatest(carry, carry + peak_off)
+               ELSE carry + peak_off END AS peak,
              CAST(n_started AS BIGINT) AS n_started,
              CAST(n_ended AS BIGINT) AS n_ended
            FROM c ORDER BY bucket_ts""",
@@ -8415,8 +8422,10 @@ object SparkEntry {
                  - CAST(gg AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0)
                  AS BIGINT) AS t6
              FROM cells
-             JOIN g USING (v)
-             JOIN sz USING (c_nationkey, c_mktsegment)
+             JOIN g ON cells.v IS NOT DISTINCT FROM g.v
+             JOIN sz
+               ON cells.c_nationkey IS NOT DISTINCT FROM sz.c_nationkey
+               AND cells.c_mktsegment IS NOT DISTINCT FROM sz.c_mktsegment
              CROSS JOIN nn
            ), a AS (
              SELECT c_nationkey, c_mktsegment,

@@ -1141,9 +1141,17 @@ object Quality {
     * counts; each cell term is one fixed double tree rounded-6/1e6-
     * scaled, summed per class as ORDER-FREE integers (the chi2
     * r6-scaling trick, off-true < cells·5e-7); the t comparison runs
-    * on the ROUNDED distance in both engines. Global value counts
-    * and N are value-cardinality-sized / 1-row broadcasts; the one
+    * on the ROUNDED distance in both engines. Class sizes and global
+    * value counts are window sums over the cells aggregate
+    * (cells-sized, never the data); N is a 1-row broadcast; the one
     * data shuffle is the (class, value) group-by.
+    *
+    * Null handling (r11 ADVICE): null quasi-identifier values form
+    * equivalence classes and a null sensitive value is a value —
+    * the [[kAnonymity]] "a null zip is itself identifying"
+    * convention. Window partitioning groups nulls natively, so no
+    * null-keyed class can vanish from the audit (the old join-based
+    * form dropped them via null-unsafe equality).
     */
   def tCloseness(df: DataFrame, quasiIdCols: Seq[String],
                  sensitiveCol: String, t: Double): DataFrame = {
@@ -1155,9 +1163,13 @@ object Quality {
     val cells = graft.Par.persistTracked(
       df.groupBy(qi :+ col(sensitiveCol).as("__v"): _*)
         .agg(count(lit(1)).as("__c")))
-    val global = cells.groupBy(col("__v")).agg(sum(col("__c")).as("__g"))
     val nTotal = cells.agg(sum(col("__c")).as("__nn"))
-    val sizes = cells.groupBy(qi: _*).agg(sum(col("__c")).as("__nc"))
+    // class sizes / global value counts as WINDOW sums over the cells
+    // aggregate: window partitioning groups nulls natively, so
+    // null-keyed classes and the null sensitive value stay in the
+    // audit (null-unsafe joins silently dropped them — r11 ADVICE)
+    val wClass = Window.partitionBy(qi: _*)
+    val wValue = Window.partitionBy(col("__v"))
     val term = abs(d(col("__c")) / d(col("__nc"))
       - d(col("__g")) / d(col("__nn"))) - d(col("__g")) / d(col("__nn"))
     // TV = (Σterms + 1)/2 computed as ONE integer (units of 5e-7)
@@ -1166,8 +1178,8 @@ object Quality {
     // half digit whenever s is odd)
     val tv = (col("__s") + lit(1000000L)).cast("double") / lit(2000000.0)
     cells
-      .join(broadcast(global), Seq("__v"))
-      .join(sizes, quasiIdCols)
+      .withColumn("__nc", sum(col("__c")).over(wClass))
+      .withColumn("__g", sum(col("__c")).over(wValue))
       .crossJoin(broadcast(nTotal))
       .groupBy(qi: _*)
       .agg(min(col("__nc")).as("n_rows"), sum(s6(term)).as("__s"))

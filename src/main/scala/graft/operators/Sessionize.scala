@@ -156,11 +156,17 @@ object Sessionize {
     * the running net over the gap-filled bucket GRID (a bucket-count-
     * sized frame — the one global-ordered window runs on the grid,
     * never the data); the within-bucket peak is carry + max over
-    * secs of (cumulative net + that sec's removals) — the "+1s
-    * before −1s at the same second" convention, expressed without a
-    * sequential fold. Everything is exact integer arithmetic; rows
-    * cover the full grid, so buckets a long session merely SPANS
-    * report its concurrency too (peak = carry, n_started = 0).
+    * marker secs of the cumulative net AFTER applying that second's
+    * deltas — with end-exclusive (−1 at end+1) markers the count at
+    * sec s already includes s's removals, so a session ending at s−1
+    * and one starting at s never double-count (r11 ADVICE fix: the
+    * old form added the removals back). The pre-first-marker plateau
+    * (= carry) only counts when the bucket's first marker sits
+    * strictly past the bucket start; a −1 exactly on the boundary
+    * means the carry level is never held inside this bucket.
+    * Everything is exact integer arithmetic; rows cover the full
+    * grid, so buckets a long session merely SPANS report its
+    * concurrency too (peak = carry, n_started = 0).
     */
   def concurrency(intervals: DataFrame, startCol: String, endCol: String,
                   bucketSeconds: Long): DataFrame = {
@@ -180,8 +186,9 @@ object Sessionize {
       .withColumn("__cum", sum(col("__pos") - col("__neg")).over(inBucket))
       .groupBy(col("__bucket"))
       .agg(sum(col("__pos")).as("n_started"),
-        max(col("__cum") + col("__neg")).as("__peak_off"),
-        sum(col("__pos") - col("__neg")).as("__net"))
+        max(col("__cum")).as("__peak_off"),
+        sum(col("__pos") - col("__neg")).as("__net"),
+        min(col("__sec")).as("__first_sec"))
     // n_ended = sessions whose LAST second is in the bucket (the −1
     // markers sit at end+1 and may cross the boundary — they drive
     // concurrency, not this count)
@@ -203,7 +210,10 @@ object Sessionize {
       .withColumn("__carry", sum(col("__net")).over(byBucket) - col("__net"))
       .select(timestamp_seconds(col("__bucket")).as("bucket_ts"),
         col("__carry").as("carry_in"),
-        greatest(col("__carry"), col("__carry") + col("__peak_off"))
+        when(col("__first_sec").isNull, col("__carry"))
+          .when(col("__first_sec") > col("__bucket"),
+            greatest(col("__carry"), col("__carry") + col("__peak_off")))
+          .otherwise(col("__carry") + col("__peak_off"))
           .as("peak"),
         col("n_started"), col("n_ended"))
   }

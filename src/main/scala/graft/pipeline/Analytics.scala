@@ -988,24 +988,6 @@ object Analytics {
           .otherwise("C").as("abc_class"))
   }
 
-  /** Per-group Gini coefficient — revenue-concentration measurement
-    * ("is this nation's revenue one whale or a broad base?"), the
-    * scalar summary behind every Lorenz-curve dashboard. For
-    * ascending-ranked positive values x₁..xₙ, G = Σ(2i−n−1)·xᵢ /
-    * (n·Σx); expanding the rank term gives G = (2·Σi·xᵢ −
-    * (n+1)·Σx) / (n·Σx) — so ONE ordered window (the rank) and one
-    * group aggregate suffice, no per-row n. Values ride as exact
-    * decimals (the money discipline: Σx and Σi·xᵢ are order-free
-    * decimal sums), the single division is the only double (round
-    * 6). Ties are rank-broken on `idCol` for determinism, but G is
-    * tie-order invariant (equal x swap freely in Σi·xᵢ... their
-    * rank-sum is fixed). Zero/negative totals report null; G ∈
-    * [0, 1−1/n] for non-negative values.
-    *
-    * One key exchange shared by the window sort and the aggregate;
-    * groups are ranked independently — thousands of groups scale
-    * linearly, no global sort.
-    */
   /** Semi-additive PERIOD-END BALANCE snapshot fact (the Kimball
     * "periodic snapshot" for balances — the one fact family you must
     * NOT sum over time: month-end balance is the LAST value, carried
@@ -1125,6 +1107,24 @@ object Analytics {
         .otherwise(lit("Z")).as("xyz_class"))
   }
 
+  /** Per-group Gini coefficient — revenue-concentration measurement
+    * ("is this nation's revenue one whale or a broad base?"), the
+    * scalar summary behind every Lorenz-curve dashboard. For
+    * ascending-ranked positive values x₁..xₙ, G = Σ(2i−n−1)·xᵢ /
+    * (n·Σx); expanding the rank term gives G = (2·Σi·xᵢ −
+    * (n+1)·Σx) / (n·Σx) — so ONE ordered window (the rank) and one
+    * group aggregate suffice, no per-row n. Values ride as exact
+    * decimals (the money discipline: Σx and Σi·xᵢ are order-free
+    * decimal sums), the single division is the only double (round
+    * 6). Ties are rank-broken on `idCol` for determinism, but G is
+    * tie-order invariant (equal x swap freely in Σi·xᵢ — their
+    * rank-sum is fixed). Zero/negative totals report null; G ∈
+    * [0, 1−1/n] for non-negative values.
+    *
+    * One key exchange shared by the window sort and the aggregate;
+    * groups are ranked independently — thousands of groups scale
+    * linearly, no global sort.
+    */
   def giniConcentration(rows: DataFrame, groupCol: String, idCol: String,
                         valueCol: String, roundTo: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window

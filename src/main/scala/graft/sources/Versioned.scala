@@ -148,8 +148,17 @@ object Versioned {
       throw new IllegalStateException(
         s"writeAuditPublish lost the version race $maxRetries times at $path")
     } else {
+      // Materialize the failures OFF the staged files BEFORE deleting
+      // them (r11 ADVICE): persist is lazy and isEmpty only ran the
+      // first partition(s), so a caller consuming the failures after
+      // the segment is gone (count / write-to-quarantine — the normal
+      // WAP flow) would hit FileNotFoundException on the un-cached
+      // partitions. localCheckpoint(eager = true) computes and stores
+      // every partition, cutting lineage to the staged parquet; only
+      // then is the segment dropped.
+      val pinned = failures.localCheckpoint(true)
       fs(spark, path).delete(new Path(path, seg), true)
-      (None, failures)
+      (None, pinned)
     }
   }
 

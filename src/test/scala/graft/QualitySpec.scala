@@ -291,6 +291,20 @@ class QualitySpec extends SparkSuite {
     val m = Quality.tCloseness(mirror, Seq("q"), "s", t = 0.1)
       .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
     assert(m(1) === 0.0 && m(2) === 0.0)
+    // r11 ADVICE: null QI forms a class, null sensitive is a value —
+    // the kAnonymity "a null zip is itself identifying" convention.
+    // global: a:2 null:2 (N=4) → p_g = .5/.5
+    val withNulls = Seq(
+      (Some(1), Some("a")), (Some(1), None),
+      (None, Some("a")), (None, None)
+    ).toDF("q", "s")
+    val nm = Quality.tCloseness(withNulls, Seq("q"), "s", t = 0.5)
+      .collect().map(r => (if (r.isNullAt(0)) -1 else r.getInt(0)) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    // both classes mirror the global {a:.5, null:.5} → TV 0
+    assert(nm(1) === ((2L, 0.0)))
+    assert(nm(-1) === ((2L, 0.0))) // the null-QI class is REPORTED
+    assert(nm.size === 2)
   }
 
   test("cuped: hand-computed theta/adjusted diff/variance reduction, constant covariate degenerates to raw") {

@@ -48,7 +48,12 @@ class VersionedSpec extends SparkSuite {
     assert(p3 === Some(2))
     assert(Versioned.read(spark, dir).collect().map(_.getLong(0)).sorted
       === Array(11L, 12L))
+    // r11 ADVICE regression: the rejected-call failures must survive
+    // BOTH the segment delete and cache eviction — they are eagerly
+    // localCheckpoint'ed off the staged files before the delete, so a
+    // re-collect after unpersist cannot touch the vanished parquet
     Par.release()
+    assert(f2.collect().map(_.getLong(0)).toSeq === Seq(-5L))
   }
 
   test("a crashed write (segment without manifest) is invisible") {

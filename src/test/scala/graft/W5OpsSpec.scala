@@ -399,6 +399,23 @@ class W5OpsSpec extends SparkSuite {
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(q(10L) === ((1L, 1L, 0L, 0L))) // no deltas, peak = carry
     assert(q(20L) === ((1L, 1L, 0L, 1L)))
+    // r11 ADVICE regression: [0,10] and [11,20] share no active
+    // second (inclusive ends) — peak must be 1, not 2 (the old form
+    // added the same second's removals back into the count at 11)
+    val touching = Seq((t(0L), t(10L)), (t(11L), t(20L))).toDF("st", "en")
+    val tc = Sessionize.concurrency(touching, "st", "en",
+        bucketSeconds = 3600L)
+      .collect().map(r => (r.getTimestamp(0).getTime / 1000) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(tc(0L) === ((0L, 1L, 2L, 2L)))
+    // boundary −1 exactly at bucket start: [0,9] is never open in
+    // bucket 10, so the carry plateau must NOT count there
+    val edge = Seq((t(0L), t(9L))).toDF("st", "en")
+    val ec = Sessionize.concurrency(edge, "st", "en", bucketSeconds = 10L)
+      .collect().map(r => (r.getTimestamp(0).getTime / 1000) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(ec(0L) === ((0L, 1L, 1L, 1L)))
+    assert(ec(10L) === ((1L, 0L, 0L, 0L)))
   }
 
   test("periodEndBalances: exact running balances, quiet-month carry-forward, per-account grid spans") {
