@@ -2479,7 +2479,11 @@ object SparkEntry {
     // at dist ≤ 2 (5.5M output rows at sf0.1, 35 s of pure true-pair
     // emission) — the graded query runs the identical operator on
     // the bounded-density slice; the operator's scale story is the
-    // blocking, argued in LinkageSpec + the scaladoc
+    // blocking PLUS the r12 mega-block bound: blocks above
+    // hotBlockThreshold split on length bands (candidate space
+    // Σ m_k·(m_{k−1}+m_k+m_{k+1}), never m²) with a pair-grid salt
+    // spreading each band over salts·(salts+1)/2 reducers — pair-set
+    // equality vs the unsplit form is pinned in LinkageSpec
     "er_fuzzy_pairs" -> ((s, d) =>
       operators.Linkage.blockedFuzzyPairs(
           Tables.part(s, d).filter(col("p_partkey") % 4 === 0),

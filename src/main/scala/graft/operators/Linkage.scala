@@ -20,8 +20,12 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB the shuffle is one hash exchange on the block key; a
   * mega-block is the known failure mode (quadratic inside one
-  * reducer) — cap it upstream by splitting hot blocks on a secondary
-  * key. The edit-distance filter uses Spark's thresholded
+  * reducer) — [[blockedFuzzyPairs]] caps it structurally: blocks
+  * above `hotBlockThreshold` split on length bands (a PRUNE — lev ≥
+  * |Δlen| means non-adjacent bands never match) and a pair-grid salt
+  * spreads each band's residual quadratic work across reducers (the
+  * [[Skew.saltedJoin]] discipline applied to a self-join). The
+  * edit-distance filter uses Spark's thresholded
   * `levenshtein(l, r, max)` which abandons a pair as soon as the
   * running distance exceeds `max` — O(max·len) per pair, not
   * O(len²).
@@ -33,20 +37,86 @@ object Linkage {
     * `maxDist` (exact duplicates — dist 0 — included; `id_a < id_b`
     * canonicalizes the pair). Feed the pairs to
     * [[Dedup.connectedComponents]] for entity clustering.
+    *
+    * MEGA-BLOCK escape hatch (r11 verdict ask): blocks larger than
+    * `hotBlockThreshold` rows are split on a SECONDARY key instead
+    * of landing per-block-quadratic on one reducer:
+    *
+    *  - LENGTH BANDS of width maxDist+1: lev(a,b) ≥ |Δlen|, so a
+    *    matching pair's bands differ by at most one — each left row
+    *    joins only its own band against right-side replicas in
+    *    band−1/band/band+1. Non-adjacent-band pairs (|Δlen| >
+    *    maxDist, the length prefilter's prey) are never GENERATED,
+    *    so a hot block's candidate space drops from m² to
+    *    Σ_k m_k·(m_{k−1}+m_k+m_{k+1}).
+    *  - A PAIR-GRID salt inside each band (the [[Skew.saltedJoin]]
+    *    discipline applied to a self-join): each row draws a
+    *    deterministic id-hash salt s ∈ [0, salts) and the unordered
+    *    pair {x, y} meets in exactly one grid cell
+    *    (min(s_x,s_y), max(s_x,s_y)), so a same-length mega-block's
+    *    residual quadratic work spreads over salts·(salts+1)/2
+    *    reducers instead of one. Salting never changes the pair
+    *    count — bands prune, salts distribute.
+    *
+    * Replication cost (HOT rows only — the hot-key frame is
+    * heavy-hitter-small and broadcasts, as in saltedJoin): left
+    * salts×, right 3·salts×. Cold blocks take the plain single
+    * equi-join, byte-identical to the unsplit form. The output pair
+    * SET is exactly the unsplit one on either path — LinkageSpec
+    * drives a crafted mega-block through both and checks equality
+    * against a driver-side brute force.
     */
   def blockedFuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
-                        blockCol: Column, maxDist: Int): DataFrame = {
+                        blockCol: Column, maxDist: Int,
+                        hotBlockThreshold: Long = 100000L,
+                        salts: Int = 8): DataFrame = {
     require(maxDist >= 0, "maxDist must be non-negative")
-    val a = df.select(col(idCol).as("id_a"), col(nameCol).as("__na"),
+    require(hotBlockThreshold >= 1, "hotBlockThreshold must be positive")
+    require(salts >= 1, "salts must be positive")
+    val w = maxDist + 1
+    val base = df.select(col(idCol).as("__id"), col(nameCol).as("__n"),
       blockCol.as("__blk"))
-    val b = df.select(col(idCol).as("id_b"), col(nameCol).as("__nb"),
-      blockCol.as("__blk"))
-    a.join(b, Seq("__blk"))
+    // heavy-hitter block keys: ≤ n/hotBlockThreshold of them by
+    // definition → one partial-agged aggregate, broadcast to tag
+    val hot = base.groupBy(col("__blk"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > hotBlockThreshold)
+      .select(col("__blk")).withColumn("__hot", lit(1))
+    val tagged = base.join(broadcast(hot), Seq("__blk"), "left")
+      .withColumn("__hot", coalesce(col("__hot"), lit(0)))
+      .withColumn("__band",
+        when(col("__hot") === 1,
+          floor(length(col("__n")) / w).cast("long")).otherwise(lit(0L)))
+      .withColumn("__salt",
+        when(col("__hot") === 1,
+          pmod(xxhash64(col("__id")), lit(salts.toLong))).otherwise(lit(0L)))
+    // the S grid cells a salted row participates in; cold rows pin
+    // cell (0,0) on both sides so they meet exactly once (plain path)
+    def cells(saltC: Column, hotC: Column): Column =
+      when(hotC === 1,
+        array((0 until salts).map(t => struct(
+          least(saltC, lit(t.toLong)).as("i"),
+          greatest(saltC, lit(t.toLong)).as("j"))): _*))
+        .otherwise(array(struct(lit(0L).as("i"), lit(0L).as("j"))))
+    val a = tagged
+      .withColumn("__cell", explode(cells(col("__salt"), col("__hot"))))
+      .select(col("__id").as("id_a"), col("__n").as("__na"),
+        col("__blk"), col("__band").as("__kb"), col("__cell"))
+    val b = tagged
+      .withColumn("__kb", explode(
+        when(col("__hot") === 1,
+          array(col("__band") - 1, col("__band"), col("__band") + 1))
+          .otherwise(array(lit(0L)))))
+      .withColumn("__cell", explode(cells(col("__salt"), col("__hot"))))
+      .select(col("__id").as("id_b"), col("__n").as("__nb"),
+        col("__blk"), col("__kb"), col("__cell"))
+    a.join(b, Seq("__blk", "__kb", "__cell"))
       .filter(col("id_a") < col("id_b"))
       // length prefilter: lev(a,b) ≥ |len(a)−len(b)|, so a pair whose
       // lengths differ by more than the bound can never match — a
       // pure prune (identical output) that skips the O(len·maxDist)
-      // DP on most of the block's pair space (35 s → ~13 s at sf0.1)
+      // DP on most of the block's pair space (35 s → ~13 s at sf0.1);
+      // on the hot path band adjacency already pruned |Δband| ≥ 2
       .filter(abs(length(col("__na")) - length(col("__nb"))) <= maxDist)
       // thresholded levenshtein: -1 the moment the bound is exceeded
       .withColumn("dist", levenshtein(col("__na"), col("__nb"), maxDist))

@@ -26,6 +26,56 @@ class LinkageSpec extends SparkSuite {
     assert(t1 === Set((1L, 2L, 1), (1L, 5L, 0), (2L, 5L, 1)))
   }
 
+  test("blockedFuzzyPairs: crafted mega-block through the hot-block splitter equals the unsplit pair set") {
+    // driver-side brute-force levenshtein — the independent oracle
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // one hot block H (64 rows: exact dupes, 1-2 edits, adjacent
+    // length bands, same-length adversarial cluster) + one cold block
+    val rows: Seq[(Long, String, String)] =
+      (1L to 64L).map { i =>
+        val stem = "entity" + ("x" * (i % 5).toInt) // lengths 6..10
+        val name =
+          if (i % 3 == 0) stem + "q"                // +1 edit / band hop
+          else if (i % 7 == 0) stem.dropRight(1) + "zz" // +2 edits
+          else stem
+        (i, name, "H")
+      } ++ Seq((101L, "acme corp", "C"), (102L, "acme corp.", "C"),
+        (103L, "zenith", "C"))
+    val df = rows.toDF("id", "name", "b")
+    val expected = (for {
+      (ia, na, ba) <- rows; (ib, nb, bb) <- rows
+      if ba == bb && ia < ib
+      d = lev(na, nb) if d <= 2
+    } yield (ia, ib, d)).toSet
+    assert(expected.nonEmpty)
+    val plain = Linkage.blockedFuzzyPairs(df, "id", "name", col("b"),
+        maxDist = 2) // default threshold: everything on the plain path
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // threshold 10 makes H hot (64 rows) while C (3 rows) stays cold
+    val split = Linkage.blockedFuzzyPairs(df, "id", "name", col("b"),
+        maxDist = 2, hotBlockThreshold = 10L, salts = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(plain === expected)
+    assert(split === expected)
+    // degenerate grids still hold: one salt, and maxDist 0 (band = len)
+    val s1 = Linkage.blockedFuzzyPairs(df, "id", "name", col("b"),
+        maxDist = 2, hotBlockThreshold = 10L, salts = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(s1 === expected)
+    val d0 = Linkage.blockedFuzzyPairs(df, "id", "name", col("b"),
+        maxDist = 0, hotBlockThreshold = 10L, salts = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(d0 === expected.filter(_._3 == 0))
+  }
+
   test("blockedFuzzyPairs feeds connectedComponents: entities cluster transitively") {
     val pairs = Linkage.blockedFuzzyPairs(recs, "id", "name", blk, maxDist = 2)
       .select(col("id_a"), col("id_b"))
