@@ -22,10 +22,10 @@ object ExplainAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
-        "fact_lineitem", "cdc_incremental_filter", "events_sessions", "dedup_minhash",
+        "fact_lineitem", "cdc_incremental_filter", "events_sessions", "dedup_minhash_md5",
         "asof_last_view", "range_join_sessions", "dedup_embedding_lsh",
         "curation_pipeline", "dedup_ngram_jaccard", "doc_tfidf",
-        "doc_shared_runs", "sample_temperature", "doc_pii_redact",
+        "doc_shared_runs_md5", "sample_temperature", "doc_pii_redact",
         "events_funnel", "events_retention", "doc_chunk",
         "doc_bigram_surprisal", "dedup_minhash_incr_md5",
         "corpus_top_terms_approx", "events_funnel_windowed",

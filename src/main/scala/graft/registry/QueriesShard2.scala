@@ -1,0 +1,877 @@
+package graft
+
+import graft.operators._
+import graft.pipeline.{Analytics, Dag, DayReplay, IncrementalModel, Models, Schedule}
+import graft.sources.SchemaEvolution
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.EntryHelpers._
+
+/** Query-registry shard 2/5 — split out of the 11k-line
+  * SparkEntry (r11 verdict ask #8). Entries are VERBATIM (wave order
+  * preserved); [[SparkEntry.queries]] composes the shards. */
+private[graft] object QueriesShard2 {
+  val m: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- streaming stratified sampler, graded batch-side (§2.6) ----
+    // two days land as microbatches, then an at-least-once replay of
+    // early docs (must bump no version); the current view (max version
+    // per stratum) is graded against the SAME full-corpus xxHash64
+    // ranking oracle as the batch sampler — streaming state ≡ batch
+    // operator over everything seen
+    "stream_stratified_sample" -> ((s, d) => {
+      val base = graft.TempDirs.create("graft_stream_ss")
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      docs.filter(col("doc_id") < 250).write.parquet(inDir)
+      withShufflePartitions(s, 4) {
+        val stream = s.readStream.schema(docs.schema).parquet(inDir)
+        val q = graft.streaming.EventStream.sampleTopN(stream, "doc_id", "lang", n = 100)
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+        try {
+          q.processAllAvailable() // day 1
+          docs.filter(col("doc_id") >= 250).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // day 2
+          docs.filter(col("doc_id") < 50).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // redelivery: idempotent no-op
+        } finally q.stop()
+      }
+      val out = s.read.parquet(outDir)
+      val mx = out.groupBy(col("stratum")).agg(max(col("version")).as("version"))
+      out.join(mx, Seq("stratum", "version"))
+        .select(col("id").as("doc_id"), col("stratum").as("lang"), col("rank"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
+    // streaming WEIGHTED sampler (r8-cont): same two-day + redelivery
+    // runner as stream_stratified_sample; streaming state ≡ the batch
+    // per-stratum PPS operator over everything seen, so the oracle is
+    // the SAME per-stratum ξ ranking replay
+    "stream_weighted_sample" -> ((s, d) => {
+      val base = graft.TempDirs.create("graft_stream_ws")
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.filter(col("doc_id") < 250).write.parquet(inDir)
+      withShufflePartitions(s, 4) {
+        val stream = s.readStream.schema(docs.schema).parquet(inDir)
+        val q = graft.streaming.EventStream.sampleWeightedTopN(stream,
+            "doc_id", "lang", "n_chars", n = 50)
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+        try {
+          q.processAllAvailable() // day 1
+          docs.filter(col("doc_id") >= 250).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // day 2
+          docs.filter(col("doc_id") < 50).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // redelivery: idempotent no-op
+        } finally q.stop()
+      }
+      val out = s.read.parquet(outDir)
+      val mx = out.groupBy(col("stratum")).agg(max(col("version")).as("version"))
+      out.join(mx, Seq("stratum", "version"))
+        .select(col("id").as("doc_id"), col("stratum").as("lang"), col("rank"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
+    // streaming ingest-time NEAR-DUP gate (r11): the REAL
+    // nearDupGate stream run over two id-split document microbatches
+    // with the md5-portable shingle hash, graded on the final
+    // VersionedGroup corpus table. The two-stage semantics are NOT
+    // the batch pairs-losers run: a day-2 doc whose only near-dup
+    // was itself gated out on day 1 SURVIVES (its loser never
+    // entered the index) — the oracle encodes exactly that, deriving
+    // day-1 losers from pairs wholly inside day 1, then day-2 losers
+    // from pairs whose earlier side survived day 1 or is intra-day-2
+    "stream_neardup_gate" -> ((s, d) => {
+      val base = graft.TempDirs.create("graft_stream_ng")
+      val inDir = s"$base/in"; val root = s"$base/store"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      docs.filter(col("doc_id") < 250).write.parquet(inDir)
+      withShufflePartitions(s, 4) {
+        val stream = s.readStream.schema(docs.schema).parquet(inDir)
+        val q = graft.streaming.EventStream.nearDupGate(stream, root,
+          s"$base/ckpt", "doc_id", "text", n = 3, numHashes = 32,
+          bands = 16, threshold = 0.5,
+          shingleHash = functions.Text.portableHash60)
+        try {
+          q.processAllAvailable() // day 1: bootstrap commit
+          docs.filter(col("doc_id") >= 250).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // day 2: checked against the index
+        } finally q.stop()
+      }
+      graft.sources.VersionedGroup.read(s, root, "docs")
+        .orderBy(col("doc_id"))
+    }),
+
+    // streaming SEGMENT-dedup gate (r11): the REAL segmentDedupGate
+    // stream over the same two id-split microbatches plus a full
+    // redelivery of early docs (deterministically a no-op: surviving
+    // ids anti-join out on the corpus frame, dropped docs' segments
+    // are all in the index). Because batches split on ascending
+    // doc_id and the batch operator's keep-first rule orders by
+    // (doc_id, seg_no), the gate's final corpus EQUALS the
+    // full-corpus batch segmentDedup restricted to its survivors —
+    // the oracle is the dedup_segments oracle with the
+    // dropped-boilerplate docs filtered out
+    "stream_segdedup_gate" -> ((s, d) => {
+      val base = graft.TempDirs.create("graft_stream_sg")
+      val inDir = s"$base/in"; val root = s"$base/store"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      docs.filter(col("doc_id") < 250).write.parquet(inDir)
+      withShufflePartitions(s, 4) {
+        val stream = s.readStream.schema(docs.schema).parquet(inDir)
+        val q = graft.streaming.EventStream.segmentDedupGate(stream, root,
+          s"$base/ckpt", "doc_id", "text", window = 20)
+        try {
+          q.processAllAvailable() // day 1: bootstrap commit
+          docs.filter(col("doc_id") >= 250).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // day 2: deduped against the index
+          docs.filter(col("doc_id") < 50).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // redelivery: idempotent no-op
+        } finally q.stop()
+      }
+      graft.sources.VersionedGroup.read(s, root, "docs")
+        .orderBy(col("doc_id"))
+    }),
+
+    // streaming k-NN weak-labeling door (r11): the REAL knnLabelDoor
+    // stream over two id-split microbatches of unlabeled vectors
+    // plus a redelivery (no-op). The labeled seed corpus is FIXED
+    // and predictions never feed back into the vote, so the output
+    // is batch-split invariant — the oracle is ann_knn_label's vote
+    // replay verbatim
+    "stream_knn_label" -> ((s, d) => {
+      val base = graft.TempDirs.create("graft_stream_kl")
+      val inDir = s"$base/in"; val root = s"$base/store"
+      val embs = Tables.embeddings(s, d)
+      val labeled = embs.filter(col("vec_id") % 50 =!= 0)
+      val unlabeled = embs.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("embedding"))
+      unlabeled.filter(col("vec_id") < 250).write.parquet(inDir)
+      withShufflePartitions(s, 4) {
+        val stream = s.readStream.schema(unlabeled.schema).parquet(inDir)
+        val q = graft.streaming.EventStream.knnLabelDoor(stream, labeled,
+          root, s"$base/ckpt", "vec_id", "embedding", "label", k = 10)
+        try {
+          q.processAllAvailable() // day 1
+          unlabeled.filter(col("vec_id") >= 250).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // day 2: same static seed corpus
+          unlabeled.filter(col("vec_id") < 250).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // redelivery: idempotent no-op
+        } finally q.stop()
+      }
+      graft.sources.VersionedGroup.read(s, root, "labels")
+        .orderBy(col("vec_id"))
+    }),
+
+    // streaming ingest-time DECONTAMINATION gate (r11): the REAL
+    // decontamGate stream over two id-split training microbatches
+    // plus a full redelivery (no-op). The eval gram index is STATIC,
+    // so unlike the near-dup gate the final corpus is batch-split
+    // invariant — the oracle is simply "train docs minus those
+    // sharing ≥3 trigrams with any eval doc"
+    // streaming banned-phrase gate (r11): batch-local positional
+    // index per microbatch (per-doc predicate ⇒ batch-split
+    // invariant); two days + a redelivery, survivors versioned
+    "stream_phrase_gate" -> ((s, d) => {
+      val base = graft.TempDirs.create("graft_stream_ph")
+      val inDir = s"$base/in"; val root = s"$base/store"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      docs.filter(col("doc_id") < 250).write.parquet(inDir)
+      withShufflePartitions(s, 4) {
+        val stream = s.readStream.schema(docs.schema).parquet(inDir)
+        val q = graft.streaming.EventStream.phraseGate(stream,
+          Seq(Seq("table", "table"), Seq("value", "table")),
+          root, s"$base/ckpt", "doc_id", "text")
+        try {
+          q.processAllAvailable() // day 1: bootstrap commit
+          docs.filter(col("doc_id") >= 250).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // day 2: same fixed phrase list
+          docs.filter(col("doc_id") < 50).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // redelivery: idempotent no-op
+        } finally q.stop()
+      }
+      graft.sources.VersionedGroup.read(s, root, "docs")
+        .orderBy(col("doc_id"))
+    }),
+
+    "stream_decontam_gate" -> ((s, d) => {
+      val base = graft.TempDirs.create("graft_stream_dc")
+      val inDir = s"$base/in"; val root = s"$base/store"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val evalIdx = graft.operators.Dedup.evalGramIndex(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 3)
+      train.filter(col("doc_id") < 250).write.parquet(inDir)
+      withShufflePartitions(s, 4) {
+        val stream = s.readStream.schema(docs.schema).parquet(inDir)
+        val q = graft.streaming.EventStream.decontamGate(stream, evalIdx,
+          root, s"$base/ckpt", "doc_id", "text", n = 3, minCommon = 3)
+        try {
+          q.processAllAvailable() // day 1: bootstrap commit
+          train.filter(col("doc_id") >= 250).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // day 2: checked against the same index
+          train.filter(col("doc_id") < 50).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // redelivery: idempotent no-op
+        } finally q.stop()
+      }
+      graft.sources.VersionedGroup.read(s, root, "docs")
+        .orderBy(col("doc_id"))
+    }),
+
+    // clustered write → per-file stats manifest → driver-side
+    // file-pruned read (r8-cont): the graded query drives the whole
+    // data-skipping path end to end — prunedRead ≡ the plain filtered
+    // read, so the oracle is ordinary SQL over the same rows. Fresh
+    // temp dir per invocation (idempotent re-runs)
+    "clustered_prune_read" -> ((s, d) => {
+      val dir = graft.TempDirs.create("graft_prune_")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      graft.sources.Sink.clusteredWrite(o, dir, Seq("o_totalprice"), numFiles = 16)
+      graft.sources.Sink.writeFileStats(s, dir, Seq("o_totalprice"))
+      graft.sources.Sink.prunedRead(s, dir, "o_totalprice", 50000.0, 100000.0)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // z-order 2D data skipping (r8 wave 3): the SAME table answers a
+    // two-column box query through the interleaved-bit layout +
+    // per-file stats; oracle = the plain filtered scan (layout is
+    // invisible in results)
+    "zorder_prune_read" -> ((s, d) => {
+      val dir = graft.TempDirs.create("graft_zorder_")
+      val l = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      graft.sources.Sink.zorderWrite(l, dir, Seq("l_partkey", "l_suppkey"),
+        numFiles = 16)
+      graft.sources.Sink.writeFileStats(s, dir, Seq("l_partkey", "l_suppkey"))
+      graft.sources.Sink.prunedReadMulti(s, dir,
+          Seq(("l_partkey", 100L, 400L), ("l_suppkey", 10L, 40L)))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+            .as("sum_qty"))
+    }),
+
+    // small-file compaction graded end-to-end (r9): a deliberately
+    // fragmented copy of orders (64 shards) is compacted through the
+    // checked-rename swap; the entry eagerly requires the file count
+    // actually DROPPED (a no-op compaction fails the gate), and the
+    // graded output is the post-maintenance table content — the row
+    // set a daily maintenance run must never change
+    "sink_compact" -> ((s, d) => {
+      // subpath of the pre-created temp dir: the bootstrap write below
+      // uses default ErrorIfExists mode, which must target a
+      // not-yet-existing path (TempDirs.create pre-creates its dir)
+      val dir = graft.TempDirs.create("graft_compact_") + "/t"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .repartition(64).write.parquet(dir)
+      val nAfter = graft.sources.Sink.compact(s, dir, targetBytes = 64L << 20)
+      require(nAfter < 64, s"compaction was a no-op: $nAfter files")
+      s.read.parquet(dir)
+        .orderBy(col("o_orderkey"))
+    }),
+    // range-clustered write graded end-to-end (r9): orders clustered
+    // on o_orderdate into 8 sorted files; the entry eagerly requires
+    // the files own DISJOINT key ranges (the property all three
+    // pruning levels hang off) and grades the table content — the
+    // layout must be invisible in the row set
+    "sink_clustered_write" -> ((s, d) => {
+      val dir = graft.TempDirs.create("graft_clustered_")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice"))
+      val n = graft.sources.Sink.clusteredWrite(o, dir, Seq("o_orderdate"),
+        numFiles = 8)
+      require(n > 1 && n <= 8, s"unexpected file count: $n")
+      // disjoint ranges: sort files by min date — each file's min must
+      // be strictly after the previous file's max (equal keys never
+      // span files by range-partitioning construction)
+      val ranges = s.read.parquet(dir)
+        .groupBy(col("_metadata.file_path"))
+        .agg(min(col("o_orderdate")).as("lo"), max(col("o_orderdate")).as("hi"))
+        .orderBy(col("lo"))
+        .collect()
+      ranges.sliding(2).foreach {
+        case Array(a, b) =>
+          // ISO date/datetime strings compare lexically
+          require(b.getAs[Any]("lo").toString > a.getAs[Any]("hi").toString,
+            s"overlapping file ranges: $a vs $b")
+        case _ => ()
+      }
+      s.read.parquet(dir)
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- r9: the daily-maintenance write paths, graded end-to-end ----
+    // (each was spec-only until now; the graded output is always the
+    // READ-BACK table content — what a downstream consumer sees)
+
+    // keyed parquet upsert through the checked-rename swap: updates
+    // replace their keys (latest tracking wins), new keys append
+    "sink_upsert" -> ((s, d) => {
+      // subpath for the same ErrorIfExists-bootstrap reason as
+      // sink_compact above
+      val dir = graft.TempDirs.create("graft_upsert_") + "/t"
+      val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderdate"))
+      base.write.parquet(dir)
+      val updates = base.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        .withColumn("o_orderdate", lit("1999-12-31 00:00:00").cast("timestamp"))
+        .unionByName(base.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+      graft.sources.Sink.upsert(s, dir, updates, Seq("o_orderkey"), "o_orderdate")
+      s.read.parquet(dir).orderBy(col("o_orderkey"))
+    }),
+
+    // JDBC APPEND into a live warehouse (r10): bootstrap load creates
+    // the table, a second append ACCUMULATES (no dedup, no replace) —
+    // graded on the read-back through the same JDBC source, so type
+    // round-tripping (BIGINT/DOUBLE/VARCHAR/TIMESTAMP) is in scope
+    "sink_jdbc_append" -> ((s, d) => {
+      val db = "ja" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val url = s"jdbc:derby:memory:$db;create=true"
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      graft.sources.Sink.jdbcAppend(base, url, "wh_orders")
+      graft.sources.Sink.jdbcAppend(
+        base.filter(col("o_orderkey") % 3 === 0), url, "wh_orders")
+      derbySnapshotAndDrop(s, url, db, "wh_orders", "graft_ja_")
+        .orderBy(col("o_orderkey"), col("o_custkey"))
+    }),
+
+    // JDBC truncate+insert full refresh (r10): a full load then an
+    // overwrite with the post-cutoff slice — the read-back must be
+    // the second slice ONLY (base_loader.py full-load semantics)
+    "sink_jdbc_overwrite" -> ((s, d) => {
+      val db = "jo" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val url = s"jdbc:derby:memory:$db;create=true"
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      graft.sources.Sink.jdbcOverwrite(base, url, "wh_orders")
+      graft.sources.Sink.jdbcOverwrite(
+        base.filter(col("o_orderdate") > lit("1998-01-01 00:00:00").cast("timestamp")),
+        url, "wh_orders")
+      derbySnapshotAndDrop(s, url, db, "wh_orders", "graft_jo_")
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // JDBC staged UPSERT into a live warehouse (r11): the reference's
+    // incremental-load protocol run end-to-end against embedded Derby
+    // — bootstrap creates the table from the batch, the delta stages
+    // into a temp table and merges SET-BASED inside the warehouse
+    // (keyed delete + insert, one transaction). Graded on the
+    // read-back: updated keys carry the delta's values (latest
+    // tracking wins), new keys append, and no key appears twice —
+    // the same post-maintenance content sink_upsert grades on the
+    // parquet path
+    "sink_jdbc_upsert" -> ((s, d) => {
+      val db = "ju" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val url = s"jdbc:derby:memory:$db;create=true"
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      graft.sources.Sink.jdbcUpsert(base, url, "wh_orders",
+        Seq("o_orderkey"), "o_orderdate")
+      val delta = base.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        .withColumn("o_orderdate", lit("1999-12-31 00:00:00").cast("timestamp"))
+        .unionByName(base.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+      graft.sources.Sink.jdbcUpsert(delta, url, "wh_orders",
+        Seq("o_orderkey"), "o_orderdate")
+      derbySnapshotAndDrop(s, url, db, "wh_orders", "graft_ju_")
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // partitioned JDBC INCREMENTAL extract from a live warehouse
+    // (r12, verdict ask #7 — the last ungraded reference extract
+    // path): orders seeded into embedded Derby, then read back via
+    // Sources.jdbcIncremental — 8 concurrent o_orderkey stripes, the
+    // watermark predicate COMPILED INTO each stripe's remote WHERE
+    // (postgres_loader.py extract_data semantics with no paging
+    // loop). The stripe count and the pushed filter are ASSERTED on
+    // the live plan (8 scan partitions; GreaterThan on the tracking
+    // column in PushedFilters), then the delta is snapshotted off
+    // Derby so the DB drops eagerly. The oracle replays the same
+    // watermark over the parquet orders — grading that the striped
+    // live-warehouse read returns exactly the delta.
+    "source_jdbc_partitioned" -> ((s, d) => {
+      val db = "jp" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val url = s"jdbc:derby:memory:$db;create=true"
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      graft.sources.Sink.jdbcAppend(base, url, "wh_orders")
+      val delta = graft.sources.Sources.jdbcIncremental(s, url, "wh_orders",
+        trackingCol = "o_orderdate",
+        lastValue = lit("1998-01-01 00:00:00").cast("timestamp"),
+        partitionCol = "o_orderkey", lowerBound = 0L,
+        upperBound = 1L << 20, numPartitions = 8)
+      require(delta.rdd.getNumPartitions == 8,
+        s"expected 8 JDBC stripes, got ${delta.rdd.getNumPartitions}")
+      val plan = delta.queryExecution.executedPlan.toString()
+      require(plan.contains("PushedFilters")
+          && plan.toUpperCase.contains("GREATERTHAN(O_ORDERDATE"),
+        "watermark predicate did not reach the JDBC scan")
+      val snap = graft.TempDirs.create("graft_jp_") + "/snap"
+      delta.write.parquet(snap)
+      graft.sources.Sink.dropDerbyInMemory(db)
+      s.read.parquet(snap).orderBy(col("o_orderkey"))
+    }),
+
+    // dynamic partition overwrite: the delta touches ONE partition
+    // (1-URGENT, halved to even keys, doubled price); every other
+    // partition must come through byte-identical
+    "sink_dynamic_overwrite" -> ((s, d) => {
+      val dir = graft.TempDirs.create("graft_dynow_")
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+      graft.sources.Sink.partitioned(base, dir, Seq("o_orderpriority"))
+      val delta = base
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+      graft.sources.Sink.overwritePartitions(delta, dir, Seq("o_orderpriority"))
+      s.read.parquet(dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // truncate+insert full load, run TWICE: converging on re-run is
+    // the property that makes it safe to schedule
+    "cdc_full_snapshot" -> ((s, d) => {
+      val dir = graft.TempDirs.create("graft_fullload_")
+      Cdc.fullLoad(Models.stgCustomer(s, d), dir)
+      Cdc.fullLoad(Models.stgCustomer(s, d), dir)
+      s.read.parquet(dir).orderBy(col("customer_id"))
+    }),
+
+    // dbt is_incremental() materialization end-to-end: bootstrap full
+    // load, watermark append, and a third pass that must append
+    // NOTHING (the target's own max(ts) is the progress record)
+    "incr_model_materialize" -> ((s, d) => {
+      val dir = graft.TempDirs.create("graft_incrmodel_") + "/t"
+      val ev = eventCols(Tables.events(s, d))
+      val cutoff = lit(CdcCutoff).cast("timestamp")
+      val n1 = IncrementalModel.run(s, ev.filter(col("ts") <= cutoff), dir, "ts")
+      val n2 = IncrementalModel.run(s, ev, dir, "ts")
+      val n3 = IncrementalModel.run(s, ev, dir, "ts")
+      require(n1 > 0 && n2 > 0 && n3 == 0,
+        s"incremental passes not incremental: $n1/$n2/$n3")
+      s.read.parquet(dir).orderBy(col("event_id"))
+    }),
+
+    // staged extract → manifest commit → load → loaded marker, with
+    // both restart windows exercised: the re-stage returns the
+    // committed manifest without re-extracting, the re-load no-ops
+    "staged_load" -> ((s, d) => {
+      val root = graft.TempDirs.create("graft_staged_")
+      val staging = s"$root/staging"; val target = s"$root/target"
+      val src = Models.stgCustomer(s, d)
+      val m1 = graft.sources.Staging.stage(src, staging, "batch_001",
+        Some("customer_id"))
+      val m2 = graft.sources.Staging.stage(src, staging, "batch_001",
+        Some("customer_id"))
+      require(m1.rows == m2.rows && m1.watermark == m2.watermark,
+        s"re-stage diverged: $m1 vs $m2")
+      require(graft.sources.Staging.pending(s, staging) == Seq("batch_001"),
+        "staged batch not pending")
+      val loaded = graft.sources.Staging.loadStaged(s, staging, "batch_001")(
+        df => graft.sources.Sink.fullOverwrite(df, target))
+      require(loaded, "first load must run")
+      require(!graft.sources.Staging.loadStaged(s, staging, "batch_001")(
+        df => graft.sources.Sink.fullOverwrite(df, target)),
+        "replayed load must no-op")
+      s.read.parquet(target).orderBy(col("customer_id"))
+    }),
+
+    // versioned table: commit v1, upsert to v2, then time-travel —
+    // BOTH versions graded from one immutable table
+    // data-contract compatibility gate (r11): the schema-only check
+    // a load runs before any data movement — one batch exercising
+    // all five classifications (unchanged / widened / changed /
+    // removed / added); the oracle states the verdict table
+    // literally, proving the classification rules, not a data pass
+    "schema_compat_report" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val contract = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("value", DoubleType), StructField("event_type", StringType),
+        StructField("ts", TimestampType)))
+      val incoming = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("user_id", IntegerType),  // widened: int ⊂ bigint
+        StructField("value", StringType),     // changed: lossy drift
+        StructField("event_type", StringType),
+        StructField("props", StringType)))    // added; ts removed
+      graft.sources.SchemaEvolution.compatReport(s, contract, incoming)
+        .orderBy(col("column"))
+    }),
+
+    // storage-reclaim vacuum graded end-to-end (r11): three committed
+    // versions, vacuum keeps only the head — the entry eagerly
+    // requires segment dirs were actually removed AND the vacuumed
+    // version is no longer readable, then grades the head content
+    // (the row set maintenance must never change)
+    "versioned_vacuum" -> ((s, d) => {
+      val dir = graft.TempDirs.create("graft_vac_")
+      val base = Models.stgCustomer(s, d).select(col("customer_id"),
+        col("customer_name"), col("account_balance"))
+      require(graft.sources.Versioned.commit(base, dir) == 1)
+      require(graft.sources.Versioned.commit(
+        base.withColumn("account_balance", col("account_balance") + 10.0),
+        dir, replace = true) == 2)
+      require(graft.sources.Versioned.commit(
+        base.filter(col("customer_id") % 2 === 0)
+          .withColumn("account_balance", col("account_balance") * 2.0),
+        dir, replace = true) == 3)
+      val removed = graft.sources.Versioned.vacuum(s, dir,
+        keepVersions = 1, retentionMs = 0L)
+      require(removed >= 2, s"vacuum removed only $removed segment dirs")
+      val v1Gone =
+        try { graft.sources.Versioned.read(s, dir, Some(1)).count(); false }
+        catch { case _: Exception => true }
+      require(v1Gone, "vacuumed version 1 is still readable")
+      graft.sources.Versioned.read(s, dir).orderBy(col("customer_id"))
+    }),
+
+    "versioned_time_travel" -> ((s, d) => {
+      val dir = graft.TempDirs.create("graft_vtt_")
+      val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
+      val t1 = lit("2026-02-01 00:00:00").cast("timestamp")
+      val base = Models.stgCustomer(s, d).select(col("customer_id"),
+        col("customer_name"), col("account_balance"), col("market_segment"))
+      val v1rows = base.filter(col("customer_id") % 2 === 0)
+        .withColumn("updated_at", t0)
+      val v1 = graft.sources.Versioned.commit(v1rows, dir)
+      require(v1 == 1, s"expected version 1, got $v1")
+      val updates = base.filter(col("customer_id") % 4 === 0)
+        .withColumn("account_balance", col("account_balance") + 1000.0)
+        .withColumn("updated_at", t1)
+        .unionByName(base
+          .filter(col("customer_id") % 2 === 1 && col("customer_id") % 3 === 0)
+          .withColumn("updated_at", t1))
+      val v2 = graft.sources.Versioned.upsert(updates, dir,
+        Seq("customer_id"), "updated_at")
+      require(v2 == 2, s"expected version 2, got $v2")
+      graft.sources.Versioned.read(s, dir, Some(1))
+        .withColumn("version_tag", lit("v1"))
+        .unionByName(graft.sources.Versioned.read(s, dir, Some(2))
+          .withColumn("version_tag", lit("v2")))
+        .orderBy(col("version_tag"), col("customer_id"))
+    }),
+
+    // bucketed fact + dim on the join key: the join itself must plan
+    // with ZERO exchanges (broadcast disabled while checking — AQE
+    // would otherwise hide the shuffle question at small SF)
+    "bucketed_join" -> ((s, d) => {
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val factT = s"bj_fact_$tag"; val dimT = s"bj_dim_$tag"
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+        col("c_mktsegment"))
+      graft.sources.Sink.bucketedTable(o, factT, "o_custkey", 8)
+      graft.sources.Sink.bucketedTable(c, dimT, "c_custkey", 8)
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val j = s.table(factT)
+          .join(s.table(dimT), col("o_custkey") === col("c_custkey"))
+        val plan = j.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange"),
+          s"bucketed join still plans an exchange:\n$plan")
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      s.table(factT).join(s.table(dimT), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // orchestrated mart build: Dag.run drives staging → mart through
+    // real parquet hops; the graded output is the mart the graph built
+    "dag_run_mart" -> ((s, d) => {
+      val root = graft.TempDirs.create("graft_dag_")
+      val stg = s"$root/stg_customer"; val mart = s"$root/dim_customer"
+      val nodes = Seq(
+        Dag.Node("stg_customer", Nil, () =>
+          Models.stgCustomer(s, d).write.parquet(stg), group = "staging"),
+        Dag.Node("dim_customer", Seq("stg_customer"), () => {
+          val c = s.read.parquet(stg)
+          val n = Tables.nation(s, d).select(col("n_nationkey"),
+            col("n_name").as("nation_name"), col("n_regionkey"))
+          val r = Tables.region(s, d).select(col("r_regionkey"),
+            col("r_name").as("region_name"))
+          c.join(broadcast(n), c("nation_id") === n("n_nationkey"), "left")
+            .join(broadcast(r), col("n_regionkey") === r("r_regionkey"), "left")
+            .select(c("customer_id"), c("customer_name"),
+              concat(c("customer_name"), lit(" ["), c("market_segment"),
+                lit("]")).as("display_name"),
+              c("account_balance"), c("market_segment"),
+              col("nation_name"), col("region_name"))
+            .write.parquet(mart)
+        }, group = "marts"))
+      val statuses = Dag.run(nodes)
+      require(statuses.values.forall(_ == Dag.Succeeded),
+        s"dag did not complete cleanly: $statuses")
+      s.read.parquet(mart).orderBy(col("customer_id"))
+    }),
+
+    // cron-schedule replay (r10): two Schedule.step windows over a
+    // real three-job graph — the reference's per-table cadences
+    // (all_schedules.py) driven end to end. Window 1 fires the daily
+    // extract (01:40 Lagos) + mart (02:00) but NOT the Sunday report
+    // (Jan 1 2026 is a Thursday); window 2 spans THREE missed daily
+    // ticks plus the Sunday tick, and the catch-up contract folds
+    // each job into ONE run (idempotent delete+insert loaders). The
+    // graded mart carries run_seq, so a scheduler that double-fires
+    // a folded tick, skips a due job, or breaks dependency order
+    // changes the table — hash-graded against the two watermark
+    // slices stated directly in SQL.
+    // partitioned backfill (r11): the Dagster "backfill a partition
+    // range" operation — the daily mart's whole history rebuilt as
+    // 2-day chunk runs through dynamic partition overwrite, then the
+    // FIRST chunk deliberately relaunched (a retry) — the graded
+    // read-back must equal the one-shot full rebuild exactly
+    "pipeline_backfill" -> ((s, d) => {
+      val dir = graft.TempDirs.create("graft_backfill_") + "/t"
+      val ev = eventCols(Tables.events(s, d))
+      val mart = (slice: DataFrame) => slice
+        .groupBy(col("ts").cast("date").as("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+      // calendar bounds from the source: two bounded driver scalars
+      val r = ev.agg(min(col("ts").cast("date")).cast("string"),
+        max(col("ts").cast("date")).cast("string")).head()
+      val runs = graft.pipeline.Backfill.runDaily(s, ev, "ts", mart, dir,
+        "event_date", r.getString(0), r.getString(1), chunkDays = 2)
+      require(runs.nonEmpty && runs.map(_.rows).sum > 0,
+        "backfill landed nothing")
+      // idempotency: relaunch chunk 1 — the table must not change
+      graft.pipeline.Backfill.runChunk(s, ev, "ts", mart, dir,
+        "event_date", runs.head.fromDay, runs.head.toDay)
+      s.read.parquet(dir)
+        .select(col("event_date").cast("timestamp").as("event_date"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("event_date"), col("event_type"))
+    }),
+    "pipeline_schedule_replay" -> ((s, d) => {
+      val root = graft.TempDirs.create("graft_sched_")
+      val stg = s"$root/stg_orders"; val mart = s"$root/mart_revenue"
+      val cutoffs = Iterator("1995-06-30 00:00:00", "1996-12-31 00:00:00")
+      var runSeq = 0
+      def staged = s.read.parquet(stg)
+      def revenueByPriority(df: DataFrame) = df
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+      val nodes = Seq(
+        Dag.Node("extract_orders", Nil, () => {
+          require(cutoffs.hasNext, "extract fired more often than its ticks")
+          runSeq += 1
+          Tables.orders(s, d)
+            .filter(col("o_orderdate") <= lit(cutoffs.next()).cast("timestamp"))
+            .write.mode("overwrite").parquet(stg)
+        }, group = "sources"),
+        Dag.Node("mart_revenue", Seq("extract_orders"), () =>
+          revenueByPriority(staged)
+            .withColumn("run_seq", lit(runSeq).cast("long"))
+            .write.mode("append").parquet(mart), group = "marts"),
+        Dag.Node("weekly_report", Seq("mart_revenue"), () =>
+          revenueByPriority(staged)
+            .agg(sum(col("n")).as("n"),
+              sum(col("revenue").cast("decimal(18,2)")).cast("double")
+                .as("revenue"))
+            .select(lit("__TOTAL__").as("o_orderpriority"), col("n"),
+              col("revenue"), lit(runSeq).cast("long").as("run_seq"))
+            .write.mode("append").parquet(mart), group = "reports"))
+      val lagos = java.time.ZoneId.of("Africa/Lagos")
+      val specs = Seq(
+        Schedule.CronSpec("extract_orders", "40 1 * * *", lagos),
+        Schedule.CronSpec("mart_revenue", "0 2 * * *", lagos),
+        Schedule.CronSpec("weekly_report", "0 3 * * 0", lagos))
+      val st1 = Schedule.step(nodes, specs,
+        java.time.Instant.parse("2026-01-01T00:00:00Z"),
+        java.time.Instant.parse("2026-01-01T01:30:00Z"))
+      require(st1.keySet == Set("extract_orders", "mart_revenue") &&
+        st1.values.forall(_ == Dag.Succeeded),
+        s"window 1 expected extract+mart only, got $st1")
+      val st2 = Schedule.step(nodes, specs,
+        java.time.Instant.parse("2026-01-01T01:30:00Z"),
+        java.time.Instant.parse("2026-01-04T02:00:00Z"))
+      require(st2.keySet ==
+        Set("extract_orders", "mart_revenue", "weekly_report") &&
+        st2.values.forall(_ == Dag.Succeeded),
+        s"window 2 expected all three jobs, got $st2")
+      s.read.parquet(mart).orderBy(col("run_seq"), col("o_orderpriority"))
+    }),
+
+    // N-snapshot SCD2 fold: three scheduled snapshot merges (with a
+    // lineage checkpoint mid-fold) must converge to the change-log
+    // window construction the oracle states directly
+    "scd2_mergeall_fold" -> ((s, d) => {
+      val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
+      val t1 = lit("2026-02-01 00:00:00").cast("timestamp")
+      val t2 = lit("2026-03-01 00:00:00").cast("timestamp")
+      val t3 = lit("2026-04-01 00:00:00").cast("timestamp")
+      val s0 = Models.stgCustomer(s, d).select(col("customer_id"),
+        col("customer_name"), col("account_balance"), col("market_segment"))
+      val history0 = s0.withColumn(Scd2.ValidFrom, t0)
+        .withColumn(Scd2.ValidTo, lit(null).cast("timestamp"))
+      val snap1 = s0.withColumn("market_segment",
+        when(col("customer_id") % 5 === 0, lit("SEG_T1"))
+          .otherwise(col("market_segment")))
+      val snap2 = snap1.withColumn("account_balance",
+        when(col("customer_id") % 3 === 0, col("account_balance") + 100.0)
+          .otherwise(col("account_balance")))
+      val snap3 = snap2.withColumn("market_segment",
+        when(col("customer_id") % 7 === 0, lit("SEG_T3"))
+          .otherwise(col("market_segment")))
+      Scd2.mergeAll(history0, Seq((snap1, t1), (snap2, t2), (snap3, t3)),
+          Seq("customer_id"),
+          Seq("customer_name", "account_balance", "market_segment"),
+          checkpointEvery = 2)
+        .orderBy(col("customer_id"), col("valid_from"))
+    }),
+
+    // PERMISSIVE quarantine split (r8): bad records neither kill the
+    // load nor vanish — schema-true rows parse, failures keep their
+    // raw text for replay; graded via a VALUES-literal oracle over a
+    // deterministic crafted file
+    // non-parquet source/sink roundtrips (r11): orders written
+    // through each format and read back via the schema-enforced
+    // readers — the oracle is the parquet table itself, so ANY
+    // serialization loss (timestamp precision, float text
+    // round-trip, header/quoting) fails the hash. Text formats pin
+    // an explicit microsecond timestampFormat on BOTH sides (the
+    // schema-at-read discipline: never trust format defaults).
+    "source_orc_roundtrip" -> ((s, d) => {
+      val dir = graft.TempDirs.create("graft_orc") + "/t"
+      val o = Tables.orders(s, d)
+      o.write.orc(dir)
+      graft.sources.Sources.orc(s, dir, o.schema)
+        .orderBy(col("o_orderkey"))
+    }),
+    "source_csv_roundtrip" -> ((s, d) => {
+      val dir = graft.TempDirs.create("graft_csvrt") + "/t"
+      val o = Tables.orders(s, d)
+      val tf = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      o.write.option("header", "true").option("timestampFormat", tf)
+        .csv(dir)
+      graft.sources.Sources.csv(s, dir, o.schema,
+          options = Map("timestampFormat" -> tf))
+        .orderBy(col("o_orderkey"))
+    }),
+    "source_jsonl_roundtrip" -> ((s, d) => {
+      val dir = graft.TempDirs.create("graft_jsonrt") + "/t"
+      val o = Tables.orders(s, d)
+      val tf = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      o.write.option("timestampFormat", tf).json(dir)
+      graft.sources.Sources.jsonl(s, dir, o.schema,
+          options = Map("timestampFormat" -> tf))
+        .orderBy(col("o_orderkey"))
+    }),
+    "source_quarantine" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val dir = graft.TempDirs.create("graft_quar")
+      val lines = Seq(
+        """{"id": 1, "name": "alpha", "qty": 10}""",
+        """{"id": 2, "name": "beta", "qty": 20}""",
+        """this is not json""",
+        """{"id": "x", "name": "gamma", "qty": 3}""",
+        """{"id": 4, "qty": 40}""")
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "batch.jsonl"),
+        String.join("\n", lines: _*).getBytes("UTF-8"))
+      val schema = StructType(Seq(StructField("id", LongType),
+        StructField("name", StringType), StructField("qty", LongType)))
+      val (good, quarantine) = graft.sources.Sources.readQuarantined(
+        s, dir, schema, format = "json")
+      good.select(lit("good").as("kind"), col("id"), col("name"), col("qty"),
+          lit(null).cast("string").as("raw_record"))
+        .unionByName(quarantine.select(lit("quarantine").as("kind"),
+          lit(null).cast("long").as("id"), lit(null).cast("string").as("name"),
+          lit(null).cast("long").as("qty"), col("raw_record")))
+        .orderBy(col("kind"), coalesce(col("raw_record"), lit("")),
+          coalesce(col("id"), lit(-1L)))
+    }),
+
+    // salted skew JOIN (r8): the fact-to-dim join where some users own
+    // a huge share of events — hot keys spread over 16 salted
+    // reducers, cold keys untouched; must equal the plain join
+    "skew_salted_join" -> ((s, d) => {
+      val ev = eventCols(Tables.events(s, d))
+        .select(col("event_id"), col("user_id"), col("value"))
+      val cust = Tables.customer(s, d).select(
+        col("c_custkey").as("user_id"),
+        col("c_name").as("customer_name"),
+        col("c_mktsegment").as("market_segment"))
+      operators.Skew.saltedJoin(ev, cust, Seq("user_id"), hotThreshold = 50L)
+        .select(col("event_id"), col("user_id"), col("customer_name"),
+          col("market_segment"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // banded dim join: orders priced into fixed tiers (broadcast
+    // non-equi join against a FIXED-cardinality band table)
+    "band_join_price" -> ((s, d) => {
+      import s.implicits._
+      val bands = Seq(
+        ("tier_0_100k", 0.0, 100000.0),
+        ("tier_100_200k", 100000.0, 200000.0),
+        ("tier_200_300k", 200000.0, 300000.0),
+        ("tier_300k_plus", 300000.0, 1e15)).toDF("price_tier", "lo", "hi")
+      RangeJoin.bandJoin(
+          Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+          bands, "o_totalprice", "lo", "hi")
+        .groupBy(col("price_tier"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total_price"))
+        .orderBy(col("price_tier"))
+    }),
+
+    // ---- CDC / ELT core (§2.1) ----
+    // filter in the STORED nanos domain so the cutoff reaches the
+    // parquet scan (PushedFilters: GreaterThan(ts, ...)) — filtering
+    // the converted timestamp column would scan the full table
+    "cdc_incremental_filter" -> ((s, d) => {
+      val cutoffNanos = java.time.LocalDateTime.parse(CdcCutoff.replace(' ', 'T'))
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+      val raw = Tables.eventsRaw(s, d)
+      Tables.convertEventTs(
+          Cdc.incrementalFilter(raw, "ts", Tables.eventCutoffNanos(raw, cutoffNanos)))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+    "cdc_last_loaded" -> ((s, d) =>
+      Cdc.lastLoadedValue(Tables.events(s, d), "ts")),
+    "cdc_dedup_latest" -> ((s, d) =>
+      Cdc.dedupLatestPerKey(eventCols(Tables.events(s, d)),
+          Seq("user_id"), "ts", Seq("event_id"))
+        .orderBy(col("user_id"))),
+    "cdc_upsert" -> ((s, d) => {
+      val ev = eventCols(Tables.events(s, d))
+      val target  = Cdc.dedupLatestPerKey(ev, Seq("user_id"), "ts", Seq("event_id"))
+      val updates = ev.filter(col("event_type") === "purchase")
+      Cdc.upsert(target, updates, Seq("user_id"), "ts", Seq("event_id"))
+        .orderBy(col("user_id"))
+    }),
+    "cdc_snapshot_load" -> ((s, d) =>
+      Cdc.withIngestionDate(Models.stgCustomer(s, d), "snapshot_date",
+          lit("2026-08-12"))
+        // parquet/pandas compare: date vs timestamp normalize differently
+        // across engines — emit timestamp for the oracle diff
+        .withColumn("snapshot_date", col("snapshot_date").cast("timestamp"))
+        .orderBy(col("customer_id"))),
+  )
+}

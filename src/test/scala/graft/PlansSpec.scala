@@ -155,9 +155,13 @@ class PlansSpec extends SparkSuite {
     // and a query LOSING its oracle silently downgrades to rows-only —
     // pin the exact documented rows-only set (hash arithmetic that is
     // not SQL-portable, each pinned in ScalaTest instead)
+    // r12 (verdict ask #4): the five xxhash64 originals with
+    // hash-green md5 twins grading identical arithmetic
+    // (dedup_minhash, dedup_simhash, doc_fingerprint, doc_winnow,
+    // doc_shared_runs) are RETIRED from grading — operators + specs
+    // stay; only the redundant graded keys went
     val documentedRowsOnly = Set(
-      "corpus_top_terms_approx", "dedup_minhash", "dedup_simhash",
-      "doc_fingerprint", "doc_pack", "doc_shared_runs", "doc_winnow",
+      "corpus_top_terms_approx", "doc_pack",
       "dq_numeric_profile_approx", "dq_profile_approx",
       // HLL sketch bytes are register-layout-dependent; the fold vs
       // recompute equivalence is pinned in IncrementalAggSpec
