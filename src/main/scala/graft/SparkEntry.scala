@@ -47,6 +47,43 @@ object SparkEntry {
       // bit-for-bit — the recursive-CTE oracle verbatim
       ("stream_cusum" -> base("events_cusum")) +
       // same contract for the streaming Holt smoother
-      ("stream_holt_winters" -> base("events_holt_winters"))
+      ("stream_holt_winters" -> base("events_holt_winters")) +
+      // the streaming Croston twin must equal the batch fold
+      // bit-for-bit — demand_croston's recursive-CTE oracle verbatim
+      ("stream_croston" -> base("demand_croston")) +
+      // the maintained tf-idf index must answer exactly like the full
+      // re-scan — the structural equality the index-frame union makes
+      ("corpus_tfidf_incr" -> base("corpus_tfidf_topk")) +
+      // the pair-set scorecard replays BOTH graded pipelines it
+      // evaluates — their oracles verbatim as CTE bodies, then the
+      // same confusion counts and P/R/F1 trees the operator runs
+      ("dedup_eval" ->
+        s"""WITH pred AS (${base("dedup_minhash_md5")}),
+              truth AS (${base("dedup_ngram_jaccard")}),
+              p AS (SELECT DISTINCT least(id_a, id_b) AS a,
+                      greatest(id_a, id_b) AS b FROM pred),
+              t AS (SELECT DISTINCT least(id_a, id_b) AS a,
+                      greatest(id_a, id_b) AS b FROM truth),
+              j AS (
+                SELECT
+                  sum(CASE WHEN p.a IS NOT NULL AND t.a IS NOT NULL
+                    THEN 1 ELSE 0 END) AS tp,
+                  sum(CASE WHEN p.a IS NOT NULL AND t.a IS NULL
+                    THEN 1 ELSE 0 END) AS fp,
+                  sum(CASE WHEN p.a IS NULL AND t.a IS NOT NULL
+                    THEN 1 ELSE 0 END) AS fn
+                FROM p FULL OUTER JOIN t ON p.a = t.a AND p.b = t.b)
+            SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+              CAST(fn AS BIGINT) AS fn,
+              round(CASE WHEN tp + fp > 0 THEN
+                CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END, 6)
+                AS precision,
+              round(CASE WHEN tp + fn > 0 THEN
+                CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END, 6)
+                AS recall,
+              round(CASE WHEN 2 * tp + fp + fn > 0 THEN
+                CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+                END, 6) AS f1
+            FROM j""")
   }
 }

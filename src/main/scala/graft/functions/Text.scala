@@ -476,6 +476,92 @@ object Text {
           log(lit(nDocs.toDouble) / col("doc_freq").cast("double"))).as("tfidf"))
   }
 
+  /** Vector-space ranked retrieval — cosine similarity over [[tfIdf]]
+    * vectors for a fixed query (Salton's VSM, the classical ranker
+    * beside [[bm25TopK]]; BM25 saturates tf, cosine length-normalizes
+    * — different docs win, so a retrieval stack wants both). Query
+    * terms weigh tf=1 · idf; doc weights tf · idf with idf =
+    * ln(N/df) over docs having ≥ 1 token.
+    *
+    * Portability discipline (the ndcg r6-scaling trick, made
+    * load-bearing): per-(doc, term) weights are FIXED-POINT
+    * `w6 = round(tfidf · 1e6)` longs, so the dot product and both
+    * norms are ORDER-FREE exact integer sums (decimal(38,0) — w6²
+    * needs ~60 bits at tf ≈ 200) and the cosine is one double tree
+    * on exact integers. Ranking uses the ROUNDED cosine (ties to the
+    * lower doc id) — cross-engine stable.
+    *
+    * Scale shape: one scan+explode → (doc, term) tf agg → the
+    * vocabulary-sized df join (the [[tfIdf]] plan); N rides as a
+    * broadcast 1-row aggregate. The weighted frame is persisted once
+    * and serves both the per-doc norm aggregate and the query-term
+    * dot (query side is a broadcast ≤|q|-row frame). Global top-k is
+    * sort+limit → TakeOrderedAndProject, never a full sort. Only
+    * docs sharing ≥ 1 query term are scored (inner dot join) — the
+    * inverted-index pruning for free.
+    */
+  def tfidfCosineTopK(docs: DataFrame, idCol: String, textCol: String,
+                      queryTerms: Seq[String], k: Int,
+                      roundTo: Int = 6): DataFrame =
+    tfidfCosineTopKIndexed(tfidfIndexFrame(docs, idCol, textCol),
+      queryTerms, k, roundTo)
+
+  /** The MAINTAINED half of [[tfidfCosineTopK]]: the per-(doc, term)
+    * tf frame IS the index — tf rows are doc-local, so a daily
+    * append's index frame simply UNIONS onto the standing one (doc
+    * sets disjoint ⇒ no merge), and df/N re-derive from the union
+    * inside the scorer (df per term = its tf row count; both exact
+    * integer adds). Incremental-equals-full is structural, the
+    * dedup_segments_incr discipline.
+    */
+  def tfidfIndexFrame(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(normalize(col(textCol)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** [[tfidfCosineTopK]]'s scoring tail over a prebuilt (unioned)
+    * [[tfidfIndexFrame]]. */
+  def tfidfCosineTopKIndexed(tfIndex: DataFrame, queryTerms: Seq[String],
+                             k: Int, roundTo: Int = 6): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1, "k must be positive")
+    val d = (c: Column) => c.cast("double")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val tf = tfIndex
+    // tf is (doc, term)-unique ⇒ df(term) is its row count per term
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nd = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val w = graft.Par.persistTracked(
+      tf.join(df, Seq("term")).crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("term"),
+          round(d(col("tf")) * log(d(col("n_docs")) / d(col("df")))
+            * lit(1000000.0)).cast("long").as("w6")))
+    val norm2 = w.groupBy(col("doc_id"))
+      .agg(sum(dec(col("w6")) * dec(col("w6"))).as("norm2"))
+    val qw = df.filter(col("term").isin(queryTerms: _*))
+      .crossJoin(broadcast(nd))
+      .select(col("term").as("qterm"),
+        round(log(d(col("n_docs")) / d(col("df"))) * lit(1000000.0))
+          .cast("long").as("qw6"))
+    val qnorm2 = qw.agg(sum(dec(col("qw6")) * dec(col("qw6"))).as("qnorm2"))
+    val dots = w.join(broadcast(qw), col("term") === col("qterm"))
+      .groupBy(col("doc_id"))
+      .agg(sum(dec(col("w6")) * dec(col("qw6"))).as("dot"))
+    dots.join(norm2, Seq("doc_id")).crossJoin(broadcast(qnorm2))
+      .select(col("doc_id"),
+        round(d(col("dot"))
+          / (sqrt(d(col("norm2"))) * sqrt(d(col("qnorm2")))), roundTo)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cosine").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("cosine"))
+  }
+
   /** Per-doc surprisal under the CORPUS unigram model — the
     * KenLM-style "does this read like the rest of the corpus" signal
     * without an external LM: avg_logprob = (1/n_d)·Σ ln(c_t / C) over

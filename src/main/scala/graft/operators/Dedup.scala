@@ -1676,4 +1676,47 @@ object Dedup {
           col("doc_id") === col("w_doc") && col("seg_no") === col("w_seg"))
     rebuild(marked)
   }
+
+  /** Pair-set EVALUATION scorecard — precision / recall / F1 of a
+    * PREDICTED duplicate-pair set against a reference pair set (the
+    * "how much does the LSH candidate pass miss?" readout every
+    * approximate dedup deployment needs before trusting its blocking
+    * recall at 100 TB; also the harness for tuning bands/rows or a
+    * fuzzy-linkage threshold against labeled truth). Both inputs are
+    * (idA, idB) pair frames; orientation is normalized (a < b) and
+    * duplicates collapsed, so callers can pass raw operator output.
+    *
+    * Counts are exact integers off ONE full-outer join on the pair
+    * key (pair-hash partitioned — no skew: pair keys are near-unique
+    * by construction); precision/recall/F1 are single round-`roundTo`
+    * double trees, null when the denominator is 0 (an empty predicted
+    * or truth set reads as "ill-posed", not 0.0).
+    */
+  def evalPairs(predicted: DataFrame, truth: DataFrame,
+                idA: String = "id_a", idB: String = "id_b",
+                roundTo: Int = 6): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    def norm(df: DataFrame, tag: String): DataFrame =
+      df.select(least(col(idA), col(idB)).as("__a"),
+          greatest(col(idA), col(idB)).as("__b"))
+        .distinct().withColumn(s"__$tag", lit(1))
+    norm(predicted, "p")
+      .join(norm(truth, "t"), Seq("__a", "__b"), "full_outer")
+      .agg(
+        sum(when(col("__p") === 1 && col("__t") === 1, 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(col("__p") === 1 && col("__t").isNull, 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(col("__p").isNull && col("__t") === 1, 1L).otherwise(0L))
+          .as("fn"))
+      .select(col("tp"), col("fp"), col("fn"),
+        round(when(col("tp") + col("fp") > 0,
+          d(col("tp")) / d(col("tp") + col("fp"))), roundTo).as("precision"),
+        round(when(col("tp") + col("fn") > 0,
+          d(col("tp")) / d(col("tp") + col("fn"))), roundTo).as("recall"),
+        round(when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          d(lit(2L) * col("tp"))
+            / d(lit(2L) * col("tp") + col("fp") + col("fn"))), roundTo)
+          .as("f1"))
+  }
 }

@@ -1369,4 +1369,149 @@ object Quality {
         round(when(col("__hmin6") > 0,
           d(col("__mi6")) / d(col("__hmin6"))), 6).as("nmi"))
   }
+
+  /** Deterministic BOOTSTRAP confidence interval for the difference
+    * of group means (Efron '79) — the nonparametric companion to
+    * [[welchT]]: no normality assumption, the CI comes from the
+    * resampling distribution itself (the standard readout for skewed
+    * revenue-per-user metrics where a t interval lies). `resamples`
+    * bootstrap replicates per group, each drawing n rows WITH
+    * replacement; percentile CI at [⌊0.025·B⌋, B+1−⌊0.025·B⌋] of the
+    * sorted replicate diffs (ties broken by replicate index).
+    *
+    * DETERMINISTIC resampling — no RNG state, no partition order:
+    * draw (g, b, i) takes row rank (md5₆₀("bs:g:b:i") mod n) + 1,
+    * ranks assigned by `idCol` (caller guarantees uniqueness). The
+    * same md5 discipline as the graded hash samplers, so the whole
+    * resampling replays in any engine. Values ride as exact
+    * decimal(18,6) sums; each replicate mean, the diffs, and the CI
+    * bounds are fixed IEEE trees on those exact sums, emitted
+    * UNROUNDED (bit-portable; rounding would only re-introduce the
+    * half-digit hazard).
+    *
+    * Scale: the draw grid is B·n rows — one generated explode, one
+    * equi-join back to the ranked rows on (group, rank), one
+    * (group, b) aggregate; B is a constant, so the grid is a
+    * constant factor on the input, never quadratic. The final sort
+    * runs over B diffs (driver-trivial). The rank window is per
+    * GROUP — two groups means two partitions; at extreme n per
+    * group, assign ranks with the two-phase SurrogateKey discipline
+    * instead.
+    */
+  def bootstrapMeanDiff(df: DataFrame, groupCol: String, idCol: String,
+                        valueCol: String, groupA: String, groupB: String,
+                        resamples: Int = 200): DataFrame = {
+    require(resamples >= 40, "resamples >= 40 (the 2.5% tail needs rows)")
+    val d = (c: Column) => c.cast("double")
+    val rows = df.filter(col(groupCol).cast("string").isin(groupA, groupB))
+      .select(col(groupCol).cast("string").as("__g"),
+        col(idCol).cast("long").as("__id"),
+        col(valueCol).cast("decimal(18,6)").as("__v"))
+    val ranked = graft.Par.persistTracked(rows
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__g")).orderBy(col("__id")))))
+    val stats = ranked.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"))
+    val draws = ranked.select(col("__g"), col("__rn"))
+      .join(broadcast(stats.select(col("__g"), col("__n"))), Seq("__g"))
+      .withColumn("__b", explode(sequence(lit(1), lit(resamples))))
+      .select(col("__g"), col("__b"),
+        (pmod(graft.functions.Text.portableHash60(
+          concat_ws(":", lit("bs"), col("__g"), col("__b"), col("__rn"))),
+          col("__n")) + 1).as("__idx"))
+    val repMeans = draws
+      .join(ranked.select(col("__g").as("__g2"), col("__rn").as("__rn2"),
+          col("__v")),
+        col("__g") === col("__g2") && col("__idx") === col("__rn2"))
+      .groupBy(col("__g"), col("__b"))
+      .agg((d(sum(col("__v"))) / d(count(lit(1)))).as("__mean"))
+    val diffs = repMeans.groupBy(col("__b"))
+      .agg((max(when(col("__g") === groupA, col("__mean")))
+        - max(when(col("__g") === groupB, col("__mean")))).as("__diff"))
+      .withColumn("__r", row_number().over(
+        Window.orderBy(col("__diff"), col("__b"))))
+    val loIdx = math.max(1, (0.025 * resamples).toInt)
+    val hiIdx = resamples + 1 - loIdx
+    val point = stats
+      .select(col("__g"), col("__n"), (d(col("__s")) / d(col("__n"))).as("__m"))
+      .groupBy()
+      .agg(max(when(col("__g") === groupA, col("__n"))).as("n_a"),
+        max(when(col("__g") === groupB, col("__n"))).as("n_b"),
+        max(when(col("__g") === groupA, col("__m"))).as("mean_a"),
+        max(when(col("__g") === groupB, col("__m"))).as("mean_b"))
+    point
+      .crossJoin(broadcast(diffs.filter(col("__r") === loIdx)
+        .select(col("__diff").as("ci_lo"))))
+      .crossJoin(broadcast(diffs.filter(col("__r") === hiIdx)
+        .select(col("__diff").as("ci_hi"))))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        (col("mean_a") - col("mean_b")).as("mean_diff"),
+        col("ci_lo"), col("ci_hi"),
+        lit(resamples).cast("long").as("resamples"))
+  }
+
+  /** Generalized ESD outlier screen (Rosner '83) — the ITERATIVE
+    * extreme-deviate test the one-shot z/MAD monitors can't replace:
+    * a single huge outlier inflates the std enough to MASK a second
+    * one, so ESD removes the most extreme point and re-estimates
+    * before looking again. `rounds` unrolled rounds per key; each
+    * round flags argmax |x − x̄| over the REMAINING points and
+    * reports its studentized deviate R = |x − x̄| / s (sample std).
+    *
+    * Portability discipline: x is an integer count, so per round the
+    * sufficient statistics (n, Σx, Σx²) are exact integer sums
+    * (decimal(38,0)), and the argmax compares the exact integer
+    * |n·x − Σx| — never a rounded double — with `slotCol` breaking
+    * ties; R is then one fixed double tree on exact integers,
+    * emitted unrounded. Keys drop out of a round when fewer than 3
+    * points remain or the remainder is constant (zero variance —
+    * "most extreme of identical points" is noise, not an outlier).
+    *
+    * Scale: each round is one per-key aggregate (3 stats), one
+    * broadcast-joinable stats frame, one per-key window argmax, and
+    * one anti-join removal — all keyed, no global state; the
+    * remaining-set frame is persisted per round so round r+1 scans
+    * the persisted remainder, not r re-derivations of the lineage
+    * (rounds multiply cost LINEARLY, the [[graft.operators.Graph]]
+    * truncation discipline).
+    */
+  def esdOutliers(df: DataFrame, keyCol: String, slotCol: String,
+                  valueCol: String, rounds: Int = 5): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, "rounds in [1, 20]")
+    val d = (c: Column) => c.cast("double")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    var cur = df.select(col(keyCol).as("__k"), col(slotCol).as("__slot"),
+      col(valueCol).cast("long").as("__x"))
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    (1 to rounds).foreach { r =>
+      cur = graft.Par.persistTracked(cur)
+      val stats = cur.groupBy(col("__k"))
+        .agg(count(lit(1)).as("__n"), sum(dec(col("__x"))).as("__s"),
+          sum(dec(col("__x")) * dec(col("__x"))).as("__q"))
+        .filter(col("__n") >= 3 &&
+          dec(col("__n")) * col("__q") > col("__s") * col("__s"))
+        .withColumnRenamed("__k", "__k2")
+      val byDev = Window.partitionBy(col("__k"))
+        .orderBy(col("__dev").desc, col("__slot"))
+      val flag = cur.join(broadcast(stats), col("__k") === col("__k2"))
+        .drop("__k2")
+        .withColumn("__dev",
+          abs(dec(col("__n")) * dec(col("__x")) - col("__s")))
+        .withColumn("__rank", row_number().over(byDev))
+        .filter(col("__rank") === 1)
+        .select(col("__k"), lit(r).as("esd_round"), col("__slot"), col("__x"),
+          ((d(col("__dev")) / d(col("__n"))) /
+            sqrt(d(dec(col("__n")) * col("__q") - col("__s") * col("__s"))
+              / (d(col("__n")) * (d(col("__n")) - lit(1.0)))))
+            .as("r_stat"))
+      flagged += flag
+      cur = cur.join(
+        flag.select(col("__k").as("__fk"), col("__slot").as("__fs")),
+        col("__k") === col("__fk") && col("__slot") === col("__fs"),
+        "left_anti")
+    }
+    flagged.reduce(_ unionByName _)
+      .select(col("__k").as(keyCol), col("esd_round"),
+        col("__slot").as(slotCol), col("__x").as(valueCol), col("r_stat"))
+  }
 }

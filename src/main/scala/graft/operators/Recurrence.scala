@@ -495,4 +495,78 @@ object Recurrence {
       }
       .toDF(keyCol, idCol, tsCol)
   }
+
+  /** Croston's method (Croston '72) + the Syntetos–Boyan approximation
+    * (SBA, Syntetos & Boylan '05) for INTERMITTENT demand — the
+    * standard forecaster for slow-moving inventory, where most
+    * periods sell ZERO and exponential smoothing of the raw series
+    * (Holt) systematically undershoots right after each demand spike.
+    * Croston smooths two series separately, updating ONLY on periods
+    * with demand:
+    *   z_t = ½·x_t + ½·z_{t−1}   (demand SIZE when x_t > 0)
+    *   p_t = ½·q_t + ½·p_{t−1}   (inter-demand INTERVAL; q_t =
+    *                              periods since the previous demand)
+    * seeded z = x, p = q at the key's FIRST demand (q counted from
+    * the series start); zero periods carry state and bump q. The
+    * per-period forecast is z/p, and SBA's bias correction multiplies
+    * by (1 − α/2) = ¾ — Croston's ratio overshoots because E[z/p] >
+    * E[z]/E[p]. Both emitted per GRID period (null before the first
+    * demand), so the output joins back to any calendar spine.
+    *
+    * Input must be the zero-FILLED demand grid (key × period, one row
+    * per period — build it with a date-spine cross join); the fold
+    * needs the zeros to count intervals. α = ½ keeps every step
+    * dyadic: x is an integer count/quantity cast to double, q an
+    * integer, so z and p are exact halving sums, and the ratio and
+    * its ¾ scaling are single IEEE ops — the outputs ride UNROUNDED,
+    * bit-identical in a recursive-CTE replay (the [[holtWinters]]
+    * oracle discipline; rounding would only re-introduce the
+    * half-digit hazard). Plan: one key exchange, per-partition
+    * sorted fold, O(1) state.
+    */
+  def crostonSba(demand: DataFrame, keyCol: String, periodCol: String,
+                 valueCol: String): DataFrame = {
+    val spark = demand.sparkSession
+    import spark.implicits._
+    demand
+      .select(col(keyCol).cast("long"), col(periodCol).cast("timestamp"),
+        col(valueCol).cast("double"))
+      .repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(periodCol))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .mapPartitions { it =>
+        var hasKey = false
+        var curKey = 0L
+        var z = 0.0      // smoothed demand size
+        var p = 0.0      // smoothed inter-demand interval
+        var q = 0L       // periods since last demand (or series start)
+        var seeded = false
+        it.map { case (k, period, x) =>
+          if (!hasKey || k != curKey) {
+            hasKey = true; curKey = k
+            z = 0.0; p = 0.0; q = 0L; seeded = false
+          }
+          q += 1
+          if (x > 0.0) {
+            if (!seeded) { z = x; p = q.toDouble; seeded = true }
+            else { z = 0.5 * x + 0.5 * z; p = 0.5 * q.toDouble + 0.5 * p }
+            q = 0L
+          }
+          val f = if (seeded) z / p else Double.NaN
+          (k, period, x,
+            if (seeded) z else Double.NaN,
+            if (seeded) p else Double.NaN,
+            f, 0.75 * f)
+        }
+      }
+      .toDF(keyCol, periodCol, valueCol, "z_size", "p_interval",
+        "croston", "sba")
+      // NaN → null at the boundary so "no forecast yet" reads as SQL
+      // NULL (the dimension-model convention)
+      .select(col(keyCol), col(periodCol), col(valueCol),
+        when(!isnan(col("z_size")), col("z_size")).as("z_size"),
+        when(!isnan(col("p_interval")), col("p_interval")).as("p_interval"),
+        when(!isnan(col("croston")), col("croston")).as("croston"),
+        when(!isnan(col("sba")), col("sba")).as("sba"))
+  }
 }

@@ -53,6 +53,28 @@ private[graft] object EntryHelpers {
     * scan to bound the (dense) graph's wedge count — the same slice
     * every graph query grades on.
     */
+  /** Zero-filled monthly demand grid for the Croston pair
+    * (demand_croston + stream_croston): pk-sampled parts × the global
+    * month spine, shipped quantity summed per cell, absent cells 0.
+    */
+  def crostonDemandGrid(s: SparkSession, d: String): DataFrame = {
+    val mIdx = ((year(col("l_shipdate")) - 1970) * 12
+      + month(col("l_shipdate")) - 1).cast("long")
+    val dem = Tables.lineitem(s, d).filter(col("l_partkey") % 40 === 0)
+      .select(col("l_partkey").as("part"), mIdx.as("m"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy(col("part"), col("m")).agg(sum(col("q")).as("qty"))
+    val bounds = dem.agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+    dem.select(col("part")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("part"), explode(sequence(col("lo"), col("hi"))).as("m"))
+      .join(dem, Seq("part", "m"), "left")
+      .select(col("part"),
+        add_months(lit("1970-01-01").cast("date"), col("m").cast("int"))
+          .cast("timestamp").as("month_start"),
+        coalesce(col("qty"), lit(0L)).as("qty"))
+  }
+
   def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .filter(col("l_partkey") % 4 === 0)

@@ -836,5 +836,124 @@ private[graft] object QueriesShard5 {
       Dedup.semanticDedup(embs, "vec_id", "embedding", cents, threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))
     }),
+
+    // ---- r12 wave ----
+    // Croston + SBA intermittent-demand forecast (r12): monthly
+    // shipped quantity per slow-moving part (pk-sampled 1/40) on the
+    // zero-filled month grid — size and interval smoothed separately
+    // (the Holt recurrence systematically undershoots sparse demand),
+    // all-dyadic fold, outputs unrounded and bit-exact vs the
+    // recursive-CTE replay
+    "demand_croston" -> ((s, d) =>
+      operators.Recurrence.crostonSba(crostonDemandGrid(s, d),
+          "part", "month_start", "qty")
+        .orderBy(col("part"), col("month_start"))),
+    // the CONTINUOUS Croston twin (r12, §2.6): the demand grid lands
+    // in two microbatches split at a mid month — (z, p, q, seeded)
+    // must carry across the batch boundary and the sink equal the
+    // batch fold bit-for-bit (demand_croston's oracle verbatim)
+    "stream_croston" -> ((s, d) => {
+      val base = graft.TempDirs.create("graft_stream_cro")
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      val grid = crostonDemandGrid(s, d)
+      val cutoff = lit("1995-01-01 00:00:00").cast("timestamp")
+      grid.filter(col("month_start") <= cutoff).write.parquet(inDir)
+      withShufflePartitions(s, 4) {
+        val q = graft.streaming.EventStream.croston(
+            s.readStream.schema(
+              "part BIGINT, month_start TIMESTAMP, qty BIGINT")
+              .parquet(inDir))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .format("parquet").option("path", outDir).start()
+        try {
+          q.processAllAvailable()
+          grid.filter(col("month_start") > cutoff)
+            .write.mode("append").parquet(inDir)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.read.parquet(outDir)
+        .select(col("part"), col("month_start"), col("qty"),
+          col("z_size"), col("p_interval"), col("croston"), col("sba"))
+        .orderBy(col("part"), col("month_start"))
+    }),
+    // deterministic k-means over RFM scores (r12): Lloyd rounds with
+    // literal corner seeding, 1e6 fixed-point centroids re-rounded
+    // per round (ONE k-bounded driver pull each — the IVF collect
+    // discipline), assignment a pure codegen'd argmin over literal
+    // centroids: zero joins on the data path
+    "customer_kmeans" -> ((s, d) => {
+      val scores = Analytics.rfm(Tables.orders(s, d))
+        .select(col("o_custkey"), col("r_score").cast("long").as("r_score"),
+          col("f_score").cast("long").as("f_score"),
+          col("m_score").cast("long").as("m_score"))
+      operators.KMeans.fit(scores, "o_custkey",
+          Seq("r_score", "f_score", "m_score"),
+          init = Seq(Seq(1.0, 1.0, 1.0), Seq(5.0, 5.0, 5.0),
+            Seq(5.0, 1.0, 1.0), Seq(1.0, 5.0, 5.0)),
+          rounds = 5)._1
+        .orderBy(col("o_custkey"))
+    }),
+    // MAINTAINED tf-idf index (r12): two corpus halves' per-(doc,term)
+    // tf frames unioned (doc-disjoint ⇒ no merge; df/N re-derive as
+    // exact integer adds inside the scorer) must answer exactly like
+    // the full re-scan — corpus_tfidf_topk's oracle verbatim
+    "corpus_tfidf_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val i1 = functions.Text.tfidfIndexFrame(
+        docs.filter(col("doc_id") < 250), "doc_id", "text")
+      val i2 = functions.Text.tfidfIndexFrame(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text")
+      functions.Text.tfidfCosineTopKIndexed(i1.unionByName(i2),
+          queryTerms = Seq("spark", "hash", "join"), k = 50)
+        .orderBy(col("rank"))
+    }),
+    // deterministic bootstrap CI for the A/B mean difference (r12):
+    // 200 md5-seeded with-replacement resamples per variant, exact
+    // decimal sums, percentile CI — the nonparametric companion to
+    // ab_welch_t, fully replayed (draws included) by the oracle
+    "ab_bootstrap" -> ((s, d) =>
+      Quality.bootstrapMeanDiff(
+        eventCols(Tables.events(s, d))
+          .select(pmod(col("user_id"), lit(2)).cast("string").as("variant"),
+            col("event_id"), col("value")),
+        "variant", "event_id", "value", groupA = "1", groupB = "0",
+        resamples = 200)),
+    // vector-space cosine retrieval over tf-idf (r12): fixed-point
+    // 1e6-scaled weights make dot and norms order-free exact integer
+    // sums; ranking on the rounded cosine, lower doc id on ties
+    "corpus_tfidf_topk" -> ((s, d) =>
+      functions.Text.tfidfCosineTopK(Tables.documents(s, d), "doc_id",
+          "text", queryTerms = Seq("spark", "hash", "join"), k = 50)
+        .orderBy(col("rank"))),
+    // generalized ESD outlier screen (r12): 5 unrolled
+    // remove-and-re-estimate rounds over per-type daily volumes —
+    // exact-integer argmax per round, studentized deviate emitted
+    // unrounded
+    "dq_anomaly_esd" -> ((s, d) => {
+      val daily = eventCols(Tables.events(s, d))
+        .select(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      Quality.esdOutliers(daily, "event_type", "day", "n", rounds = 5)
+        .orderBy(col("event_type"), col("esd_round"))
+    }),
+    // pair-set evaluation scorecard (r12): MinHash-LSH's verified
+    // pairs measured against the exact PPJoin n-gram Jaccard truth
+    // set — banding recall made a graded number (precision is
+    // structurally ≤ 1.0 only through the df-cap asymmetry; the
+    // oracle replays BOTH pipelines and the same confusion counts)
+    "dedup_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.evalPairs(
+        Dedup.minHashLsh(docs, "doc_id", "text", n = 3, numHashes = 32,
+          bands = 16, threshold = 0.5,
+          shingleHash = functions.Text.portableHash60),
+        Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5,
+          maxDocFreq = 1000))
+    }),
   )
 }

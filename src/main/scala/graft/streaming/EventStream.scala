@@ -101,6 +101,19 @@ case class HoltSeasonalOut(event_type: String, bucket: java.sql.Timestamp,
                            slot: Long, x: Double, level: Double,
                            trend: Double, seasonal: Double)
 
+/** One zero-filled demand-grid row feeding the Croston smoother. */
+case class DemandRow(part: Long, month_start: java.sql.Timestamp, qty: Double)
+
+/** Croston per-key state: size/interval estimates, periods since the
+  * last demand, and whether the first demand has seeded. */
+case class CrostonState(z: Double, p: Double, q: Long, seeded: Boolean)
+
+/** One demand-grid row with its Croston/SBA forecast state. */
+case class CrostonOut(part: Long, month_start: java.sql.Timestamp,
+                      qty: Double, z_size: Option[Double],
+                      p_interval: Option[Double], croston: Option[Double],
+                      sba: Option[Double])
+
 /** Structured-Streaming re-expression of the reference's scheduled
   * CDC loop (reference: dagster_code/nomba_pipeline/definitions.py —
   * a 15-minute cron re-running the incremental load). Instead of
@@ -1130,6 +1143,50 @@ object EventStream {
     grid.select(col("key"), col("bucket"), col("x"), col("slot"))
       .as[GridRow]
       .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+  }
+
+  /** Streaming Croston/SBA (r12) — the continuous twin of
+    * [[graft.operators.Recurrence.crostonSba]]: the intermittent-
+    * demand forecast maintained ON the demand-grid stream (a daily
+    * grid append lands → the affected keys' forecasts update in the
+    * microbatch). State per key is two doubles + a counter + a flag,
+    * independent of history length. Arithmetic is the batch fold
+    * verbatim (α = ½ all-dyadic, interval counted through zero
+    * periods), so with the cross-batch per-key period-time ordering
+    * contract — grid periods arrive in order, the zero-fill being an
+    * upstream contract — the sink equals the batch operator
+    * bit-for-bit and shares demand_croston's recursive-CTE oracle.
+    */
+  def croston(grid: DataFrame): Dataset[CrostonOut] = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val fn = (part: Long, it: Iterator[DemandRow],
+              state: GroupState[CrostonState]) => {
+      val rows = it.toArray.sortBy(_.month_start.getTime)
+      var st = state.getOption.getOrElse(CrostonState(0.0, 0.0, 0L, false))
+      val out = rows.map { r =>
+        var q = st.q + 1
+        var z = st.z; var p = st.p; var seeded = st.seeded
+        if (r.qty > 0.0) {
+          if (!seeded) { z = r.qty; p = q.toDouble; seeded = true }
+          else { z = 0.5 * r.qty + 0.5 * z; p = 0.5 * q.toDouble + 0.5 * p }
+          q = 0L
+        }
+        st = CrostonState(z, p, q, seeded)
+        val f = if (seeded) Some(z / p) else None
+        CrostonOut(part, r.month_start, r.qty,
+          if (seeded) Some(z) else None, if (seeded) Some(p) else None,
+          f, f.map(0.75 * _))
+      }
+      state.update(st)
+      out.iterator
+    }
+    grid.select(col("part").cast("long").as("part"),
+        col("month_start").cast("timestamp").as("month_start"),
+        col("qty").cast("double").as("qty"))
+      .as[DemandRow]
+      .groupByKey(_.part)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
   }
 

@@ -105,7 +105,17 @@ class PlansSpec extends SparkSuite {
       "fact_balance_snapshots",
       // rollup_share attaches the 1-row global-total frame to the
       // leaf rows — the q11/q15 scalar shape
-      "rollup_share")
+      "rollup_share",
+      // ab_bootstrap attaches its 1-row point-estimate frame and the
+      // two 1-row percentile-bound frames — scalar joins, B-bounded
+      "ab_bootstrap",
+      // demand_croston attaches the 1-row global month-bounds frame
+      // to the part list (the fact_balance_snapshots shape)
+      "demand_croston",
+      // corpus_tfidf_topk attaches the 1-row N frame and the 1-row
+      // query-norm frame — the corpus_bm25_topk scalar shape; the
+      // maintained-index twin shares the identical scoring tail
+      "corpus_tfidf_topk", "corpus_tfidf_incr")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       if (!nestedLoopOk(name)) {
