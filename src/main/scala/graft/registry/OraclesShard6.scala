@@ -1031,40 +1031,41 @@ private[graft] object OraclesShard6 {
            z / p AS croston, 0.75 * (z / p) AS sba
          FROM r ORDER BY part, month_start""",
 
-    // the bootstrap replayed DRAWS-AND-ALL: md5-60 draw indexes,
-    // exact decimal sums per replicate, percentile row_numbers —
+    // the Poisson bootstrap replayed DRAWS-AND-ALL: md5-60 weights
+    // against the SAME 2^60-scaled thresholds the operator embeds,
+    // exact decimal Σw·v per replicate, percentile row_numbers —
     // every double is the identical IEEE tree
-    "ab_bootstrap" ->
-      """WITH rows0 AS (
+    "ab_bootstrap" -> {
+      val w = graft.operators.Quality.PoissonThresholds60.zipWithIndex
+        .map { case (t, k) => s"WHEN h < $t THEN $k" }
+        .mkString("CASE ", " ", " ELSE 8 END")
+      s"""WITH rows0 AS (
            SELECT CAST(user_id % 2 AS VARCHAR) AS g, event_id AS id,
              CAST(value AS DECIMAL(18,6)) AS v
            FROM events
-         ), ranked AS (
-           SELECT g, id, v,
-             row_number() OVER (PARTITION BY g ORDER BY id) AS rn
-           FROM rows0
          ), stats AS (
            SELECT g, count(*) AS n, sum(v) AS s FROM rows0 GROUP BY g
-         ), draws AS (
-           SELECT r.g, b.b,
-             (CAST('0x' || substr(md5('bs:' || r.g || ':'
-                 || CAST(b.b AS VARCHAR) || ':' || CAST(r.rn AS VARCHAR)),
-               1, 15) AS BIGINT) % c.n) + 1 AS idx
-           FROM ranked r
-           JOIN stats c USING (g)
-           CROSS JOIN (SELECT unnest(generate_series(1, 200)) AS b) b
+         ), hashed AS (
+           SELECT g, b, v,
+             CAST('0x' || substr(md5('bs:' || g || ':'
+                 || CAST(b AS VARCHAR) || ':' || CAST(id AS VARCHAR)),
+               1, 15) AS BIGINT) AS h
+           FROM rows0
+           CROSS JOIN (SELECT unnest(generate_series(1, 200)) AS b) bb
+         ), weighted AS (
+           SELECT g, b, v, CAST($w AS BIGINT) AS w FROM hashed
          ), rep AS (
-           SELECT d2.g, d2.b,
-             CAST(sum(r2.v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
-           FROM draws d2 JOIN ranked r2 ON d2.g = r2.g AND d2.idx = r2.rn
-           GROUP BY 1, 2
+           SELECT g, b,
+             CASE WHEN sum(w) > 0 THEN
+               CAST(sum(v * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE) END AS m
+           FROM weighted GROUP BY 1, 2
          ), diffs AS (
            SELECT b, max(CASE WHEN g = '1' THEN m END)
              - max(CASE WHEN g = '0' THEN m END) AS diff
            FROM rep GROUP BY b
          ), ds AS (
            SELECT diff, row_number() OVER (ORDER BY diff, b) AS r
-           FROM diffs
+           FROM diffs WHERE diff IS NOT NULL
          ), pt AS (
            SELECT
              max(CASE WHEN g = '1' THEN n END) AS n_a,
@@ -1078,7 +1079,8 @@ private[graft] object OraclesShard6 {
            (SELECT diff FROM ds WHERE r = 5) AS ci_lo,
            (SELECT diff FROM ds WHERE r = 196) AS ci_hi,
            CAST(200 AS BIGINT) AS resamples
-         FROM pt""",
+         FROM pt"""
+    },
 
     // tf-idf cosine replay: 1e6 fixed-point weights, HUGEINT dot and
     // norms, one rounded double per doc, rank on (cosine desc, id)

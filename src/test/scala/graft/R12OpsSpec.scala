@@ -78,9 +78,10 @@ class R12OpsSpec extends SparkSuite {
       "a", "b", resamples = 80).head()
     assert(r1.toSeq === r2.toSeq)
     // constant values per group: every resample mean equals the group
-    // mean → the CI collapses onto the point diff
-    val const = ((1 to 10).map(i => ("a", i.toLong, 7.0)) ++
-      (1 to 10).map(i => ("b", 100L + i, 3.0))).toDF("g", "id", "v")
+    // mean → the CI collapses onto the point diff (n=30 per group so
+    // an all-zero Poisson replicate is impossible in practice)
+    val const = ((1 to 30).map(i => ("a", i.toLong, 7.0)) ++
+      (1 to 30).map(i => ("b", 100L + i, 3.0))).toDF("g", "id", "v")
     val rc = Quality.bootstrapMeanDiff(const, "g", "id", "v", "a", "b",
       resamples = 40).head()
     assert(rc.getDouble(4) === 4.0 &&
