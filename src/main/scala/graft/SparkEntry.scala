@@ -51,6 +51,12 @@ object SparkEntry {
       // the streaming Croston twin must equal the batch fold
       // bit-for-bit — demand_croston's recursive-CTE oracle verbatim
       ("stream_croston" -> base("demand_croston")) +
+      // the streaming SPRT emits ONLY decision rows (a still-running
+      // variant has no final row yet) — the batch oracle restricted
+      // to crossed variants
+      ("stream_sprt" ->
+        s"""SELECT * FROM (${base("ab_sprt")})
+            WHERE decision <> 'continue' ORDER BY variant""") +
       // the maintained tf-idf index must answer exactly like the full
       // re-scan — the structural equality the index-frame union makes
       ("corpus_tfidf_incr" -> base("corpus_tfidf_topk")) +

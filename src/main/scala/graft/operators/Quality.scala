@@ -1467,6 +1467,69 @@ object Quality {
         lit(resamples).cast("long").as("resamples"))
   }
 
+  /** The SPRT's four 1e6-scaled integer constants for Bernoulli
+    * H0: p = p0 vs H1: p = p1 at error rates (α, β): per-success and
+    * per-failure log-likelihood increments and the accept-H1 /
+    * accept-H0 boundaries — shared between the operator and its SQL
+    * oracle so both engines compare the IDENTICAL integers.
+    */
+  def sprtConstants6(p0: Double, p1: Double, alpha: Double,
+                     beta: Double): (Long, Long, Long, Long) = (
+    math.round(math.log(p1 / p0) * 1e6),
+    math.round(math.log((1 - p1) / (1 - p0)) * 1e6),
+    math.round(math.log((1 - beta) / alpha) * 1e6),
+    math.round(math.log(beta / (1 - alpha)) * 1e6))
+
+  /** Wald's SEQUENTIAL probability ratio test (SPRT, Wald '45) on a
+    * Bernoulli metric — the always-valid companion to the fixed-n
+    * tests ([[twoProportionZ]] decides at a preset n; the SPRT walks
+    * the observation stream in order and STOPS the moment the
+    * evidence crosses a boundary, with guaranteed α/β — the classic
+    * cure for the peeking problem). Per group, observations ordered
+    * by `idCol`: LLR_n = s·ln(p1/p0) + (n−s)·ln((1−p1)/(1−p0));
+    * accept H1 at LLR ≥ ln((1−β)/α), H0 at ≤ ln(β/(1−α)), else
+    * 'continue' at the data's end.
+    *
+    * Portability: the four constants ride as 1e6-scaled integer
+    * literals ([[sprtConstants6]]), s and n are window integer
+    * cumsums, so every LLR and every boundary comparison is EXACT
+    * integer arithmetic; the reported llr is one final division.
+    * One key exchange shared by the window and the decision
+    * aggregate; the first-crossing row is found by a min-over-group
+    * aggregate joined back (group-cardinality frame, broadcast).
+    */
+  def sprtBernoulli(df: DataFrame, groupCol: String, idCol: String,
+                    successCol: String, p0: Double, p1: Double,
+                    alpha: Double = 0.05, beta: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      "p0, p1 in (0,1), distinct")
+    val (l1, l0, a6, b6) = sprtConstants6(p0, p1, alpha, beta)
+    val w = Window.partitionBy(col("__g")).orderBy(col("__id"))
+    val walked = df.select(col(groupCol).cast("string").as("__g"),
+        col(idCol).cast("long").as("__id"),
+        when(col(successCol).cast("boolean"), 1L).otherwise(0L).as("__x"))
+      .withColumn("__n", row_number().over(w).cast("long"))
+      .withColumn("__s", sum(col("__x")).over(w))
+      .withColumn("__llr6",
+        col("__s") * lit(l1) + (col("__n") - col("__s")) * lit(l0))
+    val firstCross = walked
+      .groupBy(col("__g"))
+      .agg(min(when(col("__llr6") >= a6 || col("__llr6") <= b6,
+          col("__n"))).as("__nc"),
+        max(col("__n")).as("__nt"))
+      .select(col("__g").as("__g2"),
+        coalesce(col("__nc"), col("__nt")).as("__nd"),
+        col("__nc").isNotNull.as("__crossed"))
+    walked.join(broadcast(firstCross),
+        col("__g") === col("__g2") && col("__n") === col("__nd"))
+      .select(col("__g").as(groupCol),
+        when(!col("__crossed"), lit("continue"))
+          .when(col("__llr6") >= a6, lit("accept_h1"))
+          .otherwise(lit("accept_h0")).as("decision"),
+        col("__n").as("n_obs"), col("__s").as("successes"),
+        (col("__llr6").cast("double") / lit(1000000.0)).as("llr"))
+  }
+
   /** Generalized ESD outlier screen (Rosner '83) — the ITERATIVE
     * extreme-deviate test the one-shot z/MAD monitors can't replace:
     * a single huge outlier inflates the std enough to MASK a second

@@ -186,6 +186,37 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** HARD-NEGATIVE mining for contrastive training (the "most
+    * confusable wrong answers" selector — dense-retriever and
+    * embedding fine-tuning's standard pair source, cf. DPR /
+    * sentence-transformers practice): for each labeled query vector,
+    * the top-k most-SIMILAR corpus vectors whose label DIFFERS — the
+    * negatives that actually move a contrastive loss, where random
+    * negatives are trivially separable. Same plan shape as
+    * [[bruteForceTopK]] (the exact oracle; swap the candidate stream
+    * for [[ivfTopKIndexed]]'s cells at scale): queries broadcast,
+    * corpus streams once, the label inequality rides the scoring
+    * filter, two-phase top-k merge. Ties break by neighbor id.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = graft.Par.widen(
+        corpus.select(col(idCol), col(vecCol), col(labelCol)), idCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        col(labelCol).as("__cl"))
+      .withColumn("__cn", Vectors.norm(col("__cv")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        col(labelCol).as("__ql"))
+      .withColumn("__qn", Vectors.norm(col("__qv")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id")
+        && col("__cl") =!= col("__ql"))
+      .select(col("query_id"), col("neighbor_id"),
+        (Vectors.dot(col("__cv"), col("__qv"))
+          / (col("__cn") * col("__qn"))).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
   /** Majority vote over a ranker's neighbor lists — the
     * ranker-AGNOSTIC half of [[knnLabel]]: `neighbors` is any frame
     * of `(query_id, neighbor_id, …)` rows (brute force here, an

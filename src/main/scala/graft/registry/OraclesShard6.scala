@@ -1136,6 +1136,96 @@ private[graft] object OraclesShard6 {
     // centroids re-rounded to 1e6 fixed point each round, empty
     // clusters carrying the previous centroid via the left join
     "customer_kmeans" -> kmeansRoundsSql(5),
+
+    // SPRT replay: the same 1e6-scaled constants (interpolated from
+    // the operator's own sprtConstants6), exact integer LLR cumsums,
+    // first boundary crossing per variant
+    "ab_sprt" -> {
+      val (l1, l0, a6, b6) =
+        graft.operators.Quality.sprtConstants6(0.18, 0.22, 0.05, 0.05)
+      s"""WITH w AS (
+           SELECT CAST(user_id % 2 AS VARCHAR) AS g, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+           FROM events
+         ), c AS (
+           SELECT g,
+             CAST(row_number() OVER (PARTITION BY g ORDER BY event_id)
+               AS BIGINT) AS n,
+             CAST(sum(x) OVER (PARTITION BY g ORDER BY event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+           FROM w
+         ), l AS (
+           SELECT g, n, s, s * ($l1) + (n - s) * ($l0) AS llr6 FROM c
+         ), f AS (
+           SELECT g,
+             min(CASE WHEN llr6 >= $a6 OR llr6 <= $b6 THEN n END) AS nc,
+             max(n) AS nt
+           FROM l GROUP BY g)
+         SELECT l.g AS variant,
+           CASE WHEN f.nc IS NULL THEN 'continue'
+                WHEN l.llr6 >= $a6 THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           l.n AS n_obs, l.s AS successes,
+           CAST(l.llr6 AS DOUBLE) / 1000000.0 AS llr
+         FROM l JOIN f ON l.g = f.g AND l.n = COALESCE(f.nc, f.nt)
+         ORDER BY variant"""
+    },
+
+    // Count-Min replay: the same md5 row hashes, integer cell adds,
+    // min over the d probes — est >= exact is graded content
+    "corpus_cms_counts" ->
+      """WITH terms AS (
+           SELECT unnest(string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+             AS term
+           FROM documents
+         ), counts AS (
+           SELECT term, count(*) AS n_exact FROM terms
+           WHERE length(term) > 0 GROUP BY term
+         ), jj AS (SELECT unnest(generate_series(0, 3)) AS j),
+         cells AS (
+           SELECT j, bucket, sum(n_exact) AS cell FROM (
+             SELECT n_exact, j,
+               CAST('0x' || substr(md5('cms:' || CAST(j AS VARCHAR)
+                 || ':' || term), 1, 15) AS BIGINT) % 1024 AS bucket
+             FROM counts CROSS JOIN jj)
+           GROUP BY 1, 2
+         ), top AS (
+           SELECT term, n_exact FROM counts
+           ORDER BY n_exact DESC, term LIMIT 20
+         ), probes AS (
+           SELECT term, n_exact, j,
+             CAST('0x' || substr(md5('cms:' || CAST(j AS VARCHAR)
+               || ':' || term), 1, 15) AS BIGINT) % 1024 AS bucket
+           FROM top CROSS JOIN jj)
+         SELECT term, CAST(max(n_exact) AS BIGINT) AS n_exact,
+           CAST(min(cell) AS BIGINT) AS n_est
+         FROM probes JOIN cells USING (j, bucket)
+         GROUP BY term ORDER BY n_exact DESC, term""",
+
+    // hard-negative replay: the brute cosine stream with the
+    // label-inequality filter, rank <= 8 per query
+    "ann_hard_negatives" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, label AS ql,
+             CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id % 50 = 0
+         ), c AS (
+           SELECT vec_id AS neighbor_id, label AS cl,
+             CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings
+         ), scored AS (
+           SELECT query_id, neighbor_id,
+             list_sum(list_transform(generate_series(1, len(cv)),
+               i -> cv[i] * qv[i]))
+             / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+                * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS cosine
+           FROM c, q WHERE neighbor_id <> query_id AND cl <> ql)
+         SELECT query_id, neighbor_id, cosine, rn AS rank FROM (
+           SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rn
+           FROM scored)
+         WHERE rn <= 8 ORDER BY query_id, rank""",
   )
 
   /** [[graft.operators.KMeans.fit]]'s Lloyd rounds unrolled over the

@@ -895,6 +895,64 @@ private[graft] object QueriesShard5 {
           rounds = 5)._1
         .orderBy(col("o_custkey"))
     }),
+    // Wald SPRT on the conversion stream (r12): the sequential
+    // always-valid A/B decision — exact integer LLR cumsums against
+    // 1e6-scaled boundary literals shared with the oracle
+    "ab_sprt" -> ((s, d) =>
+      Quality.sprtBernoulli(
+        eventCols(Tables.events(s, d)).select(
+          pmod(col("user_id"), lit(2)).cast("string").as("variant"),
+          col("event_id"),
+          (col("event_type") === "purchase").as("converted")),
+        "variant", "event_id", "converted", p0 = 0.18, p1 = 0.22)
+        .orderBy(col("variant"))),
+    // the CONTINUOUS SPRT (r12, §2.6): the decision emits in the
+    // microbatch the boundary is crossed; input split on event_id
+    // (the fold order), sink = the batch test restricted to crossed
+    // variants (ab_sprt's oracle with that one filter)
+    "stream_sprt" -> ((s, d) => {
+      val base = graft.TempDirs.create("graft_stream_sp")
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = eventCols(Tables.events(s, d))
+      // SF-independent split point: one driver scalar (the bootstrap
+      // discipline), half the id range per microbatch
+      val cut = lit(ev.agg(max(col("event_id"))).head.getLong(0) / 2)
+      ev.filter(col("event_id") <= cut).write.parquet(inDir)
+      withShufflePartitions(s, 4) {
+        val q = graft.streaming.EventStream.sprt(
+            graft.streaming.EventStream.read(s, inDir),
+            p0 = 0.18, p1 = 0.22, convType = "purchase")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .format("parquet").option("path", outDir).start()
+        try {
+          q.processAllAvailable()
+          ev.filter(col("event_id") > cut).write.mode("append").parquet(inDir)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.read.parquet(outDir)
+        .select(col("variant"), col("decision"), col("n_obs"),
+          col("successes"), col("llr"))
+        .orderBy(col("variant"))
+    }),
+    // Count-Min sketch frequency estimation (r12): d=4 × w=1024
+    // integer cells, md5-bucketed; graded as (term, exact, estimate)
+    // over the exact top-20 so est ≥ exact is itself verified
+    "corpus_cms_counts" -> ((s, d) =>
+      functions.Text.cmsTermCounts(Tables.documents(s, d), "doc_id",
+        "text", depth = 4, width = 1024, topK = 20)),
+    // contrastive hard-negative mining (r12): per labeled query
+    // vector, the top-8 most-similar corpus vectors with a DIFFERENT
+    // label — the brute scoring stream with the label-inequality
+    // filter riding it
+    "ann_hard_negatives" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      Similarity.hardNegatives(embs,
+          embs.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", "label", k = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // MAINTAINED tf-idf index (r12): two corpus halves' per-(doc,term)
     // tf frames unioned (doc-disjoint ⇒ no merge; df/N re-derive as
     // exact integer adds inside the scorer) must answer exactly like

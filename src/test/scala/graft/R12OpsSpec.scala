@@ -208,4 +208,68 @@ class R12OpsSpec extends SparkSuite {
       Seq("spark", "join"), k = 10).collect().map(_.toSeq).toSeq
     assert(incr === full)
   }
+
+  // ---- Quality.sprtBernoulli ----
+
+  test("sprtBernoulli: crossings at the exact boundary step, continue on thin data") {
+    import graft.operators.Quality
+    // p0=0.2 vs p1=0.8, α=β=0.05: per-success LLR += ln(4) ≈ 1.386,
+    // per-failure += ln(0.25) ≈ −1.386; boundary ln(19) ≈ 2.944 →
+    // three successes in a row cross H1 (2·1.386 < 2.944 < 3·1.386)
+    val rows =
+      (1 to 10).map(i => ("up", i.toLong, true)) ++       // H1 at n=3
+      (1 to 10).map(i => ("dn", 100L + i, false)) ++      // H0 at n=3
+      Seq(("thin", 200L, true), ("thin", 201L, false))    // no crossing
+    val df = rows.toDF("g", "id", "conv")
+    val got = Quality.sprtBernoulli(df, "g", "id", "conv",
+        p0 = 0.2, p1 = 0.8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("up") === (("accept_h1", 3L, 3L)))
+    assert(got("dn") === (("accept_h0", 3L, 0L)))
+    assert(got("thin")._1 === "continue")
+    assert(got("thin")._2 === 2L)
+  }
+
+  // ---- Text.cmsTermCounts ----
+
+  test("cmsTermCounts: estimate is one-sided (est >= exact); wide sketch is exact; narrow sketch collides") {
+    val docs = Seq(
+      (1L, "alpha alpha alpha beta beta gamma"),
+      (2L, "alpha beta delta delta epsilon zeta"),
+      (3L, "alpha gamma gamma eta theta iota")
+    ).toDF("doc_id", "text")
+    val wide = functions.Text.cmsTermCounts(docs, "doc_id", "text",
+      depth = 4, width = 4096, topK = 10).collect()
+    assert(wide.forall(r => r.getLong(2) >= r.getLong(1)))
+    // 9 distinct terms into 4×4096 cells: no collisions, est == exact
+    assert(wide.forall(r => r.getLong(2) === r.getLong(1)))
+    assert(wide.head.getString(0) === "alpha" && wide.head.getLong(1) === 5L)
+    // 9 terms into width 2: pigeonhole forces overestimates
+    val narrow = functions.Text.cmsTermCounts(docs, "doc_id", "text",
+      depth = 2, width = 2, topK = 10).collect()
+    assert(narrow.forall(r => r.getLong(2) >= r.getLong(1)))
+    assert(narrow.exists(r => r.getLong(2) > r.getLong(1)))
+  }
+
+  // ---- Similarity.hardNegatives ----
+
+  test("hardNegatives: same-label neighbors excluded, nearest different-label wins, self excluded") {
+    import graft.operators.Similarity
+    // query 1 (label 0) points along +x; vec 2 is nearly parallel but
+    // SAME label (must be excluded); vec 3 slightly off with label 1
+    // (the true hard negative); vec 4 orthogonal label 1
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(0.99f, 0.1f), 0),
+      (3L, Seq(0.9f, 0.3f), 1),
+      (4L, Seq(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(vecs,
+        vecs.filter(col("vec_id") === 1), "vec_id", "embedding", "label",
+        k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq === Seq((3L, 1), (4L, 2)))
+  }
 }

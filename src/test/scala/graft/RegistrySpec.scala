@@ -31,11 +31,11 @@ class RegistrySpec extends AnyFunSuite {
 
   test("oracle shards are key-disjoint and compose losslessly") {
     assert(dupes(oracleShards) === Seq.empty)
-    // + the 7 alias oracles (streaming/incremental twins graded
-    // against the batch oracle verbatim) and the composed dedup_eval
-    // oracle appended in SparkEntry.oracleSql
+    // + the 8 alias/derived oracles (streaming/incremental twins
+    // graded against the batch oracle, verbatim or filtered) and the
+    // composed dedup_eval oracle appended in SparkEntry.oracleSql
     assert(SparkEntry.oracleSql.size ===
-      oracleShards.map(_._2.size).sum + 8)
+      oracleShards.map(_._2.size).sum + 9)
   }
 
   // (the query↔oracle key-set contract — dangling oracles, the pinned
