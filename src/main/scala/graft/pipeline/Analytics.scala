@@ -2602,4 +2602,59 @@ object Analytics {
     df.join(frontierX,
       col(xCol) === col("__x") && col(yCol) === col("__ymax"), "left_semi")
   }
+
+  /** Mann–Kendall monotone-trend TEST per key (Mann '45, Kendall '75)
+    * — the significance half of the [[theilSenTrend]] pairing (MK
+    * answers "IS there a trend", Theil–Sen "how steep"; the two are
+    * the standard non-parametric trend kit): over the key's ordered
+    * series, S = Σ_{i<j} sign(x_j − x_i), tie-corrected variance
+    * Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18, and the
+    * continuity-corrected z = (S∓1)/√Var — verdict at |z| > 1.96.
+    *
+    * Portability: x is an integer series (period counts), so S, the
+    * variance NUMERATOR (kept ×18 as an exact integer), and the
+    * n/tie terms are all exact; z is one double tree, rounded once.
+    * The pair space is an intra-key self-join — O(n²) per key by
+    * DEFINITION (n = periods, bounded by the calendar: decades of
+    * weeks is ~10³ → ≤10⁶ pairs per key, each a subtraction);
+    * tie groups aggregate separately, one key exchange each.
+    * Keys need n ≥ 3 (below that Var(S) degenerates); zero variance
+    * (all-tied series) reports z null, verdict 'no_trend'.
+    */
+  def mannKendall(series: DataFrame, keyCol: String, periodCol: String,
+                  valueCol: String, roundTo: Int = 6): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val base = graft.Par.persistTracked(
+      series.select(col(keyCol).as("__k"), col(periodCol).cast("long").as("__p"),
+        col(valueCol).cast("long").as("__x")))
+    val pairs = base
+      .join(base.select(col("__k").as("__k2"), col("__p").as("__p2"),
+          col("__x").as("__x2")),
+        col("__k") === col("__k2") && col("__p") < col("__p2"))
+      .groupBy(col("__k"))
+      .agg(sum(signum(d(col("__x2") - col("__x"))).cast("long")).as("s_stat"))
+    val ties = base.groupBy(col("__k"), col("__x"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("__groups"), sum(col("__t")).as("__n"),
+        sum(col("__t") * (col("__t") - 1) * (lit(2) * col("__t") + 5))
+          .as("__tieTerm"))
+      .withColumn("__var18",
+        col("__n") * (col("__n") - 1) * (lit(2) * col("__n") + 5)
+          - col("__tieTerm"))
+    pairs.join(ties, Seq("__k"))
+      .filter(col("__n") >= 3)
+      .withColumn("z",
+        when(col("__var18") > 0,
+          when(col("s_stat") === 0, lit(0.0)).otherwise(
+            round((d(col("s_stat"))
+                - signum(d(col("s_stat")))) // continuity correction
+              / sqrt(d(col("__var18")) / lit(18.0)), roundTo))))
+      .select(col("__k").as(keyCol), col("__n").as("n_periods"),
+        col("s_stat"), col("__var18").as("var18"), col("z"),
+        when(col("z").isNull, lit("no_trend"))
+          .when(col("z") > 1.959964, lit("increasing"))
+          .when(col("z") < -1.959964, lit("decreasing"))
+          .otherwise(lit("no_trend")).as("verdict"))
+  }
 }

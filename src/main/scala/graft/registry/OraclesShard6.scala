@@ -1137,6 +1137,47 @@ private[graft] object OraclesShard6 {
     // clusters carrying the previous centroid via the left join
     "customer_kmeans" -> kmeansRoundsSql(5),
 
+    // Mann-Kendall replay: intra-key pair self-join for S, tie-group
+    // aggregate for the x18 variance numerator, one z tree
+    "events_mann_kendall" ->
+      """WITH w AS (
+           SELECT event_type AS k,
+             date_diff('day', DATE '1970-01-05',
+               CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE))
+               // 7 AS p,
+             count(*) AS x
+           FROM events GROUP BY 1, 2
+         ), s AS (
+           SELECT a.k,
+             CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+           FROM w a JOIN w b ON a.k = b.k AND a.p < b.p
+           GROUP BY a.k
+         ), t AS (
+           SELECT k, CAST(count(*) AS BIGINT) AS tt, x
+           FROM w GROUP BY k, x
+         ), v AS (
+           SELECT k, CAST(sum(tt) AS BIGINT) AS n,
+             CAST(sum(tt) * (sum(tt) - 1) * (2 * sum(tt) + 5)
+               - sum(tt * (tt - 1) * (2 * tt + 5)) AS BIGINT) AS var18
+           FROM t GROUP BY k
+         ), z0 AS (
+           SELECT s.k, v.n, s.s_stat, v.var18,
+             CASE WHEN v.var18 > 0 THEN
+               CASE WHEN s.s_stat = 0 THEN 0.0 ELSE
+                 round((CAST(s.s_stat AS DOUBLE)
+                     - CASE WHEN s.s_stat > 0 THEN 1.0
+                            WHEN s.s_stat < 0 THEN -1.0 ELSE 0.0 END)
+                   / sqrt(CAST(v.var18 AS DOUBLE) / 18.0), 6) END END AS z
+           FROM s JOIN v ON s.k = v.k WHERE v.n >= 3)
+         SELECT k AS event_type, n AS n_periods, s_stat, var18, z,
+           CASE WHEN z IS NULL THEN 'no_trend'
+                WHEN z > 1.959964 THEN 'increasing'
+                WHEN z < -1.959964 THEN 'decreasing'
+                ELSE 'no_trend' END AS verdict
+         FROM z0 ORDER BY event_type""",
+
     // SPRT replay: the same 1e6-scaled constants (interpolated from
     // the operator's own sprtConstants6), exact integer LLR cumsums,
     // first boundary crossing per variant

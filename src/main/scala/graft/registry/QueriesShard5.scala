@@ -895,6 +895,20 @@ private[graft] object QueriesShard5 {
           rounds = 5)._1
         .orderBy(col("o_custkey"))
     }),
+    // Mann-Kendall monotone-trend test per event type (r12): the
+    // significance half of the Theil-Sen pairing — S and the
+    // tie-corrected variance as exact integers over weekly volumes,
+    // one continuity-corrected z
+    "events_mann_kendall" -> ((s, d) => {
+      val wk = (datediff(date_trunc("week", col("ts")).cast("date"),
+        lit("1970-01-05").cast("date")) / 7).cast("long")
+      val weekly = eventCols(Tables.events(s, d))
+        .select(col("event_type"), wk.as("week"))
+        .groupBy(col("event_type"), col("week"))
+        .agg(count(lit(1)).as("n"))
+      Analytics.mannKendall(weekly, "event_type", "week", "n")
+        .orderBy(col("event_type"))
+    }),
     // Wald SPRT on the conversion stream (r12): the sequential
     // always-valid A/B decision — exact integer LLR cumsums against
     // 1e6-scaled boundary literals shared with the oracle

@@ -252,6 +252,30 @@ class R12OpsSpec extends SparkSuite {
     assert(narrow.exists(r => r.getLong(2) > r.getLong(1)))
   }
 
+  // ---- Analytics.mannKendall ----
+
+  test("mannKendall: strict ramp maxes S and flags increasing; ties null out; short keys absent") {
+    import graft.pipeline.Analytics
+    val rows =
+      (1 to 10).map(i => (1L, i.toLong, i.toLong * 10)) ++  // strict ramp
+      (1 to 8).map(i => (2L, i.toLong, 7L)) ++              // all tied
+      Seq((3L, 1L, 5L), (3L, 2L, 9L))                        // n = 2
+    val got = Analytics.mannKendall(rows.toDF("k", "p", "x"), "k", "p", "x")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(4)), r.getString(5)))).toMap
+    // ramp: S = C(10,2) = 45; Var18 = 10·9·25 = 2250 → Var = 125,
+    // z = 44/√125 ≈ 3.935479 → increasing
+    val (n1, s1, z1, v1) = got(1L)
+    assert(n1 === 10L && s1 === 45L)
+    assert(math.abs(z1.get.asInstanceOf[Double] - 44.0 / math.sqrt(125.0)) < 1e-6)
+    assert(v1 === "increasing")
+    // all-tied: variance numerator 0 → z null, no_trend
+    val (_, s2, z2, v2) = got(2L)
+    assert(s2 === 0L && z2.isEmpty && v2 === "no_trend")
+    // n = 2 dropped
+    assert(!got.contains(3L))
+  }
+
   // ---- Similarity.hardNegatives ----
 
   test("hardNegatives: same-label neighbors excluded, nearest different-label wins, self excluded") {
