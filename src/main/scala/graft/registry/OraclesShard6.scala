@@ -1137,6 +1137,23 @@ private[graft] object OraclesShard6 {
     // clusters carrying the previous centroid via the left join
     "customer_kmeans" -> kmeansRoundsSql(5),
 
+    // stratified-fraction replay: the xxHash64 chain, pmod bucket,
+    // per-stratum round(f*1e6) thresholds. Thresholds attach via a
+    // JOIN, not a CASE: a bare filter over the 22-layer hash nest
+    // sends DuckDB's filter-pushdown into an expression-substitution
+    // blowup (measured: >100 s vs 0.4 s with the join — the same
+    // reason sample_temperature_hash joins its threshold frame)
+    "sample_stratified_frac" ->
+      s"""WITH hx AS (${xxhash64LongSql(
+             """SELECT doc_id, 's' || CAST(doc_id % 3 AS VARCHAR) AS stratum
+                FROM documents""",
+             "doc_id", 42L, keep = Seq("stratum"))}),
+         p(stratum, thresh) AS (VALUES
+           ('s0', 500000), ('s1', 200000), ('s2', 800000))
+         SELECT doc_id, stratum FROM hx JOIN p USING (stratum)
+         WHERE ((h % 1000000) + 1000000) % 1000000 < thresh
+         ORDER BY doc_id""",
+
     // Mann-Kendall replay: intra-key pair self-join for S, tie-group
     // aggregate for the x18 variance numerator, one z tree
     "events_mann_kendall" ->

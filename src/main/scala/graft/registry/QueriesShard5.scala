@@ -895,6 +895,17 @@ private[graft] object QueriesShard5 {
           rounds = 5)._1
         .orderBy(col("o_custkey"))
     }),
+    // fraction-per-stratum hash sample (r12): the last ungraded
+    // sampler — per-stratum xxhash64 thresholds, membership a pure
+    // function of (id, seed), oracled through the xxHash64 SQL chain
+    "sample_stratified_frac" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(lit("s"), pmod(col("doc_id"), lit(3))).as("stratum"))
+      Sampling.stratifiedSample(docs, "doc_id", "stratum",
+          fractions = Map("s0" -> 0.5, "s1" -> 0.2, "s2" -> 0.8))
+        .orderBy(col("doc_id"))
+    }),
     // Mann-Kendall monotone-trend test per event type (r12): the
     // significance half of the Theil-Sen pairing — S and the
     // tie-corrected variance as exact integers over weekly volumes,
