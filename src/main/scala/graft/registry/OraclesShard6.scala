@@ -1137,6 +1137,32 @@ private[graft] object OraclesShard6 {
     // clusters carrying the previous centroid via the left join
     "customer_kmeans" -> kmeansRoundsSql(5),
 
+    // restore replay: the restored head IS v1's snapshot; v2 stays
+    // intact underneath — both stated literally
+    "versioned_restore" ->
+      """WITH base AS (
+           SELECT c_custkey AS customer_id, c_name AS customer_name,
+                  c_acctbal AS account_balance, c_mktsegment AS market_segment
+           FROM customer)
+         SELECT 'restored' AS version_tag, customer_id, customer_name,
+                account_balance, market_segment,
+                TIMESTAMP '2026-01-01 00:00:00' AS updated_at
+         FROM base WHERE customer_id % 2 = 0
+         UNION ALL
+         SELECT 'v2_intact', customer_id, customer_name,
+                CASE WHEN customer_id % 4 = 0 THEN account_balance + 1000
+                     ELSE account_balance END,
+                market_segment,
+                CASE WHEN customer_id % 4 = 0
+                     THEN TIMESTAMP '2026-02-01 00:00:00'
+                     ELSE TIMESTAMP '2026-01-01 00:00:00' END
+         FROM base WHERE customer_id % 2 = 0
+         UNION ALL
+         SELECT 'v2_intact', customer_id, customer_name, account_balance,
+                market_segment, TIMESTAMP '2026-02-01 00:00:00'
+         FROM base WHERE customer_id % 2 = 1 AND customer_id % 3 = 0
+         ORDER BY version_tag, customer_id""",
+
     // stratified-fraction replay: the xxHash64 chain, pmod bucket,
     // per-stratum round(f*1e6) thresholds. Thresholds attach via a
     // JOIN, not a CASE: a bare filter over the 22-layer hash nest

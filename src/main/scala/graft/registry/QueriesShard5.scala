@@ -895,6 +895,35 @@ private[graft] object QueriesShard5 {
           rounds = 5)._1
         .orderBy(col("o_custkey"))
     }),
+    // RESTORE TABLE TO VERSION (r12): metadata-only rollback AS A
+    // NEW COMMIT — the restored head must equal v1 byte-for-byte
+    // while v2 stays intact underneath (history preserved for the
+    // post-mortem; nothing rewound or deleted)
+    "versioned_restore" -> ((s, d) => {
+      val dir = graft.TempDirs.create("graft_vre_")
+      val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
+      val t1 = lit("2026-02-01 00:00:00").cast("timestamp")
+      val base = Models.stgCustomer(s, d).select(col("customer_id"),
+        col("customer_name"), col("account_balance"), col("market_segment"))
+      val v1rows = base.filter(col("customer_id") % 2 === 0)
+        .withColumn("updated_at", t0)
+      require(graft.sources.Versioned.commit(v1rows, dir) == 1)
+      val updates = base.filter(col("customer_id") % 4 === 0)
+        .withColumn("account_balance", col("account_balance") + 1000.0)
+        .withColumn("updated_at", t1)
+        .unionByName(base
+          .filter(col("customer_id") % 2 === 1 && col("customer_id") % 3 === 0)
+          .withColumn("updated_at", t1))
+      require(graft.sources.Versioned.upsert(updates, dir,
+        Seq("customer_id"), "updated_at") == 2)
+      val v3 = graft.sources.Versioned.restore(s, dir, toVersion = 1)
+      require(v3 == 3, s"restore must publish a NEW version, got $v3")
+      graft.sources.Versioned.read(s, dir) // the restored HEAD = v1
+        .withColumn("version_tag", lit("restored"))
+        .unionByName(graft.sources.Versioned.read(s, dir, Some(2))
+          .withColumn("version_tag", lit("v2_intact")))
+        .orderBy(col("version_tag"), col("customer_id"))
+    }),
     // fraction-per-stratum hash sample (r12): the last ungraded
     // sampler — per-stratum xxhash64 thresholds, membership a pure
     // function of (id, seed), oracled through the xxHash64 SQL chain

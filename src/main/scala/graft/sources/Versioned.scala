@@ -173,6 +173,31 @@ object Versioned {
     spark.read.parquet(segs.map(s => new Path(path, s).toString): _*)
   }
 
+  /** RESTORE TABLE TO VERSION (Delta's `RESTORE`, Iceberg's
+    * rollback-as-new-snapshot): publish a NEW head whose content is
+    * an earlier version's snapshot — the production rollback that
+    * keeps history INTACT (nothing is rewound or deleted: the bad
+    * versions stay readable for the post-mortem and reclaimable by
+    * [[vacuum]], and a restore is itself just another auditable
+    * commit). METADATA-ONLY: the new manifest points at version
+    * `toVersion`'s existing segments — zero data moved at any table
+    * size, the same CAS race discipline as [[commit]].
+    */
+  def restore(spark: SparkSession, path: String, toVersion: Int,
+              maxRetries: Int = 10): Int = {
+    val segs = readManifest(spark, path, toVersion) // validates existence
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = currentVersion(spark, path)
+      require(toVersion >= 1 && toVersion <= head,
+        s"version $toVersion not committed at $path (head $head)")
+      if (writeManifestCas(spark, path, head + 1, segs)) return head + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"restore lost the version race $maxRetries times at $path")
+  }
+
   /** Keyed change feed between two committed versions — the
     * time-travel dividend: `changes(v₁, v₂)` derives the CDC stream a
     * downstream consumer would need to catch up from v₁ to v₂ without

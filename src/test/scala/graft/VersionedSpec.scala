@@ -25,6 +25,25 @@ class VersionedSpec extends SparkSuite {
       === (1L to 150L).sum)
   }
 
+  test("restore: metadata-only rollback publishes a NEW head equal to the target; history intact") {
+    val dir = tmpDir("ver-restore") + "/t"
+    assert(Versioned.commit((1L to 100L).toDF("id"), dir) === 1)
+    assert(Versioned.commit((101L to 150L).toDF("id"), dir) === 2) // append
+    assert(Versioned.commit((1L to 10L).toDF("id"), dir, replace = true) === 3)
+    // restore to v1: head becomes 4, content exactly v1's
+    assert(Versioned.restore(spark, dir, toVersion = 1) === 4)
+    assert(Versioned.read(spark, dir).collect().map(_.getLong(0)).sorted
+      === (1L to 100L).toArray)
+    // every prior version still reads its own data (nothing rewound)
+    assert(Versioned.read(spark, dir, Some(2)).count() === 150)
+    assert(Versioned.read(spark, dir, Some(3)).count() === 10)
+    // restoring the head itself is a legal no-op-content commit
+    assert(Versioned.restore(spark, dir, toVersion = 4) === 5)
+    assert(Versioned.read(spark, dir).count() === 100)
+    // out-of-range targets refuse
+    intercept[Exception](Versioned.restore(spark, dir, toVersion = 99))
+  }
+
   test("writeAuditPublish: dirty candidate rejected with head/content untouched and segment reclaimed") {
     val dir = tmpDir("wap") + "/t"
     val audit = (df: org.apache.spark.sql.DataFrame) =>
