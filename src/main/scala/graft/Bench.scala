@@ -184,7 +184,14 @@ object Bench {
           .collect { case re(n) => n.toInt }
         if (ns.isEmpty) None else Some((ns.max + 1).toString)
       }
-      val stamped = round.map(r => f"BENCH_full_r${r.toInt}%02d.json")
+      // the stamped round artifact is the FULL run's record — an
+      // SPARK_GRAFT_ONLY run with an explicit side file must never
+      // clobber it (r12 lesson: six isolated dev runs each rewrote
+      // BENCH_full_r12.json down to their own key subset; the full
+      // 340-key line survived only in the run log)
+      val stamped =
+        if (only.isEmpty) round.map(r => f"BENCH_full_r${r.toInt}%02d.json")
+        else None
       val outs = explicit.getOrElse("BENCH_full.json") :: stamped.toList
       outs.foreach { out =>
         try java.nio.file.Files.write(java.nio.file.Paths.get(out),
