@@ -47,6 +47,22 @@ object KMeans {
     val dims = featureCols.size
     val base = graft.Par.persistTracked(
       df.select((col(idCol) +: featureCols.map(c => col(c).cast("long"))): _*))
+    // ENFORCE the small-integer caller contract (r12 ADVICE): the
+    // exact distance Σ_d (1e6·x − c6)² overflows Long once a per-dim
+    // |x − c| nears 3e3, silently corrupting every argmin after the
+    // wrap. Bound chosen so dims·(2·bound·1e6)² < Long.MaxValue:
+    // one cheap max(abs) aggregate (scan + partial agg), paid once.
+    val bound = math.floor(math.sqrt(Long.MaxValue.toDouble / dims) / 2e6).toLong
+    require(init.flatten.forall(v => math.abs(v) <= bound.toDouble),
+      s"init centroid magnitude exceeds the exact-integer bound ±$bound")
+    val maxAbsCols = featureCols.map(c => max(abs(col(c))))
+    val maxAbs = base.select(coalesce(
+        (if (dims == 1) maxAbsCols.head else greatest(maxAbsCols: _*)),
+        lit(0L)).as("m"))
+      .head().getLong(0)
+    require(maxAbs <= bound,
+      s"feature magnitude $maxAbs exceeds the exact-integer k-means " +
+        s"bound ±$bound for $dims dims — rescale/bucket features first")
 
     def dist2To(c6: Seq[Long]): Column =
       (0 until dims).map { d =>

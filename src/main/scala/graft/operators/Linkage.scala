@@ -51,12 +51,13 @@ object Linkage {
     *    Σ_k m_k·(m_{k−1}+m_k+m_{k+1}).
     *  - A PAIR-GRID salt inside each band (the [[Skew.saltedJoin]]
     *    discipline applied to a self-join): each row draws a
-    *    deterministic id-hash salt s ∈ [0, salts) and the unordered
-    *    pair {x, y} meets in exactly one grid cell
-    *    (min(s_x,s_y), max(s_x,s_y)), so a same-length mega-block's
-    *    residual quadratic work spreads over salts·(salts+1)/2
-    *    reducers instead of one. Salting never changes the pair
-    *    count — bands prune, salts distribute.
+    *    deterministic id-hash salt s ∈ [0, salts); a LEFT copy
+    *    occupies grid row s ({(s,t) : t}), a RIGHT copy grid column
+    *    s ({(t,s) : t}), so an ordered pairing meets in exactly ONE
+    *    cell, (s_left, s_right) — equal salts included — and a
+    *    same-length mega-block's residual quadratic work spreads
+    *    over salts² reducers instead of one. Salting never changes
+    *    the pair MULTISET — bands prune, salts distribute.
     *
     * Replication cost (HOT rows only — the hot-key frame is
     * heavy-hitter-small and broadcasts, as in saltedJoin): left
@@ -90,16 +91,27 @@ object Linkage {
       .withColumn("__salt",
         when(col("__hot") === 1,
           pmod(xxhash64(col("__id")), lit(salts.toLong))).otherwise(lit(0L)))
-    // the S grid cells a salted row participates in; cold rows pin
-    // cell (0,0) on both sides so they meet exactly once (plain path)
-    def cells(saltC: Column, hotC: Column): Column =
+    // the S grid cells a salted row participates in — ASYMMETRIC by
+    // side: a left row with salt s occupies row-s of the grid
+    // {(s, t) : t}, a right row with salt s occupies column-s
+    // {(t, s) : t}, so an (a, b) pairing meets in EXACTLY one cell,
+    // (s_a, s_b) — including when s_a = s_b. (The earlier symmetric
+    // min/max grid made equal-salt pairs meet in all `salts` cells
+    // containing s → duplicated output rows; r12 ADVICE.) Cold rows
+    // pin cell (0,0) on both sides so they meet exactly once (plain
+    // path). Both row orientations of an unordered pair appear once
+    // each; the id_a < id_b filter keeps exactly one.
+    def cells(saltC: Column, hotC: Column, leftSide: Boolean): Column =
       when(hotC === 1,
-        array((0 until salts).map(t => struct(
-          least(saltC, lit(t.toLong)).as("i"),
-          greatest(saltC, lit(t.toLong)).as("j"))): _*))
+        array((0 until salts).map { t =>
+          val tC = lit(t.toLong)
+          if (leftSide) struct(saltC.as("i"), tC.as("j"))
+          else struct(tC.as("i"), saltC.as("j"))
+        }: _*))
         .otherwise(array(struct(lit(0L).as("i"), lit(0L).as("j"))))
     val a = tagged
-      .withColumn("__cell", explode(cells(col("__salt"), col("__hot"))))
+      .withColumn("__cell",
+        explode(cells(col("__salt"), col("__hot"), leftSide = true)))
       .select(col("__id").as("id_a"), col("__n").as("__na"),
         col("__blk"), col("__band").as("__kb"), col("__cell"))
     val b = tagged
@@ -107,7 +119,8 @@ object Linkage {
         when(col("__hot") === 1,
           array(col("__band") - 1, col("__band"), col("__band") + 1))
           .otherwise(array(lit(0L)))))
-      .withColumn("__cell", explode(cells(col("__salt"), col("__hot"))))
+      .withColumn("__cell",
+        explode(cells(col("__salt"), col("__hot"), leftSide = false)))
       .select(col("__id").as("id_b"), col("__n").as("__nb"),
         col("__blk"), col("__kb"), col("__cell"))
     a.join(b, Seq("__blk", "__kb", "__cell"))

@@ -50,30 +50,28 @@ class LinkageSpec extends SparkSuite {
       } ++ Seq((101L, "acme corp", "C"), (102L, "acme corp.", "C"),
         (103L, "zenith", "C"))
     val df = rows.toDF("id", "name", "b")
+    // MULTISET comparison (sorted Seq, not Set): the r12 symmetric
+    // min/max grid emitted `salts` copies of every equal-salt hot
+    // pair — a Set compare could never see the multiplicity bug
     val expected = (for {
       (ia, na, ba) <- rows; (ib, nb, bb) <- rows
       if ba == bb && ia < ib
       d = lev(na, nb) if d <= 2
-    } yield (ia, ib, d)).toSet
+    } yield (ia, ib, d)).sorted
     assert(expected.nonEmpty)
-    val plain = Linkage.blockedFuzzyPairs(df, "id", "name", col("b"),
-        maxDist = 2) // default threshold: everything on the plain path
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def run(maxDist: Int, thr: Long = 100000L, salts: Int = 8) =
+      Linkage.blockedFuzzyPairs(df, "id", "name", col("b"),
+          maxDist = maxDist, hotBlockThreshold = thr, salts = salts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSeq.sorted
+    val plain = run(2) // default threshold: everything on the plain path
     // threshold 10 makes H hot (64 rows) while C (3 rows) stays cold
-    val split = Linkage.blockedFuzzyPairs(df, "id", "name", col("b"),
-        maxDist = 2, hotBlockThreshold = 10L, salts = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val split = run(2, thr = 10L, salts = 3)
     assert(plain === expected)
     assert(split === expected)
     // degenerate grids still hold: one salt, and maxDist 0 (band = len)
-    val s1 = Linkage.blockedFuzzyPairs(df, "id", "name", col("b"),
-        maxDist = 2, hotBlockThreshold = 10L, salts = 1)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    assert(s1 === expected)
-    val d0 = Linkage.blockedFuzzyPairs(df, "id", "name", col("b"),
-        maxDist = 0, hotBlockThreshold = 10L, salts = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    assert(d0 === expected.filter(_._3 == 0))
+    assert(run(2, thr = 10L, salts = 1) === expected)
+    assert(run(0, thr = 10L, salts = 3) === expected.filter(_._3 == 0))
   }
 
   test("blockedFuzzyPairs feeds connectedComponents: entities cluster transitively") {
