@@ -115,7 +115,6 @@ object Bench {
     // don't eat ~10 s of orchestration noise
     val streamingNames = results.map(_._1).filter(_.startsWith("stream_")).toSet
     val streamingSec = results.filter(r => streamingNames(r._1)).map(_._2).sum
-    spark.stop()
     // Mechanical within-2x gate (r11 verdict ask #2): if the pinned
     // per-query baseline exists, every run reports its total ratio,
     // the median per-key ratio, and the list of keys >2x their pinned
@@ -146,16 +145,53 @@ object Bench {
           val baseTotal = ratios.map { case (k, _) => base(k) }.sum
           val curTotal = results.collect {
             case (k, v) if base.contains(k) && v >= 0 => v }.sum
-          val over = ratios
+          val overPairs = ratios
             .filter { case (k, r) => r > 2.0 && base(k) >= 0.35 }
             .sortBy(-_._2)
+          val over = overPairs
+            .map { case (k, r) => "\"" + k + "\":" + fmt(r) }
+            .mkString("{", ",", "}")
+          // Mechanical over-2x ADJUDICATION (r12 verdict ask #1): an
+          // in-suite 2x flag is usually suite-growth GC debt landing
+          // on whichever key runs late (proved by hand twice —
+          // REBENCH_r12), so the artifact must carry its own verdict:
+          // each flagged key is re-run AFTER the suite in a quiet JVM
+          // (full GC, fresh warmup, 3 timed passes, min — the
+          // SPARK_GRAFT_ONLY re-bench protocol in-process) and the
+          // isolated ratio is stamped NEXT TO the in-suite one. A key
+          // <2x isolated is suite noise by measurement, not narrative;
+          // a key still >2x isolated is a real regression to profile.
+          val overIso = overPairs.map { case (k, _) =>
+            val fn = SparkEntry.queries(k)
+            Par.release()
+            graft.pipeline.DayReplay.reclaimStale()
+            System.gc()
+            try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+            val ts = (1 to 3).map { _ =>
+              System.gc()
+              val t0 = System.nanoTime()
+              try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+              val sec = (System.nanoTime() - t0) / 1e9
+              Par.release()
+              graft.pipeline.DayReplay.reclaimStale()
+              sec
+            }
+            System.err.println(
+              f"[bench] isolated $k%-28s ${ts.min}%8.2f s (in-suite ratio " +
+                f"${results.toMap.apply(k) / base(k)}%.2f -> isolated ${ts.min / base(k)}%.2f)")
+            k -> ts.min / base(k)
+          }
+          val overIsoJson = overIso
             .map { case (k, r) => "\"" + k + "\":" + fmt(r) }
             .mkString("{", ",", "}")
           s""""baseline":"${p.getFileName}","vs_baseline_total":${fmt(curTotal / baseTotal)},""" +
-            s""""vs_baseline_median":${fmt(med)},"over_2x":$over,"""
+            s""""vs_baseline_median":${fmt(med)},"over_2x":$over,""" +
+            s""""over_2x_isolated":$overIsoJson,""" +
+            s""""isolated_stat":"min-of-3, post-suite full-GC + warmup","""
         }
       }
     }
+    spark.stop()
     val line = s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec",""" +
       s""""batch_sec":${fmt(total - streamingSec)},"streaming_sec":${fmt(streamingSec)},""" +
       baselineCmp +

@@ -23,7 +23,8 @@ object SparkEntry {
     * shard-key disjointness (a ++ collision would silently shadow)
     * and that every oracle grades an existing query. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesShard1.m ++ QueriesShard2.m ++ QueriesShard3.m ++ QueriesShard4.m ++ QueriesShard5.m
+    QueriesShard1.m ++ QueriesShard2.m ++ QueriesShard3.m ++
+      QueriesShard4.m ++ QueriesShard5.m ++ QueriesShard6.m
 
   def oracleSql: Map[String, String] = {
     val base =
@@ -32,7 +33,8 @@ object SparkEntry {
       OraclesShard3.m ++
       OraclesShard4.m ++
       OraclesShard5.m ++
-      OraclesShard6.m
+      OraclesShard6.m ++
+      OraclesShard7.m
     // the incremental CC twin is PROVABLY the same labeling as the
     // full replay (star-edge folding, DedupSpec), so it shares the
     // recursive-reachability oracle verbatim
@@ -60,6 +62,9 @@ object SparkEntry {
       // the maintained tf-idf index must answer exactly like the full
       // re-scan — the structural equality the index-frame union makes
       ("corpus_tfidf_incr" -> base("corpus_tfidf_topk")) +
+      // the percentile-bucket RFM is row-identical to the window-ntile
+      // form by the exact-ntile construction — same oracle verbatim
+      ("customer_rfm_bucketed" -> base("customer_rfm")) +
       // the pair-set scorecard replays BOTH graded pipelines it
       // evaluates — their oracles verbatim as CTE bodies, then the
       // same confusion counts and P/R/F1 trees the operator runs

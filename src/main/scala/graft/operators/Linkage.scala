@@ -137,6 +137,94 @@ object Linkage {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Per-attribute agreement comparator for [[fellegiSunter]]. */
+  sealed trait FsComparator { def column: String }
+  object FsComparator {
+    /** Agree ⟺ values exactly equal (nulls never agree). */
+    final case class Exact(column: String) extends FsComparator
+    /** Agree ⟺ edit distance ≤ maxDist (thresholded levenshtein). */
+    final case class Edit(column: String, maxDist: Int) extends FsComparator
+    /** Agree ⟺ |a − b| ≤ tol, compared in exact decimal(12,2) (the
+      * dec2 money discipline — tol must be a clean 2-decimal). */
+    final case class Tolerance(column: String, tol: BigDecimal)
+      extends FsComparator
+  }
+
+  /** Fellegi–Sunter probabilistic record matching (Fellegi & Sunter,
+    * JASA '69 — the decision-theoretic half of entity resolution;
+    * [[blockedFuzzyPairs]] is its candidate generator, this is the
+    * SCORER): each attribute comparison contributes
+    * log₂-style match evidence — `ln(m/u)` on agreement,
+    * `ln((1−m)/(1−u))` on disagreement, where m = P(agree | match)
+    * and u = P(agree | non-match) are the caller's error model — and
+    * the pair's total score lands it in one of the three classical
+    * bands: ≥ upper → `link`, ≤ lower → `non_link`, between →
+    * `possible` (clerical review).
+    *
+    * Engine-exact by the [[graft.operators.Quality.sprtConstants6]]
+    * discipline: the per-attribute weights are 1e6-scaled integer
+    * LITERALS (rounded once, driver-side), agreement predicates are
+    * exact (string equality, integer thresholded levenshtein,
+    * decimal tolerance), so the pair score is an exact integer sum;
+    * the exported double is one division by 1e6. Nulls never agree —
+    * a missing attribute contributes disagreement evidence,
+    * deterministically.
+    *
+    * Scale: candidates come from ONE block-key equi-join (the
+    * blocking discipline — recall loss explicit, run multiple passes
+    * and union); scoring is a codegen'd per-row expression chain. A
+    * mega-block is [[blockedFuzzyPairs]]'s hot-block case — reuse
+    * its splitter to generate candidates, then score the pair frame
+    * with the same expression.
+    */
+  def fellegiSunter(records: DataFrame, idCol: String, blockCol: Column,
+                    attrs: Seq[(FsComparator, Double, Double)],
+                    upper: Double, lower: Double): DataFrame = {
+    require(attrs.nonEmpty, "fellegiSunter needs at least one attribute")
+    require(upper >= lower, "upper band must be >= lower band")
+    attrs.foreach { case (_, m, u) =>
+      require(m > 0 && m < 1 && u > 0 && u < 1 && m > u,
+        s"need 0 < u < m < 1 per attribute, got (m=$m, u=$u)")
+    }
+    import FsComparator._
+    val cols = attrs.map(_._1.column).distinct
+    def side(idAs: String, pfx: String) =
+      records.select(
+        (col(idCol).as(idAs) +: cols.map(c => col(c).as(pfx + c))) :+
+          blockCol.as("__blk"): _*)
+    val a = side("id_a", "__a_")
+    val b = side("id_b", "__b_")
+    def agreeExpr(cmp: FsComparator): Column = cmp match {
+      case Exact(c) => col(s"__a_$c") === col(s"__b_$c")
+      case Edit(c, dmax) =>
+        levenshtein(col(s"__a_$c"), col(s"__b_$c"), dmax) >= 0
+      case Tolerance(c, tol) =>
+        abs(col(s"__a_$c").cast("decimal(12,2)")
+          - col(s"__b_$c").cast("decimal(12,2)"))
+          .leq(lit(tol.setScale(2).toString).cast("decimal(12,2)"))
+    }
+    val terms = attrs.map { case (cmp, m, u) =>
+      val wAgree = math.round(math.log(m / u) * 1e6)
+      val wDis = math.round(math.log((1 - m) / (1 - u)) * 1e6)
+      (agreeExpr(cmp), wAgree, wDis)
+    }
+    val score6 = terms.map { case (agr, wA, wD) =>
+      when(agr, lit(wA)).otherwise(lit(wD)) }.reduce(_ + _)
+    val nAgree = terms.map { case (agr, _, _) =>
+      when(agr, lit(1)).otherwise(lit(0)) }.reduce(_ + _)
+    val u6 = math.round(upper * 1e6)
+    val l6 = math.round(lower * 1e6)
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__s6", score6)
+      .select(col("id_a"), col("id_b"),
+        nAgree.as("n_agree"),
+        (col("__s6").cast("double") / lit(1e6)).as("score"),
+        when(col("__s6") >= lit(u6), lit("link"))
+          .when(col("__s6") <= lit(l6), lit("non_link"))
+          .otherwise(lit("possible")).as("decision"))
+  }
+
   /** Per-attribute survivorship rule for [[goldenRecord]]. Every
     * rule is deterministic including its tie-break, so the golden
     * record is a pure function of the cluster's rows.

@@ -447,20 +447,41 @@ private[graft] object QueriesShard4 {
     // shape): anchor-vote adjacency intersect over (id, term, pos)
     // postings — "table table" exercises repeated phrase terms AND
     // overlapping occurrences; oracle = the definitional padded-text
-    // scan counting every (incl. overlapping) occurrence
+    // scan counting every (incl. overlapping) occurrence.
+    // The index is PERSISTED through a parquet store hop and the
+    // probe runs against the stored frame (r12 verdict ask #4: with
+    // the build inlined, every probe re-derived the tokenize+explode
+    // subplan and the bench conflated build with probe cost — the
+    // ann_ivf_incr_topk store-hop discipline; build cost has its own
+    // graded key, doc_phrase_index_build)
     "doc_phrase_search" -> ((s, d) => {
-      val idx = Search.positionalFrame(Tables.documents(s, d), "doc_id", "text")
-      Search.phraseSearch(idx, Seq("table", "table"))
+      val store = graft.TempDirs.create("graft_posidx_") + "/t"
+      Search.positionalFrame(Tables.documents(s, d), "doc_id", "text")
+        .write.parquet(store)
+      Search.phraseSearch(s.read.parquet(store), Seq("table", "table"))
         .select(col("id").as("doc_id"), col("n_matches"), col("first_pos"))
         .orderBy(col("doc_id"))
     }),
 
+    // the positional-index BUILD as its own graded key (r12 verdict
+    // ask #4's second half): the index frame itself is fully
+    // SQL-replayable (normalize + split + 1-based positions), so
+    // build cost is tracked where it belongs instead of riding every
+    // probe key
+    "doc_phrase_index_build" -> ((s, d) =>
+      Search.positionalFrame(Tables.documents(s, d), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("term"), col("pos"))
+        .orderBy(col("doc_id"), col("pos"))),
+
     // batch multi-phrase search (r11): N phrases probe the positional
     // index in ONE pass — the banned-phrase-list shape at token
-    // level; includes a rare and a no-hit phrase
+    // level; includes a rare and a no-hit phrase. Probe-only against
+    // the stored index (store-hop discipline, see doc_phrase_search)
     "doc_multi_phrase" -> ((s, d) => {
-      val idx = Search.positionalFrame(Tables.documents(s, d), "doc_id", "text")
-      Search.multiPhraseSearch(idx, Seq(
+      val store = graft.TempDirs.create("graft_posidx_") + "/t"
+      Search.positionalFrame(Tables.documents(s, d), "doc_id", "text")
+        .write.parquet(store)
+      Search.multiPhraseSearch(s.read.parquet(store), Seq(
           Seq("table", "table"), Seq("value", "table"),
           Seq("fast", "sort", "key"), Seq("quantum", "leap")))
         .select(col("pattern"), col("id").as("doc_id"),
@@ -469,14 +490,18 @@ private[graft] object QueriesShard4 {
     }),
 
     // maintained positional index (r11): two corpus halves indexed
-    // separately, the phrase runs against the UNIONED postings and
-    // must answer exactly like the fresh build — positions are
-    // per-doc, so batch frames append row-for-row
+    // separately and APPENDED to the same store — positions are
+    // per-doc, so batch frames append row-for-row; the phrase runs
+    // against the maintained store and must answer exactly like the
+    // fresh build
     "doc_phrase_search_incr" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val i1 = Search.positionalFrame(docs.filter(col("doc_id") < 250), "doc_id", "text")
-      val i2 = Search.positionalFrame(docs.filter(col("doc_id") >= 250), "doc_id", "text")
-      Search.phraseSearch(i1.unionByName(i2), Seq("table", "table"))
+      val store = graft.TempDirs.create("graft_posidx_") + "/t"
+      Search.positionalFrame(docs.filter(col("doc_id") < 250), "doc_id", "text")
+        .write.parquet(store)
+      Search.positionalFrame(docs.filter(col("doc_id") >= 250), "doc_id", "text")
+        .write.mode("append").parquet(store)
+      Search.phraseSearch(s.read.parquet(store), Seq("table", "table"))
         .select(col("id").as("doc_id"), col("n_matches"), col("first_pos"))
         .orderBy(col("doc_id"))
     }),

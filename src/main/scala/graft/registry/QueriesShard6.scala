@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators._
+import graft.pipeline.Analytics
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Query-registry shard 6 — the r13 wave (RegistrySpec's shard-size
+  * ceiling means a new wave opens a new shard instead of appending).
+  * [[SparkEntry.queries]] composes the shards. */
+private[graft] object QueriesShard6 {
+  val m: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- the 100 TB weak-labeling path (r12 verdict ask #2) ----
+    // knnLabelVote is ranker-agnostic; this key feeds it from
+    // ivfTopKIndexed over a PERSISTED index (the ann_ivf_incr_topk
+    // store-hop discipline) instead of the |corpus|x|batch| brute
+    // ranker — converting the knnLabel scaladoc's "at 100 TB swap
+    // the ranker for ivfTopKIndexed" claim into a hash-green row.
+    // Quantizer = the deterministic first-16 pick so the whole path
+    // (assignment, nprobe=4 probing, exact-cosine rerank, integer
+    // vote) replays in SQL.
+    "ann_knn_label_ivf" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val labeled = embs.filter(col("vec_id") % 50 =!= 0)
+      val unlabeled = embs.filter(col("vec_id") % 50 === 0)
+      val cents = embs.filter(col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt,
+          r.getSeq[Float](1).map(_.toDouble).toSeq))
+        .sortBy(_._1).toSeq
+      val store = graft.TempDirs.create("graft_knnivf_") + "/t"
+      Similarity.ivfIndexFrame(labeled, "vec_id", "embedding", cents)
+        .write.parquet(store)
+      val neighbors = Similarity.ivfTopKIndexed(s.read.parquet(store),
+        unlabeled, "embedding", "vec_id", k = 10, centroids = cents,
+        nprobe = 4)
+      Similarity.knnLabelVote(neighbors, labeled, "vec_id", "label")
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- sketch-based quantile normalization (r12 verdict ask #3) ----
+    // the 100 TB path of quality_quantile_norm: global side = ONE
+    // approx_percentile sketch (no global sort); sketch quantiles are
+    // not SQL-portable, so the key grades rows-only and
+    // QualitySpec pins exact-vs-approx agreement (endpoint equality,
+    // in-group monotonicity, bounded rank distance)
+    "quality_quantile_norm_approx" -> ((s, d) =>
+      Quality.quantileNormalizeApprox(
+          Tables.documents(s, d).select(col("doc_id"), col("source"),
+            col("n_chars")),
+          "source", "n_chars", "doc_id")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("norm_value"))
+        .orderBy(col("doc_id"))),
+
+    // ---- graded multimodal VIDEO path (r12 verdict ask #6) ----
+    // round-trip grading: containers are SYNTHESIZED with parameters
+    // derived from doc_id, the parse must recover exactly them, and
+    // the oracle replays the parameters in SQL — a green row proves
+    // the full byte path (synth -> binary column -> box walk).
+    // Timescale/duration vary (90 kHz v1 boxes every 5th id) so the
+    // 64-bit mvhd arm and the ms conversion are graded, not just
+    // the happy path.
+    "multimodal_video_meta" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val durMs = 500L + (id % 97) * 250L
+          val v1 = id % 5 == 0
+          val ts = if (v1) 90000 else 1000
+          val dur = if (v1) durMs * 90L else durMs
+          graft.multimodal.MediaRow(id, "video",
+            graft.multimodal.Multimodal.synthMp4(
+              ts, dur,
+              160 + (id % 20).toInt * 16, 90 + (id % 12).toInt * 9,
+              if (id % 2 == 0) "avc1" else "hev1",
+              if (id % 3 == 0) "mp42" else "isom", mvhdV1 = v1),
+            0, 0, 0L)
+        }
+      graft.multimodal.Multimodal.videoMetadata(media)
+        .orderBy(col("media_id"))
+    }),
+
+    // frame sampling over synthesized MJPEG-AVI containers: 25 fps
+    // cadence (40 ms/frame), everyMs=120 -> every 3rd frame; frame
+    // payloads are SOI-marker + "frame:<id>:<no>" so the emitted
+    // byte length replays in SQL (the RIFF walk must find the movi
+    // chunks for any row to exist at all)
+    "multimodal_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val frames = (0 until (2 + (id % 7).toInt)).map { f =>
+            Array[Byte](0xff.toByte, 0xd8.toByte) ++
+              s"frame:$id:$f".getBytes("UTF-8")
+          }
+          graft.multimodal.MediaRow(id, "video",
+            graft.multimodal.Multimodal.synthMjpegAvi(frames), 0, 0, 0L)
+        }
+      graft.multimodal.Multimodal.frameSample(media, everyMs = 120)
+        .select(col("media_id"), col("frame_no"),
+          octet_length(col("frame")).as("n_frame_bytes"))
+        .orderBy(col("media_id"), col("frame_no"))
+    }),
+
+    // ---- percentile-bucket RFM (r12 verdict ask #7) ----
+    // row-identical to customer_rfm by the exact-ntile construction,
+    // with zero SinglePartition exchanges — graded against the same
+    // oracle to PROVE the equality at sf, not just claim it
+    "customer_rfm_bucketed" -> ((s, d) =>
+      Analytics.rfmBucketed(Tables.orders(s, d))
+        .orderBy(col("o_custkey"))),
+  )
+}

@@ -127,27 +127,34 @@ object Sink {
       .filter(e => e.isDirectory && e.getPath.getName.contains("="))
     if (partDirs.nonEmpty)
       return partDirs.map(d => compact(spark, d.getPath.toString, targetBytes)).sum
-    def dataFiles(p: Path): Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
+    // STREAMING aggregation over the listing iterator — only the
+    // (count, bytes) pair lives on the driver, never the statuses
+    // themselves (r12 verdict item 9: a 10^7-file table must not be
+    // able to OOM the planning step; the compaction plan needs two
+    // scalars, so buffering the file list bought nothing)
+    def fileStats(p: Path): (Long, Long) = {
       val it = fs.listFiles(p, true)
-      val buf = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+      var n = 0L
+      var bytes = 0L
       while (it.hasNext) {
         val f = it.next()
         val name = f.getPath.getName
-        if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
-          buf += f
+        if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+          n += 1; bytes += f.getLen
+        }
       }
-      buf.result()
+      (n, bytes)
     }
-    val before = dataFiles(dst)
-    val nOut = math.max(1,
-      math.ceil(before.map(_.getLen).sum.toDouble / targetBytes).toInt)
-    if (before.size > nOut) {
+    val (nBefore, totalBytes) = fileStats(dst)
+    val nOut = math.max(1L,
+      math.ceil(totalBytes.toDouble / targetBytes).toLong)
+    if (nBefore > nOut) {
       val tmp = new Path(path + "__staged")
-      spark.read.parquet(path).coalesce(nOut)
+      spark.read.parquet(path).coalesce(nOut.toInt)
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       swapInto(fs, tmp, dst)
     }
-    dataFiles(dst).size
+    fileStats(dst)._1.toInt
   }
 
   /** Range-clustered sorted parquet write — the sorting-key table

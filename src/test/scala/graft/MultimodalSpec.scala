@@ -84,25 +84,6 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
-  /** Minimal MJPEG-in-AVI: RIFF/AVI with an `hdrl` (avih: 25 fps) and
-    * a `movi` list of `00dc` chunks whose payloads are real JPEGs —
-    * the shape any MJPEG encoder writes.
-    */
-  private def mjpegAvi(frames: Seq[Array[Byte]], usPerFrame: Long = 40000L): Array[Byte] = {
-    def le32(v: Long) = Array[Byte](
-      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-    def chunk(id: String, data: Array[Byte]) =
-      id.getBytes("ISO-8859-1") ++ le32(data.length) ++ data ++
-        (if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
-    def list(typ: String, inner: Array[Byte]) =
-      chunk("LIST", typ.getBytes("ISO-8859-1") ++ inner)
-    val avih = chunk("avih", le32(usPerFrame) ++ new Array[Byte](52))
-    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
-    val body = "AVI ".getBytes("ISO-8859-1") ++ list("hdrl", avih) ++ movi
-    "RIFF".getBytes("ISO-8859-1") ++ le32(body.length) ++ body
-  }
-
   private def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -115,7 +96,7 @@ class MultimodalSpec extends SparkSuite {
   test("REAL video path: MJPEG-AVI frames parse, decode, and drive features") {
     import graft.multimodal.MediaRow
     import spark.implicits._
-    val avi = mjpegAvi(Seq(jpeg(16, 8, 0xff0000), jpeg(16, 8, 0x0000ff)))
+    val avi = Multimodal.synthMjpegAvi(Seq(jpeg(16, 8, 0xff0000), jpeg(16, 8, 0x0000ff)))
     // the RIFF walk finds both JPEG payloads and the 25 fps cadence
     val Some((us, fs)) = Multimodal.parseAviMjpegFrames(avi)
     assert(us === 40000L && fs.length === 2)
@@ -196,60 +177,15 @@ class MultimodalSpec extends SparkSuite {
     assert(out(1).features.length === 16) // stub fallback
   }
 
-  // minimal ISO-BMFF builders: size(4) + type(4) + payload
-  private def bmffBox(typ: String, payload: Array[Byte]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
-    bb.putInt(8 + payload.length)
-    bb.put(typ.getBytes("ISO-8859-1")).put(payload)
-    bb.array()
-  }
-
-  private def synthMp4(timescale: Int, duration: Long, w: Int, h: Int,
-                       codec: String, mvhdV1: Boolean = false): Array[Byte] = {
-    def beInt(vals: Int*): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(4 * vals.length)
-      vals.foreach(bb.putInt); bb.array()
-    }
-    val mvhd =
-      if (mvhdV1) {
-        val bb = java.nio.ByteBuffer.allocate(4 + 8 + 8 + 4 + 8)
-        bb.putInt(0x01000000)              // version 1, flags 0
-        bb.putLong(0L).putLong(0L)         // creation, modification
-        bb.putInt(timescale).putLong(duration)
-        bmffBox("mvhd", bb.array())
-      } else
-        bmffBox("mvhd", beInt(0, 0, 0, timescale, duration.toInt))
-    def tkhd(width: Int, height: Int) = {
-      val bb = java.nio.ByteBuffer.allocate(84)
-      // v0: version/flags, creation, modification, track_ID, reserved,
-      // duration (24 bytes) — then reserved(8), layer/group/volume/
-      // reserved(8), matrix(36), width, height
-      bb.put(beInt(0, 0, 0, 7, 0, 100))
-      bb.put(new Array[Byte](8 + 8 + 36))
-      bb.putInt(width << 16).putInt(height << 16) // 16.16 fixed
-      bmffBox("tkhd", bb.array())
-    }
-    def stsd(fmt: String) = bmffBox("stsd",
-      beInt(0, 1) ++ beInt(16) ++ fmt.getBytes("ISO-8859-1") ++ new Array[Byte](8))
-    def trak(width: Int, height: Int, fmt: String) =
-      bmffBox("trak", tkhd(width, height) ++
-        bmffBox("mdia", bmffBox("minf", bmffBox("stbl", stsd(fmt)))))
-    val ftyp = bmffBox("ftyp", "isom".getBytes("ISO-8859-1") ++ beInt(0x200) ++
-      "iso2".getBytes("ISO-8859-1"))
-    val moov = bmffBox("moov",
-      mvhd ++ trak(w, h, codec) ++ trak(0, 0, "mp4a")) // video + audio trak
-    ftyp ++ moov ++ bmffBox("mdat", Array.tabulate(64)(_.toByte))
-  }
-
   test("parseVideoMeta walks MP4 boxes: duration, video-track resolution, codec, brand") {
-    val mp4 = synthMp4(timescale = 1000, duration = 5400L, w = 640, h = 360,
+    val mp4 = Multimodal.synthMp4(timescale = 1000, duration = 5400L, w = 640, h = 360,
       codec = "avc1")
     val meta = Multimodal.parseVideoMeta(mp4)
     assert(meta === Some(graft.multimodal.VideoMeta(5400L, 640, 360, "avc1", "isom")))
     // the audio trak (zero visual size, mp4a entry) must not win
 
     // 64-bit mvhd (version 1) parses too, with ms conversion
-    val v1 = synthMp4(timescale = 90000, duration = 90000L * 7 + 45000L,
+    val v1 = Multimodal.synthMp4(timescale = 90000, duration = 90000L * 7 + 45000L,
       w = 1920, h = 1080, codec = "hev1", mvhdV1 = true)
     assert(Multimodal.parseVideoMeta(v1) ===
       Some(graft.multimodal.VideoMeta(7500L, 1920, 1080, "hev1", "isom")))
@@ -264,7 +200,7 @@ class MultimodalSpec extends SparkSuite {
   test("videoMetadata: parsed MP4 fields for real containers, declared fallback otherwise") {
     import graft.multimodal.MediaRow
     import spark.implicits._
-    val mp4 = synthMp4(1000, 2500L, 320, 240, "avc1")
+    val mp4 = Multimodal.synthMp4(1000, 2500L, 320, 240, "avc1")
     val media = spark.createDataset(Seq(
       MediaRow(1L, "video", mp4, 0, 0, 0L),
       MediaRow(2L, "video", Array.tabulate(64)(_.toByte), 100, 50, 4000L),

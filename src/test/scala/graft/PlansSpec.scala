@@ -68,6 +68,9 @@ class PlansSpec extends SparkSuite {
     // ann_knn_label rides ann_brute_topk's broadcast-queries stream
     val nestedLoopOk = Set("dedup_embedding", "ann_brute_topk", "ann_ivf_topk",
       "ann_ivf_incr_topk", "ann_knn_label",
+      // the IVF-ranked labeling twin ranks the same tiny unlabeled
+      // batch over the same nlist-bounded broadcast centroids
+      "ann_knn_label_ivf",
       // hard-negative mining rides ann_brute's broadcast-queries
       // stream (the exact oracle; swap in the IVF cells at scale)
       "ann_hard_negatives",
@@ -118,7 +121,11 @@ class PlansSpec extends SparkSuite {
       // corpus_tfidf_topk attaches the 1-row N frame and the 1-row
       // query-norm frame — the corpus_bm25_topk scalar shape; the
       // maintained-index twin shares the identical scoring tail
-      "corpus_tfidf_topk", "corpus_tfidf_incr")
+      "corpus_tfidf_topk", "corpus_tfidf_incr",
+      // rfmBucketed attaches the 1-row corpus-max-date frame to the
+      // customer frame (replacing rfm's unpartitioned window) — the
+      // q11/q15 scalar-join shape
+      "customer_rfm_bucketed")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       if (!nestedLoopOk(name)) {
@@ -184,7 +191,11 @@ class PlansSpec extends SparkSuite {
       "corpus_bpe",
       // L-BFGS coefficients reproduce only to float-sum order;
       // QualityModelSpec pins teacher agreement + separation
-      "doc_quality_model")
+      "doc_quality_model",
+      // GK-sketch quantiles are not SQL-portable; QualitySpec pins
+      // exact-vs-approx agreement (endpoints, monotonicity, bounded
+      // rank distance) against quantileNormalize
+      "quality_quantile_norm_approx")
     assert((q -- o) === documentedRowsOnly,
       s"rows-only drift: ${((q -- o) -- documentedRowsOnly).mkString(", ")} lost oracles; " +
         s"${(documentedRowsOnly -- (q -- o)).mkString(", ")} unexpectedly gained one (update the set)")

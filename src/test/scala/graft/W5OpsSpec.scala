@@ -336,6 +336,31 @@ class W5OpsSpec extends SparkSuite {
     }
   }
 
+  test("rfmBucketed ≡ rfm row-for-row: uneven n mod k, ties on every axis, across partitionings") {
+    import graft.pipeline.Analytics
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 23 customers (23 mod 5 = 3 — the uneven-bucket arithmetic is
+    // exercised), heavy TIES on every axis (monetary/frequency/last
+    // date collide across customers so the key tie-break decides)
+    val rows = (1 to 23).flatMap { i =>
+      val nOrders = 1 + (i % 4)
+      (1 to nOrders).map { j =>
+        (i.toLong,
+          ts(f"2024-01-${1 + (i % 9)}%02d 00:00:00"),
+          100.0 * (1 + (i % 6)))
+      }
+    }
+    val orders = rows.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("o_custkey")).collect().map(_.toSeq).toSeq
+    val exact = norm(Analytics.rfm(orders))
+    assert(norm(Analytics.rfmBucketed(orders)) === exact)
+    // repartitioning must not move a single score (deterministic
+    // boundaries, offset ranks, pinned tie-breaks)
+    assert(norm(Analytics.rfmBucketed(orders.repartition(7))) === exact)
+    Par.release()
+  }
+
   test("byGapIncremental ≡ full resessionization: extend, bridge, untouched carry, new user") {
     val gap = 300L
     // history: A one session (0,100); B two sessions (0 / 10000); C one session
