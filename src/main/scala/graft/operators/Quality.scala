@@ -837,7 +837,7 @@ object Quality {
     val d = (c: Column) => c.cast("double")
     val v = col(valueCol).cast("decimal(18,6)")
     val byVal = Window.partitionBy(col(keyCol))
-      .orderBy(v.asc, col(idCol).asc)
+      .orderBy(col("__v").asc, col(idCol).asc)
     val grp = Window.partitionBy(col(keyCol))
     val ranked = df
       .select(col(keyCol), v.as("__v"), col(idCol))

@@ -433,7 +433,124 @@ private[graft] object OraclesShard7 {
              AS INTEGER) AS n_frame_bytes
          FROM f ORDER BY media_id, frame_no""",
 
+    // definitional O(n^2) radius join over the replayed coordinates —
+    // the grid blocking must lose nothing
+    "geo_radius_join" ->
+      """WITH p AS (
+           SELECT c_custkey AS id,
+             (c_custkey * 7919) % 1000000 AS x,
+             (c_custkey * 104729) % 1000000 AS y
+           FROM customer)
+         SELECT a.id AS left_id, b.id AS right_id,
+           CAST((a.x - b.x) * (a.x - b.x)
+             + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+         FROM p a JOIN p b ON a.id < b.id
+         WHERE (a.x - b.x) * (a.x - b.x)
+             + (a.y - b.y) * (a.y - b.y) <= 400000000
+         ORDER BY left_id, right_id""",
+
+    // definitional windowed-median replay: the frame's order
+    // statistics extracted explicitly so the even-count tree is the
+    // identical (a + b) / 2 the operator runs (DuckDB's median() is
+    // an interpolating quantile — lo + (hi−lo)·0.5 — whose IEEE tree
+    // can differ in the last ulp)
+    "events_rolling_median" ->
+      """WITH e AS (
+           SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+           FROM events
+         ), w AS (
+           SELECT a.user_id, a.event_id, a.ts, a.value, b.value AS bv,
+             row_number() OVER (PARTITION BY a.user_id, a.event_id
+               ORDER BY b.value) AS r,
+             count(*) OVER (PARTITION BY a.user_id, a.event_id) AS n
+           FROM e a JOIN e b ON a.user_id = b.user_id
+             AND b.rn BETWEEN a.rn - 6 AND a.rn)
+         SELECT user_id, event_id, ts, value,
+           CASE WHEN n % 2 = 1
+             THEN max(CASE WHEN r = (n + 1) // 2 THEN bv END)
+             ELSE (max(CASE WHEN r = n // 2 THEN bv END)
+               + max(CASE WHEN r = n // 2 + 1 THEN bv END)) / 2
+           END AS rolling_median
+         FROM w GROUP BY user_id, event_id, ts, value, n
+         ORDER BY user_id, event_id""",
+
+    // rank-cut trimmed/winsorized replay: same decimal(18,6) values,
+    // same floor(0.05*n) cut, same closed-form winsorized sum
+    "dq_robust_mean" ->
+      """WITH r AS (
+           SELECT o_orderpriority AS k,
+             CAST(o_totalprice AS DECIMAL(18,6)) AS v,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY CAST(o_totalprice AS DECIMAL(18,6)), o_orderkey)
+               AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+           FROM orders
+         ), c AS (
+           SELECT *, CAST(floor(0.05 * n) AS BIGINT) AS cut FROM r)
+         SELECT k AS o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(sum(v) AS DOUBLE) / CAST(max(n) AS DOUBLE) AS mean,
+           CAST(sum(CASE WHEN rn > cut AND rn <= n - cut THEN v END)
+               AS DOUBLE)
+             / CAST(sum(CASE WHEN rn > cut AND rn <= n - cut
+                 THEN 1 ELSE 0 END) AS DOUBLE) AS trimmed_mean,
+           CAST(sum(CASE WHEN rn > cut AND rn <= n - cut THEN v END)
+               + max(cut) * max(CASE WHEN rn = cut + 1 THEN v END)
+               + max(cut) * max(CASE WHEN rn = n - cut THEN v END)
+               AS DOUBLE)
+             / CAST(max(n) AS DOUBLE) AS winsorized_mean
+         FROM c GROUP BY k ORDER BY o_orderpriority""",
+
+    // FS scoring replay over the same nation blocks with the SAME
+    // 1e6-scaled integer log-weights (interpolated from the one
+    // driver-side rounding both engines share)
+    "er_fs_scores" -> fsScoresSql,
+
   )
+
+  /** [[graft.operators.Linkage.fellegiSunter]]'s integer log-weights,
+    * computed by the SAME driver-side rounding the operator uses, so
+    * both engines sum identical integers (the sprtConstants6
+    * discipline).
+    */
+  private def fsScoresSql: String = {
+    def w(m: Double, u: Double): (Long, Long) =
+      (math.round(math.log(m / u) * 1e6),
+        math.round(math.log((1 - m) / (1 - u)) * 1e6))
+    val (nA, nD) = w(0.9, 0.001)
+    val (sA, sD) = w(0.95, 0.2)
+    val (bA, bD) = w(0.8, 0.01)
+    val u6 = math.round(5.0 * 1e6)
+    val l6 = math.round(0.0 * 1e6)
+    s"""WITH c AS (
+          SELECT c_custkey AS id, c_nationkey AS blk, c_name,
+            c_mktsegment, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+          FROM customer
+        ), s AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+            (CASE WHEN levenshtein(a.c_name, b.c_name) <= 2
+               THEN 1 ELSE 0 END) AS ag_name,
+            (CASE WHEN a.c_mktsegment = b.c_mktsegment
+               THEN 1 ELSE 0 END) AS ag_seg,
+            (CASE WHEN abs(a.bal - b.bal) <= CAST('10.00' AS DECIMAL(12,2))
+               THEN 1 ELSE 0 END) AS ag_bal
+          FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        ), sc AS (
+          SELECT id_a, id_b,
+            CAST(ag_name + ag_seg + ag_bal AS INTEGER) AS n_agree,
+            (CASE WHEN ag_name = 1 THEN $nA ELSE $nD END
+             + CASE WHEN ag_seg = 1 THEN $sA ELSE $sD END
+             + CASE WHEN ag_bal = 1 THEN $bA ELSE $bD END) AS s6
+          FROM s)
+        SELECT id_a, id_b, n_agree,
+          CAST(s6 AS DOUBLE) / 1000000.0 AS score,
+          CASE WHEN s6 >= $u6 THEN 'link'
+               WHEN s6 <= $l6 THEN 'non_link'
+               ELSE 'possible' END AS decision
+        FROM sc ORDER BY id_a, id_b"""
+  }
 
   /** [[graft.operators.KMeans.fit]]'s Lloyd rounds unrolled over the
     * RFM score features: aᵣ assigns against cᵣ₋₁ by exact integer

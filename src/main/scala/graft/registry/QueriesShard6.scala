@@ -110,5 +110,48 @@ private[graft] object QueriesShard6 {
     "customer_rfm_bucketed" -> ((s, d) =>
       Analytics.rfmBucketed(Tables.orders(s, d))
         .orderBy(col("o_custkey"))),
+
+    // ---- grid-blocked planar radius join ----
+    // deterministic micro-degree coordinates derived from the
+    // customer key (the multimodal round-trip discipline: synth
+    // params replay in SQL), radius 20k units in a 1e6-unit box;
+    // the oracle states the DEFINITIONAL O(n^2) cross join — the
+    // gate proves the 3x3 grid blocking loses nothing
+    "geo_radius_join" -> ((s, d) => {
+      val pts = Tables.customer(s, d).select(col("c_custkey"),
+        pmod(col("c_custkey") * lit(7919L), lit(1000000L)).as("x"),
+        pmod(col("c_custkey") * lit(104729L), lit(1000000L)).as("y"))
+      Geo.radiusJoin(pts, "c_custkey", pts, "c_custkey", "x", "y",
+          radius = 20000L, selfJoin = true)
+        .orderBy(col("left_id"), col("right_id"))
+    }),
+
+    // ---- exact rolling median per user (window 7) ----
+    "events_rolling_median" -> ((s, d) =>
+      Analytics.rollingMedian(Tables.events(s, d), "user_id", "ts",
+          "event_id", "value", window = 7)
+        .orderBy(col("user_id"), col("event_id"))),
+
+    // ---- trimmed/winsorized mean per order priority ----
+    "dq_robust_mean" -> ((s, d) =>
+      Quality.robustMean(Tables.orders(s, d), "o_orderpriority",
+          "o_totalprice", "o_orderkey", trimFrac = 0.05)
+        .orderBy(col("o_orderpriority"))),
+
+    // ---- Fellegi–Sunter match scoring ----
+    // nation-blocked customer pairs scored on (name edit<=2,
+    // segment exact, balance within 10.00) with the error model's
+    // 1e6-scaled integer log-weights shared with the oracle — the
+    // sprtConstants6 discipline applied to record linkage
+    "er_fs_scores" -> ((s, d) => {
+      import Linkage.FsComparator._
+      Linkage.fellegiSunter(Tables.customer(s, d), "c_custkey",
+          col("c_nationkey"),
+          Seq((Edit("c_name", 2), 0.9, 0.001),
+            (Exact("c_mktsegment"), 0.95, 0.2),
+            (Tolerance("c_acctbal", BigDecimal("10.00")), 0.8, 0.01)),
+          upper = 5.0, lower = 0.0)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
   )
 }

@@ -1,0 +1,132 @@
+package graft
+
+import graft.operators.{Geo, Linkage, Quality}
+import graft.pipeline.Analytics
+import org.apache.spark.sql.functions._
+
+class R13OpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ---- Geo.radiusJoin ----
+
+  test("radiusJoin: grid blocking equals brute force, boundary pairs kept, self-join canonicalized") {
+    // deterministic scatter incl. exact-boundary and cross-cell pairs
+    val pts = (1L to 60L).map(i =>
+      (i, (i * 37L) % 500L, (i * 91L) % 500L)).toDF("id", "x", "y")
+    val r = 40L
+    val rows = pts.collect().map(p => (p.getLong(0), p.getLong(1), p.getLong(2)))
+    val expected = (for {
+      (ia, xa, ya) <- rows; (ib, xb, yb) <- rows
+      if ia < ib
+      d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+      if d2 <= r * r
+    } yield (ia, ib, d2)).sorted
+    assert(expected.nonEmpty)
+    // include at least one EXACT boundary pair in the fixture
+    val exact = Seq((100L, 0L, 0L), (101L, 40L, 0L)).toDF("id", "x", "y")
+    val onEdge = Geo.radiusJoin(exact, "id", exact, "id", "x", "y", r,
+        selfJoin = true)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(onEdge.toSeq === Seq((100L, 101L, 1600L)))
+    val got = Geo.radiusJoin(pts, "id", pts, "id", "x", "y", r,
+        selfJoin = true)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .toSeq.sorted
+    assert(got === expected) // multiset compare: no grid duplicates
+  }
+
+  test("radiusJoin two-table mode: every qualifying (left, right) combination, no canonicalization") {
+    val stores = Seq((1L, 100L, 100L), (2L, 900L, 900L)).toDF("id", "x", "y")
+    val custs = Seq((10L, 110L, 100L), (11L, 905L, 895L),
+      (12L, 500L, 500L)).toDF("id", "x", "y")
+    val got = Geo.radiusJoin(stores, "id", custs, "id", "x", "y", 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (2L, 11L)))
+  }
+
+  // ---- Quality.robustMean ----
+
+  test("robustMean: hand-computed trim and winsorize on a key with one whale; tiny keys keep everything") {
+    // key a: values 1..19 plus a 1000 whale (n=20, cut=1):
+    //   mean = (190 + 1000)/20 = 59.5
+    //   trimmed drops 1 and 1000 -> (190 - 1)/18 = 10.5
+    //   winsorized clamps to 2 and 19 -> (189 + 2 + 19)/20 = 10.5
+    // key b: 3 rows (cut = 0): all three estimates = mean
+    val df = ((1 to 19).map(i => ("a", i.toLong, i.toDouble)) ++
+      Seq(("a", 99L, 1000.0)) ++
+      Seq(("b", 1L, 4.0), ("b", 2L, 8.0), ("b", 3L, 9.0)))
+      .toDF("k", "id", "v")
+    val out = Quality.robustMean(df, "k", "v", "id", trimFrac = 0.05)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out("a") === ((20L, 59.5, 10.5, 10.5)))
+    assert(out("b") === ((3L, 7.0, 7.0, 7.0)))
+  }
+
+  // ---- Analytics.rollingMedian ----
+
+  test("rollingMedian: hand-computed window walk with even/odd frames and pinned ties") {
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$i%02d")
+    // one user, values 5, 1, 1, 9, 3 at seconds 1..5, window 3:
+    //   frames: [5]=5, [5,1]=3, [5,1,1]=1, [1,1,9]=1, [1,9,3]=3
+    val df = Seq((7L, 1L, ts(1), 5.0), (7L, 2L, ts(2), 1.0),
+      (7L, 3L, ts(3), 1.0), (7L, 4L, ts(4), 9.0), (7L, 5L, ts(5), 3.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = Analytics.rollingMedian(df, "user_id", "ts", "event_id",
+        "value", window = 3)
+      .orderBy(col("event_id"))
+      .collect().map(_.getDouble(4)).toSeq
+    assert(out === Seq(5.0, 3.0, 1.0, 1.0, 3.0))
+    // equal timestamps: the event_id tie-break pins frame contents —
+    // values 10, 20 at the SAME ts walk as [10], [10, 20]
+    val tie = Seq((1L, 1L, ts(1), 10.0), (1L, 2L, ts(1), 20.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val tOut = Analytics.rollingMedian(tie, "user_id", "ts", "event_id",
+        "value", window = 7)
+      .orderBy(col("event_id"))
+      .collect().map(_.getDouble(4)).toSeq
+    assert(tOut === Seq(10.0, 15.0))
+  }
+
+  // ---- Linkage.fellegiSunter ----
+
+  test("fellegiSunter: hand-computed integer weights, three decision bands, nulls disagree") {
+    import Linkage.FsComparator._
+    val recs = Seq(
+      (1L, "B", "acme corp", "AUTO", Some(100.00)),
+      (2L, "B", "acme corp.", "AUTO", Some(105.00)),  // all three agree
+      (3L, "B", "zenith ltd", "AUTO", Some(500.00)),  // segment only
+      (4L, "B", "acme corpse", "HOME", Option.empty[Double]), // name only (null bal)
+      (5L, "C", "acme corp", "AUTO", Some(100.00))    // other block
+    ).toDF("id", "blk", "name", "seg", "bal")
+    val attrs = Seq[(Linkage.FsComparator, Double, Double)](
+      (Edit("name", 2), 0.9, 0.001),
+      (Exact("seg"), 0.95, 0.2),
+      (Tolerance("bal", BigDecimal("10.00")), 0.8, 0.01))
+    def w(m: Double, u: Double) =
+      (math.round(math.log(m / u) * 1e6),
+        math.round(math.log((1 - m) / (1 - u)) * 1e6))
+    val (nA, nD) = w(0.9, 0.001); val (sA, sD) = w(0.95, 0.2)
+    val (bA, bD) = w(0.8, 0.01)
+    val out = Linkage.fellegiSunter(recs, "id", col("blk"), attrs,
+        upper = 5.0, lower = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getDouble(3), r.getString(4)))).toMap
+    // block C's singleton pairs with nothing; block B yields 3 pairs
+    assert(out.keySet === Set((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L)))
+    def sc(parts: Long*) = parts.sum.toDouble / 1e6
+    // (1,2): lev 1, seg =, |100-105| <= 10 -> all agree -> link
+    assert(out((1L, 2L)) === ((3, sc(nA, sA, bA), "link")))
+    // (1,3): name far, seg =, |100-500| > 10 -> possible-or-lower
+    val s13 = sc(nD, sA, bD)
+    assert(out((1L, 3L)) === ((1, s13, if (s13 >= 5.0) "link"
+      else if (s13 <= 0.0) "non_link" else "possible")))
+    assert(out((1L, 3L))._3 === "non_link") // nD + bD dominate
+    // (1,4): lev("acme corp","acme corpse") = 2 agrees; seg differs;
+    // NULL balance disagrees deterministically
+    assert(out((1L, 4L)) === ((1, sc(nA, sD, bD), "possible")))
+    Par.release()
+  }
+}
