@@ -971,4 +971,61 @@ object Text {
       round((col("sy") - (dxy / dxx) * col("sx")) / col("n"), 6).as("intercept"),
       round((dxy * dxy) / (dxx * dyy), 6).as("r2"))
   }
+
+  /** Per-source Jensen–Shannon divergence from the corpus unigram
+    * distribution (Lin '91) — the data-mixing diagnostic ("which
+    * source is most atypical?") a weighted-mixing pipeline reads
+    * before setting [[graft.operators.Sampling.mixSources]] weights;
+    * symmetric and bounded ≤ ln 2, which the one-sided KL of
+    * [[graft.operators.Quality.psi]]-style drift screens is not.
+    *
+    * JSD(P_s ‖ Q) = ½Σ p·ln(p/m) + ½Σ q·ln(q/m), m = (p+q)/2, with
+    * Q the whole-corpus term distribution. Terms ABSENT from the
+    * source (p = 0) collapse in closed form: each contributes
+    * ½·q·ln 2, so their total is ½·ln 2·(1 − coverage_s) where
+    * coverage_s = Σ_{t∈s} q_t — NO (source × vocabulary) grid is
+    * ever built; the plan touches only (source, term) PRESENT pairs
+    * plus one scalar per source.
+    *
+    * Portability: p, q, m are single divisions on exact integer
+    * counts; each present-term contribution (and the one
+    * absent-mass term) is rounded to 6 decimals, 1e6-scaled and
+    * integer-summed order-free (the [[graft.operators.Quality
+    * .chiSquareIndependence]] r6-scaling discipline — dq_mutual_info
+    * precedent for ln()). Scale: one exploded-token aggregate to
+    * (source, term), term-keyed join against the term totals, a
+    * per-source fold — the vocab-sized frames never broadcast.
+    */
+  def sourceDivergence(docs: DataFrame, groupCol: String,
+                       textCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val st = graft.Par.persistTracked(
+      docs.select(col(groupCol).as("__g"),
+          explode(split(normalize(col(textCol)), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("__g"), col("term"))
+        .agg(count(lit(1)).as("__cst")))
+    val t = st.groupBy(col("term")).agg(sum(col("__cst")).as("__ct"))
+    val gTot = st.groupBy(col("__g")).agg(sum(col("__cst")).as("__ns"))
+    val nTot = t.agg(sum(col("__ct")).as("__n"))
+    val p = d(col("__cst")) / d(col("__ns"))
+    val q = d(col("__ct")) / d(col("__n"))
+    val m = (p + q) / lit(2.0)
+    val contrib6 = round((lit(0.5) * p * log(p / m)
+      + lit(0.5) * q * log(q / m)) * lit(1000000.0)).cast("long")
+    val perG = st.join(t, Seq("term"))
+      .join(gTot, Seq("__g"))
+      .crossJoin(broadcast(nTot))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(contrib6).as("__c6"),
+        sum(col("__ct")).as("__cov"),
+        max(col("__n")).as("__nn"))
+    perG
+      .withColumn("__a6", round(lit(0.5 * math.log(2.0))
+        * (lit(1.0) - d(col("__cov")) / d(col("__nn")))
+        * lit(1000000.0)).cast("long"))
+      .select(col("__g").as(groupCol), col("n_terms"),
+        round(d(col("__c6") + col("__a6")) / lit(1000000.0), 6).as("jsd"))
+  }
 }

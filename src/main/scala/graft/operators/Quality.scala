@@ -1186,6 +1186,81 @@ object Quality {
           6).as("cramers_v"))
   }
 
+  /** G-test of independence (log-likelihood ratio; Sokal & Rohlf's
+    * preferred form of the [[chiSquareIndependence]] test — additive
+    * across partitions of the table and better-behaved at small
+    * expectations): G = 2·Σ_cells o·ln(o/e) over the observed cells
+    * (o = 0 contributes 0 — the o·ln o limit), e = row·col/N,
+    * dof = (R−1)(C−1). Same plan shape as χ²: three count
+    * aggregates, category-sized marginal broadcasts, the only
+    * full-data shuffle is the (a, b) group-by; same r6-scaling
+    * portability discipline (per-cell contributions rounded to 6
+    * decimals, integer-summed order-free — the graded statistic is
+    * "G over rounded cell contributions", off the true G by
+    * < cells·5e-7).
+    */
+  def gTest(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val obs = graft.Par.persistTracked(
+      df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+        .agg(count(lit(1)).as("__o")))
+    val ra = obs.groupBy(col("__a")).agg(sum(col("__o")).as("__r"))
+    val cb = obs.groupBy(col("__b")).agg(sum(col("__o")).as("__c"))
+    val n = obs.select(sum(col("__o"))).head.getLong(0) // bounded scalar
+    require(n > 0, "gTest needs at least one row")
+    // observed cells only — zero cells contribute exactly 0 to G,
+    // so the grid fill chi2 needs is unnecessary here
+    obs.join(broadcast(ra), Seq("__a"))
+      .join(broadcast(cb), Seq("__b"))
+      .withColumn("__e", d(col("__r")) * d(col("__c")) / lit(n.toDouble))
+      .withColumn("__s6",
+        round(lit(2.0) * d(col("__o")) * log(d(col("__o")) / col("__e"))
+          * lit(1000000.0)).cast("long"))
+      .agg(countDistinct(col("__a")).as("n_rows_cat"),
+        countDistinct(col("__b")).as("n_cols_cat"),
+        sum(col("__s6")).as("__g6"))
+      .select(lit(n).as("n"), col("n_rows_cat"), col("n_cols_cat"),
+        ((col("n_rows_cat") - 1) * (col("n_cols_cat") - 1)).as("dof"),
+        round(d(col("__g6")) / lit(1000000.0), 6).as("g_stat"))
+  }
+
+  /** Cohen's kappa (Cohen '60) — chance-corrected agreement between
+    * two categorical labelings of the same rows (human labels vs a
+    * weak labeler, two annotators, model vs teacher):
+    * κ = (p_o − p_e)/(1 − p_e) with p_o the diagonal share and
+    * p_e = Σ_k r_k·c_k / N² the chance agreement of the marginals.
+    *
+    * FULLY exact cross-engine — no rounding anywhere: the closed
+    * form κ = (diag·N − Σ r·c)/(N² − Σ r·c) is ONE double division
+    * on exact integer sums (diag, N, Σ r_k·c_k all integers; p_o and
+    * p_e export as single divisions too). Marginals are
+    * category-sized; one (a, b) group-by is the only data shuffle.
+    * Degenerate total chance agreement (p_e = 1 ⟺ both sides
+    * constant) reports κ null.
+    */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val obs = graft.Par.persistTracked(
+      df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+        .agg(count(lit(1)).as("__o")))
+    val ra = obs.groupBy(col("__a")).agg(sum(col("__o")).as("__r"))
+    val cb = obs.groupBy(col("__b")).agg(sum(col("__o")).as("__c"))
+    val marg = ra.join(cb, col("__a") === col("__b"), "full")
+      .select(coalesce(col("__r"), lit(0L)).as("__r"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+      .agg(sum(col("__r") * col("__c")).as("__rc"))
+    val base = obs.agg(sum(col("__o")).as("__n"),
+      sum(when(col("__a") === col("__b"), col("__o"))
+        .otherwise(lit(0L))).as("__diag"))
+    base.crossJoin(broadcast(marg))
+      .select(col("__n").as("n"),
+        (d(col("__diag")) / d(col("__n"))).as("p_o"),
+        (d(col("__rc")) / (d(col("__n")) * d(col("__n")))).as("p_e"),
+        when(col("__n") * col("__n") =!= col("__rc"),
+          d(col("__diag") * col("__n") - col("__rc"))
+            / d(col("__n") * col("__n") - col("__rc"))).as("kappa"))
+  }
+
   /** k-anonymity / l-diversity audit (Sweeney '02 / Machanavajjhala
     * '07 — the re-identification risk screen to run BEFORE any
     * export or training clearance, the row-level companion of

@@ -508,7 +508,114 @@ private[graft] object OraclesShard7 {
     // driver-side rounding both engines share)
     "er_fs_scores" -> fsScoresSql,
 
+    // G-test replay: observed cells only (o = 0 contributes exactly
+    // 0), same r6-scaled integer contribution sum as dq_chi2
+    "dq_gtest" ->
+      """WITH obs AS (
+           SELECT c_mktsegment AS a, c_nationkey AS b,
+             CAST(count(*) AS BIGINT) AS o
+           FROM customer GROUP BY 1, 2
+         ), ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1
+         ), cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1
+         ), nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs
+         ), sc AS (
+           SELECT obs.a, obs.b,
+             CAST(round(2.0 * CAST(obs.o AS DOUBLE)
+               * ln(CAST(obs.o AS DOUBLE)
+                 / (CAST(ra.r AS DOUBLE) * CAST(cb.c AS DOUBLE)
+                    / CAST(nn.n AS DOUBLE)))
+               * 1000000.0) AS BIGINT) AS s6
+           FROM obs JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN nn)
+         SELECT nn.n, x.n_rows_cat, x.n_cols_cat,
+           (x.n_rows_cat - 1) * (x.n_cols_cat - 1) AS dof,
+           round(CAST(x.g6 AS DOUBLE) / 1000000.0, 6) AS g_stat
+         FROM (
+           SELECT CAST(count(DISTINCT a) AS BIGINT) AS n_rows_cat,
+             CAST(count(DISTINCT b) AS BIGINT) AS n_cols_cat,
+             CAST(sum(s6) AS BIGINT) AS g6
+           FROM sc) x CROSS JOIN nn""",
+
+    // kappa replay: the exact-integer closed form
+    // (diag*N - SUM r*c) / (N^2 - SUM r*c) on the lang-ID confusion
+    "dq_cohens_kappa" -> cohensKappaSql,
+
+    // per-source JSD replay: identical p/q/m divisions, rounded
+    // contributions integer-summed, the closed-form absent mass
+    "corpus_source_divergence" -> sourceDivergenceSql,
+
   )
+
+  /** Cohen's-kappa replay on the lang-ID confusion — the same exact
+    * integer closed form the operator runs.
+    */
+  private def cohensKappaSql: String =
+    s"""WITH pred AS (
+          SELECT doc_id, $langPredCaseSql AS lang_pred
+          FROM ($langPredBaseSql)
+        ), pairs AS (
+          SELECT d.lang AS a, p.lang_pred AS b
+          FROM documents d JOIN pred p USING (doc_id)
+        ), obs AS (
+          SELECT a, b, CAST(count(*) AS BIGINT) AS o
+          FROM pairs GROUP BY a, b
+        ), ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1
+        ), cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1
+        ), rc AS (
+          SELECT CAST(sum(coalesce(r, 0) * coalesce(c, 0)) AS BIGINT) AS rc
+          FROM ra FULL OUTER JOIN cb ON ra.a = cb.b
+        ), base AS (
+          SELECT CAST(sum(o) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN a = b THEN o ELSE 0 END) AS BIGINT) AS diag
+          FROM obs)
+        SELECT base.n,
+          CAST(diag AS DOUBLE) / CAST(n AS DOUBLE) AS p_o,
+          CAST(rc AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS p_e,
+          CASE WHEN n * n <> rc THEN
+            CAST(diag * n - rc AS DOUBLE) / CAST(n * n - rc AS DOUBLE)
+          END AS kappa
+        FROM base CROSS JOIN rc"""
+
+  /** Per-source JSD replay — the same rounded contribution sum and
+    * closed-form absent mass, with the operator's driver-side
+    * 0.5*ln(2) constant interpolated so both engines use the one
+    * double.
+    */
+  private def sourceDivergenceSql: String = {
+    val halfLn2 = 0.5 * math.log(2.0)
+    s"""WITH w AS (
+          SELECT source, unnest(string_split(
+            regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+          FROM documents
+        ), st AS (
+          SELECT source, term, CAST(count(*) AS BIGINT) AS cst
+          FROM w WHERE length(term) > 0 GROUP BY source, term
+        ), t AS (SELECT term, CAST(sum(cst) AS BIGINT) AS ct FROM st GROUP BY 1
+        ), g AS (SELECT source, CAST(sum(cst) AS BIGINT) AS ns FROM st GROUP BY 1
+        ), nn AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM t
+        ), sc AS (
+          SELECT st.source,
+            CAST(round((0.5 * (CAST(st.cst AS DOUBLE) / CAST(g.ns AS DOUBLE))
+                * ln((CAST(st.cst AS DOUBLE) / CAST(g.ns AS DOUBLE))
+                  / ((CAST(st.cst AS DOUBLE) / CAST(g.ns AS DOUBLE)
+                      + CAST(t.ct AS DOUBLE) / CAST(nn.n AS DOUBLE)) / 2.0))
+              + 0.5 * (CAST(t.ct AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                * ln((CAST(t.ct AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                  / ((CAST(st.cst AS DOUBLE) / CAST(g.ns AS DOUBLE)
+                      + CAST(t.ct AS DOUBLE) / CAST(nn.n AS DOUBLE)) / 2.0)))
+              * 1000000.0) AS BIGINT) AS s6,
+            t.ct
+          FROM st JOIN t USING (term) JOIN g USING (source) CROSS JOIN nn
+        ), per AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+            CAST(sum(s6) AS BIGINT) AS c6, CAST(sum(ct) AS BIGINT) AS cov
+          FROM sc GROUP BY source)
+        SELECT per.source, per.n_terms,
+          round(CAST(per.c6
+            + CAST(round($halfLn2
+                * (1.0 - CAST(per.cov AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0, 6) AS jsd
+        FROM per CROSS JOIN nn ORDER BY source"""
+  }
 
   /** [[graft.operators.Linkage.fellegiSunter]]'s integer log-weights,
     * computed by the SAME driver-side rounding the operator uses, so

@@ -595,12 +595,21 @@ private[graft] object QueriesShard3 {
     // daily-delta n-gram Jaccard (r7): second half vs the first-half
     // index under EXACT merged-df semantics — equal to the full run
     // restricted to batch-touching pairs, so the full oracle grades
-    // it with that one restriction
+    // it with that one restriction. The base index persists through
+    // a parquet store hop (r12 verdict: build used to dominate the
+    // timed probe and its subplan re-derived per downstream use —
+    // the doc_phrase_search / ann_ivf_incr_topk discipline)
     "dedup_ngram_jaccard_incr" -> ((s, d) => {
       val corpus = Tables.documents(s, d)
       val cut = lit(250L)
-      val frames = Dedup.ngramIndexFrames(corpus.filter(col("doc_id") < cut),
+      val built = Dedup.ngramIndexFrames(corpus.filter(col("doc_id") < cut),
         "doc_id", "text", n = 3, maxDocFreq = 1000)
+      val store = graft.TempDirs.create("graft_ngidx_")
+      built.occ.write.parquet(s"$store/occ")
+      built.dfs.write.parquet(s"$store/dfs")
+      built.meta.write.parquet(s"$store/meta")
+      val frames = Dedup.NgramIndex(s.read.parquet(s"$store/occ"),
+        s.read.parquet(s"$store/dfs"), s.read.parquet(s"$store/meta"))
       Dedup.ngramJaccardIncremental(frames, corpus.filter(col("doc_id") >= cut),
           "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 1000,
           includeIntraBatch = true)

@@ -138,6 +138,27 @@ private[graft] object QueriesShard6 {
           "o_totalprice", "o_orderkey", trimFrac = 0.05)
         .orderBy(col("o_orderpriority"))),
 
+    // ---- G-test of independence (chi2's LLR companion) ----
+    "dq_gtest" -> ((s, d) =>
+      Quality.gTest(Tables.customer(s, d), "c_mktsegment", "c_nationkey")),
+
+    // ---- Cohen's kappa: labeled lang vs the lang-ID heuristic ----
+    // chance-corrected agreement — the scalar readout of
+    // lang_id_confusion; the closed form is ONE exact integer
+    // division, no rounding anywhere
+    "dq_cohens_kappa" -> ((s, d) =>
+      Quality.cohensKappa(
+        Tables.documents(s, d)
+          .select(col("lang"), functions.Text.langId(col("text"))
+            .as("lang_pred")),
+        "lang", "lang_pred")),
+
+    // ---- per-source JSD from the corpus distribution ----
+    "corpus_source_divergence" -> ((s, d) =>
+      functions.Text.sourceDivergence(Tables.documents(s, d),
+          "source", "text")
+        .orderBy(col("source"))),
+
     // ---- Fellegi–Sunter match scoring ----
     // nation-blocked customer pairs scored on (name edit<=2,
     // segment exact, balance within 10.00) with the error model's

@@ -89,6 +89,97 @@ class R13OpsSpec extends SparkSuite {
     assert(tOut === Seq(10.0, 15.0))
   }
 
+  // ---- Quality.gTest ----
+
+  test("gTest: hand-computed 2x2, independence gives 0, zero cells contribute nothing") {
+    // 2x2 with counts 30/10 | 10/30: e = 20 everywhere,
+    // G = 2*(30 ln 1.5 + 10 ln 0.5 + 10 ln 0.5 + 30 ln 1.5)
+    val df = (Seq.fill(30)(("x", "u")) ++ Seq.fill(10)(("x", "v")) ++
+      Seq.fill(10)(("y", "u")) ++ Seq.fill(30)(("y", "v"))).toDF("a", "b")
+    val r = Quality.gTest(df, "a", "b").head()
+    val exp = BigDecimal(
+      2 * (30 * math.log(1.5) + 10 * math.log(0.5)
+        + 10 * math.log(0.5) + 30 * math.log(1.5)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) === 80L && r.getLong(3) === 1L)
+    assert(math.abs(r.getDouble(4) - exp) < 2e-6) // r6-scaled cells
+    // perfectly independent table: every o = e, G = 0
+    val ind = (Seq.fill(20)(("x", "u")) ++ Seq.fill(20)(("x", "v")) ++
+      Seq.fill(20)(("y", "u")) ++ Seq.fill(20)(("y", "v"))).toDF("a", "b")
+    assert(Quality.gTest(ind, "a", "b").head().getDouble(4) === 0.0)
+    // a never-observed combination changes nothing (no grid fill)
+    val sparse = (Seq.fill(5)(("x", "u")) ++ Seq.fill(5)(("y", "v")))
+      .toDF("a", "b")
+    assert(Quality.gTest(sparse, "a", "b").head().getLong(3) === 1L)
+    Par.release()
+  }
+
+  // ---- Quality.cohensKappa ----
+
+  test("cohensKappa: hand-computed fixture, perfect agreement 1, marginal chance 0, degenerate null") {
+    // classic 2-rater fixture: diag 20+15, off-diag 5+10, N = 50
+    // p_o = 0.7, p_e = (25*30 + 25*20)/2500 = 0.5, kappa = 0.4
+    val df = (Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+      Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no")))
+      .toDF("a", "b")
+    val r = Quality.cohensKappa(df, "a", "b").head()
+    assert(r.getLong(0) === 50L)
+    assert(r.getDouble(1) === 0.7 && r.getDouble(2) === 0.5)
+    assert(r.getDouble(3) === 0.4)
+    // perfect agreement
+    val perf = Seq(("a", "a"), ("b", "b"), ("a", "a")).toDF("a", "b")
+    assert(Quality.cohensKappa(perf, "a", "b").head().getDouble(3) === 1.0)
+    // both sides constant: p_e = 1 -> kappa null (0/0 guarded)
+    val const = Seq(("a", "a"), ("a", "a")).toDF("a", "b")
+    assert(Quality.cohensKappa(const, "a", "b").head().isNullAt(3))
+    // categories present on only one side still count in p_e
+    val skew = Seq(("a", "b"), ("b", "a"), ("a", "a")).toDF("a", "b")
+    val k = Quality.cohensKappa(skew, "a", "b").head()
+    // diag 1, N 3, sum r*c = 2*2 + 1*1 = 5 -> (3-5)/(9-5) = -0.5
+    assert(k.getDouble(3) === -0.5)
+    Par.release()
+  }
+
+  // ---- Text.sourceDivergence ----
+
+  test("sourceDivergence: identical source scores ~0, disjoint vocabulary scores ln 2, coverage closed form") {
+    import graft.functions.Text
+    // s1 and s2 have the SAME distribution (so each sits near the
+    // corpus mix with s3); s3 is vocabulary-DISJOINT
+    val docs = Seq(
+      (1L, "s1", "alpha beta alpha beta"),
+      (2L, "s2", "alpha beta alpha beta"),
+      (3L, "s3", "gamma delta gamma delta")
+    ).toDF("doc_id", "source", "text")
+    val out = Text.sourceDivergence(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out.keySet === Set("s1", "s2", "s3"))
+    assert(out("s1") === out("s2"))
+    // a fully disjoint source: JSD = ln 2 exactly (both sums collapse
+    // to the absent-mass closed form on each side)
+    // s3: present terms have q = ct/N = 2/12, p = 1/2;
+    // identical-distribution check: the two clone sources agree
+    assert(out("s1")._2 === out("s2")._2)
+    assert(out("s3")._2 > out("s1")._2) // the atypical source ranks worst
+    // single-source corpus: P = Q, JSD = 0 and coverage term vanishes
+    val solo = Seq((1L, "only", "x y z x")).toDF("doc_id", "source", "text")
+    val s = Text.sourceDivergence(solo, "source", "text").head()
+    assert(s.getDouble(2) === 0.0)
+    // two disjoint-vocabulary 50/50 sources vs their corpus MIXTURE:
+    // per source, present terms have p = 1/2, q = 1/4, m = 3/8 and
+    // coverage = 1/2, so JSD = 0.5·ln(4/3) + 0.25·ln(2/3) + 0.25·ln 2
+    // = 1.5·ln 2 − 0.75·ln 3 ≈ 0.215762 (NOT ln 2 — that is the
+    // source-vs-source bound; this operator scores source-vs-corpus)
+    val dis = Seq((1L, "a", "p q"), (2L, "b", "r s")).toDF("doc_id", "source", "text")
+    val dv = Text.sourceDivergence(dis, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(dv("a") === dv("b"))
+    val exp = 1.5 * math.log(2.0) - 0.75 * math.log(3.0)
+    assert(math.abs(dv("a") - exp) < 3e-6)
+    Par.release()
+  }
+
   // ---- Linkage.fellegiSunter ----
 
   test("fellegiSunter: hand-computed integer weights, three decision bands, nulls disagree") {
