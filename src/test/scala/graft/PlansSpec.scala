@@ -125,7 +125,13 @@ class PlansSpec extends SparkSuite {
       // rfmBucketed attaches the 1-row corpus-max-date frame to the
       // customer frame (replacing rfm's unpartitioned window) — the
       // q11/q15 scalar-join shape
-      "customer_rfm_bucketed")
+      "customer_rfm_bucketed",
+      // sourceDivergence attaches the 1-row corpus-total frame to the
+      // (source, term) stream — the q11/q15 scalar-join shape
+      "corpus_source_divergence",
+      // cohensKappa attaches the 1-row Σ r·c marginal-product frame
+      // to the 1-row (n, diag) frame — two bounded scalars
+      "dq_cohens_kappa")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       if (!nestedLoopOk(name)) {
