@@ -972,6 +972,71 @@ object Text {
       round((dxy * dxy) / (dxx * dyy), 6).as("r2"))
   }
 
+  /** Heaps'-law fit (Heaps '78; [[zipfFit]]'s vocabulary-GROWTH
+    * companion — Zipf reads the frequency curve, Heaps reads how fast
+    * NEW types keep arriving: V(n) ≈ K·n^β, natural text β ≈ 0.4-0.6;
+    * a template-generated corpus saturates, β → 0): log-log OLS of
+    * distinct-types-so-far on tokens-so-far, evaluated at `points`
+    * evenly-spaced doc-id checkpoints.
+    *
+    * Scale shape — NO cumulative window over the corpus: a term's
+    * first-occurrence doc (one term-keyed aggregate) makes
+    * "types ≤ c" a COUNT over the vocabulary frame per checkpoint,
+    * and "tokens ≤ c" a count over per-doc totals — both folded as
+    * `points` conditional sums in ONE aggregate each (checkpoints
+    * are integer literals c_j = ⌊maxId·j/points⌋ from one bounded
+    * max() scalar). The OLS runs over ≤ points rows with the
+    * [[zipfFit]] closed form; float-sum order across ≤ points values
+    * is absorbed by round(6) (the zipfFit contract).
+    */
+  def heapsFit(docs: DataFrame, idCol: String, textCol: String,
+               points: Int = 32): DataFrame = {
+    require(points >= 2 && points <= 1024, "points in [2, 1024]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = graft.Par.persistTracked(
+      docs.select(col(idCol).cast("long").as("__id"),
+          explode(split(normalize(col(textCol)), " ")).as("term"))
+        .filter(length(col("term")) > 0))
+    val firstDoc = words.groupBy(col("term")).agg(min(col("__id")).as("__fd"))
+    val perDoc = words.groupBy(col("__id")).agg(count(lit(1)).as("__tok"))
+    val maxId = perDoc.agg(max(col("__id"))).head().getLong(0) // bounded
+    val cps = (1 to points).map(j => maxId * j / points).distinct
+    val typeSums = cps.map(c =>
+      sum(when(col("__fd") <= c, 1L).otherwise(0L)).as(s"v_$c"))
+    val tokSums = cps.map(c =>
+      sum(when(col("__id") <= c, col("__tok")).otherwise(lit(0L))).as(s"n_$c"))
+    val vRow = firstDoc.agg(typeSums.head, typeSums.tail: _*).head()
+    val nRow = perDoc.agg(tokSums.head, tokSums.tail: _*).head()
+    val pts = cps.indices.map(i => (nRow.getLong(i), vRow.getLong(i)))
+      .filter { case (n, v) => n > 0 && v > 0 }
+      .toDF("__n", "__v")
+    val ranked = pts.select(log(col("__n").cast("double")).as("x"),
+      log(col("__v").cast("double")).as("y"))
+    val s = ranked.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val dxx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dxy = col("n") * col("sxy") - col("sx") * col("sy")
+    val dyy = col("n") * col("syy") - col("sy") * col("sy")
+    // degenerate fits guarded (a saturated corpus can zero dyy, a
+    // single surviving checkpoint zeros dxx) — null, never a
+    // divide-by-zero under ANSI
+    // + 0.0 normalizes negative zero — DuckDB round() emits -0.0
+    // where Spark emits 0.0 (the events_theilsen hash lesson)
+    s.select(
+      col("n").cast("long").as("n_points"),
+      when(dxx =!= 0.0, round(dxy / dxx, 6) + lit(0.0)).as("beta"),
+      when(dxx =!= 0.0,
+        round((col("sy") - (dxy / dxx) * col("sx")) / col("n"), 6)
+          + lit(0.0)).as("intercept"),
+      when(dxx =!= 0.0 && dyy =!= 0.0,
+        round((dxy * dxy) / (dxx * dyy), 6) + lit(0.0)).as("r2"))
+  }
+
   /** Per-source Jensen–Shannon divergence from the corpus unigram
     * distribution (Lin '91) — the data-mixing diagnostic ("which
     * source is most atypical?") a weighted-mixing pipeline reads

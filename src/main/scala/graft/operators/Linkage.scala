@@ -177,23 +177,32 @@ object Linkage {
     * its splitter to generate candidates, then score the pair frame
     * with the same expression.
     */
-  def fellegiSunter(records: DataFrame, idCol: String, blockCol: Column,
-                    attrs: Seq[(FsComparator, Double, Double)],
-                    upper: Double, lower: Double): DataFrame = {
+  private def fsValidate(attrs: Seq[(FsComparator, Double, Double)],
+                         upper: Double, lower: Double): Unit = {
     require(attrs.nonEmpty, "fellegiSunter needs at least one attribute")
     require(upper >= lower, "upper band must be >= lower band")
     attrs.foreach { case (_, m, u) =>
       require(m > 0 && m < 1 && u > 0 && u < 1 && m > u,
         s"need 0 < u < m < 1 per attribute, got (m=$m, u=$u)")
     }
+  }
+
+  private def fsSide(records: DataFrame, idCol: String, blockCol: Column,
+                     cols: Seq[String], idAs: String,
+                     pfx: String): DataFrame =
+    records.select(
+      (col(idCol).as(idAs) +: cols.map(c => col(c).as(pfx + c))) :+
+        blockCol.as("__blk"): _*)
+
+  /** Score a candidate frame carrying `__a_*`/`__b_*` attribute
+    * pairs; ids are emitted CANONICALIZED (least, greatest) — every
+    * agreement predicate is symmetric, so swapping sides never
+    * changes the score.
+    */
+  private def fsScore(cand: DataFrame,
+                      attrs: Seq[(FsComparator, Double, Double)],
+                      upper: Double, lower: Double): DataFrame = {
     import FsComparator._
-    val cols = attrs.map(_._1.column).distinct
-    def side(idAs: String, pfx: String) =
-      records.select(
-        (col(idCol).as(idAs) +: cols.map(c => col(c).as(pfx + c))) :+
-          blockCol.as("__blk"): _*)
-    val a = side("id_a", "__a_")
-    val b = side("id_b", "__b_")
     def agreeExpr(cmp: FsComparator): Column = cmp match {
       case Exact(c) => col(s"__a_$c") === col(s"__b_$c")
       case Edit(c, dmax) =>
@@ -214,15 +223,51 @@ object Linkage {
       when(agr, lit(1)).otherwise(lit(0)) }.reduce(_ + _)
     val u6 = math.round(upper * 1e6)
     val l6 = math.round(lower * 1e6)
-    a.join(b, Seq("__blk"))
-      .filter(col("id_a") < col("id_b"))
+    cand
       .withColumn("__s6", score6)
-      .select(col("id_a"), col("id_b"),
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
         nAgree.as("n_agree"),
         (col("__s6").cast("double") / lit(1e6)).as("score"),
         when(col("__s6") >= lit(u6), lit("link"))
           .when(col("__s6") <= lit(l6), lit("non_link"))
           .otherwise(lit("possible")).as("decision"))
+  }
+
+  def fellegiSunter(records: DataFrame, idCol: String, blockCol: Column,
+                    attrs: Seq[(FsComparator, Double, Double)],
+                    upper: Double, lower: Double): DataFrame = {
+    fsValidate(attrs, upper, lower)
+    val cols = attrs.map(_._1.column).distinct
+    val a = fsSide(records, idCol, blockCol, cols, "id_a", "__a_")
+    val b = fsSide(records, idCol, blockCol, cols, "id_b", "__b_")
+    fsScore(a.join(b, Seq("__blk")).filter(col("id_a") < col("id_b")),
+      attrs, upper, lower)
+  }
+
+  /** Incremental [[fellegiSunter]] — the daily scoring DOOR of the
+    * dedup incremental family: only pairs TOUCHING the new batch are
+    * scored (stored × batch within blocks, plus intra-batch), so a
+    * day's cost is batch-proportional while the output equals the
+    * full self-join restricted to batch-touching pairs (the
+    * dedup_minhash_incr equivalence shape — identical blocking,
+    * identical scoring expression, ids canonicalized). Caller
+    * contract: `stored` and `batch` ids are disjoint (the replay-
+    * with-dropDuplicates discipline if redelivery is possible).
+    */
+  def fellegiSunterIncremental(stored: DataFrame, batch: DataFrame,
+                               idCol: String, blockCol: Column,
+                               attrs: Seq[(FsComparator, Double, Double)],
+                               upper: Double, lower: Double): DataFrame = {
+    fsValidate(attrs, upper, lower)
+    val cols = attrs.map(_._1.column).distinct
+    val aStored = fsSide(stored, idCol, blockCol, cols, "id_a", "__a_")
+    val aBatch = fsSide(batch, idCol, blockCol, cols, "id_a", "__a_")
+    val bBatch = fsSide(batch, idCol, blockCol, cols, "id_b", "__b_")
+    val cross = aStored.join(bBatch, Seq("__blk"))
+    val intra = aBatch.join(bBatch, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+    fsScore(cross.unionByName(intra), attrs, upper, lower)
   }
 
   /** Per-attribute survivorship rule for [[goldenRecord]]. Every

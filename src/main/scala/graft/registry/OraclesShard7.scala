@@ -506,7 +506,49 @@ private[graft] object OraclesShard7 {
     // FS scoring replay over the same nation blocks with the SAME
     // 1e6-scaled integer log-weights (interpolated from the one
     // driver-side rounding both engines share)
-    "er_fs_scores" -> fsScoresSql,
+    "er_fs_scores" -> fsScoresSql(),
+
+    // incremental FS door: the full replay restricted to pairs with
+    // an odd (batch) side — the equivalence the door guarantees
+    "er_fs_scores_incr" ->
+      fsScoresSql("WHERE id_a % 2 = 1 OR id_b % 2 = 1"),
+
+    // Heaps'-law replay: same integer checkpoints (maxId*j)//points,
+    // same >0 guards, the corpus_zipf closed-form OLS
+    "corpus_heaps" ->
+      """WITH w AS (
+           SELECT doc_id AS id, unnest(string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+             AS term
+           FROM documents
+         ), w1 AS (SELECT id, term FROM w WHERE length(term) > 0),
+         fd AS (SELECT term, min(id) AS fd FROM w1 GROUP BY term),
+         pd AS (SELECT id, count(*) AS tok FROM w1 GROUP BY id),
+         mx AS (SELECT max(id) AS m FROM pd),
+         cp AS (SELECT DISTINCT (mx.m * j) // 32 AS c
+                FROM mx, (SELECT unnest(generate_series(1, 32)) AS j)),
+         pts AS (
+           SELECT cp.c,
+             (SELECT count(*) FROM fd WHERE fd.fd <= cp.c) AS v,
+             (SELECT coalesce(sum(tok), 0) FROM pd WHERE pd.id <= cp.c) AS n
+           FROM cp),
+         l AS (SELECT ln(CAST(n AS DOUBLE)) AS x, ln(CAST(v AS DOUBLE)) AS y
+               FROM pts WHERE n > 0 AND v > 0),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+                 sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy,
+                 sum(y*y) AS syy
+               FROM l)
+         SELECT CAST(n AS BIGINT) AS n_points,
+           CASE WHEN n*sxx - sx*sx <> 0 THEN
+             round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) + 0.0 END AS beta,
+           CASE WHEN n*sxx - sx*sx <> 0 THEN
+             round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
+               + 0.0
+           END AS intercept,
+           CASE WHEN n*sxx - sx*sx <> 0 AND n*syy - sy*sy <> 0 THEN
+             round(((n*sxy - sx*sy) * (n*sxy - sx*sy))
+                   / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) + 0.0 END AS r2
+         FROM s""",
 
     // G-test replay: observed cells only (o = 0 contributes exactly
     // 0), same r6-scaled integer contribution sum as dq_chi2
@@ -622,7 +664,7 @@ private[graft] object OraclesShard7 {
     * both engines sum identical integers (the sprtConstants6
     * discipline).
     */
-  private def fsScoresSql: String = {
+  private def fsScoresSql(pairWhere: String = ""): String = {
     def w(m: Double, u: Double): (Long, Long) =
       (math.round(math.log(m / u) * 1e6),
         math.round(math.log((1 - m) / (1 - u)) * 1e6))
@@ -656,7 +698,7 @@ private[graft] object OraclesShard7 {
           CASE WHEN s6 >= $u6 THEN 'link'
                WHEN s6 <= $l6 THEN 'non_link'
                ELSE 'possible' END AS decision
-        FROM sc ORDER BY id_a, id_b"""
+        FROM sc $pairWhere ORDER BY id_a, id_b"""
   }
 
   /** [[graft.operators.KMeans.fit]]'s Lloyd rounds unrolled over the

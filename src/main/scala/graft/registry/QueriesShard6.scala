@@ -159,6 +159,11 @@ private[graft] object QueriesShard6 {
           "source", "text")
         .orderBy(col("source"))),
 
+    // ---- Heaps'-law vocabulary-growth fit (corpus_zipf's twin) ----
+    "corpus_heaps" -> ((s, d) =>
+      functions.Text.heapsFit(Tables.documents(s, d), "doc_id", "text",
+        points = 32)),
+
     // ---- Fellegi–Sunter match scoring ----
     // nation-blocked customer pairs scored on (name edit<=2,
     // segment exact, balance within 10.00) with the error model's
@@ -168,6 +173,24 @@ private[graft] object QueriesShard6 {
       import Linkage.FsComparator._
       Linkage.fellegiSunter(Tables.customer(s, d), "c_custkey",
           col("c_nationkey"),
+          Seq((Edit("c_name", 2), 0.9, 0.001),
+            (Exact("c_mktsegment"), 0.95, 0.2),
+            (Tolerance("c_acctbal", BigDecimal("10.00")), 0.8, 0.01)),
+          upper = 5.0, lower = 0.0)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // incremental FS door: stored = even custkeys, batch = odd —
+    // only batch-touching pairs scored, output ≡ the full self-join
+    // restricted to pairs with an odd side (the dedup_minhash_incr
+    // equivalence shape; oracle = er_fs_scores restricted)
+    "er_fs_scores_incr" -> ((s, d) => {
+      import Linkage.FsComparator._
+      val c = Tables.customer(s, d)
+      Linkage.fellegiSunterIncremental(
+          c.filter(col("c_custkey") % 2 === 0),
+          c.filter(col("c_custkey") % 2 =!= 0),
+          "c_custkey", col("c_nationkey"),
           Seq((Edit("c_name", 2), 0.9, 0.001),
             (Exact("c_mktsegment"), 0.95, 0.2),
             (Tolerance("c_acctbal", BigDecimal("10.00")), 0.8, 0.01)),

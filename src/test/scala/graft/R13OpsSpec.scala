@@ -180,6 +180,30 @@ class R13OpsSpec extends SparkSuite {
     Par.release()
   }
 
+  // ---- Text.heapsFit ----
+
+  test("heapsFit: all-new-terms corpus fits beta=1 exactly; template corpus saturates to ~0") {
+    import graft.functions.Text
+    // every doc contributes 4 brand-new types and 4 tokens:
+    // V(c) = N(c) at every checkpoint -> ln V = ln N, slope 1, r2 1
+    val fresh = (1L to 16L).map(i =>
+      (i, s"w${i}a w${i}b w${i}c w${i}d")).toDF("doc_id", "text")
+    val f = Text.heapsFit(fresh, "doc_id", "text", points = 8).head()
+    assert(f.getDouble(1) === 1.0 && f.getDouble(3) === 1.0)
+    // the SAME text everywhere: types freeze after doc 1 while
+    // tokens keep growing -> beta near 0
+    val tmpl = (1L to 16L).map(i => (i, "spark sort join group"))
+      .toDF("doc_id", "text")
+    val t = Text.heapsFit(tmpl, "doc_id", "text", points = 8).head()
+    assert(math.abs(t.getDouble(1)) < 0.05)
+    // duplicate/zero checkpoints are deduped and guarded (2 docs,
+    // 8 requested points -> few distinct checkpoints, no ln(0))
+    val tiny = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    assert(Text.heapsFit(tiny, "doc_id", "text", points = 8)
+      .head().getLong(0) >= 2L)
+    Par.release()
+  }
+
   // ---- Linkage.fellegiSunter ----
 
   test("fellegiSunter: hand-computed integer weights, three decision bands, nulls disagree") {
@@ -218,6 +242,31 @@ class R13OpsSpec extends SparkSuite {
     // (1,4): lev("acme corp","acme corpse") = 2 agrees; seg differs;
     // NULL balance disagrees deterministically
     assert(out((1L, 4L)) === ((1, sc(nA, sD, bD), "possible")))
+    Par.release()
+  }
+
+  test("fellegiSunterIncremental ≡ full restricted to batch-touching pairs") {
+    import Linkage.FsComparator._
+    val recs = (1L to 40L).map { i =>
+      (i, s"B${i % 3}", s"name${"x" * (i % 4).toInt}",
+        if (i % 5 == 0) "AUTO" else "HOME", Some(100.0 + (i % 7)))
+    }.toDF("id", "blk", "name", "seg", "bal")
+    val attrs = Seq[(Linkage.FsComparator, Double, Double)](
+      (Edit("name", 2), 0.9, 0.001),
+      (Exact("seg"), 0.95, 0.2),
+      (Tolerance("bal", BigDecimal("3.00")), 0.8, 0.01))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getString(4))).toSeq.sorted
+    val full = rows(Linkage.fellegiSunter(recs, "id", col("blk"),
+      attrs, 5.0, 0.0))
+    val stored = recs.filter(col("id") % 2 === 0)
+    val batch = recs.filter(col("id") % 2 =!= 0)
+    val incr = rows(Linkage.fellegiSunterIncremental(stored, batch,
+      "id", col("blk"), attrs, 5.0, 0.0))
+    val restricted = full.filter(p => p._1 % 2 == 1 || p._2 % 2 == 1)
+    assert(incr === restricted)
+    assert(incr.nonEmpty && incr.size < full.size)
     Par.release()
   }
 }
