@@ -1297,36 +1297,64 @@ object Analytics {
     */
   private def bucketedNtile(df: DataFrame, sortExact: Column,
                             tieKey: Column, k: Int, scoreName: String,
-                            rangeBuckets: Int = 64): DataFrame = {
-    val withV = df.withColumn("__sv", sortExact.cast("double"))
+                            rangeBuckets: Int = 64): DataFrame =
+    bucketedNtiles(df, Seq((sortExact, scoreName)), tieKey, k, rangeBuckets)
+
+  /** Batched [[bucketedNtile]]: ALL axes share one boundary-sketch
+    * aggregate, one persisted tagged frame, and one bounded
+    * count-collect per axis — 3 axes cost one corpus pass plus three
+    * bucket-partitioned windows instead of three full stacks (the
+    * fixed driver-action cost dominated the single-axis form at
+    * dimension scale).
+    */
+  private def bucketedNtiles(df: DataFrame,
+                             axes: Seq[(Column, String)], tieKey: Column,
+                             k: Int, rangeBuckets: Int = 64): DataFrame = {
+    require(axes.nonEmpty, "bucketedNtiles needs at least one axis")
     val fr = (1 until rangeBuckets).map(_.toDouble / rangeBuckets)
-    val bounds = withV
-      .agg(percentile_approx(col("__sv"), typedLit(fr), lit(1000)).as("q"))
-      .head().getSeq[Double](0).distinct.sorted
-    val bk = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col("__sv") > lit(b), 1).otherwise(0) }
-    val tagged = graft.Par.persistTracked(withV.withColumn("__bk", bk))
-    val counts = tagged.groupBy(col("__bk")).agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val n = counts.map(_._2).sum
-    require(n > 0, "bucketedNtile over an empty frame")
-    var acc = 0L
-    val offExpr = counts.foldLeft(when(lit(false), lit(0L))) {
-      case (e, (b, c)) =>
-        val o = acc; acc += c; e.when(col("__bk") === b, lit(o))
-    }.otherwise(lit(0L))
-    val w = Window.partitionBy(col("__bk"))
-      .orderBy(sortExact.asc, tieKey.asc)
-    val rn = row_number().over(w).cast("long") + offExpr
-    val q = n / k
-    val r = n % k
-    val head = lit(r * (q + 1))
-    val score = when(rn <= head,
-        floor((rn - lit(1L)) / lit((q + 1).toDouble)) + lit(1L))
-      .otherwise(lit(r) +
-        floor((rn - head - lit(1L)) / lit(math.max(q, 1L).toDouble)) + lit(1L))
-    tagged.withColumn(scoreName, score.cast("int"))
-      .drop("__sv", "__bk")
+    val withV = axes.zipWithIndex.foldLeft(df) {
+      case (acc, ((sortExact, _), i)) =>
+        acc.withColumn(s"__sv$i", sortExact.cast("double"))
+    }
+    // ONE sketch aggregate for every axis's boundary grid
+    val boundsRow = withV.agg(
+      percentile_approx(col("__sv0"), typedLit(fr), lit(1000)).as("q0"),
+      axes.indices.drop(1).map(i =>
+        percentile_approx(col(s"__sv$i"), typedLit(fr), lit(1000))
+          .as(s"q$i")): _*).head()
+    val tagged = graft.Par.persistTracked(
+      axes.indices.foldLeft(withV) { (acc, i) =>
+        val bounds = boundsRow.getSeq[Double](i).distinct.sorted
+        acc.withColumn(s"__bk$i", bounds.foldLeft(lit(0)) { (e, b) =>
+          e + when(col(s"__sv$i") > lit(b), 1).otherwise(0) })
+      })
+    val scored = axes.zipWithIndex.foldLeft(tagged) {
+      case (acc, ((sortExact, scoreName), i)) =>
+        val counts = tagged.groupBy(col(s"__bk$i"))
+          .agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        val n = counts.map(_._2).sum
+        require(n > 0, "bucketedNtile over an empty frame")
+        var run = 0L
+        val offExpr = counts.foldLeft(when(lit(false), lit(0L))) {
+          case (e, (b, c)) =>
+            val o = run; run += c; e.when(col(s"__bk$i") === b, lit(o))
+        }.otherwise(lit(0L))
+        val w = Window.partitionBy(col(s"__bk$i"))
+          .orderBy(sortExact.asc, tieKey.asc)
+        val rn = row_number().over(w).cast("long") + offExpr
+        val q = n / k
+        val r = n % k
+        val head = lit(r * (q + 1))
+        val score = when(rn <= head,
+            floor((rn - lit(1L)) / lit((q + 1).toDouble)) + lit(1L))
+          .otherwise(lit(r) +
+            floor((rn - head - lit(1L)) / lit(math.max(q, 1L).toDouble))
+              + lit(1L))
+        acc.withColumn(scoreName, score.cast("int"))
+    }
+    axes.indices.foldLeft(scored) { (acc, i) =>
+      acc.drop(s"__sv$i", s"__bk$i") }
   }
 
   /** [[rfm]] with the three global `ntile` sorts replaced by
@@ -1347,10 +1375,11 @@ object Analytics {
       .withColumn("recency_days", datediff(col("__maxl"), col("__last")))
       .drop("__maxl")
     val key = col("o_custkey")
-    val s1 = bucketedNtile(perCust, -col("recency_days"), key,
-      buckets, "r_score")
-    val s2 = bucketedNtile(s1, col("frequency"), key, buckets, "f_score")
-    val s3 = bucketedNtile(s2, col("monetary"), key, buckets, "m_score")
+    val s3 = bucketedNtiles(perCust,
+      Seq((-col("recency_days"), "r_score"),
+        (col("frequency"), "f_score"),
+        (col("monetary"), "m_score")),
+      key, buckets)
     s3.select(col("o_custkey"), col("recency_days"), col("frequency"),
       col("monetary").cast("double").as("monetary"),
       col("r_score"), col("f_score"), col("m_score"),

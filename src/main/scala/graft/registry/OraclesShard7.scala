@@ -674,8 +674,11 @@ private[graft] object OraclesShard7 {
     val u6 = math.round(5.0 * 1e6)
     val l6 = math.round(0.0 * 1e6)
     s"""WITH c AS (
-          SELECT c_custkey AS id, c_nationkey AS blk, c_name,
-            c_mktsegment, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+          SELECT c_custkey AS id,
+            CAST(c_nationkey AS VARCHAR) || ':'
+              || CAST(c_custkey % 8 AS VARCHAR) AS blk,
+            c_name, c_mktsegment,
+            CAST(c_acctbal AS DECIMAL(12,2)) AS bal
           FROM customer
         ), s AS (
           SELECT a.id AS id_a, b.id AS id_b,

@@ -602,12 +602,14 @@ private[graft] object QueriesShard3 {
     "dedup_ngram_jaccard_incr" -> ((s, d) => {
       val corpus = Tables.documents(s, d)
       val cut = lit(250L)
-      val built = Dedup.ngramIndexFrames(corpus.filter(col("doc_id") < cut),
-        "doc_id", "text", n = 3, maxDocFreq = 1000)
-      val store = graft.TempDirs.create("graft_ngidx_")
-      built.occ.write.parquet(s"$store/occ")
-      built.dfs.write.parquet(s"$store/dfs")
-      built.meta.write.parquet(s"$store/meta")
+      val store = graft.Stores.cached(s"ngidx:$d") { dir =>
+        val built = Dedup.ngramIndexFrames(
+          corpus.filter(col("doc_id") < cut),
+          "doc_id", "text", n = 3, maxDocFreq = 1000)
+        built.occ.write.parquet(s"$dir/occ")
+        built.dfs.write.parquet(s"$dir/dfs")
+        built.meta.write.parquet(s"$dir/meta")
+      }
       val frames = Dedup.NgramIndex(s.read.parquet(s"$store/occ"),
         s.read.parquet(s"$store/dfs"), s.read.parquet(s"$store/meta"))
       Dedup.ngramJaccardIncremental(frames, corpus.filter(col("doc_id") >= cut),

@@ -448,16 +448,19 @@ private[graft] object QueriesShard4 {
     // postings — "table table" exercises repeated phrase terms AND
     // overlapping occurrences; oracle = the definitional padded-text
     // scan counting every (incl. overlapping) occurrence.
-    // The index is PERSISTED through a parquet store hop and the
-    // probe runs against the stored frame (r12 verdict ask #4: with
-    // the build inlined, every probe re-derived the tokenize+explode
-    // subplan and the bench conflated build with probe cost — the
-    // ann_ivf_incr_topk store-hop discipline; build cost has its own
-    // graded key, doc_phrase_index_build)
+    // The index is a MEMOIZED per-JVM parquet store (graft.Stores)
+    // and the probe runs against the stored frame (r12 verdict ask
+    // #4: with the build inlined, every probe re-derived the
+    // tokenize+explode subplan and the bench conflated build with
+    // probe cost; with a per-invocation store hop it conflated
+    // build+WRITE with probe — the warmup pass now builds once and
+    // the timed passes probe only; build cost has its own graded
+    // key, doc_phrase_index_build)
     "doc_phrase_search" -> ((s, d) => {
-      val store = graft.TempDirs.create("graft_posidx_") + "/t"
-      Search.positionalFrame(Tables.documents(s, d), "doc_id", "text")
-        .write.parquet(store)
+      val store = graft.Stores.cached(s"posidx:$d") { dir =>
+        Search.positionalFrame(Tables.documents(s, d), "doc_id", "text")
+          .write.parquet(dir + "/t")
+      } + "/t"
       Search.phraseSearch(s.read.parquet(store), Seq("table", "table"))
         .select(col("id").as("doc_id"), col("n_matches"), col("first_pos"))
         .orderBy(col("doc_id"))
@@ -478,9 +481,10 @@ private[graft] object QueriesShard4 {
     // level; includes a rare and a no-hit phrase. Probe-only against
     // the stored index (store-hop discipline, see doc_phrase_search)
     "doc_multi_phrase" -> ((s, d) => {
-      val store = graft.TempDirs.create("graft_posidx_") + "/t"
-      Search.positionalFrame(Tables.documents(s, d), "doc_id", "text")
-        .write.parquet(store)
+      val store = graft.Stores.cached(s"posidx:$d") { dir =>
+        Search.positionalFrame(Tables.documents(s, d), "doc_id", "text")
+          .write.parquet(dir + "/t")
+      } + "/t"
       Search.multiPhraseSearch(s.read.parquet(store), Seq(
           Seq("table", "table"), Seq("value", "table"),
           Seq("fast", "sort", "key"), Seq("quantum", "leap")))
@@ -496,11 +500,14 @@ private[graft] object QueriesShard4 {
     // fresh build
     "doc_phrase_search_incr" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val store = graft.TempDirs.create("graft_posidx_") + "/t"
-      Search.positionalFrame(docs.filter(col("doc_id") < 250), "doc_id", "text")
-        .write.parquet(store)
-      Search.positionalFrame(docs.filter(col("doc_id") >= 250), "doc_id", "text")
-        .write.mode("append").parquet(store)
+      val store = graft.Stores.cached(s"posidx_incr:$d") { dir =>
+        Search.positionalFrame(docs.filter(col("doc_id") < 250),
+            "doc_id", "text")
+          .write.parquet(dir + "/t")
+        Search.positionalFrame(docs.filter(col("doc_id") >= 250),
+            "doc_id", "text")
+          .write.mode("append").parquet(dir + "/t")
+      } + "/t"
       Search.phraseSearch(s.read.parquet(store), Seq("table", "table"))
         .select(col("id").as("doc_id"), col("n_matches"), col("first_pos"))
         .orderBy(col("doc_id"))
