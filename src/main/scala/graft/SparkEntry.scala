@@ -65,6 +65,9 @@ object SparkEntry {
       // the percentile-bucket RFM is row-identical to the window-ntile
       // form by the exact-ntile construction — same oracle verbatim
       ("customer_rfm_bucketed" -> base("customer_rfm")) +
+      // the keep-best fold is provably ≡ the full keep-best (see the
+      // registry entry) — same oracle verbatim
+      ("dedup_keep_best_incr" -> base("dedup_keep_best")) +
       // the pair-set scorecard replays BOTH graded pipelines it
       // evaluates — their oracles verbatim as CTE bodies, then the
       // same confusion counts and P/R/F1 trees the operator runs

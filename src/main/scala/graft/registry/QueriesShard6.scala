@@ -159,6 +159,34 @@ private[graft] object QueriesShard6 {
           "source", "text")
         .orderBy(col("source"))),
 
+    // ---- incremental keep-best maintenance ----
+    // the last ScalaTest-only dedup item converted to a graded row:
+    // day-1 keepers + labels fold with day-2 docs/pairs; the fold is
+    // provably ≡ the full keepBest (incremental CC shares the full
+    // labeling, and a day-1 non-keeper can never beat its own
+    // cluster's keeper, so the merged argmax sees every possible
+    // winner) — the dedup_keep_best oracle grades it verbatim
+    "dedup_keep_best_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = docs.select(col("doc_id"),
+        functions.Text.tokenCountWs(col("text")).as("n_words"))
+      val pairs = graft.Par.persistTracked(
+        Dedup.ngramJaccard(docs, "doc_id", "text",
+          n = 3, threshold = 0.5, maxDocFreq = 1000))
+      val cut = lit(250L)
+      val day1Pairs = pairs.filter(col("id_a") < cut && col("id_b") < cut)
+      val day2Pairs = pairs.filter(!(col("id_a") < cut && col("id_b") < cut))
+      val labels1 = Dedup.connectedComponents(day1Pairs)
+      val keepers1 = Dedup.keepBestPerCluster(
+        scored.filter(col("doc_id") < cut), "doc_id", day1Pairs, "n_words")
+      val (keepers2, _) = Dedup.keepBestPerClusterIncremental(
+        keepers1, labels1, scored.filter(col("doc_id") >= cut), day2Pairs,
+        "doc_id", "n_words")
+      keepers2.select(col("comp"), col("doc_id").as("keeper_id"),
+          col("n_words"))
+        .orderBy(col("comp"))
+    }),
+
     // ---- Heaps'-law vocabulary-growth fit (corpus_zipf's twin) ----
     "corpus_heaps" -> ((s, d) =>
       functions.Text.heapsFit(Tables.documents(s, d), "doc_id", "text",

@@ -32,12 +32,12 @@ class RegistrySpec extends AnyFunSuite {
 
   test("oracle shards are key-disjoint and compose losslessly") {
     assert(dupes(oracleShards) === Seq.empty)
-    // + the 9 alias/derived oracles (streaming/incremental twins and
-    // customer_rfm_bucketed graded against the batch oracle, verbatim
-    // or filtered) and the composed dedup_eval oracle appended in
-    // SparkEntry.oracleSql
+    // + the 10 alias/derived oracles (streaming/incremental twins,
+    // customer_rfm_bucketed, and dedup_keep_best_incr graded against
+    // the batch oracle, verbatim or filtered) and the composed
+    // dedup_eval oracle appended in SparkEntry.oracleSql
     assert(SparkEntry.oracleSql.size ===
-      oracleShards.map(_._2.size).sum + 10)
+      oracleShards.map(_._2.size).sum + 11)
   }
 
   // Shard-size ceiling (r12 verdict ask #10): the 11k-line
