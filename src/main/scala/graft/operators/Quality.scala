@@ -811,6 +811,43 @@ object Quality {
     * where every value ties (σ = 0) report z null; u_a is reported
     * in half-unit steps (tie-averaged ranks).
     */
+  /** Tukey IQR fences per key (Tukey '77 — the box-plot outlier rule
+    * and the third robust screen beside the z-score and MAD
+    * monitors: distribution-free, 25%-breakdown, and the one
+    * auditors actually recognize): a row is flagged when its value
+    * falls outside [Q1 − k·IQR, Q3 + k·IQR] (k = 1.5 classic,
+    * 3 = "far out"). Returns the OFFENDING rows with their key's
+    * quartiles and fences — the store_failures shape, not just a
+    * count.
+    *
+    * Portability: quartiles are the same cross-engine-stable
+    * interpolated `percentile` the MAD/profile oracles grade;
+    * fences are computed from the UNROUNDED quartiles then
+    * round(6)-guarded, and the flag compares round-6 values on BOTH
+    * sides so it can never hinge on sub-µ interpolation drift (the
+    * madOutliers discipline). One per-key sort-agg + one join back
+    * (per-KEY cardinality — no broadcast hint, the esdOutliers
+    * lesson); the filter streams.
+    */
+  def iqrOutliers(df: DataFrame, keyCol: String, idCol: String,
+                  valueCol: String, k: Double = 1.5): DataFrame = {
+    require(k > 0, "k must be positive")
+    val q = df.groupBy(col(keyCol).as("__g"))
+      .agg(expr(s"percentile($valueCol, 0.25)").as("__q1"),
+        expr(s"percentile($valueCol, 0.75)").as("__q3"))
+      .withColumn("__fl",
+        round(col("__q1") - lit(k) * (col("__q3") - col("__q1")), 6))
+      .withColumn("__fh",
+        round(col("__q3") + lit(k) * (col("__q3") - col("__q1")), 6))
+    df.join(q, col(keyCol) === col("__g")).drop("__g")
+      .filter(round(col(valueCol).cast("double"), 6) < col("__fl") ||
+        round(col(valueCol).cast("double"), 6) > col("__fh"))
+      .select(col(keyCol), col(idCol),
+        col(valueCol).cast("double").as("value"),
+        round(col("__q1"), 6).as("q1"), round(col("__q3"), 6).as("q3"),
+        col("__fl").as("fence_lo"), col("__fh").as("fence_hi"))
+  }
+
   /** Trimmed + winsorized mean per key (Tukey's robust location
     * estimates — the DQ summary that survives the fat tails
     * volume/latency/revenue metrics always have; a plain mean is one

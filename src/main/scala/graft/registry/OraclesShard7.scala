@@ -550,6 +550,25 @@ private[graft] object OraclesShard7 {
                    / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) + 0.0 END AS r2
          FROM s""",
 
+    // Tukey-fence replay: same type-7 interpolated quartiles, fences
+    // from the UNROUNDED quartiles, round-6 on both compare sides
+    "dq_outlier_iqr" ->
+      """WITH q AS (
+           SELECT event_type AS g,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+           FROM events GROUP BY 1
+         ), f AS (
+           SELECT g, round(q1, 6) AS q1r, round(q3, 6) AS q3r,
+             round(q1 - 1.5 * (q3 - q1), 6) AS lo,
+             round(q3 + 1.5 * (q3 - q1), 6) AS hi
+           FROM q)
+         SELECT e.event_type, e.event_id, e.value,
+           f.q1r AS q1, f.q3r AS q3, f.lo AS fence_lo, f.hi AS fence_hi
+         FROM events e JOIN f ON e.event_type = f.g
+         WHERE round(e.value, 6) < f.lo OR round(e.value, 6) > f.hi
+         ORDER BY e.event_type, e.event_id""",
+
     // G-test replay: observed cells only (o = 0 contributes exactly
     // 0), same r6-scaled integer contribution sum as dq_chi2
     "dq_gtest" ->

@@ -138,6 +138,12 @@ private[graft] object QueriesShard6 {
           "o_totalprice", "o_orderkey", trimFrac = 0.05)
         .orderBy(col("o_orderpriority"))),
 
+    // ---- Tukey IQR outlier fences per event type ----
+    "dq_outlier_iqr" -> ((s, d) =>
+      Quality.iqrOutliers(Tables.events(s, d), "event_type", "event_id",
+          "value")
+        .orderBy(col("event_type"), col("event_id"))),
+
     // ---- G-test of independence (chi2's LLR companion) ----
     "dq_gtest" -> ((s, d) =>
       Quality.gTest(Tables.customer(s, d), "c_mktsegment", "c_nationkey")),

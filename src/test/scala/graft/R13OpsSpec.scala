@@ -89,6 +89,29 @@ class R13OpsSpec extends SparkSuite {
     assert(tOut === Seq(10.0, 15.0))
   }
 
+  // ---- Quality.iqrOutliers ----
+
+  test("iqrOutliers: hand-computed fences, whale flagged, boundary value not flagged, per-key isolation") {
+    // key a: values 1..11 plus a 100 whale (n=12):
+    //   sorted positions p25 = 1+0.25*11 = 3.75 -> q1 = 3.75
+    //   p75 = 1+0.75*11 = 9.25 -> q3 = 9.25; iqr = 5.5
+    //   fences = [3.75-8.25, 9.25+8.25] = [-4.5, 17.5] -> only 100 out
+    // key b: constant values -> iqr 0, fences = value, nothing out
+    val df = ((1 to 11).map(i => ("a", i.toLong, i.toDouble)) ++
+      Seq(("a", 99L, 100.0)) ++
+      (1 to 5).map(i => ("b", 100L + i, 7.0))).toDF("k", "id", "v")
+    val out = Quality.iqrOutliers(df, "k", "id", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(out.toSeq === Seq(("a", 99L, 100.0, 3.75, 9.25, -4.5, 17.5)))
+    // a value EXACTLY on the fence is not an outlier (strict compare)
+    val edge = (Seq(("e", 1L, 0.0), ("e", 2L, 4.0), ("e", 3L, 8.0),
+      ("e", 4L, 12.0), ("e", 5L, 24.0))).toDF("k", "id", "v")
+    // q1 = 4, q3 = 12, fences = [-8, 24]: 24 sits ON the fence
+    assert(Quality.iqrOutliers(edge, "k", "id", "v").count() === 0L)
+    Par.release()
+  }
+
   // ---- Quality.gTest ----
 
   test("gTest: hand-computed 2x2, independence gives 0, zero cells contribute nothing") {
