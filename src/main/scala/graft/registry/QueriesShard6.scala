@@ -237,5 +237,71 @@ private[graft] object QueriesShard6 {
           upper = 5.0, lower = 0.0)
         .orderBy(col("id_a"), col("id_b"))
     }),
+
+    // ---- experimentation-stats wave 2 ----
+    // Kruskal–Wallis per hour-of-day: do the five event types' value
+    // distributions differ — the k-group rung above ab_mannwhitney,
+    // same doubled-tie-averaged integer ranks, per-group
+    // contributions r6-scaled and integer-summed
+    "ab_kruskal_wallis" -> ((s, d) =>
+      Quality.kruskalWallis(
+          EntryHelpers.eventCols(Tables.events(s, d))
+            .withColumn("hod", hour(col("ts"))),
+          "hod", "event_type", "value")
+        .orderBy(col("hod"))),
+
+    // Brown–Forsythe per hour-of-day: variance-equality screen on
+    // the same frame — |value − group median| deviations (round-6
+    // guarded medians), exact integer z6 sums, ANOVA F
+    "ab_brown_forsythe" -> ((s, d) =>
+      Quality.brownForsythe(
+          EntryHelpers.eventCols(Tables.events(s, d))
+            .withColumn("hod", hour(col("ts"))),
+          "hod", "event_type", "value")
+        .orderBy(col("hod"))),
+
+    // Benjamini–Hochberg step-up over the 24 hourly Mann–Whitney
+    // tests: z → two-sided p via the A&S 26.2.17 closed form, then
+    // the FDR correction — the readout layer every per-key test
+    // family needs before anyone acts on it
+    "dq_bh_fdr" -> ((s, d) => {
+      val mw = Quality.mannWhitney(
+        EntryHelpers.eventCols(Tables.events(s, d))
+          .withColumn("hod", hour(col("ts"))),
+        "hod", "event_type", "value", "purchase", "view")
+      Quality.bhCorrect(
+          mw.filter(col("z").isNotNull)
+            .select(col("hod"), Quality.zToPTwoSided(col("z")).as("p")),
+          "hod", "p", alpha = 0.05)
+        .orderBy(col("rank"))
+    }),
+
+    // closed-form power/MDE per event type on the ab_welch_t frame:
+    // what effect is detectable NOW, and what n/arm would 5% need —
+    // z quantiles as literals, welch-style exact integer stats
+    "ab_power_mde" -> ((s, d) => {
+      val units = Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("grp", pmod(col("user_id"), lit(2)).cast("string"))
+      Quality.powerMde(units, "event_type", "grp", "n_events", "1", "0")
+        .orderBy(col("event_type"))
+    }),
+
+    // calibration scorecard per cohort on the model_auc frame: the
+    // activity squash n/(n+20) as the score, conversion as the
+    // label — ECE (10 bins) + Brier from exact r6-scaled integers
+    "model_calibration" -> ((s, d) => {
+      val units = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(when(col("event_type") === "purchase", lit(1L))
+            .otherwise(lit(0L))).as("converted"))
+        .withColumn("cohort", pmod(col("user_id"), lit(2)))
+        .withColumn("score",
+          col("n_events").cast("double")
+            / (col("n_events").cast("double") + lit(20.0)))
+      Quality.calibration(units, "cohort", "score", "converted", bins = 10)
+        .orderBy(col("cohort"))
+    }),
   )
 }

@@ -1,0 +1,171 @@
+package graft
+
+import graft.operators.Quality
+import org.apache.spark.sql.functions._
+
+/** Round-13 wave-2 experimentation-stats operators: Kruskal–Wallis,
+  * Brown–Forsythe, the A&S normal tail + Benjamini–Hochberg step-up,
+  * closed-form power/MDE, and the ECE/Brier calibration scorecard.
+  */
+class R13Wave2Spec extends SparkSuite {
+  import spark.implicits._
+
+  private def near(a: Double, b: Double, eps: Double = 1e-6): Boolean =
+    math.abs(a - b) <= eps
+
+  // ---- Quality.kruskalWallis ----
+
+  test("kruskalWallis: textbook H on a tie-free 3-group fixture; separated groups score high, interleaved near zero") {
+    // groups (1,2,3) (4,5,6) (7,8,9): ranks 1..9, R = 6/15/24,
+    // H = 12/90 * (36+225+576)/3 - 30 = 7.2 (no ties, corr = 1)
+    val df = Seq(
+      ("k", "a", 1.0), ("k", "a", 2.0), ("k", "a", 3.0),
+      ("k", "b", 4.0), ("k", "b", 5.0), ("k", "b", 6.0),
+      ("k", "c", 7.0), ("k", "c", 8.0), ("k", "c", 9.0))
+      .toDF("key", "g", "v")
+    val r = Quality.kruskalWallis(df, "key", "g", "v").collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 9L && r(0).getLong(2) === 3L &&
+      r(0).getLong(3) === 2L)
+    assert(near(r(0).getDouble(4), 7.2))
+    // perfectly interleaved groups: H near zero
+    val inter = (1 to 30).map(i => ("k", (i % 3).toString, i.toDouble))
+      .toDF("key", "g", "v")
+    val h0 = Quality.kruskalWallis(inter, "key", "g", "v")
+      .collect()(0).getDouble(4)
+    assert(math.abs(h0) < 0.5) // far below the 5.99 critical value
+  }
+
+  test("kruskalWallis: all-tied key reports null h; single-group key excluded") {
+    val df = Seq(("t", "a", 5.0), ("t", "a", 5.0), ("t", "b", 5.0),
+      ("t", "b", 5.0), ("solo", "a", 1.0), ("solo", "a", 2.0))
+      .toDF("key", "g", "v")
+    val rows = Quality.kruskalWallis(df, "key", "g", "v").collect()
+    assert(rows.map(_.getString(0)).toSet === Set("t"))
+    assert(rows(0).isNullAt(4))
+  }
+
+  // ---- Quality.brownForsythe ----
+
+  test("brownForsythe: hand-computed F on a two-group spread difference") {
+    // g1 (0,10,20): med 10, z = (10,0,10); g2 (5,10,15): z = (5,0,5)
+    // integer-unit terms: b = (133, 33), w = (67, 17)
+    // between = 166 - 900/6 = 16; F = (16/1) / (84/4) = 0.761905
+    val df = Seq(("k", "g1", 0.0), ("k", "g1", 10.0), ("k", "g1", 20.0),
+      ("k", "g2", 5.0), ("k", "g2", 10.0), ("k", "g2", 15.0))
+      .toDF("key", "g", "v")
+    val r = Quality.brownForsythe(df, "key", "g", "v").collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 6L && r(0).getLong(2) === 2L)
+    assert(r(0).getLong(3) === 1L && r(0).getLong(4) === 4L)
+    assert(near(r(0).getDouble(5), 16.0 / 21.0, 1e-5))
+  }
+
+  test("brownForsythe: zero within-deviation reports null f; keys need 2 groups") {
+    val df = Seq(("z", "a", 5.0), ("z", "a", 5.0), ("z", "b", 9.0),
+      ("z", "b", 9.0), ("one", "a", 1.0), ("one", "a", 7.0))
+      .toDF("key", "g", "v")
+    val rows = Quality.brownForsythe(df, "key", "g", "v").collect()
+    assert(rows.map(_.getString(0)).toSet === Set("z"))
+    assert(rows(0).isNullAt(5))
+  }
+
+  // ---- Quality.zToPTwoSided + bhCorrect ----
+
+  test("zToPTwoSided: matches the normal tail at the standard quantiles") {
+    val zs = Seq(0.0, 1.0, 1.959964, 3.0).toDF("z")
+    val ps = zs.select(Quality.zToPTwoSided(col("z")).as("p"))
+      .collect().map(_.getDouble(0))
+    assert(near(ps(0), 1.0, 1e-7))             // A&S at z = 0
+    assert(near(ps(1), 0.317311, 1e-4))        // 2·(1−Φ(1))
+    assert(near(ps(2), 0.05, 1e-4))            // the 95% quantile
+    assert(near(ps(3), 0.0027, 1e-4))          // 3σ
+  }
+
+  test("bhCorrect: step-up rejects BELOW the largest passing rank even through a local miss") {
+    // p2 = 0.049 misses its own threshold 0.0333 but p3 = 0.05 passes
+    // rank 3's — the step-up rejects all three
+    val tests = Seq(("t1", 0.001), ("t2", 0.049), ("t3", 0.05))
+      .toDF("test_id", "p")
+    val r = Quality.bhCorrect(tests, "test_id", "p", alpha = 0.05)
+      .orderBy(col("rank")).collect()
+    assert(r.map(_.getBoolean(5)).toSeq === Seq(true, true, true))
+    // adjusted q: p·m/i = (.003, .0735, .05) → reversed min
+    assert(near(r(0).getDouble(4), 0.003))
+    assert(near(r(1).getDouble(4), 0.05))
+    assert(near(r(2).getDouble(4), 0.05))
+  }
+
+  test("bhCorrect: non-rejections past the cut, q clamped at 1, null p excluded") {
+    val tests = Seq(("a", 0.01), ("b", 0.02), ("c", 0.8),
+      ("d", 0.9), ("e", Double.NaN))
+      .toDF("test_id", "p")
+      .withColumn("p", when(isnan(col("p")), lit(null)).otherwise(col("p")))
+    val r = Quality.bhCorrect(tests, "test_id", "p", alpha = 0.05)
+      .orderBy(col("rank")).collect()
+    assert(r.length === 4) // null p dropped
+    assert(r.map(_.getBoolean(5)).toSeq === Seq(true, true, false, false))
+    assert(r(3).getDouble(4) === 0.9) // q = min(1, 0.9·4/4)
+  }
+
+  // ---- Quality.powerMde ----
+
+  test("powerMde: closed-form MDE and n/arm on a hand fixture") {
+    val df = Seq(("k", "A", 1L), ("k", "A", 2L), ("k", "A", 3L),
+      ("k", "B", 2L), ("k", "B", 4L), ("k", "B", 6L))
+      .toDF("key", "g", "v")
+    val r = Quality.powerMde(df, "key", "g", "v", "A", "B").collect()
+    assert(r.length === 1)
+    val zsum = 1.959964 + 0.841621
+    // var_a = 1, var_b = 4, pooled mean = 3
+    val mde = zsum * math.sqrt(1.0 / 3 + 4.0 / 3)
+    assert(near(r(0).getDouble(3), 3.0))
+    assert(near(r(0).getDouble(4), mde, 1e-5))
+    assert(near(r(0).getDouble(5), mde / 3.0, 1e-5))
+    val n = math.ceil(BigDecimal(zsum * zsum * 5.0 / (0.15 * 0.15))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r(0).getLong(6) === n.toLong)
+  }
+
+  test("powerMde: keys need 2 rows per group; zero mean gives null relative rows") {
+    val df = Seq(("thin", "A", 1L), ("thin", "B", 2L), ("thin", "B", 3L),
+      ("zero", "A", 1L), ("zero", "A", -1L),
+      ("zero", "B", 2L), ("zero", "B", -2L))
+      .toDF("key", "g", "v")
+    val rows = Quality.powerMde(df, "key", "g", "v", "A", "B").collect()
+    assert(rows.map(_.getString(0)).toSet === Set("zero"))
+    assert(rows(0).isNullAt(5) && rows(0).isNullAt(6))
+    assert(!rows(0).isNullAt(4)) // absolute MDE still reported
+  }
+
+  // ---- Quality.calibration ----
+
+  test("calibration: perfectly calibrated bin scores ECE 0; miscalibration measured exactly") {
+    // key 0: score .8, 8 of 10 convert → ece 0, brier .16
+    // key 1: score .9, 5 of 10 convert → ece .4, brier .41
+    val rows =
+      (1 to 8).map(i => (0L, 0.8, 1L)) ++ (1 to 2).map(_ => (0L, 0.8, 0L)) ++
+      (1 to 5).map(_ => (1L, 0.9, 1L)) ++ (1 to 5).map(_ => (1L, 0.9, 0L))
+    val df = rows.toDF("cohort", "score", "label")
+    val r = Quality.calibration(df, "cohort", "score", "label", bins = 10)
+      .orderBy(col("cohort")).collect()
+    assert(r(0).getLong(1) === 10L)
+    assert(near(r(0).getDouble(2), 0.0))
+    assert(near(r(0).getDouble(3), 0.16))
+    assert(near(r(1).getDouble(2), 0.4))
+    assert(near(r(1).getDouble(3), 0.41))
+  }
+
+  test("calibration: score 1.0 lands in the top bin, mixed bins weight by count") {
+    val df = Seq((0L, 1.0, 1L), (0L, 0.95, 1L), (0L, 0.95, 0L),
+      (0L, 0.05, 0L)).toDF("cohort", "score", "label")
+    val r = Quality.calibration(df, "cohort", "score", "label", bins = 10)
+      .collect()
+    assert(r.length === 1 && r(0).getLong(1) === 4L)
+    // bins: {1.0, .95, .95} in bin 9 (conf .966667, acc 2/3),
+    // {.05} in bin 0 (conf .05, acc 0)
+    val ece = (3.0 * math.abs(2900000.0 / (3 * 1e6) - 2.0 / 3) +
+      1.0 * 0.05) / 4.0
+    assert(near(r(0).getDouble(2), ece, 1e-5))
+  }
+}
