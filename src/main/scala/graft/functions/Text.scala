@@ -775,6 +775,73 @@ object Text {
           roundTo).as("ndcg"))
   }
 
+  /** MRR + AP@k search-quality evaluation over the [[bm25TopK]]
+    * ranking — the BINARY-relevance companions of [[ndcgAtK]]'s
+    * graded gain (the classic retrieval scorecard: MRR answers "how
+    * far down is the FIRST right answer", AP "how front-loaded are
+    * ALL of them"): relevance = the doc contains EVERY query term
+    * (strict-AND, engine-replayable — no human labels in the
+    * sandbox), RR = 1/rank of the first relevant hit, AP@k =
+    * Σ_{rel positions i} P@i / min(R, k) with P@i the cumulative
+    * relevant count over rank and R the CORPUS-wide relevant total
+    * (the standard truncated-AP denominator, so an unretrieved
+    * relevant doc costs score).
+    *
+    * Portability: P@i is an integer ratio per position, r6-scaled
+    * and integer-summed (the [[ndcgAtK]] discipline); everything
+    * after the top-k cut is a ≤ k-row frame, so the unpartitioned
+    * cumulative window is k-bounded by construction. The corpus
+    * relevant count rides the SAME single aggregate via a tagged
+    * union (no scalar cross join — the plan sweep stays
+    * nested-loop-free). Returns ONE row; evaluate a query set by
+    * unioning calls (queries are bounded literals, one bounded
+    * subplan each).
+    */
+  def mapMrrAtK(docs: DataFrame, idCol: String, textCol: String,
+                queryTerms: Seq[String], k: Int,
+                roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = (c: Column) => c.cast("double")
+    val ranked = bm25TopK(docs, idCol, textCol, queryTerms, k)
+    val words = docs.select(col(idCol).as("doc_id"),
+        explode(split(normalize(col(textCol)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val rel = words.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("__nt"))
+      .filter(col("__nt") === queryTerms.size)
+      .select(col("doc_id"))
+    val byRank = Window.orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = ranked
+      .join(rel.withColumn("__hit", lit(1L)), Seq("doc_id"), "left")
+      .withColumn("__rel", coalesce(col("__hit"), lit(0L)))
+      .withColumn("__cum", sum(col("__rel")).over(byRank))
+      .select(lit(1).as("__t"), col("rank").cast("long").as("__rank"),
+        col("__rel"), col("__cum"))
+    val corpus = rel.select(lit(0).as("__t"),
+      lit(null).cast("long").as("__rank"), lit(null).cast("long").as("__rel"),
+      lit(null).cast("long").as("__cum"))
+    flagged.unionByName(corpus)
+      .agg(
+        sum(when(col("__t") === 1, 1L).otherwise(0L)).as("n_ranked"),
+        sum(when(col("__t") === 0, 1L).otherwise(0L)).as("n_relevant"),
+        coalesce(sum(when(col("__t") === 1, col("__rel"))), lit(0L))
+          .as("n_rel_retrieved"),
+        min(when(col("__t") === 1 && col("__rel") === 1, col("__rank")))
+          .as("first_rel_rank"),
+        coalesce(sum(when(col("__t") === 1 && col("__rel") === 1,
+          round(d(col("__cum")) / d(col("__rank")) * lit(1000000.0))
+            .cast("long"))), lit(0L)).as("__ap6"))
+      .select(col("n_ranked"), col("n_relevant"), col("n_rel_retrieved"),
+        col("first_rel_rank"),
+        round(when(col("first_rel_rank").isNotNull,
+          lit(1.0) / d(col("first_rel_rank"))), roundTo).as("mrr"),
+        round(when(least(col("n_relevant"), lit(k.toLong)) > 0,
+          (d(col("__ap6")) / lit(1000000.0))
+            / d(least(col("n_relevant"), lit(k.toLong)))), roundTo).as("ap"))
+  }
+
   /** Collocation extraction by pointwise mutual information (Church
     * & Hanks '90 — the "strongly associated adjacent word pairs"
     * statistic behind phrase detection à la word2vec's bigram pass):

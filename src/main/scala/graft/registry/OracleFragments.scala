@@ -796,6 +796,48 @@ private[graft] object OracleFragments {
            FROM terms"""
   }
 
+  /** MRR/AP replay: the [[bm25TopkOracleSql]] ranking, strict-AND
+    * binary relevance (every query term present), cumulative
+    * precision terms r6-scaled and integer-summed, corpus-wide AP
+    * denominator min(R, 50).
+    */
+  def mapMrrOracleSql: String = {
+    val norm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+    s"""WITH topk AS (SELECT * FROM ($bm25TopkOracleSql)
+           ), rel AS (
+             SELECT doc_id FROM (
+               SELECT doc_id, unnest(string_split($norm, ' ')) AS term
+               FROM documents)
+             WHERE length(term) > 0 AND term IN ('spark', 'hash', 'join')
+             GROUP BY doc_id HAVING count(DISTINCT term) = 3
+           ), fl AS (
+             SELECT t.rank,
+               CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS rel
+             FROM topk t LEFT JOIN rel r USING (doc_id)
+           ), cum AS (
+             SELECT rank, rel, sum(rel) OVER (ORDER BY rank
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumrel
+             FROM fl
+           ), ag AS (
+             SELECT CAST(count(*) AS BIGINT) AS n_ranked,
+               CAST(coalesce(sum(rel), 0) AS BIGINT) AS n_rel_retrieved,
+               CAST(min(CASE WHEN rel = 1 THEN rank END) AS BIGINT)
+                 AS first_rel_rank,
+               CAST(coalesce(sum(CASE WHEN rel = 1 THEN
+                 CAST(round(CAST(cumrel AS DOUBLE) / CAST(rank AS DOUBLE)
+                   * 1000000.0) AS BIGINT) END), 0) AS BIGINT) AS ap6
+             FROM cum
+           ), rl AS (SELECT CAST(count(*) AS BIGINT) AS n_relevant FROM rel)
+         SELECT ag.n_ranked, rl.n_relevant, ag.n_rel_retrieved,
+           ag.first_rel_rank,
+           round(CASE WHEN first_rel_rank IS NOT NULL THEN
+             1.0 / CAST(first_rel_rank AS DOUBLE) END, 6) AS mrr,
+           round(CASE WHEN least(rl.n_relevant, 50) > 0 THEN
+             (CAST(ap6 AS DOUBLE) / 1000000.0)
+               / CAST(least(rl.n_relevant, 50) AS DOUBLE) END, 6) AS ap
+         FROM ag CROSS JOIN rl"""
+  }
+
   def minhashMd5Sql(pairWhere: String): String =
     s"""WITH gd AS (
          SELECT doc_id, unnest(grams) AS gram

@@ -812,6 +812,23 @@ private[graft] object OraclesShard7 {
                / (delta * delta), 6)) AS BIGINT) END AS n_per_arm
          FROM m ORDER BY event_type""",
 
+    // Jaro–Winkler pair replay: DuckDB's jaro_winkler_similarity IS
+    // the reference formulation the native expression is pinned
+    // against bit-for-bit; round-6 guard on both compare sides
+    "er_jaro_pairs" ->
+      """WITH b AS (
+           SELECT c_custkey AS id, c_name AS name,
+             c_nationkey * 8 + c_custkey % 8 AS blk
+           FROM customer)
+         SELECT a.id AS id_a, c.id AS id_b,
+           round(jaro_winkler_similarity(a.name, c.name), 6) AS sim
+         FROM b a JOIN b c ON a.blk = c.blk AND a.id < c.id
+         WHERE round(jaro_winkler_similarity(a.name, c.name), 6) >= 0.97
+         ORDER BY id_a, id_b""",
+
+    // MRR/AP replay over the shared BM25 ranking
+    "search_map_mrr" -> mapMrrOracleSql,
+
     // calibration replay: the n/(n+20) squash r6-scaled to integer
     // s6, integer-div bins, exact HUGEINT Brier numerator, per-bin
     // n_b·|conf−acc| r6-scaled and integer-summed

@@ -288,6 +288,25 @@ private[graft] object QueriesShard6 {
         .orderBy(col("event_type"))
     }),
 
+    // blocked Jaro–Winkler candidate pairs (native codegen'd
+    // comparator, pinned bit-for-bit against the reference
+    // formulation): (nation, custkey%8)-blocked customers at
+    // round-6 sim >= 0.97 — the similarity-space twin of
+    // er_fuzzy_pairs' edit distance
+    "er_jaro_pairs" -> ((s, d) =>
+      Linkage.jaroWinklerPairs(Tables.customer(s, d), "c_custkey",
+          "c_name",
+          blockCol = col("c_nationkey") * 8 + pmod(col("c_custkey"), lit(8)),
+          minSim = 0.97)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // MRR + AP@50 retrieval scorecard on the search_ndcg ranking:
+    // binary strict-AND relevance, corpus-wide AP denominator via
+    // the tagged-union single aggregate
+    "search_map_mrr" -> ((s, d) =>
+      functions.Text.mapMrrAtK(Tables.documents(s, d), "doc_id", "text",
+        queryTerms = Seq("spark", "hash", "join"), k = 50)),
+
     // calibration scorecard per cohort on the model_auc frame: the
     // activity squash n/(n+20) as the score, conversion as the
     // label — ECE (10 bins) + Brier from exact r6-scaled integers

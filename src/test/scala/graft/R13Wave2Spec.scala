@@ -1,7 +1,9 @@
 package graft
 
-import graft.operators.Quality
+import graft.functions.{JaroWinklerImpl, StringSim, Text}
+import graft.operators.{Linkage, Quality}
 import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Round-13 wave-2 experimentation-stats operators: Kruskal–Wallis,
   * Brown–Forsythe, the A&S normal tail + Benjamini–Hochberg step-up,
@@ -154,6 +156,112 @@ class R13Wave2Spec extends SparkSuite {
     assert(near(r(0).getDouble(3), 0.16))
     assert(near(r(1).getDouble(2), 0.4))
     assert(near(r(1).getDouble(3), 0.41))
+  }
+
+  // ---- JaroWinkler expression + Linkage.jaroWinklerPairs ----
+
+  test("JaroWinkler: reference values pinned against the DuckDB/RapidFuzz formulation") {
+    def jw(a: String, b: String): Double =
+      JaroWinklerImpl.compute(UTF8String.fromString(a),
+        UTF8String.fromString(b))
+    // probed against duckdb jaro_winkler_similarity verbatim
+    assert(jw("MARTHA", "MARHTA") === 0.9611111111111111)
+    assert(jw("DIXON", "DICKSONX") === 0.8133333333333332)
+    assert(jw("JELLYFISH", "SMELLYFISH") === 0.8962962962962964)
+    assert(jw("abc", "abc") === 1.0)
+    assert(jw("", "abc") === 0.0)
+    assert(jw("", "") === 0.0)       // DuckDB: empty NEVER similar
+    assert(jw("ab", "ba") === 0.0)   // window 0: no cross-position match
+    // boost threshold: jaro 2/3 <= 0.7 gets NO prefix bonus
+    assert(jw("abcd", "abzz") === 0.6666666666666666)
+    // just above 0.7: bonus applies
+    assert(jw("prefix_same", "prefiy_xxxx") === 0.8259740259740259)
+  }
+
+  test("JaroWinkler: codegen'd column path equals the direct impl; nulls propagate") {
+    val pairs = Seq(("Customer#000000001", "Customer#000000010"),
+      ("Customer#000000123", "Customer#000000321"),
+      ("alpha beta", "alpha bate"), ("x", "y"))
+    val df = pairs.toDF("a", "b")
+    val got = df.select(StringSim.jaroWinkler(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    val want = pairs.map { case (a, b) =>
+      JaroWinklerImpl.compute(UTF8String.fromString(a),
+        UTF8String.fromString(b)) }
+    assert(got.toSeq === want)
+    val n = Seq(("a", null: String)).toDF("a", "b")
+      .select(StringSim.jaroWinkler(col("a"), col("b"))).collect()
+    assert(n(0).isNullAt(0))
+  }
+
+  test("jaroWinklerPairs: equals brute force within blocks; length-ratio prune never drops a qualifying pair") {
+    val rows = Seq((1L, "jonathan smith", "b1"), (2L, "jonathon smith", "b1"),
+      (3L, "jon smith", "b1"), (4L, "entirely other", "b1"),
+      (5L, "jonathan smith", "b2"), // same name, other block: no pair
+      (6L, "zz", "b1")) // extreme length ratio: prune fodder
+    val df = rows.toDF("id", "name", "blk")
+    val minSim = 0.9
+    val expected = (for {
+      (ia, na, ba) <- rows; (ib, nb, bb) <- rows
+      if ia < ib && ba == bb
+      s = JaroWinklerImpl.compute(UTF8String.fromString(na),
+        UTF8String.fromString(nb))
+      s6 = BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if s6 >= minSim
+    } yield (ia, ib, s6)).sorted
+    val got = Linkage.jaroWinklerPairs(df, "id", "name", col("blk"), minSim)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sorted
+    assert(got === expected)
+    assert(got.map(p => (p._1, p._2)).contains((1L, 2L)))
+    assert(!got.map(p => (p._1, p._2)).contains((1L, 5L)))
+  }
+
+  // ---- Text.mapMrrAtK ----
+
+  test("mapMrrAtK: MRR and AP recomputed independently from the ranking; strict-AND relevance") {
+    val docs = Seq(
+      (1L, "spark hash join spark hash join filler words here"),
+      (2L, "spark spark spark only this term repeated often"),
+      (3L, "hash join hash join no first term present"),
+      (4L, "spark hash join all three once padding padding"),
+      (5L, "nothing relevant at all in this document"),
+      (6L, "spark hash join spark hash join spark hash join"))
+      .toDF("doc_id", "text")
+    val k = 4 // force a relevant doc OUT of the cut
+    val out = Text.mapMrrAtK(docs, "doc_id", "text",
+      Seq("spark", "hash", "join"), k).collect()(0)
+    // independent recomputation from the collected ranking
+    val ranked = Text.bm25TopK(docs, "doc_id", "text",
+        Seq("spark", "hash", "join"), k)
+      .orderBy(col("rank")).collect()
+      .map(r => r.getLong(0))
+    val relevant = Set(1L, 4L, 6L) // contain all three terms
+    val flags = ranked.map(relevant.contains)
+    val firstRank = flags.indexOf(true) + 1
+    var cum = 0
+    var ap6 = 0L
+    flags.zipWithIndex.foreach { case (f, i) =>
+      if (f) { cum += 1
+        ap6 += math.round(cum.toDouble / (i + 1).toDouble * 1e6) }
+    }
+    val ap = ap6 / 1e6 / math.min(relevant.size, k)
+    assert(out.getLong(0) === ranked.length.toLong)
+    assert(out.getLong(1) === 3L)
+    assert(out.getLong(3) === firstRank.toLong)
+    assert(near(out.getDouble(4),
+      BigDecimal(1.0 / firstRank).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(near(out.getDouble(5), ap, 1e-6))
+  }
+
+  test("mapMrrAtK: no relevant docs gives null rank/mrr and zero ap denominator handled") {
+    val docs = Seq((1L, "spark only"), (2L, "hash only"), (3L, "join only"))
+      .toDF("doc_id", "text")
+    val out = Text.mapMrrAtK(docs, "doc_id", "text",
+      Seq("spark", "hash", "join"), 10).collect()(0)
+    assert(out.getLong(1) === 0L) // nothing has all three
+    assert(out.isNullAt(3) && out.isNullAt(4) && out.isNullAt(5))
   }
 
   test("calibration: score 1.0 lands in the top bin, mixed bins weight by count") {
