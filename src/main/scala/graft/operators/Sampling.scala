@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic splitting / sampling for training-data pipelines.
@@ -715,5 +716,47 @@ object Sampling {
       .withColumn("rank", row_number()
         .over(Window.orderBy(col("score").desc, col("doc_id"))))
       .filter(col("rank") <= n)
+  }
+
+  /** Leakage-safe LEAVE-ONE-OUT target encoding with smoothing
+    * (Micci-Barreca SIGKDD '01; the CatBoost-era categorical
+    * encoder): replace a high-cardinality category with the target
+    * mean of the OTHER rows in its category, shrunk toward the
+    * global prior —
+    *
+    *   enc_i = (S_c − y_i + m·prior) / (n_c − 1 + m)
+    *
+    * Subtracting the row's own label is what makes the feature safe
+    * to train on (naive category means leak the label and overfit
+    * singleton categories, the classic silent failure); the
+    * smoothing m interpolates toward the prior as categories thin —
+    * a singleton encodes to exactly the prior.
+    *
+    * Exact integer sufficient statistics (category sums/counts via
+    * ONE category aggregate, global prior via a window over the
+    * category-sized frame — no scalar cross join), the encoding one
+    * fixed double tree per row, rounded once. One category exchange
+    * + one broadcastable join back to rows.
+    */
+  def targetEncode(df: DataFrame, idCol: String, catCol: String,
+                   targetCol: String, smoothing: Double = 10.0,
+                   roundTo: Int = 6): DataFrame = {
+    require(smoothing > 0, "smoothing must be positive")
+    val d = (c: Column) => c.cast("double")
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cats = df.groupBy(col(catCol).as("__c"))
+      .agg(count(lit(1)).as("__nc"),
+        sum(col(targetCol).cast("long")).as("__sc"))
+      .withColumn("__ng", sum(col("__nc")).over(wAll))
+      .withColumn("__sg", sum(col("__sc")).over(wAll))
+    df.select(col(idCol), col(catCol),
+        col(targetCol).cast("long").as("__y"))
+      .join(cats, col(catCol) === col("__c"))
+      .select(col(idCol), col(catCol), col("__y").as("y"),
+        round((d(col("__sc")) - d(col("__y"))
+            + lit(smoothing) * (d(col("__sg")) / d(col("__ng"))))
+          / (d(col("__nc")) - lit(1.0) + lit(smoothing)), roundTo)
+          .as("enc"))
   }
 }

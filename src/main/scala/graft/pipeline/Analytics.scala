@@ -2805,4 +2805,44 @@ object Analytics {
           .when(col("z") < -1.959964, lit("decreasing"))
           .otherwise(lit("no_trend")).as("verdict"))
   }
+
+  /** Time-weighted average per key (the TWAP/irregular-sampling
+    * correction — a plain mean over unevenly-spaced samples
+    * overweights bursts: fifty readings in a hot minute count fifty
+    * times, the quiet day once; the time-weighted form weights each
+    * value by how long it HELD): value v_i holds from its timestamp
+    * until the key's next sample, twa = Σ v_i·Δt_i / (t_N − t_1) —
+    * the last sample holds nothing (the standard left-step
+    * convention, documented).
+    *
+    * Engine-exact: epoch seconds are integers, values enter as
+    * 1e2-scaled integers (the clean-2-decimal money contract), so
+    * the weighted numerator Σ v100·Δsec is an exact decimal(38,0)
+    * sum and twa is ONE double division. One lead window + one
+    * aggregate on a single key exchange; zero-span keys (one sample,
+    * or all samples on one timestamp) report twa null.
+    */
+  def twap(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+           valueCol: String, roundTo: Int = 6): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val byTs = Window.partitionBy(col(keyCol))
+      .orderBy(col("__sec"), col(idCol))
+    val base = df.select(col(keyCol),
+        unix_timestamp(col(tsCol).cast("timestamp")).as("__sec"),
+        col(idCol),
+        round(col(valueCol).cast("double") * lit(100.0)).cast("long")
+          .as("__v100"))
+      .withColumn("__nsec", lead(col("__sec"), 1).over(byTs))
+    base.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        (max(col("__sec")) - min(col("__sec"))).as("span_sec"),
+        sum(when(col("__nsec").isNotNull,
+          dec(col("__v100")) * dec(col("__nsec") - col("__sec")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("__w"))
+      .select(col(keyCol), col("n"), col("span_sec"),
+        round(when(col("span_sec") > 0,
+          d(col("__w")) / (lit(100.0) * d(col("span_sec")))), roundTo)
+          .as("twa"))
+  }
 }

@@ -812,6 +812,70 @@ private[graft] object OraclesShard7 {
                / (delta * delta), 6)) AS BIGINT) END AS n_per_arm
          FROM m ORDER BY event_type""",
 
+    // streaming quality gate replay: the gate's per-doc verdict is
+    // static, so the final corpus = every streamed doc whose
+    // doc_quality_filter verdict is keep
+    "stream_quality_gate" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+           FROM documents
+         ), f AS (
+           SELECT doc_id, w, count(*) AS c FROM w
+           WHERE length(w) > 0 GROUP BY doc_id, w
+         ), m AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+             count(*) / CAST(sum(c) AS DOUBLE) AS dr,
+             max(c) / CAST(sum(c) AS DOUBLE) AS twf
+           FROM f GROUP BY doc_id)
+         SELECT d.doc_id, d.text FROM documents d JOIN m USING (doc_id)
+         WHERE NOT (n_words < 20 OR n_words > 1000
+           OR dr < 0.4 OR twf > 0.12)
+         ORDER BY doc_id""",
+
+    // TWAP replay: identical epoch-second lead chain, HUGEINT-exact
+    // v100·Δsec numerator, one double division
+    "events_twap" ->
+      """WITH e AS (
+           SELECT event_type AS k,
+             date_diff('second', TIMESTAMP '1970-01-01',
+               CAST(ts AS TIMESTAMP)) AS sec,
+             event_id AS id,
+             CAST(round(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS v100
+           FROM events
+         ), l AS (
+           SELECT k, sec, v100,
+             lead(sec) OVER (PARTITION BY k ORDER BY sec, id) AS nsec
+           FROM e)
+         SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(max(sec) - min(sec) AS BIGINT) AS span_sec,
+           round(CASE WHEN max(sec) - min(sec) > 0 THEN
+             CAST(sum(CASE WHEN nsec IS NOT NULL THEN
+               CAST(v100 AS HUGEINT) * (nsec - sec) ELSE 0 END) AS DOUBLE)
+             / (100.0 * CAST(max(sec) - min(sec) AS DOUBLE)) END, 6) AS twa
+         FROM l GROUP BY k ORDER BY event_type""",
+
+    // LOO target-encoding replay: category sums, global prior, the
+    // identical smoothing tree per row
+    "feature_target_encoding" ->
+      """WITH c AS (
+           SELECT c_mktsegment AS cat, count(*) AS nc,
+             CAST(sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS sc
+           FROM customer GROUP BY 1
+         ), g AS (
+           SELECT CAST(sum(nc) AS BIGINT) AS ng,
+             CAST(sum(sc) AS BIGINT) AS sg
+           FROM c)
+         SELECT cu.c_custkey, cu.c_mktsegment,
+           CAST(CASE WHEN cu.c_acctbal > 0 THEN 1 ELSE 0 END AS BIGINT) AS y,
+           round((CAST(sc AS DOUBLE)
+               - CAST(CASE WHEN cu.c_acctbal > 0 THEN 1 ELSE 0 END AS DOUBLE)
+               + 10.0 * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)))
+             / (CAST(nc AS DOUBLE) - 1.0 + 10.0), 6) AS enc
+         FROM customer cu JOIN c ON cu.c_mktsegment = c.cat CROSS JOIN g
+         ORDER BY c_custkey""",
+
     // Jaro–Winkler pair replay: DuckDB's jaro_winkler_similarity IS
     // the reference formulation the native expression is pinned
     // against bit-for-bit; round-6 guard on both compare sides

@@ -288,6 +288,51 @@ private[graft] object QueriesShard6 {
         .orderBy(col("event_type"))
     }),
 
+    // streaming quality-rule ingest gate: the Gopher-rule door check
+    // completing the curation-gate family — two microbatch days plus
+    // an at-least-once redelivery, final corpus = the batch verdict
+    // (per-doc static rules => batch-split invariant)
+    "stream_quality_gate" -> ((s, d) => {
+      val base = graft.TempDirs.create("graft_stream_qg")
+      val inDir = s"$base/in"; val root = s"$base/store"
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      docs.filter(col("doc_id") % 2 === 0).write.parquet(inDir)
+      EntryHelpers.withShufflePartitions(s, 4) {
+        val stream = s.readStream.schema(docs.schema).parquet(inDir)
+        val q = graft.streaming.EventStream.qualityGate(stream, root,
+          s"$base/ckpt", "doc_id", "text", minWords = 20L,
+          maxWords = 1000L, minDistinctRatio = 0.4, maxTopWordFrac = 0.12)
+        try {
+          q.processAllAvailable() // day 1
+          docs.filter(col("doc_id") % 2 =!= 0)
+            .write.mode("append").parquet(inDir)
+          q.processAllAvailable() // day 2
+          docs.filter(col("doc_id") < 50).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // redelivery: idempotent no-op
+        } finally q.stop()
+      }
+      graft.sources.VersionedGroup.read(s, root, "docs")
+        .orderBy(col("doc_id"))
+    }),
+
+    // time-weighted average per event type: the irregular-sampling
+    // correction — exact integer seconds x 1e2-scaled values, one
+    // lead window + one aggregate
+    "events_twap" -> ((s, d) =>
+      Analytics.twap(EntryHelpers.eventCols(Tables.events(s, d)),
+          "event_type", "ts", "event_id", "value")
+        .orderBy(col("event_type"))),
+
+    // leakage-safe LOO target encoding of the market segment against
+    // a positive-balance label — singleton-category shrinkage to the
+    // global prior, exact integer sufficient statistics
+    "feature_target_encoding" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .withColumn("converted", (col("c_acctbal") > 0).cast("long"))
+      Sampling.targetEncode(c, "c_custkey", "c_mktsegment", "converted")
+        .orderBy(col("c_custkey"))
+    }),
+
     // blocked Jaro–Winkler candidate pairs (native codegen'd
     // comparator, pinned bit-for-bit against the reference
     // formulation): (nation, custkey%8)-blocked customers at

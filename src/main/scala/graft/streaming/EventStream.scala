@@ -518,6 +518,56 @@ object EventStream {
       }
       .start()
 
+  /** Streaming QUALITY-RULE ingest gate (r13) — the Gopher-rule door
+    * check completing the curation-gate family (near-dup / segment /
+    * decontamination / phrase): every microbatch of documents runs
+    * the [[graft.functions.Text.qualityFilter]] rule verdict
+    * (length bounds → diversity → repetition, all per-doc
+    * statistics — batch-sized work, no state), failing docs drop at
+    * the door with their FIRST failing rule as the diagnostic, and
+    * keepers commit to the corpus table as one
+    * [[graft.sources.VersionedGroup]] version.
+    *
+    * The rules are FIXED and the verdict per-doc, so the final
+    * corpus is batch-split invariant (the decontamGate argument, not
+    * the near-dup gate's order-dependent one) and at-least-once
+    * redelivery converges: landed ids anti-join out on the corpus
+    * frame, re-delivered failures fail again identically and commit
+    * nothing.
+    */
+  def qualityGate(docs: DataFrame, root: String, checkpoint: String,
+                  idCol: String, textCol: String,
+                  minWords: Long = 50L, maxWords: Long = 100000L,
+                  minDistinctRatio: Double = 0.3,
+                  maxTopWordFrac: Double = 0.2): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import graft.sources.VersionedGroup
+          val hasCorpus = VersionedGroup.currentVersion(spark, root) >= 1
+          val cached = graft.Par.persistTracked(
+            batch.select(col(idCol), col(textCol)))
+          val fresh =
+            if (!hasCorpus) cached
+            else cached.join(VersionedGroup.read(spark, root, "docs")
+              .select(col(idCol)), Seq(idCol), "left_anti")
+          val keepers = graft.functions.Text.qualityFilter(fresh, idCol,
+              textCol, minWords, maxWords, minDistinctRatio, maxTopWordFrac)
+            .filter(col("keep")).select(col(idCol))
+          val survivors = fresh.join(keepers, Seq(idCol), "left_semi")
+          if (!survivors.isEmpty) {
+            VersionedGroup.commit(root, Map("docs" -> survivors),
+              replace = !hasCorpus)
+            ()
+          }
+          graft.Par.release()
+        }
+      }
+      .start()
+
   /** Streaming BANNED-PHRASE ingest gate (r11) — the token-adjacent
     * companion of the substring/decontamination gates: each
     * microbatch builds its own batch-local positional index

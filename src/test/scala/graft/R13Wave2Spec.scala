@@ -158,6 +158,103 @@ class R13Wave2Spec extends SparkSuite {
     assert(near(r(1).getDouble(3), 0.41))
   }
 
+  // ---- Analytics.twap ----
+
+  test("twap: hand-computed time-weighted average; last sample holds nothing; zero span null") {
+    import graft.pipeline.Analytics
+    // key a: v=10 holds 30 s, v=40 holds 10 s, v=100 holds 0
+    //   twa = (10*30 + 40*10) / 40 = 17.5  (plain mean would be 50)
+    val df = Seq(
+      ("a", "2024-01-01 00:00:00", 1L, 10.0),
+      ("a", "2024-01-01 00:00:30", 2L, 40.0),
+      ("a", "2024-01-01 00:00:40", 3L, 100.0),
+      ("b", "2024-01-01 00:00:00", 4L, 7.0))
+      .toDF("k", "ts", "id", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = Analytics.twap(df, "k", "ts", "id", "v")
+      .orderBy(col("k")).collect()
+    assert(out(0).getLong(1) === 3L && out(0).getLong(2) === 40L)
+    assert(near(out(0).getDouble(3), 17.5))
+    assert(out(1).isNullAt(3)) // single sample: zero span
+  }
+
+  test("twap: same-timestamp samples tie-break on id and hold zero seconds") {
+    import graft.pipeline.Analytics
+    val df = Seq(
+      ("a", "2024-01-01 00:00:00", 1L, 10.0),
+      ("a", "2024-01-01 00:00:00", 2L, 999.0), // 0-second hold
+      ("a", "2024-01-01 00:00:10", 3L, 20.0))
+      .toDF("k", "ts", "id", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = Analytics.twap(df, "k", "ts", "id", "v").collect()(0)
+    // v=10 holds 0 s (next sample same second), v=999 holds 10 s
+    assert(near(out.getDouble(3), 999.0))
+  }
+
+  // ---- Sampling.targetEncode ----
+
+  test("targetEncode: LOO excludes the row's own label; singleton encodes to the prior") {
+    import graft.operators.Sampling
+    // cat x: 3 rows, 2 positive; cat y: singleton positive
+    // prior = 3/4; m = 10
+    // x row with y=1: (2-1 + 10*0.75)/(3-1+10) = 8.5/12
+    // x row with y=0: (2-0 + 7.5)/12 = 9.5/12
+    // y singleton:    (1-1 + 7.5)/(1-1+10) = 0.75 exactly the prior
+    val df = Seq((1L, "x", 1L), (2L, "x", 1L), (3L, "x", 0L),
+      (4L, "y", 1L)).toDF("id", "cat", "y")
+    val out = Sampling.targetEncode(df, "id", "cat", "y")
+      .orderBy(col("id")).collect()
+    assert(near(out(0).getDouble(3), 8.5 / 12))
+    assert(near(out(1).getDouble(3), 8.5 / 12))
+    assert(near(out(2).getDouble(3), 9.5 / 12))
+    assert(near(out(3).getDouble(3), 0.75))
+  }
+
+  // ---- EventStream.qualityGate ----
+
+  test("qualityGate: rule failures drop at the door, replay no-op, split-invariant") {
+    import graft.sources.VersionedGroup
+    import graft.streaming.EventStream
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val src = tmpDir("qgate-src")
+    val root = tmpDir("qgate-root") + "/idx"
+    def land(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = tmpDir("qgate-stage")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(src, s"$name.parquet"))
+    }
+    val good = (1 to 30).map(i => s"word$i").mkString(" ")
+    land("b0", Seq(
+      (1L, good),                     // passes every rule
+      (2L, "too short"),              // < 5 words
+      (3L, Seq.fill(30)("same").mkString(" ")))) // diversity fail
+    val stream = spark.readStream.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .parquet(src)
+    val q = EventStream.qualityGate(stream, root, tmpDir("qgate-ckpt"),
+      "doc_id", "text", minWords = 5L, maxWords = 100L,
+      minDistinctRatio = 0.3, maxTopWordFrac = 0.5)
+    q.processAllAvailable()
+    def docIds = VersionedGroup.read(spark, root, "docs")
+      .collect().map(_.getLong(0)).toSet
+    assert(docIds === Set(1L))
+    assert(VersionedGroup.currentVersion(spark, root) === 1)
+    // day 2 + redelivery of day 1: survivors append once, failures
+    // fail identically, replays commit nothing
+    land("b1", Seq((4L, good + " and more"), (2L, "too short")))
+    q.processAllAvailable()
+    assert(docIds === Set(1L, 4L))
+    land("b2", Seq((1L, good)))
+    q.processAllAvailable()
+    assert(docIds === Set(1L, 4L))
+    q.stop()
+    Par.release()
+  }
+
   // ---- JaroWinkler expression + Linkage.jaroWinklerPairs ----
 
   test("JaroWinkler: reference values pinned against the DuckDB/RapidFuzz formulation") {
