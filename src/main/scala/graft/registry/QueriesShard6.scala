@@ -288,6 +288,18 @@ private[graft] object QueriesShard6 {
         .orderBy(col("event_type"))
     }),
 
+    // sketch-triage candidate keys (rows-only by design: HLL
+    // estimates are engine-specific; QualitySpec pins the rsd
+    // agreement + never-false-negative contract): the 100 TB
+    // profiling pass over the same combos dq_candidate_keys grades
+    // exactly
+    "dq_candidate_keys_approx" -> ((s, d) =>
+      Quality.candidateKeysApprox(Tables.orders(s, d), Seq(
+          Seq("o_orderkey"), Seq("o_custkey"), Seq("o_orderstatus"),
+          Seq("o_orderdate"), Seq("o_custkey", "o_orderdate"),
+          Seq("o_orderdate", "o_orderstatus")))
+        .orderBy(col("columns"))),
+
     // streaming quality-rule ingest gate: the Gopher-rule door check
     // completing the curation-gate family — two microbatch days plus
     // an at-least-once redelivery, final corpus = the batch verdict

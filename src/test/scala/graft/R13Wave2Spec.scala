@@ -210,6 +210,28 @@ class R13Wave2Spec extends SparkSuite {
     assert(near(out(3).getDouble(3), 0.75))
   }
 
+  // ---- Quality.candidateKeysApprox ----
+
+  test("candidateKeysApprox: estimates track exact within the sketch rsd; true keys never screened out") {
+    val df = (1L to 5000L).map(i => (i, i % 7, i % 500))
+      .toDF("pk", "seven", "fine")
+    val combos = Seq(Seq("pk"), Seq("seven"), Seq("fine"),
+      Seq("seven", "fine"))
+    val exact = Quality.candidateKeys(df, combos).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val approx = Quality.candidateKeysApprox(df, combos).collect()
+    approx.foreach { r =>
+      val est = r.getLong(2).toDouble
+      val ex = exact(r.getString(0)).toDouble
+      assert(math.abs(est - ex) <= 0.05 * ex,
+        s"${r.getString(0)}: est $est vs exact $ex")
+    }
+    val verdicts = approx.map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(verdicts("pk"), "a true key must pass the triage screen")
+    assert(!verdicts("seven") && !verdicts("fine"),
+      "coarse columns must fail the screen")
+  }
+
   // ---- EventStream.qualityGate ----
 
   test("qualityGate: rule failures drop at the door, replay no-op, split-invariant") {
