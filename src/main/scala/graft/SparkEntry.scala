@@ -34,7 +34,8 @@ object SparkEntry {
       OraclesShard4.m ++
       OraclesShard5.m ++
       OraclesShard6.m ++
-      OraclesShard7.m
+      OraclesShard7.m ++
+      OraclesShard8.m
     // the incremental CC twin is PROVABLY the same labeling as the
     // full replay (star-edge folding, DedupSpec), so it shares the
     // recursive-reachability oracle verbatim

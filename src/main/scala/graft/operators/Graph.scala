@@ -71,6 +71,55 @@ object Graph {
         .otherwise(lit(0.0)).as("clustering_coef"))
   }
 
+  /** Per-node LOCAL clustering coefficient (Watts & Strogatz '98 —
+    * the node-level readout [[triangleStats]]'s global coefficient
+    * averages away: "how clique-like is THIS node's neighborhood",
+    * the community-membership / spam-farm signal): lcc(v) =
+    * 2·t(v) / (d(v)·(d(v)−1)) with t(v) the triangles through v.
+    *
+    * Same degree-orientation discipline as [[triangleStats]] (each
+    * triangle MATERIALIZED exactly once as an oriented wedge whose
+    * closing edge exists — out-degree O(√E), no last-reducer
+    * hotspot), then each closed triangle credits its THREE corners
+    * via one explode; per-node counts and the canonical-edge degrees
+    * meet in one node-keyed join. Exact integer arithmetic
+    * throughout; degree-<2 nodes report lcc null (undefined), 0-
+    * triangle nodes 0.
+    */
+  def localClustering(edges: DataFrame, aCol: String,
+                      bCol: String): DataFrame = {
+    val e = graft.Par.persistTracked(canon(edges, aCol, bCol))
+    val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("degree"))
+    val withDeg = e
+      .join(deg.select(col("n").as("a"), col("degree").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("degree").as("db")), Seq("b"))
+    val oriented = graft.Par.persistTracked(withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("a"))
+        .otherwise(col("b")).as("u"),
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("b"))
+        .otherwise(col("a")).as("v")))
+    val wedges = oriented.select(col("u"), col("v").as("x"))
+      .join(oriented.select(col("u"), col("v").as("y")), Seq("u"))
+      .filter(col("x") < col("y"))
+    // inner close (not semi): the triple itself is needed to credit
+    // all three corners
+    val tris = wedges.join(e,
+        col("x") === col("a") && col("y") === col("b"))
+      .select(explode(array(col("u"), col("x"), col("y"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("n_tri"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    deg.join(tris, Seq("n"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .select(col("n"), col("degree"), col("n_tri"),
+        round(when(col("degree") >= 2,
+          lit(2.0) * d(col("n_tri"))
+            / (d(col("degree")) * (d(col("degree")) - lit(1.0)))), 6)
+          .as("lcc"))
+  }
+
   /** PageRank over an undirected edge list (r8-w4) — "which parts /
     * documents / users sit at the center of the co-occurrence graph":
     * the damped power iteration r′(v) = (1−d)/N + d·Σ_{u→v} r(u)/deg(u)

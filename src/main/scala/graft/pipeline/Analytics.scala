@@ -2806,6 +2806,63 @@ object Analytics {
           .otherwise(lit("no_trend")).as("verdict"))
   }
 
+  /** Safety-stock / reorder-point sizing per part (the textbook
+    * z·σ·√L inventory formula — the PRESCRIPTIVE rung above
+    * [[Analytics]]' ABC/XYZ descriptive classifications: given the
+    * measured demand variability, how much buffer does a target
+    * service level need?): over the corpus's month span with absent
+    * months counted as ZERO demand (zero months shift both mean and
+    * variance — ignoring them systematically undersizes the buffer),
+    *
+    *   σ_d    = √((n·Σq² − (Σq)²)/(n·(n−1))),
+    *   safety = z·σ_d·√L,   reorder = μ_d·L + safety.
+    *
+    * The zero-fill is CLOSED-FORM: zero months add nothing to Σq or
+    * Σq², so only n needs the corpus span — one window over the
+    * already-aggregated (part, month) frame (the surprisal
+    * discipline, no scalar cross join), never a materialized grid.
+    * z rides as a LITERAL (1.644854 = 95% service; no inverse CDF),
+    * sums are exact integers/decimals, each output one fixed double
+    * tree rounded once. Spans of one month report null σ.
+    */
+  def safetyStock(lineitem: DataFrame, partFilter: Column,
+                  leadMonths: Double = 2.0, zService: Double = 1.644854,
+                  roundTo: Int = 6): DataFrame = {
+    require(leadMonths > 0, "leadMonths must be positive")
+    val d = (c: Column) => c.cast("double")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dem = lineitem.filter(partFilter)
+      .select(col("l_partkey").as("part"),
+        ((year(col("l_shipdate").cast("timestamp")) - 1970) * 12
+          + month(col("l_shipdate").cast("timestamp")) - 1).cast("long")
+          .as("m"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy(col("part"), col("m"))
+      .agg(sum(col("q")).as("qty"))
+    val withSpan = dem
+      .withColumn("__lo", min(col("m")).over(wAll))
+      .withColumn("__hi", max(col("m")).over(wAll))
+    withSpan.groupBy(col("part"))
+      .agg(max(col("__hi") - col("__lo") + 1).as("n_months"),
+        sum(col("qty")).as("__s"),
+        sum(dec(col("qty")) * dec(col("qty"))).as("__q"))
+      .withColumn("__mu", d(col("__s")) / d(col("n_months")))
+      .withColumn("__sd",
+        when(col("n_months") > 1, sqrt(
+          (d(col("n_months")) * d(col("__q")) - d(col("__s")) * d(col("__s")))
+            / (d(col("n_months")) * (d(col("n_months")) - lit(1.0))))))
+      .select(col("part"), col("n_months"),
+        round(col("__mu"), roundTo).as("mean_demand"),
+        round(col("__sd"), roundTo).as("sd_demand"),
+        round(lit(zService) * col("__sd") * sqrt(lit(leadMonths)), roundTo)
+          .as("safety_stock"),
+        round(col("__mu") * lit(leadMonths)
+          + lit(zService) * col("__sd") * sqrt(lit(leadMonths)), roundTo)
+          .as("reorder_point"))
+  }
+
   /** Time-weighted average per key (the TWAP/irregular-sampling
     * correction — a plain mean over unevenly-spaced samples
     * overweights bursts: fifty readings in a hot minute count fifty

@@ -1,0 +1,398 @@
+package graft
+
+import graft.OracleFragments._
+
+/** Oracle-registry shard 8 — the r13 wave-2 oracles split out of
+  * OraclesShard7 at the RegistrySpec 1200-line ceiling. DuckDB SQL
+  * VERBATIM; [[SparkEntry.oracleSql]] composes the shards. */
+private[graft] object OraclesShard8 {
+  val m: Map[String, String] = Map(
+    // ---- experimentation-stats wave 2 (r13) ----
+    // Kruskal–Wallis replay: the ab_mannwhitney doubled
+    // tie-averaged ranks, per-group contribution
+    // 3·SR2²/(n_g·N·(N+1)) r6-scaled and integer-summed, exact tie
+    // term, one final division by the correction
+    "ab_kruskal_wallis" ->
+      """WITH f AS (
+           SELECT hour(CAST(ts AS TIMESTAMP)) AS hod, event_type AS g,
+             value AS v
+           FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+         ), r AS (
+           SELECT hod, g,
+             2 * (rank() OVER (PARTITION BY hod ORDER BY v) - 1)
+               + count(*) OVER (PARTITION BY hod, v) + 1 AS r2
+           FROM f
+         ), pg AS (
+           SELECT hod, g, count(*) AS ng, CAST(sum(r2) AS BIGINT) AS sr2
+           FROM r GROUP BY 1, 2
+         ), tot AS (SELECT hod, count(*) AS n FROM f GROUP BY 1
+         ), t AS (
+           SELECT hod, CAST(sum(tt*tt*tt - tt) AS BIGINT) AS tie
+           FROM (SELECT hod, v, count(*) AS tt FROM f GROUP BY 1, 2)
+           GROUP BY 1
+         ), c AS (
+           SELECT pg.hod, tot.n,
+             CAST(round(3.0 * CAST(sr2 AS DOUBLE) * CAST(sr2 AS DOUBLE)
+               / (CAST(ng AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                 * CAST(tot.n + 1 AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS c6
+           FROM pg JOIN tot ON pg.hod = tot.hod
+         ), a AS (
+           SELECT hod, max(n) AS n, count(*) AS k,
+             CAST(sum(c6) AS BIGINT) AS h6
+           FROM c GROUP BY 1 HAVING count(*) >= 2
+         ), x AS (
+           SELECT a.hod, a.n, a.k, a.h6,
+             1.0 - CAST(t.tie AS DOUBLE)
+               / (CAST(a.n AS DOUBLE) * CAST(a.n AS DOUBLE)
+                 * CAST(a.n AS DOUBLE) - CAST(a.n AS DOUBLE)) AS corr
+           FROM a JOIN t ON a.hod = t.hod)
+         SELECT hod, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           CAST(k - 1 AS BIGINT) AS dof,
+           round(CASE WHEN corr > 0 THEN
+             (CAST(h6 AS DOUBLE) / 1000000.0
+               - 3.0 * CAST(n + 1 AS DOUBLE)) / corr END, 6) AS h
+         FROM x ORDER BY hod""",
+
+    // Brown–Forsythe replay: round-6-guarded group medians
+    // (quantile_cont = Spark percentile), r6-scaled integer |v−med|
+    // deviations, per-group between/within terms rounded to integer
+    // z units and summed order-free, one F tree
+    "ab_brown_forsythe" ->
+      """WITH src AS (
+           SELECT hour(CAST(ts AS TIMESTAMP)) AS hod, event_type AS g,
+             CAST(value AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+         ), med AS (
+           SELECT hod, g, round(quantile_cont(v, 0.5), 6) AS med
+           FROM src GROUP BY 1, 2
+         ), z AS (
+           SELECT src.hod, src.g,
+             CAST(round(abs(src.v - med.med) * 1000000.0) AS BIGINT) AS z6
+           FROM src JOIN med ON src.hod = med.hod AND src.g = med.g
+         ), pg AS (
+           SELECT hod, g, count(*) AS ng, CAST(sum(z6) AS BIGINT) AS s,
+             sum(CAST(z6 AS HUGEINT) * z6) AS q
+           FROM z GROUP BY 1, 2
+         ), t2 AS (
+           SELECT hod, ng, s,
+             CAST(round((CAST(s AS DOUBLE) / 1000000.0)
+               * (CAST(s AS DOUBLE) / 1000000.0)
+               / CAST(ng AS DOUBLE)) AS BIGINT) AS b0,
+             CAST(round(CAST(q AS DOUBLE) / 1000000000000.0
+               - (CAST(s AS DOUBLE) / 1000000.0)
+                 * (CAST(s AS DOUBLE) / 1000000.0)
+                 / CAST(ng AS DOUBLE)) AS BIGINT) AS w0
+           FROM pg
+         ), a AS (
+           SELECT hod, CAST(sum(ng) AS BIGINT) AS n, count(*) AS k,
+             CAST(sum(s) AS BIGINT) AS stot,
+             CAST(sum(b0) AS BIGINT) AS bsum,
+             CAST(sum(w0) AS BIGINT) AS wsum
+           FROM t2 GROUP BY 1
+           HAVING count(*) >= 2 AND sum(ng) > count(*)
+         ), x AS (
+           SELECT a.*, CAST(stot AS DOUBLE) / 1000000.0 AS gtot FROM a)
+         SELECT hod, n, CAST(k AS BIGINT) AS k,
+           CAST(k - 1 AS BIGINT) AS dof1, CAST(n - k AS BIGINT) AS dof2,
+           round(CASE WHEN wsum > 0 THEN
+             ((CAST(bsum AS DOUBLE) - gtot * gtot / CAST(n AS DOUBLE))
+               / CAST(k - 1 AS DOUBLE))
+             / (CAST(wsum AS DOUBLE) / CAST(n - k AS DOUBLE)) END, 6) AS f
+         FROM x ORDER BY hod""",
+
+    // BH replay: the ab_mannwhitney z pipeline → two-sided p via the
+    // identical A&S 26.2.17 literal tree → rank/threshold/step-up/
+    // reversed-running-min windows over the 24-test frame
+    "dq_bh_fdr" ->
+      """WITH f AS (
+           SELECT hour(CAST(ts AS TIMESTAMP)) AS hod,
+             event_type = 'purchase' AS isa, value AS v
+           FROM events WHERE event_type IN ('purchase', 'view')
+         ), r AS (
+           SELECT hod, isa, v,
+             2 * (rank() OVER (PARTITION BY hod ORDER BY v) - 1)
+               + count(*) OVER (PARTITION BY hod, v) + 1 AS r2
+           FROM f
+         ), t AS (
+           SELECT hod, CAST(sum(tt*tt*tt - tt) AS BIGINT) AS tie
+           FROM (SELECT hod, v, count(*) AS tt FROM f GROUP BY 1, 2)
+           GROUP BY 1
+         ), a AS (
+           SELECT hod, sum(CASE WHEN isa THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN isa THEN 0 ELSE 1 END) AS n_b,
+             CAST(sum(CASE WHEN isa THEN r2 ELSE 0 END) AS BIGINT) AS ra2
+           FROM r GROUP BY 1
+           HAVING sum(CASE WHEN isa THEN 1 ELSE 0 END) >= 1
+             AND sum(CASE WHEN isa THEN 0 ELSE 1 END) >= 1
+         ), c AS (
+           SELECT a.hod, n_a, n_b, ra2 - n_a * (n_a + 1) AS u2,
+             n_a + n_b AS n, t.tie
+           FROM a JOIN t ON a.hod = t.hod
+         ), s AS (
+           SELECT *, (CAST(n_a AS DOUBLE) * n_b / 12.0)
+             * (CAST(n + 1 AS DOUBLE) - CAST(tie AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS s2
+           FROM c
+         ), mw AS (
+           SELECT hod, round(CASE WHEN s2 > 0 THEN
+             (CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b)
+             / (2.0 * sqrt(s2)) END, 6) AS z
+           FROM s
+         ), az AS (
+           SELECT hod, abs(z) AS az,
+             1.0 / (1.0 + 0.2316419 * abs(z)) AS t
+           FROM mw WHERE z IS NOT NULL
+         ), pp AS (
+           SELECT hod, least(1.0,
+             2.0 * (exp(-0.5 * az * az) / 2.5066282746310002)
+               * (t * (0.319381530 + t * (-0.356563782
+                 + t * (1.781477937 + t * (-1.821255978
+                   + t * 1.330274429)))))) AS p
+           FROM az
+         ), b AS (
+           SELECT hod, p, row_number() OVER (ORDER BY p, hod) AS rnk,
+             count(*) OVER () AS m
+           FROM pp
+         ), q AS (
+           SELECT *, min(least(1.0,
+               p * CAST(m AS DOUBLE) / CAST(rnk AS DOUBLE)))
+               OVER (ORDER BY rnk DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS q_value,
+             max(CASE WHEN p <= CAST(rnk AS DOUBLE) * 0.05
+               / CAST(m AS DOUBLE) THEN rnk END) OVER () AS passrank
+           FROM b)
+         SELECT hod, CAST(rnk AS BIGINT) AS rank, round(p, 6) AS p,
+           round(CAST(rnk AS DOUBLE) * 0.05 / CAST(m AS DOUBLE), 6)
+             AS bh_threshold,
+           round(q_value, 6) AS q_value,
+           (passrank IS NOT NULL AND rnk <= passrank) AS reject
+         FROM q ORDER BY rank""",
+
+    // power/MDE replay: welch-style HUGEINT sufficient statistics,
+    // z quantiles as the SAME parsed literals summed in-engine so
+    // both sides use one double, ceil on the round-6 value
+    "ab_power_mde" ->
+      """WITH u AS (
+           SELECT event_type AS k, CAST(user_id % 2 AS VARCHAR) AS g,
+             count(*) AS v
+           FROM events GROUP BY event_type, user_id
+         ), a AS (
+           SELECT k,
+             sum(CASE WHEN g = '1' THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN g = '0' THEN 1 ELSE 0 END) AS n_b,
+             sum(CASE WHEN g = '1' THEN CAST(v AS HUGEINT) ELSE 0 END) AS sa,
+             sum(CASE WHEN g = '0' THEN CAST(v AS HUGEINT) ELSE 0 END) AS sb,
+             sum(CASE WHEN g = '1' THEN CAST(v AS HUGEINT) * v ELSE 0 END)
+               AS qa,
+             sum(CASE WHEN g = '0' THEN CAST(v AS HUGEINT) * v ELSE 0 END)
+               AS qb
+           FROM u GROUP BY k
+           HAVING sum(CASE WHEN g = '1' THEN 1 ELSE 0 END) >= 2
+             AND sum(CASE WHEN g = '0' THEN 1 ELSE 0 END) >= 2
+         ), c AS (
+           SELECT k, n_a, n_b,
+             (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+               / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) AS va,
+             (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+               / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) AS vb,
+             (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+               / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS mean
+           FROM a
+         ), m AS (
+           SELECT *, (1.959964 + 0.841621)
+               * sqrt(va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE))
+               AS mde,
+             0.05 * mean AS delta
+           FROM c)
+         SELECT k AS event_type, CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           round(mean, 6) AS pooled_mean, round(mde, 6) AS mde_abs,
+           round(CASE WHEN mean > 0 THEN mde / mean END, 6) AS mde_rel,
+           CASE WHEN delta > 0 THEN CAST(ceil(round(
+             (1.959964 + 0.841621) * (1.959964 + 0.841621) * (va + vb)
+               / (delta * delta), 6)) AS BIGINT) END AS n_per_arm
+         FROM m ORDER BY event_type""",
+
+    // local clustering replay: canonical distinct edges, sorted
+    // triple enumeration, per-corner credit, the identical lcc tree
+    "graph_clustering" ->
+      """WITH li AS (
+           SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+           WHERE l_partkey % 4 = 0
+         ), e AS (
+           SELECT DISTINCT a.pk AS a, b.pk AS b
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         ), deg AS (
+           SELECT n, count(*) AS degree FROM (
+             SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1
+         ), tri AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+           JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+         ), tc AS (
+           SELECT n, CAST(count(*) AS BIGINT) AS n_tri FROM (
+             SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri) GROUP BY 1)
+         SELECT deg.n, CAST(deg.degree AS BIGINT) AS degree,
+           coalesce(tc.n_tri, 0) AS n_tri,
+           round(CASE WHEN deg.degree >= 2 THEN
+             2.0 * CAST(coalesce(tc.n_tri, 0) AS DOUBLE)
+             / (CAST(deg.degree AS DOUBLE)
+               * (CAST(deg.degree AS DOUBLE) - 1.0)) END, 6) AS lcc
+         FROM deg LEFT JOIN tc USING (n) ORDER BY n""",
+
+    // safety-stock replay: same month keys, closed-form zero fill
+    // (zeros add nothing to the sums; n = the corpus span), the
+    // identical z·σ·√L trees
+    "inventory_safety_stock" ->
+      """WITH dem AS (
+           SELECT l_partkey AS part,
+             (year(CAST(l_shipdate AS TIMESTAMP)) - 1970) * 12
+               + month(CAST(l_shipdate AS TIMESTAMP)) - 1 AS m,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+           FROM lineitem WHERE l_partkey % 40 = 0 GROUP BY 1, 2
+         ), b AS (SELECT min(m) AS lo, max(m) AS hi FROM dem
+         ), a AS (
+           SELECT part, CAST(b.hi - b.lo + 1 AS BIGINT) AS n_months,
+             CAST(sum(qty) AS BIGINT) AS s,
+             sum(CAST(qty AS HUGEINT) * qty) AS q
+           FROM dem, b GROUP BY part, b.hi, b.lo
+         ), x AS (
+           SELECT *, CASE WHEN n_months > 1 THEN sqrt(
+             (CAST(n_months AS DOUBLE) * CAST(q AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             / (CAST(n_months AS DOUBLE)
+               * (CAST(n_months AS DOUBLE) - 1.0))) END AS sd
+           FROM a)
+         SELECT part, n_months,
+           round(CAST(s AS DOUBLE) / CAST(n_months AS DOUBLE), 6)
+             AS mean_demand,
+           round(sd, 6) AS sd_demand,
+           round(1.644854 * sd * sqrt(2.0), 6) AS safety_stock,
+           round(CAST(s AS DOUBLE) / CAST(n_months AS DOUBLE) * 2.0
+             + 1.644854 * sd * sqrt(2.0), 6) AS reorder_point
+         FROM x ORDER BY part""",
+
+    // streaming quality gate replay: the gate's per-doc verdict is
+    // static, so the final corpus = every streamed doc whose
+    // doc_quality_filter verdict is keep
+    "stream_quality_gate" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+           FROM documents
+         ), f AS (
+           SELECT doc_id, w, count(*) AS c FROM w
+           WHERE length(w) > 0 GROUP BY doc_id, w
+         ), m AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+             count(*) / CAST(sum(c) AS DOUBLE) AS dr,
+             max(c) / CAST(sum(c) AS DOUBLE) AS twf
+           FROM f GROUP BY doc_id)
+         SELECT d.doc_id, d.text FROM documents d JOIN m USING (doc_id)
+         WHERE NOT (n_words < 20 OR n_words > 1000
+           OR dr < 0.4 OR twf > 0.12)
+         ORDER BY doc_id""",
+
+    // TWAP replay: identical epoch-second lead chain, HUGEINT-exact
+    // v100·Δsec numerator, one double division
+    "events_twap" ->
+      """WITH e AS (
+           SELECT event_type AS k,
+             date_diff('second', TIMESTAMP '1970-01-01',
+               CAST(ts AS TIMESTAMP)) AS sec,
+             event_id AS id,
+             CAST(round(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS v100
+           FROM events
+         ), l AS (
+           SELECT k, sec, v100,
+             lead(sec) OVER (PARTITION BY k ORDER BY sec, id) AS nsec
+           FROM e)
+         SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(max(sec) - min(sec) AS BIGINT) AS span_sec,
+           round(CASE WHEN max(sec) - min(sec) > 0 THEN
+             CAST(sum(CASE WHEN nsec IS NOT NULL THEN
+               CAST(v100 AS HUGEINT) * (nsec - sec) ELSE 0 END) AS DOUBLE)
+             / (100.0 * CAST(max(sec) - min(sec) AS DOUBLE)) END, 6) AS twa
+         FROM l GROUP BY k ORDER BY event_type""",
+
+    // LOO target-encoding replay: category sums, global prior, the
+    // identical smoothing tree per row
+    "feature_target_encoding" ->
+      """WITH c AS (
+           SELECT c_mktsegment AS cat, count(*) AS nc,
+             CAST(sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS sc
+           FROM customer GROUP BY 1
+         ), g AS (
+           SELECT CAST(sum(nc) AS BIGINT) AS ng,
+             CAST(sum(sc) AS BIGINT) AS sg
+           FROM c)
+         SELECT cu.c_custkey, cu.c_mktsegment,
+           CAST(CASE WHEN cu.c_acctbal > 0 THEN 1 ELSE 0 END AS BIGINT) AS y,
+           round((CAST(sc AS DOUBLE)
+               - CAST(CASE WHEN cu.c_acctbal > 0 THEN 1 ELSE 0 END AS DOUBLE)
+               + 10.0 * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)))
+             / (CAST(nc AS DOUBLE) - 1.0 + 10.0), 6) AS enc
+         FROM customer cu JOIN c ON cu.c_mktsegment = c.cat CROSS JOIN g
+         ORDER BY c_custkey""",
+
+    // Jaro–Winkler pair replay: DuckDB's jaro_winkler_similarity IS
+    // the reference formulation the native expression is pinned
+    // against bit-for-bit; round-6 guard on both compare sides
+    "er_jaro_pairs" ->
+      """WITH b AS (
+           SELECT c_custkey AS id, c_name AS name,
+             c_nationkey * 8 + c_custkey % 8 AS blk
+           FROM customer)
+         SELECT a.id AS id_a, c.id AS id_b,
+           round(jaro_winkler_similarity(a.name, c.name), 6) AS sim
+         FROM b a JOIN b c ON a.blk = c.blk AND a.id < c.id
+         WHERE round(jaro_winkler_similarity(a.name, c.name), 6) >= 0.97
+         ORDER BY id_a, id_b""",
+
+    // MRR/AP replay over the shared BM25 ranking
+    "search_map_mrr" -> mapMrrOracleSql,
+
+    // calibration replay: the n/(n+20) squash r6-scaled to integer
+    // s6, integer-div bins, exact HUGEINT Brier numerator, per-bin
+    // n_b·|conf−acc| r6-scaled and integer-summed
+    "model_calibration" ->
+      """WITH u AS (
+           SELECT user_id, count(*) AS n_events,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS l,
+             user_id % 2 AS cohort
+           FROM events GROUP BY user_id
+         ), s AS (
+           SELECT cohort, l,
+             CAST(round(CAST(n_events AS DOUBLE)
+               / (CAST(n_events AS DOUBLE) + 20.0) * 1000000.0) AS BIGINT)
+               AS s6
+           FROM u
+         ), b AS (
+           SELECT cohort, least((s6 * 10) // 1000000, 9) AS bin, s6, l
+           FROM s
+         ), pb AS (
+           SELECT cohort, bin, count(*) AS nb,
+             CAST(sum(s6) AS BIGINT) AS ss, CAST(sum(l) AS BIGINT) AS sl,
+             sum(CAST(s6 - l * 1000000 AS HUGEINT) * (s6 - l * 1000000))
+               AS qb
+           FROM b GROUP BY 1, 2
+         ), e AS (
+           SELECT cohort, nb, qb,
+             CAST(round(abs(CAST(nb AS DOUBLE)
+               * (CAST(ss AS DOUBLE) / (CAST(nb AS DOUBLE) * 1000000.0)
+                 - CAST(sl AS DOUBLE) / CAST(nb AS DOUBLE)))
+               * 1000000.0) AS BIGINT) AS e6
+           FROM pb)
+         SELECT cohort, CAST(sum(nb) AS BIGINT) AS n,
+           round(CAST(sum(e6) AS DOUBLE)
+             / (1000000.0 * CAST(sum(nb) AS DOUBLE)), 6) AS ece,
+           round(CAST(sum(qb) AS DOUBLE)
+             / (CAST(sum(nb) AS DOUBLE) * 1000000000000.0), 6) AS brier
+         FROM e GROUP BY cohort ORDER BY cohort""",
+
+  )
+}

@@ -288,6 +288,22 @@ private[graft] object QueriesShard6 {
         .orderBy(col("event_type"))
     }),
 
+    // per-node local clustering coefficient on the bounded-density
+    // co-purchase slice (the graph_triangles fixture): oriented
+    // wedges credit all three corners via one explode
+    "graph_clustering" -> ((s, d) =>
+      operators.Graph.localClustering(
+          EntryHelpers.coPurchaseEdges(s, d), "pa", "pb")
+        .orderBy(col("n"))),
+
+    // safety-stock / reorder-point sizing on the demand_croston part
+    // slice: closed-form zero-month fill, z and lead time as
+    // literals, exact integer moments
+    "inventory_safety_stock" -> ((s, d) =>
+      Analytics.safetyStock(Tables.lineitem(s, d),
+          col("l_partkey") % 40 === 0)
+        .orderBy(col("part"))),
+
     // sketch-triage candidate keys (rows-only by design: HLL
     // estimates are engine-specific; QualitySpec pins the rsd
     // agreement + never-false-negative contract): the 100 TB

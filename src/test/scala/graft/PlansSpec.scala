@@ -81,6 +81,10 @@ class PlansSpec extends SparkSuite {
       // search_ndcg evaluates ON corpus_bm25_topk's ranking, so it
       // inherits the same 1-row corpus-stats scalar join
       "search_ndcg",
+      // search_map_mrr evaluates the same ranking — the identical
+      // inherited scalar join (its OWN metrics ride a tagged union,
+      // not a join)
+      "search_map_mrr",
       "q11_important_parts", "q15_top_supplier",
       // events_growth_accounting attaches its 1-row max-week frame to
       // the user-week walk the same way (churn caps at the last week)
@@ -201,7 +205,10 @@ class PlansSpec extends SparkSuite {
       // GK-sketch quantiles are not SQL-portable; QualitySpec pins
       // exact-vs-approx agreement (endpoints, monotonicity, bounded
       // rank distance) against quantileNormalize
-      "quality_quantile_norm_approx")
+      "quality_quantile_norm_approx",
+      // HLL estimates are engine-specific; R13Wave2Spec pins rsd
+      // agreement with exact + the never-false-negative verdict
+      "dq_candidate_keys_approx")
     assert((q -- o) === documentedRowsOnly,
       s"rows-only drift: ${((q -- o) -- documentedRowsOnly).mkString(", ")} lost oracles; " +
         s"${(documentedRowsOnly -- (q -- o)).mkString(", ")} unexpectedly gained one (update the set)")

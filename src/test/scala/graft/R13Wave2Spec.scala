@@ -210,6 +210,60 @@ class R13Wave2Spec extends SparkSuite {
     assert(near(out(3).getDouble(3), 0.75))
   }
 
+  // ---- Graph.localClustering ----
+
+  test("localClustering: triangle corners score by the closed form, pendants null, cycles zero") {
+    import graft.operators.Graph
+    // triangle A-B-C, pendant D on A, and a separate 4-cycle
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L))
+      .toDF("a", "b")
+    val out = Graph.localClustering(edges, "a", "b")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None
+         else Some(r.getDouble(3)))).toMap
+    assert(out(1L) === ((3L, 1L, Some(1.0 / 3))) ||
+      near(out(1L)._3.get, 1.0 / 3)) // deg 3, one triangle
+    assert(out(2L)._3.get === 1.0 && out(3L)._3.get === 1.0)
+    assert(out(4L) === ((1L, 0L, None))) // pendant: undefined
+    Seq(10L, 11L, 12L, 13L).foreach { n =>
+      assert(out(n) === ((2L, 0L, Some(0.0)))) // square: no triangles
+    }
+  }
+
+  test("localClustering: duplicate and reversed edges collapse to one") {
+    import graft.operators.Graph
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L))
+      .toDF("a", "b")
+    val out = Graph.localClustering(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  // ---- Analytics.safetyStock ----
+
+  test("safetyStock: closed-form zero-month fill and hand-computed sigma") {
+    import graft.pipeline.Analytics
+    // part 1: jan 10, mar 20, feb ABSENT (zero demand) ->
+    //   n = 3 (corpus span), mu = 10, sigma = sqrt((3*500-900)/6) = 10
+    val li = Seq(
+      (1L, "1995-01-10", 4L), (1L, "1995-01-20", 6L),
+      (1L, "1995-03-05", 20L),
+      (2L, "1995-01-01", 5L), (2L, "1995-03-01", 5L))
+      .toDF("l_partkey", "l_shipdate", "l_quantity")
+      .withColumn("l_shipdate", col("l_shipdate").cast("date"))
+    val out = Analytics.safetyStock(li, lit(true))
+      .orderBy(col("part")).collect()
+    assert(out(0).getLong(1) === 3L)
+    assert(near(out(0).getDouble(2), 10.0))
+    assert(near(out(0).getDouble(3), 10.0))
+    val safety = 1.644854 * 10.0 * math.sqrt(2.0)
+    assert(near(out(0).getDouble(4), safety, 1e-5))
+    assert(near(out(0).getDouble(5), 20.0 + safety, 1e-5))
+    // part 2: 5, 0, 5 -> mu 10/3, sigma sqrt((3*50-100)/6)
+    assert(near(out(1).getDouble(3), math.sqrt(50.0 / 6), 1e-5))
+  }
+
   // ---- Quality.candidateKeysApprox ----
 
   test("candidateKeysApprox: estimates track exact within the sketch rsd; true keys never screened out") {

@@ -17,7 +17,7 @@ class RegistrySpec extends AnyFunSuite {
     "OraclesShard1" -> OraclesShard1.m, "OraclesShard2" -> OraclesShard2.m,
     "OraclesShard3" -> OraclesShard3.m, "OraclesShard4" -> OraclesShard4.m,
     "OraclesShard5" -> OraclesShard5.m, "OraclesShard6" -> OraclesShard6.m,
-    "OraclesShard7" -> OraclesShard7.m)
+    "OraclesShard7" -> OraclesShard7.m, "OraclesShard8" -> OraclesShard8.m)
 
   private def dupes(shards: Seq[(String, Map[String, _])]): Seq[String] =
     shards.flatMap { case (n, m) => m.keys.map(_ -> n) }
