@@ -2134,6 +2134,53 @@ object Quality {
           .as("n_per_arm"))
   }
 
+  /** Sample-ratio mismatch guardrail per key (the experimentation-
+    * platform sanity check that fires BEFORE any metric readout is
+    * trusted: if the randomizer promised a `expectedA` split and the
+    * observed unit counts disagree beyond chance, every downstream
+    * test on that experiment is invalid — bots, logging loss, or a
+    * broken bucketing hash, not treatment effect). One-dof chi-square
+    * against the declared split:
+    *
+    *   χ² = (n_a − n·p)²/(n·p) + (n_b − n·(1−p))²/(n·(1−p)),
+    *   p-value = 2·Q(√χ²)   (χ²₁ = Z², so the [[zToPTwoSided]]
+    *                         closed form serves directly)
+    *
+    * counts are exact integers, χ² and the p-value one fixed double
+    * tree each; the flag compares the ROUND-6 p-value against the
+    * industry 0.001 threshold so it can never flip on ulp drift.
+    * Units are whatever the caller aggregated to one row per
+    * (key, unit) — run it on UNITS, not events (a chatty user must
+    * count once).
+    */
+  def sampleRatioMismatch(units: DataFrame, keyCol: String,
+                          groupCol: String, groupA: String, groupB: String,
+                          expectedA: Double = 0.5, threshold: Double = 0.001,
+                          roundTo: Int = 6): DataFrame = {
+    require(expectedA > 0 && expectedA < 1, "expectedA in (0, 1)")
+    val d = (c: Column) => c.cast("double")
+    val f = units.filter(col(groupCol).cast("string").isin(groupA, groupB))
+      .select(col(keyCol),
+        (col(groupCol).cast("string") === groupA).as("__isA"))
+    f.groupBy(col(keyCol))
+      .agg(sum(when(col("__isA"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__isA"), 1L).otherwise(0L)).as("n_b"))
+      .withColumn("__n", col("n_a") + col("n_b"))
+      .filter(col("__n") > 0)
+      .withColumn("__ea", d(col("__n")) * lit(expectedA))
+      .withColumn("__eb", d(col("__n")) * lit(1.0 - expectedA))
+      .withColumn("__chi2",
+        (d(col("n_a")) - col("__ea")) * (d(col("n_a")) - col("__ea"))
+          / col("__ea")
+          + (d(col("n_b")) - col("__eb")) * (d(col("n_b")) - col("__eb"))
+            / col("__eb"))
+      .withColumn("__p", zToPTwoSided(sqrt(col("__chi2"))))
+      .select(col(keyCol), col("n_a"), col("n_b"),
+        round(col("__chi2"), roundTo).as("chi2"),
+        round(col("__p"), roundTo).as("p"),
+        (round(col("__p"), roundTo) < lit(threshold)).as("srm"))
+  }
+
   /** Model-calibration scorecard per key (ECE per Naeini et al. '15's
     * binned estimator + the Brier score, Brier '50) — the missing
     * sibling of [[auc]]/[[gains]]: AUC says the score RANKS well,

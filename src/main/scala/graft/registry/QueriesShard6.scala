@@ -288,6 +288,34 @@ private[graft] object QueriesShard6 {
         .orderBy(col("event_type"))
     }),
 
+    // sample-ratio mismatch guardrail per event type: distinct
+    // (type, user) UNITS against the declared 50/50 parity split —
+    // chi-square(1) + the A&S p-value via chi2(1) = Z^2
+    "ab_srm" -> ((s, d) => {
+      val units = Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+        .withColumn("grp", pmod(col("user_id"), lit(2)).cast("string"))
+      Quality.sampleRatioMismatch(units, "event_type", "grp", "1", "0")
+        .orderBy(col("event_type"))
+    }),
+
+    // two-regressor OLS per event type: daily volume on an epoch-day
+    // trend PLUS a weekend dummy — Cramer's rule on exact integer
+    // normal equations, closed-form R^2
+    "events_ols_multi" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          to_date(col("ts").cast("timestamp")).as("__day"))
+        .groupBy(col("event_type"), col("__day"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("t",
+          datediff(col("__day"), lit("1970-01-01").cast("date")).cast("long"))
+        .withColumn("w",
+          dayofweek(col("__day")).isin(1, 7).cast("long"))
+      Analytics.olsMulti(daily, "event_type", "t", "w", "y")
+        .orderBy(col("event_type"))
+    }),
+
     // per-node local clustering coefficient on the bounded-density
     // co-purchase slice (the graph_triangles fixture): oriented
     // wedges credit all three corners via one explode

@@ -210,6 +210,57 @@ class R13Wave2Spec extends SparkSuite {
     assert(near(out(3).getDouble(3), 0.75))
   }
 
+  // ---- Quality.sampleRatioMismatch ----
+
+  test("sampleRatioMismatch: balanced split passes, gross imbalance fires, chi2 exact") {
+    val units = ((1 to 500).map(i => ("bal", "A")) ++
+      (1 to 500).map(_ => ("bal", "B")) ++
+      (1 to 700).map(_ => ("broken", "A")) ++
+      (1 to 300).map(_ => ("broken", "B")))
+      .toDF("k", "g")
+    val out = Quality.sampleRatioMismatch(units, "k", "g", "A", "B")
+      .orderBy(col("k")).collect()
+    assert(out(0).getDouble(3) === 0.0 && !out(0).getBoolean(5))
+    // (700-500)^2/500 + (300-500)^2/500 = 160
+    assert(near(out(1).getDouble(3), 160.0))
+    assert(out(1).getBoolean(5))
+    assert(out(1).getDouble(4) < 1e-4)
+  }
+
+  // ---- Analytics.olsMulti ----
+
+  test("olsMulti: exact generating coefficients recovered, R2 = 1; singular design nulls") {
+    import graft.pipeline.Analytics
+    // y = 2 + 3t + 5w exactly; w varies
+    val rows = (0L to 9L).map(t => ("fit", t, t % 3 match {
+      case 0 => 1L; case _ => 0L }, 2L + 3L * t + 5L * (if (t % 3 == 0) 1L else 0L)))
+    // singular: w constant zero
+    val sing = (0L to 5L).map(t => ("sing", t, 0L, 10L + t))
+    val df = (rows ++ sing).toDF("k", "t", "w", "y")
+    val out = Analytics.olsMulti(df, "k", "t", "w", "y")
+      .orderBy(col("k")).collect()
+    assert(near(out(0).getDouble(2), 2.0))
+    assert(near(out(0).getDouble(3), 3.0))
+    assert(near(out(0).getDouble(4), 5.0))
+    assert(near(out(0).getDouble(5), 1.0))
+    assert(out(1).isNullAt(2) && out(1).isNullAt(3) && out(1).isNullAt(4))
+  }
+
+  test("olsMulti: the dummy decouples trend from weekend load") {
+    import graft.pipeline.Analytics
+    // flat weekday volume 100, weekends +50, NO true trend — but
+    // weekends cluster late in the window, so single-var OLS on t
+    // would see a fake positive slope; the joint fit must not
+    val rows = (0L to 13L).map { t =>
+      val w = if (t >= 10) 1L else 0L // "weekends" late in the window
+      ("k", t, w, 100L + 50L * w)
+    }
+    val out = Analytics.olsMulti(rows.toDF("k", "t", "w", "y"),
+      "k", "t", "w", "y").collect()(0)
+    assert(near(out.getDouble(3), 0.0)) // beta_t: no fake trend
+    assert(near(out.getDouble(4), 50.0))
+  }
+
   // ---- Graph.localClustering ----
 
   test("localClustering: triangle corners score by the closed form, pendants null, cycles zero") {
