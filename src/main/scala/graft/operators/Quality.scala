@@ -2134,6 +2134,59 @@ object Quality {
           .as("n_per_arm"))
   }
 
+  /** Distribution-free confidence interval for the MEDIAN per key
+    * (the binomial order-statistic interval, Hahn & Meeker's
+    * "Statistical Intervals" §5 — the robust companion of the mean's
+    * t-interval: no normality assumption, works on latency/revenue
+    * tails where the mean CI is meaningless). The interval is a pair
+    * of ORDER STATISTICS around the median; with the normal
+    * approximation to Binomial(n, ½) the ranks are
+    *
+    *   r_lo = max(1, ⌊(n − z·√n)/2⌋),
+    *   r_hi = min(n, ⌈1 + (n + z·√n)/2⌉)
+    *
+    * (this operator's pinned convention — conservative outward
+    * rounding). Engine-exact: ranks come from round-6-guarded fixed
+    * double trees before the floor/ceil (an integer can never flip
+    * on ulp drift), values at the ranks read off the id-tie-broken
+    * ranked frame via conditional aggregates, the median is the same
+    * interpolated `percentile` the MAD/IQR oracles grade. One ranked
+    * window + one aggregate on a single key exchange; keys below
+    * `minRows` are dropped (the approximation needs n ≳ 20).
+    */
+  def medianCi(df: DataFrame, keyCol: String, idCol: String,
+               valueCol: String, z: Double = 1.959964,
+               minRows: Long = 20L, roundTo: Int = 6): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val byVal = Window.partitionBy(col(keyCol))
+      .orderBy(col("__v"), col(idCol))
+    val grp = Window.partitionBy(col(keyCol))
+    val ranked = df
+      .select(col(keyCol), col(idCol),
+        col(valueCol).cast("double").as("__v"))
+      .withColumn("__rn", row_number().over(byVal).cast("long"))
+      .withColumn("__n", count(lit(1)).over(grp))
+      .filter(col("__n") >= minRows)
+      .withColumn("__rlo", greatest(lit(1L),
+        floor(round((d(col("__n")) - lit(z) * sqrt(d(col("__n"))))
+          / lit(2.0), 6)).cast("long")))
+      .withColumn("__rhi", least(col("__n"),
+        ceil(round(lit(1.0) + (d(col("__n")) + lit(z) * sqrt(d(col("__n"))))
+          / lit(2.0), 6)).cast("long")))
+    val med = df.groupBy(col(keyCol))
+      .agg(round(expr(s"percentile($valueCol, 0.5)"), 6).as("median"))
+    ranked.groupBy(col(keyCol))
+      .agg(max(col("__n")).as("n"),
+        max(col("__rlo")).as("rank_lo"), max(col("__rhi")).as("rank_hi"),
+        max(when(col("__rn") === col("__rlo"), col("__v"))).as("__lo"),
+        max(when(col("__rn") === col("__rhi"), col("__v"))).as("__hi"))
+      .join(med, Seq(keyCol))
+      .select(col(keyCol), col("n"), col("median"),
+        col("rank_lo"), col("rank_hi"),
+        round(col("__lo"), roundTo).as("ci_lo"),
+        round(col("__hi"), roundTo).as("ci_hi"))
+  }
+
   /** Sample-ratio mismatch guardrail per key (the experimentation-
     * platform sanity check that fires BEFORE any metric readout is
     * trusted: if the randomizer promised a `expectedA` split and the

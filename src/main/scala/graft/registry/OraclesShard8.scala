@@ -215,6 +215,43 @@ private[graft] object OraclesShard8 {
                / (delta * delta), 6)) AS BIGINT) END AS n_per_arm
          FROM m ORDER BY event_type""",
 
+    // median-CI replay: identical rank trees (floor/ceil on round-6
+    // values), order statistics off the same tie-broken ranking,
+    // quantile_cont median
+    "dq_median_ci" ->
+      """WITH f AS (
+           SELECT event_type AS k, event_id AS id,
+             CAST(value AS DOUBLE) AS v
+           FROM events
+         ), r AS (
+           SELECT k, v,
+             row_number() OVER (PARTITION BY k ORDER BY v, id) AS rn,
+             count(*) OVER (PARTITION BY k) AS n
+           FROM f
+         ), g AS (
+           SELECT k, rn, v, n,
+             greatest(1, CAST(floor(round((CAST(n AS DOUBLE)
+               - 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2.0, 6))
+               AS BIGINT)) AS rlo,
+             least(n, CAST(ceil(round(1.0 + (CAST(n AS DOUBLE)
+               + 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2.0, 6))
+               AS BIGINT)) AS rhi
+           FROM r WHERE n >= 20
+         ), a AS (
+           SELECT k, CAST(max(n) AS BIGINT) AS n,
+             CAST(max(rlo) AS BIGINT) AS rank_lo,
+             CAST(max(rhi) AS BIGINT) AS rank_hi,
+             max(CASE WHEN rn = rlo THEN v END) AS lo,
+             max(CASE WHEN rn = rhi THEN v END) AS hi
+           FROM g GROUP BY k
+         ), m AS (
+           SELECT event_type AS k, round(quantile_cont(value, 0.5), 6)
+             AS median
+           FROM events GROUP BY 1)
+         SELECT a.k AS event_type, a.n, m.median, a.rank_lo, a.rank_hi,
+           round(a.lo, 6) AS ci_lo, round(a.hi, 6) AS ci_hi
+         FROM a JOIN m ON a.k = m.k ORDER BY event_type""",
+
     // SRM replay: distinct units, the identical chi-square and A&S
     // p-value trees, flag on the round-6 p
     "ab_srm" ->

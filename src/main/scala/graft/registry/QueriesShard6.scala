@@ -288,6 +288,15 @@ private[graft] object QueriesShard6 {
         .orderBy(col("event_type"))
     }),
 
+    // distribution-free median CI per event type: binomial order-
+    // statistic ranks from round-6-guarded normal-approx trees,
+    // values off the id-tie-broken ranked frame
+    "dq_median_ci" -> ((s, d) =>
+      Quality.medianCi(
+          EntryHelpers.eventCols(Tables.events(s, d)),
+          "event_type", "event_id", "value")
+        .orderBy(col("event_type"))),
+
     // sample-ratio mismatch guardrail per event type: distinct
     // (type, user) UNITS against the declared 50/50 parity split —
     // chi-square(1) + the A&S p-value via chi2(1) = Z^2

@@ -210,6 +210,36 @@ class R13Wave2Spec extends SparkSuite {
     assert(near(out(3).getDouble(3), 0.75))
   }
 
+  // ---- Quality.medianCi ----
+
+  test("medianCi: order-statistic ranks and values on a hand fixture; thin keys dropped") {
+    // n = 25: r_lo = floor((25 - 1.959964*5)/2) = floor(7.60) = 7
+    //         r_hi = ceil(1 + (25 + 9.79982)/2) = ceil(18.40) = 19
+    val df = ((1 to 25).map(i => ("k", i.toLong, i.toDouble)) ++
+      (1 to 5).map(i => ("thin", i.toLong, i.toDouble)))
+      .toDF("key", "id", "v")
+    val out = Quality.medianCi(df, "key", "id", "v").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("k"))
+    val r = out(0)
+    assert(r.getLong(1) === 25L)
+    assert(near(r.getDouble(2), 13.0)) // odd n: exact middle
+    assert(r.getLong(3) === 7L && r.getLong(4) === 19L)
+    assert(r.getDouble(5) === 7.0 && r.getDouble(6) === 19.0)
+  }
+
+  test("medianCi: interval brackets the median and widens with spread") {
+    val tight = (1 to 100).map(i => ("t", i.toLong, 50.0 + (i % 3)))
+    val wide = (1 to 100).map(i => ("w", i.toLong, (i * 7 % 100).toDouble))
+    val out = Quality.medianCi((tight ++ wide).toDF("key", "id", "v"),
+        "key", "id", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(5), r.getDouble(6))).toMap
+    val (tm, tlo, thi) = out("t"); val (wm, wlo, whi) = out("w")
+    assert(tlo <= tm && tm <= thi)
+    assert(wlo <= wm && wm <= whi)
+    assert(whi - wlo > thi - tlo) // wider spread, wider interval
+  }
+
   // ---- Quality.sampleRatioMismatch ----
 
   test("sampleRatioMismatch: balanced split passes, gross imbalance fires, chi2 exact") {
