@@ -433,6 +433,66 @@ object Multimodal {
   // them from the actual bytes — so a graded row proves the whole
   // byte path (synth → binary column → box/chunk walk → fields).
 
+  /** Audio-container metadata as a graded DataFrame (the audio twin
+    * of [[videoMetadata]]): each audio row decodes through the REAL
+    * JDK PCM path ([[decodeAudio]]) and reports the container's
+    * sample rate / channel count / duration plus exact 1e7-scaled
+    * integer RMS and peak readouts. The fixed-point integers are the
+    * portability trick: for PCM amplitudes that are multiples of
+    * 256, s = a/32768 has a ≤ 7-bit significand, every square and
+    * sum in the decoder is exact, and rms·1e7 is an exact integer —
+    * so the graded row never touches a rounded float. Undecodable
+    * rows degrade to the MediaRow's declared fields with
+    * parsed = false (the [[videoMetadata]] contract).
+    */
+  def audioMetadata(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.media_type == "audio")
+      .map { r =>
+        decodeAudio(r.content) match {
+          case Some((rate, ch, durMs, feats)) =>
+            (r.media_id, rate.toDouble, ch.toLong, durMs,
+              math.round(feats(3).toDouble * 1e7),
+              math.round(feats(4).toDouble * 1e7), true)
+          case None =>
+            (r.media_id, 0.0, 0L, r.duration_ms, 0L, 0L, false)
+        }
+      }
+      .toDF("media_id", "sample_rate", "channels", "duration_ms",
+        "rms_x1e7", "peak_x1e7", "parsed")
+  }
+
+  /** Minimal PCM16 mono WAV (canonical 44-byte RIFF header +
+    * little-endian samples): a SQUARE wave alternating +amp/−amp, so
+    * every sample has |s| = amp/32768 and RMS = peak = amp/32768
+    * exactly — the synthesized round-trip fixture for
+    * [[audioMetadata]] (the [[synthMp4]] discipline: parameters in,
+    * the parser must recover exactly them). Deterministic bytes for
+    * fixed inputs.
+    */
+  def synthWav(sampleRate: Int, nSamples: Int, amp: Int): Array[Byte] = {
+    require(amp > 0 && amp <= 32767, "amp in (0, 32767]")
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ISO-8859-1")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("ISO-8859-1"))
+    bb.put("fmt ".getBytes("ISO-8859-1")).putInt(16)
+      .putShort(1)                          // PCM
+      .putShort(1)                          // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)               // byte rate
+      .putShort(2)                          // block align
+      .putShort(16)                         // bits per sample
+    bb.put("data".getBytes("ISO-8859-1")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort(if (i % 2 == 0) amp.toShort else (-amp).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
   /** Minimal ISO-BMFF MP4: `ftyp` (major brand), `moov/mvhd`
     * (timescale + duration, v0 or v1 box), a VIDEO `trak`
     * (tkhd 16.16-fixed resolution + stbl/stsd sample-entry 4cc) and

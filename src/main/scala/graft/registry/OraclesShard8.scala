@@ -215,6 +215,20 @@ private[graft] object OraclesShard8 {
                / (delta * delta), 6)) AS BIGINT) END AS n_per_arm
          FROM m ORDER BY event_type""",
 
+    // audio round-trip replay: the synth parameters derived from
+    // doc_id, exactly what the PCM decode must recover — duration
+    // n/8 ms (n a multiple of 8), rms = peak = (256m/32768)·1e7
+    // = m·78125 exact
+    "multimodal_audio_meta" ->
+      """SELECT doc_id AS media_id,
+           8000.0 AS sample_rate,
+           CAST(1 AS BIGINT) AS channels,
+           CAST((800 + (doc_id % 50) * 16) / 8 AS BIGINT) AS duration_ms,
+           CAST((1 + doc_id % 100) * 78125 AS BIGINT) AS rms_x1e7,
+           CAST((1 + doc_id % 100) * 78125 AS BIGINT) AS peak_x1e7,
+           TRUE AS parsed
+         FROM documents ORDER BY media_id""",
+
     // median-CI replay: identical rank trees (floor/ceil on round-6
     // values), order statistics off the same tie-broken ranking,
     // quantile_cont median

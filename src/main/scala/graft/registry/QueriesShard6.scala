@@ -288,6 +288,25 @@ private[graft] object QueriesShard6 {
         .orderBy(col("event_type"))
     }),
 
+    // graded multimodal AUDIO path (completing the video round-trip
+    // family): WAV containers SYNTHESIZED with doc_id-derived
+    // parameters, the real JDK PCM decode must recover exactly them
+    // — square-wave amplitudes are multiples of 256 so RMS/peak are
+    // exact 1e7-scaled integers end to end
+    "multimodal_audio_meta" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = 800 + (id % 50).toInt * 16 // multiple of 8: exact ms
+          val m = 1 + (id % 100).toInt       // amp = 256*m
+          graft.multimodal.MediaRow(id, "audio",
+            graft.multimodal.Multimodal.synthWav(8000, n, 256 * m),
+            0, 0, 0L)
+        }
+      graft.multimodal.Multimodal.audioMetadata(media)
+        .orderBy(col("media_id"))
+    }),
+
     // distribution-free median CI per event type: binomial order-
     // statistic ranks from round-6-guarded normal-approx trees,
     // values off the id-tie-broken ranked frame

@@ -210,6 +210,29 @@ class R13Wave2Spec extends SparkSuite {
     assert(near(out(3).getDouble(3), 0.75))
   }
 
+  // ---- Multimodal audio round-trip ----
+
+  test("audioMetadata: synthesized WAV params recovered exactly; corrupt bytes degrade") {
+    import graft.multimodal.{MediaRow, Multimodal}
+    // amp = 256*4: rms = peak = 4/128 exactly -> x1e7 = 312500
+    val wav = Multimodal.synthWav(8000, 1600, 256 * 4)
+    val direct = Multimodal.decodeAudio(wav).get
+    assert(direct._1 === 8000.0f && direct._2 === 1 && direct._3 === 200L)
+    val media = Seq(
+      MediaRow(1L, "audio", wav, 0, 0, 0L),
+      MediaRow(2L, "audio", Array[Byte](1, 2, 3), 0, 0, 777L),
+      MediaRow(3L, "video", wav, 0, 0, 0L)) // wrong type: excluded
+      .toDS()
+    val out = Multimodal.audioMetadata(media)
+      .orderBy(col("media_id")).collect()
+    assert(out.length === 2)
+    assert(out(0).getDouble(1) === 8000.0 && out(0).getLong(2) === 1L)
+    assert(out(0).getLong(3) === 200L)
+    assert(out(0).getLong(4) === 312500L && out(0).getLong(5) === 312500L)
+    assert(out(0).getBoolean(6))
+    assert(!out(1).getBoolean(6) && out(1).getLong(3) === 777L)
+  }
+
   // ---- Quality.medianCi ----
 
   test("medianCi: order-statistic ranks and values on a hand fixture; thin keys dropped") {
