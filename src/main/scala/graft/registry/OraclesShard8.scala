@@ -268,40 +268,13 @@ private[graft] object OraclesShard8 {
 
     // SRM replay: distinct units, the identical chi-square and A&S
     // p-value trees, flag on the round-6 p
-    "ab_srm" ->
-      """WITH u AS (SELECT DISTINCT event_type AS k, user_id FROM events
-         ), a AS (
-           SELECT k,
-             sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_a,
-             sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_b
-           FROM u GROUP BY k HAVING count(*) > 0
-         ), c AS (
-           SELECT k, n_a, n_b,
-             CAST(n_a + n_b AS DOUBLE) * 0.5 AS ea,
-             CAST(n_a + n_b AS DOUBLE) * 0.5 AS eb
-           FROM a
-         ), x AS (
-           SELECT k, n_a, n_b,
-             (CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE) - ea) / ea
-               + (CAST(n_b AS DOUBLE) - eb) * (CAST(n_b AS DOUBLE) - eb)
-                 / eb AS chi2
-           FROM c
-         ), pz AS (
-           SELECT k, n_a, n_b, chi2, sqrt(chi2) AS az,
-             1.0 / (1.0 + 0.2316419 * sqrt(chi2)) AS t
-           FROM x
-         ), pp AS (
-           SELECT k, n_a, n_b, chi2,
-             least(1.0, 2.0 * (exp(-0.5 * az * az) / 2.5066282746310002)
-               * (t * (0.319381530 + t * (-0.356563782
-                 + t * (1.781477937 + t * (-1.821255978
-                   + t * 1.330274429)))))) AS p
-           FROM pz)
-         SELECT k AS event_type, CAST(n_a AS BIGINT) AS n_a,
-           CAST(n_b AS BIGINT) AS n_b,
-           round(chi2, 6) AS chi2, round(p, 6) AS p,
-           round(p, 6) < 0.001 AS srm
-         FROM pp ORDER BY event_type""",
+    "ab_srm" -> srmSql,
+
+    // the streaming monitor accumulates the SAME unit set (set-union
+    // state, redelivery anti-joined), so its verdict oracle is the
+    // batch SRM replay verbatim
+    "stream_srm" -> srmSql,
+
 
     // two-regressor OLS replay: HUGEINT-exact normal equations,
     // identical Cramer cofactor expansion and closed-form R^2
@@ -538,4 +511,42 @@ private[graft] object OraclesShard8 {
          FROM e GROUP BY cohort ORDER BY cohort""",
 
   )
+
+  /** The SRM replay shared by the batch key and its streaming-monitor
+    * twin (the accumulated unit set makes both verdicts identical).
+    */
+  private def srmSql: String =
+    """WITH u AS (SELECT DISTINCT event_type AS k, user_id FROM events
+         ), a AS (
+           SELECT k,
+             sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_b
+           FROM u GROUP BY k HAVING count(*) > 0
+         ), c AS (
+           SELECT k, n_a, n_b,
+             CAST(n_a + n_b AS DOUBLE) * 0.5 AS ea,
+             CAST(n_a + n_b AS DOUBLE) * 0.5 AS eb
+           FROM a
+         ), x AS (
+           SELECT k, n_a, n_b,
+             (CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE) - ea) / ea
+               + (CAST(n_b AS DOUBLE) - eb) * (CAST(n_b AS DOUBLE) - eb)
+                 / eb AS chi2
+           FROM c
+         ), pz AS (
+           SELECT k, n_a, n_b, chi2, sqrt(chi2) AS az,
+             1.0 / (1.0 + 0.2316419 * sqrt(chi2)) AS t
+           FROM x
+         ), pp AS (
+           SELECT k, n_a, n_b, chi2,
+             least(1.0, 2.0 * (exp(-0.5 * az * az) / 2.5066282746310002)
+               * (t * (0.319381530 + t * (-0.356563782
+                 + t * (1.781477937 + t * (-1.821255978
+                   + t * 1.330274429)))))) AS p
+           FROM pz)
+         SELECT k AS event_type, CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           round(chi2, 6) AS chi2, round(p, 6) AS p,
+           round(p, 6) < 0.001 AS srm
+         FROM pp ORDER BY event_type"""
 }

@@ -288,6 +288,36 @@ private[graft] object QueriesShard6 {
         .orderBy(col("event_type"))
     }),
 
+    // streaming SRM monitor: two microbatch halves + a redelivery
+    // fold assignment units into a persisted set; the accumulated
+    // verdict must equal the batch SRM over everything streamed
+    "stream_srm" -> ((s, d) => {
+      val base = graft.TempDirs.create("graft_stream_srm")
+      val inDir = s"$base/in"; val root = s"$base/store"
+      val ev = EntryHelpers.eventCols(Tables.events(s, d))
+        .select(col("event_type"), col("user_id"), col("event_id"))
+      ev.filter(col("event_id") % 2 === 0).write.parquet(inDir)
+      EntryHelpers.withShufflePartitions(s, 4) {
+        val stream = s.readStream.schema(ev.schema).parquet(inDir)
+        val q = graft.streaming.EventStream.srmMonitor(stream, root,
+          s"$base/ckpt", "event_type", "user_id",
+          pmod(col("user_id"), lit(2)).cast("string"))
+        try {
+          q.processAllAvailable() // day 1: even event ids
+          ev.filter(col("event_id") % 2 =!= 0)
+            .write.mode("append").parquet(inDir)
+          q.processAllAvailable() // day 2: odd event ids
+          ev.filter(col("event_id") < 100).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // redelivery: units already landed
+        } finally q.stop()
+      }
+      Quality.sampleRatioMismatch(
+          graft.sources.VersionedGroup.read(s, root, "units")
+            .withColumnRenamed("k", "event_type"),
+          "event_type", "g", "1", "0")
+        .orderBy(col("event_type"))
+    }),
+
     // graded multimodal AUDIO path (completing the video round-trip
     // family): WAV containers SYNTHESIZED with doc_id-derived
     // parameters, the real JDK PCM decode must recover exactly them

@@ -518,6 +518,46 @@ object EventStream {
       }
       .start()
 
+  /** Streaming SAMPLE-RATIO-MISMATCH monitor (r13) — the
+    * experimentation guardrail at the ingest door: every microbatch
+    * folds its newly-seen assignment UNITS (key, unit, arm) into a
+    * persisted unit table (set union — landed units anti-join out,
+    * so a unit counts ONCE however many events it emits and however
+    * often the batch is redelivered), and the current SRM verdict is
+    * [[graft.operators.Quality.sampleRatioMismatch]] over that
+    * table. Because the state is a SET, the accumulated verdict is
+    * batch-split invariant and exactly equals the batch SRM over
+    * everything streamed — the gate twin discipline
+    * ([[decontamGate]]'s argument applied to monitor state).
+    */
+  def srmMonitor(events: DataFrame, root: String, checkpoint: String,
+                 keyCol: String, unitCol: String,
+                 groupCol: org.apache.spark.sql.Column): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import graft.sources.VersionedGroup
+          val hasState = VersionedGroup.currentVersion(spark, root) >= 1
+          val units = batch
+            .select(col(keyCol).as("k"), col(unitCol).as("u"),
+              groupCol.as("g")).distinct()
+          val fresh =
+            if (!hasState) units
+            else units.join(VersionedGroup.read(spark, root, "units")
+              .select(col("k"), col("u")), Seq("k", "u"), "left_anti")
+          if (!fresh.isEmpty) {
+            VersionedGroup.commit(root, Map("units" -> fresh),
+              replace = !hasState)
+            ()
+          }
+          graft.Par.release()
+        }
+      }
+      .start()
+
   /** Streaming QUALITY-RULE ingest gate (r13) — the Gopher-rule door
     * check completing the curation-gate family (near-dup / segment /
     * decontamination / phrase): every microbatch of documents runs

@@ -435,6 +435,48 @@ class R13Wave2Spec extends SparkSuite {
     Par.release()
   }
 
+  // ---- EventStream.srmMonitor ----
+
+  test("srmMonitor: accumulated unit set equals the batch view; chatty users and replays count once") {
+    import graft.sources.VersionedGroup
+    import graft.streaming.EventStream
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val src = tmpDir("srm-src")
+    val root = tmpDir("srm-root") + "/idx"
+    def land(name: String, rows: Seq[(String, Long, Long)]): Unit = {
+      val staging = tmpDir("srm-stage")
+      rows.toDF("k", "user_id", "event_id").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(src, s"$name.parquet"))
+    }
+    // user 1 emits 3 events in batch 1 and again in batch 2 —
+    // must count ONCE
+    land("b0", Seq(("x", 1L, 1L), ("x", 1L, 2L), ("x", 1L, 3L),
+      ("x", 2L, 4L)))
+    val stream = spark.readStream.schema(StructType(Seq(
+        StructField("k", StringType), StructField("user_id", LongType),
+        StructField("event_id", LongType))))
+      .parquet(src)
+    val q = EventStream.srmMonitor(stream, root, tmpDir("srm-ckpt"),
+      "k", "user_id", pmod(col("user_id"), lit(2)).cast("string"))
+    q.processAllAvailable()
+    def units = VersionedGroup.read(spark, root, "units")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(units === Set(("x", 1L), ("x", 2L)))
+    land("b1", Seq(("x", 1L, 9L), ("x", 3L, 10L), ("x", 4L, 11L)))
+    q.processAllAvailable()
+    assert(units === Set(("x", 1L), ("x", 2L), ("x", 3L), ("x", 4L)))
+    q.stop()
+    val srm = Quality.sampleRatioMismatch(
+      VersionedGroup.read(spark, root, "units")
+        .withColumnRenamed("k", "key"), "key", "g", "1", "0").collect()(0)
+    assert(srm.getLong(1) === 2L && srm.getLong(2) === 2L) // 2 odd, 2 even
+    Par.release()
+  }
+
   // ---- JaroWinkler expression + Linkage.jaroWinklerPairs ----
 
   test("JaroWinkler: reference values pinned against the DuckDB/RapidFuzz formulation") {
