@@ -718,6 +718,38 @@ object Sampling {
       .filter(col("rank") <= n)
   }
 
+  /** Balanced per-class downsample (the class-rebalancing staple
+    * before training a classifier on skewed labels: every class
+    * keeps exactly the MINORITY class's count, majority classes
+    * downsample deterministically): per class, the n_min rows with
+    * the smallest `xxhash64(id, seed)` (ties on id), n_min = the
+    * smallest class count — so the output is a pure function of the
+    * data + seed (survives repartitioning and reruns, the sampler
+    * family's stability contract) and every class lands at exactly
+    * the same size.
+    *
+    * Plan: one class-count aggregate with the minimum riding a
+    * window over that class-cardinality-sized frame (no scalar cross
+    * join), one per-class rank window on the hash (the standard
+    * stratum exchange — for extreme-cardinality strata swap the
+    * window for [[stratifiedTopN]]'s bounded-heap scan, same
+    * output), one equi-join back. Output: input columns + `rank`.
+    */
+  def balancedSample(df: DataFrame, idCol: String, classCol: String,
+                     seed: Long = 42L): DataFrame = {
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val counts = df.groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__nmin", min(col("__n")).over(wAll))
+      .select(col(classCol), col("__nmin"))
+    val byHash = Window.partitionBy(col(classCol))
+      .orderBy(xxhash64(col(idCol), lit(seed)).asc, col(idCol).asc)
+    df.withColumn("rank", row_number().over(byHash))
+      .join(counts, Seq(classCol))
+      .filter(col("rank") <= col("__nmin"))
+      .drop("__nmin")
+  }
+
   /** Leakage-safe LEAVE-ONE-OUT target encoding with smoothing
     * (Micci-Barreca SIGKDD '01; the CatBoost-era categorical
     * encoder): replace a high-cardinality category with the target

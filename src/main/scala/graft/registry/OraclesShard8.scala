@@ -215,6 +215,21 @@ private[graft] object OraclesShard8 {
                / (delta * delta), 6)) AS BIGINT) END AS n_per_arm
          FROM m ORDER BY event_type""",
 
+    // balanced-sample replay: the pure-SQL xxhash64 chain ranks each
+    // class; the cut is the minimum class count
+    "sample_balanced" ->
+      s"""WITH r AS (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+               AS rank
+           FROM (${xxhash64LongSql("SELECT doc_id, lang FROM documents",
+                    "doc_id", 42L, Seq("lang"))})
+         ), c AS (
+           SELECT min(cnt) AS nmin FROM (
+             SELECT count(*) AS cnt FROM documents GROUP BY lang))
+         SELECT doc_id, lang, rank FROM r, c
+         WHERE rank <= c.nmin ORDER BY lang, rank""",
+
     // audio round-trip replay: the synth parameters derived from
     // doc_id, exactly what the PCM decode must recover — duration
     // n/8 ms (n a multiple of 8), rms = peak = (256m/32768)·1e7

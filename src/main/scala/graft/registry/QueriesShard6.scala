@@ -288,6 +288,14 @@ private[graft] object QueriesShard6 {
         .orderBy(col("event_type"))
     }),
 
+    // balanced per-class downsample: every lang keeps exactly the
+    // minority lang's count, membership the deterministic
+    // hash-smallest (the sampler family's stability contract)
+    "sample_balanced" -> ((s, d) =>
+      Sampling.balancedSample(Tables.documents(s, d), "doc_id", "lang")
+        .select(col("doc_id"), col("lang"), col("rank"))
+        .orderBy(col("lang"), col("rank"))),
+
     // streaming SRM monitor: two microbatch halves + a redelivery
     // fold assignment units into a persisted set; the accumulated
     // verdict must equal the batch SRM over everything streamed

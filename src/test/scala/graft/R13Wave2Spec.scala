@@ -210,6 +210,24 @@ class R13Wave2Spec extends SparkSuite {
     assert(near(out(3).getDouble(3), 0.75))
   }
 
+  // ---- Sampling.balancedSample ----
+
+  test("balancedSample: every class lands at the minority count; membership is repartition-stable") {
+    import graft.operators.Sampling
+    val df = ((1 to 50).map(i => (i.toLong, "big")) ++
+      (101 to 120).map(i => (i.toLong, "mid")) ++
+      (201 to 207).map(i => (i.toLong, "small")))
+      .toDF("id", "cls")
+    val out = Sampling.balancedSample(df, "id", "cls")
+    val sizes = out.groupBy(col("cls")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes === Map("big" -> 7L, "mid" -> 7L, "small" -> 7L))
+    val a = out.select(col("id")).collect().map(_.getLong(0)).toSet
+    val b = Sampling.balancedSample(df.repartition(7), "id", "cls")
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(a === b) // pure function of data + seed
+  }
+
   // ---- Multimodal audio round-trip ----
 
   test("audioMetadata: synthesized WAV params recovered exactly; corrupt bytes degrade") {
