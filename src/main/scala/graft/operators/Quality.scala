@@ -2128,7 +2128,13 @@ object Quality {
         round(col("__mde"), roundTo).as("mde_abs"),
         round(when(col("__mean") > 0, col("__mde") / col("__mean")),
           roundTo).as("mde_rel"),
-        when(col("__delta") > 0,
+        // overflow guard: a microscopic positive mean makes the
+        // required n astronomical, and ANSI mode hard-errors the
+        // long cast — past 1e15 units/arm the answer is "cannot be
+        // powered", reported as null (same verdict, no crash)
+        when(col("__delta") > 0 &&
+          zsum * zsum * (col("__va") + col("__vb"))
+            / (col("__delta") * col("__delta")) <= lit(1.0e15),
           ceil(round(zsum * zsum * (col("__va") + col("__vb"))
             / (col("__delta") * col("__delta")), roundTo)).cast("long"))
           .as("n_per_arm"))

@@ -210,7 +210,10 @@ private[graft] object OraclesShard8 {
            CAST(n_b AS BIGINT) AS n_b,
            round(mean, 6) AS pooled_mean, round(mde, 6) AS mde_abs,
            round(CASE WHEN mean > 0 THEN mde / mean END, 6) AS mde_rel,
-           CASE WHEN delta > 0 THEN CAST(ceil(round(
+           CASE WHEN delta > 0
+             AND (1.959964 + 0.841621) * (1.959964 + 0.841621) * (va + vb)
+               / (delta * delta) <= 1.0e15
+           THEN CAST(ceil(round(
              (1.959964 + 0.841621) * (1.959964 + 0.841621) * (va + vb)
                / (delta * delta), 6)) AS BIGINT) END AS n_per_arm
          FROM m ORDER BY event_type""",
