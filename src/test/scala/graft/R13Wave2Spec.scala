@@ -38,6 +38,21 @@ class R13Wave2Spec extends SparkSuite {
     assert(math.abs(h0) < 0.5) // far below the 5.99 critical value
   }
 
+  test("kruskalWallis with two groups equals the Mann-Whitney z squared (textbook identity)") {
+    // H(k=2) = z_MW^2 (both tie-corrected, MW without continuity
+    // correction) — a cross-operator invariant tying the two rank
+    // tests' integer-rank machinery together, ties included
+    val df = Seq(
+      ("k", "A", 1.0), ("k", "A", 4.0), ("k", "A", 4.0), ("k", "A", 9.0),
+      ("k", "B", 2.0), ("k", "B", 4.0), ("k", "B", 7.0), ("k", "B", 12.0),
+      ("k", "B", 15.0)).toDF("key", "g", "v")
+    val h = Quality.kruskalWallis(df, "key", "g", "v")
+      .collect()(0).getDouble(4)
+    val z = Quality.mannWhitney(df, "key", "g", "v", "A", "B", roundTo = 9)
+      .collect()(0).getDouble(4)
+    assert(near(h, z * z, 1e-4))
+  }
+
   test("kruskalWallis: all-tied key reports null h; single-group key excluded") {
     val df = Seq(("t", "a", 5.0), ("t", "a", 5.0), ("t", "b", 5.0),
       ("t", "b", 5.0), ("solo", "a", 1.0), ("solo", "a", 2.0))
@@ -108,6 +123,22 @@ class R13Wave2Spec extends SparkSuite {
     assert(r.length === 4) // null p dropped
     assert(r.map(_.getBoolean(5)).toSeq === Seq(true, true, false, false))
     assert(r(3).getDouble(4) === 0.9) // q = min(1, 0.9·4/4)
+  }
+
+  test("bhCorrect structural invariants: q monotone in rank, rejections form a prefix, q >= p") {
+    val ps = Seq(0.0001, 0.013, 0.014, 0.2, 0.04, 0.9, 0.35, 0.021)
+    val tests = ps.zipWithIndex.map { case (p, i) => (s"t$i", p) }
+      .toDF("test_id", "p")
+    val r = Quality.bhCorrect(tests, "test_id", "p", alpha = 0.05)
+      .orderBy(col("rank")).collect()
+    val qs = r.map(_.getDouble(4))
+    val rejects = r.map(_.getBoolean(5))
+    // adjusted q is the reversed running min → non-decreasing in rank
+    qs.sliding(2).foreach { case Array(a, b) => assert(a <= b) }
+    // the step-up rejects a PREFIX of the ranking, never a gap
+    assert(!rejects.dropWhile(identity).contains(true))
+    // adjusted never below raw
+    r.foreach(row => assert(row.getDouble(4) >= row.getDouble(2) - 1e-9))
   }
 
   // ---- Quality.powerMde ----
