@@ -145,22 +145,34 @@ object Bench {
           val baseTotal = ratios.map { case (k, _) => base(k) }.sum
           val curTotal = results.collect {
             case (k, v) if base.contains(k) && v >= 0 => v }.sum
+          // Adjudication trigger widened 2.0x -> 1.5x (r13 verdict
+          // ask #1): the 2x machinery proved itself (dedup_embedding_lsh
+          // 2.24x in-suite -> 0.998x isolated, stamped r13), but 15 keys
+          // sat unadjudicated in the 1.5-2x band — exactly where the
+          // next false flag lands. Every key >=1.5x its pin now gets an
+          // isolated verdict stamped in the same artifact; `over_2x`
+          // stays as the subset over the original hard gate so old
+          // rounds remain comparable.
           val overPairs = ratios
-            .filter { case (k, r) => r > 2.0 && base(k) >= 0.35 }
+            .filter { case (k, r) => r >= 1.5 && base(k) >= 0.35 }
             .sortBy(-_._2)
           val over = overPairs
+            .filter(_._2 > 2.0)
             .map { case (k, r) => "\"" + k + "\":" + fmt(r) }
             .mkString("{", ",", "}")
-          // Mechanical over-2x ADJUDICATION (r12 verdict ask #1): an
-          // in-suite 2x flag is usually suite-growth GC debt landing
-          // on whichever key runs late (proved by hand twice —
-          // REBENCH_r12), so the artifact must carry its own verdict:
-          // each flagged key is re-run AFTER the suite in a quiet JVM
-          // (full GC, fresh warmup, 3 timed passes, min — the
-          // SPARK_GRAFT_ONLY re-bench protocol in-process) and the
-          // isolated ratio is stamped NEXT TO the in-suite one. A key
-          // <2x isolated is suite noise by measurement, not narrative;
-          // a key still >2x isolated is a real regression to profile.
+          val flagged = overPairs
+            .map { case (k, r) => "\"" + k + "\":" + fmt(r) }
+            .mkString("{", ",", "}")
+          // Mechanical ADJUDICATION (r12 verdict ask #1): an in-suite
+          // flag is usually suite-growth GC debt landing on whichever
+          // key runs late (proved by hand twice — REBENCH_r12), so the
+          // artifact must carry its own verdict: each flagged key is
+          // re-run AFTER the suite in a quiet JVM (full GC, fresh
+          // warmup, 3 timed passes, min — the SPARK_GRAFT_ONLY re-bench
+          // protocol in-process) and the isolated ratio is stamped NEXT
+          // TO the in-suite one. A key back under its band isolated is
+          // suite noise by measurement, not narrative; a key still over
+          // isolated is a real regression to profile.
           val overIso = overPairs.map { case (k, _) =>
             val fn = SparkEntry.queries(k)
             Par.release()
@@ -186,14 +198,22 @@ object Bench {
             .mkString("{", ",", "}")
           s""""baseline":"${p.getFileName}","vs_baseline_total":${fmt(curTotal / baseTotal)},""" +
             s""""vs_baseline_median":${fmt(med)},"over_2x":$over,""" +
-            s""""over_2x_isolated":$overIsoJson,""" +
+            s""""over_1_5x":$flagged,"over_1_5x_isolated":$overIsoJson,""" +
             s""""isolated_stat":"min-of-3, post-suite full-GC + warmup","""
         }
       }
     }
     spark.stop()
+    // Per-store build seconds (r13 verdict ask #5): the memoized Stores
+    // probes grade probe cost, so a pathological index-build regression
+    // would otherwise be invisible until it crossed the dedicated build
+    // key's pin — stamp the observed build times into the artifact.
+    val storeBuilds = Stores.buildSeconds.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val line = s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec",""" +
       s""""batch_sec":${fmt(total - streamingSec)},"streaming_sec":${fmt(streamingSec)},""" +
+      s""""store_build_sec":$storeBuilds,""" +
       baselineCmp +
       s""""stat":"${if (useMedian) "median" else "min"}-of-$passes",""" +
       s""""day_replay":"fresh-per-pass, stale-dir rm outside timed window",""" +

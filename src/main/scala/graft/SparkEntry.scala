@@ -24,7 +24,8 @@ object SparkEntry {
     * and that every oracle grades an existing query. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesShard1.m ++ QueriesShard2.m ++ QueriesShard3.m ++
-      QueriesShard4.m ++ QueriesShard5.m ++ QueriesShard6.m
+      QueriesShard4.m ++ QueriesShard5.m ++ QueriesShard6.m ++
+      QueriesShard7.m
 
   def oracleSql: Map[String, String] = {
     val base =
@@ -69,6 +70,10 @@ object SparkEntry {
       // the keep-best fold is provably ≡ the full keep-best (see the
       // registry entry) — same oracle verbatim
       ("dedup_keep_best_incr" -> base("dedup_keep_best")) +
+      // the FT-checkpoint variant must produce the IDENTICAL labeling
+      // (checkpoint() vs localCheckpoint() changes fault tolerance,
+      // never data) — the recursive-reachability oracle verbatim
+      ("dedup_components_reliable" -> base("dedup_components")) +
       // the pair-set scorecard replays BOTH graded pipelines it
       // evaluates — their oracles verbatim as CTE bodies, then the
       // same confusion counts and P/R/F1 trees the operator runs

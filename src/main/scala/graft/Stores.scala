@@ -25,6 +25,9 @@ object Stores {
   private val built =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val buildSec =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
   /** Return the store path for `key`, building it first via
     * `build(dir)` if this JVM hasn't yet. `build` must be
     * deterministic in `key` — the path is shared by all callers.
@@ -32,7 +35,21 @@ object Stores {
   def cached(key: String)(build: String => Unit): String =
     built.computeIfAbsent(key, _ => {
       val dir = TempDirs.create("graft_store_")
+      val t0 = System.nanoTime()
       build(dir)
+      // Stamp the build cost so a build regression is visible in the
+      // bench artifact the round it happens, not only when it crosses
+      // the dedicated build key's pin (r13 verdict ask #5). First
+      // build in the JVM wins — that is the cost a fresh cluster pays.
+      buildSec.putIfAbsent(key, (System.nanoTime() - t0) / 1e9)
       dir
     })
+
+  /** Per-store build seconds observed in this JVM, for Bench's
+    * `store_build_sec` artifact field. Empty until a store is built.
+    */
+  def buildSeconds: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    buildSec.asScala.toMap
+  }
 }

@@ -528,6 +528,72 @@ private[graft] object OraclesShard8 {
              / (CAST(sum(nb) AS DOUBLE) * 1000000000000.0), 6) AS brier
          FROM e GROUP BY cohort ORDER BY cohort""",
 
+    // ---- r14 wave ----
+
+    // serial FFD replay (r13 verdict ask #7): the identical
+    // first-fit-decreasing fold as a recursive CTE — docs in
+    // (tokens desc, id asc) order, state = per-bin remaining
+    // capacity + occupancy lists, first fitting bin via
+    // list_position over a predicate map, positional update via
+    // indexed list_transform. `coalesce(list_position(...), 0) = 0`
+    // stands in for IS NULL (DuckDB 1.0 mis-plans the IS NULL form
+    // inside recursive CTEs — the whole state column collapses to
+    // []); MATERIALIZED pins the token CTE so the regex scan runs
+    // once, not once per recursion step.
+    "doc_pack_serial" ->
+      """WITH RECURSIVE d AS MATERIALIZED (
+           SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+           FROM (
+             SELECT doc_id,
+               CAST(coalesce(list_sum(list_transform(
+                   regexp_extract_all(text, '[A-Za-z0-9]+'),
+                   w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
+                 + length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                 AS BIGINT) AS n_tokens
+             FROM documents)
+         ), pack AS (
+           SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS doc_id,
+             CAST(NULL AS BIGINT) AS n_tokens,
+             CAST(NULL AS BIGINT) AS bin_id, CAST(NULL AS BIGINT) AS slot,
+             CAST([] AS BIGINT[]) AS rem, CAST([] AS BIGINT[]) AS cnt
+           UNION ALL
+           SELECT q.rn, q.doc_id, q.n_tokens,
+             CASE WHEN q.ix = 0 THEN len(q.rem) ELSE q.ix - 1 END,
+             CASE WHEN q.ix = 0 THEN 0 ELSE q.cnt[q.ix] END,
+             CASE WHEN q.ix = 0 THEN list_append(q.rem, 2048 - q.need)
+               ELSE list_transform(q.rem, (x, i) ->
+                 CASE WHEN i = q.ix THEN x - q.need ELSE x END) END,
+             CASE WHEN q.ix = 0 THEN list_append(q.cnt, 1)
+               ELSE list_transform(q.cnt, (x, i) ->
+                 CASE WHEN i = q.ix THEN x + 1 ELSE x END) END
+           FROM (
+             SELECT d.rn, d.doc_id, d.n_tokens, p.rem, p.cnt,
+               least(greatest(d.n_tokens, 0), 2048) AS need,
+               coalesce(list_position(list_transform(p.rem,
+                 r -> r >= least(greatest(d.n_tokens, 0), 2048)), true), 0)
+                 AS ix
+             FROM pack p JOIN d ON d.rn = p.rn + 1
+           ) q
+         )
+         SELECT bin_id, doc_id, n_tokens, CAST(slot AS INT) AS slot
+         FROM pack WHERE rn > 0 ORDER BY doc_id""",
+
+    // Misra–Gries presence-guarantee gate (r13 verdict ask #7): by
+    // the MG guarantee the semi-joined output equals the exact
+    // heavy-hitter set — which is plain SQL
+    "corpus_top_terms_guarantee" ->
+      """WITH w AS (
+           SELECT unnest(string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+           FROM documents
+         ), w2 AS MATERIALIZED (
+           SELECT term FROM w WHERE length(term) > 0
+         ), n AS (SELECT count(*) AS n FROM w2)
+         SELECT term, CAST(count(*) AS BIGINT) AS true_count
+         FROM w2, n GROUP BY term, n.n
+         HAVING count(*) * 257 > n.n
+         ORDER BY term""",
   )
 
   /** The SRM replay shared by the batch key and its streaming-monitor

@@ -78,6 +78,10 @@ class PlansSpec extends SparkSuite {
       // the bm25 scoring tail joins a 1-row corpus-stats frame on a
       // constant key — shared by the full-scan and maintained forms
       "corpus_top_terms_approx", "corpus_bm25_topk", "corpus_bm25_incr",
+      // the MG presence gate attaches the ONE-row corpus word total
+      // to the exact counts the same way (scalar join; the heavy
+      // filter rides the join condition) — 1 row at any SF
+      "corpus_top_terms_guarantee",
       // search_ndcg evaluates ON corpus_bm25_topk's ranking, so it
       // inherits the same 1-row corpus-stats scalar join
       "search_ndcg",
@@ -192,6 +196,10 @@ class PlansSpec extends SparkSuite {
     // stay; only the redundant graded keys went
     val documentedRowsOnly = Set(
       "corpus_top_terms_approx", "doc_pack",
+      // the learned merge table is not SQL-stateable, so per-doc BPE
+      // token counts can't replay in DuckDB; BpeSpec pins encode
+      // semantics and doc_pack_serial hash-grades the pack algorithm
+      "corpus_bpe_encode", "doc_pack_bpe",
       "dq_numeric_profile_approx", "dq_profile_approx",
       // HLL sketch bytes are register-layout-dependent; the fold vs
       // recompute equivalence is pinned in IncrementalAggSpec

@@ -9,15 +9,28 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class RegistrySpec extends AnyFunSuite {
 
-  private val queryShards = Seq(
-    "QueriesShard1" -> QueriesShard1.m, "QueriesShard2" -> QueriesShard2.m,
-    "QueriesShard3" -> QueriesShard3.m, "QueriesShard4" -> QueriesShard4.m,
-    "QueriesShard5" -> QueriesShard5.m, "QueriesShard6" -> QueriesShard6.m)
-  private val oracleShards = Seq(
-    "OraclesShard1" -> OraclesShard1.m, "OraclesShard2" -> OraclesShard2.m,
-    "OraclesShard3" -> OraclesShard3.m, "OraclesShard4" -> OraclesShard4.m,
-    "OraclesShard5" -> OraclesShard5.m, "OraclesShard6" -> OraclesShard6.m,
-    "OraclesShard7" -> OraclesShard7.m, "OraclesShard8" -> OraclesShard8.m)
+  // Shards are DISCOVERED from the registry directory, not named
+  // (r13 verdict ask #9): a wave that opens QueriesShard9 is pulled
+  // into every invariant below automatically — the disjointness and
+  // compose-losslessly checks can't be dodged by forgetting to list
+  // a new shard file here.
+  private def shardMaps(prefix: String): Seq[(String, Map[String, _])] = {
+    val dir = java.nio.file.Paths.get("src/main/scala/graft/registry")
+    assert(java.nio.file.Files.isDirectory(dir),
+      s"registry dir missing from the test working dir: ${dir.toAbsolutePath}")
+    val names = java.nio.file.Files.list(dir).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .filter(n => n.startsWith(prefix) && n.endsWith(".scala"))
+      .map(_.stripSuffix(".scala")).sorted
+    assert(names.nonEmpty, s"no $prefix* shards found in $dir")
+    names.map { name =>
+      val clazz = Class.forName(s"graft.$name$$")
+      val module = clazz.getField("MODULE$").get(null)
+      name -> clazz.getMethod("m").invoke(module).asInstanceOf[Map[String, _]]
+    }
+  }
+  private val queryShards = shardMaps("QueriesShard")
+  private val oracleShards = shardMaps("OraclesShard")
 
   private def dupes(shards: Seq[(String, Map[String, _])]): Seq[String] =
     shards.flatMap { case (n, m) => m.keys.map(_ -> n) }
@@ -32,12 +45,13 @@ class RegistrySpec extends AnyFunSuite {
 
   test("oracle shards are key-disjoint and compose losslessly") {
     assert(dupes(oracleShards) === Seq.empty)
-    // + the 10 alias/derived oracles (streaming/incremental twins,
-    // customer_rfm_bucketed, and dedup_keep_best_incr graded against
-    // the batch oracle, verbatim or filtered) and the composed
-    // dedup_eval oracle appended in SparkEntry.oracleSql
+    // + the 11 alias/derived oracles (streaming/incremental twins,
+    // customer_rfm_bucketed, dedup_keep_best_incr, and
+    // dedup_components_reliable graded against the batch oracle,
+    // verbatim or filtered) and the composed dedup_eval oracle
+    // appended in SparkEntry.oracleSql
     assert(SparkEntry.oracleSql.size ===
-      oracleShards.map(_._2.size).sum + 11)
+      oracleShards.map(_._2.size).sum + 12)
   }
 
   // Shard-size ceiling (r12 verdict ask #10): the 11k-line
