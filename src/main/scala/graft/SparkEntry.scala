@@ -74,6 +74,22 @@ object SparkEntry {
       // (checkpoint() vs localCheckpoint() changes fault tolerance,
       // never data) — the recursive-reachability oracle verbatim
       ("dedup_components_reliable" -> base("dedup_components")) +
+      // the cluster-size histogram is a pure rollup of the components
+      // labeling — the recursive oracle as a CTE, grouped twice
+      ("dedup_cluster_histogram" ->
+        s"""WITH lab AS (${base("dedup_components")}),
+              sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size
+                     FROM lab GROUP BY comp)
+            SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+            FROM sz GROUP BY cluster_size ORDER BY cluster_size""") +
+      // the packing scorecard is a pure rollup of the serial FFD
+      // replay — the recursive CTE as a subquery, grouped per bin
+      ("doc_pack_stats" ->
+        s"""WITH p AS (${base("doc_pack_serial")})
+            SELECT bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS token_sum,
+              CAST(2048 - sum(least(n_tokens, 2048)) AS BIGINT) AS waste
+            FROM p GROUP BY bin_id ORDER BY bin_id""") +
       // the pair-set scorecard replays BOTH graded pipelines it
       // evaluates — their oracles verbatim as CTE bodies, then the
       // same confusion counts and P/R/F1 trees the operator runs

@@ -117,6 +117,11 @@ object Bpe {
     * application of merges in learned order — one chained
     * per-row fold, zero shuffle (the merge table is a driver-side
     * bounded list, applied as literals inside codegen).
+    *
+    * This is the ad-hoc/small-batch form: the K-deep nested fold
+    * runs once per word OCCURRENCE, so it re-pays the merge chain
+    * for every repeat of "the". Corpus-scale encoding goes through
+    * [[encodeCounts]], which folds each distinct word ONCE.
     */
   def encode(text: Column, merges: Seq[(String, String)],
              eow: String = "</w>"): Column = {
@@ -126,5 +131,47 @@ object Bpe {
         array(lit(eow)))
       merges.foldLeft(init) { case (acc, (l, r)) => applyMerge(acc, l, r) }
     })
+  }
+
+  /** Corpus-scale BPE token counting: per-doc
+    * `(idCol, n_words, n_bpe_tokens)` where `n_words` counts the
+    * doc's non-empty normalized words and `n_bpe_tokens` sums the
+    * per-word token counts after greedy merge application in learned
+    * order — row-for-row the counts [[encode]] yields on non-empty
+    * words (pinned in BpeSpec), at WORD-TYPE cost instead of
+    * word-occurrence cost.
+    *
+    * Shape (the learnMerges discipline applied to encoding): the
+    * corpus explodes once to (doc, word) counts with map-side
+    * combine; the merge fold — the expensive K-deep expression —
+    * runs over the DISTINCT word table only (vocabulary-sized: web
+    * corpora repeat words ~30-100×, so the fold work drops by that
+    * factor); one equi-join carries each type's token count back to
+    * its (doc, word) cells and a final per-doc agg rolls up. Three
+    * hash exchanges, all corpus- or vocab-linear — no quadratic
+    * term, no driver loop; at 100 TB this is scan + two shuffles of
+    * (doc, word) cells, vs the per-occurrence fold's 30×
+    * re-derivation of every repeated word.
+    */
+  def encodeCounts(docs: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[(String, String)],
+                   eow: String = "</w>"): DataFrame = {
+    val words = docs
+      .select(col(idCol),
+        explode(split(Text.normalize(col(textCol)), " ")).as("__w"))
+      .filter(length(col("__w")) > 0)
+    val cells = words.groupBy(col(idCol), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    val initSyms = concat(
+      filter(split(col("__w"), ""), s => length(s) > 0), array(lit(eow)))
+    val folded = merges.foldLeft(initSyms) {
+      case (acc, (l, r)) => applyMerge(acc, l, r)
+    }
+    val vocab = cells.select(col("__w")).distinct()
+      .select(col("__w"), size(folded).cast("long").as("__wt"))
+    cells.join(vocab, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).cast("long").as("n_words"),
+        sum(col("__c") * col("__wt")).cast("long").as("n_bpe_tokens"))
   }
 }

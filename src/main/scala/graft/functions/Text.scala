@@ -348,6 +348,11 @@ object Text {
     val withN = graft.Par.persistTracked(nodes.join(nn, "__id"))
     var ranks = withN.select(col("__id"), col("src").as("node"),
       expr(s"CAST($Scale AS BIGINT) div n").as("rank_fp"))
+    // (r14 probe: fusing deg into the edge list to drop the per-round
+    // nodes join measured 8.9 s vs 8.2 s isolated — the nodes join is
+    // already exchange-free on the persisted (__id, src) partitioning
+    // and the wider fused edge list costs more than the join saves,
+    // so the 3-frame shape stays)
     for (i <- 1 to iterations) {
       val contrib = dd
         .join(ranks.withColumnRenamed("node", "src"), Seq("__id", "src"))
@@ -1159,5 +1164,39 @@ object Text {
         * lit(1000000.0)).cast("long"))
       .select(col("__g").as(groupCol), col("n_terms"),
         round(d(col("__c6") + col("__a6")) / lit(1000000.0), 6).as("jsd"))
+  }
+
+  /** Tokenizer-fertility report per source (r14) — the
+    * tokens-per-word and chars-per-token ratios a tokenizer team
+    * watches per corpus slice: fertility spikes flag sources the
+    * subword vocabulary serves badly (wrong language, code, OCR
+    * noise), which inflate training cost per effective word. Counts
+    * use the deterministic BPE-proxy [[tokenCountBpe]] (exact and
+    * engine-portable, so the key hash-grades; swap the learned-table
+    * [[Bpe.encodeCounts]] in production for true fertility). All
+    * sums are integer (order-free); two round-6 divisions at the
+    * end. One partial-agged exchange on the source key — scan speed
+    * at 100 TB.
+    *
+    * Output: (source, n_docs, n_words, n_tokens, n_chars,
+    * fertility, chars_per_token).
+    */
+  def tokenFertility(docs: DataFrame, srcCol: String,
+                     textCol: String, roundTo: Int = 6): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    docs.select(col(srcCol).as("source"),
+        tokenCountWs(col(textCol)).as("__w"),
+        tokenCountBpe(col(textCol)).as("__t"),
+        length(col(textCol)).cast("long").as("__c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("n_words"),
+        sum(col("__t")).as("n_tokens"), sum(col("__c")).as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_tokens"), col("n_chars"),
+        round(when(col("n_words") > 0,
+          d(col("n_tokens")) / d(col("n_words"))), roundTo).as("fertility"),
+        round(when(col("n_tokens") > 0,
+          d(col("n_chars")) / d(col("n_tokens"))), roundTo)
+          .as("chars_per_token"))
   }
 }

@@ -1719,4 +1719,49 @@ object Dedup {
             / d(lit(2L) * col("tp") + col("fp") + col("fn"))), roundTo)
           .as("f1"))
   }
+
+  /** Cross-source duplication matrix (r14) — "which sources copy
+    * from each other": for every source pair, the number of shared
+    * winnow fingerprints ([[Text.winnow]]'s ≥k+w−1-
+    * word shared-run guarantee, so a shared fingerprint means a
+    * literally shared text run) plus the Szymkiewicz–Simpson overlap
+    * coefficient |A∩B| / min(|A|,|B|) — the containment-style
+    * normalization that stays meaningful when one source is tiny
+    * (mirror-vs-origin reads ~1.0 where Jaccard would vanish).
+    *
+    * Shape: one scan winnows every doc (per-row array expressions,
+    * no shuffle), (source, fp) pairs distinct on the composite key,
+    * one self-equi-join on the fingerprint. Per-fingerprint fan-out
+    * is bounded by the SOURCE count (distinct collapsed the doc
+    * dimension first), so a corpus-wide boilerplate hash costs
+    * |sources|² pairs, not |docs|² — the join is corpus-linear at
+    * any skew. Per-source totals ride a broadcast (|sources| rows).
+    *
+    * Output: (src_a, src_b, shared_fingerprints, n_a, n_b, overlap)
+    * for src_a < src_b, round-6 overlap.
+    */
+  def crossSourceOverlap(docs: DataFrame, idCol: String, textCol: String,
+                         srcCol: String, k: Int = 5, w: Int = 4,
+                         roundTo: Int = 6): DataFrame = {
+    val fps = Par.persistTracked(
+      docs.select(col(srcCol).as("__src"),
+          explode(Text.winnow(col(textCol), k, w, Text.portableHash60)).as("__fp"))
+        .distinct())
+    val totals = fps.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
+    val pairs = fps.select(col("__src").as("src_a"), col("__fp"))
+      .join(fps.select(col("__src").as("src_b"), col("__fp")), Seq("__fp"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+    pairs
+      .join(broadcast(totals.select(col("__src").as("src_a"),
+        col("__n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(totals.select(col("__src").as("src_b"),
+        col("__n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared_fingerprints"),
+        col("n_a"), col("n_b"),
+        round(col("shared_fingerprints").cast("double")
+          / least(col("n_a"), col("n_b")).cast("double"), roundTo)
+          .as("overlap"))
+  }
 }

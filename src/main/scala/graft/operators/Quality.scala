@@ -2291,4 +2291,55 @@ object Quality {
         round(d(col("__qsum")) / (d(col("n")) * lit(1.0e12)), roundTo)
           .as("brier"))
   }
+
+  /** Embedding-column health audit (r14) — the DQ gate an ANN /
+    * near-dup pipeline runs BEFORE trusting a vector column: one
+    * grouped aggregate over the corpus reporting, per group,
+    *  - `n_vecs`, `dim_min`/`dim_max` (a ragged column breaks every
+    *    dot-product kernel downstream — equal min/max is the
+    *    contract),
+    *  - `n_null`, `n_nonfinite` (any NaN/±Inf component — poisons
+    *    cosine silently), `n_zero` (zero-norm vectors divide by zero
+    *    in cosine; they must be quarantined, not scored),
+    *  - norm stats: `norm_min`/`norm_max` (order-free) and
+    *    `norm_avg` via r6-scaled INTEGER summation (a double sum
+    *    across partitions is order-dependent; the fixed-point sum is
+    *    exact, the model_calibration discipline).
+    *
+    * Pure map + one partial-agged exchange on the group key — scan
+    * speed at 100 TB, no vector ever shuffles (only the per-row
+    * scalars do).
+    */
+  def embeddingHealth(df: DataFrame, groupCol: String, vecCol: String,
+                      roundTo: Int = 6): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val v = col(vecCol)
+    val bad = exists(v, x => isnan(x) || abs(x) > lit(Float.MaxValue))
+    val norm2 = graft.functions.Vectors.dot(v, v)
+    val normE6 = when(v.isNull || bad, lit(null))
+      .otherwise(round(sqrt(norm2) * lit(1000000.0)).cast("long"))
+    df.select(col(groupCol),
+        v.isNull.cast("long").as("__null"),
+        when(v.isNull, lit(null)).otherwise(size(v).cast("long")).as("__dim"),
+        when(v.isNull, lit(0L))
+          .otherwise(bad.cast("long")).as("__bad"),
+        when(v.isNull || bad, lit(0L))
+          .otherwise((norm2 === 0.0).cast("long")).as("__zero"),
+        normE6.as("__n6"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("__null")).as("n_null"),
+        min(col("__dim")).as("dim_min"), max(col("__dim")).as("dim_max"),
+        sum(col("__bad")).as("n_nonfinite"),
+        sum(col("__zero")).as("n_zero"),
+        min(col("__n6")).as("__nmin"), max(col("__n6")).as("__nmax"),
+        sum(col("__n6")).as("__nsum"),
+        count(col("__n6")).as("__nn"))
+      .select(col(groupCol), col("n_vecs"), col("n_null"),
+        col("dim_min"), col("dim_max"), col("n_nonfinite"), col("n_zero"),
+        round(d(col("__nmin")) / 1000000.0, roundTo).as("norm_min"),
+        round(d(col("__nmax")) / 1000000.0, roundTo).as("norm_max"),
+        round(d(col("__nsum")) / (lit(1000000.0) * d(col("__nn"))), roundTo)
+          .as("norm_avg"))
+  }
 }

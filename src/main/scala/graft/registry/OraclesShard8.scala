@@ -594,6 +594,89 @@ private[graft] object OraclesShard8 {
          FROM w2, n GROUP BY term, n.n
          HAVING count(*) * 257 > n.n
          ORDER BY term""",
+
+    // cross-source duplication matrix: winnow fingerprints replayed
+    // (the doc_winnow_md5 machinery), (source, fp) distinct, pair
+    // counts + Szymkiewicz–Simpson overlap
+    "dedup_source_matrix" ->
+      s"""WITH fp AS (
+           SELECT doc_id, unnest(sel) AS fp FROM (${winnowSql(5, 4)})
+         ), sf AS MATERIALIZED (
+           SELECT DISTINCT d.source, f.fp
+           FROM fp f JOIN documents d USING (doc_id)
+         ), tot AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n
+           FROM sf GROUP BY source)
+         SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS shared_fingerprints,
+           ta.n AS n_a, tb.n AS n_b,
+           round(CAST(count(*) AS DOUBLE)
+             / CAST(least(ta.n, tb.n) AS DOUBLE), 6) AS overlap
+         FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
+         JOIN tot ta ON ta.source = a.source
+         JOIN tot tb ON tb.source = b.source
+         GROUP BY 1, 2, ta.n, tb.n
+         ORDER BY src_a, src_b""",
+
+    // embedding health replay: same NaN/Inf screen, same index-order
+    // double dot, same r6-scaled integer norm sums
+    "emb_health" ->
+      """WITH v AS (
+           SELECT label,
+             (embedding IS NULL) AS isn,
+             CASE WHEN embedding IS NULL THEN NULL
+               ELSE CAST(len(embedding) AS BIGINT) END AS dim,
+             CASE WHEN embedding IS NULL THEN 0
+               WHEN len(list_filter(embedding,
+                 x -> isnan(x) OR isinf(x))) > 0 THEN 1 ELSE 0 END AS bad,
+             CASE WHEN embedding IS NULL THEN NULL
+               ELSE list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) END AS n2
+           FROM embeddings
+         ), x AS (
+           SELECT label, isn, dim, bad,
+             CASE WHEN isn OR bad = 1 THEN 0
+               WHEN n2 = 0 THEN 1 ELSE 0 END AS zero,
+             CASE WHEN isn OR bad = 1 THEN NULL
+               ELSE CAST(round(sqrt(n2) * 1000000.0) AS BIGINT) END AS n6
+           FROM v)
+         SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN isn THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           min(dim) AS dim_min, max(dim) AS dim_max,
+           CAST(sum(bad) AS BIGINT) AS n_nonfinite,
+           CAST(sum(zero) AS BIGINT) AS n_zero,
+           round(CAST(min(n6) AS DOUBLE) / 1000000.0, 6) AS norm_min,
+           round(CAST(max(n6) AS DOUBLE) / 1000000.0, 6) AS norm_max,
+           round(CAST(sum(n6) AS DOUBLE)
+             / (1000000.0 * CAST(count(n6) AS DOUBLE)), 6) AS norm_avg
+         FROM x GROUP BY label ORDER BY label""",
+
+    // tokenizer fertility replay: the doc_token_count word/BPE-proxy
+    // expressions rolled up per source, two round-6 divisions
+    "corpus_fertility" ->
+      """WITH t AS (
+           SELECT source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE CAST(len(string_split_regex(trim(text), '\s+'))
+                 AS BIGINT) END AS nw,
+             CAST(coalesce(list_sum(list_transform(
+                 regexp_extract_all(text, '[A-Za-z0-9]+'),
+                 w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
+               + length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+               AS BIGINT) AS nt,
+             CAST(length(text) AS BIGINT) AS nc
+           FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nw) AS BIGINT) AS n_words,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           CAST(sum(nc) AS BIGINT) AS n_chars,
+           round(CASE WHEN sum(nw) > 0 THEN
+             CAST(sum(nt) AS DOUBLE) / CAST(sum(nw) AS DOUBLE) END, 6)
+             AS fertility,
+           round(CASE WHEN sum(nt) > 0 THEN
+             CAST(sum(nc) AS DOUBLE) / CAST(sum(nt) AS DOUBLE) END, 6)
+             AS chars_per_token
+         FROM t GROUP BY source ORDER BY source""",
   )
 
   /** The SRM replay shared by the batch key and its streaming-monitor

@@ -68,4 +68,37 @@ class BpeSpec extends SparkSuite {
       Seq("low", "</w>"),
       Seq("n", "e", "w", "er</w>")))
   }
+
+  test("encodeCounts equals the per-occurrence encode fold (word-type path is a pure rewrite)") {
+    // repeated words exercise the memoized-type path; multi-space and
+    // trailing whitespace exercise the non-empty-word contract
+    val merges = Seq(("e", "r"), ("er", "</w>"), ("l", "o"), ("lo", "w"))
+    val docs = Seq(
+      (1L, "low low newer  low"),
+      (2L, "newer wider newer "),
+      (3L, "er")
+    ).toDF("doc_id", "text")
+    val got = Bpe.encodeCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    // reference: the per-occurrence fold, empty split tokens dropped
+    // on the RAW word (a real word can legitimately merge down to one
+    // symbol — "er" → [er</w>] — so encoded size can't stand in for
+    // emptiness)
+    val ref = docs
+      .select(col("doc_id"),
+        split(graft.functions.Text.normalize(col("text")), " ").as("ws"),
+        Bpe.encode(col("text"), merges).as("t"))
+      .select(col("doc_id"),
+        size(filter(col("ws"), w => length(w) > 0)).cast("long").as("nw"),
+        aggregate(zip_with(col("ws"), col("t"), (w, enc) =>
+            when(length(w) > 0, size(enc)).otherwise(lit(0))),
+          lit(0L), (acc, x) => acc + x).as("nt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(got === ref)
+    // hand check: "low"→[low,</w>]=2, "newer"→[n,e,w,er</w>]=4,
+    // "wider"→[w,i,d,er</w>]=4, "er"→[er</w>]... er then er</w>: 1
+    assert(got === Seq((1L, 4L, 10L), (2L, 3L, 12L), (3L, 1L, 1L)))
+  }
 }

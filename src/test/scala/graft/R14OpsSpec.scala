@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Geo
+import graft.operators.{Dedup, Geo, Quality}
 import org.apache.spark.sql.functions._
 
 class R14OpsSpec extends SparkSuite {
@@ -58,5 +58,75 @@ class R14OpsSpec extends SparkSuite {
       .toSeq.sorted
     assert(got === brute)
     assert(got.contains((99L, 199L, 2401L))) // cross-cell boundary pair survives the salt
+  }
+
+  // ---- Dedup.crossSourceOverlap ----
+
+  test("crossSourceOverlap: shared runs count once per source pair, overlap is containment-style") {
+    // sources: a and b share one long run (>= k+w-1 = 8 words); c is disjoint.
+    // mirror source m duplicates a's doc exactly -> overlap(a, m) = 1.0
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"$run lambda mu nu", "a"),
+      (2L, s"prefix words here $run", "b"),
+      (3L, "totally different content with nothing shared at all here", "c"),
+      (4L, s"$run lambda mu nu", "m")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.crossSourceOverlap(docs, "doc_id", "text", "source")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(5))).toMap
+    // winnowing guarantee: a shared >=8-word run yields >=1 common fingerprint
+    assert(out.contains(("a", "b")) && out(("a", "b"))._1 >= 1)
+    // identical docs -> identical fingerprint sets -> overlap 1.0
+    assert(out(("a", "m"))._2 === 1.0)
+    assert(out(("b", "m"))._1 === out(("a", "b"))._1) // m mirrors a exactly
+    // disjoint source never pairs
+    assert(!out.keys.exists { case (x, y) => x == "c" || y == "c" })
+    // canonical ordering: src_a < src_b always
+    assert(out.keys.forall { case (x, y) => x < y })
+  }
+
+  // ---- Quality.embeddingHealth ----
+
+  test("embeddingHealth: nulls, ragged dims, NaN/Inf, zero vectors, and exact norm stats") {
+    val rows: Seq[(Long, Option[Seq[Float]])] = Seq(
+      (0L, Some(Seq(3f, 4f))),                     // norm 5
+      (0L, Some(Seq(0f, 0f))),                     // zero vector
+      (0L, Some(Seq(Float.NaN, 1f))),              // non-finite
+      (0L, None),                                  // null
+      (1L, Some(Seq(1f, 0f, 0f))),                 // dim 3, norm 1
+      (1L, Some(Seq(Float.PositiveInfinity, 0f, 0f))) // non-finite
+    )
+    val df = rows.toDF("label", "embedding")
+    val out = Quality.embeddingHealth(df, "label", "embedding")
+      .orderBy(col("label")).collect()
+    val g0 = out(0)
+    assert(g0.getLong(1) === 4L)      // n_vecs
+    assert(g0.getLong(2) === 1L)      // n_null
+    assert(g0.getLong(3) === 2L && g0.getLong(4) === 2L) // dims
+    assert(g0.getLong(5) === 1L)      // n_nonfinite
+    assert(g0.getLong(6) === 1L)      // n_zero
+    assert(g0.getDouble(7) === 0.0)   // norm_min (the zero vector)
+    assert(g0.getDouble(8) === 5.0)   // norm_max
+    assert(g0.getDouble(9) === 2.5)   // norm_avg over the 2 finite vecs
+    val g1 = out(1)
+    assert(g1.getLong(3) === 3L && g1.getLong(5) === 1L)
+    assert(g1.getDouble(9) === 1.0)   // only the unit vector has a norm
+  }
+
+  // ---- Text.tokenFertility ----
+
+  test("tokenFertility: hand-computed words/tokens/chars per source") {
+    // "hello world" -> 2 words; BPE proxy: ceil(5/4)*2 = 4 tokens; 11 chars
+    // "a b!" -> 2 words; tokens: 1 + 1 + punct 1 = 3; 4 chars
+    val docs = Seq((1L, "hello world", "x"), (2L, "a b!", "y"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.functions.Text.tokenFertility(docs, "source", "text")
+      .orderBy(col("source")).collect()
+    assert(out(0).getString(0) === "x" && out(0).getLong(2) === 2L &&
+      out(0).getLong(3) === 4L && out(0).getLong(4) === 11L &&
+      out(0).getDouble(5) === 2.0 && out(0).getDouble(6) === 2.75)
+    assert(out(1).getLong(3) === 3L && out(1).getDouble(5) === 1.5)
   }
 }
