@@ -82,6 +82,19 @@ object SparkEntry {
                      FROM lab GROUP BY comp)
             SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
             FROM sz GROUP BY cluster_size ORDER BY cluster_size""") +
+      // RRF fuses the two graded rankers — their oracles verbatim as
+      // CTEs, then the same exact-integer 1e6-scaled fusion terms
+      ("search_rrf_fusion" ->
+        s"""WITH b AS (${base("corpus_bm25_topk")}),
+              t AS (${base("corpus_tfidf_topk")}),
+              f AS (SELECT coalesce(b.doc_id, t.doc_id) AS doc_id,
+                CAST(coalesce(1000000 // (60 + b.rank), 0)
+                  + coalesce(1000000 // (60 + t.rank), 0) AS BIGINT)
+                  AS rrf6
+                FROM b FULL OUTER JOIN t ON b.doc_id = t.doc_id)
+            SELECT CAST(row_number() OVER (ORDER BY rrf6 DESC, doc_id)
+              AS BIGINT) AS rank, doc_id, rrf6
+            FROM f ORDER BY rank""") +
       // the packing scorecard is a pure rollup of the serial FFD
       // replay — the recursive CTE as a subquery, grouped per bin
       ("doc_pack_stats" ->

@@ -1166,6 +1166,131 @@ object Text {
         round(d(col("__c6") + col("__a6")) / lit(1000000.0), 6).as("jsd"))
   }
 
+  /** Minimal HTML escaping for round-trip synthesis: `&` first so
+    * escaping never double-fires, then the angle brackets. */
+  def htmlEscape(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+
+  /** HTML → text extraction (r14) — the FIRST step of every
+    * web-corpus curation pipeline (trafilatura/jusText's core
+    * mechanics, reduced to the deterministic engine-portable
+    * subset): script/style/comment blocks dropped WITH their
+    * content, every remaining tag replaced by a space (block
+    * boundaries must not glue words), the five standard entities
+    * decoded (`&amp;` last, so `&amp;lt;` correctly yields `&lt;`),
+    * whitespace collapsed. A fixed chain of codegen'd
+    * `regexp_replace` — pure per-row map, scan-speed at 100 TB, and
+    * every pattern is shared Java-regex/RE2 syntax so the chain
+    * replays verbatim in the oracle engine.
+    */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val e1 = regexp_replace(noTags, "&nbsp;", " ")
+    val e2 = regexp_replace(e1, "&lt;", "<")
+    val e3 = regexp_replace(e2, "&gt;", ">")
+    val e4 = regexp_replace(e3, "&quot;", "\"")
+    val e5 = regexp_replace(e4, "&#39;", "'")
+    val e6 = regexp_replace(e5, "&amp;", "&")
+    trim(regexp_replace(e6, "\\s+", " "))
+  }
+
+  /** Mojibake (encoding-damage) screen (r14) — the UTF-8-read-as-
+    * Latin-1/cp1252 double-decode every web crawl carries (ftfy's
+    * target class): per doc, the count of the classic damage
+    * sequences ("Ã©"-family two-byte smears, "â€™"-family three-byte
+    * punctuation smears, "Â " no-break-space smear, U+FFFD
+    * replacement chars) and a boolean verdict. One codegen'd
+    * `regexp_count` of a literal alternation — per-row map,
+    * scan-speed, byte-identical in any regex engine.
+    */
+  def mojibakeScan(text: Column): Column =
+    regexp_count(text, lit(MojibakePattern)).cast("long")
+
+  /** The literal damage-sequence alternation, shared with the oracle
+    * SQL so both engines count the same set. */
+  val MojibakePattern: String =
+    "Ã[-¿]|â€[™œ¦“]|" +
+      "Â |�"
+
+  /** Deterministic damage SAMPLE for round-trip synthesis (the
+    * multimodal discipline): appended to selected docs by the graded
+    * key and replayed verbatim in the oracle SQL. Built from code
+    * points so the sample and the pattern can never drift apart in
+    * an editor: one two-byte smear (\u00c3\u00a9), three
+    * punctuation smears, one NBSP smear, one replacement char.
+    */
+  val MojibakeSample: String =
+    " caf\u00C3\u00A9 don\u00E2\u20AC\u2122t \u00E2\u20AC\u201Csmear\u00E2\u20AC\u009D \u00C2\u00A0x \uFFFD"
+
+  /** Code-switching / mixed-language screen (r14) — the curation
+    * signal [[langId]]'s argmax hides: a doc whose stopword hits
+    * split across two languages (interleaved translations, quoted
+    * foreign passages, boilerplate in a second tongue) gets a
+    * confident argmax but poisons monolingual training. Per doc:
+    * hits per language (the [[langId]] lists), the top and
+    * second-best hit counts, how many languages hit at all, the
+    * round-6 second/top ratio, and a `mixed` verdict (second within
+    * 3× of top). Pure per-row array expressions over one scan —
+    * zero shuffle, integer counts, engine-portable.
+    */
+  def langMix(docs: DataFrame, idCol: String, textCol: String,
+              roundTo: Int = 6): DataFrame = {
+    val langs = Seq("en" -> StopwordsEn, "fr" -> StopwordsFr,
+      "de" -> StopwordsDe, "es" -> StopwordsEs, "zh" -> StopwordsZh)
+    val hitCols = langs.map { case (l, ws) =>
+      stopwordHits(col(textCol), ws).as(s"hits_$l") }
+    val arr = array(langs.map { case (l, _) => col(s"hits_$l") }: _*)
+    val sorted = sort_array(arr, asc = false)
+    docs.select((col(idCol) +: hitCols): _*)
+      .select(col(idCol),
+        element_at(sorted, 1).as("top_hits"),
+        element_at(sorted, 2).as("second_hits"),
+        size(filter(arr, h => h > 0)).cast("long").as("n_langs_hit"))
+      .select(col(idCol), col("top_hits"), col("second_hits"),
+        col("n_langs_hit"),
+        round(when(col("top_hits") > 0,
+          col("second_hits").cast("double")
+            / col("top_hits").cast("double")), roundTo).as("mix_ratio"),
+        (col("top_hits") > 0
+          && col("second_hits") * 3 >= col("top_hits")).as("mixed"))
+  }
+
+  /** Reciprocal-rank fusion of the BM25 and tf-idf rankings (r14;
+    * Cormack, Clarke & Buettcher SIGIR '09 — the standard
+    * zero-training hybrid-retrieval combiner): fused score =
+    * Σ_rankers 1/(kRrf + rank), here as EXACT integers
+    * (1000000 div (kRrf + rank), two bounded terms per doc — no
+    * float accumulation anywhere), re-ranked by (score desc,
+    * doc_id). Everything after the two top-k cuts is a ≤2k-row
+    * frame, so the fusion window is k-bounded by construction —
+    * never a global sort; at 100 TB the cost is the two rankers,
+    * which stream their own index probes.
+    *
+    * Output: (rank, doc_id, rrf6) — rrf6 the 1e6-scaled integer
+    * fused score.
+    */
+  def rrfFusion(docs: DataFrame, idCol: String, textCol: String,
+                queryTerms: Seq[String], k: Int,
+                kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bm = bm25TopK(docs, idCol, textCol, queryTerms, k)
+      .select(col("doc_id"), col("rank").as("__rb"))
+    val tf = tfidfCosineTopK(docs, idCol, textCol, queryTerms, k)
+      .select(col("doc_id"), col("rank").as("__rt"))
+    bm.join(tf, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(expr(s"1000000 div ($kRrf + __rb)"), lit(0L))
+          + coalesce(expr(s"1000000 div ($kRrf + __rt)"), lit(0L)))
+          .as("rrf6"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf6").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("rrf6"))
+  }
+
   /** Tokenizer-fertility report per source (r14) — the
     * tokens-per-word and chars-per-token ratios a tokenizer team
     * watches per corpus slice: fertility spikes flag sources the

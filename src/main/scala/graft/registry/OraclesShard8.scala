@@ -651,6 +651,97 @@ private[graft] object OraclesShard8 {
              / (1000000.0 * CAST(count(n6) AS DOUBLE)), 6) AS norm_avg
          FROM x GROUP BY label ORDER BY label""",
 
+    // HTML round-trip replay: identical synth (boilerplate + escaped
+    // body) and the identical strip chain — script/style/comment
+    // blocks with content, tags to spaces, entity decode (&amp;
+    // last), whitespace collapse. replace() for the literal entity
+    // swaps, RE2 (?is)/lazy quantifiers for the blocks — the same
+    // patterns Spark's Java regex runs.
+    "doc_html_extract" ->
+      """WITH h AS (
+           SELECT doc_id,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+             || '</title><style>p{color:red}</style>'
+             || '<script>var x=1;</script></head><body>'
+             || '<!-- crawl artifact --><h1>Doc ' || CAST(doc_id AS VARCHAR)
+             || ' &amp; friends</h1><p>'
+             || replace(replace(replace(text,
+                  '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+             || '</p><br/>&nbsp;</body></html>' AS html
+           FROM documents)
+         SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(html,
+                       '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                 '<[^>]+>', ' ', 'g'),
+               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+             '\s+', ' ', 'g')) AS extracted
+         FROM h ORDER BY doc_id""",
+
+    // mojibake round-trip replay: the same corruption sample appended
+    // to the same docs, the same literal damage-sequence alternation
+    // counted (both sides interpolate the ONE Scala constant — the
+    // pattern and the synth can never drift apart)
+    "doc_mojibake" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+               THEN text || '${graft.functions.Text.MojibakeSample}'
+               ELSE text END AS tx
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(tx,
+             '${graft.functions.Text.MojibakePattern}')) AS BIGINT)
+             AS n_mojibake,
+           len(regexp_extract_all(tx,
+             '${graft.functions.Text.MojibakePattern}')) > 0 AS damaged
+         FROM t ORDER BY doc_id""",
+
+    // code-switching replay: per-language stopword occurrence counts
+    // (the lang-ID lists), list-sorted for top/second, round-6 ratio
+    "doc_lang_mix" -> {
+      val langs = Seq(
+        "en" -> graft.functions.Text.StopwordsEn,
+        "fr" -> graft.functions.Text.StopwordsFr,
+        "de" -> graft.functions.Text.StopwordsDe,
+        "es" -> graft.functions.Text.StopwordsEs,
+        "zh" -> graft.functions.Text.StopwordsZh)
+      val hitCols = langs.map { case (l, ws) =>
+        s"""CAST(len(list_filter(words, w -> w IN (${
+          ws.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS hits_$l"""
+      }.mkString(",\n             ")
+      val arr = langs.map { case (l, _) => s"hits_$l" }.mkString(", ")
+      s"""WITH w AS (
+           SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+               ' ') AS words
+           FROM documents
+         ), hx AS (
+           SELECT doc_id,
+             $hitCols
+           FROM w
+         ), sx AS (
+           SELECT doc_id,
+             list_sort([$arr], 'DESC') AS srt,
+             CAST(len(list_filter([$arr], h -> h > 0)) AS BIGINT)
+               AS n_langs_hit
+           FROM hx)
+         SELECT doc_id, srt[1] AS top_hits, srt[2] AS second_hits,
+           n_langs_hit,
+           round(CASE WHEN srt[1] > 0 THEN
+             CAST(srt[2] AS DOUBLE) / CAST(srt[1] AS DOUBLE) END, 6)
+             AS mix_ratio,
+           (srt[1] > 0 AND srt[2] * 3 >= srt[1]) AS mixed
+         FROM sx ORDER BY doc_id"""
+    },
+
     // tokenizer fertility replay: the doc_token_count word/BPE-proxy
     // expressions rolled up per source, two round-6 divisions
     "corpus_fertility" ->

@@ -164,6 +164,59 @@ private[graft] object QueriesShard7 {
       functions.Text.tokenFertility(Tables.documents(s, d), "source", "text")
         .orderBy(col("source"))),
 
+    // ---- HTML → text extraction (r14 wave 3) ----
+    // the FIRST step of web-corpus curation, graded by round-trip
+    // synthesis (the multimodal discipline): each doc is wrapped in
+    // deterministic boilerplate (head/title/style/script/comment,
+    // entity-escaped body) and the extractor must recover the clean
+    // text — script/style content dropped, tags become spaces,
+    // entities decode, whitespace collapses. The oracle replays the
+    // identical synth + strip chain.
+    "doc_html_extract" -> ((s, d) => {
+      val esc = functions.Text.htmlEscape(col("text"))
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>p{color:red}</style>"),
+        lit("<script>var x=1;</script></head><body>"),
+        lit("<!-- crawl artifact --><h1>Doc "), col("doc_id").cast("string"),
+        lit(" &amp; friends</h1><p>"), esc,
+        lit("</p><br/>&nbsp;</body></html>"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), functions.Text.stripHtml(html).as("extracted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- mojibake screen (r14 wave 3) ----
+    // encoding-damage detection graded by round-trip synthesis:
+    // every 7th doc gets the deterministic damage sample appended;
+    // the screen must count its smears and flag exactly those docs
+    "doc_mojibake" -> ((s, d) => {
+      val t = when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(functions.Text.MojibakeSample)))
+        .otherwise(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          functions.Text.mojibakeScan(t).as("n_mojibake"),
+          (functions.Text.mojibakeScan(t) > 0).as("damaged"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- code-switching / mixed-language screen (r14 wave 3) ----
+    // the signal lang-ID's argmax hides: stopword hits split across
+    // two languages flag interleaved-translation docs
+    "doc_lang_mix" -> ((s, d) =>
+      functions.Text.langMix(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // ---- reciprocal-rank fusion (r14 wave 3) ----
+    // the zero-training hybrid-retrieval combiner over the two
+    // graded rankers; exact integer 1e6-scaled RRF terms, k-bounded
+    // fusion window
+    "search_rrf_fusion" -> ((s, d) =>
+      functions.Text.rrfFusion(Tables.documents(s, d), "doc_id", "text",
+          queryTerms = Seq("spark", "hash", "join"), k = 50)
+        .orderBy(col("rank"))),
+
     // ---- packing efficiency scorecard (r14 wave 2) ----
     // per-bin rollup of the serial FFD twin: n_docs, token mass, and
     // padding waste per 2048-token bin — THE packing metric; grades

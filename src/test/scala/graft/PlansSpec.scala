@@ -82,6 +82,9 @@ class PlansSpec extends SparkSuite {
       // to the exact counts the same way (scalar join; the heavy
       // filter rides the join condition) — 1 row at any SF
       "corpus_top_terms_guarantee",
+      // RRF runs both rankers, inheriting bm25's and tfidf's 1-row
+      // corpus-stats scalar joins
+      "search_rrf_fusion",
       // search_ndcg evaluates ON corpus_bm25_topk's ranking, so it
       // inherits the same 1-row corpus-stats scalar join
       "search_ndcg",

@@ -115,6 +115,90 @@ class R14OpsSpec extends SparkSuite {
     assert(g1.getDouble(9) === 1.0)   // only the unit vector has a norm
   }
 
+  // ---- Text.stripHtml ----
+
+  test("stripHtml: blocks drop with content, tags become spaces, entities decode in safe order") {
+    val cases = Seq(
+      ("<p>a</p><p>b</p>", "a b"),                       // tags must not glue words
+      ("<script>var a = '<p>x</p>';</script>keep", "keep"), // script content (with tags!) gone
+      ("<style>p{}</style><STYLE>x</STYLE>ok", "ok"),    // case-insensitive
+      ("<!-- <b>c</b> -->d", "d"),                       // comments with tags inside
+      ("a &amp;lt; b", "a &lt; b"),                      // &amp; decodes LAST -> literal "&lt;"
+      ("x&nbsp;y &quot;z&quot; &#39;w&#39;", "x y \"z\" 'w'"),
+      ("  a \n\t b  ", "a b"))                           // whitespace collapse + trim
+    cases.foreach { case (in, want) =>
+      val got = Seq(in).toDF("h")
+        .select(graft.functions.Text.stripHtml(col("h")))
+        .collect()(0).getString(0)
+      assert(got === want, s"input: $in")
+    }
+  }
+
+  test("stripHtml round-trips an escaped body through the synthesis wrapper") {
+    val body = "5 < 6 & \"seven\" > 4"
+    val df = Seq(body).toDF("text")
+    val esc = graft.functions.Text.htmlEscape(col("text"))
+    val html = concat(lit("<html><body><p>"), esc, lit("</p></body></html>"))
+    val got = df.select(graft.functions.Text.stripHtml(html))
+      .collect()(0).getString(0)
+    assert(got === body)
+  }
+
+  // ---- Text.mojibakeScan ----
+
+  test("mojibakeScan: the shared damage sample counts its six smears; clean ASCII counts zero") {
+    val n = Seq(graft.functions.Text.MojibakeSample).toDF("t")
+      .select(graft.functions.Text.mojibakeScan(col("t")))
+      .collect()(0).getLong(0)
+    assert(n === 6L)
+    val clean = Seq("plain ascii text, no damage at all.").toDF("t")
+      .select(graft.functions.Text.mojibakeScan(col("t")))
+      .collect()(0).getLong(0)
+    assert(clean === 0L)
+  }
+
+  // ---- Text.langMix ----
+
+  test("langMix: split-language doc flags mixed, monolingual doc does not, no-hit doc is null-ratio") {
+    val docs = Seq(
+      (1L, "the cat and the dog for the win"),          // en-only
+      (2L, "the cat und der hund und die for to"),      // en + de interleaved
+      (3L, "zzz qqq xxx")                               // no stopwords at all
+    ).toDF("doc_id", "text")
+    val out = graft.functions.Text.langMix(docs, "doc_id", "text")
+      .orderBy(col("doc_id")).collect()
+    assert(out(0).getBoolean(5) === false)     // en-only: second lang far below top
+    assert(out(1).getBoolean(5) === true)      // split doc flags
+    assert(out(1).getLong(3) >= 2L)            // at least two languages hit
+    assert(out(2).getLong(1) === 0L && out(2).isNullAt(4)) // no hits -> null ratio
+    assert(out(2).getBoolean(5) === false)
+  }
+
+  // ---- Text.rrfFusion ----
+
+  test("rrfFusion: integer RRF terms, union of rankers, deterministic rank order") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val qts = Seq("spark", "hash", "join")
+    val fused = graft.functions.Text.rrfFusion(docs, "doc_id", "text", qts, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bm = graft.functions.Text.bm25TopK(docs, "doc_id", "text", qts, k = 20)
+      .collect().map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    val tf = graft.functions.Text.tfidfCosineTopK(docs, "doc_id", "text", qts, k = 20)
+      .collect().map(r => r.getLong(1) -> r.getInt(0).toLong).toMap
+    assert(fused.map(_._2).toSet === (bm.keySet ++ tf.keySet))
+    fused.foreach { case (_, id, rrf6) =>
+      val want = bm.get(id).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        tf.get(id).map(r => 1000000L / (60 + r)).getOrElse(0L)
+      assert(rrf6 === want, s"doc $id")
+    }
+    // ranks are 1..n in fused-score order with doc_id tie-break
+    val sorted = fused.sortBy { case (rank, _, _) => rank }
+    assert(sorted.map(_._1).toSeq === (1L to fused.length).toSeq)
+    sorted.sliding(2).foreach { case Array((_, idA, sA), (_, idB, sB)) =>
+      assert(sA > sB || (sA == sB && idA < idB))
+    }
+  }
+
   // ---- Text.tokenFertility ----
 
   test("tokenFertility: hand-computed words/tokens/chars per source") {
