@@ -82,6 +82,36 @@ object SparkEntry {
                      FROM lab GROUP BY comp)
             SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
             FROM sz GROUP BY cluster_size ORDER BY cluster_size""") +
+      // the incremental source-matrix fold is a distinct-union of the
+      // stored and batch fingerprint sets — provably the full
+      // recompute's input, so the full-matrix oracle verbatim
+      ("dedup_source_matrix_incr" -> base("dedup_source_matrix")) +
+      // token savings compose the components labeling (its recursive
+      // oracle as a CTE) with the BPE-proxy token counts
+      ("dedup_savings" ->
+        s"""WITH lab AS (${base("dedup_components")}),
+              tok AS (
+                SELECT doc_id, source,
+                  CAST(coalesce(list_sum(list_transform(
+                      regexp_extract_all(text, '[A-Za-z0-9]+'),
+                      w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
+                    + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                    AS BIGINT) AS nt
+                FROM documents),
+              l2 AS (
+                SELECT t.doc_id, t.source, t.nt,
+                  coalesce(l.comp, t.doc_id) AS comp
+                FROM tok t LEFT JOIN lab l ON l.id = t.doc_id),
+              keep AS (SELECT comp, min(doc_id) AS keep_id
+                       FROM l2 GROUP BY comp)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+              CAST(sum(nt) AS BIGINT) AS tokens_total,
+              CAST(sum(CASE WHEN doc_id = keep_id THEN nt ELSE 0 END)
+                AS BIGINT) AS tokens_kept
+            FROM l2 JOIN keep USING (comp)
+            GROUP BY source ORDER BY source""") +
       // RRF fuses the two graded rankers — their oracles verbatim as
       // CTEs, then the same exact-integer 1e6-scaled fusion terms
       ("search_rrf_fusion" ->

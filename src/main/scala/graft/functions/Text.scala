@@ -1166,6 +1166,41 @@ object Text {
         round(d(col("__c6") + col("__a6")) / lit(1000000.0), 6).as("jsd"))
   }
 
+  /** N-gram diversity per source (r14 wave 4) — the templated-corpus
+    * screen self-BLEU approximates: distinct/total n-gram ratios at
+    * n = 1, 2, 3 per corpus slice. A crawler loop or a mail-merge
+    * source repeats the same trigrams endlessly, so its trigram
+    * diversity collapses while word-level ratios still look normal
+    * (the corpus-level sibling of the per-doc
+    * [[ngramRepetition]]). Sub-n-word docs contribute their single
+    * whole-text shingle (the [[shingles]] convention, replayed
+    * identically in the oracle).
+    *
+    * Shape: one explode per n over the scan, one grouped
+    * count + count-distinct per (source, n). The distinct side
+    * shuffles one partial per distinct (source, n-gram) — the exact
+    * [[topTerms]] class; at 100 TB swap in a per-source HLL for the
+    * distinct term (the dq_profile_approx discipline) if the
+    * vocabulary shuffle dominates.
+    */
+  def ngramDiversity(docs: DataFrame, srcCol: String, textCol: String,
+                     ns: Seq[Int] = Seq(1, 2, 3),
+                     roundTo: Int = 6): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be positive")
+    val d = (c: Column) => c.cast("double")
+    val perN = ns.map { n =>
+      docs.select(col(srcCol).as("source"), lit(n).as("n"),
+        explode(shinglesWithDuplicates(col(textCol), n)).as("__g"))
+    }.reduce(_ unionByName _)
+    perN.groupBy(col("source"), col("n"))
+      .agg(count(lit(1)).as("total_ngrams"),
+        countDistinct(col("__g")).as("distinct_ngrams"))
+      .select(col("source"), col("n").cast("long").as("n"),
+        col("total_ngrams"), col("distinct_ngrams"),
+        round(d(col("distinct_ngrams")) / d(col("total_ngrams")), roundTo)
+          .as("diversity"))
+  }
+
   /** Minimal HTML escaping for round-trip synthesis: `&` first so
     * escaping never double-fires, then the angle brackets. */
   def htmlEscape(c: Column): Column =

@@ -1742,21 +1742,56 @@ object Dedup {
     */
   def crossSourceOverlap(docs: DataFrame, idCol: String, textCol: String,
                          srcCol: String, k: Int = 5, w: Int = 4,
-                         roundTo: Int = 6): DataFrame = {
-    val fps = Par.persistTracked(
-      docs.select(col(srcCol).as("__src"),
-          explode(Text.winnow(col(textCol), k, w, Text.portableHash60)).as("__fp"))
-        .distinct())
-    val totals = fps.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
-    val pairs = fps.select(col("__src").as("src_a"), col("__fp"))
-      .join(fps.select(col("__src").as("src_b"), col("__fp")), Seq("__fp"))
+                         roundTo: Int = 6): DataFrame =
+    overlapFromFps(
+      sourceFingerprintFrame(docs, idCol, textCol, srcCol, k, w), roundTo)
+
+  /** The maintained (source, fingerprint) index frame behind
+    * [[crossSourceOverlap]] — the state a daily pipeline persists:
+    * distinct winnow fingerprints per source. Appending a day's
+    * frame and re-distincting IS the index maintenance (set union);
+    * the expensive half — shingling + winnowing the text — runs on
+    * the DELTA only.
+    */
+  def sourceFingerprintFrame(docs: DataFrame, idCol: String,
+                             textCol: String, srcCol: String,
+                             k: Int = 5, w: Int = 4): DataFrame =
+    docs.select(col(srcCol).as("source"),
+        explode(Text.winnow(col(textCol), k, w, Text.portableHash60))
+          .as("fp"))
+      .distinct()
+
+  /** Incremental twin of [[crossSourceOverlap]] (the daily-delta
+    * form): yesterday's maintained (source, fp) set unions the
+    * batch's freshly-winnowed frame — a distinct-union, so the fold
+    * is PROVABLY the full recompute's input set and the matrix
+    * grades against the full oracle verbatim. At 100 TB the saving
+    * is the text pass: only the delta is shingled/winnowed; the
+    * pair-count join runs over fingerprint SETS, which are orders
+    * smaller than corpus text.
+    */
+  def crossSourceOverlapIncremental(storedFps: DataFrame, batch: DataFrame,
+                                    idCol: String, textCol: String,
+                                    srcCol: String, k: Int = 5, w: Int = 4,
+                                    roundTo: Int = 6): DataFrame =
+    overlapFromFps(
+      storedFps.select(col("source"), col("fp"))
+        .unionByName(
+          sourceFingerprintFrame(batch, idCol, textCol, srcCol, k, w))
+        .distinct(), roundTo)
+
+  private def overlapFromFps(fpsIn: DataFrame, roundTo: Int): DataFrame = {
+    val fps = Par.persistTracked(fpsIn)
+    val totals = fps.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+    val pairs = fps.select(col("source").as("src_a"), col("fp"))
+      .join(fps.select(col("source").as("src_b"), col("fp")), Seq("fp"))
       .filter(col("src_a") < col("src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("shared_fingerprints"))
     pairs
-      .join(broadcast(totals.select(col("__src").as("src_a"),
+      .join(broadcast(totals.select(col("source").as("src_a"),
         col("__n").as("n_a"))), Seq("src_a"))
-      .join(broadcast(totals.select(col("__src").as("src_b"),
+      .join(broadcast(totals.select(col("source").as("src_b"),
         col("__n").as("n_b"))), Seq("src_b"))
       .select(col("src_a"), col("src_b"), col("shared_fingerprints"),
         col("n_a"), col("n_b"),

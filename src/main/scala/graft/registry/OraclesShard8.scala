@@ -742,6 +742,32 @@ private[graft] object OraclesShard8 {
          FROM sx ORDER BY doc_id"""
     },
 
+    // n-gram diversity replay: the gramsSql shingle convention
+    // (sub-n docs -> one whole-text shingle) per source, one
+    // count/count-distinct rollup per n
+    "corpus_ngram_diversity" -> {
+      val blocks = Seq(1, 2, 3).map { n =>
+        s"""SELECT source, CAST($n AS BIGINT) AS n,
+              unnest(CASE WHEN len(ws) < $n THEN [array_to_string(ws, ' ')]
+                ELSE [array_to_string(ws[i+1:i+$n], ' ')
+                      for i in range(0, len(ws) - $n + 1)] END) AS g
+            FROM base"""
+      }.mkString("\n           UNION ALL\n           ")
+      s"""WITH base AS MATERIALIZED (
+           SELECT source,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+               ' ') AS ws
+           FROM documents
+         ), gn AS (
+           $blocks
+         )
+         SELECT source, n, CAST(count(*) AS BIGINT) AS total_ngrams,
+           CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+           round(CAST(count(DISTINCT g) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS diversity
+         FROM gn GROUP BY source, n ORDER BY source, n"""
+    },
+
     // tokenizer fertility replay: the doc_token_count word/BPE-proxy
     // expressions rolled up per source, two round-6 divisions
     "corpus_fertility" ->

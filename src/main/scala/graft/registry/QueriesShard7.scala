@@ -217,6 +217,61 @@ private[graft] object QueriesShard7 {
           queryTerms = Seq("spark", "hash", "join"), k = 50)
         .orderBy(col("rank"))),
 
+    // ---- incremental cross-source matrix (r14 wave 4) ----
+    // the daily-delta fold: yesterday's maintained (source, fp) set
+    // (memoized store — only the batch is shingled/winnowed) unions
+    // the batch frame; distinct-union makes the fold PROVABLY the
+    // full recompute, so it grades against the full oracle verbatim
+    "dedup_source_matrix_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val store = graft.Stores.cached(s"srcfp:$d") { dir =>
+        Dedup.sourceFingerprintFrame(docs.filter(col("doc_id") < 250),
+            "doc_id", "text", "source")
+          .write.parquet(dir + "/t")
+      } + "/t"
+      Dedup.crossSourceOverlapIncremental(s.read.parquet(store),
+          docs.filter(col("doc_id") >= 250), "doc_id", "text", "source")
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // ---- dedup token-savings estimate (r14 wave 4) ----
+    // "what does near-dup dedup buy us": per source, docs/tokens
+    // before vs after keep-lowest-id-per-cluster — the number a
+    // curation team actually reports. Composes the graded components
+    // labeling with the BPE-proxy token counts; singletons are their
+    // own cluster
+    "dedup_savings" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labels = Dedup.connectedComponents(
+        Dedup.ngramJaccard(docs, "doc_id", "text",
+          n = 3, threshold = 0.5, maxDocFreq = 1000))
+      val toks = docs.select(col("doc_id"), col("source"),
+        functions.Text.tokenCountBpe(col("text")).as("__nt"))
+      val labeled = toks.join(labels.withColumnRenamed("id", "doc_id"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("__nt"),
+          coalesce(col("comp"), col("doc_id")).as("comp"))
+      val keep = labeled.groupBy(col("comp"))
+        .agg(min(col("doc_id")).as("__keep"))
+      labeled.join(keep, Seq("comp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("doc_id") =!= col("__keep")).cast("long"))
+            .as("n_dropped"),
+          sum(col("__nt")).as("tokens_total"),
+          sum(when(col("doc_id") === col("__keep"), col("__nt"))
+            .otherwise(lit(0L))).as("tokens_kept"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- n-gram diversity per source (r14 wave 4) ----
+    // distinct/total n-gram ratios at n=1,2,3 — the templated-corpus
+    // screen; trigram diversity collapses on looped content whose
+    // word ratios look normal
+    "corpus_ngram_diversity" -> ((s, d) =>
+      functions.Text.ngramDiversity(Tables.documents(s, d), "source", "text")
+        .orderBy(col("source"), col("n"))),
+
     // ---- packing efficiency scorecard (r14 wave 2) ----
     // per-bin rollup of the serial FFD twin: n_docs, token mass, and
     // padding waste per 2048-token bin — THE packing metric; grades

@@ -87,6 +87,26 @@ class R14OpsSpec extends SparkSuite {
     assert(out.keys.forall { case (x, y) => x < y })
   }
 
+  test("crossSourceOverlapIncremental: stored-set fold equals the full recompute") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"$run lambda mu nu", "a"),
+      (2L, s"prefix words here $run", "b"),
+      (3L, s"$run lambda mu nu", "m"),
+      (4L, s"another shared tail $run", "b"),
+      (5L, "fresh disjoint content that matches nothing else at all", "a")
+    ).toDF("doc_id", "text", "source")
+    val full = Dedup.crossSourceOverlap(docs, "doc_id", "text", "source")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val stored = Dedup.sourceFingerprintFrame(
+      docs.filter(col("doc_id") <= 3), "doc_id", "text", "source")
+    val inc = Dedup.crossSourceOverlapIncremental(stored,
+        docs.filter(col("doc_id") > 3), "doc_id", "text", "source")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(inc === full)
+    Par.release()
+  }
+
   // ---- Quality.embeddingHealth ----
 
   test("embeddingHealth: nulls, ragged dims, NaN/Inf, zero vectors, and exact norm stats") {
