@@ -742,6 +742,13 @@ private[graft] object OraclesShard8 {
          FROM sx ORDER BY doc_id"""
     },
 
+    // streaming mojibake gate: the damaged docs (every 7th, by the
+    // shared synthesis) drop at the door — the surviving corpus is
+    // exactly the clean documents
+    "stream_mojibake_gate" ->
+      """SELECT doc_id, text FROM documents
+         WHERE doc_id % 7 <> 0 ORDER BY doc_id""",
+
     // n-gram diversity replay: the gramsSql shingle convention
     // (sub-n docs -> one whole-text shingle) per source, one
     // count/count-distinct rollup per n

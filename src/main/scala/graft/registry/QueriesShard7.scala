@@ -272,6 +272,37 @@ private[graft] object QueriesShard7 {
       functions.Text.ngramDiversity(Tables.documents(s, d), "source", "text")
         .orderBy(col("source"), col("n"))),
 
+    // ---- streaming mojibake ingest gate (r14 wave 5) ----
+    // the doc_mojibake synthesis streamed through the door in two
+    // halves + a redelivery: every 7th doc arrives damaged and must
+    // drop; the final corpus is exactly the clean docs — a full SQL
+    // oracle, rare for a streaming key (per-doc verdict ⇒ batch-split
+    // invariant ⇒ the convergence claim is hash-graded, not narrated)
+    "stream_mojibake_gate" -> ((s, d) => {
+      val base = graft.TempDirs.create("graft_stream_mg")
+      val inDir = s"$base/in"; val root = s"$base/store"
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(functions.Text.MojibakeSample)))
+          .otherwise(col("text")).as("text"))
+      docs.filter(col("doc_id") % 2 === 0).write.parquet(inDir)
+      EntryHelpers.withShufflePartitions(s, 4) {
+        val stream = s.readStream.schema(docs.schema).parquet(inDir)
+        val q = graft.streaming.EventStream.mojibakeGate(stream, root,
+          s"$base/ckpt", "doc_id", "text")
+        try {
+          q.processAllAvailable() // day 1
+          docs.filter(col("doc_id") % 2 =!= 0)
+            .write.mode("append").parquet(inDir)
+          q.processAllAvailable() // day 2
+          docs.filter(col("doc_id") < 50).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // redelivery: idempotent no-op
+        } finally q.stop()
+      }
+      graft.sources.VersionedGroup.read(s, root, "docs")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- packing efficiency scorecard (r14 wave 2) ----
     // per-bin rollup of the serial FFD twin: n_docs, token mass, and
     // padding waste per 2048-token bin — THE packing metric; grades

@@ -608,6 +608,46 @@ object EventStream {
       }
       .start()
 
+  /** Streaming MOJIBAKE ingest gate (r14) — the encoding-damage door
+    * check joining the curation-gate family: every microbatch runs
+    * the [[graft.functions.Text.mojibakeScan]] smear count (one
+    * codegen'd regexp over the batch — per-doc statistic, no state),
+    * damaged docs drop at the door, and keepers commit to the corpus
+    * table as one [[graft.sources.VersionedGroup]] version.
+    *
+    * The verdict is per-doc and the pattern fixed, so the final
+    * corpus is batch-split invariant (the qualityGate argument) and
+    * at-least-once redelivery converges: landed ids anti-join out on
+    * the corpus frame, re-delivered damage fails again identically.
+    */
+  def mojibakeGate(docs: DataFrame, root: String, checkpoint: String,
+                   idCol: String, textCol: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import graft.sources.VersionedGroup
+          val hasCorpus = VersionedGroup.currentVersion(spark, root) >= 1
+          val cached = graft.Par.persistTracked(
+            batch.select(col(idCol), col(textCol)))
+          val fresh =
+            if (!hasCorpus) cached
+            else cached.join(VersionedGroup.read(spark, root, "docs")
+              .select(col(idCol)), Seq(idCol), "left_anti")
+          val survivors = fresh.filter(
+            graft.functions.Text.mojibakeScan(col(textCol)) === 0L)
+          if (!survivors.isEmpty) {
+            VersionedGroup.commit(root, Map("docs" -> survivors),
+              replace = !hasCorpus)
+            ()
+          }
+          graft.Par.release()
+        }
+      }
+      .start()
+
   /** Streaming BANNED-PHRASE ingest gate (r11) — the token-adjacent
     * companion of the substring/decontamination gates: each
     * microbatch builds its own batch-local positional index
