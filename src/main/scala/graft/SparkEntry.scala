@@ -112,6 +112,19 @@ object SparkEntry {
                 AS BIGINT) AS tokens_kept
             FROM l2 JOIN keep USING (comp)
             GROUP BY source ORDER BY source""") +
+      // the recall scorecard composes the two graded ANN oracles —
+      // brute is truth, IVF is the probe, recall an integer ratio
+      ("ann_recall_eval" ->
+        s"""WITH b AS (${base("ann_brute_topk")}),
+              i AS (${base("ann_ivf_topk")})
+            SELECT b.query_id, CAST(count(*) AS BIGINT) AS k,
+              CAST(count(i.neighbor_id) AS BIGINT) AS n_matched,
+              round(CAST(count(i.neighbor_id) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE), 6) AS recall
+            FROM b LEFT JOIN i
+              ON b.query_id = i.query_id
+              AND b.neighbor_id = i.neighbor_id
+            GROUP BY b.query_id ORDER BY b.query_id""") +
       // RRF fuses the two graded rankers — their oracles verbatim as
       // CTEs, then the same exact-integer 1e6-scaled fusion terms
       ("search_rrf_fusion" ->

@@ -272,6 +272,36 @@ private[graft] object QueriesShard7 {
       functions.Text.ngramDiversity(Tables.documents(s, d), "source", "text")
         .orderBy(col("source"), col("n"))),
 
+    // ---- ANN recall scorecard (r14 wave 6) ----
+    // the eval every ANN deployment tracks: recall@10 of the IVF
+    // probe against exhaustive cosine, per query — both rankers are
+    // themselves graded keys, so the scorecard's oracle composes
+    // their oracles and the recall arithmetic is an integer ratio
+    "ann_recall_eval" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val queries = embs.filter(col("vec_id") < 5)
+      val cents = embs.filter(col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt,
+          r.getSeq[Float](1).map(_.toDouble).toSeq))
+        .sortBy(_._1).toSeq
+      val ivf = Similarity.ivfTopKWith(embs, queries, "vec_id", "embedding",
+          "vec_id", k = 10, centroids = cents, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val brute = Similarity.bruteForceTopK(embs, queries, "vec_id",
+          "embedding", "vec_id", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      brute.join(ivf.withColumn("__hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          coalesce(sum(col("__hit")), lit(0L)).as("n_matched"))
+        .select(col("query_id"), col("k"), col("n_matched"),
+          round(col("n_matched").cast("double") / col("k").cast("double"), 6)
+            .as("recall"))
+        .orderBy(col("query_id"))
+    }),
+
     // ---- streaming mojibake ingest gate (r14 wave 5) ----
     // the doc_mojibake synthesis streamed through the door in two
     // halves + a redelivery: every 7th doc arrives damaged and must
