@@ -911,6 +911,78 @@ private[graft] object OracleFragments {
           SELECT doc_id, [${md5Hash60Sql("x")} for x in grams] AS hs
           FROM (${gramsSql(k, distinct = false)}))"""
 
+  /** [[graft.functions.Url.partsPattern]] VERBATIM — RE2-compatible
+    * on purpose so both engines parse URLs identically.
+    */
+  val urlPat: String =
+    """'^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$'"""
+
+  /** [[graft.functions.Url.synthesize]] replayed: the deterministic
+    * messy-URL fixture from (source, doc_id).
+    */
+  val urlRawSql: String =
+    """(CASE doc_id % 3 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'https'
+          ELSE 'hTTpS' END)
+       || '://'
+       || (CASE doc_id % 4 WHEN 0 THEN 'WWW.' WHEN 3 THEN 'WwW.'
+             ELSE 'www.' END)
+       || source
+       || (CASE WHEN doc_id % 4 = 0 THEN '.EXAMPLE.com'
+             ELSE '.example.com' END)
+       || (CASE WHEN doc_id % 5 <= 1 THEN ':443'
+             WHEN doc_id % 5 = 2 THEN ':8080' ELSE '' END)
+       || '/Docs/' || CAST(doc_id % 7 AS VARCHAR)
+       || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+       || (CASE doc_id % 11
+             WHEN 0 THEN '?utm_source=feed&b=2&a=1'
+             WHEN 1 THEN '?b=2&a=1'
+             WHEN 2 THEN '?a=1&b=2'
+             WHEN 3 THEN '?a=1&utm_campaign=x&b=2'
+             WHEN 4 THEN ''
+             WHEN 5 THEN '?fbclid=abc'
+             WHEN 6 THEN '?gclid=g12&utm_medium=m'
+             WHEN 7 THEN '?ref=home'
+             WHEN 8 THEN '?id=7'
+             WHEN 9 THEN '?id=7&utm_term=t'
+             ELSE '?igshid=ii&id=7' END)
+       || (CASE WHEN doc_id % 3 = 0 THEN '#Section2' ELSE '' END)"""
+
+  /** [[graft.functions.Url.canonicalize]] rules 1-7 replayed over the
+    * synthesized fixture. Emits `(doc_id, url_raw, url_canon,
+    * domain)` over `documents`.
+    */
+  val urlCanonSql: String =
+    s"""SELECT doc_id, url_raw,
+          scheme || '://' || host || port || path ||
+            (CASE WHEN rq = '' OR sq = '' THEN '' ELSE '?' || sq END)
+            AS url_canon,
+          regexp_replace(host, '^www\\.', '') AS domain
+        FROM (
+          SELECT doc_id, url_raw, scheme, host, rq,
+            CASE WHEN rp = '' THEN ''
+                 WHEN scheme = 'https' AND rp = ':443' THEN ''
+                 WHEN scheme = 'http' AND rp = ':80' THEN ''
+                 ELSE rp END AS port,
+            CASE WHEN rpath = '' THEN '/'
+                 WHEN length(rpath) > 1 AND rpath LIKE '%/'
+                   THEN substr(rpath, 1, length(rpath) - 1)
+                 ELSE rpath END AS path,
+            coalesce(array_to_string(list_sort(list_filter(
+              string_split(regexp_replace(rq, '^\\?', ''), '&'),
+              kv -> NOT (starts_with(kv, 'utm_')
+                OR string_split(kv, '=')[1] IN
+                  ('fbclid','gclid','ref','mc_cid','mc_eid','igshid')
+                OR kv = ''))), '&'), '') AS sq
+          FROM (
+            SELECT doc_id, url_raw,
+              lower(regexp_extract(url_raw, $urlPat, 1)) AS scheme,
+              lower(regexp_extract(url_raw, $urlPat, 2)) AS host,
+              regexp_extract(url_raw, $urlPat, 3) AS rp,
+              regexp_extract(url_raw, $urlPat, 4) AS rpath,
+              regexp_extract(url_raw, $urlPat, 5) AS rq
+            FROM (SELECT doc_id, $urlRawSql AS url_raw
+                  FROM documents)))"""
+
     // shared SQL fragments (DuckDB dialect)
     val norm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
     val nWordsSql =

@@ -801,6 +801,32 @@ private[graft] object OraclesShard8 {
              CAST(sum(nc) AS DOUBLE) / CAST(sum(nt) AS DOUBLE) END, 6)
              AS chars_per_token
          FROM t GROUP BY source ORDER BY source""",
+
+    // ---- URL canonicalization family (r14 wave 7) ----
+    // the shared urlCanonSql fragment replays Url.synthesize (the
+    // deterministic fixture) + Url.canonicalize rules 1-7 with the
+    // SAME RE2 parts pattern the Spark side compiles
+    "doc_url_normalize" ->
+      s"""SELECT doc_id, url_raw, url_canon, domain
+          FROM ($urlCanonSql) ORDER BY doc_id""",
+
+    "dedup_url" ->
+      s"""SELECT url_canon, CAST(count(*) AS BIGINT) AS n_dups,
+            min(doc_id) AS keeper_doc
+          FROM ($urlCanonSql)
+          GROUP BY url_canon ORDER BY url_canon""",
+
+    "corpus_domain_stats" ->
+      s"""WITH u AS ($urlCanonSql),
+            t AS (SELECT doc_id, $nWordsSql AS n_tokens
+                  FROM documents)
+          SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(count(DISTINCT url_canon) AS BIGINT) AS n_urls,
+            CAST(sum(n_tokens) AS BIGINT) AS token_sum,
+            CAST(round(count(*) * 1000000.0
+              / sum(count(*)) OVER ()) AS BIGINT) AS share_ppm
+          FROM u JOIN t USING (doc_id)
+          GROUP BY domain ORDER BY domain""",
   )
 
   /** The SRM replay shared by the batch key and its streaming-monitor

@@ -350,5 +350,63 @@ private[graft] object QueriesShard7 {
             .as("waste"))
         .orderBy(col("bin_id"))
     }),
+
+    // ---- URL canonicalization family (r14 wave 7) ----
+    // the first dedup key every crawl pipeline computes BEFORE any
+    // content pass; no URL column in the testdata, so the messy raw
+    // URL is the multimodal round-trip-synthesis discipline: derived
+    // deterministically from (source, doc_id) in BOTH engines, then
+    // the NORMALIZATION is what's graded — case noise, default vs
+    // kept ports, tracking params, shuffled query order, fragments,
+    // trailing slashes all collapse per RFC 3986 §6 + the utm strip
+    "doc_url_normalize" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          functions.Url.synthesize(col("source"), col("doc_id"))
+            .as("url_raw"))
+        .select(col("doc_id"), col("url_raw"),
+          functions.Url.canonicalize(col("url_raw")).as("url_canon"),
+          functions.Url.domain(col("url_raw")).as("domain"))
+        .orderBy(col("doc_id"))),
+
+    // URL-grain dedup: distinct raw fetches of the same canonical
+    // page merge to one group — keep-first by doc_id. The synthesis
+    // mods are small on purpose so the groups carry REAL merges
+    // (different raw strings), not a corpus of singletons.
+    "dedup_url" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          functions.Url.canonicalize(
+              functions.Url.synthesize(col("source"), col("doc_id")))
+            .as("url_canon"))
+        .groupBy(col("url_canon"))
+        .agg(count(lit(1)).as("n_dups"),
+          min(col("doc_id")).as("keeper_doc"))
+        .orderBy(col("url_canon"))),
+
+    // per-site corpus composition: docs, distinct canonical URLs,
+    // token mass, corpus share — the mix table a curation run reads
+    // before setting per-domain caps. Rollup is domain-grain (tiny),
+    // so the grand total rides a broadcast of the 1-row agg, never a
+    // single-partition window over the corpus.
+    "corpus_domain_stats" -> ((s, d) => {
+      val u = functions.Url.synthesize(col("source"), col("doc_id"))
+      val base = Tables.documents(s, d).select(
+        functions.Url.domain(u).as("domain"),
+        functions.Url.canonicalize(u).as("url_canon"),
+        functions.Text.tokenCountWs(col("text")).as("n_tokens"))
+      val perDom = base.groupBy(col("domain")).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("url_canon")).as("n_urls"),
+        sum(col("n_tokens")).as("token_sum"))
+      val tot = perDom.agg(sum(col("n_docs")).as("total_docs"))
+      perDom.crossJoin(broadcast(tot))
+        .withColumn("share_ppm",
+          round(col("n_docs") * 1000000.0 / col("total_docs"))
+            .cast("long"))
+        .select(col("domain"), col("n_docs"), col("n_urls"),
+          col("token_sum"), col("share_ppm"))
+        .orderBy(col("domain"))
+    }),
   )
 }

@@ -142,7 +142,14 @@ class PlansSpec extends SparkSuite {
       "corpus_source_divergence",
       // cohensKappa attaches the 1-row Σ r·c marginal-product frame
       // to the 1-row (n, diag) frame — two bounded scalars
-      "dq_cohens_kappa")
+      "dq_cohens_kappa",
+      // the recall scorecard runs BOTH rankers, inheriting
+      // ann_brute's broadcast-queries stream (the declared exhaustive
+      // truth side) and ann_ivf's broadcast-centroid assignment
+      "ann_recall_eval",
+      // domain stats attach the 1-row grand-total frame to the
+      // domain-grain rollup — the q11/q15 scalar-join shape
+      "corpus_domain_stats")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       if (!nestedLoopOk(name)) {
