@@ -827,6 +827,52 @@ private[graft] object OraclesShard8 {
               / sum(count(*)) OVER ()) AS BIGINT) AS share_ppm
           FROM u JOIN t USING (doc_id)
           GROUP BY domain ORDER BY domain""",
+
+    // ---- (ScalaTest only) -> graded (r14 wave 8) ----
+    "stg_derived_metrics" ->
+      """SELECT l_orderkey, l_linenumber,
+           l_returnflag || '/' || l_linestatus AS status_code,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+             AS revenue,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l_discount AS DECIMAL(12,2)))
+             * (1 + CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS charge
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    // the two-day Versioned.upsert fold: v1 = latest-wins dedup of
+    // the doubled-tracking snapshot; v2 = v1 keys untouched by day 2
+    // + the day-2 batch (replace-by-key). Both versions emitted.
+    "versioned_upsert" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate
+           FROM orders
+         ), d1 AS (
+           SELECT *, CAST(1 AS BIGINT) AS ingest_seq FROM o
+           WHERE o_orderkey % 3 <> 0
+           UNION ALL
+           SELECT o_orderkey, o_custkey, 'X', o_totalprice,
+             o_orderdate, CAST(2 AS BIGINT)
+           FROM o WHERE o_orderkey % 6 = 1
+         ), v1 AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, ingest_seq
+           FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                   ORDER BY ingest_seq DESC) AS rn FROM d1)
+           WHERE rn = 1
+         ), d2 AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 5.0 AS o_totalprice, o_orderdate,
+             CAST(3 AS BIGINT) AS ingest_seq
+           FROM o WHERE o_orderkey % 2 = 0
+         ), v2 AS (
+           SELECT * FROM v1
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM d2)
+           UNION ALL SELECT * FROM d2)
+         SELECT *, CAST(1 AS BIGINT) AS version FROM v1
+         UNION ALL SELECT *, CAST(2 AS BIGINT) FROM v2
+         ORDER BY version, o_orderkey""",
   )
 
   /** The SRM replay shared by the batch key and its streaming-monitor

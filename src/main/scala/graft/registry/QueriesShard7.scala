@@ -408,5 +408,57 @@ private[graft] object QueriesShard7 {
           col("token_sum"), col("share_ppm"))
         .orderBy(col("domain"))
     }),
+
+    // ---- (ScalaTest only) -> graded (r14 wave 8) ----
+    // dbt derived-metric columns standalone: the concat analog + the
+    // exact-decimal revenue calc per row (q1's decimal discipline,
+    // ungrouped) — pure projection, scan-speed at any SF
+    "stg_derived_metrics" -> ((s, d) => {
+      def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+      val revenue = dec2(col("l_extendedprice")) *
+        (lit(1) - dec2(col("l_discount")))
+      Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          concat(col("l_returnflag"), lit("/"), col("l_linestatus"))
+            .as("status_code"),
+          revenue.cast("double").as("revenue"),
+          (revenue * (lit(1) + dec2(col("l_tax")))).cast("double")
+            .as("charge"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Versioned.upsert graded directly: a two-day upsert fold. Day 1
+    // bootstraps from a snapshot whose %6==1 keys stream in TWICE
+    // (tracking 1 and 2) — latest-wins dedup at the door; day 2
+    // replaces every even key (price bump) and inserts the %3==0
+    // keys day 1 never had. Both committed versions read back, so
+    // the key grades the version store AND the merge semantics
+    // (replace-by-key: target rows with a matching key drop
+    // regardless of tracking; within a batch, highest tracking wins).
+    "versioned_upsert" -> ((s, d) => {
+      import graft.sources.Versioned
+      val root = graft.TempDirs.create("graft_vup_") + "/t"
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"))
+      val day1 = o.filter(col("o_orderkey") % 3 =!= 0)
+        .withColumn("ingest_seq", lit(1L))
+        .unionByName(o.filter(col("o_orderkey") % 6 === 1)
+          .withColumn("o_orderstatus", lit("X"))
+          .withColumn("ingest_seq", lit(2L)))
+      val v1 = Versioned.upsert(day1, root, Seq("o_orderkey"),
+        "ingest_seq")
+      require(v1 == 1, s"expected bootstrap upsert at version 1, got $v1")
+      val day2 = o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(5.0))
+        .withColumn("ingest_seq", lit(3L))
+      val v2 = Versioned.upsert(day2, root, Seq("o_orderkey"),
+        "ingest_seq")
+      require(v2 == 2, s"expected day-2 upsert at version 2, got $v2")
+      Versioned.read(s, root, version = Some(1))
+        .withColumn("version", lit(1L))
+        .unionByName(Versioned.read(s, root).withColumn("version", lit(2L)))
+        .orderBy(col("version"), col("o_orderkey"))
+    }),
   )
 }
