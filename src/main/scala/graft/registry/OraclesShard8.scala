@@ -873,6 +873,14 @@ private[graft] object OraclesShard8 {
          SELECT *, CAST(1 AS BIGINT) AS version FROM v1
          UNION ALL SELECT *, CAST(2 AS BIGINT) FROM v2
          ORDER BY version, o_orderkey""",
+
+    // ---- streaming URL-dedup ingest gate (r14 wave 9) ----
+    // keep-first at the door under id-ordered arrival ≡ the batch
+    // keeper set: min doc_id per canonical URL
+    "stream_url_gate" ->
+      s"""SELECT min(doc_id) AS doc_id, url_canon
+          FROM ($urlCanonSql)
+          GROUP BY url_canon ORDER BY doc_id""",
   )
 
   /** The SRM replay shared by the batch key and its streaming-monitor

@@ -460,5 +460,36 @@ private[graft] object QueriesShard7 {
         .unionByName(Versioned.read(s, root).withColumn("version", lit(2L)))
         .orderBy(col("version"), col("o_orderkey"))
     }),
+
+    // ---- streaming URL-dedup ingest gate (r14 wave 9) ----
+    // the crawl frontier drains in discovery (id) order in two
+    // prefixes + a redelivery; keep-first at the door ≡ the batch
+    // dedup_url keeper set, so the landed corpus grades against a
+    // FULL SQL oracle (the urlCanonSql keeper rollup) — the
+    // batch-split-invariance claim is hash-graded, not narrated
+    "stream_url_gate" -> ((s, d) => {
+      val base = graft.TempDirs.create("graft_stream_ug")
+      val inDir = s"$base/in"; val root = s"$base/store"
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        functions.Url.synthesize(col("source"), col("doc_id"))
+          .as("url_raw"))
+      docs.filter(col("doc_id") < 250).write.parquet(inDir)
+      EntryHelpers.withShufflePartitions(s, 4) {
+        val stream = s.readStream.schema(docs.schema).parquet(inDir)
+        val q = graft.streaming.EventStream.urlGate(stream, root,
+          s"$base/ckpt", "doc_id", "url_raw")
+        try {
+          q.processAllAvailable() // frontier prefix 1
+          docs.filter(col("doc_id") >= 250)
+            .write.mode("append").parquet(inDir)
+          q.processAllAvailable() // frontier prefix 2
+          docs.filter(col("doc_id") < 50).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // redelivery: idempotent no-op
+        } finally q.stop()
+      }
+      graft.sources.VersionedGroup.read(s, root, "docs")
+        .select(col("doc_id"), col("url_canon"))
+        .orderBy(col("doc_id"))
+    }),
   )
 }

@@ -648,6 +648,65 @@ object EventStream {
       }
       .start()
 
+  /** Streaming URL-DEDUP ingest gate (r14) — the crawl door: the
+    * same page refetched under tracking decorations / case noise /
+    * default ports must not land twice. Every microbatch
+    * canonicalizes its raw URL column ([[graft.functions.Url
+    * .canonicalize]] — per-row codegen'd string algebra, no state in
+    * the verdict itself), keeps ONE doc per new canonical URL
+    * (lowest id intra-batch), drops docs whose canonical URL already
+    * landed, and commits survivors as one
+    * [[graft.sources.VersionedGroup]] version.
+    *
+    * Under id-ordered arrival (a crawl frontier drains in discovery
+    * order) the final corpus is exactly keep-lowest-id-per-canon —
+    * the batch [[graft.functions.Url]] dedup keeper set — so the
+    * gate grades against a FULL SQL oracle for ANY split of the
+    * stream into ordered prefixes. At-least-once redelivery
+    * converges: landed ids anti-join out, and a re-delivered loser's
+    * canonical URL is still taken, so replays commit nothing.
+    *
+    * Scale: the landed-URL check joins the batch against the corpus
+    * frame on `url_canon` (hash join on a bounded-width string key);
+    * the corpus side is read, never rewritten — state grows by
+    * exactly the survivors each batch.
+    */
+  def urlGate(docs: DataFrame, root: String, checkpoint: String,
+              idCol: String, urlCol: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import graft.sources.VersionedGroup
+          val hasCorpus = VersionedGroup.currentVersion(spark, root) >= 1
+          val canon = graft.Par.persistTracked(
+            batch.select(col(idCol), col(urlCol))
+              .withColumn("url_canon",
+                graft.functions.Url.canonicalize(col(urlCol))))
+          val fresh =
+            if (!hasCorpus) canon
+            else canon
+              .join(VersionedGroup.read(spark, root, "docs")
+                .select(col(idCol)), Seq(idCol), "left_anti")
+              .join(VersionedGroup.read(spark, root, "docs")
+                .select(col("url_canon")), Seq("url_canon"), "left_anti")
+          // intra-batch keep-first: lowest id per canonical URL
+          val winners = fresh.groupBy(col("url_canon"))
+            .agg(min(col(idCol)).as(idCol))
+          val survivors = fresh.join(winners, Seq("url_canon", idCol),
+            "left_semi")
+          if (!survivors.isEmpty) {
+            VersionedGroup.commit(root, Map("docs" -> survivors),
+              replace = !hasCorpus)
+            ()
+          }
+          graft.Par.release()
+        }
+      }
+      .start()
+
   /** Streaming BANNED-PHRASE ingest gate (r11) — the token-adjacent
     * companion of the substring/decontamination gates: each
     * microbatch builds its own batch-local positional index

@@ -353,6 +353,57 @@ class StreamingSpec extends SparkSuite {
     Par.release()
   }
 
+  test("urlGate: canon collisions drop at the door, kept port passes, replay no-op") {
+    import graft.sources.VersionedGroup
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val src = tmpDir("ug-src")
+    val root = tmpDir("ug-root") + "/idx"
+    def land(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = tmpDir("ug-stage")
+      rows.toDF("doc_id", "url_raw").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(src, s"$name.parquet"))
+    }
+    // 1 and 2 canonicalize identically (case + utm + order noise);
+    // 3 keeps its non-default port → distinct page
+    land("b0", Seq(
+      (1L, "HTTPS://WWW.Ex.COM/a?utm_source=f&b=2&a=1"),
+      (2L, "https://www.ex.com:443/a?a=1&b=2#frag"),
+      (3L, "https://www.ex.com:8080/a?a=1&b=2")))
+    val stream = spark.readStream.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("url_raw", StringType))))
+      .parquet(src)
+    val q = EventStream.urlGate(stream, root, tmpDir("ug-ckpt"),
+      "doc_id", "url_raw")
+    q.processAllAvailable()
+    def docIds = VersionedGroup.read(spark, root, "docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(docIds === Set(1L, 3L), "intra-batch canon dup must lose to the lower id")
+    assert(VersionedGroup.currentVersion(spark, root) === 1)
+
+    // 4 re-fetches doc 1's page with fresh tracking noise → dropped;
+    // 5 is a genuinely new path → lands
+    land("b1", Seq(
+      (4L, "https://www.ex.com/a/?gclid=zzz&b=2&a=1"),
+      (5L, "https://www.ex.com/b")))
+    q.processAllAvailable()
+    assert(docIds === Set(1L, 3L, 5L))
+    assert(VersionedGroup.currentVersion(spark, root) === 2)
+
+    // redelivery of a survivor AND a loser: both converge, no churn
+    land("b2", Seq(
+      (5L, "https://www.ex.com/b"),
+      (4L, "https://www.ex.com/a/?gclid=zzz&b=2&a=1")))
+    q.processAllAvailable()
+    assert(docIds === Set(1L, 3L, 5L))
+    assert(VersionedGroup.currentVersion(spark, root) === 2)
+    q.stop()
+    Par.release()
+  }
+
   test("segmentDedupGate: docs land rewritten, boilerplate docs dropped, replay no-op") {
     import graft.sources.VersionedGroup
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
