@@ -277,6 +277,103 @@ object Multimodal {
     }
   }
 
+  /** Minimal 24-bit uncompressed BMP (BITMAPINFOHEADER, BI_RGB,
+    * bottom-up, rows padded to 4 bytes) — the one raster container
+    * the JDK both reads AND needs no codec for, so synthesized
+    * image assets round-trip through the REAL `javax.imageio`
+    * decode. `lum(x, y)` in 0..255 paints a grayscale pixel
+    * (B = G = R), with (0,0) the TOP-left corner.
+    */
+  def synthBmp(w: Int, h: Int, lum: (Int, Int) => Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val size = 54 + rowBytes * h
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putShort(0).putShort(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var y = h - 1 // bottom-up storage, top-left addressing
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val v = (lum(x, y) & 0xff).toByte
+        b.put(v).put(v).put(v)
+        x += 1
+      }
+      var pad = rowBytes - w * 3
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    b.array()
+  }
+
+  /** 64-bit AVERAGE perceptual hash (aHash — the classic
+    * block-mean hash, cf. pHash.org / Zauner '10): decode, average-
+    * pool the luminance onto an 8×8 grid, threshold each cell on the
+    * grid mean, pack 64 bits row-major. Scale-INVARIANT for images
+    * whose downscale preserves the block means (the property a
+    * resized re-upload keeps), which is what makes it the standard
+    * cheap image-dedup key. None when the bytes don't decode — the
+    * degrade-don't-fail contract of [[decodeImage]].
+    */
+  def averageHash64(content: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      if (img == null || img.getWidth < 8 || img.getHeight < 8) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val sums = new Array[Long](64)
+        val counts = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val cy = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val lum = (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+              (p & 0xff) * 114) / 1000
+            val c = cy * 8 + x * 8 / w
+            sums(c) += lum
+            counts(c) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val cells = Array.tabulate(64)(i => sums(i).toDouble / counts(i))
+        val mean = cells.sum / 64.0
+        var hash = 0L
+        var i = 0
+        while (i < 64) {
+          if (cells(i) > mean) hash |= (1L << i)
+          i += 1
+        }
+        Some(hash)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Perceptual-hash image dedup — the media twin of the text
+    * dedup family: one row per aHash group, keeper = lowest
+    * media_id, undecodable assets excluded (they flow to the
+    * quarantine path, never silently into a dedup group). The hash
+    * is computed per-row (map-only, no state); the group-by ships
+    * 8-byte keys — at 100 TB of images the shuffle carries one
+    * (hash, id) pair per asset, never pixels.
+    */
+  def imageDedup(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    media.flatMap(r => averageHash64(r.content).map(h => (r.media_id, h)))
+      .toDF("media_id", "ahash")
+      .groupBy(col("ahash"))
+      .agg(min(col("media_id")).as("keeper_media"),
+        count(lit(1)).as("n_dups"))
+      .select(col("keeper_media"), col("n_dups"))
+      .orderBy(col("keeper_media"))
+  }
+
   // ---- MP4 / ISO-BMFF container metadata (ISO/IEC 14496-12) ----
 
   private def be16(b: Array[Byte], o: Int): Int =

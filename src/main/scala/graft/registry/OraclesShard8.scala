@@ -881,6 +881,16 @@ private[graft] object OraclesShard8 {
       s"""SELECT min(doc_id) AS doc_id, url_canon
           FROM ($urlCanonSql)
           GROUP BY url_canon ORDER BY doc_id""",
+
+    // ---- perceptual-hash image dedup (r14 wave 10) ----
+    // round-trip synthesis: pixel content is a pure function of
+    // doc_id % 23 and aHash is scale-invariant across the 2x
+    // re-upload variant, so the hash groups ARE the mod classes;
+    // the hash arithmetic itself is pinned in MultimodalSpec
+    "multimodal_phash_dedup" ->
+      """SELECT min(doc_id) AS keeper_media,
+           CAST(count(*) AS BIGINT) AS n_dups
+         FROM documents GROUP BY doc_id % 23 ORDER BY keeper_media""",
   )
 
   /** The SRM replay shared by the batch key and its streaming-monitor

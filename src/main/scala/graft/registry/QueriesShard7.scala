@@ -491,5 +491,29 @@ private[graft] object QueriesShard7 {
         .select(col("doc_id"), col("url_canon"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- perceptual-hash image dedup (r14 wave 10) ----
+    // the media twin of the text dedup family, end-to-end REAL:
+    // synthesized BMP containers (doc_id % 23 distinct patterns, odd
+    // ids as 2x-upscaled re-uploads) decode through javax.imageio,
+    // average-pool to the 8x8 aHash grid, and group on the 64-bit
+    // hash — the scale-invariance is what's graded: every upscaled
+    // re-upload must land in its original's group, so the groups are
+    // exactly the doc_id % 23 classes and the oracle is a plain
+    // rollup (MultimodalSpec pins the hash arithmetic itself)
+    "multimodal_phash_dedup" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val cls = (id % 23).toInt
+          def base(x: Int, y: Int): Int = ((y * 8 + x) * (2 * cls + 3) + cls * 17) % 256
+          val px =
+            if (id % 2 == 0) graft.multimodal.Multimodal.synthBmp(8, 8, base)
+            else graft.multimodal.Multimodal.synthBmp(16, 16,
+              (x, y) => base(x / 2, y / 2))
+          graft.multimodal.MediaRow(id, "image", px, 0, 0, 0L)
+        }
+      graft.multimodal.Multimodal.imageDedup(media)
+    }),
   )
 }

@@ -217,4 +217,57 @@ class MultimodalSpec extends SparkSuite {
     assert(feats(0).features.take(3).toSeq === Seq(2.5f, 320f, 240f))
     assert(feats(1).features.length === 16) // junk bytes → stub only
   }
+
+  test("synthBmp round-trips through ImageIO pixel-exact") {
+    val bytes = Multimodal.synthBmp(8, 8, (x, y) => (x * 16 + y * 2) % 256)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth === 8 && img.getHeight === 8)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val p = img.getRGB(x, y)
+      val expected = (x * 16 + y * 2) % 256
+      assert((p & 0xff) === expected, s"pixel ($x,$y)")
+      assert(((p >> 8) & 0xff) === expected)
+      assert(((p >> 16) & 0xff) === expected)
+    }
+  }
+
+  test("averageHash64: hand-computed mask, 2x scale invariance, decode-failure None") {
+    // top 4 rows black (0), bottom 4 rows white (255): mean 127.5,
+    // bits set exactly on the bottom 32 cells (row-major packing)
+    val half = Multimodal.synthBmp(8, 8, (_, y) => if (y < 4) 0 else 255)
+    assert(Multimodal.averageHash64(half) === Some(0xFFFFFFFF00000000L))
+    // the same pattern painted at 16x16 block-averages to identical
+    // cells — the re-upload invariance the dedup key grades
+    val half2x = Multimodal.synthBmp(16, 16, (_, y) => if (y < 8) 0 else 255)
+    assert(Multimodal.averageHash64(half2x) === Some(0xFFFFFFFF00000000L))
+    val cls = 7
+    def base(x: Int, y: Int): Int = ((y * 8 + x) * (2 * cls + 3) + cls * 17) % 256
+    assert(Multimodal.averageHash64(Multimodal.synthBmp(8, 8, base)) ===
+      Multimodal.averageHash64(Multimodal.synthBmp(16, 16,
+        (x, y) => base(x / 2, y / 2))))
+    assert(Multimodal.averageHash64("not an image".getBytes) === None)
+    assert(Multimodal.averageHash64(Multimodal.synthBmp(4, 4, (_, _) => 9))
+      === None) // below the 8x8 grid floor
+  }
+
+  test("imageDedup: the 23 graded pattern classes hash distinctly and group exactly") {
+    val hashes = (0 until 23).map { cls =>
+      def base(x: Int, y: Int): Int = ((y * 8 + x) * (2 * cls + 3) + cls * 17) % 256
+      Multimodal.averageHash64(Multimodal.synthBmp(8, 8, base)).get
+    }
+    assert(hashes.distinct.length === 23,
+      "graded classes must not collide under aHash")
+    import spark.implicits._
+    val media = spark.createDataset((0L until 46L).map { id =>
+      val cls = (id % 23).toInt
+      def base(x: Int, y: Int): Int = ((y * 8 + x) * (2 * cls + 3) + cls * 17) % 256
+      val px = if (id % 2 == 0) Multimodal.synthBmp(8, 8, base)
+        else Multimodal.synthBmp(16, 16, (x, y) => base(x / 2, y / 2))
+      graft.multimodal.MediaRow(id, "image", px, 0, 0, 0L)
+    })
+    val out = Multimodal.imageDedup(media).collect()
+    assert(out.length === 23)
+    assert(out.map(_.getLong(0)).toSeq === (0L until 23L))
+    assert(out.forall(_.getLong(1) === 2L))
+  }
 }
