@@ -1233,6 +1233,31 @@ object Text {
     trim(regexp_replace(e6, "\\s+", " "))
   }
 
+  /** Markdown → text extraction (r14) — the [[stripHtml]] sibling
+    * for the README/docs slice of a web corpus: fenced code blocks
+    * drop WITH content (code is not prose), inline code keeps its
+    * content, images and links keep their alt/anchor text, ATX
+    * headers / blockquote markers / list bullets / horizontal rules
+    * drop, emphasis markers strip, whitespace collapses. A fixed
+    * chain of codegen'd regexp_replace — per-row map, scan-speed.
+    * This is the deterministic engine-portable subset: CommonMark's
+    * corner cases (indented code, setext headers, nested emphasis,
+    * reference links) need a real parser; screen-grade extraction is
+    * what curation runs at 100 TB.
+    */
+  def stripMarkdown(md: Column): Column = {
+    val noFence = regexp_replace(md, "(?s)```.*?```", " ")
+    val noInline = regexp_replace(noFence, "`([^`]*)`", "$1")
+    val noImg = regexp_replace(noInline, "!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noLink = regexp_replace(noImg, "\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noHead = regexp_replace(noLink, "(?m)^#{1,6}[ \\t]*", "")
+    val noQuote = regexp_replace(noHead, "(?m)^>[ \\t]?", "")
+    val noBullet = regexp_replace(noQuote, "(?m)^[ \\t]*[-*+][ \\t]+", "")
+    val noRule = regexp_replace(noBullet, "(?m)^(-{3,}|\\*{3,})[ \\t]*$", " ")
+    val noEmph = regexp_replace(noRule, "[*_]{1,3}", "")
+    trim(regexp_replace(noEmph, "\\s+", " "))
+  }
+
   /** Mojibake (encoding-damage) screen (r14) — the UTF-8-read-as-
     * Latin-1/cp1252 double-decode every web crawl carries (ftfy's
     * target class): per doc, the count of the classic damage

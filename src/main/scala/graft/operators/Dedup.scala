@@ -785,6 +785,64 @@ object Dedup {
         col("__worst.n_common").as("n_common"))
   }
 
+  /** SPAN-level decontamination (r14) — the surgical alternative to
+    * [[contaminationBatch]]'s doc-drop: instead of discarding every
+    * training doc that overlaps the eval set, mask ONLY the words
+    * covered by a shared n-gram and keep the rest of the doc. The
+    * doc-drop form wastes the non-overlapping 99% of a long doc over
+    * one quoted benchmark question; the span form is what PII
+    * pipelines already do ([[graft.functions]] regex redaction)
+    * applied to the gram-join modality.
+    *
+    * Semantics: the batch text NORMALIZES (lowercase, collapsed
+    * whitespace — the shingle convention, so masks align with the
+    * eval index built by [[evalGramIndex]]), every position whose
+    * n-gram appears in the eval gram set marks words pos..pos+n-1,
+    * and each marked word rewrites to `mask`. Docs shorter than n
+    * words shingle as one whole-text gram (the [[graft.functions
+    * .Text.shingles]] fallback) covering every word. Output: one row
+    * per batch doc — (id, text_redacted, n_masked), n_masked = 0 and
+    * the normalized text unchanged for clean docs.
+    *
+    * Scale: batch-sized work, the [[contaminationBatch]] shape — the
+    * batch explodes positional grams (id, pos, 8-byte hash), joins
+    * the eval-sized index on the hash, and only MATCHED positions
+    * shuffle to the per-doc mask set; the rewrite is a per-row array
+    * transform over the already-held words.
+    */
+  def decontaminationRedact(evalGrams: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String, n: Int = 3,
+                            mask: String = "[MASKED]"): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val base = Par.persistTracked(
+      Par.widen(batch.select(col(idCol), col(textCol)), idCol)
+        .select(col(idCol).as("__id"),
+          split(Text.normalize(col(textCol)), " ").as("__words")))
+    val nw = size(col("__words"))
+    val pos = base.select(col("__id"), col("__words"), nw.as("__nw"),
+        explode(when(nw >= n, sequence(lit(0), nw - n))
+          .otherwise(array(lit(0)))).as("__p"))
+      .select(col("__id"), col("__p"), col("__nw"),
+        xxhash64(when(col("__nw") >= n,
+            concat_ws(" ", slice(col("__words"), col("__p") + 1, lit(n))))
+          .otherwise(array_join(col("__words"), " "))).as("gram"))
+    val hits = pos
+      .join(evalGrams.select(col("gram")).distinct(), Seq("gram"))
+      .select(col("__id"),
+        explode(sequence(col("__p"),
+          least(col("__p") + (n - 1), col("__nw") - 1))).as("__m"))
+      .groupBy(col("__id")).agg(collect_set(col("__m")).as("__mask"))
+    base.join(hits, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        array_join(
+          when(col("__mask").isNull, col("__words"))
+            .otherwise(transform(col("__words"),
+              (w, i) => when(array_contains(col("__mask"), i), lit(mask))
+                .otherwise(w))),
+          " ").as("text_redacted"),
+        coalesce(size(col("__mask")), lit(0)).cast("long").as("n_masked"))
+  }
+
   /** Cross-document exact-substring-run pairs via winnowing
     * fingerprints — the distributed stand-in for suffix-array
     * substring dedup (Lee et al. '22 "Deduplicating Training Data

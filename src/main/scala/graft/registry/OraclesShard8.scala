@@ -891,6 +891,115 @@ private[graft] object OraclesShard8 {
       """SELECT min(doc_id) AS keeper_media,
            CAST(count(*) AS BIGINT) AS n_dups
          FROM documents GROUP BY doc_id % 23 ORDER BY keeper_media""",
+
+    // ---- Markdown -> text extraction (r14 wave 11) ----
+    // the identical synth + strip chain; DuckDB spells Spark's $1 as
+    // \1 and needs the explicit 'g' flag
+    "doc_markdown_extract" ->
+      """WITH m AS (
+           SELECT doc_id,
+             '## Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+             || '> quoted **bold** _note_' || chr(10)
+             || '- item [Link ' || CAST(doc_id AS VARCHAR)
+             || '](https://ex.com/' || CAST(doc_id AS VARCHAR) || ')'
+             || chr(10)
+             || '```' || chr(10) || 'secret ' || CAST(doc_id AS VARCHAR)
+             || chr(10) || '```' || chr(10)
+             || text || ' `tick`' || chr(10)
+             || '---' || chr(10) AS md
+           FROM documents)
+         SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(md,
+                               '(?s)```.*?```', ' ', 'g'),
+                             '`([^`]*)`', '\1', 'g'),
+                           '!\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+                         '\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+                       '(?m)^#{1,6}[ \t]*', '', 'g'),
+                     '(?m)^>[ \t]?', '', 'g'),
+                   '(?m)^[ \t]*[-*+][ \t]+', '', 'g'),
+                 '(?m)^(-{3,}|\*{3,})[ \t]*$', ' ', 'g'),
+               '[*_]{1,3}', '', 'g'),
+             '\s+', ' ', 'g')) AS extracted
+         FROM m ORDER BY doc_id""",
+
+    // ---- near-dup threshold sweep (r14 wave 12) ----
+    // the dedup_ngram_jaccard replay at the loosest threshold,
+    // banded and cumulated on the band rollup
+    "dedup_threshold_sweep" ->
+      s"""WITH sh AS (
+           SELECT doc_id AS id, list_distinct(
+             CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+             ELSE list_transform(generate_series(1, len(words) - 2),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END) AS sh
+           FROM (SELECT doc_id, string_split($norm, ' ') AS words
+                 FROM documents)
+         ), ex AS (
+           SELECT id, CAST(len(sh) AS BIGINT) AS cnt, unnest(sh) AS gram
+           FROM sh
+         ), pairs AS (
+           SELECT jaccard FROM (
+             SELECT a.id AS id_a, b.id AS id_b,
+               CAST(count(*) AS DOUBLE)
+                 / CAST(a.cnt + b.cnt - count(*) AS DOUBLE) AS jaccard
+             FROM ex a JOIN ex b ON a.gram = b.gram AND a.id < b.id
+             GROUP BY a.id, b.id, a.cnt, b.cnt)
+           WHERE jaccard >= 0.05
+         ), bands AS (
+           SELECT CAST(floor(jaccard * 10) AS INTEGER) AS band,
+             count(*) AS n_pairs
+           FROM pairs GROUP BY 1)
+         SELECT band, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(sum(n_pairs) OVER (ORDER BY band DESC) AS BIGINT)
+             AS n_pairs_cum
+         FROM bands ORDER BY band""",
+
+    // ---- span-level decontamination (r14 wave 13) ----
+    // positions are 1-based here, 0-based in Spark; the REWRITE is
+    // what grades, so each engine just masks the same WORDS. Short
+    // docs shingle as one whole-text gram covering every word.
+    "decontamination_redact" ->
+      s"""WITH w AS (
+           SELECT doc_id, string_split($norm, ' ') AS words
+           FROM documents
+         ), ev AS (
+           SELECT DISTINCT unnest(grams) AS gram
+           FROM (${gramsSql(3, distinct = true)})
+           WHERE doc_id % 10 = 0
+         ), pg AS (
+           SELECT doc_id, unnest(
+             CASE WHEN len(words) < 3
+               THEN [struct_pack(p := 1, g := array_to_string(words, ' '))]
+               ELSE [struct_pack(p := i,
+                       g := words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                     for i in range(1, len(words) - 1)] END) AS pge
+           FROM w WHERE doc_id % 10 <> 0
+         ), hit AS (
+           SELECT pg.doc_id, unnest(generate_series(pge.p,
+             least(pge.p + 2, len(w.words)))) AS m
+           FROM pg JOIN w USING (doc_id) JOIN ev ON pge.g = ev.gram
+         ), msk AS (
+           SELECT doc_id, list_sort(list_distinct(list(m))) AS mask
+           FROM hit GROUP BY doc_id)
+         SELECT w.doc_id,
+           array_to_string(list_transform(
+             generate_series(1, len(w.words)),
+             i -> CASE WHEN msk.mask IS NOT NULL
+                    AND list_contains(msk.mask, i)
+                  THEN '[MASKED]' ELSE w.words[i] END), ' ')
+             AS text_redacted,
+           CAST(coalesce(len(msk.mask), 0) AS BIGINT) AS n_masked
+         FROM w LEFT JOIN msk USING (doc_id)
+         WHERE w.doc_id % 10 <> 0
+         ORDER BY w.doc_id""",
   )
 
   /** The SRM replay shared by the batch key and its streaming-monitor

@@ -515,5 +515,64 @@ private[graft] object QueriesShard7 {
         }
       graft.multimodal.Multimodal.imageDedup(media)
     }),
+
+    // ---- Markdown → text extraction (r14 wave 11) ----
+    // the doc_html_extract sibling for the README/docs slice, graded
+    // by the same round-trip synthesis: each doc wraps in
+    // deterministic markdown (header, quote+emphasis, bullet+link,
+    // fenced code that must DROP, inline code + trailing rule) and
+    // the extractor must recover the prose; the oracle replays the
+    // identical synth + strip chain
+    "doc_markdown_extract" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val nl = lit("\n")
+      val md = concat(
+        lit("## Doc "), id, nl,
+        lit("> quoted **bold** _note_"), nl,
+        lit("- item [Link "), id, lit("](https://ex.com/"), id, lit(")"), nl,
+        lit("```"), nl, lit("secret "), id, nl, lit("```"), nl,
+        col("text"), lit(" `tick`"), nl,
+        lit("---"), nl)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          functions.Text.stripMarkdown(md).as("extracted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- near-dup threshold sweep (r14 wave 12) ----
+    // the tuning artifact a curation team reads before fixing a
+    // dedup threshold: pair counts per Jaccard band from ONE scoring
+    // pass at the loosest threshold (never one pass per candidate
+    // threshold), with the cumulative "pairs you'd merge at >= t"
+    // column computed on the band-sized rollup — the window runs
+    // over <= 8 rows, never the pair stream
+    "dedup_threshold_sweep" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = Dedup.ngramJaccard(Tables.documents(s, d), "doc_id",
+        "text", n = 3, threshold = 0.05, maxDocFreq = 1000)
+      val bands = pairs
+        .withColumn("band", floor(col("jaccard") * 10).cast("int"))
+        .groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+      bands
+        .withColumn("n_pairs_cum",
+          sum(col("n_pairs")).over(Window.orderBy(col("band").desc)))
+        .orderBy(col("band"))
+    }),
+
+    // ---- span-level decontamination (r14 wave 13) ----
+    // the surgical alternative to the doc-drop: eval = every 10th
+    // doc (the decontamination convention), and every training-doc
+    // word covered by a 3-gram shared with the eval set masks while
+    // the rest of the doc survives — (id, text_redacted, n_masked)
+    // for ALL training docs, clean docs untouched
+    "decontamination_redact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminationRedact(
+          Dedup.evalGramIndex(docs.filter(col("doc_id") % 10 === 0),
+            "doc_id", "text", n = 3),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
   )
 }

@@ -1009,4 +1009,45 @@ class DedupSpec extends SparkSuite {
     assert(!rev.contains(1L))
     Par.release()
   }
+
+  test("decontaminationRedact: span coverage, overlap dedup, short-doc fallback, clean identity") {
+    import spark.implicits._
+    val eval = Seq((100L, "benchmark question alpha")).toDF("doc_id", "text")
+    val batch = Seq(
+      // the eval 3-gram sits mid-doc: exactly its 3 words mask
+      (1L, "intro words benchmark question alpha outro words"),
+      // two OVERLAPPING matches ("benchmark question alpha" at 0 and
+      // 1 via the doubled gram) must union, not double-count
+      (2L, "benchmark question alpha benchmark question alpha"),
+      // clean doc: untouched, n_masked 0
+      (3L, "totally unrelated prose here"),
+      // short doc (< 3 words) matching the eval WHOLE-text fallback
+      // of a short eval doc — no match here (eval doc has 3 words)
+      (4L, "benchmark question")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.evalGramIndex(eval, "doc_id", "text", n = 3)
+    val out = Dedup.decontaminationRedact(idx, batch, "doc_id", "text",
+        n = 3).collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2))).sortBy(_._1)
+    assert(out(0) === ((1L,
+      "intro words [MASKED] [MASKED] [MASKED] outro words", 3L)))
+    // doc 2: grams at pos 0..3 all... only positions covered by the
+    // exact shared gram mask; "alpha benchmark question" (pos 2) is
+    // NOT an eval gram, so pos 2's span never fires on its own —
+    // but pos 0 and pos 3 both match, covering 0-2 and 3-5: all six
+    assert(out(1) === ((2L, ("[MASKED] " * 6).trim, 6L)))
+    assert(out(2) === ((3L, "totally unrelated prose here", 0L)))
+    assert(out(3) === ((4L, "benchmark question", 0L)))
+
+    // short EVAL doc: its whole-text gram masks a short train doc
+    // whole-text-equal to it, covering every word
+    val idx2 = Dedup.evalGramIndex(
+      Seq((200L, "two words")).toDF("doc_id", "text"), "doc_id", "text", n = 3)
+    val out2 = Dedup.decontaminationRedact(idx2,
+        Seq((5L, "two words")).toDF("doc_id", "text"), "doc_id", "text",
+        n = 3).collect()(0)
+    assert(out2.getString(1) === "[MASKED] [MASKED]")
+    assert(out2.getLong(2) === 2L)
+    Par.release()
+  }
 }

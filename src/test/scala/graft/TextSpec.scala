@@ -431,4 +431,22 @@ class TextSpec extends SparkSuite {
     val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-5)
   }
+
+  test("stripMarkdown: each rule hand-computed") {
+    def strip(s: String): String =
+      one[String](Text.stripMarkdown(col("text")), s)
+    assert(strip("## Head\nbody") === "Head body")
+    assert(strip("``` scala\nsecret code\n```\nkeep") === "keep")
+    assert(strip("a `tick` b") === "a tick b")
+    assert(strip("![alt text](http://x/i.png) and [anchor](http://y)")
+      === "alt text and anchor")
+    assert(strip("> quote **bold** _note_ still quote") ===
+      "quote bold note still quote")
+    assert(strip("- one\n- two\n* three") === "one two three")
+    assert(strip("a\n---\nb") === "a b")
+    // hyphenated words and in-sentence dashes survive the rule strip
+    assert(strip("state-of-the-art stays") === "state-of-the-art stays")
+    // plain prose is untouched
+    assert(strip("plain words only") === "plain words only")
+  }
 }
