@@ -962,6 +962,32 @@ private[graft] object OraclesShard8 {
              AS n_pairs_cum
          FROM bands ORDER BY band""",
 
+    // ---- zero-copy shallow clone (r14 wave 14) ----
+    // both heads replayed as set algebra over orders: src head =
+    // v1 ∪ evens-of-%3 ∪ 'S'-batch; clone head = src v2 ∪ 'C'-batch
+    "versioned_clone" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate
+           FROM orders
+         ), v2 AS (
+           SELECT * FROM o WHERE o_orderkey % 3 <> 0
+           UNION ALL
+           SELECT * FROM o
+           WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 = 0)
+         SELECT *, 'src' AS side FROM (
+           SELECT * FROM v2
+           UNION ALL
+           SELECT o_orderkey, o_custkey, 'S', o_totalprice, o_orderdate
+           FROM o WHERE o_orderkey % 7 = 0)
+         UNION ALL
+         SELECT *, 'clone' FROM (
+           SELECT * FROM v2
+           UNION ALL
+           SELECT o_orderkey, o_custkey, 'C', o_totalprice, o_orderdate
+           FROM o WHERE o_orderkey % 5 = 0)
+         ORDER BY side, o_orderkey, o_orderstatus""",
+
     // ---- span-level decontamination (r14 wave 13) ----
     // positions are 1-based here, 0-based in Spark; the REWRITE is
     // what grades, so each engine just masks the same WORDS. Short

@@ -559,6 +559,42 @@ private[graft] object QueriesShard7 {
         .orderBy(col("band"))
     }),
 
+    // ---- zero-copy shallow clone (r14 wave 14) ----
+    // the lakehouse dev/test branch: clone pins the source's v2
+    // segments by reference (one JSON write — no data copied at any
+    // table size), then BOTH sides diverge independently — the clone
+    // appends its 'C' batch, the source appends 'S' AFTER the clone
+    // — and the graded read-back of both heads proves the isolation:
+    // the clone never sees 'S', the source never sees 'C'
+    "versioned_clone" -> ((s, d) => {
+      import graft.sources.Versioned
+      val base = graft.TempDirs.create("graft_vcl_")
+      val src = s"$base/src"; val dst = s"$base/clone"
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"))
+      val v1 = Versioned.commit(o.filter(col("o_orderkey") % 3 =!= 0),
+        src, replace = true)
+      require(v1 == 1, s"expected source v1, got $v1")
+      val v2 = Versioned.commit(
+        o.filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 2 === 0),
+        src)
+      require(v2 == 2, s"expected source v2, got $v2")
+      val cv = Versioned.shallowClone(s, src, dst)
+      require(cv == 1, s"expected clone v1, got $cv")
+      val cv2 = Versioned.commit(
+        o.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_orderstatus", lit("C")), dst)
+      require(cv2 == 2, s"expected clone v2, got $cv2")
+      val v3 = Versioned.commit(
+        o.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderstatus", lit("S")), src)
+      require(v3 == 3, s"expected source v3, got $v3")
+      Versioned.read(s, src).withColumn("side", lit("src"))
+        .unionByName(Versioned.read(s, dst).withColumn("side", lit("clone")))
+        .orderBy(col("side"), col("o_orderkey"), col("o_orderstatus"))
+    }),
+
     // ---- span-level decontamination (r14 wave 13) ----
     // the surgical alternative to the doc-drop: eval = every 10th
     // doc (the decontamination convention), and every training-doc

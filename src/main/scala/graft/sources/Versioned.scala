@@ -67,8 +67,10 @@ object Versioned {
     val in = f.open(new Path(new Path(path, VersionsDir), manifestName(v)))
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    // segments are uuid-named dirs — no quotes/escapes inside names
-    "\"(d-[^\"]+)\"".r.findAllMatchIn(body).map(_.group(1)).toSeq
+    // segments are uuid-named dirs (`d-uuid`), possibly behind an
+    // absolute foreign prefix (shallowClone) — no quotes/escapes
+    // inside either form; the JSON keys carry no "d-" substring
+    "\"([^\"]*d-[^\"]+)\"".r.findAllMatchIn(body).map(_.group(1)).toSeq
   }
 
   private def writeManifestCas(spark: SparkSession, path: String,
@@ -163,14 +165,58 @@ object Versioned {
   }
 
   /** Read a pinned version (default: current head). Reading version 0
-    * (empty table) is an error — commit first.
+    * (empty table) is an error — commit first. Segment entries are
+    * table-root-relative (`d-uuid`) or ABSOLUTE (a [[shallowClone]]'s
+    * foreign references) — resolved accordingly.
     */
   def read(spark: SparkSession, path: String,
            version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, path))
     require(v >= 1, s"no committed version at $path")
     val segs = readManifest(spark, path, v)
-    spark.read.parquet(segs.map(s => new Path(path, s).toString): _*)
+    spark.read.parquet(segs.map { s =>
+      val p = new Path(s)
+      (if (p.isAbsolute) p else new Path(path, s)).toString
+    }: _*)
+  }
+
+  /** Zero-copy SHALLOW CLONE (the public Delta `SHALLOW CLONE` /
+    * Iceberg snapshot-ref branching idea): publish at `dstPath` a
+    * version whose manifest references the SOURCE's pinned segments
+    * by absolute path — a metadata-only branch: one tiny JSON write
+    * regardless of table size, so a 100 TB table branches in
+    * milliseconds for dev/test/what-if work. The clone is a full
+    * Versioned table afterwards: appends/replaces/restores land new
+    * segments under ITS OWN root and the source never sees the
+    * divergence; the source keeps committing and the clone's pin is
+    * immune (manifest immutability, same as any reader).
+    *
+    * The standard shallow-clone hazard is inherited verbatim from
+    * the public formats: [[vacuum]] on the SOURCE reclaims segments
+    * a clone may still reference (a table's manifest log knows
+    * nothing of foreign readers). Sever with a deep copy —
+    * `commit(read(spark, dst), dst2, replace = true)` — before
+    * vacuuming a cloned-from table aggressively. [[vacuum]] on the
+    * CLONE is safe in both directions: it only ever deletes `d-*`
+    * dirs under its own root, and foreign entries never match one.
+    */
+  def shallowClone(spark: SparkSession, srcPath: String, dstPath: String,
+                   version: Option[Int] = None, maxRetries: Int = 10): Int = {
+    val v = version.getOrElse(currentVersion(spark, srcPath))
+    require(v >= 1, s"no committed version to clone at $srcPath")
+    val srcRoot = fs(spark, srcPath).makeQualified(new Path(srcPath))
+    val segs = readManifest(spark, srcPath, v).map { s =>
+      val p = new Path(s)
+      if (p.isAbsolute) s else new Path(srcRoot, s).toString
+    }
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = currentVersion(spark, dstPath)
+      if (writeManifestCas(spark, dstPath, head + 1, segs)) return head + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"shallowClone lost the version race $maxRetries times at $dstPath")
   }
 
   /** RESTORE TABLE TO VERSION (Delta's `RESTORE`, Iceberg's

@@ -294,4 +294,35 @@ class VersionedSpec extends SparkSuite {
     // superseded manifests are gone → time travel to them now fails
     intercept[Exception](Versioned.read(spark, dir, Some(1)).count())
   }
+
+  test("shallowClone: metadata-only branch, divergence isolated both ways, clone vacuum foreign-safe") {
+    import spark.implicits._
+    val src = tmpDir("vcl-src") + "/t"
+    val dst = tmpDir("vcl-dst") + "/t"
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), src,
+      replace = true)
+    Versioned.commit(Seq((3L, "c")).toDF("k", "v"), src) // src v2
+    assert(Versioned.shallowClone(spark, src, dst) === 1)
+    // metadata-only: the clone root holds NO data segments yet
+    val dstDirs = new java.io.File(dst).listFiles().map(_.getName).toSet
+    assert(!dstDirs.exists(_.startsWith("d-")), s"clone copied data: $dstDirs")
+    // read equality with the pinned source version
+    assert(Versioned.read(spark, dst).collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L, 3L))
+    // divergence: clone appends; source appends AFTER the clone
+    Versioned.commit(Seq((10L, "C")).toDF("k", "v"), dst)
+    Versioned.commit(Seq((20L, "S")).toDF("k", "v"), src)
+    assert(Versioned.read(spark, dst).collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L, 3L, 10L), "clone must not see the source's later commit")
+    assert(Versioned.read(spark, src).collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L, 3L, 20L), "source must not see the clone's commit")
+    // the clone's new segment landed under ITS root
+    assert(new java.io.File(dst).listFiles().exists(_.getName.startsWith("d-")))
+    // vacuum on the clone never touches foreign segments: drop the
+    // clone's v1 (foreign-only) with zero retention — the SOURCE
+    // still reads all its data afterwards
+    Versioned.vacuum(spark, dst, keepVersions = 1, retentionMs = 0L)
+    assert(Versioned.read(spark, src).count() === 4)
+    assert(Versioned.read(spark, dst).count() === 4)
+  }
 }
