@@ -160,6 +160,54 @@ class PlansSpec extends SparkSuite {
     }
   }
 
+  test("unpartitioned windows appear only in the pinned justified set") {
+    // The #2 silent 100 TB killer after cartesians: a Window with no
+    // PARTITION BY plans a single-partition exchange — fatal when its
+    // input is corpus-sized. Three shapes are legitimate and pinned
+    // here; ANY key newly planning a global window must be added with
+    // a justification, so the shape can't sneak in via a refactor:
+    //  (a) k-bounded ranking (rank <= k filter): Spark 3.5+ compiles
+    //      it to a two-phase WindowGroupLimit (map-side partial
+    //      top-k), so only ~k rows per partition reach the single
+    //      reducer — the top-k retrieval/scoring keys;
+    //  (b) bounded-rollup input: the window runs over a frame whose
+    //      row count is bounded by construction (stat grids, band
+    //      rollups, B bootstrap replicates, shard/bucket boundary
+    //      frames), not by data size;
+    //  (c) declared oracle-baseline forms whose SCALE twin is a
+    //      separate graded key (customer_rfm -> customer_rfm_bucketed,
+    //      quality_quantile_norm -> _approx).
+    val globalWindowOk = Set(
+      // (a) k-bounded ranking -> WindowGroupLimit
+      "basket_cosine", "corpus_bm25_topk", "corpus_bm25_incr",
+      "corpus_tfidf_topk", "corpus_tfidf_incr", "corpus_collocations",
+      "doc_surprisal", "graph_adamic_adar", "graph_link_predict",
+      "search_map_mrr", "search_ndcg", "search_rrf_fusion",
+      "skyline_frontier",
+      // (b) bounded-rollup input
+      "ab_bootstrap", "dq_bh_fdr", "dq_drift_js", "dq_drift_psi",
+      "dq_key_skew", "dq_volume_anomaly", "corpus_zipf",
+      "corpus_interleave", "corpus_select_budget", "dedup_threshold_sweep",
+      "feature_target_encoding", "graph_hits", "inventory_safety_stock",
+      "sample_balanced", "sample_temperature", "sample_temperature_hash",
+      "sample_weighted_n", "sample_weighted_n_incr", "select_dsir",
+      "sessions_concurrency",
+      // (c) oracle-baseline form; the scale twin is its own key
+      "customer_rfm", "quality_quantile_norm")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val gw = fn(spark, dir).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+      if (!globalWindowOk(name))
+        assert(gw.isEmpty,
+          s"$name plans an unpartitioned Window — justify it in globalWindowOk")
+      else
+        assert(gw.nonEmpty,
+          s"$name no longer plans an unpartitioned Window — prune it from globalWindowOk")
+    }
+  }
+
   test("band_join_price broadcasts ONLY the fixed-cardinality band table") {
     hintedLeaves(SparkEntry.queries("band_join_price")(spark, dir)).foreach { leaf =>
       // the band table is a driver-local literal relation (its toDF
