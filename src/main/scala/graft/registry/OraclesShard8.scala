@@ -962,6 +962,40 @@ private[graft] object OraclesShard8 {
              AS n_pairs_cum
          FROM bands ORDER BY band""",
 
+    // ---- ER blocking-quality scorecard (r14 wave 15) ----
+    // truth = the naive banded quadratic (affordable here); blocked
+    // coverage = truth pairs sharing the last-word block key;
+    // comparisons = unsplit per-block m(m-1)/2
+    "er_blocking_eval" ->
+      """WITH s AS (
+           SELECT p_partkey AS id, p_name AS nm,
+             ws[len(ws)] AS bk
+           FROM (SELECT p_partkey, p_name,
+                   string_split(p_name, ' ') AS ws
+                 FROM part WHERE p_partkey % 4 = 0)
+         ), nrec AS (SELECT count(*) AS n_records FROM s
+         ), ncmp AS (
+           SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS n_compared
+           FROM (SELECT bk, count(*) AS m FROM s GROUP BY bk)
+         ), t AS (
+           SELECT count(*) AS n_true,
+             CAST(sum(CASE WHEN a.bk = b.bk THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_blocked_true
+           FROM s a JOIN s b
+             ON a.id < b.id AND abs(length(a.nm) - length(b.nm)) <= 2
+           WHERE levenshtein(a.nm, b.nm) <= 2)
+         SELECT CAST(n_records AS BIGINT) AS n_records,
+           CAST(n_records * (n_records - 1) // 2 AS BIGINT)
+             AS n_all_pairs,
+           n_compared, CAST(n_true AS BIGINT) AS n_true,
+           n_blocked_true,
+           CAST(round(n_blocked_true * 1000000.0 / n_true) AS BIGINT)
+             AS pc_ppm,
+           CAST(round((1.0 - n_compared
+               / (n_records * (n_records - 1) / 2.0)) * 1000000.0)
+             AS BIGINT) AS rr_ppm
+         FROM nrec, ncmp, t""",
+
     // ---- zero-copy shallow clone (r14 wave 14) ----
     // both heads replayed as set algebra over orders: src head =
     // v1 ∪ evens-of-%3 ∪ 'S'-batch; clone head = src v2 ∪ 'C'-batch

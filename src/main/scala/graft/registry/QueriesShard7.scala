@@ -559,6 +559,51 @@ private[graft] object QueriesShard7 {
         .orderBy(col("band"))
     }),
 
+    // ---- ER blocking-quality scorecard (r14 wave 15) ----
+    // Christen's two numbers for a blocking scheme (Data Matching
+    // '12): PAIRS COMPLETENESS (how many true matches the blocks
+    // keep reachable) and REDUCTION RATIO (how many comparisons the
+    // blocks avoid). Truth = the exhaustive length-banded edit join
+    // over the er_fuzzy_pairs fixture (a lev<=2 pair has length diff
+    // <=2, so the band join is lossless); blocked-true = truth pairs
+    // sharing the block key (the hot-block band split compares
+    // adjacent bands, which a lev<=2 pair always occupies — no loss
+    // to replicate). n_compared is the unsplit per-block pair count
+    // Σ m(m-1)/2 — the comparisons the scheme COMMITS to, exact in
+    // SQL. One row: the artifact read before trusting a block key.
+    "er_blocking_eval" -> ((s, d) => {
+      val slice = Tables.part(s, d).filter(col("p_partkey") % 4 === 0)
+        .select(col("p_partkey").as("id"), col("p_name").as("s"),
+          element_at(split(col("p_name"), " "), -1).as("bk"))
+      val nRec = slice.agg(count(lit(1)).as("n_records"))
+      val nCmp = slice.groupBy(col("bk")).agg(count(lit(1)).as("m"))
+        .agg(sum((col("m") * (col("m") - 1) / 2).cast("long"))
+          .as("n_compared"))
+      val a = slice.select(col("id").as("id_a"), col("s").as("s_a"),
+        col("bk").as("bk_a"), length(col("s")).as("l_a"))
+      val b = slice.select(col("id").as("id_b"), col("s").as("s_b"),
+        col("bk").as("bk_b"), length(col("s")).as("l_b"))
+      val truth = a
+        .withColumn("lp", explode(array((-2 to 2).map(o => col("l_a") + o): _*)))
+        .join(b, col("lp") === col("l_b") && col("id_a") < col("id_b"))
+        // thresholded lev abandons at the bound: O(max·len) per pair,
+        // the blockedFuzzyPairs discipline applied to the truth pass
+        .filter(levenshtein(col("s_a"), col("s_b"), 2) >= 0)
+        .agg(count(lit(1)).as("n_true"),
+          sum(when(col("bk_a") === col("bk_b"), 1L).otherwise(0L))
+            .as("n_blocked_true"))
+      nRec.crossJoin(broadcast(nCmp)).crossJoin(broadcast(truth))
+        .select(col("n_records"),
+          (col("n_records") * (col("n_records") - 1) / 2).cast("long")
+            .as("n_all_pairs"),
+          col("n_compared"), col("n_true"), col("n_blocked_true"),
+          round(col("n_blocked_true") * 1000000.0 / col("n_true"))
+            .cast("long").as("pc_ppm"),
+          round((lit(1.0) - col("n_compared")
+              / (col("n_records") * (col("n_records") - 1) / 2.0))
+            * 1000000.0).cast("long").as("rr_ppm"))
+    }),
+
     // ---- zero-copy shallow clone (r14 wave 14) ----
     // the lakehouse dev/test branch: clone pins the source's v2
     // segments by reference (one JSON write — no data copied at any

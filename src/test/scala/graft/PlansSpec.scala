@@ -149,7 +149,11 @@ class PlansSpec extends SparkSuite {
       "ann_recall_eval",
       // domain stats attach the 1-row grand-total frame to the
       // domain-grain rollup — the q11/q15 scalar-join shape
-      "corpus_domain_stats")
+      "corpus_domain_stats",
+      // the blocking scorecard composes THREE 1-row aggregate frames
+      // (record count, comparison count, truth counts) — pure scalar
+      // joins; the truth pass itself is a banded equi-join
+      "er_blocking_eval")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       if (!nestedLoopOk(name)) {
