@@ -25,7 +25,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesShard1.m ++ QueriesShard2.m ++ QueriesShard3.m ++
       QueriesShard4.m ++ QueriesShard5.m ++ QueriesShard6.m ++
-      QueriesShard7.m
+      QueriesShard7.m ++ QueriesShard8.m
 
   def oracleSql: Map[String, String] = {
     val base =
@@ -36,7 +36,8 @@ object SparkEntry {
       OraclesShard5.m ++
       OraclesShard6.m ++
       OraclesShard7.m ++
-      OraclesShard8.m
+      OraclesShard8.m ++
+      OraclesShard9.m
     // the incremental CC twin is PROVABLY the same labeling as the
     // full replay (star-edge folding, DedupSpec), so it shares the
     // recursive-reachability oracle verbatim
@@ -74,6 +75,12 @@ object SparkEntry {
       // (checkpoint() vs localCheckpoint() changes fault tolerance,
       // never data) — the recursive-reachability oracle verbatim
       ("dedup_components_reliable" -> base("dedup_components")) +
+      // the stateful streaming sessionizer must converge to the batch
+      // gap-islands computation — events_sessions' oracle verbatim
+      ("stream_sessions_stateful" -> base("events_sessions")) +
+      // exactly-once file ingest = the raw events table, same
+      // contract (and oracle) as the dedup door
+      ("stream_file_ingest" -> base("stream_dedup")) +
       // the cluster-size histogram is a pure rollup of the components
       // labeling — the recursive oracle as a CTE, grouped twice
       ("dedup_cluster_histogram" ->

@@ -790,4 +790,39 @@ object Graph {
     }
     dist
   }
+
+  /** Power-law degree-distribution fit (Clauset, Shalizi & Newman,
+    * SIAM Rev. '09 — the MLE that replaced eyeballed log-log slopes):
+    * α̂ = 1 + n_tail · (Σ_{dᵢ ≥ d_min} ln(dᵢ/(d_min − ½)))⁻¹ over the
+    * tail of the degree distribution, the one-row "is this graph
+    * scale-free or did the generator break" screen (a corpus link
+    * graph whose α leaves [2, 3] is usually a crawler artifact).
+    *
+    * Exact-replay discipline: degrees are integer counts of the
+    * deduped symmetric adjacency; each node's log term rounds to 1e-6
+    * integer units BEFORE the sum (the adamicAdar idiom — the sum is
+    * order-free exact integers, never a shuffled double fold), and α
+    * is one final double division rounded once. Empty tail or zero
+    * log mass (all tail degrees = d_min = 1 would need d_min ≥ 2;
+    * enforced) → no row. One degree aggregate + one global fold.
+    */
+  def powerlawFit(edges: DataFrame, aCol: String, bCol: String,
+                  dMin: Long = 2L, roundTo: Int = 6): DataFrame = {
+    require(dMin >= 2, "dMin must be >= 2 (ln(d/(d-0.5)) must be > 0)")
+    val e = canon(edges, aCol, bCol)
+    val deg = e.select(col("a").as("n"))
+      .unionByName(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    deg.agg(
+        count(lit(1)).as("n_nodes"),
+        sum(when(col("d") >= dMin, 1L).otherwise(0L)).as("n_tail"),
+        sum(when(col("d") >= dMin,
+          round(log(col("d").cast("double") / lit(dMin - 0.5))
+            * lit(1000000.0)).cast("long")).otherwise(0L)).as("__s6"))
+      .filter(col("n_tail") > 0 && col("__s6") > 0)
+      .select(col("n_nodes"), col("n_tail"), lit(dMin).as("d_min"),
+        round(lit(1.0) + col("n_tail").cast("double")
+          / (col("__s6").cast("double") / lit(1000000.0)), roundTo)
+          .as("alpha"))
+  }
 }

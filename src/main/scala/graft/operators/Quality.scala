@@ -2342,4 +2342,129 @@ object Quality {
         round(d(col("__nsum")) / (lit(1000000.0) * d(col("__nn"))), roundTo)
           .as("norm_avg"))
   }
+
+  /** Delta-method ratio-metric A/B comparison (Deng, Knoblich & Lu,
+    * KDD '18 "Applying the Delta Method in Metric Analytics") — the
+    * correct variance for ratio metrics whose numerator AND
+    * denominator vary per randomization unit (revenue per event,
+    * clicks per view): a per-event t-test is wrong because events
+    * within a unit are correlated, so the metric is R = ΣX/ΣY over
+    * UNITS and Var(R) ≈ (s_x² − 2R·s_xy + R²·s_y²)/(n·ȳ²) by the
+    * first-order Taylor expansion.
+    *
+    * Per (key, unit): x6 = Σ numCol in exact 1e6-scaled integer
+    * micro-units, y = row count. Per (key, group): the five moments
+    * as EXACT integer sums (decimal(38,0) here, HUGEINT in the SQL
+    * twin — the welchT/r6 house discipline), then ratio/variance/z
+    * as ONE fixed double tree rounded once — bit-portable. Keys
+    * missing a group or with n < 2 on either side drop; a zero
+    * pooled variance nulls the z. One exchange for the unit rollup,
+    * one for the group moments; nothing unbounded.
+    *
+    * Integer headroom: x6 ≤ ~9e18 per unit (long), Σx6² carried at
+    * decimal(38,0) — overflows past |x6| ≈ 1e17·√n; re-scale numCol
+    * upstream for metrics beyond that.
+    */
+  def ratioDelta(df: DataFrame, keyCol: String, unitCol: String,
+                 groupCol: String, numCol: String,
+                 groupA: String, groupB: String,
+                 roundTo: Int = 6): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    val units = df
+      .filter(col(groupCol).cast("string").isin(groupA, groupB))
+      .groupBy(col(keyCol),
+        (col(groupCol).cast("string") === groupA).as("__isA"),
+        col(unitCol))
+      .agg((sum(col(numCol).cast("decimal(18,6)")) * lit(1000000))
+          .cast("long").as("__x6"),
+        count(lit(1)).as("__y"))
+    val decZ = lit(0).cast("decimal(38,0)")
+    def m(pred: Column, c: Column): Column =
+      sum(when(pred, c.cast("decimal(38,0)")).otherwise(decZ))
+    val g = units.groupBy(col(keyCol))
+      .agg(
+        sum(when(col("__isA"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__isA"), 1L).otherwise(0L)).as("n_b"),
+        m(col("__isA"), dec(col("__x6"))).as("__sxa"),
+        m(!col("__isA"), dec(col("__x6"))).as("__sxb"),
+        m(col("__isA"), dec(col("__x6")) * dec(col("__x6"))).as("__sxxa"),
+        m(!col("__isA"), dec(col("__x6")) * dec(col("__x6"))).as("__sxxb"),
+        sum(when(col("__isA"), col("__y")).otherwise(0L)).as("__sya"),
+        sum(when(!col("__isA"), col("__y")).otherwise(0L)).as("__syb"),
+        sum(when(col("__isA"), col("__y") * col("__y")).otherwise(0L))
+          .as("__syya"),
+        sum(when(!col("__isA"), col("__y") * col("__y")).otherwise(0L))
+          .as("__syyb"),
+        m(col("__isA"), dec(col("__x6")) * dec(col("__y"))).as("__sxya"),
+        m(!col("__isA"), dec(col("__x6")) * dec(col("__y"))).as("__sxyb"))
+      .filter(col("n_a") >= 2 && col("n_b") >= 2)
+    // the fixed double tree, written ONCE via a closure so both
+    // groups (and the SQL twin) share the same parenthesization;
+    // micro-unit scaling divides out where x appears
+    def varR(n: Column, sx: Column, sy: Column, sxx: Column, syy: Column,
+             sxy: Column, r: Column): Column = {
+      val nn = d(n)
+      val sx2 = (d(sxx) / lit(1e12) -
+        (d(sx) / lit(1e6)) * (d(sx) / lit(1e6)) / nn) / (nn - lit(1.0))
+      val sy2 = (d(syy) - d(sy) * d(sy) / nn) / (nn - lit(1.0))
+      val sxyS = (d(sxy) / lit(1e6) -
+        (d(sx) / lit(1e6)) * d(sy) / nn) / (nn - lit(1.0))
+      val ybar = d(sy) / nn
+      (sx2 - lit(2.0) * r * sxyS + r * r * sy2) / (nn * ybar * ybar)
+    }
+    val ra = d(col("__sxa")) / lit(1e6) / d(col("__sya"))
+    val rb = d(col("__sxb")) / lit(1e6) / d(col("__syb"))
+    val va = varR(col("n_a"), col("__sxa"), col("__sya"), col("__sxxa"),
+      col("__syya"), col("__sxya"), ra)
+    val vb = varR(col("n_b"), col("__sxb"), col("__syb"), col("__sxxb"),
+      col("__syyb"), col("__sxyb"), rb)
+    g.select(col(keyCol), col("n_a"), col("n_b"),
+      round(ra, roundTo).as("ratio_a"),
+      round(rb, roundTo).as("ratio_b"),
+      round(ra - rb, roundTo).as("diff"),
+      round(sqrt(va + vb), roundTo).as("se"),
+      round(when(va + vb > 0, (ra - rb) / sqrt(va + vb)), roundTo).as("z"))
+  }
+
+  /** Exact join-cardinality estimate WITHOUT running the join — the
+    * "should I even submit this query" planner readout (and the
+    * pre-flight skew check salting decisions hang on): by the
+    * aggregation identity |A ⋈_k B| = Σ_v f_A(v)·f_B(v), the inner
+    * join's row count is a product-sum over the two key HISTOGRAMS,
+    * so two grouped counts + one equi-join of aggregates (each
+    * |distinct keys| wide, never |rows|) replace materializing a
+    * possibly-exploding join. Also reports the max single-key fanout
+    * f_A·f_B — the one number that says "salt this key" — and the
+    * distinct-key overlap. NULL keys never match in SQL joins and
+    * are excluded from both histograms (counted separately).
+    */
+  def joinCardinality(left: DataFrame, leftKey: String,
+                      right: DataFrame, rightKey: String): DataFrame = {
+    val lh = left.groupBy(col(leftKey).as("__k"))
+      .agg(count(lit(1)).as("__fl"))
+    val rh = right.groupBy(col(rightKey).as("__k"))
+      .agg(count(lit(1)).as("__fr"))
+    val lTot = left.agg(count(lit(1)).as("n_left"),
+      count(col(leftKey)).as("__nn_l"))
+    val rTot = right.agg(count(lit(1)).as("n_right"),
+      count(col(rightKey)).as("__nn_r"))
+    val joined = lh.filter(col("__k").isNotNull)
+      .join(rh.filter(col("__k").isNotNull), Seq("__k"))
+      .agg(coalesce(sum(col("__fl") * col("__fr")), lit(0L)).as("est_rows"),
+        coalesce(max(col("__fl") * col("__fr")), lit(0L))
+          .as("max_key_fanout"),
+        count(lit(1)).as("d_common"))
+    val dl = lh.filter(col("__k").isNotNull)
+      .agg(count(lit(1)).as("d_left"))
+    val dr = rh.filter(col("__k").isNotNull)
+      .agg(count(lit(1)).as("d_right"))
+    lTot.crossJoin(broadcast(rTot)).crossJoin(broadcast(dl))
+      .crossJoin(broadcast(dr)).crossJoin(broadcast(joined))
+      .select(col("n_left"), col("n_right"),
+        (col("n_left") - col("__nn_l")).as("n_null_left"),
+        (col("n_right") - col("__nn_r")).as("n_null_right"),
+        col("d_left"), col("d_right"), col("d_common"),
+        col("est_rows"), col("max_key_fanout"))
+  }
 }

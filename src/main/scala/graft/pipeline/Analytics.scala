@@ -2970,4 +2970,65 @@ object Analytics {
           d(col("__w")) / (lit(100.0) * d(col("span_sec")))), roundTo)
           .as("twa"))
   }
+
+  /** Lagged cross-correlation between two event-type count series
+    * (Box–Jenkins CCF — the lead/lag identification step before any
+    * "did views DRIVE purchases" claim): both types bucket to hourly
+    * counts on a shared gap-filled spine (a missing hour is a REAL
+    * zero — skipping it would splice non-adjacent hours together),
+    * then for each lag 0..maxLag, Pearson r between x_t and y_{t+lag}
+    * over the N−lag overlapping buckets.
+    *
+    * Scale shape: the series frame is bounded by the time span
+    * (hours), never event volume — counts aggregate map-side first;
+    * the lag joins are equi-joins on the hour index against that
+    * bounded frame. Moments are exact integer sums; r is one fixed
+    * double tree rounded once (the house discipline). Zero variance
+    * on either side → null r.
+    */
+  def crossCorrelation(events: DataFrame, tsCol: String, typeCol: String,
+                       xType: String, yType: String, maxLag: Int,
+                       roundTo: Int = 6): DataFrame = {
+    require(maxLag >= 0, "maxLag must be non-negative")
+    val d = (c: Column) => c.cast("double")
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    val hourly = events
+      .filter(col(typeCol).isin(xType, yType))
+      .groupBy(date_trunc("hour", col(tsCol)).as("hour_ts"))
+      .agg(sum(when(col(typeCol) === xType, 1L).otherwise(0L)).as("x"),
+        sum(when(col(typeCol) === yType, 1L).otherwise(0L)).as("y"))
+    val spine = hourly
+      .agg(min(col("hour_ts")).as("mn"), max(col("hour_ts")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"),
+        expr("INTERVAL 1 HOUR"))).as("hour_ts"))
+    val series = spine.join(hourly, Seq("hour_ts"), "left")
+      .select(
+        (unix_timestamp(col("hour_ts")) / 3600L).cast("long").as("k"),
+        coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val lags = series.sparkSession.range(0, maxLag + 1)
+      .select(col("id").as("lag"))
+    val a = series.select(col("k"), col("x"))
+      .crossJoin(broadcast(lags))
+    val b = series.select(col("k").as("kb"), col("y"))
+    val pairs = a.join(b, a("k") + a("lag") === b("kb"))
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("__sx"), sum(col("y")).as("__sy"),
+        sum(dec(col("x")) * dec(col("x"))).as("__sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("__syy"),
+        sum(dec(col("x")) * dec(col("y"))).as("__sxy"))
+      .filter(col("n") >= 2)
+      .withColumn("__cnum",
+        d(col("n")) * d(col("__sxy")) - d(col("__sx")) * d(col("__sy")))
+      .withColumn("__cdx",
+        d(col("n")) * d(col("__sxx")) - d(col("__sx")) * d(col("__sx")))
+      .withColumn("__cdy",
+        d(col("n")) * d(col("__syy")) - d(col("__sy")) * d(col("__sy")))
+      .select(col("lag"), col("n"),
+        round(when(col("__cdx") > 0 && col("__cdy") > 0,
+          col("__cnum") / sqrt(col("__cdx") * col("__cdy"))), roundTo)
+          .as("r"))
+      .orderBy(col("lag"))
+  }
 }

@@ -1060,6 +1060,15 @@ private[graft] object OraclesShard8 {
          FROM w LEFT JOIN msk USING (doc_id)
          WHERE w.doc_id % 10 <> 0
          ORDER BY w.doc_id""",
+
+    // stream-static enrichment must equal the plain batch left join —
+    // the stream side holds no state, the dim side joins per batch
+    "stream_enrich_static" ->
+      """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           e.event_type, e.value, c.c_name AS customer_name,
+           c.c_mktsegment AS market_segment
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+         ORDER BY e.event_id""",
   )
 
   /** The SRM replay shared by the batch key and its streaming-monitor

@@ -1,5 +1,6 @@
 package graft
 
+import graft.EntryHelpers._
 import graft.operators._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -654,6 +655,301 @@ private[graft] object QueriesShard7 {
           docs.filter(col("doc_id") % 10 =!= 0),
           "doc_id", "text", n = 3)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- stateful sessionization, graded batch-side (§2.6; r14
+    // wave 16) ---- the REAL flatMapGroupsWithState sessionizer on
+    // static input: batch 1 carries every event (wm=0, nothing
+    // dropped; all but each user's LAST session close in-stream),
+    // two sentinel microbatches then advance the event-time
+    // watermark past max(ts)+gap so the open tails emit via state
+    // TIMEOUT — the path a cron-driven batch job never exercises.
+    // session_seq/duration derive from the sink, so the graded frame
+    // equals the batch byGap islands and shares events_sessions'
+    // oracle verbatim.
+    "stream_sessions_stateful" -> ((s, d) => {
+      val base = graft.TempDirs.create("graft_stream_ss")
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = eventCols(Tables.events(s, d))
+      ev.write.parquet(inDir)
+      val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+      def sentinel(offsetMs: Long) = {
+        import s.implicits._
+        Seq((-1L, -1L, new java.sql.Timestamp(maxTs.getTime + offsetMs),
+          "__sentinel", 0.0)).toDF("user_id", "event_id", "ts", "event_type", "value")
+      }
+      withShufflePartitions(s, 4) {
+        val q = graft.streaming.EventStream
+          .sessions(graft.streaming.EventStream.read(s, inDir),
+            gapSeconds = 1800L)
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+        try {
+          q.processAllAvailable() // batch 1: all real events, wm = 0
+          sentinel(4L * 3600 * 1000).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // batch 2: wm = maxTs - 1h
+          sentinel(4L * 3600 * 1000 + 60000).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // batch 3: wm = maxTs + 3h → tails time out
+        } finally q.stop()
+      }
+      s.read.parquet(outDir).filter(col("user_id") =!= -1L)
+        .select(col("user_id"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("session_start")))
+            .cast("long").as("session_seq"),
+          col("session_start"), col("session_end"),
+          (unix_timestamp(col("session_end"))
+            - unix_timestamp(col("session_start"))).as("duration_sec"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+
+    // ---- stream-static dim enrichment, graded batch-side (§2.6;
+    // r14 wave 16) ---- the REAL EventStream.enrich: a live event
+    // stream LEFT-joined to the customer dimension (stream-static
+    // joins hold no state; each microbatch equi-joins the static
+    // side under the same AQE broadcast policy as the batch models).
+    // Two microbatches split at the CDC cutoff prove the join is
+    // per-batch, not per-query-start; events without a dim row keep
+    // NULL attributes. Sink vs the plain SQL left join.
+    "stream_enrich_static" -> ((s, d) => {
+      val base = graft.TempDirs.create("graft_stream_en")
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = eventCols(Tables.events(s, d))
+      val cutoff = lit(CdcCutoff).cast("timestamp")
+      ev.filter(col("ts") <= cutoff).write.parquet(inDir)
+      val dim = Tables.customer(s, d).select(
+        col("c_custkey").as("user_id"),
+        col("c_name").as("customer_name"),
+        col("c_mktsegment").as("market_segment"))
+      withShufflePartitions(s, 4) {
+        val q = graft.streaming.EventStream.enrich(
+            graft.streaming.EventStream.read(s, inDir), dim, Seq("user_id"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("event_type"), col("value"), col("customer_name"),
+            col("market_segment"))
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+        try {
+          q.processAllAvailable() // batch 1: events <= cutoff
+          ev.filter(col("ts") > cutoff).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // batch 2: the rest
+        } finally q.stop()
+      }
+      s.read.parquet(outDir).orderBy(col("event_id"))
+    }),
+
+    // ---- file-source incremental ingest, graded batch-side (§2.6;
+    // r14 wave 16) ---- the REAL readStream file source as a bare
+    // passthrough: batch 1 ingests the pre-cutoff files, batch 2
+    // ONLY the newly landed ones. The sink is append-only with no
+    // dedup, so a source that re-listed history would double rows
+    // and hash-fail — this grades the exactly-once file-listing
+    // contract itself (the streaming twin of Cdc.incrementalFilter's
+    // "read only what's new").
+    "stream_file_ingest" -> ((s, d) => {
+      val base = graft.TempDirs.create("graft_stream_fi")
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = eventCols(Tables.events(s, d))
+      val cutoff = lit(CdcCutoff).cast("timestamp")
+      ev.filter(col("ts") <= cutoff).write.parquet(inDir)
+      withShufflePartitions(s, 4) {
+        val q = graft.streaming.EventStream.read(s, inDir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+        try {
+          q.processAllAvailable() // batch 1: pre-cutoff files only
+          ev.filter(col("ts") > cutoff).write.mode("append").parquet(inDir)
+          q.processAllAvailable() // batch 2: only the new files
+        } finally q.stop()
+      }
+      s.read.parquet(outDir).orderBy(col("event_id"))
+    }),
+
+    // ---- Luhn-validated card-number scan (r14 wave 17) ----
+    // the regex PII family pattern-matches; a PAN is only PII when
+    // its mod-10 checksum HOLDS (redacting every 16-digit run would
+    // shred order ids and EANs). Round-trip synthesis: every 3rd doc
+    // gets a VALID card (check digit computed by the same Luhn sum
+    // the oracle replays), every 5th an invalid twin (+5 on the
+    // check digit), every 7th a 12-digit non-candidate — planted on
+    // the NATURAL text, so natural digit runs grade too (the oracle
+    // replays candidate grammar + checksum over every run in SQL).
+    "pii_luhn_scan" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+          expr("lpad(CAST(doc_id AS STRING), 15, '4')").as("base15"))
+        .withColumn("card_sum", expr(
+          """aggregate(sequence(1, 15), 0, (acc, i) -> acc +
+             CASE WHEN i % 2 = 1 THEN
+               CASE WHEN 2 * CAST(substring(base15, i, 1) AS INT) > 9
+                 THEN 2 * CAST(substring(base15, i, 1) AS INT) - 9
+                 ELSE 2 * CAST(substring(base15, i, 1) AS INT) END
+             ELSE CAST(substring(base15, i, 1) AS INT) END)"""))
+        .withColumn("valid16", expr(
+          "concat(base15, CAST((10 - card_sum % 10) % 10 AS STRING))"))
+        .withColumn("synth", expr(
+          """concat(text,
+             CASE WHEN doc_id % 3 = 0 THEN concat(' pay ',
+               substring(valid16, 1, 4), ' ', substring(valid16, 5, 4), ' ',
+               substring(valid16, 9, 4), ' ', substring(valid16, 13, 4))
+             ELSE '' END,
+             CASE WHEN doc_id % 5 = 0 THEN concat(' ref ',
+               substring(valid16, 1, 15),
+               CAST((CAST(substring(valid16, 16, 1) AS INT) + 5) % 10 AS STRING))
+             ELSE '' END,
+             CASE WHEN doc_id % 7 = 0 THEN
+               concat(' acct ', lpad(CAST(doc_id AS STRING), 12, '9'))
+             ELSE '' END)"""))
+        .select(col("doc_id"),
+          graft.functions.Pii.cardCandidates(col("synth")).cast("long")
+            .as("n_candidates"),
+          graft.functions.Pii.cardsValid(col("synth")).cast("long")
+            .as("n_valid"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- checksum-gated card redaction (r14 wave 17) ----
+    // the scrub pass itself: Luhn-VALID runs become <CARD>, invalid
+    // runs and non-candidates survive untouched. Natural digits are
+    // stripped first so the oracle's replace() replay is exact — the
+    // arbitrary-text path is graded by [pii_luhn_scan].
+    "doc_card_redact" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("regexp_replace(coalesce(text, ''), '[0-9]', '')").as("text"),
+          expr("lpad(CAST(doc_id AS STRING), 15, '4')").as("base15"))
+        .withColumn("card_sum", expr(
+          """aggregate(sequence(1, 15), 0, (acc, i) -> acc +
+             CASE WHEN i % 2 = 1 THEN
+               CASE WHEN 2 * CAST(substring(base15, i, 1) AS INT) > 9
+                 THEN 2 * CAST(substring(base15, i, 1) AS INT) - 9
+                 ELSE 2 * CAST(substring(base15, i, 1) AS INT) END
+             ELSE CAST(substring(base15, i, 1) AS INT) END)"""))
+        .withColumn("valid16", expr(
+          "concat(base15, CAST((10 - card_sum % 10) % 10 AS STRING))"))
+        .withColumn("synth", expr(
+          """concat(text,
+             CASE WHEN doc_id % 3 = 0 THEN concat(' pay ',
+               substring(valid16, 1, 4), ' ', substring(valid16, 5, 4), ' ',
+               substring(valid16, 9, 4), ' ', substring(valid16, 13, 4))
+             ELSE '' END,
+             CASE WHEN doc_id % 5 = 0 THEN concat(' ref ',
+               substring(valid16, 1, 15),
+               CAST((CAST(substring(valid16, 16, 1) AS INT) + 5) % 10 AS STRING))
+             ELSE '' END,
+             CASE WHEN doc_id % 7 = 0 THEN
+               concat(' acct ', lpad(CAST(doc_id AS STRING), 12, '9'))
+             ELSE '' END)"""))
+        .select(col("doc_id"),
+          graft.functions.Pii.cardsValid(col("synth")).cast("long")
+            .as("n_cards"),
+          graft.functions.Pii.redactCards(col("synth")).as("text_redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- delta-method ratio-metric A/B (r14 wave 18) ----
+    // the experimentation stack's missing member: Welch/MW/CUPED
+    // compare per-UNIT means, but "value per event" randomized by
+    // USER needs the delta method (Deng, Knoblich & Lu KDD '18) —
+    // variant = user_id % 2 (the ab_srm convention), unit = user,
+    // numerator = value, denominator = event count
+    "ab_ratio_delta" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .withColumn("variant",
+          when(col("user_id") % 2 === 1, "A").otherwise("B"))
+      Quality.ratioDelta(ev, "event_type", "user_id", "variant", "value",
+          "A", "B")
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- lagged cross-correlation (r14 wave 18) ----
+    // Box–Jenkins CCF between the hourly view and purchase count
+    // series on a shared gap-filled spine (a missing hour is a real
+    // zero); exact integer moments, one double tree per lag
+    "events_xcorr" -> ((s, d) =>
+      pipeline.Analytics.crossCorrelation(Tables.events(s, d),
+        "ts", "event_type", "view", "purchase", maxLag = 6)),
+
+    // ---- Versioned schema evolution (r14 wave 19) ----
+    // the dbt on_schema_change: append_new_columns contract on the
+    // engine's own table format: v1 lands the narrow schema, v2
+    // appends with an ADDED column; the merged head read null-fills
+    // v1's rows, while time travel to v1 keeps the original narrow
+    // schema (asserted in-key — old manifests list only old segments)
+    "versioned_schema_evolution" -> ((s, d) => {
+      import graft.sources.Versioned
+      val dst = graft.TempDirs.create("graft_vse") + "/t"
+      val o = Tables.orders(s, d)
+      val v1 = Versioned.commit(o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice")), dst)
+      val v2 = Versioned.commit(o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus")), dst)
+      require(v1 == 1 && v2 == 2, s"unexpected versions ($v1, $v2)")
+      val narrow = Versioned.read(s, dst, Some(1), mergeSchema = true)
+      require(narrow.columns.sorted.toSeq ==
+        Seq("o_orderkey", "o_totalprice"),
+        s"time travel must keep the pre-evolution schema, " +
+          s"got ${narrow.columns.mkString(",")}")
+      Versioned.read(s, dst, mergeSchema = true)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- power-law degree-distribution fit (r14 wave 19) ----
+    // CSN '09 MLE over the co-purchase graph's degree tail — the
+    // one-row scale-free screen; per-node log terms as rounded 1e-6
+    // integers (order-free exact sum), one final double division
+    "graph_powerlaw_fit" -> ((s, d) =>
+      Graph.powerlawFit(coPurchaseEdges(s, d), "pa", "pb", dMin = 4L)),
+
+    // ---- JDBC merge-dialect matrix (r14 wave 20) ----
+    // the warehouse-seam honesty row graded: the dialect layer's
+    // CONTRACT is the SQL text it generates (the live Derby path is
+    // graded by sink_jdbc_upsert; ClickHouse/ANSI can't run in this
+    // container, but their statements are pure functions of the merge
+    // spec) — one fixed spec with a string key drives forUrl inference
+    // + prep/merge generation for all three dialects, graded against
+    // a VALUES oracle stating every statement verbatim
+    "sink_jdbc_dialect_matrix" -> ((s, d) => {
+      import graft.sources.JdbcMergeDialect
+      val urls = Seq(
+        ("ansi", "jdbc:postgresql://host/db"),
+        ("clickhouse", "jdbc:clickhouse://host/db"),
+        ("derby", "jdbc:derby:memory:x"))
+      val key = Seq("o_orderkey", "o_tag")
+      val cols = Seq("o_orderkey", "o_tag", "o_val")
+      val strKeys = Set("o_tag")
+      val rows = urls.flatMap { case (name, url) =>
+        val dia = JdbcMergeDialect.forUrl(url)
+        val prep = dia.stagingPrepStatements("stg_orders", key, strKeys)
+          .map(("prep", _))
+        val merge = dia.mergeStatements("t_orders", "stg_orders", key,
+          cols, strKeys).map(("merge", _))
+        (prep ++ merge).zipWithIndex.map { case ((kind, sql), i) =>
+          (name, (i + 1).toLong, kind, sql, dia.transactional)
+        }
+      }
+      import s.implicits._
+      rows.toDF("dialect", "stmt_no", "kind", "sql_text", "transactional")
+        .orderBy(col("dialect"), col("stmt_no"))
+    }),
+
+    // ---- exact join-cardinality estimate (r14 wave 20) ----
+    // the planner question answered WITHOUT running the join: by the
+    // aggregation identity |A ⋈ B| = Σ_v f_A(v)·f_B(v), two
+    // histogram aggregates + a key-join of the (bounded-width)
+    // histograms replace materializing the join itself — plus the
+    // max single-key fanout, the skew red flag
+    "dq_join_cardinality" -> ((s, d) => {
+      Quality.joinCardinality(
+        Tables.events(s, d), "user_id",
+        Tables.customer(s, d), "c_custkey")
     }),
   )
 }

@@ -168,13 +168,25 @@ object Versioned {
     * (empty table) is an error — commit first. Segment entries are
     * table-root-relative (`d-uuid`) or ABSOLUTE (a [[shallowClone]]'s
     * foreign references) — resolved accordingly.
+    *
+    * `mergeSchema` widens across segments committed under EVOLVED
+    * schemas (a column added by a later append null-fills the older
+    * segments' rows — the dbt `on_schema_change: append_new_columns`
+    * contract); off by default because the footer-merge pass costs a
+    * per-file read and same-schema tables (the normal case) never
+    * need it. Time travel to a pre-evolution version keeps the
+    * ORIGINAL narrow schema either way — old manifests only list old
+    * segments.
     */
   def read(spark: SparkSession, path: String,
-           version: Option[Int] = None): DataFrame = {
+           version: Option[Int] = None,
+           mergeSchema: Boolean = false): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, path))
     require(v >= 1, s"no committed version at $path")
     val segs = readManifest(spark, path, v)
-    spark.read.parquet(segs.map { s =>
+    val r = if (mergeSchema) spark.read.option("mergeSchema", "true")
+            else spark.read
+    r.parquet(segs.map { s =>
       val p = new Path(s)
       (if (p.isAbsolute) p else new Path(path, s)).toString
     }: _*)

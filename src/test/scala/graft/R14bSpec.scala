@@ -1,0 +1,204 @@
+package graft
+
+import graft.operators.Quality
+import graft.pipeline.Analytics
+import org.apache.spark.sql.functions._
+
+/** r14 session-2 operator specs: delta-method ratio A/B and the
+  * lagged cross-correlation function. */
+class R14bSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("ratioDelta: hand-computed two-group fixture") {
+    // A units: u1 = (x 10, y 2), u2 = (20, 3); B: u3 = (5, 1), u4 = (15, 4)
+    val rows = Seq(
+      ("t", 1L, "A", 4.0), ("t", 1L, "A", 6.0),
+      ("t", 2L, "A", 5.0), ("t", 2L, "A", 5.0), ("t", 2L, "A", 10.0),
+      ("t", 3L, "B", 5.0),
+      ("t", 4L, "B", 3.0), ("t", 4L, "B", 4.0), ("t", 4L, "B", 4.0),
+      ("t", 4L, "B", 4.0))
+      .toDF("k", "unit", "grp", "v")
+    val r = Quality.ratioDelta(rows, "k", "unit", "grp", "v", "A", "B")
+      .collect()(0)
+    // ra = 30/5 = 6, rb = 20/5 = 4
+    // va = (50 − 2·6·5 + 36·0.5)/(2·2.5²) = 8/12.5 = 0.64
+    // vb = (50 − 2·4·15 + 16·4.5)/(2·2.5²) = 2/12.5 = 0.16
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Double]("ratio_a") === 6.0)
+    assert(r.getAs[Double]("ratio_b") === 4.0)
+    assert(r.getAs[Double]("diff") === 2.0)
+    assert(math.abs(r.getAs[Double]("se") - 0.894427) < 1e-6)
+    assert(math.abs(r.getAs[Double]("z") - 2.236068) < 1e-6)
+  }
+
+  test("ratioDelta: the naive per-event view would miss unit correlation") {
+    // same per-event means but all of B's volume concentrated in one
+    // unit: a per-event t-test sees identical data; the delta method
+    // must see ONE effective unit on the B side and drop the key
+    // (n_b = 1 < 2)
+    val rows = Seq(
+      ("t", 1L, "A", 1.0), ("t", 2L, "A", 2.0),
+      ("t", 3L, "B", 1.0), ("t", 3L, "B", 2.0))
+      .toDF("k", "unit", "grp", "v")
+    assert(Quality.ratioDelta(rows, "k", "unit", "grp", "v", "A", "B")
+      .count() === 0L)
+  }
+
+  test("ratioDelta: zero variance → se 0, z null") {
+    val rows = Seq(
+      ("t", 1L, "A", 10.0), ("t", 1L, "A", 0.0),
+      ("t", 2L, "A", 10.0), ("t", 2L, "A", 0.0),
+      ("t", 3L, "B", 10.0), ("t", 3L, "B", 0.0),
+      ("t", 4L, "B", 10.0), ("t", 4L, "B", 0.0))
+      .toDF("k", "unit", "grp", "v")
+    val r = Quality.ratioDelta(rows, "k", "unit", "grp", "v", "A", "B")
+      .collect()(0)
+    assert(r.getAs[Double]("se") === 0.0)
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
+  private def ev(hour: Int, tpe: String, n: Int) =
+    (1 to n).map(_ => (f"2024-01-01 $hour%02d:30:00", tpe))
+
+  test("crossCorrelation: shifted impulse peaks at the true lag") {
+    // x = [2,1,0,1] (views, hours 0..3); y = x shifted by 2 → [0,0,2,1]
+    val rows = (ev(0, "view", 2) ++ ev(1, "view", 1) ++ ev(3, "view", 1) ++
+      ev(2, "purchase", 2) ++ ev(3, "purchase", 1))
+      .toDF("t", "event_type")
+      .select(to_timestamp(col("t")).as("ts"), col("event_type"))
+    val r = Analytics.crossCorrelation(rows, "ts", "event_type",
+        "view", "purchase", maxLag = 3)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // lag 2 pairs: (2,2),(1,1) → perfect correlation
+    assert(r(2L).getAs[Double]("r") === 1.0)
+    assert(r(2L).getAs[Long]("n") === 2L)
+    // lag 0 pairs: (2,0),(1,0),(0,2),(1,1) → r = −8/√88
+    assert(math.abs(r(0L).getAs[Double]("r") - (-0.852803)) < 1e-6)
+    assert(r(0L).getAs[Long]("n") === 4L)
+  }
+
+  test("crossCorrelation: an empty hour gap-fills as a REAL zero") {
+    // hour 1 has no events of either type; without the spine the
+    // lag-0 pairs would collapse to (1,1),(1,1) (zero variance, null)
+    val rows = (ev(0, "view", 1) ++ ev(2, "view", 1) ++
+      ev(0, "purchase", 1) ++ ev(2, "purchase", 1))
+      .toDF("t", "event_type")
+      .select(to_timestamp(col("t")).as("ts"), col("event_type"))
+    val r = Analytics.crossCorrelation(rows, "ts", "event_type",
+        "view", "purchase", maxLag = 1)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getAs[Long]("n") === 3L)
+    assert(r(0L).getAs[Double]("r") === 1.0)
+  }
+
+  test("powerlawFit: hand-computed star fixture") {
+    // star K1,5: hub degree 5, five leaves degree 1 → with dMin 2 the
+    // tail is just the hub: alpha = 1 + 1/ln(5/1.5) = 1.830584
+    val edges = (1 to 5).map(i => (0L, i.toLong)).toDF("a", "b")
+    val r = graft.operators.Graph.powerlawFit(edges, "a", "b", dMin = 2L)
+      .collect()(0)
+    assert(r.getAs[Long]("n_nodes") === 6L)
+    assert(r.getAs[Long]("n_tail") === 1L)
+    assert(r.getAs[Long]("d_min") === 2L)
+    assert(math.abs(r.getAs[Double]("alpha")
+      - (1.0 + 1.0 / math.log(5.0 / 1.5))) < 1e-5)
+  }
+
+  test("powerlawFit: empty tail emits no row; dMin guard") {
+    // a single edge: both degrees 1 < dMin → no row
+    val edges = Seq((1L, 2L)).toDF("a", "b")
+    assert(graft.operators.Graph.powerlawFit(edges, "a", "b").count() === 0L)
+    intercept[IllegalArgumentException] {
+      graft.operators.Graph.powerlawFit(edges, "a", "b", dMin = 1L)
+    }
+  }
+
+  test("versioned read with mergeSchema widens and null-fills") {
+    import graft.sources.Versioned
+    val dst = tmpDir("graft_vse_spec") + "/t"
+    Versioned.commit(Seq((1L, 10.0)).toDF("k", "v"), dst)
+    Versioned.commit(Seq((2L, 20.0, "x")).toDF("k", "v", "tag"), dst)
+    // head merged: old row null-fills tag
+    val head = Versioned.read(spark, dst, mergeSchema = true)
+      .orderBy(col("k")).collect()
+    assert(head.length === 2)
+    assert(head(0).getLong(0) === 1L && head(0).isNullAt(2))
+    assert(head(1).getAs[String]("tag") === "x")
+    // time travel keeps the narrow schema
+    assert(Versioned.read(spark, dst, Some(1), mergeSchema = true)
+      .columns.toSeq === Seq("k", "v"))
+  }
+
+  test("joinCardinality: hand-computed fanout fixture with null keys") {
+    val l = Seq(Some(1L), Some(1L), Some(2L), Some(3L), None)
+      .toDF("k")
+    val r = Seq(Some(1L), Some(1L), Some(1L), Some(2L), None, None)
+      .toDF("c_k")
+    val row = graft.operators.Quality.joinCardinality(l, "k", r, "c_k")
+      .collect()(0)
+    // join rows: key 1 → 2·3 = 6, key 2 → 1·1 = 1; key 3 unmatched
+    assert(row.getAs[Long]("n_left") === 5L)
+    assert(row.getAs[Long]("n_right") === 6L)
+    assert(row.getAs[Long]("n_null_left") === 1L)
+    assert(row.getAs[Long]("n_null_right") === 2L)
+    assert(row.getAs[Long]("d_left") === 3L)
+    assert(row.getAs[Long]("d_right") === 2L)
+    assert(row.getAs[Long]("d_common") === 2L)
+    assert(row.getAs[Long]("est_rows") === 7L)
+    assert(row.getAs[Long]("max_key_fanout") === 6L)
+    // the identity: est_rows equals the definitional join count
+    assert(l.join(r, l("k") === r("c_k")).count() === 7L)
+  }
+
+  test("joinCardinality: disjoint keys → zero estimate") {
+    val l = Seq(1L, 2L).toDF("k")
+    val r = Seq(3L, 4L).toDF("c_k")
+    val row = graft.operators.Quality.joinCardinality(l, "k", r, "c_k")
+      .collect()(0)
+    assert(row.getAs[Long]("est_rows") === 0L)
+    assert(row.getAs[Long]("max_key_fanout") === 0L)
+    assert(row.getAs[Long]("d_common") === 0L)
+  }
+
+  test("doc_line_dedup key semantics: keep-first order on a known doc") {
+    // drive the graded key's HOF directly on a crafted frame
+    val df = Seq((1L, "a. b. a. c"))
+      .toDF("doc_id", "text")
+      .withColumn("synth",
+        expr("replace(text, '. ', concat('.', chr(10)))"))
+      .withColumn("out", expr(
+        """array_join(aggregate(split(synth, '\n'),
+             cast(array() as array<string>),
+             (acc, x) -> case when array_contains(acc, x) then acc
+               else array_append(acc, x) end), '\n')"""))
+    assert(df.collect()(0).getAs[String]("out") === "a.\nb.\nc")
+  }
+
+  test("doc_c4_line_clean key semantics: each rule edge") {
+    val lines = Seq(
+      "this line has five words.",   // kept
+      "too short.",                  // < 3 words → dropped
+      "no terminal punctuation here", // dropped
+      "he said \"stop right there\"", // quote-terminal → kept
+      "",                            // empty → dropped
+      "is this a question?").mkString("\n") // kept
+    val kept = Seq((1L, lines)).toDF("doc_id", "synth")
+      .select(expr(
+        """filter(split(synth, '\n'),
+             x -> trim(x) rlike '[.!?"]$'
+               and size(split(trim(x), '\\s+')) >= 3)""").as("k"))
+      .collect()(0).getSeq[String](0)
+    assert(kept === Seq("this line has five words.",
+      "he said \"stop right there\"", "is this a question?"))
+  }
+
+  test("crossCorrelation: constant series → null r") {
+    val rows = (ev(0, "view", 1) ++ ev(1, "view", 1) ++
+      ev(0, "purchase", 2) ++ ev(1, "purchase", 1))
+      .toDF("t", "event_type")
+      .select(to_timestamp(col("t")).as("ts"), col("event_type"))
+    val r = Analytics.crossCorrelation(rows, "ts", "event_type",
+        "view", "purchase", maxLag = 0).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("r")))
+  }
+}
