@@ -56,7 +56,33 @@ object Scd2 {
     */
   def merge(history: DataFrame, extract: DataFrame, key: Seq[String],
             checkCols: Seq[String], asOf: Column,
-            invalidateHardDeletes: Boolean = false): DataFrame = {
+            invalidateHardDeletes: Boolean = false): DataFrame =
+    mergeBy(history, extract, key,
+      checkCols.map(c => !(col(c) <=> col(s"__new_$c"))).reduce(_ || _),
+      asOf, invalidateHardDeletes)
+
+  /** dbt snapshot `timestamp` strategy (dbt's RECOMMENDED default —
+    * `strategy='timestamp', updated_at=...`): a matched key is a new
+    * version iff the extract's `updatedAt` is STRICTLY NEWER than the
+    * stored one — so a replayed or late-arriving OLD extract row can
+    * never close a current version (the idempotence `check` can't
+    * give when attributes flap A→B→A), at the cost of trusting the
+    * source to bump the column. NULL discipline: a null incoming
+    * timestamp never versions; a null stored one (bootstrap rows)
+    * accepts any non-null incoming. Same single full-outer-join plan
+    * as [[merge]].
+    */
+  def mergeTimestamp(history: DataFrame, extract: DataFrame,
+                     key: Seq[String], updatedAt: String, asOf: Column,
+                     invalidateHardDeletes: Boolean = false): DataFrame =
+    mergeBy(history, extract, key,
+      col(s"__new_$updatedAt").isNotNull &&
+        (col(updatedAt).isNull || col(s"__new_$updatedAt") > col(updatedAt)),
+      asOf, invalidateHardDeletes)
+
+  private def mergeBy(history: DataFrame, extract: DataFrame,
+                      key: Seq[String], changedPred: Column, asOf: Column,
+                      invalidateHardDeletes: Boolean): DataFrame = {
     val attrCols = extract.columns.filterNot(key.contains).toSeq
     val closed   = history.filter(col(ValidTo).isNotNull)
     val current  = history.filter(col(ValidTo).isNull)
@@ -67,9 +93,7 @@ object Scd2 {
     val cur = current.withColumn("__in_history", lit(1))
     val j = cur.join(ex, key, "full_outer")
 
-    val changed: Column = checkCols
-      .map(c => !(col(c) <=> col(s"__new_$c")))
-      .reduce(_ || _)
+    val changed: Column = changedPred
     val inExtract = col("__in_extract").isNotNull
     val inHistory = col("__in_history").isNotNull
 

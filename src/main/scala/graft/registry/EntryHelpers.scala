@@ -75,6 +75,13 @@ private[graft] object EntryHelpers {
         coalesce(col("qty"), lit(0L)).as("qty"))
   }
 
+  /** The NFC plant shared by the unicode-normalization key and its
+    * oracle: combining diaeresis, combining acute, the ANGSTROM SIGN
+    * singleton (U+212B → U+00C5 under NFC), and one already-composed
+    * é that must pass through. One Scala constant interpolated into
+    * BOTH sides, so the bytes cannot diverge. */
+  val NfcPlant: String = " nai\u0308ve cafe\u0301 \u212b caf\u00e9"
+
   def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .filter(col("l_partkey") % 4 === 0)

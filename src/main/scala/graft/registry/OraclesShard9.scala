@@ -345,6 +345,43 @@ private[graft] object OraclesShard9 {
            CAST(length(kept) AS BIGINT) AS n_kept,
            coalesce(array_to_string(kept, chr(10)), '') AS text_clean
          FROM k ORDER BY doc_id""",
+
+    // NFC replay: utf8proc's nfc_normalize vs the JDK Normalizer —
+    // two independent Unicode implementations; the plant constant is
+    // interpolated from EntryHelpers.NfcPlant so the bytes cannot
+    // diverge between the key and this twin
+    "doc_unicode_normalize" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+             coalesce(text, '') || '${graft.EntryHelpers.NfcPlant}' AS synth
+           FROM documents)
+         SELECT doc_id, synth <> nfc_normalize(synth) AS changed,
+           nfc_normalize(synth) AS text_nfc
+         FROM t ORDER BY doc_id""",
+
+    // timestamp-strategy replay: versioned iff %10==0 (strictly-newer
+    // updated_at) AND present in the extract (%7<>0); the %10==5
+    // attribute flap under an unchanged timestamp must NOT version
+    "scd2_merge_timestamp" ->
+      """WITH s1 AS (
+           SELECT c_custkey AS customer_id, c_name AS customer_name,
+             c_mktsegment AS market_segment,
+             TIMESTAMP '2026-01-01 00:00:00' AS updated_at
+           FROM customer
+         ), v AS (
+           SELECT customer_id FROM s1
+           WHERE customer_id % 10 = 0 AND customer_id % 7 <> 0)
+         SELECT customer_id, customer_name, market_segment, updated_at,
+           TIMESTAMP '2026-01-01 00:00:00' AS valid_from,
+           CASE WHEN customer_id IN (SELECT customer_id FROM v)
+             THEN TIMESTAMP '2026-02-01 00:00:00' END AS valid_to
+         FROM s1
+         UNION ALL
+         SELECT customer_id, customer_name, 'CHANGED',
+           TIMESTAMP '2026-01-15 00:00:00',
+           TIMESTAMP '2026-02-01 00:00:00', NULL
+         FROM s1 WHERE customer_id IN (SELECT customer_id FROM v)
+         ORDER BY customer_id, valid_from""",
   )
 
   /** The line-ified synthesis shared by the line-level curation keys:

@@ -61,5 +61,54 @@ private[graft] object QueriesShard8 {
           expr("array_join(__kept, '\n')").as("text_clean"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- Unicode NFC normalization (r14 wave 22) ----
+    // the FIXER behind the mojibake screen: precomposed and
+    // decomposed forms of the same text hash apart, breaking exact
+    // dedup and tokenization downstream. Native codegen'd JDK
+    // Normalizer vs DuckDB's utf8proc — two INDEPENDENT Unicode
+    // implementations agreeing byte-for-byte is the gate. The plant
+    // (EntryHelpers.NfcPlant, one constant interpolated into both
+    // sides) carries combining marks + the angstrom singleton + an
+    // already-composed passthrough.
+    "doc_unicode_normalize" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("synth",
+          concat(coalesce(col("text"), lit("")), lit(NfcPlant)))
+        .select(col("doc_id"),
+          (col("synth") =!= graft.functions.Unicode.nfc(col("synth")))
+            .as("changed"),
+          graft.functions.Unicode.nfc(col("synth")).as("text_nfc"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- SCD2 timestamp-strategy merge (r14 wave 23) ----
+    // dbt's RECOMMENDED snapshot strategy (strategy='timestamp'):
+    // versioned iff updated_at is STRICTLY newer — the %10==5 rows
+    // flap their segment under an UNCHANGED updated_at (a replayed
+    // stale extract) and must NOT version, exactly where the check
+    // strategy would; %7==0 omitted keys stay open
+    "scd2_merge_timestamp" -> ((s, d) => {
+      import graft.operators.Scd2
+      import graft.pipeline.Models
+      val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
+      val t1 = lit("2026-02-01 00:00:00").cast("timestamp")
+      val tU = lit("2026-01-15 00:00:00").cast("timestamp")
+      val s1 = Models.stgCustomer(s, d).select(col("customer_id"),
+          col("customer_name"), col("market_segment"))
+        .withColumn("updated_at", t0)
+      val history0 = s1.withColumn(Scd2.ValidFrom, t0)
+        .withColumn(Scd2.ValidTo, lit(null).cast("timestamp"))
+      val s2 = s1.filter(col("customer_id") % 7 =!= 0)
+        .withColumn("market_segment",
+          when(col("customer_id") % 10 === 0
+            || col("customer_id") % 10 === 5, lit("CHANGED"))
+            .otherwise(col("market_segment")))
+        .withColumn("updated_at",
+          when(col("customer_id") % 10 === 0, tU).otherwise(t0))
+      Scd2.mergeTimestamp(history0, s2, Seq("customer_id"),
+          "updated_at", t1)
+        .orderBy(col("customer_id"), col("valid_from"))
+    }),
   )
 }

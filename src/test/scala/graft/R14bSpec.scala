@@ -192,6 +192,56 @@ class R14bSpec extends SparkSuite {
       "he said \"stop right there\"", "is this a question?"))
   }
 
+  test("mergeTimestamp: strictly-newer versions only (replay-safe)") {
+    import graft.operators.Scd2
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val t0 = ts("2024-01-01 00:00:00"); val t1 = ts("2024-01-02 00:00:00")
+    val t2 = ts("2024-01-03 00:00:00"); val asOf = ts("2024-01-04 00:00:00")
+    val hist = Seq(
+      (1L, "a", t1, t0, Option.empty[java.sql.Timestamp]),
+      (2L, "b", t1, t0, Option.empty[java.sql.Timestamp]),
+      (3L, "c", t1, t0, Option.empty[java.sql.Timestamp]))
+      .toDF("k", "v", "u", "valid_from", "valid_to")
+    val ex = Seq(
+      (1L, "a2", t2),  // strictly newer → versioned
+      (2L, "b2", t0),  // REPLAYED older extract → must not re-open
+      (3L, "c2", t1),  // equal timestamp → not strictly newer → no-op
+      (4L, "d", t2))   // new key → insert
+      .toDF("k", "v", "u")
+    val out = Scd2.mergeTimestamp(hist, ex, Seq("k"), "u", lit(asOf))
+      .orderBy(col("k"), col("valid_from")).collect()
+    assert(out.length === 5)
+    // key 1: closed old + opened new
+    assert(out(0).getAs[String]("v") === "a"
+      && out(0).getAs[java.sql.Timestamp]("valid_to") === asOf)
+    assert(out(1).getAs[String]("v") === "a2"
+      && out(1).isNullAt(out(1).fieldIndex("valid_to")))
+    // keys 2 and 3: untouched current rows, ORIGINAL attributes
+    assert(out(2).getAs[String]("v") === "b"
+      && out(2).isNullAt(out(2).fieldIndex("valid_to")))
+    assert(out(3).getAs[String]("v") === "c"
+      && out(3).isNullAt(out(3).fieldIndex("valid_to")))
+    // key 4: fresh insert
+    assert(out(4).getAs[String]("v") === "d"
+      && out(4).getAs[java.sql.Timestamp]("valid_from") === asOf)
+  }
+
+  test("nfc: decomposed composes, NFC text passes through, null-safe") {
+    import graft.functions.Unicode
+    val df = Seq(
+      (1L, Some("café")),       // decomposed e + combining acute
+      (2L, Some("café")),        // already precomposed
+      (3L, Some("plain ascii")),
+      (4L, Option.empty[String]))
+      .toDF("id", "t")
+      .select(col("id"), Unicode.nfc(col("t")).as("n"))
+      .orderBy(col("id")).collect()
+    assert(df(0).getString(1) === "café")
+    assert(df(1).getString(1) === "café")
+    assert(df(2).getString(1) === "plain ascii")
+    assert(df(3).isNullAt(1))
+  }
+
   test("crossCorrelation: constant series → null r") {
     val rows = (ev(0, "view", 1) ++ ev(1, "view", 1) ++
       ev(0, "purchase", 2) ++ ev(1, "purchase", 1))
