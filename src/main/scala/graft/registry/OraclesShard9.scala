@@ -382,6 +382,28 @@ private[graft] object OraclesShard9 {
            TIMESTAMP '2026-02-01 00:00:00', NULL
          FROM s1 WHERE customer_id IN (SELECT customer_id FROM v)
          ORDER BY customer_id, valid_from""",
+
+    // proximity replay: tokenize exactly like positionalFrame
+    // (lower/trim/space-collapse, 1-based positions), then the
+    // DEFINITIONAL pair join with the ordered window predicate
+    "doc_proximity_search" ->
+      """WITH d AS (
+           SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS p
+           FROM documents
+         ), tok AS (
+           SELECT doc_id,
+             unnest(str_split(p, ' ')) AS term,
+             unnest(range(1, length(str_split(p, ' ')) + 1)) AS pos
+           FROM d
+         ), a AS (SELECT doc_id, pos AS p1 FROM tok WHERE term = 'table'
+         ), b AS (SELECT doc_id, pos AS p2 FROM tok WHERE term = 'scan'
+         ), m AS (
+           SELECT a.doc_id, p1, p2 FROM a JOIN b ON a.doc_id = b.doc_id
+           WHERE p2 > p1 AND p2 - p1 <= 5)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(p1) AS BIGINT) AS first_pos
+         FROM m GROUP BY doc_id ORDER BY doc_id""",
   )
 
   /** The line-ified synthesis shared by the line-level curation keys:

@@ -110,5 +110,42 @@ private[graft] object QueriesShard8 {
           "updated_at", t1)
         .orderBy(col("customer_id"), col("valid_from"))
     }),
+
+    // ---- ordered proximity search (r14 wave 24) ----
+    // "table before scan within 5 tokens" over the memoized
+    // positional index (probe-only timing, the posidx discipline);
+    // the RangeJoin bucket trick in 1-D token space keeps candidates
+    // per-bucket, never tf-quadratic
+    "doc_proximity_search" -> ((s, d) => {
+      import graft.operators.Search
+      val store = graft.Stores.cached(s"posidx:$d") { dir =>
+        Search.positionalFrame(Tables.documents(s, d), "doc_id", "text")
+          .write.parquet(dir + "/t")
+      } + "/t"
+      Search.proximitySearch(s.read.parquet(store), "table", "scan",
+          window = 5L)
+        .select(col("id").as("doc_id"), col("n_matches"), col("first_pos"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- incremental join-cardinality maintenance (r14 wave 24) ----
+    // histograms are ADDITIVE sufficient statistics: the stored
+    // pre-cutoff histogram folds the delta batch in at
+    // O(delta + distinct keys) — the planner stats-maintenance
+    // contract — and must answer exactly like the full recompute
+    // (oracle = dq_join_cardinality's, verbatim)
+    "dq_join_cardinality_incr" -> ((s, d) => {
+      import graft.operators.Quality
+      val ev = Tables.events(s, d)
+      val cutoff = lit(CdcCutoff).cast("timestamp")
+      val store = graft.Stores.cached(s"jchist:$d") { dir =>
+        Quality.keyHistogram(ev.filter(col("ts") <= cutoff), "user_id")
+          .write.parquet(dir + "/t")
+      } + "/t"
+      val merged = Quality.histogramMerge(s.read.parquet(store),
+        Quality.keyHistogram(ev.filter(col("ts") > cutoff), "user_id"))
+      Quality.joinCardinalityFromHistograms(merged,
+        Quality.keyHistogram(Tables.customer(s, d), "c_custkey"))
+    }),
   )
 }

@@ -242,6 +242,48 @@ class R14bSpec extends SparkSuite {
     assert(df(3).isNullAt(1))
   }
 
+  test("proximitySearch: window boundary, order, same-term, straddle") {
+    import graft.operators.Search
+    // tokens: a(1) table(2) x(3) y(4) scan(5) table(6) b(7) scan(8)
+    val idx = Search.positionalFrame(
+      Seq((1L, "a table x y scan table b scan")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    // window 3: (2,5) diff 3 kept (<= is inclusive; ALSO the
+    // bucket-straddle case: buckets 0 vs 1), (6,8) diff 2 kept,
+    // (2,8) diff 6 dropped; scan-before-table never counts
+    val r = Search.proximitySearch(idx, "table", "scan", window = 3L)
+      .collect()(0)
+    assert(r.getAs[Long]("n_matches") === 2L)
+    assert(r.getAs[Long]("first_pos") === 2L)
+    // same-term proximity: table(2) .. table(6), diff exactly 4
+    val s4 = Search.proximitySearch(idx, "table", "table", window = 4L)
+      .collect()(0)
+    assert(s4.getAs[Long]("n_matches") === 1L)
+    // window 3 excludes the same pair
+    assert(Search.proximitySearch(idx, "table", "table", window = 3L)
+      .count() === 0L)
+  }
+
+  test("histogram fold ≡ full recompute (incl. null keys)") {
+    import graft.operators.Quality
+    val full = Seq(Some(1L), Some(1L), Some(2L), None, Some(3L))
+      .toDF("k")
+    val a = full.limit(2)
+    val b = full.exceptAll(a)
+    val folded = Quality.histogramMerge(
+      Quality.keyHistogram(a, "k"), Quality.keyHistogram(b, "k"))
+    val direct = Quality.keyHistogram(full, "k")
+    assert(folded.exceptAll(direct).count() === 0L)
+    assert(direct.exceptAll(folded).count() === 0L)
+    // and the estimator answers identically from either form
+    val rh = Quality.keyHistogram(Seq(1L, 1L, 2L).toDF("c"), "c")
+    val viaFold = Quality.joinCardinalityFromHistograms(folded, rh)
+      .collect()(0)
+    val viaFull = Quality.joinCardinality(full, "k",
+      Seq(1L, 1L, 2L).toDF("c"), "c").collect()(0)
+    assert(viaFold.toSeq === viaFull.toSeq)
+  }
+
   test("crossCorrelation: constant series → null r") {
     val rows = (ev(0, "view", 1) ++ ev(1, "view", 1) ++
       ev(0, "purchase", 2) ++ ev(1, "purchase", 1))
