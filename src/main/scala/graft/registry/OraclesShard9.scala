@@ -404,6 +404,37 @@ private[graft] object OraclesShard9 {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
            CAST(min(p1) AS BIGINT) AS first_pos
          FROM m GROUP BY doc_id ORDER BY doc_id""",
+
+    // the streamed three-batch fold (bootstrap, day-2, redelivered
+    // day-2) must equal the clean two-fold history: versioned iff
+    // %10==0 (strictly-newer updated_at); the %10==5 flap and the
+    // whole redelivered batch are no-ops
+    "stream_scd2_apply" ->
+      """WITH s1 AS (
+           SELECT c_custkey AS customer_id, c_name AS customer_name,
+             c_mktsegment AS market_segment,
+             TIMESTAMP '2026-01-01 00:00:00' AS updated_at
+           FROM customer
+         ), v AS (
+           SELECT customer_id FROM s1 WHERE customer_id % 10 = 0)
+         SELECT customer_id, customer_name, market_segment, updated_at,
+           TIMESTAMP '2026-01-01 00:00:00' AS valid_from,
+           CASE WHEN customer_id IN (SELECT customer_id FROM v)
+             THEN TIMESTAMP '2026-02-01 00:00:00' END AS valid_to
+         FROM s1
+         UNION ALL
+         SELECT customer_id, customer_name, 'CHANGED',
+           TIMESTAMP '2026-01-15 00:00:00',
+           TIMESTAMP '2026-02-01 00:00:00', NULL
+         FROM s1 WHERE customer_id IN (SELECT customer_id FROM v)
+         ORDER BY customer_id, valid_from""",
+
+    // file pruning must be invisible: the stats-pruned versioned
+    // read ≡ the plain BETWEEN filter
+    "versioned_prune_read" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+         FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+         ORDER BY o_orderkey""",
   )
 
   /** The line-ified synthesis shared by the line-level curation keys:

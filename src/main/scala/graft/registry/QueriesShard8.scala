@@ -147,5 +147,88 @@ private[graft] object QueriesShard8 {
       Quality.joinCardinalityFromHistograms(merged,
         Quality.keyHistogram(Tables.customer(s, d), "c_custkey"))
     }),
+
+    // ---- Versioned stats-pruned read (r14 wave 25) ----
+    // Delta/Iceberg data skipping on the engine's OWN table format:
+    // a range-clustered commit + a per-file min/max stats manifest
+    // pinned to the version; the narrow read drops provably-missing
+    // files DRIVER-SIDE before the scan is planned. ≡ the plain
+    // BETWEEN filter (the oracle); the file-skip itself is pinned in
+    // the spec via inputFiles
+    "versioned_prune_read" -> ((s, d) => {
+      import graft.sources.Versioned
+      val dst = graft.TempDirs.create("graft_vpr") + "/t"
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      Versioned.commit(o.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey")), dst)
+      Versioned.writeStats(s, dst, Seq("o_orderkey"))
+      Versioned.prunedRead(s, dst, "o_orderkey", 1000L, 5000L)
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- community modularity scorecard (r14 wave 26) ----
+    // Newman–Girvan Q over the SAME labeling graph_communities
+    // grades: per-community internal-edge/degree/size counts (exact
+    // integers) + the one fixed contribution tree — the "were those
+    // communities real" follow-up every clustering run needs
+    "graph_modularity" -> ((s, d) => {
+      import graft.operators.Graph
+      val edges = coPurchaseEdges(s, d)
+      // the labeling is long-lived corpus state whose BUILD is graded
+      // by graph_communities (the same labelPropagation call); the
+      // scorecard probes a memoized store (the posidx discipline) so
+      // the suite doesn't pay the 6-round iteration twice
+      val store = graft.Stores.cached(s"lplabels:$d") { dir =>
+        Graph.labelPropagation(edges, "pa", "pb", iterations = 6)
+          .write.parquet(dir + "/t")
+      } + "/t"
+      Graph.modularity(edges, "pa", "pb", s.read.parquet(store))
+        .orderBy(col("label"))
+    }),
+
+    // ---- continuous SCD2 apply door (r14 wave 26) ----
+    // the reference's scheduled dbt-snapshot job as a STREAM: three
+    // microbatches (day-1 snapshot, day-2, day-2 REDELIVERED) fold
+    // through mergeTimestamp into a Versioned history — the replay
+    // must be a no-op by the strictly-newer contract, so the sink
+    // equals the clean two-fold (the oracle); %10==5 flaps its
+    // segment under an unchanged updated_at and must not version
+    "stream_scd2_apply" -> ((s, d) => {
+      import graft.pipeline.Models
+      val base = graft.TempDirs.create("graft_stream_s2")
+      val inDir = s"$base/in"; val tbl = s"$base/tbl"; val ckpt = s"$base/ckpt"
+      val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
+      val tU = lit("2026-01-15 00:00:00").cast("timestamp")
+      val a1 = lit("2026-01-01 00:00:00").cast("timestamp")
+      val a2 = lit("2026-02-01 00:00:00").cast("timestamp")
+      val s1 = Models.stgCustomer(s, d).select(col("customer_id"),
+          col("customer_name"), col("market_segment"))
+        .withColumn("updated_at", t0)
+      val day1 = s1.withColumn("snap_ts", a1)
+      val day2 = s1
+        .withColumn("market_segment",
+          when(col("customer_id") % 10 === 0
+            || col("customer_id") % 10 === 5, lit("CHANGED"))
+            .otherwise(col("market_segment")))
+        .withColumn("updated_at",
+          when(col("customer_id") % 10 === 0, tU).otherwise(t0))
+        .withColumn("snap_ts", a2)
+      day1.write.parquet(inDir)
+      withShufflePartitions(s, 4) {
+        val q = graft.streaming.EventStream.applyScd2(
+          s.readStream.schema(day1.schema).parquet(inDir),
+          tbl, ckpt, Seq("customer_id"), "updated_at", "snap_ts")
+        try {
+          q.processAllAvailable() // batch 1: bootstrap fold
+          day2.write.mode("append").parquet(inDir)
+          q.processAllAvailable() // batch 2: the day-2 fold
+          day2.write.mode("append").parquet(inDir)
+          q.processAllAvailable() // batch 3: REDELIVERY — must no-op
+        } finally q.stop()
+      }
+      graft.sources.Versioned.read(s, tbl)
+        .orderBy(col("customer_id"), col("valid_from"))
+    }),
   )
 }

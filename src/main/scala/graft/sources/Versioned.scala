@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
 
 /** Versioned parquet table: a minimal manifest log giving plain
   * parquet directories the three properties object-store tables are
@@ -190,6 +190,62 @@ object Versioned {
       val p = new Path(s)
       (if (p.isAbsolute) p else new Path(path, s)).toString
     }: _*)
+  }
+
+  /** Per-FILE min/max stats for a pinned version — Delta/Iceberg
+    * data skipping on the engine's own table format ([[graft.sources
+    * .Sink.writeFileStats]] is the plain-directory form; this one is
+    * VERSION-AWARE): one column-pruned scan over the version's
+    * segments aggregates (min, max, row count) per data file, landed
+    * under `path/_stats/v<n>` — the underscore keeps parquet readers
+    * out, and versioning the stats means a later commit writes ITS
+    * OWN manifest while time travel prunes with the stats true at
+    * the pinned version. At 100 TB the stats pass reads only the
+    * stats columns and the manifest is one row per data file.
+    * Returns the number of files profiled.
+    */
+  def writeStats(spark: SparkSession, path: String, cols: Seq[String],
+                 version: Option[Int] = None): Int = {
+    require(cols.nonEmpty, "writeStats needs at least one column")
+    val v = version.getOrElse(currentVersion(spark, path))
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    val stats = read(spark, path, Some(v))
+      .select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
+      .groupBy(col("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    stats.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/_stats/v$v")
+    spark.read.parquet(s"$path/_stats/v$v").count().toInt
+  }
+
+  /** Range-pruned versioned read: ≡ `read(...).filter(col BETWEEN
+    * lo AND hi)`, but files whose [min, max] provably miss the range
+    * are dropped DRIVER-SIDE from the plan (never opened, never
+    * listed at row-group level) using the [[writeStats]] manifest of
+    * the PINNED version. Null-stats files are kept — the residual
+    * filter handles their rows — and the residual BETWEEN pushes to
+    * the scan so row-group pruning still applies inside survivors.
+    * Requires [[writeStats]] to have run for the version.
+    */
+  def prunedRead(spark: SparkSession, path: String, pruneCol: String,
+                 lo: Any, hi: Any,
+                 version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(spark, path))
+    val statsPath = s"$path/_stats/v$v"
+    require(fs(spark, path).exists(new Path(statsPath)),
+      s"no stats manifest at $statsPath — run writeStats for v$v first")
+    val stats = spark.read.parquet(statsPath)
+    val kept = stats.filter(
+        col(s"max_$pruneCol").isNull || col(s"min_$pruneCol").isNull ||
+        !(col(s"max_$pruneCol") < lit(lo) || col(s"min_$pruneCol") > lit(hi)))
+      .select(col("file")).collect().map(_.getString(0))
+    val full = read(spark, path, Some(v))
+    val base =
+      if (kept.isEmpty) full.filter(lit(false))
+      else spark.read.schema(full.schema).parquet(kept.toSeq: _*)
+    base.filter(col(pruneCol).between(lit(lo), lit(hi)))
   }
 
   /** Zero-copy SHALLOW CLONE (the public Delta `SHALLOW CLONE` /

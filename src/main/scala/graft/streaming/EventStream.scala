@@ -273,6 +273,55 @@ object EventStream {
     keyCols.foldLeft(joined)((df, k) => df.drop(col(s"__r.$k")))
   }
 
+  /** Continuous SCD2 APPLY door — the reference's scheduled dbt
+    * snapshot job run as a stream: each microbatch carries one or
+    * more FULL daily snapshots (tagged by `snapTsCol`), and each
+    * snapshot folds into a [[graft.sources.Versioned]] history table
+    * via [[graft.operators.Scd2.mergeTimestamp]] in snapshot-time
+    * order (ascending distinct `snapTsCol` — a bounded driver list,
+    * days per batch). The first snapshot bootstraps (every key is a
+    * new insert against the empty history); each fold publishes one
+    * Versioned version, so the history is time-travelable PER
+    * SNAPSHOT and readers stay pinned while the door commits.
+    *
+    * Convergent under at-least-once redelivery BY CONSTRUCTION: the
+    * timestamp strategy versions only strictly-newer `updatedAt`, so
+    * replaying a snapshot already folded in is a no-op merge — the
+    * exactly-once property comes from the MERGE SEMANTICS, not the
+    * checkpoint (the checkpoint only prevents re-reads; a crash
+    * between fold and offset-commit replays harmlessly).
+    */
+  def applyScd2(snapshots: DataFrame, tablePath: String, checkpoint: String,
+                key: Seq[String], updatedAt: String,
+                snapTsCol: String): StreamingQuery =
+    snapshots.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val snaps = batch.select(col(snapTsCol)).distinct()
+            .orderBy(col(snapTsCol)).collect().map(_.getTimestamp(0))
+          snaps.foreach { ts =>
+            val ex = batch.filter(col(snapTsCol) === lit(ts)).drop(snapTsCol)
+            val hist =
+              if (graft.sources.Versioned.currentVersion(spark, tablePath) >= 1)
+                graft.sources.Versioned.read(spark, tablePath)
+              else
+                ex.withColumn(graft.operators.Scd2.ValidFrom,
+                    lit(null).cast("timestamp"))
+                  .withColumn(graft.operators.Scd2.ValidTo,
+                    lit(null).cast("timestamp"))
+                  .filter(lit(false))
+            graft.sources.Versioned.commit(
+              graft.operators.Scd2.mergeTimestamp(hist, ex, key, updatedAt,
+                lit(ts)),
+              tablePath, replace = true)
+          }
+        }
+      }
+      .start()
+
   /** Continuous CDC apply: land every microbatch into a keyed parquet
     * target with delete+insert latest-wins semantics — the
     * reference's scheduled load loop (base_loader.py incremental load

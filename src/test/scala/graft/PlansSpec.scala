@@ -157,7 +157,11 @@ class PlansSpec extends SparkSuite {
       // the cardinality estimator composes FIVE bounded aggregate
       // frames (1-row totals/distincts/product-sum) — pure scalar
       // joins; the histogram join itself is an equi-join on the key
-      "dq_join_cardinality",
+      // (the incremental fold shares the identical scoring tail)
+      "dq_join_cardinality", "dq_join_cardinality_incr",
+      // modularity attaches the 1-row total-edges frame to the
+      // per-community counts — the q11/q15 scalar-join shape
+      "graph_modularity",
       // the CCF crosses the bounded (maxLag+1)-row lag table into
       // the bounded hourly series before the hour-index equi-join
       "events_xcorr")

@@ -284,6 +284,54 @@ class R14bSpec extends SparkSuite {
     assert(viaFold.toSeq === viaFull.toSeq)
   }
 
+  test("versioned prunedRead: skips files, pins stats per version") {
+    import graft.sources.Versioned
+    val dst = tmpDir("graft_vpr_spec") + "/t"
+    val v1rows = spark.range(0, 800).select(col("id").as("k"),
+      (col("id") * 2).as("v"))
+    Versioned.commit(v1rows.repartitionByRange(8, col("k"))
+      .sortWithinPartitions(col("k")), dst)
+    val nFiles = Versioned.writeStats(spark, dst, Seq("k"))
+    assert(nFiles >= 8)
+    val pruned = Versioned.prunedRead(spark, dst, "k", 10L, 20L)
+    // correctness: ≡ the plain filter
+    assert(pruned.count() === 11L)
+    // the skip is real: a narrow range opens a strict subset of files
+    assert(pruned.inputFiles.length < nFiles)
+    // stats pin to the version: v2 replaces with a DISJOINT domain,
+    // but a v1 pruned read still answers from v1's rows and stats
+    Versioned.commit(spark.range(10000, 10800).select(col("id").as("k"),
+      (col("id") * 2).as("v")), dst, replace = true)
+    Versioned.writeStats(spark, dst, Seq("k"))
+    assert(Versioned.prunedRead(spark, dst, "k", 10L, 20L,
+      version = Some(1)).count() === 11L)
+    assert(Versioned.prunedRead(spark, dst, "k", 10L, 20L).count() === 0L)
+    // missing manifest is an explicit error, not a silent full scan
+    val bare = tmpDir("graft_vpr_bare") + "/t"
+    Versioned.commit(v1rows, bare)
+    intercept[IllegalArgumentException] {
+      Versioned.prunedRead(spark, bare, "k", 0L, 1L)
+    }
+  }
+
+  test("modularity: two disjoint triangles Q = 0.5; one blob Q = 0") {
+    import graft.operators.Graph
+    val tri2 = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("a", "b")
+    val labs = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 20L), (5L, 20L), (6L, 20L)).toDF("node", "label")
+    val r = Graph.modularity(tri2, "a", "b", labs)
+      .orderBy(col("label")).collect()
+    // each community: e_c = 3, d_c = 6, m = 6 → 0.5 − 0.25 = 0.25
+    assert(r.map(_.getAs[Double]("contribution")).toSeq === Seq(0.25, 0.25))
+    assert(r.map(_.getAs[Long]("internal_edges")).toSeq === Seq(3L, 3L))
+    assert(r.map(_.getAs[Long]("degree_sum")).toSeq === Seq(6L, 6L))
+    // one blob: Q = e/m − (2m/2m)² = 1 − 1 = 0
+    val blob = labs.select(col("node"), lit(1L).as("label"))
+    val q0 = Graph.modularity(tri2, "a", "b", blob).collect()(0)
+    assert(q0.getAs[Double]("contribution") === 0.0)
+  }
+
   test("crossCorrelation: constant series → null r") {
     val rows = (ev(0, "view", 1) ++ ev(1, "view", 1) ++
       ev(0, "purchase", 2) ++ ev(1, "purchase", 1))

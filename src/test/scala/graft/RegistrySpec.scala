@@ -45,14 +45,14 @@ class RegistrySpec extends AnyFunSuite {
 
   test("oracle shards are key-disjoint and compose losslessly") {
     assert(dupes(oracleShards) === Seq.empty)
-    // + the 21 alias/derived oracles (streaming/incremental twins,
+    // + the 22 alias/derived oracles (streaming/incremental twins,
     // customer_rfm_bucketed, dedup_keep_best_incr,
     // dedup_components_reliable, stream_sessions_stateful,
     // stream_file_ingest, the cluster-histogram and pack-stats
     // rollups of batch oracles, verbatim/filtered/wrapped) and the
     // composed dedup_eval oracle appended in SparkEntry.oracleSql
     assert(SparkEntry.oracleSql.size ===
-      oracleShards.map(_._2.size).sum + 21)
+      oracleShards.map(_._2.size).sum + 22)
   }
 
   // Shard-size ceiling (r12 verdict ask #10): the 11k-line
