@@ -201,8 +201,15 @@ private[graft] object QueriesShard2 {
       val inDir = s"$base/in"; val root = s"$base/store"
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val train = docs.filter(col("doc_id") % 10 =!= 0)
-      val evalIdx = graft.operators.Dedup.evalGramIndex(
-        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 3)
+      // the eval index is FIXED state by contract (the batch twin
+      // decontamination_incr probes a persisted store) — land it once
+      // and pass the scan, so each microbatch reads parquet instead
+      // of re-running the gram explode (a lazy frame re-executes its
+      // whole plan inside EVERY foreachBatch)
+      graft.operators.Dedup.evalGramIndex(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 3)
+        .write.parquet(s"$base/evalidx")
+      val evalIdx = s.read.parquet(s"$base/evalidx")
       train.filter(col("doc_id") < 250).write.parquet(inDir)
       withShufflePartitions(s, 4) {
         val stream = s.readStream.schema(docs.schema).parquet(inDir)
