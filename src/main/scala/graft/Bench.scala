@@ -15,7 +15,39 @@ object Bench {
     * ordering a downstream consumer would actually pay for.
     */
   private def force(df: DataFrame): Long = df.queryExecution.toRdd.count()
+
+  /** Partial-artifact insurance (r14 verdict ask #1): the driver's
+    * r14 gate exited rc=124 with NO parseable output because the
+    * one-line JSON prints only after the whole suite + adjudication
+    * queue finishes. The timed loop now keeps a current partial line
+    * here, and a shutdown hook prints + lands it if the JVM dies
+    * before the final line — `timeout`'s SIGTERM runs shutdown
+    * hooks, so even a timed-out driver run leaves a parseable stamp
+    * (marked "partial":true with completed/of counters).
+    */
+  @volatile private var partialLine: String = null
+  @volatile private var finishedCleanly = false
+  private def landPartial(): Unit = {
+    val line = partialLine
+    if (!finishedCleanly && line != null) {
+      println(line)
+      System.out.flush()
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_full_partial.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    }
+  }
+
+  /** Formatting pins Locale.ROOT: the f interpolator follows the
+    * default locale, and a comma decimal separator would make the
+    * artifact invalid JSON. */
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => landPartial(), "graft-bench-partial"))
     // bench honesty: force a FRESH two-day replay per pipeline_day_replay
     // execution so the artifact reports the pipeline's true cost, not a
     // memoized Versioned read (r9 verdict item 2)
@@ -33,6 +65,19 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // completed-so-far buffer feeding the partial-artifact hook
+    val done = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def partialJson(rs: Seq[(String, Double)], sf: String): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val streamSec = rs.filter(_._1.startsWith("stream_")).map(_._2).sum
+      val total = rs.map(_._2).sum
+      s"""{"partial":true,"completed":${rs.size},"of":${ordered.size},""" +
+        s""""queries":$qs,"sf":"$sf","metric":"total","unit":"sec",""" +
+        s""""batch_sec":${fmt(total - streamSec)},""" +
+        s""""streaming_sec":${fmt(streamSec)},"value":${fmt(total)}}"""
+    }
+    partialLine = partialJson(Nil, sfDir) // parseable even mid-warmup
     // JMH-style warmup: run every query once untimed so the timed pass
     // measures steady-state (codegen'd classes C2-compiled), not
     // first-execution JIT noise — observed 2-15 s scatter on identical
@@ -86,7 +131,13 @@ object Bench {
         // runs next — measured at r8-w4: range_join_sessions 9.3 s in
         // suite vs 0.9 s isolated. The GC pause is paid OUTSIDE the
         // timed window, so per-query numbers reflect the query.
-        if (sys.env.getOrElse("SPARK_GRAFT_GC", "1") != "0") System.gc()
+        // ADAPTIVE (r14 verdict ask #1): a sub-0.35 s execution churns
+        // negligible heap, and sub-0.35 s pins are flag-exempt anyway
+        // — skipping their full-GC removes ~400 driver-window seconds
+        // at 430 keys (860+ timed executions × a 24 GiB-heap GC pause)
+        // with zero effect on any adjudicable ratio.
+        if (sec >= 0.35 &&
+          sys.env.getOrElse("SPARK_GRAFT_GC", "1") != "0") System.gc()
         times += sec
         if (n >= 0) rows = n
       }
@@ -94,6 +145,16 @@ object Bench {
       val best =
         if (useMedian) sorted((sorted.size - 1) / 2) else sorted.head
       System.err.println(f"[bench] $name%-28s $best%8.2f s  ($rows rows)")
+      done += (name -> best)
+      partialLine = partialJson(done.toSeq, sfDir)
+      // land the partial stamp synchronously as well: SIGTERM delivery
+      // through the sbt wrapper to the forked JVM is not guaranteed,
+      // and a SIGKILL runs no hooks at all — the on-disk partial is
+      // always at most one key stale. Removed again on a clean finish.
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_full_partial.json"),
+        (partialLine + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
       name -> best
     }
     // Truncation-proof artifact ordering: the driver captures the TAIL
@@ -101,11 +162,7 @@ object Bench {
     // shutdown logs follow the JSON, and (b) put the per-query map
     // FIRST and the headline total LAST inside the line — if the head
     // of the capture is cut, the total (the graded number) survives.
-    // Values rounded to ms to keep the line short. Formatting pins
-    // Locale.ROOT: the f interpolator follows the default locale, and
-    // a comma decimal separator would make the artifact invalid JSON.
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // Values rounded to ms to keep the line short.
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -168,38 +225,65 @@ object Bench {
           // key runs late (proved by hand twice — REBENCH_r12), so the
           // artifact must carry its own verdict: each flagged key is
           // re-run AFTER the suite in a quiet JVM (full GC, fresh
-          // warmup, 3 timed passes, min — the SPARK_GRAFT_ONLY re-bench
+          // warmup, timed passes, min — the SPARK_GRAFT_ONLY re-bench
           // protocol in-process) and the isolated ratio is stamped NEXT
           // TO the in-suite one. A key back under its band isolated is
           // suite noise by measurement, not narrative; a key still over
           // isolated is a real regression to profile.
-          val overIso = overPairs.map { case (k, _) =>
-            val fn = SparkEntry.queries(k)
-            Par.release()
-            graft.pipeline.DayReplay.reclaimStale()
-            System.gc()
-            try force(fn(spark, sfDir)) catch { case _: Throwable => () }
-            val ts = (1 to 3).map { _ =>
-              System.gc()
-              val t0 = System.nanoTime()
-              try force(fn(spark, sfDir)) catch { case _: Throwable => () }
-              val sec = (System.nanoTime() - t0) / 1e9
+          // BUDGET-BOUNDED (r14 verdict ask #1: the r14 driver gate hit
+          // rc=124 because a degraded host flagged 46 keys and the
+          // unbounded min-of-3 queue blew the window): sub-0.5 s pins
+          // are skipped outright (pure JIT/GC noise at that scale — the
+          // r14 adjudications of 0.4-0.9 s keys all came back <1.3x),
+          // the queue runs in priority order ratio × pin-seconds (the
+          // keys where a wrong verdict costs the most graded signal
+          // first), drops to min-of-2 when more than 8 keys queue, and
+          // a wall-clock budget (SPARK_GRAFT_ADJ_BUDGET, default 300 s)
+          // cuts the queue rather than the whole artifact — whatever
+          // was not reached is stamped in "adjudication_skipped".
+          val adjBudgetSec =
+            sys.env.getOrElse("SPARK_GRAFT_ADJ_BUDGET", "300").toDouble
+          val queue = overPairs
+            .filter { case (k, _) => base(k) >= 0.5 }
+            .sortBy { case (k, r) => -(r * base(k)) }
+          val adjPasses = if (queue.size > 8) 2 else 3
+          val tAdj0 = System.nanoTime()
+          val overIso = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+          val adjSkipped = scala.collection.mutable.ArrayBuffer.empty[String]
+          queue.foreach { case (k, _) =>
+            if ((System.nanoTime() - tAdj0) / 1e9 > adjBudgetSec) adjSkipped += k
+            else {
+              val fn = SparkEntry.queries(k)
               Par.release()
               graft.pipeline.DayReplay.reclaimStale()
-              sec
+              System.gc()
+              try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+              val ts = (1 to adjPasses).map { _ =>
+                System.gc()
+                val t0 = System.nanoTime()
+                try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+                val sec = (System.nanoTime() - t0) / 1e9
+                Par.release()
+                graft.pipeline.DayReplay.reclaimStale()
+                sec
+              }
+              System.err.println(
+                f"[bench] isolated $k%-28s ${ts.min}%8.2f s (in-suite ratio " +
+                  f"${results.toMap.apply(k) / base(k)}%.2f -> isolated ${ts.min / base(k)}%.2f)")
+              overIso += (k -> ts.min / base(k))
             }
-            System.err.println(
-              f"[bench] isolated $k%-28s ${ts.min}%8.2f s (in-suite ratio " +
-                f"${results.toMap.apply(k) / base(k)}%.2f -> isolated ${ts.min / base(k)}%.2f)")
-            k -> ts.min / base(k)
           }
           val overIsoJson = overIso
             .map { case (k, r) => "\"" + k + "\":" + fmt(r) }
             .mkString("{", ",", "}")
+          val adjSkippedJson = adjSkipped
+            .map("\"" + _ + "\"").mkString("[", ",", "]")
           s""""baseline":"${p.getFileName}","vs_baseline_total":${fmt(curTotal / baseTotal)},""" +
             s""""vs_baseline_median":${fmt(med)},"over_2x":$over,""" +
             s""""over_1_5x":$flagged,"over_1_5x_isolated":$overIsoJson,""" +
-            s""""isolated_stat":"min-of-3, post-suite full-GC + warmup","""
+            s""""adjudication_skipped":$adjSkippedJson,""" +
+            s""""isolated_stat":"min-of-$adjPasses, post-suite full-GC + warmup, """ +
+            s"""pins>=0.5s, budget ${adjBudgetSec.toLong}s","""
         }
       }
     }
@@ -218,6 +302,10 @@ object Bench {
       s""""stat":"${if (useMedian) "median" else "min"}-of-$passes",""" +
       s""""day_replay":"fresh-per-pass, stale-dir rm outside timed window",""" +
       s""""value":${fmt(total)}}"""
+    finishedCleanly = true
+    try java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get("BENCH_full_partial.json"))
+    catch { case _: Throwable => () }
     println(line)
     System.out.flush()
     // the driver keeps only a 2000-char TAIL of stdout, which truncates
