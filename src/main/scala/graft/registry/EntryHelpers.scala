@@ -13,6 +13,22 @@ private[graft] object EntryHelpers {
   def eventCols(df: DataFrame): DataFrame =
     df.select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
 
+  /** Memoized max(ts) over the events table — a driver scalar five
+    * streaming keys each recomputed with a Spark job per execution
+    * (r14 verdict ask #2: streaming-floor scaffolding). */
+  def maxEventTs(s: SparkSession, d: String): java.sql.Timestamp =
+    graft.StreamFixtures.scalar(s"ev_maxts:$d") {
+      eventCols(Tables.events(s, d)).agg(max(col("ts"))).head.getTimestamp(0)
+    }
+
+  /** The watermark-advancing sentinel event row shared by the
+    * windowed streaming keys: one event at maxEventTs + offsetMs. */
+  def eventSentinel(s: SparkSession, d: String, offsetMs: Long): DataFrame = {
+    import s.implicits._
+    Seq((-1L, -1L, new java.sql.Timestamp(maxEventTs(s, d).getTime + offsetMs),
+      "__sentinel", 0.0)).toDF("user_id", "event_id", "ts", "event_type", "value")
+  }
+
   /** Run `body` with `spark.sql.shuffle.partitions` pinned to `n`,
     * restoring the session value after. The streaming graded queries
     * use this: a stateful streaming op instantiates one STATE STORE

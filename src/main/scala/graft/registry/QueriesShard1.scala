@@ -594,14 +594,16 @@ private[graft] object QueriesShard1 {
       val inDir = s"$base/in"; val target = s"$base/target"; val ckpt = s"$base/ckpt"
       val ev = eventCols(Tables.events(s, d))
       val cutoff = lit(CdcCutoff).cast("timestamp")
-      ev.filter(col("ts") <= cutoff).write.parquet(inDir)
+      graft.StreamFixtures.land(s"ev_le_cutoff:$d",
+        ev.filter(col("ts") <= cutoff), inDir)
       withShufflePartitions(s, 4) {
         val q = graft.streaming.EventStream.applyUpserts(
           graft.streaming.EventStream.read(s, inDir),
           target, ckpt, Seq("user_id"), "ts", Seq("event_id"))
         try {
           q.processAllAvailable() // microbatch 1: bootstrap load
-          ev.filter(col("ts") > cutoff).write.mode("append").parquet(inDir)
+          graft.StreamFixtures.land(s"ev_gt_cutoff:$d",
+            ev.filter(col("ts") > cutoff), inDir)
           q.processAllAvailable() // microbatch 2: upsert the delta
         } finally q.stop()
       }
@@ -630,7 +632,8 @@ private[graft] object QueriesShard1 {
       val table = "events_sink"
       val ev = eventCols(Tables.events(s, d))
       val cutoff = lit(CdcCutoff).cast("timestamp")
-      ev.filter(col("ts") <= cutoff).write.parquet(inDir)
+      graft.StreamFixtures.land(s"ev_le_cutoff:$d",
+        ev.filter(col("ts") <= cutoff), inDir)
       withShufflePartitions(s, 4) {
         def start(ckpt: String) = graft.streaming.EventStream
           .applyUpsertsJdbcExactlyOnce(
@@ -639,20 +642,21 @@ private[graft] object QueriesShard1 {
         val q = start(s"$base/ckpt1")
         try {
           q.processAllAvailable() // batch 0: bootstrap load
-          ev.filter(col("ts") > cutoff).write.mode("append").parquet(inDir)
+          graft.StreamFixtures.land(s"ev_gt_cutoff:$d",
+            ev.filter(col("ts") > cutoff), inDir)
           q.processAllAvailable() // batch 1: staged merge + ledger mark
         } finally q.stop()
         // redelivery: fresh checkpoint ⇒ every file replays as batch 0
         // again, now including a poison row newer than everything —
         // applying it would win the latest-per-key merge and corrupt
         // the graded output; the ledger row for batch 0 must skip it
-        import s.implicits._
-        Seq((-999L, -999L,
-            new java.sql.Timestamp(ev.agg(max(col("ts"))).head
-              .getTimestamp(0).getTime + 3600000L),
-            "__poison", -1.0))
-          .toDF("user_id", "event_id", "ts", "event_type", "value")
-          .write.mode("append").parquet(inDir)
+        graft.StreamFixtures.land(s"ev_poison:$d", {
+          import s.implicits._
+          Seq((-999L, -999L,
+              new java.sql.Timestamp(maxEventTs(s, d).getTime + 3600000L),
+              "__poison", -1.0))
+            .toDF("user_id", "event_id", "ts", "event_type", "value")
+        }, inDir)
         val q2 = start(s"$base/ckpt2")
         try q2.processAllAvailable() finally q2.stop()
       }
@@ -673,13 +677,7 @@ private[graft] object QueriesShard1 {
       val base = graft.TempDirs.create("graft_stream_hr")
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
       val ev = eventCols(Tables.events(s, d))
-      ev.write.parquet(inDir)
-      val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
-      def sentinel(offsetMs: Long) = {
-        import s.implicits._
-        Seq((-1L, -1L, new java.sql.Timestamp(maxTs.getTime + offsetMs),
-          "__sentinel", 0.0)).toDF("user_id", "event_id", "ts", "event_type", "value")
-      }
+      graft.StreamFixtures.land(s"ev_all:$d", ev, inDir)
       withShufflePartitions(s, 4) {
         val q = graft.streaming.EventStream
           .hourlyCounts(graft.streaming.EventStream.read(s, inDir))
@@ -687,9 +685,11 @@ private[graft] object QueriesShard1 {
           .option("checkpointLocation", ckpt).outputMode("append").start()
         try {
           q.processAllAvailable() // batch 1: all real events, wm = 0
-          sentinel(4L * 3600 * 1000).write.mode("append").parquet(inDir)
+          graft.StreamFixtures.land(s"ev_sentinel_4h:$d",
+            eventSentinel(s, d, 4L * 3600 * 1000), inDir)
           q.processAllAvailable() // batch 2: wm = maxTs - 2h
-          sentinel(4L * 3600 * 1000 + 60000).write.mode("append").parquet(inDir)
+          graft.StreamFixtures.land(s"ev_sentinel_4h60s:$d",
+            eventSentinel(s, d, 4L * 3600 * 1000 + 60000), inDir)
           q.processAllAvailable() // batch 3: wm = maxTs + 2h → all real windows out
         } finally q.stop()
       }
@@ -706,13 +706,7 @@ private[graft] object QueriesShard1 {
       val base = graft.TempDirs.create("graft_stream_sw")
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
       val ev = eventCols(Tables.events(s, d))
-      ev.write.parquet(inDir)
-      val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
-      def sentinel(offsetMs: Long) = {
-        import s.implicits._
-        Seq((-1L, -1L, new java.sql.Timestamp(maxTs.getTime + offsetMs),
-          "__sentinel", 0.0)).toDF("user_id", "event_id", "ts", "event_type", "value")
-      }
+      graft.StreamFixtures.land(s"ev_all:$d", ev, inDir)
       withShufflePartitions(s, 4) {
         val q = graft.streaming.EventStream
           .sessionCounts(graft.streaming.EventStream.read(s, inDir))
@@ -720,9 +714,11 @@ private[graft] object QueriesShard1 {
           .option("checkpointLocation", ckpt).outputMode("append").start()
         try {
           q.processAllAvailable() // batch 1: all real events, wm = 0
-          sentinel(4L * 3600 * 1000).write.mode("append").parquet(inDir)
+          graft.StreamFixtures.land(s"ev_sentinel_4h:$d",
+            eventSentinel(s, d, 4L * 3600 * 1000), inDir)
           q.processAllAvailable() // batch 2: wm = maxTs - 2h
-          sentinel(4L * 3600 * 1000 + 60000).write.mode("append").parquet(inDir)
+          graft.StreamFixtures.land(s"ev_sentinel_4h60s:$d",
+            eventSentinel(s, d, 4L * 3600 * 1000 + 60000), inDir)
           q.processAllAvailable() // batch 3: wm > all session ends
         } finally q.stop()
       }
@@ -742,8 +738,9 @@ private[graft] object QueriesShard1 {
       val base = graft.TempDirs.create("graft_stream_dd")
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
       val ev = eventCols(Tables.events(s, d))
-      ev.write.parquet(inDir)
-      ev.filter(col("user_id") % 10 === 0).write.mode("append").parquet(inDir)
+      graft.StreamFixtures.land(s"ev_all:$d", ev, inDir)
+      graft.StreamFixtures.land(s"ev_user_mod10:$d",
+        ev.filter(col("user_id") % 10 === 0), inDir)
       withShufflePartitions(s, 4) {
         val q = graft.streaming.EventStream
           .dedup(graft.streaming.EventStream.read(s, inDir))
@@ -751,9 +748,9 @@ private[graft] object QueriesShard1 {
           .option("checkpointLocation", ckpt).outputMode("append").start()
         try {
           q.processAllAvailable() // batch 1: originals + same-batch dupes
-          val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
-          ev.filter(col("ts") > lit(new java.sql.Timestamp(maxTs.getTime - 3600 * 1000)))
-            .write.mode("append").parquet(inDir)
+          graft.StreamFixtures.land(s"ev_lasthour:$d",
+            ev.filter(col("ts") > lit(new java.sql.Timestamp(
+              maxEventTs(s, d).getTime - 3600 * 1000))), inDir)
           q.processAllAvailable() // batch 2: cross-batch redelivery
         } finally q.stop()
       }
@@ -772,7 +769,8 @@ private[graft] object QueriesShard1 {
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
       val ev = eventCols(Tables.events(s, d))
       val cutoff = lit(CdcCutoff).cast("timestamp")
-      ev.filter(col("ts") <= cutoff).write.parquet(inDir)
+      graft.StreamFixtures.land(s"ev_le_cutoff:$d",
+        ev.filter(col("ts") <= cutoff), inDir)
       val hist = Scd2.historyFromLog(ev, Seq("user_id"), "ts", Seq("event_id"))
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("valid_from"), col("valid_to"))
@@ -786,7 +784,8 @@ private[graft] object QueriesShard1 {
           .option("checkpointLocation", ckpt).outputMode("append").start()
         try {
           q.processAllAvailable() // batch 1
-          ev.filter(col("ts") > cutoff).write.mode("append").parquet(inDir)
+          graft.StreamFixtures.land(s"ev_gt_cutoff:$d",
+            ev.filter(col("ts") > cutoff), inDir)
           q.processAllAvailable() // batch 2: dim side re-planned
         } finally q.stop()
       }
@@ -807,7 +806,8 @@ private[graft] object QueriesShard1 {
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
       val ev = eventCols(Tables.events(s, d))
       val cutoff = lit(CdcCutoff).cast("timestamp")
-      ev.filter(col("ts") <= cutoff).write.parquet(inDir)
+      graft.StreamFixtures.land(s"ev_le_cutoff:$d",
+        ev.filter(col("ts") <= cutoff), inDir)
       withShufflePartitions(s, 4) {
         val src = graft.streaming.EventStream.read(s, inDir)
         val purchases = src.filter(col("event_type") === "purchase")
@@ -825,7 +825,8 @@ private[graft] object QueriesShard1 {
           .option("checkpointLocation", ckpt).outputMode("append").start()
         try {
           q.processAllAvailable() // batch 1: both sides <= cutoff
-          ev.filter(col("ts") > cutoff).write.mode("append").parquet(inDir)
+          graft.StreamFixtures.land(s"ev_gt_cutoff:$d",
+            ev.filter(col("ts") > cutoff), inDir)
           q.processAllAvailable() // batch 2: cross-batch matches
         } finally q.stop()
       }

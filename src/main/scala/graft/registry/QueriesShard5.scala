@@ -605,15 +605,16 @@ private[graft] object QueriesShard5 {
       val ev = eventCols(Tables.events(s, d))
         .select(col("user_id"), col("event_type"), col("value"), col("ts"))
       val cutoff = lit(CdcCutoff).cast("timestamp")
-      ev.filter(col("ts") <= cutoff).drop("ts").write.parquet(inDir)
+      graft.StreamFixtures.land(s"evUTV_le_cutoff:$d",
+        ev.filter(col("ts") <= cutoff).drop("ts"), inDir)
       withShufflePartitions(s, 4) {
         val q = graft.streaming.EventStream.maintainAggVersioned(
           s.readStream.schema(s.read.parquet(inDir).schema).parquet(inDir),
           root, ckpt, Seq("user_id", "event_type"), "value")
         try {
           q.processAllAvailable()
-          ev.filter(col("ts") > cutoff).drop("ts")
-            .write.mode("append").parquet(inDir)
+          graft.StreamFixtures.land(s"evUTV_gt_cutoff:$d",
+            ev.filter(col("ts") > cutoff).drop("ts"), inDir)
           q.processAllAvailable()
         } finally q.stop()
       }
@@ -641,7 +642,8 @@ private[graft] object QueriesShard5 {
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
       val ev = eventCols(Tables.events(s, d))
       val cutoff = lit(CdcCutoff).cast("timestamp")
-      ev.filter(col("ts") <= cutoff).write.parquet(inDir)
+      graft.StreamFixtures.land(s"ev_le_cutoff:$d",
+        ev.filter(col("ts") <= cutoff), inDir)
       withShufflePartitions(s, 4) {
         val q = graft.streaming.EventStream.funnel(
             graft.streaming.EventStream.read(s, inDir),
@@ -651,7 +653,8 @@ private[graft] object QueriesShard5 {
           .format("parquet").option("path", outDir).start()
         try {
           q.processAllAvailable()
-          ev.filter(col("ts") > cutoff).write.mode("append").parquet(inDir)
+          graft.StreamFixtures.land(s"ev_gt_cutoff:$d",
+            ev.filter(col("ts") > cutoff), inDir)
           q.processAllAvailable()
         } finally q.stop()
       }
@@ -666,7 +669,8 @@ private[graft] object QueriesShard5 {
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
       val ev = eventCols(Tables.events(s, d))
       val cutoff = lit(CdcCutoff).cast("timestamp")
-      ev.filter(col("ts") <= cutoff).write.parquet(inDir)
+      graft.StreamFixtures.land(s"ev_le_cutoff:$d",
+        ev.filter(col("ts") <= cutoff), inDir)
       withShufflePartitions(s, 4) {
         val q = graft.streaming.EventStream.debounce(
             graft.streaming.EventStream.read(s, inDir),
@@ -676,7 +680,8 @@ private[graft] object QueriesShard5 {
           .format("parquet").option("path", outDir).start()
         try {
           q.processAllAvailable()
-          ev.filter(col("ts") > cutoff).write.mode("append").parquet(inDir)
+          graft.StreamFixtures.land(s"ev_gt_cutoff:$d",
+            ev.filter(col("ts") > cutoff), inDir)
           q.processAllAvailable()
         } finally q.stop()
       }
@@ -689,7 +694,8 @@ private[graft] object QueriesShard5 {
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
       val ev = eventCols(Tables.events(s, d))
       val cutoff = lit(CdcCutoff).cast("timestamp")
-      ev.filter(col("ts") <= cutoff).write.parquet(inDir)
+      graft.StreamFixtures.land(s"ev_le_cutoff:$d",
+        ev.filter(col("ts") <= cutoff), inDir)
       withShufflePartitions(s, 4) {
         val q = graft.streaming.EventStream.ewma(
             graft.streaming.EventStream.read(s, inDir), alpha = 0.5)
@@ -698,7 +704,8 @@ private[graft] object QueriesShard5 {
           .format("parquet").option("path", outDir).start()
         try {
           q.processAllAvailable()
-          ev.filter(col("ts") > cutoff).write.mode("append").parquet(inDir)
+          graft.StreamFixtures.land(s"ev_gt_cutoff:$d",
+            ev.filter(col("ts") > cutoff), inDir)
           q.processAllAvailable()
         } finally q.stop()
       }
@@ -715,7 +722,8 @@ private[graft] object QueriesShard5 {
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
       val ev = eventCols(Tables.events(s, d))
       val cutoff = lit(CdcCutoff).cast("timestamp")
-      ev.filter(col("ts") <= cutoff).write.parquet(inDir)
+      graft.StreamFixtures.land(s"ev_le_cutoff:$d",
+        ev.filter(col("ts") <= cutoff), inDir)
       withShufflePartitions(s, 4) {
         val q = graft.streaming.EventStream.holtWinters(
             graft.streaming.EventStream.read(s, inDir))
@@ -724,7 +732,8 @@ private[graft] object QueriesShard5 {
           .format("parquet").option("path", outDir).start()
         try {
           q.processAllAvailable()
-          ev.filter(col("ts") > cutoff).write.mode("append").parquet(inDir)
+          graft.StreamFixtures.land(s"ev_gt_cutoff:$d",
+            ev.filter(col("ts") > cutoff), inDir)
           q.processAllAvailable()
         } finally q.stop()
       }
@@ -749,7 +758,8 @@ private[graft] object QueriesShard5 {
           (floor(col("bucket").cast("long") / 3600L) % 24).cast("int"))
         .select(col("key"), col("bucket"), col("x"), col("slot"))
       val cutoff = lit(CdcCutoff).cast("timestamp")
-      grid.filter(col("bucket") <= cutoff).write.parquet(inDir)
+      graft.StreamFixtures.land(s"hsgrid_le_cutoff:$d",
+        grid.filter(col("bucket") <= cutoff), inDir)
       withShufflePartitions(s, 4) {
         val stream = s.readStream.schema(grid.schema).parquet(inDir)
         val q = graft.streaming.EventStream.holtWintersSeasonal(stream, 24)
@@ -758,7 +768,8 @@ private[graft] object QueriesShard5 {
           .format("parquet").option("path", outDir).start()
         try {
           q.processAllAvailable()
-          grid.filter(col("bucket") > cutoff).write.mode("append").parquet(inDir)
+          graft.StreamFixtures.land(s"hsgrid_gt_cutoff:$d",
+            grid.filter(col("bucket") > cutoff), inDir)
           q.processAllAvailable()
         } finally q.stop()
       }
@@ -776,7 +787,8 @@ private[graft] object QueriesShard5 {
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
       val ev = eventCols(Tables.events(s, d))
       val cutoff = lit(CdcCutoff).cast("timestamp")
-      ev.filter(col("ts") <= cutoff).write.parquet(inDir)
+      graft.StreamFixtures.land(s"ev_le_cutoff:$d",
+        ev.filter(col("ts") <= cutoff), inDir)
       withShufflePartitions(s, 4) {
         val q = graft.streaming.EventStream.cusum(
             graft.streaming.EventStream.read(s, inDir),
@@ -786,7 +798,8 @@ private[graft] object QueriesShard5 {
           .format("parquet").option("path", outDir).start()
         try {
           q.processAllAvailable()
-          ev.filter(col("ts") > cutoff).write.mode("append").parquet(inDir)
+          graft.StreamFixtures.land(s"ev_gt_cutoff:$d",
+            ev.filter(col("ts") > cutoff), inDir)
           q.processAllAvailable()
         } finally q.stop()
       }
@@ -804,7 +817,8 @@ private[graft] object QueriesShard5 {
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
       val ev = eventCols(Tables.events(s, d))
       val cutoff = lit(CdcCutoff).cast("timestamp")
-      ev.filter(col("ts") <= cutoff).write.parquet(inDir)
+      graft.StreamFixtures.land(s"ev_le_cutoff:$d",
+        ev.filter(col("ts") <= cutoff), inDir)
       withShufflePartitions(s, 4) {
         val q = graft.streaming.EventStream.attribution(
             graft.streaming.EventStream.read(s, inDir),
@@ -814,7 +828,8 @@ private[graft] object QueriesShard5 {
           .format("parquet").option("path", outDir).start()
         try {
           q.processAllAvailable() // microbatch 1: ≤ cutoff
-          ev.filter(col("ts") > cutoff).write.mode("append").parquet(inDir)
+          graft.StreamFixtures.land(s"ev_gt_cutoff:$d",
+            ev.filter(col("ts") > cutoff), inDir)
           q.processAllAvailable() // microbatch 2: the rest
         } finally q.stop()
       }
@@ -857,7 +872,8 @@ private[graft] object QueriesShard5 {
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
       val grid = crostonDemandGrid(s, d)
       val cutoff = lit("1995-01-01 00:00:00").cast("timestamp")
-      grid.filter(col("month_start") <= cutoff).write.parquet(inDir)
+      graft.StreamFixtures.land(s"crogrid_le_cutoff:$d",
+        grid.filter(col("month_start") <= cutoff), inDir)
       withShufflePartitions(s, 4) {
         val q = graft.streaming.EventStream.croston(
             s.readStream.schema(
@@ -868,8 +884,8 @@ private[graft] object QueriesShard5 {
           .format("parquet").option("path", outDir).start()
         try {
           q.processAllAvailable()
-          grid.filter(col("month_start") > cutoff)
-            .write.mode("append").parquet(inDir)
+          graft.StreamFixtures.land(s"crogrid_gt_cutoff:$d",
+            grid.filter(col("month_start") > cutoff), inDir)
           q.processAllAvailable()
         } finally q.stop()
       }
@@ -970,8 +986,11 @@ private[graft] object QueriesShard5 {
       val ev = eventCols(Tables.events(s, d))
       // SF-independent split point: one driver scalar (the bootstrap
       // discipline), half the id range per microbatch
-      val cut = lit(ev.agg(max(col("event_id"))).head.getLong(0) / 2)
-      ev.filter(col("event_id") <= cut).write.parquet(inDir)
+      val cut = lit(graft.StreamFixtures.scalar(s"ev_maxid:$d") {
+        java.lang.Long.valueOf(ev.agg(max(col("event_id"))).head.getLong(0))
+      }.longValue / 2)
+      graft.StreamFixtures.land(s"evID_le_half:$d",
+        ev.filter(col("event_id") <= cut), inDir)
       withShufflePartitions(s, 4) {
         val q = graft.streaming.EventStream.sprt(
             graft.streaming.EventStream.read(s, inDir),
@@ -981,7 +1000,8 @@ private[graft] object QueriesShard5 {
           .format("parquet").option("path", outDir).start()
         try {
           q.processAllAvailable()
-          ev.filter(col("event_id") > cut).write.mode("append").parquet(inDir)
+          graft.StreamFixtures.land(s"evID_gt_half:$d",
+            ev.filter(col("event_id") > cut), inDir)
           q.processAllAvailable()
         } finally q.stop()
       }

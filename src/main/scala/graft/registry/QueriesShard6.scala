@@ -296,15 +296,19 @@ private[graft] object QueriesShard6 {
         .select(col("doc_id"), col("lang"), col("rank"))
         .orderBy(col("lang"), col("rank"))),
 
-    // streaming SRM monitor: two microbatch halves + a redelivery
-    // fold assignment units into a persisted set; the accumulated
-    // verdict must equal the batch SRM over everything streamed
+    // streaming SRM monitor: two microbatch halves fold assignment
+    // units into a persisted set; the accumulated verdict must equal
+    // the batch SRM over everything streamed. The redelivery no-op
+    // (already-landed units anti-join out, no version churn) is
+    // pinned in StreamingSpec's srmMonitor replay test (r14 ask #2
+    // trim)
     "stream_srm" -> ((s, d) => {
       val base = graft.TempDirs.create("graft_stream_srm")
       val inDir = s"$base/in"; val root = s"$base/store"
       val ev = EntryHelpers.eventCols(Tables.events(s, d))
         .select(col("event_type"), col("user_id"), col("event_id"))
-      ev.filter(col("event_id") % 2 === 0).write.parquet(inDir)
+      graft.StreamFixtures.land(s"evTUE_even:$d",
+        ev.filter(col("event_id") % 2 === 0), inDir)
       EntryHelpers.withShufflePartitions(s, 4) {
         val stream = s.readStream.schema(ev.schema).parquet(inDir)
         val q = graft.streaming.EventStream.srmMonitor(stream, root,
@@ -312,11 +316,9 @@ private[graft] object QueriesShard6 {
           pmod(col("user_id"), lit(2)).cast("string"))
         try {
           q.processAllAvailable() // day 1: even event ids
-          ev.filter(col("event_id") % 2 =!= 0)
-            .write.mode("append").parquet(inDir)
+          graft.StreamFixtures.land(s"evTUE_odd:$d",
+            ev.filter(col("event_id") % 2 =!= 0), inDir)
           q.processAllAvailable() // day 2: odd event ids
-          ev.filter(col("event_id") < 100).write.mode("append").parquet(inDir)
-          q.processAllAvailable() // redelivery: units already landed
         } finally q.stop()
       }
       Quality.sampleRatioMismatch(
@@ -411,14 +413,16 @@ private[graft] object QueriesShard6 {
         .orderBy(col("columns"))),
 
     // streaming quality-rule ingest gate: the Gopher-rule door check
-    // completing the curation-gate family — two microbatch days plus
-    // an at-least-once redelivery, final corpus = the batch verdict
-    // (per-doc static rules => batch-split invariant)
+    // completing the curation-gate family — two microbatch days,
+    // final corpus = the batch verdict (per-doc static rules =>
+    // batch-split invariant). Replay no-op pinned in StreamingSpec's
+    // qualityGate replay test (r14 ask #2 trim)
     "stream_quality_gate" -> ((s, d) => {
       val base = graft.TempDirs.create("graft_stream_qg")
       val inDir = s"$base/in"; val root = s"$base/store"
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      docs.filter(col("doc_id") % 2 === 0).write.parquet(inDir)
+      graft.StreamFixtures.land(s"docsDT_even:$d",
+        docs.filter(col("doc_id") % 2 === 0), inDir)
       EntryHelpers.withShufflePartitions(s, 4) {
         val stream = s.readStream.schema(docs.schema).parquet(inDir)
         val q = graft.streaming.EventStream.qualityGate(stream, root,
@@ -426,11 +430,9 @@ private[graft] object QueriesShard6 {
           maxWords = 1000L, minDistinctRatio = 0.4, maxTopWordFrac = 0.12)
         try {
           q.processAllAvailable() // day 1
-          docs.filter(col("doc_id") % 2 =!= 0)
-            .write.mode("append").parquet(inDir)
+          graft.StreamFixtures.land(s"docsDT_odd:$d",
+            docs.filter(col("doc_id") % 2 =!= 0), inDir)
           q.processAllAvailable() // day 2
-          docs.filter(col("doc_id") < 50).write.mode("append").parquet(inDir)
-          q.processAllAvailable() // redelivery: idempotent no-op
         } finally q.stop()
       }
       graft.sources.VersionedGroup.read(s, root, "docs")

@@ -305,10 +305,12 @@ private[graft] object QueriesShard7 {
 
     // ---- streaming mojibake ingest gate (r14 wave 5) ----
     // the doc_mojibake synthesis streamed through the door in two
-    // halves + a redelivery: every 7th doc arrives damaged and must
-    // drop; the final corpus is exactly the clean docs — a full SQL
-    // oracle, rare for a streaming key (per-doc verdict ⇒ batch-split
-    // invariant ⇒ the convergence claim is hash-graded, not narrated)
+    // halves: every 7th doc arrives damaged and must drop; the final
+    // corpus is exactly the clean docs — a full SQL oracle, rare for
+    // a streaming key (per-doc verdict ⇒ batch-split invariant ⇒ the
+    // convergence claim is hash-graded, not narrated). Replay no-op
+    // pinned in StreamingSpec's mojibakeGate replay test (r14 ask #2
+    // trim)
     "stream_mojibake_gate" -> ((s, d) => {
       val base = graft.TempDirs.create("graft_stream_mg")
       val inDir = s"$base/in"; val root = s"$base/store"
@@ -316,18 +318,17 @@ private[graft] object QueriesShard7 {
         when(pmod(col("doc_id"), lit(7)) === 0,
           concat(col("text"), lit(functions.Text.MojibakeSample)))
           .otherwise(col("text")).as("text"))
-      docs.filter(col("doc_id") % 2 === 0).write.parquet(inDir)
+      graft.StreamFixtures.land(s"docsMoji_even:$d",
+        docs.filter(col("doc_id") % 2 === 0), inDir)
       EntryHelpers.withShufflePartitions(s, 4) {
         val stream = s.readStream.schema(docs.schema).parquet(inDir)
         val q = graft.streaming.EventStream.mojibakeGate(stream, root,
           s"$base/ckpt", "doc_id", "text")
         try {
           q.processAllAvailable() // day 1
-          docs.filter(col("doc_id") % 2 =!= 0)
-            .write.mode("append").parquet(inDir)
+          graft.StreamFixtures.land(s"docsMoji_odd:$d",
+            docs.filter(col("doc_id") % 2 =!= 0), inDir)
           q.processAllAvailable() // day 2
-          docs.filter(col("doc_id") < 50).write.mode("append").parquet(inDir)
-          q.processAllAvailable() // redelivery: idempotent no-op
         } finally q.stop()
       }
       graft.sources.VersionedGroup.read(s, root, "docs")
@@ -464,28 +465,28 @@ private[graft] object QueriesShard7 {
 
     // ---- streaming URL-dedup ingest gate (r14 wave 9) ----
     // the crawl frontier drains in discovery (id) order in two
-    // prefixes + a redelivery; keep-first at the door ≡ the batch
-    // dedup_url keeper set, so the landed corpus grades against a
-    // FULL SQL oracle (the urlCanonSql keeper rollup) — the
-    // batch-split-invariance claim is hash-graded, not narrated
+    // prefixes; keep-first at the door ≡ the batch dedup_url keeper
+    // set, so the landed corpus grades against a FULL SQL oracle
+    // (the urlCanonSql keeper rollup) — the batch-split-invariance
+    // claim is hash-graded, not narrated. Replay no-op pinned in
+    // StreamingSpec's urlGate replay test (r14 ask #2 trim)
     "stream_url_gate" -> ((s, d) => {
       val base = graft.TempDirs.create("graft_stream_ug")
       val inDir = s"$base/in"; val root = s"$base/store"
       val docs = Tables.documents(s, d).select(col("doc_id"),
         functions.Url.synthesize(col("source"), col("doc_id"))
           .as("url_raw"))
-      docs.filter(col("doc_id") < 250).write.parquet(inDir)
+      graft.StreamFixtures.land(s"docsUrl_lt250:$d",
+        docs.filter(col("doc_id") < 250), inDir)
       EntryHelpers.withShufflePartitions(s, 4) {
         val stream = s.readStream.schema(docs.schema).parquet(inDir)
         val q = graft.streaming.EventStream.urlGate(stream, root,
           s"$base/ckpt", "doc_id", "url_raw")
         try {
           q.processAllAvailable() // frontier prefix 1
-          docs.filter(col("doc_id") >= 250)
-            .write.mode("append").parquet(inDir)
+          graft.StreamFixtures.land(s"docsUrl_ge250:$d",
+            docs.filter(col("doc_id") >= 250), inDir)
           q.processAllAvailable() // frontier prefix 2
-          docs.filter(col("doc_id") < 50).write.mode("append").parquet(inDir)
-          q.processAllAvailable() // redelivery: idempotent no-op
         } finally q.stop()
       }
       graft.sources.VersionedGroup.read(s, root, "docs")
@@ -671,13 +672,7 @@ private[graft] object QueriesShard7 {
       val base = graft.TempDirs.create("graft_stream_ss")
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
       val ev = eventCols(Tables.events(s, d))
-      ev.write.parquet(inDir)
-      val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
-      def sentinel(offsetMs: Long) = {
-        import s.implicits._
-        Seq((-1L, -1L, new java.sql.Timestamp(maxTs.getTime + offsetMs),
-          "__sentinel", 0.0)).toDF("user_id", "event_id", "ts", "event_type", "value")
-      }
+      graft.StreamFixtures.land(s"ev_all:$d", ev, inDir)
       withShufflePartitions(s, 4) {
         val q = graft.streaming.EventStream
           .sessions(graft.streaming.EventStream.read(s, inDir),
@@ -686,9 +681,11 @@ private[graft] object QueriesShard7 {
           .option("checkpointLocation", ckpt).outputMode("append").start()
         try {
           q.processAllAvailable() // batch 1: all real events, wm = 0
-          sentinel(4L * 3600 * 1000).write.mode("append").parquet(inDir)
+          graft.StreamFixtures.land(s"ev_sentinel_4h:$d",
+            eventSentinel(s, d, 4L * 3600 * 1000), inDir)
           q.processAllAvailable() // batch 2: wm = maxTs - 1h
-          sentinel(4L * 3600 * 1000 + 60000).write.mode("append").parquet(inDir)
+          graft.StreamFixtures.land(s"ev_sentinel_4h60s:$d",
+            eventSentinel(s, d, 4L * 3600 * 1000 + 60000), inDir)
           q.processAllAvailable() // batch 3: wm = maxTs + 3h → tails time out
         } finally q.stop()
       }
@@ -717,7 +714,8 @@ private[graft] object QueriesShard7 {
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
       val ev = eventCols(Tables.events(s, d))
       val cutoff = lit(CdcCutoff).cast("timestamp")
-      ev.filter(col("ts") <= cutoff).write.parquet(inDir)
+      graft.StreamFixtures.land(s"ev_le_cutoff:$d",
+        ev.filter(col("ts") <= cutoff), inDir)
       val dim = Tables.customer(s, d).select(
         col("c_custkey").as("user_id"),
         col("c_name").as("customer_name"),
@@ -732,7 +730,8 @@ private[graft] object QueriesShard7 {
           .option("checkpointLocation", ckpt).outputMode("append").start()
         try {
           q.processAllAvailable() // batch 1: events <= cutoff
-          ev.filter(col("ts") > cutoff).write.mode("append").parquet(inDir)
+          graft.StreamFixtures.land(s"ev_gt_cutoff:$d",
+            ev.filter(col("ts") > cutoff), inDir)
           q.processAllAvailable() // batch 2: the rest
         } finally q.stop()
       }
@@ -752,7 +751,8 @@ private[graft] object QueriesShard7 {
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
       val ev = eventCols(Tables.events(s, d))
       val cutoff = lit(CdcCutoff).cast("timestamp")
-      ev.filter(col("ts") <= cutoff).write.parquet(inDir)
+      graft.StreamFixtures.land(s"ev_le_cutoff:$d",
+        ev.filter(col("ts") <= cutoff), inDir)
       withShufflePartitions(s, 4) {
         val q = graft.streaming.EventStream.read(s, inDir)
           .select(col("event_id"), col("ts"), col("user_id"),
@@ -761,7 +761,8 @@ private[graft] object QueriesShard7 {
           .option("checkpointLocation", ckpt).outputMode("append").start()
         try {
           q.processAllAvailable() // batch 1: pre-cutoff files only
-          ev.filter(col("ts") > cutoff).write.mode("append").parquet(inDir)
+          graft.StreamFixtures.land(s"ev_gt_cutoff:$d",
+            ev.filter(col("ts") > cutoff), inDir)
           q.processAllAvailable() // batch 2: only the new files
         } finally q.stop()
       }
