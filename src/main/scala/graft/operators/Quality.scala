@@ -2376,9 +2376,23 @@ object Quality {
       .groupBy(col(keyCol),
         (col(groupCol).cast("string") === groupA).as("__isA"),
         col(unitCol))
-      .agg((sum(col(numCol).cast("decimal(18,6)")) * lit(1000000))
-          .cast("long").as("__x6"),
-        count(lit(1)).as("__y"))
+      .agg({
+        // guard the long cast (r14 advice #3): past the documented
+        // ~9e18 micro-unit headroom the bare cast yields NULL in
+        // non-ANSI Spark, silently dropping the unit from every
+        // moment sum while n_a/n_b still count it — quietly wrong
+        // ratios/variances. Overflow must fail loudly instead;
+        // genuinely-null sums (all-null numCol) pass through as
+        // before.
+        val x6 = (sum(col(numCol).cast("decimal(18,6)")) * lit(1000000))
+          .cast("decimal(38,0)")
+        val lim = lit(Long.MaxValue).cast("decimal(38,0)")
+        when(x6.isNull || (x6 <= lim && x6 >= -lim), x6.cast("long"))
+          .otherwise(raise_error(concat(
+            lit("ratioDelta: unit micro-sum overflows int64 "),
+            lit("(re-scale numCol upstream): "), x6.cast("string"))))
+          .as("__x6")
+      }, count(lit(1)).as("__y"))
     val decZ = lit(0).cast("decimal(38,0)")
     def m(pred: Column, c: Column): Column =
       sum(when(pred, c.cast("decimal(38,0)")).otherwise(decZ))
@@ -2469,13 +2483,29 @@ object Quality {
     val rTot = rh.agg(coalesce(sum(col("__f")), lit(0L)).as("n_right"),
       coalesce(sum(when(col("__k").isNull, col("__f"))), lit(0L))
         .as("__null_r"))
+    // per-key products and their sum accumulate as decimal, not long:
+    // f_l·f_r overflows int64 by SILENT wraparound (non-ANSI) exactly
+    // in the exploding-join case this estimator exists to flag (r14
+    // advice #2). The reported columns stay long for schema stability,
+    // through a guarded cast that FAILS LOUDLY past long range — an
+    // estimate too big for int64 is itself the "do not submit" answer,
+    // and a garbage negative number must never impersonate it.
+    val prod = col("__fl").cast("decimal(20,0)") *
+      col("__fr").cast("decimal(20,0)")
+    def longChecked(c: org.apache.spark.sql.Column, name: String) =
+      when(c.isNotNull && c <= lit(Long.MaxValue).cast("decimal(38,0)"),
+          c.cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"joinCardinality: $name overflows int64: "), c.cast("string"))))
     val joined = lh.filter(col("__k").isNotNull)
       .withColumnRenamed("__f", "__fl")
       .join(rh.filter(col("__k").isNotNull)
         .withColumnRenamed("__f", "__fr"), Seq("__k"))
-      .agg(coalesce(sum(col("__fl") * col("__fr")), lit(0L)).as("est_rows"),
-        coalesce(max(col("__fl") * col("__fr")), lit(0L))
-          .as("max_key_fanout"),
+      .agg(
+        longChecked(coalesce(sum(prod), lit(0).cast("decimal(38,0)")),
+          "est_rows").as("est_rows"),
+        longChecked(coalesce(max(prod), lit(0).cast("decimal(38,0)")),
+          "max_key_fanout").as("max_key_fanout"),
         count(lit(1)).as("d_common"))
     val dl = lh.filter(col("__k").isNotNull)
       .agg(count(lit(1)).as("d_left"))

@@ -300,12 +300,22 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          val snaps = batch.select(col(snapTsCol)).distinct()
-            .orderBy(col(snapTsCol)).collect().map(_.getTimestamp(0))
+          val snapRows = batch.select(col(snapTsCol)).distinct()
+            .orderBy(col(snapTsCol)).collect() // bounded: days per batch
+          // fail FAST on null snapshot tags (r14 advice #4): a null in
+          // the distinct list would become `=== lit(null)` below —
+          // matching nothing — and those rows would silently vanish
+          // from the history instead of erroring
+          require(!snapRows.exists(_.isNullAt(0)),
+            s"applyScd2: null $snapTsCol in microbatch — every snapshot " +
+              "row must carry its snapshot timestamp")
+          val snaps = snapRows.map(_.getTimestamp(0))
           snaps.foreach { ts =>
             val ex = batch.filter(col(snapTsCol) === lit(ts)).drop(snapTsCol)
+            val bootstrapped =
+              graft.sources.Versioned.currentVersion(spark, tablePath) >= 1
             val hist =
-              if (graft.sources.Versioned.currentVersion(spark, tablePath) >= 1)
+              if (bootstrapped)
                 graft.sources.Versioned.read(spark, tablePath)
               else
                 ex.withColumn(graft.operators.Scd2.ValidFrom,
@@ -313,10 +323,31 @@ object EventStream {
                   .withColumn(graft.operators.Scd2.ValidTo,
                     lit(null).cast("timestamp"))
                   .filter(lit(false))
-            graft.sources.Versioned.commit(
-              graft.operators.Scd2.mergeTimestamp(hist, ex, key, updatedAt,
-                lit(ts)),
-              tablePath, replace = true)
+            // keep redelivery a TRUE no-op (r14 advice #4): the merge
+            // semantics already converge, but committing an unchanged
+            // frame grew the version log on every replay. The
+            // timestamp strategy versions exactly the rows that are
+            // new keys or strictly newer than the open head — if that
+            // set is empty the fold is a no-op; skip the commit
+            // (one early-exit isEmpty probe, and the skipped path
+            // saves the whole merge + commit it replaces).
+            val wouldChange =
+              if (!bootstrapped) true
+              else {
+                val openHead = hist
+                  .filter(col(graft.operators.Scd2.ValidTo).isNull)
+                  .select(key.map(col) :+ col(updatedAt).as("__head_ua"): _*)
+                !ex.join(openHead, key, "left")
+                  .filter(col(updatedAt).isNotNull && // null never versions
+                    (col("__head_ua").isNull ||
+                      col(updatedAt) > col("__head_ua")))
+                  .isEmpty
+              }
+            if (wouldChange)
+              graft.sources.Versioned.commit(
+                graft.operators.Scd2.mergeTimestamp(hist, ex, key, updatedAt,
+                  lit(ts)),
+                tablePath, replace = true)
           }
         }
       }
@@ -1037,7 +1068,6 @@ object EventStream {
                watermark: String = "1 hour"): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapUs = gapSeconds * 1000000L
 
     // µs-exact round-trip: Timestamp(ms) would FLOOR to milliseconds,
     // silently shifting session bounds on µs-grained event time (the
@@ -1063,7 +1093,14 @@ object EventStream {
         val closed = Seq.newBuilder[SessionOut]
         evs.foreach { us =>
           open match {
-            case Some(s) if us - s.endUs <= gapUs =>
+            // gap decision in FLOORED SECONDS, bit-identical to the
+            // batch twin Sessionize.byGap and the shared
+            // events_sessions oracle (cast-to-long epoch diff /
+            // date_diff('second')) — a µs-exact comparison here would
+            // split differently whenever the exact and floor-second
+            // gaps straddle the threshold (r14 advice #1). Session
+            // BOUNDS stay µs-exact; only the split rule floors.
+            case Some(s) if us / 1000000L - s.endUs / 1000000L <= gapSeconds =>
               open = Some(SessionState(s.startUs, math.max(s.endUs, us), s.n + 1))
             case Some(s) =>
               closed += SessionOut(userId, toTs(s.startUs), toTs(s.endUs), s.n)
