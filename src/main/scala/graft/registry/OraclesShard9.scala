@@ -52,7 +52,42 @@ private[graft] object OraclesShard9 {
          FROM v
        )"""
 
+  /** Greedy BPE application of the pinned merge table as a chain of
+    * separator-wrapped replaces (see the corpus_bpe_encode_fixed
+    * query's scaladoc for why replace() ≡ the greedy fold): the
+    * chain is DERIVED from [[QueriesShard8.FixedBpeMerges]] so the
+    * two engines can never pin different tables. */
+  private def fixedBpeFoldSql: String =
+    QueriesShard8.FixedBpeMerges.foldLeft(
+      """e'\x1f' || array_to_string(""" +
+        """list_append(string_split(w, ''), '</w>'), e'\x1f\x1f') || e'\x1f'""") {
+      case (acc, (l, r)) =>
+        s"replace($acc, e'\\x1f$l\\x1f\\x1f$r\\x1f', e'\\x1f$l$r\\x1f')"
+    }
+
   val m: Map[String, String] = Map(
+    // fixed-table BPE encode replay: normalize → word cells → per
+    // distinct word the wrapped greedy replace chain → token count =
+    // wrapper-separator count / 2 → per-doc rollup
+    "corpus_bpe_encode_fixed" ->
+      s"""WITH w0 AS (
+           SELECT doc_id, unnest(string_split(
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+           FROM documents
+         ), cells AS MATERIALIZED (
+           SELECT doc_id, w, count(*) AS c FROM w0 WHERE length(w) > 0
+           GROUP BY 1, 2
+         ), enc AS (
+           SELECT w, $fixedBpeFoldSql AS s
+           FROM (SELECT DISTINCT w FROM cells)
+         ), wt AS (
+           SELECT w,
+             (length(s) - length(replace(s, e'\\x1f', ''))) // 2 AS wt
+           FROM enc)
+         SELECT c.doc_id, CAST(sum(c.c) AS BIGINT) AS n_words,
+           CAST(sum(c.c * t.wt) AS BIGINT) AS n_bpe_tokens
+         FROM cells c JOIN wt t USING (w)
+         GROUP BY 1 ORDER BY doc_id""",
     // Luhn scan replay: every maximal [0-9](?:[ -]?[0-9])* run,
     // separator-stripped; candidate = 13..19 digits; valid = mod-10
     // sum over right-to-left alternating doubled-folded digits = 0

@@ -214,21 +214,49 @@ private[graft] object QueriesShard8 {
         .withColumn("updated_at",
           when(col("customer_id") % 10 === 0, tU).otherwise(t0))
         .withColumn("snap_ts", a2)
-      day1.write.parquet(inDir)
+      graft.StreamFixtures.land(s"s2_day1:$d", day1, inDir)
       withShufflePartitions(s, 4) {
         val q = graft.streaming.EventStream.applyScd2(
           s.readStream.schema(day1.schema).parquet(inDir),
           tbl, ckpt, Seq("customer_id"), "updated_at", "snap_ts")
         try {
           q.processAllAvailable() // batch 1: bootstrap fold
-          day2.write.mode("append").parquet(inDir)
+          graft.StreamFixtures.land(s"s2_day2:$d", day2, inDir)
           q.processAllAvailable() // batch 2: the day-2 fold
-          day2.write.mode("append").parquet(inDir)
+          // REDELIVERY files must be NEW paths (the file source skips
+          // already-seen files) — land a second physical copy
+          graft.StreamFixtures.land(s"s2_day2b:$d", day2, inDir)
           q.processAllAvailable() // batch 3: REDELIVERY — must no-op
         } finally q.stop()
       }
       graft.sources.Versioned.read(s, tbl)
         .orderBy(col("customer_id"), col("valid_from"))
     }),
+
+    // ---- BPE encode with a FIXED merge table (r15; r14 verdict ask
+    // #5) ---- corpus_bpe_encode inherits the LEARNED table, so its
+    // token counts are rows-only by design; this twin freezes the
+    // stateful input (the doc_pack_serial trick) with a hand-specified
+    // 10-merge table exercising chained merges (e+</w> before
+    // th+e</w>, d+</w> before an+d</w>), repeat greedy application
+    // (in+g after i+n) — so the SAME encodeCounts word-type fold
+    // grades hash-exactly. The oracle replays greedy left-to-right
+    // no-re-merge application as a chain of separator-wrapped string
+    // replaces: with every symbol wrapped as ␟sym␟, adjacent merge
+    // sites never share characters, so SQL's non-overlapping
+    // left-to-right replace() IS the greedy fold, for ANY (l, r)
+    // including l = r.
+    "corpus_bpe_encode_fixed" -> ((s, d) =>
+      graft.functions.Bpe.encodeCounts(Tables.documents(s, d), "doc_id",
+          "text", FixedBpeMerges)
+        .orderBy(col("doc_id"))),
   )
+
+  /** The pinned merge table shared by the corpus_bpe_encode_fixed key
+    * and its oracle replay (which derives the replace chain from this
+    * same list — one definition, two engines). */
+  private[graft] val FixedBpeMerges: Seq[(String, String)] = Seq(
+    ("e", "</w>"), ("d", "</w>"), ("t", "h"), ("th", "e</w>"),
+    ("s", "</w>"), ("a", "n"), ("an", "d</w>"), ("i", "n"),
+    ("in", "g"), ("o", "r"))
 }

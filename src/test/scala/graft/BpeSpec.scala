@@ -59,6 +59,67 @@ class BpeSpec extends SparkSuite {
     assert(a === b)
   }
 
+
+  test("incremental pair maintenance equals a from-scratch driver replay on a varied corpus") {
+    // r15 (r14 verdict ask #4): learnMerges now maintains the pair
+    // table incrementally (only words containing the just-merged
+    // bigram retract/re-add their pairs). This pins the maintained
+    // counts against an independent FULL recomputation — a plain
+    // driver-side BPE over the same normalization — for every round,
+    // on a corpus with repeated symbols, overlaps, and ties.
+    val docs = Seq(
+      (1, Seq.fill(7)("banana").mkString(" ")),
+      (2, Seq.fill(4)("bandana").mkString(" ")),
+      (3, Seq.fill(5)("abba").mkString(" ")),
+      (4, Seq.fill(3)("aaaa").mkString(" ")),
+      (5, Seq.fill(6)("nab").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Bpe.learnMerges(docs, "doc_id", "text", numMerges = 10)
+      .orderBy("merge_no").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    // independent replay: word-type table -> K rounds of full pair
+    // recount + argmax with the (count desc, l asc, r asc) tie-break
+    // + greedy left-to-right merge application
+    var wordCounts: Map[Seq[String], Long] = Map(
+      ("banana".split("").toSeq :+ "</w>") -> 7L,
+      ("bandana".split("").toSeq :+ "</w>") -> 4L,
+      ("abba".split("").toSeq :+ "</w>") -> 5L,
+      ("aaaa".split("").toSeq :+ "</w>") -> 3L,
+      ("nab".split("").toSeq :+ "</w>") -> 6L)
+    def applyGreedy(syms: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val want = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var stop = false
+    (1 to 10).foreach { k =>
+      if (!stop) {
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        wordCounts.foreach { case (syms, n) =>
+          syms.sliding(2).filter(_.size == 2).foreach { p =>
+            pc((p(0), p(1))) = pc.getOrElse((p(0), p(1)), 0L) + n
+          }
+        }
+        if (pc.isEmpty || pc.values.max < 2L) stop = true
+        else {
+          val ((l, r), n) = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+          want += ((k, l, r, n))
+          wordCounts = wordCounts.toSeq
+            .map { case (syms, c) => (applyGreedy(syms, l, r), c) }
+            .groupBy(_._1).map { case (s, xs) => (s, xs.map(_._2).sum) }
+        }
+      }
+    }
+    assert(got === want.toSeq)
+  }
+
   test("encode applies the learned merges in order, per word") {
     val merges = Seq(("e", "r"), ("er", "</w>"), ("l", "o"), ("lo", "w"))
     val out = Seq("low newer").toDF("text")
