@@ -82,11 +82,64 @@ object Bench {
     // measures steady-state (codegen'd classes C2-compiled), not
     // first-execution JIT noise — observed 2-15 s scatter on identical
     // queries across fresh JVMs without this.
+    //
+    // CONCURRENT (r15, guide §2.6 "overlap independent jobs"): the
+    // warmup pass is untimed, so its only cost is driver-window
+    // wall-clock — measured ~20 min of the r14 gate's budget run
+    // SERIALLY while most of local[32] idled on each tiny query's
+    // stragglers. Queries are independent (per-thread Par scopes,
+    // UUID-named Derby DBs, per-execution temp dirs, memoized
+    // fixtures behind computeIfAbsent), so a small pool back-fills
+    // the tail exactly as §2.6 prescribes. Two carve-outs keep the
+    // artifact honest: (a) the keys that BUILD memoized Stores run
+    // first, serially, so the stamped store_build_sec measures a
+    // quiet build, not pool contention; (b) a few builders
+    // save/set/restore session confs (shuffle.partitions,
+    // autoBroadcastJoinThreshold, partitionOverwriteMode) whose
+    // save/restore can interleave wrongly across threads — harmless
+    // for the DISCARDED warmup outputs, but the timed loop must not
+    // inherit a raced value, so the pre-warmup values are reasserted
+    // after the pool drains. The TIMED passes stay strictly serial —
+    // methodology unchanged.
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
-      ordered.foreach { case (_, fn) =>
-        try force(fn(spark, sfDir)) catch { case _: Throwable => () }
-        Par.release()
+      val warmupThreads = math.max(1, math.min(6,
+        sys.env.get("SPARK_GRAFT_WARMUP_THREADS").map(_.toInt)
+          .getOrElse(cpus.toInt / 4)))
+      // designated first-toucher per memoized store (Stores.cached
+      // call sites in the registry shards); run quiet so the stamped
+      // build seconds mean what they always meant
+      val storeOwners = Seq("corpus_bpe_encode", "doc_phrase_search",
+        "doc_phrase_search_incr", "dedup_ngram_jaccard_incr",
+        "dq_join_cardinality_incr", "graph_modularity",
+        "dedup_source_matrix_incr", "doc_proximity_search")
+      def warmOne(fn: (SparkSession, String) => DataFrame): Unit = {
+        try Par.scoped { force(fn(spark, sfDir)); () }
+        catch { case _: Throwable => () }
         graft.pipeline.DayReplay.reclaimStale()
+      }
+      val confGuard = Seq("spark.sql.shuffle.partitions",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.sources.partitionOverwriteMode",
+        "spark.sql.legacy.parquet.nanosAsLong")
+        .map(k => k -> spark.conf.getOption(k))
+      if (warmupThreads <= 1) {
+        ordered.foreach { case (_, fn) => warmOne(fn) }
+      } else {
+        val owners = ordered.filter(q => storeOwners.contains(q._1))
+        owners.foreach { case (_, fn) => warmOne(fn) }
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(warmupThreads)
+        ordered.filterNot(q => storeOwners.contains(q._1)).foreach {
+          case (_, fn) =>
+            pool.execute(() => warmOne(fn))
+        }
+        pool.shutdown()
+        pool.awaitTermination(2, java.util.concurrent.TimeUnit.HOURS)
+        confGuard.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) =>
+            try spark.conf.unset(k) catch { case _: Throwable => () }
+        }
       }
     }
     // min of 2 timed passes per query: single passes over a 60-query
