@@ -92,6 +92,37 @@ object Par {
     */
   def release(): Unit = current.get().release()
 
+  /** Scale-adaptive partition count for a SMALL persisted / iterated
+    * state frame (graph node/edge tables, CC label tables, loop
+    * accumulators): ceil(plan leaf input bytes / bytesPerPartition),
+    * at least 1.
+    *
+    * Why (r15, guide §2): an iterative operator whose per-round state
+    * is a few MB otherwise inherits the session's shuffle width (32
+    * locally) — every round then schedules 32-task stages whose cost
+    * is pure fixed overhead: profiled stacks during graph_pagerank_fixed
+    * showed the executor threads in shuffle-file open/mmap/delete and
+    * MemoryStore SizeEstimator walks, ~8 CPU-s per round for a 5k-node
+    * graph (150k edges), and coalescing the state to its size-derived
+    * width measured 9.5 s → 3.5 s for the identical 10-round loop.
+    *
+    * Scale honesty: the count derives from the INPUT size (plan leaf
+    * bytes — parquet relation sizes, materialized cache sizes), not
+    * from the local core count. At 100 TB leafBytes/64 MB far exceeds
+    * any upstream partition count and `coalesce(p)` degenerates to a
+    * no-op, so cluster runs keep their parallelism; only genuinely
+    * tiny state collapses. Unknown-size leaves (checkpointed RDDs)
+    * default to Long.MaxValue in Catalyst and saturate the sum — the
+    * fallback is again the no-op, never an over-collapse.
+    */
+  def statePartitions(df: DataFrame, bytesPerPartition: Long = 64L << 20): Int = {
+    val leafBytes = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes)
+      .foldLeft(BigInt(0))(_ + _)
+    val p = (leafBytes + bytesPerPartition - 1) / bytesPerPartition
+    if (p > Int.MaxValue) Int.MaxValue else math.max(1, p.toInt)
+  }
+
   def widen(df: DataFrame, keys: String*): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     // toRdd (InternalRow RDD) probes the partition count without the

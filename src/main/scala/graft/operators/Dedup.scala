@@ -1151,13 +1151,19 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20,
                           reliable: Boolean = false): DataFrame = {
+    // size-adaptive state width (r15, guide §2): label/edge state of a
+    // small pair graph collapses to its size-derived width — per-round
+    // session-wide stages were pure shuffle-file + SizeEstimator
+    // overhead (see Par.statePartitions); a no-op at cluster scale
+    val p = Par.statePartitions(pairs)
     def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+      if (reliable) df.coalesce(p).checkpoint(eager = true)
+      else df.coalesce(p).localCheckpoint(eager = true)
     val edges = Par.persistTracked(
       pairs.select(col(idA).as("src"), col(idB).as("dst"))
         .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-        .distinct())
+        .distinct()
+        .coalesce(p))
     // seed with ROUND 1 fused into initialization: label₀(x) =
     // min(x, min over x's neighbors) is exactly what one propagation
     // round over self-labels produces, and it's a single map-side-

@@ -154,15 +154,23 @@ object Graph {
                iterations: Int = 10, damping: Double = 0.85,
                reliable: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 100, "iterations in [1, 100]")
-    def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
     val e = canon(edges, aCol, bCol)
+    // size-adaptive state width (r15, guide §2): tiny graphs collapse
+    // to few partitions (per-round 32-task stages were pure shuffle-
+    // file open/mmap + SizeEstimator overhead, profiled ~8 CPU-s per
+    // round on a 5k-node graph — see Par.statePartitions); at scale
+    // the coalesce degenerates to a no-op and nothing changes
+    val p = graft.Par.statePartitions(e)
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.coalesce(p).checkpoint(eager = true)
+      else df.coalesce(p).localCheckpoint(eager = true)
     val directed = graft.Par.persistTracked(
       e.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(e.select(col("b").as("src"), col("a").as("dst"))))
+        .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+        .coalesce(p))
     val deg = directed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val nodes = graft.Par.persistTracked(deg.select(col("src").as("node"), col("deg")))
+    val nodes = graft.Par.persistTracked(
+      deg.select(col("src").as("node"), col("deg")).coalesce(p))
     val n = nodes.count()
     require(n > 0, "pageRank needs at least one edge")
     val base = (1.0 - damping) / n
@@ -209,16 +217,19 @@ object Graph {
                          reliable: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 100, "iterations in [1, 100]")
     val Scale = 1000000000000L
-    def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
     val e = canon(edges, aCol, bCol)
+    // size-adaptive state width (r15) — see [[pageRank]]
+    val p = graft.Par.statePartitions(e)
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.coalesce(p).checkpoint(eager = true)
+      else df.coalesce(p).localCheckpoint(eager = true)
     val directed = graft.Par.persistTracked(
       e.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(e.select(col("b").as("src"), col("a").as("dst"))))
+        .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+        .coalesce(p))
     val deg = directed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nodes = graft.Par.persistTracked(
-      deg.select(col("src").as("node"), col("deg")))
+      deg.select(col("src").as("node"), col("deg")).coalesce(p))
     val n = nodes.count()
     require(n > 0, "pageRankFixedPoint needs at least one edge")
     val base = 15L * Scale / 100L / n
@@ -256,20 +267,23 @@ object Graph {
                                  reliable: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 100, "iterations in [1, 100]")
     val Scale = 1000000000000L
-    def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
     val e = edges.select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"),
         col(weightCol).cast("long").as("w"))
       .filter(col("a") < col("b") && col("w") > 0)
       .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+    // size-adaptive state width (r15) — see [[pageRank]]
+    val p = graft.Par.statePartitions(e)
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.coalesce(p).checkpoint(eager = true)
+      else df.coalesce(p).localCheckpoint(eager = true)
     val directed = graft.Par.persistTracked(
       e.select(col("a").as("src"), col("b").as("dst"), col("w"))
-        .unionByName(e.select(col("b").as("src"), col("a").as("dst"), col("w"))))
+        .unionByName(e.select(col("b").as("src"), col("a").as("dst"), col("w")))
+        .coalesce(p))
     val tw = directed.groupBy(col("src")).agg(sum(col("w")).as("tw"))
     val nodes = graft.Par.persistTracked(
-      tw.select(col("src").as("node"), col("tw")))
+      tw.select(col("src").as("node"), col("tw")).coalesce(p))
     val n = nodes.count()
     require(n > 0, "pageRankFixedPointWeighted needs at least one edge")
     val base = 15L * Scale / 100L / n
@@ -306,19 +320,23 @@ object Graph {
                                      reliable: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 100, "iterations in [1, 100]")
     val Scale = 1000000000000L
-    def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
     val e = canon(edges, aCol, bCol)
+    // size-adaptive state width (r15) — see [[pageRank]]
+    val p = graft.Par.statePartitions(e)
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.coalesce(p).checkpoint(eager = true)
+      else df.coalesce(p).localCheckpoint(eager = true)
     val directed = graft.Par.persistTracked(
       e.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(e.select(col("b").as("src"), col("a").as("dst"))))
+        .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+        .coalesce(p))
     val deg = directed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val seedSet = seeds.select(col(seedCol).as("node")).distinct()
     val nodes = graft.Par.persistTracked(
       deg.select(col("src").as("node"), col("deg"))
         .join(seedSet.withColumn("__is_seed", lit(true)), Seq("node"), "left")
-        .withColumn("__is_seed", coalesce(col("__is_seed"), lit(false))))
+        .withColumn("__is_seed", coalesce(col("__is_seed"), lit(false)))
+        .coalesce(p))
     val nSeeds = nodes.filter(col("__is_seed")).count()
     require(nSeeds > 0, "no seed is a node of the graph")
     val base = 15L * Scale / 100L / nSeeds
@@ -369,9 +387,11 @@ object Graph {
             reliable: Boolean = false): DataFrame = {
     require(k >= 1, "k >= 1")
     require(maxIterations >= 1 && maxIterations <= 100, "maxIterations in [1, 100]")
+    // size-adaptive state width (r15) — see [[pageRank]]
+    val p = graft.Par.statePartitions(canon(edges, aCol, bCol))
     def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+      if (reliable) df.coalesce(p).checkpoint(eager = true)
+      else df.coalesce(p).localCheckpoint(eager = true)
     def degrees(edgeSet: DataFrame): DataFrame =
       edgeSet.select(col("a").as("n"))
         .unionByName(edgeSet.select(col("b").as("n")))
@@ -386,12 +406,12 @@ object Graph {
     // measured 6 s/round at sf0.1 against this form's sub-second
     // rounds. Same synchronous-peel semantics, same unique fixed
     // point; the last degree frame IS the answer (all ≥ k).
-    var alive = graft.Par.persistTracked(canon(edges, aCol, bCol))
+    var alive = graft.Par.persistTracked(canon(edges, aCol, bCol).coalesce(p))
     var lastDeg = degrees(alive)
     var i = 0
     var done = false
     while (!done && i < maxIterations) {
-      val deg = graft.Par.persistTracked(degrees(alive))
+      val deg = graft.Par.persistTracked(degrees(alive).coalesce(p))
       val removed = deg.filter(col("core_deg") < k).select(col("n"))
       if (removed.isEmpty) {
         lastDeg = deg
@@ -400,7 +420,8 @@ object Graph {
         alive = graft.Par.persistTracked(
           alive
             .join(removed.withColumnRenamed("n", "a"), Seq("a"), "left_anti")
-            .join(removed.withColumnRenamed("n", "b"), Seq("b"), "left_anti"))
+            .join(removed.withColumnRenamed("n", "b"), Seq("b"), "left_anti")
+            .coalesce(p))
         if (i % 3 == 2) alive = truncate(alive)
         lastDeg = degrees(alive)
         i += 1
@@ -493,16 +514,24 @@ object Graph {
                        iterations: Int = 10,
                        reliable: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 100, "iterations in [1, 100]")
-    def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
     val e = canon(edges, aCol, bCol)
+    // size-adaptive state width (r15) — see [[pageRank]]; the keyed
+    // repartition keeps its exchange-reuse role but its width now
+    // derives from input size, capped at the session shuffle width
+    val p = graft.Par.statePartitions(e)
+    val width = math.max(1, math.min(p,
+      edges.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
+        .map(_.toInt)
+        .getOrElse(edges.sparkSession.sparkContext.defaultParallelism)))
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.coalesce(p).checkpoint(eager = true)
+      else df.coalesce(p).localCheckpoint(eager = true)
     // pin the edge frame's partitioning on the JOIN key so the
     // per-round label lookup never re-exchanges the (big) edge side
     val directed = graft.Par.persistTracked(
       e.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
-        .repartition(col("src")))
+        .repartition(width, col("src")))
     var labels = directed.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (i <- 1 to iterations) {
@@ -515,7 +544,7 @@ object Graph {
         // the count and the argmax plan exchange-free on top of it
         // (first cut paid three shuffles/round — measured 10 s at
         // sf0.1, vs pageRank's 2/round at 5.8 s for the same graph)
-        .repartition(col("node"))
+        .repartition(width, col("node"))
       labels = votes
         .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
         .groupBy(col("node"))
@@ -598,18 +627,22 @@ object Graph {
     require(iterations >= 1 && iterations <= 50, "iterations in [1, 50]")
     require(topK > 0, "topK must be positive")
     val Scale = 1000000L
+    // size-adaptive state width (r15) — see [[pageRank]]
+    val p = graft.Par.statePartitions(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+      if (reliable) df.coalesce(p).checkpoint(eager = true)
+      else df.coalesce(p).localCheckpoint(eager = true)
     val e = graft.Par.persistTracked(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+        .coalesce(p))
     // each phase's raw frame is persisted (the max normalizer and the
     // scaled select share one computation) and the result eagerly
     // truncated EVERY round: the in-plan scalar subquery would
     // otherwise re-evaluate the whole preceding lineage once per
     // round (measured 141 s at sf0.1; ~4 s with per-round cuts)
     def normalize(rawIn: DataFrame): DataFrame = {
-      val raw = graft.Par.persistTracked(rawIn)
+      val raw = graft.Par.persistTracked(rawIn.coalesce(p))
       val mx = raw.agg(max(col("__raw")).as("__m"))
       raw.crossJoin(broadcast(mx))
         .select(col("node"), expr(s"(__raw * $Scale) div __m").as("score"))
@@ -719,14 +752,20 @@ object Graph {
                   seeds: DataFrame, seedCol: String,
                   maxHops: Int, reliable: Boolean = false): DataFrame = {
     require(maxHops >= 1 && maxHops <= 100, "maxHops in [1, 100]")
-    def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
     val e = canon(edges, aCol, bCol)
+    // size-adaptive state width (r15) — see [[pageRank]]
+    val p = graft.Par.statePartitions(e)
+    val width = math.max(1, math.min(p,
+      edges.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
+        .map(_.toInt)
+        .getOrElse(edges.sparkSession.sparkContext.defaultParallelism)))
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.coalesce(p).checkpoint(eager = true)
+      else df.coalesce(p).localCheckpoint(eager = true)
     val directed = graft.Par.persistTracked(
       e.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
-        .repartition(col("src")))
+        .repartition(width, col("src")))
     var dist = directed.select(col("src").as("node")).distinct()
       .join(seeds.select(col(seedCol).as("node")), Seq("node"), "left_semi")
       .select(col("node"), lit(0L).as("dist"))
@@ -764,19 +803,25 @@ object Graph {
                    weightCol: String, seeds: DataFrame, seedCol: String,
                    rounds: Int, reliable: Boolean = false): DataFrame = {
     require(rounds >= 1 && rounds <= 100, "rounds in [1, 100]")
-    def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
     val e = edges.select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"),
         col(weightCol).cast("long").as("w"))
       .filter(col("a") < col("b") && col("w") >= 0)
       .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+    // size-adaptive state width (r15) — see [[pageRank]]
+    val p = graft.Par.statePartitions(e)
+    val width = math.max(1, math.min(p,
+      edges.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
+        .map(_.toInt)
+        .getOrElse(edges.sparkSession.sparkContext.defaultParallelism)))
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.coalesce(p).checkpoint(eager = true)
+      else df.coalesce(p).localCheckpoint(eager = true)
     val directed = graft.Par.persistTracked(
       e.select(col("a").as("src"), col("b").as("dst"), col("w"))
         .unionByName(e.select(col("b").as("src"), col("a").as("dst"),
           col("w")))
-        .repartition(col("src")))
+        .repartition(width, col("src")))
     var dist = directed.select(col("src").as("node")).distinct()
       .join(seeds.select(col(seedCol).as("node")), Seq("node"), "left_semi")
       .select(col("node"), lit(0L).as("dist"))
