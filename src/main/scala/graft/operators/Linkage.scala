@@ -83,7 +83,10 @@ object Linkage {
       .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") > hotBlockThreshold)
       .select(col("__blk")).withColumn("__hot", lit(1))
-    val tagged = base.join(broadcast(hot), Seq("__blk"), "left")
+    // widen (r15): a narrow scan otherwise pins the whole candidate
+    // emission + comparator pass to one task (see [[jaroWinklerPairs]])
+    val tagged = graft.Par.widen(
+        base.join(broadcast(hot), Seq("__blk"), "left"), "__blk")
       .withColumn("__hot", coalesce(col("__hot"), lit(0)))
       .withColumn("__band",
         when(col("__hot") === 1,
@@ -171,8 +174,14 @@ object Linkage {
     require(minSim > 0 && minSim <= 1, "minSim in (0, 1]")
     val base = df.select(col(idCol).as("__id"), col(nameCol).as("__n"),
       blockCol.as("__blk"))
-    val a = base.select(col("__id").as("id_a"), col("__n").as("__na"),
-      col("__blk"))
+    // widen the streamed side (r15): a small block table scans as one
+    // partition, the block join broadcasts the other side, and the
+    // whole quadratic comparator pass lands in a single task —
+    // profiled as one multi-second 1-task stage; the keyed widen
+    // spreads it across the cluster (no-op when already wide)
+    val a = graft.Par.widen(
+      base.select(col("__id").as("id_a"), col("__n").as("__na"),
+        col("__blk")), "__blk")
     val b = base.select(col("__id").as("id_b"), col("__n").as("__nb"),
       col("__blk"))
     val joined = a.join(b, Seq("__blk")).filter(col("id_a") < col("id_b"))
@@ -293,7 +302,10 @@ object Linkage {
                     upper: Double, lower: Double): DataFrame = {
     fsValidate(attrs, upper, lower)
     val cols = attrs.map(_._1.column).distinct
-    val a = fsSide(records, idCol, blockCol, cols, "id_a", "__a_")
+    // widen the streamed side (r15): see [[jaroWinklerPairs]] — the
+    // scoring pass otherwise runs in the narrow scan's single task
+    val a = graft.Par.widen(
+      fsSide(records, idCol, blockCol, cols, "id_a", "__a_"), "__blk")
     val b = fsSide(records, idCol, blockCol, cols, "id_b", "__b_")
     fsScore(a.join(b, Seq("__blk")).filter(col("id_a") < col("id_b")),
       attrs, upper, lower)
@@ -315,8 +327,11 @@ object Linkage {
                                upper: Double, lower: Double): DataFrame = {
     fsValidate(attrs, upper, lower)
     val cols = attrs.map(_._1.column).distinct
-    val aStored = fsSide(stored, idCol, blockCol, cols, "id_a", "__a_")
-    val aBatch = fsSide(batch, idCol, blockCol, cols, "id_a", "__a_")
+    // widen the streamed sides (r15): see [[jaroWinklerPairs]]
+    val aStored = graft.Par.widen(
+      fsSide(stored, idCol, blockCol, cols, "id_a", "__a_"), "__blk")
+    val aBatch = graft.Par.widen(
+      fsSide(batch, idCol, blockCol, cols, "id_a", "__a_"), "__blk")
     val bBatch = fsSide(batch, idCol, blockCol, cols, "id_b", "__b_")
     val cross = aStored.join(bBatch, Seq("__blk"))
     val intra = aBatch.join(bBatch, Seq("__blk"))

@@ -581,8 +581,13 @@ private[graft] object QueriesShard7 {
       val nCmp = slice.groupBy(col("bk")).agg(count(lit(1)).as("m"))
         .agg(sum((col("m") * (col("m") - 1) / 2).cast("long"))
           .as("n_compared"))
-      val a = slice.select(col("id").as("id_a"), col("s").as("s_a"),
-        col("bk").as("bk_a"), length(col("s")).as("l_a"))
+      // widen the streamed side (r15): the truth pass's length-band
+      // join broadcasts `b`, so an unwidened narrow scan runs the
+      // whole all-pairs levenshtein sweep in ONE task (profiled
+      // 7.8 s single-task stage at sf0.1)
+      val a = graft.Par.widen(
+        slice.select(col("id").as("id_a"), col("s").as("s_a"),
+          col("bk").as("bk_a"), length(col("s")).as("l_a")), "id_a")
       val b = slice.select(col("id").as("id_b"), col("s").as("s_b"),
         col("bk").as("bk_b"), length(col("s")).as("l_b"))
       val truth = a
